@@ -1,0 +1,125 @@
+"""Text-analysis functions for the LLM-data-pipeline surface.
+
+Extension operators mandated by the north star (SURVEY.md §2.h): token
+counting, quality scoring, language-ID heuristic, document
+fingerprinting. All pure Catalyst expressions over a string column —
+they vectorize in whole-stage codegen and scale linearly with no
+shuffle, which is exactly what a 100 TB corpus pass needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny language-marker lists for the n-gram/stopword heuristic.
+#: Deliberately small so the oracle SQL mirror stays readable.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+STOPWORDS: tuple[str, ...] = (
+    "the", "and", "of", "to", "a", "in", "is", "it", "for", "on",
+)
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed, lower-cased text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(tokens(text)))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: split on word/nonword boundaries the way a
+    BPE tokenizer fragments text — a cheap, deterministic proxy for LLM
+    token budgeting (regex splits runs of letters, digits, other)."""
+    pieces = F.split(F.lower(text), r"(?<=[a-z])(?=[^a-z\s])|(?<=[^a-z\s])(?=[a-z])|\s+")
+    return F.size(F.filter(pieces, lambda p: F.length(p) > 0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    stripped = F.regexp_replace(text, r"[.,!?;:'\"()\[\]{}-]", "")
+    return (F.length(text) - F.length(stripped)) / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of tokens that are (English) stopwords."""
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    return F.aggregate(
+        toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality score in [0, 1].
+
+    Heuristic mix (à la Gopher/C4 quality rules, public recipes): enough
+    tokens, sane mean token length, low punctuation density, nonzero
+    stopword ratio.
+    """
+    n = token_count(text)
+    length_ok = F.when(n >= 10, F.lit(1.0)).otherwise(n / F.lit(10.0))
+    mtl = mean_token_length(text)
+    mtl_ok = F.when((mtl >= 3) & (mtl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_ok = 1.0 - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    stop_ok = F.least(stopword_ratio(text) * 4, F.lit(1.0))
+    return (length_ok + mtl_ok + punct_ok + stop_ok) / 4
+
+
+def lang_marker_hits(text: Column, lang: str) -> Column:
+    """Count of tokens matching a language's marker list."""
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*LANG_MARKERS[lang])))
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language over marker-hit counts; 'und' when no marker hits.
+
+    Ties break in the fixed iteration order of LANG_MARKERS (en, es, fr,
+    de), matching the oracle SQL's CASE ordering.
+    """
+    scores = {lang: lang_marker_hits(text, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalized_text(text: Column) -> Column:
+    """Lower-case, collapse whitespace, strip punctuation — canonical form."""
+    cleaned = F.regexp_replace(F.lower(text), r"[.,!?;:'\"()\[\]{}-]", "")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 over the sorted distinct-token set of the
+    normalized text. Robust to token order / duplication — the classic
+    "sorted shingle set" fingerprint used for bulk dedup."""
+    toks = F.array_sort(F.array_distinct(F.split(normalized_text(text), " ")))
+    return F.md5(F.concat_ws(" ", toks))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (for MinHash / Jaccard dedup)."""
+    toks = F.split(normalized_text(text), " ")
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(F.array_distinct(grams))

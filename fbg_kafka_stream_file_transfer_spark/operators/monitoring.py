@@ -1,0 +1,131 @@
+"""Monitoring-plane aggregations (reference A1-A6).
+
+The reference's only analytical queries live in its Prometheus alert
+rules (k8s/monitoring/alerts.yaml): sliding-window error rates, p95
+latency quantiles, backlog counts, per-file DLQ counters. Each becomes a
+windowed DataFrame aggregation that runs identically in batch (over an
+event-log table) and in Structured Streaming (over the live stream) —
+the unified-model win the survey calls out (SURVEY.md §5.2).
+
+Scale notes: all of these are partial-aggregatable (sum/count/max) or
+sketch-based (percentile_approx) — map-side combine keeps the shuffle at
+O(groups), not O(rows), so they hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def error_rate(
+    df: DataFrame,
+    time_col: str = "event_time",
+    status_col: str = "status",
+    failed_value: str = "FAILED",
+    window: str = "5 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """A1 — failed/total ratio per (sliding) window
+    (alerts.yaml:28-38: rate(failed[5m]) / rate(total[5m])).
+
+    ``slide=None`` gives tumbling windows; pass "1 minute" for the
+    alert's 30s-evaluated sliding behavior.
+    """
+    w = F.window(F.col(time_col), window, slide) if slide else F.window(F.col(time_col), window)
+    return (
+        df.groupBy(w.alias("w"))
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(F.when(F.col(status_col) == failed_value, 1).otherwise(0)).alias("failed"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("total"),
+            F.col("failed"),
+            (F.col("failed") / F.col("total")).alias("error_rate"),
+        )
+    )
+
+
+def p95_processing_time(
+    df: DataFrame,
+    time_col: str = "event_time",
+    duration_col: str = "processing_seconds",
+    window: str = "5 minutes",
+    exact: bool = False,
+) -> DataFrame:
+    """A3/A4 — p95 latency per window (alerts.yaml:51-60,76-85).
+
+    ``exact=False`` (default) uses the approx-percentile sketch — the
+    scale path, mergeable map-side like Prometheus's bucketed
+    histogram_quantile. ``exact=True`` uses the exact interpolated
+    percentile (for oracle comparison).
+    """
+    pct = (
+        F.expr(f"percentile({duration_col}, 0.95)")
+        if exact
+        else F.percentile_approx(F.col(duration_col), 0.95, 10000)
+    )
+    return (
+        df.groupBy(F.window(F.col(time_col), window).alias("w"))
+        .agg(pct.alias("p95_seconds"), F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "p95_seconds", "n")
+    )
+
+
+def backlog_running_count(
+    df: DataFrame,
+    time_col: str = "event_time",
+    arrival_status: str = "DLQ",
+    drain_status: str = "REPROCESSED",
+    status_col: str = "status",
+    bucket: str = "1 day",
+) -> DataFrame:
+    """A2/A5 — running backlog = cumulative arrivals − cumulative drains
+    (alerts.yaml:40-49,115-124: queue depth over time).
+
+    Batch form uses a time-ordered running sum. The cumulative window is
+    a single global ordering — fine for the per-bucket rollup cardinality
+    (days), never applied at raw-row grain at scale.
+    """
+    bucketed = (
+        df.groupBy(F.window(F.col(time_col), bucket).alias("w"))
+        .agg(
+            F.sum(F.when(F.col(status_col) == arrival_status, 1).otherwise(0)).alias("arrivals"),
+            F.sum(F.when(F.col(status_col) == drain_status, 1).otherwise(0)).alias("drains"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "arrivals", "drains")
+    )
+    running = Window.orderBy("bucket_start").rowsBetween(Window.unboundedPreceding, 0)
+    return bucketed.withColumn(
+        "backlog", F.sum(F.col("arrivals") - F.col("drains")).over(running)
+    )
+
+
+def dlq_count_by_file(df: DataFrame, file_col: str = "file_name") -> DataFrame:
+    """A6 — the micrometer DLQ counter tagged by file
+    (dlq-handler.yaml:129-132)."""
+    return df.groupBy(file_col).agg(F.count("*").alias("dlq_messages_total"))
+
+
+def sustained_breach(
+    windowed: DataFrame,
+    value_col: str,
+    threshold: float,
+    consecutive: int,
+    order_col: str = "window_start",
+) -> DataFrame:
+    """The PromQL ``for: N minutes`` debounce (alerts.yaml:33 etc.):
+    alert only when the threshold is breached in `consecutive` successive
+    windows. Implemented as a count-based running window over the
+    (small) aggregated series — no raw-data pass."""
+    w = Window.orderBy(order_col).rowsBetween(-(consecutive - 1), 0)
+    breached = F.when(F.col(value_col) > threshold, 1).otherwise(0)
+    return (
+        windowed.withColumn("_b", breached)
+        .withColumn("breach_run", F.sum("_b").over(w))
+        .withColumn("alert", F.col("breach_run") >= consecutive)
+        .drop("_b")
+    )

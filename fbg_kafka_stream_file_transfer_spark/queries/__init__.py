@@ -1,0 +1,21 @@
+"""Oracle-checked query registry.
+
+Every operator from SURVEY.md §2 (plus the §2.h extension surface) gets a
+named query here: a PySpark callable ``(spark, sf_dir) -> DataFrame`` and,
+where SQL-expressible, a DuckDB oracle SQL string computing the same
+result on the same tables. The driver hash-compares the two at sf0.01.
+
+Column names, types, and rounding are deliberately mirrored between the
+Spark and oracle sides (see queries.base conventions).
+"""
+
+from __future__ import annotations
+
+from .base import Q
+from . import envelope_q, relational_q, monitoring_q, dedup_q, text_q, similarity_q, pipeline_q
+
+REGISTRY: dict[str, Q] = {}
+for mod in (envelope_q, relational_q, monitoring_q, dedup_q, text_q, similarity_q, pipeline_q):
+    for name, q in mod.QUERIES.items():
+        assert name not in REGISTRY, f"duplicate query name {name}"
+        REGISTRY[name] = q

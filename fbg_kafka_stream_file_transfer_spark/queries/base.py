@@ -1,0 +1,48 @@
+"""Shared conventions for oracle-checked queries.
+
+Cross-engine determinism rules (Spark ↔ DuckDB):
+
+- **Doubles**: every aggregated/computed double in the output is
+  ``round(x, N)`` on BOTH sides (2 for money-like sums, 6 for ratios).
+- **Ordering/top-k**: rank on the rounded value with an explicit unique
+  tie-break key, so near-equal doubles can't flip membership.
+- **Timestamps**: window starts are emitted as formatted strings
+  (``yyyy-MM-dd HH:mm:ss``) — avoids hashing engine-specific timestamp
+  encodings. Session TZ is pinned UTC.
+- **Int casts**: ``floor()`` before any double→int cast (Spark truncates,
+  DuckDB rounds); DuckDB ``sum(int)`` is HUGEINT, so oracles cast sums
+  back to BIGINT.
+- **Hashes as portable primitives**: md5/sha256 hex strings are identical
+  in both engines, so MinHash/fingerprint-style operators hash with md5
+  and compare lexicographically — portable by construction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class Q:
+    """One oracle-checked query: Spark impl + optional DuckDB oracle SQL."""
+
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str = ""
+
+
+def shared_sql(sql: str, tables: tuple[str, ...]) -> Q:
+    """A query whose SQL parses and means the same in Spark SQL and DuckDB:
+    run the identical string on both engines."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for t in tables:
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(sql)
+
+    return Q(spark=run, oracle=sql)

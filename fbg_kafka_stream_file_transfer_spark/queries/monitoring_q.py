@@ -1,0 +1,233 @@
+"""Monitoring-plane queries (SURVEY §2.e A1-A6) in batch form.
+
+The reference's analytical workload is its Prometheus alert rules
+(k8s/monitoring/alerts.yaml). Here each runs over the events table
+mapped to a `pipeline_events` shape (FIXTURES.md §4): status FAILED for
+'error' events, processing_seconds = value. The same operator code runs
+streaming in :mod:`..streaming` — these batch forms are the
+oracle-checkable projection of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import monitoring
+from ..sources.tables import load_table
+from .base import Q
+
+#: DuckDB mirror of the events → pipeline_events mapping.
+PIPE_CTE = """
+WITH pipeline_events AS (
+  SELECT ts AS event_time,
+         CASE WHEN event_type = 'error' THEN 'FAILED' ELSE 'COMPLETED' END AS status,
+         value AS processing_seconds,
+         'file-' || event_id || '.' || CASE event_type
+             WHEN 'click' THEN 'png' WHEN 'purchase' THEN 'pdf'
+             WHEN 'signup' THEN 'docx' WHEN 'view' THEN 'txt'
+             WHEN 'error' THEN 'exe' END AS file_name,
+         event_type,
+         user_id
+  FROM events
+)
+"""
+
+
+def _pipeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ext = F.element_at(
+        F.create_map(
+            F.lit("click"), F.lit("png"), F.lit("purchase"), F.lit("pdf"),
+            F.lit("signup"), F.lit("docx"), F.lit("view"), F.lit("txt"),
+            F.lit("error"), F.lit("exe"),
+        ),
+        F.col("event_type"),
+    )
+    return ev.select(
+        F.col("ts").alias("event_time"),
+        F.when(F.col("event_type") == "error", F.lit("FAILED"))
+        .otherwise(F.lit("COMPLETED"))
+        .alias("status"),
+        F.col("value").alias("processing_seconds"),
+        F.concat_ws(".", F.concat(F.lit("file-"), F.col("event_id")), ext).alias("file_name"),
+        F.col("event_type"),
+        F.col("user_id"),
+    )
+
+
+def _fmt_window(df: DataFrame, col: str = "window_start") -> DataFrame:
+    return df.withColumn(col, F.date_format(F.col(col), "yyyy-MM-dd HH:mm:ss"))
+
+
+def _a1_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = monitoring.error_rate(_pipeline_events(spark, sf_dir), window="5 minutes")
+    return _fmt_window(out).withColumn("error_rate", F.round("error_rate", 6))
+
+
+def _a1_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = monitoring.error_rate(
+        _pipeline_events(spark, sf_dir), window="5 minutes", slide="1 minute"
+    )
+    return _fmt_window(out).withColumn("error_rate", F.round("error_rate", 6))
+
+
+def _a3_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = monitoring.p95_processing_time(
+        _pipeline_events(spark, sf_dir), window="1 day", exact=True
+    )
+    return _fmt_window(out).withColumn("p95_seconds", F.round("p95_seconds", 6))
+
+
+def _a2_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = monitoring.backlog_running_count(
+        _pipeline_events(spark, sf_dir),
+        arrival_status="FAILED",
+        drain_status="COMPLETED",
+        bucket="1 day",
+    )
+    return (
+        out.withColumn("bucket_start", F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss"))
+        .select("bucket_start", "arrivals", "drains", "backlog")
+    )
+
+
+def _a6_dlq_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    failed = _pipeline_events(spark, sf_dir).filter(F.col("status") == "FAILED")
+    day = F.date_format("event_time", "yyyy/MM/dd").alias("processing_date")
+    return failed.groupBy(day).agg(F.count("*").alias("dlq_messages_total"))
+
+
+def _a5_partition_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-lag analogue: per partition (user_id % 8), event count and
+    latest event time (alerts.yaml:115-124 backlog proxy)."""
+    pe = _pipeline_events(spark, sf_dir)
+    return (
+        pe.groupBy((F.col("user_id") % 8).alias("partition_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.max("event_time"), "yyyy-MM-dd HH:mm:ss").alias("latest_event"),
+        )
+    )
+
+
+def _alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PromQL `for: 5m` debounce (A1 + sustained_breach): alert fires
+    only when error_rate > 0.1 in 5 consecutive 5-minute windows."""
+    rate = monitoring.error_rate(_pipeline_events(spark, sf_dir), window="5 minutes")
+    out = monitoring.sustained_breach(rate, "error_rate", 0.1, 5)
+    return (
+        _fmt_window(out)
+        .select(
+            "window_start",
+            F.round("error_rate", 6).alias("error_rate"),
+            F.col("breach_run").cast("int").alias("breach_run"),
+            "alert",
+        )
+    )
+
+
+QUERIES: dict[str, Q] = {
+    "a1_error_rate_5m": Q(
+        _a1_tumbling,
+        PIPE_CTE
+        + """
+SELECT strftime(time_bucket(INTERVAL '5 minutes', event_time), '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS total,
+       CAST(sum(CASE WHEN status = 'FAILED' THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+       round(sum(CASE WHEN status = 'FAILED' THEN 1 ELSE 0 END) / count(*), 6) AS error_rate
+FROM pipeline_events
+GROUP BY time_bucket(INTERVAL '5 minutes', event_time)
+""",
+        doc="A1 route error rate, tumbling (alerts.yaml:28-38)",
+    ),
+    "a1_error_rate_sliding": Q(
+        _a1_sliding,
+        PIPE_CTE
+        + """
+, slid AS (
+  SELECT time_bucket(INTERVAL '1 minute', event_time) - (k.k * INTERVAL '1 minute') AS ws,
+         status
+  FROM pipeline_events, (SELECT unnest(range(5)) AS k) k
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS total,
+       CAST(sum(CASE WHEN status = 'FAILED' THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+       round(sum(CASE WHEN status = 'FAILED' THEN 1 ELSE 0 END) / count(*), 6) AS error_rate
+FROM slid GROUP BY ws
+""",
+        doc="A1 sliding 5m/1m window (PromQL rate[5m] @30s eval)",
+    ),
+    "a3_p95_processing_time": Q(
+        _a3_p95,
+        PIPE_CTE
+        + """
+SELECT strftime(time_bucket(INTERVAL '1 day', event_time), '%Y-%m-%d %H:%M:%S') AS window_start,
+       round(quantile_cont(processing_seconds, 0.95), 6) AS p95_seconds,
+       count(*) AS n
+FROM pipeline_events
+GROUP BY time_bucket(INTERVAL '1 day', event_time)
+""",
+        doc="A3/A4 p95 latency per window (alerts.yaml:51-60)",
+    ),
+    "a2_backlog_running": Q(
+        _a2_backlog,
+        PIPE_CTE
+        + """
+, buckets AS (
+  SELECT time_bucket(INTERVAL '1 day', event_time) AS b,
+         CAST(sum(CASE WHEN status = 'FAILED' THEN 1 ELSE 0 END) AS BIGINT) AS arrivals,
+         CAST(sum(CASE WHEN status = 'COMPLETED' THEN 1 ELSE 0 END) AS BIGINT) AS drains
+  FROM pipeline_events GROUP BY 1
+)
+SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start, arrivals, drains,
+       CAST(sum(arrivals - drains) OVER (ORDER BY b
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+FROM buckets
+""",
+        doc="A2/A5 running backlog (alerts.yaml:40-49)",
+    ),
+    "a6_dlq_count_by_date": Q(
+        _a6_dlq_by_type,
+        PIPE_CTE
+        + """
+SELECT strftime(event_time, '%Y/%m/%d') AS processing_date,
+       count(*) AS dlq_messages_total
+FROM pipeline_events WHERE status = 'FAILED'
+GROUP BY 1
+""",
+        doc="A6 DLQ counter (dlq-handler.yaml:129-132)",
+    ),
+    "a5_partition_lag": Q(
+        _a5_partition_lag,
+        PIPE_CTE
+        + """
+SELECT user_id % 8 AS partition_id,
+       count(*) AS n_events,
+       strftime(max(event_time), '%Y-%m-%d %H:%M:%S') AS latest_event
+FROM pipeline_events GROUP BY 1
+""",
+        doc="A5 consumer-lag/backlog proxy (alerts.yaml:115-124)",
+    ),
+    "alert_sustained_breach": Q(
+        _alert_debounce,
+        PIPE_CTE
+        + """
+, rate AS (
+  SELECT time_bucket(INTERVAL '5 minutes', event_time) AS ws,
+         count(*) AS total,
+         CAST(sum(CASE WHEN status = 'FAILED' THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+         sum(CASE WHEN status = 'FAILED' THEN 1 ELSE 0 END) / count(*) AS error_rate
+  FROM pipeline_events GROUP BY 1
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       round(error_rate, 6) AS error_rate,
+       CAST(sum(CASE WHEN error_rate > 0.1 THEN 1 ELSE 0 END)
+            OVER (ORDER BY ws ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS INTEGER) AS breach_run,
+       CAST(sum(CASE WHEN error_rate > 0.1 THEN 1 ELSE 0 END)
+            OVER (ORDER BY ws ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS INTEGER) >= 5 AS alert
+FROM rate
+""",
+        doc="PromQL `for:` debounce (alerts.yaml:33) as window-over-window",
+    ),
+}

@@ -1,0 +1,290 @@
+"""Relational surface: joins, aggregations, windows, set ops, top-k.
+
+The reference has no in-engine joins/sorts/set-ops (SURVEY §2 preamble) —
+Spark SQL provides them for free, and the driver's oracle exercises a
+relational inventory, so they're first-class here. Shared-SQL queries run
+the identical string on Spark and DuckDB; DataFrame-API queries exercise
+the engine's operator surface (semi/anti joins, window ranking, pivot)
+with a hand-written oracle.
+
+Scale notes: dimension joins (region/nation/customer) are broadcast
+(small side < autoBroadcastJoinThreshold; `F.broadcast` forces it where
+the stats lie); fact-fact joins shuffle on the join key and AQE handles
+skew. Top-k uses rank-truncation (window + filter), which Spark executes
+as a partial top-k per partition before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .base import Q, shared_sql
+
+
+def _semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with ≥1 high-value order — left_semi (EXISTS)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def _anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all — left_anti (NOT EXISTS). Mirrors the
+    'arrived but never processed' reconciliation (SURVEY §7 step 2)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def _window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (rank-truncated window)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.round(F.col("o_totalprice"), 2).desc(), F.col("o_orderkey"))
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rank",
+        )
+    )
+
+
+def _window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue per customer over order date (cumulative window)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def _pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-priority order counts by status column."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
+def _broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the nation→region dimension chain (P16-style
+    map-side lookup join; no shuffle of the fact side)."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dim = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        customer.join(F.broadcast(dim), customer.c_nationkey == dim.n_nationkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+QUERIES: dict[str, Q] = {
+    # --- shared-SQL (identical string on both engines) ---
+    "tpch_q1_pricing_summary": shared_sql(
+        """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        ("lineitem",),
+    ),
+    "tpch_q3_shipping_priority": shared_sql(
+        """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+        ("customer", "orders", "lineitem"),
+    ),
+    "tpch_q5_local_supplier_volume": shared_sql(
+        """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('AMERICA', 'ASIA')
+GROUP BY n_name
+""",
+        ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    ),
+    "agg_rollup": shared_sql(
+        """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        ("lineitem",),
+    ),
+    "agg_cube": shared_sql(
+        """
+SELECT o_orderpriority, o_orderstatus,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+        ("orders",),
+    ),
+    "agg_distinct": shared_sql(
+        """
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS distinct_suppliers,
+       count(DISTINCT l_partkey) AS distinct_parts,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+        ("lineitem",),
+    ),
+    "set_union": shared_sql(
+        """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+""",
+        ("customer", "orders"),
+    ),
+    "set_intersect": shared_sql(
+        """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+""",
+        ("customer", "orders"),
+    ),
+    "set_except": shared_sql(
+        """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+""",
+        ("customer", "orders"),
+    ),
+    "order_stats_per_customer": shared_sql(
+        """
+SELECT o_custkey,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_spent,
+       round(avg(o_totalprice), 6) AS avg_order,
+       round(min(o_totalprice), 2) AS min_order,
+       round(max(o_totalprice), 2) AS max_order
+FROM orders
+GROUP BY o_custkey
+""",
+        ("orders",),
+    ),
+    # --- DataFrame-API operators with hand-written oracles ---
+    "join_semi": Q(
+        _semi_join,
+        """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+""",
+        doc="left_semi join (EXISTS reconciliation, SURVEY §7 step 2)",
+    ),
+    "join_anti": Q(
+        _anti_join,
+        """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+        doc="left_anti join ('arrived but never processed')",
+    ),
+    "window_topk_per_group": Q(
+        _window_topk,
+        """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+            ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS INTEGER) AS rank
+FROM orders
+QUALIFY rank <= 3
+""",
+        doc="top-k per group via rank-truncated window",
+    ),
+    "window_running_sum": Q(
+        _window_running,
+        """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+""",
+        doc="cumulative window aggregation",
+    ),
+    "pivot_order_status": Q(
+        _pivot_status,
+        """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders GROUP BY o_orderpriority
+""",
+        doc="pivot (conditional aggregation)",
+    ),
+    "join_broadcast_dims": Q(
+        _broadcast_dim_join,
+        """
+SELECT r_name, n_name, count(*) AS customers,
+       round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+        doc="broadcast dimension-chain join (P16 analogue)",
+    ),
+}

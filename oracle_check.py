@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Runs every query in ``__spark_entry__.queries()`` on Spark and its
+``oracle_sql()`` on DuckDB over the same parquet tables, then compares
+row count, column names, and an order-insensitive value hash (columns
+sorted by name, rows sorted, values stringified).
+
+Usage: python3 oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import traceback
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from fbg_kafka_stream_file_transfer_spark import get_spark
+from fbg_kafka_stream_file_transfer_spark.sources.tables import TABLE_NAMES
+
+
+def normalize_cell(v) -> str:
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # stabilize float repr: round-trip via %.10g
+        return "%.10g" % v
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(normalize_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def frame_digest(cols: list[str], rows: list[tuple]) -> str:
+    import hashlib
+
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(normalize_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    spark = get_spark("oracle_check")
+
+    passed, failed, skipped = [], [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            try:
+                n = fn(spark, sf_dir).count()
+                print(f"~ {name}: rows-only, {n} rows")
+                skipped.append(name)
+            except Exception:
+                print(f"✗ {name}: SPARK ERROR (rows-only)")
+                traceback.print_exc()
+                failed.append(name)
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"✗ {name}: SPARK ERROR")
+            traceback.print_exc()
+            failed.append(name)
+            continue
+        try:
+            cur = con.execute(sql)
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception:
+            print(f"✗ {name}: DUCKDB ERROR")
+            traceback.print_exc()
+            failed.append(name)
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rows {len(srows)} vs {len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
+        if not problems:
+            sh, dh = frame_digest(scols, srows), frame_digest(dcols, drows)
+            if sh != dh:
+                problems.append("value-hash mismatch")
+                # show a few differing lines for debugging
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                ls = sorted("|".join(normalize_cell(r[i]) for i in order_s) for r in srows)
+                ld = sorted("|".join(normalize_cell(r[i]) for i in order_d) for r in drows)
+                diff = [(a, b) for a, b in zip(ls, ld) if a != b][:3]
+                for a, b in diff:
+                    print(f"    spark:  {a[:200]}")
+                    print(f"    duckdb: {b[:200]}")
+        if problems:
+            print(f"✗ {name}: {'; '.join(problems)}")
+            failed.append(name)
+        else:
+            print(f"✓ {name} ({len(srows)} rows)")
+            passed.append(name)
+
+    print(f"\n{len(passed)} passed, {len(failed)} failed, {len(skipped)} rows-only")
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
