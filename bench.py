@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a ``noop``-format write (full computation, no
+driver-side collect bottleneck) and timed wall-clock. ``value`` is the
+total across headline queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+from fbg_kafka_stream_file_transfer_spark import get_spark  # noqa: E402
+from fbg_kafka_stream_file_transfer_spark.queries import REGISTRY  # noqa: E402
+
+#: headline set — one per operator family (SURVEY.md §2 / §2.h)
+HEADLINE = [
+    "env_projection",            # envelope ingest + derivations (P1-P17)
+    "env_validation_counts",     # validation/routing split (F2/F4)
+    "tpch_q1_pricing_summary",   # wide agg scan
+    "tpch_q3_shipping_priority", # 3-way join + top-k
+    "tpch_q5_local_supplier_volume",  # 6-way join
+    "a1_error_rate_sliding",     # sliding-window monitoring agg
+    "a3_p95_processing_time",    # percentile sketch
+    "pipe_replay_join",          # incoming ⋈ failed replay join (E6)
+    "dedup_exact",               # checksum dedup
+    "dedup_minhash_verified",    # MinHash-LSH near-dup
+    "text_quality_scores",       # text analysis
+    "sim_topk_bruteforce",       # embedding similarity top-k
+    "sim_ann_lsh_topk",          # ANN (LSH-bucketed)
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -83,6 +83,11 @@ def from_binary_files(
     """
     reader = spark.readStream if stream else spark.read
     reader = reader.format("binaryFile")
+    if stream:
+        # streaming sources require an explicit schema; binaryFile's is fixed
+        reader = reader.schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     if stream and max_files_per_trigger:

@@ -75,8 +75,12 @@ def processing_date(event_time: Column) -> Column:
 
 
 def iso_timestamp(ts: Column) -> Column:
-    """P12 — failure-report timestamp format (dlq-handler.yaml:40)."""
-    return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSXX")
+    """P12 — failure-report timestamp format (dlq-handler.yaml:40).
+
+    Pattern 'Z' renders +0000 like the reference's SimpleDateFormat
+    ('XX' would render the literal 'Z' at UTC).
+    """
+    return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSZ")
 
 
 def object_key(prefix: str, date: Column, correlation_id: Column, file_name: Column,

@@ -36,12 +36,16 @@ def token_count(text: Column) -> Column:
     return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(tokens(text)))
 
 
+#: BPE-ish lexer: runs of letters, runs of digits, single other chars.
+#: Deliberately lookaround-free so the same pattern runs on RE2 (DuckDB).
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
 def bpe_ish_token_count(text: Column) -> Column:
-    """Sub-word-ish token count: split on word/nonword boundaries the way a
-    BPE tokenizer fragments text — a cheap, deterministic proxy for LLM
-    token budgeting (regex splits runs of letters, digits, other)."""
-    pieces = F.split(F.lower(text), r"(?<=[a-z])(?=[^a-z\s])|(?<=[^a-z\s])(?=[a-z])|\s+")
-    return F.size(F.filter(pieces, lambda p: F.length(p) > 0))
+    """Sub-word-ish token count: letters/digits/punct runs the way a BPE
+    tokenizer fragments text — a cheap, deterministic proxy for LLM token
+    budgeting."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), F.lit(0)))
 
 
 def punct_ratio(text: Column) -> Column:

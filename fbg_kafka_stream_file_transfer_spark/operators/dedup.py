@@ -1,0 +1,265 @@
+"""Deduplication operators (SURVEY §2.h extension surface).
+
+Five dedup strategies over a document table, each a pure DataFrame
+composition (no Python UDFs):
+
+- **exact** — SHA-256 content hash groupBy. The reference already
+  computes SHA-256 per file (docs/goanywhere-config.md:160-165) and its
+  deterministic S3 keys give implicit idempotent dedup (ST7); this makes
+  it explicit.
+- **fingerprint** — md5 over the sorted distinct-token set (order/
+  whitespace/punctuation-insensitive exact dedup).
+- **n-gram Jaccard** — shingle self-join with exact Jaccard; the
+  verification step behind MinHash candidates.
+- **MinHash + LSH** — banded min-hash signatures; candidate pairs share
+  ≥1 band bucket. Hashing uses md5 hex strings compared
+  lexicographically, so results are engine-portable and seed-free.
+- **SimHash** — bitwise majority over token hashes; equal signatures →
+  near-dup bucket.
+
+Scale notes (100 TB): exact/fingerprint are single-shuffle groupBys on a
+hash key — uniformly distributed, no skew. MinHash-LSH shuffles on
+(band, bucket); hot buckets (boilerplate docs) are the skew risk — AQE
+skew-join handles moderate cases, and `max_bucket_size` hard-caps
+pathological ones. The Jaccard self-join is quadratic per shared shingle
+and is meant for candidate *verification* (post-LSH) or blocked inputs,
+not raw 100 TB corpora.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, normalized_text, shingles
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content-hash groups: (content_hash, n_docs, canonical_id)."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("canonical_id"))
+    )
+
+
+def fingerprint_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Normalized-token-set fingerprint groups."""
+    return (
+        df.groupBy(fingerprint(F.col(text_col)).alias("fingerprint"))
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("canonical_id"))
+    )
+
+
+def fingerprint_survivors(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One surviving doc id per fingerprint (min id wins)."""
+    return (
+        fingerprint_dedup_groups(df, id_col, text_col)
+        .select(F.col("canonical_id").alias(id_col), "fingerprint")
+    )
+
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("ss"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.7
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-gram shingles, pairs ≥ threshold.
+
+    Shuffle structure: explode → self-equi-join on shingle → groupBy pair.
+    Quadratic only within docs sharing a shingle; use after LSH blocking
+    at scale.
+    """
+    sets = _shingle_sets(df, id_col, text_col, n)
+    counts = sets.select("doc", F.size("ss").alias("n_sh"))
+    ex = sets.select("doc", F.explode("ss").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    ca, cb = counts.alias("ca"), counts.alias("cb")
+    jac = F.col("inter") / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("inter"))
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_signature_cols(sh: Column, num_hashes: int) -> list[Column]:
+    """MinHash signature as md5-hex minima — portable, deterministic,
+    seed-free. sig_j = min over shingles s of md5(j || ':' || s)."""
+    return [
+        F.array_min(F.transform(sh, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s)))).alias(
+            f"sig_{j}"
+        )
+        for j in range(num_hashes)
+    ]
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing ≥1 band bucket.
+
+    bands=4 × rows=3 over 12 hashes ⇒ pair-capture prob 1-(1-s³)⁴
+    (≈0.99 at s=0.9, ≈0.05 at s=0.2). ``max_bucket_size`` drops
+    degenerate buckets (boilerplate skew guard) when set.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sets = _shingle_sets(df, id_col, text_col, n)
+    sig = sets.select("doc", *minhash_signature_cols(F.col("ss"), num_hashes))
+    band_hashes = [
+        F.md5(F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]))
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "doc", F.posexplode(F.array(*band_hashes)).alias("band", "bucket")
+    )
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+        buckets = buckets.join(
+            sizes.filter(F.col("bsz") <= max_bucket_size), ["band", "bucket"]
+        ).drop("bsz")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact-Jaccard verify.
+
+    This is the scale path: the quadratic verify join runs only on LSH
+    candidates, not all pairs.
+    """
+    cands = lsh_candidate_pairs(df, id_col, text_col, n, num_hashes, bands)
+    sets = _shingle_sets(df, id_col, text_col, n)
+    a, b = sets.alias("a"), sets.alias("b")
+    joined = (
+        cands.join(a, cands.doc_a == F.col("a.doc"))
+        .join(b, cands.doc_b == F.col("b.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect(F.col("a.ss"), F.col("b.ss"))).alias("inter"),
+            (F.size("a.ss") + F.size("b.ss")).alias("total"),
+        )
+    )
+    jac = F.col("inter") / (F.col("total") - F.col("inter"))
+    return joined.filter(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+# --- SimHash (portable md5-bit construction) ---
+
+#: contribution of token ``t`` to simhash bit ``b``: ±1 by the b-th bit
+#: of md5(t). Pure arithmetic on the hex digit so the identical formula
+#: runs in Spark SQL and DuckDB (instr/substring/floor/% are shared).
+_CONTRIB_TMPL = (
+    "((CAST(floor((instr('0123456789abcdef', substring(md5({t}), {pos}, 1)) - 1) "
+    "/ {pw}) AS INTEGER) % 2) * 2 - 1)"
+)
+
+
+def simhash_bit_contrib_sql(token_expr: str, bit: int) -> str:
+    """The ±1 contribution formula for one bit — shared Spark/DuckDB text."""
+    return _CONTRIB_TMPL.format(t=token_expr, pos=1 + bit // 4, pw=2 ** (3 - bit % 4))
+
+
+def simhash_expr(toks_col: str, bits: int = 16) -> Column:
+    """SimHash over a distinct-token array column, as a single integer.
+
+    bit_b(doc) = 1 iff Σ_tokens contrib_b(t) > 0; ties (sum == 0) → 0.
+    Computed with per-bit ``aggregate`` folds over the token array — no
+    explode, no shuffle: a pure map-side pass.
+    """
+    total = None
+    for b in range(bits):
+        contrib = simhash_bit_contrib_sql("t", b)
+        s = F.expr(f"aggregate({toks_col}, 0, (acc, t) -> acc + {contrib})")
+        bit = F.when(s > 0, F.lit(1)).otherwise(F.lit(0)) * (2**b)
+        total = bit if total is None else total + bit
+    return total
+
+
+def simhash_table(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    toks = F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
+    return df.select(
+        F.col(id_col), toks.alias("_toks")
+    ).select(id_col, simhash_expr("_toks", bits).alias(f"simhash{bits}"))
+
+
+def simhash_dup_groups(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """Buckets of docs sharing an identical simhash (near-dup groups)."""
+    t = simhash_table(df, id_col, text_col, bits)
+    col = f"simhash{bits}"
+    return (
+        t.groupBy(col)
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cosine ≥ threshold.
+
+    ``block_col`` restricts comparisons to equal blocking keys (cluster /
+    LSH bucket / shard) — mandatory at scale to avoid the full cross
+    join; the join below is then an equi-join Catalyst shuffles on the
+    block key.
+    """
+    from ..functions.vectors import as_double_array, cosine
+
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        as_double_array(F.col(vec_col)).alias("v"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a.vid") < F.col("b.vid")
+    if block_col:
+        joined = a.join(b, (F.col("a.blk") == F.col("b.blk")) & cond)
+    else:
+        joined = a.join(b, cond)
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return joined.select(
+        F.col("a.vid").alias("id_a"),
+        F.col("b.vid").alias("id_b"),
+        F.round(cos, 6).alias("cosine_sim"),
+    ).filter(F.round(cos, 6) >= threshold)

@@ -1,0 +1,117 @@
+"""Retry-with-backoff / DLQ / expiry semantics (reference E2/E3/ST4/ST5).
+
+The reference delegates retries to Camel's redelivery policy (3 attempts,
+5 s initial delay, ×2 backoff, 60 s cap — camel/file-pipeline.yaml:265-277,
+application.properties:88-94) and the broker's DLQ/expiry addresses
+(k8s/amq-broker.yaml:76-82). Spark has no broker, so the engine owns the
+state machine: attempt counts and next-attempt times are *columns*, the
+retry buffer is a table/topic, and each micro-batch (or batch round)
+re-admits rows whose backoff elapsed. Deterministic and replayable —
+everything derives from event time + attempt count, never wall clock.
+
+Scale: pure projections + filters (no shuffle); the retry buffer is
+partitioned by next_attempt bucket so re-admission prunes partitions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class RetryPolicy:
+    """Mirrors the reference redelivery policy (file-pipeline.yaml:269-273)."""
+
+    max_attempts: int = 3
+    initial_delay_s: int = 5
+    multiplier: float = 2.0
+    max_delay_s: int = 60
+
+    def delay_for_attempt(self, attempt: Column) -> Column:
+        """Backoff before retry #`attempt` (1-based): min(init·mult^(a-1), cap).
+
+        Integer-valued by construction (5·2^k) so it is engine-portable.
+        """
+        raw = F.lit(self.initial_delay_s) * F.pow(F.lit(self.multiplier), attempt - 1)
+        return F.least(F.floor(raw).cast("long"), F.lit(self.max_delay_s).cast("long"))
+
+
+DEFAULT_POLICY = RetryPolicy()
+
+#: Row dispositions after a failed attempt.
+RETRY, DLQ = "RETRY", "DLQ"
+
+
+def classify_attempt(
+    attempt: Column, policy: RetryPolicy = DEFAULT_POLICY
+) -> Column:
+    """RETRY while attempts remain, DLQ at exhaustion (ST5 poison handling)."""
+    return F.when(attempt >= policy.max_attempts, F.lit(DLQ)).otherwise(F.lit(RETRY))
+
+
+def with_retry_schedule(
+    df: DataFrame,
+    attempt_col: str = "delivery_count",
+    time_col: str = "event_time",
+    policy: RetryPolicy = DEFAULT_POLICY,
+) -> DataFrame:
+    """Annotate failures with disposition + next-attempt schedule.
+
+    Epoch-integer arithmetic (not interval types) keeps the derivation
+    identical across engines and checkpoint-safe.
+    """
+    attempt = F.col(attempt_col)
+    delay = policy.delay_for_attempt(attempt)
+    next_ts = F.timestamp_seconds(F.unix_timestamp(F.col(time_col)) + delay)
+    return (
+        df.withColumn("retry_status", classify_attempt(attempt, policy))
+        .withColumn("backoff_seconds", F.when(F.col("retry_status") == RETRY, delay))
+        .withColumn(
+            "next_attempt_time", F.when(F.col("retry_status") == RETRY, next_ts)
+        )
+    )
+
+
+def split_retry_dlq(
+    df: DataFrame,
+    attempt_col: str = "delivery_count",
+    time_col: str = "event_time",
+    policy: RetryPolicy = DEFAULT_POLICY,
+) -> tuple[DataFrame, DataFrame]:
+    """(retry_buffer, dlq) legs."""
+    s = with_retry_schedule(df, attempt_col, time_col, policy)
+    return (
+        s.filter(F.col("retry_status") == RETRY),
+        s.filter(F.col("retry_status") == DLQ),
+    )
+
+
+def due_for_retry(retry_buffer: DataFrame, now: Column) -> DataFrame:
+    """Rows whose backoff has elapsed (re-admission filter; partition-prunes
+    when the buffer is written partitioned by next-attempt bucket)."""
+    return retry_buffer.filter(F.col("next_attempt_time") <= now).withColumn(
+        "delivery_count", F.col("delivery_count") + 1
+    )
+
+
+def expire_by_ttl(
+    df: DataFrame,
+    ttl_seconds: int,
+    time_col: str = "event_time",
+    now: Column | None = None,
+) -> DataFrame:
+    """ST4/E3 — broker message-expiry analogue: rows older than the TTL are
+    tagged EXPIRED (the `file-transfer-expiry` address, amq-address.yaml:43-48).
+    ``now`` defaults to max(event_time) so batch runs stay deterministic."""
+    if now is None:
+        mx = df.agg(F.max(time_col).alias("_now"))
+        df = df.crossJoin(F.broadcast(mx))
+        now = F.col("_now")
+    age = F.unix_timestamp(now) - F.unix_timestamp(F.col(time_col))
+    out = df.withColumn(
+        "expiry_status", F.when(age > ttl_seconds, F.lit("EXPIRED")).otherwise(F.lit("LIVE"))
+    )
+    return out.drop("_now") if "_now" in out.columns else out

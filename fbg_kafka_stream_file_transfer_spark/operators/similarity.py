@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (SURVEY §2.h).
+
+- **Brute-force cosine top-k** — exact baseline: broadcast the (small)
+  query set against the corpus, rank per query. The corpus side is never
+  shuffled; cost is one scan × |queries|, embarrassingly parallel.
+- **Random-hyperplane LSH** — the scale path: bucketize every vector by
+  the sign pattern of projections onto deterministic pseudo-random
+  hyperplanes, then search only within the query's bucket. Hyperplane
+  signs come from a fixed arithmetic pattern (seed-free, engine-portable).
+
+All vector math is Catalyst higher-order functions (zip_with/aggregate/
+transform) — JVM-side, no Python, codegen-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import as_double_array, cosine
+
+
+def hyperplane_sign(dim_index: Column, plane: int) -> Column:
+    """Deterministic ±1 sign for (dimension, plane) — the portable stand-in
+    for a seeded Gaussian hyperplane: s = ((i*31 + j*17) mod 2)*2 - 1."""
+    return ((dim_index * 31 + F.lit(plane * 17)) % 2) * 2 - 1
+
+
+def lsh_bucket(vec: Column, planes: int) -> Column:
+    """Sign-pattern bucket id in [0, 2^planes)."""
+
+    def signed(j: int):
+        # closure factory: PySpark infers lambda arity from the signature,
+        # so the plane index can't ride along as a default arg
+        return lambda x, i: x * hyperplane_sign(i, j)
+
+    bucket = F.lit(0)
+    for j in range(planes):
+        proj = F.aggregate(
+            F.transform(vec, signed(j)),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketize(df: DataFrame, id_col: str, vec_col: str, planes: int = 4) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        lsh_bucket(as_double_array(F.col(vec_col)), planes).alias("bucket"),
+    )
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_filter: Column,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: rows matching ``query_filter`` are the queries.
+
+    The query side is broadcast (small by construction); ranking uses the
+    value rounded to 9 dp with the neighbor id as tie-break so top-k
+    membership is deterministic across engines.
+    """
+    vecs = df.select(F.col(id_col).alias("vid"), as_double_array(F.col(vec_col)).alias("v"))
+    queries = vecs.filter(query_filter)
+    q, c = F.broadcast(queries.alias("q")), vecs.alias("c")
+    cos = cosine(F.col("q.v"), F.col("c.v"))
+    scored = (
+        c.join(q, F.col("q.vid") != F.col("c.vid"))
+        .select(
+            F.col("q.vid").alias("query_id"),
+            F.col("c.vid").alias("neighbor_id"),
+            F.round(cos, 9).alias("_rank_sim"),
+            F.round(cos, 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_rank_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_filter: Column,
+    k: int = 3,
+    planes: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    At scale this turns the O(|Q|×|corpus|) scan into an equi-join on
+    bucket — shuffle on a low-cardinality key; raise ``planes`` to keep
+    buckets balanced as the corpus grows (expected bucket size n/2^planes).
+    """
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        as_double_array(F.col(vec_col)).alias("v"),
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    queries = vecs.filter(query_filter)
+    q, c = F.broadcast(queries.alias("q")), vecs.alias("c")
+    cos = cosine(F.col("q.v"), F.col("c.v"))
+    scored = (
+        c.join(q, (F.col("q.bucket") == F.col("c.bucket")) & (F.col("q.vid") != F.col("c.vid")))
+        .select(
+            F.col("q.vid").alias("query_id"),
+            F.col("c.vid").alias("neighbor_id"),
+            F.round(cos, 9).alias("_rank_sim"),
+            F.round(cos, 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_rank_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

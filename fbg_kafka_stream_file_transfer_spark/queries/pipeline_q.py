@@ -1,3 +1,260 @@
-from .base import Q
+"""Pipeline-semantics queries: retry/DLQ state machine, failure reports,
+TTL expiry, the replay join, circuit-breaker timeline, extraction, and
+multimodal metadata (SURVEY §2.d, §2.f, §2.g, §2.h).
 
-QUERIES: dict[str, Q] = {}
+Notably ``pipe_extract_documents`` oracle-checks a *Pandas-UDF* operator:
+the stub extractor is a pure function of the content, so DuckDB can
+replicate it in SQL even though Spark runs it through mapInPandas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..envelope import from_events_table, with_derived
+from ..functions.derivations import failure_report
+from ..operators import multimodal, retry
+from ..operators.extract import extract_documents, stub_extractor
+from ..operators.validate import with_validation
+from ..sources.tables import load_table
+from .base import Q
+from .envelope_q import ENV_CTE, REJECT_CASE
+
+
+def _envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_derived(from_events_table(load_table(spark, sf_dir, "events")))
+
+
+def _q_retry_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E3/ST5 — disposition + backoff schedule for every failure
+    (delivery_count plays JMSXDeliveryCount, dlq-handler.yaml:41-45)."""
+    env = _envelope(spark, sf_dir)
+    out = retry.with_retry_schedule(env)
+    return out.select(
+        "correlation_id",
+        F.col("delivery_count"),
+        "retry_status",
+        "backoff_seconds",
+        F.date_format("next_attempt_time", "yyyy-MM-dd HH:mm:ss").alias("next_attempt_at"),
+    )
+
+
+def _q_failure_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/S6 — DLQ failure-report JSON for validation-rejected rows."""
+    env = with_validation(_envelope(spark, sf_dir))
+    rej = env.filter(~F.col("valid"))
+    return rej.select(
+        "correlation_id",
+        failure_report(
+            F.col("file_name"),
+            F.col("correlation_id"),
+            F.col("transfer_id"),
+            F.col("event_time"),
+            F.col("delivery_count"),
+            F.col("reject_reason"),
+            F.col("content_type"),
+            F.col("file_size"),
+            F.col("checksum"),
+        ).alias("failure_json"),
+    )
+
+
+def _q_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4/E3 — TTL expiry split (7-day TTL against max event time)."""
+    env = _envelope(spark, sf_dir)
+    out = retry.expire_by_ttl(env, ttl_seconds=7 * 24 * 3600)
+    return out.groupBy("expiry_status").agg(
+        F.count("*").alias("n"),
+        F.min(F.date_format("event_time", "yyyy-MM-dd HH:mm:ss")).alias("oldest"),
+    )
+
+
+def _q_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 — the reprocess join the reference left as TODO
+    (dlq-handler.yaml:184-188): exhausted failures ⋈ incoming payloads on
+    correlation_id → rows to re-inject into the main topic."""
+    env = with_validation(_envelope(spark, sf_dir))
+    failed = env.filter(~F.col("valid") & (F.col("delivery_count") >= 3)).select(
+        "correlation_id", "reject_reason"
+    )
+    incoming = env.select("correlation_id", "file_name", "incoming_key", "file_size")
+    return failed.join(incoming, "correlation_id").select(
+        "correlation_id", "file_name", "incoming_key", "file_size", "reject_reason"
+    )
+
+
+def _q_cb_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 batch analogue — rolling failure ratio over the last 20 exchanges
+    per source partition (user_id % 4): OPEN at ≥ 50 % (the MicroProfile
+    threshold, application.properties:80). Keyed windows, not a global
+    sort, so it scales: state is per-partition like the reference's
+    per-pod breaker."""
+    ev = load_table(spark, sf_dir, "events")
+    part = (F.col("user_id") % 4).alias("breaker_key")
+    fail = F.when(F.col("event_type") == "error", 1.0).otherwise(0.0)
+    w = (
+        Window.partitionBy("breaker_key")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    return (
+        ev.select("event_id", part, F.col("ts"), fail.alias("f"))
+        .withColumn("failure_ratio", F.round(F.avg("f").over(w), 6))
+        .withColumn(
+            "breaker_state",
+            F.when(F.col("failure_ratio") >= 0.5, F.lit("OPEN")).otherwise(F.lit("CLOSED")),
+        )
+        .select("event_id", "breaker_key", "failure_ratio", "breaker_state")
+    )
+
+
+def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/§2.g — the extraction operator (mapInPandas + stub backend) over
+    document text-as-bytes. Oracle-checkable because the stub is pure."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.to_binary(F.col("text"), F.lit("utf-8")).alias("content")
+    )
+    out = extract_documents(docs, "content", stub_extractor)
+    return out.select(
+        "doc_id",
+        F.col("extract_status").alias("status"),
+        F.col("extract_text").alias("extracted_text"),
+        F.col("extract_page_count").alias("page_count"),
+        F.col("extract_n_tables").alias("n_tables"),
+    )
+
+
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.h multimodal — binary metadata + deterministic fake decode dims."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.to_binary(F.col("text"), F.lit("utf-8")).alias("content")
+    )
+    w, h = multimodal.fake_dims_sql("CAST(content AS STRING)")
+    meta = multimodal.with_media_columns(docs)
+    return meta.select(
+        "doc_id",
+        "media_bytes",
+        "media_sha256",
+        F.expr(w).alias("img_width"),
+        F.expr(h).alias("img_height"),
+    )
+
+
+QUERIES: dict[str, Q] = {
+    "pipe_retry_schedule": Q(
+        _q_retry_schedule,
+        ENV_CTE
+        + """
+SELECT correlation_id, delivery_count,
+       CASE WHEN delivery_count >= 3 THEN 'DLQ' ELSE 'RETRY' END AS retry_status,
+       CASE WHEN delivery_count < 3
+            THEN least(CAST(floor(5 * power(2, delivery_count - 1)) AS BIGINT), 60) END
+         AS backoff_seconds,
+       CASE WHEN delivery_count < 3
+            THEN strftime(make_timestamp((CAST(floor(epoch(event_time)) AS BIGINT)
+                 + least(CAST(floor(5 * power(2, delivery_count - 1)) AS BIGINT), 60)) * 1000000),
+                 '%Y-%m-%d %H:%M:%S') END AS next_attempt_at
+FROM envelope
+""",
+        doc="E2/E3 retry-with-backoff schedule (file-pipeline.yaml:269-273)",
+    ),
+    "pipe_failure_reports": Q(
+        _q_failure_reports,
+        ENV_CTE
+        + f"""
+SELECT correlation_id,
+       '{{"status":"FAILED","fileName":"' || file_name ||
+       '","correlationId":"' || correlation_id ||
+       '","transferId":"' || transfer_id ||
+       '","failureTimestamp":"' || strftime(event_time, '%Y-%m-%dT%H:%M:%S.')
+           || left(strftime(event_time, '%f'), 3) || '+0000' ||
+       '","redeliveryCount":' || delivery_count ||
+       ',"exception":"' || {REJECT_CASE} ||
+       '","headers":{{"contentType":"' || content_type ||
+       '","fileSize":"' || file_size ||
+       '","checksum":"' || checksum || '"}}}}' AS failure_json
+FROM envelope
+WHERE {REJECT_CASE} IS NOT NULL
+""",
+        doc="P10/S6 failure-report JSON (dlq-handler.yaml:69-86)",
+    ),
+    "pipe_expiry_ttl": Q(
+        _q_expiry,
+        ENV_CTE
+        + """
+, mx AS (SELECT max(event_time) AS now FROM envelope)
+SELECT CASE WHEN floor(epoch(now)) - floor(epoch(event_time)) > 7*24*3600
+            THEN 'EXPIRED' ELSE 'LIVE' END AS expiry_status,
+       count(*) AS n,
+       min(strftime(event_time, '%Y-%m-%d %H:%M:%S')) AS oldest
+FROM envelope, mx
+GROUP BY 1
+""",
+        doc="ST4/E3 message-TTL expiry (amq-address.yaml:43-48)",
+    ),
+    "pipe_replay_join": Q(
+        _q_replay,
+        ENV_CTE
+        + f"""
+, v AS (SELECT *, {REJECT_CASE} AS reject_reason,
+               'incoming/' || processing_date || '/' || correlation_id || '/' || file_name
+                 AS incoming_key
+        FROM envelope)
+SELECT f.correlation_id, i.file_name, i.incoming_key, i.file_size, f.reject_reason
+FROM (SELECT correlation_id, reject_reason FROM v
+      WHERE reject_reason IS NOT NULL AND delivery_count >= 3) f
+JOIN (SELECT correlation_id, file_name, incoming_key, file_size FROM v) i
+  ON f.correlation_id = i.correlation_id
+""",
+        doc="E6 replay join — completes the reference's TODO (dlq-handler.yaml:184-188)",
+    ),
+    "pipe_circuit_breaker_timeline": Q(
+        _q_cb_timeline,
+        """
+SELECT event_id, user_id % 4 AS breaker_key,
+       round(avg(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END)
+             OVER (PARTITION BY user_id % 4 ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS failure_ratio,
+       CASE WHEN avg(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END)
+             OVER (PARTITION BY user_id % 4 ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) >= 0.5
+            THEN 'OPEN' ELSE 'CLOSED' END AS breaker_state
+FROM events
+""",
+        doc="E4 circuit-breaker failure-ratio timeline (application.properties:79-82)",
+    ),
+    "pipe_extract_documents": Q(
+        _q_extract,
+        """
+SELECT doc_id,
+       'SUCCESS' AS status,
+       left(text, 64) AS extracted_text,
+       CAST(1 + strlen(text) % 5 AS INTEGER) AS page_count,
+       CAST(strlen(text) % 3 AS INTEGER) AS n_tables
+FROM documents
+""",
+        doc="S8 extraction operator (mapInPandas + deterministic stub backend)",
+    ),
+    "pipe_multimodal_metadata": Q(
+        _q_multimodal,
+        # fake_dims_sql text is engine-shared; content here is the utf-8 text
+        None,  # placeholder replaced below (needs the generated dims SQL)
+        doc="§2.h multimodal: binary metadata + stubbed decode dims",
+    ),
+}
+
+_w, _h = multimodal.fake_dims_sql("text")
+QUERIES["pipe_multimodal_metadata"] = Q(
+    _q_multimodal,
+    f"""
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS media_bytes,
+       sha256(text) AS media_sha256,
+       {_w} AS img_width,
+       {_h} AS img_height
+FROM documents
+""",
+    doc="§2.h multimodal: binary metadata + stubbed decode dims",
+)

@@ -1,3 +1,97 @@
+"""Similarity-search queries (SURVEY §2.h): brute-force cosine top-k,
+LSH bucketing, and bucketed ANN top-k — oracle-checked against DuckDB.
+
+Query set = vec_id < 10 (fixture columns, deterministic). Ranking is on
+cosine rounded to 9 dp with neighbor id tie-break (base.py conventions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity
+from ..sources.tables import load_table
 from .base import Q
 
-QUERIES: dict[str, Q] = {}
+_PLANES = 4
+
+#: DuckDB cosine between two DOUBLE[] expressions.
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+#: DuckDB mirror of similarity.lsh_bucket (same arithmetic sign pattern,
+#: same sequential projection sum over dims 0..63).
+def _bucket_sql(vcol: str, planes: int = _PLANES) -> str:
+    terms = []
+    for j in range(planes):
+        proj = (
+            f"list_sum(list_transform(range(1, len({vcol}) + 1), "
+            f"i -> {vcol}[i] * ((((i - 1) * 31 + {j * 17}) % 2) * 2 - 1)))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {2**j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _q_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, "vec_id", "embedding", F.col("vid") < 10, k=5)
+
+
+def _q_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucketize(emb, "vec_id", "embedding", planes=_PLANES)
+
+
+def _q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(
+        emb, "vec_id", "embedding", F.col("vid") < 10, k=3, planes=_PLANES
+    )
+
+
+_cos_qc = _COS.format(a="q.v", b="c.v")
+
+QUERIES: dict[str, Q] = {
+    "sim_topk_bruteforce": Q(
+        _q_bruteforce,
+        f"""
+WITH e AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT q.vid AS query_id, c.vid AS neighbor_id,
+         round({_cos_qc}, 6) AS cosine_sim,
+         CAST(row_number() OVER (PARTITION BY q.vid
+              ORDER BY round({_cos_qc}, 9) DESC, c.vid) AS INTEGER) AS rank
+  FROM e q JOIN e c ON q.vid != c.vid
+  WHERE q.vid < 10
+) WHERE rank <= 5
+""",
+        doc="exact cosine top-5 neighbors (brute-force ANN baseline)",
+    ),
+    "sim_lsh_buckets": Q(
+        _q_buckets,
+        f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id, {_bucket_sql('v')} AS bucket FROM e
+""",
+        doc="random-hyperplane LSH bucket assignment (the ANN scale path)",
+    ),
+    "sim_ann_lsh_topk": Q(
+        _q_ann,
+        f"""
+WITH e0 AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vid, v, {_bucket_sql('v')} AS bucket FROM e0)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT q.vid AS query_id, c.vid AS neighbor_id,
+         round({_cos_qc}, 6) AS cosine_sim,
+         CAST(row_number() OVER (PARTITION BY q.vid
+              ORDER BY round({_cos_qc}, 9) DESC, c.vid) AS INTEGER) AS rank
+  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vid != c.vid
+  WHERE q.vid < 10
+) WHERE rank <= 3
+""",
+        doc="LSH-bucketed approximate top-3 neighbors",
+    ),
+}

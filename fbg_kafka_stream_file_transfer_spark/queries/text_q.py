@@ -1,3 +1,162 @@
-from .base import Q
+"""Text-analysis queries (SURVEY §2.h): token counting, quality scoring,
+language ID, fingerprinting, n-gram frequency — oracle-checked.
+"""
 
-QUERIES: dict[str, Q] = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions.text import LANG_MARKERS, STOPWORDS
+from ..sources.tables import load_table
+from .base import Q
+from .dedup_q import NORM_CTE
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.length("text").cast("int").alias("n_chars_actual"),
+    )
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        F.round(TX.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(TX.stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(TX.mean_token_length(t), 6).alias("mean_token_len"),
+        F.round(TX.quality_score(t), 6).alias("quality_score"),
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def _q_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 trigram shingles by document frequency."""
+    d = _docs(spark, sf_dir)
+    sh = d.select(F.explode(TX.shingles(F.col("text"), 3)).alias("gram"))
+    return (
+        sh.groupBy("gram")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("gram"))
+        .limit(20)
+    )
+
+
+def _in_list(items: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in items)
+
+
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+_NTOK = f"CASE WHEN len(trim(text)) = 0 THEN 0 ELSE CAST(len({_TOKS}) AS INTEGER) END"
+_PUNCT = (
+    "(len(text) - len(regexp_replace(text, '[.,!?;:''\"()\\[\\]{}-]', '', 'g')))"
+    " / greatest(len(text), 1)"
+)
+_STOP = (
+    f"len(list_filter({_TOKS}, x -> x IN ({_in_list(STOPWORDS)})))"
+    f" / greatest(len({_TOKS}), 1)"
+)
+_MTL = (
+    f"CAST(list_sum(list_transform({_TOKS}, x -> len(x))) AS DOUBLE)"
+    f" / greatest(len({_TOKS}), 1)"
+)
+_QUALITY = (
+    f"(CASE WHEN {_NTOK} >= 10 THEN 1.0 ELSE {_NTOK} / 10.0 END"
+    f" + CASE WHEN {_MTL} >= 3 AND {_MTL} <= 10 THEN 1.0 ELSE 0.5 END"
+    f" + 1.0 - least({_PUNCT} * 5, 1.0)"
+    f" + least({_STOP} * 4, 1.0)) / 4"
+)
+
+_HITS = {
+    lang: f"len(list_filter({_TOKS}, x -> x IN ({_in_list(words)})))"
+    for lang, words in LANG_MARKERS.items()
+}
+_BEST = "greatest(" + ", ".join(_HITS.values()) + ")"
+_LANG_CASE = (
+    f"CASE WHEN {_BEST} = 0 THEN 'und' "
+    + " ".join(f"WHEN {_HITS[lang]} = {_BEST} THEN '{lang}'" for lang in LANG_MARKERS)
+    + " END"
+)
+
+
+QUERIES: dict[str, Q] = {
+    "text_token_counts": Q(
+        _q_token_counts,
+        f"""
+SELECT doc_id,
+       {_NTOK} AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER)
+         AS n_bpe_tokens,
+       CAST(len(text) AS INTEGER) AS n_chars_actual
+FROM documents
+""",
+        doc="whitespace + BPE-ish token counting",
+    ),
+    "text_quality_scores": Q(
+        _q_quality,
+        f"""
+SELECT doc_id,
+       {_NTOK} AS n_tokens,
+       round({_PUNCT}, 6) AS punct_ratio,
+       round({_STOP}, 6) AS stopword_ratio,
+       round({_MTL}, 6) AS mean_token_len,
+       round({_QUALITY}, 6) AS quality_score
+FROM documents
+""",
+        doc="document quality scoring (length/punct/stopword heuristics)",
+    ),
+    "text_lang_id": Q(
+        _q_lang_id,
+        f"""
+SELECT doc_id, lang AS lang_label, {_LANG_CASE} AS lang_pred
+FROM documents
+""",
+        doc="marker-word language identification heuristic",
+    ),
+    "text_fingerprint": Q(
+        _q_fingerprint,
+        NORM_CTE
+        + """
+SELECT doc_id, md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint
+FROM toks
+""",
+        doc="per-document rolling fingerprint (sorted token-set md5)",
+    ),
+    "text_ngram_top20": Q(
+        _q_ngram_top,
+        NORM_CTE
+        + """
+, ex AS (SELECT doc_id, unnest(ss) AS gram FROM sh)
+SELECT gram, count(*) AS doc_freq
+FROM ex GROUP BY gram
+ORDER BY doc_freq DESC, gram
+LIMIT 20
+""",
+        doc="corpus top-20 trigram shingles by document frequency",
+    ),
+}

@@ -1,0 +1,185 @@
+"""The full pipeline, batch-core + streaming shell.
+
+Mirrors the reference's two routes (camel/file-pipeline.yaml,
+camel/dlq-handler.yaml) as one batch-core function — validate → store
+incoming → extract → store processed; failures → retry schedule → DLQ
+with failure reports — reused verbatim by:
+
+- batch jobs (`process_envelope_batch` on any envelope DataFrame), and
+- Structured Streaming (`start_file_pipeline`: binaryFile/Kafka source →
+  `foreachBatch(process + sinks)` with checkpointing).
+
+This is the unified batch/streaming model the survey targets (§5.2):
+operator code is written once; streaming adds offsets+checkpoint.
+
+Delivery semantics (ST1/ST7): the sources replay uncommitted batches
+(at-least-once); sinks write to deterministic keys and dedupe by
+correlation_id inside the batch, so replays are idempotent —
+effectively-once like the reference's deterministic S3 keys.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..envelope import from_binary_files, with_derived
+from ..functions.derivations import failure_report
+from ..operators.extract import Extractor, extract_documents, stub_extractor
+from ..operators.retry import DEFAULT_POLICY, RetryPolicy, split_retry_dlq
+from ..operators.validate import with_validation
+
+
+@dataclass
+class PipelineResult:
+    """The legs of one processed envelope batch."""
+
+    incoming: DataFrame
+    processed: DataFrame
+    retry_buffer: DataFrame
+    dlq: DataFrame
+
+
+def process_envelope_batch(
+    env: DataFrame,
+    extractor: Extractor = stub_extractor,
+    policy: RetryPolicy = DEFAULT_POLICY,
+) -> PipelineResult:
+    """The route body (file-pipeline.yaml:23-260) over one envelope batch."""
+    env = with_derived(env).dropDuplicates(["correlation_id"])
+    v = with_validation(env)
+    accepted = v.filter(F.col("valid")).drop("valid", "reject_reason")
+    rejected = v.filter(~F.col("valid")).drop("valid")
+
+    extracted = extract_documents(accepted, "content", extractor)
+    ok = extracted.filter(F.col("extract_status") == "SUCCESS")
+    extract_failed = extracted.filter(F.col("extract_status") != "SUCCESS").withColumn(
+        "reject_reason", F.coalesce(F.col("extract_error"), F.lit("EXTRACTION_FAILED"))
+    )
+
+    incoming = accepted.select(
+        "correlation_id", "transfer_id", "file_name", "content_type", "file_size",
+        "checksum", "event_time", "processing_date", "incoming_key", "content",
+    )
+    processed = ok.select(
+        "correlation_id", "file_name", "processing_date", "processed_key",
+        F.to_json(
+            F.struct(
+                F.col("extract_text").alias("text"),
+                F.col("extract_page_count").alias("page_count"),
+                F.col("extract_n_tables").alias("n_tables"),
+            )
+        ).alias("result_json"),
+        "event_time",
+    )
+
+    failure_cols = [
+        "correlation_id", "transfer_id", "file_name", "content_type", "file_size",
+        "checksum", "event_time", "processing_date", "failed_key", "delivery_count",
+        "reject_reason",
+    ]
+    failures = rejected.select(*failure_cols).unionByName(
+        extract_failed.select(*failure_cols)
+    )
+    retry_buffer, dlq = split_retry_dlq(failures, policy=policy)
+    dlq = dlq.withColumn(
+        "failure_json",
+        failure_report(
+            F.col("file_name"), F.col("correlation_id"), F.col("transfer_id"),
+            F.col("event_time"), F.col("delivery_count"), F.col("reject_reason"),
+            F.col("content_type"), F.col("file_size"), F.col("checksum"),
+        ),
+    )
+    return PipelineResult(incoming, processed, retry_buffer, dlq)
+
+
+def _partition_col(df: DataFrame) -> DataFrame:
+    # hyphenated date for the physical partition column (slash layout stays
+    # in the logical keys); prunes cleanly under Catalyst
+    return df.withColumn("dt", F.date_format("event_time", "yyyy-MM-dd"))
+
+
+def write_batch_sinks(result: PipelineResult, out_dir: str) -> None:
+    """Partitioned parquet sinks for the three S3 prefixes (S4/S5/S6).
+
+    DLQ writes are best-effort like the reference (E5,
+    dlq-handler.yaml:116-124): a failure there must not lose the batch.
+    """
+    _partition_col(result.incoming).drop("content").write.mode("append").partitionBy(
+        "dt"
+    ).parquet(f"{out_dir}/incoming")
+    _partition_col(result.processed).write.mode("append").partitionBy("dt").parquet(
+        f"{out_dir}/processed"
+    )
+    _partition_col(result.retry_buffer).write.mode("append").partitionBy("dt").parquet(
+        f"{out_dir}/retry"
+    )
+    try:
+        _partition_col(result.dlq).write.mode("append").partitionBy("dt").parquet(
+            f"{out_dir}/failed"
+        )
+    except Exception as exc:  # E5: swallow DLQ-sink errors, keep the batch
+        print(f"WARN: DLQ sink write failed (best-effort, E5): {exc}")
+
+
+def start_file_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    glob: str | None = None,
+    extractor: Extractor = stub_extractor,
+    policy: RetryPolicy = DEFAULT_POLICY,
+    max_files_per_trigger: int = 1000,
+):
+    """Streaming mode: file-monitor source (S9) → route → partitioned sinks.
+
+    Returns the StreamingQuery; callers drive it with
+    ``processAllAvailable()`` in tests or leave it running in production.
+    """
+    env = from_binary_files(
+        spark, source_dir, glob=glob, stream=True,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        result = process_envelope_batch(batch_df, extractor=extractor, policy=policy)
+        write_batch_sinks(result, out_dir)
+
+    return (
+        env.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def replay_due_retries(
+    spark: SparkSession,
+    out_dir: str,
+    now,
+    extractor: Extractor = stub_extractor,
+    policy: RetryPolicy = DEFAULT_POLICY,
+) -> PipelineResult | None:
+    """E6 + E2 drain: re-admit retry-buffer rows whose backoff elapsed and
+    push them through the route again (the reference's reprocess TODO,
+    dlq-handler.yaml:184-188, done properly)."""
+    import os
+
+    from ..operators.retry import due_for_retry
+
+    path = f"{out_dir}/retry"
+    if not os.path.exists(path):
+        return None
+    buf = spark.read.parquet(path)
+    due = due_for_retry(buf, F.lit(now).cast("timestamp"))
+    if not due.take(1):
+        return None
+    env = due.drop(
+        "retry_status", "backoff_seconds", "next_attempt_time", "reject_reason", "dt"
+    ).withColumn("content", F.to_binary(F.lit(""), F.lit("utf-8")))
+    result = process_envelope_batch(env, extractor=extractor, policy=policy)
+    write_batch_sinks(result, out_dir)
+    return result

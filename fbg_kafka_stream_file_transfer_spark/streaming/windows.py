@@ -1,0 +1,70 @@
+"""Streaming window aggregations — the live form of operators.monitoring.
+
+Adds watermarks to the A1-A6 aggregations so state is bounded and late
+rows beyond the tolerance are dropped (the engine's analogue of the
+broker's expiry address, ST4). The aggregation bodies are shared with
+the batch forms — only the watermark wrapper differs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_error_rate(
+    events: DataFrame,
+    time_col: str = "event_time",
+    status_col: str = "status",
+    failed_value: str = "FAILED",
+    window: str = "5 minutes",
+    slide: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """A1 live: sliding error-rate with bounded state.
+
+    Append-mode emits each window once its watermark passes — the
+    streaming equivalent of Prometheus evaluating rate() every 30 s
+    (alerts.yaml:16).
+    """
+    w = F.window(F.col(time_col), window, slide)
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(w.alias("w"))
+        .agg(
+            F.count("*").alias("total"),
+            F.sum(F.when(F.col(status_col) == failed_value, 1).otherwise(0)).alias("failed"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "total",
+            "failed",
+            (F.col("failed") / F.col("total")).alias("error_rate"),
+        )
+    )
+
+
+def streaming_dlq_counts(
+    dlq: DataFrame,
+    file_col: str = "file_name",
+    time_col: str = "event_time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """A6 live: per-file DLQ counter (update mode), the micrometer counter
+    S11 (dlq-handler.yaml:129-132) as a streaming aggregation."""
+    return (
+        dlq.withWatermark(time_col, watermark)
+        .groupBy(file_col)
+        .agg(F.count("*").alias("dlq_messages_total"))
+    )
+
+
+def observed_counters(df: DataFrame, status_col: str = "status") -> DataFrame:
+    """S11/S12 — zero-cost pipeline counters via `observe`: metrics ride
+    the existing job (no extra pass) and surface in QueryProgress /
+    listener events, like the reference's micrometer integration."""
+    return df.observe(
+        "pipeline_metrics",
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col(status_col) == "FAILED", 1).otherwise(0)).alias("n_failed"),
+    )

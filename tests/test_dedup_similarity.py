@@ -1,0 +1,92 @@
+"""Dedup + similarity operators on hand-built corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fbg_kafka_stream_file_transfer_spark.operators import dedup, similarity
+
+
+def _corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    other = "completely different words appear in this unrelated document body text"
+    return spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup(spark):
+    groups = dedup.exact_dedup_groups(_corpus(spark), "doc_id", "text").collect()
+    dupes = [g for g in groups if g.n_docs > 1]
+    assert len(dupes) == 1 and dupes[0].canonical_id == 1 and dupes[0].n_docs == 2
+
+
+def test_fingerprint_dedup_ignores_order_and_punct(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World! hello"), (2, "world HELLO")], "doc_id long, text string"
+    )
+    groups = dedup.fingerprint_dedup_groups(df, "doc_id", "text").collect()
+    assert len(groups) == 1 and groups[0].n_docs == 2
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    pairs = dedup.ngram_jaccard_pairs(_corpus(spark), "doc_id", "text", threshold=0.5).collect()
+    got = {(p.doc_a, p.doc_b) for p in pairs}
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert not any(4 in p for p in got)
+    exact = [p for p in pairs if (p.doc_a, p.doc_b) == (1, 2)][0]
+    assert exact.jaccard == 1.0
+
+
+def test_minhash_lsh_recall_on_exact_dups(spark):
+    cands = dedup.lsh_candidate_pairs(_corpus(spark), "doc_id", "text").collect()
+    got = {(p.doc_a, p.doc_b) for p in cands}
+    assert (1, 2) in got  # identical docs always share every band
+    verified = dedup.minhash_dedup_pairs(_corpus(spark), "doc_id", "text", threshold=0.5)
+    vgot = {(p.doc_a, p.doc_b) for p in verified.collect()}
+    assert (1, 2) in vgot and not any(4 in p for p in vgot)
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    t = dedup.simhash_table(_corpus(spark), "doc_id", "text").collect()
+    sig = {r.doc_id: r.simhash16 for r in t}
+    assert sig[1] == sig[2]
+    assert 0 <= sig[1] < 2**16
+    groups = dedup.simhash_dup_groups(_corpus(spark), "doc_id", "text").collect()
+    assert any(g.n_docs >= 2 for g in groups)
+
+
+def _vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),   # near 0
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [0.0, 0.95, 0.05], 1),  # near 2
+        (4, [-1.0, 0.0, 0.0], 0),  # anti-parallel to 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_brute_force_topk(spark):
+    out = similarity.brute_force_topk(
+        _vectors(spark), "vec_id", "embedding", F.col("vid") == 0, k=2
+    ).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)] == [1, 2]
+
+
+def test_embedding_near_dup_blocked(spark):
+    pairs = dedup.embedding_near_dup_pairs(
+        _vectors(spark), "vec_id", "embedding", threshold=0.9, block_col="label"
+    ).collect()
+    got = {(p.id_a, p.id_b) for p in pairs}
+    assert got == {(0, 1), (2, 3)}  # (0,4) blocked same label but cos=-1
+
+
+def test_lsh_buckets_deterministic(spark):
+    b1 = {r.vec_id: r.bucket for r in
+          similarity.lsh_bucketize(_vectors(spark), "vec_id", "embedding").collect()}
+    b2 = {r.vec_id: r.bucket for r in
+          similarity.lsh_bucketize(_vectors(spark), "vec_id", "embedding").collect()}
+    assert b1 == b2
+    assert all(0 <= v < 16 for v in b1.values())

@@ -1,0 +1,76 @@
+"""Scalar derivation + text functions against known values."""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+
+from pyspark.sql import functions as F
+
+from fbg_kafka_stream_file_transfer_spark.functions import derivations as D
+from fbg_kafka_stream_file_transfer_spark.functions import text as TX
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+def test_transfer_id_format(spark):
+    ts = F.lit("2024-03-05 07:08:09.123").cast("timestamp")
+    assert _one(spark, D.transfer_id(ts)) == "GOANYWHERE-20240305070809123"
+
+
+def test_mime_lookup(spark):
+    assert _one(spark, D.mime_from_filename(F.lit("report.PDF"))) == "application/pdf"
+    assert _one(spark, D.mime_from_filename(F.lit("no_ext"))) == "application/octet-stream"
+    assert _one(spark, D.mime_from_filename(F.lit("a.b.jpeg"))) == "image/jpeg"
+
+
+def test_checksum_matches_hashlib(spark):
+    got = _one(spark, D.sha256_checksum(F.to_binary(F.lit("abc"), F.lit("utf-8"))))
+    assert got == hashlib.sha256(b"abc").hexdigest()
+
+
+def test_object_keys(spark):
+    key = D.object_key("processed", F.lit("2024/01/02"), F.lit("c1"), F.lit("f.pdf"), ".json")
+    assert _one(spark, key) == "processed/2024/01/02/c1/f.pdf.json"
+
+
+def test_docling_request_shape(spark):
+    got = _one(spark, D.docling_request(F.lit("s3://b/k")))
+    assert got == (
+        '{"source":"s3://b/k","options":{"from_format":null,"to_format":"json",'
+        '"ocr":true,"table_structure":true}}'
+    )
+
+
+def test_iso_timestamp_offset(spark):
+    ts = F.lit("2024-01-01 00:00:00.5").cast("timestamp")
+    assert _one(spark, D.iso_timestamp(ts)) == "2024-01-01T00:00:00.500+0000"
+
+
+def test_token_counts(spark):
+    assert _one(spark, TX.token_count(F.lit("  a b   c "))) == 3
+    assert _one(spark, TX.token_count(F.lit(""))) == 0
+    # "hello" "," "world" "42" → 4 pieces
+    assert _one(spark, TX.bpe_ish_token_count(F.lit("hello, world42"))) == 4
+    assert _one(spark, TX.bpe_ish_token_count(F.lit("abc"))) == 1
+
+
+def test_lang_id_markers(spark):
+    assert _one(spark, TX.lang_id(F.lit("the cat and the dog"))) == "en"
+    assert _one(spark, TX.lang_id(F.lit("el perro y la casa que"))) == "es"
+    assert _one(spark, TX.lang_id(F.lit("zzz qqq"))) == "und"
+
+
+def test_fingerprint_invariance(spark):
+    a = _one(spark, TX.fingerprint(F.lit("Hello world hello")))
+    b = _one(spark, TX.fingerprint(F.lit("world, HELLO!")))
+    assert a == b
+
+
+def test_shingles(spark):
+    got = _one(spark, TX.shingles(F.lit("a b c d"), 3))
+    assert got == ["a b c", "b c d"]
+    short = _one(spark, TX.shingles(F.lit("a b"), 3))
+    assert short == ["a b"]

@@ -1,0 +1,58 @@
+"""Monitoring aggregations (A1-A6) against hand-computed goldens."""
+
+from __future__ import annotations
+
+import datetime
+
+from fbg_kafka_stream_file_transfer_spark.operators import monitoring
+
+T0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _events(spark):
+    rows = []
+    for m in range(10):  # minute m: FAILED iff m < 3
+        rows.append((T0 + datetime.timedelta(minutes=m),
+                     "FAILED" if m < 3 else "COMPLETED", float(m)))
+    return spark.createDataFrame(
+        rows, "event_time timestamp, status string, processing_seconds double"
+    )
+
+
+def test_error_rate_tumbling(spark):
+    out = {r.window_start.minute: r for r in
+           monitoring.error_rate(_events(spark), window="5 minutes").collect()}
+    assert out[0].failed == 3 and out[0].total == 5 and abs(out[0].error_rate - 0.6) < 1e-9
+    assert out[5].failed == 0 and out[5].total == 5
+
+
+def test_p95_exact_vs_sketch(spark):
+    ev = _events(spark)
+    exact = monitoring.p95_processing_time(ev, window="1 day", exact=True).collect()[0]
+    approx = monitoring.p95_processing_time(ev, window="1 day", exact=False).collect()[0]
+    assert abs(exact.p95_seconds - 8.55) < 1e-9  # quantile_cont over 0..9
+    assert abs(approx.p95_seconds - exact.p95_seconds) <= 1.0  # sketch tolerance
+
+
+def test_backlog_running_count(spark):
+    out = monitoring.backlog_running_count(
+        _events(spark), arrival_status="FAILED", drain_status="COMPLETED", bucket="1 day"
+    ).collect()
+    assert len(out) == 1 and out[0].backlog == 3 - 7
+
+
+def test_sustained_breach_debounce(spark):
+    rate = monitoring.error_rate(_events(spark), window="1 minute")
+    out = monitoring.sustained_breach(rate, "error_rate", 0.5, consecutive=3)
+    rows = sorted(out.collect(), key=lambda r: r.window_start)
+    # minutes 0-2 breach; debounce of 3 fires only at minute 2
+    assert [r.alert for r in rows[:4]] == [False, False, True, False]
+
+
+def test_dlq_count_by_file(spark):
+    df = spark.createDataFrame(
+        [("a.pdf",), ("a.pdf",), ("b.txt",)], "file_name string"
+    )
+    got = {r.file_name: r.dlq_messages_total
+           for r in monitoring.dlq_count_by_file(df).collect()}
+    assert got == {"a.pdf": 2, "b.txt": 1}

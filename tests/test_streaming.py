@@ -1,0 +1,113 @@
+"""Streaming pipeline end-to-end (S9 → route → sinks) and windowed aggs.
+
+Mirrors the reference's manual E2E check (docs/deployment.md:248-268):
+drop files → watch incoming/ → processed/ → failed/.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from fbg_kafka_stream_file_transfer_spark.operators.extract import stub_extractor
+from fbg_kafka_stream_file_transfer_spark.streaming.pipeline import (
+    process_envelope_batch,
+    start_file_pipeline,
+    write_batch_sinks,
+)
+from fbg_kafka_stream_file_transfer_spark.streaming.windows import (
+    observed_counters,
+    streaming_error_rate,
+)
+
+TS = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _envelope_batch(spark):
+    rows = [
+        ("c1", "t1", "good.pdf", "application/pdf", 10, "h1", b"good bytes", TS, 1),
+        ("c2", "t2", "bad.exe", "application/exe", 10, "h2", b"nope", TS, 1),
+        ("c3", "t3", "poison.pdf", "application/pdf", 10, "h3", b"POISON", TS, 3),
+        ("c3", "t3", "poison.pdf", "application/pdf", 10, "h3", b"POISON", TS, 3),  # dup
+    ]
+    return spark.createDataFrame(
+        rows,
+        "correlation_id string, transfer_id string, file_name string, "
+        "content_type string, file_size long, checksum string, content binary, "
+        "event_time timestamp, delivery_count int",
+    )
+
+
+def test_batch_route_legs(spark):
+    def extractor(content: bytes) -> dict:
+        if content == b"POISON":
+            raise RuntimeError("docling refused")
+        return stub_extractor(content)
+
+    r = process_envelope_batch(_envelope_batch(spark), extractor=extractor)
+    assert r.incoming.count() == 2  # c1 + c3 pass validation (dup dropped, ST7)
+    assert [x.correlation_id for x in r.processed.collect()] == ["c1"]
+    # c2 fails validation at attempt 1 → retry; c3 at attempt 3 → DLQ
+    assert [x.correlation_id for x in r.retry_buffer.collect()] == ["c2"]
+    dlq = r.dlq.collect()
+    assert [x.correlation_id for x in dlq] == ["c3"]
+    assert '"status":"FAILED"' in dlq[0].failure_json
+
+
+def test_streaming_file_pipeline_end_to_end(spark, tmp_path):
+    src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    (src / "a.pdf").write_bytes(b"document one")
+    (src / "b.exe").write_bytes(b"malware")
+    q = start_file_pipeline(spark, str(src), str(out), str(ckpt))
+    try:
+        q.processAllAvailable()
+        # second trigger with a late-arriving file (stream keeps running)
+        (src / "c.txt").write_bytes(b"late arrival")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    incoming = spark.read.parquet(str(out / "incoming"))
+    processed = spark.read.parquet(str(out / "processed"))
+    retry = spark.read.parquet(str(out / "retry"))
+    assert {r.file_name for r in incoming.collect()} == {"a.pdf", "c.txt"}
+    assert {r.file_name for r in processed.collect()} == {"a.pdf", "c.txt"}
+    assert {r.file_name for r in retry.collect()} == {"b.exe"}  # attempt 1 → retry leg
+    assert "dt" in incoming.columns  # date-partitioned sinks (S4/S5 layout)
+
+
+def test_streaming_error_rate_windows(spark, tmp_path):
+    """Drive the watermarked sliding agg through a real streaming query
+    (file source → memory sink)."""
+    rows = [
+        (TS + datetime.timedelta(minutes=m), "FAILED" if m % 2 else "COMPLETED")
+        for m in range(20)
+    ]
+    src = tmp_path / "events"
+    spark.createDataFrame(rows, "event_time timestamp, status string").write.parquet(str(src))
+    stream = spark.readStream.schema("event_time timestamp, status string").parquet(str(src))
+    agg = streaming_error_rate(stream, watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName("err_rate_test").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM err_rate_test").collect()
+    finally:
+        q.stop()
+    assert sum(r.total for r in got) == 100  # 20 rows × 5 sliding windows each
+    full = [r for r in got if r.total == 5]
+    assert full and all(abs(r.error_rate - 0.4) < 0.21 for r in full)
+
+
+def test_observed_counters(spark):
+    df = spark.createDataFrame(
+        [("COMPLETED",), ("FAILED",), ("COMPLETED",)], "status string"
+    )
+    observed = observed_counters(df)
+    observed.collect()
+    # observation metrics are attached to the executed plan
+    obs = observed._jdf.queryExecution().observedMetrics()
+    assert obs.size() == 1
