@@ -154,6 +154,11 @@ def from_events_table(events: DataFrame) -> DataFrame:
     event_id → correlation id, event_type → a file-kind discriminator,
     value → file size surrogate, ts → event time.
     """
+    from .sources.tables import ensure_parallelism
+
+    # checksum + derivations are per-row CPU work; don't let a coarse
+    # source split serialize them
+    events = ensure_parallelism(events)
     ext = F.element_at(
         F.create_map(
             *[F.lit(x) for kv in EVENT_TYPE_EXTENSION.items() for x in kv]

@@ -33,7 +33,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, normalized_text, shingles
+from ..functions.text import fingerprint, normalized_text, shingles_arrow
+from ..sources.tables import ensure_parallelism
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -61,7 +62,10 @@ def fingerprint_survivors(df: DataFrame, id_col: str, text_col: str) -> DataFram
 
 
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(F.col(id_col).alias("doc"), shingles(F.col(text_col), n).alias("ss"))
+    # shingling + downstream minhash are CPU-bound map work: spread it
+    # over all cores even when the source has few splits
+    df = ensure_parallelism(df)
+    return df.select(F.col(id_col).alias("doc"), shingles_arrow(F.col(text_col), n).alias("ss"))
 
 
 def ngram_jaccard_pairs(
@@ -111,16 +115,20 @@ def lsh_candidate_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     max_bucket_size: int | None = None,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing ≥1 band bucket.
 
     bands=4 × rows=3 over 12 hashes ⇒ pair-capture prob 1-(1-s³)⁴
     (≈0.99 at s=0.9, ≈0.05 at s=0.2). ``max_bucket_size`` drops
     degenerate buckets (boilerplate skew guard) when set.
+    ``shingle_sets`` lets callers share an already-computed (doc, ss)
+    frame — shingling is the dominant map cost, so pipelines that also
+    verify should compute it once.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sets = _shingle_sets(df, id_col, text_col, n)
+    sets = shingle_sets if shingle_sets is not None else _shingle_sets(df, id_col, text_col, n)
     sig = sets.select("doc", *minhash_signature_cols(F.col("ss"), num_hashes))
     band_hashes = [
         F.md5(F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]))
@@ -159,10 +167,17 @@ def minhash_dedup_pairs(
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify.
 
     This is the scale path: the quadratic verify join runs only on LSH
-    candidates, not all pairs.
+    candidates, not all pairs. The shingle table feeds three plan
+    branches (signatures + both verify sides), so it's persisted —
+    shingling is re-evaluated once instead of three times; Spark evicts
+    the cache LRU under memory pressure, and at cluster scale callers
+    processing far-larger-than-memory corpora should checkpoint the
+    shingle table instead.
     """
-    cands = lsh_candidate_pairs(df, id_col, text_col, n, num_hashes, bands)
-    sets = _shingle_sets(df, id_col, text_col, n)
+    sets = _shingle_sets(df, id_col, text_col, n).persist()
+    cands = lsh_candidate_pairs(
+        df, id_col, text_col, n, num_hashes, bands, shingle_sets=sets
+    )
     a, b = sets.alias("a"), sets.alias("b")
     joined = (
         cands.join(a, cands.doc_a == F.col("a.doc"))
@@ -213,6 +228,7 @@ def simhash_expr(toks_col: str, bits: int = 16) -> Column:
 
 
 def simhash_table(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    df = ensure_parallelism(df)
     toks = F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))
     return df.select(
         F.col(id_col), toks.alias("_toks")
@@ -244,22 +260,25 @@ def embedding_near_dup_pairs(
     join; the join below is then an equi-join Catalyst shuffles on the
     block key.
     """
-    from ..functions.vectors import as_double_array, cosine
+    from ..functions.vectors import as_double_array, dot, norm
 
     v = df.select(
         F.col(id_col).alias("vid"),
         as_double_array(F.col(vec_col)).alias("v"),
         *([F.col(block_col).alias("blk")] if block_col else []),
-    )
+    ).withColumn("nrm", norm(F.col("v")))  # per-vector, below the join
     a, b = v.alias("a"), v.alias("b")
     cond = F.col("a.vid") < F.col("b.vid")
     if block_col:
         joined = a.join(b, (F.col("a.blk") == F.col("b.blk")) & cond)
     else:
         joined = a.join(b, cond)
-    cos = cosine(F.col("a.v"), F.col("b.v"))
-    return joined.select(
-        F.col("a.vid").alias("id_a"),
-        F.col("b.vid").alias("id_b"),
-        F.round(cos, 6).alias("cosine_sim"),
-    ).filter(F.round(cos, 6) >= threshold)
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        joined.select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.round(cos, 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

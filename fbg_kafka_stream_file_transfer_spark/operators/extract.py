@@ -161,6 +161,9 @@ def extract_documents(
     and an OPEN breaker fails fast with the reference's
     'circuit breaker open' message (routable by F1).
     """
+    from ..sources.tables import ensure_parallelism
+
+    df = ensure_parallelism(df)  # extraction is CPU-bound, per-row independent
     out_schema = T.StructType(
         [f for f in df.schema.fields if f.name != content_col]
         + [T.StructField(f"extract_{f.name}", f.dataType) for f in EXTRACT_RESULT_SCHEMA.fields]

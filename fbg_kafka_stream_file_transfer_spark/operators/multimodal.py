@@ -86,6 +86,9 @@ def decode_images(
     This is the real 100 TB plumbing — mapInPandas over binary batches —
     with the codec stubbed (see module docstring).
     """
+    from ..sources.tables import ensure_parallelism
+
+    df = ensure_parallelism(df)  # decode is CPU-bound, per-row independent
     out_schema = T.StructType(
         [f for f in df.schema.fields if f.name != content_col]
         + [T.StructField(f"img_{f.name}", f.dataType) for f in IMAGE_META_SCHEMA.fields]

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import as_double_array, cosine
+from ..functions.vectors import as_double_array, dot, norm
 
 
 def hyperplane_sign(dim_index: Column, plane: int) -> Column:
@@ -65,18 +65,29 @@ def brute_force_topk(
     The query side is broadcast (small by construction); ranking uses the
     value rounded to 9 dp with the neighbor id as tie-break so top-k
     membership is deterministic across engines.
+
+    Norms are projected below the join so they're computed once per
+    VECTOR, not once per candidate pair; the cosine itself is a single
+    zip_with fold per pair, aliased once so both roundings read it.
     """
-    vecs = df.select(F.col(id_col).alias("vid"), as_double_array(F.col(vec_col)).alias("v"))
+    vecs = df.select(
+        F.col(id_col).alias("vid"), as_double_array(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
     queries = vecs.filter(query_filter)
     q, c = F.broadcast(queries.alias("q")), vecs.alias("c")
-    cos = cosine(F.col("q.v"), F.col("c.v"))
+    cos = dot(F.col("q.v"), F.col("c.v")) / (F.col("q.nrm") * F.col("c.nrm"))
     scored = (
         c.join(q, F.col("q.vid") != F.col("c.vid"))
         .select(
             F.col("q.vid").alias("query_id"),
             F.col("c.vid").alias("neighbor_id"),
-            F.round(cos, 9).alias("_rank_sim"),
-            F.round(cos, 6).alias("cosine_sim"),
+            cos.alias("_cos"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_cos"), 9).alias("_rank_sim"),
+            F.round(F.col("_cos"), 6).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_rank_sim").desc(), F.col("neighbor_id"))
@@ -101,20 +112,29 @@ def ann_lsh_topk(
     bucket — shuffle on a low-cardinality key; raise ``planes`` to keep
     buckets balanced as the corpus grows (expected bucket size n/2^planes).
     """
-    vecs = df.select(
-        F.col(id_col).alias("vid"),
-        as_double_array(F.col(vec_col)).alias("v"),
-    ).withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    vecs = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            as_double_array(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("bucket", lsh_bucket(F.col("v"), planes))
+        .withColumn("nrm", norm(F.col("v")))
+    )
     queries = vecs.filter(query_filter)
     q, c = F.broadcast(queries.alias("q")), vecs.alias("c")
-    cos = cosine(F.col("q.v"), F.col("c.v"))
+    cos = dot(F.col("q.v"), F.col("c.v")) / (F.col("q.nrm") * F.col("c.nrm"))
     scored = (
         c.join(q, (F.col("q.bucket") == F.col("c.bucket")) & (F.col("q.vid") != F.col("c.vid")))
         .select(
             F.col("q.vid").alias("query_id"),
             F.col("c.vid").alias("neighbor_id"),
-            F.round(cos, 9).alias("_rank_sim"),
-            F.round(cos, 6).alias("cosine_sim"),
+            cos.alias("_cos"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_cos"), 9).alias("_rank_sim"),
+            F.round(F.col("_cos"), 6).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_rank_sim").desc(), F.col("neighbor_id"))

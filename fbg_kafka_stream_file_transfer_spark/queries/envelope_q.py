@@ -183,3 +183,39 @@ FROM envelope
 """,
     doc="P8 request templating (file-pipeline.yaml:124-142)",
 )
+
+
+def _env_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 ∘ S1 — envelope → Kafka wire (JSON value, base64 body) →
+    envelope again; the oracle reads the same fields straight from the
+    source, so any encode/decode loss would hash-mismatch. content
+    survival is proven by re-hashing the decoded bytes."""
+    from ..envelope import from_kafka_wire
+    from ..sources.kafka import to_kafka_wire
+
+    env = _envelope(spark, sf_dir)
+    wire = to_kafka_wire(env).withColumn("timestamp", F.lit(None).cast("timestamp"))
+    back = from_kafka_wire(wire)
+    return back.select(
+        "correlation_id",
+        "transfer_id",
+        "file_name",
+        "content_type",
+        "file_size",
+        "checksum",
+        F.date_format("event_time", "yyyy-MM-dd HH:mm:ss").alias("event_time_s"),
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+    )
+
+
+QUERIES["env_kafka_roundtrip"] = Q(
+    _env_kafka_roundtrip,
+    ENV_CTE
+    + """
+SELECT correlation_id, transfer_id, file_name, content_type, file_size, checksum,
+       strftime(event_time, '%Y-%m-%d %H:%M:%S') AS event_time_s,
+       checksum AS content_sha
+FROM envelope
+""",
+    doc="S10/S1 Kafka wire-format round trip (docs/goanywhere-config.md:180-198)",
+)

@@ -231,3 +231,72 @@ FROM rate
         doc="PromQL `for:` debounce (alerts.yaml:33) as window-over-window",
     ),
 }
+
+
+def _q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (5-minute inactivity gap) — the window
+    kind the reference lacks (SURVEY §2.e notes none exist); Spark's
+    native ``session_window`` supplies it. Scale: groupBy shuffles on
+    (user, session) — standard keyed agg."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), "5 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def _q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gaps (lead/lag window op) — backlog/burst
+    diagnostics over the transfer stream."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.floor(F.col("ts").cast("double"))
+    prev = F.lag(sec).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (sec - prev).cast("bigint").alias("gap_seconds"),
+    )
+
+
+QUERIES["session_window_counts"] = Q(
+    _q_session_windows,
+    """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+  FROM events
+), m AS (
+  SELECT user_id, ts,
+         CASE WHEN pts IS NULL OR epoch(ts) - epoch(pts) >= 300 THEN 1 ELSE 0 END AS new_s
+  FROM o
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM m
+)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       user_id, count(*) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+    doc="session windows (gap 5 m) — native session_window vs gaps-and-islands oracle",
+)
+
+QUERIES["interarrival_gaps"] = Q(
+    _q_interarrival,
+    """
+SELECT event_id, user_id,
+       CAST(floor(epoch(ts)) - lag(floor(epoch(ts)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS gap_seconds
+FROM events
+""",
+    doc="per-user inter-arrival gaps (lead/lag windowing)",
+)

@@ -58,7 +58,7 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-20 trigram shingles by document frequency."""
     d = _docs(spark, sf_dir)
-    sh = d.select(F.explode(TX.shingles(F.col("text"), 3)).alias("gram"))
+    sh = d.select(F.explode(TX.shingles_arrow(F.col("text"), 3)).alias("gram"))
     return (
         sh.groupBy("gram")
         .agg(F.count("*").alias("doc_freq"))

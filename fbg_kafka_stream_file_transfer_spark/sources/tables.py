@@ -48,6 +48,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition up to cluster parallelism when the scan is too coarse.
+
+    File sources parallelize at row-group granularity; a table written as
+    one row group (or a few huge ones) otherwise pins CPU-bound work —
+    shingling, hashing, pandas-UDF extraction — to a handful of cores. At
+    scale inputs have many splits and this is a no-op; the guard means we
+    never pay a shuffle when the source is already parallel enough.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name in TABLE_NAMES:
