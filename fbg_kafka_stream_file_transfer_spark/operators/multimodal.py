@@ -110,6 +110,78 @@ def decode_images(
     return df.mapInPandas(run, out_schema)
 
 
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("duration_seconds", T.DoubleType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("rms_level", T.DoubleType()),
+    ]
+)
+
+
+def fake_audio_decode(content: bytes) -> dict:
+    """Deterministic stand-in for an audio feature extractor (no
+    torchaudio/ffmpeg in container): duration from byte length at a fake
+    16 kHz/16-bit rate, RMS from the md5 digest. Replace with a real
+    backend that decodes and computes true features."""
+    digest = hashlib.md5(content).hexdigest()
+    return {
+        "duration_seconds": round(len(content) / 32000.0, 6),
+        "sample_rate": 16000,
+        "rms_level": round(int(digest[:4], 16) / 65535.0, 6),
+    }
+
+
+def extract_audio_features(
+    df: DataFrame,
+    content_col: str = "content",
+    decoder: Callable[[bytes], dict] = fake_audio_decode,
+) -> DataFrame:
+    """Arrow-batched audio feature extraction: appends AUDIO_META_SCHEMA
+    fields (``audio_*``). Same plumbing contract as ``decode_images``."""
+    from ..sources.tables import ensure_parallelism
+
+    df = ensure_parallelism(df)
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != content_col]
+        + [T.StructField(f"audio_{f.name}", f.dataType) for f in AUDIO_META_SCHEMA.fields]
+    )
+    passthrough = [f.name for f in df.schema.fields if f.name != content_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {f"audio_{f.name}": [] for f in AUDIO_META_SCHEMA.fields}
+            for content in pdf[content_col]:
+                meta = decoder(bytes(content) if content is not None else b"")
+                for f in AUDIO_META_SCHEMA.fields:
+                    cols[f"audio_{f.name}"].append(meta[f.name])
+            out = pdf[passthrough].copy()
+            for k, v in cols.items():
+                out[k] = v
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+def resize_images_stub(
+    df: DataFrame, content_col: str = "content", width: int = 224, height: int = 224
+) -> DataFrame:
+    """Image-resize operator shape: replaces the binary with a 'resized'
+    payload and records target dims. Codec STUBBED (no PIL in
+    container): the fake resize truncates/pads bytes to width*height so
+    batch sizing and schema flow are real; a real backend swaps in
+    actual decode→resize→encode."""
+    target = width * height
+    return (
+        df.withColumn(
+            content_col,
+            F.substring(F.col(content_col), 1, target),
+        )
+        .withColumn("resize_width", F.lit(width))
+        .withColumn("resize_height", F.lit(height))
+    )
+
+
 def frame_sample_stub(df: DataFrame, content_col: str = "content",
                       every_n: int = 10) -> DataFrame:
     """Video frame-sampling operator shape: one output row per sampled

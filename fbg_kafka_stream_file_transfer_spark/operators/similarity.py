@@ -143,3 +143,83 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def ivf_assign_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its ``n_probe``
+    nearest centroid cells (by cosine affinity, centroid id tie-break).
+
+    The coarse quantizer here is training-free and deterministic — the
+    ``n_centroids`` lowest-id vectors act as centroids so the oracle can
+    replicate cell assignment exactly; a production deployment swaps in
+    k-means-trained centroids (same shape: a small broadcast table).
+    Scale: centroids broadcast; assignment is a map-side cross join with
+    a tiny build side + a per-vector top-n_probe window keyed by vid —
+    no all-pairs shuffle.
+    """
+    vecs = df.select(
+        F.col(id_col).alias("vid"), as_double_array(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    cent = F.broadcast(
+        vecs.orderBy("vid").limit(n_centroids).select(
+            F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+        )
+    )
+    aff = dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    w = Window.partitionBy("vid").orderBy(F.col("_aff").desc(), F.col("cid"))
+    return (
+        vecs.crossJoin(cent)
+        .select("vid", "v", "nrm", "cid", F.round(aff, 9).alias("_aff"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_probe)
+        .select("vid", "v", "nrm", "cid")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_filter: Column,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors live in their single
+    nearest cell; queries probe their ``n_probe`` nearest cells and rank
+    only those cells' members. The second ANN scale path next to
+    ``ann_lsh_topk``: the candidate join is an equi-join on cell id, so
+    work scales with corpus/n_centroids × n_probe instead of the full
+    corpus."""
+    corpus = ivf_assign_cells(df, id_col, vec_col, n_centroids, n_probe=1)
+    probes = ivf_assign_cells(df, id_col, vec_col, n_centroids, n_probe=n_probe)
+    queries = F.broadcast(
+        probes.filter(query_filter).select(
+            F.col("vid").alias("qid"), F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"), "cid",
+        )
+    )
+    cos = dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+    scored = (
+        corpus.join(queries, "cid")
+        .filter(F.col("qid") != F.col("vid"))
+        .select(F.col("qid").alias("query_id"), F.col("vid").alias("neighbor_id"),
+                cos.alias("_cos"))
+        # a (query, neighbor) pair can surface via several probed cells
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id",
+                F.round(F.col("_cos"), 9).alias("_rank_sim"),
+                F.round(F.col("_cos"), 6).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_rank_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

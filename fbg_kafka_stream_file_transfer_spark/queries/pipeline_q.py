@@ -258,3 +258,48 @@ FROM documents
 """,
     doc="§2.h multimodal: binary metadata + stubbed decode dims",
 )
+
+
+def _q_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full streaming route, driven to completion (rows-only check —
+    streaming state isn't SQL-expressible): materialize 40 documents as
+    files (pdf/exe mix so every leg gets traffic), run the
+    binaryFile-source pipeline with checkpointing, then summarize the
+    partitioned sinks. Mirrors the reference's manual E2E verification
+    (docs/deployment.md:248-268)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import start_file_pipeline
+
+    work = tempfile.mkdtemp(prefix="stream_e2e_")
+    src, out, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    os.makedirs(src)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(40).collect()
+    for r in docs:
+        ext = "pdf" if r.doc_id % 4 else "exe"  # every 4th file hits the reject leg
+        with open(f"{src}/doc-{r.doc_id}.{ext}", "w") as f:
+            f.write(r.text)
+    q = start_file_pipeline(spark, src, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    legs = []
+    for leg in ("incoming", "processed", "retry", "failed"):
+        path = f"{out}/{leg}"
+        try:
+            n = spark.read.parquet(path).count()
+        except Exception:  # leg got no traffic → no files to infer schema from
+            n = 0
+        legs.append((leg, n))
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(legs, "leg string, n_rows long")
+
+
+QUERIES["stream_pipeline_e2e"] = Q(
+    _q_stream_e2e,
+    None,  # streaming state machine — rows-only per driver contract
+    doc="S9→route→sinks streaming end-to-end (ST1/ST7; docs/deployment.md:248-268)",
+)

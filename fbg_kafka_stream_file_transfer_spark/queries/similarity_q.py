@@ -95,3 +95,41 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM (
         doc="LSH-bucketed approximate top-3 neighbors",
     ),
 }
+
+
+def _q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, "vec_id", "embedding", F.col("vid") < 10, k=3, n_centroids=16, n_probe=2
+    )
+
+
+QUERIES["sim_ann_ivf_topk"] = Q(
+    _q_ivf,
+    f"""
+WITH e AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vid, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+cent AS (SELECT vid AS cid, v AS cv, nrm AS cnrm FROM n ORDER BY vid LIMIT 16),
+aff AS (
+  SELECT n.vid, n.v, n.nrm, c.cid,
+         row_number() OVER (PARTITION BY n.vid
+           ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 9) DESC, c.cid) AS rn
+  FROM n, cent c
+),
+corpus AS (SELECT vid, v, nrm, cid FROM aff WHERE rn = 1),
+probes AS (SELECT vid AS qid, v AS qv, nrm AS qnrm, cid FROM aff WHERE rn <= 2 AND vid < 10),
+cand AS (
+  SELECT DISTINCT q.qid AS query_id, s.vid AS neighbor_id,
+         round(list_dot_product(q.qv, s.v) / (q.qnrm * s.nrm), 9) AS r9,
+         round(list_dot_product(q.qv, s.v) / (q.qnrm * s.nrm), 6) AS cosine_sim
+  FROM probes q JOIN corpus s USING (cid)
+  WHERE q.qid != s.vid
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT query_id, neighbor_id, cosine_sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY r9 DESC, neighbor_id) AS INTEGER) AS rank
+  FROM cand
+) WHERE rank <= 3
+""",
+    doc="IVF-style ANN top-3 (deterministic coarse quantizer, n_probe=2)",
+)

@@ -160,3 +160,32 @@ LIMIT 20
         doc="corpus top-20 trigram shingles by document frequency",
     ),
 }
+
+
+def _q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial (Karp-Rabin-style) rolling hash of the full document:
+    h = fold_chars((acc*31 + codepoint) mod 1e9+7). Pure map pass —
+    the per-document fingerprint used for cheap shard-local dedup."""
+    d = _docs(spark, sf_dir)
+    ints = F.transform(F.split(F.col("text"), ""), lambda c: F.ascii(c))
+    h = F.aggregate(
+        ints,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
+    return d.select("doc_id", h.alias("rolling_hash"))
+
+
+QUERIES["text_rolling_hash"] = Q(
+    _q_rolling_hash,
+    """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 1000000007
+       ) AS rolling_hash
+FROM documents
+""",
+    doc="Karp-Rabin-style rolling-hash document fingerprint",
+)

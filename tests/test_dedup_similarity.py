@@ -90,3 +90,32 @@ def test_lsh_buckets_deterministic(spark):
           similarity.lsh_bucketize(_vectors(spark), "vec_id", "embedding").collect()}
     assert b1 == b2
     assert all(0 <= v < 16 for v in b1.values())
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF with n_probe=all centroids degrades to exact search within the
+    probed space; with modest probes it should still recover most of the
+    brute-force top-1 neighbors (sanity recall bound, deterministic)."""
+    import pyspark.sql.functions as F
+
+    from fbg_kafka_stream_file_transfer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from fbg_kafka_stream_file_transfer_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    flt = F.col("vid") < 5
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, "vec_id", "embedding", flt, k=1).collect()
+    }
+    approx = ivf_topk(emb, "vec_id", "embedding", flt, k=3, n_centroids=8, n_probe=4)
+    rows = approx.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(by_q) == {r[0] for r in exact}  # every query answered
+    assert all(len(v) <= 3 for v in by_q.values())
+    hits = sum(1 for q, n in exact if n in by_q.get(q, ()))
+    assert hits >= len(exact) // 2  # recall sanity with 4/8 cells probed

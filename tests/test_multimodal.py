@@ -49,3 +49,31 @@ def test_frame_sampling(spark):
     for media_id, frames in by_id.items():
         assert frames == sorted(frames)
         assert all(f % 5 == 0 for f in frames)
+
+
+def test_audio_features_stub(spark):
+    import pyspark.sql.functions as F
+
+    from fbg_kafka_stream_file_transfer_spark.operators.multimodal import (
+        extract_audio_features,
+        fake_audio_decode,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 64000), (2, b"")], "id long, content binary"
+    )
+    out = {r.id: r for r in extract_audio_features(df).collect()}
+    assert out[1].audio_duration_seconds == 2.0
+    assert out[1].audio_sample_rate == 16000
+    assert out[2].audio_duration_seconds == 0.0
+    assert 0.0 <= out[1].audio_rms_level <= 1.0
+    assert out[1].audio_rms_level == fake_audio_decode(b"x" * 64000)["rms_level"]
+
+
+def test_resize_stub(spark):
+    from fbg_kafka_stream_file_transfer_spark.operators.multimodal import resize_images_stub
+
+    df = spark.createDataFrame([(1, b"a" * 100)], "id long, content binary")
+    out = resize_images_stub(df, width=4, height=4).first()
+    assert len(out.content) == 16
+    assert (out.resize_width, out.resize_height) == (4, 4)
