@@ -288,3 +288,109 @@ GROUP BY r_name, n_name
         doc="broadcast dimension-chain join (P16 analogue)",
     ),
 }
+
+
+# --- extended relational coverage (shared-SQL: identical string on both
+# engines; rounding per base.py conventions) ---
+
+def _shared(sql: str, tables: tuple[str, ...], doc: str) -> Q:
+    base = shared_sql(sql, tables)
+    return Q(base.spark, base.oracle, doc=doc)
+
+
+QUERIES["tpch_q6_forecast_revenue"] = _shared(
+    """
+SELECT round(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+    ("lineitem",),
+    doc="TPC-H q6 shape: tight scan filters — pushdown/pruning showcase",
+)
+
+QUERIES["tpch_q4_priority_exists"] = _shared(
+        """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+GROUP BY o_orderpriority
+""",
+        ("orders", "lineitem"),
+    doc="TPC-H q4 shape: correlated EXISTS → left-semi join",
+)
+
+QUERIES["tpch_q10_returned_revenue"] = _shared(
+        """
+SELECT c_custkey, c_name, n_name,
+       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+""",
+        ("customer", "orders", "lineitem", "nation"),
+    doc="TPC-H q10 shape: 4-way join + grouped revenue",
+)
+
+QUERIES["tpch_q14_promo_ratio"] = _shared(
+        """
+SELECT round(CAST(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+""",
+        ("lineitem", "part"),
+    doc="TPC-H q14 shape: conditional-agg ratio over a fact-dim join",
+)
+
+QUERIES["tpch_q18_large_orders"] = _shared(
+        """
+SELECT o_orderkey, round(CAST(sum(l_quantity) AS DOUBLE), 2) AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey
+HAVING sum(l_quantity) > 300
+""",
+        ("lineitem", "orders"),
+    doc="TPC-H q18 shape: grouped HAVING filter (agg pushdown target)",
+)
+
+QUERIES["agg_grouping_sets"] = _shared(
+        """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
+""",
+        ("lineitem",),
+    doc="explicit GROUPING SETS (beyond rollup/cube)",
+)
+
+QUERIES["correlated_scalar_subquery"] = _shared(
+        """
+SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+FROM orders o
+WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+""",
+        ("orders",),
+    doc="correlated scalar subquery (decorrelated to an agg join by Catalyst)",
+)
+
+QUERIES["monthly_revenue_trend"] = _shared(
+        """
+SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS STRING) AS month,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY 1
+""",
+        ("orders",),
+    doc="time-bucketed trend agg (date_trunc shared semantics)",
+)
