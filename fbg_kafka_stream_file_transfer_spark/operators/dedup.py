@@ -98,13 +98,66 @@ def ngram_jaccard_pairs(
 
 def minhash_signature_cols(sh: Column, num_hashes: int) -> list[Column]:
     """MinHash signature as md5-hex minima — portable, deterministic,
-    seed-free. sig_j = min over shingles s of md5(j || ':' || s)."""
+    seed-free. sig_j = min over shingles s of md5(j || ':' || s).
+
+    Catalyst form (the semantic definition the oracles mirror); the bulk
+    path below computes the same hex strings with hashlib inside the
+    shingling UDF — one Arrow pass instead of 12 interpreted folds."""
     return [
         F.array_min(F.transform(sh, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s)))).alias(
             f"sig_{j}"
         )
         for j in range(num_hashes)
     ]
+
+
+def _shingle_sigs_arrow(df: DataFrame, id_col: str, text_col: str, n: int,
+                        num_hashes: int) -> DataFrame:
+    """(doc, ss, sig_0..sig_{k-1}) in ONE Arrow pass: shingle + all
+    minhash signatures per document. hashlib.md5 hexdigest is
+    bit-identical to Spark/DuckDB md5(), so the signature definition is
+    unchanged — only where it's computed."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..functions.text import _PUNCT_RE, _WS_RE
+
+    df = ensure_parallelism(df)
+    out_t = T.StructType(
+        [T.StructField("ss", T.ArrayType(T.StringType()))]
+        + [T.StructField(f"sig_{j}", T.StringType()) for j in range(num_hashes)]
+    )
+    prefixes = [f"{j}:".encode() for j in range(num_hashes)]
+
+    def f(s):
+        md5 = hashlib.md5
+        rows = {"ss": []}
+        for j in range(num_hashes):
+            rows[f"sig_{j}"] = []
+        for t in s:
+            nt = _WS_RE.sub(" ", _PUNCT_RE.sub("", (t or "").lower())).strip()
+            toks = nt.split(" ")
+            if len(toks) - (n - 1) <= 0:
+                ss = [nt]
+            else:
+                ss = list(dict.fromkeys(
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                ))
+            rows["ss"].append(ss)
+            enc = [x.encode() for x in ss]
+            for j, p in enumerate(prefixes):
+                rows[f"sig_{j}"].append(min(md5(p + e).hexdigest() for e in enc))
+        return pd.DataFrame(rows)
+
+    f.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    udf = F.pandas_udf(f, out_t)
+    out = df.select(F.col(id_col).alias("doc"), udf(F.col(text_col)).alias("_r"))
+    return out.select(
+        "doc", F.col("_r.ss").alias("ss"),
+        *[F.col(f"_r.sig_{j}").alias(f"sig_{j}") for j in range(num_hashes)],
+    )
 
 
 def lsh_candidate_pairs(
@@ -128,8 +181,15 @@ def lsh_candidate_pairs(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sets = shingle_sets if shingle_sets is not None else _shingle_sets(df, id_col, text_col, n)
-    sig = sets.select("doc", *minhash_signature_cols(F.col("ss"), num_hashes))
+    sets = (
+        shingle_sets
+        if shingle_sets is not None
+        else _shingle_sigs_arrow(df, id_col, text_col, n, num_hashes)
+    )
+    if "sig_0" in sets.columns:  # signatures precomputed in the Arrow pass
+        sig = sets.select("doc", *[f"sig_{j}" for j in range(num_hashes)])
+    else:  # plain (doc, ss) frame: fall back to the Catalyst definition
+        sig = sets.select("doc", *minhash_signature_cols(F.col("ss"), num_hashes))
     band_hashes = [
         F.md5(F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]))
         for b in range(bands)
@@ -174,7 +234,7 @@ def minhash_dedup_pairs(
     processing far-larger-than-memory corpora should checkpoint the
     shingle table instead.
     """
-    sets = _shingle_sets(df, id_col, text_col, n).persist()
+    sets = _shingle_sigs_arrow(df, id_col, text_col, n, num_hashes).persist()
     cands = lsh_candidate_pairs(
         df, id_col, text_col, n, num_hashes, bands, shingle_sets=sets
     )
