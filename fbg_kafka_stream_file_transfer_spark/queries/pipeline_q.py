@@ -303,3 +303,50 @@ QUERIES["stream_pipeline_e2e"] = Q(
     None,  # streaming state machine — rows-only per driver contract
     doc="S9→route→sinks streaming end-to-end (ST1/ST7; docs/deployment.md:248-268)",
 )
+
+
+def _q_failure_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — exception-message predicate routing (file-pipeline.yaml:180-202).
+    Synthesizes per-event error messages from stable event fields, then
+    classifies and counts per route leg."""
+    from ..operators.routing import classify_failure
+
+    ev = load_table(spark, sf_dir, "events")
+    msg = (
+        F.when(F.col("event_id") % 5 == 0, F.lit("CircuitBreakerOpenException: circuit breaker open"))
+        .when(F.col("event_id") % 5 == 1, F.lit("Docling convert failed: HTTP 500"))
+        .when(F.col("event_id") % 5 == 2, F.lit("S3 putObject timeout"))
+        .otherwise(F.lit("java.lang.RuntimeException: boom"))
+    )
+    return (
+        ev.select(F.col("event_id"), classify_failure(msg).alias("failure_class"))
+        .groupBy("failure_class")
+        .agg(F.count("*").alias("n"), F.min("event_id").alias("first_event"))
+    )
+
+
+QUERIES["pipe_failure_routing"] = Q(
+    _q_failure_routing,
+    """
+WITH m AS (
+  SELECT event_id,
+         CASE WHEN event_id % 5 = 0 THEN 'CircuitBreakerOpenException: circuit breaker open'
+              WHEN event_id % 5 = 1 THEN 'Docling convert failed: HTTP 500'
+              WHEN event_id % 5 = 2 THEN 'S3 putObject timeout'
+              ELSE 'java.lang.RuntimeException: boom' END AS msg
+  FROM events
+), c AS (
+  SELECT event_id,
+         CASE WHEN contains(lower(msg), 'circuit breaker') THEN 'CIRCUIT_BREAKER_OPEN'
+              WHEN contains(lower(msg), 'docling') OR contains(lower(msg), 'convert')
+                   THEN 'EXTRACTION_FAILED'
+              WHEN contains(lower(msg), 's3') OR contains(lower(msg), 'storage')
+                   THEN 'STORAGE_FAILED'
+              ELSE 'UNKNOWN_FAILURE' END AS failure_class
+  FROM m
+)
+SELECT failure_class, count(*) AS n, min(event_id) AS first_event
+FROM c GROUP BY 1
+""",
+    doc="F1 exception-message routing (file-pipeline.yaml:180-202)",
+)
