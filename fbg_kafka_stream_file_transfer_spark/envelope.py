@@ -72,6 +72,8 @@ def from_binary_files(
     glob: str | None = None,
     stream: bool = False,
     max_files_per_trigger: int | None = None,
+    min_age: str | None = None,
+    archive_dir: str | None = None,
 ) -> DataFrame:
     """Envelope stream/table from a directory of files.
 
@@ -80,6 +82,15 @@ def from_binary_files(
     correlation id, transferId, MIME from extension, size. ``glob``
     mirrors the monitor's ``*.pdf;*.docx`` file pattern
     (docs/goanywhere-config.md:123) via pushed-down ``pathGlobFilter``.
+
+    Monitor-parity options:
+    - ``min_age`` (batch only): the monitor's 5-second file-stability
+      check (docs/goanywhere-config.md:127) via ``modifiedBefore`` —
+      e.g. ``"2024-01-01T00:00:05"``; pass a concrete cutoff because
+      Spark takes a timestamp, not a duration.
+    - ``archive_dir`` (stream only): archive-after-send
+      (docs/goanywhere-config.md:201-209) via
+      ``cleanSource=archive`` + ``sourceArchiveDir``.
     """
     reader = spark.readStream if stream else spark.read
     reader = reader.format("binaryFile")
@@ -92,6 +103,12 @@ def from_binary_files(
         reader = reader.option("pathGlobFilter", glob)
     if stream and max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if min_age and not stream:
+        reader = reader.option("modifiedBefore", min_age)
+    if archive_dir and stream:
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
     raw = reader.load(path)
     file_name = F.element_at(F.split(F.col("path"), "/"), -1)
     return raw.select(

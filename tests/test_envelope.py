@@ -79,3 +79,19 @@ def test_envelope_schema_is_explicit():
         "correlation_id", "transfer_id", "file_name", "content_type",
         "file_size", "checksum", "content", "event_time", "delivery_count",
     ]
+
+
+def test_binary_files_min_age_stability(spark, tmp_path):
+    """S9 parity: the monitor's file-stability age check via
+    modifiedBefore — only files older than the cutoff are picked up."""
+    import os
+
+    from fbg_kafka_stream_file_transfer_spark.envelope import from_binary_files
+
+    old, new = tmp_path / "old.pdf", tmp_path / "new.pdf"
+    old.write_bytes(b"settled")
+    new.write_bytes(b"still being written")
+    os.utime(old, (1700000000, 1700000000))  # 2023-11-14
+    os.utime(new, (1900000000, 1900000000))  # 2030-03-17
+    env = from_binary_files(spark, str(tmp_path), min_age="2024-01-01T00:00:00")
+    assert [r.file_name for r in env.collect()] == ["old.pdf"]
