@@ -394,3 +394,31 @@ GROUP BY 1
         ("orders",),
     doc="time-bucketed trend agg (date_trunc shared semantics)",
 )
+
+
+def _q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (operators.scale.salted_agg); the
+    oracle is the PLAIN groupBy — salting must be invisible in results."""
+    from ..operators.scale import salted_agg
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = salted_agg(
+        orders,
+        ["o_orderpriority"],
+        {"n_orders": ("o_orderkey", "count"), "total": ("o_totalprice", "sum")},
+        n_salts=16,
+    )
+    return out.select(
+        "o_orderpriority", "n_orders", F.round("total", 2).alias("total")
+    )
+
+
+QUERIES["salted_groupby_equivalence"] = Q(
+    _q_salted,
+    """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+FROM orders GROUP BY 1
+""",
+    doc="skew salting: two-stage agg ≡ plain groupBy (the skew-mitigation path)",
+)

@@ -1,0 +1,80 @@
+"""Scale machinery: salting equivalence + bucketed shuffle-free joins."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+    bucketed_join,
+    salted_agg,
+    write_bucketed,
+)
+from fbg_kafka_stream_file_transfer_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    plain = {
+        (r.o_custkey,): (r.n, round(r.total, 2))
+        for r in orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("total"))
+        .collect()
+    }
+    salted = {
+        (r.o_custkey,): (r.n, round(r.total, 2))
+        for r in salted_agg(
+            orders,
+            ["o_custkey"],
+            {"n": ("o_orderkey", "count"), "total": ("o_totalprice", "sum")},
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_spreads_hot_key(spark):
+    """A single hot key lands in multiple stage-1 groups (the point of
+    salting): verify the first-stage salt actually spreads rows."""
+    hot = spark.range(0, 10000).select(
+        F.lit("HOT").alias("k"), F.col("id").alias("v")
+    )
+    spread = (
+        hot.withColumn(
+            "_salt",
+            F.crc32(F.concat_ws("\x1f", F.col("k"), F.col("v"))) % 8,
+        )
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert spread == 8
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders")
+    customer = load_table(spark, SF_DIR, "customer")
+    write_bucketed(orders.withColumnRenamed("o_custkey", "custkey"),
+                   "b_orders", ["custkey"], n_buckets=8,
+                   path=str(tmp_path / "b_orders"))
+    write_bucketed(customer.withColumnRenamed("c_custkey", "custkey"),
+                   "b_customer", ["custkey"], n_buckets=8,
+                   path=str(tmp_path / "b_customer"))
+    try:
+        # disable broadcast so the join strategy is SMJ, the case bucketing serves
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "b_orders", "b_customer", ["custkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-bucketed: no shuffle on either side
+        # and it still computes the right thing
+        n = joined.count()
+        plain = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+        assert n == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
