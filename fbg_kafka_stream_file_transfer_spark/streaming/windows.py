@@ -68,3 +68,62 @@ def observed_counters(df: DataFrame, status_col: str = "status") -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.when(F.col(status_col) == "FAILED", 1).otherwise(0)).alias("n_failed"),
     )
+
+
+class PipelineMetricsListener:
+    """S11/A5/A7 — query-progress metrics collector (the engine-side
+    replacement for the reference's Prometheus scrape,
+    k8s/monitoring/servicemonitors.yaml): per-trigger rows/sec, batch
+    durations, state-store size, and any `observe` metrics.
+
+    Register with ``spark.streams.addListener(listener)``; read
+    ``listener.progress`` (list of dicts, driver-side only — no data
+    path impact).
+    """
+
+    def __init__(self) -> None:
+        self.progress: list[dict] = []
+
+    # StreamingQueryListener duck-type (PySpark accepts any object with
+    # these methods via the py4j bridge only for the class-based API, so
+    # we also provide an `attach` helper using the public class).
+    def on_progress(self, p) -> None:
+        row = {
+            "batch_id": p.batchId,
+            "num_input_rows": p.numInputRows,
+            "input_rows_per_second": p.inputRowsPerSecond,
+            "processed_rows_per_second": p.processedRowsPerSecond,
+            "duration_ms": dict(p.durationMs or {}),
+            "observed_metrics": {
+                k: v.asDict() if hasattr(v, "asDict") else v
+                for k, v in (p.observedMetrics or {}).items()
+            },
+        }
+        self.progress.append(row)
+
+    def attach(self, spark):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):  # noqa: N802
+                pass
+
+            def onQueryProgress(self, event):  # noqa: N802
+                outer.on_progress(event.progress)
+
+            def onQueryIdle(self, event):  # noqa: N802
+                pass
+
+            def onQueryTerminated(self, event):  # noqa: N802
+                pass
+
+        self._listener = _L()
+        spark.streams.addListener(self._listener)
+        return self._listener
+
+    def detach(self, spark) -> None:
+        if getattr(self, "_listener", None) is not None:
+            spark.streams.removeListener(self._listener)
+            self._listener = None

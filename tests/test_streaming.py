@@ -111,3 +111,75 @@ def test_observed_counters(spark):
     # observation metrics are attached to the executed plan
     obs = observed._jdf.queryExecution().observedMetrics()
     assert obs.size() == 1
+
+
+def test_metrics_listener_collects_progress(spark, tmp_path):
+    """S11/A5 — listener sees per-trigger row counts and the observe()
+    metrics riding the stream."""
+    import time
+
+    from fbg_kafka_stream_file_transfer_spark.streaming.windows import (
+        PipelineMetricsListener,
+    )
+
+    rows = [(TS, "COMPLETED"), (TS, "FAILED"), (TS, "COMPLETED")]
+    src = tmp_path / "ev"
+    spark.createDataFrame(rows, "event_time timestamp, status string").write.parquet(str(src))
+    stream = spark.readStream.schema("event_time timestamp, status string").parquet(str(src))
+    listener = PipelineMetricsListener()
+    listener.attach(spark)
+    q = (
+        observed_counters(stream)
+        .writeStream.format("memory").queryName("metrics_test").outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for _ in range(40):  # listener events are delivered async
+            if any(p["num_input_rows"] == 3 for p in listener.progress):
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+        listener.detach(spark)
+    batches = [p for p in listener.progress if p["num_input_rows"] == 3]
+    assert batches, f"no 3-row batch seen in {listener.progress}"
+    obs = batches[0]["observed_metrics"]
+    assert obs.get("pipeline_metrics", {}).get("n_failed") == 1
+
+
+def test_debounced_alerts_stateful(spark, tmp_path):
+    """PromQL `for: N` debounce (alerts.yaml:33): alert fires only after
+    `consecutive` breached windows; a clean window resets the run."""
+    from fbg_kafka_stream_file_transfer_spark.streaming.state import debounced_alerts
+
+    # windows: breach, breach, clean, breach, breach, breach
+    vals = [0.5, 0.6, 0.05, 0.7, 0.8, 0.9]
+    rows = [
+        ("err_rate", TS + datetime.timedelta(minutes=i), v)
+        for i, v in enumerate(vals)
+    ]
+    src = tmp_path / "winagg"
+    spark.createDataFrame(
+        rows, "alert_key string, window_start timestamp, value double"
+    ).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "alert_key string, window_start timestamp, value double"
+    ).parquet(str(src))
+    out = debounced_alerts(
+        stream, "alert_key", "window_start", "value", threshold=0.1, consecutive=3
+    )
+    q = (
+        out.writeStream.format("memory").queryName("debounce_test")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            spark.sql("SELECT * FROM debounce_test").collect(),
+            key=lambda r: r.window_start,
+        )
+    finally:
+        q.stop()
+    assert [r.breach_run for r in got] == [1, 2, 0, 1, 2, 3]
+    assert [r.alert for r in got] == [False, False, False, False, False, True]
