@@ -30,6 +30,7 @@ from fbg_kafka_stream_file_transfer_spark.queries import REGISTRY  # noqa: E402
 HEADLINE = [
     "env_projection",            # envelope ingest + derivations (P1-P17)
     "env_validation_counts",     # validation/routing split (F2/F4)
+    "pipe_route_all_legs",       # FULL route: validate→extract→retry/DLQ (100k envelopes)
     "tpch_q1_pricing_summary",   # wide agg scan
     "tpch_q3_shipping_priority", # 3-way join + top-k
     "tpch_q5_local_supplier_volume",  # 6-way join

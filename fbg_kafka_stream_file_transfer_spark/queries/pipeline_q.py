@@ -350,3 +350,42 @@ FROM c GROUP BY 1
 """,
     doc="F1 exception-message routing (file-pipeline.yaml:180-202)",
 )
+
+
+def _q_route_all_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE batch route (streaming.pipeline.process_envelope_batch:
+    dedup → validate → extract → retry/DLQ split) over every envelope,
+    summarized per leg. Oracle-checkable end-to-end because every step is
+    deterministic (stub extractor is pure, SURVEY §7 risk c)."""
+    from ..streaming.pipeline import process_envelope_batch
+
+    env = _envelope(spark, sf_dir)
+    r = process_envelope_batch(env)
+    legs = [
+        r.processed.select(F.lit("PROCESSED").alias("leg"), "correlation_id"),
+        r.retry_buffer.select(F.lit("RETRY").alias("leg"), "correlation_id"),
+        r.dlq.select(F.lit("DLQ").alias("leg"), "correlation_id"),
+    ]
+    u = legs[0].unionByName(legs[1]).unionByName(legs[2])
+    return u.groupBy("leg").agg(
+        F.count("*").alias("n"),
+        F.min("correlation_id").alias("first_id"),
+    )
+
+
+QUERIES["pipe_route_all_legs"] = Q(
+    _q_route_all_legs,
+    ENV_CTE
+    + f"""
+, disp AS (
+  SELECT correlation_id,
+         CASE WHEN {REJECT_CASE} IS NULL THEN 'PROCESSED'
+              WHEN delivery_count >= 3 THEN 'DLQ'
+              ELSE 'RETRY' END AS leg
+  FROM envelope
+)
+SELECT leg, count(*) AS n, min(correlation_id) AS first_id
+FROM disp GROUP BY 1
+""",
+    doc="full batch route E2E: dedup→validate→extract→retry/DLQ (file-pipeline.yaml:23-277)",
+)

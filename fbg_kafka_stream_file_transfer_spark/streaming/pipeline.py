@@ -48,13 +48,19 @@ def process_envelope_batch(
     extractor: Extractor = stub_extractor,
     policy: RetryPolicy = DEFAULT_POLICY,
 ) -> PipelineResult:
-    """The route body (file-pipeline.yaml:23-260) over one envelope batch."""
+    """The route body (file-pipeline.yaml:23-260) over one envelope batch.
+
+    The validated and extracted frames feed multiple sink legs, so both
+    are persisted — standard practice when one micro-batch fans out to
+    several sinks (a batch is bounded by maxFilesPerTrigger /
+    maxOffsetsPerTrigger, so the cache is bounded too); without it the
+    extraction pass re-runs once per leg."""
     env = with_derived(env).dropDuplicates(["correlation_id"])
-    v = with_validation(env)
+    v = with_validation(env).persist()
     accepted = v.filter(F.col("valid")).drop("valid", "reject_reason")
     rejected = v.filter(~F.col("valid")).drop("valid")
 
-    extracted = extract_documents(accepted, "content", extractor)
+    extracted = extract_documents(accepted, "content", extractor).persist()
     ok = extracted.filter(F.col("extract_status") == "SUCCESS")
     extract_failed = extracted.filter(F.col("extract_status") != "SUCCESS").withColumn(
         "reject_reason", F.coalesce(F.col("extract_error"), F.lit("EXTRACTION_FAILED"))
