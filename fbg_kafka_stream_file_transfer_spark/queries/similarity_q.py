@@ -133,3 +133,18 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM (
 """,
     doc="IVF-style ANN top-3 (deterministic coarse quantizer, n_probe=2)",
 )
+
+
+def _q_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk_arrow(
+        emb, "vec_id", "embedding", F.col("vid") < 10, k=5
+    )
+
+
+# same oracle as the Catalyst twin: identical contract, different kernel
+QUERIES["sim_topk_bruteforce_arrow"] = Q(
+    _q_bruteforce_arrow,
+    QUERIES["sim_topk_bruteforce"].oracle,
+    doc="numpy/BLAS brute-force top-k (partition-local top-k + global re-rank)",
+)

@@ -119,3 +119,19 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     assert all(len(v) <= 3 for v in by_q.values())
     hits = sum(1 for q, n in exact if n in by_q.get(q, ()))
     assert hits >= len(exact) // 2  # recall sanity with 4/8 cells probed
+
+
+def test_bruteforce_arrow_matches_catalyst(spark):
+    import pyspark.sql.functions as F
+
+    from fbg_kafka_stream_file_transfer_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+    from fbg_kafka_stream_file_transfer_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    flt = F.col("vid") < 8
+    a = {tuple(r) for r in brute_force_topk(emb, "vec_id", "embedding", flt, k=4).collect()}
+    b = {tuple(r) for r in brute_force_topk_arrow(emb, "vec_id", "embedding", flt, k=4).collect()}
+    assert a == b
