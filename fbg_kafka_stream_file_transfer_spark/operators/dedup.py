@@ -342,3 +342,56 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def duplicate_groups(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+    """Transitive duplicate groups from near-dup pairs: connected
+    components by iterative min-label propagation (A~B, B~C ⇒ one group
+    labeled by its min doc id).
+
+    Each round joins current labels across edges and keeps the min —
+    converges in O(diameter) rounds; duplicate-graph components are
+    near-cliques from LSH verification, so diameter (and round count)
+    stays tiny. Each round is one equi-join + groupBy (shuffle on node
+    id); intermediate labels are persisted and the loop exits when a
+    round changes nothing. This is the iterative-algorithm shape Spark
+    handles with plain DataFrames — no graph library needed.
+
+    Returns (doc, component) for every doc appearing in ``pairs``.
+    """
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = edges.union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).persist()
+
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc"), F.col("label").alias("component"))

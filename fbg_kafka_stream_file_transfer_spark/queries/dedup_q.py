@@ -8,6 +8,7 @@ signatures and buckets match bit-for-bit across engines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import dedup
 from ..operators.dedup import simhash_bit_contrib_sql
@@ -208,3 +209,53 @@ WHERE round(list_dot_product(a.v, b.v) /
         doc="embedding-cosine near-dup pairs (label-blocked)",
     ),
 }
+
+
+def _q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (MinHash verify ≥0.7) → transitive duplicate groups
+    (connected components), summarized per component."""
+    pairs = dedup.minhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, num_hashes=_NUM_HASHES, bands=_BANDS, threshold=0.7,
+    )
+    cc = dedup.duplicate_groups(pairs)
+    return cc.groupBy("component").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc").alias("min_doc"),
+        F.max("doc").alias("max_doc"),
+    )
+
+
+QUERIES["dedup_duplicate_groups"] = Q(
+    _q_dup_groups,
+    # the whole WITH chain must be declared RECURSIVE for the reach CTE
+    LSH_CTE.replace("\nWITH norm AS", "\nWITH RECURSIVE norm AS", 1)
+    + """
+, cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cands c
+  JOIN sh sa ON c.doc_a = sa.doc_id
+  JOIN sh sb ON c.doc_b = sb.doc_id
+  WHERE len(list_intersect(sa.ss, sb.ss))
+        / (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))) >= 0.7
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+), reach AS (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst AS node, r.label
+  FROM reach r JOIN edges e ON r.node = e.src
+), cc AS (
+  SELECT node, min(label) AS component FROM reach GROUP BY node
+)
+SELECT component, count(*) AS n_docs, min(node) AS min_doc, max(node) AS max_doc
+FROM cc GROUP BY 1
+""",
+    doc="transitive dup groups: connected components over verified near-dup pairs",
+)

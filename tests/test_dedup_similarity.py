@@ -135,3 +135,15 @@ def test_bruteforce_arrow_matches_catalyst(spark):
     a = {tuple(r) for r in brute_force_topk(emb, "vec_id", "embedding", flt, k=4).collect()}
     b = {tuple(r) for r in brute_force_topk_arrow(emb, "vec_id", "embedding", flt, k=4).collect()}
     assert a == b
+
+
+def test_duplicate_groups_transitive(spark):
+    """A~B, B~C, D~E ⇒ components {A,B,C} labeled A and {D,E} labeled D —
+    including the transitive A-C link no single pair asserts."""
+    from fbg_kafka_stream_file_transfer_spark.operators.dedup import duplicate_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 2)], "doc_a long, doc_b long"
+    )
+    got = {r.doc: r.component for r in duplicate_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
