@@ -169,3 +169,42 @@ def shingles_arrow(text: Column, n: int = 3) -> Column:
     # stringify inline hints, which pandas_udf's inference rejects
     f.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return F.pandas_udf(f, T.ArrayType(T.StringType()))(text)
+
+
+def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
+    """Top-k terms per document by TF-IDF (tf × ln(N/df)) over the
+    normalized token stream — the inspect-friendly form of the classic
+    HashingTF/IDF pipeline (hashing is for feature vectors; here terms
+    stay readable).
+
+    Shuffle structure: explode → (doc, term) counts → df join (term) →
+    per-doc top-k window. All partial-aggregatable; the df table is
+    O(vocabulary) and broadcasts.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n")).crossJoin(
+        tf.select("term").distinct()
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc").alias("df"))
+    idf = (
+        n_docs.join(dfreq, "term")
+        .select("term", F.log(F.col("n") / F.col("df")).alias("idf"))
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "doc", "term", (F.col("tf") * F.col("idf")).alias("_tfidf")
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.round(F.col("_tfidf"), 9).desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc", "term", F.round("_tfidf", 6).alias("tfidf"), "rank")
+    )

@@ -189,3 +189,38 @@ FROM documents
 """,
     doc="Karp-Rabin-style rolling-hash document fingerprint",
 )
+
+
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    out = TX.tfidf_top_terms(d, "doc_id", "text", k=3)
+    return out.withColumnRenamed("doc", "doc_id")
+
+
+QUERIES["text_tfidf_top_terms"] = Q(
+    _q_tfidf,
+    NORM_CTE
+    + """
+, toksx AS (
+  SELECT doc_id, unnest(t) AS term FROM toks
+), toks2 AS (
+  SELECT doc_id, term FROM toksx WHERE len(term) > 0
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+), nn AS (
+  SELECT count(DISTINCT doc_id) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(nn.n / dfreq.df) AS tfidf
+  FROM tf JOIN dfreq USING (term), nn
+)
+SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank FROM (
+  SELECT doc_id, term, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY round(tfidf, 9) DESC, term) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+    doc="per-document top-3 TF-IDF terms (the readable HashingTF/IDF form)",
+)
