@@ -389,3 +389,37 @@ FROM disp GROUP BY 1
 """,
     doc="full batch route E2E: dedup→validate→extract→retry/DLQ (file-pipeline.yaml:23-277)",
 )
+
+
+def _q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §7 step 2 — 'arrived but never processed' reconciliation:
+    anti-join of the envelope stream against the processed leg.
+
+    Oracle premise: correlation ids are unique in the fixture (true for
+    events at every sf), so the route's ST7 dedup is a no-op; with
+    duplicate ids the engine-side dedup semantics would be the intended
+    behavior and the per-row oracle would diverge."""
+    from ..streaming.pipeline import process_envelope_batch
+
+    env = _envelope(spark, sf_dir)
+    r = process_envelope_batch(env)
+    arrived = env.select("correlation_id", "delivery_count")
+    done = r.processed.select("correlation_id")
+    return (
+        arrived.join(done, "correlation_id", "left_anti")
+        .groupBy("delivery_count")
+        .agg(F.count("*").alias("n_unprocessed"), F.min("correlation_id").alias("first_id"))
+    )
+
+
+QUERIES["pipe_reconciliation_anti"] = Q(
+    _q_reconciliation,
+    ENV_CTE
+    + f"""
+SELECT delivery_count, count(*) AS n_unprocessed, min(correlation_id) AS first_id
+FROM envelope
+WHERE {REJECT_CASE} IS NOT NULL
+GROUP BY 1
+""",
+    doc="arrived-but-never-processed anti-join reconciliation (SURVEY §7.2)",
+)

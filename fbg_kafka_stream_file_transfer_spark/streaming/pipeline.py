@@ -35,12 +35,26 @@ from ..operators.validate import with_validation
 
 @dataclass
 class PipelineResult:
-    """The legs of one processed envelope batch."""
+    """The legs of one processed envelope batch.
+
+    ``unpersist()`` releases the cached intermediates backing the legs —
+    call it once every leg has been written/consumed (the streaming sink
+    does; long-lived sessions issuing many batch runs should too, or
+    each run pins two cached frames until LRU eviction).
+    """
 
     incoming: DataFrame
     processed: DataFrame
     retry_buffer: DataFrame
     dlq: DataFrame
+    _cached: tuple[DataFrame, ...] = ()
+
+    def unpersist(self) -> None:
+        for df in self._cached:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
 
 def process_envelope_batch(
@@ -90,6 +104,7 @@ def process_envelope_batch(
     failures = rejected.select(*failure_cols).unionByName(
         extract_failed.select(*failure_cols)
     )
+    cached = (v, extracted)
     retry_buffer, dlq = split_retry_dlq(failures, policy=policy)
     dlq = dlq.withColumn(
         "failure_json",
@@ -99,7 +114,7 @@ def process_envelope_batch(
             F.col("content_type"), F.col("file_size"), F.col("checksum"),
         ),
     )
-    return PipelineResult(incoming, processed, retry_buffer, dlq)
+    return PipelineResult(incoming, processed, retry_buffer, dlq, cached)
 
 
 def _partition_col(df: DataFrame) -> DataFrame:
@@ -154,6 +169,7 @@ def start_file_pipeline(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         result = process_envelope_batch(batch_df, extractor=extractor, policy=policy)
         write_batch_sinks(result, out_dir)
+        result.unpersist()  # release this micro-batch's cached intermediates
 
     return (
         env.writeStream.foreachBatch(sink)
