@@ -259,3 +259,23 @@ FROM cc GROUP BY 1
 """,
     doc="transitive dup groups: connected components over verified near-dup pairs",
 )
+
+
+def _q_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_dup_groups(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", 16
+    )
+
+
+# the group oracle wraps the signature oracle in a HAVING-count rollup
+QUERIES["dedup_simhash_groups"] = Q(
+    _q_simhash_groups,
+    "WITH sigs AS (\n"
+    + _simhash_oracle(16)
+    + """
+)
+SELECT simhash16, count(*) AS n_docs, min(doc_id) AS canonical_id
+FROM sigs GROUP BY 1 HAVING count(*) > 1
+""",
+    doc="SimHash near-dup buckets (groups sharing a 16-bit signature)",
+)
