@@ -32,3 +32,99 @@ def suppress_redeliveries(
     if not env.isStreaming:
         return env.dropDuplicates([key_col])
     return env.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark([key_col])
+
+
+# --- incremental near-dup dedup against a persistent LSH index ---
+#
+# The batch operators in operators.dedup find near-dups WITHIN a corpus;
+# a training-data pipeline also needs the incremental form: does this
+# NEW batch duplicate anything already ingested? The index is a parquet
+# table of (band, bucket, doc, ss) — the same banded MinHash layout the
+# batch path shuffles on, persisted. Each micro-batch:
+#
+#   1. signature pass over the new docs (one Arrow UDF pass),
+#   2. equi-join new band buckets against the index (candidates),
+#   3. exact-Jaccard verify on candidates,
+#   4. append the new docs' buckets to the index.
+#
+# At scale the index is date/bucket-partitioned parquet (or a Delta
+# table); the join is bucket-key equi-join so only colliding buckets
+# are read — with bucketed storage this prunes to the touched buckets.
+
+
+def _band_buckets(df, id_col: str, text_col: str, n: int, num_hashes: int, bands: int):
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import _shingle_sigs_arrow
+
+    rows = num_hashes // bands
+    sigs = _shingle_sigs_arrow(df, id_col, text_col, n, num_hashes)
+    band_hashes = [
+        F.md5(F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]))
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "doc", "ss", F.posexplode(F.array(*band_hashes)).alias("band", "bucket")
+    )
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.7,
+    update_index: bool = True,
+) -> DataFrame:
+    """Near-dups of ``new_docs`` against everything previously indexed.
+
+    Returns (doc, dup_of, jaccard) — one row per new doc that verifies
+    ≥ ``threshold`` against a PREVIOUSLY indexed doc. Current-batch ids
+    are anti-joined out of the match side, so the result is the same
+    whether the index append happens before or after the join runs
+    (parquet reads are lazy — ordering by action time is not reliable)
+    and replayed appends of the same batch can never self-match.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark = new_docs.sparkSession
+    fresh = _band_buckets(new_docs, id_col, text_col, n, num_hashes, bands).persist()
+    if update_index:
+        fresh.write.mode("append").parquet(index_dir)
+
+    if not os.path.exists(index_dir):
+        fresh.unpersist()
+        return spark.createDataFrame([], "doc long, dup_of long, jaccard double")
+
+    idx = spark.read.parquet(index_dir)
+    batch_ids = fresh.select("doc").distinct()
+    prior = idx.join(batch_ids, idx.doc == batch_ids.doc, "left_anti")
+    cands = (
+        fresh.alias("new")
+        .join(
+            prior.alias("old"),
+            (F.col("new.band") == F.col("old.band"))
+            & (F.col("new.bucket") == F.col("old.bucket")),
+        )
+        .select(
+            F.col("new.doc").alias("doc"),
+            F.col("new.ss").alias("ss_new"),
+            F.col("old.doc").alias("dup_of"),
+            F.col("old.ss").alias("ss_old"),
+        )
+        .dropDuplicates(["doc", "dup_of"])
+    )
+    inter = F.size(F.array_intersect(F.col("ss_new"), F.col("ss_old")))
+    total = F.size("ss_new") + F.size("ss_old")
+    jac = inter / (total - inter)
+    hits = (
+        cands.select("doc", "dup_of", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    fresh.unpersist()
+    return hits

@@ -52,3 +52,27 @@ def test_suppress_redeliveries_streaming_plan(spark):
     assert out.isStreaming
     plan = out._jdf.queryExecution().analyzed().toString()
     assert "DeduplicateWithinWatermark" in plan
+
+
+def test_incremental_dedup_against_index(spark, tmp_path):
+    """Batch 2's near-copy of a batch-1 doc is flagged against the
+    index; batch 1 itself (empty index) flags nothing; an unrelated doc
+    never flags."""
+    from fbg_kafka_stream_file_transfer_spark.streaming.dedupe import dedup_against_index
+
+    idx = str(tmp_path / "lsh_index")
+    base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    batch1 = spark.createDataFrame(
+        [(1, base), (2, "completely different content about spark streaming engines at scale")],
+        "doc_id long, text string",
+    )
+    out1 = dedup_against_index(batch1, idx)
+    assert out1.count() == 0  # nothing indexed yet
+
+    batch2 = spark.createDataFrame(
+        [(10, base + " extra"), (11, "totally unrelated words nothing shared here at all today")],
+        "doc_id long, text string",
+    )
+    out2 = dedup_against_index(batch2, idx).collect()
+    assert [(r.doc, r.dup_of) for r in out2] == [(10, 1)]
+    assert out2[0].jaccard > 0.7
