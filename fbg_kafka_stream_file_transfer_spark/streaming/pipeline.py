@@ -119,8 +119,12 @@ def process_envelope_batch(
 
 def _partition_col(df: DataFrame) -> DataFrame:
     # hyphenated date for the physical partition column (slash layout stays
-    # in the logical keys); prunes cleanly under Catalyst
-    return df.withColumn("dt", F.date_format("event_time", "yyyy-MM-dd"))
+    # in the logical keys); prunes cleanly under Catalyst. Repartitioning
+    # by dt groups each date's rows before the write so a micro-batch
+    # emits O(dates) files per leg instead of O(tasks × dates) — the
+    # small-files guard (AQE splits a skewed date back out if one day
+    # dominates the batch).
+    return df.withColumn("dt", F.date_format("event_time", "yyyy-MM-dd")).repartition("dt")
 
 
 def write_batch_sinks(result: PipelineResult, out_dir: str) -> None:
