@@ -276,7 +276,12 @@ def _q_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="stream_e2e_")
     src, out, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
     os.makedirs(src)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(40).collect()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 40)
+        .collect()
+    )
     for r in docs:
         ext = "pdf" if r.doc_id % 4 else "exe"  # every 4th file hits the reject leg
         with open(f"{src}/doc-{r.doc_id}.{ext}", "w") as f:
@@ -298,9 +303,20 @@ def _q_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(legs, "leg string, n_rows long")
 
 
+# the input set (doc_id < 40) and dispositions are deterministic, so even
+# the STREAMING run is oracle-checkable: every 4th doc is .exe → rejected
+# at delivery_count=1 → retry leg; the rest flow to incoming+processed.
 QUERIES["stream_pipeline_e2e"] = Q(
     _q_stream_e2e,
-    None,  # streaming state machine — rows-only per driver contract
+    """
+SELECT 'incoming' AS leg, count(*) AS n_rows FROM documents WHERE doc_id < 40 AND doc_id % 4 != 0
+UNION ALL
+SELECT 'processed', count(*) FROM documents WHERE doc_id < 40 AND doc_id % 4 != 0
+UNION ALL
+SELECT 'retry', count(*) FROM documents WHERE doc_id < 40 AND doc_id % 4 = 0
+UNION ALL
+SELECT 'failed', 0
+""",
     doc="S9→route→sinks streaming end-to-end (ST1/ST7; docs/deployment.md:248-268)",
 )
 
