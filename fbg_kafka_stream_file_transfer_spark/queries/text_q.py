@@ -224,3 +224,33 @@ SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank FROM (
 """,
     doc="per-document top-3 TF-IDF terms (the readable HashingTF/IDF form)",
 )
+
+
+def _q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the documents corpus in one scan."""
+    from ..operators.profile import profile_table
+
+    return profile_table(_docs(spark, sf_dir), ["doc_id", "lang", "text"])
+
+
+QUERIES["profile_documents"] = Q(
+    _q_profile,
+    """
+SELECT 'doc_id' AS column_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       count(DISTINCT doc_id) AS n_distinct,
+       CAST(min(doc_id) AS VARCHAR) AS min_value, CAST(max(doc_id) AS VARCHAR) AS max_value
+FROM documents
+UNION ALL
+SELECT 'lang', count(*),
+       CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT lang), min(lang), max(lang)
+FROM documents
+UNION ALL
+SELECT 'text', count(*),
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       count(DISTINCT text), min(text), max(text)
+FROM documents
+""",
+    doc="one-scan per-column corpus profile (counts, nulls, distinct, min/max)",
+)

@@ -78,3 +78,38 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_partitioned_sink_prunes(spark, tmp_path):
+    """Date filter on the dt-partitioned sink reaches the scan as a
+    PartitionFilter — reading one day touches one directory."""
+    import datetime
+
+    from fbg_kafka_stream_file_transfer_spark.streaming.pipeline import (
+        process_envelope_batch,
+        write_batch_sinks,
+    )
+
+    t1 = datetime.datetime(2024, 1, 1, 12)
+    t2 = datetime.datetime(2024, 1, 2, 12)
+    rows = [
+        ("c1", "t1", "a.pdf", "application/pdf", 5, "h1", b"aaaaa", t1, 1),
+        ("c2", "t2", "b.pdf", "application/pdf", 5, "h2", b"bbbbb", t2, 1),
+    ]
+    env = spark.createDataFrame(
+        rows,
+        "correlation_id string, transfer_id string, file_name string, "
+        "content_type string, file_size long, checksum string, content binary, "
+        "event_time timestamp, delivery_count int",
+    )
+    r = process_envelope_batch(env)
+    write_batch_sinks(r, str(tmp_path / "out"))
+    r.unpersist()
+
+    incoming = spark.read.parquet(str(tmp_path / "out" / "incoming"))
+    import pyspark.sql.functions as F
+
+    q = incoming.filter(F.col("dt") == "2024-01-01")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "dt" in plan
+    assert [x.file_name for x in q.collect()] == ["a.pdf"]
