@@ -254,3 +254,66 @@ FROM documents
 """,
     doc="one-scan per-column corpus profile (counts, nulls, distinct, min/max)",
 )
+
+
+def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation — the end-use of the §2.h operators combined:
+    exact-dedup survivors only (min doc per fingerprint), quality-scored,
+    top-5 per language by quality, with a running token budget per
+    language. One shuffle per stage, all partial-aggregatable."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        TX.fingerprint(t).alias("fp"),
+        F.round(TX.quality_score(t), 6).alias("quality"),
+        TX.token_count(t).alias("n_tokens"),
+    )
+    surv = Window.partitionBy("fp").orderBy("doc_id")
+    dedup = (
+        scored.withColumn("_rn", F.row_number().over(surv))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fp")
+    )
+    rank_w = Window.partitionBy("lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    budget_w = rank_w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dedup.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= 5)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(budget_w))
+        .select("lang", "rank", "doc_id", "quality", "n_tokens", "cum_tokens")
+    )
+
+
+QUERIES["corpus_curation_top_per_lang"] = Q(
+    _q_curation,
+    NORM_CTE
+    + f"""
+, scored AS (
+  SELECT doc_id, lang,
+         md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fp,
+         round({_QUALITY}, 6) AS quality,
+         {_NTOK} AS n_tokens
+  FROM documents JOIN toks USING (doc_id)
+), surv AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM scored
+  ) WHERE rn = 1
+), ranked AS (
+  SELECT lang, doc_id, quality, n_tokens,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS INTEGER)
+           AS rank
+  FROM surv
+)
+SELECT lang, rank, doc_id, quality, n_tokens,
+       CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY rank
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+FROM ranked WHERE rank <= 5
+""",
+    doc="corpus curation: dedup survivors → quality top-5 per language + token budget",
+)
