@@ -422,3 +422,40 @@ FROM orders GROUP BY 1
 """,
     doc="skew salting: two-stage agg ≡ plain groupBy (the skew-mitigation path)",
 )
+
+
+# epoch-seconds has no engine-shared spelling (Spark: unix_timestamp,
+# DuckDB: epoch) — template the one differing expression.
+_RANGE_TMPL = """
+SELECT o_orderkey, o_custkey,
+       round(CAST(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY {EPOCH}
+         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+       AS revenue_30d
+FROM orders
+"""
+
+
+def _q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_RANGE_TMPL.format(EPOCH="unix_timestamp(o_orderdate)"))
+
+
+QUERIES["window_range_frame"] = Q(
+    _q_range_frame,
+    _RANGE_TMPL.format(EPOCH="CAST(floor(epoch(o_orderdate)) AS BIGINT)"),
+    doc="RANGE-frame window: per-customer trailing-30-day revenue",
+)
+
+QUERIES["agg_median_mode"] = _shared(
+    """
+SELECT l_returnflag,
+       round(CAST(median(l_quantity) AS DOUBLE), 6) AS median_qty,
+       CAST(mode(l_linestatus) AS STRING) AS mode_status,
+       round(CAST(stddev_samp(l_extendedprice) AS DOUBLE), 4) AS stddev_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    ("lineitem",),
+    doc="median / mode / stddev aggregate sampler",
+)
