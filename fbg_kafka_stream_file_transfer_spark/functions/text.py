@@ -208,3 +208,28 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
         .filter(F.col("rank") <= k)
         .select("doc", "term", F.round("_tfidf", 6).alias("tfidf"), "rank")
     )
+
+
+def chunk_text(df, id_col: str, text_col: str, chunk_tokens: int = 30, stride: int = 20):
+    """Split documents into overlapping fixed-token chunks (context-window
+    chunking for training-data prep): chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens). One row out per chunk.
+
+    Catalyst-native: tokens → sequence of starts → explode → slice. Pure
+    map work (explode multiplies rows by ~n_tokens/stride before any
+    shuffle); no UDF, stays in codegen.
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride))
+    t = df.select(
+        F.col(id_col).alias("doc"), toks.alias("_toks"), F.explode(starts).alias("_start")
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    return t.select(
+        "doc",
+        (F.col("_start") / stride).cast("int").alias("chunk_index"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_tokens"),
+    )

@@ -317,3 +317,26 @@ FROM ranked WHERE rank <= 5
 """,
     doc="corpus curation: dedup survivors → quality top-5 per language + token budget",
 )
+
+
+def _q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = TX.chunk_text(_docs(spark, sf_dir), "doc_id", "text", chunk_tokens=30, stride=20)
+    return out.withColumnRenamed("doc", "doc_id")
+
+
+QUERIES["text_chunking"] = Q(
+    _q_chunks,
+    NORM_CTE
+    + """
+, starts AS (
+  SELECT doc_id, t, unnest(range(0, greatest(len(t) - 1, 0) + 1, 20)) AS s
+  FROM toks
+)
+SELECT doc_id,
+       CAST(s / 20 AS INTEGER) AS chunk_index,
+       array_to_string(t[s + 1 : s + 30], ' ') AS chunk_text,
+       CAST(len(t[s + 1 : s + 30]) AS INTEGER) AS n_chunk_tokens
+FROM starts
+""",
+    doc="overlapping context-window chunking (30-token chunks, stride 20)",
+)
