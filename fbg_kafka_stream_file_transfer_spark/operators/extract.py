@@ -202,3 +202,33 @@ def extract_documents(
             yield out
 
     return df.mapInPandas(run, out_schema)
+
+
+def sentence_udtf():
+    """§2.g — the table-function face of the UDF surface: a Python UDTF
+    that explodes a document into (sentence_index, sentence) rows.
+    The reference exposes no user-extensible functions at all
+    (SURVEY §2.g); this engine provides all four Spark shapes: scalar
+    pandas_udf (shingles_arrow), mapInPandas (extract_documents),
+    applyInPandasWithState (debounced_alerts), and this UDTF.
+
+    Usage::
+
+        SplitSentences = sentence_udtf()
+        df.lateralJoin(SplitSentences(F.col("text")).alias("s"))
+        # or SQL: spark.udtf.register("split_sentences", SplitSentences)
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_index int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if not text:
+                return
+            import re
+
+            parts = [p.strip() for p in re.split(r"(?<=[.!?])\s+", text) if p.strip()]
+            for i, p in enumerate(parts):
+                yield (i, p)
+
+    return SplitSentences

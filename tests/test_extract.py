@@ -73,3 +73,17 @@ def test_breaker_open_fails_fast_with_routable_message(spark):
     out = extract_documents(_docs(spark), breaker=always_open).collect()
     assert all(r.extract_status == "FAILED" for r in out)
     assert all("circuit breaker" in r.extract_error for r in out)  # F1-routable
+
+
+def test_sentence_udtf(spark):
+    from fbg_kafka_stream_file_transfer_spark.operators.extract import sentence_udtf
+
+    SplitSentences = sentence_udtf()
+    spark.udtf.register("split_sentences", SplitSentences)
+    got = spark.sql(
+        "SELECT s.* FROM (SELECT 'One two. Three four! Five?' AS t) src, "
+        "LATERAL split_sentences(src.t) s"
+    ).collect()
+    assert [(r.sentence_index, r.sentence) for r in got] == [
+        (0, "One two."), (1, "Three four!"), (2, "Five?"),
+    ]
