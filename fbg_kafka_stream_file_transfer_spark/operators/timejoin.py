@@ -1,0 +1,89 @@
+"""Time-series joins Spark lacks as built-ins: as-of join and range
+(interval) join — named explicitly in the engine mandate as operators to
+re-express Spark-first.
+
+Both are compositions of existing DataFrame ops (no UDF, no collect):
+
+- **as-of join** — for each left row, the latest right row with
+  ``right.ts <= left.ts`` per key. Implemented as a tagged union +
+  per-key ordered window with ``last(ignorenulls)``: ONE shuffle on the
+  key (the union sorts within partitions), versus the naive
+  inequality-join which is quadratic per key. This is the classic
+  sort-based as-of strategy (kdb/Pandas ``merge_asof`` semantics).
+- **range join** — pairs where a left timestamp falls inside a right
+  interval. Implemented by bucketing time into ``bucket_seconds`` cells
+  and exploding each interval over the cells it covers: the join
+  becomes an equi-join on (key, cell) + an exact residual filter —
+  work scales with interval_length/bucket instead of |left|×|right|
+  per key. Pick ``bucket_seconds`` ≈ typical interval length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Left rows + the as-of (most recent ``right_time <= left_time``)
+    values of ``value_cols`` per ``on`` key. Right rows with equal
+    timestamps to a left row DO match (<= semantics, like DuckDB ASOF).
+
+    Ties among right rows at the identical (key, time) resolve to the
+    window's last — pre-aggregate the right side if that matters.
+    """
+    l_tag = left.withColumn("_pri", F.lit(1)).withColumn("_t", F.col(left_time))
+    r_tag = (
+        right.select(
+            *on, F.col(right_time).alias("_t"), *[F.col(c) for c in value_cols]
+        )
+        .withColumn("_pri", F.lit(0))
+    )
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    # right rows order before left rows at equal _t so <= matches
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_t", "_pri")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in value_cols:
+        u = u.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return u.filter(F.col("_pri") == 1).drop("_pri", "_t")
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    range_start: str,
+    range_end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Pairs where ``range_start <= left_time < range_end`` per key.
+
+    Right intervals explode over the time cells they cover; the pair
+    join is then an equi-join on (key, cell) with an exact residual
+    filter, deduped (an interval spanning k cells would otherwise match
+    a left row up to k times).
+    """
+    cell = lambda c: F.floor(F.col(c).cast("double") / bucket_seconds)  # noqa: E731
+    cells = F.sequence(cell(range_start), cell(range_end))
+    r = right.withColumn("_cell", F.explode(cells))
+    l = left.withColumn("_cell", cell(left_time))
+    lt = F.col(left_time).cast("double")
+    # a left row occupies exactly one cell, so each (left, interval)
+    # pair joins at most once — no dedup pass needed
+    joined = l.join(r, [*on, "_cell"]).filter(
+        (F.col(range_start).cast("double") <= lt)
+        & (lt < F.col(range_end).cast("double"))
+    )
+    return joined.drop("_cell")

@@ -300,3 +300,91 @@ FROM events
 """,
     doc="per-user inter-arrival gaps (lead/lag windowing)",
 )
+
+
+def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event picks up the most recent preceding
+    purchase value for the same user (kdb/merge_asof semantics — an
+    operator Spark lacks as a built-in; see operators.timejoin)."""
+    from ..operators.timejoin import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))  # kill (user, ts) ties
+    )
+    out = as_of_join(
+        errors, purchases, ["user_id"], "ts", "ts", ["last_purchase_value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("error_time"),
+        F.round("last_purchase_value", 6).alias("last_purchase_value"),
+    )
+
+
+QUERIES["join_asof_last_purchase"] = Q(
+    _q_asof,
+    """
+WITH errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+), purchases AS (
+  SELECT user_id, ts, max(value) AS last_purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_time,
+       round(p.last_purchase_value, 6) AS last_purchase_value
+FROM errors e
+ASOF LEFT JOIN purchases p ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+    doc="as-of join (sort-based, one shuffle) vs DuckDB native ASOF JOIN oracle",
+)
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: errors landing inside the hour after a purchase by the
+    same user, counted per user (bucketed interval join — equi-join on
+    time cells instead of an inequality cross join)."""
+    from ..operators.timejoin import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("ets")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pstart"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("pend"),
+    )
+    pairs = range_join_bucketed(
+        errors, purchases, ["user_id"], "ets", "pstart", "pend", bucket_seconds=3600
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.min("error_id").alias("first_error"),
+        F.max("purchase_id").alias("last_purchase"),
+    )
+
+
+QUERIES["join_range_error_after_purchase"] = Q(
+    _q_range_join,
+    """
+WITH errors AS (
+  SELECT user_id, event_id AS error_id, ts AS ets FROM events WHERE event_type = 'error'
+), purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts AS pstart, ts + INTERVAL 1 HOUR AS pend
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.user_id, count(*) AS n_pairs,
+       min(e.error_id) AS first_error, max(p.purchase_id) AS last_purchase
+FROM errors e JOIN purchases p
+  ON e.user_id = p.user_id AND p.pstart <= e.ets AND e.ets < p.pend
+GROUP BY 1
+""",
+    doc="range/interval join via time-cell bucketing vs plain inequality-join oracle",
+)

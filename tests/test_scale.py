@@ -113,3 +113,39 @@ def test_partitioned_sink_prunes(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "dt" in plan
     assert [x.file_name for x in q.collect()] == ["a.pdf"]
+
+
+def test_as_of_join_semantics(spark):
+    """<= inclusion at equal timestamps; null when nothing precedes."""
+    from fbg_kafka_stream_file_transfer_spark.operators.timejoin import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "L10"), (1, 20, "L20"), (2, 5, "L5")], "k long, t long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "R10"), (1, 15, "R15"), (2, 9, "R9")], "k long, t long, v string"
+    )
+    got = {
+        (r.k, r.t): r.v
+        for r in as_of_join(left, right, ["k"], "t", "t", ["v"]).collect()
+    }
+    assert got == {(1, 10): "R10", (1, 20): "R15", (2, 5): None}
+
+
+def test_range_join_boundaries(spark):
+    """start-inclusive, end-exclusive; cross-bucket intervals still match."""
+    from fbg_kafka_stream_file_transfer_spark.operators.timejoin import range_join_bucketed
+
+    left = spark.createDataFrame(
+        [(1, 100.0), (1, 150.0), (1, 160.0)], "k long, lt double"
+    )
+    right = spark.createDataFrame(
+        [(1, 100.0, 160.0, "A")], "k long, s double, e double, name string"
+    )
+    got = sorted(
+        r.lt
+        for r in range_join_bucketed(
+            left, right, ["k"], "lt", "s", "e", bucket_seconds=50
+        ).collect()
+    )
+    assert got == [100.0, 150.0]  # 160 excluded (end-exclusive), 100 included
