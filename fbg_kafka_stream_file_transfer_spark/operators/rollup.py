@@ -1,0 +1,106 @@
+"""Hypertable-style continuous rollups and a portable distinct sketch.
+
+- **hypertable_rollup** — TimescaleDB-style multi-resolution continuous
+  aggregates: raw events → 1-minute partials → coarser levels, where
+  every coarser level re-aggregates the NEXT FINER level's partials
+  (sum-of-sums, min-of-mins, …), never the raw data. At 100 TB that's
+  the only sane shape: the raw scan happens once, and each additional
+  resolution costs O(finer-level rows). Emits one unioned frame tagged
+  by ``resolution`` so dashboards pick their grain with a filter
+  (partition-prunable when persisted partitioned by resolution).
+
+- **kmv_distinct** — K-Minimum-Values distinct-count sketch with
+  *deterministic, engine-portable* hashing (md5 hex → uniform [0,1)
+  via the first 15 hex digits). Unlike HLL (engine-specific
+  registers), the same data yields the same estimate in any engine —
+  which is why the DuckDB oracle can hash-match it exactly. Mergeable:
+  union the k-min sets and re-take the k minima.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: seconds per supported resolution label
+RESOLUTIONS = {"1m": 60, "1h": 3600, "1d": 86400}
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    resolutions: list[str] = ["1m", "1h", "1d"],
+) -> DataFrame:
+    """Hierarchical rollup of (count, sum, min, max) over the given
+    resolutions (finest first). Avg is derivable (sum/count) — only
+    mergeable partials are stored, the continuous-aggregate invariant.
+    """
+    secs = [RESOLUTIONS[r] for r in resolutions]
+    assert all(b % a == 0 for a, b in zip(secs, secs[1:])), "each level must nest"
+
+    def bucket(col: Column, s: int) -> Column:
+        return (F.floor(col.cast("double") / s) * s).cast("long")
+
+    finest = (
+        df.groupBy(bucket(F.col(time_col), secs[0]).alias("bucket_start"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(value_col).alias("sum_v"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+        )
+        .withColumn("resolution", F.lit(resolutions[0]))
+    )
+    levels = [finest]
+    for label, s in zip(resolutions[1:], secs[1:]):
+        finer = levels[-1]
+        coarser = (
+            finer.groupBy(bucket(F.col("bucket_start"), s).alias("bucket_start"))
+            .agg(
+                F.sum("n").alias("n"),          # partials merge: sum of counts
+                F.sum("sum_v").alias("sum_v"),
+                F.min("min_v").alias("min_v"),
+                F.max("max_v").alias("max_v"),
+            )
+            .withColumn("resolution", F.lit(label))
+        )
+        levels.append(coarser)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select("resolution", "bucket_start", "n", "sum_v", "min_v", "max_v")
+
+
+def _uniform_hash(col: Column) -> Column:
+    """md5 hex → uniform double in [0,1): first 15 hex digits / 16^15.
+    15 digits keep the value inside an exact double (60 bits)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**15))
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """KMV distinct-count estimate: (k-1) / kth-smallest-hash.
+
+    One row out: (n_exact_kept, kth_hash, estimate). Deterministic and
+    portable (see module docstring); if fewer than k distinct values
+    exist the estimate IS the exact count. Shuffle: one distinct on the
+    hash + a k-row top-k — the k minima also form the mergeable sketch
+    state (union + re-min to merge shards).
+    """
+    hashed = df.select(_uniform_hash(F.col(col)).alias("h")).distinct()
+    topk = hashed.orderBy("h").limit(k)
+    return topk.agg(
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("kth_hash"),
+    ).select(
+        "n_kept",
+        F.round("kth_hash", 9).alias("kth_hash"),
+        F.round(
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+                (F.lit(k) - 1) / F.col("kth_hash")
+            ),
+            3,
+        ).alias("estimate"),
+    )

@@ -388,3 +388,91 @@ GROUP BY 1
 """,
     doc="range/interval join via time-cell bucketing vs plain inequality-join oracle",
 )
+
+
+def _q_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB-style continuous aggregate: 1m → 1h → 1d, each level
+    re-aggregated from the finer level's partials (raw scanned once)."""
+    from ..operators.rollup import hypertable_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    out = hypertable_rollup(ev, "ts", "value", ["1m", "1h", "1d"])
+    return out.select(
+        "resolution",
+        "bucket_start",
+        "n",
+        F.round("sum_v", 2).alias("sum_v"),
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+    )
+
+
+QUERIES["hypertable_rollup_events"] = Q(
+    _q_hypertable,
+    """
+WITH lv AS (
+  SELECT s FROM (VALUES (60), (3600), (86400)) AS t(s)
+)
+SELECT CASE s WHEN 60 THEN '1m' WHEN 3600 THEN '1h' ELSE '1d' END AS resolution,
+       CAST(floor(epoch(ts) / s) * s AS BIGINT) AS bucket_start,
+       count(*) AS n,
+       round(CAST(sum(value) AS DOUBLE), 2) AS sum_v,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v
+FROM events, lv
+GROUP BY 1, 2
+""",
+    doc="hypertable continuous rollup (1m/1h/1d, hierarchical partial re-aggregation)",
+)
+
+
+def _q_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch over three columns — deterministic md5-based
+    estimator, so the oracle hash-matches it EXACTLY (impossible with
+    engine-internal HLL)."""
+    from ..operators.rollup import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = []
+    for c in ("user_id", "event_type", "event_id"):
+        parts.append(kmv_distinct(ev, c, k=256).select(F.lit(c).alias("column_name"), "*"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+QUERIES["sketch_kmv_distinct"] = Q(
+    _q_kmv,
+    """
+WITH h AS (
+  SELECT 'user_id' AS column_name,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           / CAST(16::HUGEINT ** 15 AS DOUBLE) AS h
+  FROM (SELECT DISTINCT user_id FROM events)
+  UNION ALL
+  SELECT 'event_type',
+         ('0x' || substring(md5(event_type), 1, 15))::BIGINT
+           / CAST(16::HUGEINT ** 15 AS DOUBLE)
+  FROM (SELECT DISTINCT event_type FROM events)
+  UNION ALL
+  SELECT 'event_id',
+         ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+           / CAST(16::HUGEINT ** 15 AS DOUBLE)
+  FROM (SELECT DISTINCT event_id FROM events)
+), ranked AS (
+  SELECT column_name, h,
+         row_number() OVER (PARTITION BY column_name ORDER BY h) AS rn
+  FROM h
+), kept AS (
+  SELECT column_name, h FROM ranked WHERE rn <= 256
+)
+SELECT column_name,
+       count(*) AS n_kept,
+       round(max(h), 9) AS kth_hash,
+       round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                  ELSE 255 / max(h) END, 3) AS estimate
+FROM kept GROUP BY 1
+""",
+    doc="KMV distinct-count sketch — portable md5 hashing, exact cross-engine parity",
+)

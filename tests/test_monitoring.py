@@ -56,3 +56,16 @@ def test_dlq_count_by_file(spark):
     got = {r.file_name: r.dlq_messages_total
            for r in monitoring.dlq_count_by_file(df).collect()}
     assert got == {"a.pdf": 2, "b.txt": 1}
+
+
+def test_kmv_estimate_accuracy(spark):
+    """KMV with k=256 lands within ~15% of the true distinct count
+    (standard error ≈ 1/sqrt(k) ≈ 6%)."""
+    from fbg_kafka_stream_file_transfer_spark.operators.rollup import kmv_distinct
+
+    df = spark.range(0, 20000).selectExpr("CAST(id AS STRING) AS v")
+    est = kmv_distinct(df, "v", k=256).first().estimate
+    assert abs(est - 20000) / 20000 < 0.15
+
+    small = spark.range(0, 100).selectExpr("CAST(id AS STRING) AS v")
+    assert kmv_distinct(small, "v", k=256).first().estimate == 100.0  # exact under k
