@@ -1,0 +1,55 @@
+"""Deterministic sampling and corpus mixing (training-data curation).
+
+`df.sample()` is seed-dependent per partitioning and engine-specific —
+useless for the oracle and for reproducible corpus builds. These
+operators sample by PORTABLE HASH of a key instead: the same rows are
+picked on any engine, any partitioning, any day. That determinism is a
+feature, not a test convenience: reproducible training mixtures are the
+point.
+
+Scale: pure map-side filters (hash + modulo per row) — no shuffle, no
+state; rates are exact in expectation with deviation O(1/sqrt(bucket)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: granularity of sampling rates (1/10000ths)
+_BUCKETS = 10000
+
+
+def _rate_bucket(key: Column) -> Column:
+    """Uniform bucket in [0, 10000) from the md5 of the key — portable
+    (same md5 hex → same bucket in any engine)."""
+    # 15 hex digits < 2^60: safe in a long on both engines
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    ) % _BUCKETS
+
+
+def deterministic_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
+    """Keep ~``rate`` of rows, chosen by key hash (reproducible and
+    engine-portable; sampling the same key twice always agrees — so
+    joins between samples of different tables on the key still line up).
+    """
+    return df.filter(_rate_bucket(F.col(key_col)) < int(rate * _BUCKETS))
+
+
+def mix_corpus(
+    df: DataFrame, key_col: str, group_col: str, rates: dict[str, float]
+) -> DataFrame:
+    """Training-mixture construction: per-group sampling rates (e.g.
+    {'en': 1.0, 'zh': 0.5, ...}) applied with the deterministic sampler.
+    Groups absent from ``rates`` are dropped. The rate map travels as a
+    literal CASE expression — effectively a broadcast lookup, no join.
+    """
+    rate_col = F.lit(None).cast("int")
+    expr = None
+    for g, r in rates.items():
+        cond = F.col(group_col) == g
+        val = F.lit(int(r * _BUCKETS))
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    thresholds = expr.otherwise(rate_col)
+    return df.filter(_rate_bucket(F.col(key_col)) < thresholds)

@@ -340,3 +340,54 @@ FROM starts
 """,
     doc="overlapping context-window chunking (30-token chunks, stride 20)",
 )
+
+
+_SAMPLE_BUCKET = (
+    "(('0x' || substring(md5(CAST({key} AS VARCHAR)), 1, 15))::BIGINT % 10000)"
+)
+
+
+def _q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 20% corpus sample by doc_id hash — deterministic on
+    any engine/partitioning (operators.sampling), unlike df.sample()."""
+    from ..operators.sampling import deterministic_sample
+
+    out = deterministic_sample(_docs(spark, sf_dir), "doc_id", 0.2)
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"), F.min("doc_id").alias("first_doc")
+    )
+
+
+QUERIES["sample_deterministic_20pct"] = Q(
+    _q_sample,
+    f"""
+SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+FROM documents
+WHERE {_SAMPLE_BUCKET.format(key="doc_id")} < 2000
+GROUP BY 1
+""",
+    doc="reproducible hash-keyed 20% sample (portable across engines/partitionings)",
+)
+
+
+def _q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: per-language sampling rates."""
+    from ..operators.sampling import mix_corpus
+
+    rates = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1}
+    out = mix_corpus(_docs(spark, sf_dir), "doc_id", "lang", rates)
+    return out.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+QUERIES["corpus_mixture_rates"] = Q(
+    _q_mixture,
+    f"""
+SELECT lang, count(*) AS n_kept
+FROM documents
+WHERE {_SAMPLE_BUCKET.format(key="doc_id")} <
+      CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
+                WHEN 'fr' THEN 2500 WHEN 'es' THEN 1000 END
+GROUP BY 1
+""",
+    doc="per-language training-mixture rates via deterministic hash sampling",
+)
