@@ -148,3 +148,54 @@ QUERIES["sim_topk_bruteforce_arrow"] = Q(
     QUERIES["sim_topk_bruteforce"].oracle,
     doc="numpy/BLAS brute-force top-k (partition-local top-k + global re-rank)",
 )
+
+
+def _q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantization round trip: per-vector reconstruction error of
+    the 4x-smaller representation (must stay within half a quantization
+    step = scale/2)."""
+    from ..functions.vectors import as_double_array, dequantize_int8, quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    qs = v.select("vec_id", "v", quantize_int8(F.col("v")).alias("qs"))
+    recon = qs.select(
+        "vec_id", "v", "qs", dequantize_int8(F.col("qs")).alias("r")
+    )
+    err = F.array_max(F.zip_with(F.col("v"), F.col("r"), lambda a, b: F.abs(a - b)))
+    return recon.select(
+        "vec_id",
+        F.round(F.col("qs.vmin"), 6).alias("vmin"),
+        F.round(F.col("qs.scale"), 6).alias("scale"),
+        F.round(err, 9).alias("max_abs_err"),
+        (err <= F.col("qs.scale") * 0.5 + 1e-12).alias("within_half_step"),
+    )
+
+
+QUERIES["sim_quantize_int8_roundtrip"] = Q(
+    _q_quantize,
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (
+  SELECT vec_id, v,
+         list_min(v) AS vmin,
+         (list_max(v) - list_min(v)) / 255.0 AS scale
+  FROM e
+), qq AS (
+  SELECT vec_id, v, vmin, scale,
+         list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                                     ELSE CAST(floor((x - vmin) / scale + 0.5) AS INTEGER) END) AS qv
+  FROM q
+), r AS (
+  SELECT vec_id, vmin, scale,
+         list_max(list_transform(range(1, len(v) + 1),
+                  i -> abs(v[i] - (CAST(qv[i] AS DOUBLE) * scale + vmin)))) AS err
+  FROM qq
+)
+SELECT vec_id, round(vmin, 6) AS vmin, round(scale, 6) AS scale,
+       round(err, 9) AS max_abs_err,
+       err <= scale * 0.5 + 1e-12 AS within_half_step
+FROM r
+""",
+    doc="int8 embedding quantization round trip (4x storage; error ≤ half a step)",
+)
