@@ -292,3 +292,62 @@ def brute_force_topk_arrow(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def build_ann_index(df: DataFrame, id_col: str, vec_col: str, index_dir: str,
+                    planes: int = 8) -> None:
+    """Persist an LSH-bucketed vector index: (bucket, vid, v, nrm) parquet
+    partitioned by bucket — queries read only their probed buckets
+    (partition pruning does the cell selection)."""
+    vecs = (
+        df.select(F.col(id_col).alias("vid"), as_double_array(F.col(vec_col)).alias("v"))
+        .withColumn("bucket", lsh_bucket(F.col("v"), planes))
+        .withColumn("nrm", norm(F.col("v")))
+    )
+    vecs.write.mode("overwrite").partitionBy("bucket").parquet(index_dir)
+
+
+def query_ann_index(
+    queries_df: DataFrame,
+    index_dir: str,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    planes: int = 8,
+) -> DataFrame:
+    """Top-k neighbors of each query vector against a persisted index.
+
+    The query side computes its own bucket and equi-joins the index on
+    it; with the index partitioned by bucket, scans prune to the probed
+    cells. Incremental twin of ``ann_lsh_topk`` — the corpus lives on
+    disk, queries arrive in batches.
+    """
+    spark = queries_df.sparkSession
+    idx = spark.read.parquet(index_dir)
+    q = (
+        queries_df.select(
+            F.col(id_col).alias("qid"), as_double_array(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+        .withColumn("qnrm", norm(F.col("qv")))
+    )
+    cos = dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+    scored = (
+        F.broadcast(q).join(idx, "bucket")
+        .filter(F.col("qid") != F.col("vid"))
+        .select(
+            F.col("qid").alias("query_id"), F.col("vid").alias("neighbor_id"),
+            cos.alias("_cos"),
+        )
+        .select(
+            "query_id", "neighbor_id",
+            F.round(F.col("_cos"), 9).alias("_rank_sim"),
+            F.round(F.col("_cos"), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_rank_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

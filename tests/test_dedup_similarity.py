@@ -147,3 +147,31 @@ def test_duplicate_groups_transitive(spark):
     )
     got = {r.doc: r.component for r in duplicate_groups(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_persisted_ann_index(spark, tmp_path):
+    """build once, query twice: persisted-index results match the inline
+    LSH ANN (same planes) and index scans prune by bucket partition."""
+    import pyspark.sql.functions as F
+
+    from fbg_kafka_stream_file_transfer_spark.operators.similarity import (
+        ann_lsh_topk,
+        build_ann_index,
+        query_ann_index,
+    )
+    from fbg_kafka_stream_file_transfer_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ann_idx")
+    build_ann_index(emb, "vec_id", "embedding", idx, planes=4)
+
+    queries = emb.filter(F.col("vec_id") < 6)
+    got = {
+        tuple(r)
+        for r in query_ann_index(queries, idx, "vec_id", "embedding", k=3, planes=4).collect()
+    }
+    inline = {
+        tuple(r)
+        for r in ann_lsh_topk(emb, "vec_id", "embedding", F.col("vid") < 6, k=3, planes=4).collect()
+    }
+    assert got == inline
