@@ -191,21 +191,64 @@ def replay_due_retries(
 ) -> PipelineResult | None:
     """E6 + E2 drain: re-admit retry-buffer rows whose backoff elapsed and
     push them through the route again (the reference's reprocess TODO,
-    dlq-handler.yaml:184-188, done properly)."""
+    dlq-handler.yaml:184-188, done properly).
+
+    The buffer is REBUILT each drain — not-yet-due rows plus the replay's
+    new retry rows replace the old directory (write-new-then-swap). An
+    append-only buffer would re-admit already-consumed rows on every
+    subsequent drain and multiply them; this is the broker-ack analogue.
+    On a cluster the swap becomes a Delta/Iceberg MERGE — same logic,
+    transactional."""
     import os
+    import shutil
 
     from ..operators.retry import due_for_retry
 
     path = f"{out_dir}/retry"
     if not os.path.exists(path):
         return None
-    buf = spark.read.parquet(path)
-    due = due_for_retry(buf, F.lit(now).cast("timestamp"))
+    now_col = F.lit(now).cast("timestamp")
+    buf = spark.read.parquet(path).persist()
+    due = due_for_retry(buf, now_col)
     if not due.take(1):
+        buf.unpersist()
         return None
+    remaining = buf.filter(~(F.col("next_attempt_time") <= now_col))
     env = due.drop(
         "retry_status", "backoff_seconds", "next_attempt_time", "reject_reason", "dt"
     ).withColumn("content", F.to_binary(F.lit(""), F.lit("utf-8")))
     result = process_envelope_batch(env, extractor=extractor, policy=policy)
-    write_batch_sinks(result, out_dir)
+
+    # non-buffer legs append as usual
+    _partition_col(result.incoming).drop("content").write.mode("append").partitionBy(
+        "dt"
+    ).parquet(f"{out_dir}/incoming")
+    _partition_col(result.processed).write.mode("append").partitionBy("dt").parquet(
+        f"{out_dir}/processed"
+    )
+    try:
+        _partition_col(result.dlq).write.mode("append").partitionBy("dt").parquet(
+            f"{out_dir}/failed"
+        )
+    except Exception as exc:  # E5
+        print(f"WARN: DLQ sink write failed (best-effort, E5): {exc}")
+
+    # rebuild the buffer: survivors + this replay's rescheduled rows
+    new_buf = remaining.unionByName(
+        _partition_col(result.retry_buffer), allowMissingColumns=True
+    )
+    new_buf = new_buf.persist()
+    tmp = f"{path}__rebuild"
+    if new_buf.count() > 0:
+        new_buf.write.mode("overwrite").partitionBy("dt").parquet(tmp)
+    # cache the returned legs: after the swap their source files are gone
+    for leg in (result.incoming, result.processed, result.retry_buffer, result.dlq):
+        leg.persist().count()
+    buf.unpersist()
+    new_buf.unpersist()
+    shutil.rmtree(path)
+    if os.path.exists(tmp):
+        os.rename(tmp, path)
+    # else drained dry: an absent dir IS the empty buffer (a zero-row
+    # partitioned parquet write leaves nothing readable behind)
     return result

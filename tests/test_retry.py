@@ -71,3 +71,52 @@ def test_ttl_expiry(spark):
     got = {r.correlation_id: r.expiry_status
            for r in expire_by_ttl(df, ttl_seconds=7 * 24 * 3600).collect()}
     assert got == {"old": "EXPIRED", "new": "LIVE"}
+
+
+def test_full_poison_lifecycle_through_drains(spark, tmp_path):
+    """The complete E2/ST5 journey: a poison file fails validation at
+    delivery 1 → retry buffer; two drains re-admit it with backoff
+    (5 s, 10 s) as deliveries 2 and 3; the third attempt exhausts the
+    policy → DLQ failure report, and the buffer is EMPTY afterwards
+    (consumed rows must not survive a drain — the rebuild-and-swap)."""
+    from fbg_kafka_stream_file_transfer_spark.streaming.pipeline import (
+        replay_due_retries,
+        start_file_pipeline,
+    )
+
+    src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    (src / "poison.exe").write_bytes(b"rejected forever")
+    (src / "fine.pdf").write_bytes(b"a good document")
+    q = start_file_pipeline(spark, str(src), str(out), str(ckpt))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    buf = spark.read.parquet(str(out / "retry")).collect()
+    assert len(buf) == 1 and buf[0].delivery_count == 1
+    t0 = buf[0].event_time
+
+    # drain 1: due at +5 s → attempt 2, rescheduled +10 s
+    r1 = replay_due_retries(spark, str(out), t0 + datetime.timedelta(seconds=6))
+    assert r1 is not None
+    buf = spark.read.parquet(str(out / "retry")).collect()
+    assert len(buf) == 1 and buf[0].delivery_count == 2
+
+    # drain too early: nothing due, buffer untouched
+    assert replay_due_retries(spark, str(out), t0 + datetime.timedelta(seconds=7)) is None
+
+    # drain 2: attempt 3 → exhausted → DLQ; buffer now empty
+    r2 = replay_due_retries(spark, str(out), t0 + datetime.timedelta(seconds=60))
+    assert r2 is not None and r2.dlq.count() == 1
+    import os
+
+    assert not os.path.exists(str(out / "retry"))  # drained dry
+
+    failed = spark.read.parquet(str(out / "failed")).collect()
+    assert len(failed) == 1
+    assert failed[0].delivery_count == 3
+    assert '"status":"FAILED"' in failed[0].failure_json
+    # the good file was processed exactly once through all of this
+    assert spark.read.parquet(str(out / "processed")).count() == 1
