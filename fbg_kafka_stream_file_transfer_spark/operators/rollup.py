@@ -89,7 +89,13 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     hash + a k-row top-k — the k minima also form the mergeable sketch
     state (union + re-min to merge shards).
     """
-    hashed = df.select(_uniform_hash(F.col(col)).alias("h")).distinct()
+    # NULLs are excluded (distinct-count convention) — and a NULL hash
+    # would otherwise sort first and displace a real top-k entry
+    hashed = (
+        df.filter(F.col(col).isNotNull())
+        .select(_uniform_hash(F.col(col)).alias("h"))
+        .distinct()
+    )
     topk = hashed.orderBy("h").limit(k)
     return topk.agg(
         F.count("*").alias("n_kept"),

@@ -34,7 +34,9 @@ def deterministic_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
     engine-portable; sampling the same key twice always agrees — so
     joins between samples of different tables on the key still line up).
     """
-    return df.filter(_rate_bucket(F.col(key_col)) < int(rate * _BUCKETS))
+    # round, not int(): 0.57 * 10000 is 5699.999… in floats and int()
+    # would silently shave a bucket off the requested rate
+    return df.filter(_rate_bucket(F.col(key_col)) < round(rate * _BUCKETS))
 
 
 def mix_corpus(
@@ -45,11 +47,12 @@ def mix_corpus(
     Groups absent from ``rates`` are dropped. The rate map travels as a
     literal CASE expression — effectively a broadcast lookup, no join.
     """
-    rate_col = F.lit(None).cast("int")
+    if not rates:
+        return df.filter(F.lit(False))  # every group absent → drop all
     expr = None
     for g, r in rates.items():
         cond = F.col(group_col) == g
-        val = F.lit(int(r * _BUCKETS))
+        val = F.lit(round(r * _BUCKETS))
         expr = F.when(cond, val) if expr is None else expr.when(cond, val)
-    thresholds = expr.otherwise(rate_col)
+    thresholds = expr.otherwise(F.lit(None).cast("int"))
     return df.filter(_rate_bucket(F.col(key_col)) < thresholds)

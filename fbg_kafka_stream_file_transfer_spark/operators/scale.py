@@ -41,10 +41,14 @@ def salted_agg(
     reducer.
     """
     merge_fn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    # mix the physical partition id into the salt: value-only hashing
+    # would give IDENTICAL duplicate rows one salt and leave a
+    # row-duplication hot key exactly as skewed as before
     salt = (
         salt_source
         if salt_source is not None
         else F.crc32(F.concat_ws("\x1f", *[F.col(c) for c in df.columns]))
+        + F.spark_partition_id()
     ) % n_salts
 
     stage1 = df.withColumn("_salt", salt).groupBy(*key_cols, "_salt")

@@ -39,11 +39,26 @@ def as_of_join(
 
     Ties among right rows at the identical (key, time) resolve to the
     window's last — pre-aggregate the right side if that matters.
+    Values ride inside a struct marker, so a right row whose value IS
+    NULL still counts as the latest match (merge_asof semantics) rather
+    than being skipped for a stale older value.
     """
+    overlap = (set(left.columns) - set(on)) & set(value_cols)
+    if overlap:
+        raise ValueError(
+            f"as_of_join: left already has value column(s) {sorted(overlap)}; "
+            "rename them or the window would silently prefer the left row's own values"
+        )
+    reserved = {"_pri", "_t", "_asof"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(f"as_of_join: column name(s) {sorted(reserved)} are reserved")
+
     l_tag = left.withColumn("_pri", F.lit(1)).withColumn("_t", F.col(left_time))
     r_tag = (
         right.select(
-            *on, F.col(right_time).alias("_t"), *[F.col(c) for c in value_cols]
+            *on,
+            F.col(right_time).alias("_t"),
+            F.struct(*[F.col(c) for c in value_cols]).alias("_asof"),
         )
         .withColumn("_pri", F.lit(0))
     )
@@ -54,9 +69,10 @@ def as_of_join(
         .orderBy("_t", "_pri")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    u = u.withColumn("_asof", F.last(F.col("_asof"), ignorenulls=True).over(w))
     for c in value_cols:
-        u = u.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
-    return u.filter(F.col("_pri") == 1).drop("_pri", "_t")
+        u = u.withColumn(c, F.col("_asof")[c])
+    return u.filter(F.col("_pri") == 1).drop("_pri", "_t", "_asof")
 
 
 def range_join_bucketed(

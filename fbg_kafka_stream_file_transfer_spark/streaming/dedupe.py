@@ -52,20 +52,26 @@ def suppress_redeliveries(
 # are read — with bucketed storage this prunes to the touched buckets.
 
 
-def _band_buckets(df, id_col: str, text_col: str, n: int, num_hashes: int, bands: int):
+def _shingles_and_buckets(df, id_col: str, text_col: str, n: int, num_hashes: int,
+                          bands: int):
+    """(sets, buckets): sets = (doc, ss) stored ONCE per doc; buckets =
+    (doc, band, bucket) — the skinny join key table. Storing ss inside
+    the bucket rows would duplicate the dominant payload ``bands``×."""
     from pyspark.sql import functions as F
 
     from ..operators.dedup import _shingle_sigs_arrow
 
     rows = num_hashes // bands
-    sigs = _shingle_sigs_arrow(df, id_col, text_col, n, num_hashes)
+    sigs = _shingle_sigs_arrow(df, id_col, text_col, n, num_hashes).persist()
     band_hashes = [
         F.md5(F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]))
         for b in range(bands)
     ]
-    return sigs.select(
-        "doc", "ss", F.posexplode(F.array(*band_hashes)).alias("band", "bucket")
+    sets = sigs.select("doc", "ss")
+    buckets = sigs.select(
+        "doc", F.posexplode(F.array(*band_hashes)).alias("band", "bucket")
     )
+    return sets, buckets, sigs
 
 
 def dedup_against_index(
@@ -93,38 +99,51 @@ def dedup_against_index(
     from pyspark.sql import functions as F
 
     spark = new_docs.sparkSession
-    fresh = _band_buckets(new_docs, id_col, text_col, n, num_hashes, bands).persist()
+    sets, buckets, sigs = _shingles_and_buckets(
+        new_docs, id_col, text_col, n, num_hashes, bands
+    )
+    had_index = os.path.exists(f"{index_dir}/buckets")
     if update_index:
-        fresh.write.mode("append").parquet(index_dir)
+        buckets.write.mode("append").parquet(f"{index_dir}/buckets")
+        sets.write.mode("append").parquet(f"{index_dir}/sets")
 
-    if not os.path.exists(index_dir):
-        fresh.unpersist()
-        return spark.createDataFrame([], "doc long, dup_of long, jaccard double")
+    if not had_index:
+        sigs.unpersist()
+        # empty-result schema must match the id column's real type or
+        # callers unioning per-batch results hit a type mismatch
+        id_t = new_docs.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"doc {id_t}, dup_of {id_t}, jaccard double"
+        )
 
-    idx = spark.read.parquet(index_dir)
-    batch_ids = fresh.select("doc").distinct()
-    prior = idx.join(batch_ids, idx.doc == batch_ids.doc, "left_anti")
+    idx_buckets = spark.read.parquet(f"{index_dir}/buckets")
+    idx_sets = spark.read.parquet(f"{index_dir}/sets")
+    batch_ids = buckets.select("doc").distinct()
+    prior = idx_buckets.join(batch_ids, "doc", "left_anti")
     cands = (
-        fresh.alias("new")
+        buckets.alias("new")
         .join(
             prior.alias("old"),
             (F.col("new.band") == F.col("old.band"))
             & (F.col("new.bucket") == F.col("old.bucket")),
         )
-        .select(
-            F.col("new.doc").alias("doc"),
-            F.col("new.ss").alias("ss_new"),
-            F.col("old.doc").alias("dup_of"),
-            F.col("old.ss").alias("ss_old"),
-        )
+        .select(F.col("new.doc").alias("doc"), F.col("old.doc").alias("dup_of"))
         .dropDuplicates(["doc", "dup_of"])
+    )
+    # shingle arrays join in only for the (few) candidates
+    old_sets = idx_sets.select(
+        F.col("doc").alias("dup_of"), F.col("ss").alias("ss_old")
+    ).dropDuplicates(["dup_of"])
+    joined = (
+        cands.join(sets.withColumnRenamed("ss", "ss_new"), "doc")
+        .join(old_sets, "dup_of")
     )
     inter = F.size(F.array_intersect(F.col("ss_new"), F.col("ss_old")))
     total = F.size("ss_new") + F.size("ss_old")
     jac = inter / (total - inter)
     hits = (
-        cands.select("doc", "dup_of", F.round(jac, 6).alias("jaccard"))
+        joined.select("doc", "dup_of", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-    fresh.unpersist()
+    sigs.unpersist()
     return hits

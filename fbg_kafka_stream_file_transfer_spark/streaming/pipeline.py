@@ -127,25 +127,50 @@ def _partition_col(df: DataFrame) -> DataFrame:
     return df.withColumn("dt", F.date_format("event_time", "yyyy-MM-dd")).repartition("dt")
 
 
-def write_batch_sinks(result: PipelineResult, out_dir: str) -> None:
+def _write_leg(df: DataFrame, path: str, epoch_id: int | None) -> None:
+    df = _partition_col(df)
+    if epoch_id is None:
+        df.write.mode("append").partitionBy("dt").parquet(path)
+    else:
+        (
+            df.withColumn("batch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "dt")
+            .parquet(path)
+        )
+
+
+def write_batch_sinks(
+    result: PipelineResult, out_dir: str, epoch_id: int | None = None
+) -> None:
     """Partitioned parquet sinks for the three S3 prefixes (S4/S5/S6).
+
+    With ``epoch_id`` (foreachBatch passes it) each leg writes via
+    DYNAMIC partition overwrite into a ``batch_id`` partition: a
+    replayed micro-batch overwrites exactly its own partitions instead
+    of appending duplicates — effectively-once on plain parquet (ST1/
+    ST7; a transactional table format would subsume this). Without an
+    epoch the write is a plain append (ad-hoc batch use).
+
+    ``incoming/`` keeps the raw bytes — it IS the reference's raw file
+    store (S4, file-pipeline.yaml:89-96) and the source the retry drain
+    re-fetches content from (dlq-handler.yaml:185-188).
 
     DLQ writes are best-effort like the reference (E5,
     dlq-handler.yaml:116-124): a failure there must not lose the batch.
     """
-    _partition_col(result.incoming).drop("content").write.mode("append").partitionBy(
-        "dt"
-    ).parquet(f"{out_dir}/incoming")
-    _partition_col(result.processed).write.mode("append").partitionBy("dt").parquet(
-        f"{out_dir}/processed"
-    )
-    _partition_col(result.retry_buffer).write.mode("append").partitionBy("dt").parquet(
-        f"{out_dir}/retry"
-    )
+
+    write = lambda df, leg: _write_leg(df, f"{out_dir}/{leg}", epoch_id)  # noqa: E731
+
+    write(result.incoming, "incoming")
+    write(result.processed, "processed")
+    # the retry buffer stays OUTSIDE the batch_id scheme: the drain
+    # rebuilds it (dt-only layout) and a replayed batch's duplicate
+    # retry rows collapse at drain time via the correlation_id dedup
+    _write_leg(result.retry_buffer, f"{out_dir}/retry", None)
     try:
-        _partition_col(result.dlq).write.mode("append").partitionBy("dt").parquet(
-            f"{out_dir}/failed"
-        )
+        write(result.dlq, "failed")
     except Exception as exc:  # E5: swallow DLQ-sink errors, keep the batch
         print(f"WARN: DLQ sink write failed (best-effort, E5): {exc}")
 
@@ -172,7 +197,9 @@ def start_file_pipeline(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         result = process_envelope_batch(batch_df, extractor=extractor, policy=policy)
-        write_batch_sinks(result, out_dir)
+        # epoch-tagged dynamic overwrite: a replayed batch rewrites its
+        # own partitions instead of appending duplicates (ST1 → ST7)
+        write_batch_sinks(result, out_dir, epoch_id=epoch_id)
         result.unpersist()  # release this micro-batch's cached intermediates
 
     return (
@@ -194,17 +221,27 @@ def replay_due_retries(
     dlq-handler.yaml:184-188, done properly).
 
     The buffer is REBUILT each drain — not-yet-due rows plus the replay's
-    new retry rows replace the old directory (write-new-then-swap). An
-    append-only buffer would re-admit already-consumed rows on every
-    subsequent drain and multiply them; this is the broker-ack analogue.
-    On a cluster the swap becomes a Delta/Iceberg MERGE — same logic,
-    transactional."""
+    new retry rows replace the old directory (write-new-then-swap, with
+    crash recovery: a leftover rebuild dir from a died drain is adopted
+    on the next call). An append-only buffer would re-admit
+    already-consumed rows on every subsequent drain and multiply them;
+    this is the broker-ack analogue. On a cluster the swap becomes a
+    Delta/Iceberg MERGE — same logic, transactional.
+
+    Content is RE-FETCHED from ``incoming/`` by correlation_id — the
+    reference's planned reprocess semantics (dlq-handler.yaml:185-188):
+    retry rows carry metadata only, the raw bytes live in the raw-file
+    store. Rows that never reached incoming/ (validation rejects) retry
+    with empty content and re-reject deterministically."""
     import os
     import shutil
 
     from ..operators.retry import due_for_retry
 
     path = f"{out_dir}/retry"
+    tmp = f"{path}__rebuild"
+    if os.path.exists(tmp) and not os.path.exists(path):
+        os.rename(tmp, path)  # a previous drain died mid-swap: adopt its rebuild
     if not os.path.exists(path):
         return None
     now_col = F.lit(now).cast("timestamp")
@@ -216,20 +253,37 @@ def replay_due_retries(
     remaining = buf.filter(~(F.col("next_attempt_time") <= now_col))
     env = due.drop(
         "retry_status", "backoff_seconds", "next_attempt_time", "reject_reason", "dt"
-    ).withColumn("content", F.to_binary(F.lit(""), F.lit("utf-8")))
+    )
+    # E6: recover the original bytes from the raw-file store
+    content = F.to_binary(F.lit(""), F.lit("utf-8")).alias("content")
+    inc_path = f"{out_dir}/incoming"
+    if os.path.exists(inc_path):
+        stored = (
+            spark.read.parquet(inc_path)
+            .select(F.col("correlation_id").alias("_cid"), F.col("content").alias("_c"))
+            .dropDuplicates(["_cid"])
+        )
+        env = (
+            env.join(stored, env.correlation_id == stored._cid, "left")
+            .withColumn("content", F.coalesce(F.col("_c"), content))
+            .drop("_cid", "_c")
+        )
+    else:
+        env = env.withColumn("content", content)
+    # truncate lineage: env's plan reads incoming/ and the retry buffer,
+    # both of which the writes below mutate — an eager local checkpoint
+    # pins the data so no later action re-reads its own output
+    env = env.localCheckpoint()
     result = process_envelope_batch(env, extractor=extractor, policy=policy)
 
-    # non-buffer legs append as usual
-    _partition_col(result.incoming).drop("content").write.mode("append").partitionBy(
-        "dt"
-    ).parquet(f"{out_dir}/incoming")
-    _partition_col(result.processed).write.mode("append").partitionBy("dt").parquet(
-        f"{out_dir}/processed"
-    )
+    # non-buffer legs: idempotent epoch-tagged writes keyed by drain
+    # time (negative so it can't collide with streaming epoch ids, and
+    # int32-range so partition-column type inference stays INT)
+    epoch = -int(__import__("calendar").timegm(now.timetuple()))
+    _write_leg(result.incoming, inc_path, epoch)
+    _write_leg(result.processed, f"{out_dir}/processed", epoch)
     try:
-        _partition_col(result.dlq).write.mode("append").partitionBy("dt").parquet(
-            f"{out_dir}/failed"
-        )
+        _write_leg(result.dlq, f"{out_dir}/failed", epoch)
     except Exception as exc:  # E5
         print(f"WARN: DLQ sink write failed (best-effort, E5): {exc}")
 
@@ -238,12 +292,9 @@ def replay_due_retries(
         _partition_col(result.retry_buffer), allowMissingColumns=True
     )
     new_buf = new_buf.persist()
-    tmp = f"{path}__rebuild"
     if new_buf.count() > 0:
         new_buf.write.mode("overwrite").partitionBy("dt").parquet(tmp)
-    # cache the returned legs: after the swap their source files are gone
-    for leg in (result.incoming, result.processed, result.retry_buffer, result.dlq):
-        leg.persist().count()
+    result.unpersist()
     buf.unpersist()
     new_buf.unpersist()
     shutil.rmtree(path)

@@ -120,3 +120,51 @@ def test_full_poison_lifecycle_through_drains(spark, tmp_path):
     assert '"status":"FAILED"' in failed[0].failure_json
     # the good file was processed exactly once through all of this
     assert spark.read.parquet(str(out / "processed")).count() == 1
+
+
+def test_extraction_retry_recovers_original_content(spark, tmp_path):
+    """An accepted file whose EXTRACTION fails must retry with its
+    ORIGINAL bytes (re-fetched from incoming/, the reference's planned
+    reprocess semantics) — and succeed once the backend heals."""
+    from fbg_kafka_stream_file_transfer_spark.operators.extract import stub_extractor
+    from fbg_kafka_stream_file_transfer_spark.streaming.pipeline import (
+        replay_due_retries,
+        start_file_pipeline,
+    )
+
+    marker = tmp_path / "backend_down"
+    marker.touch()
+    marker_path = str(marker)
+
+    def flaky_extractor(content: bytes) -> dict:
+        import os
+
+        if os.path.exists(marker_path):
+            raise RuntimeError("docling unavailable")
+        return stub_extractor(content)
+
+    src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    (src / "doc.pdf").write_bytes(b"the real document body")
+    q = start_file_pipeline(spark, str(src), str(out), str(ckpt), extractor=flaky_extractor)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # extraction failed -> retry leg; incoming/ holds the raw bytes
+    buf = spark.read.parquet(str(out / "retry")).collect()
+    assert len(buf) == 1 and "docling unavailable" in buf[0].reject_reason
+    inc = spark.read.parquet(str(out / "incoming")).collect()
+    assert bytes(inc[0].content) == b"the real document body"
+
+    marker.unlink()  # backend heals
+    r = replay_due_retries(
+        spark, str(out), buf[0].event_time + datetime.timedelta(seconds=6),
+        extractor=flaky_extractor,
+    )
+    assert r is not None
+    done = spark.read.parquet(str(out / "processed")).collect()
+    assert len(done) == 1
+    # the extracted text is from the ORIGINAL bytes, not fabricated emptiness
+    assert '"text":"the real document body"' in done[0].result_json
