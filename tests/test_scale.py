@@ -149,3 +149,27 @@ def test_range_join_boundaries(spark):
         ).collect()
     )
     assert got == [100.0, 150.0]  # 160 excluded (end-exclusive), 100 included
+
+
+def test_as_of_join_guards_and_null_values(spark):
+    import pytest
+
+    from fbg_kafka_stream_file_transfer_spark.operators.timejoin import as_of_join
+
+    left = spark.createDataFrame([(1, 10, "x")], "k long, t long, v string")
+    right = spark.createDataFrame([(1, 5, "r")], "k long, t long, v string")
+    with pytest.raises(ValueError, match="left already has value"):
+        as_of_join(left, right, ["k"], "t", "t", ["v"])
+
+    # a right row whose VALUE is null still wins as the latest match
+    l2 = spark.createDataFrame([(1, 30)], "k long, t long")
+    r2 = spark.createDataFrame([(1, 10, "old"), (1, 20, None)], "k long, t long, price string")
+    got = as_of_join(l2, r2, ["k"], "t", "t", ["price"]).first()
+    assert got.price is None  # merge_asof semantics, not stale 'old'
+
+
+def test_mix_corpus_empty_rates(spark):
+    from fbg_kafka_stream_file_transfer_spark.operators.sampling import mix_corpus
+
+    df = spark.createDataFrame([(1, "en")], "id long, lang string")
+    assert mix_corpus(df, "id", "lang", {}).count() == 0
