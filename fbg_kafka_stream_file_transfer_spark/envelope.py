@@ -207,30 +207,14 @@ def with_derived(df: DataFrame) -> DataFrame:
     file extension. All Catalyst-native ``withColumn`` projections — the
     reference does the same work as per-message property assignments.
     """
+    from .functions.derivations import object_key
+
     date = processing_date(F.col("event_time"))
+    cid, fname = F.col("correlation_id"), F.col("file_name")
     return (
         df.withColumn("processing_date", date)
-        .withColumn("extension", file_extension(F.col("file_name")))
-        .withColumn(
-            "incoming_key",
-            F.concat_ws("/", F.lit("incoming"), date, F.col("correlation_id"), F.col("file_name")),
-        )
-        .withColumn(
-            "processed_key",
-            F.concat(
-                F.concat_ws(
-                    "/", F.lit("processed"), date, F.col("correlation_id"), F.col("file_name")
-                ),
-                F.lit(".json"),
-            ),
-        )
-        .withColumn(
-            "failed_key",
-            F.concat(
-                F.concat_ws(
-                    "/", F.lit("failed"), date, F.col("correlation_id"), F.col("file_name")
-                ),
-                F.lit(".failure.json"),
-            ),
-        )
+        .withColumn("extension", file_extension(fname))
+        .withColumn("incoming_key", object_key("incoming", date, cid, fname))
+        .withColumn("processed_key", object_key("processed", date, cid, fname, ".json"))
+        .withColumn("failed_key", object_key("failed", date, cid, fname, ".failure.json"))
     )

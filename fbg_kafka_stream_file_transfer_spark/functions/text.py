@@ -189,13 +189,9 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
         F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("term"),
     ).filter(F.length("term") > 0)
     tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
-    n_docs = df.select(F.countDistinct(id_col).alias("n")).crossJoin(
-        tf.select("term").distinct()
-    )
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc").alias("df"))
-    idf = (
-        n_docs.join(dfreq, "term")
-        .select("term", F.log(F.col("n") / F.col("df")).alias("idf"))
+    idf = dfreq.crossJoin(df.select(F.countDistinct(id_col).alias("n"))).select(
+        "term", F.log(F.col("n") / F.col("df")).alias("idf")
     )
     scored = tf.join(F.broadcast(idf), "term").select(
         "doc", "term", (F.col("tf") * F.col("idf")).alias("_tfidf")
@@ -222,7 +218,11 @@ def chunk_text(df, id_col: str, text_col: str, chunk_tokens: int = 30, stride: i
     from pyspark.sql import functions as F
 
     toks = F.split(normalized_text(F.col(text_col)), " ")
-    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride))
+    # cap starts so the last chunk isn't wholly contained in its
+    # predecessor: any start s >= n - (chunk - stride) would cover only
+    # tokens the previous chunk already emitted (duplicate text)
+    last_start = F.greatest(F.size(toks) - (chunk_tokens - stride) - 1, F.lit(0))
+    starts = F.sequence(F.lit(0), last_start, F.lit(stride))
     t = df.select(
         F.col(id_col).alias("doc"), toks.alias("_toks"), F.explode(starts).alias("_start")
     )

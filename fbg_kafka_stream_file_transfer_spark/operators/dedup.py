@@ -77,7 +77,10 @@ def ngram_jaccard_pairs(
     Quadratic only within docs sharing a shingle; use after LSH blocking
     at scale.
     """
-    sets = _shingle_sets(df, id_col, text_col, n)
+    # the shingle frame feeds four plan branches (counts ×2 + both join
+    # sides) — persist so the Arrow shingling UDF runs once, same
+    # treatment (and same LRU-eviction caveat) as minhash_dedup_pairs
+    sets = _shingle_sets(df, id_col, text_col, n).persist()
     counts = sets.select("doc", F.size("ss").alias("n_sh"))
     ex = sets.select("doc", F.explode("ss").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")

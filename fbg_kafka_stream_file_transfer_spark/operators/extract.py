@@ -66,23 +66,42 @@ def stub_extractor(content: bytes) -> dict:
 
 def docling_http_extractor(service_url: str, timeout_connect: float = 30.0,
                            timeout_read: float = 300.0) -> Extractor:
-    """Real-backend factory mirroring the reference's HTTP call (S8:
-    30 s connect / 300 s socket timeouts, application.properties:73-74).
-    Requires `requests`/`urllib`; constructed lazily so the stub path has
-    no network dependency."""
+    """Real-backend factory mirroring the reference's HTTP call (S8,
+    application.properties:73-74). The request is a single well-formed
+    JSON document — base64 content + the reference's conversion options
+    (file-pipeline.yaml:131-135) — so any JSON endpoint can parse it.
+
+    urllib exposes one deadline per request, so the connect phase is
+    bounded separately via ``socket.setdefaulttimeout`` during the call
+    and the full exchange by ``timeout_read`` (the reference's 300 s
+    socket ceiling). Constructed lazily so the stub path has no network
+    dependency.
+    """
 
     def call(content: bytes) -> dict:
+        import base64
+        import socket
         import urllib.request
 
+        body = json.dumps(
+            {
+                "content_b64": base64.b64encode(content).decode(),
+                "options": {"from_format": None, "to_format": "json",
+                            "ocr": True, "table_structure": True},
+            }
+        ).encode()
         req = urllib.request.Request(
             f"{service_url}/v1/convert/source",
-            data=json.dumps({"options": {"to_format": "json", "ocr": True,
-                                         "table_structure": True}}).encode()
-            + b"\x00" + content,
+            data=body,
             headers={"Content-Type": "application/json"},
         )
-        with urllib.request.urlopen(req, timeout=timeout_read) as resp:
-            parsed = json.loads(resp.read())
+        prev = socket.getdefaulttimeout()
+        socket.setdefaulttimeout(timeout_connect)  # bounds the connect phase
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_read) as resp:
+                parsed = json.loads(resp.read())
+        finally:
+            socket.setdefaulttimeout(prev)
         return {
             "status": "SUCCESS",
             "text": parsed.get("text"),

@@ -116,16 +116,31 @@ def sustained_breach(
     threshold: float,
     consecutive: int,
     order_col: str = "window_start",
+    window_step_seconds: int | None = None,
 ) -> DataFrame:
     """The PromQL ``for: N minutes`` debounce (alerts.yaml:33 etc.):
     alert only when the threshold is breached in `consecutive` successive
     windows. Implemented as a count-based running window over the
-    (small) aggregated series — no raw-data pass."""
+    (small) aggregated series — no raw-data pass.
+
+    Pass ``window_step_seconds`` to enforce WALL-CLOCK continuity: the N
+    breached rows must also span exactly (N-1)×step. Without it, rows
+    adjacent in the series but separated by traffic-less (absent)
+    windows would count as consecutive — not what `for:` means.
+    """
     w = Window.orderBy(order_col).rowsBetween(-(consecutive - 1), 0)
     breached = F.when(F.col(value_col) > threshold, 1).otherwise(0)
-    return (
+    out = (
         windowed.withColumn("_b", breached)
         .withColumn("breach_run", F.sum("_b").over(w))
-        .withColumn("alert", F.col("breach_run") >= consecutive)
-        .drop("_b")
     )
+    alert = F.col("breach_run") >= consecutive
+    if window_step_seconds is not None:
+        lag_w = Window.orderBy(order_col)
+        span = F.unix_timestamp(F.col(order_col)) - F.unix_timestamp(
+            F.lag(order_col, consecutive - 1).over(lag_w)
+        )
+        alert = alert & F.coalesce(
+            span == (consecutive - 1) * window_step_seconds, F.lit(False)
+        )
+    return out.withColumn("alert", alert).drop("_b")

@@ -23,8 +23,17 @@ from ..functions.vectors import as_double_array, dot, norm
 
 def hyperplane_sign(dim_index: Column, plane: int) -> Column:
     """Deterministic ±1 sign for (dimension, plane) — the portable stand-in
-    for a seeded Gaussian hyperplane: s = ((i*31 + j*17) mod 2)*2 - 1."""
-    return ((dim_index * 31 + F.lit(plane * 17)) % 2) * 2 - 1
+    for a seeded Gaussian hyperplane.
+
+    NOT a linear form mod 2: parity of a*i + b*j collapses every plane
+    onto plane 0 or its negation (a bug this replaced). Instead take a
+    middle bit of a spatial-hash mix — the carry propagation in the
+    multiply-add decorrelates planes, and only floor/%/± are used so
+    the identical arithmetic runs in any engine:
+    s = (floor(((i*73856093 + (j+1)*19349663) % 65536) / 256) % 2)*2 - 1.
+    """
+    h = (dim_index.cast("long") * 73856093 + F.lit((plane + 1) * 19349663)) % 65536
+    return (F.floor(h / F.lit(256)) % 2) * 2 - 1
 
 
 def lsh_bucket(vec: Column, planes: int) -> Column:
@@ -250,14 +259,15 @@ def brute_force_topk_arrow(
 
     vecs = df.select(F.col(id_col).alias("vid"), as_double_array(F.col(vec_col)).alias("v"))
     q_rows = vecs.filter(query_filter).collect()  # queries are small by contract
-    q_ids = np.array([r.vid for r in q_rows])
+    q_ids = [r.vid for r in q_rows]
     q_mat = np.array([r.v for r in q_rows], dtype=np.float64)
     q_nrm = np.linalg.norm(q_mat, axis=1)
 
     spark = df.sparkSession
     b = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm))
 
-    out_schema = "query_id long, neighbor_id long, _cos double"
+    id_t = df.schema[id_col].dataType.simpleString()  # generic id types
+    out_schema = f"query_id {id_t}, neighbor_id {id_t}, _cos double"
 
     def part(batches):
         ids, qm, qn = b.value
@@ -267,16 +277,25 @@ def brute_force_topk_arrow(
             x = np.array(list(pdf["v"]), dtype=np.float64)
             xn = np.linalg.norm(x, axis=1)
             cos = (qm @ x.T) / (qn[:, None] * xn[None, :])  # |Q| × batch
-            vid = pdf["vid"].to_numpy()
+            vid = list(pdf["vid"])
             rows = {"query_id": [], "neighbor_id": [], "_cos": []}
             top = min(k + 1, cos.shape[1])  # +1: self may rank
             for qi in range(cos.shape[0]):
-                idx = np.argpartition(-cos[qi], top - 1)[:top]
-                for j in idx:
+                row = cos[qi]
+                finite = np.isfinite(row)  # zero-norm vectors → NaN: exclude
+                if not finite.any():
+                    continue
+                # select by value threshold, not argpartition membership:
+                # keep everything within 2e-9 of the top-th value so the
+                # global round-9/id tie-break sees every tied candidate
+                vals = row[finite]
+                kth = np.partition(vals, max(len(vals) - top, 0))[max(len(vals) - top, 0)]
+                keep = np.where(finite & (row >= kth - 2e-9))[0]
+                for j in keep:
                     if vid[j] != ids[qi]:
-                        rows["query_id"].append(int(ids[qi]))
-                        rows["neighbor_id"].append(int(vid[j]))
-                        rows["_cos"].append(float(cos[qi, j]))
+                        rows["query_id"].append(ids[qi])
+                        rows["neighbor_id"].append(vid[j])
+                        rows["_cos"].append(float(row[j]))
             yield pd.DataFrame(rows)
 
     cand = ensure_parallelism(vecs).mapInPandas(part, out_schema)

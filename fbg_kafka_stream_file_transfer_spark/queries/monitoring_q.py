@@ -115,7 +115,9 @@ def _alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PromQL `for: 5m` debounce (A1 + sustained_breach): alert fires
     only when error_rate > 0.1 in 5 consecutive 5-minute windows."""
     rate = monitoring.error_rate(_pipeline_events(spark, sf_dir), window="5 minutes")
-    out = monitoring.sustained_breach(rate, "error_rate", 0.1, 5)
+    out = monitoring.sustained_breach(
+        rate, "error_rate", 0.1, 5, window_step_seconds=300
+    )
     return (
         _fmt_window(out)
         .select(
@@ -225,10 +227,12 @@ SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
        CAST(sum(CASE WHEN error_rate > 0.1 THEN 1 ELSE 0 END)
             OVER (ORDER BY ws ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS INTEGER) AS breach_run,
        CAST(sum(CASE WHEN error_rate > 0.1 THEN 1 ELSE 0 END)
-            OVER (ORDER BY ws ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS INTEGER) >= 5 AS alert
+            OVER (ORDER BY ws ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS INTEGER) >= 5
+       AND coalesce(floor(epoch(ws)) - lag(floor(epoch(ws)), 4) OVER (ORDER BY ws) = 4 * 300,
+                    FALSE) AS alert
 FROM rate
 """,
-        doc="PromQL `for:` debounce (alerts.yaml:33) as window-over-window",
+        doc="PromQL `for:` debounce (alerts.yaml:33) — N consecutive windows AND wall-clock-contiguous",
     ),
 }
 

@@ -22,14 +22,19 @@ _COS = (
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
 
-#: DuckDB mirror of similarity.lsh_bucket (same arithmetic sign pattern,
-#: same sequential projection sum over dims 0..63).
+#: DuckDB mirror of similarity.lsh_bucket — the same carry-mixing
+#: spatial-hash sign (floor/%/± only, engine-portable):
+#: s = (floor(((i*73856093 + (j+1)*19349663) % 65536) / 256) % 2)*2 - 1
 def _bucket_sql(vcol: str, planes: int = _PLANES) -> str:
     terms = []
     for j in range(planes):
+        sign = (
+            f"(CAST(floor((((i - 1) * 73856093 + {(j + 1) * 19349663}) % 65536)"
+            f" / 256) AS BIGINT) % 2) * 2 - 1"
+        )
         proj = (
             f"list_sum(list_transform(range(1, len({vcol}) + 1), "
-            f"i -> {vcol}[i] * ((((i - 1) * 31 + {j * 17}) % 2) * 2 - 1)))"
+            f"i -> {vcol}[i] * ({sign})))"
         )
         terms.append(f"(CASE WHEN {proj} > 0 THEN {2**j} ELSE 0 END)")
     return " + ".join(terms)

@@ -329,7 +329,7 @@ QUERIES["text_chunking"] = Q(
     NORM_CTE
     + """
 , starts AS (
-  SELECT doc_id, t, unnest(range(0, greatest(len(t) - 1, 0) + 1, 20)) AS s
+  SELECT doc_id, t, unnest(range(0, greatest(len(t) - (30 - 20) - 1, 0) + 1, 20)) AS s
   FROM toks
 )
 SELECT doc_id,
