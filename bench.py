@@ -47,7 +47,10 @@ HEADLINE = [
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    except ValueError:  # non-sfN dir name: report unknown, still benchmark
+        sf = -1.0
     spark = get_spark("bench")
 
     # warm the session (JVM/codegen/python-worker startup) so the first

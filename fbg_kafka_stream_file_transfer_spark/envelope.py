@@ -62,6 +62,7 @@ WIRE_METADATA_SCHEMA = T.StructType(
         T.StructField("correlationId", T.StringType(), True),
         T.StructField("content", T.StringType(), True),  # base64
         T.StructField("eventTime", T.TimestampType(), True),
+        T.StructField("deliveryCount", T.IntegerType(), True),
     ]
 )
 
@@ -148,7 +149,10 @@ def from_kafka_wire(kafka_df: DataFrame) -> DataFrame:
         meta["checksum"].alias("checksum"),
         F.unbase64(meta["content"]).alias("content"),
         F.coalesce(meta["eventTime"], F.col("timestamp")).alias("event_time"),
-        F.lit(1).alias("delivery_count"),
+        # preserve attempt state across broker round trips (retry topics
+        # republish failures — resetting to 1 would retry forever);
+        # messages from foreign producers default to first delivery
+        F.coalesce(meta["deliveryCount"], F.lit(1)).alias("delivery_count"),
     )
 
 

@@ -20,22 +20,25 @@ def profile_table(df: DataFrame, cols: list[str], approx: bool = False) -> DataF
     min_value, max_value) — min/max stringified so heterogeneous column
     types share one schema."""
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
         distinct = (
             F.approx_count_distinct(c) if approx else F.countDistinct(c)
         )
+        # positional internal aliases: raw column names may contain
+        # spaces/quotes/keywords that would break the stack() expression
         aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
-            distinct.alias(f"{c}__distinct"),
+            F.count(F.lit(1)).alias(f"_c{i}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_c{i}__nulls"),
+            distinct.alias(f"_c{i}__distinct"),
             # aggregate on the NATIVE type, stringify the result —
             # casting first would make numeric min/max lexicographic
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            F.min(F.col(c)).cast("string").alias(f"_c{i}__min"),
+            F.max(F.col(c)).cast("string").alias(f"_c{i}__max"),
         ]
     wide = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+        f"'{c.replace(chr(39), chr(39)*2)}', _c{i}__n, _c{i}__nulls, _c{i}__distinct, _c{i}__min, _c{i}__max"
+        for i, c in enumerate(cols)
     )
     return wide.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS "

@@ -106,12 +106,14 @@ def expire_by_ttl(
     """ST4/E3 — broker message-expiry analogue: rows older than the TTL are
     tagged EXPIRED (the `file-transfer-expiry` address, amq-address.yaml:43-48).
     ``now`` defaults to max(event_time) so batch runs stay deterministic."""
+    added_now = False
     if now is None:
-        mx = df.agg(F.max(time_col).alias("_now"))
+        mx = df.agg(F.max(time_col).alias("__ttl_now__"))
         df = df.crossJoin(F.broadcast(mx))
-        now = F.col("_now")
+        now = F.col("__ttl_now__")
+        added_now = True
     age = F.unix_timestamp(now) - F.unix_timestamp(F.col(time_col))
     out = df.withColumn(
         "expiry_status", F.when(age > ttl_seconds, F.lit("EXPIRED")).otherwise(F.lit("LIVE"))
     )
-    return out.drop("_now") if "_now" in out.columns else out
+    return out.drop("__ttl_now__") if added_now else out

@@ -383,10 +383,15 @@ def _q_route_all_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.dlq.select(F.lit("DLQ").alias("leg"), "correlation_id"),
     ]
     u = legs[0].unionByName(legs[1]).unionByName(legs[2])
-    return u.groupBy("leg").agg(
+    out = u.groupBy("leg").agg(
         F.count("*").alias("n"),
         F.min("correlation_id").alias("first_id"),
     )
+    # materialize the tiny summary and release the route's cached
+    # intermediates (PipelineResult contract) before returning
+    rows = out.collect()
+    r.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 QUERIES["pipe_route_all_legs"] = Q(
@@ -421,11 +426,14 @@ def _q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = process_envelope_batch(env)
     arrived = env.select("correlation_id", "delivery_count")
     done = r.processed.select("correlation_id")
-    return (
+    out = (
         arrived.join(done, "correlation_id", "left_anti")
         .groupBy("delivery_count")
         .agg(F.count("*").alias("n_unprocessed"), F.min("correlation_id").alias("first_id"))
     )
+    rows = out.collect()
+    r.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 QUERIES["pipe_reconciliation_anti"] = Q(

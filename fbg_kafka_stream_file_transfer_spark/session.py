@@ -35,6 +35,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # NULL-on-error arithmetic (x/0 → NULL like DuckDB/classic SQL):
+        # Spark 4's ANSI default would instead abort the job on the first
+        # zero-norm vector or overflow — the oracle conventions and the
+        # pipeline's keep-processing posture assume NULL semantics
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

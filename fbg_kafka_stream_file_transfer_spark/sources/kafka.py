@@ -43,9 +43,12 @@ def to_kafka_wire(env: DataFrame) -> DataFrame:
                 F.col("checksum").alias("checksum"),
                 F.col("correlation_id").alias("correlationId"),
                 F.base64(F.col("content")).alias("content"),
-                F.date_format("event_time", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias(
+                # full microsecond precision: millisecond truncation would
+                # let event-time ordering invert across a broker round trip
+                F.date_format("event_time", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").alias(
                     "eventTime"
                 ),
+                F.col("delivery_count").alias("deliveryCount"),
             )
         ).cast("binary").alias("value"),
     )

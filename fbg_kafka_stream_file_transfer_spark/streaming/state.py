@@ -27,7 +27,12 @@ ALERT_SCHEMA = T.StructType(
     ]
 )
 
-_STATE_SCHEMA = T.StructType([T.StructField("run", T.IntegerType())])
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("run", T.IntegerType()),
+        T.StructField("last_window_us", T.LongType()),
+    ]
+)
 
 
 def debounced_alerts(
@@ -48,17 +53,25 @@ def debounced_alerts(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        (run,) = state.get if state.exists else (0,)
+        if state.exists:
+            run, last_us = state.get
+        else:
+            run, last_us = 0, None
         rows = pd.concat(list(pdfs)).sort_values(time_col)
         out = {"alert_key": [], "window_start": [], "value": [], "breach_run": [], "alert": []}
         for _, row in rows.iterrows():
+            ts_us = int(row[time_col].value // 1000)
+            if last_us is not None and ts_us <= last_us:
+                continue  # late/duplicate window: the run counter only
+                # advances forward in time (watermark-style drop policy)
+            last_us = ts_us
             run = run + 1 if row[value_col] > threshold else 0
             out["alert_key"].append(key[0])
             out["window_start"].append(row[time_col])
             out["value"].append(float(row[value_col]))
             out["breach_run"].append(run)
             out["alert"].append(run >= consecutive)
-        state.update((run,))
+        state.update((run, last_us))
         yield pd.DataFrame(out)
 
     return windowed.groupBy(key_col).applyInPandasWithState(

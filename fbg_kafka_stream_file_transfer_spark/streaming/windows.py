@@ -49,13 +49,19 @@ def streaming_dlq_counts(
     file_col: str = "file_name",
     time_col: str = "event_time",
     watermark: str = "1 hour",
+    window: str = "1 day",
 ) -> DataFrame:
     """A6 live: per-file DLQ counter (update mode), the micrometer counter
-    S11 (dlq-handler.yaml:129-132) as a streaming aggregation."""
+    S11 (dlq-handler.yaml:129-132) as a streaming aggregation.
+
+    Grouping includes a time window so the watermark actually EVICTS
+    state: a plain groupBy(file) would hold one state entry per distinct
+    file name forever (file names are mostly unique here)."""
     return (
         dlq.withWatermark(time_col, watermark)
-        .groupBy(file_col)
+        .groupBy(F.window(F.col(time_col), window).alias("w"), F.col(file_col))
         .agg(F.count("*").alias("dlq_messages_total"))
+        .select(F.col("w.start").alias("window_start"), file_col, "dlq_messages_total")
     )
 
 
