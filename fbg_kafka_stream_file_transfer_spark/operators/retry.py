@@ -9,6 +9,14 @@ retry buffer is a table/topic, and each micro-batch (or batch round)
 re-admits rows whose backoff elapsed. Deterministic and replayable —
 everything derives from event time + attempt count, never wall clock.
 
+Anchor semantics: ``with_retry_schedule`` anchors the backoff at the
+row's EVENT time — deterministic, so it is the batch/oracle form — which
+means a failure older than ``max_delay_s`` is instantly due at the next
+drain. The streaming drain (``streaming.pipeline.replay_due_retries``)
+therefore re-anchors reschedules at drain time (now + backoff), matching
+the reference's redeliveryDelay-counts-from-the-failure semantics
+(application.properties:88-94).
+
 Scale: pure projections + filters (no shuffle); the retry buffer is
 partitioned by next_attempt bucket so re-admission prunes partitions.
 """

@@ -88,8 +88,8 @@ def range_join_bucketed(
 
     Right intervals explode over the time cells they cover; the pair
     join is then an equi-join on (key, cell) with an exact residual
-    filter, deduped (an interval spanning k cells would otherwise match
-    a left row up to k times).
+    filter. No dedup pass is needed: a left row occupies exactly one
+    cell, so each (left, interval) pair joins at most once.
     """
     cell = lambda c: F.floor(F.col(c).cast("double") / bucket_seconds)  # noqa: E731
     cells = F.sequence(cell(range_start), cell(range_end))

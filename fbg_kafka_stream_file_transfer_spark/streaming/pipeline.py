@@ -232,7 +232,21 @@ def replay_due_retries(
     reference's planned reprocess semantics (dlq-handler.yaml:185-188):
     retry rows carry metadata only, the raw bytes live in the raw-file
     store. Rows that never reached incoming/ (validation rejects) retry
-    with empty content and re-reject deterministically."""
+    with empty content and re-reject deterministically.
+
+    Two idempotence guards close the at-least-once corners:
+
+    - **drain sequence**: each drain's sink epoch comes from a counter
+      persisted next to the buffer (committed only after the swap), not
+      from wall-clock seconds — two drains in the same second get
+      distinct epochs, while a crashed drain retried reuses its epoch
+      and overwrites its own partial output.
+    - **processed anti-join**: the buffer is deduped against
+      ``processed/`` correlation_ids before re-admission, so a retry row
+      appended by a replayed micro-batch *after* a drain already pushed
+      that row through cannot be reprocessed (on a cluster this is the
+      MERGE condition of a transactional retry table; here it's one
+      column-pruned scan of processed/ per drain)."""
     import os
     import shutil
 
@@ -240,12 +254,20 @@ def replay_due_retries(
 
     path = f"{out_dir}/retry"
     tmp = f"{path}__rebuild"
+    seq_path = f"{path}__drain_seq"
     if os.path.exists(tmp) and not os.path.exists(path):
         os.rename(tmp, path)  # a previous drain died mid-swap: adopt its rebuild
     if not os.path.exists(path):
         return None
     now_col = F.lit(now).cast("timestamp")
-    buf = spark.read.parquet(path).persist()
+    buf = spark.read.parquet(path)
+    proc_path = f"{out_dir}/processed"
+    try:
+        done_ids = spark.read.parquet(proc_path).select("correlation_id").distinct()
+        buf = buf.join(done_ids, "correlation_id", "left_anti")
+    except Exception:  # processed/ absent or empty (no files to infer from)
+        pass
+    buf = buf.persist()
     due = due_for_retry(buf, now_col)
     if not due.take(1):
         buf.unpersist()
@@ -276,10 +298,17 @@ def replay_due_retries(
     env = env.localCheckpoint()
     result = process_envelope_batch(env, extractor=extractor, policy=policy)
 
-    # non-buffer legs: idempotent epoch-tagged writes keyed by drain
-    # time (negative so it can't collide with streaming epoch ids, and
-    # int32-range so partition-column type inference stays INT)
-    epoch = -int(__import__("calendar").timegm(now.timetuple()))
+    # non-buffer legs: idempotent epoch-tagged writes keyed by the drain
+    # sequence (negative so it can't collide with streaming epoch ids);
+    # the counter is committed only after the buffer swap, so a crashed
+    # drain retried reuses its epoch (overwrite-self), while successive
+    # drains — even within one second — never share one
+    try:
+        with open(seq_path) as fh:
+            drain_seq = int(fh.read().strip() or 0)
+    except OSError:
+        drain_seq = 0
+    epoch = -(drain_seq + 1)
     _write_leg(result.incoming, inc_path, epoch)
     _write_leg(result.processed, f"{out_dir}/processed", epoch)
     try:
@@ -287,9 +316,21 @@ def replay_due_retries(
     except Exception as exc:  # E5
         print(f"WARN: DLQ sink write failed (best-effort, E5): {exc}")
 
-    # rebuild the buffer: survivors + this replay's rescheduled rows
+    # rebuild the buffer: survivors + this replay's rescheduled rows.
+    # Reschedules are re-anchored at DRAIN time (now + backoff) — the
+    # reference's redeliveryDelay counts from the failure, not from the
+    # original event (application.properties:90); the event-time anchor
+    # in with_retry_schedule stays the deterministic batch/oracle form,
+    # but here it would make every retry of an old event instantly due.
+    rescheduled = result.retry_buffer.withColumn(
+        "next_attempt_time",
+        F.when(
+            F.col("backoff_seconds").isNotNull(),
+            F.timestamp_seconds(F.unix_timestamp(now_col) + F.col("backoff_seconds")),
+        ),
+    )
     new_buf = remaining.unionByName(
-        _partition_col(result.retry_buffer), allowMissingColumns=True
+        _partition_col(rescheduled), allowMissingColumns=True
     )
     new_buf = new_buf.persist()
     if new_buf.count() > 0:
@@ -302,4 +343,6 @@ def replay_due_retries(
         os.rename(tmp, path)
     # else drained dry: an absent dir IS the empty buffer (a zero-row
     # partitioned parquet write leaves nothing readable behind)
+    with open(seq_path, "w") as fh:  # commit the drain sequence last
+        fh.write(str(drain_seq + 1))
     return result

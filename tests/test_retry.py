@@ -122,6 +122,61 @@ def test_full_poison_lifecycle_through_drains(spark, tmp_path):
     assert spark.read.parquet(str(out / "processed")).count() == 1
 
 
+def test_drain_skips_already_processed_rows_and_numbers_epochs(spark, tmp_path):
+    """Idempotence guards on the drain: (1) a stale retry row whose
+    correlation_id already reached processed/ (the replayed-append
+    corner of at-least-once) is anti-joined away, not reprocessed;
+    (2) drain epochs come from the persisted sequence, not wall-clock
+    seconds, so successive drains never share a batch_id."""
+    from fbg_kafka_stream_file_transfer_spark.operators.extract import stub_extractor
+    from fbg_kafka_stream_file_transfer_spark.streaming.pipeline import (
+        replay_due_retries,
+        start_file_pipeline,
+    )
+
+    marker = tmp_path / "down"
+    marker.touch()
+    marker_path = str(marker)
+
+    def flaky(content: bytes) -> dict:
+        import os
+
+        if os.path.exists(marker_path):
+            raise RuntimeError("docling unavailable")
+        return stub_extractor(content)
+
+    src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    (src / "doc.pdf").write_bytes(b"body")
+    q = start_file_pipeline(spark, str(src), str(out), str(ckpt), extractor=flaky)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stale = spark.read.parquet(str(out / "retry"))
+    stale_rows, stale_schema = stale.collect(), stale.schema
+    t0 = stale_rows[0].event_time
+
+    marker.unlink()  # backend heals → drain 1 processes the row
+    r1 = replay_due_retries(spark, str(out), t0 + datetime.timedelta(seconds=6),
+                            extractor=flaky)
+    assert r1 is not None
+    done = spark.read.parquet(str(out / "processed"))
+    assert done.count() == 1
+    # epoch from the committed drain sequence, not timegm(now)
+    assert (tmp_path / "out" / "retry__drain_seq").read_text() == "1"
+    assert done.select("batch_id").first().batch_id == -1
+
+    # a replayed micro-batch's append lands late: same retry row reappears
+    spark.createDataFrame(stale_rows, stale_schema).write.mode("overwrite").partitionBy(
+        "dt"
+    ).parquet(str(out / "retry"))
+    r2 = replay_due_retries(spark, str(out), t0 + datetime.timedelta(days=1),
+                            extractor=flaky)
+    assert r2 is None  # anti-join vs processed/ leaves nothing due
+    assert spark.read.parquet(str(out / "processed")).count() == 1  # no duplicate
+
+
 def test_extraction_retry_recovers_original_content(spark, tmp_path):
     """An accepted file whose EXTRACTION fails must retry with its
     ORIGINAL bytes (re-fetched from incoming/, the reference's planned
