@@ -32,17 +32,45 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-#: Output schema of the extraction result (the Docling JSON shape the
-#: reference stores verbatim, file-pipeline.yaml:207-218, parsed into a
-#: typed struct per SURVEY §1.5).
+#: Per-page text item and per-table shape item of the nested Docling
+#: result (the reference stores the full Docling JSON verbatim,
+#: file-pipeline.yaml:207-218; SURVEY §1.5 maps it to nested
+#: ``texts``/``tables`` arrays parsed via ``from_json``).
+TEXT_ITEM_SCHEMA = T.StructType(
+    [
+        T.StructField("page", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+TABLE_ITEM_SCHEMA = T.StructType(
+    [
+        T.StructField("table_index", T.IntegerType()),
+        T.StructField("n_rows", T.IntegerType()),
+        T.StructField("n_cols", T.IntegerType()),
+    ]
+)
+
+#: Output schema of the extraction result: scalar summary fields, the
+#: nested texts/tables arrays, and the backend's verbatim JSON
+#: (``result_json``) retained for the processed leg.
 EXTRACT_RESULT_SCHEMA = T.StructType(
     [
         T.StructField("status", T.StringType()),
         T.StructField("text", T.StringType()),
         T.StructField("page_count", T.IntegerType()),
         T.StructField("n_tables", T.IntegerType()),
+        T.StructField("texts", T.ArrayType(TEXT_ITEM_SCHEMA)),
+        T.StructField("tables", T.ArrayType(TABLE_ITEM_SCHEMA)),
+        T.StructField("result_json", T.StringType()),
         T.StructField("error", T.StringType()),
     ]
+)
+
+#: The document-payload subset of EXTRACT_RESULT_SCHEMA — what
+#: ``result_json`` serializes and ``parse_extract_result`` parses back
+#: (the engine's ``from_json`` face of the verbatim Docling JSON).
+RESULT_JSON_SCHEMA = T.StructType(
+    [f for f in EXTRACT_RESULT_SCHEMA.fields if f.name not in ("result_json", "error")]
 )
 
 Extractor = Callable[[bytes], dict]
@@ -52,14 +80,32 @@ def stub_extractor(content: bytes) -> dict:
     """Deterministic, pure extractor for tests and oracle parity
     (SURVEY §7 risk (c)): derives every field from the content alone.
 
-    page_count = 1 + len(content) mod 5; text = first 64 bytes decoded.
+    With ``s`` the decoded content and ``L = len(s)``:
+    page_count = 1 + L mod 5; text = s[:64]; page i (0-based) covers
+    ``s[i*(L//p) :][:min(L//p, 48)]``; table j has
+    ``2 + (L+j) mod 5`` rows × ``1 + (L+j) mod 4`` cols. Every rule is
+    plain substring/modulo arithmetic so the DuckDB oracle can replicate
+    the nested result exactly.
     """
-    text = content.decode("utf-8", errors="replace")[:64]
+    s = content.decode("utf-8", errors="replace")
+    n = len(s)
+    p = 1 + n % 5
+    step = n // p
+    texts = [
+        {"page": i + 1, "text": s[i * step : i * step + min(step, 48)]}
+        for i in range(p)
+    ]
+    tables = [
+        {"table_index": j, "n_rows": 2 + (n + j) % 5, "n_cols": 1 + (n + j) % 4}
+        for j in range(n % 3)
+    ]
     return {
         "status": "SUCCESS",
-        "text": text,
-        "page_count": 1 + len(content) % 5,
-        "n_tables": len(content) % 3,
+        "text": s[:64],
+        "page_count": p,
+        "n_tables": n % 3,
+        "texts": texts,
+        "tables": tables,
         "error": None,
     }
 
@@ -99,14 +145,28 @@ def docling_http_extractor(service_url: str, timeout_connect: float = 30.0,
         socket.setdefaulttimeout(timeout_connect)  # bounds the connect phase
         try:
             with urllib.request.urlopen(req, timeout=timeout_read) as resp:
-                parsed = json.loads(resp.read())
+                raw = resp.read()
         finally:
             socket.setdefaulttimeout(prev)
+        parsed = json.loads(raw)
+        texts = [
+            {"page": t.get("page"), "text": t.get("text")}
+            for t in parsed.get("texts", [])
+        ]
+        tables = [
+            {"table_index": j, "n_rows": t.get("n_rows"), "n_cols": t.get("n_cols")}
+            for j, t in enumerate(parsed.get("tables", []))
+        ]
         return {
             "status": "SUCCESS",
             "text": parsed.get("text"),
             "page_count": parsed.get("page_count"),
             "n_tables": len(parsed.get("tables", [])),
+            "texts": texts,
+            "tables": tables,
+            # the service's response verbatim — what the reference stores
+            # to processed/ (file-pipeline.yaml:207-218)
+            "result_json": raw.decode("utf-8", errors="replace"),
             "error": None,
         }
 
@@ -167,11 +227,40 @@ class CircuitBreaker:
             self._cooldown = 0
 
 
+def parse_extract_result(col) -> "Column":
+    """``from_json`` over the verbatim ``result_json`` column — recovers
+    the typed nested struct (texts/tables arrays) from the processed
+    leg, the way SURVEY §1.5 maps the reference's stored Docling JSON."""
+    from pyspark.sql import functions as F
+
+    return F.from_json(col, RESULT_JSON_SCHEMA)
+
+
+_FIELD_ORDER = [f.name for f in EXTRACT_RESULT_SCHEMA.fields]
+_FAILED_ROW = {f.name: None for f in EXTRACT_RESULT_SCHEMA.fields}
+
+
+def _complete_row(row: dict) -> dict:
+    """Normalize a backend dict to the full schema: missing fields become
+    NULL; ``result_json`` defaults to the compact serialization of the
+    document payload (backends that return a raw response body — the
+    HTTP one — supply it verbatim instead)."""
+    out = {k: row.get(k) for k in _FIELD_ORDER}
+    if out["result_json"] is None and out["status"] == "SUCCESS":
+        out["result_json"] = json.dumps(
+            {f.name: out[f.name] for f in RESULT_JSON_SCHEMA.fields},
+            separators=(",", ":"),
+        )
+    return out
+
+
 def extract_documents(
     df: DataFrame,
     content_col: str = "content",
     extractor: Extractor = stub_extractor,
     breaker: CircuitBreaker | None = None,
+    max_concurrency: int = 1,
+    repartition: bool = True,
 ) -> DataFrame:
     """Run the extractor over every row via ``mapInPandas`` (Arrow batches).
 
@@ -179,10 +268,26 @@ def extract_documents(
     status=FAILED rows (→ retry/DLQ legs) instead of aborting the batch,
     and an OPEN breaker fails fast with the reference's
     'circuit breaker open' message (routable by F1).
+
+    ``max_concurrency`` bounds the number of in-flight extractor calls
+    *per partition* (a thread pool inside the Arrow batch loop) — the
+    engine-side analogue of the reference's 5-concurrent-consumers
+    throttle (application.properties:45). Leave at 1 for CPU-bound
+    in-process extractors (partitions already saturate the cores); raise
+    it for I/O-bound HTTP backends, where total in-flight calls against
+    the service are then ``partitions × max_concurrency`` — the knob the
+    reference's breaker + HPA envelope bounded. Breaker state is shared
+    across the partition's threads under a lock.
+
+    ``repartition=False`` skips the spread-to-all-cores step — use it
+    when partitioning was already sized for the backend (for HTTP
+    targets, fewer partitions × higher max_concurrency bounds the
+    service-wide fan-out explicitly).
     """
     from ..sources.tables import ensure_parallelism
 
-    df = ensure_parallelism(df)  # extraction is CPU-bound, per-row independent
+    if repartition:  # extraction is CPU-bound, per-row independent
+        df = ensure_parallelism(df)
     out_schema = T.StructType(
         [f for f in df.schema.fields if f.name != content_col]
         + [T.StructField(f"extract_{f.name}", f.dataType) for f in EXTRACT_RESULT_SCHEMA.fields]
@@ -190,35 +295,53 @@ def extract_documents(
     passthrough = [f.name for f in df.schema.fields if f.name != content_col]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import threading
+
         cb = breaker  # executor-local copy per partition
-        for pdf in batches:
-            results = {f"extract_{f.name}": [] for f in EXTRACT_RESULT_SCHEMA.fields}
-            for content in pdf[content_col]:
-                if cb is not None and not cb.allow():
-                    row = {
-                        "status": "FAILED", "text": None, "page_count": None,
-                        "n_tables": None,
-                        "error": "circuit breaker open: extraction skipped",
-                    }
-                else:
-                    try:
-                        raw = bytes(content) if content is not None else b""
-                        row = extractor(raw)
-                        if cb is not None:
-                            cb.record(True)
-                    except Exception as exc:  # backend failure → FAILED row
-                        if cb is not None:
-                            cb.record(False)
-                        row = {
-                            "status": "FAILED", "text": None, "page_count": None,
-                            "n_tables": None, "error": f"extraction failed: {exc}",
-                        }
-                for k, v in row.items():
-                    results[f"extract_{k}"].append(v)
-            out = pdf[passthrough].copy()
-            for k, v in results.items():
-                out[k] = v
-            yield out
+        cb_lock = threading.Lock()
+
+        def one(content) -> dict:
+            with cb_lock:
+                admitted = cb is None or cb.allow()
+            if not admitted:
+                return dict(
+                    _FAILED_ROW,
+                    status="FAILED",
+                    error="circuit breaker open: extraction skipped",
+                )
+            try:
+                raw = bytes(content) if content is not None else b""
+                row = _complete_row(extractor(raw))
+                ok = True
+            except Exception as exc:  # backend failure → FAILED row
+                row = dict(
+                    _FAILED_ROW, status="FAILED", error=f"extraction failed: {exc}"
+                )
+                ok = False
+            if cb is not None:
+                with cb_lock:
+                    cb.record(ok)
+            return row
+
+        pool = None
+        if max_concurrency > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=max_concurrency)
+        try:
+            for pdf in batches:
+                rows = (
+                    list(pool.map(one, pdf[content_col]))
+                    if pool is not None
+                    else [one(c) for c in pdf[content_col]]
+                )
+                out = pdf[passthrough].copy()
+                for k in _FIELD_ORDER:
+                    out[f"extract_{k}"] = [r[k] for r in rows]
+                yield out
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
     return df.mapInPandas(run, out_schema)
 

@@ -112,7 +112,11 @@ def _q_cb_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8/§2.g — the extraction operator (mapInPandas + stub backend) over
-    document text-as-bytes. Oracle-checkable because the stub is pure."""
+    document text-as-bytes. Oracle-checkable because the stub is pure —
+    including the NESTED result (texts/tables arrays, SURVEY §1.5),
+    covered here through scalar projections of the arrays (first/last
+    page text, per-table row totals) that DuckDB rebuilds from the same
+    substring/modulo arithmetic."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.to_binary(F.col("text"), F.lit("utf-8")).alias("content")
     )
@@ -123,6 +127,15 @@ def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("extract_text").alias("extracted_text"),
         F.col("extract_page_count").alias("page_count"),
         F.col("extract_n_tables").alias("n_tables"),
+        F.size("extract_texts").alias("n_text_items"),
+        F.element_at(F.col("extract_texts"), 1)["text"].alias("first_page_text"),
+        F.element_at(F.col("extract_texts"), -1)["text"].alias("last_page_text"),
+        F.coalesce(
+            F.aggregate(
+                "extract_tables", F.lit(0), lambda acc, t: acc + t["n_rows"]
+            ),
+            F.lit(0),
+        ).cast("long").alias("tables_total_rows"),
     )
 
 
@@ -228,14 +241,27 @@ FROM events
     "pipe_extract_documents": Q(
         _q_extract,
         """
+WITH d AS (
+  SELECT doc_id, text, strlen(text) AS len,
+         CAST(1 + strlen(text) % 5 AS INTEGER) AS p
+  FROM documents
+), e AS (
+  SELECT *, CAST(floor(len / p) AS INTEGER) AS step FROM d
+)
 SELECT doc_id,
        'SUCCESS' AS status,
        left(text, 64) AS extracted_text,
-       CAST(1 + strlen(text) % 5 AS INTEGER) AS page_count,
-       CAST(strlen(text) % 3 AS INTEGER) AS n_tables
-FROM documents
+       p AS page_count,
+       CAST(len % 3 AS INTEGER) AS n_tables,
+       p AS n_text_items,
+       substring(text, 1, least(step, 48)) AS first_page_text,
+       substring(text, 1 + (p - 1) * step, least(step, 48)) AS last_page_text,
+       CAST(coalesce(list_sum(list_transform(range(0, CAST(len % 3 AS INTEGER)),
+                                             j -> 2 + (len + j) % 5)), 0) AS BIGINT)
+         AS tables_total_rows
+FROM e
 """,
-        doc="S8 extraction operator (mapInPandas + deterministic stub backend)",
+        doc="S8 extraction operator incl. nested texts/tables (mapInPandas + pure stub)",
     ),
     "pipe_multimodal_metadata": Q(
         _q_multimodal,

@@ -84,15 +84,13 @@ def process_envelope_batch(
         "correlation_id", "transfer_id", "file_name", "content_type", "file_size",
         "checksum", "event_time", "processing_date", "incoming_key", "content",
     )
+    # the processed leg stores the extraction result VERBATIM — the
+    # reference persists the Docling response JSON untouched
+    # (file-pipeline.yaml:207-218); consumers recover the typed nested
+    # texts/tables via extract.parse_extract_result (from_json)
     processed = ok.select(
         "correlation_id", "file_name", "processing_date", "processed_key",
-        F.to_json(
-            F.struct(
-                F.col("extract_text").alias("text"),
-                F.col("extract_page_count").alias("page_count"),
-                F.col("extract_n_tables").alias("n_tables"),
-            )
-        ).alias("result_json"),
+        F.col("extract_result_json").alias("result_json"),
         "event_time",
     )
 

@@ -29,6 +29,106 @@ def test_stub_extraction(spark):
     assert out["3"].extract_page_count == 1
 
 
+def test_nested_result_and_verbatim_json_roundtrip(spark):
+    """SURVEY §1.5 — the nested Docling shape: texts/tables arrays match
+    the stub's substring/modulo rules, and the verbatim ``result_json``
+    parses back to the same nested struct via ``from_json``."""
+    import json
+
+    from fbg_kafka_stream_file_transfer_spark.operators.extract import (
+        parse_extract_result,
+    )
+
+    out = {r.correlation_id: r for r in extract_documents(_docs(spark)).collect()}
+    r1 = out["1"]  # "hello world": L=11, p=2, step=5
+    assert [t.asDict() for t in r1.extract_texts] == [
+        {"page": 1, "text": "hello"}, {"page": 2, "text": " worl"},
+    ]
+    assert [t.asDict() for t in r1.extract_tables] == [
+        {"table_index": 0, "n_rows": 2 + 11 % 5, "n_cols": 1 + 11 % 4},
+        {"table_index": 1, "n_rows": 2 + 12 % 5, "n_cols": 1 + 12 % 4},
+    ]
+    # verbatim JSON carries the full payload, compactly serialized
+    parsed = json.loads(r1.extract_result_json)
+    assert parsed["page_count"] == 2 and len(parsed["texts"]) == 2
+    # and from_json recovers the typed struct from the stored string
+    back = (
+        extract_documents(_docs(spark))
+        .select("correlation_id", parse_extract_result(F.col("extract_result_json")).alias("r"))
+        .collect()
+    )
+    b1 = {r.correlation_id: r.r for r in back}["1"]
+    assert b1.page_count == 2 and [t.text for t in b1.texts] == ["hello", " worl"]
+    assert b1.tables[1].n_cols == 1 + 12 % 4
+
+
+def test_max_concurrency_bounds_in_flight_calls(spark):
+    """The reference's 5-consumers throttle (application.properties:45):
+    with max_concurrency=3 a latching backend observes >1 but never >3
+    concurrent in-flight calls; results stay row-aligned."""
+    import json
+    import tempfile
+    import threading
+
+    # executor threads are separate from this process only in cluster
+    # mode; on local[*] the UDF runs in a worker process, so the latch
+    # communicates through a file the workers share
+    state = tempfile.NamedTemporaryFile(mode="w", suffix=".json", delete=False)
+    json.dump({"cur": 0, "peak": 0}, state)
+    state.close()
+    path = state.name
+    lock_path = path + ".lock"
+
+    def latching(content: bytes) -> dict:
+        import json as j
+        import os
+        import time
+
+        # crude cross-process mutex (atomic O_EXCL create)
+        def locked(fn):
+            while True:
+                try:
+                    fd = os.open(lock_path, os.O_CREAT | os.O_EXCL)
+                    break
+                except FileExistsError:
+                    time.sleep(0.001)
+            try:
+                return fn()
+            finally:
+                os.close(fd)
+                os.unlink(lock_path)
+
+        def enter():
+            s = j.load(open(path))
+            s["cur"] += 1
+            s["peak"] = max(s["peak"], s["cur"])
+            j.dump(s, open(path, "w"))
+
+        def leave():
+            s = j.load(open(path))
+            s["cur"] -= 1
+            j.dump(s, open(path, "w"))
+
+        locked(enter)
+        time.sleep(0.05)  # hold the slot so overlap is observable
+        locked(leave)
+        return stub_extractor(content)
+
+    docs = spark.createDataFrame(
+        [(str(i), f"doc {i}".encode()) for i in range(12)],
+        "correlation_id string, content binary",
+    ).coalesce(1)  # one partition → one pool of max_workers=3
+    out = extract_documents(
+        docs, extractor=latching, max_concurrency=3, repartition=False
+    ).collect()
+    assert len(out) == 12 and all(r.extract_status == "SUCCESS" for r in out)
+    assert {r.correlation_id: r.extract_text for r in out} == {
+        str(i): f"doc {i}" for i in range(12)
+    }
+    peak = json.load(open(path))["peak"]
+    assert 1 < peak <= 3, f"in-flight peak {peak} violates the bound"
+
+
 def test_failing_backend_yields_failed_rows_not_abort(spark):
     def flaky(content: bytes) -> dict:
         if content == b"":
