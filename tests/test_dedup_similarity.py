@@ -57,6 +57,23 @@ def test_simhash_identical_docs_same_signature(spark):
     assert any(g.n_docs >= 2 for g in groups)
 
 
+def test_simhash_arrow_matches_catalyst(spark):
+    """The Arrow twin must be bit-identical to the simhash_expr
+    definition (the one the DuckDB oracles mirror) — including empty
+    text, punctuation-only text, and unicode."""
+    docs = _corpus(spark).union(
+        spark.createDataFrame(
+            [(10, ""), (11, "?!.,"), (12, "héllo wörld héllo"), (13, None)],
+            "doc_id long, text string",
+        )
+    )
+    fast = {r.doc_id: r.simhash16
+            for r in dedup.simhash_table(docs, "doc_id", "text", arrow=True).collect()}
+    slow = {r.doc_id: r.simhash16
+            for r in dedup.simhash_table(docs, "doc_id", "text", arrow=False).collect()}
+    assert fast == slow
+
+
 def _vectors(spark):
     rows = [
         (0, [1.0, 0.0, 0.0], 0),
