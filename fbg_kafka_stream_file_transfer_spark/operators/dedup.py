@@ -398,18 +398,33 @@ def embedding_near_dup_pairs(
     )
 
 
-def duplicate_groups(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b") -> DataFrame:
+def duplicate_groups(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 64,
+    checkpoint_every: int = 5,
+) -> DataFrame:
     """Transitive duplicate groups from near-dup pairs: connected
-    components by iterative min-label propagation (A~B, B~C ⇒ one group
-    labeled by its min doc id).
+    components by iterative min-label propagation with POINTER JUMPING
+    (A~B, B~C ⇒ one group labeled by its min doc id).
 
-    Each round joins current labels across edges and keeps the min —
-    converges in O(diameter) rounds; duplicate-graph components are
-    near-cliques from LSH verification, so diameter (and round count)
-    stays tiny. Each round is one equi-join + groupBy (shuffle on node
-    id); intermediate labels are persisted and the loop exits when a
-    round changes nothing. This is the iterative-algorithm shape Spark
-    handles with plain DataFrames — no graph library needed.
+    Each round does (1) a hop — every node takes the min label over its
+    neighbors — and (2) a jump — every node then takes its label's
+    label (labels are node ids, so this is one self-join path
+    compression). The hop alone converges in O(diameter) rounds — fine
+    for the near-clique components LSH verification emits, but a long
+    chain component (diameter d) costs d rounds; with the jump the
+    distance to the component minimum roughly halves per round, so even
+    pathological chains converge in O(log d). Each round is two
+    equi-joins + a groupBy (shuffles on node id).
+
+    Robustness at scale: every ``checkpoint_every`` rounds the label
+    frame is ``localCheckpoint``-ed — without it the plan doubles in
+    depth per round and a deep run hits planner blowup long before it
+    hits compute limits. ``max_iterations`` is a hard stop (RuntimeError)
+    so a logic regression can never loop a cluster forever; 64 covers a
+    component diameter of ~2^64 under jumping, i.e. any real graph.
 
     Returns (doc, component) for every doc appearing in ``pairs``.
     """
@@ -421,13 +436,13 @@ def duplicate_groups(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b
         edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     ).persist()
 
-    while True:
+    for rounds in range(1, max_iterations + 1):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        hopped = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
@@ -435,7 +450,23 @@ def duplicate_groups(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b
                     "label"
                 ),
             )
-        ).persist()
+        )
+        # pointer jump: labels are node ids, so following the label one
+        # step (label := label(label)) compresses paths toward the min
+        ptr = hopped.select(F.col("node").alias("pnode"), F.col("label").alias("plabel"))
+        new_labels = (
+            hopped.join(ptr, hopped.label == ptr.pnode, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        if rounds % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()  # truncate lineage
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -447,5 +478,9 @@ def duplicate_groups(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"duplicate_groups did not converge within {max_iterations} rounds"
+        )
     edges.unpersist()
     return labels.select(F.col("node").alias("doc"), F.col("label").alias("component"))

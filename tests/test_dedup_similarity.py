@@ -57,6 +57,30 @@ def test_simhash_identical_docs_same_signature(spark):
     assert any(g.n_docs >= 2 for g in groups)
 
 
+def test_duplicate_groups_long_chain_converges_fast(spark):
+    """A 100-node path graph — the pathological diameter case for plain
+    min-label propagation — must still resolve to ONE component, within
+    the O(log d) round budget pointer jumping guarantees (far below the
+    max_iterations stop), with lineage checkpointed along the way."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "doc_a long, doc_b long"
+    )
+    got = dedup.duplicate_groups(pairs, max_iterations=15, checkpoint_every=3).collect()
+    assert len(got) == 101
+    assert {r.component for r in got} == {0}
+
+
+def test_duplicate_groups_max_iterations_guard(spark):
+    """The hard stop fires instead of looping forever."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_groups(pairs, max_iterations=2)
+
+
 def test_simhash_arrow_matches_catalyst(spark):
     """The Arrow twin must be bit-identical to the simhash_expr
     definition (the one the DuckDB oracles mirror) — including empty
