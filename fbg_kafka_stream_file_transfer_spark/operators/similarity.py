@@ -154,29 +154,82 @@ def ann_lsh_topk(
     )
 
 
+def train_kmeans_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    iterations: int = 10,
+    sample_size: int = 2048,
+) -> DataFrame:
+    """Deterministic spherical k-means for the IVF coarse quantizer.
+
+    Trains Lloyd's on a deterministic sample (the ``sample_size``
+    lowest-id vectors — seed-free and replayable): init = the ``k``
+    lowest-id vectors (exactly the untrained quantizer's choice, so
+    training can only refine it), then ``iterations`` rounds of
+    assign-to-nearest-by-cosine + renormalized mean. Empty cells keep
+    their previous centroid. Returns the same broadcastable
+    (cid, cv, cnrm) table shape ``ivf_assign_cells`` builds untrained.
+
+    Scale: training cost is O(sample_size × k × iterations) in numpy on
+    the driver — independent of corpus size; the corpus-wide work stays
+    the broadcast assignment join. Raise ``sample_size`` for finer
+    centroids, not the corpus scan.
+    """
+    import numpy as np
+
+    vecs = df.select(F.col(id_col).alias("vid"), as_double_array(F.col(vec_col)).alias("v"))
+    rows = vecs.orderBy("vid").limit(sample_size).collect()
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    xn = np.linalg.norm(x, axis=1)
+    xn[xn == 0] = 1.0
+    xu = x / xn[:, None]  # unit vectors: cosine = dot
+    cent = xu[:k].copy()
+    for _ in range(iterations):
+        assign = np.argmax(xu @ cent.T, axis=1)  # ties → lowest cid (argmax)
+        for c in range(len(cent)):
+            members = xu[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [(int(c), [float(v) for v in cent[c]]) for c in range(len(cent))],
+        "cid long, cv array<double>",
+    )
+    return out.withColumn("cnrm", norm(F.col("cv")))
+
+
 def ivf_assign_cells(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     n_centroids: int = 16,
     n_probe: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its ``n_probe``
     nearest centroid cells (by cosine affinity, centroid id tie-break).
 
-    The coarse quantizer here is training-free and deterministic — the
-    ``n_centroids`` lowest-id vectors act as centroids so the oracle can
-    replicate cell assignment exactly; a production deployment swaps in
-    k-means-trained centroids (same shape: a small broadcast table).
-    Scale: centroids broadcast; assignment is a map-side cross join with
-    a tiny build side + a per-vector top-n_probe window keyed by vid —
-    no all-pairs shuffle.
+    The default coarse quantizer is training-free and deterministic —
+    the ``n_centroids`` lowest-id vectors act as centroids so the oracle
+    can replicate cell assignment exactly; pass
+    ``centroids=train_kmeans_centroids(...)`` for the trained quantizer
+    (same shape: a small broadcast (cid, cv, cnrm) table, better recall
+    per probed cell). Scale: centroids broadcast; assignment is a
+    map-side cross join with a tiny build side + a per-vector
+    top-n_probe window keyed by vid — no all-pairs shuffle.
     """
     vecs = df.select(
         F.col(id_col).alias("vid"), as_double_array(F.col(vec_col)).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
     cent = F.broadcast(
-        vecs.orderBy("vid").limit(n_centroids).select(
+        centroids
+        if centroids is not None
+        else vecs.orderBy("vid").limit(n_centroids).select(
             F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
         )
     )
@@ -199,15 +252,20 @@ def ivf_topk(
     k: int = 3,
     n_centroids: int = 16,
     n_probe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus vectors live in their single
     nearest cell; queries probe their ``n_probe`` nearest cells and rank
     only those cells' members. The second ANN scale path next to
     ``ann_lsh_topk``: the candidate join is an equi-join on cell id, so
     work scales with corpus/n_centroids × n_probe instead of the full
-    corpus."""
-    corpus = ivf_assign_cells(df, id_col, vec_col, n_centroids, n_probe=1)
-    probes = ivf_assign_cells(df, id_col, vec_col, n_centroids, n_probe=n_probe)
+    corpus. ``centroids`` swaps in a trained quantizer
+    (``train_kmeans_centroids``) — the oracle path keeps the untrained
+    default."""
+    corpus = ivf_assign_cells(df, id_col, vec_col, n_centroids, n_probe=1,
+                              centroids=centroids)
+    probes = ivf_assign_cells(df, id_col, vec_col, n_centroids, n_probe=n_probe,
+                              centroids=centroids)
     queries = F.broadcast(
         probes.filter(query_filter).select(
             F.col("vid").alias("qid"), F.col("v").alias("qv"),
