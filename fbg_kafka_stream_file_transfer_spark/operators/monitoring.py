@@ -55,23 +55,29 @@ def p95_processing_time(
     duration_col: str = "processing_seconds",
     window: str = "5 minutes",
     exact: bool = False,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """A3/A4 — p95 latency per window (alerts.yaml:51-60,76-85).
 
     ``exact=False`` (default) uses the approx-percentile sketch — the
     scale path, mergeable map-side like Prometheus's bucketed
     histogram_quantile. ``exact=True`` uses the exact interpolated
-    percentile (for oracle comparison).
+    percentile (for oracle comparison). ``group_cols`` adds grouping
+    dimensions inside each window — A4's per-path Docling quantile
+    (alerts.yaml:76-85 groups by path) is
+    ``group_cols=["path"]``; sketch mergeability is unaffected, the
+    shuffle key just widens to (window, *dims).
     """
     pct = (
         F.expr(f"percentile({duration_col}, 0.95)")
         if exact
         else F.percentile_approx(F.col(duration_col), 0.95, 10000)
     )
+    dims = list(group_cols or [])
     return (
-        df.groupBy(F.window(F.col(time_col), window).alias("w"))
+        df.groupBy(F.window(F.col(time_col), window).alias("w"), *dims)
         .agg(pct.alias("p95_seconds"), F.count("*").alias("n"))
-        .select(F.col("w.start").alias("window_start"), "p95_seconds", "n")
+        .select(F.col("w.start").alias("window_start"), *dims, "p95_seconds", "n")
     )
 
 

@@ -79,6 +79,24 @@ def _a3_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fmt_window(out).withColumn("p95_seconds", F.round("p95_seconds", 6))
 
 
+def _a4_p95_by_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — the Docling-latency quantile grouped per PATH
+    (alerts.yaml:76-85 carries a path label), not just per window:
+    the processing path here is the file kind (extension), the dimension
+    that decides which conversion pipeline a document takes."""
+    pe = _pipeline_events(spark, sf_dir).withColumn(
+        "path", F.element_at(F.split("file_name", "\\."), -1)
+    )
+    out = monitoring.p95_processing_time(
+        pe, window="1 day", exact=True, group_cols=["path"]
+    )
+    return (
+        _fmt_window(out)
+        .withColumn("p95_seconds", F.round("p95_seconds", 6))
+        .select("window_start", "path", "p95_seconds", "n")
+    )
+
+
 def _a2_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = monitoring.backlog_running_count(
         _pipeline_events(spark, sf_dir),
@@ -170,7 +188,20 @@ SELECT strftime(time_bucket(INTERVAL '1 day', event_time), '%Y-%m-%d %H:%M:%S') 
 FROM pipeline_events
 GROUP BY time_bucket(INTERVAL '1 day', event_time)
 """,
-        doc="A3/A4 p95 latency per window (alerts.yaml:51-60)",
+        doc="A3 p95 latency per window (alerts.yaml:51-60)",
+    ),
+    "a4_p95_docling_by_path": Q(
+        _a4_p95_by_path,
+        PIPE_CTE
+        + """
+SELECT strftime(time_bucket(INTERVAL '1 day', event_time), '%Y-%m-%d %H:%M:%S') AS window_start,
+       string_split(file_name, '.')[-1] AS path,
+       round(quantile_cont(processing_seconds, 0.95), 6) AS p95_seconds,
+       count(*) AS n
+FROM pipeline_events
+GROUP BY 1, 2
+""",
+        doc="A4 p95 Docling latency per path (alerts.yaml:76-85)",
     ),
     "a2_backlog_running": Q(
         _a2_backlog,
