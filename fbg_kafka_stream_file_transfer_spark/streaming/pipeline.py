@@ -173,6 +173,48 @@ def write_batch_sinks(
         print(f"WARN: DLQ sink write failed (best-effort, E5): {exc}")
 
 
+def _stability_gate(
+    spark: SparkSession, env: DataFrame, out_dir: str, min_age_seconds: int
+) -> DataFrame:
+    """S9 streaming parity for the monitor's file-stability age
+    (goanywhere-config.md:127, 5 s min-age): rows whose modification
+    time is younger than ``min_age_seconds`` are DEFERRED — parked in a
+    ``deferred/`` buffer (full envelope incl. bytes) and re-admitted on
+    a later micro-batch once stable — not dropped, which is what a
+    naive post-source filter would do (the file source marks listed
+    files as seen, so a filtered row never comes back).
+
+    Same write-new-then-swap + crash-adoption mechanics as the retry
+    buffer. Deferred rows are re-evaluated when the NEXT micro-batch
+    fires; in production pair with a processing-time trigger so a quiet
+    source still re-polls (the reference monitor re-polls every 30 s).
+    """
+    import os
+    import shutil
+
+    path = f"{out_dir}/deferred"
+    tmp = f"{path}__rebuild"
+    if os.path.exists(tmp) and not os.path.exists(path):
+        os.rename(tmp, path)  # adopt a crashed rebuild
+    try:
+        env = env.unionByName(spark.read.parquet(path))
+    except Exception:  # no deferred buffer yet (or empty)
+        pass
+    # pin the batch: the rebuild below rewrites deferred/, which env reads
+    env = env.localCheckpoint()
+    cutoff = F.current_timestamp() - F.expr(f"INTERVAL {min_age_seconds} SECONDS")
+    stable = env.filter(F.col("event_time") <= cutoff)
+    fresh = env.filter(F.col("event_time") > cutoff)
+    still_fresh = bool(fresh.take(1))
+    if still_fresh:
+        fresh.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    if still_fresh:
+        os.rename(tmp, path)
+    return stable
+
+
 def start_file_pipeline(
     spark: SparkSession,
     source_dir: str,
@@ -182,8 +224,14 @@ def start_file_pipeline(
     extractor: Extractor = stub_extractor,
     policy: RetryPolicy = DEFAULT_POLICY,
     max_files_per_trigger: int = 1000,
+    min_age_seconds: int | None = None,
 ):
     """Streaming mode: file-monitor source (S9) → route → partitioned sinks.
+
+    ``min_age_seconds`` enables the monitor's file-stability check in
+    streaming mode (batch mode uses ``from_binary_files(min_age=...)``):
+    too-fresh files defer to a buffer instead of being processed
+    mid-write — see ``_stability_gate``.
 
     Returns the StreamingQuery; callers drive it with
     ``processAllAvailable()`` in tests or leave it running in production.
@@ -194,6 +242,8 @@ def start_file_pipeline(
     )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if min_age_seconds:
+            batch_df = _stability_gate(spark, batch_df, out_dir, min_age_seconds)
         result = process_envelope_batch(batch_df, extractor=extractor, policy=policy)
         # epoch-tagged dynamic overwrite: a replayed batch rewrites its
         # own partitions instead of appending duplicates (ST1 → ST7)

@@ -77,6 +77,41 @@ def test_streaming_file_pipeline_end_to_end(spark, tmp_path):
     assert "dt" in incoming.columns  # date-partitioned sinks (S4/S5 layout)
 
 
+def test_streaming_min_age_defers_fresh_files(spark, tmp_path):
+    """S9 stability parity (goanywhere-config.md:127): a file younger
+    than min_age is DEFERRED — absent from every sink after its batch,
+    parked in deferred/ — then admitted by a later batch once stable.
+    A naive filter would drop it forever (the source marks it seen)."""
+    import os
+    import time
+
+    src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    old = time.time() - 3600
+    (src / "a.pdf").write_bytes(b"settled document")
+    os.utime(src / "a.pdf", (old, old))
+    (src / "b.pdf").write_bytes(b"still being written")  # mtime = now
+    q = start_file_pipeline(
+        spark, str(src), str(out), str(ckpt), min_age_seconds=2
+    )
+    try:
+        q.processAllAvailable()
+        incoming = spark.read.parquet(str(out / "incoming"))
+        assert {r.file_name for r in incoming.collect()} == {"a.pdf"}
+        deferred = spark.read.parquet(str(out / "deferred"))
+        assert {r.file_name for r in deferred.collect()} == {"b.pdf"}
+
+        time.sleep(3)  # b.pdf ages past min_age
+        (src / "c.pdf").write_bytes(b"next arrival")  # triggers the next batch
+        os.utime(src / "c.pdf", (old, old))  # already stable
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    processed = spark.read.parquet(str(out / "processed"))
+    assert {r.file_name for r in processed.collect()} == {"a.pdf", "b.pdf", "c.pdf"}
+    assert not os.path.exists(str(out / "deferred"))  # buffer drained dry
+
+
 def test_streaming_error_rate_windows(spark, tmp_path):
     """Drive the watermarked sliding agg through a real streaming query
     (file source → memory sink)."""
