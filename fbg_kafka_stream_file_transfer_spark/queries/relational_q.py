@@ -359,6 +359,90 @@ HAVING sum(l_quantity) > 300
     doc="TPC-H q18 shape: grouped HAVING filter (agg pushdown target)",
 )
 
+QUERIES["tpch_q7_volume_shipping"] = _shared(
+    """
+SELECT supp_nation, cust_nation, l_year,
+       round(CAST(sum(volume) AS DOUBLE), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    ("supplier", "lineitem", "orders", "customer", "nation"),
+    doc="TPC-H q7 shape: bidirectional nation-pair volume, dual dim-join aliases",
+)
+
+QUERIES["tpch_q8_market_share"] = _shared(
+    """
+SELECT o_year,
+       round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                  / sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+""",
+    ("part", "lineitem", "supplier", "orders", "customer", "nation", "region"),
+    doc="TPC-H q8 shape: 7-table star join + conditional market-share ratio",
+)
+
+# the fixture has no l_shipmode/l_commitdate (TESTDATA.md), so the q12
+# two-bucket priority count keys on l_linestatus instead — same shape:
+# join + date-window filter + CASE-sum buckets.
+QUERIES["tpch_q12_priority_buckets"] = _shared(
+    """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+""",
+    ("orders", "lineitem"),
+    doc="TPC-H q12 shape: date-window join + two-bucket CASE counts (fixture lacks l_shipmode)",
+)
+
+# q19's disjunction-of-conjunctions predicate (brand/size/quantity here;
+# the fixture lacks p_container/l_shipmode) — the OR-pushdown showcase.
+QUERIES["tpch_q19_disjunctive_revenue"] = _shared(
+    """
+SELECT round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50
+       AND l_quantity >= 20 AND l_quantity <= 40)
+""",
+    ("lineitem", "part"),
+    doc="TPC-H q19 shape: disjunctive multi-clause predicate over a fact-dim join",
+)
+
 QUERIES["agg_grouping_sets"] = _shared(
         """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
