@@ -196,10 +196,13 @@ def _stability_gate(
     tmp = f"{path}__rebuild"
     if os.path.exists(tmp) and not os.path.exists(path):
         os.rename(tmp, path)  # adopt a crashed rebuild
+    pend = None
     try:
-        env = env.unionByName(spark.read.parquet(path))
+        pend = spark.read.parquet(path)
     except Exception:  # no deferred buffer yet (or empty)
         pass
+    if pend is not None:  # a union failure must surface, not be swallowed
+        env = env.unionByName(pend)
     # pin the batch: the rebuild below rewrites deferred/, which env reads
     env = env.localCheckpoint()
     cutoff = F.current_timestamp() - F.expr(f"INTERVAL {min_age_seconds} SECONDS")
@@ -285,10 +288,13 @@ def replay_due_retries(
     Two idempotence guards close the at-least-once corners:
 
     - **drain sequence**: each drain's sink epoch comes from a counter
-      persisted next to the buffer (committed only after the swap), not
-      from wall-clock seconds — two drains in the same second get
-      distinct epochs, while a crashed drain retried reuses its epoch
-      and overwrites its own partial output.
+      persisted next to the buffer and claimed BEFORE any sink write —
+      two drains never share an epoch (wall-clock-second epochs could
+      collide, letting a later drain dynamic-overwrite an earlier one's
+      partitions). A drain crashed mid-write retries under a fresh
+      epoch; its partial incoming/failed output remains as duplicates
+      (at-least-once on the failure legs) while processed/ stays
+      effectively-once via the guard below.
     - **processed anti-join**: the buffer is deduped against
       ``processed/`` correlation_ids before re-admission, so a retry row
       appended by a replayed micro-batch *after* a drain already pushed
@@ -346,17 +352,24 @@ def replay_due_retries(
     env = env.localCheckpoint()
     result = process_envelope_batch(env, extractor=extractor, policy=policy)
 
-    # non-buffer legs: idempotent epoch-tagged writes keyed by the drain
-    # sequence (negative so it can't collide with streaming epoch ids);
-    # the counter is committed only after the buffer swap, so a crashed
-    # drain retried reuses its epoch (overwrite-self), while successive
-    # drains — even within one second — never share one
+    # non-buffer legs: epoch-tagged writes keyed by the drain sequence
+    # (negative so it can't collide with streaming epoch ids). The
+    # epoch is CLAIMED before any sink write: successive drains — even
+    # within one second — never share one, so a later drain can never
+    # dynamic-overwrite an earlier drain's partitions (the loss corner
+    # of deriving epochs from wall-clock seconds). The cost is that a
+    # drain crashed mid-write is retried under a fresh epoch: its
+    # partial incoming/failed output survives as duplicates
+    # (at-least-once there), while processed/ stays effectively-once —
+    # the anti-join above drops already-processed rows.
     try:
         with open(seq_path) as fh:
             drain_seq = int(fh.read().strip() or 0)
     except OSError:
         drain_seq = 0
     epoch = -(drain_seq + 1)
+    with open(seq_path, "w") as fh:
+        fh.write(str(drain_seq + 1))
     _write_leg(result.incoming, inc_path, epoch)
     _write_leg(result.processed, f"{out_dir}/processed", epoch)
     try:
@@ -391,6 +404,4 @@ def replay_due_retries(
         os.rename(tmp, path)
     # else drained dry: an absent dir IS the empty buffer (a zero-row
     # partitioned parquet write leaves nothing readable behind)
-    with open(seq_path, "w") as fh:  # commit the drain sequence last
-        fh.write(str(drain_seq + 1))
     return result
