@@ -54,8 +54,13 @@ def main() -> int:
     spark = get_spark("bench")
 
     # warm the session (JVM/codegen/python-worker startup) so the first
-    # timed query measures the query, not the cold start
+    # timed query measures the query, not the cold start; the mapInPandas
+    # no-op forks the Arrow python workers on every core — without it the
+    # first pandas-UDF headline pays the whole fork+Arrow-init cost
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(32 * 1000).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
     REGISTRY["env_validation_counts"].spark(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()

@@ -74,7 +74,17 @@ def process_envelope_batch(
     accepted = v.filter(F.col("valid")).drop("valid", "reject_reason")
     rejected = v.filter(~F.col("valid")).drop("valid")
 
-    extracted = extract_documents(accepted, "content", extractor).persist()
+    # the route legs need only status/error + the verbatim result_json;
+    # the typed nested arrays (texts/tables) are for analytical readers
+    # of processed/ (parse_extract_result) — drop them before the
+    # persist so the cache holds one JSON string per row, not duplicate
+    # struct arrays
+    extracted = (
+        extract_documents(accepted, "content", extractor)
+        .drop("extract_text", "extract_page_count", "extract_n_tables",
+              "extract_texts", "extract_tables")
+        .persist()
+    )
     ok = extracted.filter(F.col("extract_status") == "SUCCESS")
     extract_failed = extracted.filter(F.col("extract_status") != "SUCCESS").withColumn(
         "reject_reason", F.coalesce(F.col("extract_error"), F.lit("EXTRACTION_FAILED"))
