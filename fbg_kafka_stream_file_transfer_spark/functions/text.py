@@ -136,9 +136,14 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 #: Python twins of normalized_text's two regex passes — MUST stay in
-#: lockstep with normalized_text / the oracle NORM_CTE.
+#: lockstep with normalized_text / the oracle NORM_CTE. ``re.ASCII``
+#: matters: Java's ``\s`` (Spark regexp_replace) is ASCII-only, so a
+#: Unicode space (U+00A0 etc.) is NOT whitespace there — Python's
+#: default Unicode ``\s`` would silently diverge on HTML-derived text.
+#: The same reasoning pins ``.strip(" ")`` (= Spark ``trim``, space
+#: only) at every twin's use site, never bare ``.strip()``.
 _PUNCT_RE = __import__("re").compile(r"[.,!?;:'\"()\[\]{}-]")
-_WS_RE = __import__("re").compile(r"\s+")
+_WS_RE = __import__("re").compile(r"\s+", __import__("re").ASCII)
 
 
 def shingles_arrow(text: Column, n: int = 3) -> Column:
@@ -153,7 +158,7 @@ def shingles_arrow(text: Column, n: int = 3) -> Column:
     def f(s):
         out = []
         for t in s:
-            nt = _WS_RE.sub(" ", _PUNCT_RE.sub("", (t or "").lower())).strip()
+            nt = _WS_RE.sub(" ", _PUNCT_RE.sub("", (t or "").lower())).strip(" ")
             toks = nt.split(" ")
             if len(toks) - (n - 1) <= 0:
                 out.append([nt])

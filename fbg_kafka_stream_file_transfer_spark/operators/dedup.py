@@ -140,7 +140,7 @@ def _shingle_sigs_arrow(df: DataFrame, id_col: str, text_col: str, n: int,
         for j in range(num_hashes):
             rows[f"sig_{j}"] = []
         for t in s:
-            nt = _WS_RE.sub(" ", _PUNCT_RE.sub("", (t or "").lower())).strip()
+            nt = _WS_RE.sub(" ", _PUNCT_RE.sub("", (t or "").lower())).strip(" ")
             toks = nt.split(" ")
             if len(toks) - (n - 1) <= 0:
                 ss = [nt]
@@ -298,6 +298,11 @@ def simhash_table(
     pure-Catalyst ``simhash_expr`` form (the semantic definition the
     oracles mirror — ``bits`` interpreted HOF folds per row, measured
     the slowest per-byte text op in the round-1 audit)."""
+    if not 1 <= bits <= 62:
+        # the signature packs into a signed 64-bit long on both paths;
+        # bit 62 is the last whose 2^b literal fits (the Catalyst form
+        # would overflow its IntegerType literals too)
+        raise ValueError(f"bits must be in [1, 62], got {bits}")
     df = ensure_parallelism(df)
     if arrow:
         return df.select(
@@ -333,7 +338,7 @@ def _simhash_arrow_udf(bits: int):
                 # NULL, so when(s>0)·otherwise(0) yields all-zero bits
                 out.append(0)
                 continue
-            nt = _WS_RE.sub(" ", _PUNCT_RE.sub("", t.lower())).strip()
+            nt = _WS_RE.sub(" ", _PUNCT_RE.sub("", t.lower())).strip(" ")
             toks = dict.fromkeys(nt.split(" "))
             ones = [0] * bits
             for tok in toks:

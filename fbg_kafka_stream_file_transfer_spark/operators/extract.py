@@ -227,13 +227,21 @@ class CircuitBreaker:
             self._cooldown = 0
 
 
-def parse_extract_result(col) -> "Column":
+def parse_extract_result(col, schema: T.StructType | None = None) -> "Column":
     """``from_json`` over the verbatim ``result_json`` column — recovers
     the typed nested struct (texts/tables arrays) from the processed
-    leg, the way SURVEY §1.5 maps the reference's stored Docling JSON."""
+    leg, the way SURVEY §1.5 maps the reference's stored Docling JSON.
+
+    The default schema matches result_json the ENGINE synthesized
+    (``_complete_row`` — the stub and any backend that returns only
+    typed fields). ``result_json`` is stored VERBATIM by design, so a
+    backend that supplies its own raw response body (e.g.
+    ``docling_http_extractor``) is parsed with the service's schema —
+    pass it here; unknown fields are simply NULL under ``from_json``,
+    never an error."""
     from pyspark.sql import functions as F
 
-    return F.from_json(col, RESULT_JSON_SCHEMA)
+    return F.from_json(col, schema if schema is not None else RESULT_JSON_SCHEMA)
 
 
 _FIELD_ORDER = [f.name for f in EXTRACT_RESULT_SCHEMA.fields]

@@ -125,6 +125,19 @@ def process_envelope_batch(
     return PipelineResult(incoming, processed, retry_buffer, dlq, cached)
 
 
+def _has_parquet_files(path: str) -> bool:
+    """True if ``path`` holds at least one parquet data file — an empty
+    leg directory (zero-row dynamic-overwrite leaves metadata only) is
+    indistinguishable from 'absent' to a reader, but a populated one
+    whose read fails is real corruption the caller must surface."""
+    import os
+
+    for root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
 def _partition_col(df: DataFrame) -> DataFrame:
     # hyphenated date for the physical partition column (slash layout stays
     # in the logical keys); prunes cleanly under Catalyst. Repartitioning
@@ -184,8 +197,12 @@ def write_batch_sinks(
 
 
 def _stability_gate(
-    spark: SparkSession, env: DataFrame, out_dir: str, min_age_seconds: int
-) -> DataFrame:
+    spark: SparkSession,
+    env: DataFrame,
+    out_dir: str,
+    min_age_seconds: int,
+    clock: Callable | None = None,
+) -> tuple[DataFrame, Callable[[], None]]:
     """S9 streaming parity for the monitor's file-stability age
     (goanywhere-config.md:127, 5 s min-age): rows whose modification
     time is younger than ``min_age_seconds`` are DEFERRED — parked in a
@@ -194,38 +211,61 @@ def _stability_gate(
     naive post-source filter would do (the file source marks listed
     files as seen, so a filtered row never comes back).
 
-    Same write-new-then-swap + crash-adoption mechanics as the retry
-    buffer. Deferred rows are re-evaluated when the NEXT micro-batch
-    fires; in production pair with a processing-time trigger so a quiet
-    source still re-polls (the reference monitor re-polls every 30 s).
+    Returns ``(stable, commit)``: the caller processes ``stable`` and
+    invokes ``commit()`` only AFTER the sink writes succeed — a crash
+    mid-batch then leaves the old buffer intact and the replayed epoch
+    re-admits the same rows (same-epoch overwrite keeps the sinks
+    idempotent). The residual window is a crash between ``commit()``
+    and the offset commit: the replay would rewrite this epoch's
+    partitions without the already-admitted rows — the corner a
+    transactional sink (Delta/Iceberg MERGE) closes on a cluster.
+    Rebuild uses the retry buffer's write-new-then-swap + crash
+    adoption. The cutoff is computed ONCE per batch (a literal, not
+    ``current_timestamp()`` which re-evaluates per action and could
+    classify a row as both fresh and stable). Deferred rows re-enter
+    when the next micro-batch fires; in production pair with a
+    processing-time trigger so a quiet source still re-polls (the
+    reference monitor re-polls every 30 s). ``clock`` injects a time
+    source for deterministic tests.
     """
+    import datetime as _dt
     import os
     import shutil
 
     path = f"{out_dir}/deferred"
     tmp = f"{path}__rebuild"
     if os.path.exists(tmp) and not os.path.exists(path):
-        os.rename(tmp, path)  # adopt a crashed rebuild
-    pend = None
-    try:
-        pend = spark.read.parquet(path)
-    except Exception:  # no deferred buffer yet (or empty)
-        pass
-    if pend is not None:  # a union failure must surface, not be swallowed
-        env = env.unionByName(pend)
+        # adopt a crashed rebuild — only a COMPLETED one (_SUCCESS
+        # marker); a write interrupted mid-flight is discarded, falling
+        # back to the still-intact previous buffer semantics
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.rename(tmp, path)
+        else:
+            shutil.rmtree(tmp)
+    if os.path.exists(path):
+        # the buffer is a completed non-partitioned parquet write: a
+        # read failure here is real corruption and must surface — a
+        # swallowed error followed by the rebuild would destroy rows
+        env = env.unionByName(spark.read.parquet(path))
     # pin the batch: the rebuild below rewrites deferred/, which env reads
     env = env.localCheckpoint()
-    cutoff = F.current_timestamp() - F.expr(f"INTERVAL {min_age_seconds} SECONDS")
+    now = clock() if clock is not None else _dt.datetime.now(_dt.timezone.utc).replace(
+        tzinfo=None
+    )
+    cutoff = F.lit(now - _dt.timedelta(seconds=min_age_seconds)).cast("timestamp")
     stable = env.filter(F.col("event_time") <= cutoff)
     fresh = env.filter(F.col("event_time") > cutoff)
-    still_fresh = bool(fresh.take(1))
-    if still_fresh:
-        fresh.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    if still_fresh:
-        os.rename(tmp, path)
-    return stable
+
+    def commit() -> None:
+        still_fresh = bool(fresh.take(1))
+        if still_fresh:
+            fresh.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        if still_fresh:
+            os.rename(tmp, path)
+
+    return stable, commit
 
 
 def start_file_pipeline(
@@ -238,13 +278,15 @@ def start_file_pipeline(
     policy: RetryPolicy = DEFAULT_POLICY,
     max_files_per_trigger: int = 1000,
     min_age_seconds: int | None = None,
+    clock: Callable | None = None,
 ):
     """Streaming mode: file-monitor source (S9) → route → partitioned sinks.
 
     ``min_age_seconds`` enables the monitor's file-stability check in
     streaming mode (batch mode uses ``from_binary_files(min_age=...)``):
     too-fresh files defer to a buffer instead of being processed
-    mid-write — see ``_stability_gate``.
+    mid-write — see ``_stability_gate`` (``clock`` injects its time
+    source for deterministic tests).
 
     Returns the StreamingQuery; callers drive it with
     ``processAllAvailable()`` in tests or leave it running in production.
@@ -255,13 +297,18 @@ def start_file_pipeline(
     )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        commit_deferred = None
         if min_age_seconds:
-            batch_df = _stability_gate(spark, batch_df, out_dir, min_age_seconds)
+            batch_df, commit_deferred = _stability_gate(
+                spark, batch_df, out_dir, min_age_seconds, clock
+            )
         result = process_envelope_batch(batch_df, extractor=extractor, policy=policy)
         # epoch-tagged dynamic overwrite: a replayed batch rewrites its
         # own partitions instead of appending duplicates (ST1 → ST7)
         write_batch_sinks(result, out_dir, epoch_id=epoch_id)
         result.unpersist()  # release this micro-batch's cached intermediates
+        if commit_deferred is not None:
+            commit_deferred()  # rebuild deferred/ only after the sinks landed
 
     return (
         env.writeStream.foreachBatch(sink)
@@ -320,17 +367,23 @@ def replay_due_retries(
     tmp = f"{path}__rebuild"
     seq_path = f"{path}__drain_seq"
     if os.path.exists(tmp) and not os.path.exists(path):
-        os.rename(tmp, path)  # a previous drain died mid-swap: adopt its rebuild
+        # a previous drain died mid-swap: adopt its rebuild — but only a
+        # COMPLETED one (_SUCCESS marker); a partial write is discarded
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.rename(tmp, path)
+        else:
+            shutil.rmtree(tmp)
     if not os.path.exists(path):
         return None
     now_col = F.lit(now).cast("timestamp")
     buf = spark.read.parquet(path)
     proc_path = f"{out_dir}/processed"
-    try:
+    if _has_parquet_files(proc_path):
+        # a real read failure here must ABORT the drain (it retries
+        # later) — silently skipping the guard would reprocess rows
+        # already in processed/ and break effectively-once
         done_ids = spark.read.parquet(proc_path).select("correlation_id").distinct()
         buf = buf.join(done_ids, "correlation_id", "left_anti")
-    except Exception:  # processed/ absent or empty (no files to infer from)
-        pass
     buf = buf.persist()
     due = due_for_retry(buf, now_col)
     if not due.take(1):
@@ -374,12 +427,22 @@ def replay_due_retries(
     # the anti-join above drops already-processed rows.
     try:
         with open(seq_path) as fh:
-            drain_seq = int(fh.read().strip() or 0)
-    except OSError:
-        drain_seq = 0
+            content = fh.read().strip()
+    except OSError:  # absent: first drain for this out_dir
+        content = "0"
+    try:
+        drain_seq = int(content or 0)
+    except ValueError:  # corrupt content: restarting at 0 would REUSE
+        # epoch -1 and dynamic-overwrite the first drain's partitions —
+        # refuse instead (writes are atomic, so this shouldn't happen)
+        raise RuntimeError(f"corrupt drain sequence file {seq_path!r}: {content!r}")
     epoch = -(drain_seq + 1)
-    with open(seq_path, "w") as fh:
+    # atomic claim (write-then-rename): an in-place truncate-write could
+    # be torn by a crash, resetting the counter and letting a later
+    # drain reuse — and dynamic-overwrite — a committed drain's epoch
+    with open(f"{seq_path}__tmp", "w") as fh:
         fh.write(str(drain_seq + 1))
+    os.replace(f"{seq_path}__tmp", seq_path)
     _write_leg(result.incoming, inc_path, epoch)
     _write_leg(result.processed, f"{out_dir}/processed", epoch)
     try:

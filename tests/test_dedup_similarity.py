@@ -87,7 +87,10 @@ def test_simhash_arrow_matches_catalyst(spark):
     text, punctuation-only text, and unicode."""
     docs = _corpus(spark).union(
         spark.createDataFrame(
-            [(10, ""), (11, "?!.,"), (12, "héllo wörld héllo"), (13, None)],
+            # 14/15: Unicode whitespace — Java \s is ASCII-only, so
+            # "a\xa0b" is ONE token to Spark; the twin must agree
+            [(10, ""), (11, "?!.,"), (12, "héllo wörld héllo"), (13, None),
+             (14, "a\xa0b c"), (15, "trailing\xa0 space x")],
             "doc_id long, text string",
         )
     )

@@ -74,3 +74,15 @@ def test_shingles(spark):
     assert got == ["a b c", "b c d"]
     short = _one(spark, TX.shingles(F.lit("a b"), 3))
     assert short == ["a b"]
+
+
+def test_shingles_arrow_unicode_whitespace_parity(spark):
+    """Java/RE2 \\s is ASCII-only: U+00A0 is NOT whitespace to Spark's
+    regexp_replace, and the Python twin must agree (re.ASCII + strip(' ')
+    — a Unicode-aware \\s or bare strip() would silently diverge on
+    HTML-derived text)."""
+    texts = ["a b c d", "x ", " thin space", "a  b\tc", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    slow = {r.i: r.s for r in df.select("i", TX.shingles(F.col("t"), 2).alias("s")).collect()}
+    fast = {r.i: r.s for r in df.select("i", TX.shingles_arrow(F.col("t"), 2).alias("s")).collect()}
+    assert fast == slow

@@ -81,18 +81,24 @@ def test_streaming_min_age_defers_fresh_files(spark, tmp_path):
     """S9 stability parity (goanywhere-config.md:127): a file younger
     than min_age is DEFERRED — absent from every sink after its batch,
     parked in deferred/ — then admitted by a later batch once stable.
-    A naive filter would drop it forever (the source marks it seen)."""
+    A naive filter would drop it forever (the source marks it seen).
+    The gate's clock is injected, so no wall-clock races: min_age is a
+    full hour and the test advances virtual time instead of sleeping."""
     import os
     import time
 
     src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
     src.mkdir()
-    old = time.time() - 3600
+    t0 = time.time()
+    old = t0 - 7200
+    clk = {"now": datetime.datetime.utcfromtimestamp(t0)}
     (src / "a.pdf").write_bytes(b"settled document")
     os.utime(src / "a.pdf", (old, old))
-    (src / "b.pdf").write_bytes(b"still being written")  # mtime = now
+    (src / "b.pdf").write_bytes(b"still being written")
+    os.utime(src / "b.pdf", (t0, t0))  # fresh relative to the gate clock
     q = start_file_pipeline(
-        spark, str(src), str(out), str(ckpt), min_age_seconds=2
+        spark, str(src), str(out), str(ckpt),
+        min_age_seconds=3600, clock=lambda: clk["now"],
     )
     try:
         q.processAllAvailable()
@@ -101,7 +107,7 @@ def test_streaming_min_age_defers_fresh_files(spark, tmp_path):
         deferred = spark.read.parquet(str(out / "deferred"))
         assert {r.file_name for r in deferred.collect()} == {"b.pdf"}
 
-        time.sleep(3)  # b.pdf ages past min_age
+        clk["now"] += datetime.timedelta(hours=2)  # b.pdf ages past min_age
         (src / "c.pdf").write_bytes(b"next arrival")  # triggers the next batch
         os.utime(src / "c.pdf", (old, old))  # already stable
         q.processAllAvailable()
