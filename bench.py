@@ -69,7 +69,10 @@ def main() -> int:
     for name in HEADLINE:
         q = REGISTRY[name]
         best = None
-        for _ in range(2):  # steady-state: best of two (codegen/JIT warm)
+        # steady-state: best of three — the second run is codegen/JIT
+        # warm, the third rides out the bursty host contention this
+        # box shows (uniform 3-5× inflation for seconds at a time)
+        for _ in range(3):
             t0 = time.perf_counter()
             q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
