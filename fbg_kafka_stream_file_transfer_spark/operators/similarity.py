@@ -371,6 +371,90 @@ def brute_force_topk_arrow(
     )
 
 
+def build_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    n_centroids: int = 16,
+    trained: bool = True,
+    kmeans_iterations: int = 10,
+    sample_size: int = 2048,
+) -> None:
+    """Persist an IVF vector index: a (tiny) centroid table plus the
+    corpus as parquet PARTITIONED BY cell id — the IVF twin of
+    ``build_ann_index``. ``trained=True`` trains the coarse quantizer
+    with ``train_kmeans_centroids`` (stored with the index, so queries
+    always use the exact centroids the corpus was partitioned under);
+    ``trained=False`` keeps the deterministic lowest-id quantizer.
+
+    100 TB shape: one broadcast-assignment pass over the corpus, one
+    partitioned write; queries then touch only their probed cells'
+    partitions (static partition pruning — see ``query_ivf_index``).
+    """
+    cents = (
+        train_kmeans_centroids(df, id_col, vec_col, k=n_centroids,
+                               iterations=kmeans_iterations, sample_size=sample_size)
+        if trained
+        else None
+    )
+    assigned = ivf_assign_cells(df, id_col, vec_col, n_centroids, n_probe=1,
+                                centroids=cents)
+    if cents is None:  # materialize the untrained centroids for storage
+        vecs = df.select(
+            F.col(id_col).alias("vid"), as_double_array(F.col(vec_col)).alias("v")
+        ).withColumn("nrm", norm(F.col("v")))
+        cents = vecs.orderBy("vid").limit(n_centroids).select(
+            F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+        )
+    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(f"{index_dir}/vectors")
+
+
+def query_ivf_index(
+    queries_df: DataFrame,
+    index_dir: str,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Top-k neighbors of each query against a persisted IVF index.
+
+    Queries rank against their ``n_probe`` nearest cells only. The
+    probed cell ids are collected (queries are small by contract, like
+    ``query_ann_index``) and applied as a STATIC ``cid IN (...)``
+    filter, so the vectors scan partition-prunes to exactly the probed
+    cells — the plan shows ``PartitionFilters: [cid IN ...]``.
+    """
+    spark = queries_df.sparkSession
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    probes = ivf_assign_cells(
+        queries_df, id_col, vec_col, n_probe=n_probe, centroids=cents
+    ).select(F.col("vid").alias("qid"), F.col("v").alias("qv"),
+             F.col("nrm").alias("qnrm"), "cid")
+    cells = [r.cid for r in probes.select("cid").distinct().collect()]
+    idx = spark.read.parquet(f"{index_dir}/vectors").filter(F.col("cid").isin(cells))
+    cos = dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+    scored = (
+        F.broadcast(probes).join(idx, "cid")
+        .filter(F.col("qid") != F.col("vid"))
+        .select(F.col("qid").alias("query_id"), F.col("vid").alias("neighbor_id"),
+                cos.alias("_cos"))
+        # a (query, neighbor) pair can surface via several probed cells
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id",
+                F.round(F.col("_cos"), 9).alias("_rank_sim"),
+                F.round(F.col("_cos"), 6).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_rank_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def build_ann_index(df: DataFrame, id_col: str, vec_col: str, index_dir: str,
                     planes: int = 8) -> None:
     """Persist an LSH-bucketed vector index: (bucket, vid, v, nrm) parquet

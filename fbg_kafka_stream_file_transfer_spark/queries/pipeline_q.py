@@ -139,6 +139,27 @@ def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downstream consumer of the NESTED extraction result: explode the
+    typed ``texts`` array into one row per page (the chunking step a
+    training-data pipeline runs right after extraction). Proves the
+    nested schema is usable, not just stored."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.to_binary(F.col("text"), F.lit("utf-8")).alias("content")
+    )
+    out = extract_documents(docs, "content", stub_extractor)
+    pg = F.explode("extract_texts")
+    return (
+        out.select("doc_id", pg.alias("pg"))
+        .select(
+            "doc_id",
+            F.col("pg.page").alias("page"),
+            F.col("pg.text").alias("page_text"),
+            F.length("pg.text").alias("page_len"),
+        )
+    )
+
+
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.h multimodal — binary metadata + deterministic fake decode dims."""
     docs = load_table(spark, sf_dir, "documents").select(
@@ -262,6 +283,27 @@ SELECT doc_id,
 FROM e
 """,
         doc="S8 extraction operator incl. nested texts/tables (mapInPandas + pure stub)",
+    ),
+    "pipe_extract_pages": Q(
+        _q_extract_pages,
+        """
+WITH d AS (
+  SELECT doc_id, text, strlen(text) AS len,
+         CAST(1 + strlen(text) % 5 AS INTEGER) AS p
+  FROM documents
+), e AS (
+  SELECT *, CAST(floor(len / p) AS INTEGER) AS step FROM d
+), x AS (
+  SELECT doc_id, text, step, unnest(range(0, p)) AS i FROM e
+)
+SELECT doc_id,
+       CAST(i + 1 AS INTEGER) AS page,
+       substring(text, 1 + i * step, least(step, 48)) AS page_text,
+       CAST(strlen(substring(text, 1 + i * step, least(step, 48))) AS INTEGER)
+         AS page_len
+FROM x
+""",
+        doc="nested texts array exploded to per-page rows (post-extract chunking step)",
     ),
     "pipe_multimodal_metadata": Q(
         _q_multimodal,

@@ -155,6 +155,36 @@ QUERIES["sim_topk_bruteforce_arrow"] = Q(
 )
 
 
+def _q_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF path: build the partitioned index (untrained
+    quantizer for oracle determinism), query it, clean up. Must return
+    EXACTLY what inline ivf_topk returns — same oracle SQL."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="ivf_index_")
+    try:
+        similarity.build_ivf_index(
+            emb, "vec_id", "embedding", idx, n_centroids=16, trained=False
+        )
+        out = similarity.query_ivf_index(
+            emb.filter(F.col("vec_id") < 10), idx, "vec_id", "embedding",
+            k=3, n_probe=2,
+        )
+        rows = out.collect()  # materialize before removing the index dir
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+QUERIES["sim_ann_ivf_index_topk"] = Q(
+    _q_ivf_index,
+    QUERIES["sim_ann_ivf_topk"].oracle,
+    doc="persisted IVF index (build → partition-pruned query) ≡ inline IVF",
+)
+
+
 def _q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 quantization round trip: per-vector reconstruction error of
     the 4x-smaller representation (must stay within half a quantization

@@ -227,7 +227,36 @@ def test_kmeans_trained_ivf_beats_untrained_on_clustered_corpus(spark):
     assert cents.collect() == again.collect()
 
 
-def test_bruteforce_arrow_matches_catalyst(spark):
+def test_persisted_ivf_index_matches_inline_and_prunes(spark, tmp_path):
+    """build_ivf_index/query_ivf_index: (1) querying the persisted index
+    returns exactly what inline ivf_topk returns under the same stored
+    centroids; (2) the vectors scan partition-prunes to the probed
+    cells (static cid filter visible as PartitionFilters)."""
+    import pyspark.sql.functions as F
+
+    from fbg_kafka_stream_file_transfer_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        query_ivf_index,
+    )
+    from fbg_kafka_stream_file_transfer_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx_dir = str(tmp_path / "ivf")
+    build_ivf_index(emb, "vec_id", "embedding", idx_dir, n_centroids=8, trained=True)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = query_ivf_index(queries, idx_dir, "vec_id", "embedding", k=3, n_probe=2)
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in out.collect()}
+
+    stored_cents = spark.read.parquet(f"{idx_dir}/centroids")
+    inline = ivf_topk(emb, "vec_id", "embedding", F.col("vid") < 5, k=3,
+                      n_centroids=8, n_probe=2, centroids=stored_cents)
+    want = {(r.query_id, r.neighbor_id, r.rank) for r in inline.collect()}
+    assert got == want and got
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan  # probed-cell pruning
     import pyspark.sql.functions as F
 
     from fbg_kafka_stream_file_transfer_spark.operators.similarity import (
