@@ -21,6 +21,26 @@ from pyspark.sql.window import Window
 from ..functions.vectors import as_double_array, dot, norm
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared ranking tail of every top-k variant: rank on the cosine
+    rounded to 9 dp with neighbor id as tie-break, emit it rounded to
+    6 dp. This rounding contract is load-bearing for oracle parity
+    (queries/base.py) — one definition, used by all six search paths.
+    Input: (query_id, neighbor_id, _cos)."""
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("_cos"), 9).alias("_rank_sim"),
+        F.round(F.col("_cos"), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_rank_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def hyperplane_sign(dim_index: Column, plane: int) -> Column:
     """Deterministic ±1 sign for (dimension, plane) — the portable stand-in
     for a seeded Gaussian hyperplane.
@@ -85,26 +105,12 @@ def brute_force_topk(
     queries = vecs.filter(query_filter)
     q, c = F.broadcast(queries.alias("q")), vecs.alias("c")
     cos = dot(F.col("q.v"), F.col("c.v")) / (F.col("q.nrm") * F.col("c.nrm"))
-    scored = (
-        c.join(q, F.col("q.vid") != F.col("c.vid"))
-        .select(
-            F.col("q.vid").alias("query_id"),
-            F.col("c.vid").alias("neighbor_id"),
-            cos.alias("_cos"),
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("_cos"), 9).alias("_rank_sim"),
-            F.round(F.col("_cos"), 6).alias("cosine_sim"),
-        )
+    scored = c.join(q, F.col("q.vid") != F.col("c.vid")).select(
+        F.col("q.vid").alias("query_id"),
+        F.col("c.vid").alias("neighbor_id"),
+        cos.alias("_cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("_rank_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def ann_lsh_topk(
@@ -132,26 +138,14 @@ def ann_lsh_topk(
     queries = vecs.filter(query_filter)
     q, c = F.broadcast(queries.alias("q")), vecs.alias("c")
     cos = dot(F.col("q.v"), F.col("c.v")) / (F.col("q.nrm") * F.col("c.nrm"))
-    scored = (
-        c.join(q, (F.col("q.bucket") == F.col("c.bucket")) & (F.col("q.vid") != F.col("c.vid")))
-        .select(
-            F.col("q.vid").alias("query_id"),
-            F.col("c.vid").alias("neighbor_id"),
-            cos.alias("_cos"),
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("_cos"), 9).alias("_rank_sim"),
-            F.round(F.col("_cos"), 6).alias("cosine_sim"),
-        )
+    scored = c.join(
+        q, (F.col("q.bucket") == F.col("c.bucket")) & (F.col("q.vid") != F.col("c.vid"))
+    ).select(
+        F.col("q.vid").alias("query_id"),
+        F.col("c.vid").alias("neighbor_id"),
+        cos.alias("_cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("_rank_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def train_kmeans_centroids(
@@ -280,16 +274,8 @@ def ivf_topk(
                 cos.alias("_cos"))
         # a (query, neighbor) pair can surface via several probed cells
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select("query_id", "neighbor_id",
-                F.round(F.col("_cos"), 9).alias("_rank_sim"),
-                F.round(F.col("_cos"), 6).alias("cosine_sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("_rank_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def brute_force_topk_arrow(
@@ -357,18 +343,7 @@ def brute_force_topk_arrow(
             yield pd.DataFrame(rows)
 
     cand = ensure_parallelism(vecs).mapInPandas(part, out_schema)
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(F.col("_cos"), 9).alias("_rank_sim"),
-        F.round(F.col("_cos"), 6).alias("cosine_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("_rank_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
-    )
+    return _rank_topk(cand, k)
 
 
 def build_ivf_index(
@@ -392,15 +367,13 @@ def build_ivf_index(
     partitioned write; queries then touch only their probed cells'
     partitions (static partition pruning — see ``query_ivf_index``).
     """
-    cents = (
-        train_kmeans_centroids(df, id_col, vec_col, k=n_centroids,
-                               iterations=kmeans_iterations, sample_size=sample_size)
-        if trained
-        else None
-    )
-    assigned = ivf_assign_cells(df, id_col, vec_col, n_centroids, n_probe=1,
-                                centroids=cents)
-    if cents is None:  # materialize the untrained centroids for storage
+    if trained:
+        cents = train_kmeans_centroids(df, id_col, vec_col, k=n_centroids,
+                                       iterations=kmeans_iterations,
+                                       sample_size=sample_size)
+    else:  # the deterministic lowest-id quantizer, materialized so the
+        # SAME table is both stored and used for partitioning (never
+        # re-derived separately — the index invariant)
         vecs = df.select(
             F.col(id_col).alias("vid"), as_double_array(F.col(vec_col)).alias("v")
         ).withColumn("nrm", norm(F.col("v")))
@@ -408,6 +381,9 @@ def build_ivf_index(
             F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
         )
     cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    cents = df.sparkSession.read.parquet(f"{index_dir}/centroids")
+    assigned = ivf_assign_cells(df, id_col, vec_col, n_centroids, n_probe=1,
+                                centroids=cents)
     assigned.write.mode("overwrite").partitionBy("cid").parquet(f"{index_dir}/vectors")
 
 
@@ -429,11 +405,17 @@ def query_ivf_index(
     """
     spark = queries_df.sparkSession
     cents = spark.read.parquet(f"{index_dir}/centroids")
-    probes = ivf_assign_cells(
+    # materialize the probe assignment ONCE (queries are small by
+    # contract): the collected rows feed both the static cell filter
+    # and the broadcast join side — without this the centroid
+    # crossJoin + window would run twice
+    assign = ivf_assign_cells(
         queries_df, id_col, vec_col, n_probe=n_probe, centroids=cents
     ).select(F.col("vid").alias("qid"), F.col("v").alias("qv"),
              F.col("nrm").alias("qnrm"), "cid")
-    cells = [r.cid for r in probes.select("cid").distinct().collect()]
+    probe_rows = assign.collect()
+    probes = spark.createDataFrame(probe_rows, assign.schema)
+    cells = sorted({r.cid for r in probe_rows})
     idx = spark.read.parquet(f"{index_dir}/vectors").filter(F.col("cid").isin(cells))
     cos = dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
     scored = (
@@ -443,16 +425,8 @@ def query_ivf_index(
                 cos.alias("_cos"))
         # a (query, neighbor) pair can surface via several probed cells
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select("query_id", "neighbor_id",
-                F.round(F.col("_cos"), 9).alias("_rank_sim"),
-                F.round(F.col("_cos"), 6).alias("cosine_sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("_rank_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def build_ann_index(df: DataFrame, id_col: str, vec_col: str, index_dir: str,
@@ -500,15 +474,5 @@ def query_ann_index(
             F.col("qid").alias("query_id"), F.col("vid").alias("neighbor_id"),
             cos.alias("_cos"),
         )
-        .select(
-            "query_id", "neighbor_id",
-            F.round(F.col("_cos"), 9).alias("_rank_sim"),
-            F.round(F.col("_cos"), 6).alias("cosine_sim"),
-        )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("_rank_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
-    )
+    return _rank_topk(scored, k)

@@ -256,7 +256,15 @@ def test_persisted_ivf_index_matches_inline_and_prunes(spark, tmp_path):
     assert got == want and got
 
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "cid" in plan  # probed-cell pruning
+    # a NON-EMPTY partition filter on cid — "PartitionFilters: []" (no
+    # pruning) must fail this, so match the filter content itself
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cid" in m.group(1), f"no cid partition pruning in: {m}"
+
+
+def test_bruteforce_arrow_matches_catalyst(spark):
     import pyspark.sql.functions as F
 
     from fbg_kafka_stream_file_transfer_spark.operators.similarity import (
