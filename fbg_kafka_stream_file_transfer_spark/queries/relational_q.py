@@ -531,6 +531,33 @@ QUERIES["window_range_frame"] = Q(
     doc="RANGE-frame window: per-customer trailing-30-day revenue",
 )
 
+QUERIES["window_ntile_lag"] = _shared(
+    """
+SELECT o_orderkey,
+       CAST(ntile(4) OVER w AS INTEGER) AS price_quartile,
+       round(o_totalprice - lag(o_totalprice, 1, o_totalprice) OVER w, 2) AS delta_prev,
+       round(CAST(percent_rank() OVER w AS DOUBLE), 6) AS pct_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY round(o_totalprice, 2), o_orderkey)
+""",
+    ("orders",),
+    doc="window-function sampler: ntile / lag-with-default / percent_rank",
+)
+
+QUERIES["join_full_outer_reconciliation"] = _shared(
+    """
+SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+       max(c.c_mktsegment) AS segment,
+       count(o.o_orderkey) AS n_big_orders
+FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING') c
+FULL OUTER JOIN (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 350000) o
+  ON c.c_custkey = o.o_custkey
+GROUP BY 1
+""",
+    ("customer", "orders"),
+    doc="FULL OUTER join (both-sides-filtered reconciliation; the join kind no other query covers)",
+)
+
 QUERIES["agg_median_mode"] = _shared(
     """
 SELECT l_returnflag,
