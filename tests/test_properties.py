@@ -17,10 +17,13 @@ from hypothesis import strategies as st
 from fbg_kafka_stream_file_transfer_spark.functions.text import shingles, shingles_arrow
 from fbg_kafka_stream_file_transfer_spark.operators.retry import DEFAULT_POLICY
 
-# printable-ish text incl. punctuation/whitespace the normalizer must handle
+# printable-ish text incl. punctuation/whitespace the normalizer must
+# handle — and Unicode hazards: NBSP/thin space (Java \s is ASCII-only,
+# the Python twins must agree), accented/CJK letters, a combining mark
 TEXT = st.text(
     alphabet=st.sampled_from(
         list("abcdefghijklmnopqrstuvwxyzABCDE 0123456789.,!?;:'\"()[]{}-\t\n")
+        + list("\xa0 　éß中́")
     ),
     max_size=200,
 )
@@ -42,6 +45,23 @@ def test_shingles_arrow_matches_catalyst(spark, texts):
     )
     for r in got:
         assert r.a == r.b, f"divergence on input {texts[r.i]!r}"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(TEXT | st.none(), min_size=1, max_size=8))
+def test_simhash_arrow_matches_catalyst_property(spark, texts):
+    """The one-pass Arrow simhash and the per-bit Catalyst folds are the
+    same function on arbitrary (incl. Unicode and NULL) text."""
+    from fbg_kafka_stream_file_transfer_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    fast = {r.doc_id: r.simhash16
+            for r in dedup.simhash_table(df, "doc_id", "text", arrow=True).collect()}
+    slow = {r.doc_id: r.simhash16
+            for r in dedup.simhash_table(df, "doc_id", "text", arrow=False).collect()}
+    assert fast == slow
 
 
 def test_retry_backoff_contract_exhaustive(spark):
