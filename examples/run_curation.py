@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""End-to-end example: curating an LLM training corpus at scale.
+
+The §2.h extension surface composed the way a data pipeline would run
+it over the synthetic ``documents`` + ``embeddings`` tables:
+
+1. exact dedup (sha256)                    — drop byte-identical docs
+2. MinHash-LSH near-dup → transitive groups — drop fuzzy duplicates
+3. quality score + language id             — filter and stratify
+4. context-window chunking                 — training-sample shaping
+5. IVF vector index (k-means trained)      — build once, probe cheaply
+
+    python examples/run_curation.py [sf_dir] [index_dir]
+
+Defaults: sf_dir=/root/testdata/sf0.001, index_dir=/tmp/curation_ivf.
+Every step is a plain DataFrame transform — the same code runs on a
+cluster; only the paths change.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from fbg_kafka_stream_file_transfer_spark import get_spark
+from fbg_kafka_stream_file_transfer_spark.functions.text import (
+    chunk_text,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from fbg_kafka_stream_file_transfer_spark.operators import dedup, similarity
+from fbg_kafka_stream_file_transfer_spark.sources.tables import load_table
+
+
+def main(sf_dir: str, index_dir: str) -> None:
+    spark = get_spark("curation-example")
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. exact dedup: one survivor per content hash
+    exact = dedup.exact_dedup_groups(docs, "doc_id", "text")
+    survivors = docs.join(
+        exact.select(F.col("canonical_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    n1 = survivors.count()
+
+    # 2. near-dup: LSH candidates -> verified pairs -> transitive groups,
+    #    keep each group's minimum id
+    pairs = dedup.minhash_dedup_pairs(survivors, "doc_id", "text", threshold=0.7)
+    groups = dedup.duplicate_groups(pairs)
+    losers = groups.filter(F.col("doc") != F.col("component")).select(
+        F.col("doc").alias("doc_id")
+    )
+    survivors = survivors.join(losers, "doc_id", "left_anti")
+    n2 = survivors.count()
+
+    # 3. quality + language stratification (pure Catalyst, map-only)
+    scored = survivors.select(
+        "doc_id",
+        "text",
+        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text")).alias("lang"),
+        token_count(F.col("text")).alias("tokens"),
+    ).filter(F.col("quality") >= 0.3)
+    n3 = scored.count()
+    print("\n== corpus funnel ==")
+    print(f"raw: {n0}  after-exact: {n1}  after-neardup: {n2}  after-quality: {n3}")
+    scored.groupBy("lang").agg(
+        F.count("*").alias("docs"), F.sum("tokens").alias("tokens")
+    ).orderBy("lang").show()
+
+    # 4. context-window chunks (explode+slice, codegen — no UDF)
+    chunks = chunk_text(scored, "doc_id", "text", chunk_tokens=30, stride=20)
+    print(f"== training chunks: {chunks.count()} ==")
+
+    # 5. trained IVF index over the embeddings; probe 3 queries
+    emb = load_table(spark, sf_dir, "embeddings")
+    similarity.build_ivf_index(
+        emb, "vec_id", "embedding", index_dir, n_centroids=16, trained=True
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    print("== ANN neighbors (persisted IVF index, partition-pruned probes) ==")
+    similarity.query_ivf_index(
+        queries, index_dir, "vec_id", "embedding", k=3, n_probe=2
+    ).orderBy("query_id", "rank").show()
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001",
+        sys.argv[2] if len(sys.argv) > 2 else "/tmp/curation_ivf",
+    )
