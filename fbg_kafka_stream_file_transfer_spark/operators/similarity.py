@@ -91,6 +91,12 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: rows matching ``query_filter`` are the queries.
 
+    This is the CORRECTNESS BASELINE (pure Catalyst, oracle-mirrored):
+    it shuffles all |Q|×N scored pairs into the ranking window. For bulk
+    workloads use ``brute_force_topk_arrow`` (same contract, BLAS matmul
+    + partition-local top-k — shuffle independent of corpus size) or the
+    ANN paths.
+
     The query side is broadcast (small by construction); ranking uses the
     value rounded to 9 dp with the neighbor id as tie-break so top-k
     membership is deterministic across engines.
