@@ -84,6 +84,40 @@ def quality_score(text: Column) -> Column:
     return (length_ok + mtl_ok + punct_ok + stop_ok) / 4
 
 
+def repetition_ratio(text: Column, n: int = 3) -> Column:
+    """Within-document n-gram repetitiveness: 1 − distinct/total word
+    n-grams of the normalized text (the Gopher-style repetition signal;
+    0 = no repeated n-grams, →1 for highly repetitive boilerplate).
+    Pure map-side Catalyst — no shuffle."""
+    toks = F.split(normalized_text(text), " ")
+    total = F.size(toks) - (n - 1)
+    distinct = F.size(shingles(text, n))
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - distinct / total
+    )
+
+
+def quality_flags(text: Column) -> list[Column]:
+    """Gopher-style per-rule quality gates, each as a named boolean
+    column plus the conjunctive ``keep`` — the explainable form of
+    ``quality_score`` (a curation pipeline wants to know WHY a document
+    dropped, and per-rule drop counts per shard). Thresholds follow the
+    public Gopher/C4 recipes adapted to the fixture's scale."""
+    n = token_count(text)
+    mtl = mean_token_length(text)
+    flags = {
+        "len_ok": n >= 10,
+        "word_len_ok": (mtl >= 3) & (mtl <= 10),
+        "punct_ok": punct_ratio(text) <= 0.2,
+        "stopword_ok": stopword_ratio(text) >= 0.05,
+        "repetition_ok": repetition_ratio(text) <= 0.5,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else keep & c
+    return [c.alias(name) for name, c in flags.items()] + [keep.alias("keep")]
+
+
 def lang_marker_hits(text: Column, lang: str) -> Column:
     """Count of tokens matching a language's marker list."""
     return F.size(F.filter(tokens(text), lambda t: t.isin(*LANG_MARKERS[lang])))

@@ -162,6 +162,42 @@ LIMIT 20
 }
 
 
+def _q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-rule quality gates + repetition ratio — the
+    explainable curation filter (which rule dropped each document)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        *TX.quality_flags(F.col("text")),
+        F.round(TX.repetition_ratio(F.col("text")), 6).alias("repetition"),
+    )
+
+
+QUERIES["text_quality_flags"] = Q(
+    _q_quality_flags,
+    NORM_CTE
+    + f"""
+, rep AS (
+  SELECT toks.doc_id,
+         CASE WHEN len(t) - 2 <= 0 THEN 0.0
+              ELSE 1.0 - CAST(len(ss) AS DOUBLE) / (len(t) - 2) END AS rep
+  FROM toks JOIN sh ON toks.doc_id = sh.doc_id
+)
+SELECT d.doc_id,
+       {_NTOK} >= 10 AS len_ok,
+       {_MTL} >= 3 AND {_MTL} <= 10 AS word_len_ok,
+       {_PUNCT} <= 0.2 AS punct_ok,
+       {_STOP} >= 0.05 AS stopword_ok,
+       rep <= 0.5 AS repetition_ok,
+       ({_NTOK} >= 10 AND {_MTL} >= 3 AND {_MTL} <= 10 AND {_PUNCT} <= 0.2
+        AND {_STOP} >= 0.05 AND rep <= 0.5) AS keep,
+       round(rep, 6) AS repetition
+FROM documents d JOIN rep ON d.doc_id = rep.doc_id
+""",
+    doc="Gopher-style per-rule quality gates (explainable keep/drop) + repetition ratio",
+)
+
+
 def _q_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polynomial (Karp-Rabin-style) rolling hash of the full document:
     h = fold_chars((acc*31 + codepoint) mod 1e9+7). Pure map pass —
