@@ -65,6 +65,32 @@ def streaming_dlq_counts(
     )
 
 
+def streaming_p95(
+    events: DataFrame,
+    time_col: str = "event_time",
+    duration_col: str = "processing_seconds",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """A3/A4 live: the p95 latency quantile per (window, dims) with
+    bounded state — `percentile_approx` is a MERGEABLE sketch, so each
+    micro-batch folds its partial digest into the window's state
+    exactly like Prometheus merges histogram buckets
+    (alerts.yaml:51-60,76-85). Pass ``group_cols=["path"]`` for A4's
+    per-path dimension. State is evicted once the watermark passes."""
+    dims = list(group_cols or [])
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window).alias("w"), *dims)
+        .agg(
+            F.percentile_approx(F.col(duration_col), 0.95, 10000).alias("p95_seconds"),
+            F.count("*").alias("n"),
+        )
+        .select(F.col("w.start").alias("window_start"), *dims, "p95_seconds", "n")
+    )
+
+
 def observed_counters(df: DataFrame, status_col: str = "status") -> DataFrame:
     """S11/S12 — zero-cost pipeline counters via `observe`: metrics ride
     the existing job (no extra pass) and surface in QueryProgress /

@@ -143,6 +143,36 @@ def test_streaming_error_rate_windows(spark, tmp_path):
     assert full and all(abs(r.error_rate - 0.4) < 0.21 for r in full)
 
 
+def test_streaming_p95_windows(spark, tmp_path):
+    """A3/A4 live: the percentile sketch folds across micro-batches per
+    (window, path) with watermark-bounded state."""
+    from fbg_kafka_stream_file_transfer_spark.streaming.windows import streaming_p95
+
+    rows = [
+        (TS + datetime.timedelta(minutes=m % 5), float(m), "pdf" if m % 2 else "docx")
+        for m in range(40)
+    ]
+    src = tmp_path / "lat"
+    schema = "event_time timestamp, processing_seconds double, path string"
+    spark.createDataFrame(rows, schema).write.parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    agg = streaming_p95(stream, group_cols=["path"])
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName("p95_test").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM p95_test").collect()
+    finally:
+        q.stop()
+    by_path = {r.path: r for r in got}
+    assert set(by_path) == {"pdf", "docx"} and all(r.n == 20 for r in got)
+    # pdf latencies are the odd values 1..39 → p95 in the top decile
+    assert by_path["pdf"].p95_seconds >= 35.0
+    assert by_path["docx"].p95_seconds >= 34.0
+
+
 def test_observed_counters(spark):
     df = spark.createDataFrame(
         [("COMPLETED",), ("FAILED",), ("COMPLETED",)], "status string"
