@@ -40,9 +40,34 @@ HEADLINE = [
     "dedup_exact",               # checksum dedup
     "dedup_minhash_verified",    # MinHash-LSH near-dup
     "text_quality_scores",       # text analysis
-    "sim_topk_bruteforce",       # embedding similarity top-k
+    "sim_topk_bruteforce_arrow", # embedding similarity top-k (scale path:
+    #   partition-local Arrow/BLAS top-k, shuffle independent of corpus size;
+    #   the Catalyst twin `sim_topk_bruteforce` stays in the registry as the
+    #   oracle/semantic baseline but shuffles all |Q|×N scored pairs)
     "sim_ann_lsh_topk",          # ANN (LSH-bucketed)
 ]
+
+
+def _contention_control(spark) -> dict:
+    """Fixed-work reference timing + loadavg, recorded next to the run.
+
+    The same JVM-side job (sum over a 50M range — no IO, no shuffle of
+    data, stable across code changes) is timed best-of-3 exactly like
+    the headline queries. Round-over-round, its wall-clock moves ONLY
+    with host contention, never with repo code — so a uniform headline
+    inflation (like r02's ×1.37) is machine-attributable when the
+    control inflates by the same factor, and a real regression when the
+    control holds steady."""
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr("sum(id * 2 + 1)").collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return {
+        "control_range_sum_sec": round(best, 3),
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
 
 
 def main() -> int:
@@ -64,6 +89,7 @@ def main() -> int:
     REGISTRY["env_validation_counts"].spark(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    control = _contention_control(spark)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -89,6 +115,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **control,
+                "loadavg_1m_end": round(os.getloadavg()[0], 2),
             }
         )
     )

@@ -88,13 +88,15 @@ def repetition_ratio(text: Column, n: int = 3) -> Column:
     """Within-document n-gram repetitiveness: 1 − distinct/total word
     n-grams of the normalized text (the Gopher-style repetition signal;
     0 = no repeated n-grams, →1 for highly repetitive boilerplate).
+    NULL text yields NULL (repetitiveness of a missing document is
+    unknown, not zero — ``quality_flags`` coalesces it to a drop).
     Pure map-side Catalyst — no shuffle."""
     toks = F.split(normalized_text(text), " ")
     total = F.size(toks) - (n - 1)
     distinct = F.size(shingles(text, n))
-    return F.when(total <= 0, F.lit(0.0)).otherwise(
-        F.lit(1.0) - distinct / total
-    )
+    return F.when(text.isNull(), F.lit(None).cast("double")).when(
+        total <= 0, F.lit(0.0)
+    ).otherwise(F.lit(1.0) - distinct / total)
 
 
 def quality_flags(text: Column) -> list[Column]:
@@ -102,7 +104,12 @@ def quality_flags(text: Column) -> list[Column]:
     column plus the conjunctive ``keep`` — the explainable form of
     ``quality_score`` (a curation pipeline wants to know WHY a document
     dropped, and per-rule drop counts per shard). Thresholds follow the
-    public Gopher/C4 recipes adapted to the fixture's scale."""
+    public Gopher/C4 recipes adapted to the fixture's scale.
+
+    Every flag coalesces NULL → False: a NULL document must count as
+    dropped by every rule (three-valued logic would make it invisible to
+    both ``keep`` and ``NOT keep`` filters and to per-rule drop counts,
+    defeating the explainable form's purpose)."""
     n = token_count(text)
     mtl = mean_token_length(text)
     flags = {
@@ -112,6 +119,7 @@ def quality_flags(text: Column) -> list[Column]:
         "stopword_ok": stopword_ratio(text) >= 0.05,
         "repetition_ok": repetition_ratio(text) <= 0.5,
     }
+    flags = {name: F.coalesce(c, F.lit(False)) for name, c in flags.items()}
     keep = None
     for c in flags.values():
         keep = c if keep is None else keep & c

@@ -164,13 +164,19 @@ def train_kmeans_centroids(
 ) -> DataFrame:
     """Deterministic spherical k-means for the IVF coarse quantizer.
 
-    Trains Lloyd's on a deterministic sample (the ``sample_size``
-    lowest-id vectors — seed-free and replayable): init = the ``k``
-    lowest-id vectors (exactly the untrained quantizer's choice, so
-    training can only refine it), then ``iterations`` rounds of
+    Trains Lloyd's on a deterministic hash-ordered sample: rows are
+    taken in ``md5(vid)`` order, so the sample is seed-free and
+    replayable yet *representative* — a lowest-id prefix would be a
+    biased slice whenever ids correlate with content (time-ordered
+    corpora drift), silently degrading centroid quality and IVF recall.
+    Init = the ``k`` hash-first vectors, then ``iterations`` rounds of
     assign-to-nearest-by-cosine + renormalized mean. Empty cells keep
     their previous centroid. Returns the same broadcastable
     (cid, cv, cnrm) table shape ``ivf_assign_cells`` builds untrained.
+
+    Raises ``ValueError`` when the corpus has fewer than ``k`` vectors —
+    a silent short centroid table would make the requested/actual
+    cell-count mismatch invisible downstream.
 
     Scale: training cost is O(sample_size × k × iterations) in numpy on
     the driver — independent of corpus size; the corpus-wide work stays
@@ -180,7 +186,16 @@ def train_kmeans_centroids(
     import numpy as np
 
     vecs = df.select(F.col(id_col).alias("vid"), as_double_array(F.col(vec_col)).alias("v"))
-    rows = vecs.orderBy("vid").limit(sample_size).collect()
+    rows = (
+        vecs.orderBy(F.md5(F.col("vid").cast("string")), "vid")
+        .limit(sample_size)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(
+            f"train_kmeans_centroids: corpus sample has {len(rows)} vectors, "
+            f"fewer than k={k} centroids requested"
+        )
     x = np.array([r.v for r in rows], dtype=np.float64)
     xn = np.linalg.norm(x, axis=1)
     xn[xn == 0] = 1.0
@@ -219,9 +234,13 @@ def ivf_assign_cells(
     can replicate cell assignment exactly; pass
     ``centroids=train_kmeans_centroids(...)`` for the trained quantizer
     (same shape: a small broadcast (cid, cv, cnrm) table, better recall
-    per probed cell). Scale: centroids broadcast; assignment is a
-    map-side cross join with a tiny build side + a per-vector
-    top-n_probe window keyed by vid — no all-pairs shuffle.
+    per probed cell). Precedence: an explicit ``centroids`` table WINS
+    and ``n_centroids`` is ignored — the cell count is then
+    ``centroids.count()``, whatever the caller requested (same rule in
+    ``ivf_topk``/``build_ivf_index``, which just forward the table).
+    Scale: centroids broadcast; assignment is a map-side cross join with
+    a tiny build side + a per-vector top-n_probe window keyed by vid —
+    no all-pairs shuffle.
     """
     vecs = df.select(
         F.col(id_col).alias("vid"), as_double_array(F.col(vec_col)).alias("v")

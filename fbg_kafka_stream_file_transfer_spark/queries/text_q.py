@@ -179,18 +179,20 @@ QUERIES["text_quality_flags"] = Q(
     + f"""
 , rep AS (
   SELECT toks.doc_id,
-         CASE WHEN len(t) - 2 <= 0 THEN 0.0
+         CASE WHEN d2.text IS NULL THEN NULL
+              WHEN len(t) - 2 <= 0 THEN 0.0
               ELSE 1.0 - CAST(len(ss) AS DOUBLE) / (len(t) - 2) END AS rep
   FROM toks JOIN sh ON toks.doc_id = sh.doc_id
+            JOIN documents d2 ON toks.doc_id = d2.doc_id
 )
 SELECT d.doc_id,
-       {_NTOK} >= 10 AS len_ok,
-       {_MTL} >= 3 AND {_MTL} <= 10 AS word_len_ok,
-       {_PUNCT} <= 0.2 AS punct_ok,
-       {_STOP} >= 0.05 AS stopword_ok,
-       rep <= 0.5 AS repetition_ok,
-       ({_NTOK} >= 10 AND {_MTL} >= 3 AND {_MTL} <= 10 AND {_PUNCT} <= 0.2
-        AND {_STOP} >= 0.05 AND rep <= 0.5) AS keep,
+       coalesce({_NTOK} >= 10, FALSE) AS len_ok,
+       coalesce({_MTL} >= 3 AND {_MTL} <= 10, FALSE) AS word_len_ok,
+       coalesce({_PUNCT} <= 0.2, FALSE) AS punct_ok,
+       coalesce({_STOP} >= 0.05, FALSE) AS stopword_ok,
+       coalesce(rep <= 0.5, FALSE) AS repetition_ok,
+       coalesce({_NTOK} >= 10 AND {_MTL} >= 3 AND {_MTL} <= 10 AND {_PUNCT} <= 0.2
+        AND {_STOP} >= 0.05 AND rep <= 0.5, FALSE) AS keep,
        round(rep, 6) AS repetition
 FROM documents d JOIN rep ON d.doc_id = rep.doc_id
 """,

@@ -279,6 +279,7 @@ def start_file_pipeline(
     max_files_per_trigger: int = 1000,
     min_age_seconds: int | None = None,
     clock: Callable | None = None,
+    trigger_seconds: int | None = None,
 ):
     """Streaming mode: file-monitor source (S9) → route → partitioned sinks.
 
@@ -288,15 +289,57 @@ def start_file_pipeline(
     mid-write — see ``_stability_gate`` (``clock`` injects its time
     source for deterministic tests).
 
+    ``trigger_seconds`` sets a processing-time trigger. When
+    ``min_age_seconds`` is enabled it DEFAULTS to 30 s (the reference
+    monitor's re-poll cadence, goanywhere-config.md:127): deferred
+    too-fresh rows are only re-admitted when a micro-batch fires, so
+    without a periodic re-poll a quiet source would strand the last
+    deferred file forever. A trigger alone is NOT enough — Structured
+    Streaming skips no-data micro-batches for stateless queries, so
+    ``foreachBatch`` never fires on an idle source (verified on this
+    Spark build) — so min-age mode also unions a 1-row/s rate-source
+    heartbeat (filtered out inside the sink) to guarantee every trigger
+    carries a row and the deferred buffer is re-examined each interval.
+    Pass ``trigger_seconds=0`` to opt out of both — tests that drive
+    batches explicitly by touching files do, so
+    ``processAllAvailable()`` doesn't sit out a trigger wait.
+
     Returns the StreamingQuery; callers drive it with
     ``processAllAvailable()`` in tests or leave it running in production.
     """
+    if trigger_seconds is None and min_age_seconds:
+        trigger_seconds = 30
     env = from_binary_files(
         spark, source_dir, glob=glob, stream=True,
         max_files_per_trigger=max_files_per_trigger,
     )
+    heartbeat = bool(min_age_seconds) and bool(trigger_seconds)
+    if heartbeat:
+        tick = (
+            spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+            .select(
+                F.lit(None).cast("string").alias("correlation_id"),
+                F.lit(None).cast("string").alias("transfer_id"),
+                F.lit(None).cast("string").alias("file_name"),
+                F.lit(None).cast("string").alias("content_type"),
+                F.lit(None).cast("long").alias("file_size"),
+                F.lit(None).cast("string").alias("checksum"),
+                F.lit(None).cast("binary").alias("content"),
+                F.lit(None).cast("timestamp").alias("event_time"),
+                F.lit(1).alias("delivery_count"),
+                F.lit(True).alias("_hb"),
+            )
+        )
+        env = env.withColumn("_hb", F.lit(False)).unionByName(tick)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if heartbeat:
+            import os
+
+            batch_df = batch_df.filter(~F.col("_hb")).drop("_hb")
+            # idle tick: no new files and nothing parked — skip the route
+            if not os.path.exists(f"{out_dir}/deferred") and not batch_df.take(1):
+                return
         commit_deferred = None
         if min_age_seconds:
             batch_df, commit_deferred = _stability_gate(
@@ -310,11 +353,12 @@ def start_file_pipeline(
         if commit_deferred is not None:
             commit_deferred()  # rebuild deferred/ only after the sinks landed
 
-    return (
-        env.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    writer = env.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
 
 
 def replay_due_retries(

@@ -81,13 +81,20 @@ def test_repetition_ratio_and_quality_flags(spark):
     the repetition rule while varied prose keeps all gates green."""
     looped = " ".join(["spam ham eggs"] * 10)  # 28 trigrams, 3 distinct
     prose = "the quick brown fox jumps over the lazy dog and it is great for all on a day"
-    df = spark.createDataFrame([(1, looped), (2, prose), (3, "x")], "i long, t string")
+    df = spark.createDataFrame(
+        [(1, looped), (2, prose), (3, "x"), (4, None)], "i long, t string"
+    )
     got = {r.i: r for r in df.select(
         "i", TX.repetition_ratio(F.col("t")).alias("rep"), *TX.quality_flags(F.col("t"))
     ).collect()}
     assert got[1].rep > 0.8 and not got[1].repetition_ok and not got[1].keep
     assert got[2].rep == 0.0 and got[2].keep
     assert got[3].rep == 0.0 and not got[3].len_ok and not got[3].keep
+    # NULL text must be visibly DROPPED (every flag False), not three-valued
+    # NULL — else it evades both keep and NOT keep filters and drop counts
+    assert got[4].keep is False
+    assert all(getattr(got[4], f) is False for f in
+               ("len_ok", "word_len_ok", "punct_ok", "stopword_ok", "repetition_ok"))
 
 
 def test_shingles_arrow_unicode_whitespace_parity(spark):

@@ -99,6 +99,7 @@ def test_streaming_min_age_defers_fresh_files(spark, tmp_path):
     q = start_file_pipeline(
         spark, str(src), str(out), str(ckpt),
         min_age_seconds=3600, clock=lambda: clk["now"],
+        trigger_seconds=0,  # batches driven by file touches, not a timer
     )
     try:
         q.processAllAvailable()
@@ -115,6 +116,62 @@ def test_streaming_min_age_defers_fresh_files(spark, tmp_path):
         q.stop()
     processed = spark.read.parquet(str(out / "processed"))
     assert {r.file_name for r in processed.collect()} == {"a.pdf", "b.pdf", "c.pdf"}
+    assert not os.path.exists(str(out / "deferred"))  # buffer drained dry
+
+
+def test_streaming_min_age_readmits_on_quiet_source(spark, tmp_path):
+    """ADVICE r2 (pipeline.py:271): with NO new arrivals, the deferred
+    file must still be re-admitted once it ages past min_age — the
+    processing-time trigger + rate-source heartbeat re-poll the buffer
+    (a bare trigger is not enough: no-data micro-batches skip
+    foreachBatch for stateless queries)."""
+    import os
+    import time
+
+    src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    t0 = time.time()
+    clk = {"now": datetime.datetime.utcfromtimestamp(t0)}
+    (src / "only.pdf").write_bytes(b"still being written")
+    os.utime(src / "only.pdf", (t0, t0))  # fresh relative to the gate clock
+    q = start_file_pipeline(
+        spark, str(src), str(out), str(ckpt),
+        min_age_seconds=3600, clock=lambda: clk["now"],
+        trigger_seconds=1,  # fast cadence so the test polls seconds, not 30 s
+    )
+    try:
+        # NOTE: processAllAvailable() is unusable here — the heartbeat
+        # rate source produces rows continuously, so "all available"
+        # never drains. Poll the sink with deadlines instead.
+        deadline = time.time() + 60
+        deferred_names: set[str] = set()
+        while time.time() < deadline and "only.pdf" not in deferred_names:
+            try:
+                deferred_names = {
+                    r.file_name
+                    for r in spark.read.parquet(str(out / "deferred")).collect()
+                }
+            except Exception:
+                pass  # buffer not written yet
+            time.sleep(0.5)
+        assert deferred_names == {"only.pdf"}
+
+        clk["now"] += datetime.timedelta(hours=2)  # ages past min_age
+        # no new file, no processAllAvailable: only the heartbeat fires
+        deadline = time.time() + 60
+        names: set[str] = set()
+        while time.time() < deadline and "only.pdf" not in names:
+            try:
+                names = {
+                    r.file_name
+                    for r in spark.read.parquet(str(out / "processed")).collect()
+                }
+            except Exception:
+                pass  # sink not written yet
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert "only.pdf" in names
     assert not os.path.exists(str(out / "deferred"))  # buffer drained dry
 
 
