@@ -285,7 +285,13 @@ def extract_documents(
     it for I/O-bound HTTP backends, where total in-flight calls against
     the service are then ``partitions × max_concurrency`` — the knob the
     reference's breaker + HPA envelope bounded. Breaker state is shared
-    across the partition's threads under a lock.
+    across the partition's threads under a lock. Bounded overshoot:
+    ``allow()`` is checked at task *start*, so after the failure
+    threshold is crossed up to ``max_concurrency − 1`` already-admitted
+    calls may still reach the backend before their ``record(False)``
+    lands — the same slack a multi-consumer reference deployment has
+    (each consumer notices the open breaker on its *next* poll). Callers
+    needing a hard ceiling set ``max_concurrency=1``.
 
     ``repartition=False`` skips the spread-to-all-cores step — use it
     when partitioning was already sized for the backend (for HTTP

@@ -230,6 +230,50 @@ def test_streaming_p95_windows(spark, tmp_path):
     assert by_path["docx"].p95_seconds >= 34.0
 
 
+def test_streaming_p95_append_mode_emits_after_watermark(spark, tmp_path):
+    """ADVICE r2 (windows.py:68): the bounded-state claim is the APPEND
+    path — a window must be emitted (and its state dropped) once the
+    watermark passes its end. Drive three micro-batches: the first fills
+    window 1, later ones carry the event-time high-water past
+    window_end + watermark so window 1 finalizes."""
+    from fbg_kafka_stream_file_transfer_spark.streaming.windows import streaming_p95
+
+    src = tmp_path / "lat"
+    src.mkdir()
+    schema = "event_time timestamp, processing_seconds double, path string"
+    batch1 = [
+        (TS + datetime.timedelta(minutes=m % 5), float(m), "pdf" if m % 2 else "docx")
+        for m in range(40)
+    ]
+    spark.createDataFrame(batch1, schema).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src) + "/*")
+    agg = streaming_p95(stream, window="5 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.outputMode("append").format("memory")
+        .queryName("p95_append_test").start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark still below window 1's end: nothing finalized yet
+        assert spark.sql("SELECT * FROM p95_append_test").count() == 0
+        # advance event time far past window_end (TS+5m) + watermark (10m);
+        # the watermark is applied from the batch AFTER the one that
+        # observed the max event time, hence two more batches
+        late1 = [(TS + datetime.timedelta(minutes=30), 1.0, "pdf")]
+        late2 = [(TS + datetime.timedelta(minutes=31), 1.0, "pdf")]
+        spark.createDataFrame(late1, schema).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+        spark.createDataFrame(late2, schema).write.parquet(str(src / "b3"))
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM p95_append_test").collect()
+    finally:
+        q.stop()
+    assert len(got) == 1  # window 1 emitted exactly once, late window still open
+    assert got[0].n == 40 and got[0].p95_seconds >= 35.0
+
+
 def test_observed_counters(spark):
     df = spark.createDataFrame(
         [("COMPLETED",), ("FAILED",), ("COMPLETED",)], "status string"
