@@ -98,9 +98,23 @@ def split_retry_dlq(
 
 
 def due_for_retry(retry_buffer: DataFrame, now: Column) -> DataFrame:
-    """Rows whose backoff has elapsed (re-admission filter; partition-prunes
-    when the buffer is written partitioned by next-attempt bucket)."""
-    return retry_buffer.filter(F.col("next_attempt_time") <= now).withColumn(
+    """Rows whose backoff has elapsed (re-admission filter).
+
+    When the buffer carries the ``nab`` next-attempt hour-bucket column
+    (``floor(unix(next_attempt_time)/3600)`` — the streaming sinks and
+    the drain rebuild write the buffer PARTITIONED BY it,
+    pipeline.py:_retry_partition_cols), an extra ``nab <= hour(now)``
+    predicate is applied first: it reaches the scan as a
+    ``PartitionFilters`` entry (plan-asserted in test_retry.py), so a
+    due-probe touches only the elapsed buckets, not the whole buffer —
+    at scale the buffer is dominated by far-future backoff rows. The
+    bucket predicate is a strict superset of the row predicate
+    (bucket(t) ≤ hour(now) whenever t ≤ now), so semantics are
+    unchanged."""
+    df = retry_buffer
+    if "nab" in df.columns:
+        df = df.filter(F.col("nab") <= F.floor(F.unix_timestamp(now) / F.lit(3600)))
+    return df.filter(F.col("next_attempt_time") <= now).withColumn(
         "delivery_count", F.col("delivery_count") + 1
     )
 

@@ -148,6 +148,22 @@ def _partition_col(df: DataFrame) -> DataFrame:
     return df.withColumn("dt", F.date_format("event_time", "yyyy-MM-dd")).repartition("dt")
 
 
+def _retry_partition_cols(df: DataFrame) -> DataFrame:
+    # retry buffer gets a SECOND partition key: the next-attempt hour
+    # bucket. due_for_retry prunes on it, so a due-probe scans only the
+    # elapsed buckets — at scale the buffer is dominated by far-future
+    # backoff rows the probe must not touch. NULL-safe: a row with no
+    # next_attempt_time lands in bucket -1 (never pruned IN, matching
+    # the row-level filter which also never admits it).
+    return _partition_col(df).withColumn(
+        "nab",
+        F.coalesce(
+            F.floor(F.unix_timestamp(F.col("next_attempt_time")) / F.lit(3600)),
+            F.lit(-1),
+        ),
+    )
+
+
 def _write_leg(df: DataFrame, path: str, epoch_id: int | None) -> None:
     df = _partition_col(df)
     if epoch_id is None:
@@ -187,9 +203,11 @@ def write_batch_sinks(
     write(result.incoming, "incoming")
     write(result.processed, "processed")
     # the retry buffer stays OUTSIDE the batch_id scheme: the drain
-    # rebuilds it (dt-only layout) and a replayed batch's duplicate
+    # rebuilds it ((nab, dt) layout) and a replayed batch's duplicate
     # retry rows collapse at drain time via the correlation_id dedup
-    _write_leg(result.retry_buffer, f"{out_dir}/retry", None)
+    _retry_partition_cols(result.retry_buffer).write.mode("append").partitionBy(
+        "nab", "dt"
+    ).parquet(f"{out_dir}/retry")
     try:
         write(result.dlq, "failed")
     except Exception as exc:  # E5: swallow DLQ-sink errors, keep the batch
@@ -361,12 +379,68 @@ def start_file_pipeline(
     return writer.start()
 
 
+class ParquetSwapBufferStore:
+    """Default retry-buffer store: plain parquet + atomic directory swap
+    (write-new-then-swap with crash adoption). This is the strategy the
+    drain delegates ALL buffer persistence to — a transactional table
+    format collapses ``read → anti-join → rebuild → commit`` into one
+    ``MERGE`` (Delta/Iceberg); implement this same four-method surface
+    over it and pass it as ``buffer_store`` (no drain changes needed).
+    No delta-spark in this container (verified absent), so the swap is
+    the shipped default; see SCALE.md §Streaming.
+
+    Commit semantics here: the rebuild lands in ``<path>__rebuild``,
+    then replaces the live dir. A crash between rmtree and rename is
+    recovered by ``recover()`` on the next drain — only a COMPLETED
+    rebuild (``_SUCCESS`` marker) is adopted, a partial one is
+    discarded. An empty rebuild commits to an ABSENT dir (a zero-row
+    partitioned write leaves nothing readable), which readers treat as
+    the empty buffer."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self.tmp = f"{path}__rebuild"
+
+    def recover(self) -> None:
+        """Adopt a completed rebuild a died drain left behind."""
+        import os
+        import shutil
+
+        if os.path.exists(self.tmp) and not os.path.exists(self.path):
+            if os.path.exists(os.path.join(self.tmp, "_SUCCESS")):
+                os.rename(self.tmp, self.path)
+            else:
+                shutil.rmtree(self.tmp)
+
+    def exists(self) -> bool:
+        import os
+
+        return os.path.exists(self.path)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+    def commit(self, new_buf: DataFrame, n_rows: int) -> None:
+        """Atomically replace the buffer with ``new_buf`` (already
+        persisted by the drain; ``n_rows`` is its count)."""
+        import os
+        import shutil
+
+        if n_rows > 0:
+            new_buf.write.mode("overwrite").partitionBy("nab", "dt").parquet(self.tmp)
+        shutil.rmtree(self.path)
+        if os.path.exists(self.tmp):
+            os.rename(self.tmp, self.path)
+        # else drained dry: an absent dir IS the empty buffer
+
+
 def replay_due_retries(
     spark: SparkSession,
     out_dir: str,
     now,
     extractor: Extractor = stub_extractor,
     policy: RetryPolicy = DEFAULT_POLICY,
+    buffer_store: ParquetSwapBufferStore | None = None,
 ) -> PipelineResult | None:
     """E6 + E2 drain: re-admit retry-buffer rows whose backoff elapsed and
     push them through the route again (the reference's reprocess TODO,
@@ -377,8 +451,11 @@ def replay_due_retries(
     crash recovery: a leftover rebuild dir from a died drain is adopted
     on the next call). An append-only buffer would re-admit
     already-consumed rows on every subsequent drain and multiply them;
-    this is the broker-ack analogue. On a cluster the swap becomes a
-    Delta/Iceberg MERGE — same logic, transactional.
+    this is the broker-ack analogue. Buffer persistence is delegated to
+    ``buffer_store`` (default ``ParquetSwapBufferStore``): a
+    transactional table format (Delta/Iceberg MERGE) slots in by
+    implementing the same recover/exists/read/commit surface — the
+    drain logic itself is backend-agnostic.
 
     Content is RE-FETCHED from ``incoming/`` by correlation_id — the
     reference's planned reprocess semantics (dlq-handler.yaml:185-188):
@@ -403,24 +480,23 @@ def replay_due_retries(
       MERGE condition of a transactional retry table; here it's one
       column-pruned scan of processed/ per drain)."""
     import os
-    import shutil
 
     from ..operators.retry import due_for_retry
 
-    path = f"{out_dir}/retry"
-    tmp = f"{path}__rebuild"
-    seq_path = f"{path}__drain_seq"
-    if os.path.exists(tmp) and not os.path.exists(path):
-        # a previous drain died mid-swap: adopt its rebuild — but only a
-        # COMPLETED one (_SUCCESS marker); a partial write is discarded
-        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
-            os.rename(tmp, path)
-        else:
-            shutil.rmtree(tmp)
-    if not os.path.exists(path):
+    store = buffer_store or ParquetSwapBufferStore(f"{out_dir}/retry")
+    seq_path = f"{out_dir}/retry__drain_seq"
+    store.recover()
+    if not store.exists():
         return None
     now_col = F.lit(now).cast("timestamp")
-    buf = spark.read.parquet(path)
+    # pruned due-probe FIRST: on an idle drain (the common case on a
+    # periodic cadence) this touches only the elapsed nab buckets —
+    # due_for_retry's partition filter — instead of the whole buffer.
+    # The processed/ anti-join below only REMOVES rows, so "probe
+    # empty ⇒ nothing to drain" holds without it.
+    if not due_for_retry(store.read(spark), now_col).take(1):
+        return None
+    buf = store.read(spark)
     proc_path = f"{out_dir}/processed"
     if _has_parquet_files(proc_path):
         # a real read failure here must ABORT the drain (it retries
@@ -435,12 +511,16 @@ def replay_due_retries(
         return None
     remaining = buf.filter(~(F.col("next_attempt_time") <= now_col))
     env = due.drop(
-        "retry_status", "backoff_seconds", "next_attempt_time", "reject_reason", "dt"
+        "retry_status", "backoff_seconds", "next_attempt_time", "reject_reason",
+        "dt", "nab",
     )
     # E6: recover the original bytes from the raw-file store
     content = F.to_binary(F.lit(""), F.lit("utf-8")).alias("content")
     inc_path = f"{out_dir}/incoming"
-    if os.path.exists(inc_path):
+    # _has_parquet_files, not exists: a batch whose every row was
+    # rejected leaves a metadata-only incoming/ dir (zero-row dynamic
+    # overwrite) that a parquet read can't infer a schema from
+    if _has_parquet_files(inc_path):
         stored = (
             spark.read.parquet(inc_path)
             .select(F.col("correlation_id").alias("_cid"), F.col("content").alias("_c"))
@@ -508,17 +588,11 @@ def replay_due_retries(
         ),
     )
     new_buf = remaining.unionByName(
-        _partition_col(rescheduled), allowMissingColumns=True
+        _retry_partition_cols(rescheduled), allowMissingColumns=True
     )
     new_buf = new_buf.persist()
-    if new_buf.count() > 0:
-        new_buf.write.mode("overwrite").partitionBy("dt").parquet(tmp)
+    store.commit(new_buf, new_buf.count())
     result.unpersist()
     buf.unpersist()
     new_buf.unpersist()
-    shutil.rmtree(path)
-    if os.path.exists(tmp):
-        os.rename(tmp, path)
-    # else drained dry: an absent dir IS the empty buffer (a zero-row
-    # partitioned parquet write leaves nothing readable behind)
     return result

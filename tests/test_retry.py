@@ -73,6 +73,36 @@ def test_ttl_expiry(spark):
     assert got == {"old": "EXPIRED", "new": "LIVE"}
 
 
+def test_due_probe_partition_prunes_on_nab_bucket(spark, tmp_path):
+    """The retry buffer is written PARTITIONED BY the next-attempt hour
+    bucket (nab); due_for_retry's bucket predicate must reach the scan
+    as a partition filter so an idle-drain probe touches only elapsed
+    buckets, not the whole buffer."""
+    from fbg_kafka_stream_file_transfer_spark.streaming.pipeline import (
+        _retry_partition_cols,
+    )
+
+    rows = [
+        ("a", 1, TS, TS + datetime.timedelta(hours=h)) for h in range(6)
+    ]
+    buf = spark.createDataFrame(
+        rows,
+        "correlation_id string, delivery_count int, event_time timestamp,"
+        " next_attempt_time timestamp",
+    )
+    path = str(tmp_path / "retry")
+    _retry_partition_cols(buf).write.partitionBy("nab", "dt").parquet(path)
+
+    due = due_for_retry(
+        spark.read.parquet(path),
+        F.lit(TS + datetime.timedelta(hours=2, minutes=30)).cast("timestamp"),
+    )
+    # buckets at hours 0,1,2 are elapsed; 3,4,5 must be pruned out
+    assert {r.next_attempt_time.hour for r in due.collect()} == {12, 13, 14}
+    plan = due._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "nab" in plan.split("PartitionFilters")[1][:200]
+
+
 def test_full_poison_lifecycle_through_drains(spark, tmp_path):
     """The complete E2/ST5 journey: a poison file fails validation at
     delivery 1 → retry buffer; two drains re-admit it with backoff
@@ -120,6 +150,62 @@ def test_full_poison_lifecycle_through_drains(spark, tmp_path):
     assert '"status":"FAILED"' in failed[0].failure_json
     # the good file was processed exactly once through all of this
     assert spark.read.parquet(str(out / "processed")).count() == 1
+
+
+def test_drain_uses_injected_buffer_store(spark, tmp_path):
+    """The drain's buffer persistence is a strategy (VERDICT r2 #9): a
+    transactional backend (Delta/Iceberg MERGE) plugs in through the
+    recover/exists/read/commit surface. A recording fake proves the
+    drain touches the buffer ONLY through the store, and that commit
+    receives the rebuilt buffer (survivor + rescheduled rows)."""
+    from fbg_kafka_stream_file_transfer_spark.streaming.pipeline import (
+        ParquetSwapBufferStore,
+        replay_due_retries,
+        start_file_pipeline,
+    )
+
+    class RecordingStore(ParquetSwapBufferStore):
+        def __init__(self, path):
+            super().__init__(path)
+            self.calls: list[str] = []
+            self.committed_rows: int | None = None
+
+        def recover(self):
+            self.calls.append("recover")
+            super().recover()
+
+        def exists(self):
+            self.calls.append("exists")
+            return super().exists()
+
+        def read(self, spark):
+            self.calls.append("read")
+            return super().read(spark)
+
+        def commit(self, new_buf, n_rows):
+            self.calls.append("commit")
+            self.committed_rows = n_rows
+            super().commit(new_buf, n_rows)
+
+    src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    (src / "poison.exe").write_bytes(b"rejected forever")
+    q = start_file_pipeline(spark, str(src), str(out), str(ckpt))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    t0 = spark.read.parquet(str(out / "retry")).collect()[0].event_time
+
+    store = RecordingStore(str(out / "retry"))
+    r = replay_due_retries(
+        spark, str(out), t0 + datetime.timedelta(seconds=6), buffer_store=store
+    )
+    assert r is not None
+    assert store.calls == ["recover", "exists", "read", "read", "commit"]
+    # attempt 2 of 3 → the row is rescheduled, so the rebuild holds it
+    assert store.committed_rows == 1
+    assert spark.read.parquet(str(out / "retry")).collect()[0].delivery_count == 2
 
 
 def test_drain_skips_already_processed_rows_and_numbers_epochs(spark, tmp_path):
