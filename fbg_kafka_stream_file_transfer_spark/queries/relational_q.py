@@ -443,6 +443,106 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
     doc="TPC-H q19 shape: disjunctive multi-clause predicate over a fact-dim join",
 )
 
+# q13's o_comment NOT LIKE filter has no fixture column — the excluded
+# class keys on o_orderpriority instead; the shape (outer join preserving
+# zero-order customers → count → histogram of counts) is intact.
+QUERIES["tpch_q13_customer_distribution"] = _shared(
+    """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '3-MEDIUM'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+""",
+    ("customer", "orders"),
+    doc="TPC-H q13 shape: zero-preserving outer join + histogram of per-key counts",
+)
+
+QUERIES["tpch_q15_top_supplier"] = _shared(
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    ("supplier", "lineitem"),
+    doc="TPC-H q15 shape: CTE revenue view + scalar-max subquery (argmax join)",
+)
+
+# q17's p_container predicate keys on p_size (no container column); the
+# shape — correlated per-part avg threshold gating a fact scan — is intact.
+# The 0.2×avg threshold is rounded to 6 dp so an engine-order float ulp
+# can't flip an exactly-at-boundary integer quantity.
+QUERIES["tpch_q17_small_quantity_revenue"] = _shared(
+    """
+SELECT round(CAST(sum(l_extendedprice) / 7.0 AS DOUBLE), 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1' AND p_size < 5
+  AND l_quantity < (
+    SELECT round(CAST(0.2 * avg(l2.l_quantity) AS DOUBLE), 6)
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""",
+    ("lineitem", "part"),
+    doc="TPC-H q17 shape: correlated per-group avg threshold (decorrelated agg join)",
+)
+
+# q21's lateness is l_receiptdate > l_commitdate; the fixture carries
+# neither, so late := shipped more than 60 days after the order date.
+# The operator shape — EXISTS (another supplier on the order) AND NOT
+# EXISTS (another LATE supplier) — is the point and is intact.
+QUERIES["tpch_q21_waiting_supplier"] = _shared(
+    """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND n_name = 'NATION_1'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+""",
+    ("supplier", "lineitem", "orders", "nation"),
+    doc="TPC-H q21 shape: dual correlated EXISTS/NOT-EXISTS (sole-late-supplier)",
+)
+
+# q22's phone-prefix country code keys on c_nationkey (no c_phone column);
+# shape intact: uncorrelated avg subquery + NOT EXISTS anti-join + rollup.
+QUERIES["tpch_q22_global_sales_opportunity"] = _shared(
+    """
+SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+       round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS totacctbal
+FROM (
+  SELECT CAST(c_nationkey AS INTEGER) AS cntrycode, c_acctbal, c_custkey
+  FROM customer
+  WHERE c_nationkey IN (1, 2, 3, 4)
+    AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                     WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 2, 3, 4))
+) custsale
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY cntrycode
+""",
+    ("customer", "orders"),
+    doc="TPC-H q22 shape: scalar avg threshold + NOT-EXISTS anti-join + country rollup",
+)
+
 QUERIES["agg_grouping_sets"] = _shared(
         """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
