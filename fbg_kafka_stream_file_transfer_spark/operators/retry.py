@@ -110,10 +110,16 @@ def due_for_retry(retry_buffer: DataFrame, now: Column) -> DataFrame:
     at scale the buffer is dominated by far-future backoff rows. The
     bucket predicate is a strict superset of the row predicate
     (bucket(t) ≤ hour(now) whenever t ≤ now), so semantics are
-    unchanged."""
+    unchanged. A NULL bucket is ADMITTED to the row-level filter rather
+    than excluded: a buffer that mixed legacy dt-only rows with
+    bucketed ones carries NULLs under ``__HIVE_DEFAULT_PARTITION__``,
+    and ``NULL <= h`` would silently drop those rows from every drain
+    (the rebuild re-derives nab so the state self-heals, but the rows
+    already written with NULL must still be eligible)."""
     df = retry_buffer
     if "nab" in df.columns:
-        df = df.filter(F.col("nab") <= F.floor(F.unix_timestamp(now) / F.lit(3600)))
+        bucket = F.floor(F.unix_timestamp(now) / F.lit(3600))
+        df = df.filter(F.col("nab").isNull() | (F.col("nab") <= bucket))
     return df.filter(F.col("next_attempt_time") <= now).withColumn(
         "delivery_count", F.col("delivery_count") + 1
     )

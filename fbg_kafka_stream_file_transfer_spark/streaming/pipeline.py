@@ -322,6 +322,13 @@ def start_file_pipeline(
     batches explicitly by touching files do, so
     ``processAllAvailable()`` doesn't sit out a trigger wait.
 
+    **Checkpoint compatibility**: the heartbeat union adds a second
+    (rate) source to the streaming query, and Structured Streaming pins
+    the source count/types in the checkpoint — toggling
+    ``min_age_seconds``/``trigger_seconds`` between runs (heartbeat on ↔
+    off) therefore requires a FRESH ``checkpoint_dir``; recovery from a
+    checkpoint written under the other shape fails by design.
+
     Returns the StreamingQuery; callers drive it with
     ``processAllAvailable()`` in tests or leave it running in production.
     """
@@ -402,15 +409,24 @@ class ParquetSwapBufferStore:
         self.tmp = f"{path}__rebuild"
 
     def recover(self) -> None:
-        """Adopt a completed rebuild a died drain left behind."""
+        """Adopt a completed rebuild a died drain left behind; discard a
+        partial one. Handles BOTH live-dir states: a complete tmp
+        (``_SUCCESS`` present) is the newer buffer — the drain that wrote
+        it had already finished its sink writes — so it wins even when
+        the live dir survived (crash landed between the tmp write and
+        the swap); a marker-less tmp is a torn write and is discarded
+        regardless, so a later drained-dry commit can never adopt it."""
         import os
         import shutil
 
-        if os.path.exists(self.tmp) and not os.path.exists(self.path):
-            if os.path.exists(os.path.join(self.tmp, "_SUCCESS")):
-                os.rename(self.tmp, self.path)
-            else:
-                shutil.rmtree(self.tmp)
+        if not os.path.exists(self.tmp):
+            return
+        if os.path.exists(os.path.join(self.tmp, "_SUCCESS")):
+            if os.path.exists(self.path):
+                shutil.rmtree(self.path)
+            os.rename(self.tmp, self.path)
+        else:
+            shutil.rmtree(self.tmp)
 
     def exists(self) -> bool:
         import os
@@ -428,8 +444,14 @@ class ParquetSwapBufferStore:
 
         if n_rows > 0:
             new_buf.write.mode("overwrite").partitionBy("nab", "dt").parquet(self.tmp)
+        elif os.path.exists(self.tmp):
+            # drained dry with a leftover tmp: it's a stale partial from
+            # a crashed drain (recover() discards those up front, but a
+            # concurrent writer or manual copy could still plant one) —
+            # renaming it would resurrect already-consumed retry rows
+            shutil.rmtree(self.tmp)
         shutil.rmtree(self.path)
-        if os.path.exists(self.tmp):
+        if n_rows > 0:
             os.rename(self.tmp, self.path)
         # else drained dry: an absent dir IS the empty buffer
 
@@ -589,6 +611,20 @@ def replay_due_retries(
     )
     new_buf = remaining.unionByName(
         _retry_partition_cols(rescheduled), allowMissingColumns=True
+    )
+    # nab is RE-DERIVED from next_attempt_time for every row of the
+    # rebuild, not trusted from the union: a legacy dt-only buffer (no
+    # nab column — due_for_retry supports reading one) would otherwise
+    # leave its surviving rows with NULL nab under
+    # __HIVE_DEFAULT_PARTITION__, where the next drain's bucket filter
+    # (NULL <= h → NULL) excludes them from `due` while `remaining`
+    # drops them once elapsed — silently lost, never retried or DLQ'd
+    new_buf = new_buf.withColumn(
+        "nab",
+        F.coalesce(
+            F.floor(F.unix_timestamp(F.col("next_attempt_time")) / F.lit(3600)),
+            F.lit(-1),
+        ),
     )
     new_buf = new_buf.persist()
     store.commit(new_buf, new_buf.count())

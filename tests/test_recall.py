@@ -86,8 +86,15 @@ def test_trained_ivf_recall_floor(recall_table):
     over the deterministic quantizer here (both are balanced: cell
     sizes 101-148 of 125 mean, identical rows-scanned). Training's win
     shows on CLUSTERED corpora — the shape real embedding models emit —
-    covered by test_kmeans_trained_ivf_beats_untrained_on_clustered_corpus."""
-    assert recall_table["ivf_trained_probe6of16"] >= 0.7
+    covered by test_kmeans_trained_ivf_beats_untrained_on_clustered_corpus.
+
+    The floor is 0.65, deliberately below the measured 0.712: this
+    pins "recall did not collapse", not the exact figure — a benign
+    change to the md5 sample ordering or fixture regeneration must not
+    flip an end-to-end metric test. The measured number lives in
+    SCALE.md's recall table; relative properties (trained ≥ untrained,
+    monotone in n_probe) are asserted by the neighboring tests."""
+    assert recall_table["ivf_trained_probe6of16"] >= 0.65
 
 
 def test_more_probes_more_recall(recall_table):

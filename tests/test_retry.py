@@ -208,6 +208,134 @@ def test_drain_uses_injected_buffer_store(spark, tmp_path):
     assert spark.read.parquet(str(out / "retry")).collect()[0].delivery_count == 2
 
 
+def test_recover_discards_partial_rebuild_even_when_live_exists(tmp_path):
+    """A marker-less __rebuild left by a drain that died mid-write must
+    be discarded by recover() EVEN IF the live dir survived — otherwise
+    a later drained-dry commit would rename the torn partial into place
+    and resurrect already-consumed retry rows (ADVICE r3 #1)."""
+    import os
+    from pathlib import Path
+
+    from fbg_kafka_stream_file_transfer_spark.streaming.pipeline import (
+        ParquetSwapBufferStore,
+    )
+
+    store = ParquetSwapBufferStore(str(tmp_path / "retry"))
+    os.makedirs(store.path)
+    Path(store.path, "part-live").write_text("live rows")
+    os.makedirs(store.tmp)
+    Path(store.tmp, "part-torn").write_text("partial rebuild")  # no _SUCCESS
+
+    store.recover()
+    assert not os.path.exists(store.tmp)
+    assert Path(store.path, "part-live").read_text() == "live rows"
+
+
+def test_recover_adopts_complete_rebuild_over_live_dir(tmp_path):
+    """A _SUCCESS-marked rebuild is the NEWER buffer (the drain that
+    wrote it had already landed its sink writes before the swap was
+    interrupted) — recover() must adopt it even when the live dir is
+    still present, or the next drain re-admits consumed rows."""
+    import os
+    from pathlib import Path
+
+    from fbg_kafka_stream_file_transfer_spark.streaming.pipeline import (
+        ParquetSwapBufferStore,
+    )
+
+    store = ParquetSwapBufferStore(str(tmp_path / "retry"))
+    os.makedirs(store.path)
+    Path(store.path, "part-old").write_text("pre-drain rows")
+    os.makedirs(store.tmp)
+    Path(store.tmp, "part-new").write_text("rebuilt rows")
+    Path(store.tmp, "_SUCCESS").write_text("")
+
+    store.recover()
+    assert not os.path.exists(store.tmp)
+    assert sorted(os.listdir(store.path)) == ["_SUCCESS", "part-new"]
+
+
+def test_drained_dry_commit_never_adopts_stale_tmp(tmp_path):
+    """Belt-and-braces on commit() itself: draining dry with a stale
+    marker-less tmp on disk must delete BOTH dirs (absent dir == empty
+    buffer), not rename the partial into place (ADVICE r3 #1)."""
+    import os
+    from pathlib import Path
+
+    from fbg_kafka_stream_file_transfer_spark.streaming.pipeline import (
+        ParquetSwapBufferStore,
+    )
+
+    store = ParquetSwapBufferStore(str(tmp_path / "retry"))
+    os.makedirs(store.path)
+    Path(store.path, "part-live").write_text("consumed this drain")
+    os.makedirs(store.tmp)
+    Path(store.tmp, "part-torn").write_text("stale partial")  # no _SUCCESS
+
+    store.commit(None, 0)  # drained dry: new_buf is never touched
+    assert not os.path.exists(store.path)
+    assert not os.path.exists(store.tmp)
+
+
+def test_legacy_dt_only_buffer_rows_survive_drains(spark, tmp_path):
+    """A buffer written before the nab bucket column existed (dt-only
+    partitioning — a shape due_for_retry explicitly supports) must not
+    lose rows across drains: pre-fix, a surviving row picked up a NULL
+    nab from the rebuild union, landed under __HIVE_DEFAULT_PARTITION__,
+    and the next drain's bucket filter (NULL <= h → NULL) excluded it
+    from `due` while `remaining` dropped it once elapsed — vanished
+    without retry or DLQ (ADVICE r3 #2)."""
+    from fbg_kafka_stream_file_transfer_spark.streaming.pipeline import (
+        replay_due_retries,
+        start_file_pipeline,
+    )
+
+    src, out, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    (src / "poison_a.exe").write_bytes(b"rejected forever a")
+    (src / "poison_b.exe").write_bytes(b"rejected forever b")
+    q = start_file_pipeline(spark, str(src), str(out), str(ckpt))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    raw = spark.read.parquet(str(out / "retry"))
+    rows, schema = raw.collect(), raw.schema
+    assert len(rows) == 2
+    t0 = min(r.event_time for r in rows)
+    # rewrite as a LEGACY buffer: no nab column, dt-only layout; push b's
+    # next attempt out so it must SURVIVE the first drain as `remaining`
+    legacy = spark.createDataFrame(rows, schema).drop("nab").withColumn(
+        "next_attempt_time",
+        F.when(
+            F.col("file_name") == "poison_b.exe",
+            F.col("next_attempt_time") + F.expr("INTERVAL 100 SECONDS"),
+        ).otherwise(F.col("next_attempt_time")),
+    )
+    legacy.write.mode("overwrite").partitionBy("dt").parquet(str(out / "retry"))
+
+    # drain 1 at +6 s: a is due (attempt 2), b survives via `remaining`
+    r1 = replay_due_retries(spark, str(out), t0 + datetime.timedelta(seconds=6))
+    assert r1 is not None
+    rebuilt = {r.file_name: r for r in spark.read.parquet(str(out / "retry")).collect()}
+    assert set(rebuilt) == {"poison_a.exe", "poison_b.exe"}
+    # the legacy survivor's bucket was re-derived, not left NULL
+    assert rebuilt["poison_b.exe"].nab is not None
+    assert rebuilt["poison_b.exe"].delivery_count == 1
+
+    # drain 2 at +200 s: both due — a exhausts (attempt 3 → DLQ), b
+    # retries as attempt 2; pre-fix b vanished here instead
+    r2 = replay_due_retries(spark, str(out), t0 + datetime.timedelta(seconds=200))
+    assert r2 is not None
+    survivors = spark.read.parquet(str(out / "retry")).collect()
+    assert len(survivors) == 1
+    assert survivors[0].file_name == "poison_b.exe"
+    assert survivors[0].delivery_count == 2
+    failed = spark.read.parquet(str(out / "failed"))
+    assert failed.filter(F.col("file_name") == "poison_a.exe").count() == 1
+
+
 def test_drain_skips_already_processed_rows_and_numbers_epochs(spark, tmp_path):
     """Idempotence guards on the drain: (1) a stale retry row whose
     correlation_id already reached processed/ (the replayed-append
