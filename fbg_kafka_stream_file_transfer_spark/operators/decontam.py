@@ -1,0 +1,56 @@
+"""Benchmark decontamination — flag training documents that share word
+n-grams with an evaluation/benchmark set.
+
+The standard LLM-curation step (e.g. GPT-3 §C / PaLM: 8–13-gram overlap
+against eval sets): any training document containing an n-gram that also
+occurs in a held-out benchmark is flagged (and usually dropped) so eval
+scores aren't inflated by memorized test data.
+
+Scale shape (100 TB corpus, benchmark set ≪ corpus): the eval side is a
+few thousand documents → its distinct-gram set is small and is
+BROADCAST; the training side is a pure map-side explode of shingles
+followed by a broadcast-hash join (no shuffle of the corpus) and one
+groupBy on ``doc_id`` — a uniform key, one shuffle of only the HIT rows
+(typically a tiny fraction of the corpus). Nothing here is quadratic and
+nothing shuffles the full corpus.
+
+Shingling reuses ``functions.text.shingles_arrow`` (one Arrow pass,
+identical semantics to the Catalyst/oracle form — parity-fuzzed in
+test_properties.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """(doc_id, n_hit_grams) for every training document sharing at
+    least one word ``n``-gram with ``eval_set``.
+
+    ``broadcast_eval=True`` (default) is the production shape —
+    benchmark sets are tiny next to the corpus. Pass ``False`` only when
+    the eval side is genuinely large (falls back to a shuffle join on
+    ``gram``; common grams then skew, so consider dropping grams whose
+    eval-side document frequency exceeds a cap first).
+    """
+    gram = F.explode(TX.shingles_arrow(F.col(text_col), n)).alias("gram")
+    ev = eval_set.select(gram).distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = train.select(F.col(id_col), gram)
+    return (
+        tr.join(ev, "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_hit_grams"))
+    )

@@ -53,6 +53,37 @@ def fingerprint_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataF
     )
 
 
+def prefix_dedup_groups(
+    df: DataFrame, id_col: str, text_col: str, k: int = 10
+) -> DataFrame:
+    """Boilerplate-prefix duplicate groups: documents whose first ``k``
+    normalized tokens agree (md5 of the token prefix), a standard
+    curation pass for template/boilerplate families (mirror pages,
+    scraped headers) that exact- and fingerprint-dedup both miss
+    because the tails differ.
+
+    Scale: one shuffle on a uniform hash key — the same shape as
+    ``exact_dedup_groups``; the prefix hash is map-side Catalyst
+    (split + slice + md5, codegen). Returns only groups with ≥2 docs:
+    (prefix_hash, n_docs, doc_ids as a sorted comma-joined string)."""
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    h = F.md5(F.concat_ws(" ", F.slice(toks, 1, k)))
+    return (
+        df.groupBy(h.alias("prefix_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(id_col)),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def fingerprint_survivors(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One surviving doc id per fingerprint (min id wins)."""
     return (

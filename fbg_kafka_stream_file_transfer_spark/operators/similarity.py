@@ -501,3 +501,43 @@ def query_ann_index(
         )
     )
     return _rank_topk(scored, k)
+
+
+def centroid_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = -0.2,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Embedding quality gate: cosine of every vector to the corpus
+    centroid, with an outlier flag for vectors pointing away from the
+    mass (corrupt/degenerate embeddings before they poison an ANN
+    index or a semantic-dedup pass).
+
+    Scale shape: one ``posexplode`` + per-dimension partial aggregation
+    (map-side combine, O(dim) groups — a shuffle of dim rows per
+    partition, NOT of the corpus), the dim-sized centroid re-assembled
+    and BROADCAST back, then a pure map-side cosine per row. No
+    corpus-sized shuffle anywhere; at 100 TB this is one scan + one
+    O(dim) exchange.
+
+    The flag compares the ROUNDED cosine (``round_dp``) so the
+    boundary is engine-stable (base.py conventions)."""
+    dims = df.select(F.posexplode(as_double_array(F.col(vec_col))).alias("pos", "v"))
+    cent = dims.groupBy("pos").agg(F.avg("v").alias("c"))
+    cent_arr = cent.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    out = df.crossJoin(F.broadcast(cent_arr))
+    v = as_double_array(F.col(vec_col))
+    cos = F.round(
+        dot(v, F.col("centroid")) / (norm(v) * norm(F.col("centroid"))), round_dp
+    )
+    return out.select(
+        F.col(id_col),
+        cos.alias("cos_centroid"),
+        (cos < F.lit(threshold)).alias("is_outlier"),
+    )

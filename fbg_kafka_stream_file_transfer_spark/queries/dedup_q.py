@@ -279,3 +279,23 @@ FROM sigs GROUP BY 1 HAVING count(*) > 1
 """,
     doc="SimHash near-dup buckets (groups sharing a 16-bit signature)",
 )
+
+
+def _q_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.prefix_dedup_groups(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=10
+    )
+
+
+QUERIES["dedup_prefix_groups"] = Q(
+    _q_prefix_groups,
+    NORM_CTE
+    + """
+SELECT md5(array_to_string(t[1:10], ' ')) AS prefix_hash,
+       count(*) AS n_docs,
+       array_to_string(list_transform(list_sort(list(doc_id)),
+                       x -> CAST(x AS VARCHAR)), ',') AS doc_ids
+FROM toks GROUP BY 1 HAVING count(*) > 1
+""",
+    doc="boilerplate-prefix duplicate families (first-10-token hash groups)",
+)

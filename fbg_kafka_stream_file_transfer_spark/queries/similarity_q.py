@@ -234,3 +234,30 @@ FROM r
 """,
     doc="int8 embedding quantization round trip (4x storage; error ≤ half a step)",
 )
+
+
+def _q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.centroid_outliers(emb, "vec_id", "embedding")
+
+
+QUERIES["sim_centroid_outliers"] = Q(
+    _q_centroid_outliers,
+    """
+WITH dims AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+), cent AS (
+  SELECT d, avg(v) AS c FROM dims GROUP BY d
+), scored AS (
+  SELECT vec_id,
+         round(sum(v * c) / (sqrt(sum(v * v)) * sqrt(sum(c * c))), 4) AS cos_centroid
+  FROM dims JOIN cent USING (d)
+  GROUP BY vec_id
+)
+SELECT vec_id, cos_centroid, cos_centroid < -0.2 AS is_outlier
+FROM scored
+""",
+    doc="embedding-to-centroid cosine quality gate (outlier = points away from corpus mass)",
+)

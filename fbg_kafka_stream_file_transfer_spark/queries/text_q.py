@@ -429,3 +429,87 @@ GROUP BY 1
 """,
     doc="per-language training-mixture rates via deterministic hash sampling",
 )
+
+
+def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any 5-gram with
+    the (deterministically sampled, 2%) held-out eval set. The eval
+    gram set is broadcast — the production shape (benchmarks ≪ corpus);
+    the corpus side is map-side shingling + broadcast join, with one
+    uniform-key shuffle of only the hit rows."""
+    from ..operators.decontam import ngram_decontaminate
+    from ..operators.sampling import _rate_bucket
+
+    d = _docs(spark, sf_dir)
+    bucket = _rate_bucket(F.col("doc_id"))
+    return ngram_decontaminate(
+        d.filter(bucket >= 200), d.filter(bucket < 200), n=5
+    )
+
+
+_SH5_CTE = """
+, sh5 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) - 4 <= 0 THEN [nt]
+              ELSE list_distinct(list_transform(range(1, len(t) - 3),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                        t[i+3] || ' ' || t[i+4])) END AS ss
+  FROM toks
+)
+"""
+
+QUERIES["decontam_ngram_overlap"] = Q(
+    _q_decontam,
+    NORM_CTE
+    + _SH5_CTE
+    + f"""
+, ev AS (SELECT DISTINCT unnest(ss) AS gram FROM sh5
+         WHERE {_SAMPLE_BUCKET.format(key="doc_id")} < 200),
+tr AS (SELECT doc_id, unnest(ss) AS gram FROM sh5
+       WHERE {_SAMPLE_BUCKET.format(key="doc_id")} >= 200)
+SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_hit_grams
+FROM tr JOIN ev USING (gram)
+GROUP BY 1
+""",
+    doc="train/eval 5-gram decontamination (broadcast eval gram set)",
+)
+
+
+def _q_token_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-length histogram in power-of-two buckets (bucket =
+    bit length of the token count) — the one-pass length profile a
+    curation run reads before choosing min/max-length gates. Map-side
+    bucket derivation + one tiny shuffle (O(buckets) groups)."""
+    d = _docs(spark, sf_dir)
+    n = TX.token_count(F.col("text"))
+    bucket = (
+        F.when(n <= 0, F.lit(0))
+        .otherwise(F.length(F.conv(n.cast("string"), 10, 2)))
+        .cast("int")
+    )
+    return (
+        d.select(n.alias("n"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+        )
+    )
+
+
+QUERIES["text_token_histogram"] = Q(
+    _q_token_hist,
+    f"""
+SELECT bucket, count(*) AS n_docs,
+       min(n) AS min_tokens, max(n) AS max_tokens
+FROM (
+  SELECT {_NTOK} AS n,
+         CASE WHEN {_NTOK} <= 0 THEN 0
+              ELSE CAST(len(bin({_NTOK})) AS INTEGER) END AS bucket
+  FROM documents
+)
+GROUP BY 1
+""",
+    doc="power-of-two token-length histogram (curation length-gate profile)",
+)

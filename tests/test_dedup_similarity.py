@@ -318,3 +318,73 @@ def test_persisted_ann_index(spark, tmp_path):
         for r in ann_lsh_topk(emb, "vec_id", "embedding", F.col("vid") < 6, k=3, planes=4).collect()
     }
     assert got == inline
+
+
+def test_ngram_decontaminate_flags_only_overlapping_docs(spark):
+    """A train doc sharing a 5-gram with the eval set is flagged with
+    the right hit count; disjoint docs are absent; the eval side is a
+    BROADCAST join (the production shape for small benchmark sets)."""
+    from fbg_kafka_stream_file_transfer_spark.operators.decontam import (
+        ngram_decontaminate,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            # shares the 3 grams of the common 'the quick brown fox
+            # jumps over the' run with the eval doc
+            (1, "i saw the quick brown fox jumps over the fence"),
+            (2, "completely different words in every position here"),
+            # short doc (<5 tokens) falls back to whole-text shingle
+            (3, "lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    out = ngram_decontaminate(tr, ev, n=5)
+    got = {r.doc_id: r.n_hit_grams for r in out.collect()}
+    assert got == {1: 3}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_prefix_dedup_groups(spark):
+    """Docs agreeing on the first 10 normalized tokens group together
+    regardless of tails; distinct prefixes don't."""
+    from fbg_kafka_stream_file_transfer_spark.operators.dedup import (
+        prefix_dedup_groups,
+    )
+
+    boiler = "subscribe to our newsletter for the latest updates and news"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " about sports today"),
+            (2, boiler.upper() + ", about politics!"),  # normalization folds case/punct
+            (3, "entirely original document body with its own ten first words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = prefix_dedup_groups(df, "doc_id", "text", k=10).collect()
+    assert len(out) == 1
+    assert out[0].n_docs == 2 and out[0].doc_ids == "1,2"
+
+
+def test_centroid_outliers_flags_antipodal_vector(spark):
+    """A vector pointing away from a tight cluster is the outlier; the
+    cluster members are not. Plan: centroid comes back as a broadcast,
+    no corpus-sized shuffle."""
+    from fbg_kafka_stream_file_transfer_spark.operators.similarity import (
+        centroid_outliers,
+    )
+
+    rows = [(i, [1.0, 0.05 * i, 0.0]) for i in range(1, 9)]
+    rows.append((99, [-1.0, -0.2, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = centroid_outliers(df, "vec_id", "embedding", threshold=-0.2)
+    got = {r.vec_id: r.is_outlier for r in out.collect()}
+    assert got[99] is True
+    assert all(not got[i] for i in range(1, 9))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
