@@ -74,6 +74,22 @@ def processing_date(event_time: Column) -> Column:
     return F.date_format(event_time, "yyyy/MM/dd")
 
 
+def epoch_seconds(ts: Column) -> Column:
+    """Fractional epoch seconds for ANY timestamp flavor (LTZ or NTZ).
+
+    Tz-less parquet (``timestamp[us]``) loads as TIMESTAMP_NTZ in
+    Spark 4, and ``CAST(ntz AS DOUBLE)`` is an analysis error — so every
+    timestamp→numeric conversion in this engine routes through here.
+    The chain ``CAST(ts AS TIMESTAMP_LTZ) → DOUBLE`` re-interprets NTZ
+    wall-clock under the session zone; with the zone pinned to UTC
+    (session.py) that is value-preserving and equals DuckDB
+    ``epoch(ts)`` to the microsecond. Numeric epoch columns round-trip
+    unchanged (seconds → timestamp → seconds), so callers that accept
+    either timestamps or epoch numbers may apply this uniformly.
+    """
+    return ts.cast("timestamp_ltz").cast("double")
+
+
 def iso_timestamp(ts: Column) -> Column:
     """P12 — failure-report timestamp format (dlq-handler.yaml:40).
 

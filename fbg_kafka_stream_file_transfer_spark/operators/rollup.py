@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.derivations import epoch_seconds
+
 #: seconds per supported resolution label
 RESOLUTIONS = {"1m": 60, "1h": 3600, "1d": 86400}
 
@@ -40,7 +42,9 @@ def hypertable_rollup(
     assert all(b % a == 0 for a, b in zip(secs, secs[1:])), "each level must nest"
 
     def bucket(col: Column, s: int) -> Column:
-        return (F.floor(col.cast("double") / s) * s).cast("long")
+        # epoch_seconds is NTZ-safe on the raw time column and a no-op
+        # round-trip on the coarser levels' bigint bucket_start
+        return (F.floor(epoch_seconds(col) / s) * s).cast("long")
 
     finest = (
         df.groupBy(bucket(F.col(time_col), secs[0]).alias("bucket_start"))

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.derivations import epoch_seconds
+
 
 def as_of_join(
     left: DataFrame,
@@ -91,15 +93,15 @@ def range_join_bucketed(
     filter. No dedup pass is needed: a left row occupies exactly one
     cell, so each (left, interval) pair joins at most once.
     """
-    cell = lambda c: F.floor(F.col(c).cast("double") / bucket_seconds)  # noqa: E731
+    cell = lambda c: F.floor(epoch_seconds(F.col(c)) / bucket_seconds)  # noqa: E731
     cells = F.sequence(cell(range_start), cell(range_end))
     r = right.withColumn("_cell", F.explode(cells))
     l = left.withColumn("_cell", cell(left_time))
-    lt = F.col(left_time).cast("double")
+    lt = epoch_seconds(F.col(left_time))
     # a left row occupies exactly one cell, so each (left, interval)
     # pair joins at most once — no dedup pass needed
     joined = l.join(r, [*on, "_cell"]).filter(
-        (F.col(range_start).cast("double") <= lt)
-        & (lt < F.col(range_end).cast("double"))
+        (epoch_seconds(F.col(range_start)) <= lt)
+        & (lt < epoch_seconds(F.col(range_end)))
     )
     return joined.drop("_cell")

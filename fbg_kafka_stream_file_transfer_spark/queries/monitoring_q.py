@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.derivations import epoch_seconds
 from ..operators import monitoring
 from ..sources.tables import load_table
 from .base import Q
@@ -292,7 +293,7 @@ def _q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    sec = F.floor(F.col("ts").cast("double"))
+    sec = F.floor(epoch_seconds(F.col("ts")))
     prev = F.lag(sec).over(w)
     return ev.select(
         "event_id",
