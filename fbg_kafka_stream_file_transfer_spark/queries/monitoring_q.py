@@ -512,3 +512,27 @@ FROM kept GROUP BY 1
 """,
     doc="KMV distinct-count sketch — portable md5 hashing, exact cross-engine parity",
 )
+
+
+# Registry order is driver-contract (see queries/__init__.py): the
+# never-yet-certified time-series operators lead — the three formerly
+# NTZ-broken ones first so their fix gets a hard CORRECTNESS row — and
+# the a1-a6 alert queries (driver-green in r03 AND r04) trail.
+_ORDER = [
+    "interarrival_gaps",
+    "join_range_error_after_purchase",
+    "hypertable_rollup_events",
+    "join_asof_last_purchase",
+    "sketch_kmv_distinct",
+    "a5_partition_lag",
+    "alert_sustained_breach",
+    "session_window_counts",
+    "a1_error_rate_5m",
+    "a1_error_rate_sliding",
+    "a3_p95_processing_time",
+    "a4_p95_docling_by_path",
+    "a2_backlog_running",
+    "a6_dlq_count_by_date",
+]
+assert set(_ORDER) == set(QUERIES), sorted(set(_ORDER) ^ set(QUERIES))
+QUERIES = {k: QUERIES[k] for k in _ORDER}
