@@ -34,18 +34,36 @@ def ngram_decontaminate(
     text_col: str = "text",
     n: int = 5,
     broadcast_eval: bool = True,
+    max_eval_doc_freq: int | None = None,
 ) -> DataFrame:
     """(doc_id, n_hit_grams) for every training document sharing at
     least one word ``n``-gram with ``eval_set``.
 
     ``broadcast_eval=True`` (default) is the production shape —
     benchmark sets are tiny next to the corpus. Pass ``False`` only when
-    the eval side is genuinely large (falls back to a shuffle join on
-    ``gram``; common grams then skew, so consider dropping grams whose
-    eval-side document frequency exceeds a cap first).
+    the eval side is genuinely large: the join falls back to a shuffle
+    on ``gram``, where common grams (stop-word runs like "of the end of
+    the") skew the key distribution. For that path set
+    ``max_eval_doc_freq``: eval grams occurring in more than that many
+    eval documents are dropped before the join. Such grams both hot-spot
+    the shuffle AND carry no contamination signal (a phrase shared by
+    half the benchmark identifies nothing) — the same reason the
+    GPT-3-style procedure uses long, rare n-grams. With the cap, the
+    per-gram join fan-out from the eval side is bounded by the cap and
+    the residual train-side skew is AQE-splittable.
     """
     gram = F.explode(TX.shingles_arrow(F.col(text_col), n)).alias("gram")
-    ev = eval_set.select(gram).distinct()
+    if max_eval_doc_freq is not None and not broadcast_eval:
+        ev = (
+            eval_set.select(F.col(id_col), gram)
+            .distinct()  # document frequency, not raw occurrence count
+            .groupBy("gram")
+            .agg(F.count("*").alias("_eval_df"))
+            .filter(F.col("_eval_df") <= max_eval_doc_freq)
+            .select("gram")
+        )
+    else:
+        ev = eval_set.select(gram).distinct()
     if broadcast_eval:
         ev = F.broadcast(ev)
     tr = train.select(F.col(id_col), gram)

@@ -20,9 +20,11 @@ from pyspark.sql import functions as F
 _BUCKETS = 10000
 
 
-def _rate_bucket(key: Column) -> Column:
+def rate_bucket(key: Column) -> Column:
     """Uniform bucket in [0, 10000) from the md5 of the key — portable
-    (same md5 hex → same bucket in any engine)."""
+    (same md5 hex → same bucket in any engine). Public: train/eval
+    splits and mixture queries build on the same bucketing so their
+    selections stay mutually consistent."""
     # 15 hex digits < 2^60: safe in a long on both engines
     return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
         "long"
@@ -36,7 +38,7 @@ def deterministic_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
     """
     # round, not int(): 0.57 * 10000 is 5699.999… in floats and int()
     # would silently shave a bucket off the requested rate
-    return df.filter(_rate_bucket(F.col(key_col)) < round(rate * _BUCKETS))
+    return df.filter(rate_bucket(F.col(key_col)) < round(rate * _BUCKETS))
 
 
 def mix_corpus(
@@ -55,4 +57,4 @@ def mix_corpus(
         val = F.lit(round(r * _BUCKETS))
         expr = F.when(cond, val) if expr is None else expr.when(cond, val)
     thresholds = expr.otherwise(F.lit(None).cast("int"))
-    return df.filter(_rate_bucket(F.col(key_col)) < thresholds)
+    return df.filter(rate_bucket(F.col(key_col)) < thresholds)

@@ -438,10 +438,10 @@ def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus side is map-side shingling + broadcast join, with one
     uniform-key shuffle of only the hit rows."""
     from ..operators.decontam import ngram_decontaminate
-    from ..operators.sampling import _rate_bucket
+    from ..operators.sampling import rate_bucket
 
     d = _docs(spark, sf_dir)
-    bucket = _rate_bucket(F.col("doc_id"))
+    bucket = rate_bucket(F.col("doc_id"))
     return ngram_decontaminate(
         d.filter(bucket >= 200), d.filter(bucket < 200), n=5
     )

@@ -350,6 +350,48 @@ def test_ngram_decontaminate_flags_only_overlapping_docs(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ngram_decontaminate_fallback_caps_common_grams(spark):
+    """Non-broadcast fallback with max_eval_doc_freq: a stop-word-heavy
+    gram present in (more than cap) eval docs is dropped from the join
+    key set — bounding per-gram fan-out — while rare grams still flag
+    exactly as on the broadcast path."""
+    from fbg_kafka_stream_file_transfer_spark.operators.decontam import (
+        ngram_decontaminate,
+    )
+
+    common = "to be or not to be that is the question"  # in every eval doc
+    ev = spark.createDataFrame(
+        [
+            (100, common),
+            (101, common + " indeed"),
+            (102, common + " truly"),
+            (103, "rare pangram vexes quick waltzing nymphs badly"),
+        ],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "he said to be or not to be that is all"),  # common grams only
+            (2, "a rare pangram vexes quick waltzing nymphs badly today"),
+            (3, "nothing shared with anything else at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    capped = ngram_decontaminate(
+        tr, ev, n=5, broadcast_eval=False, max_eval_doc_freq=2
+    )
+    got = {r.doc_id: r.n_hit_grams for r in capped.collect()}
+    # doc 1's hits all came from grams in 3 eval docs (> cap) → dropped;
+    # doc 2's rare grams are in exactly 1 eval doc → still flagged
+    assert 1 not in got
+    assert got[2] >= 1 and 3 not in got
+    # without the cap the common-gram doc IS flagged (sanity: the cap,
+    # not the fallback join itself, removed it)
+    uncapped = ngram_decontaminate(tr, ev, n=5, broadcast_eval=False)
+    got_uncapped = {r.doc_id: r.n_hit_grams for r in uncapped.collect()}
+    assert 1 in got_uncapped and got_uncapped[2] == got[2]
+
+
 def test_prefix_dedup_groups(spark):
     """Docs agreeing on the first 10 normalized tokens group together
     regardless of tails; distinct prefixes don't."""
