@@ -152,6 +152,33 @@ def normalized_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
 
 
+#: PII patterns, applied in order. Syntax is restricted to the
+#: intersection of Java regex (Spark) and RE2 (DuckDB/Go scanners):
+#: char classes, bounded repeats, alternation — no backrefs, no
+#: lookaround — so one pattern list drives every engine identically.
+#: Email must run before phone (digits in local parts would otherwise
+#: half-match); the IP pattern's guards keep it from eating the
+#: dotted digit runs inside longer numbers.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"(^|[^0-9.])((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+     r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])($|[^0-9.])", "$1<IP>$5"),
+    (r"(\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{2,4}\)?[-. ]?[0-9]{3,4}[-. ]?[0-9]{3,4}",
+     "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails, IPv4s, and phone-like digit runs to typed
+    placeholders — the standard pre-training privacy pass. Pure
+    Catalyst ``regexp_replace`` chain: map-side, codegen'd, no UDF; at
+    100 TB this costs one scan and shuffles nothing."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 over the sorted distinct-token set of the
     normalized text. Robust to token order / duplication — the classic

@@ -402,13 +402,15 @@ def embedding_near_dup_pairs(
     vec_col: str,
     threshold: float,
     block_col: str | None = None,
+    keep_block: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup: pairs with cosine ≥ threshold.
 
     ``block_col`` restricts comparisons to equal blocking keys (cluster /
     LSH bucket / shard) — mandatory at scale to avoid the full cross
     join; the join below is then an equi-join Catalyst shuffles on the
-    block key.
+    block key. ``keep_block`` adds the shared block key to the output
+    (per-block observability).
     """
     from ..functions.vectors import as_double_array, dot, norm
 
@@ -429,9 +431,40 @@ def embedding_near_dup_pairs(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
             F.round(cos, 6).alias("cosine_sim"),
+            *([F.col("a.blk").alias("block")] if keep_block and block_col else []),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def semantic_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    planes: int = 4,
+) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: near-dup pairs with the blocking
+    key derived FROM THE EMBEDDING ITSELF (random-hyperplane LSH bucket)
+    instead of an external label or cluster id.
+
+    This is the honest 100 TB form of :func:`embedding_near_dup_pairs`:
+    nothing outside the vector column is needed, expected pair work
+    drops from n² to ~n²/2^planes (per-bucket), and the only shuffle is
+    the equi-join on the bucket key. Cosine-similar vectors agree on
+    most hyperplane signs, so true near-dups land in the same bucket
+    with high probability; raise ``planes`` for bigger corpora (smaller
+    buckets, slightly lower recall) — the same trade as the ANN path,
+    and the same deterministic bucket function (similarity.lsh_bucket),
+    so a persisted bucket index is shared between dedup and search.
+    Output keeps the bucket for per-block observability.
+    """
+    from .similarity import lsh_bucket
+
+    blocked = df.withColumn("_sem_bucket", lsh_bucket(F.col(vec_col), planes))
+    return embedding_near_dup_pairs(
+        blocked, id_col, vec_col, threshold, block_col="_sem_bucket", keep_block=True
+    ).withColumnRenamed("block", "bucket")
 
 
 def duplicate_groups(

@@ -12,7 +12,16 @@ Spark and oracle sides (see queries.base conventions).
 from __future__ import annotations
 
 from .base import Q
-from . import envelope_q, relational_q, monitoring_q, dedup_q, text_q, similarity_q, pipeline_q
+from . import (
+    envelope_q,
+    relational_q,
+    monitoring_q,
+    dedup_q,
+    text_q,
+    similarity_q,
+    pipeline_q,
+    curation_q,
+)
 
 # Registry ORDER is part of the driver contract: the per-round
 # correctness gate certifies the FIRST 50 entries. The custom engine
@@ -22,7 +31,16 @@ from . import envelope_q, relational_q, monitoring_q, dedup_q, text_q, similarit
 # in two consecutive identical rounds (CORRECTNESS_r03 == r04) and are
 # still locally gated by oracle_check.py every round.
 REGISTRY: dict[str, Q] = {}
-for mod in (dedup_q, text_q, similarity_q, pipeline_q, monitoring_q, envelope_q, relational_q):
+for mod in (
+    dedup_q,
+    text_q,
+    similarity_q,
+    pipeline_q,
+    monitoring_q,
+    curation_q,  # new r5 queries: just past the window, rotate in next
+    envelope_q,
+    relational_q,
+):
     for name, q in mod.QUERIES.items():
         assert name not in REGISTRY, f"duplicate query name {name}"
         REGISTRY[name] = q

@@ -1,0 +1,102 @@
+"""Round-5 curation additions: semantic (SemDeDup-shaped) dedup and PII
+redaction.
+
+Separate module ON PURPOSE: registry order is driver-contract (the gate
+certifies the first 50 entries; see queries/__init__.py) and round 5's
+window is exactly filled by the previously-never-certified surface.
+These two sit just past it (after the monitoring block) — locally gated
+this round, queued to rotate into the window in a later round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators import dedup
+from ..sources.tables import load_table
+from .base import Q
+from .similarity_q import _COS, _bucket_sql
+
+QUERIES: dict[str, Q] = {}
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs with the blocking key derived from the
+    embedding itself (LSH bucket) — no external label or cluster id.
+    The 100 TB shape: one equi-join shuffle on the bucket key, pair
+    work bounded per bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_near_dup_pairs(emb, "vec_id", "embedding", 0.4, planes=4)
+
+
+_cos_ab = _COS.format(a="a.v", b="b.v")
+
+QUERIES["dedup_semantic_lsh"] = Q(
+    _q_semantic_dedup,
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM e)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cos_ab}, 6) AS cosine_sim,
+       a.bucket
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({_cos_ab}, 6) >= 0.4
+""",
+    doc="SemDeDup-shaped semantic dedup: LSH-bucket blocking + in-bucket cosine",
+)
+
+
+#: deterministic PII salt appended to every document so the redaction
+#: pass has guaranteed hits to scrub (the corpus itself is synthetic);
+#: mirrored 1:1 in the oracle SQL below
+def _salted(text, doc_id):
+    return F.concat(
+        text,
+        F.lit(" contact user"),
+        doc_id.cast("string"),
+        F.lit("@example.com at 10.0."),
+        (doc_id % 256).cast("string"),
+        F.lit(".7 tel +1 555-123-4567"),
+    )
+
+
+def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: emails / IPv4s / phone-like runs →
+    typed placeholders. Map-side regexp_replace chain, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    s = _salted(F.col("text"), F.col("doc_id"))
+    r = TX.redact_pii(s)
+    return d.select(
+        "doc_id",
+        F.md5(r).alias("redacted_md5"),
+        (F.length(s) - F.length(r)).cast("bigint").alias("len_delta"),
+    )
+
+
+def _pii_sql(col: str) -> str:
+    """DuckDB mirror of functions.text.redact_pii, generated from the
+    SAME pattern list (replacement syntax translated $N -> \\N)."""
+    out = col
+    for pat, repl in TX.PII_PATTERNS:
+        duck_repl = repl.replace("$", "\\")
+        out = f"regexp_replace({out}, '{pat}', '{duck_repl}', 'g')"
+    return out
+
+
+QUERIES["text_redact_pii"] = Q(
+    _q_redact_pii,
+    f"""
+WITH s AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com at 10.0.' ||
+         (doc_id % 256) || '.7 tel +1 555-123-4567' AS salted
+  FROM documents
+), r AS (SELECT doc_id, salted, {_pii_sql('salted')} AS red FROM s)
+SELECT doc_id, md5(red) AS redacted_md5,
+       CAST(len(salted) - len(red) AS BIGINT) AS len_delta
+FROM r
+""",
+    doc="PII redaction (email/IPv4/phone -> typed placeholders), pure regex chain",
+)

@@ -430,3 +430,35 @@ def test_centroid_outliers_flags_antipodal_vector(spark):
     assert all(not got[i] for i in range(1, 9))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_semantic_near_dup_pairs_blocked_by_lsh(spark):
+    """Identical/near-identical vectors land in the same LSH bucket and
+    pair up; the blocking is real (pairs only within equal buckets — an
+    orthogonal far vector produces no pair) and the join is an
+    equi-join, not a cross join."""
+    from fbg_kafka_stream_file_transfer_spark.operators.dedup import (
+        semantic_near_dup_pairs,
+    )
+    from fbg_kafka_stream_file_transfer_spark.operators.similarity import (
+        lsh_bucket,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [-1.0, 0.0, 0.0, 0.0]),     # antipodal: different bucket
+        (4, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vid long, vec array<double>")
+    out = semantic_near_dup_pairs(df, "vid", "vec", threshold=0.9, planes=4)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 2) in pairs
+    assert all({a, b} <= {1, 2} for a, b in pairs)
+    # the reported bucket matches the bucket function itself
+    bk = {r.vid: r.b for r in df.select("vid", lsh_bucket(F.col("vec"), 4).alias("b")).collect()}
+    for r in out.collect():
+        assert r.bucket == bk[r.id_a] == bk[r.id_b]
+    # plan: blocked equi-join (SortMerge or BroadcastHash), never cartesian
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan

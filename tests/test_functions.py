@@ -107,3 +107,46 @@ def test_shingles_arrow_unicode_whitespace_parity(spark):
     slow = {r.i: r.s for r in df.select("i", TX.shingles(F.col("t"), 2).alias("s")).collect()}
     fast = {r.i: r.s for r in df.select("i", TX.shingles_arrow(F.col("t"), 2).alias("s")).collect()}
     assert fast == slow
+
+
+def test_redact_pii_patterns(spark):
+    """Email / IPv4 / phone each hit their typed placeholder; IPv4 is
+    not half-eaten by the phone pattern; clean text passes unchanged."""
+    texts = [
+        (0, "mail me at jane.doe+spam@sub.example.co.uk today"),
+        (1, "server 192.168.0.1 and also 10.0.255.7 replied"),
+        (2, "call +1 555-123-4567 or (020) 7946 0958 now"),
+        (3, "no personal data in this sentence at all"),
+        (4, "mixed: bob@x.io from 8.8.8.8 dialed 555 867 5309"),
+    ]
+    df = spark.createDataFrame(texts, "i long, t string")
+    got = {r.i: r.red for r in df.select("i", TX.redact_pii(F.col("t")).alias("red")).collect()}
+    assert got[0] == "mail me at <EMAIL> today"
+    assert got[1] == "server <IP> and also <IP> replied"
+    assert got[2] == "call <PHONE> or <PHONE> now"
+    assert got[3] == texts[3][1]
+    assert got[4] == "mixed: <EMAIL> from <IP> dialed <PHONE>"
+
+
+def test_redact_pii_duckdb_parity(spark):
+    """The DuckDB mirror built from the SAME PII_PATTERNS list redacts
+    identically — the single-source-of-truth contract the oracle of
+    text_redact_pii rests on."""
+    import duckdb
+
+    from fbg_kafka_stream_file_transfer_spark.queries.curation_q import _pii_sql
+
+    texts = [
+        "a@b.co and 1.2.3.4 and +44 7911 123456",
+        "edge 255.255.255.255. end",
+        "no match here",
+        "double dots 1.2.3.4.5 are not an ip",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    spark_out = {
+        r.i: r.red for r in df.select("i", TX.redact_pii(F.col("t")).alias("red")).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        duck = con.execute(f"SELECT {_pii_sql('?')}", [t]).fetchone()[0]
+        assert spark_out[i] == duck, f"engine divergence on {t!r}"
