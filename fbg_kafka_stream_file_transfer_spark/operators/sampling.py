@@ -41,6 +41,31 @@ def deterministic_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
     return df.filter(rate_bucket(F.col(key_col)) < round(rate * _BUCKETS))
 
 
+def assign_splits(
+    df: DataFrame, key_col: str, splits: dict[str, float]
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: a ``split`` column
+    from contiguous hash-bucket ranges (e.g. {'train': .8, 'val': .1,
+    'test': .1}). Same key → same split on any engine, any day, any
+    partitioning — and consistent with :func:`deterministic_sample` /
+    :func:`mix_corpus`, which use the same bucketing, so a sampled
+    corpus keeps its split boundaries. Fractions must sum to ≤ 1; any
+    remainder is labeled NULL (excluded rows). Map-side only.
+    """
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    bucket = rate_bucket(F.col(key_col))
+    expr = None
+    lo = 0
+    for name, frac in splits.items():
+        hi = lo + round(frac * _BUCKETS)
+        cond = (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    return df.withColumn("split", expr.otherwise(F.lit(None).cast("string")))
+
+
 def mix_corpus(
     df: DataFrame, key_col: str, group_col: str, rates: dict[str, float]
 ) -> DataFrame:

@@ -85,6 +85,39 @@ def _pii_sql(col: str) -> str:
     return out
 
 
+def _q_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by doc_id hash, summarized
+    per (split, lang) — the reproducible partition a training run and
+    its eval harness must agree on."""
+    from ..operators.sampling import assign_splits
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        assign_splits(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+_BUCKET = "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000)"
+
+QUERIES["sample_split_assignment"] = Q(
+    _q_splits,
+    f"""
+WITH b AS (
+  SELECT lang, n_chars,
+         CASE WHEN {_BUCKET} < 8000 THEN 'train'
+              WHEN {_BUCKET} < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM b GROUP BY 1, 2
+""",
+    doc="deterministic 80/10/10 train/val/test split by portable key hash",
+)
+
+
 QUERIES["text_redact_pii"] = Q(
     _q_redact_pii,
     f"""

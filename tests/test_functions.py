@@ -150,3 +150,35 @@ def test_redact_pii_duckdb_parity(spark):
     for i, t in enumerate(texts):
         duck = con.execute(f"SELECT {_pii_sql('?')}", [t]).fetchone()[0]
         assert spark_out[i] == duck, f"engine divergence on {t!r}"
+
+
+def test_assign_splits_partition_and_consistency(spark):
+    """Splits cover every row exactly once, fractions land near targets,
+    and the assignment agrees with deterministic_sample's bucketing (a
+    20% sample of the corpus stays inside train+val+test proportions)."""
+    import pytest
+
+    from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+        assign_splits,
+        deterministic_sample,
+    )
+
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    out = assign_splits(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}  # no NULL remainder at sum=1
+    assert sum(counts.values()) == 5000
+    assert counts["train"] == pytest.approx(4000, rel=0.05)
+    assert counts["val"] == pytest.approx(500, rel=0.2)
+    # rerun → identical assignment (determinism)
+    again = {r.doc_id: r.split for r in out.collect()}
+    assert {r.doc_id: r.split
+            for r in assign_splits(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+            } == again
+    # sample-then-split == split-then-sample (shared bucketing)
+    sampled_ids = {r.doc_id for r in deterministic_sample(df, "doc_id", 0.2).collect()}
+    # deterministic_sample keeps buckets < 2000, which assign_splits maps
+    # entirely into 'train' (buckets < 8000)
+    assert all(again[i] == "train" for i in sampled_ids)
+    with pytest.raises(ValueError):
+        assign_splits(df, "doc_id", {"a": 0.9, "b": 0.2})
