@@ -7,8 +7,12 @@ it over the synthetic ``documents`` + ``embeddings`` tables:
 1. exact dedup (sha256)                    — drop byte-identical docs
 2. MinHash-LSH near-dup → transitive groups — drop fuzzy duplicates
 3. quality score + language id             — filter and stratify
-4. context-window chunking                 — training-sample shaping
-5. IVF vector index (k-means trained)      — build once, probe cheaply
+4. PII redaction                           — scrub emails/IPs/phones
+5. decontamination vs a held-out eval set  — drop benchmark leaks
+6. train/val/test split assignment         — reproducible partitions
+7. context-window chunking                 — training-sample shaping
+8. IVF vector index (k-means trained)      — build once, probe cheaply
+   (+ semantic near-dup pairs over the embeddings, LSH-blocked)
 
     python examples/run_curation.py [sf_dir] [index_dir]
 
@@ -31,9 +35,17 @@ from fbg_kafka_stream_file_transfer_spark.functions.text import (
     chunk_text,
     lang_id,
     quality_score,
+    redact_pii,
     token_count,
 )
 from fbg_kafka_stream_file_transfer_spark.operators import dedup, similarity
+from fbg_kafka_stream_file_transfer_spark.operators.decontam import (
+    ngram_decontaminate,
+)
+from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+    assign_splits,
+    deterministic_sample,
+)
 from fbg_kafka_stream_file_transfer_spark.sources.tables import load_table
 
 
@@ -74,12 +86,30 @@ def main(sf_dir: str, index_dir: str) -> None:
         F.count("*").alias("docs"), F.sum("tokens").alias("tokens")
     ).orderBy("lang").show()
 
-    # 4. context-window chunks (explode+slice, codegen — no UDF)
+    # 4. PII scrub (map-side regexp chain — no shuffle, no UDF)
+    scored = scored.withColumn("text", redact_pii(F.col("text")))
+
+    # 5. decontaminate against a held-out eval sample (2% of the raw
+    #    corpus standing in for a benchmark set; broadcast gram join)
+    eval_set = deterministic_sample(docs, "doc_id", 0.02)
+    hits = ngram_decontaminate(scored, eval_set, n=5)
+    scored = scored.join(hits.select("doc_id"), "doc_id", "left_anti")
+    n4 = scored.count()
+    print(f"after-decontam: {n4}")
+
+    # 6. reproducible 80/10/10 split — same key, same split, any engine
+    scored = assign_splits(scored, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    scored.groupBy("split").count().orderBy("split").show()
+
+    # 7. context-window chunks (explode+slice, codegen — no UDF)
     chunks = chunk_text(scored, "doc_id", "text", chunk_tokens=30, stride=20)
     print(f"== training chunks: {chunks.count()} ==")
 
-    # 5. trained IVF index over the embeddings; probe 3 queries
+    # 8. trained IVF index over the embeddings; probe 3 queries.
+    #    Semantic near-dup pairs share the same LSH bucketing as ANN.
     emb = load_table(spark, sf_dir, "embeddings")
+    sem = dedup.semantic_near_dup_pairs(emb, "vec_id", "embedding", 0.4)
+    print(f"== semantic near-dup pairs (LSH-blocked): {sem.count()} ==")
     similarity.build_ivf_index(
         emb, "vec_id", "embedding", index_dir, n_centroids=16, trained=True
     )
