@@ -44,3 +44,32 @@ def profile_table(df: DataFrame, cols: list[str], approx: bool = False) -> DataF
         f"stack({len(cols)}, {stack_args}) AS "
         "(column_name, n_rows, n_null, n_distinct, min_value, max_value)"
     )
+
+
+def profile_embeddings(df: DataFrame, vec_col: str) -> DataFrame:
+    """Vector-column QA in one scan: the gate an embedding table passes
+    before any ANN/dedup job runs on it.
+
+    One output row: n_vectors, n_null, n_dims (distinct lengths — must
+    be 1 for a usable corpus), dim_min/dim_max, n_zero_norm (vectors
+    cosine can't be computed for), and min/mean/max L2 norm (quantizer
+    and threshold sizing). Map-side per-vector math + a single-row
+    aggregate — the same one-scan shape as :func:`profile_table`.
+    """
+    from ..functions.vectors import as_double_array, norm
+
+    v = F.col(vec_col)
+    nrm = F.when(v.isNotNull(), norm(as_double_array(v)))
+    dim = F.when(v.isNotNull(), F.size(v))
+    per = df.select(nrm.alias("_nrm"), dim.alias("_dim"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.when(F.col("_dim").isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
+        F.countDistinct("_dim").cast("bigint").alias("n_dims"),
+        F.min("_dim").cast("int").alias("dim_min"),
+        F.max("_dim").cast("int").alias("dim_max"),
+        F.sum(F.when(F.col("_nrm") == 0.0, 1).otherwise(0)).cast("bigint").alias("n_zero_norm"),
+        F.round(F.min("_nrm"), 6).alias("norm_min"),
+        F.round(F.avg("_nrm"), 6).alias("norm_mean"),
+        F.round(F.max("_nrm"), 6).alias("norm_max"),
+    )

@@ -118,6 +118,37 @@ FROM b GROUP BY 1, 2
 )
 
 
+def _q_profile_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan embedding-table QA (dim consistency, norm stats,
+    zero-norm count) — the gate before any ANN or semantic-dedup job."""
+    from ..operators.profile import profile_embeddings
+
+    return profile_embeddings(load_table(spark, sf_dir, "embeddings"), "embedding")
+
+
+QUERIES["profile_embeddings"] = Q(
+    _q_profile_emb,
+    """
+WITH per AS (
+  SELECT len(embedding) AS dim,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT count(*) AS n_vectors,
+       CAST(sum(CASE WHEN dim IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT dim) AS BIGINT) AS n_dims,
+       CAST(min(dim) AS INTEGER) AS dim_min,
+       CAST(max(dim) AS INTEGER) AS dim_max,
+       CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+       round(min(nrm), 6) AS norm_min,
+       round(avg(nrm), 6) AS norm_mean,
+       round(max(nrm), 6) AS norm_max
+FROM per
+""",
+    doc="embedding-table QA profile (one scan): dims, zero norms, norm stats",
+)
+
+
 QUERIES["text_redact_pii"] = Q(
     _q_redact_pii,
     f"""

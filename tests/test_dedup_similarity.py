@@ -462,3 +462,25 @@ def test_semantic_near_dup_pairs_blocked_by_lsh(spark):
     # plan: blocked equi-join (SortMerge or BroadcastHash), never cartesian
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_profile_embeddings_flags_ragged_and_zero_vectors(spark):
+    """Ragged dims show up in n_dims/dim_min/dim_max, zero vectors and
+    NULLs are counted — the QA gate an embedding table passes before
+    ANN/semantic-dedup runs."""
+    from fbg_kafka_stream_file_transfer_spark.operators.profile import (
+        profile_embeddings,
+    )
+
+    rows = [
+        (1, [3.0, 4.0]),        # norm 5
+        (2, [0.0, 0.0]),        # zero norm
+        (3, [1.0, 0.0, 0.0]),   # ragged: dim 3
+        (4, None),              # null vector
+    ]
+    df = spark.createDataFrame(rows, "vid long, embedding array<double>")
+    r = profile_embeddings(df, "embedding").collect()[0]
+    assert r.n_vectors == 4 and r.n_null == 1
+    assert r.n_dims == 2 and (r.dim_min, r.dim_max) == (2, 3)
+    assert r.n_zero_norm == 1
+    assert r.norm_min == 0.0 and r.norm_max == 5.0
