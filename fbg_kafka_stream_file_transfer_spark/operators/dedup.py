@@ -472,28 +472,42 @@ def duplicate_groups(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iterations: int = 64,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
+    jumps_per_round: int = 3,
 ) -> DataFrame:
     """Transitive duplicate groups from near-dup pairs: connected
     components by iterative min-label propagation with POINTER JUMPING
     (A~B, B~C ⇒ one group labeled by its min doc id).
 
     Each round does (1) a hop — every node takes the min label over its
-    neighbors — and (2) a jump — every node then takes its label's
-    label (labels are node ids, so this is one self-join path
-    compression). The hop alone converges in O(diameter) rounds — fine
+    neighbors — and (2) ``jumps_per_round`` pointer jumps — labels are
+    node ids, so following the label one step (label := label(label))
+    compresses paths toward the min; each extra jump is one more
+    self-join INSIDE the same Spark job, roughly halving the remaining
+    distance again. The hop alone converges in O(diameter) rounds — fine
     for the near-clique components LSH verification emits, but a long
-    chain component (diameter d) costs d rounds; with the jump the
-    distance to the component minimum roughly halves per round, so even
-    pathological chains converge in O(log d). Each round is two
-    equi-joins + a groupBy (shuffles on node id).
+    chain component (diameter d) costs d rounds; with jumping the
+    round count drops to O(log d), and stacking several jumps per round
+    trades cheap intra-job joins for expensive extra rounds (each round
+    = a full job + convergence action; on an iterative driver loop the
+    per-round fixed cost, not the data, dominates below cluster scale).
 
-    Robustness at scale: every ``checkpoint_every`` rounds the label
-    frame is ``localCheckpoint``-ed — without it the plan doubles in
-    depth per round and a deep run hits planner blowup long before it
-    hits compute limits. ``max_iterations`` is a hard stop (RuntimeError)
-    so a logic regression can never loop a cluster forever; 64 covers a
-    component diameter of ~2^64 under jumping, i.e. any real graph.
+    Convergence is detected WITHOUT a compare-join: both the hop and the
+    jumps only ever lower a node's label (``least``), so the global
+    label sum is strictly decreasing until the fixpoint — one
+    single-row aggregate per round (exact decimal sum, overflow-safe at
+    any corpus size) replaces the old new-vs-old join.
+
+    Robustness at scale: every ``checkpoint_every`` rounds (default:
+    every round) the label frame is ``localCheckpoint``-ed. This is not
+    optional hygiene: each jump references the current frame TWICE, so
+    the un-truncated logical plan grows by 2^jumps per round and the
+    ANALYZER (which walks the tree, persist or not) becomes the
+    bottleneck within a few rounds. With one action per round anyway,
+    a per-round checkpoint costs nothing extra and keeps analysis O(1)
+    per round. ``max_iterations`` is a hard stop (RuntimeError)
+    so a logic regression can never loop a cluster forever; 64 rounds of
+    even a single jump cover a diameter of ~2^64, i.e. any real graph.
 
     Returns (doc, component) for every doc appearing in ``pairs``.
     """
@@ -504,6 +518,10 @@ def duplicate_groups(
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     ).persist()
+    _sum = lambda df: df.agg(  # noqa: E731 — exact, overflow-safe checksum
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    prev_sum = _sum(labels)
 
     for rounds in range(1, max_iterations + 1):
         neighbor_min = (
@@ -511,7 +529,7 @@ def duplicate_groups(
             .groupBy(F.col("src").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
-        hopped = (
+        cur = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
@@ -520,33 +538,27 @@ def duplicate_groups(
                 ),
             )
         )
-        # pointer jump: labels are node ids, so following the label one
-        # step (label := label(label)) compresses paths toward the min
-        ptr = hopped.select(F.col("node").alias("pnode"), F.col("label").alias("plabel"))
-        new_labels = (
-            hopped.join(ptr, hopped.label == ptr.pnode, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))).alias(
-                    "label"
-                ),
+        for _ in range(jumps_per_round):
+            c = cur.alias("c")
+            p = cur.select(
+                F.col("node").alias("pnode"), F.col("label").alias("plabel")
+            ).alias("p")
+            cur = c.join(p, F.col("c.label") == F.col("p.pnode"), "left").select(
+                F.col("c.node").alias("node"),
+                F.least(
+                    F.col("c.label"), F.coalesce(F.col("p.plabel"), F.col("c.label"))
+                ).alias("label"),
             )
-        )
         if rounds % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint()  # truncate lineage
+            new_labels = cur.localCheckpoint()  # truncate lineage
         else:
-            new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+            new_labels = cur.persist()
+        cur_sum = _sum(new_labels)  # materializes + checks in one action
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"duplicate_groups did not converge within {max_iterations} rounds"
