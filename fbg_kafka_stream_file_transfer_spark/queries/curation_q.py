@@ -17,7 +17,7 @@ from ..functions import text as TX
 from ..operators import dedup
 from ..sources.tables import load_table
 from .base import Q
-from .similarity_q import _COS, _bucket_sql
+from .similarity_q import COS_SQL, bucket_sql
 
 QUERIES: dict[str, Q] = {}
 
@@ -31,13 +31,13 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_near_dup_pairs(emb, "vec_id", "embedding", 0.4, planes=4)
 
 
-_cos_ab = _COS.format(a="a.v", b="b.v")
+_cos_ab = COS_SQL.format(a="a.v", b="b.v")
 
 QUERIES["dedup_semantic_lsh"] = Q(
     _q_semantic_dedup,
     f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-b AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM e)
+b AS (SELECT vec_id, v, {bucket_sql('v')} AS bucket FROM e)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({_cos_ab}, 6) AS cosine_sim,
        a.bucket

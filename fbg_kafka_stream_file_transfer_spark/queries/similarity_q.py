@@ -17,7 +17,7 @@ from .base import Q
 _PLANES = 4
 
 #: DuckDB cosine between two DOUBLE[] expressions.
-_COS = (
+COS_SQL = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
@@ -25,7 +25,7 @@ _COS = (
 #: DuckDB mirror of similarity.lsh_bucket — the same carry-mixing
 #: spatial-hash sign (floor/%/± only, engine-portable):
 #: s = (floor(((i*73856093 + (j+1)*19349663) % 65536) / 256) % 2)*2 - 1
-def _bucket_sql(vcol: str, planes: int = _PLANES) -> str:
+def bucket_sql(vcol: str, planes: int = _PLANES) -> str:
     terms = []
     for j in range(planes):
         sign = (
@@ -57,7 +57,7 @@ def _q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_cos_qc = _COS.format(a="q.v", b="c.v")
+_cos_qc = COS_SQL.format(a="q.v", b="c.v")
 
 QUERIES: dict[str, Q] = {
     "sim_topk_bruteforce": Q(
@@ -79,7 +79,7 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM (
         _q_buckets,
         f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT vec_id, {_bucket_sql('v')} AS bucket FROM e
+SELECT vec_id, {bucket_sql('v')} AS bucket FROM e
 """,
         doc="random-hyperplane LSH bucket assignment (the ANN scale path)",
     ),
@@ -87,7 +87,7 @@ SELECT vec_id, {_bucket_sql('v')} AS bucket FROM e
         _q_ann,
         f"""
 WITH e0 AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
-e AS (SELECT vid, v, {_bucket_sql('v')} AS bucket FROM e0)
+e AS (SELECT vid, v, {bucket_sql('v')} AS bucket FROM e0)
 SELECT query_id, neighbor_id, cosine_sim, rank FROM (
   SELECT q.vid AS query_id, c.vid AS neighbor_id,
          round({_cos_qc}, 6) AS cosine_sim,
