@@ -443,6 +443,7 @@ def semantic_near_dup_pairs(
     vec_col: str,
     threshold: float,
     planes: int = 4,
+    n_tables: int = 1,
 ) -> DataFrame:
     """SemDeDup-shaped semantic dedup: near-dup pairs with the blocking
     key derived FROM THE EMBEDDING ITSELF (random-hyperplane LSH bucket)
@@ -457,14 +458,39 @@ def semantic_near_dup_pairs(
     buckets, slightly lower recall) — the same trade as the ANN path,
     and the same deterministic bucket function (similarity.lsh_bucket),
     so a persisted bucket index is shared between dedup and search.
-    Output keeps the bucket for per-block observability.
+
+    A single table catches a cos-θ pair with p = (1-θ/π)^planes — fine
+    near cos 1.0, lossy at moderate thresholds. ``n_tables`` > 1 unions
+    pairs across independent hyperplane families (plane offsets), so
+    recall becomes 1-(1-p)^T at T× join cost — the standard multi-table
+    LSH amplification; pair dedup across tables is one ``distinct`` on
+    an already-shuffled key. Output keeps each pair's (first-table)
+    bucket for per-block observability.
     """
     from .similarity import lsh_bucket
 
-    blocked = df.withColumn("_sem_bucket", lsh_bucket(F.col(vec_col), planes))
-    return embedding_near_dup_pairs(
-        blocked, id_col, vec_col, threshold, block_col="_sem_bucket", keep_block=True
-    ).withColumnRenamed("block", "bucket")
+    tables = []
+    for t in range(n_tables):
+        blocked = df.withColumn(
+            "_sem_bucket", lsh_bucket(F.col(vec_col), planes, plane_offset=t * planes)
+        )
+        tables.append(
+            embedding_near_dup_pairs(
+                blocked, id_col, vec_col, threshold, block_col="_sem_bucket",
+                keep_block=True,
+            ).withColumnRenamed("block", "bucket")
+        )
+    if n_tables == 1:
+        return tables[0]
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    # same pair can surface from several tables; keep one row (min bucket
+    # label for determinism)
+    return (
+        out.groupBy("id_a", "id_b")
+        .agg(F.min("cosine_sim").alias("cosine_sim"), F.min("bucket").alias("bucket"))
+    )
 
 
 def duplicate_groups(

@@ -56,8 +56,13 @@ def hyperplane_sign(dim_index: Column, plane: int) -> Column:
     return (F.floor(h / F.lit(256)) % 2) * 2 - 1
 
 
-def lsh_bucket(vec: Column, planes: int) -> Column:
-    """Sign-pattern bucket id in [0, 2^planes)."""
+def lsh_bucket(vec: Column, planes: int, plane_offset: int = 0) -> Column:
+    """Sign-pattern bucket id in [0, 2^planes).
+
+    ``plane_offset`` selects an independent hyperplane family (planes
+    ``offset .. offset+planes-1``) — the multi-table LSH primitive:
+    unioning matches across T offset tables lifts pair recall from p to
+    1-(1-p)^T without touching any single table's bucket balance."""
 
     def signed(j: int):
         # closure factory: PySpark infers lambda arity from the signature,
@@ -67,7 +72,7 @@ def lsh_bucket(vec: Column, planes: int) -> Column:
     bucket = F.lit(0)
     for j in range(planes):
         proj = F.aggregate(
-            F.transform(vec, signed(j)),
+            F.transform(vec, signed(plane_offset + j)),
             F.lit(0.0).cast("double"),
             lambda acc, v: acc + v,
         )

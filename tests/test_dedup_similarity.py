@@ -484,3 +484,31 @@ def test_profile_embeddings_flags_ragged_and_zero_vectors(spark):
     assert r.n_dims == 2 and (r.dim_min, r.dim_max) == (2, 3)
     assert r.n_zero_norm == 1
     assert r.norm_min == 0.0 and r.norm_max == 5.0
+
+
+def test_semantic_multi_table_recall_amplification(spark):
+    """n_tables=4 must recover at least as many true near-dup pairs as a
+    single table, every reported pair must be a true pair (cos >= t),
+    and per-pair rows stay unique after the cross-table union."""
+    from fbg_kafka_stream_file_transfer_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        semantic_near_dup_pairs,
+    )
+    from fbg_kafka_stream_file_transfer_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    truth = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    one = {
+        (r.id_a, r.id_b)
+        for r in semantic_near_dup_pairs(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    multi_rows = semantic_near_dup_pairs(
+        emb, "vec_id", "embedding", 0.4, n_tables=4
+    ).collect()
+    multi = {(r.id_a, r.id_b) for r in multi_rows}
+    assert len(multi_rows) == len(multi)  # no duplicate pair rows
+    assert one <= multi <= truth  # amplification, never false positives
+    assert truth and len(multi) > len(one)  # actually gains recall here
