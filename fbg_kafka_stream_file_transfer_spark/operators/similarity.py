@@ -528,7 +528,11 @@ def centroid_outliers(
     O(dim) exchange.
 
     The flag compares the ROUNDED cosine (``round_dp``) so the
-    boundary is engine-stable (base.py conventions)."""
+    boundary is engine-stable (base.py conventions). The rounded value
+    is normalized through ``+ 0.0``: rounding a tiny negative cosine
+    yields IEEE ``-0.0``, which some engines/format paths render as
+    "-0" and others as "0" — adding positive zero canonicalizes both
+    to ``+0.0`` (the mirrored oracle SQL does the same)."""
     dims = df.select(F.posexplode(as_double_array(F.col(vec_col))).alias("pos", "v"))
     cent = dims.groupBy("pos").agg(F.avg("v").alias("c"))
     cent_arr = cent.agg(
@@ -538,8 +542,11 @@ def centroid_outliers(
     )
     out = df.crossJoin(F.broadcast(cent_arr))
     v = as_double_array(F.col(vec_col))
-    cos = F.round(
-        dot(v, F.col("centroid")) / (norm(v) * norm(F.col("centroid"))), round_dp
+    cos = (
+        F.round(
+            dot(v, F.col("centroid")) / (norm(v) * norm(F.col("centroid"))), round_dp
+        )
+        + F.lit(0.0)  # -0.0 → +0.0 (see docstring)
     )
     return out.select(
         F.col(id_col),

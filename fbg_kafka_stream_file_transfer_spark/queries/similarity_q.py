@@ -252,7 +252,9 @@ WITH dims AS (
   SELECT d, avg(v) AS c FROM dims GROUP BY d
 ), scored AS (
   SELECT vec_id,
-         round(sum(v * c) / (sqrt(sum(v * v)) * sqrt(sum(c * c))), 4) AS cos_centroid
+         -- + 0.0 canonicalizes IEEE -0.0 (round of a tiny negative
+         -- cosine) to +0.0, matching the Spark side
+         round(sum(v * c) / (sqrt(sum(v * v)) * sqrt(sum(c * c))), 4) + 0.0 AS cos_centroid
   FROM dims JOIN cent USING (d)
   GROUP BY vec_id
 )
