@@ -4,6 +4,19 @@ Cross-engine determinism rules (Spark ↔ DuckDB):
 
 - **Doubles**: every aggregated/computed double in the output is
   ``round(x, N)`` on BOTH sides (2 for money-like sums, 6 for ratios).
+- **Money sums are DECIMAL-exact**: ``sum(double)`` is summation-order
+  dependent — at sf0.1+ big revenue groups land on the cent rounding
+  boundary and engines diverge. Money aggregates therefore quantize
+  each term (``CAST(x AS DECIMAL(18,4))`` for 2-4dp columns,
+  ``DECIMAL(28,8)`` for price×discount products), sum exactly, ROUND
+  WHILE STILL DECIMAL (both engines round decimal ties half-away-
+  from-zero; rounding the cast double instead diverges — Spark rounds
+  the shortest string repr, DuckDB the exact binary), and only then
+  cast to DOUBLE for the output schema. Verified identical at sf0.01
+  and sf0.1 across the whole relational family.
+- **Negative zero**: ``round()`` of a tiny negative double yields IEEE
+  ``-0.0``, rendered "-0" by some format paths; any rounded output
+  that can straddle zero adds ``+ 0.0`` on both sides to canonicalize.
 - **Ordering/top-k**: rank on the rounded value with an explicit unique
   tie-break key, so near-equal doubles can't flip membership.
 - **Timestamps**: window starts are emitted as formatted strings

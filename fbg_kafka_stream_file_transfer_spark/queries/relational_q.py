@@ -102,7 +102,11 @@ def _broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            # exact decimal sum → double: order-independent money agg
+            # (base.py conventions; see module docstring on -0/float sums)
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2
+            ).cast("double").alias("total_acctbal"),
         )
     )
 
@@ -113,12 +117,12 @@ QUERIES: dict[str, Q] = {
         """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,8))), 2) AS DOUBLE) AS sum_charge,
        round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(l_extendedprice), 6) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'
@@ -129,7 +133,7 @@ GROUP BY l_returnflag, l_linestatus
     "tpch_q3_shipping_priority": shared_sql(
         """
 SELECT o_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue,
        o_orderpriority
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -144,7 +148,7 @@ LIMIT 10
     "tpch_q5_local_supplier_volume": shared_sql(
         """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -159,7 +163,7 @@ GROUP BY n_name
     "agg_rollup": shared_sql(
         """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_extendedprice), 2) AS sum_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
        count(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -170,7 +174,7 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """
 SELECT o_orderpriority, o_orderstatus,
        count(*) AS n,
-       round(sum(o_totalprice), 2) AS total
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """,
@@ -215,8 +219,8 @@ SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
         """
 SELECT o_custkey,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_spent,
-       round(avg(o_totalprice), 6) AS avg_order,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_spent,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / count(o_totalprice), 6) AS avg_order,
        round(min(o_totalprice), 2) AS min_order,
        round(max(o_totalprice), 2) AS max_order
 FROM orders
@@ -279,7 +283,7 @@ FROM orders GROUP BY o_orderpriority
         _broadcast_dim_join,
         """
 SELECT r_name, n_name, count(*) AS customers,
-       round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS total_acctbal
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -300,7 +304,7 @@ def _shared(sql: str, tables: tuple[str, ...], doc: str) -> Q:
 
 QUERIES["tpch_q6_forecast_revenue"] = _shared(
     """
-SELECT round(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -325,7 +329,7 @@ GROUP BY o_orderpriority
 QUERIES["tpch_q10_returned_revenue"] = _shared(
         """
 SELECT c_custkey, c_name, n_name,
-       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -339,9 +343,10 @@ GROUP BY c_custkey, c_name, n_name
 
 QUERIES["tpch_q14_promo_ratio"] = _shared(
         """
-SELECT round(CAST(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 6) AS promo_revenue_pct
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))
+                                   ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE), 6) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 """,
         ("lineitem", "part"),
@@ -362,7 +367,7 @@ HAVING sum(l_quantity) > 300
 QUERIES["tpch_q7_volume_shipping"] = _shared(
     """
 SELECT supp_nation, cust_nation, l_year,
-       round(CAST(sum(volume) AS DOUBLE), 2) AS revenue
+       CAST(round(sum(CAST(volume AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS INTEGER) AS l_year,
@@ -386,8 +391,9 @@ GROUP BY supp_nation, cust_nation, l_year
 QUERIES["tpch_q8_market_share"] = _shared(
     """
 SELECT o_year,
-       round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-                  / sum(volume) AS DOUBLE), 6) AS mkt_share
+       round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN CAST(volume AS DECIMAL(28,8))
+                           ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE)
+             / CAST(sum(CAST(volume AS DECIMAL(28,8))) AS DOUBLE), 6) AS mkt_share
 FROM (
   SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
          l_extendedprice * (1 - l_discount) AS volume,
@@ -430,7 +436,7 @@ GROUP BY l_linestatus
 # the fixture lacks p_container/l_shipmode) — the OR-pushdown showcase.
 QUERIES["tpch_q19_disjunctive_revenue"] = _shared(
     """
-SELECT round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
        AND l_quantity >= 1 AND l_quantity <= 20)
@@ -465,7 +471,7 @@ QUERIES["tpch_q15_top_supplier"] = _shared(
     """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2)
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))), 2) AS DOUBLE)
            AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -485,7 +491,7 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 # can't flip an exactly-at-boundary integer quantity.
 QUERIES["tpch_q17_small_quantity_revenue"] = _shared(
     """
-SELECT round(CAST(sum(l_extendedprice) / 7.0 AS DOUBLE), 2) AS avg_yearly
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#1' AND p_size < 5
   AND l_quantity < (
@@ -528,7 +534,7 @@ GROUP BY s_name
 QUERIES["tpch_q22_global_sales_opportunity"] = _shared(
     """
 SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
-       round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS totacctbal
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS totacctbal
 FROM (
   SELECT CAST(c_nationkey AS INTEGER) AS cntrycode, c_acctbal, c_custkey
   FROM customer
@@ -570,7 +576,7 @@ WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders o2
 QUERIES["monthly_revenue_trend"] = _shared(
         """
 SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS STRING) AS month,
-       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_orders
 FROM orders
 GROUP BY 1
@@ -585,15 +591,22 @@ def _q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the PLAIN groupBy — salting must be invisible in results."""
     from ..operators.scale import salted_agg
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        # exact decimal money column: the two-stage (partial-then-final)
+        # salted sum must be order-independent to equal the plain-groupBy
+        # oracle bit-for-bit at any scale
+        "o_totalprice_dec", F.col("o_totalprice").cast("decimal(18,4)")
+    )
     out = salted_agg(
         orders,
         ["o_orderpriority"],
-        {"n_orders": ("o_orderkey", "count"), "total": ("o_totalprice", "sum")},
+        {"n_orders": ("o_orderkey", "count"), "total": ("o_totalprice_dec", "sum")},
         n_salts=16,
     )
     return out.select(
-        "o_orderpriority", "n_orders", F.round("total", 2).alias("total")
+        "o_orderpriority",
+        "n_orders",
+        F.round(F.col("total"), 2).cast("double").alias("total"),
     )
 
 
@@ -601,7 +614,7 @@ QUERIES["salted_groupby_equivalence"] = Q(
     _q_salted,
     """
 SELECT o_orderpriority, count(*) AS n_orders,
-       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
 FROM orders GROUP BY 1
 """,
     doc="skew salting: two-stage agg ≡ plain groupBy (the skew-mitigation path)",
