@@ -1,0 +1,99 @@
+"""Cross-engine convention invariants (queries/base.py).
+
+The oracle gate's exactness rests on a few behavioral agreements
+between Spark and DuckDB. Each is pinned here so an engine upgrade
+that silently changes one fails pytest, not the driver's gate.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+
+def test_decimal_tie_rounding_parity(spark):
+    """Both engines round decimal ties half-away-from-zero — the premise
+    of the decimal-exact money convention (round while still decimal)."""
+    sql = (
+        "SELECT round(CAST(2.675 AS DECIMAL(18,3)), 2) AS a,"
+        "       round(CAST(2.665 AS DECIMAL(18,3)), 2) AS b,"
+        "       round(CAST(-2.675 AS DECIMAL(18,3)), 2) AS c"
+    )
+    s = spark.sql(sql).collect()[0]
+    d = duckdb.sql(sql).fetchone()
+    assert (float(s.a), float(s.b), float(s.c)) == (2.68, 2.67, -2.68)
+    assert tuple(float(x) for x in d) == (2.68, 2.67, -2.68)
+
+
+def test_double_half_rounding_diverges_between_engines(spark):
+    """Documents WHY money sums round in decimal: rounding a double that
+    prints as an exact half diverges — Spark rounds the shortest string
+    repr (HALF_UP on '.695'), DuckDB the exact binary value (.69499...).
+    If this test ever fails, the engines converged and the decimal
+    detour could be simplified."""
+    v = 583060.695  # nearest double is just BELOW the printed half
+    s = spark.sql(f"SELECT round(CAST({v!r} AS DOUBLE), 2) AS r").collect()[0].r
+    d = duckdb.sql(f"SELECT round(CAST({v!r} AS DOUBLE), 2) AS r").fetchone()[0]
+    assert s == 583060.70 and d == 583060.69
+
+
+def test_negative_zero_canonicalization(spark):
+    """round() of a tiny negative double yields -0.0; '+ 0.0' must
+    canonicalize it to +0.0 in both engines (the sim_centroid_outliers
+    fix — '%.10g' renders -0.0 as '-0')."""
+    import math
+
+    s_raw = spark.sql("SELECT round(-1e-9, 4) AS r").collect()[0].r
+    d_raw = duckdb.sql("SELECT round(-1e-9, 4) AS r").fetchone()[0]
+    # at least one engine produces -0.0 (duckdb does); the guard fixes both
+    assert math.copysign(1.0, d_raw) == -1.0
+    s_fix = spark.sql("SELECT round(-1e-9, 4) + 0.0 AS r").collect()[0].r
+    d_fix = duckdb.sql("SELECT round(-1e-9, 4) + 0.0 AS r").fetchone()[0]
+    assert math.copysign(1.0, s_fix) == 1.0 and math.copysign(1.0, d_fix) == 1.0
+    assert "%.10g" % d_raw == "-0" and "%.10g" % d_fix == "0"
+
+
+def test_md5_and_floor_cast_parity(spark):
+    """Portable-hash sampling and int-cast conventions: identical md5 hex
+    and floor-before-cast behavior."""
+    s = spark.sql(
+        "SELECT md5('spark-graft') AS h, CAST(floor(2.9) AS BIGINT) AS f"
+    ).collect()[0]
+    d = duckdb.sql(
+        "SELECT md5('spark-graft') AS h, CAST(floor(2.9) AS BIGINT) AS f"
+    ).fetchone()
+    assert s.h == d[0] and s.f == d[1] == 2
+
+
+def test_decimal_sum_is_order_independent(spark):
+    """The decimal money sum gives one exact answer under any partitioning
+    (the double sum does not have this property)."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(100_000).select(
+        (F.col("id") % 997 / 100.0 + 0.0001).alias("x")
+    )
+    a = (
+        df.repartition(1)
+        .agg(F.sum(F.col("x").cast("decimal(18,4)")).alias("s"))
+        .collect()[0]
+        .s
+    )
+    b = (
+        df.repartition(64)
+        .agg(F.sum(F.col("x").cast("decimal(18,4)")).alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert a == b
+
+
+@pytest.mark.parametrize("expr", ["0.00005", "0.00015", "2.00005"])
+def test_double_never_sits_on_decimal_half_grid(expr):
+    """Half-points of the DECIMAL(…,4) grid (odd multiples of 5e-5) are
+    not dyadic rationals, so no double equals one exactly — which is why
+    double→decimal casts agree across engines despite different tie
+    rules (the tie case never arises)."""
+    from decimal import Decimal
+
+    assert Decimal(float(expr)) != Decimal(expr)
