@@ -77,3 +77,36 @@ def test_retry_backoff_contract_exhaustive(spark):
     }
     for n in range(1, 21):
         assert got[n] == min(5 * 2 ** (n - 1), 60)
+
+
+# strings biased toward PII shapes: digits, separators, @, dots — the
+# inputs where redaction boundary behavior is nontrivial
+PII_ISH = st.text(
+    alphabet=st.sampled_from(
+        list("abcz ABC.0123456789@+()-. _%")
+    ),
+    max_size=120,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(PII_ISH | TEXT | st.none(), min_size=1, max_size=8))
+def test_redact_pii_idempotent_property(spark, texts):
+    """redact_pii is a projection: applying it twice equals applying it
+    once (placeholders contain no digits or '@', so no pattern can
+    re-trigger on redacted output), NULLs pass through, and non-PII
+    text is never corrupted into a placeholder-free mismatch."""
+    from fbg_kafka_stream_file_transfer_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    once = {r.i: r.r for r in df.select("i", redact_pii(F.col("t")).alias("r")).collect()}
+    twice = {
+        r.i: r.r
+        for r in df.select("i", redact_pii(redact_pii(F.col("t"))).alias("r")).collect()
+    }
+    assert once == twice
+    for i, t in enumerate(texts):
+        if t is None:
+            assert once[i] is None
