@@ -45,6 +45,10 @@ HEADLINE = [
     #   the Catalyst twin `sim_topk_bruteforce` stays in the registry as the
     #   oracle/semantic baseline but shuffles all |Q|×N scored pairs)
     "sim_ann_lsh_topk",          # ANN (LSH-bucketed)
+    "dedup_semantic_lsh",        # SemDeDup-shaped semantic dedup (multi-table
+    #   hyperplane-LSH blocking derived from the embedding itself)
+    "corpus_curation_top_per_lang",  # curation flagship: dedup → per-lang
+    #   top-k by quality → token budget
 ]
 
 
@@ -70,13 +74,18 @@ def _time_query(spark, q, sf_dir: str, max_rounds: int = 3) -> dict:
     every sample window labels itself: the fixed-work control runs
     immediately before each best-of-3 triple, and a triple whose spread
     exceeds SPREAD_LIMIT (steady boxes show ≤1.5×; only external CPU
-    competition produces more) is discarded and re-run, up to
-    ``max_rounds`` triples. The record keeps the final control time,
+    competition produces more) is truly discarded — its samples do not
+    contribute to ``sec`` — and re-run, up to ``max_rounds`` triples.
+    If EVERY triple is contended, ``sec`` falls back to the min across
+    all samples and the recorded spread (> SPREAD_LIMIT) labels the
+    window as contended. ``retries`` counts discarded triples that
+    triggered a re-run. The record keeps the final control time,
     spread, retry count, and loadavg so any surviving outlier is
     adjudicable from the JSON alone."""
     best = None
     control = spread = None
     retries = 0
+    all_samples: list[float] = []
     for attempt in range(max_rounds):
         control = _control_once(spark)
         samples = []
@@ -84,11 +93,15 @@ def _time_query(spark, q, sf_dir: str, max_rounds: int = 3) -> dict:
             t0 = time.perf_counter()
             q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
-        best = min(samples) if best is None else min(best, min(samples))
+        all_samples.extend(samples)
         spread = max(samples) / min(samples)
         if spread <= SPREAD_LIMIT:
+            best = min(samples)
             break
-        retries = attempt + 1
+        if attempt < max_rounds - 1:
+            retries += 1
+    else:
+        best = min(all_samples)  # all triples contended; spread > limit flags it
     return {
         "sec": round(best, 3),
         "control_sec": round(control, 3),

@@ -43,17 +43,18 @@ def ngram_decontaminate(
     benchmark sets are tiny next to the corpus. Pass ``False`` only when
     the eval side is genuinely large: the join falls back to a shuffle
     on ``gram``, where common grams (stop-word runs like "of the end of
-    the") skew the key distribution. For that path set
-    ``max_eval_doc_freq``: eval grams occurring in more than that many
-    eval documents are dropped before the join. Such grams both hot-spot
-    the shuffle AND carry no contamination signal (a phrase shared by
-    half the benchmark identifies nothing) — the same reason the
-    GPT-3-style procedure uses long, rare n-grams. With the cap, the
-    per-gram join fan-out from the eval side is bounded by the cap and
-    the residual train-side skew is AQE-splittable.
+    the") skew the key distribution. ``max_eval_doc_freq`` drops eval
+    grams occurring in more than that many eval documents before the
+    join, ON EITHER PATH (it is a filter on the eval-gram set, not a
+    join-strategy knob): such grams carry no contamination signal (a
+    phrase shared by half the benchmark identifies nothing) — the same
+    reason the GPT-3-style procedure uses long, rare n-grams — and on
+    the shuffle path they additionally hot-spot the ``gram`` key. With
+    the cap, the per-gram join fan-out from the eval side is bounded by
+    the cap and the residual train-side skew is AQE-splittable.
     """
     gram = F.explode(TX.shingles_arrow(F.col(text_col), n)).alias("gram")
-    if max_eval_doc_freq is not None and not broadcast_eval:
+    if max_eval_doc_freq is not None:
         ev = (
             eval_set.select(F.col(id_col), gram)
             .distinct()  # document frequency, not raw occurrence count

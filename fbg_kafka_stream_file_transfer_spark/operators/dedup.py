@@ -463,9 +463,10 @@ def semantic_near_dup_pairs(
     near cos 1.0, lossy at moderate thresholds. ``n_tables`` > 1 unions
     pairs across independent hyperplane families (plane offsets), so
     recall becomes 1-(1-p)^T at T× join cost — the standard multi-table
-    LSH amplification; pair dedup across tables is one ``distinct`` on
-    an already-shuffled key. Output keeps each pair's (first-table)
-    bucket for per-block observability.
+    LSH amplification; pair dedup across tables is one ``groupBy`` on
+    an already-shuffled key. Output keeps, per pair, the MINIMUM bucket
+    label across the tables that surfaced it (deterministic, but not
+    necessarily the first table's bucket) for per-block observability.
     """
     from .similarity import lsh_bucket
 
@@ -518,11 +519,13 @@ def duplicate_groups(
     = a full job + convergence action; on an iterative driver loop the
     per-round fixed cost, not the data, dominates below cluster scale).
 
-    Convergence is detected WITHOUT a compare-join: both the hop and the
-    jumps only ever lower a node's label (``least``), so the global
-    label sum is strictly decreasing until the fixpoint — one
-    single-row aggregate per round (exact decimal sum, overflow-safe at
-    any corpus size) replaces the old new-vs-old join.
+    Convergence is detected WITHOUT a compare-join: the start-of-round
+    label rides along as a hidden ``_old`` column, so "did anything
+    change this round" is one single-row ``count(label != _old)``
+    aggregate on the frame the round already materializes — exact for
+    ANY label type (numeric ids, md5/fingerprint strings, ...), unlike
+    a numeric-sum checksum which would NULL out on non-numeric ids and
+    silently stop after one round.
 
     Robustness at scale: every ``checkpoint_every`` rounds (default:
     every round) the label frame is ``localCheckpoint``-ed. This is not
@@ -544,10 +547,7 @@ def duplicate_groups(
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     ).persist()
-    _sum = lambda df: df.agg(  # noqa: E731 — exact, overflow-safe checksum
-        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
-    prev_sum = _sum(labels)
+    materialized = labels
 
     for rounds in range(1, max_iterations + 1):
         neighbor_min = (
@@ -559,6 +559,7 @@ def duplicate_groups(
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
+                F.col("label").alias("_old"),
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
                     "label"
                 ),
@@ -571,20 +572,25 @@ def duplicate_groups(
             ).alias("p")
             cur = c.join(p, F.col("c.label") == F.col("p.pnode"), "left").select(
                 F.col("c.node").alias("node"),
+                F.col("c._old").alias("_old"),
                 F.least(
                     F.col("c.label"), F.coalesce(F.col("p.plabel"), F.col("c.label"))
                 ).alias("label"),
             )
         if rounds % checkpoint_every == 0:
-            new_labels = cur.localCheckpoint()  # truncate lineage
+            new_materialized = cur.localCheckpoint()  # truncate lineage
         else:
-            new_labels = cur.persist()
-        cur_sum = _sum(new_labels)  # materializes + checks in one action
-        labels.unpersist()
-        labels = new_labels
-        if cur_sum == prev_sum:
+            new_materialized = cur.persist()
+        changed = (  # materializes + checks in one action; exact for any type
+            new_materialized.agg(
+                F.count(F.when(F.col("label") != F.col("_old"), True)).alias("c")
+            ).collect()[0]["c"]
+        )
+        materialized.unpersist()
+        materialized = new_materialized
+        labels = new_materialized.select("node", "label")
+        if changed == 0:
             break
-        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"duplicate_groups did not converge within {max_iterations} rounds"

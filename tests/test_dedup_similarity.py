@@ -70,6 +70,21 @@ def test_duplicate_groups_long_chain_converges_fast(spark):
     assert {r.component for r in got} == {0}
 
 
+def test_duplicate_groups_string_ids_chain(spark):
+    """Non-numeric doc ids (md5/fingerprint-style string keys) must
+    converge to ONE component on a 40-node chain. Regression: a
+    numeric-sum convergence checksum casts string labels to NULL,
+    NULL == NULL ends the loop after round 1, and the operator silently
+    returned 32 components; the change-count check is type-agnostic."""
+    pairs = spark.createDataFrame(
+        [(f"doc-{i:03d}", f"doc-{i + 1:03d}") for i in range(40)],
+        "doc_a string, doc_b string",
+    )
+    got = dedup.duplicate_groups(pairs, max_iterations=15).collect()
+    assert len(got) == 41
+    assert {r.component for r in got} == {"doc-000"}
+
+
 def test_duplicate_groups_max_iterations_guard(spark):
     """The hard stop fires instead of looping forever."""
     import pytest
@@ -390,6 +405,11 @@ def test_ngram_decontaminate_fallback_caps_common_grams(spark):
     uncapped = ngram_decontaminate(tr, ev, n=5, broadcast_eval=False)
     got_uncapped = {r.doc_id: r.n_hit_grams for r in uncapped.collect()}
     assert 1 in got_uncapped and got_uncapped[2] == got[2]
+    # the cap is a filter on the eval-gram set, not a join-strategy knob:
+    # the broadcast path must apply it identically (regression — it was
+    # silently ignored when broadcast_eval=True)
+    capped_bc = ngram_decontaminate(tr, ev, n=5, max_eval_doc_freq=2)
+    assert {r.doc_id: r.n_hit_grams for r in capped_bc.collect()} == got
 
 
 def test_prefix_dedup_groups(spark):
