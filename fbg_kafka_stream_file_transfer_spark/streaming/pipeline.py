@@ -340,18 +340,21 @@ def start_file_pipeline(
     )
     heartbeat = bool(min_age_seconds) and bool(trigger_seconds)
     if heartbeat:
+        # typed-NULL envelope row derived from ENVELOPE_SCHEMA so the
+        # glue can't drift if the envelope contract ever changes
+        # (delivery_count stays 1: heartbeat rows must never look like
+        # redeliveries to the retry policy)
+        from ..envelope import ENVELOPE_SCHEMA
+
         tick = (
             spark.readStream.format("rate").option("rowsPerSecond", "1").load()
             .select(
-                F.lit(None).cast("string").alias("correlation_id"),
-                F.lit(None).cast("string").alias("transfer_id"),
-                F.lit(None).cast("string").alias("file_name"),
-                F.lit(None).cast("string").alias("content_type"),
-                F.lit(None).cast("long").alias("file_size"),
-                F.lit(None).cast("string").alias("checksum"),
-                F.lit(None).cast("binary").alias("content"),
-                F.lit(None).cast("timestamp").alias("event_time"),
-                F.lit(1).alias("delivery_count"),
+                *[
+                    (
+                        F.lit(1) if f.name == "delivery_count" else F.lit(None)
+                    ).cast(f.dataType).alias(f.name)
+                    for f in ENVELOPE_SCHEMA.fields
+                ],
                 F.lit(True).alias("_hb"),
             )
         )

@@ -81,6 +81,61 @@ def test_envelope_schema_is_explicit():
     ]
 
 
+def _names_and_types(schema):
+    return [(f.name, f.dataType) for f in schema.fields]
+
+
+def test_all_builders_match_envelope_schema(spark, tmp_path, sf_dir):
+    """ENVELOPE_SCHEMA is the single authoritative contract: every
+    ingestion builder must produce exactly its column names and types.
+    Two deliberate slacks: nullability is advisory (builders derive some
+    fields from literals whose nullability Catalyst narrows), and
+    event_time may be TIMESTAMP or TIMESTAMP_NTZ — tz-less parquet
+    sources yield NTZ (see tests/test_ntz.py) and the engine's time
+    helpers (functions.derivations.epoch_seconds) accept both."""
+
+    def check(schema):
+        got = _names_and_types(schema)
+        for (gn, gt), f in zip(got, ENVELOPE_SCHEMA.fields, strict=True):
+            assert gn == f.name
+            if gn == "event_time":
+                assert gt.typeName() in ("timestamp", "timestamp_ntz")
+            else:
+                assert gt == f.dataType, gn
+
+    (tmp_path / "a.pdf").write_bytes(b"x")
+    check(from_binary_files(spark, str(tmp_path)).schema)
+
+    kafka_shaped = spark.createDataFrame(
+        [(b"{}", None)], "value binary, timestamp timestamp"
+    )
+    check(from_kafka_wire(kafka_shaped).schema)
+
+    check(from_events_table(load_table(spark, sf_dir, "events")).schema)
+
+
+def test_heartbeat_tick_matches_envelope_schema(spark):
+    """The streaming heartbeat's typed-NULL row is generated FROM
+    ENVELOPE_SCHEMA (streaming/pipeline.py) — pin that the generated
+    select yields envelope columns + the _hb marker, unionByName-safe
+    against a real envelope frame."""
+    from pyspark.sql import types as T
+
+    tick_cols = [
+        (F.lit(1) if f.name == "delivery_count" else F.lit(None))
+        .cast(f.dataType)
+        .alias(f.name)
+        for f in ENVELOPE_SCHEMA.fields
+    ]
+    tick = (
+        spark.range(1).select(*tick_cols, F.lit(True).alias("_hb"))
+    )
+    expected = _names_and_types(ENVELOPE_SCHEMA) + [("_hb", T.BooleanType())]
+    assert _names_and_types(tick.schema) == expected
+    row = tick.collect()[0]
+    assert row.delivery_count == 1 and row.correlation_id is None
+
+
 def test_binary_files_min_age_stability(spark, tmp_path):
     """S9 parity: the monitor's file-stability age check via
     modifiedBefore — only files older than the cutoff are picked up."""
