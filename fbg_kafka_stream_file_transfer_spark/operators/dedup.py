@@ -597,3 +597,74 @@ def duplicate_groups(
         )
     edges.unpersist()
     return labels.select(F.col("node").alias("doc"), F.col("label").alias("component"))
+
+
+def paragraph_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    split_regex: str | None = r"\n{2,}",
+    window_tokens: int | None = None,
+) -> DataFrame:
+    """Paragraph-granularity dedup roll-up — the standard next step after
+    document-level dedup for training data (CCNet dedups lines, Dolma
+    paragraphs): fingerprint every paragraph, flag paragraphs that occur
+    in MORE THAN ONE document, and roll back up to one row per document
+    with its duplicated-paragraph fraction (the drop/trim signal).
+
+    Paragraph definition is caller-chosen:
+
+    - ``split_regex`` (default ``\\n{2,}``) — real paragraph breaks;
+      each paragraph is normalized (lower/strip-punct/collapse-ws) after
+      the split, since normalization itself collapses newlines.
+    - ``window_tokens=k`` — non-overlapping k-token windows over the
+      normalized document, for corpora without newline structure (the
+      synthetic fixture) or as a fixed-granularity "pseudo-paragraph"
+      pass; the last window may be short, and an empty document yields
+      one empty window so every input doc appears in the output.
+
+    Scale shape (100 TB): the explode is map-side; duplicate detection
+    is a window over ``fp`` (md5 — uniform key, no skew) using
+    ``size(collect_set(doc))`` (per-group state is a handful of doc ids
+    for real duplication levels); the roll-up is one groupBy on the doc
+    id. Two shuffles total, both on uniform keys, nothing quadratic —
+    same plan family as :func:`prefix_dedup_groups` plus one roll-up.
+    Within-document repeats are deliberately NOT flagged (cross-doc
+    contamination is the dedup signal; intra-doc repetition is a
+    quality signal, see ``functions.text.repetition_ratio``).
+
+    Returns ``(id_col, n_paragraphs, n_dup_paragraphs,
+    dup_paragraph_ratio)``.
+    """
+    from pyspark.sql import Window
+
+    if window_tokens is not None:
+        toks = F.split(normalized_text(F.col(text_col)), " ")
+        k = window_tokens
+        n_win = F.greatest(F.ceil(F.size(toks) / F.lit(k)), F.lit(1)).cast("int")
+        paras = F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, (i * k + 1).cast("int"), k)),
+        )
+    else:
+        paras = F.transform(
+            F.split(F.col(text_col), split_regex), lambda p: normalized_text(p)
+        )
+    ex = df.select(
+        F.col(id_col).alias("_doc"), F.explode(paras).alias("_para")
+    ).select("_doc", F.md5(F.col("_para")).alias("_fp"))
+    ndocs = F.size(F.collect_set("_doc").over(Window.partitionBy("_fp")))
+    dup = F.sum(F.when(F.col("_ndocs") > 1, 1).otherwise(0))
+    return (
+        ex.withColumn("_ndocs", ndocs)
+        .groupBy(F.col("_doc").alias(id_col))
+        .agg(
+            F.count("*").alias("n_paragraphs"),
+            dup.alias("n_dup_paragraphs"),
+        )
+        .withColumn(
+            "dup_paragraph_ratio",
+            F.round(F.col("n_dup_paragraphs") / F.col("n_paragraphs"), 4),
+        )
+    )

@@ -1,11 +1,10 @@
-"""Round-5 curation additions: semantic (SemDeDup-shaped) dedup and PII
-redaction.
+"""Curation additions (rounds 5-6): semantic (SemDeDup-shaped) dedup,
+PII redaction, split assignment, embedding QA, paragraph-level dedup.
 
-Separate module ON PURPOSE: registry order is driver-contract (the gate
-certifies the first 50 entries; see queries/__init__.py) and round 5's
-window is exactly filled by the previously-never-certified surface.
-These two sit just past it (after the monitoring block) — locally gated
-this round, queued to rotate into the window in a later round.
+Registry order is driver-contract (the gate certifies the first 50
+entries) but is now computed from certification staleness in
+queries/__init__.py — new queries here are never-certified and sort to
+the front of the next round's window automatically.
 """
 
 from __future__ import annotations
@@ -163,4 +162,42 @@ SELECT doc_id, md5(red) AS redacted_md5,
 FROM r
 """,
     doc="PII redaction (email/IPv4/phone -> typed placeholders), pure regex chain",
+)
+
+
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity dedup roll-up (CCNet/Dolma-style): the
+    synthetic corpus has no newline structure, so paragraphs are
+    16-token non-overlapping windows over the normalized text."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.paragraph_dedup_stats(d, "doc_id", "text", window_tokens=16)
+
+
+# norm/toks CTEs shared with the dedup oracles (dedup_q.NORM_CTE)
+from .dedup_q import NORM_CTE  # noqa: E402
+
+QUERIES["dedup_paragraph_rollup"] = Q(
+    _q_paragraph_dedup,
+    NORM_CTE
+    + """, idx AS (
+  SELECT doc_id, t,
+         unnest(range(CAST(greatest(ceil(len(t) / 16.0), 1) AS BIGINT))) AS i
+  FROM toks
+), paras AS (
+  SELECT doc_id,
+         md5(array_to_string(t[(i*16+1):((i+1)*16)], ' ')) AS fp
+  FROM idx
+), fpc AS (
+  SELECT fp, count(DISTINCT doc_id) AS ndocs FROM paras GROUP BY fp
+)
+SELECT p.doc_id,
+       count(*) AS n_paragraphs,
+       CAST(sum(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_paragraphs,
+       round(CAST(sum(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS dup_paragraph_ratio
+FROM paras p JOIN fpc f USING (fp)
+GROUP BY p.doc_id
+""",
+    doc="paragraph-level dedup roll-up: dup-paragraph fraction per document",
 )

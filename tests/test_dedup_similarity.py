@@ -412,6 +412,57 @@ def test_ngram_decontaminate_fallback_caps_common_grams(spark):
     assert {r.doc_id: r.n_hit_grams for r in capped_bc.collect()} == got
 
 
+def test_paragraph_dedup_stats_regex_mode(spark):
+    """Real newline-delimited paragraphs: a boilerplate footer shared by
+    two docs is flagged in both; unique paragraphs are not; a doc with
+    no shared paragraphs scores 0.0. Normalization runs per paragraph,
+    so case/punctuation variants of the footer still collide."""
+    footer = "Subscribe to our newsletter, for updates!"
+    df = spark.createDataFrame(
+        [
+            (1, "unique first paragraph\n\n" + footer),
+            (2, "another unique start\n\n\n" + footer.lower().replace(",", "")),
+            (3, "nothing shared here\n\nat all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in dedup.paragraph_dedup_stats(df, "doc_id", "text").collect()
+    }
+    assert got[1].n_paragraphs == 2 and got[1].n_dup_paragraphs == 1
+    assert got[1].dup_paragraph_ratio == 0.5
+    assert got[2].n_dup_paragraphs == 1
+    assert got[3].n_dup_paragraphs == 0 and got[3].dup_paragraph_ratio == 0.0
+
+
+def test_paragraph_dedup_stats_window_mode_edges(spark):
+    """Window mode: every doc appears in the output (even empty text →
+    one empty window), intra-doc repetition alone is NOT flagged, and
+    window counts follow ceil(tokens/k)."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),      # 7 tokens → 2 windows of k=4
+            (2, "a b c d a b c d"),    # intra-doc repeat only
+            (3, ""),                   # empty → 1 empty window
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in dedup.paragraph_dedup_stats(
+            df, "doc_id", "text", window_tokens=4
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1].n_paragraphs == 2
+    assert got[2].n_paragraphs == 2
+    # docs 1 and 2 share the window "a b c d" → flagged in both;
+    # doc 2's second identical window counts too (each instance flags)
+    assert got[1].n_dup_paragraphs == 1 and got[2].n_dup_paragraphs == 2
+    assert got[3].n_paragraphs == 1 and got[3].n_dup_paragraphs == 0
+
+
 def test_prefix_dedup_groups(spark):
     """Docs agreeing on the first 10 normalized tokens group together
     regardless of tails; distinct prefixes don't."""
