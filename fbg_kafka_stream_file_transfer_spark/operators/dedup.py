@@ -437,6 +437,97 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_pairs_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    block_col: str,
+    keep_block: bool = False,
+    chunk_rows: int = 1024,
+) -> DataFrame:
+    """BLAS twin of :func:`embedding_near_dup_pairs` — identical output
+    (same round-6 threshold contract, rounding applied Catalyst-side
+    like ``brute_force_topk_arrow``), built for the in-bucket pair
+    volumes blocking actually produces at scale.
+
+    Why it exists: the Catalyst form evaluates the 64-term dot product
+    per PAIR as an interpreted ``aggregate``/``zip_with`` fold — the sf1
+    stress run (SCALE.md) measured 280 s for ~20 M in-bucket pairs,
+    ~120× over linear scaling. Here each block computes its pairwise
+    cosine matrix as chunked GEMMs (``chunk_rows × n`` slabs, so peak
+    memory is bounded regardless of block size) inside one
+    ``applyInPandas`` group — the same work is a few hundred
+    milliseconds, and per-pair cost no longer depends on Python or
+    expression interpretation.
+
+    Numeric contract: raw float64 cosines leave the UDF with a
+    conservative ``threshold - 1e-6`` pre-filter; the authoritative
+    ``round(cos, 6) >= threshold`` filter runs in Catalyst, so boundary
+    behavior is decided by the same engine the oracle mirrors.
+
+    Scale shape: one shuffle (the groupBy on the block key). Blocks are
+    LSH buckets / cluster ids — at real corpus sizes raise ``planes`` /
+    ``n_centroids`` so blocks stay ~10³-10⁴ vectors; GEMM slabs keep
+    memory at ``chunk_rows × block`` doubles. Local-mode caveat: with
+    tiny byte sizes AQE may coalesce the block shuffle to few tasks;
+    harmless here precisely because per-pair cost is BLAS, not
+    interpreted.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.vectors import as_double_array
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    blk_t = df.schema[block_col].dataType.simpleString()
+    out_schema = f"id_a {id_t}, id_b {id_t}, _cos double, block {blk_t}"
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vid").reset_index(drop=True)
+        x = np.array(list(pdf["v"]), dtype=np.float64)
+        n = len(x)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "_cos": [], "block": []})
+        nrm = np.linalg.norm(x, axis=1)
+        vid = pdf["vid"].to_numpy()
+        blk = pdf["blk"].iloc[0]
+        col = np.arange(n)[None, :]
+        ia, ib, cs = [], [], []
+        for i0 in range(0, n - 1, chunk_rows):
+            i1 = min(i0 + chunk_rows, n - 1)
+            c = (x[i0:i1] @ x.T) / (nrm[i0:i1, None] * nrm[None, :])
+            with np.errstate(invalid="ignore"):  # zero-norm → NaN → False
+                mask = (c >= threshold - 1e-6) & (
+                    col > np.arange(i0, i1)[:, None]  # upper triangle only
+                )
+            ri, ci = np.nonzero(mask)
+            ia.append(vid[ri + i0])
+            ib.append(vid[ci])
+            cs.append(c[ri, ci])
+        ia, ib, cs = np.concatenate(ia), np.concatenate(ib), np.concatenate(cs)
+        return pd.DataFrame(
+            {"id_a": ia, "id_b": ib, "_cos": cs, "block": np.repeat(blk, len(ia))}
+        )
+
+    v = df.select(
+        F.col(id_col).alias("vid"),
+        as_double_array(F.col(vec_col)).alias("v"),
+        F.col(block_col).alias("blk"),
+    )
+    return (
+        v.groupBy("blk")
+        .applyInPandas(pairs, out_schema)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_cos"), 6).alias("cosine_sim"),
+            *(["block"] if keep_block else []),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def semantic_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -444,6 +535,7 @@ def semantic_near_dup_pairs(
     threshold: float,
     planes: int = 4,
     n_tables: int = 1,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """SemDeDup-shaped semantic dedup: near-dup pairs with the blocking
     key derived FROM THE EMBEDDING ITSELF (random-hyperplane LSH bucket)
@@ -467,16 +559,22 @@ def semantic_near_dup_pairs(
     an already-shuffled key. Output keeps, per pair, the MINIMUM bucket
     label across the tables that surfaced it (deterministic, but not
     necessarily the first table's bucket) for per-block observability.
+
+    ``use_arrow`` (default) computes in-bucket pairs with the BLAS twin
+    (:func:`embedding_near_dup_pairs_arrow`) — same round-6 contract,
+    ~100× cheaper per pair (measured in the sf1 stress run, SCALE.md);
+    ``False`` keeps the pure-Catalyst form.
     """
     from .similarity import lsh_bucket
 
+    pair_fn = embedding_near_dup_pairs_arrow if use_arrow else embedding_near_dup_pairs
     tables = []
     for t in range(n_tables):
         blocked = df.withColumn(
             "_sem_bucket", lsh_bucket(F.col(vec_col), planes, plane_offset=t * planes)
         )
         tables.append(
-            embedding_near_dup_pairs(
+            pair_fn(
                 blocked, id_col, vec_col, threshold, block_col="_sem_bucket",
                 keep_block=True,
             ).withColumnRenamed("block", "bucket")

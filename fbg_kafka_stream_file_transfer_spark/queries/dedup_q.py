@@ -93,7 +93,11 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.embedding_near_dup_pairs(
+    """BLAS twin (applyInPandas GEMM per block): same round-6 contract
+    as the Catalyst form, ~100× cheaper per pair — the sf1 stress run
+    measured the interpreted fold at 280 s vs 3 s for this path; parity
+    is unit-pinned (test_embedding_pairs_arrow_matches_catalyst)."""
+    return dedup.embedding_near_dup_pairs_arrow(
         load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         threshold=0.4, block_col="label",
     )

@@ -412,6 +412,37 @@ def test_ngram_decontaminate_fallback_caps_common_grams(spark):
     assert {r.doc_id: r.n_hit_grams for r in capped_bc.collect()} == got
 
 
+def test_embedding_pairs_arrow_matches_catalyst(spark):
+    """The BLAS twin must emit the same pair set and round-6 cosines as
+    the Catalyst embedding_near_dup_pairs, including near-threshold
+    values, duplicate vectors (cos 1.0), singleton blocks, and a
+    zero-norm vector (NaN cosine → excluded by both)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(120):
+        v = rng.normal(0, 1, 8)
+        rows.append((i, [float(x) for x in v], int(i % 4)))
+    rows.append((120, rows[3][1], 3 % 4))          # exact duplicate of id 3
+    rows.append((121, [0.0] * 8, 1))               # zero-norm
+    rows.append((122, rows[5][1], 3))              # singleton-block-ish dup
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    kwargs = dict(threshold=0.2, block_col="label", keep_block=True)
+    cat = dedup.embedding_near_dup_pairs(df, "vec_id", "embedding", **kwargs)
+    arr = dedup.embedding_near_dup_pairs_arrow(df, "vec_id", "embedding", **kwargs)
+    key = lambda r: (r.id_a, r.id_b)  # noqa: E731
+    got_c = {key(r): r for r in cat.collect()}
+    got_a = {key(r): r for r in arr.collect()}
+    assert set(got_c) == set(got_a)
+    assert len(got_c) > 10  # the threshold actually selects pairs
+    assert (3, 120) in got_c and got_c[(3, 120)].cosine_sim == 1.0
+    for k_ in got_c:
+        assert got_c[k_].cosine_sim == got_a[k_].cosine_sim, k_
+        assert got_c[k_].block == got_a[k_].block, k_
+    assert not any(r.id_a == 121 or r.id_b == 121 for r in got_a.values())
+
+
 def test_paragraph_dedup_stats_regex_mode(spark):
     """Real newline-delimited paragraphs: a boilerplate footer shared by
     two docs is flagged in both; unique paragraphs are not; a doc with
