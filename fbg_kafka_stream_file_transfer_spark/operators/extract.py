@@ -30,6 +30,7 @@ from typing import Callable, Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 #: Per-page text item and per-table shape item of the nested Docling
@@ -297,11 +298,31 @@ def extract_documents(
     when partitioning was already sized for the backend (for HTTP
     targets, fewer partitions × higher max_concurrency bounds the
     service-wide fan-out explicitly).
-    """
-    from ..sources.tables import ensure_parallelism
 
+    The spread is an EXPLICIT ``repartition(n, key)``, not the
+    ``ensure_parallelism`` guard: extraction is the textbook
+    compute-heavy/small-bytes stage, and AQE's byte-based partition
+    coalescing will happily fuse the upstream shuffle (the route's
+    dropDuplicates) down to a couple of partitions — the sf1 stress run
+    measured 80 s instead of 9 s for the extraction leg because the
+    guard's pre-AQE partition estimate (32) said "already parallel"
+    while AQE executed 2 tasks. An explicit numPartitions repartition
+    is exempt from AQE coalescing, pinning one task per core; its
+    shuffle moves only the envelope batch (bounded in streaming by
+    maxFilesPerTrigger), which is orders cheaper than losing the
+    parallelism of the CPU/IO-bound stage. HASH partitioning on the
+    envelope key when present (round-robin only as fallback):
+    round-robin repartition local-sorts every row — binary content
+    included — before shuffling (``spark.sql.execution.
+    sortBeforeRepartition``, on by default for retry determinism),
+    which costs more than the extraction it was meant to parallelize.
+    """
     if repartition:  # extraction is CPU-bound, per-row independent
-        df = ensure_parallelism(df)
+        n = df.sparkSession.sparkContext.defaultParallelism
+        if "correlation_id" in df.columns:
+            df = df.repartition(n, F.col("correlation_id"))
+        else:
+            df = df.repartition(n)
     out_schema = T.StructType(
         [f for f in df.schema.fields if f.name != content_col]
         + [T.StructField(f"extract_{f.name}", f.dataType) for f in EXTRACT_RESULT_SCHEMA.fields]
