@@ -73,3 +73,77 @@ def ngram_decontaminate(
         .groupBy(id_col)
         .agg(F.count_distinct("gram").alias("n_hit_grams"))
     )
+
+
+#: bits set per key in the portable Bloom filter
+_BLOOM_K = 4
+
+
+def bloom_positions(key, m: int, k: int = _BLOOM_K):
+    """``k`` Bloom bit positions in ``[0, m)`` for a key, derived from
+    salted md5 — portable (identical in any engine computing the same
+    md5), seed-free, and deterministic across partitionings. Returns an
+    array column."""
+    cols = [
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % m
+        for i in range(k)
+    ]
+    return F.array(*cols)
+
+
+def bloom_membership_gate(
+    candidates: DataFrame,
+    reference: DataFrame,
+    key_col: str = "fingerprint",
+    m: int = 1 << 16,
+    k: int = _BLOOM_K,
+) -> DataFrame:
+    """Probabilistic membership gate against a reference corpus — the
+    incremental-dedup shape for when the reference is too large to
+    semi-join directly: build a Bloom filter over the reference's keys
+    once, then test each candidate map-side. A candidate is flagged
+    ``maybe_member=1`` when ALL ``k`` of its bit positions are set;
+    false positives are possible (rate ≈ (1 - e^(-kn/m))^k), false
+    negatives are not — the gate never misses a true duplicate.
+
+    This implementation models the filter as the DISTINCT SET of set
+    bit positions (≤ min(m, k·|reference|) rows) instead of a packed
+    bitarray, which keeps the math engine-portable (the DuckDB oracle
+    computes the identical positions from the identical md5) while
+    preserving the scale story: the positions set is tiny next to the
+    corpus and is BROADCAST, the candidate side is a map-side explode +
+    broadcast join + one groupBy on the candidate key (uniform, only
+    candidate keys shuffle — never document text). On a real cluster
+    the positions set can be swapped for ``bloom_filter_agg`` /
+    ``might_contain`` (a true bitarray, one JVM object) without
+    changing any semantics other than the hash family.
+
+    Returns (key_col, maybe_member) with one row per DISTINCT candidate
+    key."""
+    if m <= 0:
+        raise ValueError(f"m must be positive, got {m}")
+    set_bits = (
+        reference.select(
+            F.explode(bloom_positions(F.col(key_col), m, k)).alias("pos")
+        )
+        .distinct()
+    )
+    cand = (
+        candidates.select(key_col)
+        .distinct()
+        .select(
+            key_col,
+            F.explode(bloom_positions(F.col(key_col), m, k)).alias("cpos"),
+        )
+    )
+    hits = (
+        cand.join(F.broadcast(set_bits), cand["cpos"] == set_bits["pos"], "left")
+        .groupBy(key_col)
+        .agg((F.count(set_bits["pos"]) == k).cast("int").alias("maybe_member"))
+    )
+    return hits

@@ -92,6 +92,41 @@ def fingerprint_survivors(df: DataFrame, id_col: str, text_col: str) -> DataFram
     )
 
 
+def dedup_group_representatives(
+    df: DataFrame, id_col: str, text_col: str, score_col: Column
+) -> DataFrame:
+    """Quality-aware survivor selection: for each duplicate group
+    (normalized-token fingerprint), keep the HIGHEST-``score_col``
+    member instead of the arbitrary min-id — the policy real curation
+    pipelines use so dedup never discards the best-formatted copy of a
+    page. Ties break on min id; pass an already-rounded score so the
+    ordering is engine-stable (queries.base ordering rule).
+
+    Returns one row per group with ≥2 members: (fingerprint, n_docs,
+    kept_id, kept_score). Scale: one shuffle on the uniform fingerprint
+    hash; the two window functions (count + row_number) share the same
+    partitioning, so Catalyst plans a single exchange."""
+    from pyspark.sql.window import Window
+
+    fp = fingerprint(F.col(text_col)).alias("fingerprint")
+    scored = df.select(F.col(id_col), fp, score_col.alias("_score"))
+    w_rank = Window.partitionBy("fingerprint").orderBy(
+        F.col("_score").desc(), F.col(id_col).asc()
+    )
+    w_all = Window.partitionBy("fingerprint")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("n_docs", F.count("*").over(w_all))
+        .filter((F.col("_rn") == 1) & (F.col("n_docs") > 1))
+        .select(
+            "fingerprint",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col(id_col).alias("kept_id"),
+            F.col("_score").alias("kept_score"),
+        )
+    )
+
+
 def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     # shingling + downstream minhash are CPU-bound map work: spread it
     # over all cores even when the source has few splits

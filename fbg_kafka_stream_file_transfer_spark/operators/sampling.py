@@ -66,6 +66,39 @@ def assign_splits(
     return df.withColumn("split", expr.otherwise(F.lit(None).cast("string")))
 
 
+def cap_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    score_col: Column,
+    n: int,
+) -> DataFrame:
+    """Per-group document cap ("docs per domain" rate limiting): keep
+    the top ``n`` rows of each group by ``score_col`` (desc), ties
+    broken by ``id_col`` asc so membership is deterministic even when
+    scores collide (base.py ordering rule — rank on the already-rounded
+    score so near-equal doubles can't flip membership across engines).
+
+    The standard curation pass against over-represented sources (one
+    crawl domain contributing millions of near-identical pages). Scale:
+    one shuffle on the group key + a per-group local sort; a pathological
+    mega-group sorts in one task — AQE skew handling splits the shuffle
+    read, and upstream dedup passes have already collapsed the worst
+    offenders by the time caps run. Adds a ``rank_in_group`` column.
+    """
+    if n <= 0:
+        raise ValueError(f"cap must be positive, got {n}")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        score_col.desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= n)
+    )
+
+
 def mix_corpus(
     df: DataFrame, key_col: str, group_col: str, rates: dict[str, float]
 ) -> DataFrame:
