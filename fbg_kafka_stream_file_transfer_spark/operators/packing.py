@@ -59,7 +59,7 @@ def pack_sequences(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    start = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("bigint")
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
     out = df.select(F.col(id_col), shard, toks.alias("n_tokens")).withColumn(
         "start_offset", start
     )

@@ -201,3 +201,182 @@ GROUP BY p.doc_id
 """,
     doc="paragraph-level dedup roll-up: dup-paragraph fraction per document",
 )
+
+
+# ---------------------------------------------------------------- round 6
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing QA: concatenate documents (id order within
+    portable hash shards) into 512-token training sequences and report
+    per-sequence fill. The layout is deterministic on any engine /
+    partitioning — the property a reproducible pretraining data order
+    needs (operators/packing.py)."""
+    from ..functions import text as TX2
+    from ..operators.packing import packed_sequence_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX2.token_count(F.col("text")).alias("n_toks"))
+    return packed_sequence_stats(toks, "doc_id", "n_toks", budget=512, n_shards=8)
+
+
+from .text_q import NTOK_SQL, QUALITY_SQL  # noqa: E402
+
+QUERIES["pack_sequences_stats"] = Q(
+    _q_pack_sequences,
+    f"""
+WITH toks AS (
+  SELECT doc_id, CAST({NTOK_SQL} AS BIGINT) AS nt,
+         ({_BUCKET} % 8) AS shard
+  FROM documents
+), laid AS (
+  SELECT doc_id, shard, nt,
+         COALESCE(sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS start_offset
+  FROM toks
+), cells AS (
+  SELECT shard, start_offset, nt,
+         unnest(range(CAST(start_offset // 512 AS BIGINT),
+                      CAST((start_offset + nt - 1) // 512 AS BIGINT) + 1))
+           AS seq_id
+  FROM laid WHERE nt > 0
+)
+SELECT shard, seq_id,
+       count(*) AS n_docs,
+       CAST(sum(least(start_offset + nt, (seq_id + 1) * 512)
+                - greatest(start_offset, seq_id * 512)) AS BIGINT)
+         AS seq_tokens,
+       CAST(sum(CASE WHEN start_offset + nt > (seq_id + 1) * 512
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
+       round(sum(least(start_offset + nt, (seq_id + 1) * 512)
+                 - greatest(start_offset, seq_id * 512)) / 512.0, 6)
+         AS fill_ratio
+FROM cells GROUP BY shard, seq_id
+""",
+    doc="sequence packing into 512-token training rows: per-sequence fill QA",
+)
+
+
+def _q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs-per-source rate limiting: keep the top-20 documents of each
+    source by quality score (rounded before ranking so membership is
+    engine-stable), the standard guard against one crawl domain
+    flooding the mixture."""
+    from ..operators.sampling import cap_per_group
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.round(TX.quality_score(F.col("text")), 6).alias("quality_score"),
+    )
+    return cap_per_group(scored, "doc_id", "source", F.col("quality_score"), 20)
+
+
+QUERIES["curation_source_caps"] = Q(
+    _q_source_caps,
+    f"""
+WITH q AS (
+  SELECT doc_id, source, round({QUALITY_SQL}, 6) AS quality_score
+  FROM documents
+), r AS (
+  SELECT doc_id, source, quality_score,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY quality_score DESC, doc_id) AS INTEGER) AS rank_in_group
+  FROM q
+)
+SELECT doc_id, source, quality_score, rank_in_group
+FROM r WHERE rank_in_group <= 20
+""",
+    doc="per-source document cap: top-20 by quality per source (domain rate limit)",
+)
+
+
+def _q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection: per fingerprint group,
+    keep the highest-quality member (not the arbitrary min-id) — what a
+    curation pipeline actually ships after dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_group_representatives(
+        d, "doc_id", "text", F.round(TX.quality_score(F.col("text")), 6)
+    )
+
+
+QUERIES["dedup_representatives"] = Q(
+    _q_dedup_representatives,
+    NORM_CTE
+    + f""", fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint
+  FROM toks
+), q AS (
+  SELECT doc_id, round({QUALITY_SQL}, 6) AS q FROM documents
+), j AS (
+  SELECT f.fingerprint, f.doc_id, q.q,
+         count(*) OVER (PARTITION BY f.fingerprint) AS n_docs,
+         row_number() OVER (PARTITION BY f.fingerprint
+                            ORDER BY q.q DESC, f.doc_id) AS rn
+  FROM fp f JOIN q USING (doc_id)
+)
+SELECT fingerprint, CAST(n_docs AS BIGINT) AS n_docs,
+       doc_id AS kept_id, q AS kept_score
+FROM j WHERE rn = 1 AND n_docs > 1
+""",
+    doc="dedup survivor selection: highest-quality member represents each group",
+)
+
+
+def _q_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership gate: test every document's content key
+    against a filter built over a 10% reference slice — the incremental
+    -dedup shape when the prior corpus is too large to semi-join. The
+    output keeps the exact truth column so the (bounded) false-positive
+    behavior is visible; false negatives are impossible by
+    construction."""
+    from ..operators.decontam import bloom_membership_gate
+    from ..operators.sampling import rate_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    keys = (
+        d.select(
+            F.md5(F.col("text")).alias("content_key"),
+            (rate_bucket(F.col("doc_id")) < 1000).cast("int").alias("is_m"),
+        )
+        .groupBy("content_key")
+        .agg(F.max("is_m").cast("int").alias("is_member"))
+    )
+    ref = keys.filter(F.col("is_member") == 1).select("content_key")
+    gate = bloom_membership_gate(keys, ref, "content_key", m=2048, k=4)
+    return gate.join(keys, "content_key").select(
+        "content_key", "maybe_member", "is_member"
+    )
+
+
+QUERIES["decontam_bloom_gate"] = Q(
+    _q_bloom_gate,
+    f"""
+WITH k AS (
+  SELECT md5(text) AS ck, {_BUCKET} AS b FROM documents
+), keys AS (
+  SELECT ck, CAST(max(CASE WHEN b < 1000 THEN 1 ELSE 0 END) AS INTEGER)
+           AS is_member
+  FROM k GROUP BY ck
+), pp AS (
+  SELECT ck, (('0x' || substring(md5(i || ':' || ck), 1, 15))::BIGINT % 2048)
+           AS p
+  FROM keys, unnest([0, 1, 2, 3]) AS u(i)
+), bits AS (
+  SELECT DISTINCT p FROM pp JOIN keys USING (ck) WHERE keys.is_member = 1
+), hits AS (
+  SELECT pp.ck, count(bits.p) AS nhit
+  FROM pp LEFT JOIN bits ON pp.p = bits.p
+  GROUP BY pp.ck
+)
+SELECT hits.ck AS content_key,
+       CAST(CASE WHEN nhit = 4 THEN 1 ELSE 0 END AS INTEGER) AS maybe_member,
+       keys.is_member
+FROM hits JOIN keys ON hits.ck = keys.ck
+""",
+    doc="portable Bloom membership gate vs a reference slice (no false negatives)",
+)

@@ -92,6 +92,13 @@ _QUALITY = (
     f" + least({_STOP} * 4, 1.0)) / 4"
 )
 
+#: public: the DuckDB twin of functions.text.quality_score — curation
+#: oracles (source caps, dedup survivor selection) rank on the same score
+QUALITY_SQL = _QUALITY
+
+#: public: the DuckDB twin of functions.text.token_count
+NTOK_SQL = _NTOK
+
 _HITS = {
     lang: f"len(list_filter({_TOKS}, x -> x IN ({_in_list(words)})))"
     for lang, words in LANG_MARKERS.items()
