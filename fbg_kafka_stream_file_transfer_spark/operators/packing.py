@@ -39,10 +39,19 @@ def pack_sequences(
     token_col: str,
     budget: int,
     n_shards: int = 8,
+    shuffle_seed: int | None = None,
 ) -> DataFrame:
     """Assign each document a (shard, seq_id, start_offset) in the
     packed layout: documents are concatenated in id order within their
     hash shard and cut into ``budget``-token sequences.
+
+    ``shuffle_seed`` switches the within-shard order from id to a
+    DETERMINISTIC shuffle (md5 of ``seed:id``, ties impossible for
+    distinct ids) — the production default: packing in source order
+    puts correlated neighbors (same crawl batch, same site) into the
+    same training sequence, while the seeded order is an engine- and
+    partitioning-independent permutation that any re-run reproduces.
+    ``None`` keeps plain id order (the oracle-checked form).
 
     Output columns: id_col, shard, seq_id, start_offset, n_tokens,
     spans_boundary (1 when the document crosses a sequence cut and is
@@ -54,9 +63,16 @@ def pack_sequences(
         raise ValueError(f"n_shards must be positive, got {n_shards}")
     shard = (rate_bucket(F.col(id_col)) % n_shards).alias("shard")
     toks = F.col(token_col).cast("bigint")
+    if shuffle_seed is None:
+        order = [F.col(id_col)]
+    else:
+        order = [
+            F.md5(F.concat(F.lit(f"{shuffle_seed}:"), F.col(id_col).cast("string"))),
+            F.col(id_col),  # belt-and-braces total order
+        ]
     w = (
         Window.partitionBy("shard")
-        .orderBy(id_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
@@ -84,6 +100,7 @@ def packed_sequence_stats(
     token_col: str,
     budget: int,
     n_shards: int = 8,
+    shuffle_seed: int | None = None,
 ) -> DataFrame:
     """Per-sequence packing QA roll-up: how many documents touch each
     training sequence, how full it is, and how many documents continue
@@ -98,7 +115,7 @@ def packed_sequence_stats(
     budget) and ``n_tokens/budget`` for outliers — bounded, data-
     proportional. One extra shuffle on (shard, seq_id), a uniform key
     by construction."""
-    packed = pack_sequences(df, id_col, token_col, budget, n_shards)
+    packed = pack_sequences(df, id_col, token_col, budget, n_shards, shuffle_seed)
     # skip zero-token docs: they occupy no cell (sequence(c0, c1) with
     # end < start would run backwards)
     packed = packed.filter(F.col("n_tokens") > 0)

@@ -83,6 +83,28 @@ class TestPackSequences:
             assert rows[seq]["n_docs"] == 1
             assert rows[seq]["seq_tokens"] == 64
 
+    def test_seeded_shuffle_reproducible_and_conserving(self, spark):
+        """The seeded pre-pack shuffle is a deterministic permutation:
+        same seed reproduces the layout bit-for-bit on any partitioning,
+        a different seed gives a different layout, and token totals are
+        unchanged."""
+        d = _docs(spark)
+        a = sorted(map(tuple, pack_sequences(d, "doc_id", "n_toks", 64, 4,
+                                             shuffle_seed=7).collect()))
+        b = sorted(map(tuple, pack_sequences(d.repartition(11), "doc_id",
+                                             "n_toks", 64, 4,
+                                             shuffle_seed=7).collect()))
+        c = sorted(map(tuple, pack_sequences(d, "doc_id", "n_toks", 64, 4,
+                                             shuffle_seed=8).collect()))
+        plain = sorted(map(tuple, pack_sequences(d, "doc_id", "n_toks",
+                                                 64, 4).collect()))
+        assert a == b
+        assert a != c and a != plain
+        total = d.agg(F.sum("n_toks")).collect()[0][0]
+        stats = packed_sequence_stats(d, "doc_id", "n_toks", budget=64,
+                                      n_shards=4, shuffle_seed=7)
+        assert stats.agg(F.sum("seq_tokens")).collect()[0][0] == total
+
     def test_zero_token_docs_occupy_no_cell(self, spark):
         d = spark.createDataFrame(
             [(1, 0), (2, 10)], "doc_id long, n_toks long"

@@ -47,6 +47,10 @@ DEFAULT = [
     "sample_split_assignment",
     "profile_embeddings",
     "corpus_curation_top_per_lang",
+    "pack_sequences_stats",
+    "curation_source_caps",
+    "dedup_representatives",
+    "decontam_bloom_gate",
     "pipe_route_all_legs",
 ]
 
