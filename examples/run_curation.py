@@ -10,8 +10,10 @@ it over the synthetic ``documents`` + ``embeddings`` tables:
 4. PII redaction                           — scrub emails/IPs/phones
 5. decontamination vs a held-out eval set  — drop benchmark leaks
 6. train/val/test split assignment         — reproducible partitions
-7. context-window chunking                 — training-sample shaping
-8. IVF vector index (k-means trained)      — build once, probe cheaply
+7. per-source caps                         — domain rate limiting
+8. context-window chunking                 — training-sample shaping
+9. sequence packing (seeded shuffle)       — fixed-budget training rows
+10. IVF vector index (k-means trained)     — build once, probe cheaply
    (+ semantic near-dup pairs over the embeddings, LSH-blocked)
 
     python examples/run_curation.py [sf_dir] [index_dir]
@@ -42,8 +44,12 @@ from fbg_kafka_stream_file_transfer_spark.operators import dedup, similarity
 from fbg_kafka_stream_file_transfer_spark.operators.decontam import (
     ngram_decontaminate,
 )
+from fbg_kafka_stream_file_transfer_spark.operators.packing import (
+    packed_sequence_stats,
+)
 from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
     assign_splits,
+    cap_per_group,
     deterministic_sample,
 )
 from fbg_kafka_stream_file_transfer_spark.sources.tables import load_table
@@ -101,11 +107,35 @@ def main(sf_dir: str, index_dir: str) -> None:
     scored = assign_splits(scored, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
     scored.groupBy("split").count().orderBy("split").show()
 
-    # 7. context-window chunks (explode+slice, codegen — no UDF)
+    # 7. per-source caps: no domain floods the mixture (top-5 per
+    #    source by quality here; production uses thousands)
+    capped = cap_per_group(
+        scored.join(docs.select("doc_id", "source"), "doc_id"),
+        "doc_id",
+        "source",
+        F.round(F.col("quality"), 6),
+        5,
+    )
+    print(f"after-source-caps: {capped.count()}")
+
+    # 8. context-window chunks (explode+slice, codegen — no UDF)
     chunks = chunk_text(scored, "doc_id", "text", chunk_tokens=30, stride=20)
     print(f"== training chunks: {chunks.count()} ==")
 
-    # 8. trained IVF index over the embeddings; probe 3 queries.
+    # 9. pack the train split into 512-token sequences, seeded shuffle
+    #    so correlated neighbors don't share a sequence; reproducible
+    #    on any cluster
+    train = scored.filter(F.col("split") == "train")
+    packs = packed_sequence_stats(
+        train, "doc_id", "tokens", budget=512, n_shards=8, shuffle_seed=42
+    )
+    packs.agg(
+        F.count("*").alias("sequences"),
+        F.round(F.avg("fill_ratio"), 4).alias("mean_fill"),
+        F.sum("n_spanning").alias("boundary_spans"),
+    ).show()
+
+    # 10. trained IVF index over the embeddings; probe 3 queries.
     #    Semantic near-dup pairs share the same LSH bucketing as ANN.
     emb = load_table(spark, sf_dir, "embeddings")
     sem = dedup.semantic_near_dup_pairs(emb, "vec_id", "embedding", 0.4)
