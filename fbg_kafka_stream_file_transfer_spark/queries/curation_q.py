@@ -380,3 +380,63 @@ FROM hits JOIN keys ON hits.ck = keys.ck
 """,
     doc="portable Bloom membership gate vs a reference slice (no false negatives)",
 )
+
+
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup against a persistent LSH index
+    (streaming/dedupe.py): an 80% "prior corpus" slice is indexed, then
+    the 20% "new batch" slice is checked against it — the does-this-new
+    -batch-duplicate-anything-already-ingested shape every continuously
+    -fed training pipeline runs. Same banded-MinHash machinery as the
+    batch path (n=3, 12 hashes, 4 bands, verify ≥ 0.7), so the DuckDB
+    oracle reuses the LSH CTE with a new×prior join instead of the
+    within-corpus a<b join."""
+    import shutil
+    import tempfile
+
+    from ..operators.sampling import rate_bucket
+    from ..streaming.dedupe import dedup_against_index
+
+    d = load_table(spark, sf_dir, "documents")
+    b = rate_bucket(F.col("doc_id"))
+    idx = tempfile.mkdtemp(prefix="dedup_idx_")
+    try:
+        # first call indexes the prior corpus (no pre-existing index ->
+        # returns the typed empty frame)
+        dedup_against_index(d.filter(b >= 2000), idx)
+        out = dedup_against_index(
+            d.filter(b < 2000), idx, update_index=False
+        )
+        rows = out.collect()  # materialize before removing the index
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+from .dedup_q import LSH_CTE  # noqa: E402
+
+_BK = "(('0x' || substring(md5(CAST({k} AS VARCHAR)), 1, 15))::BIGINT % 10000)"
+
+QUERIES["dedup_incremental_index"] = Q(
+    _q_incremental_dedup,
+    LSH_CTE
+    + f"""
+, cands AS (
+  SELECT DISTINCT a.doc_id AS doc, b.doc_id AS dup_of
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE {_BK.format(k="a.doc_id")} < 2000
+    AND {_BK.format(k="b.doc_id")} >= 2000
+), verified AS (
+  SELECT c.doc, c.dup_of,
+         len(list_intersect(sa.ss, sb.ss)) AS inter,
+         len(sa.ss) + len(sb.ss) AS total
+  FROM cands c
+  JOIN sh sa ON c.doc = sa.doc_id
+  JOIN sh sb ON c.dup_of = sb.doc_id
+)
+SELECT doc, dup_of, round(inter / (total - inter), 6) AS jaccard
+FROM verified WHERE round(inter / (total - inter), 6) >= 0.7
+""",
+    doc="incremental near-dup vs persistent LSH index (new batch × prior corpus)",
+)
