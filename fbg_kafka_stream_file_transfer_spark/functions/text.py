@@ -307,3 +307,43 @@ def chunk_text(df, id_col: str, text_col: str, chunk_tokens: int = 30, stride: i
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.size(chunk).alias("n_chunk_tokens"),
     )
+
+
+def unigram_logprob_scores(
+    df, id_col: str, text_col: str, broadcast_vocab: bool = True
+):
+    """CCNet-style LM quality proxy: per-document mean negative log
+    probability under the corpus's own unigram model. Boilerplate /
+    keyword-stuffed junk scores LOW surprise (it repeats the corpus's
+    most common tokens); lorem-ipsum-ish noise scores HIGH — the two
+    tails a perplexity filter trims. A full KenLM is an external model;
+    the unigram form is the engine-native, engine-portable variant and
+    uses the same normalized tokenization as the dedup family.
+
+    Two shuffles (vocab count groupBy + per-doc agg) plus a token join:
+    ``broadcast_vocab=True`` broadcasts the (token, count) table — right
+    whenever the vocabulary fits an executor (≲ tens of millions of
+    distinct tokens); at open-web 100 TB scale pass ``False`` for a
+    shuffle join on the token key (uniform by construction). The corpus
+    total rides in as a broadcast 1-row aggregate, never a collect.
+
+    Output: (id_col, n_tokens, avg_neg_logprob rounded to 6).
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    tk = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    vocab = tk.groupBy("tok").agg(F.count("*").alias("cnt"))
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    total = F.broadcast(vocab.agg(F.sum("cnt").alias("total")))
+    neg_lp = -(F.log(F.col("cnt")) - F.log(F.col("total")))
+    return (
+        tk.join(vocab, "tok")
+        .crossJoin(total)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(neg_lp), 6).alias("avg_neg_logprob"),
+        )
+    )

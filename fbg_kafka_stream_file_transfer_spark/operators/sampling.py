@@ -66,6 +66,50 @@ def assign_splits(
     return df.withColumn("split", expr.otherwise(F.lit(None).cast("string")))
 
 
+def upsample_epochs(
+    df: DataFrame, key_col: str, group_col: str, epochs: dict[str, float]
+) -> DataFrame:
+    """Fractional-epoch corpus weighting (the LLaMA-recipe shape:
+    "Wikipedia 2.4 epochs, books 1.1, web 0.6"): each row is repeated
+    ``floor(e)`` times, plus one extra copy for the deterministic
+    ``frac(e)`` hash-slice of keys — so a group's expected multiplicity
+    is exactly its epoch count, membership of the extra copy is
+    engine-portable (same ``rate_bucket`` as sampling/splits, mutually
+    consistent), and e < 1 degrades to plain deterministic
+    downsampling. Groups absent from ``epochs`` are dropped.
+
+    Output adds ``copy_idx`` (0-based) so downstream shuffling/packing
+    sees distinct rows. Map-side explode — no shuffle, no rand(); the
+    row-count amplification is exactly sum(e_g × |g|), the number a
+    training-mixture spec demands.
+    """
+    if not epochs:
+        return df.filter(F.lit(False)).withColumn(
+            "copy_idx", F.lit(0).cast("bigint")
+        )
+    bucket = rate_bucket(F.col(key_col))
+    n_copies = None
+    for g, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"epoch count for {g!r} must be >= 0, got {e}")
+        whole = int(e)
+        frac_buckets = round((e - whole) * _BUCKETS)
+        copies = F.lit(whole) + (bucket < frac_buckets).cast("int")
+        cond = F.col(group_col) == g
+        n_copies = (
+            F.when(cond, copies) if n_copies is None else n_copies.when(cond, copies)
+        )
+    n_copies = n_copies.otherwise(F.lit(0))
+    out = df.withColumn("_n_copies", n_copies).filter(F.col("_n_copies") > 0)
+    return (
+        out.withColumn(
+            "copy_idx", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1))
+        )
+        .withColumn("copy_idx", F.col("copy_idx").cast("bigint"))
+        .drop("_n_copies")
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     id_col: str,

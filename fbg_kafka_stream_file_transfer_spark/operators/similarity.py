@@ -124,6 +124,42 @@ def brute_force_topk(
     return _rank_topk(scored, k)
 
 
+def hard_negative_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    query_filter: Column,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for embedding/retriever training: for each
+    query vector, the top-k most-similar vectors with a DIFFERENT
+    label — the near-miss negatives contrastive training needs (easy
+    random negatives carry no gradient signal).
+
+    Same contract and plan shape as :func:`brute_force_topk` (broadcast
+    query side, norms projected below the join, `_rank_topk` rounding),
+    with the join predicate swapped to label inequality: same-label rows
+    can never appear, so no post-filter can silently shrink k. For bulk
+    mining at corpus scale, run per LSH/IVF block first (the ANN paths)
+    and apply the label filter inside the block join the same way.
+    """
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lbl"),
+        as_double_array(F.col(vec_col)).alias("v"),
+    ).withColumn("nrm", norm(F.col("v")))
+    queries = vecs.filter(query_filter)
+    q, c = F.broadcast(queries.alias("q")), vecs.alias("c")
+    cos = dot(F.col("q.v"), F.col("c.v")) / (F.col("q.nrm") * F.col("c.nrm"))
+    scored = c.join(q, F.col("q.lbl") != F.col("c.lbl")).select(
+        F.col("q.vid").alias("query_id"),
+        F.col("c.vid").alias("neighbor_id"),
+        cos.alias("_cos"),
+    )
+    return _rank_topk(scored, k)
+
+
 def ann_lsh_topk(
     df: DataFrame,
     id_col: str,

@@ -440,3 +440,98 @@ FROM verified WHERE round(inter / (total - inter), 6) >= 0.7
 """,
     doc="incremental near-dup vs persistent LSH index (new batch × prior corpus)",
 )
+
+
+def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retriever/embedding training: per query
+    vector, the top-3 most-similar vectors with a DIFFERENT label."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negative_topk(
+        emb, "vec_id", "embedding", "label", F.col("vid") < 10, k=3
+    )
+
+
+_cos_hn = COS_SQL.format(a="q.v", b="c.v")
+
+QUERIES["sim_hard_negatives"] = Q(
+    _q_hard_negatives,
+    f"""
+WITH e AS (SELECT vec_id AS vid, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT q.vid AS query_id, c.vid AS neighbor_id,
+         round({_cos_hn}, 6) AS cosine_sim,
+         CAST(row_number() OVER (PARTITION BY q.vid
+              ORDER BY round({_cos_hn}, 9) DESC, c.vid) AS INTEGER) AS rank
+  FROM e q JOIN e c ON q.label != c.label
+  WHERE q.vid < 10
+) WHERE rank <= 3
+""",
+    doc="hard-negative mining: top-k nearest vectors with a different label",
+)
+
+
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy (CCNet-style perplexity filter, engine-
+    native form): mean negative logprob of each doc under the corpus's
+    own unigram distribution."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.unigram_logprob_scores(d, "doc_id", "text")
+
+
+QUERIES["text_unigram_logprob"] = Q(
+    _q_unigram_logprob,
+    NORM_CTE
+    + """, tk AS (
+  SELECT doc_id, unnest(t) AS tok FROM toks
+), vocab AS (
+  SELECT tok, count(*) AS cnt FROM tk GROUP BY tok
+), tot AS (SELECT sum(cnt) AS total FROM vocab)
+SELECT tk.doc_id,
+       count(*) AS n_tokens,
+       round(avg(-(ln(cnt) - ln(total))), 6) AS avg_neg_logprob
+FROM tk JOIN vocab USING (tok) CROSS JOIN tot
+GROUP BY tk.doc_id
+""",
+    doc="per-doc mean negative unigram logprob (perplexity-filter proxy)",
+)
+
+
+def _q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch mixture weighting (LLaMA-recipe shape): repeat
+    each language slice to its epoch count, summarized per language."""
+    from ..operators.sampling import upsample_epochs
+
+    d = load_table(spark, sf_dir, "documents")
+    epochs = {"en": 2.4, "de": 1.0, "fr": 0.6, "es": 1.5}
+    out = upsample_epochs(d, "doc_id", "lang", epochs)
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.max("copy_idx").cast("bigint").alias("max_copy_idx"),
+    )
+
+
+QUERIES["corpus_epoch_upsample"] = Q(
+    _q_epoch_upsample,
+    f"""
+WITH c AS (
+  SELECT doc_id, lang,
+         CASE lang
+           WHEN 'en' THEN 2 + CASE WHEN {_BUCKET} < 4000 THEN 1 ELSE 0 END
+           WHEN 'de' THEN 1
+           WHEN 'fr' THEN 0 + CASE WHEN {_BUCKET} < 6000 THEN 1 ELSE 0 END
+           WHEN 'es' THEN 1 + CASE WHEN {_BUCKET} < 5000 THEN 1 ELSE 0 END
+           ELSE 0 END AS n_copies
+  FROM documents
+), exploded AS (
+  SELECT doc_id, lang, unnest(range(n_copies)) AS copy_idx
+  FROM c WHERE n_copies > 0
+)
+SELECT lang, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+       CAST(max(copy_idx) AS BIGINT) AS max_copy_idx
+FROM exploded GROUP BY lang
+""",
+    doc="fractional-epoch corpus weighting: deterministic repeat-per-group",
+)

@@ -157,6 +157,106 @@ class TestDedupRepresentatives:
         assert out[0]["kept_score"] == 0.9
 
 
+class TestHardNegatives:
+    def test_no_same_label_neighbor(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.similarity import (
+            hard_negative_topk,
+        )
+
+        rows = [
+            (i, i % 3, [float(i % 5), float((i * 7) % 11), 1.0]) for i in range(30)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<double>"
+        )
+        out = hard_negative_topk(
+            df, "vec_id", "embedding", "label", F.col("vid") < 5, k=4
+        ).collect()
+        labels = {r["vec_id"]: r["label"] for r in df.collect()}
+        for r in out:
+            assert labels[r["query_id"]] != labels[r["neighbor_id"]]
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r["rank"])
+        for q, ranks in by_q.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) == 4
+
+
+class TestUpsampleEpochs:
+    def test_exact_multiplicities(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+            rate_bucket,
+            upsample_epochs,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "a" if i % 2 == 0 else "b") for i in range(100)],
+            "doc_id long, grp string",
+        )
+        out = upsample_epochs(df, "doc_id", "grp", {"a": 2.5, "b": 0.5})
+        rows = out.collect()
+        # per-doc multiplicity equals floor(e) + (bucket < frac*10000)
+        buckets = {
+            r["doc_id"]: r["b"]
+            for r in df.select("doc_id", rate_bucket(F.col("doc_id")).alias("b")).collect()
+        }
+        from collections import Counter
+
+        mult = Counter((r["doc_id"]) for r in rows)
+        for r in df.collect():
+            e = 2.5 if r["grp"] == "a" else 0.5
+            expect = int(e) + (1 if buckets[r["doc_id"]] < round((e - int(e)) * 10000) else 0)
+            assert mult.get(r["doc_id"], 0) == expect, r
+        # copy_idx is a distinct 0..n-1 run per doc
+        idx = {}
+        for r in rows:
+            idx.setdefault(r["doc_id"], []).append(r["copy_idx"])
+        for d, ids in idx.items():
+            assert sorted(ids) == list(range(len(ids)))
+
+    def test_absent_group_dropped_and_empty_spec(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+            upsample_epochs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "zz")], "doc_id long, grp string"
+        )
+        out = upsample_epochs(df, "doc_id", "grp", {"a": 2.0})
+        assert {r["doc_id"] for r in out.collect()} == {1}
+        assert upsample_epochs(df, "doc_id", "grp", {}).count() == 0
+
+
+class TestUnigramLogprob:
+    def test_common_tokens_score_lower(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.functions.text import (
+            unigram_logprob_scores,
+        )
+
+        rows = [(i, "the the the common words") for i in range(9)]
+        rows.append((99, "zyzzyva quixotic ephemeral"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["avg_neg_logprob"] for r in
+               unigram_logprob_scores(df, "doc_id", "text").collect()}
+        # the repeated boilerplate doc is low-surprise; the rare-token
+        # doc is high-surprise
+        assert out[0] < out[99]
+
+    def test_shuffle_join_path_matches_broadcast(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.functions.text import (
+            unigram_logprob_scores,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"tok{i % 7} shared words here {i % 3}") for i in range(40)],
+            "doc_id long, text string",
+        )
+        a = sorted(map(tuple, unigram_logprob_scores(df, "doc_id", "text", True).collect()))
+        b = sorted(map(tuple, unigram_logprob_scores(df, "doc_id", "text", False).collect()))
+        assert a == b
+
+
 class TestBloomGate:
     def test_no_false_negatives(self, spark):
         keys = spark.range(500).select(
