@@ -535,3 +535,118 @@ FROM exploded GROUP BY lang
 """,
     doc="fractional-epoch corpus weighting: deterministic repeat-per-group",
 )
+
+
+def _q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality calibration (the FineWeb-style practice):
+    rank each document's quality WITHIN its language via percent_rank,
+    so a cross-language keep-threshold (here: top 60%) doesn't let one
+    language's scorer bias starve another. One shuffle on lang; the
+    rounded score + doc_id ordering keeps ranks engine-stable."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.round(TX.quality_score(F.col("text")), 6).alias("quality_score"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality_score").asc(), F.col("doc_id").asc()
+    )
+    pr = F.percent_rank().over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "quality_score",
+        F.round(pr, 6).alias("lang_percentile"),
+        (pr >= 0.4).cast("int").alias("keep_top60"),
+    )
+
+
+QUERIES["text_quality_calibrated"] = Q(
+    _q_quality_calibrated,
+    f"""
+WITH q AS (
+  SELECT doc_id, lang, round({QUALITY_SQL}, 6) AS quality_score
+  FROM documents
+)
+SELECT doc_id, lang, quality_score,
+       round(percent_rank() OVER (PARTITION BY lang
+             ORDER BY quality_score ASC, doc_id ASC), 6) AS lang_percentile,
+       CAST(CASE WHEN percent_rank() OVER (PARTITION BY lang
+             ORDER BY quality_score ASC, doc_id ASC) >= 0.4
+            THEN 1 ELSE 0 END AS INTEGER) AS keep_top60
+FROM q
+""",
+    doc="per-language quality percentile calibration with a cross-lang keep gate",
+)
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (the CDC/bookkeeping shape of incremental
+    ingestion): full-outer join of two corpus versions on doc_id with a
+    checksum compare -> added / removed / changed / unchanged. Snapshot
+    B is derived deterministically from the fixture: a 10% hash slice
+    is dropped (removals), a disjoint 10% slice gets edited text
+    (changes), and a shifted id range stands in for new arrivals. One
+    shuffle on the uniform id key; at 100 TB this is the pre-MERGE
+    classification pass."""
+    from ..operators.sampling import rate_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    b = rate_bucket(F.col("doc_id"))
+    old = d.select("doc_id", F.md5(F.col("text")).alias("cks"))
+    new_txt = F.when(
+        (b >= 1000) & (b < 2000), F.concat(F.col("text"), F.lit(" [edited v2]"))
+    ).otherwise(F.col("text"))
+    survived = d.filter(b >= 1000).select(
+        "doc_id", F.md5(new_txt).alias("cks")
+    )
+    arrivals = d.filter(b < 500).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.md5(F.concat(F.col("text"), F.lit(" [new]"))).alias("cks"),
+    )
+    new = survived.unionByName(arrivals)
+    j = old.alias("o").join(
+        new.alias("n"), F.col("o.doc_id") == F.col("n.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("o.doc_id").isNull(), F.lit("added"))
+        .when(F.col("n.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("o.cks") != F.col("n.cks"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+QUERIES["corpus_snapshot_diff"] = Q(
+    _q_snapshot_diff,
+    f"""
+WITH old AS (
+  SELECT doc_id, md5(text) AS cks FROM documents
+), b AS (
+  SELECT doc_id, text, {_BUCKET} AS bk FROM documents
+), new AS (
+  SELECT doc_id,
+         md5(CASE WHEN bk >= 1000 AND bk < 2000
+                  THEN text || ' [edited v2]' ELSE text END) AS cks
+  FROM b WHERE bk >= 1000
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, md5(text || ' [new]') AS cks
+  FROM b WHERE bk < 500
+), j AS (
+  SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.cks != n.cks THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT status, count(*) AS n_docs FROM j GROUP BY status
+""",
+    doc="corpus snapshot diff: added/removed/changed/unchanged via checksum join",
+)
