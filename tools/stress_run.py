@@ -51,6 +51,12 @@ DEFAULT = [
     "curation_source_caps",
     "dedup_representatives",
     "decontam_bloom_gate",
+    "dedup_incremental_index",
+    "sim_hard_negatives",
+    "text_unigram_logprob",
+    "corpus_epoch_upsample",
+    "text_quality_calibrated",
+    "corpus_snapshot_diff",
     "pipe_route_all_legs",
 ]
 
