@@ -124,23 +124,32 @@ def cap_per_group(
     score so near-equal doubles can't flip membership across engines).
 
     The standard curation pass against over-represented sources (one
-    crawl domain contributing millions of near-identical pages). Scale:
-    one shuffle on the group key + a per-group local sort; a pathological
-    mega-group sorts in one task — AQE skew handling splits the shuffle
-    read, and upstream dedup passes have already collapsed the worst
-    offenders by the time caps run. Adds a ``rank_in_group`` column.
+    crawl domain contributing millions of near-identical pages).
+
+    Scale shape: the rank window runs on a SKINNY (id, group, score)
+    projection, so the group-key shuffle moves a few dozen bytes per
+    row — never the document text/binary payload — and the surviving
+    (id, rank) set (≤ n per group) joins back by id, where AQE's
+    stats-driven planning broadcasts it for any realistic cap. A
+    pathological mega-group still sorts its skinny rows in one task;
+    AQE skew split covers the shuffle read, and upstream dedup has
+    already collapsed the worst offenders by the time caps run. Adds a
+    ``rank_in_group`` column.
     """
     if n <= 0:
         raise ValueError(f"cap must be positive, got {n}")
     from pyspark.sql.window import Window
 
+    skinny = df.select(F.col(id_col), F.col(group_col), score_col.alias("_s"))
     w = Window.partitionBy(group_col).orderBy(
-        score_col.desc(), F.col(id_col).asc()
+        F.col("_s").desc(), F.col(id_col).asc()
     )
-    return (
-        df.withColumn("rank_in_group", F.row_number().over(w))
+    kept = (
+        skinny.withColumn("rank_in_group", F.row_number().over(w))
         .filter(F.col("rank_in_group") <= n)
+        .select(id_col, "rank_in_group")
     )
+    return df.join(kept, id_col)
 
 
 def mix_corpus(
