@@ -287,3 +287,16 @@ class TestBloomGate:
             keys, keys.limit(10), "k", m=2048, k=4
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestBloomGateEdges:
+    def test_empty_reference_flags_nothing(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.decontam import (
+            bloom_membership_gate,
+        )
+
+        keys = spark.range(50).select(F.md5(F.col("id").cast("string")).alias("k"))
+        empty_ref = keys.filter(F.lit(False))
+        out = bloom_membership_gate(keys, empty_ref, "k", m=1024, k=4)
+        assert all(r["maybe_member"] == 0 for r in out.collect())
+        assert out.count() == 50

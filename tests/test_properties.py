@@ -110,3 +110,96 @@ def test_redact_pii_idempotent_property(spark, texts):
     for i, t in enumerate(texts):
         if t is None:
             assert once[i] is None
+
+
+# ---- round-6 curation operators ----------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=40),
+    st.integers(min_value=8, max_value=128),
+    st.integers(min_value=1, max_value=4),
+)
+def test_pack_sequences_conservation_property(spark, toks, budget, n_shards):
+    """For ANY token-count list, budget, and shard count: every token
+    lands in exactly one cell, interior sequences are exactly full, and
+    the layout is independent of input partitioning."""
+    from fbg_kafka_stream_file_transfer_spark.operators.packing import (
+        packed_sequence_stats,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(toks)), "doc_id long, n_toks long"
+    )
+    stats = packed_sequence_stats(df, "doc_id", "n_toks", budget, n_shards)
+    rows = stats.collect()
+    assert sum(r["seq_tokens"] for r in rows) == sum(toks)
+    last = {}
+    for r in rows:
+        last[r["shard"]] = max(last.get(r["shard"], -1), r["seq_id"])
+    for r in rows:
+        if r["seq_id"] < last[r["shard"]]:
+            assert r["seq_tokens"] == budget
+    rows2 = packed_sequence_stats(
+        df.repartition(5), "doc_id", "n_toks", budget, n_shards
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.floats(min_value=0.0, max_value=3.0, allow_nan=False),
+        max_size=3,
+    )
+)
+def test_upsample_epochs_multiplicity_property(spark, epochs):
+    """Row multiplicity is exactly floor(e) + [bucket < frac(e)*1e4]
+    for every key and any epoch spec."""
+    from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+        rate_bucket,
+        upsample_epochs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c", "zz"][i % 4]) for i in range(40)],
+        "doc_id long, grp string",
+    )
+    out = upsample_epochs(df, "doc_id", "grp", epochs)
+    from collections import Counter
+
+    mult = Counter(r["doc_id"] for r in out.collect())
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id", rate_bucket(F.col("doc_id")).alias("b")
+        ).collect()
+    }
+    for r in df.collect():
+        e = epochs.get(r["grp"], 0.0)
+        expect = int(e) + (
+            1 if buckets[r["doc_id"]] < round((e - int(e)) * 10000) else 0
+        )
+        assert mult.get(r["doc_id"], 0) == expect
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=1, max_value=60),
+    st.integers(min_value=256, max_value=8192),
+)
+def test_bloom_gate_no_false_negatives_property(spark, n_ref, m):
+    """For any reference size and filter width, every true member is
+    flagged (false negatives impossible by construction)."""
+    from fbg_kafka_stream_file_transfer_spark.operators.decontam import (
+        bloom_membership_gate,
+    )
+
+    keys = spark.range(120).select(F.md5(F.col("id").cast("string")).alias("k"))
+    ref = keys.limit(n_ref)
+    out = bloom_membership_gate(keys, ref, "k", m=m, k=4)
+    truth = {r["k"] for r in ref.collect()}
+    flagged = {r["k"] for r in out.collect() if r["maybe_member"] == 1}
+    assert truth <= flagged
