@@ -195,6 +195,47 @@ def ann_lsh_topk(
     return _rank_topk(scored, k)
 
 
+def ann_hard_negative_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    query_filter: Column,
+    k: int = 3,
+    planes: int = 4,
+) -> DataFrame:
+    """The bulk-mining shape of :func:`hard_negative_topk`: candidates
+    restricted to the query's LSH bucket with the different-label
+    predicate INSIDE the block join — per-bucket work instead of
+    |Q|×|corpus|, so mining negatives for every training example (the
+    production case: |Q| = |corpus|) stays an equi-join shuffle. The
+    trade is ANN recall: a hard negative hashing to another bucket is
+    missed, amplifiable with multi-table `plane_offset` families exactly
+    like the dedup path."""
+    vecs = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.col(label_col).alias("lbl"),
+            as_double_array(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("bucket", lsh_bucket(F.col("v"), planes))
+        .withColumn("nrm", norm(F.col("v")))
+    )
+    queries = vecs.filter(query_filter)
+    q, c = F.broadcast(queries.alias("q")), vecs.alias("c")
+    cos = dot(F.col("q.v"), F.col("c.v")) / (F.col("q.nrm") * F.col("c.nrm"))
+    scored = c.join(
+        q,
+        (F.col("q.bucket") == F.col("c.bucket"))
+        & (F.col("q.lbl") != F.col("c.lbl")),
+    ).select(
+        F.col("q.vid").alias("query_id"),
+        F.col("c.vid").alias("neighbor_id"),
+        cos.alias("_cos"),
+    )
+    return _rank_topk(scored, k)
+
+
 def train_kmeans_centroids(
     df: DataFrame,
     id_col: str,

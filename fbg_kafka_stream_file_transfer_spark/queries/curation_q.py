@@ -650,3 +650,32 @@ SELECT status, count(*) AS n_docs FROM j GROUP BY status
 """,
     doc="corpus snapshot diff: added/removed/changed/unchanged via checksum join",
 )
+
+
+def _q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk hard-negative mining: LSH-bucket-blocked different-label
+    top-k — the |Q| = |corpus| production shape."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_hard_negative_topk(
+        emb, "vec_id", "embedding", "label", F.col("vid") < 10, k=3
+    )
+
+
+QUERIES["sim_hard_negatives_ann"] = Q(
+    _q_ann_hard_negatives,
+    f"""
+WITH e AS (SELECT vec_id AS vid, label, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vid, label, v, {bucket_sql('v')} AS bucket FROM e)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT q.vid AS query_id, c.vid AS neighbor_id,
+         round({_cos_hn}, 6) AS cosine_sim,
+         CAST(row_number() OVER (PARTITION BY q.vid
+              ORDER BY round({_cos_hn}, 9) DESC, c.vid) AS INTEGER) AS rank
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.label != c.label
+  WHERE q.vid < 10
+) WHERE rank <= 3
+""",
+    doc="LSH-bucket-blocked hard-negative mining (bulk/production shape)",
+)
