@@ -6,13 +6,14 @@ it over the synthetic ``documents`` + ``embeddings`` tables:
 
 1. exact dedup (sha256)                    — drop byte-identical docs
 2. MinHash-LSH near-dup → transitive groups — drop fuzzy duplicates
-3. quality score + language id             — filter and stratify
+3. quality score + language id + unigram-LM surprise — filter/stratify
 4. PII redaction                           — scrub emails/IPs/phones
 5. decontamination vs a held-out eval set  — drop benchmark leaks
 6. train/val/test split assignment         — reproducible partitions
 7. per-source caps                         — domain rate limiting
 8. context-window chunking                 — training-sample shaping
-9. sequence packing (seeded shuffle)       — fixed-budget training rows
+9. epoch weighting + sequence packing (seeded shuffle)
+                                           — fixed-budget training rows
 10. IVF vector index (k-means trained)     — build once, probe cheaply
    (+ semantic near-dup pairs over the embeddings, LSH-blocked)
 
@@ -39,6 +40,7 @@ from fbg_kafka_stream_file_transfer_spark.functions.text import (
     quality_score,
     redact_pii,
     token_count,
+    unigram_logprob_scores,
 )
 from fbg_kafka_stream_file_transfer_spark.operators import dedup, similarity
 from fbg_kafka_stream_file_transfer_spark.operators.decontam import (
@@ -51,6 +53,7 @@ from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
     assign_splits,
     cap_per_group,
     deterministic_sample,
+    upsample_epochs,
 )
 from fbg_kafka_stream_file_transfer_spark.sources.tables import load_table
 
@@ -77,14 +80,22 @@ def main(sf_dir: str, index_dir: str) -> None:
     survivors = survivors.join(losers, "doc_id", "left_anti")
     n2 = survivors.count()
 
-    # 3. quality + language stratification (pure Catalyst, map-only)
-    scored = survivors.select(
-        "doc_id",
-        "text",
-        quality_score(F.col("text")).alias("quality"),
-        lang_id(F.col("text")).alias("lang"),
-        token_count(F.col("text")).alias("tokens"),
-    ).filter(F.col("quality") >= 0.3)
+    # 3. quality + language stratification (pure Catalyst, map-only),
+    #    plus the unigram-LM surprise score (perplexity-filter proxy):
+    #    drop the lowest-surprise tail (boilerplate) alongside the
+    #    heuristic quality gate
+    lm = unigram_logprob_scores(survivors, "doc_id", "text")
+    scored = (
+        survivors.select(
+            "doc_id",
+            "text",
+            quality_score(F.col("text")).alias("quality"),
+            lang_id(F.col("text")).alias("lang"),
+            token_count(F.col("text")).alias("tokens"),
+        )
+        .join(lm.select("doc_id", "avg_neg_logprob"), "doc_id")
+        .filter((F.col("quality") >= 0.3) & (F.col("avg_neg_logprob") > 1.0))
+    )
     n3 = scored.count()
     print("\n== corpus funnel ==")
     print(f"raw: {n0}  after-exact: {n1}  after-neardup: {n2}  after-quality: {n3}")
@@ -124,10 +135,22 @@ def main(sf_dir: str, index_dir: str) -> None:
 
     # 9. pack the train split into 512-token sequences, seeded shuffle
     #    so correlated neighbors don't share a sequence; reproducible
-    #    on any cluster
-    train = scored.filter(F.col("split") == "train")
+    #    on any cluster. Mixture weighting first: repeat high-value
+    #    languages to their epoch counts (fractional epochs land as a
+    #    deterministic hash slice)
+    train = upsample_epochs(
+        scored.filter(F.col("split") == "train"),
+        "doc_id",
+        "lang",
+        {"en": 1.5, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0, "und": 0.5},
+    ).withColumn(
+        # distinct packing key per epoch copy so repeats spread across
+        # shards instead of landing adjacent
+        "pack_key",
+        F.col("doc_id") * 16 + F.col("copy_idx"),
+    )
     packs = packed_sequence_stats(
-        train, "doc_id", "tokens", budget=512, n_shards=8, shuffle_seed=42
+        train, "pack_key", "tokens", budget=512, n_shards=8, shuffle_seed=42
     )
     packs.agg(
         F.count("*").alias("sequences"),
