@@ -300,3 +300,48 @@ class TestBloomGateEdges:
         out = bloom_membership_gate(keys, empty_ref, "k", m=1024, k=4)
         assert all(r["maybe_member"] == 0 for r in out.collect())
         assert out.count() == 50
+
+
+class TestPlanShapes:
+    """Pin the r6 operators' physical-plan shapes: these counts ARE the
+    scale contract (SCALE.md round-6 section) — a regression here means
+    an extra corpus shuffle at 100 TB, not a style issue."""
+
+    @staticmethod
+    def _plan(df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_representatives_single_exchange(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"text {i % 5} body", float(i % 3)) for i in range(50)],
+            "doc_id long, text string, q double",
+        )
+        plan = self._plan(
+            dedup_group_representatives(df, "doc_id", "text", F.col("q"))
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_cap_single_exchange(self, spark):
+        df = spark.createDataFrame(
+            [(i, "g%d" % (i % 3), float(i)) for i in range(50)],
+            "doc_id long, grp string, score double",
+        )
+        plan = self._plan(cap_per_group(df, "doc_id", "grp", F.col("score"), 5))
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_pack_stats_bounded_exchanges(self, spark):
+        d = _docs(spark)
+        plan = self._plan(
+            packed_sequence_stats(d, "doc_id", "n_toks", budget=64, n_shards=4)
+        )
+        # shard window + (shard, seq) agg; AQE may fuse but never exceed
+        assert plan.count("Exchange hashpartitioning") <= 2
+
+    def test_bloom_gate_broadcasts_filter(self, spark):
+        keys = spark.range(200).select(
+            F.md5(F.col("id").cast("string")).alias("k")
+        )
+        plan = self._plan(
+            bloom_membership_gate(keys, keys.limit(20), "k", m=2048, k=4)
+        )
+        assert "BroadcastExchange" in plan
