@@ -371,3 +371,28 @@ def unigram_logprob_scores(
             F.round(F.avg(neg_lp), 6).alias("avg_neg_logprob"),
         )
     )
+
+
+#: demonstration blocklist for the keyword-density gate — production
+#: pipelines load theirs (UT1 lists etc.) and pass it in
+DEFAULT_BLOCKLIST: tuple[str, ...] = (
+    "casino", "viagra", "lottery", "jackpot", "xxx", "porn",
+    "free-money", "clickbait", "spamlink",
+)
+
+
+def blocklist_stats(text, blocklist: tuple[str, ...] = DEFAULT_BLOCKLIST):
+    """(n_blocked_tokens, blocked_ratio) — the keyword-density side of a
+    FineWeb/Dolma-style blocklist gate (URL-based blocking needs a URL
+    column; this is the content half). Pure Catalyst set membership over
+    the normalized tokens: map-side, codegen, zero shuffle; the list
+    travels as a literal IN — effectively a broadcast dictionary.
+    Returns two Columns (count, ratio)."""
+    from pyspark.sql import functions as F
+
+    toks = F.split(normalized_text(text), " ")
+    hits = F.size(F.filter(toks, lambda t: t.isin(*blocklist)))
+    return (
+        hits.cast("int"),
+        (hits / F.greatest(F.size(toks), F.lit(1))).cast("double"),
+    )

@@ -679,3 +679,62 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM (
 """,
     doc="LSH-bucket-blocked hard-negative mining (bulk/production shape)",
 )
+
+
+def _q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-blocklist gate (content half of the FineWeb/Dolma URL+
+    keyword filter). The synthetic corpus is clean, so a deterministic
+    slice is salted with blocklist terms — same pattern as the PII
+    query — to give the gate guaranteed hits; mirrored 1:1 in SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" casino jackpot xxx spam")).otherwise(
+            F.lit("")
+        ),
+    )
+    n_blocked, ratio = TX.blocklist_stats(salted)
+    r = F.round(ratio, 6)
+    return d.select(
+        "doc_id",
+        n_blocked.alias("n_blocked"),
+        r.alias("blocked_ratio"),
+        (r > 0.05).cast("int").alias("flagged"),
+    )
+
+
+_BL_IN = ", ".join(f"'{w}'" for w in (
+    "casino", "viagra", "lottery", "jackpot", "xxx", "porn",
+    "free-money", "clickbait", "spamlink",
+))
+
+QUERIES["text_blocklist_gate"] = Q(
+    _q_blocklist,
+    f"""
+WITH s AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0
+                      THEN ' casino jackpot xxx spam' ELSE '' END AS st
+  FROM documents
+), n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(st),
+              '[.,!?;:''"()\\[\\]{{}}-]', '', 'g'), '\\s+', ' ', 'g')) AS nt
+  FROM s
+), t AS (
+  SELECT doc_id, string_split(nt, ' ') AS tk FROM n
+), h AS (
+  SELECT doc_id,
+         len(list_filter(tk, x -> x IN ({_BL_IN}))) AS nb,
+         greatest(len(tk), 1) AS ntk
+  FROM t
+)
+SELECT doc_id,
+       CAST(nb AS INTEGER) AS n_blocked,
+       round(nb / ntk, 6) AS blocked_ratio,
+       CAST(CASE WHEN round(nb / ntk, 6) > 0.05 THEN 1 ELSE 0 END AS INTEGER)
+         AS flagged
+FROM h
+""",
+    doc="keyword-blocklist density gate (content half of URL+keyword filtering)",
+)
