@@ -396,3 +396,47 @@ def blocklist_stats(text, blocklist: tuple[str, ...] = DEFAULT_BLOCKLIST):
         hits.cast("int"),
         (hits / F.greatest(F.size(toks), F.lit(1))).cast("double"),
     )
+
+
+def vocab_coverage(df, text_col: str, top_v: int = 25):
+    """Tokenizer-budget sizing: the top ``top_v`` corpus unigrams with
+    their CUMULATIVE token-mass coverage — "how much of the corpus do V
+    vocabulary entries explain" (the curve a BPE/WordPiece vocab-size
+    decision reads). Builds on :func:`train_unigram_vocab`; ranking is
+    count desc with token asc tie-break (base.py ordering rule) so
+    membership and cum shares are engine-deterministic.
+
+    Scale shape: the unigram count is one shuffle on the token (vocab-
+    sized output, NOT corpus-sized); the total-token mass is a 1-row
+    aggregate joined back by broadcast cross join; the running sum runs
+    over only the top_v survivors (a single tiny partition by
+    construction, not a corpus-wide unpartitioned window).
+
+    Returns ``(rank, tok, cnt, share, cum_share)``, shares rounded 6.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    vocab = train_unigram_vocab(df, text_col)
+    total = vocab.agg(F.sum("cnt").alias("_total"))
+    # sort+limit plans as TakeOrderedAndProject (per-partition top-k +
+    # driver merge of top_v rows) — NOT a global window over the whole
+    # vocabulary; only the top_v survivors ever see a window below
+    rank_w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    top = (
+        vocab.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(top_v)
+        .withColumn("rank", F.row_number().over(rank_w))
+    )
+    run_w = (
+        Window.orderBy(F.col("rank"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("cnt") / F.col("_total"), 6))
+        .withColumn(
+            "cum_share", F.round(F.sum("cnt").over(run_w) / F.col("_total"), 6)
+        )
+        .select("rank", "tok", "cnt", "share", "cum_share")
+    )

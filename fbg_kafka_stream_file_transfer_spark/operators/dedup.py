@@ -801,3 +801,84 @@ def paragraph_dedup_stats(
             F.round(F.col("n_dup_paragraphs") / F.col("n_paragraphs"), 4),
         )
     )
+
+
+def remove_boilerplate_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window_tokens: int = 16,
+    min_docs: int = 2,
+    broadcast_frequent: bool = True,
+) -> DataFrame:
+    """Boilerplate REMOVAL (CCNet line-dedup / RefinedWeb-style): unlike
+    :func:`paragraph_dedup_stats`, which only *reports* a document's
+    duplicated-span fraction, this pass REWRITES the text — every
+    k-token window of the normalized document whose fingerprint occurs
+    in at least ``min_docs`` distinct documents is dropped, and the
+    surviving windows are re-joined in original order. This is the
+    corpus-level "remove the cookie banner / nav bar / license header
+    from every page" operator of a web-scale training pipeline; spans
+    are k-token windows because the synthetic fixture (and plenty of
+    real corpora) has no newline structure — callers with real lines
+    should pre-split and use a line-granularity fingerprint instead.
+
+    Scale shape (100 TB): the window explode is map-side; the frequent
+    set is the HEAVY-HITTER set (spans repeated across >= min_docs
+    docs), orders of magnitude smaller than the corpus, so it is
+    broadcast (``broadcast_frequent=False`` drops the hint and lets AQE
+    decide when min_docs is low enough to make the set large). Two
+    shuffles total on uniform md5 keys — the frequency count and the
+    per-document reassembly — plus the broadcast join; nothing
+    quadratic, same plan family as :func:`paragraph_dedup_stats` plus
+    one roll-up. Reassembly keeps per-doc state bounded by the doc's
+    own window count.
+
+    Returns ``(id_col, clean_text, n_windows, n_dropped,
+    dropped_ratio)``; ``clean_text`` is ``''`` when every window was
+    boilerplate, so downstream length filters drop the husk.
+    """
+    if window_tokens <= 0:
+        raise ValueError(f"window_tokens must be positive, got {window_tokens}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    k = window_tokens
+    n_win = F.greatest(F.ceil(F.size(toks) / F.lit(k)), F.lit(1)).cast("int")
+    wins = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i * k + 1).cast("int"), k)),
+    )
+    ex = (
+        df.select(F.col(id_col).alias("_doc"), F.posexplode(wins).alias("_pos", "_win"))
+        .withColumn("_fp", F.md5(F.col("_win")))
+    )
+    freq = (
+        ex.groupBy("_fp")
+        .agg(F.countDistinct("_doc").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_fp", F.lit(1).alias("_dup"))
+    )
+    if broadcast_frequent:
+        freq = F.broadcast(freq)
+    marked = ex.join(freq, "_fp", "left")
+    kept = F.when(F.col("_dup").isNull(), F.struct(F.col("_pos"), F.col("_win")))
+    return (
+        marked.groupBy(F.col("_doc").alias(id_col))
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["_win"]
+                ),
+            ).alias("clean_text"),
+            F.count("*").alias("n_windows"),
+            F.coalesce(
+                F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0)), F.lit(0)
+            ).alias("n_dropped"),
+        )
+        .withColumn(
+            "dropped_ratio", F.round(F.col("n_dropped") / F.col("n_windows"), 4)
+        )
+    )

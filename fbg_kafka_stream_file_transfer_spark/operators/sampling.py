@@ -182,3 +182,39 @@ def mix_corpus(
         expr = F.when(cond, val) if expr is None else expr.when(cond, val)
     thresholds = expr.otherwise(F.lit(None).cast("int"))
     return df.filter(rate_bucket(F.col(key_col)) < thresholds)
+
+
+def stratified_sample_exact(
+    df: DataFrame, id_col: str, group_col: str, fraction: float
+) -> DataFrame:
+    """EXACT-quota stratified sampling: keep ``ceil(fraction * |group|)``
+    rows of every group, chosen by portable md5-of-id rank. Where
+    :func:`deterministic_sample` is exact only in expectation (each row
+    flips its own hash coin), this guarantees the per-stratum sample
+    SIZE — the contract an eval-set or ablation-corpus builder needs
+    ("exactly 20% of every language, not 20% ± noise") — while staying
+    engine-portable and partitioning-independent.
+
+    One shuffle on the group key (rank + count share the partition; a
+    mega-stratum sorts in one task, AQE skew split covers the shuffle
+    read — same plan family as :func:`cap_per_group`). The quota rounds
+    the ``fraction * count`` product to 9 dp before ``ceil`` so binary
+    float noise (0.2 × 500 = 100.0000…01) can't inflate the quota by
+    one on one engine and not the other.
+
+    Adds ``sample_rank`` (1-based rank within the stratum).
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    cnt = F.count("*").over(Window.partitionBy(group_col))
+    quota = F.ceil(F.round(F.lit(fraction) * cnt, 9))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .withColumn("_quota", quota)
+        .filter(F.col("sample_rank") <= F.col("_quota"))
+        .drop("_quota")
+    )

@@ -738,3 +738,120 @@ FROM h
 """,
     doc="keyword-blocklist density gate (content half of URL+keyword filtering)",
 )
+
+
+# ------------------------------------------------------- round 6 (cont.)
+
+
+def _q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL (CCNet/RefinedWeb line-dedup shape): drop
+    every 16-token window shared by >= 2 documents and rewrite the
+    text; reported as md5 of the cleaned text plus drop accounting.
+    Unlike ``dedup_paragraph_rollup`` this changes the corpus, not just
+    the QA columns (operators/dedup.py remove_boilerplate_windows)."""
+    d = load_table(spark, sf_dir, "documents")
+    r = dedup.remove_boilerplate_windows(
+        d, "doc_id", "text", window_tokens=16, min_docs=2
+    )
+    return r.select(
+        "doc_id",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+        "n_windows",
+        "n_dropped",
+        "dropped_ratio",
+    )
+
+
+QUERIES["text_boilerplate_removal"] = Q(
+    _q_boilerplate_removal,
+    NORM_CTE
+    + """, idx AS (
+  SELECT doc_id, t,
+         unnest(range(CAST(greatest(ceil(len(t) / 16.0), 1) AS BIGINT))) AS i
+  FROM toks
+), wins AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(t[(i*16+1):((i+1)*16)], ' ') AS win,
+         md5(array_to_string(t[(i*16+1):((i+1)*16)], ' ')) AS fp
+  FROM idx
+), freq AS (
+  SELECT fp, 1 AS dup FROM wins GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT w.doc_id,
+       md5(coalesce(string_agg(CASE WHEN f.dup IS NULL THEN w.win END,
+                               ' ' ORDER BY w.pos), '')) AS clean_md5,
+       count(*) AS n_windows,
+       CAST(sum(CASE WHEN f.dup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       round(CAST(sum(CASE WHEN f.dup IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS dropped_ratio
+FROM wins w LEFT JOIN freq f USING (fp)
+GROUP BY w.doc_id
+""",
+    doc="corpus-level boilerplate-window removal: rewrites text, drop accounting",
+)
+
+
+def _q_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sample: exactly ceil(20% of every lang)
+    by portable hash rank (operators/sampling.py
+    stratified_sample_exact) — per-stratum size guaranteed, unlike the
+    expectation-exact rate_bucket sampler."""
+    from ..operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_sample_exact(d, "doc_id", "lang", 0.2).select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
+QUERIES["sample_stratified_exact"] = Q(
+    _q_stratified_exact,
+    """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rn AS INTEGER) AS sample_rank
+FROM ranked
+WHERE rn <= ceil(round(0.2 * cnt, 9))
+""",
+    doc="exact-quota stratified sampling: ceil(frac*|stratum|) rows per group",
+)
+
+
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: top-25 corpus unigrams with cumulative
+    token-mass share (functions/text.py vocab_coverage) — the tokenizer
+    vocab-size sizing read."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.vocab_coverage(d, "text", top_v=25)
+
+
+QUERIES["text_vocab_coverage"] = Q(
+    _q_vocab_coverage,
+    NORM_CTE
+    + """, tk AS (
+  SELECT unnest(t) AS tok FROM toks
+), vocab AS (
+  SELECT tok, count(*) AS cnt FROM tk GROUP BY tok
+), total AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS tt FROM vocab
+), ranked AS (
+  SELECT tok, cnt,
+         row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+  FROM vocab
+)
+SELECT CAST(rank AS INTEGER) AS rank, tok, CAST(cnt AS BIGINT) AS cnt,
+       round(cnt / tt, 6) AS share,
+       round(sum(cnt) OVER (ORDER BY rank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tt, 6)
+         AS cum_share
+FROM ranked, total
+WHERE rank <= 25
+""",
+    doc="top-25 unigram vocabulary coverage curve (cumulative token-mass share)",
+)

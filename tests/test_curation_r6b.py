@@ -1,0 +1,153 @@
+"""Round-6 (cont.) curation operators: boilerplate-window removal,
+exact-quota stratified sampling, vocabulary coverage curve."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from fbg_kafka_stream_file_transfer_spark.functions.text import vocab_coverage
+from fbg_kafka_stream_file_transfer_spark.operators.dedup import (
+    remove_boilerplate_windows,
+)
+from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+    stratified_sample_exact,
+)
+
+
+class TestBoilerplateRemoval:
+    def _corpus(self, spark):
+        # 4-token windows; "this is licensed text" is shared boilerplate
+        rows = [
+            (1, "this is licensed text alpha beta gamma delta"),
+            (2, "this is licensed text epsilon zeta eta theta"),
+            (3, "iota kappa lambda mu nu xi omicron pi"),
+            (4, "this is licensed text"),  # nothing but boilerplate
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_shared_window_removed_unique_kept(self, spark):
+        out = {
+            r["doc_id"]: r
+            for r in remove_boilerplate_windows(
+                self._corpus(spark), "doc_id", "text", window_tokens=4, min_docs=2
+            ).collect()
+        }
+        assert out[1]["clean_text"] == "alpha beta gamma delta"
+        assert out[2]["clean_text"] == "epsilon zeta eta theta"
+        assert out[1]["n_windows"] == 2 and out[1]["n_dropped"] == 1
+        # untouched doc keeps everything
+        assert out[3]["n_dropped"] == 0
+        assert out[3]["clean_text"] == "iota kappa lambda mu nu xi omicron pi"
+
+    def test_all_boilerplate_doc_becomes_empty(self, spark):
+        out = {
+            r["doc_id"]: r
+            for r in remove_boilerplate_windows(
+                self._corpus(spark), "doc_id", "text", window_tokens=4, min_docs=2
+            ).collect()
+        }
+        assert out[4]["clean_text"] == ""
+        assert out[4]["dropped_ratio"] == 1.0
+
+    def test_order_preserved_across_dropped_span(self, spark):
+        # boilerplate window sits BETWEEN two kept windows
+        rows = [
+            (1, "aa bb shared shared cc dd"),
+            (2, "ee ff shared shared gg hh"),
+        ]
+        d = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r["doc_id"]: r["clean_text"]
+            for r in remove_boilerplate_windows(
+                d, "doc_id", "text", window_tokens=2, min_docs=2
+            ).collect()
+        }
+        assert out[1] == "aa bb cc dd"
+        assert out[2] == "ee ff gg hh"
+
+    def test_validation(self, spark):
+        d = self._corpus(spark)
+        with pytest.raises(ValueError):
+            remove_boilerplate_windows(d, "doc_id", "text", window_tokens=0)
+        with pytest.raises(ValueError):
+            remove_boilerplate_windows(d, "doc_id", "text", min_docs=1)
+
+    def test_frequent_set_broadcast(self, spark):
+        plan = remove_boilerplate_windows(
+            self._corpus(spark), "doc_id", "text", window_tokens=4
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
+class TestStratifiedSampleExact:
+    def _groups(self, spark):
+        rows = [(i, "g%d" % (i % 3)) for i in range(100)]
+        return spark.createDataFrame(rows, ["doc_id", "grp"])
+
+    def test_exact_quota_per_group(self, spark):
+        d = self._groups(spark)
+        sizes = {r["grp"]: r["n"] for r in d.groupBy("grp").agg(
+            F.count("*").alias("n")).collect()}
+        out = stratified_sample_exact(d, "doc_id", "grp", 0.2)
+        got = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(
+            F.count("*").alias("n")).collect()}
+        for g, n in sizes.items():
+            assert got[g] == math.ceil(round(0.2 * n, 9)), g
+
+    def test_partitioning_independent_membership(self, spark):
+        d = self._groups(spark)
+        a = sorted(
+            r["doc_id"]
+            for r in stratified_sample_exact(d, "doc_id", "grp", 0.3).collect()
+        )
+        b = sorted(
+            r["doc_id"]
+            for r in stratified_sample_exact(
+                d.repartition(17), "doc_id", "grp", 0.3
+            ).collect()
+        )
+        assert a == b
+
+    def test_fraction_one_keeps_everything(self, spark):
+        d = self._groups(spark)
+        assert stratified_sample_exact(d, "doc_id", "grp", 1.0).count() == 100
+
+    def test_validation(self, spark):
+        d = self._groups(spark)
+        for bad in (0.0, -0.1, 1.5):
+            with pytest.raises(ValueError):
+                stratified_sample_exact(d, "doc_id", "grp", bad)
+
+
+class TestVocabCoverage:
+    def _corpus(self, spark):
+        rows = [
+            (1, "the the the cat sat"),
+            (2, "the cat ran far"),
+            (3, "dog ran far far"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_ranks_and_cumulative_share(self, spark):
+        out = vocab_coverage(self._corpus(spark), "text", top_v=3).collect()
+        assert [r["rank"] for r in out] == [1, 2, 3]
+        assert out[0]["tok"] == "the" and out[0]["cnt"] == 4
+        # 13 tokens total: the=4, far=3, then cat/ran tie -> cat by tok asc
+        assert out[1]["tok"] == "far"
+        assert out[2]["tok"] == "cat"
+        shares = [r["cum_share"] for r in out]
+        assert shares == sorted(shares)
+        assert shares[-1] <= 1.0 + 1e-9
+        assert abs(out[0]["cum_share"] - round(4 / 13, 6)) < 1e-9
+
+    def test_topk_not_global_window(self, spark):
+        """The vocab ranking must plan as distributed top-k
+        (TakeOrderedAndProject), not a single-partition window over the
+        whole vocabulary."""
+        plan = vocab_coverage(
+            self._corpus(spark), "text", top_v=2
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
