@@ -218,3 +218,68 @@ def stratified_sample_exact(
         .filter(F.col("sample_rank") <= F.col("_quota"))
         .drop("_quota")
     )
+
+
+def allocate_token_budget(
+    df: DataFrame, group_col: str, tokens_col: str, budget: float
+) -> DataFrame:
+    """Waterfilling token-budget allocation: given per-row token counts,
+    find the unique cap level L such that sum_g min(tokens_g, L) equals
+    ``budget``, and hand every group its quota min(tokens_g, L) — the
+    mixture-solver pass of "fit a 1T-token training budget across
+    sources, capping the over-represented ones first" (the max-min fair
+    allocation; small sources keep everything, the largest absorb the
+    entire shortfall).
+
+    Closed form, no iteration: with groups sorted by token mass asc,
+    the budget consumed if the cap were set AT group i's own mass is
+    ``cum_i + tokens_i * (n - i)``; for every group where that crossing
+    exceeds the budget, the candidate level ``(budget - cum_{i-1}) /
+    (n - i + 1)`` is exact within its own segment and strictly smaller
+    beyond it, so L is the MAX over candidates. If total mass fits the
+    budget there are no candidates and nothing is capped.
+
+    Scale shape: one shuffle to the per-group roll-up; every window
+    after that runs on the GROUP-level frame (one row per source /
+    language — thousands at most), so the unpartitioned windows are
+    deliberate and cheap, never corpus-wide. Emits one row per group:
+    ``(group_col, group_tokens, water_level, quota, keep_rate,
+    capped)``; downstream, ``keep_rate`` feeds
+    :func:`deterministic_sample` / :func:`mix_corpus` per group.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    from pyspark.sql.window import Window
+
+    g = df.groupBy(group_col).agg(
+        F.sum(tokens_col).cast("double").alias("group_tokens")
+    )
+    w_ord = Window.orderBy(F.col("group_tokens").asc(), F.col(group_col).asc())
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = g.select(
+        group_col,
+        "group_tokens",
+        F.row_number().over(w_ord).alias("_rn"),
+        F.sum("group_tokens").over(w_cum).alias("_cum"),
+        F.count("*").over(w_all).alias("_n"),
+    )
+    used_at = F.col("_cum") + F.col("group_tokens") * (F.col("_n") - F.col("_rn"))
+    cand = (F.lit(float(budget)) - (F.col("_cum") - F.col("group_tokens"))) / (
+        F.col("_n") - F.col("_rn") + 1
+    )
+    level = F.max(F.when(used_at >= budget, cand)).over(w_all)
+    quota = F.when(level.isNull(), F.col("group_tokens")).otherwise(
+        F.least(F.col("group_tokens"), level)
+    )
+    return (
+        ranked.withColumn("_level", level)
+        .select(
+            group_col,
+            F.col("group_tokens"),
+            F.round(F.col("_level"), 4).alias("water_level"),
+            F.round(quota, 4).alias("quota"),
+            F.round(quota / F.col("group_tokens"), 6).alias("keep_rate"),
+            (F.col("group_tokens") > quota).cast("int").alias("capped"),
+        )
+    )

@@ -855,3 +855,49 @@ WHERE rank <= 25
 """,
     doc="top-25 unigram vocabulary coverage curve (cumulative token-mass share)",
 )
+
+
+def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waterfilling token-budget allocation across languages: cap level
+    L with sum_g min(tokens_g, L) = 20000 (operators/sampling.py
+    allocate_token_budget) — over-represented languages absorb the
+    whole shortfall, small ones keep everything."""
+    from ..operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", TX.token_count(F.col("text")).alias("nt"))
+    return sampling.allocate_token_budget(toks, "lang", "nt", 20000.0)
+
+
+QUERIES["curation_token_budget"] = Q(
+    _q_token_budget,
+    f"""
+WITH tk AS (
+  SELECT lang, CAST({NTOK_SQL} AS BIGINT) AS nt FROM documents
+), g AS (
+  SELECT lang, CAST(sum(nt) AS DOUBLE) AS gt FROM tk GROUP BY lang
+), ranked AS (
+  SELECT lang, gt,
+         row_number() OVER (ORDER BY gt ASC, lang ASC) AS rn,
+         sum(gt) OVER (ORDER BY gt ASC, lang ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         count(*) OVER () AS n
+  FROM g
+), lev AS (
+  SELECT max(CASE WHEN cum + gt * (n - rn) >= 20000.0
+                  THEN (20000.0 - (cum - gt)) / (n - rn + 1) END) AS L
+  FROM ranked
+), q AS (
+  SELECT lang, gt, L,
+         CASE WHEN L IS NULL THEN gt ELSE least(gt, L) END AS quota
+  FROM ranked, lev
+)
+SELECT lang, gt AS group_tokens,
+       round(L, 4) AS water_level,
+       round(quota, 4) AS quota,
+       round(quota / gt, 6) AS keep_rate,
+       CAST(CASE WHEN gt > quota THEN 1 ELSE 0 END AS INTEGER) AS capped
+FROM q
+""",
+    doc="waterfilling token-budget allocation: min(tokens_g, L) quotas per language",
+)

@@ -151,3 +151,55 @@ class TestVocabCoverage:
             self._corpus(spark), "text", top_v=2
         )._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestTokenBudgetWaterfilling:
+    def _toks(self, spark, masses):
+        rows = [("g%d" % i, m) for i, m in enumerate(masses)]
+        return spark.createDataFrame(rows, ["grp", "nt"])
+
+    def test_hand_example(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+            allocate_token_budget,
+        )
+
+        out = {
+            r["grp"]: r
+            for r in allocate_token_budget(
+                self._toks(spark, [1, 5, 10]), "grp", "nt", 12.0
+            ).collect()
+        }
+        assert out["g2"]["quota"] == 6.0 and out["g2"]["capped"] == 1
+        assert out["g0"]["quota"] == 1.0 and out["g0"]["capped"] == 0
+        assert out["g1"]["quota"] == 5.0 and out["g1"]["capped"] == 0
+        assert out["g2"]["water_level"] == 6.0
+
+    def test_budget_exhausted_exactly_when_capping(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+            allocate_token_budget,
+        )
+
+        out = allocate_token_budget(
+            self._toks(spark, [3, 3, 3, 20, 40]), "grp", "nt", 30.0
+        ).collect()
+        assert abs(sum(r["quota"] for r in out) - 30.0) < 1e-6
+
+    def test_no_cap_when_budget_covers_total(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+            allocate_token_budget,
+        )
+
+        out = allocate_token_budget(
+            self._toks(spark, [2, 4, 8]), "grp", "nt", 100.0
+        ).collect()
+        assert all(r["capped"] == 0 for r in out)
+        assert all(r["keep_rate"] == 1.0 for r in out)
+        assert all(r["water_level"] is None for r in out)
+
+    def test_validation(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+            allocate_token_budget,
+        )
+
+        with pytest.raises(ValueError):
+            allocate_token_budget(self._toks(spark, [1]), "grp", "nt", 0.0)
