@@ -901,3 +901,63 @@ FROM q
 """,
     doc="waterfilling token-budget allocation: min(tokens_g, L) quotas per language",
 )
+
+
+def _q_semantic_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic cluster balancing (DDC/cluster-balanced-sampling shape):
+    assign every embedding to its nearest coarse-quantizer cell
+    (similarity.ivf_assign_cells, untrained deterministic centroids —
+    the same quantizer the ANN path probes), then waterfill a 300-
+    vector budget across cells (sampling.allocate_token_budget with one
+    "token" per vector): over-dense semantic regions get capped keep
+    rates, sparse ones keep everything — flattening the semantic
+    distribution of the corpus."""
+    from ..operators import sampling, similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = similarity.ivf_assign_cells(
+        emb, "vec_id", "embedding", n_centroids=16, n_probe=1
+    )
+    ones = cells.select("cid", F.lit(1).alias("one"))
+    return sampling.allocate_token_budget(ones, "cid", "one", 300.0)
+
+
+QUERIES["curation_semantic_balance"] = Q(
+    _q_semantic_balance,
+    """
+WITH e AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vid, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+cent AS (SELECT vid AS cid, v AS cv, nrm AS cnrm FROM n ORDER BY vid LIMIT 16),
+aff AS (
+  SELECT n.vid, c.cid,
+         row_number() OVER (PARTITION BY n.vid
+           ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 9)
+                    DESC, c.cid) AS rn
+  FROM n, cent c
+), g AS (
+  SELECT cid, CAST(count(*) AS DOUBLE) AS gt FROM aff WHERE rn = 1 GROUP BY cid
+), ranked AS (
+  SELECT cid, gt,
+         row_number() OVER (ORDER BY gt ASC, cid ASC) AS rnn,
+         sum(gt) OVER (ORDER BY gt ASC, cid ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         count(*) OVER () AS nn
+  FROM g
+), lev AS (
+  SELECT max(CASE WHEN cum + gt * (nn - rnn) >= 300.0
+                  THEN (300.0 - (cum - gt)) / (nn - rnn + 1) END) AS L
+  FROM ranked
+), q AS (
+  SELECT cid, gt, L,
+         CASE WHEN L IS NULL THEN gt ELSE least(gt, L) END AS quota
+  FROM ranked, lev
+)
+SELECT cid, gt AS group_tokens,
+       round(L, 4) AS water_level,
+       round(quota, 4) AS quota,
+       round(quota / gt, 6) AS keep_rate,
+       CAST(CASE WHEN gt > quota THEN 1 ELSE 0 END AS INTEGER) AS capped
+FROM q
+""",
+    doc="semantic cluster balancing: waterfilled keep rates over quantizer cells",
+)
