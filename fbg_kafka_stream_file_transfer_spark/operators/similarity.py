@@ -630,3 +630,58 @@ def centroid_outliers(
         cos.alias("cos_centroid"),
         (cos < F.lit(threshold)).alias("is_outlier"),
     )
+
+
+def semantic_contamination(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eval_filter: Column,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-space eval-set decontamination: for every corpus
+    vector, the maximum cosine to ANY benchmark/eval vector, with a
+    contamination flag at ``threshold`` — the semantic complement of
+    the n-gram/Bloom decontamination passes (paraphrased test questions
+    share no 13-gram but sit next to the eval embedding). Rows matching
+    ``eval_filter`` form the eval side; everything else is scored.
+
+    Scale shape (100 TB): the eval set is benchmark-sized (thousands),
+    so it is BROADCAST and the corpus is scanned once map-side — the
+    per-row max is a partial aggregate (map-side combine on the already
+    co-located id), no corpus shuffle, no all-pairs materialization.
+    Nearest-eval tie-break: highest cosine (9 dp), then lowest eval id
+    (via max over a (cos, -id) struct — one combiner-friendly agg
+    instead of a window sort).
+
+    Returns ``(id_col, nearest_eval_id, max_cos, contaminated)``.
+    """
+    vecs = df.select(
+        F.col(id_col).alias("vid"), as_double_array(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    ev = F.broadcast(
+        vecs.filter(eval_filter).select(
+            F.col("vid").alias("eid"),
+            F.col("v").alias("evv"),
+            F.col("nrm").alias("enrm"),
+        )
+    )
+    corpus = vecs.filter(~eval_filter)
+    cos9 = F.round(
+        dot(F.col("v"), F.col("evv")) / (F.col("nrm") * F.col("enrm")), 9
+    )
+    best = (
+        corpus.crossJoin(ev)
+        .groupBy(F.col("vid").alias(id_col))
+        .agg(
+            F.max(
+                F.struct(cos9.alias("r9"), (-F.col("eid")).alias("nid"))
+            ).alias("b")
+        )
+    )
+    return best.select(
+        id_col,
+        (-F.col("b.nid")).alias("nearest_eval_id"),
+        (F.round(F.col("b.r9"), 6) + F.lit(0.0)).alias("max_cos"),
+        (F.col("b.r9") >= threshold).cast("int").alias("contaminated"),
+    )

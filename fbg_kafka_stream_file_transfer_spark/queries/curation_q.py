@@ -961,3 +961,43 @@ FROM q
 """,
     doc="semantic cluster balancing: waterfilled keep rates over quantizer cells",
 )
+
+
+def _q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: max cosine from every corpus
+    vector to the eval slice (vid < 10), flagged at 0.45
+    (operators/similarity.py semantic_contamination). The fixture's
+    vectors are synthetic, so the threshold sits inside their natural
+    cosine range to exercise both branches; real pipelines with
+    meaningful embeddings run ~0.9+."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_contamination(
+        emb, "vec_id", "embedding", F.col("vid") < 10, threshold=0.45
+    )
+
+
+QUERIES["decontam_semantic_eval"] = Q(
+    _q_semantic_decontam,
+    """
+WITH e AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vid, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+ev AS (SELECT vid AS eid, v AS evv, nrm AS enrm FROM n WHERE vid < 10),
+c AS (SELECT vid, v, nrm FROM n WHERE NOT (vid < 10)),
+s AS (
+  SELECT c.vid, ev.eid,
+         round(list_dot_product(c.v, ev.evv) / (c.nrm * ev.enrm), 9) AS r9
+  FROM c, ev
+), r AS (
+  SELECT vid, eid, r9,
+         row_number() OVER (PARTITION BY vid ORDER BY r9 DESC, eid ASC) AS rn
+  FROM s
+)
+SELECT vid AS vec_id, CAST(eid AS BIGINT) AS nearest_eval_id,
+       round(r9, 6) + 0.0 AS max_cos,
+       CAST(CASE WHEN r9 >= 0.45 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+FROM r WHERE rn = 1
+""",
+    doc="semantic eval-set decontamination: max cosine to any eval vector",
+)

@@ -203,3 +203,45 @@ class TestTokenBudgetWaterfilling:
 
         with pytest.raises(ValueError):
             allocate_token_budget(self._toks(spark, [1]), "grp", "nt", 0.0)
+
+
+class TestSemanticContamination:
+    def _vecs(self, spark):
+        rows = [
+            (0, [1.0, 0.0]),   # eval
+            (1, [0.0, 1.0]),   # eval
+            (10, [2.0, 0.0]),  # cos 1.0 to eval 0
+            (11, [1.0, 1.0]),  # cos ~0.707 to both -> nearest eval id 0
+            (12, [-1.0, 0.0]), # cos -1 / 0 -> nearest is eval 1 (cos 0)
+        ]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_flags_and_nearest(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.similarity import (
+            semantic_contamination,
+        )
+
+        out = {
+            r["vec_id"]: r
+            for r in semantic_contamination(
+                self._vecs(spark), "vec_id", "embedding",
+                F.col("vid") < 10, threshold=0.9,
+            ).collect()
+        }
+        assert set(out) == {10, 11, 12}
+        assert out[10]["contaminated"] == 1 and out[10]["nearest_eval_id"] == 0
+        assert abs(out[10]["max_cos"] - 1.0) < 1e-9
+        assert out[11]["contaminated"] == 0
+        assert out[11]["nearest_eval_id"] == 0  # tie -> lowest eval id
+        assert out[12]["nearest_eval_id"] == 1
+        assert abs(out[12]["max_cos"] - 0.0) < 1e-9  # canonicalized, not -0
+
+    def test_eval_side_broadcast(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.similarity import (
+            semantic_contamination,
+        )
+
+        plan = semantic_contamination(
+            self._vecs(spark), "vec_id", "embedding", F.col("vid") < 10
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -203,3 +203,87 @@ def test_bloom_gate_no_false_negatives_property(spark, n_ref, m):
     truth = {r["k"] for r in ref.collect()}
     flagged = {r["k"] for r in out.collect() if r["maybe_member"] == 1}
     assert truth <= flagged
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    masses=st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=12),
+    budget=st.floats(min_value=1.0, max_value=5000.0, allow_nan=False),
+)
+def test_waterfilling_conservation_property(spark, masses, budget):
+    """allocate_token_budget: quotas sum to min(budget, total mass)
+    (exact budget exhaustion whenever anything is capped), every quota
+    is within [0, group mass], and caps hit the largest groups first."""
+    from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+        allocate_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [("g%03d" % i, m) for i, m in enumerate(masses)], ["grp", "nt"]
+    )
+    out = allocate_token_budget(df, "grp", "nt", budget).collect()
+    total = float(sum(masses))
+    got = sum(r["quota"] for r in out)
+    # quota is rounded to 4 dp per group -> tolerance scales with groups
+    assert abs(got - min(budget, total)) < 1e-3 * max(len(masses), 1) + 1e-6
+    by_grp = {r["grp"]: r for r in out}
+    for i, m in enumerate(masses):
+        r = by_grp["g%03d" % i]
+        assert -1e-9 <= r["quota"] <= m + 1e-9
+        # uncapped groups keep everything
+        if r["capped"] == 0:
+            assert abs(r["quota"] - m) < 1e-9
+    # monotone: if a group is capped, every strictly larger group is too
+    capped_masses = [masses[i] for i in range(len(masses))
+                     if by_grp["g%03d" % i]["capped"] == 1]
+    if capped_masses:
+        cmin = min(capped_masses)
+        for i, m in enumerate(masses):
+            if m > cmin:
+                assert by_grp["g%03d" % i]["capped"] == 1
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(list("abcde")), min_size=0, max_size=30).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_boilerplate_removal_matches_python_oracle(spark, texts):
+    """remove_boilerplate_windows: clean text equals an independent
+    Python recomputation (window split -> cross-doc frequency -> drop
+    -> rejoin) for arbitrary tiny-alphabet corpora (heavy collisions)."""
+    from collections import defaultdict
+
+    from fbg_kafka_stream_file_transfer_spark.operators.dedup import (
+        remove_boilerplate_windows,
+    )
+
+    k, min_docs = 3, 2
+    docs = {i: t for i, t in enumerate(texts)}
+
+    def windows(t):
+        toks = t.split(" ") if t else [""]
+        n = max((len(toks) + k - 1) // k, 1)
+        return [" ".join(toks[i * k:(i + 1) * k]) for i in range(n)]
+
+    freq = defaultdict(set)
+    for i, t in enumerate(texts):
+        for w in windows(t):
+            freq[w].add(i)
+    expect = {
+        i: " ".join(w for w in windows(t) if len(freq[w]) < min_docs)
+        for i, t in docs.items()
+    }
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_windows(
+            df, "doc_id", "text", window_tokens=k, min_docs=min_docs
+        ).collect()
+    }
+    assert got == expect
