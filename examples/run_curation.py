@@ -6,16 +6,19 @@ it over the synthetic ``documents`` + ``embeddings`` tables:
 
 1. exact dedup (sha256)                    — drop byte-identical docs
 2. MinHash-LSH near-dup → transitive groups — drop fuzzy duplicates
+2b. boilerplate-window removal             — rewrite docs, drop shared spans
 3. quality score + language id + unigram-LM surprise — filter/stratify
 4. PII redaction                           — scrub emails/IPs/phones
 5. decontamination vs a held-out eval set  — drop benchmark leaks
 6. train/val/test split assignment         — reproducible partitions
 7. per-source caps                         — domain rate limiting
+7b. token-budget waterfilling → mixture    — fit a token budget across langs
 8. context-window chunking                 — training-sample shaping
 9. epoch weighting + sequence packing (seeded shuffle)
                                            — fixed-budget training rows
 10. IVF vector index (k-means trained)     — build once, probe cheaply
-   (+ semantic near-dup pairs over the embeddings, LSH-blocked)
+   (+ semantic near-dup pairs and embedding-space eval decontamination
+    over the embeddings, sharing the ANN machinery)
 
     python examples/run_curation.py [sf_dir] [index_dir]
 
@@ -50,9 +53,11 @@ from fbg_kafka_stream_file_transfer_spark.operators.packing import (
     packed_sequence_stats,
 )
 from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+    allocate_token_budget,
     assign_splits,
     cap_per_group,
     deterministic_sample,
+    mix_corpus,
     upsample_epochs,
 )
 from fbg_kafka_stream_file_transfer_spark.sources.tables import load_table
@@ -79,6 +84,22 @@ def main(sf_dir: str, index_dir: str) -> None:
     )
     survivors = survivors.join(losers, "doc_id", "left_anti")
     n2 = survivors.count()
+
+    # 2b. boilerplate-window removal: rewrite every doc, dropping
+    #     16-token spans shared across documents (license headers,
+    #     nav bars); the frequent-span set is heavy-hitter-sized and
+    #     broadcast. Docs scrubbed to nothing fall out of the corpus.
+    cleaned = dedup.remove_boilerplate_windows(
+        survivors, "doc_id", "text", window_tokens=16, min_docs=2
+    )
+    dropped_spans = cleaned.agg(F.sum("n_dropped")).collect()[0][0]
+    survivors = (
+        survivors.drop("text")
+        .join(cleaned.filter(F.length("clean_text") > 0), "doc_id")
+        .withColumnRenamed("clean_text", "text")
+        .drop("n_windows", "n_dropped", "dropped_ratio")
+    )
+    print(f"boilerplate spans removed: {dropped_spans}")
 
     # 3. quality + language stratification (pure Catalyst, map-only),
     #    plus the unigram-LM surprise score (perplexity-filter proxy):
@@ -129,6 +150,18 @@ def main(sf_dir: str, index_dir: str) -> None:
     )
     print(f"after-source-caps: {capped.count()}")
 
+    # 7b. fit a token budget across languages: waterfilling finds the
+    #     cap level, and the per-lang keep rates feed the deterministic
+    #     mixture sampler (the group table is a handful of rows — the
+    #     collect is O(#langs), never corpus-sized)
+    alloc = allocate_token_budget(
+        scored.select("lang", "tokens"), "lang", "tokens", budget=2000.0
+    )
+    alloc.orderBy("lang").show()
+    rates = {r["lang"]: r["keep_rate"] for r in alloc.collect()}
+    budgeted = mix_corpus(scored, "doc_id", "lang", rates)
+    print(f"after-token-budget: {budgeted.count()}")
+
     # 8. context-window chunks (explode+slice, codegen — no UDF)
     chunks = chunk_text(scored, "doc_id", "text", chunk_tokens=30, stride=20)
     print(f"== training chunks: {chunks.count()} ==")
@@ -163,6 +196,11 @@ def main(sf_dir: str, index_dir: str) -> None:
     emb = load_table(spark, sf_dir, "embeddings")
     sem = dedup.semantic_near_dup_pairs(emb, "vec_id", "embedding", 0.4)
     print(f"== semantic near-dup pairs (LSH-blocked): {sem.count()} ==")
+    contam = similarity.semantic_contamination(
+        emb, "vec_id", "embedding", F.col("vid") < 10, threshold=0.45
+    )
+    n_leak = contam.filter(F.col("contaminated") == 1).count()
+    print(f"== embedding-space eval leaks (cos >= 0.45): {n_leak} ==")
     similarity.build_ivf_index(
         emb, "vec_id", "embedding", index_dir, n_centroids=16, trained=True
     )
