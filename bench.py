@@ -51,6 +51,10 @@ HEADLINE = [
     #   top-k by quality → token budget
     "pack_sequences_stats",      # sequence packing into 512-token training
     #   rows (r6): hash-shard window layout + cell explode roll-up
+    "text_boilerplate_removal",  # corpus-rewriting boilerplate pass (r6):
+    #   window explode -> frequency -> broadcast mark -> per-doc reassembly;
+    #   the heaviest of the session's curation additions, so it gets
+    #   round-over-round tracking like the rest of the headline set
 ]
 
 

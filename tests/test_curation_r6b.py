@@ -81,6 +81,23 @@ class TestBoilerplateRemoval:
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
 
+    def test_spare_text_path_parity(self, spark):
+        """The payload-sparing variant (text never shuffles) must agree
+        with the default one-pass variant row-for-row."""
+        d = self._corpus(spark)
+        a = sorted(
+            map(tuple, remove_boilerplate_windows(
+                d, "doc_id", "text", window_tokens=4, min_docs=2
+            ).collect())
+        )
+        b = sorted(
+            map(tuple, remove_boilerplate_windows(
+                d, "doc_id", "text", window_tokens=4, min_docs=2,
+                spare_text=True,
+            ).collect())
+        )
+        assert a == b
+
 
 class TestStratifiedSampleExact:
     def _groups(self, spark):
