@@ -440,3 +440,51 @@ def vocab_coverage(df, text_col: str, top_v: int = 25):
         )
         .select("rank", "tok", "cnt", "share", "cum_share")
     )
+
+
+#: default linear-model weights for classifier_quality_score — a small,
+#: interpretable stand-in for trained classifier coefficients (the
+#: container has no model artifacts); swap in real trained weights at
+#: deployment, the plan shape is identical
+DEFAULT_CLASSIFIER_WEIGHTS: dict[str, float] = {
+    "len_cap": 1.5,      # longer documents, capped at 100 tokens
+    "mean_tok_len": 0.2, # natural-language word lengths
+    "punct": -4.0,       # punctuation soup penalized
+    "stop": 2.0,         # stopword presence = prose, not keyword spam
+}
+
+
+def classifier_quality_score(text, weights: dict[str, float] | None = None,
+                             bias: float = -1.0):
+    """FineWeb-Edu-shaped classifier gate: a LINEAR model over the
+    engine's Catalyst feature expressions with a sigmoid output — the
+    "apply a trained quality classifier to every document" pass, with
+    the model weights traveling as literals (broadcast by construction,
+    no join, no UDF; the whole score is one codegen'd map-side
+    expression). ``quality_score`` is the hand-tuned heuristic; this is
+    the shape trained coefficients drop into.
+
+    Returns ``(score, keep)`` columns: sigmoid in [0, 1] and the
+    decision-boundary flag evaluated on the PRE-sigmoid margin
+    (``round(z, 9) >= 0``), so the gate never depends on exp()
+    rounding and near-boundary margins resolve identically on every
+    engine.
+    """
+    from pyspark.sql import functions as F
+
+    w = dict(DEFAULT_CLASSIFIER_WEIGHTS if weights is None else weights)
+    n = token_count(text)
+    feats = {
+        "len_cap": F.least(n / F.lit(100.0), F.lit(1.0)),
+        "mean_tok_len": mean_token_length(text),
+        "punct": punct_ratio(text),
+        "stop": stopword_ratio(text),
+    }
+    unknown = set(w) - set(feats)
+    if unknown:
+        raise ValueError(f"unknown classifier features: {sorted(unknown)}")
+    z = F.lit(float(bias))
+    for k, wt in w.items():
+        z = z + F.lit(float(wt)) * feats[k]
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return score, (F.round(z, 9) >= 0).cast("int")

@@ -283,3 +283,24 @@ def allocate_token_budget(
             (F.col("group_tokens") > quota).cast("int").alias("capped"),
         )
     )
+
+
+def global_sample_exact(df: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Exactly-``n`` corpus-wide sample by portable md5-of-id order —
+    the "pull exactly 10k documents for human eval" op. Plans as
+    TakeOrderedAndProject (per-partition top-n + driver-side merge of n
+    rows): no global sort, no full shuffle, deterministic on any engine
+    or partitioning. The trailing rank window runs over only the ``n``
+    survivors. Adds ``sample_rank`` (1-based)."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.col(id_col).cast("string"))
+    top = (
+        df.withColumn("_k", key)
+        .orderBy(F.col("_k").asc(), F.col(id_col).asc())
+        .limit(n)
+    )
+    w = Window.orderBy(F.col("_k").asc(), F.col(id_col).asc())
+    return top.withColumn("sample_rank", F.row_number().over(w)).drop("_k")

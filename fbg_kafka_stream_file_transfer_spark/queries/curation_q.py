@@ -1001,3 +1001,63 @@ FROM r WHERE rn = 1
 """,
     doc="semantic eval-set decontamination: max cosine to any eval vector",
 )
+
+
+def _q_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier gate (FineWeb-Edu shape): sigmoid over
+    Catalyst feature expressions with literal weights, keep decided on
+    the pre-sigmoid margin (functions/text.py
+    classifier_quality_score)."""
+    d = load_table(spark, sf_dir, "documents")
+    score, keep = TX.classifier_quality_score(F.col("text"))
+    return d.select(
+        "doc_id", F.round(score, 6).alias("edu_score"), keep.alias("keep")
+    )
+
+
+from .text_q import _MTL, _PUNCT, _STOP  # noqa: E402
+
+_CLS_Z = (
+    f"-1.0 + 1.5 * least({NTOK_SQL} / 100.0, 1.0)"
+    f" + 0.2 * ({_MTL}) + -4.0 * ({_PUNCT}) + 2.0 * ({_STOP})"
+)
+
+QUERIES["text_classifier_gate"] = Q(
+    _q_classifier_gate,
+    f"""
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-({_CLS_Z}))), 6) AS edu_score,
+       CAST(CASE WHEN round({_CLS_Z}, 9) >= 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS keep
+FROM documents
+""",
+    doc="linear quality-classifier gate: sigmoid score + margin-decided keep",
+)
+
+
+def _q_global_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-25 corpus-wide sample by portable hash order
+    (operators/sampling.py global_sample_exact) — distributed top-k
+    plan, no global sort."""
+    from ..operators import sampling
+
+    d = load_table(spark, sf_dir, "documents")
+    return sampling.global_sample_exact(d, "doc_id", 25).select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
+QUERIES["sample_global_exact"] = Q(
+    _q_global_sample,
+    """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                            doc_id ASC) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rn AS INTEGER) AS sample_rank
+FROM ranked WHERE rn <= 25
+""",
+    doc="exactly-n global sample by portable hash order (human-eval slice)",
+)

@@ -262,3 +262,69 @@ class TestSemanticContamination:
             self._vecs(spark), "vec_id", "embedding", F.col("vid") < 10
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+class TestClassifierGate:
+    def test_prose_beats_punct_soup(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.functions.text import (
+            classifier_quality_score,
+        )
+
+        rows = [
+            (1, "the cat sat on the mat and it is a fine day for all of us"),
+            (2, "!!! ??? ... ;;; ((( ))) [[[ ]]] {{{ }}}"),
+        ]
+        d = spark.createDataFrame(rows, ["doc_id", "text"])
+        score, keep = classifier_quality_score(F.col("text"))
+        out = {
+            r["doc_id"]: r
+            for r in d.select("doc_id", score.alias("s"), keep.alias("k")).collect()
+        }
+        assert out[1]["s"] > out[2]["s"]
+        assert out[1]["k"] == 1 and out[2]["k"] == 0
+        assert 0.0 <= out[2]["s"] <= out[1]["s"] <= 1.0
+
+    def test_unknown_feature_rejected(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.functions.text import (
+            classifier_quality_score,
+        )
+
+        with pytest.raises(ValueError):
+            classifier_quality_score(F.col("text"), weights={"bogus": 1.0})
+
+
+class TestGlobalSampleExact:
+    def test_exact_count_and_partition_independence(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+            global_sample_exact,
+        )
+
+        d = spark.range(200).select(F.col("id").alias("doc_id"))
+        a = global_sample_exact(d, "doc_id", 17)
+        assert a.count() == 17
+        ids_a = sorted(r["doc_id"] for r in a.collect())
+        ids_b = sorted(
+            r["doc_id"]
+            for r in global_sample_exact(d.repartition(13), "doc_id", 17).collect()
+        )
+        assert ids_a == ids_b
+
+    def test_distributed_topk_plan(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+            global_sample_exact,
+        )
+
+        d = spark.range(100).select(F.col("id").alias("doc_id"))
+        plan = (
+            global_sample_exact(d, "doc_id", 5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+
+    def test_validation(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+            global_sample_exact,
+        )
+
+        d = spark.range(10).select(F.col("id").alias("doc_id"))
+        with pytest.raises(ValueError):
+            global_sample_exact(d, "doc_id", 0)
