@@ -880,8 +880,13 @@ def remove_boilerplate_windows(
             .groupBy(F.col("_doc").alias(id_col))
             .agg(F.collect_set("_pos").alias("_drop_pos"))
         )
+        # the drop-list is bounded by docs WITH boilerplate hits — hint
+        # it broadcast so the join-back can never shuffle the text side
+        # (a static SortMergeJoin here would silently defeat the whole
+        # variant); a corpus where most docs carry boilerplate should
+        # use the default one-pass mode instead
         joined = df.select(F.col(id_col), F.col(text_col)).join(
-            drops, id_col, "left"
+            F.broadcast(drops), id_col, "left"
         )
         no_drops = F.col("_drop_pos").isNull()
         clean = F.concat_ws(

@@ -328,3 +328,73 @@ class TestGlobalSampleExact:
         d = spark.range(10).select(F.col("id").alias("doc_id"))
         with pytest.raises(ValueError):
             global_sample_exact(d, "doc_id", 0)
+
+
+class TestPlanShapesR6b:
+    """Pin the session's new operators' physical-plan shapes — the
+    scale contract: a regression here is an extra corpus shuffle at
+    100 TB, not a style issue."""
+
+    @staticmethod
+    def _plan(df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_stratified_single_exchange(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+            stratified_sample_exact,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "g%d" % (i % 3)) for i in range(60)], "doc_id long, grp string"
+        )
+        plan = self._plan(stratified_sample_exact(df, "doc_id", "grp", 0.2))
+        # rank + count windows share the group-key partitioning
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_waterfilling_one_corpus_exchange(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+            allocate_token_budget,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "g%d" % (i % 4), i % 40) for i in range(100)],
+            "doc_id long, grp string, nt long",
+        )
+        plan = self._plan(allocate_token_budget(df, "grp", "nt", 100.0))
+        # exactly one hash exchange touches corpus-sized data (the
+        # per-group roll-up); everything after runs on the group frame
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_boilerplate_spare_text_never_shuffles_text(self, spark):
+        df = spark.createDataFrame(
+            [(i, ("tok%d " % (i % 7)) * 20) for i in range(40)],
+            "doc_id long, text string",
+        )
+        out = remove_boilerplate_windows(
+            df, "doc_id", "text", window_tokens=4, min_docs=2, spare_text=True
+        )
+        plan = self._plan(out)
+        # frequent-fp set AND drop-list both broadcast: the text side
+        # never sort-merge-joins, and every hash exchange carries only
+        # (doc, pos, fp) tuples — the fp partial-distinct, the fp agg,
+        # and the skinny dropped-position roll-up
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastHashJoin") == 2
+        assert plan.count("Exchange hashpartitioning") == 3
+
+    def test_semantic_contamination_partial_agg(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.similarity import (
+            semantic_contamination,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [float(i % 5), 1.0]) for i in range(50)],
+            "vec_id long, embedding array<double>",
+        )
+        plan = self._plan(
+            semantic_contamination(df, "vec_id", "embedding", F.col("vid") < 5)
+        )
+        # eval side broadcast; the corpus-side agg is partial (map-side
+        # combine) before its single skinny exchange
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert plan.count("Exchange hashpartitioning") <= 1

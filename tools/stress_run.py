@@ -57,6 +57,14 @@ DEFAULT = [
     "corpus_epoch_upsample",
     "text_quality_calibrated",
     "corpus_snapshot_diff",
+    "text_boilerplate_removal",
+    "sample_stratified_exact",
+    "text_vocab_coverage",
+    "curation_token_budget",
+    "curation_semantic_balance",
+    "decontam_semantic_eval",
+    "text_classifier_gate",
+    "sample_global_exact",
     "pipe_route_all_legs",
 ]
 
