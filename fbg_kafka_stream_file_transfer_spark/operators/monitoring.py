@@ -150,3 +150,67 @@ def sustained_breach(
             span == (consecutive - 1) * window_step_seconds, F.lit(False)
         )
     return out.withColumn("alert", alert).drop("_b")
+
+
+def rolling_zscore_spikes(
+    df: DataFrame,
+    group_col: str,
+    bucket_col: str,
+    count_col: str,
+    *,
+    lookback: int = 10,
+    min_history: int = 5,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Anomaly detection beyond the reference's fixed thresholds: per
+    group, score each time bucket's count against the mean/std of the
+    ``lookback`` PRECEDING buckets (the current bucket never pollutes
+    its own baseline) and flag |z| >= ``z_threshold`` — the standard
+    self-calibrating alert for "this queue/file-type suddenly spiked"
+    where a static `> 1000` rule (alerts.yaml A5) goes stale as traffic
+    grows.
+
+    Cross-engine determinism by construction: the rolling moments are
+    built from integer ``sum`` and ``sum of squares`` over integer
+    counts — exact in both engines — and only the final z division runs
+    in doubles, so there is no stddev-algorithm (Welford vs two-pass)
+    divergence to round away. Buckets with fewer than ``min_history``
+    preceding rows, or zero variance, emit NULL z (unknowable, not
+    zero). Rolling frames are ROW-based over the ordered buckets; a
+    corpus with gaps should densify first if calendar-time baselines
+    matter.
+
+    Scale: input is the already-bucketed series (O(groups × buckets),
+    not O(events)); one shuffle on the group key, the window runs
+    per-group ordered by bucket. Returns the input columns plus
+    ``mean_prev``, ``std_prev``, ``zscore`` (round 4), ``spike``.
+    """
+    if lookback < 2 or min_history < 2 or min_history > lookback:
+        raise ValueError(
+            f"need 2 <= min_history <= lookback, got {min_history}/{lookback}"
+        )
+    x = F.col(count_col).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(bucket_col)
+        .rowsBetween(-lookback, -1)
+    )
+    n = F.count(x).over(w)
+    s1 = F.sum(x).over(w)                    # exact integer
+    s2 = F.sum(x * x).over(w)                # exact integer
+    mean = s1 / n
+    var = (s2 - (s1 * s1) / n) / (n - 1)
+    std = F.sqrt(var)
+    z = (x - mean) / std
+    ok = (n >= min_history) & (var > 0)
+    return (
+        df.withColumn("mean_prev", F.round(F.when(ok, mean), 4))
+        .withColumn("std_prev", F.round(F.when(ok, std), 4))
+        .withColumn("zscore", F.round(F.when(ok, z), 4))
+        .withColumn(
+            "spike",
+            F.coalesce(
+                (F.abs(F.when(ok, z)) >= z_threshold), F.lit(False)
+            ).cast("int"),
+        )
+    )

@@ -514,11 +514,70 @@ FROM kept GROUP BY 1
 )
 
 
+def _q_zscore_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score spike detection over 5-minute event-type buckets
+    (operators/monitoring.py rolling_zscore_spikes) — the
+    self-calibrating extension of the reference's fixed-threshold
+    alerts (alerts.yaml A5's static "> 1000"): each bucket is scored
+    against the mean/std of its 10 preceding buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.col("event_type"),
+        F.date_format(
+            F.window(F.col("ts"), "5 minutes").start, "yyyy-MM-dd HH:mm:ss"
+        ).alias("bucket_start"),
+    ).agg(F.count("*").alias("n_events"))
+    return monitoring.rolling_zscore_spikes(
+        b, "event_type", "bucket_start", "n_events"
+    )
+
+
+QUERIES["monitoring_zscore_spikes"] = Q(
+    _q_zscore_spikes,
+    """
+WITH b AS (
+  SELECT event_type,
+         strftime(time_bucket(INTERVAL '5 minutes', ts),
+                  '%Y-%m-%d %H:%M:%S') AS bucket_start,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, bucket_start, n_events,
+         count(n_events) OVER w AS n,
+         CAST(sum(n_events) OVER w AS BIGINT) AS s1,
+         CAST(sum(n_events * n_events) OVER w AS BIGINT) AS s2
+  FROM b
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+), c AS (
+  SELECT event_type, bucket_start, n_events, n,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         (CAST(s2 AS DOUBLE) - CAST(s1 * s1 AS DOUBLE) / n) / (n - 1) AS var
+  FROM r
+), f AS (
+  SELECT event_type, bucket_start, n_events,
+         (n >= 5 AND var > 0) AS ok, mean, sqrt(var) AS std
+  FROM c
+)
+SELECT event_type, bucket_start, n_events,
+       round(CASE WHEN ok THEN mean END, 4) AS mean_prev,
+       round(CASE WHEN ok THEN std END, 4) AS std_prev,
+       round(CASE WHEN ok THEN (n_events - mean) / std END, 4) AS zscore,
+       CAST(coalesce(abs(CASE WHEN ok THEN (n_events - mean) / std END) >= 3.0,
+                     FALSE) AS INTEGER) AS spike
+FROM f
+""",
+    doc="rolling z-score spike detection per event-type bucket (self-calibrating alert)",
+)
+
+
+
 # Registry order is driver-contract (see queries/__init__.py): the
 # never-yet-certified time-series operators lead — the three formerly
 # NTZ-broken ones first so their fix gets a hard CORRECTNESS row — and
 # the a1-a6 alert queries (driver-green in r03 AND r04) trail.
 _ORDER = [
+    "monitoring_zscore_spikes",
     "interarrival_gaps",
     "join_range_error_after_purchase",
     "hypertable_rollup_events",

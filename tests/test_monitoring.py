@@ -69,3 +69,50 @@ def test_kmv_estimate_accuracy(spark):
 
     small = spark.range(0, 100).selectExpr("CAST(id AS STRING) AS v")
     assert kmv_distinct(small, "v", k=256).first().estimate == 100.0  # exact under k
+
+
+class TestRollingZscoreSpikes:
+    def _series(self, spark, counts):
+        rows = [
+            ("q", "2024-01-01 00:%02d:00" % i, c) for i, c in enumerate(counts)
+        ]
+        return spark.createDataFrame(rows, ["grp", "bucket", "n"])
+
+    def test_engineered_spike_flagged(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.monitoring import (
+            rolling_zscore_spikes,
+        )
+
+        # stable baseline of ~10 with jitter, then a 100-count burst
+        counts = [10, 11, 9, 10, 12, 9, 10, 11, 10, 9, 100]
+        out = rolling_zscore_spikes(
+            self._series(spark, counts), "grp", "bucket", "n"
+        ).orderBy("bucket").collect()
+        assert out[-1]["spike"] == 1 and out[-1]["zscore"] > 3
+        # baseline rows with enough history are not spikes
+        assert all(r["spike"] == 0 for r in out[:-1])
+        # warm-up rows (insufficient history) emit NULL z, not 0
+        assert out[0]["zscore"] is None and out[3]["zscore"] is None
+
+    def test_zero_variance_emits_null(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.monitoring import (
+            rolling_zscore_spikes,
+        )
+
+        out = rolling_zscore_spikes(
+            self._series(spark, [5] * 8 + [50]), "grp", "bucket", "n"
+        ).orderBy("bucket").collect()
+        # baseline is constant -> var 0 -> z unknowable even for the burst
+        assert out[-1]["zscore"] is None and out[-1]["spike"] == 0
+
+    def test_validation(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.monitoring import (
+            rolling_zscore_spikes,
+        )
+
+        d = self._series(spark, [1, 2, 3])
+        import pytest
+        with pytest.raises(ValueError):
+            rolling_zscore_spikes(d, "grp", "bucket", "n", min_history=1)
+        with pytest.raises(ValueError):
+            rolling_zscore_spikes(d, "grp", "bucket", "n", lookback=3, min_history=5)
