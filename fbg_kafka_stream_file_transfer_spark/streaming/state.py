@@ -81,3 +81,103 @@ def debounced_alerts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SPIKE_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType()),
+        T.StructField("bucket_start", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("mean_prev", T.DoubleType()),
+        T.StructField("std_prev", T.DoubleType()),
+        T.StructField("zscore", T.DoubleType()),
+        T.StructField("spike", T.IntegerType()),
+    ]
+)
+
+_SPIKE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("history", T.ArrayType(T.LongType())),
+        T.StructField("last_bucket_us", T.LongType()),
+    ]
+)
+
+
+def streaming_zscore_spikes(
+    windowed: DataFrame,
+    key_col: str,
+    time_col: str,
+    count_col: str,
+    lookback: int = 10,
+    min_history: int = 5,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of ``operators.monitoring.rolling_zscore_spikes``:
+    per-key state is the last ``lookback`` bucket counts; each arriving
+    bucket is scored against that history's mean/std, then appended.
+    The moments are computed from exact integer sums — the identical
+    formula as the batch operator, so the two twins agree bucket-for-
+    bucket (pinned by a unit test). Late/duplicate buckets are dropped
+    (the baseline only advances forward in time), matching the batch
+    ROW-frame semantics on an ordered series.
+
+    State per key is O(lookback) longs — thousands of groups cost
+    kilobytes; the state store never grows with stream length.
+    """
+    if lookback < 2 or min_history < 2 or min_history > lookback:
+        raise ValueError(
+            f"need 2 <= min_history <= lookback, got {min_history}/{lookback}"
+        )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            hist, last_us = state.get
+            hist = list(hist)
+        else:
+            hist, last_us = [], None
+        rows = pd.concat(list(pdfs)).sort_values(time_col)
+        out = {c: [] for c in (
+            "group_key", "bucket_start", "n_events",
+            "mean_prev", "std_prev", "zscore", "spike",
+        )}
+        for _, row in rows.iterrows():
+            ts_us = int(row[time_col].value // 1000)
+            if last_us is not None and ts_us <= last_us:
+                continue
+            last_us = ts_us
+            x = int(row[count_col])
+            n = len(hist)
+            mean = std = z = None
+            spike = 0
+            if n >= min_history:
+                s1 = sum(hist)            # exact ints, same math as batch
+                s2 = sum(v * v for v in hist)
+                m = s1 / n
+                var = (s2 - (s1 * s1) / n) / (n - 1)
+                if var > 0:
+                    sd = var ** 0.5
+                    zz = (x - m) / sd
+                    mean, std, z = round(m, 4), round(sd, 4), round(zz, 4)
+                    spike = int(abs(zz) >= z_threshold)
+            out["group_key"].append(key[0])
+            out["bucket_start"].append(row[time_col])
+            out["n_events"].append(x)
+            out["mean_prev"].append(mean)
+            out["std_prev"].append(std)
+            out["zscore"].append(z)
+            out["spike"].append(spike)
+            hist.append(x)
+            if len(hist) > lookback:
+                hist = hist[-lookback:]
+        state.update((hist, last_us))
+        yield pd.DataFrame(out)
+
+    return windowed.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=SPIKE_SCHEMA,
+        stateStructType=_SPIKE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -368,3 +368,53 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     assert incoming.count() == 2  # c1 + c3 once each, not doubled
     # stub extractor succeeds for both accepted docs; still no duplicates
     assert spark.read.parquet(str(tmp_path / "out" / "processed")).count() == 2
+
+
+def test_streaming_zscore_matches_batch_twin(spark, tmp_path):
+    """The stateful streaming spike detector must agree bucket-for-bucket
+    with operators.monitoring.rolling_zscore_spikes on the same series
+    (the batch/streaming parity contract of the monitoring family)."""
+    from fbg_kafka_stream_file_transfer_spark.operators.monitoring import (
+        rolling_zscore_spikes,
+    )
+    from fbg_kafka_stream_file_transfer_spark.streaming.state import (
+        streaming_zscore_spikes,
+    )
+
+    counts = [10, 11, 9, 10, 12, 9, 10, 11, 10, 9, 100, 10, 11]
+    rows = [
+        ("q", TS + datetime.timedelta(minutes=5 * i), c)
+        for i, c in enumerate(counts)
+    ]
+    schema = "group_key string, bucket_start timestamp, n_events long"
+    src = tmp_path / "buckets"
+    spark.createDataFrame(rows, schema).write.parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    out = streaming_zscore_spikes(stream, "group_key", "bucket_start", "n_events")
+    q = (
+        out.writeStream.format("memory").queryName("zscore_test")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        live = sorted(
+            spark.sql("SELECT * FROM zscore_test").collect(),
+            key=lambda r: r.bucket_start,
+        )
+    finally:
+        q.stop()
+    batch = sorted(
+        rolling_zscore_spikes(
+            spark.createDataFrame(rows, schema),
+            "group_key", "bucket_start", "n_events",
+        ).collect(),
+        key=lambda r: r.bucket_start,
+    )
+    assert len(live) == len(batch) == len(counts)
+    for lv, bt in zip(live, batch):
+        assert lv.n_events == bt.n_events
+        assert lv.zscore == bt.zscore, (lv, bt)
+        assert lv.spike == bt.spike
+        assert lv.mean_prev == bt.mean_prev and lv.std_prev == bt.std_prev
+    # the engineered burst is flagged exactly once
+    assert sum(r.spike for r in live) == 1
