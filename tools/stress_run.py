@@ -65,6 +65,7 @@ DEFAULT = [
     "decontam_semantic_eval",
     "text_classifier_gate",
     "sample_global_exact",
+    "monitoring_zscore_spikes",
     "pipe_route_all_legs",
 ]
 
