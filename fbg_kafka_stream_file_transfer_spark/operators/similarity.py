@@ -685,3 +685,97 @@ def semantic_contamination(
         (F.round(F.col("b.r9"), 6) + F.lit(0.0)).alias("max_cos"),
         (F.col("b.r9") >= threshold).cast("int").alias("contaminated"),
     )
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.3,
+    max_df_frac: float = 0.5,
+) -> DataFrame:
+    """Sparse all-pairs cosine similarity over TF-IDF term vectors via an
+    inverted-index self-join — the sparse/lexical twin of the dense
+    embedding paths above, and the classic scalable shape for "find every
+    pair of documents that share vocabulary" (all-pairs similarity search
+    / DISCO; see PAPERS.md). The reference's pipeline has no lexical
+    similarity operator; this is part of the §2.h training-data surface
+    (near-dup mining where no embeddings exist yet).
+
+    Algorithm: normalize + tokenize → per-(doc, term) TF → document
+    frequency per term → DROP terms with df > ``max_df_frac`` × N (the
+    scale guard: stopword-like terms create the quadratic postings
+    blowup; capping df bounds candidate pairs by Σ df² ≤ max_df × Σ df,
+    linear in corpus size for fixed cap) → TF-IDF weight per posting →
+    self-join postings on term with ``doc_a < doc_b`` → one groupBy
+    (doc_a, doc_b) accumulates the dot product → join per-doc norms →
+    cosine ≥ threshold.
+
+    Cross-engine determinism: the dot product and norms are sums over an
+    engine-controlled term order, and double addition is not associative
+    — so weights are quantized to DECIMAL(18,6) first and all sums run
+    in exact decimal arithmetic (same convention as the money aggregates,
+    queries/base.py). The final cosine divides one exact decimal by the
+    sqrt of a product of exact decimals — identical IEEE doubles on any
+    engine and any partitioning.
+
+    Shuffle structure (100 TB): explode is map-side; two aggregations
+    (TF, df) and the pair aggregation are partial-aggregatable; the
+    postings self-join shuffles on term (uniform after the df cap — the
+    cap IS the skew guard, a term's postings list is at most
+    max_df_frac × N). No cartesian, no driver collect.
+
+    Returns ``(doc_a, doc_b, n_shared, cosine_sim)``.
+    """
+    from ..functions.text import normalized_text
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= F.col("n") * F.lit(max_df_frac))
+    )
+    # quantized TF-IDF weight: exact decimal from here on
+    w = tf.join(F.broadcast(dfreq), "term").select(
+        "doc",
+        "term",
+        F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6)
+        .cast("decimal(18,6)")
+        .alias("w"),
+    )
+    norms = w.groupBy("doc").agg(F.sum(F.col("w") * F.col("w")).alias("s"))
+    a = w.select(F.col("doc").alias("doc_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc").alias("doc_b"), "term", F.col("w").alias("wb"))
+    pairs = (
+        a.join(b, ["term"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+        )
+    )
+    sa = norms.select(F.col("doc").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = norms.select(F.col("doc").alias("doc_b"), F.col("s").alias("s_b"))
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("s_a").cast("double") * F.col("s_b").cast("double")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("_r9", F.round(cos, 9))
+        .filter(F.col("_r9") >= F.lit(threshold))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (F.round(F.col("_r9"), 6) + F.lit(0.0)).alias("cosine_sim"),
+        )
+    )

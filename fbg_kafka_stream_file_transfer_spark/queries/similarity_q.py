@@ -263,3 +263,55 @@ FROM scored
 """,
     doc="embedding-to-centroid cosine quality gate (outlier = points away from corpus mass)",
 )
+
+
+def _q_sparse_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return similarity.sparse_cosine_pairs(
+        docs, "doc_id", "text", threshold=0.3, max_df_frac=0.5
+    )
+
+
+QUERIES["sim_sparse_tfidf_pairs"] = Q(
+    _q_sparse_pairs,
+    """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[.,!?;:''"()\\[\\]{}-]', '', 'g'), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), toksx AS (
+  SELECT doc_id AS doc, unnest(string_split(nt, ' ')) AS term FROM norm
+), toks2 AS (SELECT doc, term FROM toksx WHERE len(term) > 0),
+tf AS (SELECT doc, term, count(*) AS tf FROM toks2 GROUP BY 1, 2),
+nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+dfreq AS (
+  SELECT term, count(*) AS df, nn.n FROM tf, nn GROUP BY term, nn.n
+  HAVING count(*) <= nn.n * 0.5
+),
+-- weights quantized to exact decimal so the dot/norm sums are
+-- summation-order independent (base.py money convention)
+w AS (
+  SELECT tf.doc, tf.term,
+         CAST(round(tf.tf * ln(dfreq.n / dfreq.df), 6) AS DECIMAL(18,6)) AS w
+  FROM tf JOIN dfreq USING (term)
+),
+norms AS (SELECT doc, sum(w * w) AS s FROM w GROUP BY doc),
+pairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_shared,
+         sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+         round(CAST(dot AS DOUBLE) / sqrt(CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)), 9) AS r9
+  FROM pairs
+  JOIN norms sa ON sa.doc = doc_a
+  JOIN norms sb ON sb.doc = doc_b
+)
+SELECT doc_a, doc_b, n_shared, round(r9, 6) + 0.0 AS cosine_sim
+FROM scored WHERE r9 >= 0.3
+""",
+    doc="sparse all-pairs TF-IDF cosine via inverted-index join (df-capped)",
+)

@@ -614,3 +614,58 @@ def test_semantic_multi_table_recall_amplification(spark):
     assert len(multi_rows) == len(multi)  # no duplicate pair rows
     assert one <= multi <= truth  # amplification, never false positives
     assert truth and len(multi) > len(one)  # actually gains recall here
+
+
+def test_sparse_cosine_pairs_basic(spark):
+    """Identical docs → cosine 1.0; disjoint docs → no pair; the
+    inverted-index join is an equi-join on term (no cartesian), and
+    the dot/norm sums are decimal-exact (stable under repartition)."""
+    from fbg_kafka_stream_file_transfer_spark.operators.similarity import (
+        sparse_cosine_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),        # exact dup of 1
+        (3, "alpha beta gamma epsilon"),      # 3/4 overlap with 1
+        (4, "zeta eta theta iota"),           # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sparse_cosine_pairs(df, "doc_id", "text", threshold=0.1, max_df_frac=1.0)
+    got = {(r.doc_a, r.doc_b): r for r in out.collect()}
+    assert got[(1, 2)].cosine_sim == 1.0 and got[(1, 2)].n_shared == 4
+    assert (1, 3) in got and got[(1, 3)].cosine_sim < 1.0
+    assert not any(4 in k for k in got)
+    # the only nested-loop shape allowed is the 1-row corpus-count
+    # broadcast (n_docs); the postings self-join must be an equi-join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    # partition-count independence: exact decimal sums can't drift
+    out2 = sparse_cosine_pairs(
+        df.repartition(7), "doc_id", "text", threshold=0.1, max_df_frac=1.0
+    )
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in out2.collect()}
+
+
+def test_sparse_cosine_pairs_df_cap_drops_stopwords(spark):
+    """A term present in every doc is dropped by the df cap, so docs
+    sharing ONLY that term never pair up — the cap is both the stopword
+    filter and the postings-blowup guard."""
+    from fbg_kafka_stream_file_transfer_spark.operators.similarity import (
+        sparse_cosine_pairs,
+    )
+
+    rows = [
+        (1, "the alpha beta"),
+        (2, "the alpha beta"),
+        (3, "the zeta eta"),
+        (4, "the zeta eta"),
+        (5, "the only stopword here is the the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sparse_cosine_pairs(df, "doc_id", "text", threshold=0.05, max_df_frac=0.5)
+    got = {(r.doc_a, r.doc_b) for r in out.collect()}
+    assert (1, 2) in got and (3, 4) in got
+    # doc 5 shares only the df-capped "the"/"is"/"here" terms → no pairs
+    assert not any(5 in k for k in got)
