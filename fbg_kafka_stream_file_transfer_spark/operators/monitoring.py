@@ -214,3 +214,61 @@ def rolling_zscore_spikes(
             ).cast("int"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    threshold: float = 3.5,
+    approx: bool = False,
+) -> DataFrame:
+    """Robust per-group outlier detection via the modified z-score
+    0.6745·(x − median)/MAD (Iglewicz–Hoaglin) — the heavy-tail-safe
+    complement to ``rolling_zscore_spikes``: a single 1e9 metric value
+    drags a mean/std baseline far enough to mask every other anomaly,
+    but moves the median/MAD not at all. The reference's alert rules
+    (k8s/monitoring/alerts.yaml) are all static thresholds; this is the
+    distribution-calibrated upgrade for "which latency/size readings
+    are abnormal for their event type".
+
+    Two grouped exact medians (value, then |value − median|), each one
+    shuffle on the group key; the per-group stats tables are
+    O(#groups) and broadcast back onto the events. Exact ``median`` is
+    the oracle-parity default — both engines interpolate even counts as
+    (a+b)/2, bit-identically. At 100 TB per-group exact medians buffer
+    each group's values in the aggregation; pass ``approx=True`` to use
+    ``approx_percentile`` (GK sketch, bounded memory, mergeable) once
+    the result no longer needs to hash-match a row-exact oracle.
+
+    Rows in groups with MAD = 0 (constant-valued group) get NULL score
+    and are never flagged — unknowable, not zero.
+
+    Returns the input columns plus ``group_median``, ``group_mad``,
+    ``robust_z`` (round 4), ``is_outlier`` (int).
+    """
+    med_of = (
+        (lambda c: F.expr(f"approx_percentile({c}, 0.5, 10000)"))
+        if approx
+        else (lambda c: F.expr(f"median({c})"))
+    )
+    med = df.groupBy(*group_cols).agg(med_of(value_col).alias("_med"))
+    dev = df.join(F.broadcast(med), group_cols).withColumn(
+        "_dev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = dev.groupBy(*group_cols).agg(med_of("_dev").alias("_mad"))
+    scored = dev.join(F.broadcast(mad), group_cols)
+    rz = F.lit(0.6745) * (F.col(value_col) - F.col("_med")) / F.col("_mad")
+    ok = F.col("_mad") > 0
+    r9 = F.round(F.when(ok, rz), 9)
+    return (
+        scored.withColumn("group_median", F.round("_med", 6))
+        .withColumn("group_mad", F.round("_mad", 6))
+        .withColumn("robust_z", F.round(r9, 4) + F.lit(0.0))
+        .withColumn(
+            "is_outlier",
+            F.coalesce(F.abs(r9) >= threshold, F.lit(False)).cast("int"),
+        )
+        .drop("_med", "_mad", "_dev")
+    )

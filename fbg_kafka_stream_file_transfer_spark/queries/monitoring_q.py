@@ -572,12 +572,54 @@ FROM f
 
 
 
+def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outliers per event type (operators/monitoring.py
+    mad_outliers): modified z-score 0.6745*(x-median)/MAD, the
+    heavy-tail-safe twin of the rolling z-score spikes. Returns only
+    the flagged rows (the alert payload), with the group stats."""
+    ev = load_table(spark, sf_dir, "events")
+    out = monitoring.mad_outliers(ev, "value", ["event_type"], threshold=3.5)
+    return out.filter(F.col("is_outlier") == 1).select(
+        "event_id", "event_type",
+        F.round("value", 6).alias("value"),
+        "group_median", "group_mad", "robust_z",
+    )
+
+
+QUERIES["monitoring_mad_outliers"] = Q(
+    _q_mad_outliers,
+    """
+WITH m AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY 1
+), d AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS dev
+  FROM events e JOIN m USING (event_type)
+), md AS (
+  SELECT event_type, median(dev) AS mad FROM d GROUP BY 1
+), scored AS (
+  SELECT d.event_id, d.event_type, d.value, d.med, md.mad,
+         round(CASE WHEN md.mad > 0
+               THEN 0.6745 * (d.value - d.med) / md.mad END, 9) AS r9
+  FROM d JOIN md USING (event_type)
+)
+SELECT event_id, event_type, round(value, 6) AS value,
+       round(med, 6) AS group_median, round(mad, 6) AS group_mad,
+       round(r9, 4) + 0.0 AS robust_z
+FROM scored WHERE abs(r9) >= 3.5
+""",
+    doc="MAD modified-z outliers per event type (robust anomaly alert)",
+)
+
+
+
 # Registry order is driver-contract (see queries/__init__.py): the
 # never-yet-certified time-series operators lead — the three formerly
 # NTZ-broken ones first so their fix gets a hard CORRECTNESS row — and
 # the a1-a6 alert queries (driver-green in r03 AND r04) trail.
 _ORDER = [
     "monitoring_zscore_spikes",
+    "monitoring_mad_outliers",
     "interarrival_gaps",
     "join_range_error_after_purchase",
     "hypertable_rollup_events",

@@ -116,3 +116,38 @@ class TestRollingZscoreSpikes:
             rolling_zscore_spikes(d, "grp", "bucket", "n", min_history=1)
         with pytest.raises(ValueError):
             rolling_zscore_spikes(d, "grp", "bucket", "n", lookback=3, min_history=5)
+
+
+def test_mad_outliers_robust_to_extreme_value(spark):
+    """A single extreme value is flagged and does NOT mask other
+    anomalies (the failure mode of mean/std scoring); constant groups
+    (MAD=0) emit NULL score and are never flagged."""
+    from fbg_kafka_stream_file_transfer_spark.operators.monitoring import (
+        mad_outliers,
+    )
+
+    rows = [(i, "a", float(v)) for i, v in enumerate([10, 11, 9, 10, 12, 10, 11, 1e9, 50])]
+    rows += [(100 + i, "const", 5.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r.event_id: r for r in mad_outliers(df, "value", ["event_type"]).collect()}
+    assert out[7].is_outlier == 1          # the 1e9 spike
+    assert out[8].is_outlier == 1      # 50 is ~26 MADs out despite the 1e9 row
+    assert out[0].is_outlier == 0
+    # mean/std would have been dragged by 1e9; MAD baseline stays ~10
+    assert abs(out[0].group_median - 11.0) < 0.5
+    for i in (100, 101, 102, 103):
+        assert out[i].robust_z is None and out[i].is_outlier == 0
+
+
+def test_mad_outliers_approx_mode_runs(spark):
+    """approx=True (the 100 TB path) produces the same flags on a
+    well-separated corpus."""
+    from fbg_kafka_stream_file_transfer_spark.operators.monitoring import (
+        mad_outliers,
+    )
+
+    rows = [(i, "a", float(v)) for i, v in enumerate([10, 11, 9, 10, 12, 10, 11, 500])]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    exact = {r.event_id: r.is_outlier for r in mad_outliers(df, "value", ["event_type"]).collect()}
+    approx = {r.event_id: r.is_outlier for r in mad_outliers(df, "value", ["event_type"], approx=True).collect()}
+    assert exact == approx and exact[7] == 1
