@@ -303,3 +303,34 @@ FROM toks GROUP BY 1 HAVING count(*) > 1
 """,
     doc="boilerplate-prefix duplicate families (first-10-token hash groups)",
 )
+
+
+def _q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy dedup: prefix-block equi-join + bounded-window
+    Levenshtein. One shuffle on the block key; per-pair cost capped at
+    O(window²); degenerate blocks dropped by the size guard."""
+    return dedup.blocked_edit_distance_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        max_dist=60, prefix_tokens=5, window=200, max_block_size=50,
+    )
+
+
+QUERIES["dedup_edit_distance"] = Q(
+    _q_edit_distance,
+    NORM_CTE
+    + """
+, sides AS (
+  SELECT doc_id AS doc, substring(nt, 1, 200) AS t,
+         md5(array_to_string(tt[1:5], ' ')) AS block
+  FROM (SELECT doc_id, nt, string_split(nt, ' ') AS tt FROM norm)
+), guarded AS (
+  SELECT * FROM sides WHERE block IN (
+    SELECT block FROM sides GROUP BY block HAVING count(*) <= 50)
+)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       levenshtein(a.t, b.t)::BIGINT AS edit_dist, a.block AS block
+FROM guarded a JOIN guarded b ON a.block = b.block AND a.doc < b.doc
+WHERE levenshtein(a.t, b.t) <= 60
+""",
+    doc="blocked Levenshtein near-dup pairs (prefix blocking + bounded compare window)",
+)

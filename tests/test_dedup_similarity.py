@@ -669,3 +669,29 @@ def test_sparse_cosine_pairs_df_cap_drops_stopwords(spark):
     assert (1, 2) in got and (3, 4) in got
     # doc 5 shares only the df-capped "the"/"is"/"here" terms → no pairs
     assert not any(5 in k for k in got)
+
+
+def test_blocked_edit_distance_pairs(spark):
+    """Typo-distance pairs found only within a shared token-prefix
+    block; oversized blocks dropped by the guard; plan is an equi-join,
+    never a cartesian product."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta thetaX"),  # dist 1
+        (3, "alpha beta gamma delta epsilon completely different tail"),
+        (4, "unrelated words that share no prefix with the others"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.blocked_edit_distance_pairs(
+        df, "doc_id", "text", max_dist=2, prefix_tokens=5, window=100
+    )
+    got = {(r.doc_a, r.doc_b, r.edit_dist) for r in out.collect()}
+    assert got == {(1, 2, 1)}  # 1-3 same block but dist>2; 4 other block
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+    # guard: with max_block_size=1 the shared block is dropped entirely
+    guarded = dedup.blocked_edit_distance_pairs(
+        df, "doc_id", "text", max_dist=2, prefix_tokens=5, max_block_size=1
+    )
+    assert guarded.count() == 0
