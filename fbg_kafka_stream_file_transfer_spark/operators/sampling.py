@@ -304,3 +304,47 @@ def global_sample_exact(df: DataFrame, id_col: str, n: int) -> DataFrame:
     )
     w = Window.orderBy(F.col("_k").asc(), F.col(id_col).asc())
     return top.withColumn("sample_rank", F.row_number().over(w)).drop("_k")
+
+
+def temperature_mixture_rates(
+    df: DataFrame, group_col: str, alpha: float = 0.3
+) -> DataFrame:
+    """Temperature-scaled mixture rates (the multilingual "alpha
+    sampling" recipe: raw group shares p_g are flattened to
+    q_g ∝ p_g^alpha, so low-resource groups are boosted without the
+    head groups vanishing; alpha=1 keeps natural proportions, alpha=0
+    is uniform). The realized corpus size T is the largest achievable
+    WITHOUT upsampling — T = min_g(n_g / q_g) — so every group's
+    ``sample_rate = q_g·T / n_g`` is ≤ 1 and the binding (most
+    boosted) group keeps everything; feed the rates to
+    :func:`mix_corpus` to materialize the mixture deterministically.
+
+    Scale shape: one shuffle to the per-group roll-up; all windows run
+    unpartitioned on the GROUP-level frame (one row per language /
+    source — thousands at most), the same deliberate pattern as
+    :func:`allocate_token_budget`, never corpus-wide. Emits one row
+    per group: (group_col, n_docs, p_raw, q_temp, sample_rate,
+    expected_docs); doubles rounded to 6 dp, the expected count
+    floor(round(·,9)) so binary float noise can't move an engine off
+    by one (queries.base int-cast rule).
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy()
+    g = df.groupBy(group_col).agg(F.count("*").cast("bigint").alias("n_docs"))
+    p = F.col("n_docs").cast("double") / F.sum("n_docs").over(w_all)
+    scored = g.withColumn("_p", p).withColumn("_pa", F.pow(F.col("_p"), F.lit(float(alpha))))
+    q = F.col("_pa") / F.sum("_pa").over(w_all)
+    with_q = scored.withColumn("_q", q)
+    t_level = F.min(F.col("n_docs") / F.col("_q")).over(w_all)
+    rate = F.col("_q") * t_level / F.col("n_docs")
+    return with_q.select(
+        group_col,
+        "n_docs",
+        F.round("_p", 6).alias("p_raw"),
+        F.round("_q", 6).alias("q_temp"),
+        F.round(rate, 6).alias("sample_rate"),
+        F.floor(F.round(F.col("_q") * t_level, 9)).cast("bigint").alias("expected_docs"),
+    )

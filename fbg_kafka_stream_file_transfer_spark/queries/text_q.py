@@ -520,3 +520,33 @@ GROUP BY 1
 """,
     doc="power-of-two token-length histogram (curation length-gate profile)",
 )
+
+
+def _q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha-sampling mixture solver: flatten per-language shares with
+    temperature alpha=0.3, realized at the largest no-upsampling corpus
+    size. Group-level windows only (one row per language)."""
+    from ..operators.sampling import temperature_mixture_rates
+
+    return temperature_mixture_rates(_docs(spark, sf_dir), "lang", alpha=0.3)
+
+
+QUERIES["corpus_temperature_mixture"] = Q(
+    _q_temperature_mixture,
+    """
+WITH g AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+s AS (SELECT lang, n_docs,
+             n_docs::DOUBLE / sum(n_docs) OVER () AS p,
+             pow(n_docs::DOUBLE / sum(n_docs) OVER (), 0.3) AS pa
+      FROM g),
+q AS (SELECT lang, n_docs, p, pa / sum(pa) OVER () AS q FROM s),
+t AS (SELECT *, min(n_docs / q) OVER () AS tt FROM q)
+SELECT lang, n_docs,
+       round(p, 6) AS p_raw,
+       round(q, 6) AS q_temp,
+       round(q * tt / n_docs, 6) AS sample_rate,
+       floor(round(q * tt, 9))::BIGINT AS expected_docs
+FROM t
+""",
+    doc="temperature-scaled (alpha=0.3) mixture rates at the no-upsampling corpus size",
+)

@@ -398,3 +398,57 @@ class TestPlanShapesR6b:
         # combine) before its single skinny exchange
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
         assert plan.count("Exchange hashpartitioning") <= 1
+
+
+class TestTemperatureMixture:
+    """temperature_mixture_rates: alpha-sampling invariants."""
+
+    def _groups(self, spark, sizes):
+        rows = [(f"{g}-{i}", g) for g, n in sizes.items() for i in range(n)]
+        return spark.createDataFrame(rows, ["doc_id", "lang"])
+
+    def test_alpha_one_is_natural_proportions(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+            temperature_mixture_rates,
+        )
+
+        df = self._groups(spark, {"en": 60, "de": 30, "fr": 10})
+        out = {r.lang: r for r in temperature_mixture_rates(df, "lang", 1.0).collect()}
+        # q == p, T == N: every group keeps everything
+        for r in out.values():
+            assert r.sample_rate == 1.0
+            assert r.expected_docs == r.n_docs
+            assert r.q_temp == r.p_raw
+
+    def test_alpha_zero_is_uniform(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+            temperature_mixture_rates,
+        )
+
+        df = self._groups(spark, {"en": 60, "de": 30, "fr": 10})
+        out = {r.lang: r for r in temperature_mixture_rates(df, "lang", 0.0).collect()}
+        # uniform targets, bound by the smallest group: 10 docs each
+        assert all(r.expected_docs == 10 for r in out.values())
+        assert out["fr"].sample_rate == 1.0
+        assert out["en"].sample_rate == pytest.approx(10 / 60, abs=1e-6)
+
+    def test_flattening_monotonic_and_no_upsampling(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+            temperature_mixture_rates,
+        )
+
+        df = self._groups(spark, {"en": 80, "de": 15, "fr": 5})
+        out = {r.lang: r for r in temperature_mixture_rates(df, "lang", 0.3).collect()}
+        # low-resource share boosted, head share shrunk, rates all <= 1
+        assert out["fr"].q_temp > out["fr"].p_raw
+        assert out["en"].q_temp < out["en"].p_raw
+        assert all(r.sample_rate <= 1.0 + 1e-9 for r in out.values())
+        assert out["fr"].sample_rate == pytest.approx(1.0, abs=1e-6)
+
+    def test_negative_alpha_rejected(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+            temperature_mixture_rates,
+        )
+
+        with pytest.raises(ValueError):
+            temperature_mixture_rates(self._groups(spark, {"en": 1}), "lang", -0.1)
