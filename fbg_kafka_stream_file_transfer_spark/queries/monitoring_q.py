@@ -617,7 +617,74 @@ FROM scored WHERE abs(r9) >= 3.5
 # never-yet-certified time-series operators lead — the three formerly
 # NTZ-broken ones first so their fix gets a hard CORRECTNESS row — and
 # the a1-a6 alert queries (driver-green in r03 AND r04) trail.
+def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → SCD2 validity intervals per user: no-op repeats
+    collapsed, each state run bounded by the next change. One exchange
+    on user_id shared by all three window ops."""
+    from ..operators.cdc import changelog_to_scd2
+
+    ev = load_table(spark, sf_dir, "events")
+    return changelog_to_scd2(
+        ev, "user_id", "ts", "event_type", tiebreak_cols=("event_id",)
+    )
+
+
+QUERIES["cdc_scd2_intervals"] = Q(
+    _q_scd2,
+    """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), c AS (
+  SELECT * FROM o WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                '%Y-%m-%d %H:%M:%S') AS valid_to,
+       CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            THEN 1 ELSE 0 END AS is_current
+FROM c
+""",
+    doc="SCD2 compaction of the event changelog (collapse no-ops, validity intervals)",
+)
+
+
+def _q_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-1 compaction: current state per user (last writer wins,
+    event_id tie-break), whole row kept."""
+    from ..operators.cdc import latest_state
+
+    ev = load_table(spark, sf_dir, "events")
+    return latest_state(ev, "user_id", "ts", tiebreak_cols=("event_id",)).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.round("value", 6).alias("last_value"),
+    )
+
+
+QUERIES["cdc_latest_state"] = Q(
+    _q_latest_state,
+    """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       round(value, 6) AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""",
+    doc="type-1 changelog compaction: latest whole row per key",
+)
+
+
 _ORDER = [
+    "cdc_scd2_intervals",
+    "cdc_latest_state",
     "monitoring_zscore_spikes",
     "monitoring_mad_outliers",
     "interarrival_gaps",
