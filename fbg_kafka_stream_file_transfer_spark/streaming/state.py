@@ -181,3 +181,79 @@ def streaming_zscore_spikes(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+LATEST_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("last_tiebreak", T.LongType()),
+        T.StructField("last_state", T.StringType()),
+    ]
+)
+
+_LATEST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("tiebreak", T.LongType()),
+        T.StructField("state", T.StringType()),
+    ]
+)
+
+
+def streaming_latest_state(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    state_col: str,
+) -> DataFrame:
+    """Streaming twin of ``operators.cdc.latest_state``: maintain the
+    type-1 "current state" table incrementally. Per-key state is the
+    single winning (ts, tiebreak, state) triple — O(1) per key, never
+    grows with stream length; ordering is (ts, tiebreak) DESC exactly
+    as the batch twin, so late/duplicate deliveries that lose the
+    comparison mutate nothing.
+
+    Emits, per key per micro-batch, the current row AFTER the batch —
+    and only when the batch actually changed it (a changelog of
+    current-state transitions, the foreachBatch-ready shape for
+    upserting into a serving table). Batch/stream parity is pinned by
+    a unit test.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cur = tuple(state.get) if state.exists else None
+        changed = False
+        for pdf in pdfs:
+            for _, row in pdf.iterrows():
+                ts_us = int(row[ts_col].value // 1000)
+                tb = int(row[tiebreak_col])
+                if cur is None or (ts_us, tb) > (cur[0], cur[1]):
+                    st = row[state_col]
+                    cur = (ts_us, tb, None if pd.isna(st) else str(st))
+                    changed = True
+        if changed:
+            state.update(cur)
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "last_ts": [pd.Timestamp(cur[0], unit="us")],
+                    "last_tiebreak": [cur[1]],
+                    "last_state": [cur[2]],
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {"key": [], "last_ts": [], "last_tiebreak": [], "last_state": []}
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=LATEST_SCHEMA,
+        stateStructType=_LATEST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -66,3 +66,54 @@ def test_latest_state_last_writer_wins_with_tiebreak(spark):
     df = _events(spark, [("f1", 0, "a"), ("f1", 10, "b"), ("f1", 10, "c")])
     r = latest_state(df, "key", "ts", tiebreak_cols=("eid",)).collect()
     assert len(r) == 1 and r[0].state == "c"  # same ts → higher eid wins
+
+
+def test_streaming_latest_state_matches_batch_and_emits_changes_only(spark, tmp_path):
+    """Batch/stream parity for type-1 compaction, plus the changelog
+    contract: a micro-batch whose events all lose the (ts, tiebreak)
+    comparison emits nothing."""
+    from fbg_kafka_stream_file_transfer_spark.streaming.state import (
+        streaming_latest_state,
+    )
+
+    schema = "key string, ts timestamp, eid long, state string"
+    batch1 = [
+        ("f1", datetime(2024, 1, 1, 0, 0, 0), 1, "incoming"),
+        ("f1", datetime(2024, 1, 1, 0, 0, 30), 2, "processing"),
+        ("f2", datetime(2024, 1, 1, 0, 0, 10), 3, "incoming"),
+    ]
+    batch2 = [  # f1: stale redelivery (loses); f2: genuine advance
+        ("f1", datetime(2024, 1, 1, 0, 0, 0), 1, "incoming"),
+        ("f2", datetime(2024, 1, 1, 0, 0, 40), 4, "processed"),
+    ]
+    src = tmp_path / "changelog"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = streaming_latest_state(stream, "key", "ts", "eid", "state")
+    q = (
+        out.writeStream.format("memory").queryName("latest_test")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM latest_test").collect()
+    finally:
+        q.stop()
+    # f1 emitted once (batch2's stale redelivery mutates nothing),
+    # f2 twice (it advanced in both batches)
+    per_key = {}
+    for r in emitted:
+        per_key.setdefault(r.key, []).append(r)
+    assert len(per_key["f1"]) == 1 and len(per_key["f2"]) == 2
+    final = {k: max(v, key=lambda r: (r.last_ts, r.last_tiebreak)) for k, v in per_key.items()}
+    batch = latest_state(
+        spark.createDataFrame(batch1 + batch2, schema), "key", "ts", tiebreak_cols=("eid",)
+    ).collect()
+    assert {(r.key, r.ts, r.eid, r.state) for r in batch} == {
+        (k, r.last_ts, r.last_tiebreak, r.last_state) for k, r in final.items()
+    }
