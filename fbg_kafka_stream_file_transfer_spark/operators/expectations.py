@@ -1,0 +1,126 @@
+"""Declarative data-quality expectations (one-scan validation summary).
+
+The reference validates per message at the route level (type/size checks
+→ reject headers, camel-integration file-pipeline.yaml F2/F4); a batch
+engine additionally needs the TABLE-level twin — the dbt-test /
+Great-Expectations shape: declare rules, get one violation-count row per
+rule, gate the pipeline on the summary. These operators provide that
+surface with Spark-shaped execution:
+
+- **row rules** (not-null, range, regex, set membership — any boolean
+  Column) all fold into ONE aggregation over ONE scan: each rule is a
+  conditional sum, map-side partials combine, no shuffle of row data.
+- **uniqueness** is its own keyed aggregation (one shuffle on the key,
+  uniform when the key is a real id).
+- **referential integrity** is a broadcast anti-join against the
+  dimension's distinct keys (dims are broadcast-sized by contract; the
+  big side never shuffles).
+
+The summary frame is tiny (one row per rule) regardless of input size —
+the only thing that crosses to the driver.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def check_rows(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Evaluate row-level rules in one scan: ``rules`` maps rule name →
+    boolean Column that is TRUE when the row PASSES. Returns one row
+    per rule: (rule, n_rows, n_violations, pass_flag), rule order
+    alphabetical so the output is deterministic.
+
+    NULL rule results count as violations (a range check on a NULL
+    value is not a pass) — encode "nullable allowed" explicitly with
+    ``col.isNull() | predicate``.
+    """
+    if not rules:
+        raise ValueError("need at least one rule")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for name in sorted(rules):
+        ok = rules[name]
+        aggs.append(
+            F.sum(F.when(ok.isNull() | ~ok, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"v_{name}")
+        )
+    wide = df.agg(*aggs)
+    per_rule = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"v_{name}").alias("n_violations"),
+            )
+            for name in sorted(rules)
+        ]
+    )
+    return (
+        wide.select(F.col("_n"), F.explode(per_rule).alias("r"))
+        .select(
+            F.col("r.rule").alias("rule"),
+            F.col("_n").alias("n_rows"),
+            F.col("r.n_violations").alias("n_violations"),
+            (F.col("r.n_violations") == 0).cast("int").alias("pass_flag"),
+        )
+    )
+
+
+def check_unique(df: DataFrame, key_cols: list[str], rule: str | None = None) -> DataFrame:
+    """Uniqueness expectation: violations = rows beyond the first per
+    key (so 3 copies of one key count as 2 violations — the number of
+    rows a dedup would remove). One shuffle on the key."""
+    name = rule or ("unique_" + "_".join(key_cols))
+    dup = (
+        df.groupBy(*key_cols)
+        .agg((F.count(F.lit(1)) - 1).alias("_extra"))
+        .agg(
+            F.coalesce(F.sum(F.lit(1) + F.col("_extra")), F.lit(0)).cast("bigint").alias("n_rows"),
+            F.coalesce(F.sum("_extra"), F.lit(0)).cast("bigint").alias("n_violations"),
+        )
+    )
+    return dup.select(
+        F.lit(name).alias("rule"),
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).cast("int").alias("pass_flag"),
+    )
+
+
+def check_references(
+    df: DataFrame, fk_col: str, dim: DataFrame, pk_col: str, rule: str | None = None
+) -> DataFrame:
+    """Referential-integrity expectation: count fact rows whose
+    ``fk_col`` has no match in ``dim.pk_col`` (NULL fks are violations;
+    declare nullable fks via a row rule instead). The dim side reduces
+    to its distinct keys and is broadcast — the fact side never
+    shuffles."""
+    name = rule or f"ref_{fk_col}_in_{pk_col}"
+    keys = F.broadcast(dim.select(F.col(pk_col).alias("_pk")).distinct())
+    joined = df.select(F.col(fk_col).alias("_fk")).join(
+        keys, F.col("_fk") == F.col("_pk"), "left"
+    )
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violations"),
+    )
+    return agg.select(
+        F.lit(name).alias("rule"),
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).cast("int").alias("pass_flag"),
+    )
+
+
+def expectation_suite(*checks: DataFrame) -> DataFrame:
+    """Union the per-rule summaries of any mix of the checks above into
+    one report frame. Each input is already a tiny aggregate, so the
+    union is trivially cheap and the branches run independently."""
+    if not checks:
+        raise ValueError("need at least one check")
+    return reduce(DataFrame.unionByName, checks)

@@ -683,3 +683,66 @@ GROUP BY l_returnflag
     ("lineitem",),
     doc="median / mode / stddev aggregate sampler",
 )
+
+
+def _q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DQ suite over orders: four row rules in ONE scan
+    (conditional sums, map-side partials), key uniqueness (one keyed
+    shuffle), referential integrity vs customer (broadcast anti-join).
+    Output is one tiny row per rule."""
+    from ..operators import expectations as X
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    rows = X.check_rows(
+        orders,
+        {
+            "orderdate_not_null": F.col("o_orderdate").isNotNull(),
+            "priority_format": F.col("o_orderpriority").rlike("^[1-5]-"),
+            "status_in_set": F.col("o_orderstatus").isin("O", "F", "P"),
+            "totalprice_positive": F.col("o_totalprice") > 0,
+        },
+    )
+    uniq = X.check_unique(orders, ["o_orderkey"])
+    ref = X.check_references(orders, "o_custkey", customer, "c_custkey")
+    return X.expectation_suite(rows, uniq, ref)
+
+
+QUERIES["dq_expectations_orders"] = Q(
+    _q_dq_expectations,
+    """
+WITH row_rules AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_date,
+         sum(CASE WHEN o_orderpriority IS NULL
+                   OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                  THEN 1 ELSE 0 END)::BIGINT AS v_prio,
+         sum(CASE WHEN o_orderstatus IS NULL
+                   OR o_orderstatus NOT IN ('O','F','P')
+                  THEN 1 ELSE 0 END)::BIGINT AS v_status,
+         sum(CASE WHEN o_totalprice IS NULL OR NOT (o_totalprice > 0)
+                  THEN 1 ELSE 0 END)::BIGINT AS v_price
+  FROM orders
+), uniq AS (
+  SELECT count(*)::BIGINT AS n,
+         (count(*) - count(DISTINCT o_orderkey))::BIGINT AS v
+  FROM orders
+), ref AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN c._pk IS NULL THEN 1 ELSE 0 END)::BIGINT AS v
+  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey AS _pk FROM customer) c
+    ON o.o_custkey = c._pk
+)
+SELECT rule, n_rows, n_violations,
+       CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS pass_flag
+FROM (
+  SELECT 'orderdate_not_null' AS rule, n AS n_rows, v_date AS n_violations FROM row_rules
+  UNION ALL SELECT 'priority_format', n, v_prio FROM row_rules
+  UNION ALL SELECT 'status_in_set', n, v_status FROM row_rules
+  UNION ALL SELECT 'totalprice_positive', n, v_price FROM row_rules
+  UNION ALL SELECT 'unique_o_orderkey', n, v FROM uniq
+  UNION ALL SELECT 'ref_o_custkey_in_c_custkey', n, v FROM ref
+)
+""",
+    doc="declarative data-quality suite: row rules one-scan, uniqueness, referential integrity",
+)
