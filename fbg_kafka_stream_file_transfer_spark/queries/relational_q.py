@@ -746,3 +746,35 @@ FROM (
 """,
     doc="declarative data-quality suite: row rules one-scan, uniqueness, referential integrity",
 )
+
+
+def _q_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key over two event dimensions — the clustering
+    expression behind cluster_by_morton, oracle-checked bit-for-bit
+    (portable shifts/AND only). Map-side codegen, zero shuffle."""
+    from ..operators.layout import morton_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        morton_key(F.col("user_id") % 1024, F.col("event_id") % 1024, bits=10).alias(
+            "zkey"
+        ),
+    )
+
+
+def _morton_oracle() -> str:
+    from ..operators.layout import morton_sql
+
+    return (
+        "SELECT event_id, "
+        + morton_sql("user_id % 1024", "event_id % 1024", 10)
+        + " AS zkey FROM events"
+    )
+
+
+QUERIES["layout_morton_key"] = Q(
+    _q_morton,
+    _morton_oracle(),
+    doc="Z-order (Morton) clustering key: bit-interleave of two bucketed dimensions",
+)
