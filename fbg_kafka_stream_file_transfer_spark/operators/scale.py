@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def salted_agg(
@@ -95,3 +96,67 @@ def bucketed_join(
 ) -> DataFrame:
     """Join two co-bucketed tables (see ``write_bucketed``)."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def distributed_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running sum WITHOUT a single-partition window.
+
+    ``sum(x) OVER (ORDER BY ...)`` with no PARTITION BY is the classic
+    scale-killer: WindowExec moves the entire corpus to one partition
+    ("No Partition Defined for Window operation" — serial, spills, and
+    at 100 TB simply dies). This is the distributed form — the
+    textbook two-phase prefix sum:
+
+    1. range-partition + locally sort by ``order_cols`` (ONE range
+       shuffle — the same cost as any global sort);
+    2. per-partition running sum via a window PARTITIONED by
+       ``spark_partition_id()`` (parallel, no data movement);
+    3. per-partition totals (one tiny row each) get their exclusive
+       prefix via a window over the partition-id frame — thousands of
+       rows at most, the deliberate group-level-frame pattern — and
+       are broadcast-joined back as offsets.
+
+    ``order_cols`` must be a total order (include a unique tie-break)
+    or per-row results within a tie are partition-dependent. Adds
+    ``running_<value_col>``.
+
+    The shape file-compaction planners need: running bytes over the
+    file listing → bin = floor(running/target), computed over millions
+    of metadata rows without serializing them through one task.
+    """
+    out_name = f"running_{value_col}"
+    reserved = {"_pid", "_part_total", "_offset", out_name} & set(df.columns)
+    if reserved:
+        raise ValueError(f"column name(s) {sorted(reserved)} are reserved")
+    order = [F.col(c).asc() for c in order_cols]
+    ranged = df.repartitionByRange(
+        *([num_partitions] if num_partitions else []), *order
+    ).sortWithinPartitions(*order)
+    withpid = ranged.withColumn("_pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = withpid.withColumn(out_name, F.sum(F.col(value_col)).over(w_local))
+    totals = withpid.groupBy("_pid").agg(
+        F.sum(F.col(value_col)).alias("_part_total")
+    )
+    w_prefix = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_part_total").over(w_prefix), F.lit(0)).alias("_offset"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_name, F.col(out_name) + F.col("_offset"))
+        .drop("_pid", "_offset")
+    )

@@ -778,3 +778,34 @@ QUERIES["layout_morton_key"] = Q(
     _morton_oracle(),
     doc="Z-order (Morton) clustering key: bit-interleave of two bucketed dimensions",
 )
+
+
+def _q_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-compaction binning over the corpus listing: global running
+    byte total via the DISTRIBUTED prefix sum (no single-partition
+    window), then bin = floor(exclusive_prefix / target) — each doc
+    lands in the bin where it starts."""
+    from ..operators.scale import distributed_running_sum
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    run = distributed_running_sum(docs, ["doc_id"], "n_chars", num_partitions=8)
+    return run.select(
+        "doc_id",
+        F.col("running_n_chars").cast("bigint").alias("running_n_chars"),
+        F.floor(
+            (F.col("running_n_chars") - F.col("n_chars")) / F.lit(100000.0)
+        ).cast("bigint").alias("bin"),
+    )
+
+
+QUERIES["layout_compaction_bins"] = Q(
+    _q_compaction_bins,
+    """
+SELECT doc_id,
+       CAST(sum(n_chars) OVER w AS BIGINT) AS running_n_chars,
+       CAST(floor((sum(n_chars) OVER w - n_chars) / 100000.0) AS BIGINT) AS bin
+FROM documents
+WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    doc="compaction-bin planning: distributed global running sum (two-phase prefix), floor-binned",
+)

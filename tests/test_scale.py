@@ -173,3 +173,38 @@ def test_mix_corpus_empty_rates(spark):
 
     df = spark.createDataFrame([(1, "en")], "id long, lang string")
     assert mix_corpus(df, "id", "lang", {}).count() == 0
+
+
+def test_distributed_running_sum_matches_naive_and_is_partition_independent(spark):
+    """Two-phase prefix sum ≡ the single-partition window form, under
+    any partition count; the data-sized window is partitioned by _pid
+    (parallel), never global."""
+    from pyspark.sql.window import Window
+
+    from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+        distributed_running_sum,
+    )
+
+    rows = [(i, (i * 37) % 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(13)
+    naive = {
+        r.k: r.run
+        for r in df.withColumn(
+            "run",
+            F.sum("v").over(
+                Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).collect()
+    }
+    for nparts in (1, 4, 16):
+        got = {
+            r.k: r.running_v
+            for r in distributed_running_sum(df, ["k"], "v", nparts).collect()
+        }
+        assert got == naive, nparts
+
+    # reserved-name guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        distributed_running_sum(df.withColumn("_pid", F.lit(1)), ["k"], "v")
