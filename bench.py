@@ -55,6 +55,10 @@ HEADLINE = [
     #   window explode -> frequency -> broadcast mark -> per-doc reassembly;
     #   the heaviest of the session's curation additions, so it gets
     #   round-over-round tracking like the rest of the headline set
+    "cdc_scd2_intervals",        # changelog -> SCD2 compaction (r6 cont.):
+    #   three window ops over ONE exchange on the key
+    "layout_compaction_bins",    # distributed global prefix sum (r6 cont.):
+    #   the two-phase running-sum shape that replaces single-partition windows
 ]
 
 

@@ -114,3 +114,69 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
             3,
         ).alias("estimate"),
     )
+
+
+def resample_forward_fill(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    step_seconds: int,
+    fmt: str = "yyyy-MM-dd HH:mm:ss",
+) -> DataFrame:
+    """Regularize an irregular per-key time series onto a fixed grid:
+    bucket to ``step_seconds``, aggregate the per-bucket mean, emit a
+    DENSE row for every grid cell between each key's first and last
+    observation, and forward-fill empty cells with the last observed
+    mean (the resample → ffill pass every time-series consumer runs
+    before modeling; Spark has no built-in for the gap-FILL half).
+
+    Determinism: the bucket mean sums DECIMAL-quantized values (exact,
+    order-independent — the queries.base money rule) before one double
+    division, so the filled value can't drift across engines or
+    partitionings. Output: (key, bucket_start, value, filled).
+
+    Scale shape: one shuffle to the (key, bucket) roll-up; the dense
+    grid is built per key from a broadcastable span frame (one row per
+    key) via ``sequence``+``explode`` — grid size is span/step per key,
+    never corpus-wide — and the forward fill is a keyed window over
+    the already-bucketed grid. A key with a multi-year span at a
+    1-second step would explode 10^8 cells: bound ``step_seconds``
+    to the span you actually chart.
+    """
+    if step_seconds <= 0:
+        raise ValueError(f"step_seconds must be positive, got {step_seconds}")
+    from pyspark.sql.window import Window
+
+    bucket = (F.floor(epoch_seconds(F.col(time_col)) / step_seconds)).cast("long")
+    per_bucket = (
+        df.select(F.col(key_col).alias("_k"), bucket.alias("_b"),
+                  F.col(value_col).cast("decimal(18,6)").alias("_v"))
+        .groupBy("_k", "_b")
+        .agg(
+            F.round(
+                F.sum("_v").cast("double") / F.count(F.lit(1)), 6
+            ).alias("_mean")
+        )
+    )
+    span = per_bucket.groupBy("_k").agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    )
+    grid = span.select(
+        "_k", F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_b")
+    )
+    joined = grid.join(per_bucket, ["_k", "_b"], "left")
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = F.last(F.col("_mean"), ignorenulls=True).over(w)
+    return joined.select(
+        F.col("_k").alias(key_col),
+        F.date_format(
+            F.timestamp_seconds(F.col("_b") * step_seconds), fmt
+        ).alias("bucket_start"),
+        filled.alias("value"),
+        F.col("_mean").isNull().cast("int").alias("filled"),
+    )

@@ -682,7 +682,43 @@ WHERE rn = 1
 )
 
 
+def _q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user resample with forward fill — dense grid between
+    each key's first/last observation, decimal-exact bucket means."""
+    from ..operators.rollup import resample_forward_fill
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_forward_fill(ev, "user_id", "ts", "value", 3600)
+
+
+QUERIES["ts_gapfill_forward"] = Q(
+    _q_gapfill,
+    """
+WITH b AS (
+  SELECT user_id AS k, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bk,
+         round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT k, min(bk) AS lo, max(bk) AS hi FROM b GROUP BY 1
+), grid AS (
+  SELECT k, unnest(generate_series(lo, hi)) AS bk FROM span
+), j AS (
+  SELECT g.k, g.bk, b.mean FROM grid g LEFT JOIN b ON g.k = b.k AND g.bk = b.bk
+)
+SELECT k AS user_id,
+       strftime(make_timestamp(bk * 3600 * 1000000), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       last_value(mean IGNORE NULLS) OVER (
+         PARTITION BY k ORDER BY bk
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       CASE WHEN mean IS NULL THEN 1 ELSE 0 END AS filled
+FROM j
+""",
+    doc="time-series resample + gap-fill + forward fill (dense per-key hourly grid)",
+)
+
+
 _ORDER = [
+    "ts_gapfill_forward",
     "cdc_scd2_intervals",
     "cdc_latest_state",
     "monitoring_zscore_spikes",

@@ -151,3 +151,37 @@ def test_mad_outliers_approx_mode_runs(spark):
     exact = {r.event_id: r.is_outlier for r in mad_outliers(df, "value", ["event_type"]).collect()}
     approx = {r.event_id: r.is_outlier for r in mad_outliers(df, "value", ["event_type"], approx=True).collect()}
     assert exact == approx and exact[7] == 1
+
+
+def test_resample_forward_fill_dense_grid_and_flags(spark):
+    """Gaps between a key's first/last bucket are emitted with the last
+    observed mean and filled=1; observed buckets keep their own mean."""
+    import datetime as dt
+
+    import pytest
+
+    from fbg_kafka_stream_file_transfer_spark.operators.rollup import (
+        resample_forward_fill,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("u1", t0, 10.0),
+        ("u1", t0 + dt.timedelta(seconds=30), 20.0),   # same bucket → mean 15
+        ("u1", t0 + dt.timedelta(minutes=3), 40.0),     # bucket 3; 1-2 are gaps
+        ("u2", t0, 7.0),                                # single bucket, no grid
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    out = resample_forward_fill(df, "user_id", "ts", "value", 60)
+    got = {
+        (r.user_id, r.bucket_start[-5:]): (r.value, r.filled) for r in out.collect()
+    }
+    assert got == {
+        ("u1", "00:00"): (15.0, 0),
+        ("u1", "01:00"): (15.0, 1),
+        ("u1", "02:00"): (15.0, 1),
+        ("u1", "03:00"): (40.0, 0),
+        ("u2", "00:00"): (7.0, 0),
+    }
+    with pytest.raises(ValueError):
+        resample_forward_fill(df, "user_id", "ts", "value", 0)
