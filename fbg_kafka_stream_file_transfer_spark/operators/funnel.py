@@ -1,0 +1,112 @@
+"""Funnel analysis: ordered event-sequence matching per key.
+
+"Of the users who signed up, how many then viewed, then clicked, then
+purchased — in that order?" is the canonical product-analytics query,
+and naively it is K chained self-joins (one per step). This operator
+runs the whole chain in ONE shuffle: events are rolled up per key
+(sorted struct array) and a greedy state machine implemented with
+``aggregate`` — a higher-order Catalyst function, no Python — walks
+the array once, taking the EARLIEST event that qualifies for the next
+step (strictly after the previous step's completion). Greedy-earliest
+is optimal for funnel completion (exchange argument), so the result
+equals the iterative ``min(ts) WHERE ts > prev`` formulation the
+DuckDB oracle uses.
+
+Scale shape: one shuffle on the key; per-key state is that key's own
+event list (bounded by per-user activity, not corpus size — the same
+contract as any sessionization). The array never crosses keys and the
+state machine is codegen'd JVM work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.derivations import epoch_seconds
+
+
+def funnel_completion(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_preds: list[Column],
+    tiebreak_col: str | None = None,
+    max_gap_seconds: float | None = None,
+) -> DataFrame:
+    """Per-key funnel completion: for each key, the number of funnel
+    steps completed in order (each step strictly after the previous)
+    and the epoch-seconds completion time of each completed step.
+
+    ``step_preds`` are boolean Columns evaluated per event (e.g.
+    ``F.col("event_type") == "signup"``). Events may satisfy several
+    predicates; the state machine only consults the NEXT needed step.
+    ``max_gap_seconds`` bounds the gap between consecutive completed
+    steps (the conversion window — Amplitude-style first-occurrence
+    semantics: each step binds to its EARLIEST qualifying event, even
+    when waiting for a later one would let the tail fit the window;
+    the oracle's chained min-joins define the same greedy semantics).
+    Returns (key, steps_completed, step_times array<double>).
+    """
+    if not step_preds:
+        raise ValueError("need at least one funnel step")
+    if max_gap_seconds is not None and max_gap_seconds <= 0:
+        raise ValueError(f"max_gap_seconds must be positive, got {max_gap_seconds}")
+    n = len(step_preds)
+    order_cols = [epoch_seconds(F.col(ts_col)).alias("_t")]
+    if tiebreak_col is not None:
+        order_cols.append(F.col(tiebreak_col).cast("long").alias("_tb"))
+    else:
+        order_cols.append(F.lit(0).cast("long").alias("_tb"))
+    ev = df.select(
+        F.col(key_col).alias("_k"),
+        F.struct(
+            *order_cols,
+            F.array(*[p.cast("boolean") for p in step_preds]).alias("_flags"),
+        ).alias("_e"),
+    )
+    rolled = ev.groupBy("_k").agg(F.array_sort(F.collect_list("_e")).alias("_evs"))
+    # greedy chain walk: acc = completion times so far; an event advances
+    # the funnel iff it matches the next needed step and is strictly
+    # after the last completion
+    def step(acc, e):
+        after_prev = (F.size(acc) == 0) | (e["_t"] > F.element_at(acc, -1))
+        if max_gap_seconds is not None:
+            after_prev = after_prev & (
+                (F.size(acc) == 0)
+                | (e["_t"] <= F.element_at(acc, -1) + F.lit(float(max_gap_seconds)))
+            )
+        return F.when(
+            (F.size(acc) < n)
+            & F.coalesce(F.element_at(e["_flags"], F.size(acc) + 1), F.lit(False))
+            & after_prev,
+            F.concat(acc, F.array(e["_t"])),
+        ).otherwise(acc)
+    times = F.aggregate(
+        F.col("_evs"), F.array().cast("array<double>"), step
+    )
+    return rolled.select(
+        F.col("_k").alias(key_col),
+        F.size(times).cast("int").alias("steps_completed"),
+        times.alias("step_times"),
+    )
+
+
+def funnel_histogram(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_preds: list[Column],
+    tiebreak_col: str | None = None,
+    max_gap_seconds: float | None = None,
+) -> DataFrame:
+    """Aggregate funnel report: how many keys completed exactly k
+    steps, for k = 0..len(steps). The per-key frame collapses to at
+    most len(steps)+1 rows."""
+    per_key = funnel_completion(
+        df, key_col, ts_col, step_preds, tiebreak_col, max_gap_seconds
+    )
+    return (
+        per_key.groupBy("steps_completed")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+    )

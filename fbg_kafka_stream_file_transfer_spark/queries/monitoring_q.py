@@ -717,7 +717,61 @@ FROM j
 )
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-step ordered funnel (signup → view → click → purchase) in one
+    shuffle: per-user sorted event array + greedy Catalyst state
+    machine, vs the oracle's 4 chained min-joins."""
+    from ..operators.funnel import funnel_histogram
+
+    ev = load_table(spark, sf_dir, "events")
+    steps = [
+        F.col("event_type") == s for s in ("signup", "view", "click", "purchase")
+    ]
+    return funnel_histogram(
+        ev, "user_id", "ts", steps, tiebreak_col="event_id",
+        max_gap_seconds=259200,  # 3-day conversion window between steps
+    )
+
+
+QUERIES["funnel_signup_purchase"] = Q(
+    _q_funnel,
+    """
+WITH t1 AS (SELECT user_id, min(epoch(ts)) AS t FROM events
+            WHERE event_type = 'signup' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(epoch(e.ts)) AS t FROM events e
+       JOIN t1 ON e.user_id = t1.user_id
+       WHERE e.event_type = 'view' AND epoch(e.ts) > t1.t
+         AND epoch(e.ts) <= t1.t + 259200 GROUP BY 1),
+t3 AS (SELECT e.user_id, min(epoch(e.ts)) AS t FROM events e
+       JOIN t2 ON e.user_id = t2.user_id
+       WHERE e.event_type = 'click' AND epoch(e.ts) > t2.t
+         AND epoch(e.ts) <= t2.t + 259200 GROUP BY 1),
+t4 AS (SELECT e.user_id, min(epoch(e.ts)) AS t FROM events e
+       JOIN t3 ON e.user_id = t3.user_id
+       WHERE e.event_type = 'purchase' AND epoch(e.ts) > t3.t
+         AND epoch(e.ts) <= t3.t + 259200 GROUP BY 1)
+SELECT steps_completed, count(*)::BIGINT AS n_keys
+FROM (
+  SELECT u.user_id,
+         CASE WHEN t4.user_id IS NOT NULL THEN 4
+              WHEN t3.user_id IS NOT NULL THEN 3
+              WHEN t2.user_id IS NOT NULL THEN 2
+              WHEN t1.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS steps_completed
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN t1 ON u.user_id = t1.user_id
+  LEFT JOIN t2 ON u.user_id = t2.user_id
+  LEFT JOIN t3 ON u.user_id = t3.user_id
+  LEFT JOIN t4 ON u.user_id = t4.user_id
+)
+GROUP BY 1
+""",
+    doc="ordered 4-step funnel in one shuffle (greedy array state machine vs chained min-joins)",
+)
+
+
 _ORDER = [
+    "funnel_signup_purchase",
     "ts_gapfill_forward",
     "cdc_scd2_intervals",
     "cdc_latest_state",

@@ -1,0 +1,78 @@
+"""Funnel analysis (operators/funnel.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from fbg_kafka_stream_file_transfer_spark.operators.funnel import (
+    funnel_completion,
+    funnel_histogram,
+)
+
+T0 = datetime(2024, 1, 1)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(u, T0 + timedelta(seconds=s), i, e) for i, (u, s, e) in enumerate(rows)],
+        "user string, ts timestamp, eid long, etype string",
+    )
+
+
+def _steps():
+    return [F.col("etype") == s for s in ("a", "b", "c")]
+
+
+def test_greedy_order_and_strictly_after(spark):
+    df = _df(
+        spark,
+        [
+            ("u1", 0, "a"), ("u1", 10, "b"), ("u1", 20, "c"),   # full funnel
+            ("u2", 0, "b"), ("u2", 10, "a"), ("u2", 20, "b"),   # b before a ignored
+            ("u3", 0, "a"), ("u3", 0, "b"),                      # same ts: not after
+        ],
+    )
+    out = {
+        r.user: (r.steps_completed, r.step_times)
+        for r in funnel_completion(df, "user", "ts", _steps(), "eid").collect()
+    }
+    assert out["u1"][0] == 3
+    assert out["u2"][0] == 2  # a at t=10, then the LATER b at t=20
+    assert out["u2"][1][1] > out["u2"][1][0]
+    assert out["u3"][0] == 1  # strict >: the equal-ts b doesn't count
+
+
+def test_conversion_window_binds_to_earliest(spark):
+    """Amplitude-style greedy: step binds to its EARLIEST qualifying
+    event even when a later one would let the tail fit the window."""
+    rows = [("u1", 0, "a"), ("u1", 5, "b"), ("u1", 100, "c")]
+    df = _df(spark, rows)
+    full = funnel_completion(df, "user", "ts", _steps(), "eid").collect()[0]
+    assert full.steps_completed == 3
+    narrow = funnel_completion(
+        df, "user", "ts", _steps(), "eid", max_gap_seconds=50
+    ).collect()[0]
+    assert narrow.steps_completed == 2  # c is 95s after b — out of window
+
+
+def test_histogram_counts_all_levels_one_shuffle(spark):
+    df = _df(spark, [("u1", 0, "a"), ("u2", 0, "x"), ("u3", 0, "a"), ("u3", 1, "b")])
+    out = funnel_histogram(df, "user", "ts", _steps(), "eid")
+    got = {r.steps_completed: r.n_keys for r in out.collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    # per-key rollup is the only data-sized exchange; the histogram agg
+    # re-shuffles only the per-key frame
+    assert "Join" not in plan and "Cartesian" not in plan
+
+
+def test_validation(spark):
+    df = _df(spark, [("u1", 0, "a")])
+    with pytest.raises(ValueError):
+        funnel_completion(df, "user", "ts", [])
+    with pytest.raises(ValueError):
+        funnel_completion(df, "user", "ts", _steps(), max_gap_seconds=0)
