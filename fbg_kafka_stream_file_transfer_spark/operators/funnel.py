@@ -110,3 +110,49 @@ def funnel_histogram(
         per_key.groupBy("steps_completed")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket_seconds: int = 604800,
+    fmt: str = "yyyy-MM-dd HH:mm:ss",
+) -> DataFrame:
+    """Cohort retention triangle: keys are cohorted by the time bucket
+    of their FIRST activity; for each (cohort, offset) cell, how many
+    of the cohort's keys were active ``offset`` buckets later, and what
+    fraction of the cohort that is — the weekly-retention report every
+    product team reads next to the funnel.
+
+    Scale shape: activity dedups to (key, bucket) first — the frame
+    every later step runs on, corpus-size-independent per key — then
+    the cohort label is a per-key window min (same exchange as the
+    dedup when Catalyst reuses partitioning), the cell roll-up is a
+    keyed agg on (cohort, offset), and the cohort-size denominator is
+    a window over the tiny cell frame. No joins, no corpus-wide
+    window. Output: (cohort_start, week_offset, n_active,
+    retention_rate).
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
+    from pyspark.sql.window import Window
+
+    wk = F.floor(epoch_seconds(F.col(ts_col)) / bucket_seconds).cast("long")
+    act = df.select(F.col(key_col).alias("_k"), wk.alias("_w")).distinct()
+    cohorted = act.withColumn("_c", F.min("_w").over(Window.partitionBy("_k")))
+    cells = (
+        cohorted.groupBy("_c", (F.col("_w") - F.col("_c")).cast("int").alias("week_offset"))
+        .agg(F.count_distinct("_k").cast("bigint").alias("n_active"))
+    )
+    size0 = F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(
+        Window.partitionBy("_c")
+    )
+    return cells.select(
+        F.date_format(
+            F.timestamp_seconds(F.col("_c") * bucket_seconds), fmt
+        ).alias("cohort_start"),
+        "week_offset",
+        "n_active",
+        F.round(F.col("n_active").cast("double") / size0, 6).alias("retention_rate"),
+    )

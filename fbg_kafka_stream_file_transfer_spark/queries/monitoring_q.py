@@ -770,7 +770,39 @@ GROUP BY 1
 )
 
 
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle over the event stream."""
+    from ..operators.funnel import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", bucket_seconds=604800)
+
+
+QUERIES["retention_cohorts"] = Q(
+    _q_retention,
+    """
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w
+  FROM events
+), c AS (
+  SELECT user_id, w, min(w) OVER (PARTITION BY user_id) AS cw FROM act
+), g AS (
+  SELECT cw, CAST(w - cw AS INTEGER) AS week_offset,
+         count(DISTINCT user_id)::BIGINT AS n_active
+  FROM c GROUP BY 1, 2
+)
+SELECT strftime(make_timestamp(cw * 604800 * 1000000), '%Y-%m-%d %H:%M:%S') AS cohort_start,
+       week_offset, n_active,
+       round(n_active::DOUBLE / max(CASE WHEN week_offset = 0 THEN n_active END)
+             OVER (PARTITION BY cw), 6) AS retention_rate
+FROM g
+""",
+    doc="weekly cohort retention triangle (first-activity cohorts, per-offset active share)",
+)
+
+
 _ORDER = [
+    "retention_cohorts",
     "funnel_signup_purchase",
     "ts_gapfill_forward",
     "cdc_scd2_intervals",

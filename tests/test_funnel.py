@@ -76,3 +76,31 @@ def test_validation(spark):
         funnel_completion(df, "user", "ts", [])
     with pytest.raises(ValueError):
         funnel_completion(df, "user", "ts", _steps(), max_gap_seconds=0)
+
+
+def test_cohort_retention_triangle(spark):
+    """u1,u2 cohort week 0 (u2 churns); u3 cohorts week 1. Rates are
+    relative to each cohort's own week-0 size."""
+    rows = [
+        ("u1", 0, "a"), ("u1", 604800 + 5, "a"),       # active w0, w1
+        ("u2", 10, "a"),                               # active w0 only
+        ("u3", 604800 + 50, "a"),                      # cohort w1
+    ]
+    df = _df(spark, rows)
+    from fbg_kafka_stream_file_transfer_spark.operators.funnel import (
+        cohort_retention,
+    )
+
+    out = cohort_retention(df, "user", "ts", bucket_seconds=604800)
+    got = {
+        (r.cohort_start[:10], r.week_offset): (r.n_active, r.retention_rate)
+        for r in out.collect()
+    }
+    # epoch week boundaries: T0 (2024-01-01) sits inside week starting 2023-12-28
+    starts = sorted({k[0] for k in got})
+    w0, w1 = starts[0], starts[1]
+    assert got[(w0, 0)] == (2, 1.0)
+    assert got[(w0, 1)] == (1, 0.5)
+    assert got[(w1, 0)] == (1, 1.0)
+    with pytest.raises(ValueError):
+        cohort_retention(df, "user", "ts", bucket_seconds=0)
