@@ -348,3 +348,47 @@ def temperature_mixture_rates(
         F.round(rate, 6).alias("sample_rate"),
         F.floor(F.round(F.col("_q") * t_level, 9)).cast("bigint").alias("expected_docs"),
     )
+
+
+def weighted_sample_topn(
+    df: DataFrame, id_col: str, weight_col: str, n: int
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row gets a portable uniform u from the md5 of
+    its id and the rank ``ln(u)/w`` — taking the top ``n`` by that rank
+    draws a sample where inclusion probability is proportional to
+    weight, yet the draw is seed-free, engine-portable, and partition-
+    independent (the same determinism contract as every sampler here;
+    ln is order-isomorphic to the textbook u^(1/w) and better
+    conditioned). The rank is ROUNDED to 12 dp with an id tie-break
+    before ordering (queries.base ordering rule), so a cross-engine ulp
+    wiggle in ln/÷ can't flip membership.
+
+    Rows with NULL or non-positive weight are excluded (they carry no
+    sampling mass). Plans as TakeOrderedAndProject — per-partition
+    top-n, no global sort. Adds ``sample_rank`` (1-based) and
+    ``es_rank`` (the rounded rank, for auditability).
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    from pyspark.sql.window import Window
+
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(16**15))
+    )
+    w = F.col(weight_col).cast("double")
+    rank = F.round(F.log(u) / w, 12)
+    top = (
+        df.filter(w > 0)
+        .withColumn("_r", rank)
+        .orderBy(F.col("_r").desc(), F.col(id_col).asc())
+        .limit(n)
+    )
+    win = Window.orderBy(F.col("_r").desc(), F.col(id_col).asc())
+    return (
+        top.withColumn("sample_rank", F.row_number().over(win))
+        .withColumn("es_rank", F.round("_r", 6))
+        .drop("_r")
+    )

@@ -550,3 +550,32 @@ FROM t
 """,
     doc="temperature-scaled (alpha=0.3) mixture rates at the no-upsampling corpus size",
 )
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted 25-doc sample (A-ES, seed-free): long documents
+    proportionally likelier, membership engine-portable."""
+    from ..operators.sampling import weighted_sample_topn
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return weighted_sample_topn(d, "doc_id", "n_chars", 25)
+
+
+QUERIES["sample_weighted_topn"] = Q(
+    _q_weighted_sample,
+    f"""
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         round(ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   / CAST({float(16**15)} AS DOUBLE))) / n_chars, 12) AS rr
+  FROM documents WHERE n_chars > 0
+), t AS (
+  SELECT *, row_number() OVER (ORDER BY rr DESC, doc_id ASC) AS sample_rank
+  FROM r
+)
+SELECT doc_id, lang, n_chars, CAST(sample_rank AS INTEGER) AS sample_rank,
+       round(rr, 6) AS es_rank
+FROM t WHERE sample_rank <= 25
+""",
+    doc="weighted sampling without replacement (Efraimidis-Spirakis, portable-hash ranks)",
+)

@@ -452,3 +452,51 @@ class TestTemperatureMixture:
 
         with pytest.raises(ValueError):
             temperature_mixture_rates(self._groups(spark, {"en": 1}), "lang", -0.1)
+
+
+class TestWeightedSample:
+    def test_extreme_weight_dominates_and_nonpositive_excluded(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+            weighted_sample_topn,
+        )
+
+        rows = [(i, 1.0) for i in range(100)] + [(100, 1e9), (101, 0.0), (102, None)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        out = weighted_sample_topn(df, "id", "w", 5).collect()
+        ids = [r.id for r in out]
+        # ln(u)/1e9 ≈ 0 beats every unit-weight row's negative rank
+        assert ids[0] == 100
+        assert 101 not in ids and 102 not in ids
+        assert [r.sample_rank for r in out] == [1, 2, 3, 4, 5]
+
+    def test_partition_independence_and_topn_plan(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+            weighted_sample_topn,
+        )
+
+        rows = [(i, float(1 + i % 7)) for i in range(500)]
+        base = spark.createDataFrame(rows, "id long, w double")
+        picks = None
+        for nparts in (1, 7, 32):
+            got = [
+                (r.id, r.es_rank)
+                for r in weighted_sample_topn(base.repartition(nparts), "id", "w", 20).collect()
+            ]
+            picks = picks or got
+            assert got == picks, nparts
+        plan = (
+            weighted_sample_topn(base, "id", "w", 20)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+            weighted_sample_topn,
+        )
+
+        df = spark.createDataFrame([(1, 1.0)], "id long, w double")
+        with _pytest.raises(ValueError):
+            weighted_sample_topn(df, "id", "w", 0)
