@@ -180,3 +180,61 @@ def resample_forward_fill(
         filled.alias("value"),
         F.col("_mean").isNull().cast("int").alias("filled"),
     )
+
+
+def kmv_key_overlap(
+    df_a: DataFrame, col_a: str, df_b: DataFrame, col_b: str, k: int = 256
+) -> DataFrame:
+    """KMV set-overlap estimate between two key columns — the pre-join
+    cardinality probe ("how many customers in A also appear in B?")
+    run on sketches instead of a shuffle join of the full sides.
+
+    Standard KMV algebra (Beyer et al.): merge = the k smallest hashes
+    of the union of both k-min sketches; |A∪B| ≈ (k-1)/τ with τ the
+    merge's kth hash (exact when fewer than k survive); Jaccard ≈ the
+    fraction of merge members present in BOTH sketches; |A∩B| =
+    Jaccard × |A∪B|. Deterministic md5 hashing (module docstring), so
+    the DuckDB oracle hash-matches exactly.
+
+    Scale: each side reduces map-side to its distinct hashes, then to k
+    rows; everything after operates on ≤2k-row frames (broadcast-sized
+    by construction). One row out: (n_kept, union_est, jaccard_est,
+    intersection_est).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    def sketch(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.filter(F.col(col).isNotNull())
+            .select(_uniform_hash(F.col(col)).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+        )
+
+    sa = sketch(df_a, col_a).withColumn("_a", F.lit(1))
+    sb = sketch(df_b, col_b).withColumn("_b", F.lit(1))
+    merged = (
+        sa.select("h").union(sb.select("h")).distinct().orderBy("h").limit(k)
+    )
+    marked = (
+        merged.join(sa, "h", "left").join(sb, "h", "left")
+    )
+    agg = marked.agg(
+        F.count("*").alias("n_kept"),
+        F.max("h").alias("_tau"),
+        F.sum(
+            (F.col("_a").isNotNull() & F.col("_b").isNotNull()).cast("int")
+        ).alias("_both"),
+    )
+    union_est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise((F.lit(k) - 1) / F.col("_tau"))
+    jaccard = F.col("_both") / F.col("n_kept")
+    return agg.select(
+        "n_kept",
+        F.round(union_est, 3).alias("union_est"),
+        F.round(jaccard, 6).alias("jaccard_est"),
+        F.round(jaccard * union_est, 3).alias("intersection_est"),
+    )

@@ -801,7 +801,59 @@ FROM g
 )
 
 
+def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality probe: estimated overlap between the
+    purchase-making and error-generating user sets, from k=64 KMV
+    sketches instead of a full join."""
+    from ..operators.rollup import kmv_key_overlap
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase")
+    b = ev.filter(F.col("event_type") == "error")
+    return kmv_key_overlap(a, "user_id", b, "user_id", k=64)
+
+
+_KMV_HASH = "(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT / CAST({denom} AS DOUBLE))".format(
+    denom=float(16**15)
+)
+
+QUERIES["sketch_key_overlap"] = Q(
+    _q_kmv_overlap,
+    f"""
+WITH sa AS (
+  SELECT DISTINCT {_KMV_HASH} AS h FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+  ORDER BY h LIMIT 64
+), sb AS (
+  SELECT DISTINCT {_KMV_HASH} AS h FROM events
+  WHERE event_type = 'error' AND user_id IS NOT NULL
+  ORDER BY h LIMIT 64
+), merged AS (
+  SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb) ORDER BY h LIMIT 64
+), marked AS (
+  SELECT m.h,
+         (m.h IN (SELECT h FROM sa))::INTEGER AS in_a,
+         (m.h IN (SELECT h FROM sb))::INTEGER AS in_b
+  FROM merged m
+), agg AS (
+  SELECT count(*) AS n_kept, max(h) AS tau,
+         sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS n_both
+  FROM marked
+)
+SELECT n_kept,
+       round(CASE WHEN n_kept < 64 THEN n_kept::DOUBLE ELSE 63 / tau END, 3) AS union_est,
+       round(n_both / n_kept, 6) AS jaccard_est,
+       round((n_both / n_kept) *
+             CASE WHEN n_kept < 64 THEN n_kept::DOUBLE ELSE 63 / tau END, 3)
+         AS intersection_est
+FROM agg
+""",
+    doc="KMV sketch set-overlap estimate (pre-join cardinality probe, deterministic hashing)",
+)
+
+
 _ORDER = [
+    "sketch_key_overlap",
     "retention_cohorts",
     "funnel_signup_purchase",
     "ts_gapfill_forward",

@@ -185,3 +185,29 @@ def test_resample_forward_fill_dense_grid_and_flags(spark):
     }
     with pytest.raises(ValueError):
         resample_forward_fill(df, "user_id", "ts", "value", 0)
+
+
+def test_kmv_key_overlap_exact_and_estimated(spark):
+    from fbg_kafka_stream_file_transfer_spark.operators.rollup import (
+        kmv_key_overlap,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(50, 150)], "k long")
+
+    # k larger than the union: everything is exact
+    exact = kmv_key_overlap(a, "k", b, "k", k=256).collect()[0]
+    assert exact.n_kept == 150
+    assert exact.union_est == 150.0
+    assert exact.intersection_est == 50.0
+
+    # k=64 sketch: estimates within a loose KMV error bound (~1/sqrt(k))
+    est = kmv_key_overlap(a, "k", b, "k", k=64).collect()[0]
+    assert est.n_kept == 64
+    assert abs(est.union_est - 150) / 150 < 0.5
+    assert abs(est.intersection_est - 50) / 50 < 0.6
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kmv_key_overlap(a, "k", b, "k", k=1)
