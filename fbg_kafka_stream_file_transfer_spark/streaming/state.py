@@ -257,3 +257,81 @@ def streaming_latest_state(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("steps_completed", T.IntegerType()),
+        T.StructField("step_times", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+_FUNNEL_STATE_SCHEMA = T.StructType(
+    [T.StructField("times", T.ArrayType(T.DoubleType()))]
+)
+
+
+def streaming_funnel(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_flag_cols: list[str],
+    max_gap_seconds: float | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators.funnel.funnel_completion``: per-key
+    state is the completion-time chain so far (O(steps) doubles — never
+    grows with stream length). Each micro-batch's events are processed
+    in event-time order and advance the chain greedily with the SAME
+    rule as the batch twin (next needed step, strictly after the last
+    completion, optional conversion window), so with per-key in-order
+    delivery (ST2) the two agree exactly — pinned by a unit test.
+    An event arriving AFTER a later-timestamped event already consumed
+    (cross-batch disorder) cannot retro-fill a step: completions are
+    monotone, the standard live-funnel approximation.
+
+    ``step_flag_cols`` are boolean columns (pre-computed predicates —
+    streaming-safe projection of the batch API's Column predicates).
+    Emits one row per key per batch IFF the chain advanced.
+    """
+    if not step_flag_cols:
+        raise ValueError("need at least one funnel step")
+    n = len(step_flag_cols)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        times = list(state.get[0]) if state.exists else []
+        before = len(times)
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        for _, row in rows.iterrows():
+            if len(times) >= n:
+                break
+            t = row[ts_col].value / 1e9  # epoch seconds, µs precision
+            flag = row[step_flag_cols[len(times)]]
+            ok = bool(flag) and not pd.isna(flag)
+            if ok and times:
+                ok = t > times[-1] and (
+                    max_gap_seconds is None or t <= times[-1] + max_gap_seconds
+                )
+            if ok:
+                times.append(t)
+        if len(times) > before:
+            state.update((times,))
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "steps_completed": [len(times)],
+                    "step_times": [times],
+                }
+            )
+        else:
+            yield pd.DataFrame({"key": [], "steps_completed": [], "step_times": []})
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -104,3 +104,52 @@ def test_cohort_retention_triangle(spark):
     assert got[(w1, 0)] == (1, 1.0)
     with pytest.raises(ValueError):
         cohort_retention(df, "user", "ts", bucket_seconds=0)
+
+
+def test_streaming_funnel_matches_batch_twin(spark, tmp_path):
+    """Two in-order micro-batches: final per-key funnel state equals the
+    batch operator on the concatenated events; unchanged keys emit
+    nothing in the second batch."""
+    from fbg_kafka_stream_file_transfer_spark.streaming.state import (
+        streaming_funnel,
+    )
+
+    batch1 = [("u1", 0, "a"), ("u1", 10, "b"), ("u2", 0, "a")]
+    batch2 = [("u1", 20, "c"), ("u2", 5, "x")]  # u2: no progress → no emit
+    schema = "user string, ts timestamp, eid long, etype string"
+    src = tmp_path / "funnel_src"
+    _df(spark, batch1).coalesce(1).write.parquet(str(src / "b1"))
+    _df(spark, batch2).coalesce(1).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    flagged = stream.select(
+        "user", "ts",
+        *[(F.col("etype") == s).alias(f"s{i}") for i, s in enumerate(("a", "b", "c"))],
+    )
+    out = streaming_funnel(flagged, "user", "ts", ["s0", "s1", "s2"])
+    q = (
+        out.writeStream.format("memory").queryName("funnel_stream")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM funnel_stream").collect()
+    finally:
+        q.stop()
+    per_key = {}
+    for r in emitted:
+        per_key.setdefault(r.key, []).append(r)
+    assert len(per_key["u1"]) == 2 and len(per_key["u2"]) == 1
+    final = {k: max(v, key=lambda r: r.steps_completed) for k, v in per_key.items()}
+    batch = {
+        r.user: r
+        for r in funnel_completion(
+            _df(spark, batch1 + batch2), "user", "ts", _steps(), "eid"
+        ).collect()
+    }
+    for k, br in batch.items():
+        assert final[k].steps_completed == br.steps_completed, k
+        assert list(final[k].step_times) == list(br.step_times), k
