@@ -156,3 +156,68 @@ def cohort_retention(
         "n_active",
         F.round(F.col("n_active").cast("double") / size0, 6).alias("retention_rate"),
     )
+
+
+def association_pairs(
+    df: DataFrame, key_col: str, item_col: str, min_support: float = 0.0
+) -> DataFrame:
+    """Pairwise association mining (market-basket support/confidence/
+    lift over co-occurrence within a key): which event types / items
+    appear together in the same user's history more than chance
+    predicts. The third leg of the product-analytics stack next to
+    funnel and retention.
+
+    Scale shape: the corpus first dedups to DISTINCT (key, item) — the
+    only data-sized shuffle, and the frame every later step uses; the
+    pair self-join is an equi-join on the key where each key
+    contributes C(items_per_key, 2) pairs (bounded by per-key catalog
+    breadth, not corpus size — the same per-key contract as funnel);
+    item marginals are a tiny frame broadcast back onto the pair
+    counts. NULL items are dropped.
+
+    Output, per unordered pair (item_a < item_b): n_keys_both,
+    support (share of all keys), confidence_a_to_b, and lift
+    (support / (p_a·p_b); > 1 ⇒ positively associated). Doubles
+    rounded to 6; ``min_support`` prunes rare pairs.
+    """
+    if not 0.0 <= min_support <= 1.0:
+        raise ValueError(f"min_support must be in [0, 1], got {min_support}")
+    base = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(F.col(key_col).alias("_k"), F.col(item_col).alias("_i"))
+        .distinct()
+    )
+    n_keys = base.select("_k").distinct().count()
+    if n_keys == 0:
+        raise ValueError("no keys with non-null items")
+    marg = base.groupBy("_i").agg(F.count(F.lit(1)).cast("bigint").alias("_ni"))
+    a, b = base.alias("a"), base.alias("b")
+    pairs = (
+        a.join(b, (F.col("a._k") == F.col("b._k")) & (F.col("a._i") < F.col("b._i")))
+        .groupBy(F.col("a._i").alias("item_a"), F.col("b._i").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys_both"))
+    )
+    enriched = (
+        pairs.join(
+            F.broadcast(marg.select(F.col("_i").alias("item_a"), F.col("_ni").alias("_na"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("_i").alias("item_b"), F.col("_ni").alias("_nb"))),
+            "item_b",
+        )
+    )
+    support = F.col("n_keys_both") / F.lit(float(n_keys))
+    p_a = F.col("_na") / F.lit(float(n_keys))
+    p_b = F.col("_nb") / F.lit(float(n_keys))
+    return (
+        enriched.filter(support >= min_support)
+        .select(
+            "item_a",
+            "item_b",
+            "n_keys_both",
+            F.round(support, 6).alias("support"),
+            F.round(F.col("n_keys_both") / F.col("_na"), 6).alias("confidence_a_to_b"),
+            F.round(support / (p_a * p_b), 6).alias("lift"),
+        )
+    )

@@ -73,3 +73,68 @@ def profile_embeddings(df: DataFrame, vec_col: str) -> DataFrame:
         F.round(F.avg("_nrm"), 6).alias("norm_mean"),
         F.round(F.max("_nrm"), 6).alias("norm_max"),
     )
+
+
+def profile_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation matrix over numeric columns in ONE
+    scan — the multi-column half of table profiling (which raw features
+    move together, which are redundant before a model sees them).
+
+    Determinism: built-in ``corr`` accumulates running double moments
+    whose value depends on row order, so two engines (or two shuffle
+    layouts) disagree in the last digits. Here every moment (Σx, Σx²,
+    Σxy) is summed in quantized DECIMAL — exact, order-independent
+    (the queries.base money rule) — and only the final closed-form
+    combination runs in doubles, so the result is bit-stable across
+    engines and partitionings. Rows where either column is NULL are
+    excluded per pair (pairwise deletion).
+
+    Scale: one aggregation over one scan, all O(k²) moments as
+    conditional sums with map-side partials; output is k·(k-1)/2 rows.
+    The decimal moments hold ~10^26 of quantized mass (DECIMAL(38,12));
+    at extreme row counts pre-aggregate per shard and combine, same as
+    any exact-decimal rollup.
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            xa = F.col(a).cast("decimal(18,6)")
+            xb = F.col(b).cast("decimal(18,6)")
+            both = F.col(a).isNotNull() & F.col(b).isNotNull()
+            pre = f"{a}__{b}"
+            aggs += [
+                F.sum(F.when(both, F.lit(1))).cast("long").alias(f"n_{pre}"),
+                F.sum(F.when(both, xa)).cast("double").alias(f"sx_{pre}"),
+                F.sum(F.when(both, xb)).cast("double").alias(f"sy_{pre}"),
+                F.sum(F.when(both, (xa * xb).cast("decimal(38,12)")))
+                .cast("double").alias(f"sxy_{pre}"),
+                F.sum(F.when(both, (xa * xa).cast("decimal(38,12)")))
+                .cast("double").alias(f"sxx_{pre}"),
+                F.sum(F.when(both, (xb * xb).cast("decimal(38,12)")))
+                .cast("double").alias(f"syy_{pre}"),
+            ]
+    wide = df.agg(*aggs)
+    rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            pre = f"{a}__{b}"
+            n = F.col(f"n_{pre}").cast("double")
+            cov = n * F.col(f"sxy_{pre}") - F.col(f"sx_{pre}") * F.col(f"sy_{pre}")
+            vx = n * F.col(f"sxx_{pre}") - F.col(f"sx_{pre}") * F.col(f"sx_{pre}")
+            vy = n * F.col(f"syy_{pre}") - F.col(f"sy_{pre}") * F.col(f"sy_{pre}")
+            corr = F.when(
+                (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)
+            )
+            rows.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col(f"n_{pre}").alias("n"),
+                    (F.round(corr, 6) + F.lit(0.0)).alias("corr"),
+                )
+            )
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.col_a", "r.col_b", "r.n", "r.corr"
+    )

@@ -852,7 +852,46 @@ FROM agg
 )
 
 
+def _q_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type association pairs per user (support / confidence /
+    lift): distinct-first, per-key-bounded pair join, broadcast
+    marginals."""
+    from ..operators.funnel import association_pairs
+
+    ev = load_table(spark, sf_dir, "events")
+    return association_pairs(ev, "user_id", "event_type")
+
+
+QUERIES["association_event_pairs"] = Q(
+    _q_association,
+    """
+WITH base AS (
+  SELECT DISTINCT user_id AS k, event_type AS i FROM events
+  WHERE event_type IS NOT NULL
+), nk AS (
+  SELECT count(DISTINCT k)::DOUBLE AS n FROM base
+), marg AS (
+  SELECT i, count(*)::BIGINT AS ni FROM base GROUP BY 1
+), pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b, count(*)::BIGINT AS n_keys_both
+  FROM base a JOIN base b ON a.k = b.k AND a.i < b.i
+  GROUP BY 1, 2
+)
+SELECT p.item_a, p.item_b, p.n_keys_both,
+       round(p.n_keys_both / nk.n, 6) AS support,
+       round(p.n_keys_both::DOUBLE / ma.ni, 6) AS confidence_a_to_b,
+       round((p.n_keys_both / nk.n) / ((ma.ni / nk.n) * (mb.ni / nk.n)), 6) AS lift
+FROM pairs p
+CROSS JOIN nk
+JOIN marg ma ON p.item_a = ma.i
+JOIN marg mb ON p.item_b = mb.i
+""",
+    doc="pairwise association mining over per-user event types (support/confidence/lift)",
+)
+
+
 _ORDER = [
+    "association_event_pairs",
     "sketch_key_overlap",
     "retention_cohorts",
     "funnel_signup_purchase",

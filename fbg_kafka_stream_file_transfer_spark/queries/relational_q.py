@@ -809,3 +809,53 @@ WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
     doc="compaction-bin planning: distributed global running sum (two-phase prefix), floor-binned",
 )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _q_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal-exact Pearson matrix over lineitem numerics — one scan,
+    order-independent moments (vs engine-varying running-double corr)."""
+    from ..operators.profile import profile_correlations
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_correlations(li, _CORR_COLS)
+
+
+def _corr_oracle(cols: list[str]) -> str:
+    """DuckDB mirror generated from the SAME pair loop as the operator."""
+    selects = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            # quantize at 6 dp exactly like the operator; the wider
+            # precision only changes DuckDB's multiply width (int128),
+            # not the value
+            qa = f"CAST({a} AS DECIMAL(28,6))"
+            qb = f"CAST({b} AS DECIMAL(28,6))"
+            both = f"{a} IS NOT NULL AND {b} IS NOT NULL"
+            n = f"CAST(sum(CASE WHEN {both} THEN 1 END) AS BIGINT)"
+            sx = f"CAST(sum(CASE WHEN {both} THEN {qa} END) AS DOUBLE)"
+            sy = f"CAST(sum(CASE WHEN {both} THEN {qb} END) AS DOUBLE)"
+            sxy = f"CAST(sum(CASE WHEN {both} THEN CAST({qa} * {qb} AS DECIMAL(38,12)) END) AS DOUBLE)"
+            sxx = f"CAST(sum(CASE WHEN {both} THEN CAST({qa} * {qa} AS DECIMAL(38,12)) END) AS DOUBLE)"
+            syy = f"CAST(sum(CASE WHEN {both} THEN CAST({qb} * {qb} AS DECIMAL(38,12)) END) AS DOUBLE)"
+            nn = f"CAST({n} AS DOUBLE)"
+            cov = f"({nn} * {sxy} - {sx} * {sy})"
+            vx = f"({nn} * {sxx} - {sx} * {sx})"
+            vy = f"({nn} * {syy} - {sy} * {sy})"
+            corr = (
+                f"CASE WHEN {vx} > 0 AND {vy} > 0 "
+                f"THEN round({cov} / sqrt({vx} * {vy}), 6) + 0.0 END"
+            )
+            selects.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, {n} AS n, {corr} AS corr FROM lineitem"
+            )
+    return "\nUNION ALL\n".join(selects)
+
+
+QUERIES["profile_correlations_lineitem"] = Q(
+    _q_correlations,
+    _corr_oracle(_CORR_COLS),
+    doc="pairwise Pearson matrix with decimal-exact (order-independent) moments, one scan",
+)

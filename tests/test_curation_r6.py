@@ -345,3 +345,37 @@ class TestPlanShapes:
             bloom_membership_gate(keys, keys.limit(20), "k", m=2048, k=4)
         )
         assert "BroadcastExchange" in plan
+
+
+class TestProfileCorrelations:
+    def test_matches_numpy_and_handles_nulls_and_constants(self, spark):
+        import numpy as np
+
+        from fbg_kafka_stream_file_transfer_spark.operators.profile import (
+            profile_correlations,
+        )
+
+        x = [float(i) for i in range(50)]
+        y = [2.0 * v + 1.0 for v in x]           # corr exactly 1
+        z = [float((i * 17) % 13) for i in range(50)]
+        rows = list(zip(x, y, z)) + [(None, 1.0, 2.0)]  # null excluded pairwise
+        df = spark.createDataFrame(rows, "x double, y double, z double")
+        got = {
+            (r.col_a, r.col_b): r for r in profile_correlations(df, ["x", "y", "z"]).collect()
+        }
+        assert got[("x", "y")].n == 50 and got[("x", "y")].corr == 1.0
+        ref = float(np.corrcoef(x, z)[0, 1])
+        assert abs(got[("x", "z")].corr - ref) < 1e-6
+        assert got[("y", "z")].n == 51  # the null row has both y and z
+
+        const = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0)], "a double, b double")
+        from fbg_kafka_stream_file_transfer_spark.operators.profile import (
+            profile_correlations as pc,
+        )
+        r = pc(const, ["a", "b"]).collect()[0]
+        assert r.corr is None  # zero variance → undefined, not NaN/garbage
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            pc(const, ["a"])

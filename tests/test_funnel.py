@@ -153,3 +153,30 @@ def test_streaming_funnel_matches_batch_twin(spark, tmp_path):
     for k, br in batch.items():
         assert final[k].steps_completed == br.steps_completed, k
         assert list(final[k].step_times) == list(br.step_times), k
+
+
+def test_association_pairs_support_confidence_lift(spark):
+    from fbg_kafka_stream_file_transfer_spark.operators.funnel import (
+        association_pairs,
+    )
+
+    # 4 users: a+b together twice, a alone once, c alone once
+    rows = [
+        ("u1", "a"), ("u1", "b"),
+        ("u2", "a"), ("u2", "b"), ("u2", "b"),  # duplicate (u2,b) collapses
+        ("u3", "a"),
+        ("u4", "c"),
+    ]
+    df = spark.createDataFrame(rows, "user string, item string")
+    out = {(r.item_a, r.item_b): r for r in association_pairs(df, "user", "item").collect()}
+    r = out[("a", "b")]
+    assert r.n_keys_both == 2
+    assert r.support == 0.5              # 2 of 4 users
+    assert r.confidence_a_to_b == round(2 / 3, 6)  # a appears for 3 users
+    assert r.lift == round(0.5 / ((3 / 4) * (2 / 4)), 6)  # > 1: associated
+    assert ("a", "c") not in out         # never co-occur → no pair row
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        association_pairs(df, "user", "item", min_support=1.5)
