@@ -138,3 +138,43 @@ def profile_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
     return wide.select(F.explode(F.array(*rows)).alias("r")).select(
         "r.col_a", "r.col_b", "r.n", "r.corr"
     )
+
+
+def equidepth_histogram(df: DataFrame, col: str, buckets: int = 10) -> DataFrame:
+    """Equi-depth (quantile-bucketed) histogram WITHOUT the
+    ntile-over-global-order trap: ``ntile(k) OVER (ORDER BY v)`` drags
+    the whole corpus through one WindowExec partition. Here the k-1
+    exact interior quantile boundaries come from ONE percentile
+    aggregation (a 1-row result), get broadcast back, and bucket
+    assignment is a map-side comparison — the same
+    boundaries-then-broadcast shape as the IVF quantizer.
+
+    A row lands in bucket = #(boundaries <= value), so duplicates of a
+    boundary value all land together (deterministic; with heavy ties
+    depths are approximately equal — the standard behavior). NULLs are
+    dropped. Output per non-empty bucket: (bucket, n, lo, hi), values
+    rounded to 6.
+    """
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    probs = [i / buckets for i in range(1, buckets)]
+    src = df.filter(F.col(col).isNotNull())
+    bounds = src.agg(
+        *[
+            F.expr(f"percentile({col}, {p!r})").alias(f"_q{i}")
+            for i, p in enumerate(probs)
+        ]
+    )
+    marked = src.crossJoin(F.broadcast(bounds))
+    bucket = None
+    for i in range(len(probs)):
+        term = (F.col(col) >= F.col(f"_q{i}")).cast("int")
+        bucket = term if bucket is None else bucket + term
+    return (
+        marked.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min(col), 6).alias("lo"),
+            F.round(F.max(col), 6).alias("hi"),
+        )
+    )

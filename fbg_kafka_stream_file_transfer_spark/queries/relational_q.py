@@ -859,3 +859,33 @@ QUERIES["profile_correlations_lineitem"] = Q(
     _corr_oracle(_CORR_COLS),
     doc="pairwise Pearson matrix with decimal-exact (order-independent) moments, one scan",
 )
+
+
+def _q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth price histogram — broadcast exact-quantile boundaries,
+    map-side bucketing; no single-partition ntile window."""
+    from ..operators.profile import equidepth_histogram
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return equidepth_histogram(li, "l_extendedprice", buckets=10)
+
+
+def _equidepth_oracle(col: str, buckets: int) -> str:
+    probs = [i / buckets for i in range(1, buckets)]
+    qs = ", ".join(
+        f"quantile_cont({col}, {p!r}) AS q{i}" for i, p in enumerate(probs)
+    )
+    terms = " + ".join(f"({col} >= q{i})::INT" for i in range(len(probs)))
+    return f"""
+WITH b AS (SELECT {qs} FROM lineitem WHERE {col} IS NOT NULL)
+SELECT {terms} AS bucket, count(*)::BIGINT AS n,
+       round(min({col}), 6) AS lo, round(max({col}), 6) AS hi
+FROM lineitem, b WHERE {col} IS NOT NULL GROUP BY 1
+"""
+
+
+QUERIES["agg_equidepth_histogram"] = Q(
+    _q_equidepth,
+    _equidepth_oracle("l_extendedprice", 10),
+    doc="equi-depth histogram via broadcast exact-quantile boundaries (no global ntile window)",
+)

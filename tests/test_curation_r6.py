@@ -379,3 +379,28 @@ class TestProfileCorrelations:
 
         with _pytest.raises(ValueError):
             pc(const, ["a"])
+
+
+class TestEquidepthHistogram:
+    def test_depths_and_no_global_window(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.profile import (
+            equidepth_histogram,
+        )
+
+        df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+        out = equidepth_histogram(df, "v", buckets=4)
+        rows = {r.bucket: r for r in out.collect()}
+        assert sorted(rows) == [0, 1, 2, 3]
+        assert [rows[b].n for b in sorted(rows)] == [25, 25, 25, 25]
+        assert rows[0].lo == 0.0 and rows[3].hi == 99.0
+        # buckets are contiguous, non-overlapping
+        for b in (0, 1, 2):
+            assert rows[b].hi < rows[b + 1].lo
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "Window" not in plan  # boundaries broadcast, never ntile
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            equidepth_histogram(df, "v", buckets=1)
