@@ -287,3 +287,82 @@ def test_boilerplate_removal_matches_python_oracle(spark, texts):
         ).collect()
     }
     assert got == expect
+
+
+def _py_funnel(events, n_steps, max_gap=None):
+    """Pure-Python greedy reference for the funnel state machine."""
+    times = []
+    for t, _eid, flags in sorted(events):
+        if len(times) >= n_steps:
+            break
+        ok = flags[len(times)]
+        if ok and times:
+            ok = t > times[-1] and (max_gap is None or t <= times[-1] + max_gap)
+        if ok:
+            times.append(t)
+    return times
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),            # seconds
+            st.integers(min_value=0, max_value=2),             # which step it matches
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    st.one_of(st.none(), st.integers(min_value=1, max_value=30)),
+)
+def test_funnel_state_machine_matches_python_reference(spark, events, max_gap):
+    from fbg_kafka_stream_file_transfer_spark.operators.funnel import (
+        funnel_completion,
+    )
+
+    rows = [
+        ("u", datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s), i, f"s{m}")
+        for i, (s, m) in enumerate(events)
+    ]
+    ref_events = [
+        (float(s + 1704067200), i, [m == j for j in range(3)])
+        for i, (s, m) in enumerate(events)
+    ]
+    expect = _py_funnel(ref_events, 3, max_gap)
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "user string, ts timestamp, eid long, etype string")
+    got = funnel_completion(
+        df,
+        "user",
+        "ts",
+        [F.col("etype") == f"s{j}" for j in range(3)],
+        tiebreak_col="eid",
+        max_gap_seconds=float(max_gap) if max_gap is not None else None,
+    ).collect()[0]
+    assert got.steps_completed == len(expect)
+    assert [round(t, 3) for t in got.step_times] == [round(t, 3) for t in expect]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=200),
+    st.integers(min_value=1, max_value=9),
+)
+def test_distributed_prefix_sum_matches_python(spark, values, nparts):
+    from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+        distributed_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "k long, v long"
+    ).repartition(4)
+    got = {
+        r.k: r.running_v
+        for r in distributed_running_sum(df, ["k"], "v", nparts).collect()
+    }
+    acc, expect = 0, {}
+    for i, v in enumerate(values):
+        acc += v
+        expect[i] = acc
+    assert got == expect
