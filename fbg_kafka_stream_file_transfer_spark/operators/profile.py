@@ -178,3 +178,39 @@ def equidepth_histogram(df: DataFrame, col: str, buckets: int = 10) -> DataFrame
             F.round(F.max(col), 6).alias("hi"),
         )
     )
+
+
+def clip_outliers(
+    df: DataFrame, col: str, p_lo: float = 0.01, p_hi: float = 0.99
+) -> DataFrame:
+    """Winsorize a numeric column at exact percentile bounds: values
+    below the ``p_lo`` quantile (or above ``p_hi``) are clamped to it —
+    the standard tail-taming pass before budget math / z-scores /
+    regression on heavy-tailed columns. Same plan shape as
+    :func:`equidepth_histogram`: ONE percentile aggregation produces a
+    1-row bounds frame, broadcast back; the clip itself is map-side.
+    NULLs pass through unclipped.
+
+    Adds ``<col>_clipped`` (double) and ``clip_flag``
+    (-1 clamped low / 0 untouched / 1 clamped high).
+    """
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError(f"need 0 <= p_lo < p_hi <= 1, got {p_lo}/{p_hi}")
+    src = df
+    bounds = src.filter(F.col(col).isNotNull()).agg(
+        F.expr(f"percentile({col}, {p_lo!r})").alias("_lo_b"),
+        F.expr(f"percentile({col}, {p_hi!r})").alias("_hi_b"),
+    )
+    v = F.col(col).cast("double")
+    clipped = F.least(F.greatest(v, F.col("_lo_b")), F.col("_hi_b"))
+    flag = (
+        F.when(v < F.col("_lo_b"), F.lit(-1))
+        .when(v > F.col("_hi_b"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        src.crossJoin(F.broadcast(bounds))
+        .withColumn(f"{col}_clipped", F.when(v.isNotNull(), clipped))
+        .withColumn("clip_flag", F.when(v.isNotNull(), flag).otherwise(F.lit(0)))
+        .drop("_lo_b", "_hi_b")
+    )

@@ -889,3 +889,37 @@ QUERIES["agg_equidepth_histogram"] = Q(
     _equidepth_oracle("l_extendedprice", 10),
     doc="equi-depth histogram via broadcast exact-quantile boundaries (no global ntile window)",
 )
+
+
+def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized summary of the heavy tail: clip event values at the
+    exact 1st/99th percentiles, report per-flag counts and the
+    decimal-exact mean of the clipped column."""
+    from ..operators.profile import clip_outliers
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    clipped = clip_outliers(ev, "value", 0.01, 0.99)
+    q = F.col("value_clipped").cast("decimal(18,6)")
+    return clipped.groupBy("clip_flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum(q).cast("double") / F.count(F.lit(1)), 6).alias("mean_clipped"),
+    )
+
+
+QUERIES["profile_winsorized_values"] = Q(
+    _q_winsorize,
+    """
+WITH b AS (
+  SELECT quantile_cont(value, 0.01) AS lo, quantile_cont(value, 0.99) AS hi
+  FROM events WHERE value IS NOT NULL
+), c AS (
+  SELECT CASE WHEN value < lo THEN -1 WHEN value > hi THEN 1 ELSE 0 END AS clip_flag,
+         CAST(least(greatest(value, lo), hi) AS DECIMAL(18,6)) AS vc
+  FROM events, b WHERE value IS NOT NULL
+)
+SELECT clip_flag, count(*)::BIGINT AS n,
+       round(CAST(sum(vc) AS DOUBLE) / count(*), 6) AS mean_clipped
+FROM c GROUP BY 1
+""",
+    doc="winsorization at exact percentile bounds (broadcast 1-row bounds, map-side clip)",
+)

@@ -404,3 +404,25 @@ class TestEquidepthHistogram:
 
         with _pytest.raises(ValueError):
             equidepth_histogram(df, "v", buckets=1)
+
+
+class TestClipOutliers:
+    def test_clip_bounds_flags_and_nulls(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.profile import (
+            clip_outliers,
+        )
+
+        vals = [float(i) for i in range(101)]  # 0..100: p01=1, p99=99 exactly
+        df = spark.createDataFrame([(v,) for v in vals] + [(None,)], "v double")
+        out = clip_outliers(df, "v", 0.01, 0.99).collect()
+        by_v = {r.v: r for r in out}
+        assert by_v[0.0].v_clipped == 1.0 and by_v[0.0].clip_flag == -1
+        assert by_v[100.0].v_clipped == 99.0 and by_v[100.0].clip_flag == 1
+        assert by_v[50.0].v_clipped == 50.0 and by_v[50.0].clip_flag == 0
+        null_rows = [r for r in out if r.v is None]
+        assert null_rows[0].v_clipped is None and null_rows[0].clip_flag == 0
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            clip_outliers(df, "v", 0.5, 0.5)
