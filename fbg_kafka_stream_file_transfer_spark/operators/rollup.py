@@ -238,3 +238,43 @@ def kmv_key_overlap(
         F.round(jaccard, 6).alias("jaccard_est"),
         F.round(jaccard * union_est, 3).alias("intersection_est"),
     )
+
+
+def kmv_distinct_per_group(
+    df: DataFrame, group_col: str, col: str, k: int = 64
+) -> DataFrame:
+    """Per-group KMV distinct estimates — "distinct users per day /
+    per type" with bounded per-group state instead of an exact
+    ``count_distinct`` whose per-group hash sets grow with
+    cardinality. Same estimator as :func:`kmv_distinct`, grouped.
+
+    Shape: distinct (group, hash) on a uniform composite key, then a
+    per-group rank window keeps only each group's k smallest hashes
+    (state O(k) per group from there on — the k-min rows ARE the
+    mergeable sketch for cross-shard/day roll-ups), then a tiny
+    per-group agg. Exact below k, (k-1)/τ above.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    from pyspark.sql.window import Window
+
+    d = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(group_col).alias("_g"), _uniform_hash(F.col(col)).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("_g").orderBy("h")
+    topk = d.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    agg = topk.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.max("h").alias("_tau"),
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+        (F.lit(k) - 1) / F.col("_tau")
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_kept",
+        F.round("_tau", 9).alias("kth_hash"),
+        F.round(est, 3).alias("estimate"),
+    )

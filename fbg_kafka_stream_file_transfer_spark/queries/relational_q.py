@@ -923,3 +923,33 @@ FROM c GROUP BY 1
 """,
     doc="winsorization at exact percentile bounds (broadcast 1-row bounds, map-side clip)",
 )
+
+
+def _q_kmv_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type from k=64 per-group KMV sketches
+    (bounded state; sketch rows merge across shards/days)."""
+    from ..operators.rollup import kmv_distinct_per_group
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct_per_group(ev, "event_type", "user_id", k=64)
+
+
+QUERIES["sketch_distinct_per_group"] = Q(
+    _q_kmv_per_group,
+    f"""
+WITH d AS (
+  SELECT DISTINCT event_type AS g,
+         (('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+          / CAST({float(16**15)} AS DOUBLE)) AS h
+  FROM events WHERE user_id IS NOT NULL
+), r AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM d
+)
+SELECT g AS event_type, count(*)::BIGINT AS n_kept,
+       round(max(h), 9) AS kth_hash,
+       round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                  ELSE 63 / max(h) END, 3) AS estimate
+FROM r WHERE rn <= 64 GROUP BY 1
+""",
+    doc="per-group KMV distinct estimates (bounded, mergeable per-group sketch state)",
+)

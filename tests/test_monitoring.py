@@ -211,3 +211,20 @@ def test_kmv_key_overlap_exact_and_estimated(spark):
 
     with _pytest.raises(ValueError):
         kmv_key_overlap(a, "k", b, "k", k=1)
+
+
+def test_kmv_distinct_per_group_exact_below_k_and_bounded_above(spark):
+    from fbg_kafka_stream_file_transfer_spark.operators.rollup import (
+        kmv_distinct_per_group,
+    )
+
+    rows = [("small", i) for i in range(10)] + [("big", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.g: r for r in kmv_distinct_per_group(df, "g", "v", k=64).collect()}
+    assert out["small"].estimate == 10.0            # exact below k
+    assert abs(out["big"].estimate - 2000) / 2000 < 0.5  # ~1/sqrt(k) error
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        kmv_distinct_per_group(df, "g", "v", k=1)
