@@ -214,3 +214,68 @@ def clip_outliers(
         .withColumn("clip_flag", F.when(v.isNotNull(), flag).otherwise(F.lit(0)))
         .drop("_lo_b", "_hi_b")
     )
+
+
+def psi_drift(
+    baseline: DataFrame, current: DataFrame, col: str, buckets: int = 10
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard drift monitor ("did this week's data shift
+    against the training baseline?"; rule of thumb: <0.1 stable,
+    0.1-0.25 moderate, >0.25 shifted).
+
+    Bin edges are the BASELINE's exact equi-depth quantiles (one
+    percentile agg, broadcast — the :func:`equidepth_histogram`
+    shape); both sides then bucket map-side and reduce to ≤``buckets``
+    rows each, so the PSI sum runs on a constant-size frame no matter
+    the corpus. Zero-count cells are Laplace-smoothed (+1 per cell, the
+    standard guard) so ln stays finite and the metric is defined for
+    disjoint supports.
+
+    Output: one row per bucket (bucket, p_baseline, p_current,
+    psi_term) — sum ``psi_term`` for the headline index; emitting the
+    per-bucket terms keeps the report explainable (WHICH region
+    drifted).
+    """
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    probs = [i / buckets for i in range(1, buckets)]
+    base_src = baseline.filter(F.col(col).isNotNull())
+    cur_src = current.filter(F.col(col).isNotNull())
+    bounds = base_src.agg(
+        *[
+            F.expr(f"percentile({col}, {p!r})").alias(f"_q{i}")
+            for i, p in enumerate(probs)
+        ]
+    )
+
+    def counts(src: DataFrame, name: str) -> DataFrame:
+        bucket = None
+        for i in range(len(probs)):
+            term = (F.col(col) >= F.col(f"_q{i}")).cast("int")
+            bucket = term if bucket is None else bucket + term
+        return (
+            src.crossJoin(F.broadcast(bounds))
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        )
+
+    b = counts(base_src, "n_base")
+    c = counts(cur_src, "n_cur")
+    # full outer on the ≤buckets-row frames; absent cells count 0
+    joined = b.join(c, "bucket", "full").select(
+        "bucket",
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()  # deliberate: frame is <= buckets rows
+    p = (F.col("n_base") + 1) / (F.sum("n_base").over(w) + buckets)
+    q = (F.col("n_cur") + 1) / (F.sum("n_cur").over(w) + buckets)
+    return joined.select(
+        "bucket",
+        F.round(p, 6).alias("p_baseline"),
+        F.round(q, 6).alias("p_current"),
+        F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
+    )

@@ -953,3 +953,51 @@ FROM r WHERE rn <= 64 GROUP BY 1
 """,
     doc="per-group KMV distinct estimates (bounded, mergeable per-group sketch state)",
 )
+
+
+_PSI_CUTOFF = 1705363200  # 2024-01-16 UTC: splits the 30-day event span
+
+
+def _q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-distribution drift between the first and second half of
+    the event stream (PSI over baseline-decile bins)."""
+    from ..functions.derivations import epoch_seconds
+    from ..operators.profile import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = epoch_seconds(F.col("ts"))
+    return psi_drift(
+        ev.filter(sec < _PSI_CUTOFF), ev.filter(sec >= _PSI_CUTOFF), "value", 10
+    )
+
+
+def _psi_oracle(buckets: int = 10) -> str:
+    probs = [i / buckets for i in range(1, buckets)]
+    qs = ", ".join(f"quantile_cont(value, {p!r}) AS q{i}" for i, p in enumerate(probs))
+    terms = " + ".join(f"(value >= q{i})::INT" for i in range(len(probs)))
+    return f"""
+WITH base AS (SELECT value FROM events
+              WHERE value IS NOT NULL AND epoch(ts) < {_PSI_CUTOFF}),
+cur AS (SELECT value FROM events
+        WHERE value IS NOT NULL AND epoch(ts) >= {_PSI_CUTOFF}),
+bd AS (SELECT {qs} FROM base),
+bb AS (SELECT {terms} AS bucket, count(*)::BIGINT AS n_base FROM base, bd GROUP BY 1),
+cc AS (SELECT {terms} AS bucket, count(*)::BIGINT AS n_cur FROM cur, bd GROUP BY 1),
+j AS (SELECT coalesce(bb.bucket, cc.bucket) AS bucket,
+             coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+      FROM bb FULL JOIN cc ON bb.bucket = cc.bucket),
+t AS (SELECT bucket,
+             (n_base + 1) / (sum(n_base) OVER () + {buckets}) AS p,
+             (n_cur + 1) / (sum(n_cur) OVER () + {buckets}) AS q
+      FROM j)
+SELECT bucket, round(p, 6) AS p_baseline, round(q, 6) AS p_current,
+       round((q - p) * ln(q / p), 6) AS psi_term
+FROM t
+"""
+
+
+QUERIES["drift_psi_values"] = Q(
+    _q_psi,
+    _psi_oracle(10),
+    doc="PSI drift monitor: baseline-decile bins broadcast, per-bucket drift terms",
+)

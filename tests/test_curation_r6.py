@@ -426,3 +426,26 @@ class TestClipOutliers:
 
         with _pytest.raises(ValueError):
             clip_outliers(df, "v", 0.5, 0.5)
+
+
+class TestPsiDrift:
+    def test_identical_distributions_near_zero_and_shift_detected(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.profile import psi_drift
+
+        base = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "v double")
+        same = spark.createDataFrame([(float(i % 100),) for i in range(500)], "v double")
+        shifted = spark.createDataFrame(
+            [(float(i % 100) + 60.0,) for i in range(500)], "v double"
+        )
+        psi_same = sum(r.psi_term for r in psi_drift(base, same, "v").collect())
+        psi_shift = sum(r.psi_term for r in psi_drift(base, shifted, "v").collect())
+        assert psi_same < 0.01          # stable
+        assert psi_shift > 0.25         # rule-of-thumb "shifted"
+        # disjoint support stays finite (Laplace smoothing)
+        import math
+        assert math.isfinite(psi_shift)
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            psi_drift(base, same, "v", buckets=1)
