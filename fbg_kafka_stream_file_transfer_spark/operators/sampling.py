@@ -392,3 +392,52 @@ def weighted_sample_topn(
         .withColumn("es_rank", F.round("_r", 6))
         .drop("_r")
     )
+
+
+def target_mixture_rates(
+    df: DataFrame, group_col: str, targets: dict[str, float]
+) -> DataFrame:
+    """Rebalance to an EXPLICIT target distribution (the general form
+    of :func:`temperature_mixture_rates`, whose q comes from a formula):
+    given target shares per group (e.g. {'web': .5, 'code': .3,
+    'books': .2}), compute per-group keep rates at the largest corpus
+    size achievable without upsampling — T = min_g(n_g / q_g) over
+    groups with q_g > 0 — so rates are ≤ 1 and the binding group keeps
+    everything. Groups absent from ``targets`` (or with target 0) get
+    rate 0. Shares are normalized, so callers may pass raw weights.
+
+    Same scale shape as the temperature solver: one roll-up shuffle,
+    group-level windows only. Output: (group_col, n_docs, target_share,
+    sample_rate, expected_docs).
+    """
+    if not targets:
+        raise ValueError("need at least one target share")
+    if any(v < 0 for v in targets.values()):
+        raise ValueError("target shares must be >= 0")
+    total = sum(targets.values())
+    if total <= 0:
+        raise ValueError("target shares must sum to > 0")
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy()
+    g = df.groupBy(group_col).agg(F.count("*").cast("bigint").alias("n_docs"))
+    share = None
+    for name, v in targets.items():
+        cond = F.col(group_col) == name
+        val = F.lit(v / total)
+        share = F.when(cond, val) if share is None else share.when(cond, val)
+    share = share.otherwise(F.lit(0.0))
+    with_q = g.withColumn("_q", share)
+    t_level = F.min(
+        F.when(F.col("_q") > 0, F.col("n_docs") / F.col("_q"))
+    ).over(w_all)
+    rate = F.when(F.col("_q") > 0, F.col("_q") * t_level / F.col("n_docs")).otherwise(
+        F.lit(0.0)
+    )
+    return with_q.select(
+        group_col,
+        "n_docs",
+        F.round("_q", 6).alias("target_share"),
+        F.round(rate, 6).alias("sample_rate"),
+        F.floor(F.round(F.col("_q") * t_level, 9)).cast("bigint").alias("expected_docs"),
+    )

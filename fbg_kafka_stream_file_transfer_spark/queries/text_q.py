@@ -579,3 +579,31 @@ FROM t WHERE sample_rank <= 25
 """,
     doc="weighted sampling without replacement (Efraimidis-Spirakis, portable-hash ranks)",
 )
+
+
+def _q_target_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to an explicit per-language target
+    distribution at the largest no-upsampling size."""
+    from ..operators.sampling import target_mixture_rates
+
+    targets = {"en": 0.4, "de": 0.3, "fr": 0.2, "es": 0.1}
+    return target_mixture_rates(_docs(spark, sf_dir), "lang", targets)
+
+
+QUERIES["corpus_target_mixture"] = Q(
+    _q_target_mixture,
+    """
+WITH g AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+q AS (SELECT lang, n_docs,
+             CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.3
+                       WHEN 'fr' THEN 0.2 WHEN 'es' THEN 0.1
+                       ELSE 0.0 END AS tq
+      FROM g),
+t AS (SELECT *, min(CASE WHEN tq > 0 THEN n_docs / tq END) OVER () AS tt FROM q)
+SELECT lang, n_docs, round(tq::DOUBLE, 6) AS target_share,
+       round(CASE WHEN tq > 0 THEN tq * tt / n_docs ELSE 0.0 END, 6) AS sample_rate,
+       floor(round(tq * tt, 9))::BIGINT AS expected_docs
+FROM t
+""",
+    doc="explicit target-distribution rebalancing at the no-upsampling corpus size",
+)

@@ -500,3 +500,29 @@ class TestWeightedSample:
         df = spark.createDataFrame([(1, 1.0)], "id long, w double")
         with _pytest.raises(ValueError):
             weighted_sample_topn(df, "id", "w", 0)
+
+
+class TestTargetMixture:
+    def test_rates_hit_target_and_absent_groups_dropped(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+            target_mixture_rates,
+        )
+
+        rows = [(f"d{i}", g) for g, n in {"a": 80, "b": 10, "c": 10}.items() for i in range(n)]
+        df = spark.createDataFrame(
+            [(f"{g}-{i}", g) for g, n in {"a": 80, "b": 10, "c": 10}.items() for i in range(n)],
+            ["doc_id", "src"],
+        )
+        out = {r.src: r for r in target_mixture_rates(df, "src", {"a": 1, "b": 1}).collect()}
+        # equal raw weights normalize to 0.5/0.5; b (10 docs) binds: T=20
+        assert out["b"].sample_rate == 1.0 and out["b"].expected_docs == 10
+        assert out["a"].expected_docs == 10
+        assert out["a"].sample_rate == 0.125
+        assert out["c"].sample_rate == 0.0 and out["c"].expected_docs == 0
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            target_mixture_rates(df, "src", {})
+        with _pytest.raises(ValueError):
+            target_mixture_rates(df, "src", {"a": -1})
