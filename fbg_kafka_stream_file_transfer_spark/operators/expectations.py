@@ -44,7 +44,9 @@ def check_rows(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     for name in sorted(rules):
         ok = rules[name]
         aggs.append(
-            F.sum(F.when(ok.isNull() | ~ok, 1).otherwise(0))
+            # coalesce: sum over ZERO rows is NULL — an empty (but
+            # valid) batch must report 0 violations / pass, not NULL
+            F.coalesce(F.sum(F.when(ok.isNull() | ~ok, 1).otherwise(0)), F.lit(0))
             .cast("bigint")
             .alias(f"v_{name}")
         )
@@ -105,7 +107,10 @@ def check_references(
     )
     agg = joined.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
+        # coalesce: empty fact side must report 0 violations, not NULL
+        F.coalesce(
+            F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0)), F.lit(0)
+        )
         .cast("bigint")
         .alias("n_violations"),
     )

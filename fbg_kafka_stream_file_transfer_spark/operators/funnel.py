@@ -52,6 +52,9 @@ def funnel_completion(
         raise ValueError("need at least one funnel step")
     if max_gap_seconds is not None and max_gap_seconds <= 0:
         raise ValueError(f"max_gap_seconds must be positive, got {max_gap_seconds}")
+    # a NULL key is not a funnel participant: groupBy would pool all
+    # NULL-key events into one phantom "user" and score its steps
+    df = df.filter(F.col(key_col).isNotNull())
     n = len(step_preds)
     order_cols = [epoch_seconds(F.col(ts_col)).alias("_t")]
     if tiebreak_col is not None:
@@ -187,9 +190,12 @@ def association_pairs(
         .select(F.col(key_col).alias("_k"), F.col(item_col).alias("_i"))
         .distinct()
     )
-    n_keys = base.select("_k").distinct().count()
-    if n_keys == 0:
-        raise ValueError("no keys with non-null items")
+    # the denominator travels as a broadcast 1-row aggregate (the
+    # centroid-join pattern) so the operator stays fully lazy — no
+    # driver-side count at construction time
+    nk = base.select("_k").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("_nk")
+    )
     marg = base.groupBy("_i").agg(F.count(F.lit(1)).cast("bigint").alias("_ni"))
     a, b = base.alias("a"), base.alias("b")
     pairs = (
@@ -206,10 +212,11 @@ def association_pairs(
             F.broadcast(marg.select(F.col("_i").alias("item_b"), F.col("_ni").alias("_nb"))),
             "item_b",
         )
+        .crossJoin(F.broadcast(nk))
     )
-    support = F.col("n_keys_both") / F.lit(float(n_keys))
-    p_a = F.col("_na") / F.lit(float(n_keys))
-    p_b = F.col("_nb") / F.lit(float(n_keys))
+    support = F.col("n_keys_both") / F.col("_nk")
+    p_a = F.col("_na") / F.col("_nk")
+    p_b = F.col("_nb") / F.col("_nk")
     return (
         enriched.filter(support >= min_support)
         .select(

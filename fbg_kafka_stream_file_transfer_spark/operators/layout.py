@@ -56,11 +56,15 @@ def morton_sql(a: str, b: str, bits: int = 16) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
-def minmax_bucket(df: DataFrame, col: str, bits: int) -> Column:
+def minmax_bucket(
+    df: DataFrame, col: str, bits: int, out_col: str = "bucket"
+) -> DataFrame:
     """Bucket a numeric column into [0, 2^bits) by its global min/max —
     the quantization step before interleaving. The min/max pair is a
     1-row aggregate broadcast back onto every row (the centroid-join
-    pattern); constant columns collapse to bucket 0."""
+    pattern); constant columns collapse to bucket 0. Returns ``df``
+    with ``out_col`` added (a DataFrame, not a bare Column — the
+    bucket needs the joined bounds in scope)."""
     n = 1 << bits
     stats = df.agg(
         F.min(F.col(col)).cast("double").alias("_lo"),
@@ -70,7 +74,12 @@ def minmax_bucket(df: DataFrame, col: str, bits: int) -> Column:
     raw = F.when(span <= 0, F.lit(0)).otherwise(
         F.floor((F.col(col).cast("double") - F.col("_lo")) / span * n)
     )
-    return F.least(raw, F.lit(n - 1)).cast("long")
+    bucket = F.least(raw, F.lit(n - 1)).cast("long")
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(out_col, bucket)
+        .drop("_lo", "_hi")
+    )
 
 
 def cluster_by_morton(

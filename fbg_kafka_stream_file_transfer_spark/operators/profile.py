@@ -98,12 +98,18 @@ def profile_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
     if len(cols) < 2:
         raise ValueError("need at least two columns")
     aggs = []
+    # aliases are INDEX-based (p0_2, not name-joined) so column names
+    # containing separators can never collide
+    pair_pre = {}
+    for i, a in enumerate(cols):
+        for j0, b in enumerate(cols[i + 1 :]):
+            pair_pre[(a, b)] = f"p{i}_{i + 1 + j0}"
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:
             xa = F.col(a).cast("decimal(18,6)")
             xb = F.col(b).cast("decimal(18,6)")
             both = F.col(a).isNotNull() & F.col(b).isNotNull()
-            pre = f"{a}__{b}"
+            pre = pair_pre[(a, b)]
             aggs += [
                 F.sum(F.when(both, F.lit(1))).cast("long").alias(f"n_{pre}"),
                 F.sum(F.when(both, xa)).cast("double").alias(f"sx_{pre}"),
@@ -119,7 +125,7 @@ def profile_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
     rows = []
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:
-            pre = f"{a}__{b}"
+            pre = pair_pre[(a, b)]
             n = F.col(f"n_{pre}").cast("double")
             cov = n * F.col(f"sxy_{pre}") - F.col(f"sx_{pre}") * F.col(f"sy_{pre}")
             vx = n * F.col(f"sxx_{pre}") - F.col(f"sx_{pre}") * F.col(f"sx_{pre}")
@@ -138,6 +144,28 @@ def profile_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
     return wide.select(F.explode(F.array(*rows)).alias("r")).select(
         "r.col_a", "r.col_b", "r.n", "r.corr"
     )
+
+
+def _quantile_bounds(src: DataFrame, col: str, probs: list[float]) -> DataFrame:
+    """1-row frame of exact interior quantile boundaries (_q0.._qN-1) —
+    shared by equidepth_histogram and psi_drift so their bucketing
+    semantics cannot drift apart."""
+    return src.agg(
+        *[
+            F.expr(f"percentile({col}, {p!r})").alias(f"_q{i}")
+            for i, p in enumerate(probs)
+        ]
+    )
+
+
+def _bucket_from_bounds(col: str, n_bounds: int):
+    """bucket = #(boundaries <= value), evaluated against a broadcast
+    bounds frame already cross-joined in."""
+    bucket = None
+    for i in range(n_bounds):
+        term = (F.col(col) >= F.col(f"_q{i}")).cast("int")
+        bucket = term if bucket is None else bucket + term
+    return bucket
 
 
 def equidepth_histogram(df: DataFrame, col: str, buckets: int = 10) -> DataFrame:
@@ -159,17 +187,9 @@ def equidepth_histogram(df: DataFrame, col: str, buckets: int = 10) -> DataFrame
         raise ValueError(f"buckets must be >= 2, got {buckets}")
     probs = [i / buckets for i in range(1, buckets)]
     src = df.filter(F.col(col).isNotNull())
-    bounds = src.agg(
-        *[
-            F.expr(f"percentile({col}, {p!r})").alias(f"_q{i}")
-            for i, p in enumerate(probs)
-        ]
-    )
+    bounds = _quantile_bounds(src, col, probs)
     marked = src.crossJoin(F.broadcast(bounds))
-    bucket = None
-    for i in range(len(probs)):
-        term = (F.col(col) >= F.col(f"_q{i}")).cast("int")
-        bucket = term if bucket is None else bucket + term
+    bucket = _bucket_from_bounds(col, len(probs))
     return (
         marked.groupBy(bucket.alias("bucket"))
         .agg(
@@ -242,18 +262,10 @@ def psi_drift(
     probs = [i / buckets for i in range(1, buckets)]
     base_src = baseline.filter(F.col(col).isNotNull())
     cur_src = current.filter(F.col(col).isNotNull())
-    bounds = base_src.agg(
-        *[
-            F.expr(f"percentile({col}, {p!r})").alias(f"_q{i}")
-            for i, p in enumerate(probs)
-        ]
-    )
+    bounds = _quantile_bounds(base_src, col, probs)
 
     def counts(src: DataFrame, name: str) -> DataFrame:
-        bucket = None
-        for i in range(len(probs)):
-            term = (F.col(col) >= F.col(f"_q{i}")).cast("int")
-            bucket = term if bucket is None else bucket + term
+        bucket = _bucket_from_bounds(col, len(probs))
         return (
             src.crossJoin(F.broadcast(bounds))
             .groupBy(bucket.alias("bucket"))

@@ -439,5 +439,9 @@ def target_mixture_rates(
         "n_docs",
         F.round("_q", 6).alias("target_share"),
         F.round(rate, 6).alias("sample_rate"),
-        F.floor(F.round(F.col("_q") * t_level, 9)).cast("bigint").alias("expected_docs"),
+        # coalesce: if NO targeted group exists in the data, t_level is
+        # NULL (min over zero matches) — expected counts must read 0
+        F.coalesce(
+            F.floor(F.round(F.col("_q") * t_level, 9)).cast("bigint"), F.lit(0)
+        ).alias("expected_docs"),
     )

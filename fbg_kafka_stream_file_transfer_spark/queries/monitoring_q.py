@@ -758,7 +758,7 @@ FROM (
               WHEN t2.user_id IS NOT NULL THEN 2
               WHEN t1.user_id IS NOT NULL THEN 1
               ELSE 0 END AS steps_completed
-  FROM (SELECT DISTINCT user_id FROM events) u
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL) u
   LEFT JOIN t1 ON u.user_id = t1.user_id
   LEFT JOIN t2 ON u.user_id = t2.user_id
   LEFT JOIN t3 ON u.user_id = t3.user_id

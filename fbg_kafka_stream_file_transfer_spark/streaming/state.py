@@ -229,6 +229,12 @@ def streaming_latest_state(
         changed = False
         for pdf in pdfs:
             for _, row in pdf.iterrows():
+                # malformed events (NULL ts / NULL tiebreak) are skipped:
+                # NaT.value is an int64 sentinel that would silently lose
+                # every comparison, and int(None) would kill the query —
+                # the batch twin's window ordering tolerates both
+                if pd.isna(row[ts_col]) or pd.isna(row[tiebreak_col]):
+                    continue
                 ts_us = int(row[ts_col].value // 1000)
                 tb = int(row[tiebreak_col])
                 if cur is None or (ts_us, tb) > (cur[0], cur[1]):
@@ -307,6 +313,11 @@ def streaming_funnel(
         for _, row in rows.iterrows():
             if len(times) >= n:
                 break
+            if pd.isna(row[ts_col]):
+                # NULL ts: NaT.value is the int64 sentinel (-9.2e18 ns)
+                # and would record a garbage completion at t≈-9.2e9; the
+                # batch twin's NULL comparison never advances — skip
+                continue
             t = row[ts_col].value / 1e9  # epoch seconds, µs precision
             flag = row[step_flag_cols[len(times)]]
             ok = bool(flag) and not pd.isna(flag)

@@ -117,3 +117,31 @@ def test_streaming_latest_state_matches_batch_and_emits_changes_only(spark, tmp_
     assert {(r.key, r.ts, r.eid, r.state) for r in batch} == {
         (k, r.last_ts, r.last_tiebreak, r.last_state) for k, r in final.items()
     }
+
+
+def test_streaming_latest_state_skips_malformed_events(spark, tmp_path):
+    """NULL ts / NULL tiebreak events must not kill the query or win."""
+    from fbg_kafka_stream_file_transfer_spark.streaming.state import (
+        streaming_latest_state,
+    )
+
+    schema = "key string, ts timestamp, eid long, state string"
+    rows = [
+        ("f1", datetime(2024, 1, 1, 0, 0, 0), 1, "good"),
+        ("f1", None, 2, "null-ts"),
+        ("f1", datetime(2024, 1, 1, 0, 1, 0), None, "null-eid"),
+    ]
+    src = tmp_path / "mal"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        streaming_latest_state(stream, "key", "ts", "eid", "state")
+        .writeStream.format("memory").queryName("mal_test")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM mal_test").collect()
+    finally:
+        q.stop()
+    assert len(got) == 1 and got[0].last_state == "good"

@@ -526,3 +526,15 @@ class TestTargetMixture:
             target_mixture_rates(df, "src", {})
         with _pytest.raises(ValueError):
             target_mixture_rates(df, "src", {"a": -1})
+
+
+def test_target_mixture_no_targeted_group_all_zero(spark):
+    """targets name only groups absent from the data: rates and
+    expected counts read 0, never NULL."""
+    from fbg_kafka_stream_file_transfer_spark.operators.sampling import (
+        target_mixture_rates,
+    )
+
+    df = spark.createDataFrame([("d1", "en"), ("d2", "de")], ["doc_id", "lang"])
+    out = target_mixture_rates(df, "lang", {"jp": 1.0}).collect()
+    assert all(r.sample_rate == 0.0 and r.expected_docs == 0 for r in out)

@@ -67,3 +67,16 @@ def test_empty_rules_rejected(spark, facts):
         X.check_rows(facts, {})
     with pytest.raises(ValueError):
         X.expectation_suite()
+
+
+def test_empty_input_reports_zero_violations_and_pass(spark):
+    """An empty-but-valid batch must pass every check, not NULL out."""
+    empty = spark.createDataFrame([], "id long, fk long, amount double")
+    dim = spark.createDataFrame([(10,)], "pk long")
+    suite = X.expectation_suite(
+        X.check_rows(empty, {"amount_positive": F.col("amount") > 0}),
+        X.check_unique(empty, ["id"]),
+        X.check_references(empty, "fk", dim, "pk"),
+    )
+    for r in suite.collect():
+        assert r.n_violations == 0 and r.pass_flag == 1, r

@@ -98,3 +98,12 @@ def test_morton_bits_validated(spark):
         morton_key(F.lit(1), F.lit(1), 0)
     with pytest.raises(ValueError):
         morton_key(F.lit(1), F.lit(1), 32)
+
+
+def test_minmax_bucket_returns_usable_frame(spark):
+    from fbg_kafka_stream_file_transfer_spark.operators.layout import minmax_bucket
+
+    df = spark.createDataFrame([(0.0,), (5.0,), (10.0,)], "x double")
+    out = {r.x: r.bucket for r in minmax_bucket(df, "x", 2).collect()}
+    assert out[0.0] == 0 and out[10.0] == 3  # full range maps to 0..2^bits-1
+    assert 0 <= out[5.0] <= 3
