@@ -147,3 +147,18 @@ def failure_report(file_name: Column, correlation_id: Column, transfer_id_col: C
             ).alias("headers"),
         )
     )
+
+
+def pseudonymize(col: Column, salt: str) -> Column:
+    """Deterministic keyed tokenization of an identifier: md5 over
+    ``salt || ':' || value``. Same input + salt → same token (joins
+    across pseudonymized tables still line up); without the salt the
+    token is not reversible by rainbow lookup of the raw id space.
+    NOT cryptographic HMAC (md5, no secret-key construction) — this is
+    the referential-integrity-preserving tokenization pass of a data-
+    clearing pipeline, not an anonymity guarantee against an adversary
+    holding the salt. Map-side, engine-portable (md5 hex everywhere).
+    """
+    if not salt:
+        raise ValueError("salt must be non-empty")
+    return F.md5(F.concat(F.lit(salt), F.lit(":"), col.cast("string")))

@@ -129,3 +129,26 @@ def expectation_suite(*checks: DataFrame) -> DataFrame:
     if not checks:
         raise ValueError("need at least one check")
     return reduce(DataFrame.unionByName, checks)
+
+
+def quarantine(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Row-level twin of :func:`check_rows`: instead of counting
+    violations, ROUTE them — every row gains ``failed_rule`` (the
+    first failing rule in alphabetical order, NULL when all pass), so
+    callers split good rows from a quarantine frame with reasons (the
+    generic form of the envelope pipeline's reject_reason routing,
+    operators/validate.py F2/F4). NULL rule results count as failures,
+    same convention as check_rows.
+
+    Pure map-side CASE chain — zero shuffle; filter on
+    ``failed_rule IS NULL`` for the clean side and the predicate
+    pushes into the scan.
+    """
+    if not rules:
+        raise ValueError("need at least one rule")
+    expr = None
+    for name in sorted(rules):
+        ok = rules[name]
+        bad = ok.isNull() | ~ok
+        expr = F.when(bad, F.lit(name)) if expr is None else expr.when(bad, F.lit(name))
+    return df.withColumn("failed_rule", expr.otherwise(F.lit(None).cast("string")))

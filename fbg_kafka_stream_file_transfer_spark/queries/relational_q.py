@@ -1001,3 +1001,58 @@ QUERIES["drift_psi_values"] = Q(
     _psi_oracle(10),
     doc="PSI drift monitor: baseline-decile bins broadcast, per-bucket drift terms",
 )
+
+
+def _q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DQ routing: orders grouped by first failed rule
+    (NULL group = clean rows) — the quarantine split report."""
+    from ..operators.expectations import quarantine
+
+    orders = load_table(spark, sf_dir, "orders")
+    routed = quarantine(
+        orders,
+        {
+            "priority_urgent": F.col("o_orderpriority").rlike("^[1-3]-"),
+            "status_closed": F.col("o_orderstatus").isin("O", "F"),
+            "totalprice_big": F.col("o_totalprice") > 150000,
+        },
+    )
+    return routed.groupBy("failed_rule").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+
+
+QUERIES["dq_quarantine_orders"] = Q(
+    _q_quarantine,
+    """
+SELECT CASE
+         WHEN o_orderpriority IS NULL
+              OR NOT regexp_matches(o_orderpriority, '^[1-3]-') THEN 'priority_urgent'
+         WHEN o_orderstatus IS NULL
+              OR o_orderstatus NOT IN ('O','F') THEN 'status_closed'
+         WHEN o_totalprice IS NULL OR NOT (o_totalprice > 150000) THEN 'totalprice_big'
+       END AS failed_rule,
+       count(*)::BIGINT AS n_rows
+FROM orders GROUP BY 1
+""",
+    doc="row-level DQ quarantine routing (first failed rule per row, map-side CASE chain)",
+)
+
+
+def _q_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed tokenization of customer ids: same salt → same token, so
+    cross-table joins survive the clearing pass."""
+    from ..functions.derivations import pseudonymize
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        pseudonymize(F.col("c_custkey"), "s42").alias("token"),
+    )
+
+
+QUERIES["privacy_pseudonymize_customers"] = Q(
+    _q_pseudonymize,
+    "SELECT c_custkey, md5('s42:' || CAST(c_custkey AS VARCHAR)) AS token FROM customer",
+    doc="deterministic keyed tokenization (referential-integrity-preserving pseudonymization)",
+)

@@ -80,3 +80,30 @@ def test_empty_input_reports_zero_violations_and_pass(spark):
     )
     for r in suite.collect():
         assert r.n_violations == 0 and r.pass_flag == 1, r
+
+
+def test_quarantine_routes_first_failure_alphabetically(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (None, -1.0), (3, None)],
+        "id long, amount double",
+    )
+    out = X.quarantine(
+        df,
+        {
+            "amount_positive": F.col("amount") > 0,
+            "id_not_null": F.col("id").isNotNull(),
+        },
+    )
+    got = {(r.id, r.amount): r.failed_rule for r in out.collect()}
+    assert got[(1, 5.0)] is None                      # clean
+    assert got[(2, -1.0)] == "amount_positive"
+    assert got[(None, -1.0)] == "amount_positive"     # alphabetical first
+    assert got[(3, None)] == "amount_positive"        # NULL result = failure
+    # map-side: no exchange at all
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        X.quarantine(df, {})
