@@ -160,3 +160,28 @@ def distributed_running_sum(
         .withColumn(out_name, F.col(out_name) + F.col("_offset"))
         .drop("_pid", "_offset")
     )
+
+
+def write_partitioned_idempotent(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Idempotent partition-level backfill: overwrite ONLY the
+    partitions present in ``df``, leaving every other partition's files
+    untouched (dynamic partition overwrite — the write mode that makes
+    re-running a day's pipeline safe: same input → same files, no
+    global truncate, no duplicate appends).
+
+    This is the batch counterpart of the streaming sinks' effectively-
+    once contract (streaming/pipeline.py ST1): replaying a backfill for
+    2024-01-02 must not touch 2024-01-01. Static overwrite mode (the
+    default) would DELETE the whole table root first — the classic
+    backfill footgun this wrapper exists to rule out.
+    """
+    if not partition_cols:
+        raise ValueError("need at least one partition column")
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

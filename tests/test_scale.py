@@ -208,3 +208,40 @@ def test_distributed_running_sum_matches_naive_and_is_partition_independent(spar
 
     with _pytest.raises(ValueError):
         distributed_running_sum(df.withColumn("_pid", F.lit(1)), ["k"], "v")
+
+
+def test_write_partitioned_idempotent_touches_only_present_partitions(spark, tmp_path):
+    """Re-running a backfill for day 2 must replace day 2 and leave
+    day 1's files byte-identical; re-running the SAME day is a no-op in
+    content (idempotent), never an append."""
+    import pytest as _pytest
+
+    from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+        write_partitioned_idempotent,
+    )
+
+    path = str(tmp_path / "table")
+    d1 = spark.createDataFrame([("2024-01-01", i) for i in range(10)], "day string, v long")
+    d2 = spark.createDataFrame([("2024-01-02", i) for i in range(5)], "day string, v long")
+    write_partitioned_idempotent(d1.union(d2), path, ["day"])
+    import glob as _g
+    import os
+
+    day1_files = {
+        f: os.path.getmtime(f) for f in _g.glob(f"{path}/day=2024-01-01/*.parquet")
+    }
+    # backfill day 2 with corrected data
+    d2_fixed = spark.createDataFrame(
+        [("2024-01-02", 100 + i) for i in range(5)], "day string, v long"
+    )
+    write_partitioned_idempotent(d2_fixed, path, ["day"])
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("day") == "2024-01-01").count() == 10  # intact
+    vals = {r.v for r in back.filter(F.col("day") == "2024-01-02").collect()}
+    assert vals == {100, 101, 102, 103, 104}  # replaced, not appended
+    # day 1 files untouched on disk
+    for f, mtime in day1_files.items():
+        assert os.path.getmtime(f) == mtime, f
+
+    with _pytest.raises(ValueError):
+        write_partitioned_idempotent(d1, path, [])
