@@ -91,6 +91,32 @@ def main(sf_dir: str) -> None:
         8, truncate=False
     )
 
+    print("== 6. association mining (event-type pairs) ==")
+    from fbg_kafka_stream_file_transfer_spark.operators.funnel import (
+        association_pairs,
+    )
+
+    association_pairs(ev, "user_id", "event_type").orderBy(
+        F.col("lift").desc()
+    ).show(5, truncate=False)
+
+    print("== 7. PSI drift: first vs second half of the stream ==")
+    from fbg_kafka_stream_file_transfer_spark.functions.derivations import (
+        epoch_seconds,
+    )
+    from fbg_kafka_stream_file_transfer_spark.operators.profile import psi_drift
+
+    mid = ev.agg(
+        F.floor(
+            (F.min(epoch_seconds(F.col("ts"))) + F.max(epoch_seconds(F.col("ts")))) / 2
+        ).alias("m")
+    ).first()[0]
+    sec = epoch_seconds(F.col("ts"))
+    psi = psi_drift(ev.filter(sec < mid), ev.filter(sec >= mid), "value", 10)
+    psi.orderBy("bucket").show(truncate=False)
+    total = psi.agg(F.round(F.sum("psi_term"), 4).alias("psi")).first()[0]
+    print(f"total PSI = {total}  (<0.1 stable, >0.25 shifted)")
+
     spark.stop()
 
 
