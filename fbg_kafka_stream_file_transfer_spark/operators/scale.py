@@ -185,3 +185,42 @@ def write_partitioned_idempotent(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def compact_to_target(
+    df: DataFrame,
+    order_cols: list[str],
+    size_col: str,
+    target_bytes: float,
+    path: str,
+) -> DataFrame:
+    """Execute small-file compaction: assign every row (≈ file entry)
+    to a bin by the distributed running sum of its size — bin =
+    floor(exclusive_prefix / target) — then write one directory per
+    bin (``partitionBy`` on the bin, each bin's rows coalescing into
+    its own files). Completes the planner/executor pair with
+    ``distributed_running_sum``: the plan is the query shape
+    (`layout_compaction_bins`), this materializes it.
+
+    Returns the binned frame (with ``compaction_bin``) for inspection;
+    the write is the side effect. Bins are contiguous in
+    ``order_cols`` order, so downstream range predicates on the order
+    key still prune whole bins.
+    """
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    run = distributed_running_sum(df, order_cols, size_col)
+    out_name = f"running_{size_col}"
+    binned = run.withColumn(
+        "compaction_bin",
+        F.floor((F.col(out_name) - F.col(size_col)) / F.lit(float(target_bytes))).cast(
+            "bigint"
+        ),
+    ).drop(out_name)
+    (
+        binned.repartition(F.col("compaction_bin"))
+        .write.mode("overwrite")
+        .partitionBy("compaction_bin")
+        .parquet(path)
+    )
+    return binned

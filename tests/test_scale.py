@@ -245,3 +245,34 @@ def test_write_partitioned_idempotent_touches_only_present_partitions(spark, tmp
 
     with _pytest.raises(ValueError):
         write_partitioned_idempotent(d1, path, [])
+
+
+def test_compact_to_target_conserves_rows_and_bounds_bins(spark, tmp_path):
+    import glob as _g
+
+    from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+        compact_to_target,
+    )
+
+    # 100 "files" of 40 bytes each, target 200 → 20 bins of 5
+    df = spark.createDataFrame([(i, 40) for i in range(100)], "fid long, bytes long")
+    path = str(tmp_path / "compacted")
+    binned = compact_to_target(df, ["fid"], "bytes", 200.0, path)
+    back = spark.read.parquet(path)
+    assert back.count() == 100                       # conservation
+    sizes = {
+        r.compaction_bin: r.total
+        for r in back.groupBy("compaction_bin").agg(
+            F.sum("bytes").alias("total")
+        ).collect()
+    }
+    assert len(sizes) == 20 and all(v == 200 for v in sizes.values())
+    # bins are contiguous in fid order
+    rows = {r.fid: r.compaction_bin for r in binned.collect()}
+    assert all(rows[i] <= rows[i + 1] for i in range(99))
+    assert len(_g.glob(f"{path}/compaction_bin=*")) == 20
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compact_to_target(df, ["fid"], "bytes", 0, path)
