@@ -67,6 +67,17 @@ DEFAULT = [
     "sample_global_exact",
     "monitoring_zscore_spikes",
     "pipe_route_all_legs",
+    # round-6 continuation (analytics / layout / sketch families)
+    "dedup_edit_distance",
+    "corpus_temperature_mixture",
+    "cdc_scd2_intervals",
+    "funnel_signup_purchase",
+    "retention_cohorts",
+    "ts_gapfill_forward",
+    "sample_weighted_topn",
+    "layout_compaction_bins",
+    "sketch_key_overlap",
+    "drift_psi_values",
 ]
 
 
