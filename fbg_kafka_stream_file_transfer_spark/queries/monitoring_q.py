@@ -890,7 +890,39 @@ JOIN marg mb ON p.item_b = mb.i
 )
 
 
+def _q_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending event types: staircase-exponential decayed counts
+    (hourly buckets, 24 h half-life) — exact integer weight sums, so
+    the score is engine/partitioning-independent by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    return monitoring.decayed_counts(
+        ev, "event_type", "ts", bucket_seconds=3600, halflife_buckets=24
+    )
+
+
+QUERIES["monitoring_decayed_counts"] = Q(
+    _q_decayed,
+    """
+WITH b AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bk FROM events
+), a AS (SELECT max(bk) AS latest FROM b),
+w AS (
+  SELECT event_type,
+         CASE WHEN CAST(floor((latest - bk) / 24) AS INTEGER) <= 40
+              THEN (1::BIGINT << (40 - CAST(floor((latest - bk) / 24) AS INTEGER)))
+              ELSE 0 END AS wt
+  FROM b, a
+)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       round(sum(wt) / 1099511627776.0, 6) AS decayed_score
+FROM w GROUP BY 1
+""",
+    doc="staircase-exponential decayed counts (exact integer weights — portable EWMA analogue)",
+)
+
+
 _ORDER = [
+    "monitoring_decayed_counts",
     "association_event_pairs",
     "sketch_key_overlap",
     "retention_cohorts",

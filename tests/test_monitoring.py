@@ -228,3 +228,36 @@ def test_kmv_distinct_per_group_exact_below_k_and_bounded_above(spark):
 
     with _pytest.raises(ValueError):
         kmv_distinct_per_group(df, "g", "v", k=1)
+
+
+def test_decayed_counts_staircase_weights(spark):
+    """Weights halve per half-life STEP; events past max_halflives
+    weigh 0; equal-recency keys tie exactly (integer arithmetic)."""
+    import datetime as dt
+
+    from fbg_kafka_stream_file_transfer_spark.operators.monitoring import (
+        decayed_counts,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [
+        ("fresh", t0 + 48 * h),            # age 0 → weight 1
+        ("old", t0 + 24 * h),              # age 24 buckets = 1 half-life → 0.5
+        ("old", t0 + 24 * h),              # second event, same weight
+        ("ancient", t0 - 10000 * h),       # > 40 half-lives → 0
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    got = {r.k: (r.n_events, r.decayed_score) for r in decayed_counts(
+        df, "k", "ts", bucket_seconds=3600, halflife_buckets=24
+    ).collect()}
+    assert got["fresh"] == (1, 1.0)
+    assert got["old"] == (2, 1.0)          # 0.5 + 0.5 exactly
+    assert got["ancient"] == (1, 0.0)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decayed_counts(df, "k", "ts", bucket_seconds=0)
+    with _pytest.raises(ValueError):
+        decayed_counts(df, "k", "ts", max_halflives=63)
