@@ -105,3 +105,40 @@ def range_join_bucketed(
         & (lt < epoch_seconds(F.col(range_end)))
     )
     return joined.drop("_cell")
+
+
+def interval_overlap_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Interval×interval overlap join — the third temporal-join shape
+    (as-of = point×latest, range = point×interval, this = interval×
+    interval, e.g. SCD2 history against SCD2 history: "which states
+    coexisted?"). Overlap is the half-open test
+    ``l.start < r.end AND r.start < l.end``.
+
+    Same bucketing strategy as :func:`range_join_bucketed`: both sides
+    explode over the time cells their interval covers, the pair join is
+    an equi-join on (key, cell) + exact residual filter. Unlike the
+    point form, an overlapping pair can share SEVERAL cells, so a
+    ``dropDuplicates`` on the provided pair identity closes the plan —
+    callers pass ``l_id``/``r_id`` columns in their frames and dedup
+    after, or rely on the built-in distinct over all output columns.
+    Work scales with interval_length/bucket per row; pick
+    ``bucket_seconds`` near the typical interval length.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
+    cell = lambda c: F.floor(epoch_seconds(F.col(c)) / bucket_seconds)  # noqa: E731
+    l = left.withColumn("_cell", F.explode(F.sequence(cell(left_start), cell(left_end))))
+    r = right.withColumn("_cell", F.explode(F.sequence(cell(right_start), cell(right_end))))
+    ls, le = epoch_seconds(F.col(left_start)), epoch_seconds(F.col(left_end))
+    rs, re_ = epoch_seconds(F.col(right_start)), epoch_seconds(F.col(right_end))
+    joined = l.join(r, [*on, "_cell"]).filter((ls < re_) & (rs < le)).drop("_cell")
+    return joined.distinct()

@@ -921,7 +921,54 @@ FROM w GROUP BY 1
 )
 
 
+def _q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval temporal join: per-user 2-hour error episodes
+    overlapping 2-hour purchase episodes (bucketed cell equi-join +
+    exact residual, never a per-key cartesian)."""
+    from ..operators.timejoin import interval_overlap_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    two_h = F.expr("INTERVAL 2 HOURS")
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("e_start"),
+            (F.col("ts") + two_h).alias("e_end"),
+        )
+    )
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_start"),
+            (F.col("ts") + two_h).alias("p_end"),
+        )
+    )
+    out = interval_overlap_join_bucketed(
+        err, pur, ["user_id"], "e_start", "e_end", "p_start", "p_end", 7200
+    )
+    return out.select("user_id", "error_id", "purchase_id")
+
+
+QUERIES["join_interval_overlap"] = Q(
+    _q_interval_overlap,
+    """
+SELECT e.user_id, e.event_id AS error_id, p.event_id AS purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id
+ AND epoch(e.ts) < epoch(p.ts) + 7200
+ AND epoch(p.ts) < epoch(e.ts) + 7200
+""",
+    doc="interval x interval overlap join (bucketed cells + residual vs quadratic oracle)",
+)
+
+
 _ORDER = [
+    "join_interval_overlap",
     "monitoring_decayed_counts",
     "association_event_pairs",
     "sketch_key_overlap",

@@ -276,3 +276,39 @@ def test_compact_to_target_conserves_rows_and_bounds_bins(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         compact_to_target(df, ["fid"], "bytes", 0, path)
+
+
+def test_interval_overlap_join_bucketed_matches_naive(spark):
+    """Bucketed interval×interval ≡ the quadratic predicate join, incl.
+    multi-cell pairs deduped; half-open ends: touching intervals do NOT
+    overlap."""
+    import datetime as dt
+
+    from fbg_kafka_stream_file_transfer_spark.operators.timejoin import (
+        interval_overlap_join_bucketed,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda rows, pre: spark.createDataFrame(  # noqa: E731
+        [
+            ("k", i, t0 + dt.timedelta(minutes=s), t0 + dt.timedelta(minutes=e))
+            for i, (s, e) in enumerate(rows)
+        ],
+        f"key string, {pre}_id long, {pre}_start timestamp, {pre}_end timestamp",
+    )
+    left = mk([(0, 60), (100, 160), (200, 230)], "l")
+    right = mk([(30, 90), (60, 99), (150, 210)], "r")
+    out = interval_overlap_join_bucketed(
+        left, right, ["key"], "l_start", "l_end", "r_start", "r_end", 600
+    )
+    got = {(r.l_id, r.r_id) for r in out.collect()}
+    # l0[0,60) overlaps r0[30,90); r1 starts AT 60 → half-open: no.
+    # l1[100,160) overlaps r2[150,210); l2[200,230) overlaps r2 too.
+    assert got == {(0, 0), (1, 2), (2, 2)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        interval_overlap_join_bucketed(
+            left, right, ["key"], "l_start", "l_end", "r_start", "r_end", 0
+        )
