@@ -1006,3 +1006,82 @@ def blocked_edit_distance_pairs(
         )
         .filter(F.col("edit_dist") <= max_dist)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 12,
+    bands: int = 4,
+    candidates: str = "lsh",
+    prefix_tokens: int = 5,
+) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT
+    |A∩B| / |A| — the measure symmetric Jaccard structurally misses:
+    a short document wholly embedded in a long one (quote farms,
+    aggregator pages wrapping a source article) has low Jaccard but
+    containment ≈ 1 of the short side.
+
+    Candidates come from the same MinHash-LSH banding as the Jaccard
+    verify path (shared shingle pass, one extra column of work), so the
+    recall caveat is honest and documented: banding probability tracks
+    JACCARD, so containment pairs with very unequal sizes may not share
+    a band — for strict superset hunting pass ``candidates="prefix"``,
+    which blocks on the first ``prefix_tokens`` normalized tokens
+    instead (prefix-aligned embeddings — the common quote/aggregator
+    case — are guaranteed candidates regardless of size ratio).
+    Emitted pairs are oriented:
+    (contained_id, container_id, containment) with containment of the
+    SMALLER side, both orientations checked per candidate.
+    """
+    if candidates not in ("lsh", "prefix"):
+        raise ValueError(f"candidates must be 'lsh' or 'prefix', got {candidates!r}")
+    sets = _shingle_sigs_arrow(df, id_col, text_col, n, num_hashes).persist()
+    if candidates == "lsh":
+        cands = lsh_candidate_pairs(
+            df, id_col, text_col, n, num_hashes, bands, shingle_sets=sets
+        )
+    else:
+        toks = F.split(normalized_text(F.col(text_col)), " ")
+        blocked = df.select(
+            F.col(id_col).alias("doc"),
+            F.md5(F.concat_ws(" ", F.slice(toks, 1, prefix_tokens))).alias("block"),
+        )
+        pa, pb = blocked.alias("pa"), blocked.alias("pb")
+        cands = (
+            pa.join(
+                pb,
+                (F.col("pa.block") == F.col("pb.block"))
+                & (F.col("pa.doc") < F.col("pb.doc")),
+            )
+            .select(F.col("pa.doc").alias("doc_a"), F.col("pb.doc").alias("doc_b"))
+        )
+    a, b = sets.alias("a"), sets.alias("b")
+    joined = (
+        cands.join(a, cands.doc_a == F.col("a.doc"))
+        .join(b, cands.doc_b == F.col("b.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect(F.col("a.ss"), F.col("b.ss"))).alias("inter"),
+            F.size("a.ss").alias("na"),
+            F.size("b.ss").alias("nb"),
+        )
+    )
+    small_first = F.col("na") <= F.col("nb")
+    contained = F.when(small_first, F.col("doc_a")).otherwise(F.col("doc_b"))
+    container = F.when(small_first, F.col("doc_b")).otherwise(F.col("doc_a"))
+    denom = F.least(F.col("na"), F.col("nb"))
+    cont = F.col("inter") / denom
+    return (
+        joined.filter(denom > 0)
+        .filter(cont >= threshold)
+        .select(
+            contained.alias("contained_id"),
+            container.alias("container_id"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )

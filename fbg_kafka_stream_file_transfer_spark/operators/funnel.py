@@ -228,3 +228,33 @@ def association_pairs(
             F.round(support / (p_a * p_b), 6).alias("lift"),
         )
     )
+
+
+def funnel_conversion_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_preds: list[Column],
+    tiebreak_col: str | None = None,
+    max_gap_seconds: float | None = None,
+) -> DataFrame:
+    """Time-to-convert report over the funnel: among keys that
+    completed the WHOLE funnel, the distribution of first-step→
+    last-step duration (exact p50/p95 — the numbers a growth team
+    reads next to the completion histogram). One row out; the
+    percentile runs over the per-key frame (one row per converted
+    key), never the event stream."""
+    per_key = funnel_completion(
+        df, key_col, ts_col, step_preds, tiebreak_col, max_gap_seconds
+    )
+    n = len(step_preds)
+    conv = per_key.filter(F.col("steps_completed") == n).select(
+        (
+            F.element_at("step_times", n) - F.element_at("step_times", 1)
+        ).alias("_dur")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.expr("percentile(_dur, 0.5)"), 3).alias("p50_seconds"),
+        F.round(F.expr("percentile(_dur, 0.95)"), 3).alias("p95_seconds"),
+    )

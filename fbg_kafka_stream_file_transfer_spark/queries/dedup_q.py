@@ -334,3 +334,36 @@ WHERE levenshtein(a.t, b.t) <= 60
 """,
     doc="blocked Levenshtein near-dup pairs (prefix blocking + bounded compare window)",
 )
+
+
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.8,
+    )
+
+
+QUERIES["dedup_containment"] = Q(
+    _q_containment,
+    LSH_CTE
+    + """
+, cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.ss, sb.ss)) AS inter,
+         len(sa.ss) AS na, len(sb.ss) AS nb
+  FROM cands c
+  JOIN sh sa ON c.doc_a = sa.doc_id
+  JOIN sh sb ON c.doc_b = sb.doc_id
+)
+SELECT CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS contained_id,
+       CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS container_id,
+       round(inter / least(na, nb), 6) AS containment
+FROM scored
+WHERE least(na, nb) > 0 AND inter / least(na, nb) >= 0.8
+""",
+    doc="asymmetric containment pairs (|A∩B|/|min side| over LSH candidates)",
+)

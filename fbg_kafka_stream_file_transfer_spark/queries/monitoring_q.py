@@ -967,7 +967,52 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 )
 
 
+def _q_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert for full-funnel users (same 4 steps / 3-day
+    window as funnel_signup_purchase)."""
+    from ..operators.funnel import funnel_conversion_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    steps = [
+        F.col("event_type") == s for s in ("signup", "view", "click", "purchase")
+    ]
+    return funnel_conversion_stats(
+        ev, "user_id", "ts", steps, tiebreak_col="event_id",
+        max_gap_seconds=259200,
+    )
+
+
+QUERIES["funnel_conversion_time"] = Q(
+    _q_funnel_time,
+    """
+WITH t1 AS (SELECT user_id, min(epoch(ts)) AS t FROM events
+            WHERE event_type = 'signup' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(epoch(e.ts)) AS t FROM events e
+       JOIN t1 ON e.user_id = t1.user_id
+       WHERE e.event_type = 'view' AND epoch(e.ts) > t1.t
+         AND epoch(e.ts) <= t1.t + 259200 GROUP BY 1),
+t3 AS (SELECT e.user_id, min(epoch(e.ts)) AS t FROM events e
+       JOIN t2 ON e.user_id = t2.user_id
+       WHERE e.event_type = 'click' AND epoch(e.ts) > t2.t
+         AND epoch(e.ts) <= t2.t + 259200 GROUP BY 1),
+t4 AS (SELECT e.user_id, min(epoch(e.ts)) AS t FROM events e
+       JOIN t3 ON e.user_id = t3.user_id
+       WHERE e.event_type = 'purchase' AND epoch(e.ts) > t3.t
+         AND epoch(e.ts) <= t3.t + 259200 GROUP BY 1),
+durs AS (
+  SELECT t4.t - t1.t AS dur FROM t4 JOIN t1 ON t4.user_id = t1.user_id
+)
+SELECT count(*)::BIGINT AS n_converted,
+       round(quantile_cont(dur, 0.5), 3) AS p50_seconds,
+       round(quantile_cont(dur, 0.95), 3) AS p95_seconds
+FROM durs
+""",
+    doc="funnel time-to-convert distribution (exact percentiles over converted keys)",
+)
+
+
 _ORDER = [
+    "funnel_conversion_time",
     "join_interval_overlap",
     "monitoring_decayed_counts",
     "association_event_pairs",

@@ -695,3 +695,23 @@ def test_blocked_edit_distance_pairs(spark):
         df, "doc_id", "text", max_dist=2, prefix_tokens=5, max_block_size=1
     )
     assert guarded.count() == 0
+
+
+def test_containment_pairs_catches_embedded_short_doc(spark):
+    """A short doc wholly embedded in a long one: containment ≈ 1 even
+    though symmetric Jaccard is low; orientation puts the smaller side
+    first."""
+    short = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    long_ = short + " " + " ".join(f"filler{i}" for i in range(40))
+    df = spark.createDataFrame([(1, short), (2, long_)], ["doc_id", "text"])
+    out = dedup.containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.9, candidates="prefix"
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.contained_id, r.container_id) == (1, 2)
+    assert r.containment == 1.0
+    # sanity: the symmetric jaccard path would NOT flag this pair at 0.7
+    jac = dedup.minhash_dedup_pairs(df, "doc_id", "text", n=3, threshold=0.7)
+    assert jac.count() == 0
