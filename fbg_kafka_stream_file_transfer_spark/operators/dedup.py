@@ -1018,6 +1018,7 @@ def containment_pairs(
     bands: int = 4,
     candidates: str = "lsh",
     prefix_tokens: int = 5,
+    max_block_size: int | None = 100,
 ) -> DataFrame:
     """Asymmetric near-dup detection by shingle CONTAINMENT
     |A∩B| / |A| — the measure symmetric Jaccard structurally misses:
@@ -1026,30 +1027,50 @@ def containment_pairs(
     containment ≈ 1 of the short side.
 
     Candidates come from the same MinHash-LSH banding as the Jaccard
-    verify path (shared shingle pass, one extra column of work), so the
-    recall caveat is honest and documented: banding probability tracks
-    JACCARD, so containment pairs with very unequal sizes may not share
-    a band — for strict superset hunting pass ``candidates="prefix"``,
-    which blocks on the first ``prefix_tokens`` normalized tokens
-    instead (prefix-aligned embeddings — the common quote/aggregator
-    case — are guaranteed candidates regardless of size ratio).
-    Emitted pairs are oriented:
-    (contained_id, container_id, containment) with containment of the
-    SMALLER side, both orientations checked per candidate.
+    verify path (shared shingle pass), so the recall caveat is honest
+    and documented: banding probability tracks JACCARD, so containment
+    pairs with very unequal sizes may not share a band — for strict
+    superset hunting pass ``candidates="prefix"``. Prefix mode emits,
+    per doc, one block key for EVERY prefix length 1..min(
+    ``prefix_tokens``, its own token count), so a contained doc
+    shorter than ``prefix_tokens`` still meets its container at the
+    contained doc's full length; prefix-aligned pairs are therefore
+    guaranteed candidates unless their block is dropped by
+    ``max_block_size`` (the same boilerplate skew guard as
+    `blocked_edit_distance_pairs` — short common prefixes like a
+    1-token block are exactly where it bites, by design). Emitted
+    pairs are oriented: (contained_id, container_id, containment)
+    with containment of the SMALLER side.
     """
     if candidates not in ("lsh", "prefix"):
         raise ValueError(f"candidates must be 'lsh' or 'prefix', got {candidates!r}")
-    sets = _shingle_sigs_arrow(df, id_col, text_col, n, num_hashes).persist()
     if candidates == "lsh":
+        sets = _shingle_sigs_arrow(df, id_col, text_col, n, num_hashes).persist()
         cands = lsh_candidate_pairs(
             df, id_col, text_col, n, num_hashes, bands, shingle_sets=sets
         )
     else:
+        # prefix mode never reads minhash signatures — shingle-only pass
+        sets = _shingle_sets(df, id_col, text_col, n).persist()
         toks = F.split(normalized_text(F.col(text_col)), " ")
+        lengths = F.sequence(
+            F.lit(1), F.least(F.lit(prefix_tokens), F.size(toks))
+        )
         blocked = df.select(
             F.col(id_col).alias("doc"),
-            F.md5(F.concat_ws(" ", F.slice(toks, 1, prefix_tokens))).alias("block"),
+            F.explode(lengths).alias("_j"),
+            toks.alias("_toks"),
+        ).select(
+            "doc",
+            F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), 1, F.col("_j")))).alias(
+                "block"
+            ),
         )
+        if max_block_size is not None:
+            sizes = blocked.groupBy("block").agg(F.count("*").alias("bsz"))
+            blocked = blocked.join(
+                sizes.filter(F.col("bsz") <= max_block_size), "block"
+            ).drop("bsz")
         pa, pb = blocked.alias("pa"), blocked.alias("pb")
         cands = (
             pa.join(
@@ -1058,6 +1079,7 @@ def containment_pairs(
                 & (F.col("pa.doc") < F.col("pb.doc")),
             )
             .select(F.col("pa.doc").alias("doc_a"), F.col("pb.doc").alias("doc_b"))
+            .distinct()  # a pair may share several prefix lengths
         )
     a, b = sets.alias("a"), sets.alias("b")
     joined = (

@@ -146,6 +146,11 @@ def quarantine(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     """
     if not rules:
         raise ValueError("need at least one rule")
+    if "failed_rule" in df.columns:
+        raise ValueError(
+            "column 'failed_rule' already exists — rename it (or drop the "
+            "previous quarantine pass's routing) before re-routing"
+        )
     expr = None
     for name in sorted(rules):
         ok = rules[name]

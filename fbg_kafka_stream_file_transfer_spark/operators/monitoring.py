@@ -275,13 +275,13 @@ def mad_outliers(
 
 
 def decayed_counts(
-    df,
+    df: DataFrame,
     key_col: str,
     time_col: str,
     bucket_seconds: int = 3600,
     halflife_buckets: int = 24,
     max_halflives: int = 40,
-):
+) -> DataFrame:
     """Time-decayed activity score per key ("trending now"): each event
     contributes weight 2^-(age_buckets // halflife_buckets) relative to
     the corpus's latest bucket, so recent activity dominates and stale
@@ -293,22 +293,24 @@ def decayed_counts(
     equality. Here the decay is a STAIRCASE exponential (integer
     halving steps via integer division), each weight is the integer
     ``1 << (max_halflives - steps)``, and the per-key total is an
-    EXACT BIGINT sum (≤ 2^53 for ≤ 8M events per key at the default
-    scale) divided once by 2^max_halflives at the end — deterministic
-    on any engine, any partitioning, by construction. Events older
-    than ``max_halflives`` half-lives weigh 0.
+    EXACT sum in DECIMAL(38,0) (room for ~10^26 full-weight events per
+    key — no silent BIGINT wrap for hot keys) divided once by
+    2^max_halflives at the end — deterministic on any engine, any
+    partitioning, by construction. Events older than
+    ``max_halflives`` half-lives weigh 0.
 
     One shuffle on the key; the latest-bucket anchor is a broadcast
     1-row aggregate. Output: (key, n_events, decayed_score round 6).
     """
-    from pyspark.sql import functions as F
-
     from ..functions.derivations import epoch_seconds
 
     if bucket_seconds <= 0 or halflife_buckets <= 0:
         raise ValueError("bucket_seconds and halflife_buckets must be positive")
     if not 1 <= max_halflives <= 62:
         raise ValueError(f"max_halflives must be in [1, 62], got {max_halflives}")
+    reserved = {"_latest", "_steps"} & set(df.columns)
+    if reserved:
+        raise ValueError(f"column name(s) {sorted(reserved)} are reserved")
     bucket = F.floor(epoch_seconds(F.col(time_col)) / bucket_seconds).cast("long")
     anchor = df.agg(F.max(bucket).alias("_latest"))
     steps = F.floor((F.col("_latest") - bucket) / halflife_buckets).cast("int")
@@ -318,7 +320,7 @@ def decayed_counts(
         f"CASE WHEN _steps <= {max_halflives} "
         f"THEN shiftleft(CAST(1 AS BIGINT), {max_halflives} - _steps) "
         "ELSE CAST(0 AS BIGINT) END"
-    )
+    ).cast("decimal(38,0)")
     scale = float(1 << max_halflives)
     return (
         df.crossJoin(F.broadcast(anchor))
@@ -326,6 +328,8 @@ def decayed_counts(
         .groupBy(F.col(key_col))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.round(F.sum(w) / F.lit(scale), 6).alias("decayed_score"),
+            F.round(F.sum(w).cast("double") / F.lit(scale), 6).alias(
+                "decayed_score"
+            ),
         )
     )

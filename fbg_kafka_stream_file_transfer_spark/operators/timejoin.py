@@ -126,12 +126,14 @@ def interval_overlap_join_bucketed(
     Same bucketing strategy as :func:`range_join_bucketed`: both sides
     explode over the time cells their interval covers, the pair join is
     an equi-join on (key, cell) + exact residual filter. Unlike the
-    point form, an overlapping pair can share SEVERAL cells, so a
-    ``dropDuplicates`` on the provided pair identity closes the plan —
-    callers pass ``l_id``/``r_id`` columns in their frames and dedup
-    after, or rely on the built-in distinct over all output columns.
-    Work scales with interval_length/bucket per row; pick
-    ``bucket_seconds`` near the typical interval length.
+    point form an overlapping pair shares SEVERAL cells, so the
+    residual keeps only the pair's FIRST shared cell (the cell of the
+    overlap's start instant, covered by both sides by construction) —
+    each input-row pair emits exactly once, and duplicated input rows
+    duplicate the output exactly like the naive quadratic join (no
+    distinct collapsing legitimate multiplicities). Work scales with
+    interval_length/bucket per row; pick ``bucket_seconds`` near the
+    typical interval length.
     """
     if bucket_seconds <= 0:
         raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
@@ -140,5 +142,9 @@ def interval_overlap_join_bucketed(
     r = right.withColumn("_cell", F.explode(F.sequence(cell(right_start), cell(right_end))))
     ls, le = epoch_seconds(F.col(left_start)), epoch_seconds(F.col(left_end))
     rs, re_ = epoch_seconds(F.col(right_start)), epoch_seconds(F.col(right_end))
-    joined = l.join(r, [*on, "_cell"]).filter((ls < re_) & (rs < le)).drop("_cell")
-    return joined.distinct()
+    first_shared = F.floor(F.greatest(ls, rs) / bucket_seconds)
+    return (
+        l.join(r, [*on, "_cell"])
+        .filter((ls < re_) & (rs < le) & (F.col("_cell") == first_shared))
+        .drop("_cell")
+    )

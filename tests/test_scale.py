@@ -312,3 +312,25 @@ def test_interval_overlap_join_bucketed_matches_naive(spark):
         interval_overlap_join_bucketed(
             left, right, ["key"], "l_start", "l_end", "r_start", "r_end", 0
         )
+
+
+def test_interval_overlap_preserves_duplicate_multiplicity(spark):
+    """Duplicated input rows (at-least-once redelivery) duplicate the
+    output exactly like the naive quadratic join — no distinct collapse."""
+    import datetime as dt
+
+    from fbg_kafka_stream_file_transfer_spark.operators.timejoin import (
+        interval_overlap_join_bucketed,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda n: spark.createDataFrame(  # noqa: E731
+        [("k", t0, t0 + dt.timedelta(hours=1))] * n,
+        "key string, s timestamp, e timestamp",
+    )
+    left = mk(2).toDF("key", "l_start", "l_end")
+    right = mk(1).toDF("key", "r_start", "r_end")
+    out = interval_overlap_join_bucketed(
+        left, right, ["key"], "l_start", "l_end", "r_start", "r_end", 600
+    )
+    assert out.count() == 2  # 2 left copies × 1 right = 2, not collapsed to 1
