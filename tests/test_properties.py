@@ -366,3 +366,50 @@ def test_distributed_prefix_sum_matches_python(spark, values, nparts):
         acc += v
         expect[i] = acc
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.integers(1, 300)), min_size=1, max_size=12
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 500), st.integers(1, 300)), min_size=1, max_size=12
+    ),
+    st.sampled_from([60, 180, 600]),
+)
+def test_interval_overlap_bucketed_matches_quadratic(spark, lefts, rights, bucket):
+    """Bucketed interval×interval join ≡ the naive quadratic predicate
+    join, for arbitrary intervals and bucket sizes (multiplicities
+    included — both sides may contain duplicate intervals)."""
+    from fbg_kafka_stream_file_transfer_spark.operators.timejoin import (
+        interval_overlap_join_bucketed,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    mk = lambda rows, pre: spark.createDataFrame(  # noqa: E731
+        [
+            (
+                "k",
+                i,
+                t0 + datetime.timedelta(seconds=s),
+                t0 + datetime.timedelta(seconds=s + d),
+            )
+            for i, (s, d) in enumerate(rows)
+        ],
+        f"key string, {pre}_id long, {pre}_start timestamp, {pre}_end timestamp",
+    )
+    left, right = mk(lefts, "l"), mk(rights, "r")
+    got = sorted(
+        (r.l_id, r.r_id)
+        for r in interval_overlap_join_bucketed(
+            left, right, ["key"], "l_start", "l_end", "r_start", "r_end", bucket
+        ).collect()
+    )
+    expect = sorted(
+        (i, j)
+        for i, (ls, ld) in enumerate(lefts)
+        for j, (rs, rd) in enumerate(rights)
+        if ls < rs + rd and rs < ls + ld
+    )
+    assert got == expect
