@@ -315,3 +315,34 @@ FROM scored WHERE r9 >= 0.3
 """,
     doc="sparse all-pairs TF-IDF cosine via inverted-index join (df-capped)",
 )
+
+
+def _q_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-center + renormalize the embedding table (pre-ANN pass)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.center_vectors(emb, "vec_id", "embedding")
+
+
+QUERIES["sim_center_vectors"] = Q(
+    _q_center,
+    """
+WITH dims AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS v,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+), cent AS (
+  SELECT d, avg(v) AS c FROM dims GROUP BY d
+), diff AS (
+  SELECT vec_id, d, v - c AS dv FROM dims JOIN cent USING (d)
+), norms AS (
+  SELECT vec_id, sqrt(sum(dv * dv)) AS nn FROM diff GROUP BY vec_id
+)
+SELECT f.vec_id,
+       CASE WHEN any_value(n.nn) > 0
+            THEN list(round(f.dv / n.nn, 6) ORDER BY f.d) END AS centered,
+       round(any_value(n.nn), 6) AS centered_norm
+FROM diff f JOIN norms n ON f.vec_id = n.vec_id
+GROUP BY f.vec_id
+""",
+    doc="mean-center + renormalize embeddings (O(dim) centroid exchange, map-side rewrite)",
+)

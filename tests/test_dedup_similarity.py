@@ -715,3 +715,22 @@ def test_containment_pairs_catches_embedded_short_doc(spark):
     # sanity: the symmetric jaccard path would NOT flag this pair at 0.7
     jac = dedup.minhash_dedup_pairs(df, "doc_id", "text", n=3, threshold=0.7)
     assert jac.count() == 0
+
+
+def test_center_vectors_unit_norm_and_zero_guard(spark):
+    """Centered outputs are unit vectors; a vector equal to the corpus
+    centroid yields NULL (undefined direction), never NaN."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [0.5, 0.5]),  # equals the centroid of the three
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in similarity.center_vectors(df, "vec_id", "embedding").collect()}
+    assert out[3].centered is None and out[3].centered_norm == 0.0
+    for vid in (1, 2):
+        n = sum(x * x for x in out[vid].centered) ** 0.5
+        assert abs(n - 1.0) < 1e-5
+    # centering flips 1 and 2 to opposite directions
+    d = sum(a * b for a, b in zip(out[1].centered, out[2].centered))
+    assert d < -0.99
