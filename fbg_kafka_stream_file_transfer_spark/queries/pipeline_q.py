@@ -515,3 +515,201 @@ GROUP BY 1
 """,
     doc="arrived-but-never-processed anti-join reconciliation (SURVEY §7.2)",
 )
+
+
+def _q_stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming type-1 compaction driven to completion and ORACLE-
+    checked (not just unit-paired): the events table is re-written as
+    4 parquet files consumed one per micro-batch, the stateful
+    latest-state operator runs across those batches (cross-batch state
+    store, out-of-order deliveries between batches), and the emitted
+    changelog is folded to the final current row per key — which must
+    equal DuckDB's window-over-the-whole-table answer exactly."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.state import streaming_latest_state
+
+    work = tempfile.mkdtemp(prefix="stream_latest_")
+    try:
+        src = f"{work}/events"
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type"
+        )
+        ev.repartition(4).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("user_id", F.col("user_id").cast("string"))
+        )  # LATEST_SCHEMA keys are strings
+        out = streaming_latest_state(stream, "user_id", "ts", "event_id", "event_type")
+        sink = f"latest_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory").queryName(sink)
+            .outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+            emitted = spark.table(sink)
+            final = emitted.groupBy("key").agg(
+                F.max(
+                    F.struct("last_ts", "last_tiebreak", "last_state")
+                ).alias("m")
+            )
+            rows = final.select(
+                F.col("key").cast("long").alias("user_id"),
+                F.col("m.last_tiebreak").alias("last_event_id"),
+                F.col("m.last_state").alias("last_event_type"),
+                F.date_format("m.last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            ).collect()
+        finally:
+            q.stop()
+        return spark.createDataFrame(
+            rows, "user_id long, last_event_id long, last_event_type string, last_ts string"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["stream_latest_state_e2e"] = Q(
+    _q_stream_latest_state,
+    """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""",
+    doc="stateful streaming latest-state driven across 4 micro-batches, oracle-checked",
+)
+
+
+def _q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel driven across 4 TIME-ORDERED micro-batches and
+    oracle-checked against the batch chained-min formulation: with
+    per-key in-order delivery (enforced here by quartile-splitting the
+    stream on event time and feeding files in mtime order — the ST2
+    ordering contract), the stateful twin's final per-key completion
+    count must equal the batch answer exactly."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..functions.derivations import epoch_seconds
+    from ..streaming.state import streaming_funnel
+
+    work = tempfile.mkdtemp(prefix="stream_funnel_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("user_id").cast("string").alias("user_id"),
+            "ts",
+            *[
+                (F.col("event_type") == s).alias(f"s{i}")
+                for i, s in enumerate(("signup", "view", "click", "purchase"))
+            ],
+        )
+        sec = epoch_seconds(F.col("ts"))
+        bounds = (
+            ev.withColumn("_sec", sec)
+            .agg(
+                F.expr("percentile(_sec, 0.25)").alias("q0"),
+                F.expr("percentile(_sec, 0.5)").alias("q1"),
+                F.expr("percentile(_sec, 0.75)").alias("q2"),
+            )
+            .first()
+        )
+        src = f"{work}/stream"
+        os.makedirs(src)
+        cuts = [None, bounds.q0, bounds.q1, bounds.q2, None]
+        for i in range(4):
+            part = ev
+            if cuts[i] is not None:
+                part = part.filter(sec >= cuts[i])
+            if cuts[i + 1] is not None:
+                part = part.filter(sec < cuts[i + 1])
+            tmp = f"{work}/part{i}"
+            part.coalesce(1).write.parquet(tmp)
+            pf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            dst = f"{src}/{i:03d}.parquet"
+            shutil.copy(f"{tmp}/{pf}", dst)
+            os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = streaming_funnel(
+            stream, "user_id", "ts", ["s0", "s1", "s2", "s3"],
+            max_gap_seconds=259200,
+        )
+        sink = f"funnel_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory").queryName(sink)
+            .outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+            final = (
+                spark.table(sink)
+                .groupBy("key")
+                .agg(F.max("steps_completed").alias("steps"))
+                .groupBy("steps")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+                .collect()
+            )
+        finally:
+            q.stop()
+        # keys that never advanced past 0 steps never emit: fold them in
+        emitted = sum(r.n_keys for r in final)
+        total_users = load_table(spark, sf_dir, "events").select(
+            "user_id"
+        ).distinct().count()
+        rows = [(int(r.steps), int(r.n_keys)) for r in final]
+        if total_users > emitted:
+            rows.append((0, total_users - emitted))
+        return spark.createDataFrame(rows, "steps_completed int, n_keys long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["stream_funnel_e2e"] = Q(
+    _q_stream_funnel,
+    """
+WITH t1 AS (SELECT user_id, min(epoch(ts)) AS t FROM events
+            WHERE event_type = 'signup' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(epoch(e.ts)) AS t FROM events e
+       JOIN t1 ON e.user_id = t1.user_id
+       WHERE e.event_type = 'view' AND epoch(e.ts) > t1.t
+         AND epoch(e.ts) <= t1.t + 259200 GROUP BY 1),
+t3 AS (SELECT e.user_id, min(epoch(e.ts)) AS t FROM events e
+       JOIN t2 ON e.user_id = t2.user_id
+       WHERE e.event_type = 'click' AND epoch(e.ts) > t2.t
+         AND epoch(e.ts) <= t2.t + 259200 GROUP BY 1),
+t4 AS (SELECT e.user_id, min(epoch(e.ts)) AS t FROM events e
+       JOIN t3 ON e.user_id = t3.user_id
+       WHERE e.event_type = 'purchase' AND epoch(e.ts) > t3.t
+         AND epoch(e.ts) <= t3.t + 259200 GROUP BY 1)
+SELECT CAST(steps_completed AS INTEGER) AS steps_completed,
+       count(*)::BIGINT AS n_keys
+FROM (
+  SELECT CASE WHEN t4.user_id IS NOT NULL THEN 4
+              WHEN t3.user_id IS NOT NULL THEN 3
+              WHEN t2.user_id IS NOT NULL THEN 2
+              WHEN t1.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS steps_completed
+  FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL) u
+  LEFT JOIN t1 ON u.user_id = t1.user_id
+  LEFT JOIN t2 ON u.user_id = t2.user_id
+  LEFT JOIN t3 ON u.user_id = t3.user_id
+  LEFT JOIN t4 ON u.user_id = t4.user_id
+)
+GROUP BY 1
+""",
+    doc="stateful streaming funnel across time-ordered micro-batches, oracle-checked",
+)
