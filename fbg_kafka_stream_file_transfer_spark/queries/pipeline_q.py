@@ -613,37 +613,7 @@ def _q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i, s in enumerate(("signup", "view", "click", "purchase"))
             ],
         )
-        sec = epoch_seconds(F.col("ts"))
-        bounds = (
-            ev.withColumn("_sec", sec)
-            .agg(
-                F.expr("percentile(_sec, 0.25)").alias("q0"),
-                F.expr("percentile(_sec, 0.5)").alias("q1"),
-                F.expr("percentile(_sec, 0.75)").alias("q2"),
-            )
-            .first()
-        )
-        src = f"{work}/stream"
-        os.makedirs(src)
-        cuts = [None, bounds.q0, bounds.q1, bounds.q2, None]
-        for i in range(4):
-            part = ev
-            if cuts[i] is not None:
-                part = part.filter(sec >= cuts[i])
-            if cuts[i + 1] is not None:
-                part = part.filter(sec < cuts[i + 1])
-            tmp = f"{work}/part{i}"
-            part.coalesce(1).write.parquet(tmp)
-            pf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-            dst = f"{src}/{i:03d}.parquet"
-            shutil.copy(f"{tmp}/{pf}", dst)
-            os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
-        schema = spark.read.parquet(src).schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
+        stream = _time_ordered_stream(spark, ev, epoch_seconds(F.col("ts")), work)
         out = streaming_funnel(
             stream, "user_id", "ts", ["s0", "s1", "s2", "s3"],
             max_gap_seconds=259200,
@@ -712,4 +682,138 @@ FROM (
 GROUP BY 1
 """,
     doc="stateful streaming funnel across time-ordered micro-batches, oracle-checked",
+)
+
+
+def _time_ordered_stream(spark: SparkSession, df: DataFrame, order_expr, work: str):
+    """Write ``df`` as 4 time-quartile parquet files with ascending
+    mtimes and open them as a 1-file-per-trigger stream — the ST2
+    in-order-delivery harness the streaming-twin e2e oracles share."""
+    import os
+    import shutil
+
+    bounds = (
+        df.withColumn("_sec", order_expr)
+        .agg(
+            F.expr("percentile(_sec, 0.25)").alias("q0"),
+            F.expr("percentile(_sec, 0.5)").alias("q1"),
+            F.expr("percentile(_sec, 0.75)").alias("q2"),
+        )
+        .first()
+    )
+    src = f"{work}/stream"
+    os.makedirs(src)
+    cuts = [None, bounds.q0, bounds.q1, bounds.q2, None]
+    for i in range(4):
+        part = df
+        if cuts[i] is not None:
+            part = part.filter(order_expr >= cuts[i])
+        if cuts[i + 1] is not None:
+            part = part.filter(order_expr < cuts[i + 1])
+        tmp = f"{work}/part{i}"
+        part.coalesce(1).write.parquet(tmp)
+        pf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = f"{src}/{i:03d}.parquet"
+        shutil.copy(f"{tmp}/{pf}", dst)
+        os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
+    schema = spark.read.parquet(src).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def _q_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful streaming z-score spike detector driven across 4
+    time-ordered micro-batches of the bucketed series, oracle-checked
+    against the batch rolling-window SQL (the twin-parity contract,
+    now certified by the gate and not just a unit test)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..functions.derivations import epoch_seconds
+    from ..streaming.state import streaming_zscore_spikes
+
+    work = tempfile.mkdtemp(prefix="stream_zscore_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        b = ev.groupBy(
+            F.col("event_type").alias("group_key"),
+            F.window(F.col("ts"), "5 minutes").start.alias("bucket_start"),
+        ).agg(F.count("*").cast("long").alias("n_events"))
+        stream = _time_ordered_stream(
+            spark, b, epoch_seconds(F.col("bucket_start")), work
+        )
+        out = streaming_zscore_spikes(stream, "group_key", "bucket_start", "n_events")
+        sink = f"zs_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory").queryName(sink)
+            .outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = (
+                spark.table(sink)
+                .select(
+                    F.col("group_key").alias("event_type"),
+                    F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias(
+                        "bucket_start"
+                    ),
+                    "n_events",
+                    "mean_prev",
+                    "std_prev",
+                    "zscore",
+                    "spike",
+                )
+                .collect()
+            )
+        finally:
+            q.stop()
+        return spark.createDataFrame(
+            rows,
+            "event_type string, bucket_start string, n_events long, "
+            "mean_prev double, std_prev double, zscore double, spike int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["stream_zscore_e2e"] = Q(
+    _q_stream_zscore,
+    """
+WITH b AS (
+  SELECT event_type,
+         strftime(time_bucket(INTERVAL '5 minutes', ts),
+                  '%Y-%m-%d %H:%M:%S') AS bucket_start,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, bucket_start, n_events,
+         count(n_events) OVER w AS n,
+         CAST(sum(n_events) OVER w AS BIGINT) AS s1,
+         CAST(sum(n_events * n_events) OVER w AS BIGINT) AS s2
+  FROM b
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+), c AS (
+  SELECT event_type, bucket_start, n_events, n,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         (CAST(s2 AS DOUBLE) - CAST(s1 * s1 AS DOUBLE) / n) / (n - 1) AS var
+  FROM r
+), f AS (
+  SELECT event_type, bucket_start, n_events,
+         (n >= 5 AND var > 0) AS ok, mean, sqrt(var) AS std
+  FROM c
+)
+SELECT event_type, bucket_start, n_events,
+       round(CASE WHEN ok THEN mean END, 4) AS mean_prev,
+       round(CASE WHEN ok THEN std END, 4) AS std_prev,
+       round(CASE WHEN ok THEN (n_events - mean) / std END, 4) AS zscore,
+       CAST(coalesce(abs(CASE WHEN ok THEN (n_events - mean) / std END) >= 3.0,
+                     FALSE) AS INTEGER) AS spike
+FROM f
+""",
+    doc="stateful streaming z-score spikes across time-ordered micro-batches, oracle-checked",
 )
