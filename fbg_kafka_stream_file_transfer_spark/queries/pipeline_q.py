@@ -817,3 +817,101 @@ FROM f
 """,
     doc="stateful streaming z-score spikes across time-ordered micro-batches, oracle-checked",
 )
+
+
+def _q_stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful `for: N` debounce twin driven across time-ordered
+    micro-batches of the A1 error-rate series, oracle-checked against
+    a gaps-and-islands SQL formulation of its consecutive-run
+    semantics (run length resets on any non-breach row)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..functions.derivations import epoch_seconds
+    from ..operators.monitoring import error_rate
+    from ..streaming.state import debounced_alerts
+
+    work = tempfile.mkdtemp(prefix="stream_debounce_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("ts").alias("event_time"),
+            F.when(F.col("event_type") == "error", F.lit("FAILED"))
+            .otherwise(F.lit("COMPLETED"))
+            .alias("status"),
+        )
+        series = error_rate(ev, window="5 minutes").select(
+            F.lit("error_rate").alias("alert_key"),
+            F.col("window_start"),
+            F.round("error_rate", 6).alias("value"),
+        )
+        stream = _time_ordered_stream(
+            spark, series, epoch_seconds(F.col("window_start")), work
+        )
+        out = debounced_alerts(
+            stream, "alert_key", "window_start", "value",
+            threshold=0.1, consecutive=5,
+        )
+        sink = f"db_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory").queryName(sink)
+            .outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = (
+                spark.table(sink)
+                .select(
+                    "alert_key",
+                    F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                        "window_start"
+                    ),
+                    F.round("value", 6).alias("value"),
+                    F.col("breach_run").cast("int").alias("breach_run"),
+                    "alert",
+                )
+                .collect()
+            )
+        finally:
+            q.stop()
+        return spark.createDataFrame(
+            rows,
+            "alert_key string, window_start string, value double, "
+            "breach_run int, alert boolean",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["stream_debounce_e2e"] = Q(
+    _q_stream_debounce,
+    """
+WITH pe AS (
+  SELECT ts AS event_time,
+         CASE WHEN event_type = 'error' THEN 'FAILED' ELSE 'COMPLETED' END AS status
+  FROM events
+), b AS (
+  SELECT time_bucket(INTERVAL '5 minutes', event_time) AS w,
+         round(sum(CASE WHEN status = 'FAILED' THEN 1 ELSE 0 END) / count(*), 6) AS value
+  FROM pe GROUP BY 1
+), r AS (
+  SELECT w, value,
+         row_number() OVER (ORDER BY w) AS rn,
+         CASE WHEN value > 0.1 THEN 1 ELSE 0 END AS breach
+  FROM b
+), g AS (
+  SELECT w, value, rn, breach,
+         coalesce(max(CASE WHEN breach = 0 THEN rn END)
+                  OVER (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  0) AS last_ok
+  FROM r
+)
+SELECT 'error_rate' AS alert_key,
+       strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+       value,
+       CAST(CASE WHEN breach = 1 THEN rn - last_ok ELSE 0 END AS INTEGER) AS breach_run,
+       (CASE WHEN breach = 1 THEN rn - last_ok ELSE 0 END) >= 5 AS alert
+FROM g
+""",
+    doc="stateful for:N debounce across time-ordered micro-batches, oracle-checked (gaps-and-islands run)",
+)
