@@ -790,12 +790,17 @@ def center_vectors(
     partially shares) is removed. Same plan family as
     :func:`centroid_outliers`: O(dim) centroid exchange, broadcast
     back, map-side subtract + renormalize; zero-norm results (a vector
-    equal to the centroid) yield a NULL unit vector rather than NaNs.
+    equal to the centroid) yield a NULL unit vector rather than NaNs,
+    and NULL input vectors are dropped (run ``profile_embeddings``
+    first to count/flag them).
 
     Output: (id, centered — unit-norm array rounded to ``round_dp``
-    per component so the frame is engine-hashable, norm_before the
-    centering, both rounded).
+    per component, each ``+ 0.0``-canonicalized so a tiny negative
+    component can't round to IEEE ``-0.0`` on one engine and ``+0.0``
+    on the other; centered_norm — the norm of the mean-subtracted
+    vector BEFORE re-normalization, rounded).
     """
+    df = df.filter(F.col(vec_col).isNotNull())
     dims = df.select(F.posexplode(as_double_array(F.col(vec_col))).alias("pos", "v"))
     cent = dims.groupBy("pos").agg(F.avg("v").alias("c"))
     cent_arr = cent.agg(
@@ -808,7 +813,8 @@ def center_vectors(
     diff = F.zip_with(v, F.col("_centroid"), lambda a, b: a - b)
     dnorm = norm(diff)
     unit = F.when(
-        dnorm > 0, F.transform(diff, lambda x: F.round(x / dnorm, round_dp))
+        dnorm > 0,
+        F.transform(diff, lambda x: F.round(x / dnorm, round_dp) + F.lit(0.0)),
     )
     return out.select(
         F.col(id_col),

@@ -517,6 +517,27 @@ GROUP BY 1
 )
 
 
+def _drain_stream(out: DataFrame, prefix: str):
+    """Run a streaming frame to completion through a memory sink and
+    return the emitted rows (collected); the uuid-named temp view is
+    dropped afterwards so repeated gate runs don't pin emitted rows in
+    driver memory. Shared by the four streaming-twin e2e oracles."""
+    import uuid
+
+    spark = out.sparkSession
+    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        return spark.table(sink).collect()
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(sink)
+
+
 def _q_stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming type-1 compaction driven to completion and ORACLE-
     checked (not just unit-paired): the events table is re-written as
@@ -527,7 +548,6 @@ def _q_stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal DuckDB's window-over-the-whole-table answer exactly."""
     import shutil
     import tempfile
-    import uuid
 
     from ..streaming.state import streaming_latest_state
 
@@ -546,27 +566,19 @@ def _q_stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("user_id", F.col("user_id").cast("string"))
         )  # LATEST_SCHEMA keys are strings
         out = streaming_latest_state(stream, "user_id", "ts", "event_id", "event_type")
-        sink = f"latest_{uuid.uuid4().hex[:8]}"
-        q = (
-            out.writeStream.format("memory").queryName(sink)
-            .outputMode("append").start()
+        emitted = spark.createDataFrame(
+            _drain_stream(out, "latest"),
+            "key string, last_ts timestamp, last_tiebreak long, last_state string",
         )
-        try:
-            q.processAllAvailable()
-            emitted = spark.table(sink)
-            final = emitted.groupBy("key").agg(
-                F.max(
-                    F.struct("last_ts", "last_tiebreak", "last_state")
-                ).alias("m")
-            )
-            rows = final.select(
-                F.col("key").cast("long").alias("user_id"),
-                F.col("m.last_tiebreak").alias("last_event_id"),
-                F.col("m.last_state").alias("last_event_type"),
-                F.date_format("m.last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
-            ).collect()
-        finally:
-            q.stop()
+        final = emitted.groupBy("key").agg(
+            F.max(F.struct("last_ts", "last_tiebreak", "last_state")).alias("m")
+        )
+        rows = final.select(
+            F.col("key").cast("long").alias("user_id"),
+            F.col("m.last_tiebreak").alias("last_event_id"),
+            F.col("m.last_state").alias("last_event_type"),
+            F.date_format("m.last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        ).collect()
         return spark.createDataFrame(
             rows, "user_id long, last_event_id long, last_event_type string, last_ts string"
         )
@@ -595,17 +607,18 @@ def _q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream on event time and feeding files in mtime order — the ST2
     ordering contract), the stateful twin's final per-key completion
     count must equal the batch answer exactly."""
-    import os
     import shutil
     import tempfile
-    import uuid
 
     from ..functions.derivations import epoch_seconds
     from ..streaming.state import streaming_funnel
 
     work = tempfile.mkdtemp(prefix="stream_funnel_")
     try:
-        ev = load_table(spark, sf_dir, "events").select(
+        # NULL keys excluded on BOTH sides (the oracle's IS NOT NULL)
+        ev = load_table(spark, sf_dir, "events").filter(
+            F.col("user_id").isNotNull()
+        ).select(
             F.col("user_id").cast("string").alias("user_id"),
             "ts",
             *[
@@ -618,28 +631,24 @@ def _q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, "user_id", "ts", ["s0", "s1", "s2", "s3"],
             max_gap_seconds=259200,
         )
-        sink = f"funnel_{uuid.uuid4().hex[:8]}"
-        q = (
-            out.writeStream.format("memory").queryName(sink)
-            .outputMode("append").start()
-        )
-        try:
-            q.processAllAvailable()
-            final = (
-                spark.table(sink)
-                .groupBy("key")
-                .agg(F.max("steps_completed").alias("steps"))
-                .groupBy("steps")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
-                .collect()
+        final = (
+            spark.createDataFrame(
+                _drain_stream(out, "funnel"),
+                "key string, steps_completed int, step_times array<double>",
             )
-        finally:
-            q.stop()
+            .groupBy("key")
+            .agg(F.max("steps_completed").alias("steps"))
+            .groupBy("steps")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+            .collect()
+        )
         # keys that never advanced past 0 steps never emit: fold them in
         emitted = sum(r.n_keys for r in final)
-        total_users = load_table(spark, sf_dir, "events").select(
-            "user_id"
-        ).distinct().count()
+        total_users = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("user_id").isNotNull())
+            .select("user_id").distinct().count()
+        )
         rows = [(int(r.steps), int(r.n_keys)) for r in final]
         if total_users > emitted:
             rows.append((0, total_users - emitted))
@@ -731,7 +740,6 @@ def _q_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     now certified by the gate and not just a unit test)."""
     import shutil
     import tempfile
-    import uuid
 
     from ..functions.derivations import epoch_seconds
     from ..streaming.state import streaming_zscore_spikes
@@ -747,30 +755,23 @@ def _q_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, b, epoch_seconds(F.col("bucket_start")), work
         )
         out = streaming_zscore_spikes(stream, "group_key", "bucket_start", "n_events")
-        sink = f"zs_{uuid.uuid4().hex[:8]}"
-        q = (
-            out.writeStream.format("memory").queryName(sink)
-            .outputMode("append").start()
-        )
-        try:
-            q.processAllAvailable()
-            rows = (
-                spark.table(sink)
-                .select(
-                    F.col("group_key").alias("event_type"),
-                    F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias(
-                        "bucket_start"
-                    ),
-                    "n_events",
-                    "mean_prev",
-                    "std_prev",
-                    "zscore",
-                    "spike",
-                )
-                .collect()
+        from ..streaming.state import SPIKE_SCHEMA
+
+        rows = (
+            spark.createDataFrame(_drain_stream(out, "zs"), SPIKE_SCHEMA)
+            .select(
+                F.col("group_key").alias("event_type"),
+                F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "bucket_start"
+                ),
+                "n_events",
+                "mean_prev",
+                "std_prev",
+                "zscore",
+                "spike",
             )
-        finally:
-            q.stop()
+            .collect()
+        )
         return spark.createDataFrame(
             rows,
             "event_type string, bucket_start string, n_events long, "
@@ -826,11 +827,10 @@ def _q_stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics (run length resets on any non-breach row)."""
     import shutil
     import tempfile
-    import uuid
 
     from ..functions.derivations import epoch_seconds
     from ..operators.monitoring import error_rate
-    from ..streaming.state import debounced_alerts
+    from ..streaming.state import ALERT_SCHEMA, debounced_alerts
 
     work = tempfile.mkdtemp(prefix="stream_debounce_")
     try:
@@ -852,28 +852,19 @@ def _q_stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, "alert_key", "window_start", "value",
             threshold=0.1, consecutive=5,
         )
-        sink = f"db_{uuid.uuid4().hex[:8]}"
-        q = (
-            out.writeStream.format("memory").queryName(sink)
-            .outputMode("append").start()
-        )
-        try:
-            q.processAllAvailable()
-            rows = (
-                spark.table(sink)
-                .select(
-                    "alert_key",
-                    F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
-                        "window_start"
-                    ),
-                    F.round("value", 6).alias("value"),
-                    F.col("breach_run").cast("int").alias("breach_run"),
-                    "alert",
-                )
-                .collect()
+        rows = (
+            spark.createDataFrame(_drain_stream(out, "db"), ALERT_SCHEMA)
+            .select(
+                "alert_key",
+                F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                F.round("value", 6).alias("value"),
+                F.col("breach_run").cast("int").alias("breach_run"),
+                "alert",
             )
-        finally:
-            q.stop()
+            .collect()
+        )
         return spark.createDataFrame(
             rows,
             "alert_key string, window_start string, value double, "

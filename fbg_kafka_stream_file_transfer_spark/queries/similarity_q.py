@@ -338,8 +338,9 @@ WITH dims AS (
   SELECT vec_id, sqrt(sum(dv * dv)) AS nn FROM diff GROUP BY vec_id
 )
 SELECT f.vec_id,
+       -- + 0.0 canonicalizes IEEE -0.0 per component (see operator)
        CASE WHEN any_value(n.nn) > 0
-            THEN list(round(f.dv / n.nn, 6) ORDER BY f.d) END AS centered,
+            THEN list(round(f.dv / n.nn, 6) + 0.0 ORDER BY f.d) END AS centered,
        round(any_value(n.nn), 6) AS centered_norm
 FROM diff f JOIN norms n ON f.vec_id = n.vec_id
 GROUP BY f.vec_id
