@@ -207,6 +207,8 @@ def streaming_latest_state(
     ts_col: str,
     tiebreak_col: str,
     state_col: str,
+    ttl_seconds: float | None = None,
+    watermark_delay: str = "10 seconds",
 ) -> DataFrame:
     """Streaming twin of ``operators.cdc.latest_state``: maintain the
     type-1 "current state" table incrementally. Per-key state is the
@@ -220,11 +222,36 @@ def streaming_latest_state(
     current-state transitions, the foreachBatch-ready shape for
     upserting into a serving table). Batch/stream parity is pinned by
     a unit test.
+
+    ``ttl_seconds`` bounds the state store — the property that keeps
+    an unbounded-key stream (file ids, request ids) alive at 100 TB:
+    a key whose newest event is ``ttl_seconds`` older than the stream's
+    EVENT-TIME watermark (advanced by ``watermark_delay`` behind max
+    event time) is EVICTED and a tombstone row (NULL last_state,
+    last_tiebreak = -1) emitted so downstream upsert sinks can clear
+    it; a later event for the key simply re-creates state. Event-time
+    (not wall-clock) expiry keeps eviction deterministic and
+    replay-safe — a reprocessed stream evicts identically. Without TTL
+    the store grows with distinct keys forever.
     """
+    use_ttl = ttl_seconds is not None
+    if use_ttl and ttl_seconds <= 0:
+        raise ValueError(f"ttl_seconds must be positive, got {ttl_seconds}")
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if use_ttl and state.hasTimedOut:
+            state.remove()  # watermark passed last_event_ts + ttl
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "last_ts": [None],
+                    "last_tiebreak": [-1],
+                    "last_state": [None],
+                }
+            )
+            return
         cur = tuple(state.get) if state.exists else None
         changed = False
         for pdf in pdfs:
@@ -243,6 +270,16 @@ def streaming_latest_state(
                     changed = True
         if changed:
             state.update(cur)
+            if use_ttl:
+                # expire when the watermark passes newest-event + ttl;
+                # must stay ahead of the current watermark or Spark
+                # rejects the timestamp
+                state.setTimeoutTimestamp(
+                    max(
+                        cur[0] // 1000 + int(ttl_seconds * 1000),
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
             yield pd.DataFrame(
                 {
                     "key": [key[0]],
@@ -252,16 +289,30 @@ def streaming_latest_state(
                 }
             )
         else:
+            if use_ttl and state.exists:
+                # refreshing nothing: keep the eviction clock armed
+                state.setTimeoutTimestamp(
+                    max(
+                        tuple(state.get)[0] // 1000 + int(ttl_seconds * 1000),
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
             yield pd.DataFrame(
                 {"key": [], "last_ts": [], "last_tiebreak": [], "last_state": []}
             )
 
+    if use_ttl:
+        df = df.withWatermark(ts_col, watermark_delay)
     return df.groupBy(key_col).applyInPandasWithState(
         fn,
         outputStructType=LATEST_SCHEMA,
         stateStructType=_LATEST_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if use_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 from pyspark.sql import functions as F
 
@@ -145,3 +145,55 @@ def test_streaming_latest_state_skips_malformed_events(spark, tmp_path):
     finally:
         q.stop()
     assert len(got) == 1 and got[0].last_state == "good"
+
+
+def test_streaming_latest_state_ttl_evicts_idle_keys(spark, tmp_path):
+    """Event-time TTL: a key whose newest event falls ttl behind the
+    watermark is evicted with a tombstone on a later batch; active keys
+    are untouched. Deterministic — driven by event time, no sleeps."""
+    from fbg_kafka_stream_file_transfer_spark.streaming.state import (
+        streaming_latest_state,
+    )
+
+    schema = "key string, ts timestamp, eid long, state string"
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    t0 = datetime(2024, 1, 1)
+
+    def drop(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    drop([("idle", t0, 1, "a")], "b1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = streaming_latest_state(
+        stream, "key", "ts", "eid", "state", ttl_seconds=3600.0
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ttl_test")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark jumps 10h past idle's event → way past its 1h ttl
+        drop([("live", t0 + timedelta(hours=10), 2, "b")], "b2")
+        q.processAllAvailable()
+        # timeouts process on the batch after the watermark advanced
+        drop([("live", t0 + timedelta(hours=11), 3, "c")], "b3")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ttl_test").collect()
+    finally:
+        q.stop()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.key, []).append(r)
+    states = [(r.last_tiebreak, r.last_state) for r in by_key["idle"]]
+    assert (1, "a") in states and (-1, None) in states  # emit + tombstone
+    assert (-1, None) not in [
+        (r.last_tiebreak, r.last_state) for r in by_key["live"]
+    ]
