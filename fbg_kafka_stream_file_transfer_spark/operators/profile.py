@@ -291,3 +291,40 @@ def psi_drift(
         F.round(q, 6).alias("p_current"),
         F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
     )
+
+
+def profile_key_skew(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Join/aggregation-key skew diagnostic — the report you read
+    BEFORE choosing salting or AQE skew hints: the ``top_n`` heaviest
+    keys with their row share and the running cumulative share ("the
+    top 3 keys carry 60% of the rows" is the sentence that decides the
+    strategy). NULL keys are profiled too (they're the classic hidden
+    hot key in outer joins).
+
+    One shuffle to the per-key counts (map-side combined), a
+    TakeOrdered top-n, and the cumulative window runs over only the
+    ``top_n`` survivors. Deterministic ordering: count desc, key-string
+    asc. Output: (key, n_rows, share, cum_share), doubles round 6.
+    """
+    if top_n <= 0:
+        raise ValueError(f"top_n must be positive, got {top_n}")
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("<NULL>")).alias("key")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").cast("double").alias("_total"))
+    top = (
+        counts.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(top_n)
+        .crossJoin(F.broadcast(total))
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return top.select(
+        "key",
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+        F.round(F.sum("n_rows").over(w) / F.col("_total"), 6).alias("cum_share"),
+    )

@@ -1056,3 +1056,33 @@ QUERIES["privacy_pseudonymize_customers"] = Q(
     "SELECT c_custkey, md5('s42:' || CAST(c_custkey AS VARCHAR)) AS token FROM customer",
     doc="deterministic keyed tokenization (referential-integrity-preserving pseudonymization)",
 )
+
+
+def _q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew report for the order join key: top-10 customers by order
+    count with row share and cumulative share."""
+    from ..operators.profile import profile_key_skew
+
+    return profile_key_skew(load_table(spark, sf_dir, "orders"), "o_custkey", 10)
+
+
+QUERIES["profile_key_skew"] = Q(
+    _q_key_skew,
+    """
+WITH c AS (
+  SELECT coalesce(CAST(o_custkey AS VARCHAR), '<NULL>') AS key,
+         count(*)::BIGINT AS n_rows
+  FROM orders GROUP BY 1
+), t AS (SELECT sum(n_rows)::DOUBLE AS total FROM c),
+top AS (
+  SELECT key, n_rows FROM c ORDER BY n_rows DESC, key ASC LIMIT 10
+)
+SELECT key, n_rows,
+       round(n_rows / t.total, 6) AS share,
+       round(sum(n_rows) OVER (ORDER BY n_rows DESC, key ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / t.total, 6) AS cum_share
+FROM top, t
+""",
+    doc="key-skew diagnostic: top-N heavy keys with shares (the pre-salting report)",
+)

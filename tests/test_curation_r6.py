@@ -449,3 +449,26 @@ class TestPsiDrift:
 
         with _pytest.raises(ValueError):
             psi_drift(base, same, "v", buckets=1)
+
+
+class TestKeySkew:
+    def test_shares_cumulative_and_null_key(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.profile import (
+            profile_key_skew,
+        )
+
+        rows = [("a",)] * 6 + [("b",)] * 3 + [(None,)] * 1
+        df = spark.createDataFrame(rows, "k string")
+        out = profile_key_skew(df, "k", top_n=2).collect()
+        assert [(r.key, r.n_rows, r.share, r.cum_share) for r in out] == [
+            ("a", 6, 0.6, 0.6),
+            ("b", 3, 0.3, 0.9),
+        ]
+        # NULL keys are profiled, not dropped
+        all3 = {r.key: r.n_rows for r in profile_key_skew(df, "k", 3).collect()}
+        assert all3["<NULL>"] == 1
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            profile_key_skew(df, "k", 0)
