@@ -328,3 +328,40 @@ def profile_key_skew(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
         F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
         F.round(F.sum("n_rows").over(w) / F.col("_total"), 6).alias("cum_share"),
     )
+
+
+def profile_categorical(df: DataFrame, col: str) -> DataFrame:
+    """One-row distribution profile of a LOW-CARDINALITY categorical
+    column: count, distinct, Shannon entropy (nats), Gini impurity,
+    and the modal share — the imbalance summary read before
+    stratifying or rebalancing on the column.
+
+    Determinism: per-category probabilities are IEEE divisions of
+    exact counts (bit-identical on any engine); each entropy/gini TERM
+    is rounded to 12 dp and summed as exact DECIMAL, so the float sum
+    order can't wiggle the total (the money-sum rule applied to
+    information measures). The 12-dp term rounding assumes category
+    counts are small (≤ ~thousands of categories); it is a profiling
+    op for label-like columns, not a hash-key entropy estimator.
+    NULL values form their own category.
+    """
+    counts = df.groupBy(
+        F.coalesce(F.col(col).cast("string"), F.lit("<NULL>")).alias("_c")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy()
+    p = F.col("_n").cast("double") / F.sum("_n").over(w_all).cast("double")
+    terms = counts.select(
+        "_n",
+        F.round(-p * F.log(p), 12).cast("decimal(20,12)").alias("_h"),
+        F.round(p * p, 12).cast("decimal(20,12)").alias("_g"),
+        p.alias("_p"),
+    )
+    return terms.agg(
+        F.sum("_n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_categories"),
+        F.round(F.sum("_h").cast("double"), 6).alias("entropy_nats"),
+        F.round(F.lit(1.0) - F.sum("_g").cast("double"), 6).alias("gini_impurity"),
+        F.round(F.max("_p"), 6).alias("top_share"),
+    )

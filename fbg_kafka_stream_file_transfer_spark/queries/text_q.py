@@ -607,3 +607,39 @@ FROM t
 """,
     doc="explicit target-distribution rebalancing at the no-upsampling corpus size",
 )
+
+
+def _q_categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-distribution imbalance profile (entropy/gini/modal
+    share) — the summary a rebalancing pass starts from."""
+    from ..operators.profile import profile_categorical
+
+    return profile_categorical(_docs(spark, sf_dir), "lang")
+
+
+QUERIES["profile_lang_distribution"] = Q(
+    _q_categorical_profile,
+    """
+WITH c AS (
+  SELECT coalesce(CAST(lang AS VARCHAR), '<NULL>') AS cat,
+         count(*)::BIGINT AS n
+  FROM documents GROUP BY 1
+), t AS (
+  SELECT n,
+         n::DOUBLE / (SELECT sum(n)::DOUBLE FROM c) AS p
+  FROM c
+), q AS (
+  SELECT n, p,
+         CAST(round(-p * ln(p), 12) AS DECIMAL(20,12)) AS h,
+         CAST(round(p * p, 12) AS DECIMAL(20,12)) AS g
+  FROM t
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       count(*)::BIGINT AS n_categories,
+       round(CAST(sum(h) AS DOUBLE), 6) AS entropy_nats,
+       round(1.0 - CAST(sum(g) AS DOUBLE), 6) AS gini_impurity,
+       round(max(p), 6) AS top_share
+FROM q
+""",
+    doc="categorical imbalance profile: decimal-exact entropy/gini/modal share",
+)

@@ -472,3 +472,27 @@ class TestKeySkew:
 
         with _pytest.raises(ValueError):
             profile_key_skew(df, "k", 0)
+
+
+class TestCategoricalProfile:
+    def test_uniform_vs_skewed_and_nulls(self, spark):
+        import math
+
+        from fbg_kafka_stream_file_transfer_spark.operators.profile import (
+            profile_categorical,
+        )
+
+        uniform = spark.createDataFrame(
+            [(c,) for c in "abcd" for _ in range(25)], "k string"
+        )
+        r = profile_categorical(uniform, "k").collect()[0]
+        assert r.n_categories == 4 and r.top_share == 0.25
+        assert abs(r.entropy_nats - math.log(4)) < 1e-6
+        assert abs(r.gini_impurity - 0.75) < 1e-6
+
+        skewed = spark.createDataFrame(
+            [("a",)] * 97 + [("b",)] * 2 + [(None,)], "k string"
+        )
+        r = profile_categorical(skewed, "k").collect()[0]
+        assert r.n_categories == 3 and r.top_share == 0.97
+        assert r.entropy_nats < 0.2  # near-degenerate distribution
