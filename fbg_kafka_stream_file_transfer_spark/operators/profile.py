@@ -365,3 +365,60 @@ def profile_categorical(df: DataFrame, col: str) -> DataFrame:
         F.round(F.lit(1.0) - F.sum("_g").cast("double"), 6).alias("gini_impurity"),
         F.round(F.max("_p"), 6).alias("top_share"),
     )
+
+
+def profile_mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Dependence profile between two low-cardinality categoricals:
+    mutual information MI = Σ p_xy·ln(p_xy/(p_x·p_y)) plus both
+    marginal entropies and the normalized MI (MI / min(H_a, H_b) — 0
+    independent, 1 fully determined). The "is quality tied to source?"
+    question as one scan.
+
+    Same determinism treatment as :func:`profile_categorical`: exact
+    joint counts, IEEE-exact probability divisions, per-cell terms
+    rounded to 12 dp and decimal-summed. Marginals come from window
+    sums over the joint-cell frame (|A|×|B| cells — tiny by the
+    low-cardinality contract), so the input is scanned once. NULLs
+    form their own category.
+    """
+    from pyspark.sql.window import Window
+
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("<NULL>"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("<NULL>"))
+    joint = df.groupBy(a.alias("_a"), b.alias("_b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    w_all = Window.partitionBy()
+    w_a = Window.partitionBy("_a")
+    w_b = Window.partitionBy("_b")
+    total = F.sum("_n").over(w_all).cast("double")
+    p_xy = F.col("_n").cast("double") / total
+    p_x = F.sum("_n").over(w_a).cast("double") / total
+    p_y = F.sum("_n").over(w_b).cast("double") / total
+    cells = joint.select(
+        "_n",
+        F.round(p_xy * F.log(p_xy / (p_x * p_y)), 12)
+        .cast("decimal(20,12)")
+        .alias("_mi"),
+        F.round(-p_xy * F.log(p_x), 12).cast("decimal(20,12)").alias("_ha"),
+        F.round(-p_xy * F.log(p_y), 12).cast("decimal(20,12)").alias("_hb"),
+    )
+    agg = cells.agg(
+        F.sum("_n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("_mi").cast("double").alias("_mi_t"),
+        F.sum("_ha").cast("double").alias("_ha_t"),
+        F.sum("_hb").cast("double").alias("_hb_t"),
+    )
+    nmi = F.when(
+        F.least(F.col("_ha_t"), F.col("_hb_t")) > 0,
+        F.col("_mi_t") / F.least(F.col("_ha_t"), F.col("_hb_t")),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_rows",
+        "n_cells",
+        F.round("_mi_t", 6).alias("mi_nats"),
+        F.round("_ha_t", 6).alias("entropy_a"),
+        F.round("_hb_t", 6).alias("entropy_b"),
+        (F.round(nmi, 6) + F.lit(0.0)).alias("nmi"),
+    )

@@ -643,3 +643,50 @@ FROM q
 """,
     doc="categorical imbalance profile: decimal-exact entropy/gini/modal share",
 )
+
+
+def _q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependence between language and source in the corpus (one-scan
+    MI + normalized MI)."""
+    from ..operators.profile import profile_mutual_information
+
+    return profile_mutual_information(_docs(spark, sf_dir), "lang", "source")
+
+
+QUERIES["profile_lang_source_mi"] = Q(
+    _q_mutual_information,
+    """
+WITH j AS (
+  SELECT coalesce(CAST(lang AS VARCHAR), '<NULL>') AS a,
+         coalesce(CAST(source AS VARCHAR), '<NULL>') AS b,
+         count(*)::BIGINT AS n
+  FROM documents GROUP BY 1, 2
+), p AS (
+  SELECT n,
+         n::DOUBLE / sum(n) OVER () AS pxy,
+         sum(n) OVER (PARTITION BY a)::DOUBLE / sum(n) OVER () AS px,
+         sum(n) OVER (PARTITION BY b)::DOUBLE / sum(n) OVER () AS py
+  FROM j
+), q AS (
+  SELECT n,
+         CAST(round(pxy * ln(pxy / (px * py)), 12) AS DECIMAL(20,12)) AS mi,
+         CAST(round(-pxy * ln(px), 12) AS DECIMAL(20,12)) AS ha,
+         CAST(round(-pxy * ln(py), 12) AS DECIMAL(20,12)) AS hb
+  FROM p
+), s AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_rows, count(*)::BIGINT AS n_cells,
+         CAST(sum(mi) AS DOUBLE) AS mi_t,
+         CAST(sum(ha) AS DOUBLE) AS ha_t,
+         CAST(sum(hb) AS DOUBLE) AS hb_t
+  FROM q
+)
+SELECT n_rows, n_cells,
+       round(mi_t, 6) AS mi_nats,
+       round(ha_t, 6) AS entropy_a,
+       round(hb_t, 6) AS entropy_b,
+       round(CASE WHEN least(ha_t, hb_t) > 0 THEN mi_t / least(ha_t, hb_t)
+                  ELSE 0.0 END, 6) + 0.0 AS nmi
+FROM s
+""",
+    doc="mutual information between two categoricals (decimal-exact cell terms, one scan)",
+)

@@ -496,3 +496,29 @@ class TestCategoricalProfile:
         r = profile_categorical(skewed, "k").collect()[0]
         assert r.n_categories == 3 and r.top_share == 0.97
         assert r.entropy_nats < 0.2  # near-degenerate distribution
+
+
+class TestMutualInformation:
+    def test_independent_vs_determined(self, spark):
+        import math
+
+        from fbg_kafka_stream_file_transfer_spark.operators.profile import (
+            profile_mutual_information,
+        )
+
+        # independent: every (a, b) combination equally likely
+        ind = spark.createDataFrame(
+            [(x, y) for x in "ab" for y in "cd" for _ in range(25)],
+            "x string, y string",
+        )
+        r = profile_mutual_information(ind, "x", "y").collect()[0]
+        assert r.mi_nats == 0.0 and r.nmi == 0.0
+        assert abs(r.entropy_a - math.log(2)) < 1e-6
+
+        # fully determined: b = f(a)
+        det = spark.createDataFrame(
+            [("a", "c")] * 50 + [("b", "d")] * 50, "x string, y string"
+        )
+        r = profile_mutual_information(det, "x", "y").collect()[0]
+        assert abs(r.mi_nats - math.log(2)) < 1e-6
+        assert r.nmi == 1.0
