@@ -367,3 +367,38 @@ WHERE least(na, nb) > 0 AND inter / least(na, nb) >= 0.8
 """,
     doc="asymmetric containment pairs (|A∩B|/|min side| over LSH candidates)",
 )
+
+
+def _q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report: how much of each source's volume
+    is exact-duplicate content (sha256) — the table that decides which
+    crawl/source gets the aggressive dedup budget. One shuffle on
+    (source, hash) then a per-source roll-up."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy(
+        "source", F.sha2(F.col("text"), 256).alias("_h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    return per.groupBy("source").agg(
+        F.sum("_n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        F.round(
+            (F.sum("_n") - F.count(F.lit(1))) / F.sum("_n").cast("double"), 6
+        ).alias("dup_rate"),
+    )
+
+
+QUERIES["dedup_rate_by_source"] = Q(
+    _q_dup_rate_by_source,
+    """
+WITH per AS (
+  SELECT source, sha256(text) AS h, count(*)::BIGINT AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       count(*)::BIGINT AS n_unique,
+       round((sum(n) - count(*)) / sum(n)::DOUBLE, 6) AS dup_rate
+FROM per GROUP BY 1
+""",
+    doc="per-source exact-duplication rate (which source gets the dedup budget)",
+)

@@ -690,3 +690,28 @@ FROM s
 """,
     doc="mutual information between two categoricals (decimal-exact cell terms, one scan)",
 )
+
+
+def _q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length envelope (exact p10/p50/p90) — the
+    length-filter calibration table."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.1)"), 3).alias("p10_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 3).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 3).alias("p90_chars"),
+    )
+
+
+QUERIES["profile_length_percentiles"] = Q(
+    _q_length_percentiles,
+    """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       round(quantile_cont(n_chars, 0.1), 3) AS p10_chars,
+       round(quantile_cont(n_chars, 0.5), 3) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9), 3) AS p90_chars
+FROM documents GROUP BY 1
+""",
+    doc="per-language length percentiles (length-filter calibration)",
+)
