@@ -906,3 +906,58 @@ FROM g
 """,
     doc="stateful for:N debounce across time-ordered micro-batches, oracle-checked (gaps-and-islands run)",
 )
+
+
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming duplicate suppression (ST7) driven e2e and
+    oracle-checked: every event is delivered TWICE (the union models
+    at-least-once redelivery), the watermarked
+    dropDuplicatesWithinWatermark pass must reduce the stream back to
+    exactly the distinct ids — certified as per-type survivor counts
+    against plain SQL distinct."""
+    import shutil
+    import tempfile
+
+    from ..functions.derivations import epoch_seconds
+    from ..streaming.dedupe import suppress_redeliveries
+
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            # watermarks require TIMESTAMP (LTZ); the UTC-pinned session
+            # makes the NTZ→LTZ cast value-preserving (derivations.py)
+            F.col("ts").cast("timestamp_ltz").alias("ts"),
+            "event_type",
+        )
+        doubled = ev.unionByName(ev)  # at-least-once: every row twice
+        stream = _time_ordered_stream(
+            spark, doubled, epoch_seconds(F.col("ts")), work
+        )
+        out = suppress_redeliveries(
+            stream, time_col="ts", key_col="event_id", watermark="1 hour"
+        )
+        rows = spark.createDataFrame(
+            _drain_stream(out, "dedup"), "event_id long, ts timestamp, event_type string"
+        )
+        summary = (
+            rows.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_unique"))
+            .collect()
+        )
+        return spark.createDataFrame(
+            [(r.event_type, r.n_unique) for r in summary],
+            "event_type string, n_unique long",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["stream_dedup_e2e"] = Q(
+    _q_stream_dedup,
+    """
+SELECT event_type, count(DISTINCT event_id)::BIGINT AS n_unique
+FROM events GROUP BY 1
+""",
+    doc="streaming redelivery suppression (ST7) e2e: doubled stream reduced to distinct ids",
+)
