@@ -46,8 +46,15 @@ def changelog_to_scd2(
     changes state twice in one tick). Timestamps are emitted as
     formatted strings (queries.base timestamp rule).
 
+    Events with a NULL timestamp are malformed (no event-time position
+    in the changelog) and are dropped — the same contract as the
+    streaming twin (streaming.state.streaming_funnel skips NaT rows).
+    Keeping them would also be engine-divergent: Spark sorts NULLs
+    FIRST on ASC while SQL oracles sort them LAST.
+
     Returns (key, state, valid_from, valid_to, is_current).
     """
+    df = df.filter(F.col(ts_col).isNotNull())
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
     w = Window.partitionBy(key_col).orderBy(*order)
     # row_number (not prev IS NULL) marks the run opener, so a genuine
@@ -81,7 +88,11 @@ def latest_state(
     per-key and AQE handles stragglers — for the pure "latest value of
     a few columns" case prefer a ``max_by`` aggregation, which does
     combine map-side; this keeps the WHOLE row, which max_by can't.
+
+    NULL-timestamp events are dropped (malformed-event contract shared
+    with :func:`changelog_to_scd2` and the streaming twin).
     """
+    df = df.filter(F.col(ts_col).isNotNull())
     order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
     w = Window.partitionBy(key_col).orderBy(*order)
     return (

@@ -86,8 +86,11 @@ def profile_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
     Σxy) is summed in quantized DECIMAL — exact, order-independent
     (the queries.base money rule) — and only the final closed-form
     combination runs in doubles, so the result is bit-stable across
-    engines and partitionings. Rows where either column is NULL are
-    excluded per pair (pairwise deletion).
+    engines and partitionings. Rows where either column is NULL OR
+    outside the quantization domain (|x| >= 1e12, the decimal(18,6)
+    bound) are excluded per pair (pairwise deletion + explicit domain
+    guard — see the inline comment for why 18,6 is the widest exact
+    type).
 
     Scale: one aggregation over one scan, all O(k²) moments as
     conditional sums with map-side partials; output is k·(k-1)/2 rows.
@@ -108,7 +111,19 @@ def profile_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
         for b in cols[i + 1 :]:
             xa = F.col(a).cast("decimal(18,6)")
             xb = F.col(b).cast("decimal(18,6)")
-            both = F.col(a).isNotNull() & F.col(b).isNotNull()
+            # Domain guard: decimal(18,6) is the WIDEST quantization whose
+            # product is still exact in Spark ((18,6)x(18,6) -> (37,12)
+            # <= 38; any wider and the multiply result rounds to 6 dp,
+            # silently diverging from an int128 oracle). Values outside
+            # it (|x| >= 1e12) would cast to NULL while 'n' still counted
+            # the row, biasing corr — so the pairwise-deletion condition
+            # excludes them explicitly, mirrored in the oracle SQL.
+            both = (
+                F.col(a).isNotNull()
+                & F.col(b).isNotNull()
+                & (F.abs(F.col(a)) < F.lit(1e12))
+                & (F.abs(F.col(b)) < F.lit(1e12))
+            )
             pre = pair_pre[(a, b)]
             aggs += [
                 F.sum(F.when(both, F.lit(1))).cast("long").alias(f"n_{pre}"),

@@ -87,8 +87,15 @@ def _last_certified_rounds() -> dict[str, int]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            green = bool(row.get("hash_match")) or (
-                bool(row.get("rows_match")) and bool(row.get("schema_match"))
+            # hash_match False is a RED row even when rows+schema match
+            # (e.g. sample_split_assignment r6) — only hash_match None
+            # (a rows-only check with no oracle) may fall back to the
+            # weaker rows+schema criterion.
+            green = row.get("hash_match") is True or (
+                row.get("hash_match") is None
+                and row.get("err") is None
+                and bool(row.get("rows_match"))
+                and bool(row.get("schema_match"))
             )
             if green:
                 last[name] = max(last.get(name, _NEVER), rnd)

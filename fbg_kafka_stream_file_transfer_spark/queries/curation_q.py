@@ -110,7 +110,10 @@ WITH b AS (
               ELSE 'test' END AS split
   FROM documents
 )
-SELECT split, lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT split, lang, count(*) AS n_docs,
+       -- CAST: DuckDB sum(int) is HUGEINT -> pandas float64; Spark's is
+       -- bigint. The registry-wide integer-sum convention (base.py).
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM b GROUP BY 1, 2
 """,
     doc="deterministic 80/10/10 train/val/test split by portable key hash",

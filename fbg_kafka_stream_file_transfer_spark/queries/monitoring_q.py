@@ -636,7 +636,7 @@ WITH o AS (
   SELECT user_id, ts, event_id, event_type,
          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events
+  FROM events WHERE ts IS NOT NULL  -- malformed-event contract (operator drops NULL ts)
 ), c AS (
   SELECT * FROM o WHERE rn = 1 OR event_type IS DISTINCT FROM prev
 )
@@ -675,7 +675,7 @@ SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
        round(value, 6) AS last_value
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY ts DESC, event_id DESC) AS rn
-      FROM events)
+      FROM events WHERE ts IS NOT NULL)
 WHERE rn = 1
 """,
     doc="type-1 changelog compaction: latest whole row per key",

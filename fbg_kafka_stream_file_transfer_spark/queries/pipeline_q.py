@@ -621,6 +621,7 @@ def _q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             F.col("user_id").cast("string").alias("user_id"),
             "ts",
+            "event_id",
             *[
                 (F.col("event_type") == s).alias(f"s{i}")
                 for i, s in enumerate(("signup", "view", "click", "purchase"))
@@ -629,7 +630,7 @@ def _q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = _time_ordered_stream(spark, ev, epoch_seconds(F.col("ts")), work)
         out = streaming_funnel(
             stream, "user_id", "ts", ["s0", "s1", "s2", "s3"],
-            max_gap_seconds=259200,
+            max_gap_seconds=259200, tiebreak_col="event_id",
         )
         final = (
             spark.createDataFrame(

@@ -828,12 +828,18 @@ def _corr_oracle(cols: list[str]) -> str:
     selects = []
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:
-            # quantize at 6 dp exactly like the operator; the wider
-            # precision only changes DuckDB's multiply width (int128),
-            # not the value
+            # quantize at 6 dp exactly like the operator. The holder is
+            # (28,6) — NOT the operator's (18,6) — because DuckDB
+            # multiplies width-18 decimals in int64 (overflows); (28,6)
+            # forces int128. Within the |x| < 1e12 domain guard the
+            # quantized VALUE is identical in either holder, so the
+            # engines still agree bit-for-bit.
             qa = f"CAST({a} AS DECIMAL(28,6))"
             qb = f"CAST({b} AS DECIMAL(28,6))"
-            both = f"{a} IS NOT NULL AND {b} IS NOT NULL"
+            both = (
+                f"{a} IS NOT NULL AND {b} IS NOT NULL"
+                f" AND abs({a}) < 1e12 AND abs({b}) < 1e12"
+            )
             n = f"CAST(sum(CASE WHEN {both} THEN 1 END) AS BIGINT)"
             sx = f"CAST(sum(CASE WHEN {both} THEN {qa} END) AS DOUBLE)"
             sy = f"CAST(sum(CASE WHEN {both} THEN {qb} END) AS DOUBLE)"

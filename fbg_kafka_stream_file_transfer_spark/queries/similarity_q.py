@@ -318,9 +318,23 @@ FROM scored WHERE r9 >= 0.3
 
 
 def _q_center(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean-center + renormalize the embedding table (pre-ANN pass)."""
+    """Mean-center + renormalize the embedding table (pre-ANN pass).
+
+    The operator returns (vec_id, centered array<double>, norm); the
+    QUERY explodes it to one (vec_id, dim_index, component) row per
+    dimension because the driver gate's pandas canonicalizer cannot
+    sort list cells (top-level ArrayType is uncertifiable — r6 ERR;
+    the flat shape also value-checks every component individually).
+    Zero-norm vectors (centered IS NULL) emit no component rows,
+    mirrored by the oracle's ``nn > 0`` predicate.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.center_vectors(emb, "vec_id", "embedding")
+    res = similarity.center_vectors(emb, "vec_id", "embedding")
+    return res.select(
+        "vec_id",
+        F.posexplode("centered").alias("dim_index", "component"),
+        "centered_norm",
+    )
 
 
 QUERIES["sim_center_vectors"] = Q(
@@ -333,17 +347,17 @@ WITH dims AS (
 ), cent AS (
   SELECT d, avg(v) AS c FROM dims GROUP BY d
 ), diff AS (
-  SELECT vec_id, d, v - c AS dv FROM dims JOIN cent USING (d)
+  SELECT vec_id, dims.d, v - c AS dv FROM dims JOIN cent USING (d)
 ), norms AS (
   SELECT vec_id, sqrt(sum(dv * dv)) AS nn FROM diff GROUP BY vec_id
 )
 SELECT f.vec_id,
+       CAST(f.d - 1 AS INT) AS dim_index,
        -- + 0.0 canonicalizes IEEE -0.0 per component (see operator)
-       CASE WHEN any_value(n.nn) > 0
-            THEN list(round(f.dv / n.nn, 6) + 0.0 ORDER BY f.d) END AS centered,
-       round(any_value(n.nn), 6) AS centered_norm
+       round(f.dv / n.nn, 6) + 0.0 AS component,
+       round(n.nn, 6) AS centered_norm
 FROM diff f JOIN norms n ON f.vec_id = n.vec_id
-GROUP BY f.vec_id
+WHERE n.nn > 0
 """,
     doc="mean-center + renormalize embeddings (O(dim) centroid exchange, map-side rewrite)",
 )

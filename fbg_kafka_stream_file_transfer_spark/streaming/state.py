@@ -335,6 +335,7 @@ def streaming_funnel(
     ts_col: str,
     step_flag_cols: list[str],
     max_gap_seconds: float | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Streaming twin of ``operators.funnel.funnel_completion``: per-key
     state is the completion-time chain so far (O(steps) doubles — never
@@ -350,6 +351,13 @@ def streaming_funnel(
     ``step_flag_cols`` are boolean columns (pre-computed predicates —
     streaming-safe projection of the batch API's Column predicates).
     Emits one row per key per batch IFF the chain advanced.
+
+    ``tiebreak_col`` (e.g. a unique event id) makes equal-timestamp
+    ordering deterministic: the batch twin orders by (ts, tiebreak),
+    and pandas' default quicksort is unstable, so without it two
+    same-tick events could be consumed in either order and diverge
+    from the batch result. With it, events sort by (ts, tiebreak)
+    using a stable mergesort — exact batch parity.
     """
     if not step_flag_cols:
         raise ValueError("need at least one funnel step")
@@ -360,7 +368,8 @@ def streaming_funnel(
     ) -> Iterator[pd.DataFrame]:
         times = list(state.get[0]) if state.exists else []
         before = len(times)
-        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        sort_cols = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+        rows = pd.concat(list(pdfs)).sort_values(sort_cols, kind="mergesort")
         for _, row in rows.iterrows():
             if len(times) >= n:
                 break

@@ -97,6 +97,18 @@ def main() -> int:
             traceback.print_exc()
             failed.append(name)
             continue
+        # The driver gate's pandas canonicalizer cannot sort list/dict
+        # cells: an oracle-checked query with a top-level complex column
+        # is PERMANENTLY uncertifiable (sim_center_vectors, r6 ERR).
+        complex_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if complex_cols:
+            print(f"✗ {name}: driver-uncertifiable complex columns {complex_cols}")
+            failed.append(name)
+            continue
         try:
             cur = con.execute(sql)
             dcols = [d[0] for d in cur.description]

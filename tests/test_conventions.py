@@ -97,3 +97,33 @@ def test_double_never_sits_on_decimal_half_grid(expr):
     from decimal import Decimal
 
     assert Decimal(float(expr)) != Decimal(expr)
+
+
+def test_no_oracle_checked_query_returns_complex_columns(spark, sf_dir):
+    """Registry-wide driver-certifiability invariant: an oracle-checked
+    query whose result schema has a top-level ArrayType/MapType/
+    StructType column can NEVER pass the external driver gate — its
+    pandas canonicalizer crashes sorting list cells (sim_center_vectors
+    was ERR in r6 until reshaped to exploded rows). Schema construction
+    is lazy, so this builds every non-streaming query's plan at sf0.001
+    without executing it; streaming-twin queries (which drain real
+    micro-batches inside the callable) are exercised by oracle_check.py,
+    which carries the same assertion.
+    """
+    from fbg_kafka_stream_file_transfer_spark import queries as qreg
+    from fbg_kafka_stream_file_transfer_spark.queries import pipeline_q
+
+    streaming_names = set(pipeline_q.QUERIES)
+    offenders = {}
+    for name, q in qreg.REGISTRY.items():
+        if q.oracle is None or name in streaming_names:
+            continue
+        df = q.spark(spark, sf_dir)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"driver-uncertifiable complex columns: {offenders}"

@@ -126,10 +126,12 @@ def test_streaming_funnel_matches_batch_twin(spark, tmp_path):
         .parquet(str(src / "*"))
     )
     flagged = stream.select(
-        "user", "ts",
+        "user", "ts", "eid",
         *[(F.col("etype") == s).alias(f"s{i}") for i, s in enumerate(("a", "b", "c"))],
     )
-    out = streaming_funnel(flagged, "user", "ts", ["s0", "s1", "s2"])
+    out = streaming_funnel(
+        flagged, "user", "ts", ["s0", "s1", "s2"], tiebreak_col="eid"
+    )
     q = (
         out.writeStream.format("memory").queryName("funnel_stream")
         .outputMode("append").start()
