@@ -59,6 +59,12 @@ HEADLINE = [
     #   three window ops over ONE exchange on the key
     "layout_compaction_bins",    # distributed global prefix sum (r6 cont.):
     #   the two-phase running-sum shape that replaces single-partition windows
+    "tpch_q9_product_type_profit",  # TPC-H completion (r7): 5-way join +
+    #   per-line profit expression + nation×year rollup
+    "window_sliding_distinct",   # sliding 1h/15m exact distinct (r7): the
+    #   4× slide-ratio row blow-up is the scale cost being tracked
+    "sim_group_diversity",       # within-label mean pairwise cosine (r7):
+    #   |Σu|² identity — O(n·d) partial-agg shuffle instead of O(n²) join
 ]
 
 

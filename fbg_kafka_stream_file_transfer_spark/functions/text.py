@@ -488,3 +488,54 @@ def classifier_quality_score(text, weights: dict[str, float] | None = None,
         z = z + F.lit(float(wt)) * feats[k]
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return score, (F.round(z, 9) >= 0).cast("int")
+
+
+def top_ngram_stats(df, id_col: str, text_col: str, n: int = 2):
+    """Top-n-gram dominance per document: the fraction of a document's
+    word n-grams taken by its single MOST FREQUENT n-gram — the other
+    half of the Gopher repetition rules (``repetition_ratio`` measures
+    how many n-grams repeat at all; this measures whether ONE phrase
+    dominates, the signature of templated/boilerplate text).
+
+    Per doc: n-grams of the normalized text (non-distinct, order
+    preserved via ``sequence``+``slice`` — pure map-side), exploded
+    into ONE shuffle on (doc, gram) with map-side combine, then a
+    per-doc window picks the winner (count desc, gram asc tie-break —
+    deterministic) and the window's sum gives the total without a
+    second pass. Docs with fewer than n tokens drop out (no n-gram
+    exists). Output: (id, total_ngrams, top_ngram, top_count,
+    top_frac round 6).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    grams = F.when(
+        (F.length(normalized_text(F.col(text_col))) > 0) & (F.size(toks) >= n),
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    )
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("_gram"))
+    counts = exploded.groupBy(id_col, "_gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    w = Window.partitionBy(id_col)
+    wr = Window.partitionBy(id_col).orderBy(
+        F.col("_c").desc(), F.col("_gram").asc()
+    )
+    return (
+        counts.withColumn("_total", F.sum("_c").over(w))
+        .withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("_total").cast("bigint").alias("total_ngrams"),
+            F.col("_gram").alias("top_ngram"),
+            F.col("_c").alias("top_count"),
+            F.round(F.col("_c") / F.col("_total"), 6).alias("top_frac"),
+        )
+    )

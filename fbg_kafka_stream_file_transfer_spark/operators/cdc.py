@@ -100,3 +100,29 @@ def latest_state(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def apply_changelog(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    op_col: str,
+    tiebreak_cols: tuple[str, ...] = (),
+    delete_op: str = "D",
+) -> DataFrame:
+    """Materialize a keyed changelog with DELETE tombstones into the
+    current table: last writer wins per key (ts, then ``tiebreak_cols``
+    DESC), and a key whose LATEST operation is ``delete_op`` vanishes
+    from the result — the upsert/delete MERGE a CDC sink applies,
+    expressed as one window plan (same single-exchange shape as
+    :func:`latest_state`, which this extends with tombstone
+    semantics). Earlier deletes overwritten by a later upsert
+    correctly resurrect the key. NULL-timestamp events are dropped
+    (shared malformed-event contract).
+
+    Scale: one shuffle on the key; a hot key costs its own history
+    length only. The op column is kept in the output (always a
+    non-delete op) so a downstream audit can see the surviving write.
+    """
+    current = latest_state(df, key_col, ts_col, tiebreak_cols=tiebreak_cols)
+    return current.filter(F.col(op_col) != F.lit(delete_op))

@@ -157,3 +157,32 @@ def quarantine(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         bad = ok.isNull() | ~ok
         expr = F.when(bad, F.lit(name)) if expr is None else expr.when(bad, F.lit(name))
     return df.withColumn("failed_rule", expr.otherwise(F.lit(None).cast("string")))
+
+
+def k_anonymity_audit(
+    df: DataFrame, qi_cols: list[str], k: int
+) -> DataFrame:
+    """Privacy audit before a data release: group rows by their
+    quasi-identifier combination and report every combination whose
+    group is smaller than ``k`` — each such row is re-identifiable by
+    joining the QI columns against an external dataset, the attack
+    k-anonymity bounds. The release gate is "this query returns zero
+    rows"; until then the QI columns need generalization (coarser
+    buckets) or suppression of the listed combos.
+
+    NULLs form their own QI value (a NULL birthday is still a join
+    key). One shuffle with map-side combine on the QI tuple; output is
+    bounded by the number of RARE combinations, which is what makes it
+    reviewable. Output: (*qi_cols stringified, n_rows), n < k.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    keys = [
+        F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")).alias(c)
+        for c in qi_cols
+    ]
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .filter(F.col("n_rows") < k)
+    )

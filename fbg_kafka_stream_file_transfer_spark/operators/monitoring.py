@@ -333,3 +333,61 @@ def decayed_counts(
             ),
         )
     )
+
+
+def seasonal_baseline_anomalies(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    val_col: str,
+    n_sigma: float = 3.0,
+    id_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Seasonality-aware anomaly flags: each event is compared against
+    the mean/std of its OWN (group, hour-of-day) cell — "is this error
+    count high *for 3 am*?" — the first upgrade from a global z-score
+    (:func:`rolling_zscore_spikes`) once traffic has a daily cycle.
+
+    Plan shape: one aggregation builds the 24×|groups| baseline table
+    (decimal-exact Σx/Σx² moments, order-independent — the
+    profile_correlations treatment), which broadcasts back onto the
+    event scan; rows never shuffle. At 100 TB the baseline stays tiny
+    (24 rows per group), so the broadcast holds at any fact size.
+
+    Sample std (n−1); cells with n ≤ 1 or zero variance yield no flags
+    (NULL z). Output: flagged events only — ``id_cols`` passthrough,
+    then group, hour_of_day, value, baseline_mean, baseline_std,
+    zscore — doubles rounded 6, ±0.0-canonicalized.
+    """
+    hod = F.hour(F.col(ts_col))
+    x = F.col(val_col).cast("decimal(18,6)")
+    base = (
+        df.groupBy(F.col(group_col).alias("_g"), hod.alias("_hod"))
+        .agg(
+            F.count(val_col).cast("bigint").alias("_n"),
+            F.sum(x).cast("double").alias("_sx"),
+            F.sum((x * x).cast("decimal(38,12)")).cast("double").alias("_sxx"),
+        )
+    )
+    n = F.col("_n").cast("double")
+    mean = F.col("_sx") / n
+    var = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")) / (n * (n - 1.0))
+    std = F.when(F.col("_n") > 1, F.sqrt(var))
+    z = F.when(std > 0, (F.col(val_col) - mean) / std)
+    return (
+        df.join(
+            F.broadcast(base),
+            (F.col(group_col) == F.col("_g")) & (hod == F.col("_hod")),
+        )
+        .withColumn("_z", z)
+        .filter(F.abs(F.col("_z")) >= n_sigma)
+        .select(
+            *[F.col(c) for c in id_cols],
+            F.col(group_col),
+            F.col("_hod").alias("hour_of_day"),
+            F.round(F.col(val_col), 6).alias("value"),
+            F.round(mean, 6).alias("baseline_mean"),
+            F.round(std, 6).alias("baseline_std"),
+            (F.round(F.col("_z"), 6) + F.lit(0.0)).alias("zscore"),
+        )
+    )

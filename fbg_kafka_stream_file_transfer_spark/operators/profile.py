@@ -437,3 +437,81 @@ def profile_mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFra
         F.round("_hb_t", 6).alias("entropy_b"),
         (F.round(nmi, 6) + F.lit(0.0)).alias("nmi"),
     )
+
+
+def heavy_hitters(df: DataFrame, col: str, min_frac: float) -> DataFrame:
+    """EXACT heavy hitters: every value of ``col`` carrying at least
+    ``min_frac`` of the rows, with its count and share — the
+    frequent-items report behind hot-key mitigation, vocabulary
+    truncation, and popularity caps. NULLs count as their own value
+    (the classic hidden heavy hitter).
+
+    Exactness at scale: a groupBy count is ONE shuffle with map-side
+    combine — the per-key partial counts, not rows, cross the wire —
+    so "exact" costs the same exchange a count-min sketch's
+    candidate-verify pass would need anyway; the sketch only wins when
+    even the distinct-key set is too big to shuffle, and then the play
+    is a count-min PRE-FILTER per partition feeding this same verify
+    aggregation. The ≥ min_frac survivor set is at most 1/min_frac
+    values by construction, so the result always fits the driver.
+
+    Output: (value, n_rows, share) — share rounded 6, IEEE division of
+    exact counts (engine-identical).
+    """
+    if not 0.0 < min_frac <= 1.0:
+        raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    counts = df.groupBy(
+        F.coalesce(F.col(col).cast("string"), F.lit("<NULL>")).alias("value")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").cast("double").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n_rows") / F.col("_total"), 6))
+        .filter(F.col("n_rows") / F.col("_total") >= min_frac)
+        .drop("_total")
+    )
+
+
+def scale_features(
+    df: DataFrame, group_col: str, val_col: str, id_col: str
+) -> DataFrame:
+    """Per-group feature scaling — z-score and min-max — as a
+    broadcast-stats rewrite: one aggregation computes each group's
+    decimal-exact moments (mean/std via Σx, Σx² — order-independent,
+    the profile_correlations treatment) plus min/max, then a broadcast
+    join maps every row to its scaled values. Groups are
+    low-cardinality by contract (feature scaling keys on a category,
+    not an id), so the stats side always broadcasts; rows never
+    shuffle — the 100 TB plan is scan + broadcast-hash-join.
+
+    z-score uses the SAMPLE std (n−1); single-row groups and
+    zero-variance groups yield NULL zscore; constant groups yield NULL
+    minmax (max == min). NULL values pass through with NULL scaled
+    columns. Output: (id, group, value round 6, zscore round 6,
+    minmax round 6) with ±0.0 canonicalized.
+    """
+    x = F.col(val_col).cast("decimal(18,6)")
+    stats = df.groupBy(group_col).agg(
+        F.count(val_col).cast("bigint").alias("_n"),
+        F.sum(x).cast("double").alias("_sx"),
+        F.sum((x * x).cast("decimal(38,12)")).cast("double").alias("_sxx"),
+        F.min(val_col).alias("_min"),
+        F.max(val_col).alias("_max"),
+    )
+    n = F.col("_n").cast("double")
+    mean = F.col("_sx") / n
+    var = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")) / (n * (n - 1.0))
+    std = F.when(F.col("_n") > 1, F.sqrt(var))
+    rng = F.col("_max") - F.col("_min")
+    z = F.when(std > 0, (F.col(val_col) - mean) / std)
+    mm = F.when(rng > 0, (F.col(val_col) - F.col("_min")) / rng)
+    return (
+        df.join(F.broadcast(stats), on=group_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.round(F.col(val_col), 6).alias("value"),
+            (F.round(z, 6) + F.lit(0.0)).alias("zscore"),
+            (F.round(mm, 6) + F.lit(0.0)).alias("minmax"),
+        )
+    )

@@ -445,3 +445,22 @@ def target_mixture_rates(
             F.floor(F.round(F.col("_q") * t_level, 9)).cast("bigint"), F.lit(0)
         ).alias("expected_docs"),
     )
+
+
+def assign_kfold(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: a ``fold``
+    column in [0, k) from the same portable md5 bucketing as
+    :func:`assign_splits`, so folds are reproducible on any engine and
+    mutually consistent with every other hash-keyed selection in this
+    module (a key's fold never changes when the corpus is resampled or
+    re-partitioned). ``fold = bucket % k`` rather than contiguous
+    ranges: every fold then draws uniformly from the WHOLE bucket
+    space, so a k-fold split and an :func:`assign_splits` range split
+    over the same keys stay statistically independent. Map-side only —
+    no shuffle at any scale.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return df.withColumn(
+        "fold", (rate_bucket(F.col(key_col)) % k).cast("int")
+    )

@@ -821,3 +821,65 @@ def center_vectors(
         unit.alias("centered"),
         F.round(dnorm, round_dp).alias("centered_norm"),
     )
+
+
+def group_diversity(
+    df: DataFrame, label_col: str, vec_col: str
+) -> DataFrame:
+    """Mean pairwise cosine similarity WITHIN each label group — the
+    diversity/redundancy audit of a clustered or class-labeled corpus
+    (a group near 1.0 is near-duplicates wearing different ids; near
+    0.0 is healthy spread). The metric that decides whether a cluster
+    needs semantic dedup before training.
+
+    The trick that makes it scale: for unit vectors u_i, Σ_{i≠j}
+    u_i·u_j = |Σu|² − Σ|u|², so the all-pairs mean needs NO pairwise
+    join — just per-(label, dim) component sums. Plan: explode dims
+    map-side → ONE partial-aggregating shuffle on (label, dim) →
+    per-label fold of the dim sums. O(n·d) work and |labels|·d
+    aggregate rows, versus the O(n²) join a literal implementation
+    costs; at 100 TB this is the difference between feasible and not.
+
+    Determinism: unit components are IEEE divisions (engine-identical),
+    quantized to DECIMAL(18,9); component sums and squared-component
+    sums are then EXACT decimals, and only the final closed form runs
+    in doubles (profile_correlations treatment). NULL vectors, NULL
+    labels, and zero-norm vectors are excluded; groups need n ≥ 2.
+    Output: (label, n_vectors, mean_pairwise_cosine round 6, ±0.0
+    canonicalized).
+    """
+    v = as_double_array(F.col(vec_col))
+    base = df.filter(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(F.col(label_col).alias("_lab"), v.alias("_v"), norm(v).alias("_nrm"))
+    base = base.filter(F.col("_nrm") > 0)
+    dims = base.select(
+        "_lab",
+        F.posexplode(
+            F.transform(F.col("_v"), lambda x: x / F.col("_nrm"))
+        ).alias("_d", "_uc"),
+    )
+    q = F.col("_uc").cast("decimal(18,9)")
+    per = dims.groupBy("_lab", "_d").agg(
+        F.sum(q).alias("_s1"),
+        F.sum((q * q).cast("decimal(38,18)")).alias("_s2"),
+    )
+    s1d = F.col("_s1").cast("double")
+    lab = per.groupBy("_lab").agg(
+        F.sum((s1d * s1d).cast("decimal(28,10)")).cast("double").alias("_S"),
+        F.sum("_s2").cast("double").alias("_T"),
+    )
+    counts = base.groupBy("_lab").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    nd = F.col("n_vectors").cast("double")
+    mean_cos = (F.col("_S") - F.col("_T")) / (nd * (nd - 1.0))
+    return (
+        lab.join(counts, on="_lab")
+        .filter(F.col("n_vectors") >= 2)
+        .select(
+            F.col("_lab").alias(label_col),
+            "n_vectors",
+            (F.round(mean_cos, 6) + F.lit(0.0)).alias("mean_pairwise_cosine"),
+        )
+    )

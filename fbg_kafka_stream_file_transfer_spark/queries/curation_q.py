@@ -1064,3 +1064,33 @@ FROM ranked WHERE rn <= 25
 """,
     doc="exactly-n global sample by portable hash order (human-eval slice)",
 )
+
+
+def _q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold CV assignment by doc_id hash, summarized
+    per (fold, lang) — reproducible on any engine, independent of the
+    range-based train/val/test split over the same keys."""
+    from ..operators.sampling import assign_kfold
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        assign_kfold(d, "doc_id", 5)
+        .groupBy("fold", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+QUERIES["sample_kfold_assignment"] = Q(
+    _q_kfold,
+    f"""
+SELECT CAST({_BUCKET} % 5 AS INTEGER) AS fold, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1, 2
+""",
+    doc="deterministic k-fold CV assignment by portable key hash (fold = bucket mod k)",
+)

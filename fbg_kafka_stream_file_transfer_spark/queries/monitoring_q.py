@@ -1011,7 +1011,186 @@ FROM durs
 )
 
 
+# --- round-7 additions: sliding distinct, seasonal baselines, CDC
+# deletes, heavy hitters, feature scaling ---
+
+def _q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active users per 1 h window sliding every 15 min —
+    exact rolling-reach. Spark assigns each event to its 4 overlapping
+    windows map-side (native ``F.window`` with slide), then one
+    distinct-agg shuffle; the 4× row blow-up is the slide ratio and is
+    the exact-answer cost at any scale (the approximate path swaps the
+    countDistinct for an HLL sketch on the same plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("distinct_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "distinct_users",
+            "n_events",
+        )
+    )
+
+
+QUERIES["window_sliding_distinct"] = Q(
+    _q_sliding_distinct,
+    """
+WITH slid AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) - (k.k * INTERVAL '15 minutes') AS ws,
+         user_id
+  FROM events, (SELECT unnest(range(4)) AS k) k
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM slid GROUP BY ws
+""",
+    doc="exact distinct users per sliding 1h/15m window (rolling reach)",
+)
+
+
+def _q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal baseline anomalies: events whose value is
+    ≥ 2σ from the mean of their own (event_type, hour-of-day) cell."""
+    ev = load_table(spark, sf_dir, "events")
+    return monitoring.seasonal_baseline_anomalies(
+        ev, "event_type", "ts", "value", n_sigma=2.0, id_cols=("event_id",)
+    )
+
+
+QUERIES["ts_seasonal_anomalies"] = Q(
+    _q_seasonal,
+    """
+WITH base AS (
+  SELECT event_type AS g, CAST(hour(ts) AS BIGINT) AS hod,
+         CAST(count(value) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6))
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT e.event_id, e.event_type, b.hod, e.value,
+         b.sx / b.n AS mean,
+         CASE WHEN b.n > 1 AND (b.n * b.sxx - b.sx * b.sx) / (b.n * (b.n - 1.0)) > 0
+              THEN sqrt((b.n * b.sxx - b.sx * b.sx) / (b.n * (b.n - 1.0))) END AS std
+  FROM events e JOIN base b ON e.event_type = b.g AND hour(e.ts) = b.hod
+)
+SELECT event_id, event_type, hod AS hour_of_day,
+       round(value, 6) AS value,
+       round(mean, 6) AS baseline_mean,
+       round(std, 6) AS baseline_std,
+       round((value - mean) / std, 6) + 0.0 AS zscore
+FROM scored
+WHERE std > 0 AND abs((value - mean) / std) >= 2.0
+""",
+    doc="hour-of-day seasonal baseline z-score anomalies (broadcast baseline, no row shuffle)",
+)
+
+
+def _q_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE semantics: the event changelog with 'error' events as
+    DELETE tombstones, materialized to the current per-user row (last
+    writer wins; a user whose latest event is a tombstone vanishes,
+    an error overwritten by later activity resurrects)."""
+    from ..operators.cdc import apply_changelog
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")),
+    )
+    return apply_changelog(
+        ev, "user_id", "ts", "op", tiebreak_cols=("event_id",)
+    ).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
+QUERIES["cdc_apply_deletes"] = Q(
+    _q_apply_deletes,
+    """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE ts IS NOT NULL)
+WHERE rn = 1 AND event_type <> 'error'
+""",
+    doc="changelog + tombstones -> current table (upsert/delete MERGE as one window plan)",
+)
+
+
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over the event stream's user key: every user
+    carrying ≥ 0.8% of all events, with count and share."""
+    from ..operators.profile import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", 0.008)
+
+
+QUERIES["profile_heavy_hitters"] = Q(
+    _q_heavy_hitters,
+    """
+WITH c AS (
+  SELECT coalesce(CAST(user_id AS VARCHAR), '<NULL>') AS value,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+), t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS total FROM c)
+SELECT value, n_rows, round(n_rows / total, 6) AS share
+FROM c, t WHERE n_rows / total >= 0.008
+""",
+    doc="exact heavy hitters (>= min share) via one combined-count shuffle",
+)
+
+
+def _q_scale_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type feature scaling of `value`: z-score (sample std)
+    and min-max, via broadcast group stats — rows never shuffle."""
+    from ..operators.profile import scale_features
+
+    ev = load_table(spark, sf_dir, "events")
+    return scale_features(ev, "event_type", "value", "event_id")
+
+
+QUERIES["feature_scale_events"] = Q(
+    _q_scale_features,
+    """
+WITH s AS (
+  SELECT event_type,
+         CAST(count(value) AS BIGINT) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6))
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         min(value) AS mn, max(value) AS mx
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       round(e.value, 6) AS value,
+       round((e.value - s.sx / s.n)
+             / sqrt((s.n * s.sxx - s.sx * s.sx) / (s.n * (s.n - 1.0))), 6) + 0.0
+         AS zscore,
+       round((e.value - s.mn) / (s.mx - s.mn), 6) + 0.0 AS minmax
+FROM events e JOIN s USING (event_type)
+""",
+    doc="per-group z-score + min-max scaling via broadcast decimal-exact stats",
+)
+
+
 _ORDER = [
+    "window_sliding_distinct",
+    "ts_seasonal_anomalies",
+    "cdc_apply_deletes",
+    "profile_heavy_hitters",
+    "feature_scale_events",
     "funnel_conversion_time",
     "join_interval_overlap",
     "monitoring_decayed_counts",

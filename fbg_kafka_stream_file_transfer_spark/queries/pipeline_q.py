@@ -962,3 +962,81 @@ FROM events GROUP BY 1
 """,
     doc="streaming redelivery suppression (ST7) e2e: doubled stream reduced to distinct ids",
 )
+
+
+def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` aggregation run as a STREAM across 4
+    time-ordered micro-batches and oracle-checked against the batch
+    gaps-and-islands SQL: sessions opened in one batch must merge with
+    activity arriving in later batches (cross-batch session-state
+    merge, the part a batch test can't exercise). Complete output mode
+    re-emits the whole session table each trigger, so the final sink
+    content IS the converged session set — no watermark flush trick
+    needed, and every session (including those touching the stream's
+    last event) is certified."""
+    import shutil
+    import tempfile
+
+    from ..functions.derivations import epoch_seconds
+
+    work = tempfile.mkdtemp(prefix="stream_sessionize_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+        stream = _time_ordered_stream(spark, ev, epoch_seconds(F.col("ts")), work)
+        out = stream.groupBy(
+            F.session_window(F.col("ts"), "5 minutes").alias("sw"), "user_id"
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+
+        import uuid
+
+        sink = f"sess_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory").queryName(sink)
+            .outputMode("complete").start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = (
+                spark.table(sink)
+                .select(
+                    F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                        "session_start"
+                    ),
+                    "user_id",
+                    "n_events",
+                )
+                .collect()
+            )
+        finally:
+            q.stop()
+            spark.catalog.dropTempView(sink)
+        return spark.createDataFrame(
+            rows, "session_start string, user_id long, n_events bigint"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["stream_sessionize_e2e"] = Q(
+    _q_stream_sessionize,
+    """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+  FROM events
+), m AS (
+  SELECT user_id, ts,
+         CASE WHEN pts IS NULL OR epoch(ts) - epoch(pts) >= 300 THEN 1 ELSE 0 END AS new_s
+  FROM o
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM m
+)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+    doc="native session_window streamed across micro-batches (cross-batch session merge) vs gaps-and-islands oracle",
+)

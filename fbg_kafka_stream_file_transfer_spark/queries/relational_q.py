@@ -549,6 +549,124 @@ GROUP BY cntrycode
     doc="TPC-H q22 shape: scalar avg threshold + NOT-EXISTS anti-join + country rollup",
 )
 
+# --- TPC-H completion: q2/q9/q11/q16/q20 (the partsupp-dependent five).
+# The fixture carries no partsupp table, so the part↔supplier cost
+# relation is DERIVED from lineitem (min observed unit price per
+# (partkey, suppkey) — a deterministic aggregate of the same fact
+# table); q9's supply cost proxies as 0.6×p_retailprice. Every OPERATOR
+# shape the original queries exercise — correlated scalar-min over the
+# cost relation, multi-way dimension chains, fraction-of-total HAVING,
+# null-aware NOT IN anti-join with count-distinct, nested IN chains
+# with HAVING — is intact (same adaptation policy as q17/q21/q22
+# above). With all five, the registry covers the full 22-query TPC-H
+# operator surface.
+
+QUERIES["tpch_q2_min_cost_supplier"] = _shared(
+    """
+WITH ps AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         round(min(l_extendedprice / l_quantity), 6) AS supplycost
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT round(s_acctbal, 2) + 0.0 AS s_acctbal, s_name, n_name,
+       p_partkey, p_name, supplycost
+FROM part
+JOIN ps ON p_partkey = ps.partkey
+JOIN supplier ON s_suppkey = ps.suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size <= 5 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+  AND ps.supplycost = (
+    SELECT min(ps2.supplycost)
+    FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.partkey = p_partkey AND r2.r_name = 'EUROPE')
+""",
+    ("part", "lineitem", "supplier", "nation", "region"),
+    doc="TPC-H q2 shape: correlated scalar-min over the cost relation + region chain",
+)
+
+QUERIES["tpch_q9_product_type_profit"] = _shared(
+    """
+SELECT nation, o_year,
+       CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))
+           - CAST(0.6 * p_retailprice * l_quantity AS DECIMAL(28,8)) AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+""",
+    ("part", "lineitem", "supplier", "orders", "nation"),
+    doc="TPC-H q9 shape: 5-way join, per-line profit expression, nation×year rollup",
+)
+
+# fraction-of-total threshold compared as round(v/total, 9): both
+# engines derive the SAME doubles from the same exact decimals, so the
+# comparison can't flip on summation order (tfidf r9 pattern)
+QUERIES["tpch_q11_important_stock"] = _shared(
+    """
+WITH val AS (
+  SELECT l_partkey AS partkey,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS v
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY 1
+)
+SELECT partkey, CAST(round(v, 2) AS DOUBLE) AS value
+FROM val
+WHERE round(CAST(v AS DOUBLE) / (SELECT CAST(sum(v) AS DOUBLE) FROM val), 9)
+      >= 0.0012
+""",
+    ("lineitem", "supplier", "nation", "region"),
+    doc="TPC-H q11 shape: group value vs fraction-of-total scalar subquery",
+)
+
+QUERIES["tpch_q16_parts_supplier_relationship"] = _shared(
+    """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+    ("part", "lineitem", "supplier"),
+    doc="TPC-H q16 shape: null-aware NOT IN anti-join + count-distinct rollup",
+)
+
+QUERIES["tpch_q20_potential_promotion"] = _shared(
+    """
+SELECT s_name, round(s_acctbal, 2) + 0.0 AS s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity) > 50)
+""",
+    ("supplier", "nation", "region", "lineitem", "part"),
+    doc="TPC-H q20 shape: nested IN chain gated by a HAVING quantity threshold",
+)
+
 QUERIES["agg_grouping_sets"] = _shared(
         """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
@@ -1091,4 +1209,73 @@ SELECT key, n_rows,
 FROM top, t
 """,
     doc="key-skew diagnostic: top-N heavy keys with shares (the pre-salting report)",
+)
+
+
+# --- round-7 additions: multiset set-ops, null-aware NOT IN semantics,
+# k-anonymity audit ---
+
+QUERIES["set_intersect_all"] = _shared(
+    """
+SELECT nationkey, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT ALL
+  SELECT s_nationkey FROM supplier
+) m
+GROUP BY nationkey
+""",
+    ("customer", "supplier"),
+    doc="INTERSECT ALL multiset semantics (per-value min of multiplicities)",
+)
+
+# NOT IN over a subquery containing NULLs is three-valued: one NULL in
+# the list makes `x NOT IN (...)` never TRUE, so the count collapses to
+# 0 while NOT EXISTS (binary, null-safe) keeps matching — THE classic
+# anti-join correctness trap, pinned here across both engines. The
+# NULLs are synthesized deterministically from event_type.
+QUERIES["join_not_in_null_semantics"] = _shared(
+    """
+SELECT
+  (SELECT count(*) FROM orders
+   WHERE o_custkey NOT IN
+     (SELECT CASE WHEN event_type = 'error' THEN NULL ELSE user_id END
+      FROM events)) AS not_in_cnt,
+  (SELECT count(*) FROM orders o
+   WHERE NOT EXISTS
+     (SELECT 1 FROM events e
+      WHERE CASE WHEN e.event_type = 'error' THEN NULL ELSE e.user_id END
+            = o.o_custkey)) AS not_exists_cnt
+""",
+    ("orders", "events"),
+    doc="null-aware NOT IN vs NOT EXISTS divergence (three-valued anti-join semantics)",
+)
+
+
+def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-gate privacy audit: quasi-identifier combos (nation,
+    segment, coarse balance bucket) with fewer than k=5 customers —
+    each listed combo needs generalization or suppression."""
+    from ..operators.expectations import k_anonymity_audit
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    )
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment", "bal_bucket"], k=5
+    )
+
+
+QUERIES["privacy_k_anonymity"] = Q(
+    _q_k_anonymity,
+    """
+SELECT CAST(c_nationkey AS VARCHAR) AS c_nationkey,
+       c_mktsegment,
+       CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR) AS bal_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM customer
+GROUP BY 1, 2, 3
+HAVING count(*) < 5
+""",
+    doc="k-anonymity audit: QI combos below k (re-identifiable rows before release)",
 )

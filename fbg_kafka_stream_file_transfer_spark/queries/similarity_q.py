@@ -361,3 +361,49 @@ WHERE n.nn > 0
 """,
     doc="mean-center + renormalize embeddings (O(dim) centroid exchange, map-side rewrite)",
 )
+
+
+def _q_group_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-label mean pairwise cosine via the |Σu|² identity — the
+    cluster-redundancy audit with NO pairwise join (O(n·d), one
+    partial-aggregating shuffle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.group_diversity(emb, "label", "embedding")
+
+
+QUERIES["sim_group_diversity"] = Q(
+    _q_group_diversity,
+    """
+WITH base AS (
+  SELECT label, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+), u AS (
+  SELECT label, unnest(v) / nrm AS uc, generate_subscripts(v, 1) AS d
+  FROM base WHERE nrm > 0
+), q AS (
+  -- quantize unit components at 9 dp; (28,9) holder forces DuckDB's
+  -- int128 multiply (the profile_correlations width workaround) while
+  -- the VALUE equals Spark's decimal(18,9) quantization exactly
+  SELECT label, d, CAST(uc AS DECIMAL(28,9)) AS q FROM u
+), per AS (
+  SELECT label, d, sum(q) AS s1,
+         sum(CAST(q * q AS DECIMAL(38,18))) AS s2
+  FROM q GROUP BY 1, 2
+), lab AS (
+  SELECT label,
+         sum(CAST(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS DECIMAL(28,10))) AS S,
+         sum(s2) AS T
+  FROM per GROUP BY 1
+), nn AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vectors
+  FROM base WHERE nrm > 0 GROUP BY 1
+)
+SELECT l.label, nn.n_vectors,
+       round((CAST(S AS DOUBLE) - CAST(T AS DOUBLE))
+             / (nn.n_vectors * (nn.n_vectors - 1.0)), 6) + 0.0
+         AS mean_pairwise_cosine
+FROM lab l JOIN nn USING (label) WHERE nn.n_vectors >= 2
+""",
+    doc="within-label mean pairwise cosine via |sum(u)|^2 identity (no pairwise join)",
+)

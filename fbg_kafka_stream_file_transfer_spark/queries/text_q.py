@@ -715,3 +715,42 @@ FROM documents GROUP BY 1
 """,
     doc="per-language length percentiles (length-filter calibration)",
 )
+
+
+def _q_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2-gram dominance per document — the 'one phrase dominates'
+    half of the Gopher repetition rules (text_quality_flags carries the
+    distinct-ngram half)."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.top_ngram_stats(d, "doc_id", "text", n=2)
+
+
+QUERIES["text_top_ngram_fraction"] = Q(
+    _q_top_ngram,
+    """
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[.,!?;:''"()\\[\\]{}-]', '', 'g'), '\\s+', ' ', 'g')) AS nt
+  FROM documents
+), toks AS (
+  SELECT doc_id, string_split(nt, ' ') AS t, nt FROM norm
+), grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                        i -> t[i] || ' ' || t[i+1])) AS gram
+  FROM toks WHERE len(nt) > 0 AND len(t) >= 2
+), c AS (
+  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+  FROM grams GROUP BY 1, 2
+), r AS (
+  SELECT doc_id, gram, c,
+         sum(c) OVER (PARTITION BY doc_id) AS total,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+  FROM c
+)
+SELECT doc_id, CAST(total AS BIGINT) AS total_ngrams, gram AS top_ngram,
+       c AS top_count, round(c / CAST(total AS DOUBLE), 6) AS top_frac
+FROM r WHERE rn = 1
+""",
+    doc="top-2-gram dominance per doc (Gopher 'one phrase dominates' repetition rule)",
+)

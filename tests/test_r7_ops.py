@@ -1,0 +1,145 @@
+"""Round-7 operators: heavy hitters, feature scaling, k-fold, seasonal
+baselines, changelog deletes, k-anonymity, group diversity, top-ngram."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_heavy_hitters_threshold_and_null(spark):
+    from fbg_kafka_stream_file_transfer_spark.operators.profile import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [(None,)] * 1, "k string"
+    )
+    got = {r.value: (r.n_rows, r.share) for r in heavy_hitters(df, "k", 0.3).collect()}
+    assert got == {"a": (6, 0.6), "b": (3, 0.3)}  # NULL (0.1) below threshold
+    got2 = {r.value for r in heavy_hitters(df, "k", 0.05).collect()}
+    assert got2 == {"a", "b", "<NULL>"}
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "k", 0.0)
+
+
+def test_scale_features_values_and_degenerate_group(spark):
+    from fbg_kafka_stream_file_transfer_spark.operators.profile import scale_features
+
+    df = spark.createDataFrame(
+        [(1, "g", 1.0), (2, "g", 2.0), (3, "g", 3.0), (4, "solo", 7.0)],
+        "id long, grp string, v double",
+    )
+    got = {r.id: r for r in scale_features(df, "grp", "v", "id").collect()}
+    # group g: mean 2, sample std 1, range 2
+    assert got[1].zscore == -1.0 and got[3].zscore == 1.0 and got[2].zscore == 0.0
+    assert got[1].minmax == 0.0 and got[2].minmax == 0.5 and got[3].minmax == 1.0
+    # single-row group: no std, no range
+    assert got[4].zscore is None and got[4].minmax is None
+
+
+def test_assign_kfold_deterministic_partition(spark):
+    from fbg_kafka_stream_file_transfer_spark.operators.sampling import assign_kfold
+
+    df = spark.range(200).withColumnRenamed("id", "k")
+    out = assign_kfold(df, "k", 5)
+    folds = out.groupBy("fold").count().collect()
+    assert {r.fold for r in folds} == {0, 1, 2, 3, 4}
+    assert sum(r["count"] for r in folds) == 200
+    # same key -> same fold on a re-run (pure hash, no state)
+    again = {r.k: r.fold for r in assign_kfold(df, "k", 5).collect()}
+    first = {r.k: r.fold for r in out.collect()}
+    assert first == again
+    with pytest.raises(ValueError):
+        assign_kfold(df, "k", 1)
+
+
+def test_seasonal_baseline_flags_only_outliers(spark):
+    from fbg_kafka_stream_file_transfer_spark.operators.monitoring import (
+        seasonal_baseline_anomalies,
+    )
+
+    rows = []
+    # hour 3 baseline: many 10.0s, one wild 100.0
+    for i in range(10):
+        rows.append((i, datetime(2024, 1, 1 + i, 3, 0), "err", 10.0))
+    rows.append((99, datetime(2024, 1, 20, 3, 0), "err", 100.0))
+    # hour 5: constant values -> zero variance -> never flags
+    for i in range(5):
+        rows.append((200 + i, datetime(2024, 1, 1 + i, 5, 0), "err", 42.0))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, g string, v double")
+    out = seasonal_baseline_anomalies(
+        df, "g", "ts", "v", n_sigma=2.0, id_cols=("event_id",)
+    ).collect()
+    assert [r.event_id for r in out] == [99]
+    assert out[0].hour_of_day == 3 and out[0].zscore > 2.0
+
+
+def test_apply_changelog_tombstones(spark):
+    from fbg_kafka_stream_file_transfer_spark.operators.cdc import apply_changelog
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        ("u1", t(1), 1, "U"),  # upsert then delete -> gone
+        ("u1", t(2), 2, "D"),
+        ("u2", t(1), 3, "D"),  # delete then upsert -> resurrected
+        ("u2", t(2), 4, "U"),
+        ("u3", None, 5, "U"),  # malformed (NULL ts) only -> gone
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid long, op string")
+    got = {r.k: r.eid for r in apply_changelog(df, "k", "ts", "op", ("eid",)).collect()}
+    assert got == {"u2": 4}
+
+
+def test_k_anonymity_audit(spark):
+    from fbg_kafka_stream_file_transfer_spark.operators.expectations import (
+        k_anonymity_audit,
+    )
+
+    rows = [("US", "a")] * 5 + [("US", "b")] * 2 + [(None, "a")] * 1
+    df = spark.createDataFrame(rows, "country string, seg string")
+    got = {(r.country, r.seg): r.n_rows for r in
+           k_anonymity_audit(df, ["country", "seg"], 5).collect()}
+    assert got == {("US", "b"): 2, ("<NULL>", "a"): 1}
+    with pytest.raises(ValueError):
+        k_anonymity_audit(df, ["country"], 1)
+
+
+def test_group_diversity_identity(spark):
+    from fbg_kafka_stream_file_transfer_spark.operators.similarity import (
+        group_diversity,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], "dup"), (1, [2.0, 0.0], "dup"),   # parallel -> cos 1
+        (2, [1.0, 0.0], "orth"), (3, [0.0, 5.0], "orth"),  # orthogonal -> cos 0
+        (4, [0.0, 0.0], "orth"),                           # zero-norm: excluded
+        (5, [1.0, 1.0], "solo"),                           # n=1: no output
+        (6, None, "dup"),                                  # NULL vec: excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    got = {r.label: r for r in group_diversity(df, "label", "embedding").collect()}
+    assert set(got) == {"dup", "orth"}
+    assert got["dup"].n_vectors == 2 and abs(got["dup"].mean_pairwise_cosine - 1.0) < 1e-5
+    assert got["orth"].n_vectors == 2 and abs(got["orth"].mean_pairwise_cosine) < 1e-5
+
+
+def test_top_ngram_stats(spark):
+    from fbg_kafka_stream_file_transfer_spark.functions.text import top_ngram_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # grams: ab ba ab ba -> tie, 'a b' wins lexically
+            (2, "x x x x"),     # 'x x' 3/3
+            (3, "single"),      # < 2 tokens -> dropped
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in top_ngram_stats(df, "doc_id", "text", 2).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].top_ngram == "a b" and got[1].top_count == 2 and got[1].total_ngrams == 4
+    assert got[2].top_ngram == "x x" and got[2].top_frac == 1.0
+    with pytest.raises(ValueError):
+        top_ngram_stats(df, "doc_id", "text", 0)
