@@ -224,3 +224,37 @@ def compact_to_target(
         .parquet(path)
     )
     return binned
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe inner equi-join: a hot join key pins one reducer in a
+    plain shuffle join; here each big-side row takes a deterministic
+    salt in [0, n_salts) (crc32 of the whole row + physical partition
+    id — the salted_agg spread, so duplicate rows still scatter) while
+    the small side is REPLICATED across all salts (explode), and the
+    join runs on (key…, salt). Every hot key now spreads over
+    ``n_salts`` reducers at the cost of an n_salts× copy of the small
+    side — the classic salt trade, worth it exactly when the small
+    side is modest but too big (or too skew-futile) to broadcast.
+
+    Semantically ≡ ``big.join(small, on)`` — the oracle checks exactly
+    that. Prefer AQE's skew-join split when it fires; this is the
+    deterministic fallback for the cases it can't see (first run, no
+    stats, or a sink that disables AQE).
+    """
+    if n_salts < 2:
+        raise ValueError(f"n_salts must be >= 2, got {n_salts}")
+    salt = (
+        F.crc32(F.concat_ws("\x1f", *[F.col(c) for c in big.columns]))
+        + F.spark_partition_id()
+    ) % n_salts
+    b = big.withColumn("_salt", salt.cast("int"))
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return b.join(s, on + ["_salt"]).drop("_salt")

@@ -1040,3 +1040,109 @@ FROM s GROUP BY user_id, sid
 """,
     doc="native session_window streamed across micro-batches (cross-batch session merge) vs gaps-and-islands oracle",
 )
+
+
+def _q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics certified END-TO-END over daily
+    tumbling counts (``withWatermark('ts', '2 days')``, append mode).
+
+    Spark's stateful operators use TWO watermark values per batch
+    (SPARK-40925): rows are dropped with the LATE-EVENTS watermark —
+    the eviction watermark of the PREVIOUS batch, i.e. the value
+    computed at the end of batch N−2 — while emission/eviction uses
+    the value from batch N−1. Verified empirically on this engine
+    (a 2-batch split drops nothing); the stream therefore uses THREE
+    micro-batches: mid days [06,16), then [16,26), then a final file
+    carrying the newest days AND the oldest days re-delivered late.
+    During batch 3 the late filter is max(batch-1 ts) − 2 d ≈ day 14,
+    so the re-delivered days 1–5 are DROPPED; emission covers window
+    end ≤ max(all ts) − 2 d, so the newest ~2 days stay open forever.
+    The oracle replicates this arithmetic exactly — every dropped row,
+    emitted window, and held-open window is hash-checked.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="stream_wm_")
+    try:
+        # watermark needs TIMESTAMP (LTZ); the fixture loads as NTZ.
+        # Session TZ is pinned UTC so the cast is value-preserving.
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("ts").cast("timestamp").alias("ts"), "event_type"
+        )
+        c1 = F.lit("2024-01-06").cast("timestamp")
+        c2 = F.lit("2024-01-16").cast("timestamp")
+        c3 = F.lit("2024-01-26").cast("timestamp")
+        parts = [
+            ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)),
+            ev.filter((F.col("ts") >= c2) & (F.col("ts") < c3)),
+            ev.filter((F.col("ts") < c1) | (F.col("ts") >= c3)),
+        ]
+        src = f"{work}/stream"
+        os.makedirs(src)
+        for i, part in enumerate(parts):
+            tmp = f"{work}/part{i}"
+            part.coalesce(1).write.parquet(tmp)
+            pf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            dst = f"{src}/{i:03d}.parquet"
+            shutil.copy(f"{tmp}/{pf}", dst)
+            os.utime(dst, (1700000000 + i * 60, 1700000000 + i * 60))
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = (
+            stream.withWatermark("ts", "2 days")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        )
+        rows = spark.createDataFrame(
+            _drain_stream(out, "wm"),
+            "w struct<start: timestamp, end: timestamp>, event_type string, n_events bigint",
+        )
+        final = rows.select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+        ).collect()
+        return spark.createDataFrame(
+            final, "day string, event_type string, n_events bigint"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["stream_watermark_drops_e2e"] = Q(
+    _q_stream_watermark,
+    """
+WITH b1 AS (
+  SELECT ts, event_type FROM events
+  WHERE ts >= TIMESTAMP '2024-01-06' AND ts < TIMESTAMP '2024-01-16'
+), b3 AS (
+  SELECT ts, event_type FROM events
+  WHERE ts < TIMESTAMP '2024-01-06' OR ts >= TIMESTAMP '2024-01-26'
+), late_wm AS (
+  -- the late-events watermark in effect during batch 3 = eviction
+  -- watermark of batch 2 = value computed at the END of batch 1
+  SELECT max(ts) - INTERVAL 2 DAY AS w FROM b1
+), kept3 AS (
+  SELECT b3.ts, b3.event_type FROM b3, late_wm
+  WHERE date_trunc('day', b3.ts) + INTERVAL 1 DAY > late_wm.w
+), allk AS (
+  SELECT ts, event_type FROM events
+  WHERE ts >= TIMESTAMP '2024-01-06' AND ts < TIMESTAMP '2024-01-26'
+  UNION ALL SELECT * FROM kept3
+), final_wm AS (SELECT max(ts) - INTERVAL 2 DAY AS w FROM events),
+agg AS (
+  SELECT date_trunc('day', ts) AS d, event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM allk GROUP BY 1, 2
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, event_type, n_events
+FROM agg, final_wm WHERE d + INTERVAL 1 DAY <= final_wm.w
+""",
+    doc="watermark late-data contract e2e: lagged late-events filter drops re-delivered days, newest windows held open — exact-arithmetic oracle",
+)

@@ -1279,3 +1279,35 @@ HAVING count(*) < 5
 """,
     doc="k-anonymity audit: QI combos below k (re-identifiable rows before release)",
 )
+
+
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join ≡ plain join (the oracle IS the plain
+    form): orders ⋈ customer over 16 salts, rolled up per segment."""
+    from ..operators.scale import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    ).select("custkey", "c_mktsegment")
+    j = salted_join(orders, cust, ["custkey"], n_salts=16)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+        ).cast("double").alias("total_price"),
+    )
+
+
+QUERIES["join_skew_salted_equivalence"] = Q(
+    _q_salted_join,
+    """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    doc="salted (16-way) skew-safe join == plain join (deterministic AQE-skew fallback)",
+)

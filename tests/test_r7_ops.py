@@ -143,3 +143,27 @@ def test_top_ngram_stats(spark):
     assert got[2].top_ngram == "x x" and got[2].top_frac == 1.0
     with pytest.raises(ValueError):
         top_ngram_stats(df, "doc_id", "text", 0)
+
+
+def test_salted_join_parity_and_spread(spark):
+    from fbg_kafka_stream_file_transfer_spark.operators.scale import salted_join
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(50)] + [(2, i) for i in range(5)], "k long, v long"
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unmatched")],
+                                  "k long, name string")
+    got = salted_join(big, small, ["k"], n_salts=4)
+    plain = big.join(small, ["k"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+    # the hot key's rows really do take multiple salts (the point)
+    spread = (
+        big.filter("k = 1")
+        .withColumn("_s", (F.crc32(F.concat_ws("\x1f", "k", "v"))
+                           + F.spark_partition_id()) % 4)
+        .select("_s").distinct().count()
+    )
+    assert spread > 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        salted_join(big, small, ["k"], n_salts=1)
