@@ -1146,3 +1146,76 @@ FROM agg, final_wm WHERE d + INTERVAL 1 DAY <= final_wm.w
 """,
     doc="watermark late-data contract e2e: lagged late-events filter drops re-delivered days, newest windows held open — exact-arithmetic oracle",
 )
+
+
+def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join certified end-to-end: signups and
+    purchases are two filtered views of the same 4-file micro-batched
+    stream, joined per user with a 3-day event-time range condition
+    and watermarks on both sides. A purchase can arrive BATCHES before
+    or after its signup — both sides buffer in the join state store
+    and the match emits when the partner lands, which is exactly what
+    a batch join can't exercise. The watermark delay (40 days) exceeds
+    the fixture's span, so no state is evicted and the converged
+    output must equal the batch join EXACTLY — the oracle is that
+    plain join. (Eviction-side semantics are certified separately by
+    ``stream_watermark_drops_e2e``'s lag arithmetic.)"""
+    import shutil
+    import tempfile
+
+    from ..functions.derivations import epoch_seconds
+
+    work = tempfile.mkdtemp(prefix="stream_ssj_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_id",
+            "event_type",
+        ).filter(F.col("user_id").isNotNull())
+        stream = _time_ordered_stream(spark, ev, epoch_seconds(F.col("ts")), work)
+        signups = (
+            stream.filter(F.col("event_type") == "signup")
+            .select(
+                F.col("user_id").alias("s_user"),
+                F.col("ts").alias("s_ts"),
+                F.col("event_id").alias("signup_id"),
+            )
+            .withWatermark("s_ts", "40 days")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("purchase_id"),
+            )
+            .withWatermark("p_ts", "40 days")
+        )
+        joined = signups.join(
+            purchases,
+            F.expr(
+                "s_user = p_user AND p_ts > s_ts"
+                " AND p_ts <= s_ts + interval 3 days"
+            ),
+        ).select("s_user", "signup_id", "purchase_id")
+        rows = _drain_stream(joined, "ssj")
+        return spark.createDataFrame(
+            rows, "s_user long, signup_id long, purchase_id long"
+        ).withColumnRenamed("s_user", "user_id")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["stream_stream_join_e2e"] = Q(
+    _q_stream_stream_join,
+    """
+SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id
+FROM events s JOIN events p
+  ON s.user_id = p.user_id
+ AND s.event_type = 'signup' AND p.event_type = 'purchase'
+ AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 3 DAY
+WHERE s.user_id IS NOT NULL
+""",
+    doc="stream-stream windowed inner join across micro-batches (cross-batch buffering) == batch join oracle",
+)
