@@ -1311,3 +1311,68 @@ GROUP BY c_mktsegment
 """,
     doc="salted (16-way) skew-safe join == plain join (deterministic AQE-skew fallback)",
 )
+
+
+# --- round-7 SQL-surface completions: FILTER clause, ordered string
+# agg, pure-inequality (theta) join ---
+
+QUERIES["agg_filter_clause"] = _shared(
+    """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                  FILTER (WHERE l_quantity > 25), 2) AS DOUBLE) AS big_qty_price
+FROM lineitem GROUP BY 1
+""",
+    ("lineitem",),
+    doc="ANSI FILTER (WHERE …) conditional aggregation clause",
+)
+
+
+def _q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string rollup per region: deterministic via sort before
+    join (collect_list order is partition-dependent; sort_array fixes
+    it — the registry's rounded-rank convention applied to strings)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(
+                "|", F.sort_array(F.collect_list("n_name"))
+            ).alias("nations"),
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+        )
+    )
+
+
+QUERIES["agg_string_concat_ordered"] = Q(
+    _q_string_agg,
+    """
+SELECT r_name, string_agg(n_name, '|' ORDER BY n_name) AS nations,
+       CAST(count(*) AS BIGINT) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+    doc="ordered string aggregation (listagg/string_agg shape, order pinned)",
+)
+
+# a join with NO equality predicate compiles to BroadcastNestedLoopJoin —
+# the physical shape every banding/range-lookup query without an equi key
+# needs; pinned here so the path stays exercised (the bucketed range join
+# in timejoin.py is the scale path when the bands table grows)
+QUERIES["join_theta_bands"] = _shared(
+    """
+SELECT lo, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+FROM orders JOIN (
+  VALUES (0.0, 150000.0), (150000.0, 300000.0), (300000.0, 1000000000.0)
+) AS bands(lo, hi)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY lo
+""",
+    ("orders",),
+    doc="pure-inequality (theta) band join -> BroadcastNestedLoopJoin physical path",
+)
