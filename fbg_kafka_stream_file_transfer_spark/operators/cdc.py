@@ -118,11 +118,13 @@ def apply_changelog(
     :func:`latest_state`, which this extends with tombstone
     semantics). Earlier deletes overwritten by a later upsert
     correctly resurrect the key. NULL-timestamp events are dropped
-    (shared malformed-event contract).
+    (shared malformed-event contract). A NULL op is an UPSERT, not a
+    tombstone — deleting a key requires an explicit ``delete_op``
+    (a bare ``!=`` filter would silently drop NULL-op winners).
 
     Scale: one shuffle on the key; a hot key costs its own history
     length only. The op column is kept in the output (always a
     non-delete op) so a downstream audit can see the surviving write.
     """
     current = latest_state(df, key_col, ts_col, tiebreak_cols=tiebreak_cols)
-    return current.filter(F.col(op_col) != F.lit(delete_op))
+    return current.filter(~F.col(op_col).eqNullSafe(F.lit(delete_op)))

@@ -360,11 +360,17 @@ def seasonal_baseline_anomalies(
     zscore — doubles rounded 6, ±0.0-canonicalized.
     """
     hod = F.hour(F.col(ts_col))
-    x = F.col(val_col).cast("decimal(18,6)")
+    # decimal(18,6) domain guard (profile_correlations treatment): a
+    # value >= 1e12 would cast to NULL in the moment sums while the
+    # count still counted the row, silently biasing the baseline — so
+    # out-of-domain values are excluded from ALL moments consistently
+    # (and from flagging below), mirrored in the oracle SQL.
+    ok = F.col(val_col).isNotNull() & (F.abs(F.col(val_col)) < F.lit(1e12))
+    x = F.when(ok, F.col(val_col)).cast("decimal(18,6)")
     base = (
         df.groupBy(F.col(group_col).alias("_g"), hod.alias("_hod"))
         .agg(
-            F.count(val_col).cast("bigint").alias("_n"),
+            F.sum(F.when(ok, 1)).cast("bigint").alias("_n"),
             F.sum(x).cast("double").alias("_sx"),
             F.sum((x * x).cast("decimal(38,12)")).cast("double").alias("_sxx"),
         )
@@ -375,7 +381,8 @@ def seasonal_baseline_anomalies(
     std = F.when(F.col("_n") > 1, F.sqrt(var))
     z = F.when(std > 0, (F.col(val_col) - mean) / std)
     return (
-        df.join(
+        df.filter(ok)
+        .join(
             F.broadcast(base),
             (F.col(group_col) == F.col("_g")) & (hod == F.col("_hod")),
         )

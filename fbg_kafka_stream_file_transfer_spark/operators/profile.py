@@ -486,25 +486,32 @@ def scale_features(
 
     z-score uses the SAMPLE std (n−1); single-row groups and
     zero-variance groups yield NULL zscore; constant groups yield NULL
-    minmax (max == min). NULL values pass through with NULL scaled
-    columns. Output: (id, group, value round 6, zscore round 6,
+    minmax (max == min). NULL and out-of-domain (|x| ≥ 1e12) values
+    pass through with NULL scaled columns and are excluded from the
+    group stats. Output: (id, group, value round 6, zscore round 6,
     minmax round 6) with ±0.0 canonicalized.
     """
-    x = F.col(val_col).cast("decimal(18,6)")
+    # decimal(18,6) domain guard (profile_correlations treatment):
+    # out-of-domain values (|x| >= 1e12) are excluded from ALL stats
+    # consistently — a NULLed moment with a counted n would silently
+    # bias every zscore in the group. Mirrored in the oracle SQL.
+    ok = F.col(val_col).isNotNull() & (F.abs(F.col(val_col)) < F.lit(1e12))
+    x = F.when(ok, F.col(val_col)).cast("decimal(18,6)")
+    guarded = F.when(ok, F.col(val_col))
     stats = df.groupBy(group_col).agg(
-        F.count(val_col).cast("bigint").alias("_n"),
+        F.sum(F.when(ok, 1)).cast("bigint").alias("_n"),
         F.sum(x).cast("double").alias("_sx"),
         F.sum((x * x).cast("decimal(38,12)")).cast("double").alias("_sxx"),
-        F.min(val_col).alias("_min"),
-        F.max(val_col).alias("_max"),
+        F.min(guarded).alias("_min"),
+        F.max(guarded).alias("_max"),
     )
     n = F.col("_n").cast("double")
     mean = F.col("_sx") / n
     var = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")) / (n * (n - 1.0))
     std = F.when(F.col("_n") > 1, F.sqrt(var))
     rng = F.col("_max") - F.col("_min")
-    z = F.when(std > 0, (F.col(val_col) - mean) / std)
-    mm = F.when(rng > 0, (F.col(val_col) - F.col("_min")) / rng)
+    z = F.when(ok & (std > 0), (F.col(val_col) - mean) / std)
+    mm = F.when(ok & (rng > 0), (F.col(val_col) - F.col("_min")) / rng)
     return (
         df.join(F.broadcast(stats), on=group_col)
         .select(

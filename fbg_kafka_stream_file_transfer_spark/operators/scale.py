@@ -42,6 +42,10 @@ def salted_agg(
     reducer.
     """
     merge_fn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    if "_salt" in df.columns:
+        # same hazard as salted_join: withColumn would overwrite the
+        # user's column and the stage-1 grouping would key on garbage
+        raise ValueError("input already has a '_salt' column; rename it first")
     # mix the physical partition id into the salt: value-only hashing
     # would give IDENTICAL duplicate rows one salt and leave a
     # row-duplication hot key exactly as skewed as before
@@ -249,6 +253,11 @@ def salted_join(
     """
     if n_salts < 2:
         raise ValueError(f"n_salts must be >= 2, got {n_salts}")
+    if "_salt" in big.columns or "_salt" in small.columns:
+        # withColumn would silently OVERWRITE a real user column and the
+        # join would key on the synthetic salt — corrupting the result
+        # with no error. Refuse instead.
+        raise ValueError("input already has a '_salt' column; rename it first")
     salt = (
         F.crc32(F.concat_ws("\x1f", *[F.col(c) for c in big.columns]))
         + F.spark_partition_id()

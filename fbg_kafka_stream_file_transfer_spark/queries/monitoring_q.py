@@ -308,7 +308,7 @@ QUERIES["session_window_counts"] = Q(
 WITH o AS (
   SELECT user_id, ts,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
-  FROM events
+  FROM events WHERE ts IS NOT NULL  -- session_window drops NULL-ts rows
 ), m AS (
   SELECT user_id, ts,
          CASE WHEN pts IS NULL OR epoch(ts) - epoch(pts) >= 300 THEN 1 ELSE 0 END AS new_s
@@ -1045,6 +1045,7 @@ WITH slid AS (
   SELECT time_bucket(INTERVAL '15 minutes', ts) - (k.k * INTERVAL '15 minutes') AS ws,
          user_id
   FROM events, (SELECT unnest(range(4)) AS k) k
+  WHERE ts IS NOT NULL  -- F.window silently drops NULL-ts rows
 )
 SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
        CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
@@ -1067,19 +1068,22 @@ def _q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ts_seasonal_anomalies"] = Q(
     _q_seasonal,
     """
-WITH base AS (
+WITH ev AS (
+  -- decimal(18,6) domain guard, mirrored from the operator
+  SELECT * FROM events WHERE value IS NOT NULL AND abs(value) < 1e12
+), base AS (
   SELECT event_type AS g, CAST(hour(ts) AS BIGINT) AS hod,
          CAST(count(value) AS BIGINT) AS n,
          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
          CAST(sum(CAST(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6))
                        AS DECIMAL(38,12))) AS DOUBLE) AS sxx
-  FROM events GROUP BY 1, 2
+  FROM ev GROUP BY 1, 2
 ), scored AS (
   SELECT e.event_id, e.event_type, b.hod, e.value,
          b.sx / b.n AS mean,
          CASE WHEN b.n > 1 AND (b.n * b.sxx - b.sx * b.sx) / (b.n * (b.n - 1.0)) > 0
               THEN sqrt((b.n * b.sxx - b.sx * b.sx) / (b.n * (b.n - 1.0))) END AS std
-  FROM events e JOIN base b ON e.event_type = b.g AND hour(e.ts) = b.hod
+  FROM ev e JOIN base b ON e.event_type = b.g AND hour(e.ts) = b.hod
 )
 SELECT event_id, event_type, hod AS hour_of_day,
        round(value, 6) AS value,
@@ -1165,20 +1169,38 @@ QUERIES["feature_scale_events"] = Q(
     _q_scale_features,
     """
 WITH s AS (
+  -- stats grouped over the FULL table (the operator's inner join must
+  -- keep groups whose rows are all out-of-domain — they pass through
+  -- with NULL scaled columns); the decimal(18,6) domain guard applies
+  -- per-aggregate, mirroring the operator's F.when(ok, ...) terms
   SELECT event_type,
-         CAST(count(value) AS BIGINT) AS n,
-         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-         CAST(sum(CAST(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6))
-                       AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
-         min(value) AS mn, max(value) AS mx
+         CAST(sum(CASE WHEN value IS NOT NULL AND abs(value) < 1e12
+                       THEN 1 END) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN value IS NOT NULL AND abs(value) < 1e12
+                       THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sx,
+         CAST(sum(CASE WHEN value IS NOT NULL AND abs(value) < 1e12
+                       THEN CAST(CAST(value AS DECIMAL(28,6)) * CAST(value AS DECIMAL(28,6))
+                                 AS DECIMAL(38,12)) END) AS DOUBLE) AS sxx,
+         min(CASE WHEN value IS NOT NULL AND abs(value) < 1e12
+                  THEN value END) AS mn,
+         max(CASE WHEN value IS NOT NULL AND abs(value) < 1e12
+                  THEN value END) AS mx
   FROM events GROUP BY 1
 )
 SELECT e.event_id, e.event_type,
        round(e.value, 6) AS value,
-       round((e.value - s.sx / s.n)
-             / sqrt((s.n * s.sxx - s.sx * s.sx) / (s.n * (s.n - 1.0))), 6) + 0.0
-         AS zscore,
-       round((e.value - s.mn) / (s.mx - s.mn), 6) + 0.0 AS minmax
+       -- degenerate-group guards mirror the operator (NULL zscore on
+       -- n<=1 or zero/negative variance; NULL minmax on constant
+       -- groups) — DuckDB sqrt() of a negative HARD-ERRORS, it does
+       -- not return NaN
+       CASE WHEN e.value IS NOT NULL AND abs(e.value) < 1e12
+             AND s.n > 1 AND s.n * s.sxx - s.sx * s.sx > 0
+            THEN round((e.value - s.sx / s.n)
+                 / sqrt((s.n * s.sxx - s.sx * s.sx) / (s.n * (s.n - 1.0))), 6) + 0.0
+       END AS zscore,
+       CASE WHEN e.value IS NOT NULL AND abs(e.value) < 1e12 AND s.mx > s.mn
+            THEN round((e.value - s.mn) / (s.mx - s.mn), 6) + 0.0
+       END AS minmax
 FROM events e JOIN s USING (event_type)
 """,
     doc="per-group z-score + min-max scaling via broadcast decimal-exact stats",

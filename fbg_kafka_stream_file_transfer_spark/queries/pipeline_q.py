@@ -517,18 +517,19 @@ GROUP BY 1
 )
 
 
-def _drain_stream(out: DataFrame, prefix: str):
+def _drain_stream(out: DataFrame, prefix: str, output_mode: str = "append"):
     """Run a streaming frame to completion through a memory sink and
     return the emitted rows (collected); the uuid-named temp view is
     dropped afterwards so repeated gate runs don't pin emitted rows in
-    driver memory. Shared by the four streaming-twin e2e oracles."""
+    driver memory. Shared by the streaming-twin e2e oracles
+    (``output_mode='complete'`` for full-state sinks like sessionize)."""
     import uuid
 
     spark = out.sparkSession
     sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+        .outputMode(output_mode).start()
     )
     try:
         q.processAllAvailable()
@@ -986,30 +987,17 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = stream.groupBy(
             F.session_window(F.col("ts"), "5 minutes").alias("sw"), "user_id"
         ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
-
-        import uuid
-
-        sink = f"sess_{uuid.uuid4().hex[:8]}"
-        q = (
-            out.writeStream.format("memory").queryName(sink)
-            .outputMode("complete").start()
+        emitted = spark.createDataFrame(
+            _drain_stream(out, "sess", output_mode="complete"),
+            "sw struct<start: timestamp, end: timestamp>, user_id long, n_events bigint",
         )
-        try:
-            q.processAllAvailable()
-            rows = (
-                spark.table(sink)
-                .select(
-                    F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias(
-                        "session_start"
-                    ),
-                    "user_id",
-                    "n_events",
-                )
-                .collect()
-            )
-        finally:
-            q.stop()
-            spark.catalog.dropTempView(sink)
+        rows = emitted.select(
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "user_id",
+            "n_events",
+        ).collect()
         return spark.createDataFrame(
             rows, "session_start string, user_id long, n_events bigint"
         )
@@ -1023,7 +1011,7 @@ QUERIES["stream_sessionize_e2e"] = Q(
 WITH o AS (
   SELECT user_id, ts,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
-  FROM events
+  FROM events WHERE ts IS NOT NULL  -- session_window drops NULL-ts rows
 ), m AS (
   SELECT user_id, ts,
          CASE WHEN pts IS NULL OR epoch(ts) - epoch(pts) >= 300 THEN 1 ELSE 0 END AS new_s

@@ -1269,9 +1269,10 @@ def _q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["privacy_k_anonymity"] = Q(
     _q_k_anonymity,
     """
-SELECT CAST(c_nationkey AS VARCHAR) AS c_nationkey,
-       c_mktsegment,
-       CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR) AS bal_bucket,
+SELECT coalesce(CAST(c_nationkey AS VARCHAR), '<NULL>') AS c_nationkey,
+       coalesce(c_mktsegment, '<NULL>') AS c_mktsegment,
+       coalesce(CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR),
+                '<NULL>') AS bal_bucket,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM customer
 GROUP BY 1, 2, 3

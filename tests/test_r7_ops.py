@@ -86,10 +86,11 @@ def test_apply_changelog_tombstones(spark):
         ("u2", t(1), 3, "D"),  # delete then upsert -> resurrected
         ("u2", t(2), 4, "U"),
         ("u3", None, 5, "U"),  # malformed (NULL ts) only -> gone
+        ("u4", t(1), 6, None),  # NULL op is an UPSERT, not a tombstone
     ]
     df = spark.createDataFrame(rows, "k string, ts timestamp, eid long, op string")
     got = {r.k: r.eid for r in apply_changelog(df, "k", "ts", "op", ("eid",)).collect()}
-    assert got == {"u2": 4}
+    assert got == {"u2": 4, "u4": 6}
 
 
 def test_k_anonymity_audit(spark):
