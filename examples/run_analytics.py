@@ -117,6 +117,37 @@ def main(sf_dir: str) -> None:
     total = psi.agg(F.round(F.sum("psi_term"), 4).alias("psi")).first()[0]
     print(f"total PSI = {total}  (<0.1 stable, >0.25 shifted)")
 
+    print("== 8. hot keys (exact heavy hitters >= 1% of events) ==")
+    from fbg_kafka_stream_file_transfer_spark.operators.profile import (
+        heavy_hitters,
+        scale_features,
+    )
+
+    heavy_hitters(ev, "user_id", 0.01).orderBy(F.col("share").desc()).show(
+        5, truncate=False
+    )
+
+    print("== 9. seasonal anomalies (value vs its own hour-of-day baseline) ==")
+    from fbg_kafka_stream_file_transfer_spark.operators.monitoring import (
+        seasonal_baseline_anomalies,
+    )
+
+    seasonal_baseline_anomalies(
+        ev, "event_type", "ts", "value", n_sigma=3.0, id_cols=("event_id",)
+    ).orderBy(F.abs(F.col("zscore")).desc()).show(5, truncate=False)
+
+    print("== 10. CDC merge with tombstones ('error' = delete) ==")
+    from fbg_kafka_stream_file_transfer_spark.operators.cdc import apply_changelog
+
+    tagged = ev.withColumn(
+        "op", F.when(F.col("event_type") == "error", "D").otherwise("U")
+    )
+    current = apply_changelog(tagged, "user_id", "ts", "op", ("event_id",))
+    print(f"users surviving the merge: {current.count()}")
+
+    print("== 11. per-type feature scaling (broadcast stats, no row shuffle) ==")
+    scale_features(ev, "event_type", "value", "event_id").show(5, truncate=False)
+
     spark.stop()
 
 
