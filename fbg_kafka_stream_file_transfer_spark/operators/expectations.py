@@ -186,3 +186,36 @@ def k_anonymity_audit(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
         .filter(F.col("n_rows") < k)
     )
+
+
+def l_diversity_audit(
+    df: DataFrame, qi_cols: list[str], sensitive_col: str, l: int
+) -> DataFrame:
+    """The companion audit to :func:`k_anonymity_audit`: a QI group can
+    be large enough (k-anonymous) yet still leak — if all 50 rows in a
+    (zip, age) group share one diagnosis, membership alone discloses
+    it. Reports every QI combination whose SENSITIVE column carries
+    fewer than ``l`` distinct values. Release gate: zero rows.
+
+    NULL QI values form their own group ('<NULL>'); NULL sensitive
+    values do NOT count toward diversity (an unknown value discloses
+    nothing, so it cannot make a group safer). One shuffle with
+    map-side combine. Output: (*qi_cols stringified, n_rows,
+    n_distinct_sensitive), n_distinct < l.
+    """
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    keys = [
+        F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")).alias(c)
+        for c in qi_cols
+    ]
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct(sensitive_col).cast("bigint").alias(
+                "n_distinct_sensitive"
+            ),
+        )
+        .filter(F.col("n_distinct_sensitive") < l)
+    )

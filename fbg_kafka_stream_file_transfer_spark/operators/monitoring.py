@@ -398,3 +398,50 @@ def seasonal_baseline_anomalies(
             (F.round(F.col("_z"), 6) + F.lit(0.0)).alias("zscore"),
         )
     )
+
+
+def merge_incidents(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    flag: Column,
+    gap_seconds: int,
+) -> DataFrame:
+    """Merge flagged events into INCIDENTS: consecutive flagged rows per
+    key closer than ``gap_seconds`` collapse into one interval — the
+    alert-fatigue fix between "every anomalous point pages" and "one
+    page per incident window". Classic gaps-and-islands: filter to
+    flagged rows, lag per key, new-incident marker on gap breach,
+    running sum numbers the islands, one aggregate per island.
+
+    One shuffle on the key (window + the final groupBy share the
+    partitioning); a hot key costs its own flagged-event count.
+    NULL-timestamp rows are dropped (malformed-event contract).
+    Output: (key, incident_start/end formatted strings, n_events,
+    duration_seconds).
+    """
+    from pyspark.sql.window import Window as W
+
+    from ..functions.derivations import epoch_seconds
+
+    flagged = df.filter(flag & F.col(ts_col).isNotNull())
+    w = W.partitionBy(key_col).orderBy(ts_col)
+    sec = F.floor(epoch_seconds(F.col(ts_col)))
+    prev = F.lag(sec).over(w)
+    marked = flagged.withColumn(
+        "_new", F.when(prev.isNull() | (sec - prev >= gap_seconds), 1).otherwise(0)
+    )
+    numbered = marked.withColumn(
+        "_inc", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        numbered.groupBy(key_col, "_inc")
+        .agg(
+            F.date_format(F.min(ts_col), "yyyy-MM-dd HH:mm:ss").alias("incident_start"),
+            F.date_format(F.max(ts_col), "yyyy-MM-dd HH:mm:ss").alias("incident_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.floor(epoch_seconds(F.max(ts_col)))
+             - F.floor(epoch_seconds(F.min(ts_col)))).cast("bigint").alias("duration_seconds"),
+        )
+        .drop("_inc")
+    )

@@ -34,10 +34,16 @@ def as_of_join(
     left_time: str,
     right_time: str,
     value_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
     """Left rows + the as-of (most recent ``right_time <= left_time``)
     values of ``value_cols`` per ``on`` key. Right rows with equal
     timestamps to a left row DO match (<= semantics, like DuckDB ASOF).
+    ``direction='forward'`` flips the match to the NEAREST
+    ``right_time >= left_time`` — the "next reading after" lookup
+    (merge_asof direction semantics) — by reversing the window order;
+    ties among right rows at the identical (key, time) then resolve to
+    the window's last in the REVERSED order, i.e. the earliest.
 
     Ties among right rows at the identical (key, time) resolve to the
     window's last — pre-aggregate the right side if that matters.
@@ -55,6 +61,8 @@ def as_of_join(
     if reserved:
         raise ValueError(f"as_of_join: column name(s) {sorted(reserved)} are reserved")
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     l_tag = left.withColumn("_pri", F.lit(1)).withColumn("_t", F.col(left_time))
     r_tag = (
         right.select(
@@ -65,10 +73,16 @@ def as_of_join(
         .withColumn("_pri", F.lit(0))
     )
     u = l_tag.unionByName(r_tag, allowMissingColumns=True)
-    # right rows order before left rows at equal _t so <= matches
+    # right rows order before left rows at equal _t so <=/>= matches;
+    # forward direction = the same running-last window over time
+    # DESCENDING (nearest right_time >= left_time)
+    if direction == "backward":
+        order = [F.col("_t").asc(), F.col("_pri").asc()]
+    else:
+        order = [F.col("_t").desc(), F.col("_pri").asc()]
     w = (
         Window.partitionBy(*on)
-        .orderBy("_t", "_pri")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     u = u.withColumn("_asof", F.last(F.col("_asof"), ignorenulls=True).over(w))

@@ -1242,3 +1242,95 @@ _ORDER = [
 ]
 assert set(_ORDER) == set(QUERIES), sorted(set(_ORDER) ^ set(QUERIES))
 QUERIES = {k: QUERIES[k] for k in _ORDER}
+
+
+def _q_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert-fatigue fix: per-user error events merged into incidents
+    (1 h quiet gap closes an incident) — gaps-and-islands over flags."""
+    ev = load_table(spark, sf_dir, "events")
+    return monitoring.merge_incidents(
+        ev, "user_id", "ts", F.col("event_type") == "error", gap_seconds=3600
+    )
+
+
+QUERIES["monitoring_error_incidents"] = Q(
+    _q_incidents,
+    """
+WITH f AS (
+  SELECT user_id, ts FROM events
+  WHERE event_type = 'error' AND ts IS NOT NULL
+), o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+  FROM f
+), m AS (
+  SELECT user_id, ts,
+         CASE WHEN pts IS NULL
+                OR floor(epoch(ts)) - floor(epoch(pts)) >= 3600
+              THEN 1 ELSE 0 END AS new_i
+  FROM o
+), s AS (
+  SELECT user_id, ts,
+         sum(new_i) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM m
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS incident_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS incident_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_seconds
+FROM s GROUP BY user_id, sid
+""",
+    doc="flagged events merged into incidents (gaps-and-islands, 1h quiet gap)",
+)
+
+
+def _q_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: for each purchase, the user's next error event at
+    or after it — the 'did this action precede a failure' lookup
+    (merge_asof direction='forward')."""
+    from ..operators.timejoin import as_of_join
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("next_error_id"))
+        .select("user_id", F.col("ts").alias("err_ts"), "next_error_id")
+    )
+    out = as_of_join(
+        purchases, errors, ["user_id"], "ts", "err_ts",
+        ["next_error_id", "err_ts"], direction="forward",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "next_error_id",
+        F.date_format("err_ts", "yyyy-MM-dd HH:mm:ss").alias("next_error_at"),
+    )
+
+
+QUERIES["join_asof_next_error"] = Q(
+    _q_asof_next_error,
+    """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+), er AS (
+  SELECT user_id, ts, min(event_id) AS err_id FROM events
+  WHERE event_type = 'error' AND user_id IS NOT NULL GROUP BY 1, 2
+), j AS (
+  SELECT p.purchase_id, p.user_id, er.ts AS ets, er.err_id,
+         row_number() OVER (PARTITION BY p.purchase_id ORDER BY er.ts) AS rn
+  FROM p LEFT JOIN er ON p.user_id = er.user_id AND er.ts >= p.ts
+)
+SELECT purchase_id, user_id, err_id AS next_error_id,
+       strftime(ets, '%Y-%m-%d %H:%M:%S') AS next_error_at
+FROM j WHERE rn = 1
+""",
+    doc="forward as-of join: next error at/after each purchase per user",
+)

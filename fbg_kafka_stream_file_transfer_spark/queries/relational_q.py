@@ -1377,3 +1377,33 @@ GROUP BY lo
     ("orders",),
     doc="pure-inequality (theta) band join -> BroadcastNestedLoopJoin physical path",
 )
+
+
+def _q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: QI combos whose market segment is carried by
+    fewer than 3 distinct values — large-but-homogeneous groups leak
+    the sensitive attribute even when k-anonymous."""
+    from ..operators.expectations import l_diversity_audit
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    )
+    return l_diversity_audit(
+        cust, ["c_nationkey", "bal_bucket"], "c_mktsegment", l=3
+    )
+
+
+QUERIES["privacy_l_diversity"] = Q(
+    _q_l_diversity,
+    """
+SELECT coalesce(CAST(c_nationkey AS VARCHAR), '<NULL>') AS c_nationkey,
+       coalesce(CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR),
+                '<NULL>') AS bal_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_distinct_sensitive
+FROM customer
+GROUP BY 1, 2
+HAVING count(DISTINCT c_mktsegment) < 3
+""",
+    doc="l-diversity audit: QI combos with a homogeneous sensitive attribute",
+)

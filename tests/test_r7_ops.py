@@ -168,3 +168,69 @@ def test_salted_join_parity_and_spread(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         salted_join(big, small, ["k"], n_salts=1)
+
+
+def test_merge_incidents_gaps_and_islands(spark):
+    from fbg_kafka_stream_file_transfer_spark.operators.monitoring import (
+        merge_incidents,
+    )
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        ("u1", t(0), True), ("u1", t(5), True),   # one incident (gap < 10m)
+        ("u1", t(30), True),                       # new incident
+        ("u1", t(31), False),                      # unflagged: ignored
+        ("u2", t(0), True),
+        ("u2", None, True),                        # NULL ts dropped
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, bad boolean")
+    got = sorted(
+        (r.k, r.n_events, r.duration_seconds)
+        for r in merge_incidents(df, "k", "ts", F.col("bad"), 600).collect()
+    )
+    assert got == [("u1", 1, 0), ("u1", 2, 300), ("u2", 1, 0)]
+
+
+def test_l_diversity_audit(spark):
+    from fbg_kafka_stream_file_transfer_spark.operators.expectations import (
+        l_diversity_audit,
+    )
+
+    rows = (
+        [("z1", "flu")] * 5                    # homogeneous: flagged
+        + [("z2", "flu"), ("z2", "cold")]      # 2 distinct < 3: flagged
+        + [("z3", "flu"), ("z3", "cold"), ("z3", "cough")]  # diverse: ok
+        + [("z4", None), ("z4", "flu")]        # NULL sensitive doesn't count
+    )
+    df = spark.createDataFrame(rows, "zip string, dx string")
+    got = {r.zip: (r.n_rows, r.n_distinct_sensitive)
+           for r in l_diversity_audit(df, ["zip"], "dx", 3).collect()}
+    assert got == {"z1": (5, 1), "z2": (2, 2), "z4": (2, 1)}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        l_diversity_audit(df, ["zip"], "dx", 1)
+
+
+def test_as_of_join_forward(spark):
+    from fbg_kafka_stream_file_transfer_spark.operators.timejoin import as_of_join
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [("k", t(10), 1), ("k", t(20), 2), ("k", t(40), 3)],
+        "g string, lt timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [("k", t(20), "a"), ("k", t(30), "b")], "g string, rt timestamp, v string"
+    )
+    fwd = {r.lid: r.v for r in as_of_join(
+        left, right, ["g"], "lt", "rt", ["v"], direction="forward"
+    ).collect()}
+    # t=10 -> next right at 20 ('a'); t=20 -> equal matches ('a'); t=40 -> none
+    assert fwd == {1: "a", 2: "a", 3: None}
+    bwd = {r.lid: r.v for r in as_of_join(
+        left, right, ["g"], "lt", "rt", ["v"]
+    ).collect()}
+    assert bwd == {1: None, 2: "a", 3: "b"}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        as_of_join(left, right, ["g"], "lt", "rt", ["v"], direction="sideways")
