@@ -18,10 +18,10 @@ registry now holds more than 50 queries):
     order below. Staleness is computed at import time from the committed
     ``CORRECTNESS_r*.json`` files at the repo root, so each round's gate
     automatically certifies the queries that need it most and the rotation
-    needs no manual editing. With ~167 queries and a 50-row window a full
-    cycle takes ~3 rounds, so the worst-case gap between driver rows for any
-    single query is 2 missed rounds; ``oracle_check.py`` runs the identical
-    gate over ALL queries locally every round to cover the off-window set.
+    needs no manual editing. With ~190 queries and a 50-row window a full
+    cycle takes ~4 rounds; ``oracle_check.py`` runs the identical gate over
+    ALL queries locally every round (at sf0.01 AND sf0.1) to cover the
+    off-window set, so the driver row is re-confirmation, not discovery.
 
 If the correctness files are unreadable (fresh clone, driver running from
 an unexpected cwd) the order falls back to the static module order, which
