@@ -1407,3 +1407,57 @@ HAVING count(DISTINCT c_mktsegment) < 3
 """,
     doc="l-diversity audit: QI combos with a homogeneous sensitive attribute",
 )
+
+
+QUERIES["window_ratio_to_report"] = _shared(
+    """
+SELECT o_orderkey, o_orderpriority,
+       round(CAST(o_totalprice AS DOUBLE)
+             / CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                    OVER (PARTITION BY o_orderpriority) AS DOUBLE), 9) + 0.0
+         AS share_of_priority
+FROM orders
+""",
+    ("orders",),
+    doc="ratio-to-report window: each row's share of its partition total (BI staple)",
+)
+
+QUERIES["agg_rollup_grouping_id"] = _shared(
+    """
+SELECT coalesce(l_returnflag, '-') AS returnflag,
+       coalesce(l_linestatus, '-') AS linestatus,
+       CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    ("lineitem",),
+    doc="GROUPING() markers on rollup levels (subtotal rows distinguished from NULL data)",
+)
+
+
+def _q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI UNPIVOT (DataFrame ``unpivot``): wide per-part numeric
+    columns to (part, metric, value) long form — the melt every
+    metrics table needs before generic per-metric analysis."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.round(F.col("p_retailprice"), 2).alias("retailprice"),
+        )
+        .unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+    )
+
+
+QUERIES["agg_unpivot_metrics"] = Q(
+    _q_unpivot,
+    """
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice' AS metric, round(p_retailprice, 2) AS value FROM part
+""",
+    doc="UNPIVOT/melt: wide metric columns to long (part, metric, value) form",
+)
