@@ -234,3 +234,100 @@ def test_as_of_join_forward(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         as_of_join(left, right, ["g"], "lt", "rt", ["v"], direction="sideways")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_r7_plan_shapes(spark, sf_dir):
+    """Pin the scale properties verified during round-7 development so
+    a future edit can't silently regress them: broadcast-stats rewrites
+    never shuffle rows, and group diversity never plans a pairwise
+    join."""
+    from fbg_kafka_stream_file_transfer_spark.operators.monitoring import (
+        seasonal_baseline_anomalies,
+    )
+    from fbg_kafka_stream_file_transfer_spark.operators.profile import scale_features
+    from fbg_kafka_stream_file_transfer_spark.operators.similarity import (
+        group_diversity,
+    )
+    from fbg_kafka_stream_file_transfer_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    p = _plan(scale_features(ev, "event_type", "value", "event_id"))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    # exactly ONE exchange: the tiny stats aggregation — rows never shuffle
+    assert p.count("Exchange hashpartitioning") == 1
+
+    p = _plan(
+        seasonal_baseline_anomalies(ev, "event_type", "ts", "value", 2.0, ("event_id",))
+    )
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+    p = _plan(group_diversity(emb, "label", "embedding"))
+    assert "SortMergeJoin" not in p  # |sum(u)|^2 identity: no pairwise join
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_scale_features_invariants_hypothesis(spark):
+    """Property: for any group with n>=2 distinct-valued doubles, the
+    emitted z-scores average ~0 and minmax spans exactly [0, 1]."""
+    from hypothesis import given, settings, strategies as st
+
+    from fbg_kafka_stream_file_transfer_spark.operators.profile import scale_features
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False).map(
+                lambda x: round(x, 3)
+            ),
+            min_size=3, max_size=12, unique=True,
+        )
+    )
+    def prop(vals):
+        df = spark.createDataFrame(
+            [(i, "g", float(v)) for i, v in enumerate(vals)],
+            "id long, grp string, v double",
+        )
+        rows = scale_features(df, "grp", "v", "id").collect()
+        zs = [r.zscore for r in rows]
+        mms = [r.minmax for r in rows]
+        assert all(z is not None for z in zs)
+        assert abs(sum(zs) / len(zs)) < 1e-3          # mean-centered
+        assert min(mms) == 0.0 and max(mms) == 1.0    # exact span
+        assert all(0.0 <= m <= 1.0 for m in mms)
+
+    prop()
+
+
+def test_merge_incidents_conservation(spark):
+    """Property: incidents partition the flagged rows — event counts
+    conserve and incidents per key never overlap."""
+    from fbg_kafka_stream_file_transfer_spark.operators.monitoring import (
+        merge_incidents,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (f"u{rng.randrange(4)}",
+         datetime(2024, 1, 1 + rng.randrange(3), rng.randrange(24), rng.randrange(60)),
+         rng.random() < 0.6)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, bad boolean")
+    out = merge_incidents(df, "k", "ts", F.col("bad"), 1800).collect()
+    flagged = sum(1 for _, _, b in rows if b)
+    assert sum(r.n_events for r in out) == flagged
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append((r.incident_start, r.incident_end))
+    for spans in by_key.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 < s2  # strictly disjoint, ordered
