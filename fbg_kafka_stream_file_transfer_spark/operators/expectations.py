@@ -159,6 +159,17 @@ def quarantine(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     return df.withColumn("failed_rule", expr.otherwise(F.lit(None).cast("string")))
 
 
+def _qi_keys(qi_cols: list[str]) -> list:
+    """Stringified quasi-identifier grouping keys with NULLs coalesced
+    to the '<NULL>' sentinel — shared by both privacy audits (and
+    mirrored verbatim in their DuckDB oracles) so the NULL-QI
+    representation can only ever change in one place."""
+    return [
+        F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")).alias(c)
+        for c in qi_cols
+    ]
+
+
 def k_anonymity_audit(
     df: DataFrame, qi_cols: list[str], k: int
 ) -> DataFrame:
@@ -177,12 +188,8 @@ def k_anonymity_audit(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    keys = [
-        F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")).alias(c)
-        for c in qi_cols
-    ]
     return (
-        df.groupBy(*keys)
+        df.groupBy(*_qi_keys(qi_cols))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
         .filter(F.col("n_rows") < k)
     )
@@ -205,12 +212,8 @@ def l_diversity_audit(
     """
     if l < 2:
         raise ValueError(f"l must be >= 2, got {l}")
-    keys = [
-        F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")).alias(c)
-        for c in qi_cols
-    ]
     return (
-        df.groupBy(*keys)
+        df.groupBy(*_qi_keys(qi_cols))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             F.countDistinct(sensitive_col).cast("bigint").alias(

@@ -14,7 +14,7 @@ O(groups), not O(rows), so they hold at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -420,19 +420,17 @@ def merge_incidents(
     Output: (key, incident_start/end formatted strings, n_events,
     duration_seconds).
     """
-    from pyspark.sql.window import Window as W
-
     from ..functions.derivations import epoch_seconds
 
     flagged = df.filter(flag & F.col(ts_col).isNotNull())
-    w = W.partitionBy(key_col).orderBy(ts_col)
+    w = Window.partitionBy(key_col).orderBy(ts_col)
     sec = F.floor(epoch_seconds(F.col(ts_col)))
     prev = F.lag(sec).over(w)
     marked = flagged.withColumn(
         "_new", F.when(prev.isNull() | (sec - prev >= gap_seconds), 1).otherwise(0)
     )
     numbered = marked.withColumn(
-        "_inc", F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0))
+        "_inc", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
     return (
         numbered.groupBy(key_col, "_inc")

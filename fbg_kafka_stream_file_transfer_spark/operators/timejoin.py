@@ -64,6 +64,11 @@ def as_of_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     l_tag = left.withColumn("_pri", F.lit(1)).withColumn("_t", F.col(left_time))
+    # malformed-event contract: a right row with NULL time has no
+    # position in the series and can never be a valid match — without
+    # this filter asc()'s NULLS FIRST would make it the running match
+    # for every left row before the first real right row
+    right = right.filter(F.col(right_time).isNotNull())
     r_tag = (
         right.select(
             *on,
@@ -76,10 +81,15 @@ def as_of_join(
     # right rows order before left rows at equal _t so <=/>= matches;
     # forward direction = the same running-last window over time
     # DESCENDING (nearest right_time >= left_time)
+    # NULL-time LEFT rows must sort to the window head in BOTH
+    # directions (nothing precedes them -> no match, mirroring
+    # merge_asof): asc() is already NULLS FIRST; desc() is NULLS LAST
+    # and would hand a NULL-ts left row the running match of the whole
+    # partition, so the forward order pins desc_nulls_first explicitly.
     if direction == "backward":
         order = [F.col("_t").asc(), F.col("_pri").asc()]
     else:
-        order = [F.col("_t").desc(), F.col("_pri").asc()]
+        order = [F.col("_t").desc_nulls_first(), F.col("_pri").asc()]
     w = (
         Window.partitionBy(*on)
         .orderBy(*order)
