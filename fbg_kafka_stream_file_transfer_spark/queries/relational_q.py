@@ -1461,3 +1461,57 @@ SELECT p_partkey, 'retailprice' AS metric, round(p_retailprice, 2) AS value FROM
 """,
     doc="UNPIVOT/melt: wide metric columns to long (part, metric, value) form",
 )
+
+
+QUERIES["window_first_last_frame"] = _shared(
+    """
+SELECT o_orderkey,
+       first_value(o_orderkey) OVER w AS priciest_order,
+       last_value(o_orderkey) OVER (
+         PARTITION BY o_orderpriority
+         ORDER BY round(o_totalprice, 2) DESC, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS cheapest_order,
+       nth_value(o_orderkey, 2) OVER (
+         PARTITION BY o_orderpriority
+         ORDER BY round(o_totalprice, 2) DESC, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS runner_up_order
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY round(o_totalprice, 2) DESC, o_orderkey)
+""",
+    ("orders",),
+    doc="first/last/nth_value with explicit full frames (last_value's default-frame trap pinned)",
+)
+
+QUERIES["agg_fixed_width_histogram"] = _shared(
+    """
+SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 6) AS lo,
+       round(max(value), 6) AS hi
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1
+""",
+    ("events",),
+    doc="fixed-width histogram (floor-bucket groupBy — the equi-WIDTH twin of the equi-depth one)",
+)
+
+# global hash ORDER BY: fine at report scale; the every-nth contract is
+# for auditable systematic samples — for rate-based sampling at corpus
+# scale use sampling.deterministic_sample (no global sort)
+QUERIES["sample_systematic_every_nth"] = _shared(
+    """
+SELECT doc_id, CAST(rn AS BIGINT) AS sample_rank
+FROM (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
+  FROM documents
+)
+WHERE rn % 20 = 1
+""",
+    ("documents",),
+    doc="systematic every-nth sampling over portable hash order (audit-sample contract)",
+)

@@ -754,3 +754,47 @@ FROM r WHERE rn = 1
 """,
     doc="top-2-gram dominance per doc (Gopher 'one phrase dominates' repetition rule)",
 )
+
+
+def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled vs detected language with
+    counts and per-label share — the QA report that decides whether
+    the lang-id heuristic is trustworthy enough to stratify on."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    pred = d.select(
+        F.col("lang").alias("lang_label"),
+        TX.lang_id(F.col("text")).alias("lang_pred"),
+    )
+    w = Window.partitionBy("lang_label")
+    return (
+        pred.groupBy("lang_label", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .withColumn(
+            "label_share",
+            F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6),
+        )
+        .withColumn(
+            "agree", (F.col("lang_label") == F.col("lang_pred")).cast("int")
+        )
+    )
+
+
+QUERIES["text_lang_confusion"] = Q(
+    _q_lang_confusion,
+    f"""
+WITH p AS (
+  SELECT lang AS lang_label, {_LANG_CASE} AS lang_pred FROM documents
+), c AS (
+  SELECT lang_label, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+  FROM p GROUP BY 1, 2
+)
+SELECT lang_label, lang_pred, n_docs,
+       round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY lang_label) AS DOUBLE), 6)
+         AS label_share,
+       CAST(CASE WHEN lang_label = lang_pred THEN 1 ELSE 0 END AS INTEGER) AS agree
+FROM c
+""",
+    doc="lang-id confusion matrix: labeled vs detected language, per-label shares",
+)
