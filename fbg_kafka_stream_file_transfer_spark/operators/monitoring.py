@@ -378,7 +378,7 @@ def seasonal_baseline_anomalies(
     n = F.col("_n").cast("double")
     mean = F.col("_sx") / n
     var = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")) / (n * (n - 1.0))
-    std = F.when(F.col("_n") > 1, F.sqrt(var))
+    std = F.when((F.col("_n") > 1) & (var > 0), F.sqrt(var))
     z = F.when(std > 0, (F.col(val_col) - mean) / std)
     return (
         df.filter(ok)

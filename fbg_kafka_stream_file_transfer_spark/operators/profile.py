@@ -508,7 +508,7 @@ def scale_features(
     n = F.col("_n").cast("double")
     mean = F.col("_sx") / n
     var = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")) / (n * (n - 1.0))
-    std = F.when(F.col("_n") > 1, F.sqrt(var))
+    std = F.when((F.col("_n") > 1) & (var > 0), F.sqrt(var))
     rng = F.col("_max") - F.col("_min")
     z = F.when(ok & (std > 0), (F.col(val_col) - mean) / std)
     mm = F.when(ok & (rng > 0), (F.col(val_col) - F.col("_min")) / rng)

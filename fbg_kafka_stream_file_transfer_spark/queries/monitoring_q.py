@@ -1207,41 +1207,6 @@ FROM events e JOIN s USING (event_type)
 )
 
 
-_ORDER = [
-    "window_sliding_distinct",
-    "ts_seasonal_anomalies",
-    "cdc_apply_deletes",
-    "profile_heavy_hitters",
-    "feature_scale_events",
-    "funnel_conversion_time",
-    "join_interval_overlap",
-    "monitoring_decayed_counts",
-    "association_event_pairs",
-    "sketch_key_overlap",
-    "retention_cohorts",
-    "funnel_signup_purchase",
-    "ts_gapfill_forward",
-    "cdc_scd2_intervals",
-    "cdc_latest_state",
-    "monitoring_zscore_spikes",
-    "monitoring_mad_outliers",
-    "interarrival_gaps",
-    "join_range_error_after_purchase",
-    "hypertable_rollup_events",
-    "join_asof_last_purchase",
-    "sketch_kmv_distinct",
-    "a5_partition_lag",
-    "alert_sustained_breach",
-    "session_window_counts",
-    "a1_error_rate_5m",
-    "a1_error_rate_sliding",
-    "a3_p95_processing_time",
-    "a4_p95_docling_by_path",
-    "a2_backlog_running",
-    "a6_dlq_count_by_date",
-]
-assert set(_ORDER) == set(QUERIES), sorted(set(_ORDER) ^ set(QUERIES))
-QUERIES = {k: QUERIES[k] for k in _ORDER}
 
 
 def _q_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1334,3 +1299,42 @@ FROM j WHERE rn = 1
 """,
     doc="forward as-of join: next error at/after each purchase per user",
 )
+
+
+_ORDER = [
+    "monitoring_error_incidents",
+    "join_asof_next_error",
+    "window_sliding_distinct",
+    "ts_seasonal_anomalies",
+    "cdc_apply_deletes",
+    "profile_heavy_hitters",
+    "feature_scale_events",
+    "funnel_conversion_time",
+    "join_interval_overlap",
+    "monitoring_decayed_counts",
+    "association_event_pairs",
+    "sketch_key_overlap",
+    "retention_cohorts",
+    "funnel_signup_purchase",
+    "ts_gapfill_forward",
+    "cdc_scd2_intervals",
+    "cdc_latest_state",
+    "monitoring_zscore_spikes",
+    "monitoring_mad_outliers",
+    "interarrival_gaps",
+    "join_range_error_after_purchase",
+    "hypertable_rollup_events",
+    "join_asof_last_purchase",
+    "sketch_kmv_distinct",
+    "a5_partition_lag",
+    "alert_sustained_breach",
+    "session_window_counts",
+    "a1_error_rate_5m",
+    "a1_error_rate_sliding",
+    "a3_p95_processing_time",
+    "a4_p95_docling_by_path",
+    "a2_backlog_running",
+    "a6_dlq_count_by_date",
+]
+assert set(_ORDER) == set(QUERIES), sorted(set(_ORDER) ^ set(QUERIES))
+QUERIES = {k: QUERIES[k] for k in _ORDER}

@@ -104,10 +104,13 @@ _HITS = {
     for lang, words in LANG_MARKERS.items()
 }
 _BEST = "greatest(" + ", ".join(_HITS.values()) + ")"
+# ELSE 'und' matters: on NULL text every hit count is NULL, no WHEN
+# fires, and a bare END would yield NULL where the Spark lang_id's
+# otherwise-chain bottoms out at 'und'.
 _LANG_CASE = (
     f"CASE WHEN {_BEST} = 0 THEN 'und' "
     + " ".join(f"WHEN {_HITS[lang]} = {_BEST} THEN '{lang}'" for lang in LANG_MARKERS)
-    + " END"
+    + " ELSE 'und' END"
 )
 
 
@@ -776,7 +779,12 @@ def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6),
         )
         .withColumn(
-            "agree", (F.col("lang_label") == F.col("lang_pred")).cast("int")
+            # when().otherwise(0), not a bare ==.cast("int"): a NULL
+            # lang_label must yield 0 (the oracle CASE's ELSE), not NULL
+            "agree",
+            F.when(F.col("lang_label") == F.col("lang_pred"), 1)
+            .otherwise(0)
+            .cast("int"),
         )
     )
 

@@ -1,0 +1,78 @@
+"""Round-8 regressions: negative-rounded-variance guards (sqrt(-eps) ->
+NaN, which Spark orders ABOVE any number so `std > 0` passes), lang-id
+NULL contracts, and the round's new operators."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_seasonal_baseline_zero_variance_fp_rounding(spark):
+    """Two rows of 0.2: n*sxx - sx*sx rounds to a tiny NEGATIVE double,
+    sqrt gives NaN, and NaN > 0 is TRUE in Spark's ordering — without
+    the var>0 guard every row of the constant cell is flagged with
+    baseline_std=NaN (ADVICE r7, high)."""
+    from fbg_kafka_stream_file_transfer_spark.operators.monitoring import (
+        seasonal_baseline_anomalies,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 3, 0), "g", 0.2),
+        (2, datetime(2024, 1, 2, 3, 0), "g", 0.2),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, g string, v double")
+    out = seasonal_baseline_anomalies(
+        df, "g", "ts", "v", n_sigma=2.0, id_cols=("event_id",)
+    ).collect()
+    assert out == []  # zero-variance cell yields no flags (docstring contract)
+
+
+def test_scale_features_zero_variance_fp_rounding(spark):
+    """Constant group [0.2, 0.2]: same negative-rounding trap — zscore
+    must be NULL (matches the var>0-guarded oracle), never NaN."""
+    from fbg_kafka_stream_file_transfer_spark.operators.profile import scale_features
+
+    df = spark.createDataFrame(
+        [(1, "g", 0.2), (2, "g", 0.2)], "id long, grp string, v double"
+    )
+    got = {r.id: r for r in scale_features(df, "grp", "v", "id").collect()}
+    assert got[1].zscore is None and got[2].zscore is None
+    assert got[1].minmax is None  # zero range likewise NULL
+
+
+def test_lang_confusion_null_contracts(spark, tmp_path):
+    """NULL text -> lang_pred 'und' on BOTH engines (oracle CASE now has
+    ELSE 'und'); NULL lang_label -> agree 0, not NULL (ADVICE r7, low)."""
+    import duckdb
+
+    from fbg_kafka_stream_file_transfer_spark.queries import text_q
+
+    rows = [
+        ("d1", "en", "the of and to in this text is english"),
+        ("d2", None, "the of and to in this text is english"),
+        ("d3", "en", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    q = text_q.QUERIES["text_lang_confusion"]
+    got = {
+        (r.lang_label, r.lang_pred): (r.n_docs, r.agree)
+        for r in q.spark(spark, str(tmp_path)).collect()
+    }
+    assert got[("en", "en")] == (1, 1)
+    assert got[(None, "en")][1] == 0  # NULL label -> agree 0, not NULL
+    assert got[("en", "und")] == (1, 0)  # NULL text -> 'und', disagrees
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = {
+        (r[0], r[1]): (r[2], r[4])
+        for r in con.execute(q.oracle).fetchall()
+    }
+    assert oracle == got
