@@ -169,19 +169,28 @@ def main() -> int:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "controls": controls,
-                "loadavg_1m_end": round(os.getloadavg()[0], 2),
-            }
-        )
-    )
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # The driver records only a 2000-char TAIL of stdout; the per-query
+    # contention records ("controls") pushed the first six headlines —
+    # including the flagship — out of the committed BENCH_r{6,7}.json
+    # artifacts. So: stdout gets ONLY the compact line (~1 kB, always
+    # fits), and the full record goes to bench_summary.json next to
+    # this script for round-over-round adjudication.
+    full = dict(compact)
+    full["controls"] = controls
+    full["loadavg_1m_end"] = round(os.getloadavg()[0], 2)
+    summary_path = os.path.join(_REPO_DIR, "bench_summary.json")
+    with open(summary_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    print(f"# full record -> {summary_path}", file=sys.stderr)
+    print(json.dumps(compact))
     spark.stop()
     return 0
 
