@@ -43,6 +43,70 @@ def normalize_cell(v) -> str:
     return str(v)
 
 
+def _duck_kind(type_str: str) -> str:
+    s = str(type_str).upper()
+    if s in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if s in (
+        "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+        "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+    ):
+        return "int"
+    if s in ("FLOAT", "DOUBLE"):
+        return "float"
+    if s.startswith("DECIMAL"):
+        return "decimal"
+    return "other"
+
+
+def _spark_kind(dt) -> str:
+    n = dt.typeName()
+    if n in ("byte", "short", "integer", "long"):
+        return "int"
+    if n in ("float", "double"):
+        return "float"
+    if n.startswith("decimal"):
+        return "decimal"
+    return "other"
+
+
+def dtype_mismatches(spark_fields, duck_types: dict[str, str]) -> list[str]:
+    """Columns whose ENGINE-NATIVE types diverge in a way the driver's
+    pandas canonicalization turns into a value-hash mismatch even when
+    the exact values agree.
+
+    The local gate compares ``fetchall()`` values (exact Python ints),
+    so a bare DuckDB ``sum(int)`` — which returns HUGEINT and reaches
+    the driver as float64 ("1000.0") against Spark's int64 ("1000") —
+    passed locally yet hash-failed on the driver (r6
+    ``sample_split_assignment``). Flag that class structurally:
+
+    - oracle HUGEINT vs Spark integral (fix: ``CAST(... AS BIGINT)``);
+    - integer on one side vs float on the other (driver stringifies
+      int64/float64 differently).
+
+    decimal-vs-float pairs are left to the value hash: pandas folds
+    both to float64, so they are driver-equivalent when values match.
+    """
+    out = []
+    for f in spark_fields:
+        dt = duck_types.get(f.name)
+        if dt is None:
+            continue
+        sk, dk = _spark_kind(f.dataType), _duck_kind(dt)
+        if dk == "hugeint" and sk != "float":
+            out.append(
+                f"{f.name}: oracle {dt} (pandas→float64) vs spark "
+                f"{f.dataType.simpleString()} — CAST the oracle aggregate AS BIGINT"
+            )
+        elif {sk, dk} == {"int", "float"}:
+            out.append(
+                f"{f.name}: spark {f.dataType.simpleString()} vs oracle {dt} "
+                f"— int/float stringify differently under the driver canonicalizer"
+            )
+    return out
+
+
 def frame_digest(cols: list[str], rows: list[tuple]) -> str:
     import hashlib
 
@@ -110,6 +174,8 @@ def main() -> int:
             failed.append(name)
             continue
         try:
+            rel = con.sql(sql)
+            duck_types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
             cur = con.execute(sql)
             dcols = [d[0] for d in cur.description]
             drows = cur.fetchall()
@@ -118,7 +184,7 @@ def main() -> int:
             traceback.print_exc()
             failed.append(name)
             continue
-        problems = []
+        problems = dtype_mismatches(sdf.schema.fields, duck_types)
         if len(srows) != len(drows):
             problems.append(f"rows {len(srows)} vs {len(drows)}")
         if sorted(scols) != sorted(dcols):

@@ -126,3 +126,55 @@ def test_no_oracle_checked_query_returns_complex_columns(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, f"driver-uncertifiable complex columns: {offenders}"
+
+
+def test_no_oracle_emits_hugeint(sf_dir):
+    """Registry-wide HUGEINT guard: DuckDB ``sum(int)`` returns HUGEINT,
+    which the driver's pandas canonicalizer folds to float64 and hashes
+    as "1000.0" against Spark's "1000" — the r6 sample_split_assignment
+    local-green/driver-red gap. Every integer-sum output column must
+    ``CAST(... AS BIGINT)``. Types come from lazy DuckDB relations
+    (planning only, no execution), so this covers all ~200 oracles in
+    seconds and fails the moment a new un-CAST aggregate lands."""
+    from fbg_kafka_stream_file_transfer_spark import queries as qreg
+    from fbg_kafka_stream_file_transfer_spark.sources.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    offenders = {}
+    for name, q in qreg.REGISTRY.items():
+        if q.oracle is None:
+            continue
+        rel = con.sql(q.oracle)
+        bad = [
+            f"{c}: {t}"
+            for c, t in zip(rel.columns, rel.types)
+            if str(t).upper() in ("HUGEINT", "UHUGEINT")
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"un-CAST integer aggregates (HUGEINT): {offenders}"
+
+
+def test_local_gate_flags_bare_int_sum(spark):
+    """A deliberately-bare ``sum(int)`` oracle must fail the LOCAL gate
+    the same way it would fail the driver — the dtype_mismatches check
+    in oracle_check.py closes the fetchall()-exact-ints blind spot."""
+    from oracle_check import dtype_mismatches
+
+    sdf = spark.sql("SELECT CAST(10 AS BIGINT) AS s")
+    rel = duckdb.sql("SELECT sum(x) AS s FROM (VALUES (4), (6)) t(x)")
+    duck_types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+    assert str(rel.types[0]).upper() == "HUGEINT"  # premise: bare sum(int)
+    mm = dtype_mismatches(sdf.schema.fields, duck_types)
+    assert mm and "CAST" in mm[0]
+    # and the properly-CAST version is clean
+    rel2 = duckdb.sql(
+        "SELECT CAST(sum(x) AS BIGINT) AS s FROM (VALUES (4), (6)) t(x)"
+    )
+    clean = {c: str(t) for c, t in zip(rel2.columns, rel2.types)}
+    assert dtype_mismatches(sdf.schema.fields, clean) == []
+    # int-vs-float divergence is flagged in both directions
+    fdf = spark.sql("SELECT CAST(10.0 AS DOUBLE) AS s")
+    assert dtype_mismatches(fdf.schema.fields, clean) != []
