@@ -5,11 +5,14 @@ struct — exactly how the reference moves files (bytes body + header map,
 docs/goanywhere-config.md:186-198), generalized to image/audio/video.
 
 The decode/feature-extract steps are Pandas-UDF operators over
-``mapInPandas``; real codecs (PIL/ffmpeg/torchaudio) aren't in this
-container, so the decode backend is STUBBED with a deterministic fake
-that derives plausible metadata from the content hash — the Spark-side
-plumbing (schema, batching, partition flow) is real and tested, and a
-real backend plugs in by replacing ``fake_image_decode``.
+``mapInPandas``. Formats whose containers are parseable in pure Python
+are decoded FOR REAL — BMP and binary PPM/PGM image headers, and WAV
+(RIFF/PCM) audio including true int16 RMS — so ``decode_images`` /
+``extract_audio_features`` return genuine dimensions / sample rates /
+durations for those bytes. Only formats that genuinely require codec
+libraries (JPEG/PNG entropy decode, MP3/AAC — no PIL/ffmpeg in this
+container) fall back to a deterministic content-hash fake, clearly
+labeled ``format='fake'``; a production backend replaces the fallback.
 
 Scale: binary columns ride parquet untouched by metadata-only queries
 (column pruning skips them — the reason this layout works at 100 TB).
@@ -18,7 +21,8 @@ Scale: binary columns ride parquet untouched by metadata-only queries
 from __future__ import annotations
 
 import hashlib
-from typing import Callable, Iterator
+import struct
+from typing import Callable, Iterator, Optional
 
 import pandas as pd
 
@@ -58,6 +62,61 @@ def fake_dims_sql(content_expr: str) -> tuple[str, str]:
     return w, h
 
 
+def _le_hex_sql(expr: str, nbytes: int) -> str:
+    """Shared Spark/DuckDB SQL: little-endian hex of integer ``expr`` in
+    ``nbytes`` bytes — lpad the big-endian hex, then emit byte pairs in
+    reverse order. Both engines: uppercase hex(), 1-based substring."""
+    width = nbytes * 2
+    p = f"lpad(hex({expr}), {width}, '0')"
+    pairs = " || ".join(
+        f"substring({p}, {i}, 2)" for i in range(width - 1, 0, -2)
+    )
+    return f"({pairs})"
+
+
+def bmp_bytes_sql(w_expr: str, h_expr: str) -> str:
+    """Shared Spark/DuckDB SQL building a REAL, spec-valid 24-bpp BMP
+    blob (BITMAPINFOHEADER, zeroed pixel rows padded to 4-byte
+    boundaries) with the given integer width/height expressions — pure
+    engine-side string/hex ops, no UDF. Feeding these bytes to
+    ``decode_images`` certifies the real BMP parser end-to-end: the
+    decoder must recover the dims that built the blob."""
+    row = f"(CAST(floor((3 * ({w_expr}) + 3) / 4) AS INTEGER) * 4)"
+    ds = f"({row} * ({h_expr}))"
+    hex_str = (
+        "'424D' || "                      # 'BM'
+        f"{_le_hex_sql(f'(54 + {ds})', 4)} || "  # file size
+        "'0000000036000000' || "          # reserved + data offset 54
+        "'28000000' || "                  # header size 40
+        f"{_le_hex_sql(w_expr, 4)} || {_le_hex_sql(h_expr, 4)} || "
+        "'0100' || '1800' || '00000000' || "  # planes=1, bpp=24, no compression
+        f"{_le_hex_sql(ds, 4)} || "       # image size
+        "'00000000' || '00000000' || '00000000' || '00000000' || "  # ppm/colors
+        f"repeat('00', {ds})"             # zeroed pixel data
+    )
+    return f"unhex({hex_str})"
+
+
+def wav_bytes_sql(rate_expr: str, ch_expr: str, nsamp_expr: str) -> str:
+    """Shared Spark/DuckDB SQL building a REAL, spec-valid PCM16 WAV
+    blob (RIFF header + fmt + zeroed data chunk) from integer sample
+    rate / channel / sample-count expressions. Same certification idea
+    as ``bmp_bytes_sql`` for ``extract_audio_features``."""
+    ds = f"(2 * ({ch_expr}) * ({nsamp_expr}))"
+    byte_rate = f"(2 * ({ch_expr}) * ({rate_expr}))"
+    block = f"(2 * ({ch_expr}))"
+    hex_str = (
+        "'52494646' || "                  # 'RIFF'
+        f"{_le_hex_sql(f'(36 + {ds})', 4)} || "
+        "'57415645' || '666D7420' || '10000000' || '0100' || "  # 'WAVE','fmt ',16,PCM
+        f"{_le_hex_sql(ch_expr, 2)} || {_le_hex_sql(rate_expr, 4)} || "
+        f"{_le_hex_sql(byte_rate, 4)} || {_le_hex_sql(block, 2)} || '1000' || "
+        "'64617461' || "                  # 'data'
+        f"{_le_hex_sql(ds, 4)} || repeat('00', {ds})"
+    )
+    return f"unhex({hex_str})"
+
+
 def fake_image_decode(content: bytes) -> dict:
     """Deterministic stand-in for a real image decoder: derives dims from
     md5(content) the same way fake_dims_sql does.
@@ -76,10 +135,69 @@ def fake_image_decode(content: bytes) -> dict:
     }
 
 
+def decode_image_bytes(content: bytes) -> Optional[dict]:
+    """REAL pure-Python image header parse — no codec library needed.
+
+    Supported containers:
+    - BMP: ``BM`` magic; BITMAPINFOHEADER (and later, all start with a
+      little-endian header size >= 40) carries int32 width/height at
+      offsets 18/22 — height may be negative for top-down rows;
+      BITMAPCOREHEADER (size 12) carries uint16 dims.
+    - Binary PPM/PGM (``P6``/``P5``): ASCII header of
+      whitespace-separated width, height, maxval with ``#`` comments.
+
+    Returns None for unrecognized bytes (caller decides the fallback).
+    """
+    if len(content) >= 26 and content[:2] == b"BM":
+        (hdr_size,) = struct.unpack_from("<I", content, 14)
+        if hdr_size >= 40 and len(content) >= 54:
+            w, h = struct.unpack_from("<ii", content, 18)
+        elif hdr_size == 12:
+            w, h = struct.unpack_from("<HH", content, 18)
+        else:
+            return None
+        w, h = int(w), abs(int(h))
+        if w <= 0 or h <= 0:
+            return None
+        return {"width": w, "height": h, "n_pixels": w * h, "format": "bmp"}
+    if content[:2] in (b"P5", b"P6") and len(content) > 2 and content[2:3].isspace():
+        fields: list[int] = []
+        i = 2
+        while len(fields) < 3 and i < len(content):
+            c = content[i : i + 1]
+            if c == b"#":  # comment runs to end of line
+                j = content.find(b"\n", i)
+                i = len(content) if j < 0 else j + 1
+            elif c.isspace():
+                i += 1
+            elif c.isdigit():
+                j = i
+                while j < len(content) and content[j : j + 1].isdigit():
+                    j += 1
+                fields.append(int(content[i:j]))
+                i = j
+            else:
+                return None
+        if len(fields) < 3 or fields[0] <= 0 or fields[1] <= 0:
+            return None
+        w, h = fields[0], fields[1]
+        fmt = "ppm" if content[:2] == b"P6" else "pgm"
+        return {"width": w, "height": h, "n_pixels": w * h, "format": fmt}
+    return None
+
+
+def real_image_decode(content: bytes) -> dict:
+    """Default decoder: parse BMP/PPM/PGM for real; anything else (JPEG,
+    PNG, ... — need entropy codecs absent from this container) falls
+    back to the labeled deterministic fake."""
+    meta = decode_image_bytes(content)
+    return meta if meta is not None else fake_image_decode(content)
+
+
 def decode_images(
     df: DataFrame,
     content_col: str = "content",
-    decoder: Callable[[bytes], dict] = fake_image_decode,
+    decoder: Callable[[bytes], dict] = real_image_decode,
 ) -> DataFrame:
     """Arrow-batched decode: appends IMAGE_META_SCHEMA fields.
 
@@ -114,28 +232,84 @@ AUDIO_META_SCHEMA = T.StructType(
     [
         T.StructField("duration_seconds", T.DoubleType()),
         T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
         T.StructField("rms_level", T.DoubleType()),
     ]
 )
 
 
 def fake_audio_decode(content: bytes) -> dict:
-    """Deterministic stand-in for an audio feature extractor (no
-    torchaudio/ffmpeg in container): duration from byte length at a fake
-    16 kHz/16-bit rate, RMS from the md5 digest. Replace with a real
-    backend that decodes and computes true features."""
+    """Deterministic fallback for codec-requiring audio (MP3/AAC — no
+    ffmpeg/torchaudio in container): duration from byte length at a fake
+    16 kHz/16-bit mono rate, RMS from the md5 digest."""
     digest = hashlib.md5(content).hexdigest()
     return {
         "duration_seconds": round(len(content) / 32000.0, 6),
         "sample_rate": 16000,
+        "channels": 1,
         "rms_level": round(int(digest[:4], 16) / 65535.0, 6),
     }
+
+
+def decode_audio_bytes(content: bytes) -> Optional[dict]:
+    """REAL pure-Python WAV (RIFF) parse: walks the chunk list for
+    ``fmt `` (channels, sample rate, bits/sample) and ``data`` (payload
+    size), derives duration = data_bytes / byte_rate, and computes TRUE
+    RMS over the int16 PCM samples (normalized to [0,1] by 32768).
+    Returns None for non-RIFF/WAVE bytes (caller picks the fallback).
+    """
+    if len(content) < 44 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    channels = rate = bits = None
+    data = None
+    i = 12
+    while i + 8 <= len(content):
+        cid = content[i : i + 4]
+        (csize,) = struct.unpack_from("<I", content, i + 4)
+        body = content[i + 8 : i + 8 + csize]
+        if cid == b"fmt " and csize >= 16:
+            _, channels, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+        elif cid == b"data":
+            data = body
+        i += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if not channels or not rate or data is None:
+        return None
+    byte_rate = rate * channels * max(bits or 8, 8) // 8
+    rms = None
+    if bits == 16:
+        n = len(data) // 2
+        if n:
+            import numpy as np  # vectorized: RMS is O(samples), keep it off the interpreter
+
+            samples = np.frombuffer(data[: 2 * n], dtype="<i2").astype(np.float64)
+            rms = round(float(np.sqrt(np.mean(samples * samples))) / 32768.0, 6)
+        else:
+            rms = 0.0
+    # duration is NOT rounded: both this parser and any SQL oracle
+    # divide integers with the same rational value, and IEEE division
+    # is correctly rounded — bit-identical doubles. Rounding would
+    # INTRODUCE divergence on exact decimal ties (9/16000 = 0.0005625:
+    # Python rounds half-even, DuckDB half-away).
+    return {
+        "duration_seconds": len(data) / byte_rate,
+        "sample_rate": int(rate),
+        "channels": int(channels),
+        "rms_level": rms,
+    }
+
+
+def real_audio_decode(content: bytes) -> dict:
+    """Default decoder: parse WAV/RIFF for real; other containers fall
+    back to the labeled deterministic fake."""
+    meta = decode_audio_bytes(content)
+    return meta if meta is not None else fake_audio_decode(content)
 
 
 def extract_audio_features(
     df: DataFrame,
     content_col: str = "content",
-    decoder: Callable[[bytes], dict] = fake_audio_decode,
+    decoder: Callable[[bytes], dict] = real_audio_decode,
 ) -> DataFrame:
     """Arrow-batched audio feature extraction: appends AUDIO_META_SCHEMA
     fields (``audio_*``). Same plumbing contract as ``decode_images``."""

@@ -1207,3 +1207,79 @@ WHERE s.user_id IS NOT NULL
 """,
     doc="stream-stream windowed inner join across micro-batches (cross-batch buffering) == batch join oracle",
 )
+
+
+def _q_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.h multimodal, REAL decode: build spec-valid 24-bpp BMP blobs
+    engine-side (pure Catalyst hex/concat — bmp_bytes_sql), then parse
+    them back through the Arrow-batched decode_images path. The oracle
+    recomputes the dims arithmetically, so a parser that misreads the
+    header cannot hash-match. Certifies the real BMP decoder end-to-end
+    (round-8 upgrade of the r7 'decode backends honestly stubbed' gap)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    w_expr = "CAST(1 + n_chars % 16 AS INTEGER)"
+    h_expr = "CAST(1 + n_chars % 13 AS INTEGER)"
+    blob = multimodal.bmp_bytes_sql(w_expr, h_expr)
+    df = docs.selectExpr("doc_id", f"{blob} AS content")
+    out = multimodal.decode_images(df, "content")
+    return out.select(
+        "doc_id", "img_width", "img_height", "img_n_pixels", "img_format"
+    )
+
+
+QUERIES["multimodal_decode_bmp"] = Q(
+    _q_decode_bmp,
+    """
+SELECT doc_id,
+       CAST(1 + n_chars % 16 AS INTEGER) AS img_width,
+       CAST(1 + n_chars % 13 AS INTEGER) AS img_height,
+       CAST((1 + n_chars % 16) * (1 + n_chars % 13) AS BIGINT) AS img_n_pixels,
+       'bmp' AS img_format
+FROM documents
+WHERE n_chars IS NOT NULL
+""",
+    doc="REAL BMP decode: engine-built blobs parsed back via mapInPandas; oracle recomputes dims",
+)
+
+
+def _q_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.h multimodal, REAL audio decode: spec-valid PCM16 WAV blobs
+    built engine-side (wav_bytes_sql), parsed back through
+    extract_audio_features — RIFF chunk walk recovers sample rate,
+    channels, and duration = data_bytes/byte_rate; the zeroed payload
+    makes true int16 RMS exactly 0.0 (nonzero-PCM RMS is unit-tested
+    against numpy in tests/test_multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    rate = "CAST(8000 * (1 + n_chars % 3) AS INTEGER)"
+    ch = "CAST(1 + n_chars % 2 AS INTEGER)"
+    nsamp = "CAST(1 + n_chars % 50 AS INTEGER)"
+    blob = multimodal.wav_bytes_sql(rate, ch, nsamp)
+    df = docs.selectExpr("doc_id", f"{blob} AS content")
+    out = multimodal.extract_audio_features(df, "content")
+    return out.select(
+        "doc_id",
+        "audio_sample_rate",
+        "audio_channels",
+        "audio_duration_seconds",
+        "audio_rms_level",
+    )
+
+
+QUERIES["multimodal_decode_wav"] = Q(
+    _q_decode_wav,
+    """
+SELECT doc_id,
+       CAST(8000 * (1 + n_chars % 3) AS INTEGER) AS audio_sample_rate,
+       CAST(1 + n_chars % 2 AS INTEGER) AS audio_channels,
+       CAST(1 + n_chars % 50 AS DOUBLE)
+             / (8000 * (1 + n_chars % 3)) AS audio_duration_seconds,
+       CAST(0.0 AS DOUBLE) AS audio_rms_level
+FROM documents
+WHERE n_chars IS NOT NULL
+""",
+    doc="REAL WAV decode: engine-built RIFF/PCM16 blobs parsed back; oracle recomputes rate/channels/duration",
+)
