@@ -213,8 +213,78 @@ def main(sf_dir: str, index_dir: str) -> None:
     spark.stop()
 
 
-if __name__ == "__main__":
-    main(
-        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001",
-        sys.argv[2] if len(sys.argv) > 2 else "/tmp/curation_ivf",
+def delta_main(sf_dir: str, work_dir: str) -> None:
+    """Curate ONLY the delta — the incremental path a 100 TB pipeline
+    actually runs day-over-day (full-corpus re-curation is a cold-start
+    event, not a schedule). Composes:
+
+    1. ``corpus_snapshot_diff``'s classification to isolate the delta
+       (changed = edited slice; added = new ids, half of them
+       re-crawled byte-identical re-posts of indexed docs);
+    2. ``streaming.dedupe.dedup_against_index`` — the PERSISTENT
+       MinHash-LSH index: day 0 indexes the base corpus once, day 1
+       probes only the delta against it (O(|delta|) work, bucketed
+       candidate join, never an all-pairs or full-corpus rescan);
+    3. the standard quality gate on the surviving novel docs.
+
+    The oracle-checked twin (exact-checksum index) is
+    ``curation_delta_pipeline`` in queries/curation_q.py.
+    """
+    import shutil
+
+    from fbg_kafka_stream_file_transfer_spark.operators.sampling import rate_bucket
+    from fbg_kafka_stream_file_transfer_spark.streaming.dedupe import (
+        dedup_against_index,
     )
+
+    spark = get_spark("delta-curation-example")
+    index_dir = f"{work_dir}/lsh_index"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    b = rate_bucket(F.col("doc_id"))
+
+    # -- day 0: index the base snapshot ONCE (first call just builds) --
+    base = docs.select("doc_id", "text")
+    dedup_against_index(base, index_dir).count()
+    n_base = base.count()
+
+    # -- day 1: only the delta flows --
+    changed = docs.filter((b >= 1000) & (b < 2000)).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" [edited v2]")).alias("text")
+    )
+    added = docs.filter(b < 500).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.when(b < 250, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" [new]")))
+        .alias("text"),
+    )
+    delta = changed.unionByName(added)
+    n_delta = delta.count()
+
+    # near-dups of the delta against everything previously indexed;
+    # re-posts AND lightly-edited re-crawls both hit here (that's the
+    # advantage over the exact-checksum twin)
+    hits = dedup_against_index(delta, index_dir, threshold=0.7)
+    novel = delta.join(
+        hits.select(F.col("doc").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    gated = novel.filter(F.round(quality_score(F.col("text")), 6) >= 0.3)
+    n_novel, n_gated = novel.count(), gated.count()
+
+    print("\n== incremental delta curation ==")
+    print(f"indexed base corpus: {n_base} docs (one-time)")
+    print(f"day-1 delta:         {n_delta} docs "
+          f"({100.0 * n_delta / n_base:.1f}% of a full re-run)")
+    print(f"novel after index-dedup: {n_novel}")
+    print(f"curated into corpus:     {n_gated}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if a != "--delta"]
+    sf = args[0] if args else "/root/testdata/sf0.001"
+    work = args[1] if len(args) > 1 else "/tmp/curation_ivf"
+    if "--delta" in sys.argv:
+        delta_main(sf, work)
+    else:
+        main(sf, work)

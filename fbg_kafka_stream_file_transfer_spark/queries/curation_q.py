@@ -1094,3 +1094,87 @@ GROUP BY 1, 2
 """,
     doc="deterministic k-fold CV assignment by portable key hash (fold = bucket mod k)",
 )
+
+
+def _q_delta_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental delta curation (round 8): a 100 TB pipeline re-runs
+    on DELTAS, not full corpora. Composes the corpus_snapshot_diff
+    construction (changed = edited 10% slice, added = shifted-id
+    arrivals, of which the bk<250 half are re-crawled byte-identical
+    re-posts) with exact content dedup AGAINST THE INDEXED BASE
+    (checksum anti-join — the SQL-expressible twin of the persistent
+    MinHash index path in streaming/dedupe.dedup_against_index,
+    demonstrated on the real index in examples/run_curation.py --delta)
+    and the standard quality gate. Output: the per-stage funnel.
+
+    Scale shape: delta-sized scans + one hash anti-join against the
+    base checksum set (shuffle on uniform md5 keys) — work is
+    O(|delta|), never O(|corpus|)."""
+    from ..functions.text import quality_score
+    from ..operators.sampling import rate_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    b = rate_bucket(F.col("doc_id"))
+    changed = d.filter((b >= 1000) & (b < 2000)).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" [edited v2]")).alias("text"),
+        F.lit("changed").alias("status"),
+    )
+    added = d.filter(b < 500).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.when(b < 250, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" [new]")))
+        .alias("text"),
+        F.lit("added").alias("status"),
+    )
+    delta = changed.unionByName(added)
+    base_cks = d.select(F.md5(F.col("text")).alias("cks")).distinct()
+    novel = delta.join(
+        base_cks, F.md5(F.col("text")) == F.col("cks"), "left_anti"
+    )
+    gated = novel.filter(F.round(quality_score(F.col("text")), 6) >= 0.3)
+
+    def _stage(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")).select(
+            F.lit(stage).alias("stage"), "n_docs"
+        )
+
+    return (
+        _stage(changed, "delta_changed")
+        .unionByName(_stage(added, "delta_added"))
+        .unionByName(_stage(novel, "after_index_dedup"))
+        .unionByName(_stage(gated, "after_quality"))
+    )
+
+
+QUERIES["curation_delta_pipeline"] = Q(
+    _q_delta_pipeline,
+    f"""
+WITH b AS (
+  SELECT doc_id, text, {_BUCKET} AS bk FROM documents
+), delta AS (
+  SELECT doc_id, text || ' [edited v2]' AS text, 'changed' AS status
+  FROM b WHERE bk >= 1000 AND bk < 2000
+  UNION ALL
+  SELECT doc_id + 1000000,
+         CASE WHEN bk < 250 THEN text ELSE text || ' [new]' END, 'added'
+  FROM b WHERE bk < 500
+), base AS (
+  SELECT DISTINCT md5(text) AS cks FROM documents
+), novel AS (
+  SELECT d.* FROM delta d LEFT JOIN base o ON md5(d.text) = o.cks
+  WHERE o.cks IS NULL
+), gated AS (
+  SELECT * FROM novel WHERE round({QUALITY_SQL}, 6) >= 0.3
+)
+SELECT 'delta_changed' AS stage, CAST(count(*) AS BIGINT) AS n_docs
+FROM delta WHERE status = 'changed'
+UNION ALL
+SELECT 'delta_added', CAST(count(*) AS BIGINT) FROM delta WHERE status = 'added'
+UNION ALL
+SELECT 'after_index_dedup', CAST(count(*) AS BIGINT) FROM novel
+UNION ALL
+SELECT 'after_quality', CAST(count(*) AS BIGINT) FROM gated
+""",
+    doc="incremental delta curation funnel: snapshot delta -> dedup vs indexed base -> quality gate",
+)
