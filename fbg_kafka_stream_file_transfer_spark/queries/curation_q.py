@@ -1178,3 +1178,60 @@ SELECT 'after_quality', CAST(count(*) AS BIGINT) FROM gated
 """,
     doc="incremental delta curation funnel: snapshot delta -> dedup vs indexed base -> quality gate",
 )
+
+
+def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sharded export, certified end-to-end (round 8): write the
+    corpus as deterministic JSONL shards (sources/jsonl.
+    write_jsonl_shards — to_json struct lines, text sink partitioned by
+    md5-bucket shard), read it BACK through the schema-enforcing
+    read_jsonl source, and emit the per-shard manifest. The oracle
+    recomputes the manifest arithmetically from the original table, so
+    any serialization loss (escaping, nulls, shard routing, quarantined
+    lines) hash-mismatches. total_text_chars certifies the text column
+    survives the JSON round-trip byte-for-byte in length.
+
+    Scale shape: one shuffle on the uniform shard key for the write;
+    manifest is a grouped agg over O(n_shards) groups."""
+    import shutil
+    import tempfile
+
+    from ..sources.jsonl import read_jsonl, shard_column, write_jsonl_shards
+
+    d = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="jsonl_export_")
+    try:
+        write_jsonl_shards(d, f"{work}/corpus", "doc_id", n_shards=8)
+        back = read_jsonl(spark, f"{work}/corpus", count=False).clean
+        manifest = (
+            back.groupBy(shard_column(F.col("doc_id"), 8).alias("shard"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum(F.length("text")).cast("bigint").alias("total_text_chars"),
+                F.min("doc_id").alias("min_doc_id"),
+                F.max("doc_id").alias("max_doc_id"),
+            )
+            .collect()  # materialize before the temp export is removed
+        )
+        return spark.createDataFrame(
+            manifest,
+            "shard int, n_docs bigint, total_text_chars bigint,"
+            " min_doc_id bigint, max_doc_id bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["export_jsonl_roundtrip"] = Q(
+    _q_jsonl_roundtrip,
+    f"""
+SELECT CAST({_BUCKET} % 8 AS INTEGER) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_text_chars,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1
+""",
+    doc="JSONL sharded export -> schema-enforced re-read -> per-shard manifest == arithmetic oracle",
+)

@@ -96,3 +96,51 @@ def read_jsonl(
     return JsonlRead(
         clean, quarantine, int(counts["ok"] or 0), int(counts["bad"] or 0)
     )
+
+
+def shard_column(key: F.Column, n_shards: int) -> F.Column:
+    """Deterministic, engine-portable shard id: md5-bucket of the key
+    mod ``n_shards`` (same convention as sampling.rate_bucket, so split
+    and shard selections stay mutually consistent)."""
+    from ..operators.sampling import rate_bucket
+
+    return (rate_bucket(key) % n_shards).cast("int")
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int = 8,
+    compression: str | None = None,
+) -> None:
+    """Export a corpus as deterministic JSONL shards — the format
+    tokenizer/training jobs actually consume (Dolma, RedPajama, chat
+    logs all ship this way).
+
+    - shard = md5-bucket(key) mod n_shards: reproducible on any engine
+      and any cluster size — re-exporting yields the same doc→shard map,
+      so downstream epoch seeds and resume offsets stay valid;
+    - one ``to_json(struct(...))`` line per row (JVM-side, codegen —
+      no Python in the path), written via the text sink partitioned by
+      shard: readers stream one directory per shard;
+    - ``compression='gzip'`` for the wire format public corpora use
+      (gzip is per-file splittable only — many shards IS the
+      parallelism, which the explicit repartition provides).
+
+    Scale: one shuffle on the uniform shard key; output file count is
+    O(n_shards), never O(tasks × shards) — the small-files guard.
+    """
+    cols = [c for c in df.columns]
+    lines = df.select(
+        shard_column(F.col(key_col), n_shards).alias("shard"),
+        F.to_json(F.struct(*cols)).alias("value"),
+    )
+    writer = (
+        lines.repartition(n_shards, "shard")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.text(path)

@@ -45,3 +45,80 @@ class TestJsonlSource:
         r = read_jsonl(spark, _write_corpus(tmp_path), count=False)
         assert r.n_clean == -1 and r.n_corrupt == -1
         assert r.clean.count() == 10  # frames still usable
+
+
+# ---- round 8: sharded JSONL export ----
+
+from pyspark.sql import functions as Fn  # noqa: E402
+
+
+def test_write_jsonl_shards_roundtrip_and_determinism(spark, tmp_path):
+    from fbg_kafka_stream_file_transfer_spark.sources.jsonl import (
+        DOCUMENTS_JSONL_SCHEMA,
+        read_jsonl,
+        shard_column,
+        write_jsonl_shards,
+    )
+
+    rows = [
+        (1, 'uniçode "quoted"\nnewline', "en", "web", 23),
+        (2, None, "de", "web", 0),  # NULL text must survive
+        (3, "plain", "fr", "books", 5),
+    ] + [(i, f"doc {i}", "en", "web", 6) for i in range(10, 40)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "corpus")
+    write_jsonl_shards(df, out, "doc_id", n_shards=4)
+
+    back = read_jsonl(spark, out, DOCUMENTS_JSONL_SCHEMA)
+    assert back.n_corrupt == 0 and back.n_clean == len(rows)
+    got = {r.doc_id: r for r in back.clean.collect()}
+    assert got[1].text == 'uniçode "quoted"\nnewline'  # escaping survives
+    assert got[2].text is None
+    assert got[3].source == "books"
+
+    # deterministic shard map: directory layout matches shard_column
+    import pathlib
+
+    dirs = sorted(
+        p.name for p in pathlib.Path(out).iterdir() if p.name.startswith("shard=")
+    )
+    assert len(dirs) <= 4
+    expected = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", shard_column(Fn.col("doc_id"), 4).alias("s")
+        ).collect()
+    }
+    for d in pathlib.Path(out).glob("shard=*"):
+        sh = int(d.name.split("=")[1])
+        lines = []
+        for f in d.glob("part-*"):
+            lines += f.read_text().splitlines()
+        import json as _json
+
+        for line in lines:
+            assert expected[_json.loads(line)["doc_id"]] == sh
+        # small-files guard: one part file per shard directory
+        assert len(list(d.glob("part-*.txt"))) == 1
+
+
+def test_write_jsonl_shards_gzip(spark, tmp_path):
+    from fbg_kafka_stream_file_transfer_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "text " * 10, "en", "web", 50) for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "gz")
+    write_jsonl_shards(df, out, "doc_id", n_shards=2, compression="gzip")
+    import pathlib
+
+    gz_files = list(pathlib.Path(out).glob("shard=*/part-*.gz"))
+    assert gz_files  # compressed wire format on disk
+    back = read_jsonl(spark, out)
+    assert back.n_clean == 20 and back.n_corrupt == 0
