@@ -249,8 +249,13 @@ def delta_main(sf_dir: str, work_dir: str) -> None:
     n_base = base.count()
 
     # -- day 1: only the delta flows --
+    # A re-crawl arrives under a NEW fetch id: dedup_against_index's
+    # replay guard anti-joins the probe batch's own ids out of the
+    # index, so reusing the base doc_id would hide each edited doc's
+    # prior revision from the match side and no edit could ever hit.
     changed = docs.filter((b >= 1000) & (b < 2000)).select(
-        "doc_id", F.concat(F.col("text"), F.lit(" [edited v2]")).alias("text")
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" [edited v2]")).alias("text"),
     )
     added = docs.filter(b < 500).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),

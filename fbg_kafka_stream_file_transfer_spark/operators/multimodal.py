@@ -149,15 +149,29 @@ def decode_image_bytes(content: bytes) -> Optional[dict]:
     Returns None for unrecognized bytes (caller decides the fallback).
     """
     if len(content) >= 26 and content[:2] == b"BM":
+        # 'BM' alone is two ASCII letters — arbitrary text ("BMW sales
+        # rose...") starts with it. Sniff the fixed-value fields a real
+        # writer cannot vary (planes MUST be 1, bpp from the closed set,
+        # header size from the known DIB revisions, pixel offset inside
+        # the file) before trusting width/height.
+        (pixel_offset,) = struct.unpack_from("<I", content, 10)
         (hdr_size,) = struct.unpack_from("<I", content, 14)
-        if hdr_size >= 40 and len(content) >= 54:
+        if hdr_size in (40, 52, 56, 64, 108, 124) and len(content) >= 54:
             w, h = struct.unpack_from("<ii", content, 18)
+            planes, bpp = struct.unpack_from("<HH", content, 26)
         elif hdr_size == 12:
             w, h = struct.unpack_from("<HH", content, 18)
+            planes, bpp = struct.unpack_from("<HH", content, 22)
         else:
             return None
         w, h = int(w), abs(int(h))
-        if w <= 0 or h <= 0:
+        if (
+            w <= 0
+            or h <= 0
+            or planes != 1
+            or bpp not in (1, 2, 4, 8, 16, 24, 32)
+            or not (14 + hdr_size <= pixel_offset <= len(content))
+        ):
             return None
         return {"width": w, "height": h, "n_pixels": w * h, "format": "bmp"}
     if content[:2] in (b"P5", b"P6") and len(content) > 2 and content[2:3].isspace():
@@ -267,7 +281,10 @@ def decode_audio_bytes(content: bytes) -> Optional[dict]:
         cid = content[i : i + 4]
         (csize,) = struct.unpack_from("<I", content, i + 4)
         body = content[i + 8 : i + 8 + csize]
-        if cid == b"fmt " and csize >= 16:
+        # Guard on the bytes actually present, not the declared csize: a
+        # truncated download can declare csize=16 with an empty body, and
+        # struct.unpack_from on it would crash the whole mapInPandas task.
+        if cid == b"fmt " and len(body) >= 16:
             _, channels, rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
         elif cid == b"data":

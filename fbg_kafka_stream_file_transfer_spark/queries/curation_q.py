@@ -1189,7 +1189,9 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the manifest arithmetically from the original table, so
     any serialization loss (escaping, nulls, shard routing, quarantined
     lines) hash-mismatches. total_text_chars certifies the text column
-    survives the JSON round-trip byte-for-byte in length.
+    survives the JSON round-trip with its full CHARACTER count (both
+    engines measure characters — Spark length() and DuckDB length();
+    DuckDB strlen() would count UTF-8 bytes and diverge on non-ASCII).
 
     Scale shape: one shuffle on the uniform shard key for the write;
     manifest is a grouped agg over O(n_shards) groups."""
@@ -1227,7 +1229,7 @@ QUERIES["export_jsonl_roundtrip"] = Q(
     f"""
 SELECT CAST({_BUCKET} % 8 AS INTEGER) AS shard,
        CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(strlen(text)) AS BIGINT) AS total_text_chars,
+       CAST(sum(length(text)) AS BIGINT) AS total_text_chars,
        min(doc_id) AS min_doc_id,
        max(doc_id) AS max_doc_id
 FROM documents

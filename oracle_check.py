@@ -104,6 +104,16 @@ def dtype_mismatches(spark_fields, duck_types: dict[str, str]) -> list[str]:
                 f"{f.name}: spark {f.dataType.simpleString()} vs oracle {dt} "
                 f"— int/float stringify differently under the driver canonicalizer"
             )
+        elif {sk, dk} == {"int", "decimal"}:
+            # Same class as HUGEINT: pandas folds DuckDB DECIMAL to
+            # float64 ("1000.0") while Spark's integral column stays
+            # int64 ("1000") — local fetchall() values agree exactly,
+            # the driver hash does not.
+            out.append(
+                f"{f.name}: spark {f.dataType.simpleString()} vs oracle {dt} "
+                f"— decimal folds to float64 under pandas; CAST both sides to the "
+                f"same family (BIGINT or DOUBLE)"
+            )
     return out
 
 

@@ -65,6 +65,15 @@ def main() -> int:
             sf_dir = "/root/testdata/sf0.1"
 
     spark = get_spark("stream_bench")
+    # recentProgress keeps only the LAST numRecentProgressUpdates
+    # records (default 100); a run with more micro-batches than that
+    # would silently drop the early batches — including the cold batch 0
+    # this tool's numbers explicitly claim to include — and overstate
+    # sustained throughput. Size the buffer to the run.
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(max(1000, 2 * (n_files // max(per_trigger, 1) + 10))),
+    )
     work = tempfile.mkdtemp(prefix="stream_bench_")
     src, out, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
     os.makedirs(src)
@@ -114,6 +123,12 @@ def main() -> int:
         )
         done += rows
     total_rows = sum(b["rows"] for b in batches)
+    if total_rows != n_files:
+        print(
+            f"# WARNING: progress records cover {total_rows}/{n_files} files "
+            f"— throughput numbers are partial",
+            file=sys.stderr,
+        )
     busy_sec = sum(b["sec"] for b in batches)
     durs = sorted(b["sec"] for b in batches)
     p95 = durs[max(0, int(round(0.95 * len(durs))) - 1)] if durs else None
