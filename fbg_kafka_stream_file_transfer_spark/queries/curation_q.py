@@ -1237,3 +1237,91 @@ GROUP BY 1
 """,
     doc="JSONL sharded export -> schema-enforced re-read -> per-shard manifest == arithmetic oracle",
 )
+
+
+def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 4180 CSV sharded export, certified end-to-end (round 8) — the
+    hostile-input twin of export_jsonl_roundtrip. Before exporting, the
+    corpus is ADVERSARIALLY augmented (deterministically, on both
+    engines): every md5-bucket<1000 doc gets a suffix containing an
+    unquoted comma, an embedded double quote, and an embedded newline —
+    the three characters that silently shear a naive CSV writer. The
+    corpus is written as CSV shards (sources/csv.write_csv_shards,
+    quote-doubling dialect), read BACK through the quarantining
+    read_csv_corpus, and the per-shard manifest — including the shard
+    id recovered from partition discovery, certifying shard ROUTING —
+    must match the oracle's arithmetic recomputation from the original
+    table. Any quoting loss changes total_text_chars or n_multiline;
+    any routing loss changes the shard grouping; any parse failure
+    drops n_docs (quarantine must stay empty).
+
+    Scale shape: one shuffle on the uniform shard key for the write;
+    manifest is a grouped agg over O(n_shards) groups. multiLine=true
+    makes each FILE the parse unit — shards are the read parallelism,
+    as with gzip JSONL (sources/csv.py module docstring)."""
+    import shutil
+    import tempfile
+
+    from ..operators.sampling import rate_bucket
+    from ..sources.csv import read_csv_corpus, write_csv_shards
+
+    d = load_table(spark, sf_dir, "documents")
+    b = rate_bucket(F.col("doc_id"))
+    adv = d.withColumn(
+        "text",
+        F.when(
+            b < 1000, F.concat(F.col("text"), F.lit(',"line\ntwo"'))
+        ).otherwise(F.col("text")),
+    )
+    work = tempfile.mkdtemp(prefix="csv_export_")
+    try:
+        write_csv_shards(adv, f"{work}/corpus", "doc_id", n_shards=8)
+        r = read_csv_corpus(spark, f"{work}/corpus")
+        if r.n_corrupt:
+            raise AssertionError(
+                f"CSV roundtrip quarantined {r.n_corrupt} rows"
+            )
+        manifest = (
+            r.clean.groupBy(F.col("shard").cast("int").alias("shard"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum(F.length("text")).cast("bigint").alias("total_text_chars"),
+                F.sum(F.col("text").contains("\n").cast("long"))
+                .cast("bigint")
+                .alias("n_multiline"),
+                F.min("doc_id").alias("min_doc_id"),
+                F.max("doc_id").alias("max_doc_id"),
+            )
+            .collect()  # materialize before the temp export is removed
+        )
+        return spark.createDataFrame(
+            manifest,
+            "shard int, n_docs bigint, total_text_chars bigint,"
+            " n_multiline bigint, min_doc_id bigint, max_doc_id bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["export_csv_roundtrip"] = Q(
+    _q_csv_roundtrip,
+    f"""
+WITH adv AS (
+  SELECT doc_id,
+         CASE WHEN {_BUCKET} < 1000
+              THEN text || ',"line' || chr(10) || 'two"'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT CAST({_BUCKET} % 8 AS INTEGER) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_text_chars,
+       CAST(count(*) FILTER (text LIKE '%' || chr(10) || '%') AS BIGINT)
+         AS n_multiline,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM adv
+GROUP BY 1
+""",
+    doc="adversarial CSV export (commas/quotes/newlines) -> quarantining re-read -> per-shard manifest == arithmetic oracle",
+)
