@@ -267,3 +267,97 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return b.join(s, on + ["_salt"]).drop("_salt")
+
+
+def merge_into_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+    op_col: str | None = None,
+    delete_op: str = "D",
+) -> int:
+    """MERGE a keyed delta into a persisted partitioned parquet table,
+    rewriting ONLY the partitions the delta touches — the batch upsert/
+    delete a day-over-day 100 TB pipeline runs instead of a full-table
+    rebuild (reference's effectively-once sink contract, ST1, applied
+    to a batch table; the transactional-format alternative is a
+    Delta/Iceberg MERGE, absent from this container — SURVEY §2.a).
+
+    Semantics (per key, within touched partitions):
+    - a key present in ``updates`` with a non-``delete_op`` op (or no
+      ``op_col``) REPLACES the current row (SCD1 last-writer-wins);
+    - a key whose update op is ``delete_op`` VANISHES;
+    - keys not in ``updates`` survive byte-identically — including
+      every row of every untouched partition, whose files are never
+      rewritten (dynamic partition overwrite).
+
+    Contracts:
+    - ``updates`` has at most one row per key (pre-apply
+      cdc.apply_changelog to fold a multi-event changelog first);
+    - partition assignment is functionally dependent on the key (an
+      update may not MOVE a key between partitions — the standard
+      Hive-style partition-merge constraint; a moved key would leave
+      its stale row in the old partition). Delete rows must carry the
+      key's partition values for the same reason.
+
+    Crash surface: the merged rows are staged under ``_merge_staging``
+    inside the table root — an underscore-prefixed directory parquet
+    readers ignore, so a crash before the final overwrite leaves the
+    table untouched. A crash DURING the overwrite is torn at partition
+    granularity (the dynamic-overwrite guarantee class); the fully
+    atomic alternative is the snapshot-swap store in
+    streaming/pipeline.py.
+
+    Scale: the delta's partition list is a bounded collect (O(touched
+    partitions), small by contract); the current-state scan prunes to
+    touched partitions only; one anti-join shuffle on the key, sized
+    by the touched partitions — never the table. Returns the number of
+    touched partitions.
+    """
+    import functools
+    import operator
+    import shutil
+
+    if not key_cols or not partition_cols:
+        raise ValueError("need at least one key column and partition column")
+    touched = [
+        tuple(r) for r in updates.select(*partition_cols).distinct().collect()
+    ]
+    if not touched:
+        return 0
+    pred = functools.reduce(
+        operator.or_,
+        [
+            functools.reduce(
+                operator.and_,
+                [F.col(c).eqNullSafe(F.lit(v)) for c, v in zip(partition_cols, t)],
+            )
+            for t in touched
+        ],
+    )
+    current = spark.read.parquet(path).filter(pred)
+    survivors = current.join(
+        updates.select(*key_cols).distinct(), key_cols, "left_anti"
+    )
+    incoming = updates
+    if op_col is not None:
+        incoming = updates.filter(
+            ~F.col(op_col).eqNullSafe(F.lit(delete_op))
+        ).drop(op_col)
+    merged = survivors.unionByName(incoming.select(*current.columns))
+
+    staging = f"{path}/_merge_staging"
+    merged.write.mode("overwrite").parquet(staging)
+    try:
+        staged = spark.read.parquet(staging)
+        (
+            staged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return len(touched)

@@ -1515,3 +1515,112 @@ WHERE rn % 20 = 1
     ("documents",),
     doc="systematic every-nth sampling over portable hash order (audit-sample contract)",
 )
+
+
+# --- round-8: partition-pruned batch MERGE into a persisted table ---
+
+_EBUCKET = "(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 10000)"
+
+
+def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned MERGE certification (round 8): persist events
+    partitioned by event_type, build a deterministic delta touching
+    ONLY the 'click' and 'error' partitions (updates: bucket<1000 rows
+    get a ' [v2]' props suffix; deletes: bucket in [1000,1500);
+    inserts: bucket<300 re-keyed +10M with ' [new]'), run
+    operators.scale.merge_into_partitioned, and summarize the FINAL
+    table per event_type. The three untouched partitions must survive
+    byte-identically (their files are never rewritten — dynamic
+    partition overwrite), which the id_checksum certifies; the oracle
+    recomputes the post-merge state relationally (anti-join + union).
+
+    Scale shape: delta-sized work only — touched-partition scan, one
+    anti-join shuffle on the key, rewrite of 2/5 partitions."""
+    import shutil
+    import tempfile
+
+    from ..operators.sampling import rate_bucket
+    from ..operators.scale import merge_into_partitioned
+
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="merge_target_")
+    path = f"{work}/events_by_type"
+    try:
+        ev.write.partitionBy("event_type").parquet(path, mode="overwrite")
+
+        b = rate_bucket(F.col("event_id"))
+        touched = F.col("event_type").isin("click", "error")
+        upd = ev.filter(touched & (b < 1000)).withColumn(
+            "props", F.concat(F.col("props"), F.lit(" [v2]"))
+        ).withColumn("op", F.lit("U"))
+        dele = ev.filter(touched & (b >= 1000) & (b < 1500)).withColumn(
+            "op", F.lit("D")
+        )
+        ins = (
+            ev.filter(touched & (b < 300))
+            .withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+            .withColumn("props", F.concat(F.col("props"), F.lit(" [new]")))
+            .withColumn("op", F.lit("U"))
+        )
+        updates = upd.unionByName(dele).unionByName(ins)
+        merge_into_partitioned(
+            spark, path, updates, ["event_id"], ["event_type"], op_col="op"
+        )
+
+        final = spark.read.parquet(path)
+        manifest = (
+            final.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("props").contains("[v2]"), 1).otherwise(0)
+                ).cast("bigint").alias("n_updated"),
+                F.sum(
+                    F.when(F.col("event_id") >= 10_000_000, 1).otherwise(0)
+                ).cast("bigint").alias("n_inserted"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+            )
+            .collect()  # materialize before the temp table is removed
+        )
+        return spark.createDataFrame(
+            manifest,
+            "event_type string, n_rows bigint, n_updated bigint,"
+            " n_inserted bigint, id_checksum bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["merge_upsert_partitioned"] = Q(
+    _q_merge_upsert,
+    f"""
+WITH ev AS (SELECT *, {_EBUCKET} AS bk,
+                   event_type IN ('click', 'error') AS touched
+            FROM events),
+upd AS (SELECT event_id, event_type, props || ' [v2]' AS props
+        FROM ev WHERE touched AND bk < 1000),
+del AS (SELECT event_id FROM ev WHERE touched AND bk >= 1000 AND bk < 1500),
+ins AS (SELECT event_id + 10000000 AS event_id, event_type,
+               props || ' [new]' AS props
+        FROM ev WHERE touched AND bk < 300),
+keys AS (SELECT event_id FROM upd UNION ALL SELECT event_id FROM del),
+surv AS (SELECT e.event_id, e.event_type, e.props
+         FROM ev e LEFT JOIN keys k USING (event_id)
+         WHERE k.event_id IS NULL),
+final AS (
+  SELECT * FROM surv
+  UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM ins
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN props LIKE '%[v2]%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_updated,
+       CAST(sum(CASE WHEN event_id >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_inserted,
+       CAST(sum(event_id) AS BIGINT) AS id_checksum
+FROM final
+GROUP BY 1
+""",
+    doc="partition-pruned MERGE (upsert/delete/insert) into persisted table == relational recomputation",
+)

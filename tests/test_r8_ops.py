@@ -76,3 +76,78 @@ def test_lang_confusion_null_contracts(spark, tmp_path):
         for r in con.execute(q.oracle).fetchall()
     }
     assert oracle == got
+
+
+class TestMergeIntoPartitioned:
+    def _seed(self, spark, path):
+        rows = [
+            (i, f"p{i % 3}", f"props-{i}") for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "id long, pt string, props string")
+        df.write.partitionBy("pt").parquet(path, mode="overwrite")
+
+    def test_upsert_delete_insert_and_partition_pruning(self, spark, tmp_path):
+        import glob
+        import os
+
+        from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+            merge_into_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        untouched_files = {
+            f: os.stat(f).st_mtime_ns
+            for f in glob.glob(f"{path}/pt=p2/*.parquet")
+        }
+        updates = spark.createDataFrame(
+            [
+                (0, "p0", "updated-0", "U"),   # replace id 0
+                (3, "p0", None, "D"),          # delete id 3
+                (100, "p1", "new-100", "U"),   # insert new key
+            ],
+            "id long, pt string, props string, op string",
+        )
+        n = merge_into_partitioned(
+            spark, path, updates, ["id"], ["pt"], op_col="op"
+        )
+        assert n == 2  # p0 and p1 touched, p2 pruned
+        got = {
+            r["id"]: r["props"]
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got[0] == "updated-0"
+        assert 3 not in got
+        assert got[100] == "new-100"
+        assert len(got) == 30  # 30 - 1 delete + 1 insert
+        # untouched partition: same files, same bytes, never rewritten
+        after = {
+            f: os.stat(f).st_mtime_ns
+            for f in glob.glob(f"{path}/pt=p2/*.parquet")
+        }
+        assert after == untouched_files
+        # staging dir cleaned up and invisible
+        assert not os.path.exists(f"{path}/_merge_staging")
+
+    def test_empty_delta_is_noop(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+            merge_into_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        empty = spark.createDataFrame(
+            [], "id long, pt string, props string, op string"
+        )
+        assert merge_into_partitioned(
+            spark, path, empty, ["id"], ["pt"], op_col="op"
+        ) == 0
+        assert spark.read.parquet(path).count() == 30
+
+    def test_rejects_missing_cols(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+            merge_into_partitioned,
+        )
+
+        with pytest.raises(ValueError):
+            merge_into_partitioned(spark, "x", None, [], ["pt"])
