@@ -263,8 +263,8 @@ FROM events
         _q_extract,
         """
 WITH d AS (
-  SELECT doc_id, text, strlen(text) AS len,
-         CAST(1 + strlen(text) % 5 AS INTEGER) AS p
+  SELECT doc_id, text, length(text) AS len,
+         CAST(1 + length(text) % 5 AS INTEGER) AS p
   FROM documents
 ), e AS (
   SELECT *, CAST(floor(len / p) AS INTEGER) AS step FROM d
@@ -288,8 +288,8 @@ FROM e
         _q_extract_pages,
         """
 WITH d AS (
-  SELECT doc_id, text, strlen(text) AS len,
-         CAST(1 + strlen(text) % 5 AS INTEGER) AS p
+  SELECT doc_id, text, length(text) AS len,
+         CAST(1 + length(text) % 5 AS INTEGER) AS p
   FROM documents
 ), e AS (
   SELECT *, CAST(floor(len / p) AS INTEGER) AS step FROM d
@@ -299,7 +299,7 @@ WITH d AS (
 SELECT doc_id,
        CAST(i + 1 AS INTEGER) AS page,
        substring(text, 1 + i * step, least(step, 48)) AS page_text,
-       CAST(strlen(substring(text, 1 + i * step, least(step, 48))) AS INTEGER)
+       CAST(length(substring(text, 1 + i * step, least(step, 48))) AS INTEGER)
          AS page_len
 FROM x
 """,

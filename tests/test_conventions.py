@@ -178,3 +178,40 @@ def test_local_gate_flags_bare_int_sum(spark):
     # int-vs-float divergence is flagged in both directions
     fdf = spark.sql("SELECT CAST(10.0 AS DOUBLE) AS s")
     assert dtype_mismatches(fdf.schema.fields, clean) != []
+
+
+def test_no_oracle_uses_strlen():
+    """DuckDB ``strlen()`` counts UTF-8 BYTES while Spark ``length()``
+    and DuckDB ``length()`` count CHARACTERS — on any non-ASCII corpus
+    the two diverge (r8 review: export_jsonl_roundtrip). Oracles must
+    use length() — UNLESS the Spark side measures a BINARY column,
+    where bytes are the point and Spark's length(binary) matches
+    strlen; those queries are whitelisted explicitly."""
+    from fbg_kafka_stream_file_transfer_spark import queries as qreg
+
+    # media_bytes: Spark length(to_binary(text,'utf-8')) == utf-8 bytes
+    byte_semantics_ok = {"pipe_multimodal_metadata"}
+    offenders = [
+        name
+        for name, q in qreg.REGISTRY.items()
+        if q.oracle is not None
+        and "strlen(" in q.oracle.lower()
+        and name not in byte_semantics_ok
+    ]
+    assert not offenders, f"oracles using byte-counting strlen: {offenders}"
+
+
+def test_length_semantics_parity_non_ascii(spark):
+    """Pin the cross-engine character-length convention on non-ASCII:
+    'héllo ★' is 7 characters in BOTH engines' length() but 10 UTF-8
+    bytes in DuckDB strlen() — the divergence the registry-wide
+    no-strlen guard exists to rule out."""
+    s = "héllo ★"
+    (spark_len,) = spark.sql(
+        "SELECT length('héllo ★')"
+    ).collect()[0]
+    duck_len, duck_bytes = duckdb.sql(
+        f"SELECT length('{s}'), strlen('{s}')"
+    ).fetchall()[0]
+    assert spark_len == duck_len == 7
+    assert duck_bytes == 10  # premise: strlen counts bytes, not chars
