@@ -1283,3 +1283,49 @@ WHERE n_chars IS NOT NULL
 """,
     doc="REAL WAV decode: engine-built RIFF/PCM16 blobs parsed back; oracle recomputes rate/channels/duration",
 )
+
+
+def _q_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.h multimodal, REAL decode, PPM leg (round 8): build binary-PPM
+    headers engine-side — magic, a '#' comment line (exercising the
+    comment-skip branch), ASCII width/height/maxval — encode to bytes,
+    and parse them back through the same Arrow-batched decode_images
+    path as the BMP leg. The oracle recomputes dims arithmetically, so
+    a parser that misreads whitespace/comment structure cannot
+    hash-match. Together with multimodal_decode_bmp (binary little-
+    endian header) and _wav (RIFF chunk walk) this certifies all three
+    real pure-Python decoder families end-to-end."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    w = (1 + F.col("n_chars") % 23).cast("int")
+    h = (1 + F.col("n_chars") % 17).cast("int")
+    nl = F.lit("\n")
+    header = F.concat(
+        F.lit("P6"), nl,
+        F.lit("# engine-built fixture"), nl,
+        w.cast("string"), F.lit(" "), h.cast("string"), nl,
+        F.lit("255"), nl,
+    )
+    df = docs.select(
+        "doc_id", F.encode(header, "UTF-8").alias("content")
+    )
+    out = multimodal.decode_images(df, "content")
+    return out.select(
+        "doc_id", "img_width", "img_height", "img_n_pixels", "img_format"
+    )
+
+
+QUERIES["multimodal_decode_ppm"] = Q(
+    _q_decode_ppm,
+    """
+SELECT doc_id,
+       CAST(1 + n_chars % 23 AS INTEGER) AS img_width,
+       CAST(1 + n_chars % 17 AS INTEGER) AS img_height,
+       CAST((1 + n_chars % 23) * (1 + n_chars % 17) AS BIGINT) AS img_n_pixels,
+       'ppm' AS img_format
+FROM documents
+WHERE n_chars IS NOT NULL
+""",
+    doc="REAL PPM decode: ASCII headers with comment lines parsed back via mapInPandas; oracle recomputes dims",
+)
