@@ -277,6 +277,8 @@ def merge_into_partitioned(
     partition_cols: list[str],
     op_col: str | None = None,
     delete_op: str = "D",
+    ts_col: str | None = None,
+    tiebreak_cols: tuple[str, ...] = (),
 ) -> int:
     """MERGE a keyed delta into a persisted partitioned parquet table,
     rewriting ONLY the partitions the delta touches — the batch upsert/
@@ -293,8 +295,20 @@ def merge_into_partitioned(
       every row of every untouched partition, whose files are never
       rewritten (dynamic partition overwrite).
 
+    ORDERED mode (``ts_col`` set — requires a single key column): the
+    merge becomes conditional on event time instead of blind — per
+    contested key, the surviving row is the (ts, tiebreak_cols)-max of
+    {current row} ∪ {update rows}, and a delete only lands if it is
+    the newest write (cdc.apply_changelog semantics). This makes the
+    merge IDEMPOTENT and redelivery-safe: replaying yesterday's delta
+    over today's table is a no-op, which is what lets a streaming
+    foreachBatch sink (streaming/merge_sink.py) provide effectively-
+    once upserts over at-least-once delivery. Multi-row-per-key deltas
+    are folded by the same pass (the at-most-one-row contract below
+    applies only to blind mode).
+
     Contracts:
-    - ``updates`` has at most one row per key (pre-apply
+    - BLIND mode: ``updates`` has at most one row per key (pre-apply
       cdc.apply_changelog to fold a multi-event changelog first);
     - partition assignment is functionally dependent on the key (an
       update may not MOVE a key between partitions — the standard
@@ -341,12 +355,40 @@ def merge_into_partitioned(
     survivors = current.join(
         updates.select(*key_cols).distinct(), key_cols, "left_anti"
     )
-    incoming = updates
-    if op_col is not None:
-        incoming = updates.filter(
-            ~F.col(op_col).eqNullSafe(F.lit(delete_op))
-        ).drop(op_col)
-    merged = survivors.unionByName(incoming.select(*current.columns))
+    if ts_col is not None:
+        if len(key_cols) != 1 or op_col is None:
+            raise ValueError(
+                "ordered merge needs exactly one key column and an op_col"
+            )
+        from .cdc import apply_changelog
+
+        # pool = contested current rows (op NULL = plain upsert) + all
+        # update rows; the changelog fold picks the (ts, tiebreaks,
+        # update-beats-current)-max write per key and applies tombstones
+        contested = current.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_semi"
+        )
+        cur_pool = contested.withColumn(
+            op_col, F.lit(None).cast("string")
+        ).withColumn("_mrg_src", F.lit(0))
+        upd_pool = updates.withColumn("_mrg_src", F.lit(1))
+        pool = cur_pool.unionByName(upd_pool.select(*cur_pool.columns))
+        winners = apply_changelog(
+            pool,
+            key_cols[0],
+            ts_col,
+            op_col,
+            tiebreak_cols=tuple(tiebreak_cols) + ("_mrg_src",),
+            delete_op=delete_op,
+        )
+        merged = survivors.unionByName(winners.select(*current.columns))
+    else:
+        incoming = updates
+        if op_col is not None:
+            incoming = updates.filter(
+                ~F.col(op_col).eqNullSafe(F.lit(delete_op))
+            ).drop(op_col)
+        merged = survivors.unionByName(incoming.select(*current.columns))
 
     staging = f"{path}/_merge_staging"
     merged.write.mode("overwrite").parquet(staging)

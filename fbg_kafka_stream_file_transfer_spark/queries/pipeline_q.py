@@ -1329,3 +1329,83 @@ WHERE n_chars IS NOT NULL
 """,
     doc="REAL PPM decode: ASCII headers with comment lines parsed back via mapInPandas; oracle recomputes dims",
 )
+
+
+def _q_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC MERGE sink driven end-to-end (round 8): the events
+    table becomes a changelog (op = tombstone on 'error', else upsert;
+    key = user_id; partition = user_id % 8), delivered in 4 time-ordered
+    micro-batches through foreachBatch → ordered merge_into_partitioned
+    (streaming/merge_sink.py). The FINAL TABLE must equal the batch
+    oracle: each user's (ts, event_id)-latest event, absent when that
+    event is a tombstone. Certifies cross-batch upsert/delete ordering,
+    bootstrap, and partition-pruned per-batch merges across real
+    micro-batch boundaries.
+
+    Scale shape: per micro-batch work is delta-sized (contested-key
+    window + touched partitions only); the final read is a plain scan."""
+    import shutil
+    import tempfile
+
+    from ..functions.derivations import epoch_seconds
+    from ..streaming.merge_sink import start_changelog_merge_sink
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        )
+        .withColumn("pt", (F.col("user_id") % 8).cast("int"))
+    )
+    work = tempfile.mkdtemp(prefix="cdc_merge_")
+    table = f"{work}/state"
+    try:
+        stream = _time_ordered_stream(
+            spark, ev, epoch_seconds(F.col("ts")), work
+        )
+        q = start_changelog_merge_sink(
+            spark,
+            stream,
+            table,
+            "user_id",
+            ["pt"],
+            "ts",
+            "op",
+            f"{work}/ckpt",
+            tiebreak_cols=("event_id",),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = (
+            spark.read.parquet(table)
+            .select("user_id", "pt", "event_id", "event_type")
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "user_id long, pt int, event_id long, event_type string"
+        ).withColumnRenamed("event_id", "last_event_id")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["stream_cdc_merge_e2e"] = Q(
+    _q_stream_cdc_merge,
+    """
+WITH ranked AS (
+  SELECT user_id, CAST(user_id % 8 AS INTEGER) AS pt, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT user_id, pt, event_id AS last_event_id, event_type
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+""",
+    doc="streaming CDC merge sink across micro-batches == batch latest-state-with-tombstones oracle",
+)

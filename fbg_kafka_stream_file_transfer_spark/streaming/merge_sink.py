@@ -1,0 +1,107 @@
+"""Streaming CDC MERGE sink: foreachBatch upserts into a partitioned
+parquet table.
+
+The reference's sink contract is effectively-once over at-least-once
+delivery (SURVEY §2.f ST1; camel-integration file-pipeline route
+error-handling). The streaming pipeline's parquet-swap buffer store
+covers its retry state; THIS sink covers the other half a CDC consumer
+needs — maintaining a keyed TABLE from a changelog stream (upserts +
+delete tombstones), e.g. the "current transfer status per file" view a
+reprocessing endpoint reads.
+
+Built as ``foreachBatch`` → :func:`operators.scale.merge_into_
+partitioned` in ORDERED mode, which makes each batch's merge
+conditional on event time: per contested key the (ts, tiebreaks)-max
+write wins and a tombstone lands only if newest. That property is what
+upgrades at-least-once to effectively-once — a REDELIVERED batch
+re-applies writes the table already reflects, so it is a no-op (the
+unit test replays a batch verbatim and asserts a byte-identical
+table). Spark's checkpoint dedupes batch IDs on the happy path; the
+ordered merge covers the crash-between-commit-and-checkpoint window
+where foreachBatch genuinely re-runs.
+
+Scale: per micro-batch the work is delta-sized — touched-partition
+scan, one window shuffle over contested keys only; untouched
+partitions are never rewritten (dynamic partition overwrite). The
+partition column must be functionally dependent on the key (Hive-style
+partition-merge constraint, enforced by merge_into_partitioned's
+contract).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.scale import merge_into_partitioned
+
+
+def start_changelog_merge_sink(
+    spark: SparkSession,
+    stream: DataFrame,
+    path: str,
+    key_col: str,
+    partition_cols: list[str],
+    ts_col: str,
+    op_col: str,
+    checkpoint: str,
+    delete_op: str = "D",
+    tiebreak_cols: tuple[str, ...] = (),
+):
+    """Start the changelog→table merge stream; returns the query.
+
+    First batch bootstraps the table (partitioned write of the batch's
+    own fold); every later batch merges. The bootstrap existence probe
+    is a local-FS check — swap for a FileSystem call on object stores.
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not os.path.exists(path):
+            # bootstrap: fold the first batch and write the table shape
+            folded = _fold_first_batch(
+                batch_df, key_col, ts_col, op_col, delete_op, tiebreak_cols
+            )
+            folded.write.partitionBy(*partition_cols).parquet(
+                path, mode="overwrite"
+            )
+            return
+        merge_into_partitioned(
+            spark,
+            path,
+            batch_df,
+            [key_col],
+            partition_cols,
+            op_col=op_col,
+            delete_op=delete_op,
+            ts_col=ts_col,
+            tiebreak_cols=tiebreak_cols,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )
+
+
+def _fold_first_batch(
+    batch_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    op_col: str,
+    delete_op: str,
+    tiebreak_cols: tuple[str, ...],
+) -> DataFrame:
+    from ..operators.cdc import apply_changelog
+
+    folded = apply_changelog(
+        batch_df,
+        key_col,
+        ts_col,
+        op_col,
+        tiebreak_cols=tiebreak_cols,
+        delete_op=delete_op,
+    )
+    return folded.drop(op_col) if op_col else folded

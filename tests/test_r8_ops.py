@@ -151,3 +151,104 @@ class TestMergeIntoPartitioned:
 
         with pytest.raises(ValueError):
             merge_into_partitioned(spark, "x", None, [], ["pt"])
+
+
+class TestOrderedMerge:
+    """ts-conditional MERGE (ordered mode): out-of-order and redelivery
+    safety — the property the streaming merge sink builds on."""
+
+    def _seed(self, spark, path):
+        rows = [(i, f"p{i % 2}", 100 + i, f"v{i}") for i in range(10)]
+        df = spark.createDataFrame(rows, "id long, pt string, ts long, props string")
+        df.write.partitionBy("pt").parquet(path, mode="overwrite")
+
+    def test_stale_update_is_ignored_fresh_wins(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+            merge_into_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)  # id 4 currently ts=104
+        updates = spark.createDataFrame(
+            [
+                (4, "p0", 50, "stale", "U"),     # older than current: ignored
+                (5, "p1", 999, "fresh", "U"),    # newer: wins
+                (6, "p0", 50, None, "D"),        # stale tombstone: ignored
+                (7, "p1", 999, None, "D"),       # fresh tombstone: deletes
+            ],
+            "id long, pt string, ts long, props string, op string",
+        )
+        merge_into_partitioned(
+            spark, path, updates, ["id"], ["pt"], op_col="op", ts_col="ts"
+        )
+        got = {r["id"]: r for r in spark.read.parquet(path).collect()}
+        assert got[4]["props"] == "v4" and got[4]["ts"] == 104
+        assert got[5]["props"] == "fresh" and got[5]["ts"] == 999
+        assert got[6]["props"] == "v6"  # survived the stale delete
+        assert 7 not in got
+        assert len(got) == 9
+
+    def test_redelivered_batch_is_noop(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+            merge_into_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        updates = spark.createDataFrame(
+            [
+                (1, "p1", 500, "new1", "U"),
+                (2, "p0", 500, None, "D"),
+                (50, "p0", 500, "ins", "U"),
+            ],
+            "id long, pt string, ts long, props string, op string",
+        )
+        for _ in range(2):  # apply, then REPLAY the same batch
+            merge_into_partitioned(
+                spark, path, updates, ["id"], ["pt"], op_col="op",
+                ts_col="ts", tiebreak_cols=(),
+            )
+        got = {r["id"]: r["props"] for r in spark.read.parquet(path).collect()}
+        assert got[1] == "new1" and got[50] == "ins" and 2 not in got
+        assert len(got) == 10  # 10 - 1 delete + 1 insert
+
+    def test_multi_row_delta_folds_per_key(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+            merge_into_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        updates = spark.createDataFrame(
+            [
+                (3, "p1", 500, "mid", "U"),
+                (3, "p1", 600, "latest", "U"),
+                (3, "p1", 400, None, "D"),
+            ],
+            "id long, pt string, ts long, props string, op string",
+        )
+        merge_into_partitioned(
+            spark, path, updates, ["id"], ["pt"], op_col="op", ts_col="ts"
+        )
+        got = {r["id"]: r["props"] for r in spark.read.parquet(path).collect()}
+        assert got[3] == "latest"
+
+    def test_ordered_requires_single_key_and_op(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+            merge_into_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        upd = spark.createDataFrame(
+            [(1, "p1", 500, "x", "U")],
+            "id long, pt string, ts long, props string, op string",
+        )
+        with pytest.raises(ValueError):
+            merge_into_partitioned(
+                spark, path, upd, ["id", "pt"], ["pt"], op_col="op", ts_col="ts"
+            )
+        with pytest.raises(ValueError):
+            merge_into_partitioned(
+                spark, path, upd, ["id"], ["pt"], op_col=None, ts_col="ts"
+            )
