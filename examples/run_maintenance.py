@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""End-to-end example: the table-maintenance day a lakehouse actually
+runs — build, merge, layout, verify — over the events fixture.
+
+1. bootstrap            — events persisted as a partitioned keyed table
+2. incremental MERGE    — a day's changelog (upserts + tombstones)
+                          applied with the ordered ts-conditional
+                          merge: only touched partitions rewritten,
+                          stale/redelivered writes are no-ops
+3. redelivery drill     — the SAME delta replayed verbatim; the table
+                          must not change (effectively-once contract)
+4. compaction           — small files binned to target size with the
+                          distributed prefix-sum planner
+5. Z-order layout       — Morton clustering on (user_id, value) so
+                          range predicates prune whole files
+6. verification         — expectation suite over the final table
+
+    python examples/run_maintenance.py [sf_dir] [work_dir]
+
+Default sf_dir=/root/testdata/sf0.001. Every step is delta-sized or
+one-pass; nothing collects more than a report-sized frame.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from fbg_kafka_stream_file_transfer_spark import get_spark  # noqa: E402
+from fbg_kafka_stream_file_transfer_spark.operators import expectations as X  # noqa: E402
+from fbg_kafka_stream_file_transfer_spark.operators.layout import (  # noqa: E402
+    cluster_by_morton,
+)
+from fbg_kafka_stream_file_transfer_spark.operators.scale import (  # noqa: E402
+    compact_to_target,
+    merge_into_partitioned,
+)
+from fbg_kafka_stream_file_transfer_spark.sources.tables import load_table  # noqa: E402
+
+
+def main(sf_dir: str, work_dir: str) -> None:
+    spark = get_spark("maintenance-example")
+    shutil.rmtree(work_dir, ignore_errors=True)
+    table = f"{work_dir}/events_by_bucket"
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withColumn("pt", (F.col("user_id") % 8).cast("int"))
+    )
+
+    print("== 1. bootstrap the keyed table (8 hash partitions) ==")
+    ev.write.partitionBy("pt").parquet(table, mode="overwrite")
+    n0 = spark.read.parquet(table).count()
+    print(f"table rows: {n0}")
+
+    print("\n== 2. incremental MERGE of a day's changelog ==")
+    # synthetic delta: every 'click' user gets a fresh upsert, every
+    # 'error' user a tombstone — but only in partitions 0-2, so 5/8
+    # partitions must survive untouched
+    delta = (
+        ev.filter(F.col("pt") < 3)
+        .filter(F.col("event_type").isin("click", "error"))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAY"))
+        .withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", "D").otherwise("U"),
+        )
+    )
+    touched = merge_into_partitioned(
+        spark, table, delta, ["event_id"], ["pt"],
+        op_col="op", ts_col="ts", tiebreak_cols=("event_id",),
+    )
+    n1 = spark.read.parquet(table).count()
+    print(f"touched partitions: {touched}/8; rows {n0} -> {n1}")
+
+    print("\n== 3. redelivery drill: replay the same delta ==")
+    merge_into_partitioned(
+        spark, table, delta, ["event_id"], ["pt"],
+        op_col="op", ts_col="ts", tiebreak_cols=("event_id",),
+    )
+    n2 = spark.read.parquet(table).count()
+    assert n2 == n1, f"replay changed the table: {n1} -> {n2}"
+    print(f"rows unchanged: {n2} (effectively-once)")
+
+    print("\n== 4. compact to ~256 KiB bins ==")
+    cur = spark.read.parquet(table).withColumn(
+        "row_bytes", F.length(F.to_json(F.struct("*")))
+    )
+    compact_to_target(
+        cur, ["pt", "event_id"], "row_bytes", 256 * 1024,
+        f"{work_dir}/compacted",
+    )
+    import glob
+
+    files = glob.glob(f"{work_dir}/compacted/compaction_bin=*/*.parquet")
+    print(f"compacted into {len(files)} files")
+
+    print("\n== 5. Z-order (Morton) layout on (user_id, value) ==")
+    cluster_by_morton(
+        spark.read.parquet(table), "user_id", "value", 16
+    ).write.parquet(f"{work_dir}/zordered", mode="overwrite")
+    print("clustered write done (range predicates prune whole files)")
+
+    print("\n== 6. expectation suite over the final table ==")
+    final = spark.read.parquet(table)
+    suite = X.expectation_suite(
+        X.check_rows(
+            final,
+            {
+                "event_id_not_null": F.col("event_id").isNotNull(),
+                "ts_not_null": F.col("ts").isNotNull(),
+                "type_in_set": F.col("event_type").isin(
+                    "click", "view", "signup", "purchase", "error"
+                ),
+                # the delta tombstoned every error row in pt 0-2; none
+                # may survive there (pt>=3 was out of merge scope)
+                "no_surviving_tombstone_type": (F.col("pt") >= 3)
+                | (F.col("event_type") != "error"),
+            },
+        ),
+        X.check_unique(final, ["event_id"]),
+    )
+    suite.show(truncate=False)
+    failed = [r.rule for r in suite.collect() if not r.pass_flag]
+    assert not failed, f"maintenance left the table in violation: {failed}"
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/maintenance_demo"
+    main(sf, work)
