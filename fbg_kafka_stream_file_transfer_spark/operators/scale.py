@@ -299,13 +299,21 @@ def merge_into_partitioned(
     merge becomes conditional on event time instead of blind — per
     contested key, the surviving row is the (ts, tiebreak_cols)-max of
     {current row} ∪ {update rows}, and a delete only lands if it is
-    the newest write (cdc.apply_changelog semantics). This makes the
-    merge IDEMPOTENT and redelivery-safe: replaying yesterday's delta
-    over today's table is a no-op, which is what lets a streaming
-    foreachBatch sink (streaming/merge_sink.py) provide effectively-
-    once upserts over at-least-once delivery. Multi-row-per-key deltas
-    are folded by the same pass (the at-most-one-row contract below
-    applies only to blind mode).
+    the newest write (cdc.apply_changelog semantics). REDELIVERY
+    safety, precisely: re-applying the LATEST delta (or any delta none
+    of whose keys have since been superseded) is a no-op — which is
+    exactly what a streaming foreachBatch sink
+    (streaming/merge_sink.py) needs for effectively-once upserts over
+    at-least-once delivery. It is NOT safe to replay an ARBITRARY
+    historical delta: tombstones leave no trace in the table, so an
+    old upsert for a key deleted by a NEWER delta would resurrect it
+    (full time-travel replay needs tombstone retention à la Delta's
+    log — out of scope here; replay through the changelog instead).
+    Multi-row-per-key deltas are folded by the same pass (the
+    at-most-one-row contract below applies only to blind mode). A
+    contested CURRENT row whose ``ts_col`` is NULL follows the
+    repo-wide malformed-event contract: it loses every contest (any
+    update, however old, wins); uncontested NULL-ts rows survive.
 
     Contracts:
     - BLIND mode: ``updates`` has at most one row per key (pre-apply
@@ -316,13 +324,21 @@ def merge_into_partitioned(
       its stale row in the old partition). Delete rows must carry the
       key's partition values for the same reason.
 
+    A merge that leaves a touched partition EMPTY deletes that
+    partition's directory explicitly: dynamic partition overwrite only
+    replaces partitions that receive staged rows, so without the
+    explicit delete a tombstone-only batch would leave every "deleted"
+    row on disk and report success (the silent-corruption hole the
+    r8 review found; pinned by a delete-all-of-one-partition test).
+
     Crash surface: the merged rows are staged under ``_merge_staging``
     inside the table root — an underscore-prefixed directory parquet
     readers ignore, so a crash before the final overwrite leaves the
     table untouched. A crash DURING the overwrite is torn at partition
     granularity (the dynamic-overwrite guarantee class); the fully
     atomic alternative is the snapshot-swap store in
-    streaming/pipeline.py.
+    streaming/pipeline.py. Partition-directory deletion uses local-FS
+    paths (swap for FileSystem calls on object stores).
 
     Scale: the delta's partition list is a bounded collect (O(touched
     partitions), small by contract); the current-state scan prunes to
@@ -336,70 +352,126 @@ def merge_into_partitioned(
 
     if not key_cols or not partition_cols:
         raise ValueError("need at least one key column and partition column")
-    touched = [
-        tuple(r) for r in updates.select(*partition_cols).distinct().collect()
-    ]
-    if not touched:
-        return 0
-    pred = functools.reduce(
-        operator.or_,
-        [
-            functools.reduce(
-                operator.and_,
-                [F.col(c).eqNullSafe(F.lit(v)) for c, v in zip(partition_cols, t)],
-            )
-            for t in touched
-        ],
-    )
-    current = spark.read.parquet(path).filter(pred)
-    survivors = current.join(
-        updates.select(*key_cols).distinct(), key_cols, "left_anti"
-    )
-    if ts_col is not None:
-        if len(key_cols) != 1 or op_col is None:
-            raise ValueError(
-                "ordered merge needs exactly one key column and an op_col"
-            )
-        from .cdc import apply_changelog
-
-        # pool = contested current rows (op NULL = plain upsert) + all
-        # update rows; the changelog fold picks the (ts, tiebreaks,
-        # update-beats-current)-max write per key and applies tombstones
-        contested = current.join(
-            updates.select(*key_cols).distinct(), key_cols, "left_semi"
+    if ts_col is not None and (len(key_cols) != 1 or op_col is None):
+        # validate BEFORE any Spark job: a misconfigured streaming sink
+        # must fail on its empty first batch, not its first real one
+        raise ValueError(
+            "ordered merge needs exactly one key column and an op_col"
         )
-        cur_pool = contested.withColumn(
-            op_col, F.lit(None).cast("string")
-        ).withColumn("_mrg_src", F.lit(0))
-        upd_pool = updates.withColumn("_mrg_src", F.lit(1))
-        pool = cur_pool.unionByName(upd_pool.select(*cur_pool.columns))
-        winners = apply_changelog(
-            pool,
-            key_cols[0],
-            ts_col,
-            op_col,
-            tiebreak_cols=tuple(tiebreak_cols) + ("_mrg_src",),
-            delete_op=delete_op,
-        )
-        merged = survivors.unionByName(winners.select(*current.columns))
-    else:
-        incoming = updates
-        if op_col is not None:
-            incoming = updates.filter(
-                ~F.col(op_col).eqNullSafe(F.lit(delete_op))
-            ).drop(op_col)
-        merged = survivors.unionByName(incoming.select(*current.columns))
-
-    staging = f"{path}/_merge_staging"
-    merged.write.mode("overwrite").parquet(staging)
+    # the delta is consumed several times (touched collect, keys,
+    # pool, staging write) — pin it so a derived/expensive plan (the
+    # streaming sink's transformed micro-batch) runs once
+    updates = updates.persist()
     try:
-        staged = spark.read.parquet(staging)
-        (
-            staged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*partition_cols)
-            .parquet(path)
+        touched = [
+            tuple(r)
+            for r in updates.select(*partition_cols).distinct().collect()
+        ]
+        if not touched:
+            return 0
+        pred = functools.reduce(
+            operator.or_,
+            [
+                functools.reduce(
+                    operator.and_,
+                    [
+                        F.col(c).eqNullSafe(F.lit(v))
+                        for c, v in zip(partition_cols, t)
+                    ],
+                )
+                for t in touched
+            ],
         )
+        upd_keys = updates.select(*key_cols).distinct()
+        current = spark.read.parquet(path).filter(pred)
+        survivors = current.join(upd_keys, key_cols, "left_anti")
+        if ts_col is not None:
+            from .cdc import apply_changelog
+
+            # pool = contested current rows (op NULL = plain upsert) +
+            # all update rows; the changelog fold picks the (ts,
+            # tiebreaks, update-beats-current)-max write per key and
+            # applies tombstones
+            contested = current.join(upd_keys, key_cols, "left_semi")
+            cur_pool = contested.withColumn(
+                op_col, F.lit(None).cast("string")
+            ).withColumn("_mrg_src", F.lit(0))
+            upd_pool = updates.withColumn("_mrg_src", F.lit(1))
+            pool = cur_pool.unionByName(upd_pool.select(*cur_pool.columns))
+            winners = apply_changelog(
+                pool,
+                key_cols[0],
+                ts_col,
+                op_col,
+                tiebreak_cols=tuple(tiebreak_cols) + ("_mrg_src",),
+                delete_op=delete_op,
+            )
+            merged = survivors.unionByName(winners.select(*current.columns))
+        else:
+            incoming = updates
+            if op_col is not None:
+                incoming = updates.filter(
+                    ~F.col(op_col).eqNullSafe(F.lit(delete_op))
+                ).drop(op_col)
+            merged = survivors.unionByName(incoming.select(*current.columns))
+
+        staging = f"{path}/_merge_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        try:
+            # explicit schema: a merge that empties EVERY touched
+            # partition stages zero rows, and a bare read of the empty
+            # dir would fail UNABLE_TO_INFER_SCHEMA
+            staged = spark.read.schema(merged.schema).parquet(staging)
+            written = {
+                tuple(r)
+                for r in staged.select(*partition_cols).distinct().collect()
+            }
+            (
+                staged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*partition_cols)
+                .parquet(path)
+            )
+            # dynamic overwrite never rewrites a partition with no
+            # staged rows — an EMPTIED partition must be deleted
+            # explicitly or its old files silently survive
+            for t in touched:
+                if t in written:
+                    continue
+                d = _find_partition_dir(path, partition_cols, t)
+                if d is not None:
+                    shutil.rmtree(d, ignore_errors=True)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return len(touched)
     finally:
-        shutil.rmtree(staging, ignore_errors=True)
-    return len(touched)
+        updates.unpersist()
+
+
+def _find_partition_dir(
+    path: str, partition_cols: list[str], values: tuple
+) -> "str | None":
+    """Locate ``path/col1=v1/col2=v2/...`` on the local FS, comparing
+    against the UNESCAPED directory names (Spark percent-escapes
+    special characters in partition values; NULL is written as
+    ``__HIVE_DEFAULT_PARTITION__``)."""
+    import os
+    import urllib.parse
+
+    cur = path
+    for col, val in zip(partition_cols, values):
+        want = "__HIVE_DEFAULT_PARTITION__" if val is None else str(val)
+        if not os.path.isdir(cur):
+            return None
+        hit = None
+        for name in os.listdir(cur):
+            if "=" not in name:
+                continue
+            c, _, raw = name.partition("=")
+            if c == col and urllib.parse.unquote(raw) == want:
+                hit = os.path.join(cur, name)
+                break
+        if hit is None:
+            return None
+        cur = hit
+    return cur

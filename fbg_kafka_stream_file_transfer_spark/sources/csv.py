@@ -41,8 +41,20 @@ DOCUMENTS_CSV_SCHEMA = DOCUMENTS_JSONL_SCHEMA
 _CORRUPT = "_corrupt_record"
 
 #: RFC 4180 dialect, shared by reader and writer so a Spark round-trip
-#: is lossless AND interoperable with non-Spark RFC writers
-_DIALECT = {"quote": '"', "escape": '"', "nullValue": ""}
+#: is lossless AND interoperable with non-Spark RFC readers. RFC 4180
+#: has no NULL concept, so the dialect pins the Hive/MySQL ``\N``
+#: sentinel for NULL and keeps the empty field as the EMPTY STRING —
+#: without the sentinel, ``nullValue=""`` (the Spark default) folds
+#: text='' to NULL on the way back (r8 review finding). The one
+#: documented collision: a field whose literal content is exactly
+#: ``\N`` reads back as NULL (same trade Hive makes). DuckDB interop:
+#: ``read_csv(..., nullstr='\\N')``.
+_NULL_SENTINEL = "\\N"
+_DIALECT = {"quote": '"', "escape": '"', "nullValue": _NULL_SENTINEL}
+#: write-only: keep empty string distinguishable (quoted "")
+_WRITE_ONLY = {"emptyValue": '""'}
+#: read-only: quoted "" parses back to the empty string
+_READ_ONLY = {"emptyValue": ""}
 
 
 @dataclass(frozen=True)
@@ -81,7 +93,7 @@ def read_csv_corpus(
         .option("columnNameOfCorruptRecord", _CORRUPT)
         .option("multiLine", multi_line)
     )
-    for k, v in _DIALECT.items():
+    for k, v in {**_DIALECT, **_READ_ONLY}.items():
         reader = reader.option(k, v)
     df = reader.csv(path).cache()
     is_bad = F.col(_CORRUPT).isNotNull()
@@ -124,7 +136,7 @@ def write_csv_shards(
         .option("header", True)
         .mode("overwrite")
     )
-    for k, v in _DIALECT.items():
+    for k, v in {**_DIALECT, **_WRITE_ONLY}.items():
         writer = writer.option(k, v)
     if compression:
         writer = writer.option("compression", compression)

@@ -61,10 +61,20 @@ def start_changelog_merge_sink(
             # bootstrap: fold the first batch and write the table shape
             folded = _fold_first_batch(
                 batch_df, key_col, ts_col, op_col, delete_op, tiebreak_cols
-            )
-            folded.write.partitionBy(*partition_cols).parquet(
-                path, mode="overwrite"
-            )
+            ).persist()
+            try:
+                if folded.isEmpty():
+                    # an all-tombstone (or empty) first batch must NOT
+                    # create a row-less table dir: every later batch
+                    # would then take the merge path and die on
+                    # UNABLE_TO_INFER_SCHEMA — leave the path absent so
+                    # the next batch bootstraps instead
+                    return
+                folded.write.partitionBy(*partition_cols).parquet(
+                    path, mode="overwrite"
+                )
+            finally:
+                folded.unpersist()
             return
         merge_into_partitioned(
             spark,

@@ -92,3 +92,37 @@ class TestCsvSource:
             F.count("*"), F.sum(F.length("text")).cast("bigint")
         ).collect()[0]
         assert (n, chars) == (sn, schars)
+
+    def test_empty_string_and_null_are_distinct(self, spark, tmp_path):
+        """RFC 4180 has no NULL: the dialect pins the Hive \\N sentinel
+        so text='' and text=NULL survive the round-trip distinctly
+        (without it, nullValue='' folds '' to NULL — r8 review)."""
+        src = spark.createDataFrame(
+            [(1, "a", "en", "s", 1), (2, "", "en", "s", 0),
+             (3, None, "en", "s", None)],
+            DOCUMENTS_CSV_SCHEMA,
+        )
+        out = str(tmp_path / "shards")
+        write_csv_shards(src, out, "doc_id", n_shards=2)
+        got = {
+            r["doc_id"]: r["text"]
+            for r in read_csv_corpus(spark, out).clean.collect()
+        }
+        assert got[1] == "a" and got[2] == "" and got[3] is None
+
+    def test_duckdb_reads_null_sentinel(self, spark, tmp_path):
+        import duckdb
+
+        src = spark.createDataFrame(
+            [(1, "a", "en", "s", 1), (2, None, "en", "s", None)],
+            DOCUMENTS_CSV_SCHEMA,
+        )
+        out = str(tmp_path / "shards")
+        write_csv_shards(src, out, "doc_id", n_shards=1)
+        rows = duckdb.connect().execute(
+            f"""SELECT doc_id, text FROM read_csv('{out}/*/*.csv',
+            header=true, nullstr='\\N', columns={{
+              'doc_id':'BIGINT','text':'VARCHAR','lang':'VARCHAR',
+              'source':'VARCHAR','n_chars':'BIGINT'}}) ORDER BY doc_id"""
+        ).fetchall()
+        assert rows == [(1, "a"), (2, None)]

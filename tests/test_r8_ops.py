@@ -252,3 +252,120 @@ class TestOrderedMerge:
             merge_into_partitioned(
                 spark, path, upd, ["id"], ["pt"], op_col=None, ts_col="ts"
             )
+
+
+class TestMergeEmptiesPartition:
+    """r8 review finding: dynamic partition overwrite never rewrites a
+    partition that stages zero rows — an emptied partition must be
+    deleted explicitly or its rows silently survive."""
+
+    def _seed(self, spark, path):
+        rows = [(i, f"p{i % 3}", 100 + i, f"v{i}") for i in range(9)]
+        spark.createDataFrame(
+            rows, "id long, pt string, ts long, props string"
+        ).write.partitionBy("pt").parquet(path, mode="overwrite")
+
+    def test_delete_all_rows_of_one_partition(self, spark, tmp_path):
+        import os
+
+        from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+            merge_into_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)  # p0={0,3,6} p1={1,4,7} p2={2,5,8}
+        updates = spark.createDataFrame(
+            [(0, "p0", 999, None, "D"), (3, "p0", 999, None, "D"),
+             (6, "p0", 999, None, "D"), (1, "p1", 999, "new1", "U")],
+            "id long, pt string, ts long, props string, op string",
+        )
+        n = merge_into_partitioned(
+            spark, path, updates, ["id"], ["pt"], op_col="op"
+        )
+        assert n == 2
+        got = {r["id"]: r["props"] for r in spark.read.parquet(path).collect()}
+        assert set(got) == {1, 4, 7, 2, 5, 8}  # all of p0 gone
+        assert got[1] == "new1"
+        assert not os.path.exists(f"{path}/pt=p0")
+
+    def test_delete_every_touched_partition(self, spark, tmp_path):
+        """All touched partitions emptied -> staging holds ZERO rows;
+        the explicit-schema staging read must not die on
+        UNABLE_TO_INFER_SCHEMA and both dirs must be gone."""
+        import os
+
+        from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+            merge_into_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        updates = spark.createDataFrame(
+            [(i, f"p{i % 3}", 999, None, "D") for i in (0, 3, 6, 1, 4, 7)],
+            "id long, pt string, ts long, props string, op string",
+        )
+        merge_into_partitioned(
+            spark, path, updates, ["id"], ["pt"], op_col="op", ts_col="ts"
+        )
+        got = {r["id"] for r in spark.read.parquet(path).collect()}
+        assert got == {2, 5, 8}
+        assert not os.path.exists(f"{path}/pt=p0")
+        assert not os.path.exists(f"{path}/pt=p1")
+
+    def test_invalid_ordered_args_fail_even_on_empty_delta(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+            merge_into_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        self._seed(spark, path)
+        empty = spark.createDataFrame(
+            [], "id long, pt string, ts long, props string, op string"
+        )
+        with pytest.raises(ValueError):
+            merge_into_partitioned(
+                spark, path, empty, ["id", "pt"], ["pt"], ts_col="ts"
+            )
+
+
+def test_merge_sink_all_tombstone_first_batch_recovers(spark, tmp_path):
+    """r8 review finding: an all-tombstone first batch must not wedge
+    the sink behind a row-less table dir — the bootstrap is skipped and
+    the NEXT batch bootstraps."""
+    import os
+
+    from fbg_kafka_stream_file_transfer_spark.streaming.merge_sink import (
+        start_changelog_merge_sink,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b0 = spark.createDataFrame(
+        [(1, 0, 100, "x", "D")], "id long, pt int, ts long, props string, op string"
+    )
+    b1 = spark.createDataFrame(
+        [(2, 0, 200, "keep", "U"), (3, 1, 200, "keep3", "U")],
+        "id long, pt int, ts long, props string, op string",
+    )
+    for i, b in enumerate([b0, b1]):
+        tmp = str(tmp_path / f"w{i}")
+        b.coalesce(1).write.parquet(tmp)
+        pf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(f"{tmp}/{pf}", f"{src}/{i:03d}.parquet")
+        os.utime(f"{src}/{i:03d}.parquet", (1700000000 + i * 60,) * 2)
+    stream = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = str(tmp_path / "table")
+    q = start_changelog_merge_sink(
+        spark, stream, table, "id", ["pt"], "ts", "op",
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["id"]: r["props"] for r in spark.read.parquet(table).collect()}
+    assert got == {2: "keep", 3: "keep3"}
