@@ -369,3 +369,43 @@ def test_merge_sink_all_tombstone_first_batch_recovers(spark, tmp_path):
         q.stop()
     got = {r["id"]: r["props"] for r in spark.read.parquet(table).collect()}
     assert got == {2: "keep", 3: "keep3"}
+
+
+def test_merge_touched_predicate_reaches_partition_filters(spark, tmp_path):
+    """The 100 TB property of merge_into_partitioned rests on the
+    touched-partition predicate landing in the scan's PartitionFilters
+    (pruned BEFORE reading data files) rather than a post-scan Filter.
+    Pin the plan shape with the exact predicate construction the merge
+    uses (eqNullSafe OR-chain)."""
+    import functools
+    import operator
+    import re
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    rows = [(i, f"p{i % 5}", i) for i in range(100)]
+    spark.createDataFrame(rows, "id long, pt string, v long").write.partitionBy(
+        "pt"
+    ).parquet(path, mode="overwrite")
+    touched = [("p1",), ("p3",)]
+    pred = functools.reduce(
+        operator.or_,
+        [
+            functools.reduce(
+                operator.and_,
+                [F.col(c).eqNullSafe(F.lit(v)) for c, v in zip(["pt"], t)],
+            )
+            for t in touched
+        ],
+    )
+    plan = (
+        spark.read.parquet(path)
+        .filter(pred)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), f"no PartitionFilters in plan:\n{plan}"
+    assert "p1" in m.group(1) and "p3" in m.group(1)
