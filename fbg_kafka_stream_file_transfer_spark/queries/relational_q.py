@@ -1624,3 +1624,99 @@ GROUP BY 1
 """,
     doc="partition-pruned MERGE (upsert/delete/insert) into persisted table == relational recomputation",
 )
+
+
+_DBUCKET = "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000)"
+
+
+def _q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution certification (round 8): a long-lived table's
+    early files carry an OLD schema (doc_id, text, lang) and later
+    files an EVOLVED one (adds source, n_chars, and a new
+    quality_tier). Reading with mergeSchema must surface the union
+    schema with NULLs for columns a file predates — summarized per
+    (generation, quality_tier) so a reader that drops old files,
+    misaligns columns, or defaults instead of NULLing cannot
+    hash-match the arithmetic oracle.
+
+    Scale shape: schema merge is a FOOTER-only operation (one metadata
+    pass over file footers, no data read) and the summary is one
+    grouped agg; at 100 TB pin the table schema in the catalog and
+    use mergeSchema only on evolution boundaries."""
+    import shutil
+    import tempfile
+
+    from ..operators.sampling import rate_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    b = rate_bucket(F.col("doc_id"))
+    work = tempfile.mkdtemp(prefix="schema_evo_")
+    path = f"{work}/table"
+    try:
+        # generation 1: the original 3-column schema
+        d.filter(b < 5000).select("doc_id", "text", "lang").write.parquet(
+            path, mode="overwrite"
+        )
+        # generation 2: evolved — two added columns + a brand-new one
+        d.filter(b >= 5000).select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+            F.when(F.col("n_chars") % 3 == 0, "hi")
+            .when(F.col("n_chars") % 3 == 1, "mid")
+            .otherwise("lo")
+            .alias("quality_tier"),
+        ).write.parquet(path, mode="append")
+
+        merged = spark.read.option("mergeSchema", True).parquet(path)
+        manifest = (
+            merged.groupBy(
+                F.when(F.col("source").isNull(), "gen1")
+                .otherwise("gen2")
+                .alias("generation"),
+                F.coalesce(F.col("quality_tier"), F.lit("none")).alias(
+                    "quality_tier"
+                ),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum(F.coalesce(F.col("n_chars"), F.lit(0)))
+                .cast("bigint")
+                .alias("total_chars"),
+                F.sum(F.length("text")).cast("bigint").alias("total_text_chars"),
+            )
+            .collect()  # materialize before the temp table is removed
+        )
+        return spark.createDataFrame(
+            manifest,
+            "generation string, quality_tier string, n_docs bigint,"
+            " total_chars bigint, total_text_chars bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_schema_evolution"] = Q(
+    _q_schema_evolution,
+    f"""
+WITH gen AS (
+  SELECT doc_id, text, n_chars,
+         CASE WHEN {_DBUCKET} < 5000 THEN 'gen1' ELSE 'gen2' END AS generation,
+         CASE WHEN {_DBUCKET} < 5000 THEN 'none'
+              WHEN n_chars % 3 = 0 THEN 'hi'
+              WHEN n_chars % 3 = 1 THEN 'mid'
+              ELSE 'lo' END AS quality_tier
+  FROM documents
+)
+SELECT generation, quality_tier,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN generation = 'gen1' THEN 0 ELSE n_chars END)
+            AS BIGINT) AS total_chars,
+       CAST(sum(length(text)) AS BIGINT) AS total_text_chars
+FROM gen
+GROUP BY 1, 2
+""",
+    doc="mergeSchema evolution: union schema with NULLs for pre-evolution files == arithmetic oracle",
+)
