@@ -413,3 +413,76 @@ def test_interval_overlap_bucketed_matches_quadratic(spark, lefts, rights, bucke
         if ls < rs + rd and rs < ls + ld
     )
     assert got == expect
+
+
+# --- round 8: decoder totality + CSV dialect round-trip ---
+
+_BYTES = st.binary(max_size=400)
+# blobs biased to hit the parser branches: magic prefixes + junk
+_SNIFFY = st.one_of(
+    _BYTES,
+    st.tuples(
+        st.sampled_from([b"BM", b"P5", b"P6", b"RIFF", b"RIFFxxxxWAVE"]),
+        _BYTES,
+    ).map(lambda t: t[0] + t[1]),
+)
+
+
+@settings(max_examples=300, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_SNIFFY)
+def test_image_decoder_total_on_arbitrary_bytes(blob):
+    """decode_image_bytes must return a well-formed dict or None on ANY
+    bytes — never raise (a single hostile blob would kill the whole
+    mapInPandas task; r8 review class)."""
+    from fbg_kafka_stream_file_transfer_spark.operators.multimodal import (
+        decode_image_bytes,
+    )
+
+    meta = decode_image_bytes(blob)
+    if meta is not None:
+        assert meta["width"] > 0 and meta["height"] > 0
+        assert meta["n_pixels"] == meta["width"] * meta["height"]
+        assert meta["format"] in ("bmp", "ppm", "pgm")
+
+
+@settings(max_examples=300, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_SNIFFY)
+def test_audio_decoder_total_on_arbitrary_bytes(blob):
+    """decode_audio_bytes: same totality contract on arbitrary bytes,
+    including truncated RIFF chunk lists and bogus declared sizes."""
+    from fbg_kafka_stream_file_transfer_spark.operators.multimodal import (
+        decode_audio_bytes,
+    )
+
+    meta = decode_audio_bytes(blob)
+    if meta is not None:
+        assert meta["sample_rate"] > 0 and meta["channels"] > 0
+        assert meta["duration_seconds"] >= 0
+
+
+# any unicode text except the \N NULL-sentinel collision (documented)
+_CSV_TEXT = st.text(max_size=60).filter(lambda s: s != "\\N")
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_CSV_TEXT | st.none(), min_size=1, max_size=6))
+def test_csv_dialect_roundtrips_arbitrary_text(spark, tmp_path_factory, texts):
+    """The RFC 4180 dialect round-trips ARBITRARY unicode text —
+    quotes, newlines, commas, backslashes, empty, NULL — exactly
+    (quarantine stays empty; doc_id→text map identical)."""
+    from fbg_kafka_stream_file_transfer_spark.sources.csv import (
+        read_csv_corpus,
+        write_csv_shards,
+    )
+
+    out = str(tmp_path_factory.mktemp("csvprop"))
+    src = spark.createDataFrame(
+        [(i, t, "en", "s", len(t) if t else None) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    write_csv_shards(src, f"{out}/shards", "doc_id", n_shards=2)
+    r = read_csv_corpus(spark, f"{out}/shards")
+    assert r.n_corrupt == 0
+    got = {row["doc_id"]: row["text"] for row in r.clean.collect()}
+    want = {i: t for i, t in enumerate(texts)}
+    assert got == want
