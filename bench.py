@@ -65,6 +65,10 @@ HEADLINE = [
     #   4× slide-ratio row blow-up is the scale cost being tracked
     "sim_group_diversity",       # within-label mean pairwise cosine (r7):
     #   |Σu|² identity — O(n·d) partial-agg shuffle instead of O(n²) join
+    "merge_upsert_partitioned",  # partition-pruned batch MERGE (r8): build
+    #   table + upsert/delete/insert delta + manifest — delta-sized work
+    "export_csv_roundtrip",      # RFC 4180 sharded export + quarantining
+    #   re-read (r8): the interchange path, adversarial quoting included
 ]
 
 
