@@ -51,8 +51,16 @@ _CORRUPT = "_corrupt_record"
 #: ``read_csv(..., nullstr='\\N')``.
 _NULL_SENTINEL = "\\N"
 _DIALECT = {"quote": '"', "escape": '"', "nullValue": _NULL_SENTINEL}
-#: write-only: keep empty string distinguishable (quoted "")
-_WRITE_ONLY = {"emptyValue": '""'}
+#: write-only: keep empty string distinguishable (quoted ""), and do
+#: NOT trim whitespace-only fields — Spark's CSV WRITER defaults
+#: ignoreLeading/TrailingWhiteSpace to TRUE (the reader defaults them
+#: to false), silently folding ' ' to '' on the way out (caught by the
+#: hypothesis dialect fuzz)
+_WRITE_ONLY = {
+    "emptyValue": '""',
+    "ignoreLeadingWhiteSpace": False,
+    "ignoreTrailingWhiteSpace": False,
+}
 #: read-only: quoted "" parses back to the empty string
 _READ_ONLY = {"emptyValue": ""}
 
