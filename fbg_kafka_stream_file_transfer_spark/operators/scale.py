@@ -337,8 +337,9 @@ def merge_into_partitioned(
     table untouched. A crash DURING the overwrite is torn at partition
     granularity (the dynamic-overwrite guarantee class); the fully
     atomic alternative is the snapshot-swap store in
-    streaming/pipeline.py. Partition-directory deletion uses local-FS
-    paths (swap for FileSystem calls on object stores).
+    streaming/pipeline.py. Partition-directory deletion goes through
+    the Hadoop FileSystem API, so it works on any Spark-supported
+    store (local, HDFS, S3A), not just the local FS.
 
     Scale: the delta's partition list is a bounded collect (O(touched
     partitions), small by contract); the current-state scan prunes to
@@ -438,9 +439,7 @@ def merge_into_partitioned(
             for t in touched:
                 if t in written:
                     continue
-                d = _find_partition_dir(path, partition_cols, t)
-                if d is not None:
-                    shutil.rmtree(d, ignore_errors=True)
+                _delete_partition_dir(spark, path, partition_cols, t)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         return len(touched)
@@ -448,30 +447,36 @@ def merge_into_partitioned(
         updates.unpersist()
 
 
-def _find_partition_dir(
-    path: str, partition_cols: list[str], values: tuple
-) -> "str | None":
-    """Locate ``path/col1=v1/col2=v2/...`` on the local FS, comparing
-    against the UNESCAPED directory names (Spark percent-escapes
-    special characters in partition values; NULL is written as
-    ``__HIVE_DEFAULT_PARTITION__``)."""
-    import os
+def _delete_partition_dir(
+    spark: SparkSession, path: str, partition_cols: list[str], values: tuple
+) -> None:
+    """Locate and recursively delete ``path/col1=v1/col2=v2/...``
+    through the Hadoop FileSystem API — works on any Spark-supported
+    store (file://, HDFS, S3A), not just the local FS. Directory names
+    are matched UNESCAPED (Spark percent-escapes special characters in
+    partition values; NULL is written as
+    ``__HIVE_DEFAULT_PARTITION__``); a missing level means the
+    partition never existed and nothing is deleted."""
     import urllib.parse
 
-    cur = path
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    cur = jpath
     for col, val in zip(partition_cols, values):
         want = "__HIVE_DEFAULT_PARTITION__" if val is None else str(val)
-        if not os.path.isdir(cur):
-            return None
+        if not fs.isDirectory(cur):
+            return
         hit = None
-        for name in os.listdir(cur):
+        for status in fs.listStatus(cur):
+            name = status.getPath().getName()
             if "=" not in name:
                 continue
             c, _, raw = name.partition("=")
             if c == col and urllib.parse.unquote(raw) == want:
-                hit = os.path.join(cur, name)
+                hit = status.getPath()
                 break
         if hit is None:
-            return None
+            return
         cur = hit
-    return cur
+    fs.delete(cur, True)

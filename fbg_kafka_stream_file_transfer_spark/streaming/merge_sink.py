@@ -30,8 +30,6 @@ contract).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.scale import merge_into_partitioned
@@ -53,11 +51,16 @@ def start_changelog_merge_sink(
 
     First batch bootstraps the table (partitioned write of the batch's
     own fold); every later batch merges. The bootstrap existence probe
-    is a local-FS check — swap for a FileSystem call on object stores.
+    goes through the Hadoop FileSystem API (works on local/HDFS/S3A).
     """
 
+    def _table_exists() -> bool:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
+
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        if not os.path.exists(path):
+        if not _table_exists():
             # bootstrap: fold the first batch and write the table shape
             folded = _fold_first_batch(
                 batch_df, key_col, ts_col, op_col, delete_op, tiebreak_cols
