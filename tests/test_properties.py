@@ -486,3 +486,95 @@ def test_csv_dialect_roundtrips_arbitrary_text(spark, tmp_path_factory, texts):
     got = {row["doc_id"]: row["text"] for row in r.clean.collect()}
     want = {i: t for i, t in enumerate(texts)}
     assert got == want
+
+
+# --- round 8: merge_into_partitioned vs a pure-Python reference model ---
+
+_MERGE_OPS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=14),          # key
+        st.integers(min_value=0, max_value=500),         # ts
+        st.sampled_from(["U", "D"]),                     # op
+        st.integers(min_value=0, max_value=99),          # payload
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _model_merge_ordered(table, delta):
+    """Reference semantics: per contested key the (ts, seq, update-
+    beats-current)-max write wins; tombstone lands only if newest.
+    table: {key: (ts, seq, payload)}; delta rows: (key, ts, op, payload, seq)."""
+    out = dict(table)
+    by_key = {}
+    for k, ts, op, payload, seq in delta:
+        by_key.setdefault(k, []).append((ts, seq, op, payload))
+    for k, writes in by_key.items():
+        cands = [(ts, seq, 1, op, payload) for ts, seq, op, payload in writes]
+        if k in table:
+            cts, cseq, cpayload = table[k]
+            cands.append((cts, cseq, 0, None, cpayload))  # src=0: current
+        ts, seq, _, op, payload = max(cands, key=lambda c: (c[0], c[1], c[2]))
+        if op == "D":
+            out.pop(k, None)
+        else:
+            out[k] = (ts, seq, payload)
+    return out
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_MERGE_OPS, _MERGE_OPS)
+def test_merge_ordered_matches_model(spark, tmp_path_factory, base_ops, delta_ops):
+    """Ordered merge_into_partitioned == the reference model on random
+    changelogs: fold a base changelog into a table, merge a random
+    delta, and compare the final table to the model applied to the
+    same sequences (keys hash-partitioned 3 ways so deltas empty,
+    touch, and skip partitions across examples)."""
+    from fbg_kafka_stream_file_transfer_spark.operators.cdc import apply_changelog
+    from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+        merge_into_partitioned,
+    )
+
+    work = str(tmp_path_factory.mktemp("mergeprop"))
+    path = f"{work}/t"
+    schema = "id long, pt int, ts long, seq long, payload long, op string"
+    base_rows = [
+        (k, k % 3, ts, i, payload, op)
+        for i, (k, ts, op, payload) in enumerate(base_ops)
+    ]
+    base_folded = apply_changelog(
+        spark.createDataFrame(base_rows, schema),
+        "id", "ts", "op", tiebreak_cols=("seq",),
+    ).drop("op")
+    if base_folded.isEmpty():
+        return  # nothing to seed — merge requires an existing table
+    base_folded.write.partitionBy("pt").parquet(path, mode="overwrite")
+
+    delta_rows = [
+        (k, k % 3, ts, 1000 + i, payload, op)
+        for i, (k, ts, op, payload) in enumerate(delta_ops)
+    ]
+    merge_into_partitioned(
+        spark,
+        path,
+        spark.createDataFrame(delta_rows, schema),
+        ["id"],
+        ["pt"],
+        op_col="op",
+        ts_col="ts",
+        tiebreak_cols=("seq",),
+    )
+    got = {
+        r["id"]: (r["ts"], r["seq"], r["payload"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+    table = _model_merge_ordered(
+        {}, [(k, ts, op, p, i) for i, (k, ts, op, p) in enumerate(base_ops)]
+    )
+    want = _model_merge_ordered(
+        table,
+        [(k, ts, op, p, 1000 + i) for i, (k, ts, op, p) in enumerate(delta_ops)],
+    )
+    assert got == want, f"base={base_ops} delta={delta_ops}"
