@@ -349,7 +349,6 @@ def merge_into_partitioned(
     """
     import functools
     import operator
-    import shutil
 
     if not key_cols or not partition_cols:
         raise ValueError("need at least one key column and partition column")
@@ -364,9 +363,27 @@ def merge_into_partitioned(
     # streaming sink's transformed micro-batch) runs once
     updates = updates.persist()
     try:
+        # align the delta to the TABLE's read-back schema FIRST:
+        # partition directory names only type-infer to
+        # numeric/date/string, so a BOOLEAN (or other) partition
+        # column comes back as STRING and a raw union with the typed
+        # delta fails — cast delta columns to the current column types
+        # (lossless for partition values: the cast produces exactly
+        # the string the dir name holds). Everything downstream —
+        # touched list, partition predicate, written-set comparison,
+        # dir deletion — uses the ALIGNED representation so the two
+        # sides can never disagree about a partition's identity.
+        current_all = spark.read.parquet(path)
+        cur_types = {f.name: f.dataType for f in current_all.schema.fields}
+        aligned = updates.select(
+            *[
+                F.col(c).cast(cur_types[c]).alias(c) if c in cur_types else F.col(c)
+                for c in updates.columns
+            ]
+        )
         touched = [
             tuple(r)
-            for r in updates.select(*partition_cols).distinct().collect()
+            for r in aligned.select(*partition_cols).distinct().collect()
         ]
         if not touched:
             return 0
@@ -383,8 +400,8 @@ def merge_into_partitioned(
                 for t in touched
             ],
         )
-        upd_keys = updates.select(*key_cols).distinct()
-        current = spark.read.parquet(path).filter(pred)
+        upd_keys = aligned.select(*key_cols).distinct()
+        current = current_all.filter(pred)
         survivors = current.join(upd_keys, key_cols, "left_anti")
         if ts_col is not None:
             from .cdc import apply_changelog
@@ -397,7 +414,7 @@ def merge_into_partitioned(
             cur_pool = contested.withColumn(
                 op_col, F.lit(None).cast("string")
             ).withColumn("_mrg_src", F.lit(0))
-            upd_pool = updates.withColumn("_mrg_src", F.lit(1))
+            upd_pool = aligned.withColumn("_mrg_src", F.lit(1))
             pool = cur_pool.unionByName(upd_pool.select(*cur_pool.columns))
             winners = apply_changelog(
                 pool,
@@ -409,9 +426,9 @@ def merge_into_partitioned(
             )
             merged = survivors.unionByName(winners.select(*current.columns))
         else:
-            incoming = updates
+            incoming = aligned
             if op_col is not None:
-                incoming = updates.filter(
+                incoming = aligned.filter(
                     ~F.col(op_col).eqNullSafe(F.lit(delete_op))
                 ).drop(op_col)
             merged = survivors.unionByName(incoming.select(*current.columns))
@@ -435,36 +452,94 @@ def merge_into_partitioned(
             )
             # dynamic overwrite never rewrites a partition with no
             # staged rows — an EMPTIED partition must be deleted
-            # explicitly or its old files silently survive
+            # explicitly or its old files silently survive. Failures
+            # here raise WITH the partition list: the batch must fail
+            # loudly (re-running the merge is idempotent; swallowing
+            # would silently resurrect deleted rows).
+            failed = []
             for t in touched:
                 if t in written:
                     continue
-                _delete_partition_dir(spark, path, partition_cols, t)
+                try:
+                    _delete_partition_dir(spark, path, partition_cols, t)
+                except Exception as exc:  # noqa: BLE001 — re-raised below
+                    failed.append((t, str(exc)))
+            if failed:
+                raise RuntimeError(
+                    "merge committed but could not delete emptied "
+                    f"partition dirs {failed}; their old rows are still "
+                    "readable — fix store delete permissions and re-run "
+                    "the merge (idempotent)"
+                )
+            if not written and _table_has_no_partitions(spark, path):
+                # the merge deleted the LAST partition: a root holding
+                # only _SUCCESS/_merge markers is unreadable
+                # (UNABLE_TO_INFER_SCHEMA) and would wedge every later
+                # read — delete the root so "empty table" is uniformly
+                # "table absent" (the sink's bootstrap recreates it)
+                fs, jroot = _hadoop_fs(spark, path)
+                fs.delete(jroot, True)
+                return len(touched)
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
+            fs, jstag = _hadoop_fs(spark, staging)
+            try:
+                fs.delete(jstag, True)  # best-effort: staging is
+                # non-semantic; a leak here must not fail a committed
+                # merge (readers skip underscore dirs)
+            except Exception:  # noqa: BLE001
+                pass
         return len(touched)
     finally:
         updates.unpersist()
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the Hadoop API — the same
+    resolution Spark's own writers use, so this works on any
+    Spark-supported store (file://, HDFS, S3A), not just the local
+    FS. Shared by the merge helpers and streaming/merge_sink.py."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _partition_value_str(val) -> str:
+    """Spark's on-disk partition-value formatting: NULL →
+    ``__HIVE_DEFAULT_PARTITION__``, booleans lowercase (``flag=true``,
+    NOT Python's ``str(True)='True'`` — matching case-sensitively on
+    that silently skipped boolean partitions, r8 review), else str."""
+    if val is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(val, bool):
+        return "true" if val else "false"
+    return str(val)
+
+
+def _table_has_no_partitions(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` exists but holds no ``col=value`` partition
+    directories (only commit markers / underscore dirs)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return False
+    for status in fs.listStatus(jpath):
+        if "=" in status.getPath().getName():
+            return False
+    return True
 
 
 def _delete_partition_dir(
     spark: SparkSession, path: str, partition_cols: list[str], values: tuple
 ) -> None:
     """Locate and recursively delete ``path/col1=v1/col2=v2/...``
-    through the Hadoop FileSystem API — works on any Spark-supported
-    store (file://, HDFS, S3A), not just the local FS. Directory names
-    are matched UNESCAPED (Spark percent-escapes special characters in
-    partition values; NULL is written as
-    ``__HIVE_DEFAULT_PARTITION__``); a missing level means the
-    partition never existed and nothing is deleted."""
+    through the Hadoop FileSystem API. Directory names are matched
+    UNESCAPED (Spark percent-escapes special characters in partition
+    values); a missing level means the partition never existed and
+    nothing is deleted."""
     import urllib.parse
 
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, jpath = _hadoop_fs(spark, path)
     cur = jpath
     for col, val in zip(partition_cols, values):
-        want = "__HIVE_DEFAULT_PARTITION__" if val is None else str(val)
+        want = _partition_value_str(val)
         if not fs.isDirectory(cur):
             return
         hit = None

@@ -1673,7 +1673,12 @@ def _q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = spark.read.option("mergeSchema", True).parquet(path)
         manifest = (
             merged.groupBy(
-                F.when(F.col("source").isNull(), "gen1")
+                # generation is derived from quality_tier (the column
+                # ONLY gen2 files carry, constructed non-null), not
+                # from source: a hostile fixture row with a NULL source
+                # in gen2 would otherwise classify differently here
+                # than in the bucket-based oracle
+                F.when(F.col("quality_tier").isNull(), "gen1")
                 .otherwise("gen2")
                 .alias("generation"),
                 F.coalesce(F.col("quality_tier"), F.lit("none")).alias(

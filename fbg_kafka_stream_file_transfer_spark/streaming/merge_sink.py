@@ -50,17 +50,24 @@ def start_changelog_merge_sink(
     """Start the changelog→table merge stream; returns the query.
 
     First batch bootstraps the table (partitioned write of the batch's
-    own fold); every later batch merges. The bootstrap existence probe
-    goes through the Hadoop FileSystem API (works on local/HDFS/S3A).
+    own fold); every later batch merges. The bootstrap probe checks for
+    actual PARTITION DIRECTORIES, not bare path existence, through the
+    Hadoop FileSystem API (works on local/HDFS/S3A): a crash mid-
+    bootstrap leaves a dir holding only ``_temporary``/commit markers,
+    and treating that as a live table would wedge every later batch on
+    UNABLE_TO_INFER_SCHEMA — instead the restart re-bootstraps
+    (mode=overwrite absorbs the partial write).
     """
+    from ..operators.scale import _hadoop_fs, _table_has_no_partitions
 
-    def _table_exists() -> bool:
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(jpath))
+    def _table_usable() -> bool:
+        fs, jpath = _hadoop_fs(spark, path)
+        return bool(fs.exists(jpath)) and not _table_has_no_partitions(
+            spark, path
+        )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        if not _table_exists():
+        if not _table_usable():
             # bootstrap: fold the first batch and write the table shape
             folded = _fold_first_batch(
                 batch_df, key_col, ts_col, op_col, delete_op, tiebreak_cols

@@ -565,11 +565,6 @@ def test_merge_ordered_matches_model(spark, tmp_path_factory, base_ops, delta_op
         ts_col="ts",
         tiebreak_cols=("seq",),
     )
-    got = {
-        r["id"]: (r["ts"], r["seq"], r["payload"])
-        for r in spark.read.parquet(path).collect()
-    }
-
     table = _model_merge_ordered(
         {}, [(k, ts, op, p, i) for i, (k, ts, op, p) in enumerate(base_ops)]
     )
@@ -577,4 +572,16 @@ def test_merge_ordered_matches_model(spark, tmp_path_factory, base_ops, delta_op
         table,
         [(k, ts, op, p, 1000 + i) for i, (k, ts, op, p) in enumerate(delta_ops)],
     )
+    if not want:
+        # the merge deleted the LAST row: "empty table" is uniformly
+        # "table absent" (a root holding only _SUCCESS would be
+        # unreadable and wedge the streaming sink — r8 review)
+        import os
+
+        assert not os.path.exists(path), f"base={base_ops} delta={delta_ops}"
+        return
+    got = {
+        r["id"]: (r["ts"], r["seq"], r["payload"])
+        for r in spark.read.parquet(path).collect()
+    }
     assert got == want, f"base={base_ops} delta={delta_ops}"

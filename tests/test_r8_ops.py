@@ -409,3 +409,93 @@ def test_merge_touched_predicate_reaches_partition_filters(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and m.group(1).strip(), f"no PartitionFilters in plan:\n{plan}"
     assert "p1" in m.group(1) and "p3" in m.group(1)
+
+
+def test_merge_deleting_last_partition_removes_table(spark, tmp_path):
+    """r8 review: a merge whose tombstones empty EVERY partition must
+    delete the table root — a root holding only _SUCCESS is unreadable
+    (UNABLE_TO_INFER_SCHEMA) and would wedge the streaming sink."""
+    import os
+
+    from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+        merge_into_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(0, "p0", 100, "x")], "id long, pt string, ts long, props string"
+    ).write.partitionBy("pt").parquet(path, mode="overwrite")
+    updates = spark.createDataFrame(
+        [(0, "p0", 999, None, "D")],
+        "id long, pt string, ts long, props string, op string",
+    )
+    merge_into_partitioned(
+        spark, path, updates, ["id"], ["pt"], op_col="op", ts_col="ts"
+    )
+    assert not os.path.exists(path)
+
+
+def test_merge_deletes_boolean_partition(spark, tmp_path):
+    """r8 review: Spark writes boolean partition dirs lowercase
+    (flag=true); matching via str(True)='True' silently skipped them."""
+    import os
+
+    from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+        merge_into_partitioned,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(0, True, 100, "x"), (1, False, 100, "y")],
+        "id long, flag boolean, ts long, props string",
+    ).write.partitionBy("flag").parquet(path, mode="overwrite")
+    updates = spark.createDataFrame(
+        [(0, True, 999, None, "D")],
+        "id long, flag boolean, ts long, props string, op string",
+    )
+    merge_into_partitioned(
+        spark, path, updates, ["id"], ["flag"], op_col="op", ts_col="ts"
+    )
+    assert not os.path.exists(f"{path}/flag=true")
+    got = {r["id"] for r in spark.read.parquet(path).collect()}
+    assert got == {1}
+
+
+def test_merge_sink_recovers_from_torn_bootstrap(spark, tmp_path):
+    """r8 review: a crash mid-bootstrap leaves the table dir with only
+    commit markers; the probe must treat that as 'no table' and
+    re-bootstrap instead of wedging on UNABLE_TO_INFER_SCHEMA."""
+    import os
+
+    from fbg_kafka_stream_file_transfer_spark.streaming.merge_sink import (
+        start_changelog_merge_sink,
+    )
+
+    table = str(tmp_path / "table")
+    os.makedirs(table)
+    open(f"{table}/_SUCCESS", "w").close()  # torn bootstrap remnant
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b = spark.createDataFrame(
+        [(1, 0, 100, "v", "U")],
+        "id long, pt int, ts long, props string, op string",
+    )
+    tmp = str(tmp_path / "w")
+    b.coalesce(1).write.parquet(tmp)
+    pf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.rename(f"{tmp}/{pf}", f"{src}/000.parquet")
+    stream = (
+        spark.readStream.schema(b.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_changelog_merge_sink(
+        spark, stream, table, "id", ["pt"], "ts", "op", str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["id"]: r["props"] for r in spark.read.parquet(table).collect()}
+    assert got == {1: "v"}
