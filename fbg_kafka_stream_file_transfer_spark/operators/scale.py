@@ -358,139 +358,140 @@ def merge_into_partitioned(
         raise ValueError(
             "ordered merge needs exactly one key column and an op_col"
         )
-    # the delta is consumed several times (touched collect, keys,
-    # pool, staging write) — pin it so a derived/expensive plan (the
-    # streaming sink's transformed micro-batch) runs once
-    updates = updates.persist()
-    try:
-        # align the delta to the TABLE's read-back schema FIRST:
-        # partition directory names only type-infer to
-        # numeric/date/string, so a BOOLEAN (or other) partition
-        # column comes back as STRING and a raw union with the typed
-        # delta fails — cast delta columns to the current column types
-        # (lossless for partition values: the cast produces exactly
-        # the string the dir name holds). Everything downstream —
-        # touched list, partition predicate, written-set comparison,
-        # dir deletion — uses the ALIGNED representation so the two
-        # sides can never disagree about a partition's identity.
-        current_all = spark.read.parquet(path)
-        cur_types = {f.name: f.dataType for f in current_all.schema.fields}
-        aligned = updates.select(
-            *[
-                F.col(c).cast(cur_types[c]).alias(c) if c in cur_types else F.col(c)
-                for c in updates.columns
-            ]
-        )
-        touched = [
-            tuple(r)
-            for r in aligned.select(*partition_cols).distinct().collect()
+    # The delta plan is evaluated by exactly TWO actions: the touched-
+    # partitions collect (column-PRUNED to the partition cols) and the
+    # staging write (full width; the key-distinct subtrees inside that
+    # plan dedupe via exchange reuse). Deliberately NOT persisted:
+    # caching materializes the full width up front and costs more than
+    # the one pruned re-evaluation it saves (measured ~2× cold at
+    # sf0.1). A caller whose delta derivation is expensive regardless
+    # of pruning (multi-join plans) should persist before calling.
+    # align the delta to the TABLE's read-back schema FIRST:
+    # partition directory names only type-infer to
+    # numeric/date/string, so a BOOLEAN (or other) partition
+    # column comes back as STRING and a raw union with the typed
+    # delta fails — cast delta columns to the current column types
+    # (lossless for partition values: the cast produces exactly
+    # the string the dir name holds). Everything downstream —
+    # touched list, partition predicate, written-set comparison,
+    # dir deletion — uses the ALIGNED representation so the two
+    # sides can never disagree about a partition's identity.
+    current_all = spark.read.parquet(path)
+    cur_types = {f.name: f.dataType for f in current_all.schema.fields}
+    aligned = updates.select(
+        *[
+            F.col(c).cast(cur_types[c]).alias(c) if c in cur_types else F.col(c)
+            for c in updates.columns
         ]
-        if not touched:
-            return 0
-        pred = functools.reduce(
-            operator.or_,
-            [
-                functools.reduce(
-                    operator.and_,
-                    [
-                        F.col(c).eqNullSafe(F.lit(v))
-                        for c, v in zip(partition_cols, t)
-                    ],
-                )
-                for t in touched
-            ],
+    )
+    touched = [
+        tuple(r)
+        for r in aligned.select(*partition_cols).distinct().collect()
+    ]
+    if not touched:
+        return 0
+    pred = functools.reduce(
+        operator.or_,
+        [
+            functools.reduce(
+                operator.and_,
+                [
+                    F.col(c).eqNullSafe(F.lit(v))
+                    for c, v in zip(partition_cols, t)
+                ],
+            )
+            for t in touched
+        ],
+    )
+    upd_keys = aligned.select(*key_cols).distinct()
+    current = current_all.filter(pred)
+    survivors = current.join(upd_keys, key_cols, "left_anti")
+    if ts_col is not None:
+        from .cdc import apply_changelog
+
+        # pool = contested current rows (op NULL = plain upsert) +
+        # all update rows; the changelog fold picks the (ts,
+        # tiebreaks, update-beats-current)-max write per key and
+        # applies tombstones
+        contested = current.join(upd_keys, key_cols, "left_semi")
+        cur_pool = contested.withColumn(
+            op_col, F.lit(None).cast("string")
+        ).withColumn("_mrg_src", F.lit(0))
+        upd_pool = aligned.withColumn("_mrg_src", F.lit(1))
+        pool = cur_pool.unionByName(upd_pool.select(*cur_pool.columns))
+        winners = apply_changelog(
+            pool,
+            key_cols[0],
+            ts_col,
+            op_col,
+            tiebreak_cols=tuple(tiebreak_cols) + ("_mrg_src",),
+            delete_op=delete_op,
         )
-        upd_keys = aligned.select(*key_cols).distinct()
-        current = current_all.filter(pred)
-        survivors = current.join(upd_keys, key_cols, "left_anti")
-        if ts_col is not None:
-            from .cdc import apply_changelog
+        merged = survivors.unionByName(winners.select(*current.columns))
+    else:
+        incoming = aligned
+        if op_col is not None:
+            incoming = aligned.filter(
+                ~F.col(op_col).eqNullSafe(F.lit(delete_op))
+            ).drop(op_col)
+        merged = survivors.unionByName(incoming.select(*current.columns))
 
-            # pool = contested current rows (op NULL = plain upsert) +
-            # all update rows; the changelog fold picks the (ts,
-            # tiebreaks, update-beats-current)-max write per key and
-            # applies tombstones
-            contested = current.join(upd_keys, key_cols, "left_semi")
-            cur_pool = contested.withColumn(
-                op_col, F.lit(None).cast("string")
-            ).withColumn("_mrg_src", F.lit(0))
-            upd_pool = aligned.withColumn("_mrg_src", F.lit(1))
-            pool = cur_pool.unionByName(upd_pool.select(*cur_pool.columns))
-            winners = apply_changelog(
-                pool,
-                key_cols[0],
-                ts_col,
-                op_col,
-                tiebreak_cols=tuple(tiebreak_cols) + ("_mrg_src",),
-                delete_op=delete_op,
-            )
-            merged = survivors.unionByName(winners.select(*current.columns))
-        else:
-            incoming = aligned
-            if op_col is not None:
-                incoming = aligned.filter(
-                    ~F.col(op_col).eqNullSafe(F.lit(delete_op))
-                ).drop(op_col)
-            merged = survivors.unionByName(incoming.select(*current.columns))
-
-        staging = f"{path}/_merge_staging"
-        merged.write.mode("overwrite").parquet(staging)
-        try:
-            # explicit schema: a merge that empties EVERY touched
-            # partition stages zero rows, and a bare read of the empty
-            # dir would fail UNABLE_TO_INFER_SCHEMA
-            staged = spark.read.schema(merged.schema).parquet(staging)
-            written = {
-                tuple(r)
-                for r in staged.select(*partition_cols).distinct().collect()
-            }
-            (
-                staged.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(*partition_cols)
-                .parquet(path)
-            )
-            # dynamic overwrite never rewrites a partition with no
-            # staged rows — an EMPTIED partition must be deleted
-            # explicitly or its old files silently survive. Failures
-            # here raise WITH the partition list: the batch must fail
-            # loudly (re-running the merge is idempotent; swallowing
-            # would silently resurrect deleted rows).
-            failed = []
-            for t in touched:
-                if t in written:
-                    continue
-                try:
-                    _delete_partition_dir(spark, path, partition_cols, t)
-                except Exception as exc:  # noqa: BLE001 — re-raised below
-                    failed.append((t, str(exc)))
-            if failed:
-                raise RuntimeError(
-                    "merge committed but could not delete emptied "
-                    f"partition dirs {failed}; their old rows are still "
-                    "readable — fix store delete permissions and re-run "
-                    "the merge (idempotent)"
-                )
-            if not written and _table_has_no_partitions(spark, path):
-                # the merge deleted the LAST partition: a root holding
-                # only _SUCCESS/_merge markers is unreadable
-                # (UNABLE_TO_INFER_SCHEMA) and would wedge every later
-                # read — delete the root so "empty table" is uniformly
-                # "table absent" (the sink's bootstrap recreates it)
-                fs, jroot = _hadoop_fs(spark, path)
-                fs.delete(jroot, True)
-                return len(touched)
-        finally:
-            fs, jstag = _hadoop_fs(spark, staging)
+    staging = f"{path}/_merge_staging"
+    merged.write.mode("overwrite").parquet(staging)
+    try:
+        # explicit schema: a merge that empties EVERY touched
+        # partition stages zero rows, and a bare read of the empty
+        # dir would fail UNABLE_TO_INFER_SCHEMA
+        staged = spark.read.schema(merged.schema).parquet(staging)
+        written = {
+            tuple(r)
+            for r in staged.select(*partition_cols).distinct().collect()
+        }
+        (
+            staged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+        # dynamic overwrite never rewrites a partition with no
+        # staged rows — an EMPTIED partition must be deleted
+        # explicitly or its old files silently survive. Failures
+        # here raise WITH the partition list: the batch must fail
+        # loudly (re-running the merge is idempotent; swallowing
+        # would silently resurrect deleted rows).
+        failed = []
+        for t in touched:
+            if t in written:
+                continue
             try:
-                fs.delete(jstag, True)  # best-effort: staging is
-                # non-semantic; a leak here must not fail a committed
-                # merge (readers skip underscore dirs)
-            except Exception:  # noqa: BLE001
-                pass
-        return len(touched)
+                _delete_partition_dir(spark, path, partition_cols, t)
+            except Exception as exc:  # noqa: BLE001 — re-raised below
+                failed.append((t, str(exc)))
+        if failed:
+            raise RuntimeError(
+                "merge committed but could not delete emptied "
+                f"partition dirs {failed}; their old rows are still "
+                "readable — fix store delete permissions and re-run "
+                "the merge (idempotent)"
+            )
+        if not written and _table_has_no_partitions(spark, path):
+            # the merge deleted the LAST partition: a root holding
+            # only _SUCCESS/_merge markers is unreadable
+            # (UNABLE_TO_INFER_SCHEMA) and would wedge every later
+            # read — delete the root so "empty table" is uniformly
+            # "table absent" (the sink's bootstrap recreates it)
+            fs, jroot = _hadoop_fs(spark, path)
+            fs.delete(jroot, True)
+            return len(touched)
     finally:
-        updates.unpersist()
+        fs, jstag = _hadoop_fs(spark, staging)
+        try:
+            fs.delete(jstag, True)  # best-effort: staging is
+            # non-semantic; a leak here must not fail a committed
+            # merge (readers skip underscore dirs)
+        except Exception:  # noqa: BLE001
+            pass
+    return len(touched)
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
