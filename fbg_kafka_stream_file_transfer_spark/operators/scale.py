@@ -322,7 +322,13 @@ def merge_into_partitioned(
       update may not MOVE a key between partitions — the standard
       Hive-style partition-merge constraint; a moved key would leave
       its stale row in the old partition). Delete rows must carry the
-      key's partition values for the same reason.
+      key's partition values for the same reason;
+    - STRING partition values must round-trip directory-name type
+      inference: a value like ``'01'`` is written as ``version=01``
+      but read back as integer ``1``, splitting the partition into
+      two directories on the next write — the same landmine every
+      Hive-layout consumer has; use values inference keeps as strings,
+      or disable spark.sql.sources.partitionColumnTypeInference.
 
     A merge that leaves a touched partition EMPTY deletes that
     partition's directory explicitly: dynamic partition overwrite only
@@ -358,140 +364,167 @@ def merge_into_partitioned(
         raise ValueError(
             "ordered merge needs exactly one key column and an op_col"
         )
-    # The delta plan is evaluated by exactly TWO actions: the touched-
-    # partitions collect (column-PRUNED to the partition cols) and the
-    # staging write (full width; the key-distinct subtrees inside that
-    # plan dedupe via exchange reuse). Deliberately NOT persisted:
-    # caching materializes the full width up front and costs more than
-    # the one pruned re-evaluation it saves (measured ~2× cold at
-    # sf0.1). A caller whose delta derivation is expensive regardless
-    # of pruning (multi-join plans) should persist before calling.
-    # align the delta to the TABLE's read-back schema FIRST:
-    # partition directory names only type-infer to
-    # numeric/date/string, so a BOOLEAN (or other) partition
-    # column comes back as STRING and a raw union with the typed
-    # delta fails — cast delta columns to the current column types
-    # (lossless for partition values: the cast produces exactly
-    # the string the dir name holds). Everything downstream —
-    # touched list, partition predicate, written-set comparison,
-    # dir deletion — uses the ALIGNED representation so the two
-    # sides can never disagree about a partition's identity.
-    current_all = spark.read.parquet(path)
-    cur_types = {f.name: f.dataType for f in current_all.schema.fields}
-    aligned = updates.select(
-        *[
-            F.col(c).cast(cur_types[c]).alias(c) if c in cur_types else F.col(c)
-            for c in updates.columns
-        ]
-    )
-    touched = [
-        tuple(r)
-        for r in aligned.select(*partition_cols).distinct().collect()
-    ]
-    if not touched:
-        return 0
-    pred = functools.reduce(
-        operator.or_,
-        [
-            functools.reduce(
-                operator.and_,
-                [
-                    F.col(c).eqNullSafe(F.lit(v))
-                    for c, v in zip(partition_cols, t)
-                ],
-            )
-            for t in touched
-        ],
-    )
-    upd_keys = aligned.select(*key_cols).distinct()
-    current = current_all.filter(pred)
-    survivors = current.join(upd_keys, key_cols, "left_anti")
-    if ts_col is not None:
-        from .cdc import apply_changelog
-
-        # pool = contested current rows (op NULL = plain upsert) +
-        # all update rows; the changelog fold picks the (ts,
-        # tiebreaks, update-beats-current)-max write per key and
-        # applies tombstones
-        contested = current.join(upd_keys, key_cols, "left_semi")
-        cur_pool = contested.withColumn(
-            op_col, F.lit(None).cast("string")
-        ).withColumn("_mrg_src", F.lit(0))
-        upd_pool = aligned.withColumn("_mrg_src", F.lit(1))
-        pool = cur_pool.unionByName(upd_pool.select(*cur_pool.columns))
-        winners = apply_changelog(
-            pool,
-            key_cols[0],
-            ts_col,
-            op_col,
-            tiebreak_cols=tuple(tiebreak_cols) + ("_mrg_src",),
-            delete_op=delete_op,
-        )
-        merged = survivors.unionByName(winners.select(*current.columns))
-    else:
-        incoming = aligned
-        if op_col is not None:
-            incoming = aligned.filter(
-                ~F.col(op_col).eqNullSafe(F.lit(delete_op))
-            ).drop(op_col)
-        merged = survivors.unionByName(incoming.select(*current.columns))
-
-    staging = f"{path}/_merge_staging"
-    merged.write.mode("overwrite").parquet(staging)
+    # --- snapshot the delta FIRST: write the raw updates to a staging
+    # dir so the delta plan is evaluated EXACTLY ONCE. Without the
+    # snapshot, a NONDETERMINISTIC delta (sampling, F.rand, a
+    # recomputed shuffle) could yield different rows at the
+    # touched-partitions collect vs the final write: a partition staged
+    # but absent from `touched` would be dynamic-overwritten WITHOUT
+    # its survivors — silent row loss (r8 review). Parquet-backed
+    # re-reads are stable by construction; the extra write is
+    # delta-sized. This ordering also puts the empty-delta check
+    # BEFORE the table read, so a no-op delta against an absent table
+    # (a previous merge tombstoned the last partition) returns 0
+    # instead of PATH_NOT_FOUND.
+    fs, jroot = _hadoop_fs(spark, path)
+    root_existed = bool(fs.exists(jroot))
+    delta_staging = f"{path}/_merge_delta"
+    updates.write.mode("overwrite").parquet(delta_staging)
     try:
-        # explicit schema: a merge that empties EVERY touched
-        # partition stages zero rows, and a bare read of the empty
-        # dir would fail UNABLE_TO_INFER_SCHEMA
-        staged = spark.read.schema(merged.schema).parquet(staging)
-        written = {
-            tuple(r)
-            for r in staged.select(*partition_cols).distinct().collect()
-        }
-        (
-            staged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*partition_cols)
-            .parquet(path)
+        delta = spark.read.schema(updates.schema).parquet(delta_staging)
+        if delta.isEmpty():
+            return 0
+        if not root_existed:
+            raise ValueError(f"merge target table does not exist: {path}")
+
+        # align the delta to the TABLE's read-back schema: partition
+        # directory names only type-infer to numeric/date/string, so a
+        # BOOLEAN (or other) partition column comes back as STRING and
+        # a raw union with the typed delta would fail — cast delta
+        # columns to the current column types. Everything downstream —
+        # touched list, partition predicate, written-set comparison,
+        # dir deletion — uses the ALIGNED representation so the two
+        # sides can never disagree about a partition's identity.
+        current_all = spark.read.parquet(path)
+        cur_types = {f.name: f.dataType for f in current_all.schema.fields}
+        aligned = delta.select(
+            *[
+                F.col(c).cast(cur_types[c]).alias(c) if c in cur_types else F.col(c)
+                for c in delta.columns
+            ]
         )
-        # dynamic overwrite never rewrites a partition with no
-        # staged rows — an EMPTIED partition must be deleted
-        # explicitly or its old files silently survive. Failures
-        # here raise WITH the partition list: the batch must fail
-        # loudly (re-running the merge is idempotent; swallowing
-        # would silently resurrect deleted rows).
-        failed = []
-        for t in touched:
-            if t in written:
-                continue
-            try:
-                _delete_partition_dir(spark, path, partition_cols, t)
-            except Exception as exc:  # noqa: BLE001 — re-raised below
-                failed.append((t, str(exc)))
-        if failed:
-            raise RuntimeError(
-                "merge committed but could not delete emptied "
-                f"partition dirs {failed}; their old rows are still "
-                "readable — fix store delete permissions and re-run "
-                "the merge (idempotent)"
+        touched = [
+            tuple(r)
+            for r in aligned.select(*partition_cols).distinct().collect()
+        ]
+        pred = functools.reduce(
+            operator.or_,
+            [
+                functools.reduce(
+                    operator.and_,
+                    [
+                        F.col(c).eqNullSafe(F.lit(v))
+                        for c, v in zip(partition_cols, t)
+                    ],
+                )
+                for t in touched
+            ],
+        )
+        upd_keys = aligned.select(*key_cols).distinct()
+        current = current_all.filter(pred)
+        survivors = current.join(upd_keys, key_cols, "left_anti")
+        if ts_col is not None:
+            from .cdc import apply_changelog
+
+            # pool = contested current rows (op NULL = plain upsert) +
+            # all update rows; the changelog fold picks the (ts,
+            # tiebreaks, update-beats-current)-max write per key and
+            # applies tombstones
+            contested = current.join(upd_keys, key_cols, "left_semi")
+            cur_pool = contested.withColumn(
+                op_col, F.lit(None).cast("string")
+            ).withColumn("_mrg_src", F.lit(0))
+            upd_pool = aligned.withColumn("_mrg_src", F.lit(1))
+            pool = cur_pool.unionByName(upd_pool.select(*cur_pool.columns))
+            winners = apply_changelog(
+                pool,
+                key_cols[0],
+                ts_col,
+                op_col,
+                tiebreak_cols=tuple(tiebreak_cols) + ("_mrg_src",),
+                delete_op=delete_op,
             )
-        if not written and _table_has_no_partitions(spark, path):
-            # the merge deleted the LAST partition: a root holding
-            # only _SUCCESS/_merge markers is unreadable
-            # (UNABLE_TO_INFER_SCHEMA) and would wedge every later
-            # read — delete the root so "empty table" is uniformly
-            # "table absent" (the sink's bootstrap recreates it)
-            fs, jroot = _hadoop_fs(spark, path)
-            fs.delete(jroot, True)
-            return len(touched)
-    finally:
-        fs, jstag = _hadoop_fs(spark, staging)
+            merged = survivors.unionByName(winners.select(*current.columns))
+        else:
+            incoming = aligned
+            if op_col is not None:
+                incoming = aligned.filter(
+                    ~F.col(op_col).eqNullSafe(F.lit(delete_op))
+                ).drop(op_col)
+            merged = survivors.unionByName(incoming.select(*current.columns))
+
+        staging = f"{path}/_merge_staging"
+        # explicit schema on the read back: a merge that empties EVERY
+        # touched partition stages zero rows, and a bare read of the
+        # empty dir would fail UNABLE_TO_INFER_SCHEMA
+        merged.write.mode("overwrite").parquet(staging)
         try:
-            fs.delete(jstag, True)  # best-effort: staging is
-            # non-semantic; a leak here must not fail a committed
-            # merge (readers skip underscore dirs)
-        except Exception:  # noqa: BLE001
-            pass
-    return len(touched)
+            staged = spark.read.schema(merged.schema).parquet(staging)
+            written = {
+                tuple(r)
+                for r in staged.select(*partition_cols).distinct().collect()
+            }
+            (
+                staged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*partition_cols)
+                .parquet(path)
+            )
+            # dynamic overwrite never rewrites a partition with no
+            # staged rows — an EMPTIED partition must be deleted
+            # explicitly or its old files silently survive. Failures
+            # here raise WITH the partition list: the batch must fail
+            # loudly (re-running the merge is idempotent; swallowing
+            # would silently resurrect deleted rows).
+            failed = []
+            for t in touched:
+                if t in written:
+                    continue
+                try:
+                    _delete_partition_dir(spark, path, partition_cols, t)
+                except Exception as exc:  # noqa: BLE001 — re-raised below
+                    failed.append((t, str(exc)))
+            if failed:
+                raise RuntimeError(
+                    "merge committed but could not delete emptied "
+                    f"partition dirs {failed}; their old rows are still "
+                    "readable — fix store delete permissions and re-run "
+                    "the merge (idempotent)"
+                )
+            if not written and _table_has_no_partitions(spark, path):
+                # the merge deleted the LAST partition: a root holding
+                # only _SUCCESS/_merge markers is unreadable
+                # (UNABLE_TO_INFER_SCHEMA) and would wedge every later
+                # read — delete the root so "empty table" is uniformly
+                # "table absent" (the sink's bootstrap recreates it)
+                fs.delete(jroot, True)
+        finally:
+            _best_effort_delete(spark, staging)
+        return len(touched)
+    finally:
+        # staging dirs are non-semantic; a cleanup failure must not
+        # fail a committed merge (readers skip underscore dirs)
+        _best_effort_delete(spark, delta_staging)
+        if not root_existed and _dir_is_empty(spark, path):
+            # the delta write materialized the (absent) table root just
+            # to hold staging; don't leave an empty husk behind
+            _best_effort_delete(spark, path)
+
+
+def _best_effort_delete(spark: SparkSession, path: str) -> None:
+    try:
+        fs, jpath = _hadoop_fs(spark, path)
+        fs.delete(jpath, True)
+    except Exception:  # noqa: BLE001 — best-effort by contract
+        pass
+
+
+def _dir_is_empty(spark: SparkSession, path: str) -> bool:
+    try:
+        fs, jpath = _hadoop_fs(spark, path)
+        return bool(fs.exists(jpath)) and len(fs.listStatus(jpath)) == 0
+    except Exception:  # noqa: BLE001
+        return False
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -503,16 +536,39 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
-def _partition_value_str(val) -> str:
-    """Spark's on-disk partition-value formatting: NULL →
-    ``__HIVE_DEFAULT_PARTITION__``, booleans lowercase (``flag=true``,
-    NOT Python's ``str(True)='True'`` — matching case-sensitively on
-    that silently skipped boolean partitions, r8 review), else str."""
+def _partition_value_matches(val, raw: str) -> bool:
+    """Does the UNESCAPED on-disk partition directory value ``raw``
+    denote the collected Python value ``val``? Matching by VALUE, not
+    by re-formatting val with str(): Spark's dir formatting differs
+    from Python's for several types (booleans lowercase; doubles via
+    Java Double.toString — ``1.0E-7`` where Python says ``1e-07``;
+    timestamps without trailing zero-padding), and a formatting
+    mismatch here silently SKIPS the delete and resurrects
+    tombstoned rows (r8 review)."""
+    import datetime
+
     if val is None:
-        return "__HIVE_DEFAULT_PARTITION__"
+        return raw == "__HIVE_DEFAULT_PARTITION__"
     if isinstance(val, bool):
-        return "true" if val else "false"
-    return str(val)
+        return raw == ("true" if val else "false")
+    if isinstance(val, float):
+        try:
+            return float(raw) == val
+        except ValueError:
+            return False
+    if isinstance(val, datetime.datetime):
+        try:
+            return datetime.datetime.fromisoformat(raw.replace("T", " ")) == (
+                val.replace(tzinfo=None)
+            )
+        except ValueError:
+            return False
+    if isinstance(val, datetime.date):
+        try:
+            return datetime.date.fromisoformat(raw) == val
+        except ValueError:
+            return False
+    return raw == str(val)
 
 
 def _table_has_no_partitions(spark: SparkSession, path: str) -> bool:
@@ -540,7 +596,6 @@ def _delete_partition_dir(
     fs, jpath = _hadoop_fs(spark, path)
     cur = jpath
     for col, val in zip(partition_cols, values):
-        want = _partition_value_str(val)
         if not fs.isDirectory(cur):
             return
         hit = None
@@ -549,7 +604,9 @@ def _delete_partition_dir(
             if "=" not in name:
                 continue
             c, _, raw = name.partition("=")
-            if c == col and urllib.parse.unquote(raw) == want:
+            if c == col and _partition_value_matches(
+                val, urllib.parse.unquote(raw)
+            ):
                 hit = status.getPath()
                 break
         if hit is None:

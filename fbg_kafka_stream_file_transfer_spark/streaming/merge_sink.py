@@ -58,16 +58,32 @@ def start_changelog_merge_sink(
     UNABLE_TO_INFER_SCHEMA — instead the restart re-bootstraps
     (mode=overwrite absorbs the partial write).
     """
-    from ..operators.scale import _hadoop_fs, _table_has_no_partitions
+    from ..operators.scale import _hadoop_fs
 
-    def _table_usable() -> bool:
+    def _table_state() -> str:
+        """'absent' (bootstrap), 'table' (merge), or 'foreign'. A dir
+        holding DATA FILES but no ``col=value`` partition dirs is
+        somebody else's unpartitioned dataset — bootstrapping over it
+        with mode=overwrite would destroy it, so that state raises
+        instead of silently wiping (r8 review)."""
         fs, jpath = _hadoop_fs(spark, path)
-        return bool(fs.exists(jpath)) and not _table_has_no_partitions(
-            spark, path
-        )
+        if not fs.exists(jpath):
+            return "absent"
+        names = [s.getPath().getName() for s in fs.listStatus(jpath)]
+        if any("=" in n for n in names):
+            return "table"
+        if any(not n.startswith(("_", ".")) for n in names):
+            return "foreign"
+        return "absent"  # only commit markers: a torn bootstrap
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        if not _table_usable():
+        state = _table_state()
+        if state == "foreign":
+            raise ValueError(
+                f"merge sink target {path} holds a non-partitioned "
+                "dataset; refusing to overwrite it"
+            )
+        if state == "absent":
             # bootstrap: fold the first batch and write the table shape
             folded = _fold_first_batch(
                 batch_df, key_col, ts_col, op_col, delete_op, tiebreak_cols

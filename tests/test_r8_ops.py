@@ -499,3 +499,102 @@ def test_merge_sink_recovers_from_torn_bootstrap(spark, tmp_path):
         q.stop()
     got = {r["id"]: r["props"] for r in spark.read.parquet(table).collect()}
     assert got == {1: "v"}
+
+
+def test_merge_empty_delta_on_absent_table_returns_zero(spark, tmp_path):
+    """A previous merge may have tombstoned the LAST partition (table
+    root deleted); a subsequent no-op delta must return 0, not
+    PATH_NOT_FOUND — and must not leave a husk dir behind."""
+    import os
+
+    from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+        merge_into_partitioned,
+    )
+
+    path = str(tmp_path / "never_created")
+    empty = spark.createDataFrame(
+        [], "id long, pt string, ts long, props string, op string"
+    )
+    assert merge_into_partitioned(
+        spark, path, empty, ["id"], ["pt"], op_col="op", ts_col="ts"
+    ) == 0
+    assert not os.path.exists(path)
+
+
+def test_merge_nonempty_delta_on_absent_table_raises(spark, tmp_path):
+    from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+        merge_into_partitioned,
+    )
+
+    path = str(tmp_path / "never_created")
+    delta = spark.createDataFrame(
+        [(1, "p0", 1, "x", "U")],
+        "id long, pt string, ts long, props string, op string",
+    )
+    with pytest.raises(ValueError, match="does not exist"):
+        merge_into_partitioned(
+            spark, path, delta, ["id"], ["pt"], op_col="op", ts_col="ts"
+        )
+
+
+def test_merge_sink_refuses_foreign_unpartitioned_dataset(spark, tmp_path):
+    """r8 review: pointing the sink at an existing UNPARTITIONED
+    dataset must raise, not silently bootstrap-overwrite it."""
+    import os
+
+    table = str(tmp_path / "foreign")
+    spark.createDataFrame([(1, "keepme")], "id long, v string").write.parquet(
+        table
+    )
+    from fbg_kafka_stream_file_transfer_spark.streaming.merge_sink import (
+        start_changelog_merge_sink,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b = spark.createDataFrame(
+        [(1, 0, 100, "v", "U")],
+        "id long, pt int, ts long, props string, op string",
+    )
+    tmp = str(tmp_path / "w")
+    b.coalesce(1).write.parquet(tmp)
+    pf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.rename(f"{tmp}/{pf}", f"{src}/000.parquet")
+    stream = (
+        spark.readStream.schema(b.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_changelog_merge_sink(
+        spark, stream, table, "id", ["pt"], "ts", "op", str(tmp_path / "ckpt")
+    )
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.StreamingQueryException):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # the foreign dataset survived untouched
+    assert [tuple(r) for r in spark.read.parquet(table).collect()] == [
+        (1, "keepme")
+    ]
+
+
+def test_delete_partition_dir_matches_double_formatting(spark, tmp_path):
+    """r8 review: Java formats double partition values as 1.0E-7 where
+    Python str() says 1e-07 — matching by VALUE, not formatting."""
+    import os
+
+    from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+        _delete_partition_dir,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 1e-7), (2, 0.5)], "id long, p double"
+    ).write.partitionBy("p").parquet(path, mode="overwrite")
+    dirs = sorted(os.listdir(path))
+    _delete_partition_dir(spark, path, ["p"], (1e-7,))
+    left = sorted(d for d in os.listdir(path) if d.startswith("p="))
+    assert len(left) == 1 and "0.5" in left[0], (dirs, left)
