@@ -585,3 +585,29 @@ def test_merge_ordered_matches_model(spark, tmp_path_factory, base_ops, delta_op
         for r in spark.read.parquet(path).collect()
     }
     assert got == want, f"base={base_ops} delta={delta_ops}"
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(max_size=60) | st.none(), min_size=1, max_size=6))
+def test_jsonl_roundtrips_arbitrary_text(spark, tmp_path_factory, texts):
+    """The JSONL export/import pair round-trips ARBITRARY unicode text
+    — control chars, quotes, backslashes, emoji, empty, NULL — exactly
+    (to_json escaping ≡ the schema-enforced reader's parse; the
+    quarantine stays empty). Mirrors the CSV dialect fuzz that caught
+    the writer's whitespace trimming."""
+    from fbg_kafka_stream_file_transfer_spark.sources.jsonl import (
+        read_jsonl,
+        write_jsonl_shards,
+    )
+
+    out = str(tmp_path_factory.mktemp("jsonlprop"))
+    src = spark.createDataFrame(
+        [(i, t, "en", "s", len(t) if t else None) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    write_jsonl_shards(src, f"{out}/shards", "doc_id", n_shards=2)
+    r = read_jsonl(spark, f"{out}/shards")
+    assert r.n_corrupt == 0
+    got = {row["doc_id"]: row["text"] for row in r.clean.collect()}
+    want = {i: t for i, t in enumerate(texts)}
+    assert got == want
