@@ -279,6 +279,7 @@ def merge_into_partitioned(
     delete_op: str = "D",
     ts_col: str | None = None,
     tiebreak_cols: tuple[str, ...] = (),
+    lock_stale_after_seconds: float | None = None,
 ) -> int:
     """MERGE a keyed delta into a persisted partitioned parquet table,
     rewriting ONLY the partitions the delta touches — the batch upsert/
@@ -313,7 +314,13 @@ def merge_into_partitioned(
     at-most-one-row contract below applies only to blind mode). A
     contested CURRENT row whose ``ts_col`` is NULL follows the
     repo-wide malformed-event contract: it loses every contest (any
-    update, however old, wins); uncontested NULL-ts rows survive.
+    VALID update, however old, wins); uncontested NULL-ts rows
+    survive. When every update row for the key is ALSO NULL-ts the
+    pool is all-malformed and cannot decide (or delete) anything —
+    the current row survives unchanged. ``op_col`` and ``_mrg_src``
+    are reserved internal names in ordered mode: a target table or
+    delta already containing them raises (a silent overwrite would
+    corrupt stored data).
 
     Contracts:
     - BLIND mode: ``updates`` has at most one row per key (pre-apply
@@ -337,15 +344,36 @@ def merge_into_partitioned(
     row on disk and report success (the silent-corruption hole the
     r8 review found; pinned by a delete-all-of-one-partition test).
 
-    Crash surface: the merged rows are staged under ``_merge_staging``
-    inside the table root — an underscore-prefixed directory parquet
-    readers ignore, so a crash before the final overwrite leaves the
-    table untouched. A crash DURING the overwrite is torn at partition
-    granularity (the dynamic-overwrite guarantee class); the fully
-    atomic alternative is the snapshot-swap store in
-    streaming/pipeline.py. Partition-directory deletion goes through
-    the Hadoop FileSystem API, so it works on any Spark-supported
-    store (local, HDFS, S3A), not just the local FS.
+    Concurrency (round 9): the whole merge runs under the table's
+    single-writer lease (``table.table_write_lock``) — a second
+    concurrent merge (or compaction holding the same lock) raises
+    ``ConcurrentWriterError`` instead of silently interleaving staging
+    dirs and losing a delta. A writer that DIES holding the lease
+    leaves it behind: later merges fail loudly until
+    ``table.force_unlock`` (the honest default), or pass
+    ``lock_stale_after_seconds`` to auto-break locks older than the
+    TTL (sized far above any legitimate commit — the streaming merge
+    sink's choice).
+
+    Crash surface — two commit protocols, auto-detected:
+
+    - PLAIN Hive-layout table (default): the merged rows are staged
+      under ``_merge_staging`` inside the table root — an
+      underscore-prefixed directory parquet readers ignore, so a crash
+      before the final overwrite leaves the table untouched. A crash
+      DURING the overwrite is torn at partition granularity (the
+      dynamic-overwrite guarantee class); recovery = re-run, the merge
+      is idempotent. Partition-directory deletion goes through the
+      Hadoop FileSystem API, so it works on any Spark-supported store
+      (local, HDFS, S3A), not just the local FS.
+    - MANIFEST table (created via ``table.ManifestTable.create``;
+      detected by ``_manifests/``): the publish is an atomic
+      manifest/pointer swap — a reader sees the whole previous version
+      or the whole new one, NEVER a partition-granular mix, and
+      emptied partitions drop out of the manifest instead of racing a
+      directory delete. Same delta-sized cost; this is the
+      Delta/Iceberg-grade commit the plain layout cannot give
+      (operators/table.py for the protocol and its crash analysis).
 
     Scale: the delta's partition list is a bounded collect (O(touched
     partitions), small by contract); the current-state scan prunes to
@@ -353,9 +381,6 @@ def merge_into_partitioned(
     by the touched partitions — never the table. Returns the number of
     touched partitions.
     """
-    import functools
-    import operator
-
     if not key_cols or not partition_cols:
         raise ValueError("need at least one key column and partition column")
     if ts_col is not None and (len(key_cols) != 1 or op_col is None):
@@ -364,6 +389,53 @@ def merge_into_partitioned(
         raise ValueError(
             "ordered merge needs exactly one key column and an op_col"
         )
+    from .table import is_manifest_table, table_write_lock
+
+    fs, jroot = _hadoop_fs(spark, path)
+    root_existed = bool(fs.exists(jroot))
+    try:
+        with table_write_lock(
+            spark,
+            path,
+            holder="merge",
+            stale_after_seconds=lock_stale_after_seconds,
+        ):
+            if is_manifest_table(spark, path):
+                return _merge_into_manifest(
+                    spark, path, updates, key_cols, partition_cols,
+                    op_col, delete_op, ts_col, tiebreak_cols,
+                )
+            return _merge_into_plain(
+                spark, path, updates, key_cols, partition_cols,
+                op_col, delete_op, ts_col, tiebreak_cols,
+                fs, jroot, root_existed,
+            )
+    finally:
+        if not root_existed and _dir_is_empty(spark, path):
+            # the lock/staging writes materialized the (absent) table
+            # root; don't leave an empty husk behind
+            _best_effort_delete(spark, path)
+
+
+def _merge_into_plain(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+    op_col: str | None,
+    delete_op: str,
+    ts_col: str | None,
+    tiebreak_cols: tuple[str, ...],
+    fs,
+    jroot,
+    root_existed: bool,
+) -> int:
+    """Dynamic-partition-overwrite commit path (plain Hive layout).
+    Caller holds the table write lock."""
+    import functools
+    import operator
+
     # --- snapshot the delta FIRST: write the raw updates to a staging
     # dir so the delta plan is evaluated EXACTLY ONCE. Without the
     # snapshot, a NONDETERMINISTIC delta (sampling, F.rand, a
@@ -376,8 +448,6 @@ def merge_into_partitioned(
     # BEFORE the table read, so a no-op delta against an absent table
     # (a previous merge tombstoned the last partition) returns 0
     # instead of PATH_NOT_FOUND.
-    fs, jroot = _hadoop_fs(spark, path)
-    root_existed = bool(fs.exists(jroot))
     delta_staging = f"{path}/_merge_delta"
     updates.write.mode("overwrite").parquet(delta_staging)
     try:
@@ -420,38 +490,11 @@ def merge_into_partitioned(
                 for t in touched
             ],
         )
-        upd_keys = aligned.select(*key_cols).distinct()
         current = current_all.filter(pred)
-        survivors = current.join(upd_keys, key_cols, "left_anti")
-        if ts_col is not None:
-            from .cdc import apply_changelog
-
-            # pool = contested current rows (op NULL = plain upsert) +
-            # all update rows; the changelog fold picks the (ts,
-            # tiebreaks, update-beats-current)-max write per key and
-            # applies tombstones
-            contested = current.join(upd_keys, key_cols, "left_semi")
-            cur_pool = contested.withColumn(
-                op_col, F.lit(None).cast("string")
-            ).withColumn("_mrg_src", F.lit(0))
-            upd_pool = aligned.withColumn("_mrg_src", F.lit(1))
-            pool = cur_pool.unionByName(upd_pool.select(*cur_pool.columns))
-            winners = apply_changelog(
-                pool,
-                key_cols[0],
-                ts_col,
-                op_col,
-                tiebreak_cols=tuple(tiebreak_cols) + ("_mrg_src",),
-                delete_op=delete_op,
-            )
-            merged = survivors.unionByName(winners.select(*current.columns))
-        else:
-            incoming = aligned
-            if op_col is not None:
-                incoming = aligned.filter(
-                    ~F.col(op_col).eqNullSafe(F.lit(delete_op))
-                ).drop(op_col)
-            merged = survivors.unionByName(incoming.select(*current.columns))
+        merged = _compute_merged(
+            current, aligned, key_cols, op_col, delete_op, ts_col,
+            tiebreak_cols,
+        )
 
         staging = f"{path}/_merge_staging"
         # explicit schema on the read back: a merge that empties EVERY
@@ -505,10 +548,147 @@ def merge_into_partitioned(
         # staging dirs are non-semantic; a cleanup failure must not
         # fail a committed merge (readers skip underscore dirs)
         _best_effort_delete(spark, delta_staging)
-        if not root_existed and _dir_is_empty(spark, path):
-            # the delta write materialized the (absent) table root just
-            # to hold staging; don't leave an empty husk behind
-            _best_effort_delete(spark, path)
+
+
+def _compute_merged(
+    current: DataFrame,
+    aligned: DataFrame,
+    key_cols: list[str],
+    op_col: str | None,
+    delete_op: str,
+    ts_col: str | None,
+    tiebreak_cols: tuple[str, ...],
+) -> DataFrame:
+    """The merge's relational core, shared by the plain and manifest
+    commit paths: survivors (current rows whose key is uncontested) ∪
+    winners (blind mode: the update rows minus deletes; ordered mode:
+    the changelog fold over contested current + update rows)."""
+    upd_keys = aligned.select(*key_cols).distinct()
+    survivors = current.join(upd_keys, key_cols, "left_anti")
+    if ts_col is not None:
+        from .cdc import apply_changelog
+
+        # the internal op/source markers must be FRESH names: if the
+        # stored table already has a column called op_col, the
+        # cur_pool withColumn below would silently overwrite it with
+        # NULL and the final select would write op-values back into
+        # user data — blind mode fails loudly on this shape, ordered
+        # mode would corrupt silently (external review r9). Refuse.
+        clash = {op_col, "_mrg_src"} & set(current.columns)
+        if clash or "_mrg_src" in aligned.columns:
+            raise ValueError(
+                f"ordered merge reserves column name(s) "
+                f"{sorted(clash | ({'_mrg_src'} & set(aligned.columns)))}; "
+                "the target table / delta may not contain them — "
+                "rename the stored column or pick another op_col"
+            )
+        # pool = contested current rows (op NULL = plain upsert) +
+        # all update rows; the changelog fold picks the (ts,
+        # tiebreaks, update-beats-current)-max write per key and
+        # applies tombstones
+        contested = current.join(upd_keys, key_cols, "left_semi")
+        cur_pool = contested.withColumn(
+            op_col, F.lit(None).cast("string")
+        ).withColumn("_mrg_src", F.lit(0))
+        upd_pool = aligned.withColumn("_mrg_src", F.lit(1))
+        pool = cur_pool.unionByName(upd_pool.select(*cur_pool.columns))
+        winners = apply_changelog(
+            pool,
+            key_cols[0],
+            ts_col,
+            op_col,
+            tiebreak_cols=tuple(tiebreak_cols) + ("_mrg_src",),
+            delete_op=delete_op,
+        )
+        # a contested key whose ENTIRE pool is NULL-ts produces no
+        # winner (apply_changelog drops malformed rows), and without
+        # this rescue the key would silently VANISH — an
+        # all-malformed delta must be ignored for that key, never
+        # treated as a delete (external review r9). Keys with at
+        # least one valid-ts row are fully decided by the fold.
+        decided = (
+            pool.filter(F.col(ts_col).isNotNull())
+            .select(*key_cols)
+            .distinct()
+        )
+        orphaned = contested.join(decided, key_cols, "left_anti")
+        return survivors.unionByName(
+            winners.select(*current.columns)
+        ).unionByName(orphaned.select(*current.columns))
+    incoming = aligned
+    if op_col is not None:
+        incoming = aligned.filter(
+            ~F.col(op_col).eqNullSafe(F.lit(delete_op))
+        ).drop(op_col)
+    return survivors.unionByName(incoming.select(*current.columns))
+
+
+def _merge_into_manifest(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+    op_col: str | None,
+    delete_op: str,
+    ts_col: str | None,
+    tiebreak_cols: tuple[str, ...],
+) -> int:
+    """Atomic-commit merge path for manifest tables (caller holds the
+    table write lock). Same semantics as the plain path; the publish
+    is a manifest/pointer swap, so a crash at ANY point leaves the
+    previous version fully readable, and an emptied partition drops
+    out of the manifest instead of racing a directory delete. The
+    current-state read is manifest-pruned to the touched partitions —
+    no file listing of untouched data. Schema alignment casts against
+    the MANIFEST's stored schema (partition values never round-trip
+    through directory-name inference here, so the plain layout's
+    ``'01'`` string landmine cannot occur)."""
+    from .table import ManifestTable
+
+    mt = ManifestTable(spark, path)
+    ver = mt.current_version()
+    # delta snapshot: exactly-once evaluation, same rationale as the
+    # plain path (nondeterministic deltas must not disagree between
+    # the touched-partitions collect and the generation write)
+    delta_staging = f"{path}/_merge_delta"
+    updates.write.mode("overwrite").parquet(delta_staging)
+    try:
+        delta = spark.read.schema(updates.schema).parquet(delta_staging)
+        if delta.isEmpty():
+            return 0
+        if ver is None:
+            raise ValueError(f"merge target table does not exist: {path}")
+        man = mt.manifest(ver)
+        if list(man["partition_cols"]) != list(partition_cols):
+            raise ValueError(
+                f"table {path} is partitioned by "
+                f"{man['partition_cols']}; merge called with "
+                f"{partition_cols}"
+            )
+        stored = mt.schema(ver)
+        cur_types = {f.name: f.dataType for f in stored.fields}
+        aligned = delta.select(
+            *[
+                F.col(c).cast(cur_types[c]).alias(c) if c in cur_types else F.col(c)
+                for c in delta.columns
+            ]
+        )
+        touched = [
+            tuple(r)
+            for r in aligned.select(*partition_cols).distinct().collect()
+        ]
+        current = mt.read(version=ver, partitions=touched)
+        merged = _compute_merged(
+            current, aligned, key_cols, op_col, delete_op, ts_col,
+            tiebreak_cols,
+        )
+        mt.overwrite_partitions(
+            merged, touched, expected_version=ver, assume_locked=True
+        )
+        return len(touched)
+    finally:
+        _best_effort_delete(spark, delta_staging)
 
 
 def _best_effort_delete(spark: SparkSession, path: str) -> None:
@@ -552,10 +732,19 @@ def _partition_value_matches(val, raw: str) -> bool:
     if isinstance(val, bool):
         return raw == ("true" if val else "false")
     if isinstance(val, float):
+        import math
+
         try:
-            return float(raw) == val
+            parsed = float(raw)
         except ValueError:
             return False
+        # NaN needs its own branch: NaN == NaN is False, so a merge
+        # that empties a NaN-keyed partition would silently skip the
+        # directory delete and resurrect its tombstoned rows (external
+        # review r9) — the exact bug class this helper exists to stop
+        if math.isnan(val):
+            return math.isnan(parsed)
+        return parsed == val
     if isinstance(val, datetime.datetime):
         try:
             return datetime.datetime.fromisoformat(raw.replace("T", " ")) == (

@@ -1,0 +1,574 @@
+"""Atomic table commits: manifest-versioned partitioned tables and a
+single-writer lease.
+
+Round-8's ``merge_into_partitioned`` commits through dynamic partition
+overwrite: correct and delta-sized, but torn at PARTITION granularity
+if the writer dies mid-overwrite, and visible mid-commit to concurrent
+readers. This module closes that guarantee gap the way the table
+formats do (Iceberg's manifest list / Delta's log), scaled down to
+what a plain-parquet store needs:
+
+- **data files are immutable** — every commit writes NEW files under a
+  fresh generation directory ``_data/g<version>/``; nothing is ever
+  rewritten in place;
+- **a manifest per version** (``_manifests/v<version>.json``) lists,
+  for every live partition, the directory holding its current rows —
+  schema and partition values included, so nothing is ever re-inferred
+  from directory names (the ``'01'`` string-partition landmine of the
+  Hive layout cannot occur here);
+- **one tiny pointer** (``_latest``) names the current version and is
+  swapped last — a reader resolves the pointer, then reads exactly the
+  files that manifest names. A crash ANYWHERE before the swap leaves
+  the old version intact; a crash between pointer delete and rename is
+  recovered by the highest-manifest fallback (the manifest is always
+  fully written and renamed into place before the pointer moves).
+  Readers therefore see old-or-new, never mixed — the property
+  dynamic partition overwrite cannot give.
+
+The same swap discipline as streaming/pipeline.py's
+``ParquetSwapBufferStore`` (write-new-then-swap with crash adoption),
+generalized: the buffer store swaps a whole directory because the
+buffer is small; a 100 TB table cannot be re-written per commit, so
+the swap moves to the METADATA (pointer) and the data is shared
+across versions via the manifest — commit cost is O(touched
+partitions), identical to the dynamic-overwrite path.
+
+Single-writer lease: ``table_write_lock`` takes ``<path>/_lock`` via
+Hadoop ``FileSystem.create(path, overwrite=false)`` (atomic on HDFS;
+create-if-absent on local/S3A). A second concurrent writer — a
+maintenance merge racing the streaming merge sink, or compaction
+racing either — raises :class:`ConcurrentWriterError` instead of
+silently losing a delta (the r8 review's lost-update hole). The lock
+carries a unique token so release can never delete a lock a
+stale-break handed to someone else.
+
+Reference parity: the reference's sink contract is effectively-once
+(SURVEY §2.f ST1; camel-integration file-pipeline error handling);
+this extends it to atomically-visible — the guarantee a Delta/Iceberg
+MERGE would give, neither of which ships in this container.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import uuid
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .scale import _hadoop_fs, _partition_value_matches
+
+_MANIFEST_DIR = "_manifests"
+_POINTER = "_latest"
+_DATA_DIR = "_data"
+_LOCK = "_lock"
+_MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer holds (or raced us to) the table's write lease."""
+
+
+def _write_small_file(spark: SparkSession, path: str, text: str) -> None:
+    fs, jpath = _hadoop_fs(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_small_file(spark: SparkSession, path: str) -> str | None:
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+@contextmanager
+def table_write_lock(
+    spark: SparkSession,
+    path: str,
+    holder: str = "writer",
+    stale_after_seconds: float | None = None,
+):
+    """Exclusive write lease on a table directory.
+
+    Acquire = atomic ``create(<path>/_lock, overwrite=false)``; a held
+    lock raises :class:`ConcurrentWriterError` naming the holder — the
+    loser of a write race fails LOUDLY, it never silently interleaves
+    with the winner. The lock file records holder + a unique token;
+    release deletes only a lock carrying OUR token, so a stale-break
+    by another writer can never be un-done by the original owner's
+    exit path.
+
+    A writer that dies without releasing leaves the lock behind; by
+    default every later writer then fails loudly until an operator
+    verifies no writer is alive and calls :func:`force_unlock` — the
+    honest default. ``stale_after_seconds`` opts into automatic
+    breaking of locks older than the TTL (by file modification time):
+    right for a streaming sink whose per-batch merge is seconds long,
+    with the documented risk that a writer HUNG past the TTL (not
+    dead) is split-brained by the break — size the TTL far above any
+    legitimate commit duration.
+
+    Scale: one create + one delete per commit on a metadata-sized
+    file; contention is by design impossible (that is the point).
+    """
+    import datetime
+
+    fs, _ = _hadoop_fs(spark, path)
+    lock_path = f"{path}/{_LOCK}"
+    _, jlock = _hadoop_fs(spark, lock_path)
+    token = uuid.uuid4().hex
+    body = json.dumps(
+        {
+            "holder": holder,
+            "token": token,
+            "acquired_utc": datetime.datetime.now(
+                datetime.timezone.utc
+            ).isoformat(),
+        }
+    )
+
+    def _try_acquire() -> bool:
+        try:
+            out = fs.create(jlock, False)
+        except Exception:  # noqa: BLE001 — FileAlreadyExists et al.
+            return False
+        try:
+            out.write(bytearray(body.encode("utf-8")))
+        finally:
+            out.close()
+        return True
+
+    acquired = _try_acquire()
+    if not acquired and stale_after_seconds is not None:
+        try:
+            age_s = (
+                spark._jvm.java.lang.System.currentTimeMillis()
+                - fs.getFileStatus(jlock).getModificationTime()
+            ) / 1000.0
+        except Exception:  # noqa: BLE001 — lock vanished: retry below
+            age_s = None
+        if age_s is None or age_s > stale_after_seconds:
+            try:
+                fs.delete(jlock, False)
+            except Exception:  # noqa: BLE001
+                pass
+            acquired = _try_acquire()
+    if not acquired:
+        held_by = _read_small_file(spark, lock_path) or "<unreadable>"
+        raise ConcurrentWriterError(
+            f"table {path} is locked by another writer ({held_by}); "
+            "a concurrent merge/compaction would lose updates — wait "
+            "for it, or if its process is dead run "
+            "force_unlock(spark, path)"
+        )
+    try:
+        yield
+    finally:
+        try:
+            current = _read_small_file(spark, lock_path)
+            if current is not None and json.loads(current).get("token") == token:
+                fs.delete(jlock, False)
+        except Exception:  # noqa: BLE001 — release is best-effort;
+            # a leaked lock fails the NEXT writer loudly, never silently
+            pass
+
+
+def force_unlock(spark: SparkSession, path: str) -> bool:
+    """Remove a dead writer's leftover lease. Only for operator use
+    after verifying no writer is alive — breaking a LIVE writer's lock
+    re-opens the lost-update race the lock exists to prevent."""
+    fs, jlock = _hadoop_fs(spark, f"{path}/{_LOCK}")
+    return bool(fs.exists(jlock)) and bool(fs.delete(jlock, False))
+
+
+def is_manifest_table(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` is manifest-committed (``_manifests/``
+    present) — merge routes its publish through the atomic protocol."""
+    fs, jman = _hadoop_fs(spark, f"{path}/{_MANIFEST_DIR}")
+    return bool(fs.exists(jman))
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    partitions: list[tuple] | None = None,
+) -> DataFrame:
+    """Read a table regardless of layout: manifest-committed tables
+    resolve the pointer and read exactly the manifest's files (a
+    consistent snapshot — old-or-new, never mid-commit); plain
+    Hive-partitioned tables fall back to ``spark.read.parquet``.
+    ``version``/``partitions`` only apply to manifest tables."""
+    if is_manifest_table(spark, path):
+        return ManifestTable(spark, path).read(
+            version=version, partitions=partitions
+        )
+    if version is not None or partitions is not None:
+        raise ValueError(
+            f"{path} is a plain table: time travel / manifest-level "
+            "partition selection need a manifest-committed table"
+        )
+    return spark.read.parquet(path)
+
+
+def _encode_value(v) -> list:
+    """Partition value → JSON-safe tagged pair. Tags keep types exact
+    across the manifest round-trip (no directory-name inference)."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return ["null", None]
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return ["bool", v]
+    if isinstance(v, int):
+        return ["int", v]
+    if isinstance(v, float):
+        return ["float", repr(v)]  # repr round-trips nan/inf exactly
+    if isinstance(v, str):
+        return ["str", v]
+    if isinstance(v, datetime.datetime):
+        return ["ts", v.isoformat()]
+    if isinstance(v, datetime.date):
+        return ["date", v.isoformat()]
+    if isinstance(v, decimal.Decimal):
+        return ["dec", str(v)]
+    raise TypeError(
+        f"unsupported partition value type {type(v).__name__!r}; "
+        "partition on string/int/float/bool/date/timestamp/decimal"
+    )
+
+
+def _partition_key(values: tuple) -> str:
+    """Canonical manifest key for a partition value tuple."""
+    return json.dumps([_encode_value(v) for v in values])
+
+
+class ManifestTable:
+    """A partitioned parquet table with atomic, versioned commits.
+
+    Layout under ``path``::
+
+        _latest                  pointer file, content "v00000003"
+        _manifests/v00000003.json
+        _data/g00000003/_p_<col>=<val>/part-*.parquet
+
+    Data files keep the partition columns PHYSICAL (the
+    ``partitionBy`` columns are duplicated ``_p_``-prefixed copies),
+    so reads never re-infer types from directory names and a
+    generation's leaf dirs from different versions combine into ONE
+    scan with an explicit schema. Partition pruning happens at the
+    MANIFEST level — the reader selects the named directories, no
+    listing or Catalyst discovery involved — which at 100 TB is the
+    cheaper pruning: O(live partitions) metadata, zero file listing
+    of untouched partitions.
+
+    Commit protocol (see module docstring for the guarantee argument):
+    write generation → write manifest (tmp + rename) → swap pointer →
+    GC generations unreferenced by the ``retain_versions`` newest
+    manifests. Readers inside the retain window get snapshot
+    isolation; manifests older than the window are deleted with their
+    unreferenced data, so time travel reaches exactly the retained
+    versions (``versions()``).
+    """
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+
+    # ---- metadata -------------------------------------------------
+
+    def versions(self) -> list[int]:
+        fs, jman = _hadoop_fs(self.spark, f"{self.path}/{_MANIFEST_DIR}")
+        if not fs.exists(jman):
+            return []
+        out = []
+        for status in fs.listStatus(jman):
+            m = _MANIFEST_RE.match(status.getPath().getName())
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def current_version(self) -> int | None:
+        """Pointer read, with highest-manifest fallback covering the
+        pointer-swap crash window (delete happened, rename did not:
+        the newest manifest was fully in place before the delete)."""
+        tag = _read_small_file(self.spark, f"{self.path}/{_POINTER}")
+        if tag is not None:
+            m = re.match(r"^v(\d{8})$", tag.strip())
+            if m and int(m.group(1)) in set(self.versions()):
+                return int(m.group(1))
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def manifest(self, version: int | None = None) -> dict:
+        version = self.current_version() if version is None else version
+        if version is None:
+            raise ValueError(f"manifest table does not exist: {self.path}")
+        text = _read_small_file(
+            self.spark,
+            f"{self.path}/{_MANIFEST_DIR}/v{version:08d}.json",
+        )
+        if text is None:
+            raise ValueError(
+                f"version {version} of {self.path} is not retained "
+                f"(available: {self.versions()})"
+            )
+        return json.loads(text)
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        return T.StructType.fromJson(self.manifest(version)["schema"])
+
+    def partition_cols(self, version: int | None = None) -> list[str]:
+        return list(self.manifest(version)["partition_cols"])
+
+    # ---- read -----------------------------------------------------
+
+    def read(
+        self,
+        version: int | None = None,
+        partitions: list[tuple] | None = None,
+    ) -> DataFrame:
+        """One scan over the manifest's live directories. ``partitions``
+        (value tuples) prunes at the manifest level — only the named
+        partitions' directories are ever listed or read."""
+        m = self.manifest(version)
+        schema = T.StructType.fromJson(m["schema"])
+        entries = m["entries"]
+        if partitions is not None:
+            wanted = {_partition_key(tuple(t)) for t in partitions}
+            entries = [e for e in entries if e["key"] in wanted]
+        dirs = [f"{self.path}/{e['dir']}" for e in entries]
+        if not dirs:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*dirs)
+
+    # ---- write ----------------------------------------------------
+
+    def create(
+        self,
+        df: DataFrame,
+        partition_cols: list[str],
+        assume_locked: bool = False,
+    ) -> int:
+        """Initialize the table at version 1 from ``df``. Fails if a
+        manifest table already exists here. O(partitions) driver
+        metadata (the distinct partition-value collect), one
+        partitioned write — the same cost class as any catalog
+        registration."""
+        if not partition_cols:
+            raise ValueError("need at least one partition column")
+        missing = [c for c in partition_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition column(s) {missing} not in df")
+        if self.current_version() is not None:
+            raise ValueError(f"manifest table already exists: {self.path}")
+        if assume_locked:
+            return self._commit(df, None, version=1, pcols=partition_cols)
+        with table_write_lock(self.spark, self.path, holder="create"):
+            return self._commit(df, None, version=1, pcols=partition_cols)
+
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        touched: list[tuple],
+        expected_version: int | None = None,
+        retain_versions: int = 2,
+        assume_locked: bool = False,
+    ) -> int:
+        """Atomically replace the content of the ``touched`` partitions
+        with ``df``'s rows. ``df`` must contain only rows belonging to
+        touched partitions; a touched partition with no rows in ``df``
+        is REMOVED from the table (the atomic form of the emptied-
+        partition delete — entry dropped from the manifest, no
+        directory deletion racing readers). ``expected_version`` is an
+        optimistic lost-update check: commit refuses if the table
+        moved since the caller read it. ``assume_locked`` skips lock
+        acquisition when the caller already holds the table lease
+        (merge does)."""
+        ver = self.current_version()
+        if ver is None:
+            raise ValueError(f"manifest table does not exist: {self.path}")
+        if assume_locked:
+            return self._checked_commit(
+                df, touched, ver, expected_version, retain_versions
+            )
+        with table_write_lock(self.spark, self.path, holder="overwrite"):
+            # re-read under the lock: the pre-lock read could be stale
+            ver = self.current_version()
+            return self._checked_commit(
+                df, touched, ver, expected_version, retain_versions
+            )
+
+    def _checked_commit(
+        self, df, touched, ver, expected_version, retain_versions
+    ) -> int:
+        if expected_version is not None and ver != expected_version:
+            raise ConcurrentWriterError(
+                f"table {self.path} moved from v{expected_version} to "
+                f"v{ver} since the caller read it; recompute the merge "
+                "against the current version"
+            )
+        return self._commit(
+            df, touched, version=(ver or 0) + 1, retain_versions=retain_versions
+        )
+
+    def _commit(
+        self,
+        df: DataFrame,
+        touched: list[tuple] | None,
+        version: int,
+        retain_versions: int = 2,
+        pcols: list[str] | None = None,
+    ) -> int:
+        """Write generation ``version``, publish its manifest, GC.
+        ``pcols`` comes from the caller at create (version 1) and from
+        the previous manifest afterwards."""
+        if pcols is None:
+            pcols = list(self.manifest(version - 1)["partition_cols"])
+        dup = [f"_p_{c}" for c in pcols]
+        clash = set(dup) & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"column name(s) {sorted(clash)} are reserved by the "
+                "manifest layout; rename them"
+            )
+        if touched is None:
+            touched = [
+                tuple(r) for r in df.select(*pcols).distinct().collect()
+            ]
+        gen_rel = f"{_DATA_DIR}/g{version:08d}"
+        staged = df
+        for c, d in zip(pcols, dup):
+            staged = staged.withColumn(d, F.col(c))
+        staged.write.partitionBy(*dup).parquet(
+            f"{self.path}/{gen_rel}", mode="overwrite"
+        )
+        # map each touched partition to its freshly written directory
+        # by VALUE (the escaped-dir-name walk shared with the plain
+        # merge path); no directory name is ever parsed back to a value
+        prev_entries = (
+            {e["key"]: e for e in self.manifest(version - 1)["entries"]}
+            if version > 1
+            else {}
+        )
+        for t in touched:
+            key = _partition_key(t)
+            rel = self._find_partition_dir(gen_rel, dup, t)
+            if rel is None:
+                prev_entries.pop(key, None)  # emptied: entry removed
+            else:
+                prev_entries[key] = {
+                    "key": key,
+                    "values": [_encode_value(v) for v in t],
+                    "dir": rel,
+                }
+        man = {
+            "version": version,
+            "partition_cols": pcols,
+            "schema": json.loads(df.schema.json()),
+            "entries": sorted(prev_entries.values(), key=lambda e: e["key"]),
+        }
+        self._publish(version, man)
+        self._gc(version, retain_versions)
+        return len(touched)
+
+    def _find_partition_dir(
+        self, gen_rel: str, dup_cols: list[str], values: tuple
+    ) -> str | None:
+        import urllib.parse
+
+        fs, cur = _hadoop_fs(self.spark, f"{self.path}/{gen_rel}")
+        if not fs.exists(cur):
+            return None
+        rel_parts = [gen_rel]
+        for col, val in zip(dup_cols, values):
+            if not fs.isDirectory(cur):
+                return None
+            hit = None
+            for status in fs.listStatus(cur):
+                name = status.getPath().getName()
+                if "=" not in name:
+                    continue
+                c, _, raw = name.partition("=")
+                if c == col and _partition_value_matches(
+                    val, urllib.parse.unquote(raw)
+                ):
+                    hit = status.getPath()
+                    rel_parts.append(name)
+                    break
+            if hit is None:
+                return None
+            cur = hit
+        return "/".join(rel_parts)
+
+    def _publish(self, version: int, man: dict) -> None:
+        """Manifest lands via tmp-write + rename; the pointer swaps
+        last. Crash anywhere → old version; crash inside the pointer
+        swap → highest-manifest fallback (``current_version``)."""
+        fs, _ = _hadoop_fs(self.spark, self.path)
+        man_rel = f"{_MANIFEST_DIR}/v{version:08d}.json"
+        tmp_rel = f"{_MANIFEST_DIR}/.v{version:08d}.json.tmp"
+        _write_small_file(self.spark, f"{self.path}/{tmp_rel}", json.dumps(man))
+        _, jtmp = _hadoop_fs(self.spark, f"{self.path}/{tmp_rel}")
+        _, jman = _hadoop_fs(self.spark, f"{self.path}/{man_rel}")
+        fs.delete(jman, False)  # idempotent re-publish after a crash
+        if not fs.rename(jtmp, jman):
+            raise IOError(f"could not publish manifest {man_rel}")
+        ptr_tmp = f"{self.path}/{_POINTER}.tmp"
+        _write_small_file(self.spark, ptr_tmp, f"v{version:08d}")
+        _, jptr_tmp = _hadoop_fs(self.spark, ptr_tmp)
+        _, jptr = _hadoop_fs(self.spark, f"{self.path}/{_POINTER}")
+        fs.delete(jptr, False)
+        if not fs.rename(jptr_tmp, jptr):
+            raise IOError(f"could not swap pointer for {self.path}")
+
+    def _gc(self, version: int, retain_versions: int) -> None:
+        """Best-effort: delete generation dirs no RETAINED manifest
+        references, then manifests older than the retain window. A
+        generation stays alive as long as ANY retained manifest still
+        references one of its partition dirs (untouched partitions
+        keep old generations live — correct and intended); fully
+        superseded generations go. Readers of retained versions are
+        never invalidated; that is the snapshot-isolation window."""
+        keep = [v for v in self.versions() if v > version - retain_versions]
+        referenced: set[str] = set()
+        for v in keep:
+            try:
+                for e in self.manifest(v)["entries"]:
+                    referenced.add(e["dir"].split("/")[1])  # gNNNNNNNN
+            except Exception:  # noqa: BLE001 — GC never fails a commit
+                return
+        try:
+            fs, jdata = _hadoop_fs(self.spark, f"{self.path}/{_DATA_DIR}")
+            if fs.exists(jdata):
+                for status in fs.listStatus(jdata):
+                    name = status.getPath().getName()
+                    if re.match(r"^g\d{8}$", name) and name not in referenced:
+                        fs.delete(status.getPath(), True)
+            fs_m, jman_dir = _hadoop_fs(
+                self.spark, f"{self.path}/{_MANIFEST_DIR}"
+            )
+            for v in self.versions():
+                if v <= version - retain_versions:
+                    _, jm = _hadoop_fs(
+                        self.spark,
+                        f"{self.path}/{_MANIFEST_DIR}/v{v:08d}.json",
+                    )
+                    fs_m.delete(jm, False)
+        except Exception:  # noqa: BLE001 — orphans are invisible via
+            # the manifest; the next commit's GC retries
+            pass

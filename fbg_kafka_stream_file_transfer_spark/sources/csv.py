@@ -137,6 +137,13 @@ def write_csv_shards(
     and doubles embedded quotes, so any RFC 4180 reader (DuckDB,
     pandas, csv.reader) consumes the shards directly.
     """
+    if "shard" in df.columns:
+        # the select below would produce DUPLICATE 'shard' columns and
+        # partitionBy would bind ambiguously (or fail) — refuse, same
+        # contract as the salted helpers' '_salt' guard
+        raise ValueError(
+            "input already has a 'shard' column; rename it first"
+        )
     writer = (
         df.select(shard_column(F.col(key_col), n_shards).alias("shard"), *df.columns)
         .repartition(n_shards, "shard")

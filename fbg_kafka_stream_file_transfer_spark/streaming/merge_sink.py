@@ -46,8 +46,21 @@ def start_changelog_merge_sink(
     checkpoint: str,
     delete_op: str = "D",
     tiebreak_cols: tuple[str, ...] = (),
+    lock_stale_after_seconds: float | None = 900.0,
 ):
     """Start the changelog→table merge stream; returns the query.
+
+    Every batch's merge (and the bootstrap write) runs under the
+    table's single-writer lease, so a maintenance merge or compaction
+    racing the sink fails loudly instead of losing a delta. The
+    checkpointed stream is the one legitimate long-lived writer, and a
+    KILLED sink must be able to restart unattended — so the sink
+    defaults ``lock_stale_after_seconds`` to 900 s: a leftover lease
+    older than 15 min (vs seconds-long per-batch merges) is broken
+    automatically on restart. The documented residual risk: a writer
+    HUNG longer than the TTL while still alive would be split-brained
+    by the break — pass ``None`` to require a manual
+    ``table.force_unlock`` instead (the batch-merge default).
 
     First batch bootstraps the table (partitioned write of the batch's
     own fold); every later batch merges. The bootstrap probe checks for
@@ -84,7 +97,11 @@ def start_changelog_merge_sink(
                 "dataset; refusing to overwrite it"
             )
         if state == "absent":
-            # bootstrap: fold the first batch and write the table shape
+            # bootstrap: fold the first batch and write the table
+            # shape — under the same write lease the merges take, so a
+            # concurrent writer cannot interleave with the bootstrap
+            from ..operators.table import table_write_lock
+
             folded = _fold_first_batch(
                 batch_df, key_col, ts_col, op_col, delete_op, tiebreak_cols
             ).persist()
@@ -96,12 +113,34 @@ def start_changelog_merge_sink(
                     # UNABLE_TO_INFER_SCHEMA — leave the path absent so
                     # the next batch bootstraps instead
                     return
-                folded.write.partitionBy(*partition_cols).parquet(
-                    path, mode="overwrite"
-                )
+                bootstrapped = False
+                with table_write_lock(
+                    spark,
+                    path,
+                    holder="merge-sink-bootstrap",
+                    stale_after_seconds=lock_stale_after_seconds,
+                ):
+                    # re-check under the lock: a concurrent writer may
+                    # have bootstrapped between the probe and acquire
+                    if _table_state() == "absent":
+                        # clear torn-bootstrap debris by hand, keeping
+                        # the LOCK file: mode=overwrite would delete
+                        # the root including the lease we hold
+                        fs, jroot = _hadoop_fs(spark, path)
+                        if fs.exists(jroot):
+                            for s in fs.listStatus(jroot):
+                                if s.getPath().getName() != "_lock":
+                                    fs.delete(s.getPath(), True)
+                        folded.write.partitionBy(*partition_cols).parquet(
+                            path, mode="append"
+                        )
+                        bootstrapped = True
+                if bootstrapped:
+                    return
+                # lost the bootstrap race: the table exists now — fall
+                # through to the ordered merge below
             finally:
                 folded.unpersist()
-            return
         merge_into_partitioned(
             spark,
             path,
@@ -112,6 +151,7 @@ def start_changelog_merge_sink(
             delete_op=delete_op,
             ts_col=ts_col,
             tiebreak_cols=tiebreak_cols,
+            lock_stale_after_seconds=lock_stale_after_seconds,
         )
 
     return (

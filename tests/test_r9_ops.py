@@ -1,0 +1,406 @@
+"""Round-9 tests: atomic manifest-committed merge, the single-writer
+lease, and the r9 external-review regressions (ordered-merge column
+collisions, all-NULL-ts contested keys, NaN partition deletes, CSV
+shard-column collision)."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+    merge_into_partitioned,
+)
+from fbg_kafka_stream_file_transfer_spark.operators.table import (
+    ConcurrentWriterError,
+    ManifestTable,
+    force_unlock,
+    is_manifest_table,
+    read_table,
+    table_write_lock,
+)
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "a", "x1"), (2, "a", "x2"), (3, "b", "x3"), (4, "c", "x4")],
+        "id int, pt string, v string",
+    )
+
+
+def _upd(spark):
+    """update id=1, delete id=3 (empties pt=b), insert id=9 into pt=c."""
+    return spark.createDataFrame(
+        [(1, "a", "X1", "U"), (3, "b", "x3", "D"), (9, "c", "x9", "U")],
+        "id int, pt string, v string, op string",
+    )
+
+
+_EXPECTED = [(1, "a", "X1"), (2, "a", "x2"), (4, "c", "x4"), (9, "c", "x9")]
+
+
+class TestManifestTable:
+    def test_create_read_roundtrip(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        assert mt.create(_base(spark), ["pt"]) == 3
+        assert is_manifest_table(spark, path)
+        assert mt.current_version() == 1
+        got = sorted(tuple(r) for r in read_table(spark, path).collect())
+        assert got == [(1, "a", "x1"), (2, "a", "x2"), (3, "b", "x3"), (4, "c", "x4")]
+
+    def test_merge_routes_through_manifest_and_matches_plain(
+        self, spark, tmp_path
+    ):
+        mpath, ppath = str(tmp_path / "m"), str(tmp_path / "p")
+        ManifestTable(spark, mpath).create(_base(spark), ["pt"])
+        _base(spark).write.partitionBy("pt").parquet(ppath)
+        for path in (mpath, ppath):
+            assert (
+                merge_into_partitioned(
+                    spark, path, _upd(spark), ["id"], ["pt"], op_col="op"
+                )
+                == 3
+            )
+        # compare by NAME: the Hive layout appends partition columns
+        # last, the manifest layout keeps the creation order
+        m = sorted((r.id, r.pt, r.v) for r in read_table(spark, mpath).collect())
+        p = sorted((r.id, r.pt, r.v) for r in read_table(spark, ppath).collect())
+        assert m == p == _EXPECTED
+
+    def test_emptied_partition_leaves_manifest_not_a_dir_race(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        merge_into_partitioned(
+            spark, path, _upd(spark), ["id"], ["pt"], op_col="op"
+        )
+        man = mt.manifest()
+        assert all(e["values"] != [["str", "b"]] for e in man["entries"])
+        assert read_table(spark, path).filter(F.col("pt") == "b").count() == 0
+
+    def test_time_travel_and_gc_retention(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        merge_into_partitioned(
+            spark, path, _upd(spark), ["id"], ["pt"], op_col="op"
+        )
+        # v1 still retained (retain_versions=2): full old snapshot
+        v1 = sorted(tuple(r) for r in mt.read(version=1).collect())
+        assert v1 == [(1, "a", "x1"), (2, "a", "x2"), (3, "b", "x3"), (4, "c", "x4")]
+        upd2 = spark.createDataFrame(
+            [(2, "a", "Z2", "U")], "id int, pt string, v string, op string"
+        )
+        merge_into_partitioned(
+            spark, path, upd2, ["id"], ["pt"], op_col="op"
+        )
+        assert mt.versions() == [2, 3]
+        with pytest.raises(ValueError, match="not retained"):
+            mt.read(version=1)
+
+    def test_full_tombstone_then_reinsert(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        dele = spark.createDataFrame(
+            [(i, p, "_", "D") for i, p in [(1, "a"), (2, "a"), (3, "b"), (4, "c")]],
+            "id int, pt string, v string, op string",
+        )
+        merge_into_partitioned(spark, path, dele, ["id"], ["pt"], op_col="op")
+        # empty table stays READABLE (schema from the manifest) — the
+        # plain layout's UNABLE_TO_INFER_SCHEMA wedge cannot occur
+        assert read_table(spark, path).count() == 0
+        assert mt.manifest()["entries"] == []
+        ins = spark.createDataFrame([(7, "z", "n7")], "id int, pt string, v string")
+        assert merge_into_partitioned(spark, path, ins, ["id"], ["pt"]) == 1
+        assert [tuple(r) for r in read_table(spark, path).collect()] == [
+            (7, "z", "n7")
+        ]
+
+    def test_create_refuses_existing_table(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        ManifestTable(spark, path).create(_base(spark), ["pt"])
+        with pytest.raises(ValueError, match="already exists"):
+            ManifestTable(spark, path).create(_base(spark), ["pt"])
+
+
+class TestAtomicCommit:
+    """Crash injection: a reader must see old-or-new, never mixed."""
+
+    def test_crash_before_publish_leaves_old_version(
+        self, spark, tmp_path, monkeypatch
+    ):
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+
+        def boom(self, version, man):
+            raise RuntimeError("injected crash before publish")
+
+        monkeypatch.setattr(ManifestTable, "_publish", boom)
+        with pytest.raises(RuntimeError, match="injected"):
+            merge_into_partitioned(
+                spark, path, _upd(spark), ["id"], ["pt"], op_col="op"
+            )
+        monkeypatch.undo()
+        # reader: the WHOLE old version, nothing mixed in — the plain
+        # layout's partition-granular tear cannot happen here
+        got = sorted(tuple(r) for r in read_table(spark, path).collect())
+        assert got == [(1, "a", "x1"), (2, "a", "x2"), (3, "b", "x3"), (4, "c", "x4")]
+        assert ManifestTable(spark, path).current_version() == 1
+        # the crashed writer released its lease (context manager exit),
+        # so the retry needs no manual unlock and fully lands
+        assert (
+            merge_into_partitioned(
+                spark, path, _upd(spark), ["id"], ["pt"], op_col="op"
+            )
+            == 3
+        )
+        got = sorted((r.id, r.pt, r.v) for r in read_table(spark, path).collect())
+        assert got == _EXPECTED
+
+    def test_crash_inside_pointer_swap_recovers_to_new(self, spark, tmp_path):
+        """Between pointer delete and rename the pointer is absent; the
+        highest-manifest fallback must resolve to the NEW version (its
+        manifest was fully renamed into place before the pointer
+        moved)."""
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        merge_into_partitioned(
+            spark, path, _upd(spark), ["id"], ["pt"], op_col="op"
+        )
+        os.remove(f"{path}/_latest")  # simulate dying mid-swap
+        mt2 = ManifestTable(spark, path)
+        assert mt2.current_version() == 2
+        got = sorted(tuple(r) for r in read_table(spark, path).collect())
+        assert got == _EXPECTED
+
+    def test_stale_reader_of_retained_version_survives_one_commit(
+        self, spark, tmp_path
+    ):
+        """Snapshot isolation inside the retain window: a reader that
+        resolved version N keeps working through the N+1 commit (GC
+        only deletes generations no retained manifest references)."""
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        old = mt.read(version=1)  # plan resolved against v1
+        merge_into_partitioned(
+            spark, path, _upd(spark), ["id"], ["pt"], op_col="op"
+        )
+        got = sorted(tuple(r) for r in old.collect())  # evaluated AFTER commit
+        assert got == [(1, "a", "x1"), (2, "a", "x2"), (3, "b", "x3"), (4, "c", "x4")]
+
+
+class TestSingleWriterLease:
+    def test_concurrent_merge_fails_loudly(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        ManifestTable(spark, path).create(_base(spark), ["pt"])
+        with table_write_lock(spark, path, holder="maintenance"):
+            with pytest.raises(ConcurrentWriterError, match="maintenance"):
+                merge_into_partitioned(
+                    spark, path, _upd(spark), ["id"], ["pt"], op_col="op"
+                )
+        # lease released: the same merge now lands
+        assert (
+            merge_into_partitioned(
+                spark, path, _upd(spark), ["id"], ["pt"], op_col="op"
+            )
+            == 3
+        )
+
+    def test_plain_mode_merge_also_locked(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        _base(spark).write.partitionBy("pt").parquet(path)
+        with table_write_lock(spark, path, holder="compaction"):
+            with pytest.raises(ConcurrentWriterError, match="compaction"):
+                merge_into_partitioned(
+                    spark, path, _upd(spark), ["id"], ["pt"], op_col="op"
+                )
+
+    def test_optimistic_version_check(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        merge_into_partitioned(
+            spark, path, _upd(spark), ["id"], ["pt"], op_col="op"
+        )  # table is now v2
+        with pytest.raises(ConcurrentWriterError, match="moved"):
+            mt.overwrite_partitions(
+                _base(spark).limit(1), [("a",)], expected_version=1
+            )
+
+    def test_stale_lock_ttl_break_and_token_safety(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        os.makedirs(path)
+        lock = f"{path}/_lock"
+        with open(lock, "w") as f:
+            json.dump({"holder": "dead-writer", "token": "aaa"}, f)
+        old = 1_000_000_000  # 2001 — far beyond any TTL
+        os.utime(lock, (old, old))
+        # default: no TTL → loud failure
+        with pytest.raises(ConcurrentWriterError, match="dead-writer"):
+            with table_write_lock(spark, path):
+                pass
+        # TTL opt-in: the stale lease is broken and the new holder's
+        # release removes ONLY its own token'd lock
+        with table_write_lock(spark, path, stale_after_seconds=60.0):
+            assert json.load(open(lock))["token"] != "aaa"
+        assert not os.path.exists(lock)
+
+    def test_release_does_not_delete_foreign_lock(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        ctx = table_write_lock(spark, path, holder="A")
+        ctx.__enter__()
+        lock = f"{path}/_lock"
+        # another writer TTL-breaks A's lease and takes its own
+        os.remove(lock)
+        with open(lock, "w") as f:
+            json.dump({"holder": "B", "token": "bbb"}, f)
+        ctx.__exit__(None, None, None)
+        assert json.load(open(lock))["holder"] == "B"  # B's lease intact
+        assert force_unlock(spark, path)
+
+    def test_force_unlock_absent_returns_false(self, spark, tmp_path):
+        assert force_unlock(spark, str(tmp_path / "nope")) is False
+
+
+class TestOrderedMergeR9Regressions:
+    def test_op_col_collision_with_stored_column_raises(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, "a", "keep-me", 10)], "id int, pt string, op string, ts int"
+        ).write.partitionBy("pt").parquet(path)
+        upd = spark.createDataFrame(
+            [(1, "a", "U", 20)], "id int, pt string, op string, ts int"
+        )
+        with pytest.raises(ValueError, match="reserves column"):
+            merge_into_partitioned(
+                spark, path, upd, ["id"], ["pt"],
+                op_col="op", ts_col="ts",
+            )
+        # the stored column survived untouched
+        assert spark.read.parquet(path).collect()[0]["op"] == "keep-me"
+
+    def test_mrg_src_in_delta_raises(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, "a", "x", 10)], "id int, pt string, v string, ts int"
+        ).write.partitionBy("pt").parquet(path)
+        upd = spark.createDataFrame(
+            [(1, "a", "y", 20, "U", 0)],
+            "id int, pt string, v string, ts int, o string, _mrg_src int",
+        )
+        with pytest.raises(ValueError, match="_mrg_src"):
+            merge_into_partitioned(
+                spark, path, upd, ["id"], ["pt"], op_col="o", ts_col="ts"
+            )
+
+    def test_all_null_ts_contested_key_keeps_current_row(self, spark, tmp_path):
+        """NULL-ts current + only NULL-ts updates = all-malformed pool:
+        the key must SURVIVE with its current row, not silently vanish
+        (r9 external review)."""
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, "a", "cur", None), (2, "a", "cur2", 5)],
+            "id int, pt string, v string, ts int",
+        ).write.partitionBy("pt").parquet(path)
+        upd = spark.createDataFrame(
+            [(1, "a", "upd", None, "U"), (2, "a", "upd2", None, "D")],
+            "id int, pt string, v string, ts int, op string",
+        )
+        merge_into_partitioned(
+            spark, path, upd, ["id"], ["pt"], op_col="op", ts_col="ts"
+        )
+        got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+        # id=1: all-NULL pool → current survives; id=2: current has a
+        # valid ts, the NULL-ts delete is malformed → current wins
+        assert got == {1: "cur", 2: "cur2"}
+
+    def test_null_ts_current_still_loses_to_valid_update(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, "a", "cur", None)], "id int, pt string, v string, ts int"
+        ).write.partitionBy("pt").parquet(path)
+        upd = spark.createDataFrame(
+            [(1, "a", "new", 1, "U")],
+            "id int, pt string, v string, ts int, op string",
+        )
+        merge_into_partitioned(
+            spark, path, upd, ["id"], ["pt"], op_col="op", ts_col="ts"
+        )
+        assert [r.v for r in spark.read.parquet(path).collect()] == ["new"]
+
+
+def test_nan_partition_empty_delete(spark, tmp_path):
+    """A merge that empties a NaN-keyed float partition must delete its
+    directory (plain mode) — NaN != NaN would otherwise skip the
+    delete and resurrect the tombstoned rows (r9 external review)."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, float("nan"), "x"), (2, 1.5, "y")], "id int, pk double, v string"
+    ).write.partitionBy("pk").parquet(path)
+    dele = spark.createDataFrame(
+        [(1, float("nan"), "x", "D")], "id int, pk double, v string, op string"
+    )
+    merge_into_partitioned(spark, path, dele, ["id"], ["pk"], op_col="op")
+    left = spark.read.parquet(path).collect()
+    assert [(r.id, r.v) for r in left] == [(2, "y")]
+    assert not any(
+        "NaN" in d for d in os.listdir(path)
+    ), os.listdir(path)
+
+
+def test_partition_value_matches_nan():
+    from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+        _partition_value_matches,
+    )
+
+    assert _partition_value_matches(float("nan"), "NaN")
+    assert not _partition_value_matches(float("nan"), "1.5")
+    assert not _partition_value_matches(1.5, "NaN")
+    assert _partition_value_matches(1.5, "1.5")
+
+
+def test_write_csv_shards_rejects_shard_column(spark, tmp_path):
+    from fbg_kafka_stream_file_transfer_spark.sources.csv import (
+        write_csv_shards,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id int, shard string")
+    with pytest.raises(ValueError, match="shard"):
+        write_csv_shards(df, str(tmp_path / "out"), "doc_id")
+
+
+def test_manifest_partition_value_types_roundtrip(spark, tmp_path):
+    """int / date / NULL / float-NaN partition values survive the
+    manifest encode→match→read cycle with exact types (no
+    directory-name inference in the manifest layout)."""
+    import datetime
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            (1, 7, datetime.date(2024, 1, 2), "a"),
+            (2, None, datetime.date(2024, 1, 3), "b"),
+        ],
+        "id int, num int, d date, v string",
+    )
+    mt = ManifestTable(spark, path)
+    assert mt.create(df, ["num", "d"]) == 2
+    got = sorted((r.id, r.num, r.d, r.v) for r in mt.read().collect())
+    assert got == [
+        (1, 7, datetime.date(2024, 1, 2), "a"),
+        (2, None, datetime.date(2024, 1, 3), "b"),
+    ]
+    # manifest-level pruning reads only the named partition
+    pruned = mt.read(partitions=[(7, datetime.date(2024, 1, 2))])
+    assert [r.id for r in pruned.collect()] == [1]
