@@ -88,14 +88,24 @@ def main(sf_dir: str, work_dir: str) -> None:
     assert n2 == n1, f"replay changed the table: {n1} -> {n2}"
     print(f"rows unchanged: {n2} (effectively-once)")
 
-    print("\n== 4. compact to ~256 KiB bins ==")
-    cur = spark.read.parquet(table).withColumn(
-        "row_bytes", F.length(F.to_json(F.struct("*")))
+    print("\n== 4. compact to ~256 KiB bins (under the table lease) ==")
+    # compaction scans the live merge target, so it takes the SAME
+    # single-writer lease the merges take: a merge racing this
+    # compaction now fails loudly (ConcurrentWriterError) instead of
+    # mutating the table mid-scan. Steps 2-3 could not hold this lock
+    # themselves — merge_into_partitioned acquires it internally.
+    from fbg_kafka_stream_file_transfer_spark.operators.table import (
+        table_write_lock,
     )
-    compact_to_target(
-        cur, ["pt", "event_id"], "row_bytes", 256 * 1024,
-        f"{work_dir}/compacted",
-    )
+
+    with table_write_lock(spark, table, holder="maintenance-compaction"):
+        cur = spark.read.parquet(table).withColumn(
+            "row_bytes", F.length(F.to_json(F.struct("*")))
+        )
+        compact_to_target(
+            cur, ["pt", "event_id"], "row_bytes", 256 * 1024,
+            f"{work_dir}/compacted",
+        )
     import glob
 
     files = glob.glob(f"{work_dir}/compacted/compaction_bin=*/*.parquet")

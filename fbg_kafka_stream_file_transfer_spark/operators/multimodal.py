@@ -208,6 +208,62 @@ def real_image_decode(content: bytes) -> dict:
     return meta if meta is not None else fake_image_decode(content)
 
 
+def backend_image_decode(
+    backend: Optional[Callable[[bytes], Optional[dict]]] = None,
+) -> Callable[[bytes], dict]:
+    """Compose the production fallback chain for ``decode_images``:
+
+    1. REAL pure-Python header parse (BMP/PPM/PGM — no codec needed);
+    2. the INJECTED codec backend — e.g. ``pil_image_backend(PIL.Image)``
+       — tried only for bytes the header parsers don't recognize
+       (JPEG/PNG/...); a backend returning None (or raising inside its
+       adapter) falls through;
+    3. the labeled deterministic fake (``format='fake'``), so absent or
+       failing codecs degrade HONESTLY instead of crashing the batch.
+
+    This is the dispatch seam a cluster with real codec libraries
+    plugs into: ``decode_images(df, decoder=backend_image_decode(
+    pil_image_backend(PIL.Image)))``. With ``backend=None`` it equals
+    ``real_image_decode``."""
+
+    def decode(content: bytes) -> dict:
+        meta = decode_image_bytes(content)
+        if meta is not None:
+            return meta
+        if backend is not None:
+            got = backend(content)
+            if got is not None:
+                return got
+        return fake_image_decode(content)
+
+    return decode
+
+
+def pil_image_backend(pil_image_module) -> Callable[[bytes], Optional[dict]]:
+    """Adapt a PIL-like module (anything exposing ``open(file_obj)`` →
+    object with ``width``/``height``/``format``) to the backend
+    callable ``backend_image_decode`` consumes. Failures return None so
+    the chain falls through to the labeled fake instead of poisoning
+    the Arrow batch."""
+
+    def call(content: bytes) -> Optional[dict]:
+        import io
+
+        try:
+            img = pil_image_module.open(io.BytesIO(content))
+            w, h = int(img.width), int(img.height)
+            return {
+                "width": w,
+                "height": h,
+                "n_pixels": w * h,
+                "format": str(getattr(img, "format", None) or "unknown").lower(),
+            }
+        except Exception:  # noqa: BLE001 — undecodable: fall through
+            return None
+
+    return call
+
+
 def decode_images(
     df: DataFrame,
     content_col: str = "content",
@@ -321,6 +377,26 @@ def real_audio_decode(content: bytes) -> dict:
     back to the labeled deterministic fake."""
     meta = decode_audio_bytes(content)
     return meta if meta is not None else fake_audio_decode(content)
+
+
+def backend_audio_decode(
+    backend: Optional[Callable[[bytes], Optional[dict]]] = None,
+) -> Callable[[bytes], dict]:
+    """Audio twin of ``backend_image_decode``: real WAV/RIFF parse →
+    injected codec backend (ffmpeg/torchaudio adapter returning an
+    AUDIO_META_SCHEMA dict or None) → labeled deterministic fake."""
+
+    def decode(content: bytes) -> dict:
+        meta = decode_audio_bytes(content)
+        if meta is not None:
+            return meta
+        if backend is not None:
+            got = backend(content)
+            if got is not None:
+                return got
+        return fake_audio_decode(content)
+
+    return decode
 
 
 def extract_audio_features(

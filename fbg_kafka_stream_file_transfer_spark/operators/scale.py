@@ -210,6 +210,12 @@ def compact_to_target(
     the write is the side effect. Bins are contiguous in
     ``order_cols`` order, so downstream range predicates on the order
     key still prune whole bins.
+
+    Concurrency: when ``df`` scans a LIVE merge target, run the whole
+    compaction inside ``table.table_write_lock(spark, <table path>)``
+    — the same lease ``merge_into_partitioned`` takes — so a merge
+    racing the compaction fails loudly instead of mutating the table
+    mid-scan (examples/run_maintenance.py step 4 shows the pattern).
     """
     if target_bytes <= 0:
         raise ValueError(f"target_bytes must be positive, got {target_bytes}")

@@ -1725,3 +1725,203 @@ GROUP BY 1, 2
 """,
     doc="mergeSchema evolution: union schema with NULLs for pre-evolution files == arithmetic oracle",
 )
+
+
+# --- round-9: atomic manifest-committed MERGE + time travel ---
+
+
+def _q_merge_atomic_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic-commit MERGE certification (round 9): persist events as a
+    MANIFEST table (operators/table.py — versioned manifests + pointer
+    swap, the commit protocol under which readers see old-or-new and
+    never a partition-granular tear), then run TWO merges — the r8
+    upsert/delete/insert delta on the click/error partitions, then a
+    view-partition delete — and summarize the final table per
+    event_type with the resulting table version. Exercises the whole
+    chain the plain-layout query cannot: create → manifest-routed
+    merge → version advance → manifest-pruned read, with results that
+    must equal the relational recomputation of both deltas.
+
+    Scale shape: identical to the plain merge (delta-sized work,
+    touched partitions only), plus O(touched) manifest metadata; the
+    commit itself is two small-file writes and a rename."""
+    import shutil
+    import tempfile
+
+    from ..operators.sampling import rate_bucket
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable, read_table
+
+    ev = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="merge_manifest_")
+    path = f"{work}/events_by_type"
+    try:
+        mt = ManifestTable(spark, path)
+        mt.create(ev, ["event_type"])
+
+        b = rate_bucket(F.col("event_id"))
+        touched = F.col("event_type").isin("click", "error")
+        upd = ev.filter(touched & (b < 1000)).withColumn(
+            "props", F.concat(F.col("props"), F.lit(" [v2]"))
+        ).withColumn("op", F.lit("U"))
+        dele = ev.filter(touched & (b >= 1000) & (b < 1500)).withColumn(
+            "op", F.lit("D")
+        )
+        ins = (
+            ev.filter(touched & (b < 300))
+            .withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+            .withColumn("props", F.concat(F.col("props"), F.lit(" [new]")))
+            .withColumn("op", F.lit("U"))
+        )
+        merge_into_partitioned(
+            spark, path, upd.unionByName(dele).unionByName(ins),
+            ["event_id"], ["event_type"], op_col="op",
+        )
+        # second commit: empty-out part of the view partition —
+        # advances the version chain and exercises GC + re-pruning
+        dele2 = ev.filter(
+            (F.col("event_type") == "view") & (b < 500)
+        ).withColumn("op", F.lit("D"))
+        merge_into_partitioned(
+            spark, path, dele2, ["event_id"], ["event_type"], op_col="op"
+        )
+
+        version = mt.current_version()  # create=1, +2 merges → 3
+        final = read_table(spark, path)
+        manifest = (
+            final.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.when(F.col("props").contains("[v2]"), 1).otherwise(0)
+                ).cast("bigint").alias("n_updated"),
+                F.sum(
+                    F.when(F.col("event_id") >= 10_000_000, 1).otherwise(0)
+                ).cast("bigint").alias("n_inserted"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+            )
+            .withColumn("table_version", F.lit(version).cast("int"))
+            .collect()  # materialize before the temp table is removed
+        )
+        return spark.createDataFrame(
+            manifest,
+            "event_type string, n_rows bigint, n_updated bigint,"
+            " n_inserted bigint, id_checksum bigint, table_version int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["merge_atomic_manifest"] = Q(
+    _q_merge_atomic_manifest,
+    f"""
+WITH ev AS (SELECT *, {_EBUCKET} AS bk,
+                   event_type IN ('click', 'error') AS touched
+            FROM events),
+upd AS (SELECT event_id, event_type, props || ' [v2]' AS props
+        FROM ev WHERE touched AND bk < 1000),
+del AS (SELECT event_id FROM ev WHERE touched AND bk >= 1000 AND bk < 1500),
+ins AS (SELECT event_id + 10000000 AS event_id, event_type,
+               props || ' [new]' AS props
+        FROM ev WHERE touched AND bk < 300),
+keys AS (SELECT event_id FROM upd UNION ALL SELECT event_id FROM del),
+surv AS (SELECT e.event_id, e.event_type, e.props
+         FROM ev e LEFT JOIN keys k USING (event_id)
+         WHERE k.event_id IS NULL),
+after1 AS (
+  SELECT * FROM surv
+  UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM ins
+),
+del2 AS (SELECT event_id FROM ev WHERE event_type = 'view' AND bk < 500),
+final AS (SELECT a.* FROM after1 a LEFT JOIN del2 d USING (event_id)
+          WHERE d.event_id IS NULL OR a.event_type <> 'view')
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN props LIKE '%[v2]%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_updated,
+       CAST(sum(CASE WHEN event_id >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_inserted,
+       CAST(sum(event_id) AS BIGINT) AS id_checksum,
+       CAST(3 AS INT) AS table_version
+FROM final
+GROUP BY 1
+""",
+    doc="atomic manifest-committed MERGE (two versioned commits) == relational recomputation",
+)
+
+
+def _q_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel certification (round 9): a manifest table's retained
+    versions are full consistent snapshots. Create v1 from the
+    documents with bucket<7000, merge a delta (delete bucket<1000,
+    insert bucket∈[7000,8000)) producing v2, then summarize BOTH
+    versions from their manifests. v1 must still read exactly the
+    pre-merge corpus (snapshot isolation across the commit) and v2 the
+    post-merge one — the oracle recomputes both states arithmetically,
+    so a reader that leaks rows across versions cannot hash-match.
+
+    Scale shape: each versioned read is manifest-pruned file listing
+    plus one scan; retention is bounded (retain_versions), so time
+    travel costs metadata only."""
+    import shutil
+    import tempfile
+
+    from ..operators.sampling import rate_bucket
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    b = rate_bucket(F.col("doc_id"))
+    work = tempfile.mkdtemp(prefix="merge_tt_")
+    path = f"{work}/docs_by_lang"
+    try:
+        mt = ManifestTable(spark, path)
+        mt.create(d.filter(b < 7000), ["lang"])
+        dele = d.filter(b < 1000).withColumn("op", F.lit("D"))
+        ins = d.filter((b >= 7000) & (b < 8000)).withColumn("op", F.lit("U"))
+        merge_into_partitioned(
+            spark, path, dele.unionByName(ins), ["doc_id"], ["lang"],
+            op_col="op",
+        )
+        rows = []
+        for v in mt.versions():  # retained: [1, 2]
+            s = (
+                mt.read(version=v)
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                    F.sum("n_chars").cast("bigint").alias("total_chars"),
+                    F.sum("doc_id").cast("bigint").alias("id_checksum"),
+                )
+                .collect()[0]
+            )
+            rows.append((v, s["n_docs"], s["total_chars"], s["id_checksum"]))
+        return spark.createDataFrame(
+            rows,
+            "version int, n_docs bigint, total_chars bigint,"
+            " id_checksum bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["merge_time_travel"] = Q(
+    _q_merge_time_travel,
+    f"""
+WITH d AS (SELECT doc_id, n_chars, {_DBUCKET} AS bk FROM documents)
+SELECT CAST(1 AS INT) AS version,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM d WHERE bk < 7000
+UNION ALL
+SELECT CAST(2 AS INT),
+       CAST(count(*) AS BIGINT),
+       CAST(sum(n_chars) AS BIGINT),
+       CAST(sum(doc_id) AS BIGINT)
+FROM d WHERE bk >= 1000 AND bk < 8000
+""",
+    doc="manifest time travel: both retained versions equal their arithmetic snapshot oracles",
+)

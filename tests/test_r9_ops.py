@@ -404,3 +404,153 @@ def test_manifest_partition_value_types_roundtrip(spark, tmp_path):
     # manifest-level pruning reads only the named partition
     pruned = mt.read(partitions=[(7, datetime.date(2024, 1, 2))])
     assert [r.id for r in pruned.collect()] == [1]
+
+
+class TestBackendDispatch:
+    """The injectable-codec seam (VERDICT r8 #4): a supplied real
+    backend must actually be routed to, with the documented fallback
+    ordering real-parser → injected backend → labeled fake."""
+
+    JPEG_MAGIC = b"\xff\xd8\xff\xe0" + b"\x00" * 64
+
+    class _PilLike:
+        """Minimal PIL-like module: open(file_obj) → image object."""
+
+        def __init__(self):
+            self.calls = []
+
+        def open(self, fobj):
+            data = fobj.read()
+            self.calls.append(data)
+            if not data.startswith(b"\xff\xd8"):
+                raise ValueError("not a jpeg")
+
+            class Img:
+                width, height, format = 640, 480, "JPEG"
+
+            return Img()
+
+    def test_injected_backend_handles_jpeg_magic(self):
+        from fbg_kafka_stream_file_transfer_spark.operators.multimodal import (
+            backend_image_decode,
+            pil_image_backend,
+        )
+
+        pil = self._PilLike()
+        decode = backend_image_decode(pil_image_backend(pil))
+        meta = decode(self.JPEG_MAGIC)
+        assert meta == {
+            "width": 640, "height": 480, "n_pixels": 640 * 480,
+            "format": "jpeg",
+        }
+        assert len(pil.calls) == 1  # dispatch actually reached PIL
+
+    def test_real_parser_wins_before_backend(self):
+        from fbg_kafka_stream_file_transfer_spark.operators.multimodal import (
+            backend_image_decode,
+            pil_image_backend,
+        )
+
+        pil = self._PilLike()
+        decode = backend_image_decode(pil_image_backend(pil))
+        ppm = b"P6\n4 3\n255\n" + b"\x00" * 36
+        meta = decode(ppm)
+        assert (meta["width"], meta["height"], meta["format"]) == (4, 3, "ppm")
+        assert pil.calls == []  # header parser answered; backend never hit
+
+    def test_backend_failure_falls_through_to_labeled_fake(self):
+        from fbg_kafka_stream_file_transfer_spark.operators.multimodal import (
+            backend_image_decode,
+            pil_image_backend,
+        )
+
+        pil = self._PilLike()
+        decode = backend_image_decode(pil_image_backend(pil))
+        meta = decode(b"\x89PNG not really decodable")
+        assert meta["format"] == "fake"  # honest labeled fallback
+        assert len(pil.calls) == 1  # the backend WAS tried first
+
+    def test_no_backend_equals_default_chain(self):
+        from fbg_kafka_stream_file_transfer_spark.operators.multimodal import (
+            backend_image_decode,
+            real_image_decode,
+        )
+
+        blob = b"\x00garbage"
+        assert backend_image_decode(None)(blob) == real_image_decode(blob)
+
+    def test_audio_backend_dispatch(self):
+        from fbg_kafka_stream_file_transfer_spark.operators.multimodal import (
+            backend_audio_decode,
+        )
+
+        seen = []
+
+        def ffmpeg_like(content):
+            seen.append(content)
+            if content.startswith(b"ID3"):
+                return {
+                    "duration_seconds": 12.5, "sample_rate": 44100,
+                    "channels": 2, "rms_level": 0.25,
+                }
+            return None
+
+        decode = backend_audio_decode(ffmpeg_like)
+        mp3 = b"ID3\x04" + b"\x00" * 32
+        assert decode(mp3)["sample_rate"] == 44100
+        # undecodable by the backend → labeled fake (16 kHz marker)
+        other = b"\x01junk"
+        assert decode(other)["sample_rate"] == 16000
+        assert seen == [mp3, other]
+
+    def test_decode_images_routes_injected_backend_through_arrow(
+        self, spark
+    ):
+        """End-to-end through the mapInPandas plumbing: the injected
+        backend's metadata must land in the DataFrame columns."""
+        from fbg_kafka_stream_file_transfer_spark.operators.multimodal import (
+            backend_image_decode,
+            decode_images,
+        )
+
+        def backend(content):
+            return {
+                "width": 111, "height": 222, "n_pixels": 111 * 222,
+                "format": "jpeg",
+            }
+
+        df = spark.createDataFrame(
+            [(1, bytearray(self.JPEG_MAGIC))], "id int, content binary"
+        )
+        out = decode_images(
+            df, decoder=backend_image_decode(backend)
+        ).collect()[0]
+        assert (out.img_width, out.img_height, out.img_format) == (
+            111, 222, "jpeg",
+        )
+
+    def test_injected_docling_client_is_dispatched(self, spark):
+        """A supplied Docling-like client must be the one the extract
+        operator calls (reference S8's HTTP extractor slots into the
+        same seam as the stub)."""
+        from fbg_kafka_stream_file_transfer_spark.operators.extract import (
+            extract_documents,
+        )
+
+        def fake_docling(content: bytes) -> dict:
+            return {
+                "status": "SUCCESS",
+                "text": f"docling:{len(content)}",
+                "page_count": 7,
+                "n_tables": 0,
+                "texts": [],
+                "tables": [],
+                "error": None,
+            }
+
+        df = spark.createDataFrame(
+            [("f1", bytearray(b"pdfbytes"))], "name string, content binary"
+        )
+        row = extract_documents(df, extractor=fake_docling).collect()[0]
+        assert row.extract_text == "docling:8"
+        assert row.extract_page_count == 7
