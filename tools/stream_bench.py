@@ -20,9 +20,16 @@ Reported (one JSON line on stdout):
   (vs the 1000-message backlog alert),
 - per-batch detail for adjudication.
 
-Usage: python3 tools/stream_bench.py [n_files] [files_per_trigger]
+Usage: python3 tools/stream_bench.py [n_files] [files_per_trigger] [body_kb]
 Env: SPARK_GRAFT_SF_DIR (doc source; default /root/repo/.localdata/sf1
 with fallback /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
+
+``body_kb`` (round 9) sweeps the BYTE-bound regime: each file's text
+is padded to the target size (the fixture corpus' small bodies measure
+the pacing-bound regime; BASELINE's ceiling is 100 MB files —
+docs/goanywhere-config.md:371). With a body size set the summary adds
+``mb_per_sec_sustained`` so SCALE.md can report MB/s next to files/s
+and locate where drain flips from pacing-bound to IO-bound.
 """
 
 from __future__ import annotations
@@ -58,6 +65,7 @@ def _progress_records(query) -> list[dict]:
 def main() -> int:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
     per_trigger = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    body_kb = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
     if not sf_dir:
         sf_dir = os.path.join(_REPO_DIR, ".localdata", "sf1")
@@ -87,6 +95,15 @@ def main() -> int:
         .limit(2000)
         .collect()
     ]
+    if body_kb:
+        # pad to the target body size; cap the distinct-body pool so
+        # driver memory stays bounded (16 × body) — content variety is
+        # irrelevant to the byte-bound measurement
+        target = body_kb * 1024
+        texts = [
+            (t * (target // max(len(t), 1) + 1))[:target]
+            for t in texts[:16]
+        ]
     t0 = time.perf_counter()
     for i in range(n_files):
         ext = "exe" if i % 8 == 0 else "pdf"
@@ -145,8 +162,14 @@ def main() -> int:
         "metric": "stream_pipeline_sustained",
         "n_files": n_files,
         "files_per_trigger": per_trigger,
+        "body_kb": body_kb or None,
         "n_batches": len(batches),
         "files_per_sec_sustained": round(total_rows / busy_sec, 1) if busy_sec else None,
+        "mb_per_sec_sustained": (
+            round(total_rows * body_kb / 1024.0 / busy_sec, 1)
+            if body_kb and busy_sec
+            else None
+        ),
         "p95_batch_sec": p95,
         "max_batch_sec": durs[-1] if durs else None,
         "max_backlog_files": max((b["backlog_before"] for b in batches), default=0),
