@@ -417,9 +417,16 @@ def merge_into_partitioned(
                 fs, jroot, root_existed,
             )
     finally:
-        if not root_existed and _dir_is_empty(spark, path):
-            # the lock/staging writes materialized the (absent) table
-            # root; don't leave an empty husk behind
+        if _dir_is_empty(spark, path):
+            # two sources of an empty root, both non-tables: the
+            # lock/staging writes materialized an absent table's root,
+            # or a full-tombstone merge cleared the last partition
+            # (lock preserved during the merge, gone after release).
+            # An empty dir is never a valid table — remove it so
+            # "empty table" reads as "table absent". (A racing writer
+            # that acquires between the emptiness check and the delete
+            # loses its fresh _lock — the sub-ms window is the no-CAS
+            # filesystem trade documented in operators/table.py.)
             _best_effort_delete(spark, path)
 
 
@@ -483,6 +490,7 @@ def _merge_into_plain(
             tuple(r)
             for r in aligned.select(*partition_cols).distinct().collect()
         ]
+        _reject_empty_string_partitions(touched, partition_cols)
         pred = functools.reduce(
             operator.or_,
             [
@@ -544,9 +552,16 @@ def _merge_into_plain(
                 # the merge deleted the LAST partition: a root holding
                 # only _SUCCESS/_merge markers is unreadable
                 # (UNABLE_TO_INFER_SCHEMA) and would wedge every later
-                # read — delete the root so "empty table" is uniformly
-                # "table absent" (the sink's bootstrap recreates it)
-                fs.delete(jroot, True)
+                # read — clear it so "empty table" is uniformly "table
+                # absent" (the sink's bootstrap recreates it). The HELD
+                # LOCK file is preserved: a recursive root delete would
+                # release the lease mid-critical-section and let a
+                # racing writer interleave with our cleanup (r9
+                # review); the now-empty root is removed after release
+                # by the caller's final empty-dir sweep.
+                for status in fs.listStatus(jroot):
+                    if status.getPath().getName() != "_lock":
+                        fs.delete(status.getPath(), True)
         finally:
             _best_effort_delete(spark, staging)
         return len(touched)
@@ -672,7 +687,11 @@ def _merge_into_manifest(
                 f"{man['partition_cols']}; merge called with "
                 f"{partition_cols}"
             )
-        stored = mt.schema(ver)
+        from pyspark.sql import types as T
+
+        # reuse the manifest already in hand — mt.schema(ver) would
+        # re-read the same small file (extra metadata RPC per commit)
+        stored = T.StructType.fromJson(man["schema"])
         cur_types = {f.name: f.dataType for f in stored.fields}
         aligned = delta.select(
             *[
@@ -684,6 +703,7 @@ def _merge_into_manifest(
             tuple(r)
             for r in aligned.select(*partition_cols).distinct().collect()
         ]
+        _reject_empty_string_partitions(touched, partition_cols)
         current = mt.read(version=ver, partitions=touched)
         merged = _compute_merged(
             current, aligned, key_cols, op_col, delete_op, ts_col,
@@ -695,6 +715,26 @@ def _merge_into_manifest(
         return len(touched)
     finally:
         _best_effort_delete(spark, delta_staging)
+
+
+def _reject_empty_string_partitions(
+    touched: list[tuple], partition_cols: list[str]
+) -> None:
+    """The Hive directory layout writes '' and NULL to the SAME
+    ``__HIVE_DEFAULT_PARTITION__`` directory, so an empty-string
+    partition value is indistinguishable from NULL on disk: the plain
+    path would skip the emptied-partition delete (resurrecting
+    tombstones) and the manifest path would conflate two logical
+    partitions into one directory (r9 review). Refuse up front —
+    partition on NULL or a real sentinel instead."""
+    for t in touched:
+        for c, v in zip(partition_cols, t):
+            if v == "":
+                raise ValueError(
+                    f"partition column {c!r} carries an empty-string "
+                    "value; '' and NULL share one directory in the "
+                    "Hive layout — use NULL or a non-empty sentinel"
+                )
 
 
 def _best_effort_delete(spark: SparkSession, path: str) -> None:

@@ -153,19 +153,43 @@ def table_write_lock(
 
     acquired = _try_acquire()
     if not acquired and stale_after_seconds is not None:
+        # stale-break with two race guards (r9 review):
+        # 1. only a FileNotFound during the stat means "retry create";
+        #    any OTHER stat error (S3A throttle, transient IO) must NOT
+        #    be judged stale — breaking a LIVE writer's lock on a
+        #    transient error is the exact lost-update race the lease
+        #    prevents, so those fall through to the loud failure;
+        # 2. the break re-reads the lock CONTENT immediately before the
+        #    delete and deletes only if it still matches what was
+        #    judged stale, then verifies the re-created lock carries
+        #    OUR token — two breakers racing the same stale lock end
+        #    with one holder and one ConcurrentWriterError, not two
+        #    holders. (No FS compare-and-swap exists, so a sub-ms
+        #    double-delete window remains on stores without atomic
+        #    create; HDFS create(overwrite=false) is atomic.)
+        stale_body = _read_small_file(spark, lock_path)
+        vanished = False
+        age_s = None
         try:
             age_s = (
                 spark._jvm.java.lang.System.currentTimeMillis()
                 - fs.getFileStatus(jlock).getModificationTime()
             ) / 1000.0
-        except Exception:  # noqa: BLE001 — lock vanished: retry below
-            age_s = None
-        if age_s is None or age_s > stale_after_seconds:
+        except Exception as exc:  # noqa: BLE001
+            vanished = "FileNotFound" in str(exc)
+        if vanished or (age_s is not None and age_s > stale_after_seconds):
             try:
-                fs.delete(jlock, False)
-            except Exception:  # noqa: BLE001
+                if vanished or _read_small_file(spark, lock_path) == stale_body:
+                    if not vanished:
+                        fs.delete(jlock, False)
+                    if _try_acquire():
+                        body_now = _read_small_file(spark, lock_path)
+                        acquired = (
+                            body_now is not None
+                            and json.loads(body_now).get("token") == token
+                        )
+            except Exception:  # noqa: BLE001 — fall through to loud fail
                 pass
-            acquired = _try_acquire()
     if not acquired:
         held_by = _read_small_file(spark, lock_path) or "<unreadable>"
         raise ConcurrentWriterError(
@@ -306,12 +330,12 @@ class ManifestTable:
         """Pointer read, with highest-manifest fallback covering the
         pointer-swap crash window (delete happened, rename did not:
         the newest manifest was fully in place before the delete)."""
+        vs = self.versions()  # one listing serves both branches
         tag = _read_small_file(self.spark, f"{self.path}/{_POINTER}")
         if tag is not None:
             m = re.match(r"^v(\d{8})$", tag.strip())
-            if m and int(m.group(1)) in set(self.versions()):
+            if m and int(m.group(1)) in set(vs):
                 return int(m.group(1))
-        vs = self.versions()
         return vs[-1] if vs else None
 
     def manifest(self, version: int | None = None) -> dict:
@@ -351,7 +375,9 @@ class ManifestTable:
         if partitions is not None:
             wanted = {_partition_key(tuple(t)) for t in partitions}
             entries = [e for e in entries if e["key"] in wanted]
-        dirs = [f"{self.path}/{e['dir']}" for e in entries]
+        # sorted-set: entries map 1:1 to dirs by construction, but a
+        # duplicate path must never be scanned twice
+        dirs = sorted({f"{self.path}/{e['dir']}" for e in entries})
         if not dirs:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*dirs)
@@ -450,6 +476,9 @@ class ManifestTable:
             touched = [
                 tuple(r) for r in df.select(*pcols).distinct().collect()
             ]
+        from .scale import _reject_empty_string_partitions
+
+        _reject_empty_string_partitions(touched, pcols)
         gen_rel = f"{_DATA_DIR}/g{version:08d}"
         staged = df
         for c, d in zip(pcols, dup):

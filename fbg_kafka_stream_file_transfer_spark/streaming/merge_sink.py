@@ -78,10 +78,19 @@ def start_changelog_merge_sink(
         holding DATA FILES but no ``col=value`` partition dirs is
         somebody else's unpartitioned dataset — bootstrapping over it
         with mode=overwrite would destroy it, so that state raises
-        instead of silently wiping (r8 review)."""
+        instead of silently wiping (r8 review). A MANIFEST table's
+        entries are all underscore-prefixed (_manifests/_data/_latest),
+        which the marker heuristic would misread as 'absent' — and the
+        bootstrap's debris-clear would then DESTROY the committed
+        table (r9 review); it is a live table, merges route to it
+        automatically."""
+        from ..operators.table import is_manifest_table
+
         fs, jpath = _hadoop_fs(spark, path)
         if not fs.exists(jpath):
             return "absent"
+        if is_manifest_table(spark, path):
+            return "table"
         names = [s.getPath().getName() for s in fs.listStatus(jpath)]
         if any("=" in n for n in names):
             return "table"

@@ -554,3 +554,102 @@ class TestBackendDispatch:
         row = extract_documents(df, extractor=fake_docling).collect()[0]
         assert row.extract_text == "docling:8"
         assert row.extract_page_count == 7
+
+
+class TestR9ReviewRegressions:
+    """Second review pass over the round's new code (r8 lesson: new
+    operator families get two passes)."""
+
+    def test_sink_on_manifest_table_merges_not_destroys(
+        self, spark, tmp_path
+    ):
+        """r9 review #1: the sink's bootstrap probe used to misread a
+        manifest table (all-underscore entries) as 'absent' and WIPE it
+        during the debris-clear. It must be recognized as a live table
+        and merged into — atomically."""
+        from fbg_kafka_stream_file_transfer_spark.streaming.merge_sink import (
+            start_changelog_merge_sink,
+        )
+
+        table = str(tmp_path / "table")
+        base = spark.createDataFrame(
+            [(1, 0, 100, "old1"), (2, 1, 100, "old2")],
+            "id long, pt int, ts long, props string",
+        )
+        mt = ManifestTable(spark, table)
+        mt.create(base, ["pt"])
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        batch = spark.createDataFrame(
+            [(1, 0, 200, "new1", "U"), (3, 1, 200, "new3", "U")],
+            "id long, pt int, ts long, props string, op string",
+        )
+        batch.coalesce(1).write.parquet(str(tmp_path / "w"))
+        pf = [
+            f for f in os.listdir(str(tmp_path / "w")) if f.endswith(".parquet")
+        ][0]
+        os.rename(f"{tmp_path}/w/{pf}", f"{src}/000.parquet")
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_changelog_merge_sink(
+            spark, stream, table, "id", ["pt"], "ts", "op",
+            str(tmp_path / "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert is_manifest_table(spark, table)  # layout survived
+        got = {r["id"]: r["props"] for r in read_table(spark, table).collect()}
+        assert got == {1: "new1", 2: "old2", 3: "new3"}
+        assert ManifestTable(spark, table).current_version() == 2
+
+    @pytest.mark.parametrize("layout", ["plain", "manifest"])
+    def test_empty_string_partition_value_rejected(
+        self, spark, tmp_path, layout
+    ):
+        """r9 review #2: '' and NULL share __HIVE_DEFAULT_PARTITION__
+        on disk — an empty-string partition value must be refused, not
+        silently conflated/lost."""
+        path = str(tmp_path / "t")
+        if layout == "plain":
+            _base(spark).write.partitionBy("pt").parquet(path)
+        else:
+            ManifestTable(spark, path).create(_base(spark), ["pt"])
+        upd = spark.createDataFrame(
+            [(9, "", "x", "U")], "id int, pt string, v string, op string"
+        )
+        with pytest.raises(ValueError, match="empty-string"):
+            merge_into_partitioned(
+                spark, path, upd, ["id"], ["pt"], op_col="op"
+            )
+
+    def test_create_rejects_empty_string_partition(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, "", "x")], "id int, pt string, v string")
+        with pytest.raises(ValueError, match="empty-string"):
+            ManifestTable(spark, str(tmp_path / "t")).create(df, ["pt"])
+
+    def test_plain_full_tombstone_still_removes_root_and_lock(
+        self, spark, tmp_path
+    ):
+        """r9 review #4: the last-partition cleanup must not delete the
+        HELD lock mid-merge; the empty root (and the lease file with
+        it) goes after release. Net observable: root absent after the
+        call returns, and a follow-up bootstrap works."""
+        path = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, "a", "x")], "id int, pt string, v string"
+        ).write.partitionBy("pt").parquet(path)
+        dele = spark.createDataFrame(
+            [(1, "a", "x", "D")], "id int, pt string, v string, op string"
+        )
+        merge_into_partitioned(spark, path, dele, ["id"], ["pt"], op_col="op")
+        assert not os.path.exists(path)
+        # absent root: a fresh merge raises does-not-exist, as before
+        ins = spark.createDataFrame([(2, "b", "y")], "id int, pt string, v string")
+        with pytest.raises(ValueError, match="does not exist"):
+            merge_into_partitioned(spark, path, ins, ["id"], ["pt"])
