@@ -276,6 +276,27 @@ def _encode_value(v) -> list:
     )
 
 
+def _decode_value(pair: list):
+    """Inverse of ``_encode_value``."""
+    import datetime
+    import decimal
+
+    tag, raw = pair
+    if tag == "null":
+        return None
+    if tag in ("bool", "int", "str"):
+        return raw
+    if tag == "float":
+        return float(raw)
+    if tag == "ts":
+        return datetime.datetime.fromisoformat(raw)
+    if tag == "date":
+        return datetime.date.fromisoformat(raw)
+    if tag == "dec":
+        return decimal.Decimal(raw)
+    raise ValueError(f"unknown partition value tag {tag!r}")
+
+
 def _partition_key(values: tuple) -> str:
     """Canonical manifest key for a partition value tuple."""
     return json.dumps([_encode_value(v) for v in values])
@@ -438,6 +459,39 @@ class ManifestTable:
             return self._checked_commit(
                 df, touched, ver, expected_version, retain_versions
             )
+
+    def compact(
+        self,
+        retain_versions: int = 2,
+        assume_locked: bool = False,
+    ) -> int:
+        """Rewrite every live partition into ONE fresh generation —
+        the manifest table's full-compaction maintenance op. Two
+        effects: the next GC can drop every older generation (the
+        multi-merge read fans out over one scan of one generation
+        again), and each partition's many small delta files coalesce.
+        Atomic like any commit: readers see the pre- or post-compaction
+        version, and the rewrite is semantically a no-op (pinned by
+        test). Cost: one full-table read + write — schedule it like
+        any compaction, and hold the same write lease as the merges
+        (taken here unless ``assume_locked``). Returns the number of
+        partitions rewritten."""
+        ver = self.current_version()
+        if ver is None:
+            raise ValueError(f"manifest table does not exist: {self.path}")
+        man = self.manifest(ver)
+        touched = [
+            tuple(_decode_value(p) for p in e["values"])
+            for e in man["entries"]
+        ]
+        if not touched:
+            return 0  # empty table: nothing to rewrite
+        df = self.read(version=ver)
+        if assume_locked:
+            return self._checked_commit(df, touched, ver, ver, retain_versions)
+        with table_write_lock(self.spark, self.path, holder="compact"):
+            ver2 = self.current_version()
+            return self._checked_commit(df, touched, ver2, ver, retain_versions)
 
     def _checked_commit(
         self, df, touched, ver, expected_version, retain_versions

@@ -1332,6 +1332,27 @@ WHERE n_chars IS NOT NULL
 
 
 def _q_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stream_cdc_merge(spark, sf_dir, layout="hive")
+
+
+def _q_stream_cdc_merge_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round 9: the SAME end-to-end CDC stream as stream_cdc_merge_e2e,
+    but the sink bootstraps a MANIFEST table (layout='manifest'), so
+    every micro-batch commit is the atomic manifest/pointer swap — a
+    reader concurrent with the sink sees whole-batch-before or
+    whole-batch-after, never a partition-granular tear. Same relational
+    oracle (the protocols must agree on semantics), read back through
+    read_table with the deterministic final version (bootstrap + 3
+    merges = v4) folded into every row so a sink that skipped or
+    double-applied a batch cannot hash-match."""
+    return _stream_cdc_merge(spark, sf_dir, layout="manifest")
+
+
+def _stream_cdc_merge(
+    spark: SparkSession, sf_dir: str, layout: str
+) -> DataFrame:
     """Streaming CDC MERGE sink driven end-to-end (round 8): the events
     table becomes a changelog (op = tombstone on 'error', else upsert;
     key = user_id; partition = user_id % 8), delivered in 4 time-ordered
@@ -1377,19 +1398,28 @@ def _q_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "op",
             f"{work}/ckpt",
             tiebreak_cols=("event_id",),
+            layout=layout,
         )
         try:
             q.processAllAvailable()
         finally:
             q.stop()
+        from ..operators.table import ManifestTable, read_table
+
+        final = read_table(spark, table)  # layout-agnostic reader
         rows = (
-            spark.read.parquet(table)
-            .select("user_id", "pt", "event_id", "event_type")
+            final.select("user_id", "pt", "event_id", "event_type")
             .collect()
         )
-        return spark.createDataFrame(
+        out = spark.createDataFrame(
             rows, "user_id long, pt int, event_id long, event_type string"
         ).withColumnRenamed("event_id", "last_event_id")
+        if layout == "manifest":
+            version = ManifestTable(spark, table).current_version()
+            out = out.withColumn(
+                "table_version", F.lit(version).cast("int")
+            )
+        return out
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1408,4 +1438,22 @@ SELECT user_id, pt, event_id AS last_event_id, event_type
 FROM ranked WHERE rn = 1 AND event_type <> 'error'
 """,
     doc="streaming CDC merge sink across micro-batches == batch latest-state-with-tombstones oracle",
+)
+
+
+QUERIES["stream_cdc_merge_manifest_e2e"] = Q(
+    _q_stream_cdc_merge_manifest,
+    """
+WITH ranked AS (
+  SELECT user_id, CAST(user_id % 8 AS INTEGER) AS pt, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT user_id, pt, event_id AS last_event_id, event_type,
+       CAST(4 AS INT) AS table_version
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+""",
+    doc="manifest-layout CDC sink: atomic per-batch commits across micro-batches == same relational oracle + version count",
 )

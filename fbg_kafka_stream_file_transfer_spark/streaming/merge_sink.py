@@ -47,8 +47,19 @@ def start_changelog_merge_sink(
     delete_op: str = "D",
     tiebreak_cols: tuple[str, ...] = (),
     lock_stale_after_seconds: float | None = 900.0,
+    layout: str = "hive",
 ):
     """Start the changelog→table merge stream; returns the query.
+
+    ``layout`` picks the table's commit protocol at bootstrap:
+    ``"hive"`` (default) writes the classic partitioned layout —
+    delta-sized merges, but a crash mid-commit tears at partition
+    granularity; ``"manifest"`` bootstraps an
+    ``operators.table.ManifestTable``, upgrading EVERY subsequent
+    micro-batch commit to the atomic manifest/pointer swap: a reader
+    concurrent with the sink sees whole-batch-before or
+    whole-batch-after, never a torn table. An existing table keeps
+    its own layout regardless (merges auto-route).
 
     Every batch's merge (and the bootstrap write) runs under the
     table's single-writer lease, so a maintenance merge or compaction
@@ -72,6 +83,11 @@ def start_changelog_merge_sink(
     (mode=overwrite absorbs the partial write).
     """
     from ..operators.scale import _hadoop_fs
+
+    if layout not in ("hive", "manifest"):
+        # validate at start-time: a typo'd layout must fail the stream
+        # setup, not the first real batch
+        raise ValueError(f"layout must be 'hive' or 'manifest', got {layout!r}")
 
     def _table_state() -> str:
         """'absent' (bootstrap), 'table' (merge), or 'foreign'. A dir
@@ -140,9 +156,16 @@ def start_changelog_merge_sink(
                             for s in fs.listStatus(jroot):
                                 if s.getPath().getName() != "_lock":
                                     fs.delete(s.getPath(), True)
-                        folded.write.partitionBy(*partition_cols).parquet(
-                            path, mode="append"
-                        )
+                        if layout == "manifest":
+                            from ..operators.table import ManifestTable
+
+                            ManifestTable(spark, path).create(
+                                folded, partition_cols, assume_locked=True
+                            )
+                        else:
+                            folded.write.partitionBy(
+                                *partition_cols
+                            ).parquet(path, mode="append")
                         bootstrapped = True
                 if bootstrapped:
                     return

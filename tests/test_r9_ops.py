@@ -653,3 +653,114 @@ class TestR9ReviewRegressions:
         ins = spark.createDataFrame([(2, "b", "y")], "id int, pt string, v string")
         with pytest.raises(ValueError, match="does not exist"):
             merge_into_partitioned(spark, path, ins, ["id"], ["pt"])
+
+
+class TestManifestCompactionAndSinkLayout:
+    def test_compact_is_a_semantic_noop_and_collapses_generations(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        merge_into_partitioned(
+            spark, path, _upd(spark), ["id"], ["pt"], op_col="op"
+        )
+        before = sorted((r.id, r.pt, r.v) for r in mt.read().collect())
+        n = mt.compact()
+        assert n == 2  # two live partitions rewritten
+        after = sorted((r.id, r.pt, r.v) for r in mt.read().collect())
+        assert after == before == _EXPECTED
+        # the current manifest references exactly ONE generation
+        gens = {e["dir"].split("/")[1] for e in mt.manifest()["entries"]}
+        assert len(gens) == 1
+        # one more commit and GC drops everything pre-compaction
+        merge_into_partitioned(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(2, "a", "z", "U")], "id int, pt string, v string, op string"
+            ),
+            ["id"],
+            ["pt"],
+            op_col="op",
+        )
+        live = sorted(os.listdir(f"{path}/_data"))
+        assert live == [f"g{v:08d}" for v in mt.versions()]
+
+    def test_compact_respects_lease(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        with table_write_lock(spark, path, holder="other"):
+            with pytest.raises(ConcurrentWriterError):
+                mt.compact()
+
+    def test_compact_empty_table_is_noop(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        dele = spark.createDataFrame(
+            [(i, p, "_", "D") for i, p in [(1, "a"), (2, "a"), (3, "b"), (4, "c")]],
+            "id int, pt string, v string, op string",
+        )
+        merge_into_partitioned(spark, path, dele, ["id"], ["pt"], op_col="op")
+        assert mt.compact() == 0
+
+    def test_sink_manifest_layout_bootstraps_and_merges_atomically(
+        self, spark, tmp_path
+    ):
+        from fbg_kafka_stream_file_transfer_spark.streaming.merge_sink import (
+            start_changelog_merge_sink,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        b0 = spark.createDataFrame(
+            [(1, 0, 100, "one"), (2, 1, 100, "two")],
+            "id long, pt int, ts long, props string",
+        ).withColumn("op", F.lit("U"))
+        b1 = spark.createDataFrame(
+            [(1, 0, 200, "one-v2"), (2, 1, 150, "late-del")],
+            "id long, pt int, ts long, props string",
+        ).withColumn(
+            "op", F.when(F.col("id") == 2, "D").otherwise("U")
+        )
+        for i, b in enumerate([b0, b1]):
+            tmp = str(tmp_path / f"w{i}")
+            b.coalesce(1).write.parquet(tmp)
+            pf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            os.rename(f"{tmp}/{pf}", f"{src}/{i:03d}.parquet")
+            os.utime(f"{src}/{i:03d}.parquet", (1700000000 + i * 60,) * 2)
+        stream = (
+            spark.readStream.schema(b0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        table = str(tmp_path / "table")
+        q = start_changelog_merge_sink(
+            spark, stream, table, "id", ["pt"], "ts", "op",
+            str(tmp_path / "ckpt"), layout="manifest",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        mt = ManifestTable(spark, table)
+        assert is_manifest_table(spark, table)
+        assert mt.current_version() == 2  # bootstrap + one merge
+        got = {r["id"]: r["props"] for r in read_table(spark, table).collect()}
+        assert got == {1: "one-v2"}  # id=2 tombstoned (newest write)
+
+    def test_sink_rejects_unknown_layout(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.streaming.merge_sink import (
+            start_changelog_merge_sink,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        stream = spark.readStream.schema("id long").parquet(src)
+        with pytest.raises(ValueError, match="layout"):
+            start_changelog_merge_sink(
+                spark, stream, str(tmp_path / "t"), "id", ["pt"], "ts",
+                "op", str(tmp_path / "c"), layout="iceberg",
+            )
