@@ -554,14 +554,10 @@ def _merge_into_plain(
                 # (UNABLE_TO_INFER_SCHEMA) and would wedge every later
                 # read — clear it so "empty table" is uniformly "table
                 # absent" (the sink's bootstrap recreates it). The HELD
-                # LOCK file is preserved: a recursive root delete would
-                # release the lease mid-critical-section and let a
-                # racing writer interleave with our cleanup (r9
-                # review); the now-empty root is removed after release
-                # by the caller's final empty-dir sweep.
-                for status in fs.listStatus(jroot):
-                    if status.getPath().getName() != "_lock":
-                        fs.delete(status.getPath(), True)
+                # LOCK file is preserved (r9 review); the now-empty
+                # root is removed after release by the caller's final
+                # empty-dir sweep.
+                _clear_root_keep_lock(fs, jroot)
         finally:
             _best_effort_delete(spark, staging)
         return len(touched)
@@ -704,7 +700,7 @@ def _merge_into_manifest(
             for r in aligned.select(*partition_cols).distinct().collect()
         ]
         _reject_empty_string_partitions(touched, partition_cols)
-        current = mt.read(version=ver, partitions=touched)
+        current = mt.read(partitions=touched, manifest_dict=man)
         merged = _compute_merged(
             current, aligned, key_cols, op_col, delete_op, ts_col,
             tiebreak_cols,
@@ -715,6 +711,18 @@ def _merge_into_manifest(
         return len(touched)
     finally:
         _best_effort_delete(spark, delta_staging)
+
+
+def _clear_root_keep_lock(fs, jroot) -> None:
+    """Delete everything under a table root EXCEPT the ``_lock`` file —
+    the lease-preserving root clear shared by the full-tombstone merge
+    cleanup and the sink's torn-bootstrap debris clear (a recursive
+    root delete would release a HELD lease mid-critical-section)."""
+    if not fs.exists(jroot):
+        return
+    for status in fs.listStatus(jroot):
+        if status.getPath().getName() != "_lock":
+            fs.delete(status.getPath(), True)
 
 
 def _reject_empty_string_partitions(

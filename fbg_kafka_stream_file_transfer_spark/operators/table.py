@@ -167,15 +167,18 @@ def table_write_lock(
         #    holders. (No FS compare-and-swap exists, so a sub-ms
         #    double-delete window remains on stores without atomic
         #    create; HDFS create(overwrite=false) is atomic.)
-        stale_body = _read_small_file(spark, lock_path)
         vanished = False
         age_s = None
+        stale_body = None
         try:
+            stale_body = _read_small_file(spark, lock_path)
             age_s = (
                 spark._jvm.java.lang.System.currentTimeMillis()
                 - fs.getFileStatus(jlock).getModificationTime()
             ) / 1000.0
-        except Exception as exc:  # noqa: BLE001
+        except Exception as exc:  # noqa: BLE001 — a lock RELEASED in
+            # this exact window reads as FileNotFound (retry the
+            # create); any other error falls through to the loud fail
             vanished = "FileNotFound" in str(exc)
         if vanished or (age_s is not None and age_s > stale_after_seconds):
             try:
@@ -183,11 +186,20 @@ def table_write_lock(
                     if not vanished:
                         fs.delete(jlock, False)
                     if _try_acquire():
-                        body_now = _read_small_file(spark, lock_path)
-                        acquired = (
-                            body_now is not None
-                            and json.loads(body_now).get("token") == token
-                        )
+                        try:
+                            body_now = _read_small_file(spark, lock_path)
+                            acquired = (
+                                body_now is not None
+                                and json.loads(body_now).get("token") == token
+                            )
+                        except Exception:  # noqa: BLE001
+                            acquired = False
+                        if not acquired:
+                            # verification failed AFTER our create may
+                            # have landed: clean up our own lock or it
+                            # strands every writer for another TTL
+                            # window (r9 review pass 2)
+                            _delete_lock_if_token(spark, fs, lock_path, jlock, token)
             except Exception:  # noqa: BLE001 — fall through to loud fail
                 pass
     if not acquired:
@@ -201,13 +213,21 @@ def table_write_lock(
     try:
         yield
     finally:
-        try:
-            current = _read_small_file(spark, lock_path)
-            if current is not None and json.loads(current).get("token") == token:
-                fs.delete(jlock, False)
-        except Exception:  # noqa: BLE001 — release is best-effort;
-            # a leaked lock fails the NEXT writer loudly, never silently
-            pass
+        _delete_lock_if_token(spark, fs, lock_path, jlock, token)
+
+
+def _delete_lock_if_token(spark, fs, lock_path: str, jlock, token: str) -> None:
+    """Best-effort, token-checked lock release: deletes the lock only
+    when it still carries ``token``, so a lease broken-and-retaken by
+    another writer is never deleted by its old owner. A failure here
+    leaks the lock, which fails the NEXT writer loudly — never
+    silently."""
+    try:
+        current = _read_small_file(spark, lock_path)
+        if current is not None and json.loads(current).get("token") == token:
+            fs.delete(jlock, False)
+    except Exception:  # noqa: BLE001 — best-effort by contract
+        pass
 
 
 def force_unlock(spark: SparkSession, path: str) -> bool:
@@ -219,10 +239,21 @@ def force_unlock(spark: SparkSession, path: str) -> bool:
 
 
 def is_manifest_table(spark: SparkSession, path: str) -> bool:
-    """True when ``path`` is manifest-committed (``_manifests/``
-    present) — merge routes its publish through the atomic protocol."""
+    """True when ``path`` is manifest-committed — merge routes its
+    publish through the atomic protocol. Requires at least one VALID
+    published manifest, not just the ``_manifests/`` directory: a
+    create that died before renaming its first manifest into place
+    leaves only a ``.tmp`` file, and classifying that husk as a table
+    would wedge every later merge/bootstrap on 'does not exist'
+    forever (r9 review pass 2) — a manifest dir with no manifest is
+    not a table, so the sink re-bootstraps over it."""
     fs, jman = _hadoop_fs(spark, f"{path}/{_MANIFEST_DIR}")
-    return bool(fs.exists(jman))
+    if not fs.exists(jman):
+        return False
+    for status in fs.listStatus(jman):
+        if _MANIFEST_RE.match(status.getPath().getName()):
+            return True
+    return False
 
 
 def read_table(
@@ -386,11 +417,15 @@ class ManifestTable:
         self,
         version: int | None = None,
         partitions: list[tuple] | None = None,
+        manifest_dict: dict | None = None,
     ) -> DataFrame:
         """One scan over the manifest's live directories. ``partitions``
         (value tuples) prunes at the manifest level — only the named
-        partitions' directories are ever listed or read."""
-        m = self.manifest(version)
+        partitions' directories are ever listed or read.
+        ``manifest_dict`` lets a caller that already holds the manifest
+        skip the re-read (one metadata RPC per commit on object
+        stores)."""
+        m = manifest_dict if manifest_dict is not None else self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
         entries = m["entries"]
         if partitions is not None:
@@ -486,7 +521,7 @@ class ManifestTable:
         ]
         if not touched:
             return 0  # empty table: nothing to rewrite
-        df = self.read(version=ver)
+        df = self.read(manifest_dict=man)  # manifest already in hand
         if assume_locked:
             return self._checked_commit(df, touched, ver, ver, retain_versions)
         with table_write_lock(self.spark, self.path, holder="compact"):

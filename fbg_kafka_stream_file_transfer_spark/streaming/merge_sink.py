@@ -151,11 +151,13 @@ def start_changelog_merge_sink(
                         # clear torn-bootstrap debris by hand, keeping
                         # the LOCK file: mode=overwrite would delete
                         # the root including the lease we hold
+                        from ..operators.scale import (
+                            _clear_root_keep_lock,
+                            _reject_empty_string_partitions,
+                        )
+
                         fs, jroot = _hadoop_fs(spark, path)
-                        if fs.exists(jroot):
-                            for s in fs.listStatus(jroot):
-                                if s.getPath().getName() != "_lock":
-                                    fs.delete(s.getPath(), True)
+                        _clear_root_keep_lock(fs, jroot)
                         if layout == "manifest":
                             from ..operators.table import ManifestTable
 
@@ -163,6 +165,20 @@ def start_changelog_merge_sink(
                                 folded, partition_cols, assume_locked=True
                             )
                         else:
+                            # same ''/NULL-conflation guard the merge
+                            # and manifest-create paths enforce — a
+                            # first batch must not silently seed the
+                            # corrupt table every later merge refuses
+                            # (r9 review pass 2)
+                            _reject_empty_string_partitions(
+                                [
+                                    tuple(r)
+                                    for r in folded.select(*partition_cols)
+                                    .distinct()
+                                    .collect()
+                                ],
+                                partition_cols,
+                            )
                             folded.write.partitionBy(
                                 *partition_cols
                             ).parquet(path, mode="append")

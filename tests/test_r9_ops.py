@@ -764,3 +764,68 @@ class TestManifestCompactionAndSinkLayout:
                 spark, stream, str(tmp_path / "t"), "id", ["pt"], "ts",
                 "op", str(tmp_path / "c"), layout="iceberg",
             )
+
+
+class TestReviewPass2Regressions:
+    def test_torn_manifest_create_is_not_a_table_and_self_heals(
+        self, spark, tmp_path
+    ):
+        """r9 review pass 2: a create that died before renaming its
+        first manifest leaves _manifests/ holding only a .tmp — that
+        husk must NOT classify as a manifest table (it would wedge
+        every merge on 'does not exist' forever), and a fresh create
+        over it must succeed."""
+        path = str(tmp_path / "t")
+        os.makedirs(f"{path}/_manifests")
+        os.makedirs(f"{path}/_data/g00000001")
+        with open(f"{path}/_manifests/.v00000001.json.tmp", "w") as f:
+            f.write('{"version": 1}')
+        assert not is_manifest_table(spark, path)
+        mt = ManifestTable(spark, path)
+        assert mt.current_version() is None
+        assert mt.create(_base(spark), ["pt"]) == 3  # self-heal
+        assert is_manifest_table(spark, path)
+        assert read_table(spark, path).count() == 4
+
+    def test_hive_sink_bootstrap_rejects_empty_string_partition(
+        self, spark, tmp_path
+    ):
+        """r9 review pass 2: the hive bootstrap must refuse an
+        empty-string partition value BEFORE seeding the conflated
+        table that every later merge refuses."""
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        from fbg_kafka_stream_file_transfer_spark.streaming.merge_sink import (
+            start_changelog_merge_sink,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        b0 = spark.createDataFrame(
+            [(1, "", 100, "x", "U")],
+            "id long, pt string, ts long, props string, op string",
+        )
+        b0.coalesce(1).write.parquet(str(tmp_path / "w"))
+        pf = [
+            f for f in os.listdir(str(tmp_path / "w")) if f.endswith(".parquet")
+        ][0]
+        os.rename(f"{tmp_path}/w/{pf}", f"{src}/000.parquet")
+        stream = (
+            spark.readStream.schema(b0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        table = str(tmp_path / "table")
+        q = start_changelog_merge_sink(
+            spark, stream, table, "id", ["pt"], "ts", "op",
+            str(tmp_path / "ckpt"),
+        )
+        try:
+            with pytest.raises(StreamingQueryException, match="empty-string"):
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        # nothing was seeded: no partition directories exist
+        assert not os.path.exists(f"{table}/pt=__HIVE_DEFAULT_PARTITION__")
