@@ -1925,3 +1925,198 @@ FROM d WHERE bk >= 1000 AND bk < 8000
 """,
     doc="manifest time travel: both retained versions equal their arithmetic snapshot oracles",
 )
+
+
+def _q_table_incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental version-diff read (round 9): the CDF-style feed a
+    downstream consumer tails instead of re-reading the table. Persist
+    events (id/type/props) as a manifest table, merge the standard
+    update/delete/insert delta, then read ``changes(1, 2)`` — every
+    updated key must surface as one delete of its exact old row plus
+    one insert of its rewritten row, deletes and fresh inserts as
+    single rows, and rows of untouched keys must NOT appear even
+    though their partitions were rewritten. The oracle recomputes the
+    full diff relationally, so both a leaked unchanged row and a
+    missed change break the hash.
+
+    Scale shape: the manifest diff names the changed partitions;
+    only their two generations are scanned and the exceptAll shuffles
+    only delta-sized row sets — an incremental consumer pays O(delta),
+    never O(table). Reference parity: this is the read side of the
+    effectively-once sink contract (SURVEY §2.f ST1) — what the
+    processed-bucket consumer would tail."""
+    import shutil
+    import tempfile
+
+    from ..operators.sampling import rate_bucket
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "props"
+    )
+    b = rate_bucket(F.col("event_id"))
+    touched = F.col("event_type").isin("click", "error")
+    work = tempfile.mkdtemp(prefix="table_cdf_")
+    path = f"{work}/events_by_type"
+    try:
+        mt = ManifestTable(spark, path)
+        mt.create(ev, ["event_type"])
+        upd = ev.filter(touched & (b < 1000)).withColumn(
+            "props", F.concat(F.col("props"), F.lit(" [v2]"))
+        ).withColumn("op", F.lit("U"))
+        dele = ev.filter(touched & (b >= 1000) & (b < 1500)).withColumn(
+            "op", F.lit("D")
+        )
+        ins = (
+            ev.filter(touched & (b < 300))
+            .withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+            .withColumn("props", F.concat(F.col("props"), F.lit(" [new]")))
+            .withColumn("op", F.lit("U"))
+        )
+        merge_into_partitioned(
+            spark, path, upd.unionByName(dele).unionByName(ins),
+            ["event_id"], ["event_type"], op_col="op",
+        )
+        rows = (
+            mt.changes(1, 2)
+            .groupBy(
+                "event_type",
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+                F.sum(
+                    F.when(
+                        F.col("props").contains("[v2]")
+                        | F.col("props").contains("[new]"),
+                        1,
+                    ).otherwise(0)
+                ).cast("bigint").alias("n_marked"),
+            )
+            .collect()  # materialize before the temp table is removed
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, change_type string, n_rows bigint,"
+            " id_checksum bigint, n_marked bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_incremental_changes"] = Q(
+    _q_table_incremental_changes,
+    f"""
+WITH ev AS (SELECT event_id, event_type, props, {_EBUCKET} AS bk,
+                   event_type IN ('click', 'error') AS touched
+            FROM events),
+upd AS (SELECT event_id, event_type FROM ev WHERE touched AND bk < 1000),
+del AS (SELECT event_id, event_type FROM ev
+        WHERE touched AND bk >= 1000 AND bk < 1500),
+ins AS (SELECT event_id + 10000000 AS event_id, event_type
+        FROM ev WHERE touched AND bk < 300),
+deletes AS (SELECT event_type, event_id, 0 AS marked FROM upd
+            UNION ALL SELECT event_type, event_id, 0 FROM del),
+inserts AS (SELECT event_type, event_id, 1 AS marked FROM upd
+            UNION ALL SELECT event_type, event_id, 1 FROM ins)
+SELECT event_type, 'delete' AS change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_checksum,
+       CAST(sum(marked) AS BIGINT) AS n_marked
+FROM deletes GROUP BY 1
+UNION ALL
+SELECT event_type, 'insert',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(event_id) AS BIGINT),
+       CAST(sum(marked) AS BIGINT)
+FROM inserts GROUP BY 1
+""",
+    doc="manifest incremental changes (CDF read): version diff == relational recomputation of the delta",
+)
+
+
+def _q_table_compaction_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction certification (round 9): ``ManifestTable.compact()``
+    rewrites every live partition into one fresh generation — it must
+    be semantically invisible. Create a documents table, merge a
+    delta, compact, then return the per-lang post-compaction state
+    plus two invariants computed from the metadata itself: the
+    row-level diff across the compaction commit (must be 0 — consumers
+    of the changes feed see data, not maintenance) and the number of
+    live generations (must be 1 — the multi-merge read fans back into
+    a single-generation scan). The oracle recomputes the merged state
+    arithmetically and pins both constants.
+
+    Scale shape: compaction is one full read + write of live data —
+    the scheduled-maintenance cost class — and the equivalence check
+    itself is manifest-diff + delta-sized exceptAll, O(changed
+    partitions) = all of them here by design."""
+    import shutil
+    import tempfile
+
+    from ..operators.sampling import rate_bucket
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    b = rate_bucket(F.col("doc_id"))
+    work = tempfile.mkdtemp(prefix="table_compact_")
+    path = f"{work}/docs_by_lang"
+    try:
+        mt = ManifestTable(spark, path)
+        mt.create(d.filter(b < 7000), ["lang"])
+        dele = d.filter(b < 1000).withColumn("op", F.lit("D"))
+        ins = d.filter((b >= 7000) & (b < 8000)).withColumn("op", F.lit("U"))
+        merge_into_partitioned(
+            spark, path, dele.unionByName(ins), ["doc_id"], ["lang"],
+            op_col="op",
+        )
+        mt.compact()  # v3; retain window now [2, 3]
+        maintenance_rows = mt.changes(2, 3).count()
+        gens = {
+            e["dir"].split("/")[1] for e in mt.manifest()["entries"]
+        }
+        rows = (
+            mt.read()
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("total_chars"),
+                F.sum("doc_id").cast("bigint").alias("id_checksum"),
+            )
+            .withColumn(
+                "compaction_row_changes",
+                F.lit(maintenance_rows).cast("bigint"),
+            )
+            .withColumn("live_generations", F.lit(len(gens)).cast("int"))
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "lang string, n_docs bigint, total_chars bigint,"
+            " id_checksum bigint, compaction_row_changes bigint,"
+            " live_generations int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_compaction_equivalence"] = Q(
+    _q_table_compaction_equivalence,
+    f"""
+WITH d AS (SELECT doc_id, lang, n_chars, {_DBUCKET} AS bk FROM documents)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       CAST(0 AS BIGINT) AS compaction_row_changes,
+       CAST(1 AS INT) AS live_generations
+FROM d WHERE bk >= 1000 AND bk < 8000
+GROUP BY 1
+""",
+    doc="manifest compaction is semantically invisible: state equals the merged oracle, version diff 0, one live generation",
+)

@@ -131,6 +131,108 @@ class TestManifestTable:
             ManifestTable(spark, path).create(_base(spark), ["pt"])
 
 
+class TestIncrementalChanges:
+    """ManifestTable.changes(): the CDF-style version-diff read."""
+
+    def _merged(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        merge_into_partitioned(
+            spark, path, _upd(spark), ["id"], ["pt"], op_col="op"
+        )
+        return mt
+
+    def test_update_delete_insert_diff(self, spark, tmp_path):
+        mt = self._merged(spark, tmp_path)
+        got = sorted(
+            (r.id, r.pt, r.v, r._change_type)
+            for r in mt.changes(1, 2).collect()
+        )
+        # update id=1 = delete old + insert new; delete id=3 (empties
+        # pt=b entirely — entry-removed partition still diffs); insert
+        # id=9; unchanged rows (2,a) and (4,c) never appear
+        assert got == [
+            (1, "a", "X1", "insert"),
+            (1, "a", "x1", "delete"),
+            (3, "b", "x3", "delete"),
+            (9, "c", "x9", "insert"),
+        ]
+
+    def test_untouched_partitions_never_scanned(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        upd = spark.createDataFrame(
+            [(1, "a", "X1", "U")], "id int, pt string, v string, op string"
+        )
+        merge_into_partitioned(spark, path, upd, ["id"], ["pt"], op_col="op")
+        diff = mt.changes(1, 2)
+        files = diff.inputFiles()
+        assert files, "diff over a real change must scan something"
+        assert all("_p_pt=a" in f for f in files), files
+        assert sorted(
+            (r.id, r.v, r._change_type) for r in diff.collect()
+        ) == [(1, "X1", "insert"), (1, "x1", "delete")]
+
+    def test_compaction_diff_is_empty(self, spark, tmp_path):
+        mt = self._merged(spark, tmp_path)
+        mt.compact(retain_versions=3)
+        assert mt.versions() == [1, 2, 3]
+        assert mt.changes(2, 3).count() == 0
+        # while the data diff across the merge itself is still visible
+        assert mt.changes(1, 3).count() == 4
+
+    def test_schema_evolution_null_backfill(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        evolved = spark.createDataFrame(
+            [(1, "a", "X1", 10), (2, "a", "x2", 20)],
+            "id int, pt string, v string, extra int",
+        )
+        mt.overwrite_partitions(evolved, [("a",)])
+        got = sorted(
+            (
+                (r.id, r.v, r.extra, r._change_type)
+                for r in mt.changes(1, 2).collect()
+            ),
+            key=lambda t: (t[0], t[1], t[2] is not None, t[2] or 0, t[3]),
+        )
+        # old rows carry extra=NULL (add-only evolution): the rewritten
+        # id=2 row differs from its old self only via the new column
+        assert got == [
+            (1, "X1", 10, "insert"),
+            (1, "x1", None, "delete"),
+            (2, "x2", None, "delete"),
+            (2, "x2", 20, "insert"),
+        ]
+
+    def test_dropped_column_raises(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        narrowed = spark.createDataFrame([(1, "a")], "id int, pt string")
+        mt.overwrite_partitions(narrowed, [("a",)])
+        with pytest.raises(ValueError, match="cannot be expressed"):
+            mt.changes(1, 2)
+
+    def test_guards(self, spark, tmp_path):
+        mt = self._merged(spark, tmp_path)
+        with pytest.raises(ValueError, match="collides"):
+            mt.changes(1, 2, change_col="v")
+        with pytest.raises(ValueError, match="newer than"):
+            mt.changes(2, 1)
+        upd2 = mt.spark.createDataFrame(
+            [(2, "a", "Z2", "U")], "id int, pt string, v string, op string"
+        )
+        merge_into_partitioned(
+            mt.spark, mt.path, upd2, ["id"], ["pt"], op_col="op"
+        )
+        with pytest.raises(ValueError, match="not retained"):
+            mt.changes(1)  # v1 fell out of the retain window
+
+
 class TestAtomicCommit:
     """Crash injection: a reader must see old-or-new, never mixed."""
 
