@@ -454,8 +454,9 @@ class ManifestTable:
         Cost is O(changed partitions): the manifest diff names exactly
         the partitions whose directory moved between the two versions
         (added, removed, or rewritten), only those are scanned on
-        either side, and the multiset diff (``exceptAll``) shuffles
-        only their rows. Untouched partitions — the overwhelming
+        either side, and the multiset diff (a signed-weight groupBy —
+        one scan per side, ONE shuffle) moves only their rows.
+        Untouched partitions — the overwhelming
         majority of a 100 TB table under delta-sized merges — are
         never listed or read, so an incremental consumer pays for the
         delta, not the table. A compaction rewrites directories
@@ -465,7 +466,9 @@ class ManifestTable:
         Schema evolution: columns added between the versions are NULL
         on the ``from`` side (the mergeSchema add-only contract);
         a column PRESENT in ``from`` but missing in ``to`` raises —
-        the diff cannot be represented in the target schema. Versions
+        the diff cannot be represented in the target schema — and so
+        does a column whose TYPE changed (set-op coercion would
+        silently mask the change otherwise). Versions
         outside the retain window raise via :meth:`manifest` (listing
         what is still available)."""
         man_to = self.manifest(to_version)
@@ -476,14 +479,27 @@ class ManifestTable:
                 f"to_version {man_to['version']}"
             )
         to_schema = T.StructType.fromJson(man_to["schema"])
-        from_names = {f["name"] for f in man_from["schema"]["fields"]}
+        from_schema = T.StructType.fromJson(man_from["schema"])
+        from_types = {f.name: f.dataType for f in from_schema.fields}
         to_names = [f.name for f in to_schema.fields]
-        dropped = sorted(from_names - set(to_names))
+        dropped = sorted(set(from_types) - set(to_names))
         if dropped:
             raise ValueError(
                 f"column(s) {dropped} exist at v{man_from['version']} "
                 f"but not at v{man_to['version']}; the diff cannot be "
                 "expressed in the target schema"
+            )
+        retyped = sorted(
+            f.name
+            for f in to_schema.fields
+            if f.name in from_types and from_types[f.name] != f.dataType
+        )
+        if retyped:
+            # silent set-op coercion would mask (or garble) the change
+            raise ValueError(
+                f"column(s) {retyped} changed type between "
+                f"v{man_from['version']} and v{man_to['version']}; the "
+                "evolution contract is add-only with stable types"
             )
         if change_col in to_names:
             raise ValueError(
@@ -497,17 +513,14 @@ class ManifestTable:
         }
 
         def _side(man: dict) -> DataFrame:
-            dirs = sorted(
-                {
-                    f"{self.path}/{e['dir']}"
-                    for e in man["entries"]
-                    if e["key"] in changed
+            return self.read(
+                manifest_dict={
+                    **man,
+                    "entries": [
+                        e for e in man["entries"] if e["key"] in changed
+                    ],
                 }
             )
-            schema = T.StructType.fromJson(man["schema"])
-            if not dirs:
-                return self.spark.createDataFrame([], schema)
-            return self.spark.read.schema(schema).parquet(*dirs)
 
         old = _side(man_from)
         new = _side(man_to).select(*to_names)
@@ -519,12 +532,30 @@ class ManifestTable:
                 for f in to_schema.fields
             ]
         )
+        # multiset diff in ONE shuffle: signed-weight groupBy over all
+        # columns, then re-expand |net| copies. Same semantics as the
+        # two-sided exceptAll (NULLs group as equal there too) at half
+        # the scans — each side's parquet is read once, not twice.
+        w = new.withColumn("_w", F.lit(1)).unionByName(
+            old.withColumn("_w", F.lit(-1))
+        )
+        net = (
+            w.groupBy(*to_names)
+            .agg(F.sum("_w").alias("_net"))
+            .filter(F.col("_net") != 0)
+        )
         return (
-            new.exceptAll(old)
-            .withColumn(change_col, F.lit("insert"))
-            .unionByName(
-                old.exceptAll(new).withColumn(change_col, F.lit("delete"))
+            net.withColumn(
+                change_col,
+                F.when(F.col("_net") > 0, F.lit("insert")).otherwise(
+                    F.lit("delete")
+                ),
             )
+            .withColumn(
+                "_copy",
+                F.explode(F.sequence(F.lit(1), F.abs(F.col("_net")))),
+            )
+            .select(*to_names, change_col)
         )
 
     # ---- write ----------------------------------------------------

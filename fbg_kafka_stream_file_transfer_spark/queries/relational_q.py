@@ -2012,25 +2012,33 @@ QUERIES["table_incremental_changes"] = Q(
 WITH ev AS (SELECT event_id, event_type, props, {_EBUCKET} AS bk,
                    event_type IN ('click', 'error') AS touched
             FROM events),
-upd AS (SELECT event_id, event_type FROM ev WHERE touched AND bk < 1000),
-del AS (SELECT event_id, event_type FROM ev
+-- an update whose rewrite leaves the row identical (NULL props) is
+-- NOT a change; membership derives from the data, not the op list
+upd AS (SELECT event_id, event_type, props AS old_props,
+               props || ' [v2]' AS new_props
+        FROM ev WHERE touched AND bk < 1000
+          AND props || ' [v2]' IS DISTINCT FROM props),
+del AS (SELECT event_id, event_type, props FROM ev
         WHERE touched AND bk >= 1000 AND bk < 1500),
-ins AS (SELECT event_id + 10000000 AS event_id, event_type
+ins AS (SELECT event_id + 10000000 AS event_id, event_type,
+               props || ' [new]' AS props
         FROM ev WHERE touched AND bk < 300),
-deletes AS (SELECT event_type, event_id, 0 AS marked FROM upd
-            UNION ALL SELECT event_type, event_id, 0 FROM del),
-inserts AS (SELECT event_type, event_id, 1 AS marked FROM upd
-            UNION ALL SELECT event_type, event_id, 1 FROM ins)
+deletes AS (SELECT event_type, event_id, old_props AS props FROM upd
+            UNION ALL SELECT event_type, event_id, props FROM del),
+inserts AS (SELECT event_type, event_id, new_props AS props FROM upd
+            UNION ALL SELECT event_type, event_id, props FROM ins)
 SELECT event_type, 'delete' AS change_type,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(event_id) AS BIGINT) AS id_checksum,
-       CAST(sum(marked) AS BIGINT) AS n_marked
+       CAST(sum(CASE WHEN props LIKE '%[v2]%' OR props LIKE '%[new]%'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_marked
 FROM deletes GROUP BY 1
 UNION ALL
 SELECT event_type, 'insert',
        CAST(count(*) AS BIGINT),
        CAST(sum(event_id) AS BIGINT),
-       CAST(sum(marked) AS BIGINT)
+       CAST(sum(CASE WHEN props LIKE '%[v2]%' OR props LIKE '%[new]%'
+                     THEN 1 ELSE 0 END) AS BIGINT)
 FROM inserts GROUP BY 1
 """,
     doc="manifest incremental changes (CDF read): version diff == relational recomputation of the delta",

@@ -217,6 +217,41 @@ class TestIncrementalChanges:
         with pytest.raises(ValueError, match="cannot be expressed"):
             mt.changes(1, 2)
 
+    def test_retyped_column_raises(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        retyped = spark.createDataFrame(
+            [(1, "a", 7)], "id int, pt string, v int"  # v was string
+        )
+        mt.overwrite_partitions(retyped, [("a",)])
+        with pytest.raises(ValueError, match="changed type"):
+            mt.changes(1, 2)
+
+    def test_duplicate_rows_multiset_semantics(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        # v1 holds the same row twice plus one singleton
+        mt.create(
+            spark.createDataFrame(
+                [(1, "a", "x"), (1, "a", "x"), (2, "a", "y")],
+                "id int, pt string, v string",
+            ),
+            ["pt"],
+        )
+        # v2: the duplicate row now appears 3x, the singleton is gone
+        mt.overwrite_partitions(
+            spark.createDataFrame(
+                [(1, "a", "x")] * 3, "id int, pt string, v string"
+            ),
+            [("a",)],
+        )
+        got = sorted(
+            (r.id, r.v, r._change_type) for r in mt.changes(1, 2).collect()
+        )
+        # net +1 copy of (1,a,x) and -1 copy of (2,a,y)
+        assert got == [(1, "x", "insert"), (2, "y", "delete")]
+
     def test_guards(self, spark, tmp_path):
         mt = self._merged(spark, tmp_path)
         with pytest.raises(ValueError, match="collides"):
