@@ -1457,3 +1457,128 @@ FROM ranked WHERE rn = 1 AND event_type <> 'error'
 """,
     doc="manifest-layout CDC sink: atomic per-batch commits across micro-batches == same relational oracle + version count",
 )
+
+
+def _q_stream_table_changes_tail(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming commit-feed tail driven end-to-end (round 9): the
+    read side of the manifest-table loop. Persist events as a manifest
+    table, START the changes tail (streaming/table_tail.py — file
+    stream source over the manifest dir, per-commit diffs emitted
+    JVM-side into idempotent feed dirs), then commit the standard
+    update/delete/insert delta WHILE the tail runs. The accumulated
+    feed must contain commit 1 as a full initial snapshot (every row
+    an insert) and commit 2 as exactly the relational diff — an
+    emitted duplicate, a skipped version, or a leaked unchanged row
+    all break the hash. Completes the CDC story: atomic commits in,
+    O(delta) streaming change feeds out.
+
+    Scale shape: the stream moves manifest METADATA only (one tiny
+    JSON row per commit); each diff is manifest-pruned to the changed
+    partitions and one shuffle; the feed read is a single
+    explicit-schema scan over complete dirs."""
+    import shutil
+    import tempfile
+
+    from ..operators.sampling import rate_bucket
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable
+    from ..streaming.table_tail import (
+        read_changes_feed,
+        start_table_changes_tail,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "props"
+    )
+    b = rate_bucket(F.col("event_id"))
+    touched = F.col("event_type").isin("click", "error")
+    work = tempfile.mkdtemp(prefix="table_tail_")
+    path = f"{work}/events_by_type"
+    feed = f"{work}/feed"
+    try:
+        ManifestTable(spark, path).create(ev, ["event_type"])
+        q = start_table_changes_tail(spark, path, feed, f"{work}/ckpt")
+        try:
+            q.processAllAvailable()  # commit 1: initial snapshot
+            upd = ev.filter(touched & (b < 1000)).withColumn(
+                "props", F.concat(F.col("props"), F.lit(" [v2]"))
+            ).withColumn("op", F.lit("U"))
+            dele = ev.filter(
+                touched & (b >= 1000) & (b < 1500)
+            ).withColumn("op", F.lit("D"))
+            ins = (
+                ev.filter(touched & (b < 300))
+                .withColumn(
+                    "event_id", F.col("event_id") + F.lit(10_000_000)
+                )
+                .withColumn(
+                    "props", F.concat(F.col("props"), F.lit(" [new]"))
+                )
+                .withColumn("op", F.lit("U"))
+            )
+            merge_into_partitioned(
+                spark, path, upd.unionByName(dele).unionByName(ins),
+                ["event_id"], ["event_type"], op_col="op",
+            )
+            q.processAllAvailable()  # commit 2: the delta diff
+        finally:
+            q.stop()
+        rows = (
+            read_changes_feed(spark, path, feed)
+            .groupBy(
+                F.col("_commit_version").alias("commit_version"),
+                "event_type",
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+            )
+            .collect()  # materialize before the temp dirs are removed
+        )
+        return spark.createDataFrame(
+            rows,
+            "commit_version int, event_type string, change_type string,"
+            " n_rows bigint, id_checksum bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+from .relational_q import _EBUCKET as _TAIL_EBUCKET  # noqa: E402
+
+
+QUERIES["stream_table_changes_tail_e2e"] = Q(
+    _q_stream_table_changes_tail,
+    f"""
+WITH ev AS (SELECT event_id, event_type, props, {{bucket}} AS bk,
+                   event_type IN ('click', 'error') AS touched
+            FROM events),
+upd AS (SELECT event_id, event_type FROM ev WHERE touched AND bk < 1000
+          AND props || ' [v2]' IS DISTINCT FROM props),
+del AS (SELECT event_id, event_type FROM ev
+        WHERE touched AND bk >= 1000 AND bk < 1500),
+ins AS (SELECT event_id + 10000000 AS event_id, event_type
+        FROM ev WHERE touched AND bk < 300),
+deletes AS (SELECT event_type, event_id FROM upd
+            UNION ALL SELECT event_type, event_id FROM del),
+inserts AS (SELECT event_type, event_id FROM upd
+            UNION ALL SELECT event_type, event_id FROM ins)
+SELECT CAST(1 AS INT) AS commit_version, event_type,
+       'insert' AS change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_checksum
+FROM ev GROUP BY 2
+UNION ALL
+SELECT CAST(2 AS INT), event_type, 'delete',
+       CAST(count(*) AS BIGINT), CAST(sum(event_id) AS BIGINT)
+FROM deletes GROUP BY 2
+UNION ALL
+SELECT CAST(2 AS INT), event_type, 'insert',
+       CAST(count(*) AS BIGINT), CAST(sum(event_id) AS BIGINT)
+FROM inserts GROUP BY 2
+""".format(bucket=_TAIL_EBUCKET),
+    doc="streaming commit-feed tail e2e: initial snapshot + live-merge diff == relational oracle",
+)

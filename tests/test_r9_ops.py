@@ -268,6 +268,113 @@ class TestIncrementalChanges:
             mt.changes(1)  # v1 fell out of the retain window
 
 
+class TestTableChangesTail:
+    """Streaming commit-feed tail (streaming/table_tail.py)."""
+
+    def _run_tail(self, spark, tmp_path, ckpt="ckpt"):
+        from fbg_kafka_stream_file_transfer_spark.streaming.table_tail import (
+            start_table_changes_tail,
+        )
+
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        q = start_table_changes_tail(
+            spark, path, str(tmp_path / "feed"), str(tmp_path / ckpt)
+        )
+        try:
+            q.processAllAvailable()  # v1 initial snapshot
+            merge_into_partitioned(
+                spark, path, _upd(spark), ["id"], ["pt"], op_col="op"
+            )
+            q.processAllAvailable()  # v2 diff
+        finally:
+            q.stop()
+        return path
+
+    def _feed_rows(self, spark, tmp_path, path):
+        from fbg_kafka_stream_file_transfer_spark.streaming.table_tail import (
+            read_changes_feed,
+        )
+
+        feed = read_changes_feed(spark, path, str(tmp_path / "feed"))
+        return sorted(
+            (r._commit_version, r.id, r.pt, r.v, r._change_type)
+            for r in feed.collect()
+        )
+
+    _EXPECTED_FEED = [
+        (1, 1, "a", "x1", "insert"),
+        (1, 2, "a", "x2", "insert"),
+        (1, 3, "b", "x3", "insert"),
+        (1, 4, "c", "x4", "insert"),
+        (2, 1, "a", "X1", "insert"),
+        (2, 1, "a", "x1", "delete"),
+        (2, 3, "b", "x3", "delete"),
+        (2, 9, "c", "x9", "insert"),
+    ]
+
+    def test_snapshot_then_diff(self, spark, tmp_path):
+        path = self._run_tail(spark, tmp_path)
+        assert self._feed_rows(spark, tmp_path, path) == self._EXPECTED_FEED
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.streaming.table_tail import (
+            start_table_changes_tail,
+        )
+
+        path = self._run_tail(spark, tmp_path)
+        # a second tail with a FRESH checkpoint re-discovers every
+        # manifest and overwrites the same deterministic dirs — the
+        # crash-replay window, deliberately maximized
+        q = start_table_changes_tail(
+            spark, path, str(tmp_path / "feed"), str(tmp_path / "ckpt2")
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert self._feed_rows(spark, tmp_path, path) == self._EXPECTED_FEED
+
+    def test_incomplete_dir_invisible(self, spark, tmp_path):
+        path = self._run_tail(spark, tmp_path)
+        # simulate a crashed emit: rows present, no _SUCCESS
+        junk = tmp_path / "feed" / "v00000099"
+        junk.mkdir()
+        import shutil
+
+        src = next((tmp_path / "feed" / "v00000001").glob("part-*.parquet"))
+        shutil.copy(src, junk / src.name)
+        assert self._feed_rows(spark, tmp_path, path) == self._EXPECTED_FEED
+
+    def test_lagging_consumer_fails_loudly(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.streaming.table_tail import (
+            start_table_changes_tail,
+        )
+
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        merge_into_partitioned(
+            spark, path, _upd(spark), ["id"], ["pt"], op_col="op"
+        )
+        upd2 = spark.createDataFrame(
+            [(2, "a", "Z2", "U")], "id int, pt string, v string, op string"
+        )
+        merge_into_partitioned(spark, path, upd2, ["id"], ["pt"], op_col="op")
+        # retain_versions=2 → v1's manifest is gone; a consumer that
+        # starts now cannot reconstruct v2's diff and must fail with
+        # the explicit retention error, never skip data silently
+        q = start_table_changes_tail(
+            spark, path, str(tmp_path / "feed"), str(tmp_path / "ckpt")
+        )
+        try:
+            with pytest.raises(Exception, match="not retained"):
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+
 class TestAtomicCommit:
     """Crash injection: a reader must see old-or-new, never mixed."""
 
