@@ -1553,7 +1553,7 @@ from .relational_q import _EBUCKET as _TAIL_EBUCKET  # noqa: E402
 QUERIES["stream_table_changes_tail_e2e"] = Q(
     _q_stream_table_changes_tail,
     f"""
-WITH ev AS (SELECT event_id, event_type, props, {{bucket}} AS bk,
+WITH ev AS (SELECT event_id, event_type, props, {_TAIL_EBUCKET} AS bk,
                    event_type IN ('click', 'error') AS touched
             FROM events),
 upd AS (SELECT event_id, event_type FROM ev WHERE touched AND bk < 1000
@@ -1579,6 +1579,6 @@ UNION ALL
 SELECT CAST(2 AS INT), event_type, 'insert',
        CAST(count(*) AS BIGINT), CAST(sum(event_id) AS BIGINT)
 FROM inserts GROUP BY 2
-""".format(bucket=_TAIL_EBUCKET),
+""",
     doc="streaming commit-feed tail e2e: initial snapshot + live-merge diff == relational oracle",
 )

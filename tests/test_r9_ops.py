@@ -355,6 +355,12 @@ class TestTableChangesTail:
         path = str(tmp_path / "t")
         mt = ManifestTable(spark, path)
         mt.create(_base(spark), ["pt"])
+        feed, ckpt = str(tmp_path / "feed"), str(tmp_path / "ckpt")
+        q = start_table_changes_tail(spark, path, feed, ckpt)
+        try:
+            q.processAllAvailable()  # consumer has state up to v1
+        finally:
+            q.stop()
         merge_into_partitioned(
             spark, path, _upd(spark), ["id"], ["pt"], op_col="op"
         )
@@ -362,17 +368,71 @@ class TestTableChangesTail:
             [(2, "a", "Z2", "U")], "id int, pt string, v string, op string"
         )
         merge_into_partitioned(spark, path, upd2, ["id"], ["pt"], op_col="op")
-        # retain_versions=2 → v1's manifest is gone; a consumer that
-        # starts now cannot reconstruct v2's diff and must fail with
-        # the explicit retention error, never skip data silently
-        q = start_table_changes_tail(
-            spark, path, str(tmp_path / "feed"), str(tmp_path / "ckpt")
-        )
+        # retain_versions=2 → v1's manifest is gone; this consumer HAS
+        # prior state (v1 emitted), so the v1→v2 gap cannot be
+        # reconstructed and the stream must fail with the explicit
+        # retention error, never skip data silently
+        q = start_table_changes_tail(spark, path, feed, ckpt)
         try:
             with pytest.raises(Exception, match="not retained"):
                 q.processAllAvailable()
         finally:
             q.stop()
+
+    def test_fresh_consumer_bootstraps_from_oldest_retained(
+        self, spark, tmp_path
+    ):
+        from fbg_kafka_stream_file_transfer_spark.streaming.table_tail import (
+            read_changes_feed,
+            start_table_changes_tail,
+        )
+
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        merge_into_partitioned(
+            spark, path, _upd(spark), ["id"], ["pt"], op_col="op"
+        )
+        upd2 = spark.createDataFrame(
+            [(2, "a", "Z2", "U")], "id int, pt string, v string, op string"
+        )
+        merge_into_partitioned(spark, path, upd2, ["id"], ["pt"], op_col="op")
+        assert mt.versions() == [2, 3]
+        # a consumer with NO prior state on a pre-existing table:
+        # oldest retained version (v2) = initial snapshot, then diffs
+        q = start_table_changes_tail(
+            spark, path, str(tmp_path / "feed"), str(tmp_path / "ckpt")
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        feed = read_changes_feed(spark, path, str(tmp_path / "feed"))
+        got = sorted(
+            (r._commit_version, r.id, r.v, r._change_type)
+            for r in feed.collect()
+        )
+        assert got == [
+            (2, 1, "X1", "insert"),  # v2 state as the snapshot
+            (2, 2, "x2", "insert"),
+            (2, 4, "x4", "insert"),
+            (2, 9, "x9", "insert"),
+            (3, 2, "Z2", "insert"),  # then the v3 diff
+            (3, 2, "x2", "delete"),
+        ]
+
+    def test_change_col_collision_raises(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.streaming.table_tail import (
+            start_table_changes_tail,
+        )
+
+        path = str(tmp_path / "t")
+        ManifestTable(spark, path).create(_base(spark), ["pt"])
+        with pytest.raises(ValueError, match="collides"):
+            start_table_changes_tail(
+                spark, path, str(tmp_path / "f"), str(tmp_path / "c"),
+                change_col="v",
+            )
 
 
 class TestAtomicCommit:
