@@ -139,6 +139,50 @@ def main(sf_dir: str, work_dir: str) -> None:
     suite.show(truncate=False)
     failed = [r.rule for r in suite.collect() if not r.pass_flag]
     assert not failed, f"maintenance left the table in violation: {failed}"
+
+    print("\n== 7. manifest lifecycle: atomic commits + streaming CDF tail ==")
+    # the same table under the r9 commit protocol: versioned manifest
+    # commits (readers see old-or-new, never torn), a compaction that
+    # is invisible to the change feed, and a downstream consumer
+    # tailing every commit's row-level diff as a stream
+    from fbg_kafka_stream_file_transfer_spark.operators.table import (
+        ManifestTable,
+    )
+    from fbg_kafka_stream_file_transfer_spark.streaming.table_tail import (
+        read_changes_feed,
+        start_table_changes_tail,
+    )
+
+    mpath = f"{work_dir}/events_manifest"
+    mt = ManifestTable(spark, mpath)
+    mt.create(final, ["pt"])
+    q = start_table_changes_tail(
+        spark, mpath, f"{work_dir}/feed", f"{work_dir}/feed_ckpt"
+    )
+    try:
+        q.processAllAvailable()  # v1 = initial snapshot as inserts
+        delta2 = (
+            final.filter((F.col("pt") == 0) & (F.col("event_type") == "view"))
+            .limit(50)
+            .withColumn("op", F.lit("D"))
+        )
+        merge_into_partitioned(  # v2: atomic manifest commit
+            spark, mpath, delta2, ["event_id"], ["pt"], op_col="op"
+        )
+        mt.compact(retain_versions=3)  # v3: maintenance, no data change
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    feed = read_changes_feed(spark, mpath, f"{work_dir}/feed")
+    feed.groupBy("_commit_version", "_change_type").count().orderBy(
+        "_commit_version", "_change_type"
+    ).show()
+    n_compaction_rows = feed.filter(F.col("_commit_version") == 3).count()
+    assert n_compaction_rows == 0, "compaction leaked into the change feed"
+    print(
+        f"table at v{mt.current_version()}; compaction emitted "
+        f"{n_compaction_rows} feed rows (maintenance is invisible)"
+    )
     spark.stop()
 
 
