@@ -286,6 +286,7 @@ def merge_into_partitioned(
     ts_col: str | None = None,
     tiebreak_cols: tuple[str, ...] = (),
     lock_stale_after_seconds: float | None = None,
+    retain_versions: int = 2,
 ) -> int:
     """MERGE a keyed delta into a persisted partitioned parquet table,
     rewriting ONLY the partitions the delta touches — the batch upsert/
@@ -380,6 +381,11 @@ def merge_into_partitioned(
       directory delete. Same delta-sized cost; this is the
       Delta/Iceberg-grade commit the plain layout cannot give
       (operators/table.py for the protocol and its crash analysis).
+      ``retain_versions`` (manifest layout only, ignored for hive)
+      sizes the snapshot window each commit keeps: time travel,
+      ``changes()`` diffs, and a ``table_tail`` consumer's maximum
+      tolerated lag all reach exactly the retained versions — size it
+      above the slowest consumer's lag in commits.
 
     Scale: the delta's partition list is a bounded collect (O(touched
     partitions), small by contract); the current-state scan prunes to
@@ -410,6 +416,7 @@ def merge_into_partitioned(
                 return _merge_into_manifest(
                     spark, path, updates, key_cols, partition_cols,
                     op_col, delete_op, ts_col, tiebreak_cols,
+                    retain_versions,
                 )
             return _merge_into_plain(
                 spark, path, updates, key_cols, partition_cols,
@@ -650,6 +657,7 @@ def _merge_into_manifest(
     delete_op: str,
     ts_col: str | None,
     tiebreak_cols: tuple[str, ...],
+    retain_versions: int = 2,
 ) -> int:
     """Atomic-commit merge path for manifest tables (caller holds the
     table write lock). Same semantics as the plain path; the publish
@@ -706,7 +714,8 @@ def _merge_into_manifest(
             tiebreak_cols,
         )
         mt.overwrite_partitions(
-            merged, touched, expected_version=ver, assume_locked=True
+            merged, touched, expected_version=ver, assume_locked=True,
+            retain_versions=retain_versions,
         )
         return len(touched)
     finally:

@@ -48,8 +48,17 @@ def start_changelog_merge_sink(
     tiebreak_cols: tuple[str, ...] = (),
     lock_stale_after_seconds: float | None = 900.0,
     layout: str = "hive",
+    retain_versions: int = 2,
 ):
     """Start the changelog→table merge stream; returns the query.
+
+    ``retain_versions`` (manifest layout only) sizes the snapshot
+    window each micro-batch commit keeps. The default (2) is right for
+    a table nobody tails; a downstream ``table_tail`` consumer
+    tolerates at most ``retain_versions - 1`` commits of lag before
+    hitting the loud retention error, and micro-batch commits are
+    FREQUENT — size it generously (retained manifests are KB-scale;
+    old generations hold only rewritten partitions).
 
     ``layout`` picks the table's commit protocol at bootstrap:
     ``"hive"`` (default) writes the classic partitioned layout —
@@ -200,6 +209,7 @@ def start_changelog_merge_sink(
             ts_col=ts_col,
             tiebreak_cols=tiebreak_cols,
             lock_stale_after_seconds=lock_stale_after_seconds,
+            retain_versions=retain_versions,
         )
 
     return (

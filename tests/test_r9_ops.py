@@ -434,6 +434,51 @@ class TestTableChangesTail:
                 change_col="v",
             )
 
+    def test_merge_retain_versions_widens_the_tail_window(
+        self, spark, tmp_path
+    ):
+        """retain_versions plumbs through merge_into_partitioned, so a
+        slow consumer's window is a merge-side knob: 3 commits with
+        retain_versions=5 keep every version, and a tail started
+        AFTERWARDS replays the full history instead of dying on the
+        default window's retention error."""
+        from fbg_kafka_stream_file_transfer_spark.streaming.table_tail import (
+            read_changes_feed,
+            start_table_changes_tail,
+        )
+
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        merge_into_partitioned(
+            spark, path, _upd(spark), ["id"], ["pt"], op_col="op",
+            retain_versions=5,
+        )
+        upd2 = spark.createDataFrame(
+            [(2, "a", "Z2", "U")], "id int, pt string, v string, op string"
+        )
+        merge_into_partitioned(
+            spark, path, upd2, ["id"], ["pt"], op_col="op",
+            retain_versions=5,
+        )
+        assert mt.versions() == [1, 2, 3]  # nothing GC'd
+        q = start_table_changes_tail(
+            spark, path, str(tmp_path / "feed"), str(tmp_path / "ckpt")
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        feed = read_changes_feed(spark, path, str(tmp_path / "feed"))
+        by_version = {
+            r["_commit_version"]: r["n"]
+            for r in feed.groupBy("_commit_version")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # v1 snapshot (4 rows) + v2 diff (4) + v3 diff (2)
+        assert by_version == {1: 4, 2: 4, 3: 2}
+
 
 class TestAtomicCommit:
     """Crash injection: a reader must see old-or-new, never mixed."""
