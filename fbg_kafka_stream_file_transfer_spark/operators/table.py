@@ -506,6 +506,17 @@ class ManifestTable:
                 f"change_col {change_col!r} collides with a table "
                 "column; pass a different name"
             )
+        internal = sorted({"_w", "_net", "_copy"} & set(to_names))
+        if internal:
+            # the signed-weight diff below would silently overwrite a
+            # table column named '_w' (breaking the multiset groupBy)
+            # or '_copy' (replaced by the explode sequence) — loud
+            # refusal, same pattern as the _mrg_src guard in merge
+            raise ValueError(
+                f"table column(s) {internal} collide with the change "
+                "scan's internal names ('_w', '_net', '_copy'); "
+                "rename them"
+            )
         fe = {e["key"]: e["dir"] for e in man_from["entries"]}
         te = {e["key"]: e["dir"] for e in man_to["entries"]}
         changed = {
@@ -681,13 +692,10 @@ class ManifestTable:
                 f"column name(s) {sorted(clash)} are reserved by the "
                 "manifest layout; rename them"
             )
-        if touched is None:
-            touched = [
-                tuple(r) for r in df.select(*pcols).distinct().collect()
-            ]
         from .scale import _reject_empty_string_partitions
 
-        _reject_empty_string_partitions(touched, pcols)
+        if touched is not None:
+            _reject_empty_string_partitions(touched, pcols)
         gen_rel = f"{_DATA_DIR}/g{version:08d}"
         staged = df
         for c, d in zip(pcols, dup):
@@ -695,6 +703,25 @@ class ManifestTable:
         staged.write.partitionBy(*dup).parquet(
             f"{self.path}/{gen_rel}", mode="overwrite"
         )
+        if touched is None:
+            # derive touched from the WRITTEN generation, never from a
+            # second evaluation of df: a nondeterministic df (sampling,
+            # rand) evaluated once for distinct() and again for the
+            # write could land partition directories absent from
+            # touched — rows on disk with no manifest entry, silently
+            # invisible (external review r10). The original pcols stay
+            # PHYSICAL in the data files, so this is a column-pruned
+            # parquet read of what actually landed — no directory name
+            # is parsed back to a value. Empty-string rejection moves
+            # after the write but before manifest publish, so a refusal
+            # leaves only an unreferenced (invisible, GC-able) husk.
+            back = self.spark.read.schema(staged.schema).parquet(
+                f"{self.path}/{gen_rel}"
+            )
+            touched = [
+                tuple(r) for r in back.select(*pcols).distinct().collect()
+            ]
+            _reject_empty_string_partitions(touched, pcols)
         # map each touched partition to its freshly written directory
         # by VALUE (the escaped-dir-name walk shared with the plain
         # merge path); no directory name is ever parsed back to a value
@@ -703,9 +730,10 @@ class ManifestTable:
             if version > 1
             else {}
         )
+        dirs_by_key = self._map_partition_dirs(gen_rel, dup, touched)
         for t in touched:
             key = _partition_key(t)
-            rel = self._find_partition_dir(gen_rel, dup, t)
+            rel = dirs_by_key.get(key)
             if rel is None:
                 prev_entries.pop(key, None)  # emptied: entry removed
             else:
@@ -716,6 +744,12 @@ class ManifestTable:
                 }
         man = {
             "version": version,
+            # a unique id per PHYSICAL commit: a post-crash re-publish
+            # of the same version gets a fresh uuid, so a feed tail
+            # that already consumed the orphan predecessor can detect
+            # the replacement and re-emit instead of silently skipping
+            # a diverged commit (external review r10)
+            "commit_uuid": uuid.uuid4().hex,
             "partition_cols": pcols,
             "schema": json.loads(df.schema.json()),
             "entries": sorted(prev_entries.values(), key=lambda e: e["key"]),
@@ -724,34 +758,77 @@ class ManifestTable:
         self._gc(version, retain_versions)
         return len(touched)
 
-    def _find_partition_dir(
-        self, gen_rel: str, dup_cols: list[str], values: tuple
-    ) -> str | None:
+    def _map_partition_dirs(
+        self, gen_rel: str, dup_cols: list[str], touched: list[tuple]
+    ) -> dict[str, str]:
+        """Map every touched partition's key to its freshly written
+        directory in generation ``gen_rel`` (absent key = no rows
+        landed, i.e. the partition was emptied). ONE breadth-first
+        walk of the generation tree — each directory node is listed
+        exactly once, O(written dirs) RPCs total — replacing the r9
+        per-touched-partition path walk that re-listed shared prefixes
+        O(touched × depth) times (the verdict-named metadata cost at
+        5-10 k partitions). Matching stays by VALUE through
+        ``_partition_value_matches`` (never by re-formatting the value
+        into a directory name), memoized per (level, value) so each
+        distinct value is matched against each distinct on-disk raw at
+        most once."""
         import urllib.parse
 
-        fs, cur = _hadoop_fs(self.spark, f"{self.path}/{gen_rel}")
-        if not fs.exists(cur):
-            return None
-        rel_parts = [gen_rel]
-        for col, val in zip(dup_cols, values):
-            if not fs.isDirectory(cur):
-                return None
-            hit = None
-            for status in fs.listStatus(cur):
-                name = status.getPath().getName()
-                if "=" not in name:
+        fs, jroot = _hadoop_fs(self.spark, f"{self.path}/{gen_rel}")
+        if not fs.exists(jroot):
+            return {}
+        # level-order walk: nodes at depth i carry the unescaped raw
+        # directory values of their path's i components
+        nodes: list[tuple] = [(jroot, gen_rel, ())]
+        for col in dup_cols:
+            nxt: list[tuple] = []
+            for jpath, rel, raws in nodes:
+                if not fs.isDirectory(jpath):
                     continue
-                c, _, raw = name.partition("=")
-                if c == col and _partition_value_matches(
-                    val, urllib.parse.unquote(raw)
-                ):
-                    hit = status.getPath()
-                    rel_parts.append(name)
+                for status in fs.listStatus(jpath):
+                    name = status.getPath().getName()
+                    c, eq, raw = name.partition("=")
+                    if not eq or c != col:
+                        continue
+                    nxt.append(
+                        (
+                            status.getPath(),
+                            f"{rel}/{name}",
+                            raws + (urllib.parse.unquote(raw),),
+                        )
+                    )
+            nodes = nxt
+        by_raws = {raws: rel for _, rel, raws in nodes}
+        level_raws = [
+            sorted({raws[i] for raws in by_raws})
+            for i in range(len(dup_cols))
+        ]
+        memo: dict[tuple, str | None] = {}
+        out: dict[str, str] = {}
+        for t in touched:
+            matched: list[str] | None = []
+            for i, val in enumerate(t):
+                mk = (i, _partition_key((val,)))
+                if mk not in memo:
+                    memo[mk] = next(
+                        (
+                            raw
+                            for raw in level_raws[i]
+                            if _partition_value_matches(val, raw)
+                        ),
+                        None,
+                    )
+                if memo[mk] is None:
+                    matched = None
                     break
-            if hit is None:
-                return None
-            cur = hit
-        return "/".join(rel_parts)
+                matched.append(memo[mk])
+            rel = (
+                by_raws.get(tuple(matched)) if matched is not None else None
+            )
+            if rel is not None:
+                out[_partition_key(t)] = rel
+        return out
 
     def _publish(self, version: int, man: dict) -> None:
         """Manifest lands via tmp-write + rename; the pointer swaps

@@ -41,13 +41,17 @@ always diffs forward from it.
 
 Retention contract (the honest limit, same shape as Delta CDF's):
 version ``v``'s diff needs manifests ``v-1`` and ``v`` retained. A
-consumer that previously emitted ``v-1`` but returns after the
-manifest was GC'd finds the gap unreconstructable and the stream
-FAILS with the explicit "not retained" error — size
+consumer WITH prior feed state — whether it emitted ``v-1`` exactly,
+lagged multiple versions past retention while down, or had its old
+feed dirs pruned (the ``_PRUNED_THROUGH`` high-water survives) — that
+returns after the gap's manifests were GC'd finds the diffs
+unreconstructable and the stream FAILS with the explicit "not
+retained"/"lagged past retain_versions" error — size
 ``retain_versions`` above the maximum expected consumer lag; data is
-never silently skipped. (At the exact retention boundary a WRITER's
-concurrent GC can also surface as a FileNotFoundException from the
-data scan rather than the explicit message — loud either way.)
+never silently skipped and a snapshot is never silently appended to
+existing state. A WRITER's concurrent GC racing the data scan at the
+retention boundary is caught and re-raised as the same explicit
+error, so consumers see ONE failure mode.
 
 Reference parity: this is the consumer side of the effectively-once
 sink contract (SURVEY §2.f ST1) — what the processed-bucket consumer
@@ -63,10 +67,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.scale import _hadoop_fs
-from ..operators.table import _MANIFEST_DIR, ManifestTable, _write_small_file
+from ..operators.table import (
+    _MANIFEST_DIR,
+    ManifestTable,
+    _read_small_file,
+    _write_small_file,
+)
 
 _FEED_DIR_RE = re.compile(r"^v(\d{8})$")
 _FEED_MARKER = "_FEED_COMMITTED"
+_PRUNED_MARKER = "_PRUNED_THROUGH"
+
+
+def _pruned_through(spark: SparkSession, feed_dir: str) -> int:
+    """Highest feed version ever pruned from ``feed_dir`` (0 if none).
+    Written by :func:`prune_changes_feed` so that pruning cannot erase
+    the evidence the lag guard in the tail relies on — a feed whose
+    old directories were all pruned still proves it HAD prior state."""
+    text = _read_small_file(spark, f"{feed_dir}/{_PRUNED_MARKER}")
+    if text is None:
+        return 0
+    try:
+        return int(text.strip())
+    except ValueError:
+        return 0
 
 
 def _feed_committed(spark: SparkSession, feed_dir: str, version: int) -> bool:
@@ -74,6 +98,23 @@ def _feed_committed(spark: SparkSession, feed_dir: str, version: int) -> bool:
         spark, f"{feed_dir}/v{version:08d}/{_FEED_MARKER}"
     )
     return fs.exists(jmark)
+
+
+def _committed_feed_versions(
+    spark: SparkSession, feed_dir: str
+) -> list[int]:
+    """Sorted versions of all COMPLETE feed directories — one listing
+    plus one marker stat per candidate dir."""
+    fs, jdir = _hadoop_fs(spark, feed_dir)
+    if not fs.exists(jdir):
+        return []
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    out = []
+    for status in fs.listStatus(jdir):
+        m = _FEED_DIR_RE.match(status.getPath().getName())
+        if m and fs.exists(jvm_path(status.getPath(), _FEED_MARKER)):
+            out.append(int(m.group(1)))
+    return sorted(out)
 
 
 def _reject_column_collisions(schema_names: list[str], change_col: str) -> None:
@@ -93,6 +134,7 @@ def start_table_changes_tail(
     checkpoint: str,
     change_col: str = "_change_type",
     max_versions_per_trigger: int | None = None,
+    feed_retain_versions: int | None = None,
 ):
     """Start tailing ``table_path``'s commits into ``feed_dir``;
     returns the :class:`StreamingQuery`.
@@ -102,7 +144,12 @@ def start_table_changes_tail(
     (``change_col`` ∈ ``insert``/``delete``; the first discoverable
     version = initial snapshot as inserts). ``max_versions_per_
     trigger`` paces how many commits one micro-batch may process
-    (file-source ``maxFilesPerTrigger``)."""
+    (file-source ``maxFilesPerTrigger``). ``feed_retain_versions``,
+    when set, prunes the feed after each batch to the newest N
+    complete directories (:func:`prune_changes_feed`) so a long-lived
+    tail's disk footprint stays O(N) instead of O(all commits ever);
+    leave ``None`` for an append-only feed the consumer prunes
+    itself."""
     mt = ManifestTable(spark, table_path)
     _reject_column_collisions(
         [f.name for f in mt.schema().fields], change_col
@@ -125,14 +172,77 @@ def start_table_changes_tail(
         )
         emitted_prev: set[int] = set()
         for v in versions:
+            try:
+                man_uuid = mt.manifest(v).get("commit_uuid")
+            except ValueError:
+                man_uuid = None  # manifest GC'd in flight: nothing to
+                # verify against; the committed-skip below still holds
             if _feed_committed(spark, feed_dir, v):
-                emitted_prev.add(v)  # replay of a published version:
-                continue  # nothing to re-say, and readers never flicker
+                marker = _read_small_file(
+                    spark, f"{feed_dir}/v{v:08d}/{_FEED_MARKER}"
+                )
+                # replay of a published version: nothing to re-say —
+                # UNLESS the manifest carries a different commit uuid
+                # than the one the feed recorded. That means a
+                # post-crash recovery re-published this version over an
+                # orphan predecessor the tail had already consumed
+                # (crash landed between manifest rename and pointer
+                # swap); skipping would leave the feed permanently
+                # diverged from the table, so re-emit the corrected
+                # diff instead. Markers starting with 'v' are the
+                # pre-uuid legacy format ('v' is not a hex digit) and
+                # stay skip-on-replay.
+                stale_replay = (
+                    man_uuid is not None
+                    and marker is not None
+                    and not marker.startswith("v")
+                    and marker.strip() != man_uuid
+                )
+                if not stale_replay:
+                    emitted_prev.add(v)
+                    continue
+            if v <= _pruned_through(spark, feed_dir):
+                # a fresh-checkpoint replay of a version that was
+                # already emitted AND pruned: re-saying it (worse, as a
+                # snapshot) would duplicate rows for whole-feed
+                # readers; it was consumed on purpose, so skip — but it
+                # still counts as prior state for the next diff
+                emitted_prev.add(v)
+                continue
             have_prev = (
                 v - 1 in emitted_prev
                 or _feed_committed(spark, feed_dir, v - 1)
             )
             if v > 1 and not have_prev and v - 1 not in set(mt.versions()):
+                prior = [
+                    pv
+                    for pv in _committed_feed_versions(spark, feed_dir)
+                    if pv < v
+                ]
+                pruned_hw = _pruned_through(spark, feed_dir)
+                if 0 < pruned_hw < v and not prior:
+                    prior = [pruned_hw]  # pruning erased the dirs but
+                    # the high-water marker still proves prior state
+                if prior:
+                    # a consumer WITH prior feed state that lagged 2+
+                    # versions past retention (v-1's manifest GC'd
+                    # before it was ever discovered) must NOT take the
+                    # fresh-consumer snapshot branch: appending a full
+                    # snapshot-as-inserts to existing state duplicates
+                    # every surviving row and permanently drops the
+                    # gap's deletes. Same failure mode as the
+                    # exactly-one-version gap, raised explicitly
+                    # (external review r10, high).
+                    raise ValueError(
+                        f"changes feed {feed_dir} holds version"
+                        f" {prior[-1]} but the table's oldest retained"
+                        f" manifest is {min(mt.versions(), default=v)};"
+                        f" the diff(s) up to v{v} are unreconstructable"
+                        " — the consumer lagged past retain_versions."
+                        " Rebuild downstream state from a fresh feed"
+                        " directory, and size retain_versions above the"
+                        " maximum expected consumer lag"
+                    )
                 # fresh consumer on a pre-existing table: the oldest
                 # discoverable version bootstraps as a full snapshot
                 diff = mt.read(version=v).withColumn(
@@ -148,22 +258,89 @@ def start_table_changes_tail(
                 diff = mt.changes(v - 1, v, change_col=change_col)
             final = f"{feed_dir}/v{v:08d}"
             tmp = f"{feed_dir}/.v{v:08d}.tmp"
-            diff.write.mode("overwrite").parquet(tmp)
-            _write_small_file(spark, f"{tmp}/{_FEED_MARKER}", f"v{v:08d}")
+            try:
+                diff.write.mode("overwrite").parquet(tmp)
+            except Exception as exc:  # noqa: BLE001 — classify, re-raise
+                # a WRITER's concurrent GC at the retention boundary can
+                # delete the generation files between the manifest read
+                # and the lazy data scan; surface that as the explicit
+                # retention error, not a raw FileNotFoundException, so
+                # consumers get ONE failure mode (verdict r9 item 7)
+                msg = str(exc)
+                gone = [
+                    x
+                    for x in (v - 1, v)
+                    if x >= 1 and x not in set(mt.versions())
+                ]
+                if gone and (
+                    "FileNotFoundException" in msg
+                    or "FILE_NOT_EXIST" in msg
+                    or "does not exist" in msg
+                ):
+                    raise ValueError(
+                        f"version(s) {gone} of {mt.path} were GC'd"
+                        " while the diff was being computed (available:"
+                        f" {mt.versions()}); size retain_versions above"
+                        " the maximum expected consumer lag"
+                    ) from exc
+                raise
+            _write_small_file(
+                spark, f"{tmp}/{_FEED_MARKER}", man_uuid or f"v{v:08d}"
+            )
             fs, jfinal = _hadoop_fs(spark, final)
             _, jtmp = _hadoop_fs(spark, tmp)
             fs.delete(jfinal, True)  # clears a crashed partial husk
             # (no marker → invisible to readers); committed dirs were
-            # skipped above, so a published version never vanishes
+            # skipped above (uuid-verified), so a published version
+            # never vanishes — except the stale-replay correction,
+            # which replaces a diverged dir with the corrected diff
             if not fs.rename(jtmp, jfinal):
                 raise IOError(f"could not publish feed dir {final}")
             emitted_prev.add(v)
+        if feed_retain_versions is not None:
+            prune_changes_feed(spark, feed_dir, feed_retain_versions)
 
     return (
         src.writeStream.foreachBatch(_emit)
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def prune_changes_feed(
+    spark: SparkSession, feed_dir: str, keep_versions: int
+) -> list[int]:
+    """Delete complete feed directories older than the newest
+    ``keep_versions`` — the feed-side mirror of the table's
+    ``retain_versions`` GC, bounding :func:`read_changes_feed` (and the
+    feed's disk footprint) to O(retained feed) instead of O(all
+    commits ever). Returns the pruned versions.
+
+    Order matters for readers: a ``_PRUNED_THROUGH`` high-water file
+    is advanced FIRST (so the tail's lag guard keeps its evidence of
+    prior feed state even after every old dir is gone), then each
+    pruned dir loses its ``_FEED_COMMITTED`` marker (the dir turns
+    invisible to any reader that has not yet passed its marker check),
+    then the dir is deleted. A reader already mid-scan of a pruned dir
+    can still hit a file-not-found — the same boundary contract as the
+    table's own GC window. Incomplete dirs (no marker: an in-flight or
+    crashed emit) are never touched regardless of age."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    committed = _committed_feed_versions(spark, feed_dir)
+    to_prune = (
+        committed[:-keep_versions] if len(committed) > keep_versions else []
+    )
+    if to_prune:
+        hw = max(max(to_prune), _pruned_through(spark, feed_dir))
+        _write_small_file(spark, f"{feed_dir}/{_PRUNED_MARKER}", str(hw))
+    for v in to_prune:
+        d = f"{feed_dir}/v{v:08d}"
+        fs, jmark = _hadoop_fs(spark, f"{d}/{_FEED_MARKER}")
+        fs.delete(jmark, False)
+        _, jdir = _hadoop_fs(spark, d)
+        fs.delete(jdir, True)
+    return to_prune
 
 
 def read_changes_feed(

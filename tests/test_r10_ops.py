@@ -1,0 +1,594 @@
+"""Round-10 tests: commit-feed retention (the lag-past-retention
+guard from the r10 external review, the prune API and its
+``_PRUNED_THROUGH`` high-water), uuid-verified stale replay after a
+crash re-publish, GC-vs-tail race reclassification, the single-walk
+partition-dir mapping, create()'s exactly-once df evaluation, the
+changes() internal-name guards, and the multi-process lease race."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+    merge_into_partitioned,
+)
+from fbg_kafka_stream_file_transfer_spark.operators.table import (
+    ConcurrentWriterError,
+    ManifestTable,
+    _read_small_file,
+    _write_small_file,
+)
+from fbg_kafka_stream_file_transfer_spark.streaming.table_tail import (
+    _FEED_MARKER,
+    _PRUNED_MARKER,
+    prune_changes_feed,
+    read_changes_feed,
+    start_table_changes_tail,
+)
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "a", "x1"), (2, "a", "x2"), (3, "b", "x3"), (4, "c", "x4")],
+        "id int, pt string, v string",
+    )
+
+
+def _upd(spark, rows):
+    return spark.createDataFrame(
+        rows, "id int, pt string, v string, op string"
+    )
+
+
+def _drain(q):
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+class TestFeedRetention:
+    """prune_changes_feed + the feed_retain_versions wiring."""
+
+    def _three_commits(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        ManifestTable(spark, path).create(_base(spark), ["pt"])
+        merge_into_partitioned(
+            spark, path, _upd(spark, [(1, "a", "X1", "U")]),
+            ["id"], ["pt"], op_col="op", retain_versions=10,
+        )
+        merge_into_partitioned(
+            spark, path, _upd(spark, [(9, "c", "x9", "U")]),
+            ["id"], ["pt"], op_col="op", retain_versions=10,
+        )
+        return path
+
+    def test_prune_keeps_newest_and_skips_incomplete(self, spark, tmp_path):
+        path = self._three_commits(spark, tmp_path)
+        feed = str(tmp_path / "feed")
+        _drain(start_table_changes_tail(
+            spark, path, feed, str(tmp_path / "ckpt")
+        ))
+        assert sorted(os.listdir(feed)) == [
+            "v00000001", "v00000002", "v00000003",
+        ]
+        # a crashed in-flight emit: rows but no marker — never pruned
+        junk = tmp_path / "feed" / "v00000099"
+        junk.mkdir()
+        (junk / "part-0.parquet").write_bytes(b"junk")
+
+        pruned = prune_changes_feed(spark, feed, keep_versions=1)
+        assert pruned == [1, 2]
+        names = sorted(
+            n for n in os.listdir(feed) if not n.startswith(".")
+        )
+        assert names == [_PRUNED_MARKER, "v00000003", "v00000099"]
+        assert _read_small_file(spark, f"{feed}/{_PRUNED_MARKER}") == "2"
+        # whole-feed reader sees only the retained complete dir
+        got = read_changes_feed(spark, path, feed)
+        assert got.select("_commit_version").distinct().collect()[0][0] == 3
+        # idempotent: nothing left to prune, high-water unchanged
+        assert prune_changes_feed(spark, feed, keep_versions=1) == []
+        assert _read_small_file(spark, f"{feed}/{_PRUNED_MARKER}") == "2"
+
+    def test_prune_rejects_zero_keep(self, spark, tmp_path):
+        with pytest.raises(ValueError, match=">= 1"):
+            prune_changes_feed(spark, str(tmp_path / "f"), 0)
+
+    def test_feed_retain_versions_wired_into_tail(self, spark, tmp_path):
+        path = self._three_commits(spark, tmp_path)
+        feed = str(tmp_path / "feed")
+        _drain(start_table_changes_tail(
+            spark, path, feed, str(tmp_path / "ckpt"),
+            feed_retain_versions=1,
+        ))
+        assert sorted(
+            n for n in os.listdir(feed) if n.startswith("v")
+        ) == ["v00000003"]
+        assert _read_small_file(spark, f"{feed}/{_PRUNED_MARKER}") == "2"
+
+    def test_pruned_version_not_reemitted_on_fresh_checkpoint_replay(
+        self, spark, tmp_path
+    ):
+        """A replay (fresh checkpoint) of versions that were emitted
+        AND pruned must skip them — re-emitting v<=high-water as a
+        snapshot would duplicate rows for whole-feed readers — and the
+        newer committed dirs must be byte-stable."""
+        path = self._three_commits(spark, tmp_path)
+        feed = str(tmp_path / "feed")
+        _drain(start_table_changes_tail(
+            spark, path, feed, str(tmp_path / "ckpt"),
+            feed_retain_versions=1,
+        ))
+        _drain(start_table_changes_tail(
+            spark, path, feed, str(tmp_path / "ckpt2"),
+        ))
+        assert sorted(
+            n for n in os.listdir(feed) if n.startswith("v")
+        ) == ["v00000003"]
+        got = sorted(
+            (r.id, r._change_type)
+            for r in read_changes_feed(spark, path, feed).collect()
+        )
+        assert got == [(9, "insert")]  # exactly the v3 diff, once
+
+
+class TestLagPastRetention:
+    """External review r10 (high): a consumer WITH prior feed state
+    that lagged 2+ versions past retention must fail loudly, never
+    silently append a snapshot to existing state."""
+
+    def _advance(self, spark, path, n, start=10):
+        for i in range(n):
+            merge_into_partitioned(
+                spark, path,
+                _upd(spark, [(start + i, "a", f"z{i}", "U")]),
+                ["id"], ["pt"], op_col="op",  # retain_versions=2
+            )
+
+    def test_multi_version_gap_raises_not_snapshots(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        ManifestTable(spark, path).create(_base(spark), ["pt"])
+        feed, ckpt = str(tmp_path / "feed"), str(tmp_path / "ckpt")
+        _drain(start_table_changes_tail(spark, path, feed, ckpt))  # v1
+        # three commits while the consumer is down; retain_versions=2
+        # leaves manifests [3, 4] — v2 and v3 were GC'd before the
+        # consumer ever discovered them (the exact advice scenario)
+        self._advance(spark, path, 3)
+        assert ManifestTable(spark, path).versions() == [3, 4]
+        q = start_table_changes_tail(spark, path, feed, ckpt)
+        try:
+            with pytest.raises(Exception, match="lagged past"):
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        # and no snapshot dir was silently appended
+        assert sorted(
+            n for n in os.listdir(feed) if n.startswith("v")
+        ) == ["v00000001"]
+
+    def test_pruned_high_water_still_counts_as_prior_state(
+        self, spark, tmp_path
+    ):
+        """Pruning the feed must not erase the lag guard's evidence:
+        with every old dir gone, _PRUNED_THROUGH still proves the
+        consumer HAD state, so the gap still fails loudly."""
+        path = str(tmp_path / "t")
+        ManifestTable(spark, path).create(_base(spark), ["pt"])
+        feed, ckpt = str(tmp_path / "feed"), str(tmp_path / "ckpt")
+        _drain(start_table_changes_tail(
+            spark, path, feed, ckpt, feed_retain_versions=1,
+        ))
+        self._advance(spark, path, 1)
+        _drain(start_table_changes_tail(
+            spark, path, feed, ckpt, feed_retain_versions=1,
+        ))  # v2 emitted; v1 pruned, high-water = 1
+        assert _read_small_file(spark, f"{feed}/{_PRUNED_MARKER}") == "1"
+        # wipe the surviving dirs to simulate a consumer that pruned
+        # everything, then lag past retention
+        import shutil
+
+        for n in os.listdir(feed):
+            if n.startswith("v"):
+                shutil.rmtree(f"{feed}/{n}")
+        _write_small_file(spark, f"{feed}/{_PRUNED_MARKER}", "2")
+        self._advance(spark, path, 3, start=30)
+        q = start_table_changes_tail(spark, path, feed, ckpt)
+        try:
+            with pytest.raises(Exception, match="lagged past"):
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def test_fresh_consumer_with_no_feed_still_bootstraps(
+        self, spark, tmp_path
+    ):
+        """Sanity: the guard must NOT break the legitimate fresh-
+        consumer bootstrap (no feed dir at all, table mid-life)."""
+        path = str(tmp_path / "t")
+        ManifestTable(spark, path).create(_base(spark), ["pt"])
+        self._advance(spark, path, 3)
+        feed = str(tmp_path / "feed")
+        _drain(start_table_changes_tail(
+            spark, path, feed, str(tmp_path / "ckpt")
+        ))
+        feed_df = read_changes_feed(spark, path, feed)
+        vs = sorted(
+            r[0]
+            for r in feed_df.select("_commit_version").distinct().collect()
+        )
+        assert vs == [3, 4]  # oldest retained snapshot, then the diff
+
+
+class TestStaleReplayUuid:
+    """A post-crash re-publish of a version (new commit_uuid) over an
+    orphan the tail already consumed must be re-emitted, not skipped
+    (external review r10)."""
+
+    def test_reemit_on_uuid_mismatch(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        merge_into_partitioned(
+            spark, path, _upd(spark, [(1, "a", "X1", "U")]),
+            ["id"], ["pt"], op_col="op",
+        )
+        feed = str(tmp_path / "feed")
+        _drain(start_table_changes_tail(
+            spark, path, feed, str(tmp_path / "ckpt")
+        ))
+        marker_path = f"{feed}/v00000002/{_FEED_MARKER}"
+        old_marker = _read_small_file(spark, marker_path)
+        assert old_marker == mt.manifest(2)["commit_uuid"]
+        # simulate crash-recovery re-publishing v2 with a fresh uuid
+        man = mt.manifest(2)
+        man["commit_uuid"] = "feedfacefeedfacefeedfacefeedface"
+        _write_small_file(
+            spark,
+            f"{path}/_manifests/v00000002.json",
+            json.dumps(man),
+        )
+        _drain(start_table_changes_tail(
+            spark, path, feed, str(tmp_path / "ckpt2")
+        ))
+        new_marker = _read_small_file(spark, marker_path)
+        assert new_marker == "feedfacefeedfacefeedfacefeedface"
+        got = sorted(
+            (r._commit_version, r.id, r.v, r._change_type)
+            for r in read_changes_feed(spark, path, feed).collect()
+        )
+        assert got == [
+            (1, 1, "x1", "insert"),
+            (1, 2, "x2", "insert"),
+            (1, 3, "x3", "insert"),
+            (1, 4, "x4", "insert"),
+            (2, 1, "X1", "insert"),
+            (2, 1, "x1", "delete"),
+        ]
+
+    def test_matching_uuid_still_skips(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        ManifestTable(spark, path).create(_base(spark), ["pt"])
+        feed = str(tmp_path / "feed")
+        _drain(start_table_changes_tail(
+            spark, path, feed, str(tmp_path / "ckpt")
+        ))
+        dir_mtime = os.path.getmtime(f"{feed}/v00000001/{_FEED_MARKER}")
+        time.sleep(1.1)
+        _drain(start_table_changes_tail(
+            spark, path, feed, str(tmp_path / "ckpt2")
+        ))
+        assert os.path.getmtime(
+            f"{feed}/v00000001/{_FEED_MARKER}"
+        ) == dir_mtime  # untouched: no flicker on uuid-matched replay
+
+    def test_legacy_v_marker_skips_on_replay(self, spark, tmp_path):
+        """Pre-uuid feed dirs carry a 'vNNNNNNNN' marker; replays must
+        keep skipping them (no spurious re-emits on upgrade)."""
+        path = str(tmp_path / "t")
+        ManifestTable(spark, path).create(_base(spark), ["pt"])
+        feed = str(tmp_path / "feed")
+        _drain(start_table_changes_tail(
+            spark, path, feed, str(tmp_path / "ckpt")
+        ))
+        marker_path = f"{feed}/v00000001/{_FEED_MARKER}"
+        _write_small_file(spark, marker_path, "v00000001")
+        _drain(start_table_changes_tail(
+            spark, path, feed, str(tmp_path / "ckpt2")
+        ))
+        assert _read_small_file(spark, marker_path) == "v00000001"
+
+
+class TestGcRaceClassification:
+    """Verdict r9 item 7: a writer's GC racing the tail's data scan
+    must surface as the explicit retention error, not a raw
+    FileNotFoundException."""
+
+    def test_gc_between_manifest_read_and_scan(
+        self, spark, tmp_path, monkeypatch
+    ):
+        path = str(tmp_path / "t")
+        ManifestTable(spark, path).create(_base(spark), ["pt"])
+        merge_into_partitioned(
+            spark, path, _upd(spark, [(1, "a", "X1", "U")]),
+            ["id"], ["pt"], op_col="op", retain_versions=10,
+        )
+        orig = ManifestTable.changes
+
+        def hijacked(self, v_from, v_to, change_col="_change_type"):
+            diff = orig(self, v_from, v_to, change_col=change_col)
+            # a concurrent writer commits + GCs AFTER the manifests
+            # were read but BEFORE the lazy data scan executes
+            merge_into_partitioned(
+                spark, path, _upd(spark, [(7, "a", "x7", "U")]),
+                ["id"], ["pt"], op_col="op", retain_versions=1,
+            )
+            return diff
+
+        monkeypatch.setattr(ManifestTable, "changes", hijacked)
+        q = start_table_changes_tail(
+            spark, path, str(tmp_path / "feed"), str(tmp_path / "ckpt")
+        )
+        try:
+            with pytest.raises(Exception, match="GC'd while the diff"):
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+
+class TestMapPartitionDirs:
+    """The single-walk partition-dir mapping that replaced the r9
+    per-touched-partition FS walk (verdict r9 item 2a)."""
+
+    def test_multilevel_tricky_values_roundtrip(self, spark, tmp_path):
+        rows = [
+            (1, "plain", 10, "a"),
+            (2, "has space", 10, "b"),
+            (3, "eq=sign", 20, "c"),
+            (4, "sl/ash", 20, "d"),
+            (5, "unié中", 30, "e"),
+            (6, None, 30, "f"),  # NULL partition value
+            (7, "plain", None, "g"),
+        ]
+        df = spark.createDataFrame(
+            rows, "id int, p1 string, p2 int, v string"
+        )
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(df, ["p1", "p2"])
+        got = sorted(
+            (r.id, r.p1, r.p2, r.v) for r in mt.read().collect()
+        )
+        assert got == sorted(rows)
+        # every on-disk partition dir is referenced by the manifest
+        entries = {e["key"] for e in mt.manifest()["entries"]}
+        assert len(entries) == len({(r[1], r[2]) for r in rows})
+
+    def test_merge_into_tricky_partition_and_empty_one(
+        self, spark, tmp_path
+    ):
+        df = spark.createDataFrame(
+            [(1, "has space", "x1"), (2, "eq=sign", "x2"), (3, "b", "x3")],
+            "id int, pt string, v string",
+        )
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(df, ["pt"])
+        merge_into_partitioned(
+            spark, path,
+            _upd(spark, [
+                (1, "has space", "X1", "U"),  # update tricky partition
+                (3, "b", "x3", "D"),          # empty partition b
+            ]),
+            ["id"], ["pt"], op_col="op",
+        )
+        got = sorted((r.id, r.pt, r.v) for r in mt.read().collect())
+        assert got == [(1, "has space", "X1"), (2, "eq=sign", "x2")]
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _partition_key,
+        )
+
+        assert {e["key"] for e in mt.manifest()["entries"]} == {
+            _partition_key(("has space",)), _partition_key(("eq=sign",)),
+        }
+
+
+class TestCreateExactlyOnceEvaluation:
+    """Verdict/external review r10: create() must derive `touched`
+    from the WRITTEN generation, so a nondeterministic df can never
+    land partition dirs absent from the manifest."""
+
+    def test_nondeterministic_df_no_invisible_rows(self, spark, tmp_path):
+        df = (
+            spark.range(500)
+            .select(
+                F.col("id").cast("int").alias("id"),
+                (F.rand() * 8).cast("int").alias("pt"),
+            )
+        )
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(df, ["pt"])
+        # the manifest must account for EVERY row the write landed
+        gen_dir = f"{path}/_data/g00000001"
+        on_disk = (
+            spark.read.schema("id int, pt int").parquet(gen_dir).count()
+        )
+        assert mt.read().count() == on_disk == 500
+        disk_parts = {
+            n for n in os.listdir(gen_dir) if n.startswith("_p_pt=")
+        }
+        manifest_dirs = {
+            e["dir"].split("/")[-1] for e in mt.manifest()["entries"]
+        }
+        assert disk_parts == manifest_dirs
+
+    def test_manifest_carries_commit_uuid(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        u1 = mt.manifest(1)["commit_uuid"]
+        assert len(u1) == 32 and not u1.startswith("v")
+        merge_into_partitioned(
+            spark, path, _upd(spark, [(1, "a", "X1", "U")]),
+            ["id"], ["pt"], op_col="op",
+        )
+        u2 = mt.manifest(2)["commit_uuid"]
+        assert u2 != u1
+
+
+class TestChangesInternalNameGuard:
+    def test_internal_names_raise(self, spark, tmp_path):
+        for bad in ("_w", "_net", "_copy"):
+            df = spark.createDataFrame(
+                [(1, "a", "x")], f"id int, pt string, `{bad}` string"
+            )
+            path = str(tmp_path / f"t{bad}")
+            mt = ManifestTable(spark, path)
+            mt.create(df, ["pt"])
+            merge_into_partitioned(
+                spark, path,
+                spark.createDataFrame(
+                    [(2, "a", "y")], f"id int, pt string, `{bad}` string"
+                ),
+                ["id"], ["pt"],
+            )
+            with pytest.raises(ValueError, match="internal names"):
+                mt.changes(1, 2)
+
+
+_CHILD_HOLD_LOCK = textwrap.dedent(
+    """
+    import sys, time, os
+    sys.path.insert(0, {repo!r})
+    from fbg_kafka_stream_file_transfer_spark import get_spark
+    from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+        merge_into_partitioned,
+    )
+    from fbg_kafka_stream_file_transfer_spark.operators.table import (
+        table_write_lock,
+    )
+    spark = get_spark("lease-child", cpus=2)
+    path, sentinel, go = sys.argv[1], sys.argv[2], sys.argv[3]
+    upd = spark.createDataFrame(
+        [(1, "a", "CHILD", "U")], "id int, pt string, v string, op string"
+    )
+    with table_write_lock(spark, path, holder="child-proc"):
+        open(sentinel, "w").write("locked")
+        for _ in range(600):
+            if os.path.exists(go):
+                break
+            time.sleep(0.1)
+        # merge WHILE holding the lease (merge re-enters via its own
+        # lock attempt, so do the equivalent write through the public
+        # API after release instead)
+    merge_into_partitioned(spark, path, upd, ["id"], ["pt"], op_col="op")
+    print("CHILD_DONE", flush=True)
+    spark.stop()
+    """
+)
+
+_CHILD_DIE_WITH_LOCK = textwrap.dedent(
+    """
+    import sys, os
+    sys.path.insert(0, {repo!r})
+    from fbg_kafka_stream_file_transfer_spark import get_spark
+    from fbg_kafka_stream_file_transfer_spark.operators.table import (
+        table_write_lock,
+    )
+    spark = get_spark("lease-crash-child", cpus=2)
+    path = sys.argv[1]
+    lock = table_write_lock(spark, path, holder="doomed-child")
+    lock.__enter__()
+    os._exit(0)  # dies holding the lease: the stale-lock scenario
+    """
+)
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestMultiProcessLease:
+    """Verdict r9 item 6: the single-writer lease across real OS
+    processes, each with its own SparkSession/JVM."""
+
+    def test_cross_process_lock_blocks_merge_then_winner_applies(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "t")
+        ManifestTable(spark, path).create(_base(spark), ["pt"])
+        sentinel = str(tmp_path / "locked")
+        go = str(tmp_path / "go")
+        child = subprocess.Popen(
+            [sys.executable, "-c",
+             _CHILD_HOLD_LOCK.format(repo=_REPO),
+             path, sentinel, go],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env={**os.environ, "SPARK_GRAFT_DRIVER_MEM": "2g"},
+        )
+        try:
+            for _ in range(900):  # wait for the child's JVM + lease
+                if os.path.exists(sentinel):
+                    break
+                time.sleep(0.2)
+            else:
+                pytest.fail("child never acquired the lease")
+            upd = _upd(spark, [(1, "a", "PARENT", "U")])
+            with pytest.raises(ConcurrentWriterError, match="child-proc"):
+                merge_into_partitioned(
+                    spark, path, upd, ["id"], ["pt"], op_col="op"
+                )
+            open(go, "w").write("go")
+            out, _ = child.communicate(timeout=300)
+            assert b"CHILD_DONE" in out, out.decode()[-2000:]
+        finally:
+            if child.poll() is None:
+                child.kill()
+        mt = ManifestTable(spark, path)
+        assert sorted(
+            (r.id, r.v) for r in mt.read().collect()
+        ) == [(1, "CHILD"), (2, "x2"), (3, "x3"), (4, "x4")]
+        # lease released: the parent now wins cleanly
+        merge_into_partitioned(
+            spark, path, _upd(spark, [(1, "a", "PARENT", "U")]),
+            ["id"], ["pt"], op_col="op",
+        )
+        assert sorted(
+            (r.id, r.v) for r in mt.read().collect()
+        ) == [(1, "PARENT"), (2, "x2"), (3, "x3"), (4, "x4")]
+
+    def test_ttl_breaks_lock_of_dead_process(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        ManifestTable(spark, path).create(_base(spark), ["pt"])
+        subprocess.run(
+            [sys.executable, "-c",
+             _CHILD_DIE_WITH_LOCK.format(repo=_REPO), path],
+            check=True, timeout=300,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            env={**os.environ, "SPARK_GRAFT_DRIVER_MEM": "2g"},
+        )
+        assert os.path.exists(f"{path}/_lock")  # the stale lock
+        upd = _upd(spark, [(1, "a", "X1", "U")])
+        # honest default: fails loudly on the dead writer's lock
+        with pytest.raises(ConcurrentWriterError, match="doomed-child"):
+            merge_into_partitioned(
+                spark, path, upd, ["id"], ["pt"], op_col="op"
+            )
+        time.sleep(1.2)
+        # TTL opt-in: the stale lock is broken and the merge wins
+        merge_into_partitioned(
+            spark, path, upd, ["id"], ["pt"], op_col="op",
+            lock_stale_after_seconds=1.0,
+        )
+        got = sorted(
+            (r.id, r.v) for r in ManifestTable(spark, path).read().collect()
+        )
+        assert got == [(1, "X1"), (2, "x2"), (3, "x3"), (4, "x4")]
+        assert not os.path.exists(f"{path}/_lock")
