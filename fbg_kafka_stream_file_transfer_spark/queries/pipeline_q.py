@@ -1582,3 +1582,108 @@ FROM inserts GROUP BY 2
 """,
     doc="streaming commit-feed tail e2e: initial snapshot + live-merge diff == relational oracle",
 )
+
+
+def _q_stream_feed_prune_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-feed retention end-to-end (round 10): three manifest
+    commits (create, update merge, delete merge) tailed with
+    ``feed_retain_versions=1`` and one commit per micro-batch — after
+    the drain the feed must hold ONLY the newest version's diff (the
+    older feed dirs pruned after each batch) and the
+    ``_PRUNED_THROUGH`` high-water must record the newest pruned
+    version, which is what lets the lag guard keep working on a
+    pruned feed. A leaked old dir, an over-pruned newest dir, or a
+    wrong high-water each break a column.
+
+    Scale shape: a long-lived tail's feed footprint becomes O(N
+    retained) instead of O(all commits ever); each prune is one feed
+    listing plus one delete per expired dir."""
+    import shutil
+    import tempfile
+
+    from ..operators.sampling import rate_bucket
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable
+    from ..streaming.table_tail import (
+        _pruned_through,
+        read_changes_feed,
+        start_table_changes_tail,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "props"
+    )
+    b = rate_bucket(F.col("event_id"))
+    touched = F.col("event_type").isin("click", "error")
+    work = tempfile.mkdtemp(prefix="feed_prune_")
+    path = f"{work}/events_by_type"
+    feed = f"{work}/feed"
+    try:
+        ManifestTable(spark, path).create(ev, ["event_type"])
+        upd = ev.filter(touched & (b < 500)).withColumn(
+            "props", F.concat(F.col("props"), F.lit(" [v2]"))
+        ).withColumn("op", F.lit("U"))
+        merge_into_partitioned(
+            spark, path, upd, ["event_id"], ["event_type"], op_col="op",
+            retain_versions=10,
+        )
+        dele = ev.filter(touched & (b >= 500) & (b < 800)).withColumn(
+            "op", F.lit("D")
+        )
+        merge_into_partitioned(
+            spark, path, dele, ["event_id"], ["event_type"], op_col="op",
+            retain_versions=10,
+        )
+        q = start_table_changes_tail(
+            spark, path, feed, f"{work}/ckpt",
+            max_versions_per_trigger=1, feed_retain_versions=1,
+        )
+        try:
+            q.processAllAvailable()  # 3 batches, pruned after each
+        finally:
+            q.stop()
+        pruned_hw = _pruned_through(spark, feed)
+        rows = (
+            read_changes_feed(spark, path, feed)
+            .groupBy(
+                F.col("_commit_version").alias("commit_version"),
+                "event_type",
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+            )
+            .withColumn(
+                "pruned_through", F.lit(pruned_hw).cast("int")
+            )
+            .collect()  # materialize before the temp dirs are removed
+        )
+        return spark.createDataFrame(
+            rows,
+            "commit_version int, event_type string, change_type string,"
+            " n_rows bigint, id_checksum bigint, pruned_through int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["stream_feed_prune_tail_e2e"] = Q(
+    _q_stream_feed_prune_tail,
+    f"""
+WITH ev AS (SELECT event_id, event_type, props, {_TAIL_EBUCKET} AS bk,
+                   event_type IN ('click', 'error') AS touched
+            FROM events)
+-- only commit 3 survives the per-batch prune: the deletes of the
+-- bucket [500, 800) rows, whose v2 state is their ORIGINAL row (the
+-- v2 update touched only bk < 500)
+SELECT CAST(3 AS INT) AS commit_version, event_type,
+       'delete' AS change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_checksum,
+       CAST(2 AS INT) AS pruned_through
+FROM ev WHERE touched AND bk >= 500 AND bk < 800
+GROUP BY 2
+""",
+    doc="tail with feed_retain_versions=1: feed holds only the newest diff, high-water records the pruned boundary",
+)

@@ -2128,3 +2128,304 @@ GROUP BY 1
 """,
     doc="manifest compaction is semantically invisible: state equals the merged oracle, version diff 0, one live generation",
 )
+
+
+# ---- round 10: manifest-table partition machinery at sf scale -------
+
+_LINE_ID = "l_orderkey * 10 + l_linenumber"
+_LBUCKET = (
+    "(('0x' || substring(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)),"
+    " 1, 15))::BIGINT % 10000)"
+)
+
+
+def _q_table_multilevel_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level partitioned manifest table (round 10): persist
+    lineitem keyed by a derived line id and partitioned by
+    (l_returnflag, l_linestatus), merge an update/delete delta into
+    the A/R partitions, and summarize the final state per partition
+    pair. Certifies the single-walk partition-directory mapping
+    (operators/table.py _map_partition_dirs — one breadth-first
+    listing of the generation tree) on a MULTI-LEVEL layout: every
+    touched (flag, status) pair must land in the manifest under its
+    exact directory, untouched pairs must survive from generation 1.
+
+    Scale shape: delta-sized merge work, O(written dirs) metadata
+    RPCs for the directory mapping (not O(touched x depth)), and the
+    final read is one manifest-pruned scan."""
+    import shutil
+    import tempfile
+
+    from ..operators.sampling import rate_bucket
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable
+
+    # the fixture's (orderkey, linenumber) pairs are NOT unique —
+    # collapse to one row per derived line id so the keyed merge and
+    # the row-level oracle agree on what a "key" is
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias(
+                "line_id"
+            )
+        )
+        .agg(
+            F.max("l_returnflag").alias("l_returnflag"),
+            F.max("l_linestatus").alias("l_linestatus"),
+            F.sum("l_quantity").alias("l_quantity"),
+        )
+    )
+    b = rate_bucket(F.col("line_id"))
+    touched = F.col("l_returnflag").isin("A", "R")
+    work = tempfile.mkdtemp(prefix="table_ml_")
+    path = f"{work}/lineitem_by_rf_ls"
+    try:
+        mt = ManifestTable(spark, path)
+        mt.create(li, ["l_returnflag", "l_linestatus"])
+        upd = li.filter(touched & (b < 1000)).withColumn(
+            "l_quantity", F.col("l_quantity") + F.lit(100)
+        ).withColumn("op", F.lit("U"))
+        dele = li.filter(touched & (b >= 1000) & (b < 1500)).withColumn(
+            "op", F.lit("D")
+        )
+        merge_into_partitioned(
+            spark, path, upd.unionByName(dele),
+            ["line_id"], ["l_returnflag", "l_linestatus"], op_col="op",
+        )
+        rows = (
+            mt.read()
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("line_id").cast("bigint").alias("id_checksum"),
+                F.sum(F.col("l_quantity").cast("bigint"))
+                .cast("bigint")
+                .alias("qty_sum"),
+            )
+            .collect()  # materialize before the temp table is removed
+        )
+        return spark.createDataFrame(
+            rows,
+            "l_returnflag string, l_linestatus string, n_rows bigint,"
+            " id_checksum bigint, qty_sum bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_multilevel_partitions"] = Q(
+    _q_table_multilevel_partitions,
+    f"""
+WITH base AS (SELECT {_LINE_ID} AS line_id,
+                     max(l_returnflag) AS l_returnflag,
+                     max(l_linestatus) AS l_linestatus,
+                     sum(l_quantity) AS l_quantity
+              FROM lineitem GROUP BY 1),
+l AS (SELECT line_id, l_returnflag, l_linestatus, l_quantity,
+             (('0x' || substring(md5(CAST(line_id AS VARCHAR)), 1, 15))::BIGINT
+              % 10000) AS bk,
+             l_returnflag IN ('A', 'R') AS touched
+      FROM base),
+upd AS (SELECT line_id, l_returnflag, l_linestatus,
+               l_quantity + 100 AS l_quantity
+        FROM l WHERE touched AND bk < 1000),
+del AS (SELECT line_id FROM l WHERE touched AND bk >= 1000 AND bk < 1500),
+keys AS (SELECT line_id FROM upd UNION ALL SELECT line_id FROM del),
+surv AS (SELECT l.line_id, l.l_returnflag, l.l_linestatus, l.l_quantity
+         FROM l LEFT JOIN keys k ON l.line_id = k.line_id
+         WHERE k.line_id IS NULL),
+fin AS (SELECT * FROM surv UNION ALL SELECT * FROM upd)
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(line_id) AS BIGINT) AS id_checksum,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+FROM fin GROUP BY 1, 2
+""",
+    doc="two-level partitioned manifest merge: per (returnflag, linestatus) state equals the relational recomputation",
+)
+
+
+_PBUCKET = "(('0x' || substring(md5(CAST(p_partkey AS VARCHAR)), 1, 15))::BIGINT % 10000)"
+#: partition value with a space, '#', '/', and a NULL arm — every
+#: character class the escaped-directory mapping has to survive
+_PVAL = (
+    "CASE WHEN p_partkey % 97 = 0 THEN NULL"
+    " ELSE p_brand || ' /' || substring(p_type, 1, 5) END"
+)
+
+
+def _pval_col() -> F.Column:
+    return F.when(F.col("p_partkey") % 97 == 0, F.lit(None)).otherwise(
+        F.concat(
+            F.col("p_brand"), F.lit(" /"), F.substring(F.col("p_type"), 1, 5)
+        )
+    )
+
+
+def _build_escaped_partition_table(spark, sf_dir, work):
+    """Shared build for the two escaped-partition-value queries:
+    part persisted as a manifest table partitioned by a derived value
+    containing spaces, '#', '/', and NULL, then one update/delete
+    merge against it."""
+    from ..operators.sampling import rate_bucket
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable
+
+    pt = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        _pval_col().alias("pv"),
+        "p_retailprice",
+    )
+    b = rate_bucket(F.col("p_partkey"))
+    path = f"{work}/part_by_pv"
+    mt = ManifestTable(spark, path)
+    mt.create(pt, ["pv"])
+    upd = pt.filter(b < 2000).withColumn(
+        "p_retailprice", F.col("p_retailprice") + F.lit(1)
+    ).withColumn("op", F.lit("U"))
+    dele = pt.filter((b >= 2000) & (b < 2500)).withColumn("op", F.lit("D"))
+    merge_into_partitioned(
+        spark, path, upd.unionByName(dele), ["p_partkey"], ["pv"],
+        op_col="op",
+    )
+    return mt
+
+
+def _q_table_escaped_partition_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Escaped partition values end-to-end (round 10): partition a
+    manifest table by a derived string containing spaces, '#', '/',
+    and NULL (the characters Spark percent-escapes in directory
+    names, plus the __HIVE_DEFAULT_PARTITION__ arm), merge into it,
+    and read back per-partition aggregates. The directory mapping
+    matches by VALUE through the unescaped raw (never by
+    re-formatting values into names), so any escaping mismatch —
+    a silently skipped delete, a duplicated partition entry —
+    breaks count, checksum, or a whole group.
+
+    Scale shape: same as the plain manifest merge; the value
+    matching is memoized per (level, value) so each distinct value
+    is compared against each distinct on-disk raw at most once."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="table_esc_")
+    try:
+        mt = _build_escaped_partition_table(spark, sf_dir, work)
+        rows = (
+            mt.read()
+            .groupBy("pv")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("p_partkey").cast("bigint").alias("id_checksum"),
+                # round BEFORE the bigint cast: prices are doubles, and
+                # 1424.99*100 = 142498.999... truncates in Spark but
+                # rounds in DuckDB (engine-parity convention)
+                F.sum(F.round(F.col("p_retailprice") * 100, 0).cast("bigint"))
+                .cast("bigint")
+                .alias("price_cents"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "pv string, n_rows bigint, id_checksum bigint,"
+            " price_cents bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_escaped_partition_values"] = Q(
+    _q_table_escaped_partition_values,
+    f"""
+WITH p AS (SELECT p_partkey, {_PVAL} AS pv, p_retailprice,
+                  {_PBUCKET} AS bk
+           FROM part),
+upd AS (SELECT p_partkey, pv, p_retailprice + 1 AS p_retailprice
+        FROM p WHERE bk < 2000),
+del AS (SELECT p_partkey FROM p WHERE bk >= 2000 AND bk < 2500),
+keys AS (SELECT p_partkey FROM upd UNION ALL SELECT p_partkey FROM del),
+surv AS (SELECT p.p_partkey, p.pv, p.p_retailprice
+         FROM p LEFT JOIN keys k ON p.p_partkey = k.p_partkey
+         WHERE k.p_partkey IS NULL),
+fin AS (SELECT * FROM surv UNION ALL SELECT * FROM upd)
+SELECT pv, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(p_partkey) AS BIGINT) AS id_checksum,
+       CAST(sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM fin GROUP BY 1
+""",
+    doc="manifest merge with space/'#'/'/'/NULL partition values: per-partition state equals the relational recomputation",
+)
+
+
+def _q_table_changes_escaped_partitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Version diff over escaped partition directories (round 10):
+    the same escaped-value table, read through changes(1, 2) — every
+    update must surface as delete-of-old + insert-of-new inside its
+    escaped directory, deletes as single rows, untouched partitions
+    absent. Exercises the manifest diff's changed-partition naming
+    (key comparison, not directory-string comparison) across every
+    escaping class including the NULL partition.
+
+    Scale shape: O(changed partitions) scans, one signed-weight
+    shuffle — identical to table_incremental_changes."""
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="table_escchg_")
+    try:
+        mt = _build_escaped_partition_table(spark, sf_dir, work)
+        rows = (
+            mt.changes(1, 2)
+            .groupBy(F.col("_change_type").alias("change_type"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("p_partkey").cast("bigint").alias("id_checksum"),
+                F.sum(F.round(F.col("p_retailprice") * 100, 0).cast("bigint"))
+                .cast("bigint")
+                .alias("price_cents"),
+                F.countDistinct("pv").cast("bigint").alias("n_partitions"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "change_type string, n_rows bigint, id_checksum bigint,"
+            " price_cents bigint, n_partitions bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_changes_escaped_partitions"] = Q(
+    _q_table_changes_escaped_partitions,
+    f"""
+WITH p AS (SELECT p_partkey, {_PVAL} AS pv, p_retailprice,
+                  {_PBUCKET} AS bk
+           FROM part),
+-- the diff of the merge: updates = delete old + insert new (price
+-- moved by exactly +1, so old and new rows always differ), deletes
+-- = one delete row each
+chg AS (
+  SELECT 'delete' AS change_type, p_partkey, pv, p_retailprice
+  FROM p WHERE bk < 2500
+  UNION ALL
+  SELECT 'insert' AS change_type, p_partkey, pv,
+         p_retailprice + 1 AS p_retailprice
+  FROM p WHERE bk < 2000
+)
+SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(p_partkey) AS BIGINT) AS id_checksum,
+       CAST(sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       CAST(count(DISTINCT pv) AS BIGINT) AS n_partitions
+FROM chg GROUP BY 1
+""",
+    doc="changes() over escaped/NULL partition dirs: diff equals delete-old+insert-new of the delta, untouched rows absent",
+)
