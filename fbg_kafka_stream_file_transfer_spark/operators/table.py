@@ -506,6 +506,15 @@ class ManifestTable:
                 f"change_col {change_col!r} collides with a table "
                 "column; pass a different name"
             )
+        if change_col in ("_w", "_net", "_copy"):
+            # change_col='_copy' would be silently overwritten by the
+            # explode stage and return copy indexes instead of
+            # insert/delete (external review r10)
+            raise ValueError(
+                f"change_col {change_col!r} is one of the change "
+                "scan's internal names ('_w', '_net', '_copy'); pass "
+                "a different name"
+            )
         internal = sorted({"_w", "_net", "_copy"} & set(to_names))
         if internal:
             # the signed-weight diff below would silently overwrite a
@@ -799,11 +808,37 @@ class ManifestTable:
                         )
                     )
             nodes = nxt
+        import datetime
+
         by_raws = {raws: rel for _, rel, raws in nodes}
-        level_raws = [
-            sorted({raws[i] for raws in by_raws})
-            for i in range(len(dup_cols))
+        level_raw_sets = [
+            {raws[i] for raws in by_raws} for i in range(len(dup_cols))
         ]
+        level_raws = [sorted(s) for s in level_raw_sets]
+
+        def _match_raw(i: int, val) -> str | None:
+            # exact-form fast path: for every type whose match rule is
+            # literally `raw == str(val)` (strings, ints, decimals…)
+            # a set lookup replaces the linear scan — without it,
+            # create() on N partitions does O(N²) value comparisons
+            # (external review r10). Floats/bools/dates/datetimes/None
+            # match by PARSED value, so they keep the by-value scan
+            # (their count per level is tiny in practice).
+            if not isinstance(
+                val,
+                (bool, float, datetime.date, datetime.datetime, type(None)),
+            ):
+                s = str(val)
+                return s if s in level_raw_sets[i] else None
+            return next(
+                (
+                    raw
+                    for raw in level_raws[i]
+                    if _partition_value_matches(val, raw)
+                ),
+                None,
+            )
+
         memo: dict[tuple, str | None] = {}
         out: dict[str, str] = {}
         for t in touched:
@@ -811,14 +846,7 @@ class ManifestTable:
             for i, val in enumerate(t):
                 mk = (i, _partition_key((val,)))
                 if mk not in memo:
-                    memo[mk] = next(
-                        (
-                            raw
-                            for raw in level_raws[i]
-                            if _partition_value_matches(val, raw)
-                        ),
-                        None,
-                    )
+                    memo[mk] = _match_raw(i, val)
                 if memo[mk] is None:
                     matched = None
                     break

@@ -2133,10 +2133,6 @@ GROUP BY 1
 # ---- round 10: manifest-table partition machinery at sf scale -------
 
 _LINE_ID = "l_orderkey * 10 + l_linenumber"
-_LBUCKET = (
-    "(('0x' || substring(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)),"
-    " 1, 15))::BIGINT % 10000)"
-)
 
 
 def _q_table_multilevel_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:

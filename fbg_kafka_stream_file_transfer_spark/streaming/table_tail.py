@@ -31,6 +31,15 @@ Built on machinery Spark already hardens, not a custom source:
   complete exactly when the marker exists; :func:`read_changes_feed`
   selects only complete directories, so feed readers never observe a
   torn batch or a transiently-deleted version.
+- commit IDENTITY is verified, not assumed: each feed marker records
+  its manifest's ``commit_uuid``, and every batch starts with a
+  reconciliation pre-pass comparing the retained manifests' uuids
+  against the published markers — necessary because the file stream
+  source dedups by path and never re-delivers a re-published
+  manifest. A post-crash recovery that re-published a version over an
+  orphan commit the tail already consumed is therefore detected on
+  the NEXT batch (resumed checkpoint) or on replay (fresh
+  checkpoint), and the corrected diff replaces the diverged feed dir.
 
 Bootstrap semantics: the FIRST version a fresh consumer can discover
 is emitted as an initial snapshot — every row of that version as an
@@ -170,6 +179,39 @@ def start_table_changes_tail(
             for r in batch_df.select("version").collect()
             if r.version is not None
         )
+        # one manifest-dir listing + one high-water read per BATCH
+        # (not per version): both are stable within a batch — a
+        # concurrent GC mid-batch still fails loudly downstream
+        # (changes() raises "not retained"), just via the fresh read
+        # in the error path (external review r10)
+        retained0 = set(mt.versions())
+        pruned_hw0 = _pruned_through(spark, feed_dir)
+        # Reconciliation pre-pass (external review r10): the file
+        # stream source dedups manifest files by PATH, so a post-crash
+        # re-publish of v<NNNNNNNN>.json is never re-delivered to a
+        # RESUMED checkpoint — only a fresh-checkpoint replay would
+        # revisit it. Verify every retained, already-published feed
+        # version's recorded uuid against its manifest here (O(retained
+        # versions) small-file reads per batch) and fold any mismatch
+        # into this batch's work list so the in-loop stale-replay
+        # correction re-emits it.
+        for rv in sorted(retained0 - set(versions)):
+            if not _feed_committed(spark, feed_dir, rv):
+                continue
+            marker = _read_small_file(
+                spark, f"{feed_dir}/v{rv:08d}/{_FEED_MARKER}"
+            )
+            try:
+                rv_uuid = mt.manifest(rv).get("commit_uuid")
+            except ValueError:
+                continue  # GC'd between the listing and now
+            if (
+                rv_uuid is not None
+                and marker is not None
+                and not marker.startswith("v")
+                and marker.strip() != rv_uuid
+            ):
+                versions = sorted(set(versions) | {rv})
         emitted_prev: set[int] = set()
         for v in versions:
             try:
@@ -201,7 +243,7 @@ def start_table_changes_tail(
                 if not stale_replay:
                     emitted_prev.add(v)
                     continue
-            if v <= _pruned_through(spark, feed_dir):
+            if v <= pruned_hw0:
                 # a fresh-checkpoint replay of a version that was
                 # already emitted AND pruned: re-saying it (worse, as a
                 # snapshot) would duplicate rows for whole-feed
@@ -213,15 +255,14 @@ def start_table_changes_tail(
                 v - 1 in emitted_prev
                 or _feed_committed(spark, feed_dir, v - 1)
             )
-            if v > 1 and not have_prev and v - 1 not in set(mt.versions()):
+            if v > 1 and not have_prev and v - 1 not in retained0:
                 prior = [
                     pv
                     for pv in _committed_feed_versions(spark, feed_dir)
                     if pv < v
                 ]
-                pruned_hw = _pruned_through(spark, feed_dir)
-                if 0 < pruned_hw < v and not prior:
-                    prior = [pruned_hw]  # pruning erased the dirs but
+                if 0 < pruned_hw0 < v and not prior:
+                    prior = [pruned_hw0]  # pruning erased the dirs but
                     # the high-water marker still proves prior state
                 if prior:
                     # a consumer WITH prior feed state that lagged 2+
@@ -248,14 +289,17 @@ def start_table_changes_tail(
                 diff = mt.read(version=v).withColumn(
                     change_col, F.lit("insert")
                 )
+                needed = (v,)  # the snapshot scans only v's manifest
             elif v == 1:
                 diff = mt.read(version=1).withColumn(
                     change_col, F.lit("insert")
                 )
+                needed = (1,)
             else:
                 # raises the explicit retention error if v-1's
                 # manifest is gone but the consumer HAS prior state
                 diff = mt.changes(v - 1, v, change_col=change_col)
+                needed = (v - 1, v)
             final = f"{feed_dir}/v{v:08d}"
             tmp = f"{feed_dir}/.v{v:08d}.tmp"
             try:
@@ -267,10 +311,14 @@ def start_table_changes_tail(
                 # retention error, not a raw FileNotFoundException, so
                 # consumers get ONE failure mode (verdict r9 item 7)
                 msg = str(exc)
+                # only the versions this diff actually SCANNED count:
+                # each was retained when its manifest was read, so
+                # "needed then, absent now" is evidence of a real GC
+                # race — an unrelated file-not-found (bad feed_dir,
+                # external tmp cleanup) leaves `gone` empty and the
+                # raw error propagates (external review r10)
                 gone = [
-                    x
-                    for x in (v - 1, v)
-                    if x >= 1 and x not in set(mt.versions())
+                    x for x in needed if x not in set(mt.versions())
                 ]
                 if gone and (
                     "FileNotFoundException" in msg
@@ -348,6 +396,7 @@ def read_changes_feed(
     table_path: str,
     feed_dir: str,
     change_col: str = "_change_type",
+    since_version: int | None = None,
 ) -> DataFrame:
     """Read every COMPLETE feed directory as one DataFrame with a
     ``_commit_version`` column. Only directories whose
@@ -355,18 +404,38 @@ def read_changes_feed(
     crashed emit is invisible); the schema is the table's current one
     (older feed files missing later-added columns read as NULL — the
     add-only evolution contract), so the read is a single
-    explicit-schema scan, O(retained feed) with no schema inference."""
+    explicit-schema scan, O(retained feed) with no schema inference.
+
+    ``since_version`` is the incremental cursor: only feed dirs with
+    version > ``since_version`` are scanned — a consumer that tracks
+    the highest ``_commit_version`` it has applied pays O(new
+    commits), never O(retained feed). A cursor that has fallen behind
+    a pruned feed raises the explicit retention error (there would be
+    a silent gap between the cursor and the oldest surviving dir)."""
     mt = ManifestTable(spark, table_path)
     schema_names = [f.name for f in mt.schema().fields]
     _reject_column_collisions(schema_names, change_col)
     schema = mt.schema().add(change_col, "string")
+    if since_version is not None:
+        pruned_hw = _pruned_through(spark, feed_dir)
+        if since_version < pruned_hw:
+            raise ValueError(
+                f"changes feed {feed_dir} was pruned through version"
+                f" {pruned_hw} but the consumer's cursor is"
+                f" {since_version}; the gap is unreconstructable —"
+                " rebuild downstream state from a fresh read, and size"
+                " keep_versions above the maximum expected consumer lag"
+            )
     fs, jdir = _hadoop_fs(spark, feed_dir)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     dirs = []
     if fs.exists(jdir):
         for status in fs.listStatus(jdir):
             name = status.getPath().getName()
-            if not _FEED_DIR_RE.match(name):
+            m = _FEED_DIR_RE.match(name)
+            if not m:
+                continue
+            if since_version is not None and int(m.group(1)) <= since_version:
                 continue
             # reuse the listed path + fs: one RPC per dir, not three
             if fs.exists(jvm_path(status.getPath(), _FEED_MARKER)):

@@ -103,6 +103,33 @@ class TestFeedRetention:
         with pytest.raises(ValueError, match=">= 1"):
             prune_changes_feed(spark, str(tmp_path / "f"), 0)
 
+    def test_since_version_cursor(self, spark, tmp_path):
+        path = self._three_commits(spark, tmp_path)
+        feed = str(tmp_path / "feed")
+        _drain(start_table_changes_tail(
+            spark, path, feed, str(tmp_path / "ckpt")
+        ))
+        got = read_changes_feed(spark, path, feed, since_version=1)
+        vs = sorted(
+            r[0]
+            for r in got.select("_commit_version").distinct().collect()
+        )
+        assert vs == [2, 3]
+        assert read_changes_feed(
+            spark, path, feed, since_version=3
+        ).count() == 0
+        # a cursor behind the pruned boundary fails loudly
+        prune_changes_feed(spark, feed, keep_versions=1)
+        with pytest.raises(ValueError, match="pruned through"):
+            read_changes_feed(spark, path, feed, since_version=1)
+        # at-or-past the boundary is fine: only surviving dirs scanned
+        vs2 = sorted(
+            r[0]
+            for r in read_changes_feed(spark, path, feed, since_version=2)
+            .select("_commit_version").distinct().collect()
+        )
+        assert vs2 == [3]
+
     def test_feed_retain_versions_wired_into_tail(self, spark, tmp_path):
         path = self._three_commits(spark, tmp_path)
         feed = str(tmp_path / "feed")
@@ -273,6 +300,65 @@ class TestStaleReplayUuid:
             (2, 1, "X1", "insert"),
             (2, 1, "x1", "delete"),
         ]
+
+    def test_resumed_checkpoint_reconciles_republished_version(
+        self, spark, tmp_path
+    ):
+        """The file stream source dedups manifest files by PATH, so a
+        re-published version is never re-delivered to a RESUMED
+        checkpoint — the batch pre-pass must detect the uuid mismatch
+        on the NEXT batch and fold the re-emit in (external review
+        r10, the resumed-tail counterpart of the fresh-replay case)."""
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        merge_into_partitioned(
+            spark, path, _upd(spark, [(1, "a", "X1", "U")]),
+            ["id"], ["pt"], op_col="op", retain_versions=10,
+        )
+        feed, ckpt = str(tmp_path / "feed"), str(tmp_path / "ckpt")
+        _drain(start_table_changes_tail(spark, path, feed, ckpt))
+        # crash-recovery re-publishes v2 with a fresh uuid while the
+        # tail is down, then a new commit lands
+        man = mt.manifest(2)
+        man["commit_uuid"] = "deadbeefdeadbeefdeadbeefdeadbeef"
+        _write_small_file(
+            spark, f"{path}/_manifests/v00000002.json", json.dumps(man)
+        )
+        merge_into_partitioned(
+            spark, path, _upd(spark, [(9, "c", "x9", "U")]),
+            ["id"], ["pt"], op_col="op", retain_versions=10,
+        )
+        # RESUME the original checkpoint: only v3's manifest is
+        # delivered; the pre-pass must still re-emit v2
+        _drain(start_table_changes_tail(spark, path, feed, ckpt))
+        assert _read_small_file(
+            spark, f"{feed}/v00000002/{_FEED_MARKER}"
+        ) == "deadbeefdeadbeefdeadbeefdeadbeef"
+        got = sorted(
+            (r._commit_version, r.id, r.v, r._change_type)
+            for r in read_changes_feed(spark, path, feed).collect()
+        )
+        assert got == [
+            (1, 1, "x1", "insert"),
+            (1, 2, "x2", "insert"),
+            (1, 3, "x3", "insert"),
+            (1, 4, "x4", "insert"),
+            (2, 1, "X1", "insert"),
+            (2, 1, "x1", "delete"),
+            (3, 9, "x9", "insert"),
+        ]
+
+    def test_change_col_internal_name_rejected(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        merge_into_partitioned(
+            spark, path, _upd(spark, [(1, "a", "X1", "U")]),
+            ["id"], ["pt"], op_col="op",
+        )
+        with pytest.raises(ValueError, match="internal names"):
+            mt.changes(1, 2, change_col="_copy")
 
     def test_matching_uuid_still_skips(self, spark, tmp_path):
         path = str(tmp_path / "t")
