@@ -183,6 +183,20 @@ def main(sf_dir: str, work_dir: str) -> None:
         f"table at v{mt.current_version()}; compaction emitted "
         f"{n_compaction_rows} feed rows (maintenance is invisible)"
     )
+    # incremental consumption + feed retention (r10): a consumer that
+    # tracks its cursor reads only NEW commits, and the feed directory
+    # itself is pruned to a bounded window
+    from fbg_kafka_stream_file_transfer_spark.streaming.table_tail import (
+        prune_changes_feed,
+    )
+
+    new_only = read_changes_feed(
+        spark, mpath, f"{work_dir}/feed", since_version=1
+    )
+    print(f"cursor read since v1: {new_only.count()} rows (v2+v3 only)")
+    pruned = prune_changes_feed(spark, f"{work_dir}/feed", keep_versions=2)
+    print(f"feed pruned through v{max(pruned, default=0)}; "
+          "a consumer whose cursor fell behind now gets a loud error")
     spark.stop()
 
 
