@@ -2425,3 +2425,87 @@ FROM chg GROUP BY 1
 """,
     doc="changes() over escaped/NULL partition dirs: diff equals delete-old+insert-new of the delta, untouched rows absent",
 )
+
+
+def _q_table_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level partition pruning (round 10): persist events as
+    a manifest table, merge a delta, then read ONLY the click/error
+    partitions through ``read(partitions=...)`` — the manifest names
+    the two directories, nothing else is listed or scanned (no
+    filter-after-full-scan). The oracle recomputes the merged state of
+    exactly those partitions, so a prune that reads too much (leaked
+    view rows) or too little (missed generation) breaks the hash.
+
+    Scale shape: O(named partitions) metadata + scan, independent of
+    table width — the point of manifest pruning at 10⁴+ partitions."""
+    import shutil
+    import tempfile
+
+    from ..operators.sampling import rate_bucket
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "props"
+    )
+    b = rate_bucket(F.col("event_id"))
+    touched = F.col("event_type").isin("click", "error")
+    work = tempfile.mkdtemp(prefix="table_pruned_")
+    path = f"{work}/events_by_type"
+    try:
+        mt = ManifestTable(spark, path)
+        mt.create(ev, ["event_type"])
+        upd = ev.filter(touched & (b < 1000)).withColumn(
+            "props", F.concat(F.col("props"), F.lit(" [v2]"))
+        ).withColumn("op", F.lit("U"))
+        dele = ev.filter(touched & (b >= 1000) & (b < 1500)).withColumn(
+            "op", F.lit("D")
+        )
+        merge_into_partitioned(
+            spark, path, upd.unionByName(dele),
+            ["event_id"], ["event_type"], op_col="op",
+        )
+        rows = (
+            mt.read(partitions=[("click",), ("error",)])
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+                F.sum(
+                    F.when(F.col("props").contains("[v2]"), 1).otherwise(0)
+                ).cast("bigint").alias("n_updated"),
+            )
+            .collect()  # materialize before the temp table is removed
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, id_checksum bigint,"
+            " n_updated bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_pruned_read"] = Q(
+    _q_table_pruned_read,
+    f"""
+WITH ev AS (SELECT event_id, event_type, props, {_EBUCKET} AS bk
+            FROM events
+            WHERE event_type IN ('click', 'error')),
+upd AS (SELECT event_id, event_type,
+               props || ' [v2]' AS props
+        FROM ev WHERE bk < 1000),
+del AS (SELECT event_id FROM ev WHERE bk >= 1000 AND bk < 1500),
+keys AS (SELECT event_id FROM upd UNION ALL SELECT event_id FROM del),
+surv AS (SELECT e.event_id, e.event_type, e.props
+         FROM ev e LEFT JOIN keys k ON e.event_id = k.event_id
+         WHERE k.event_id IS NULL),
+fin AS (SELECT * FROM surv UNION ALL SELECT * FROM upd)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_checksum,
+       CAST(sum(CASE WHEN props LIKE '%[v2]%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_updated
+FROM fin GROUP BY 1
+""",
+    doc="manifest-level pruned read: exactly the named partitions' merged state, untouched partitions never scanned",
+)
