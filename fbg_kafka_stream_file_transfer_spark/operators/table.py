@@ -378,6 +378,29 @@ class ManifestTable:
                 out.append(int(m.group(1)))
         return sorted(out)
 
+    def history(self) -> list[dict]:
+        """Commit log of every RETAINED version, oldest first — the
+        `DESCRIBE HISTORY` analog. One small-file read per retained
+        manifest (O(retain window), never O(data)); each row carries
+        version, commit_uuid, committed_utc (absent on pre-r10
+        manifests), partition_cols, and the live-partition count."""
+        out = []
+        for v in self.versions():
+            try:
+                m = self.manifest(v)
+            except ValueError:
+                continue  # GC'd between the listing and the read
+            out.append(
+                {
+                    "version": m["version"],
+                    "commit_uuid": m.get("commit_uuid"),
+                    "committed_utc": m.get("committed_utc"),
+                    "partition_cols": list(m["partition_cols"]),
+                    "n_partitions": len(m["entries"]),
+                }
+            )
+        return out
+
     def current_version(self) -> int | None:
         """Pointer read, with highest-manifest fallback covering the
         pointer-swap crash window (delete happened, rename did not:
@@ -751,6 +774,8 @@ class ManifestTable:
                     "values": [_encode_value(v) for v in t],
                     "dir": rel,
                 }
+        import datetime
+
         man = {
             "version": version,
             # a unique id per PHYSICAL commit: a post-crash re-publish
@@ -759,6 +784,11 @@ class ManifestTable:
             # the replacement and re-emit instead of silently skipping
             # a diverged commit (external review r10)
             "commit_uuid": uuid.uuid4().hex,
+            # wall-clock audit metadata only (history()); no read path
+            # or diff ever depends on it
+            "committed_utc": datetime.datetime.now(
+                datetime.timezone.utc
+            ).isoformat(),
             "partition_cols": pcols,
             "schema": json.loads(df.schema.json()),
             "entries": sorted(prev_entries.values(), key=lambda e: e["key"]),
@@ -880,8 +910,14 @@ class ManifestTable:
             raise IOError(f"could not swap pointer for {self.path}")
 
     def _gc(self, version: int, retain_versions: int) -> None:
-        """Best-effort: delete generation dirs no RETAINED manifest
-        references, then manifests older than the retain window. A
+        """Best-effort: delete manifests older than the retain window
+        FIRST, then generation dirs no surviving manifest references.
+        Manifest-first ordering matters for racing readers (external
+        review r10): a version EXPIRES (vanishes from ``versions()``,
+        ``read(version=)`` raises the explicit "not retained" error)
+        before its data disappears, so a tail/consumer racing the GC
+        classifies the failure as retention instead of hitting a raw
+        FileNotFound on data whose manifest still looked alive. A
         generation stays alive as long as ANY retained manifest still
         references one of its partition dirs (untouched partitions
         keep old generations live — correct and intended); fully
@@ -896,12 +932,6 @@ class ManifestTable:
             except Exception:  # noqa: BLE001 — GC never fails a commit
                 return
         try:
-            fs, jdata = _hadoop_fs(self.spark, f"{self.path}/{_DATA_DIR}")
-            if fs.exists(jdata):
-                for status in fs.listStatus(jdata):
-                    name = status.getPath().getName()
-                    if re.match(r"^g\d{8}$", name) and name not in referenced:
-                        fs.delete(status.getPath(), True)
             fs_m, jman_dir = _hadoop_fs(
                 self.spark, f"{self.path}/{_MANIFEST_DIR}"
             )
@@ -912,6 +942,12 @@ class ManifestTable:
                         f"{self.path}/{_MANIFEST_DIR}/v{v:08d}.json",
                     )
                     fs_m.delete(jm, False)
+            fs, jdata = _hadoop_fs(self.spark, f"{self.path}/{_DATA_DIR}")
+            if fs.exists(jdata):
+                for status in fs.listStatus(jdata):
+                    name = status.getPath().getName()
+                    if re.match(r"^g\d{8}$", name) and name not in referenced:
+                        fs.delete(status.getPath(), True)
         except Exception:  # noqa: BLE001 — orphans are invisible via
             # the manifest; the next commit's GC retries
             pass

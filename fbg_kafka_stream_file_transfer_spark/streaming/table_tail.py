@@ -39,7 +39,17 @@ Built on machinery Spark already hardens, not a custom source:
   manifest. A post-crash recovery that re-published a version over an
   orphan commit the tail already consumed is therefore detected on
   the NEXT batch (resumed checkpoint) or on replay (fresh
-  checkpoint), and the corrected diff replaces the diverged feed dir.
+  checkpoint), and the corrected diff replaces the diverged feed dir
+  via a rename-swap (readers never see the version wholly absent).
+  HONEST LIMITS of the net: detection needs the manifest still
+  retained AND the feed dir still published — a re-publish whose feed
+  dir was already pruned is undetectable feed-side, and a
+  ``since_version`` consumer whose cursor already passed the
+  corrected version will not re-read it. The primary defense is
+  upstream: recovery recommits are deterministic recomputations of
+  the same delta, so a DIVERGENT re-publish indicates a
+  nondeterministic pipeline — the uuid net catches it for every
+  retained, published version.
 
 Bootstrap semantics: the FIRST version a fresh consumer can discover
 is emitted as an initial snapshot — every row of that version as an
@@ -92,14 +102,41 @@ def _pruned_through(spark: SparkSession, feed_dir: str) -> int:
     """Highest feed version ever pruned from ``feed_dir`` (0 if none).
     Written by :func:`prune_changes_feed` so that pruning cannot erase
     the evidence the lag guard in the tail relies on — a feed whose
-    old directories were all pruned still proves it HAD prior state."""
+    old directories were all pruned still proves it HAD prior state.
+
+    An unparseable marker raises: failing open to 0 would silently
+    disable the very guard the marker exists to preserve (a lagged
+    consumer would take the snapshot branch and duplicate downstream
+    state). The marker is published via tmp-write + rename, so a
+    torn file should never exist — corruption deserves a loud stop."""
     text = _read_small_file(spark, f"{feed_dir}/{_PRUNED_MARKER}")
     if text is None:
         return 0
     try:
         return int(text.strip())
-    except ValueError:
-        return 0
+    except ValueError as exc:
+        raise ValueError(
+            f"corrupt {_PRUNED_MARKER} marker in {feed_dir}"
+            f" ({text!r}); the feed's pruned boundary is unknowable —"
+            " repair or remove the marker after verifying consumer"
+            " state"
+        ) from exc
+
+
+def _write_pruned_through(
+    spark: SparkSession, feed_dir: str, version: int
+) -> None:
+    """Publish the high-water atomically (tmp-write + rename, the same
+    discipline as the table's manifest `_publish`): a crash mid-write
+    must never leave a truncated marker that parses as 'no pruning
+    ever happened'."""
+    tmp = f"{feed_dir}/.{_PRUNED_MARKER}.tmp"
+    _write_small_file(spark, tmp, str(version))
+    fs, jfinal = _hadoop_fs(spark, f"{feed_dir}/{_PRUNED_MARKER}")
+    _, jtmp = _hadoop_fs(spark, tmp)
+    fs.delete(jfinal, False)
+    if not fs.rename(jtmp, jfinal):
+        raise IOError(f"could not publish {_PRUNED_MARKER} in {feed_dir}")
 
 
 def _feed_committed(spark: SparkSession, feed_dir: str, version: int) -> bool:
@@ -337,13 +374,32 @@ def start_table_changes_tail(
             )
             fs, jfinal = _hadoop_fs(spark, final)
             _, jtmp = _hadoop_fs(spark, tmp)
-            fs.delete(jfinal, True)  # clears a crashed partial husk
-            # (no marker → invisible to readers); committed dirs were
-            # skipped above (uuid-verified), so a published version
-            # never vanishes — except the stale-replay correction,
-            # which replaces a diverged dir with the corrected diff
-            if not fs.rename(jtmp, jfinal):
-                raise IOError(f"could not publish feed dir {final}")
+            if _feed_committed(spark, feed_dir, v):
+                # stale-replay correction over a COMMITTED dir: a
+                # delete-then-rename would leave the version wholly
+                # absent while the (potentially long) recursive delete
+                # runs. Swap via two renames instead — the old dir
+                # moves to a dot-prefixed name (invisible to readers)
+                # and the corrected dir renames in; the absent-window
+                # shrinks to the instant between the renames
+                # (external review r10, pass 2).
+                trash = f"{feed_dir}/.v{v:08d}.stale"
+                _, jtrash = _hadoop_fs(spark, trash)
+                fs.delete(jtrash, True)  # a husk from a prior crash
+                if not fs.rename(jfinal, jtrash):
+                    raise IOError(
+                        f"could not displace stale feed dir {final}"
+                    )
+                if not fs.rename(jtmp, jfinal):
+                    raise IOError(f"could not publish feed dir {final}")
+                fs.delete(jtrash, True)
+            else:
+                fs.delete(jfinal, True)  # clears a crashed partial
+                # husk (no marker → invisible to readers); committed
+                # dirs take the rename-swap branch above, so a
+                # published version never vanishes
+                if not fs.rename(jtmp, jfinal):
+                    raise IOError(f"could not publish feed dir {final}")
             emitted_prev.add(v)
         if feed_retain_versions is not None:
             prune_changes_feed(spark, feed_dir, feed_retain_versions)
@@ -381,7 +437,7 @@ def prune_changes_feed(
     )
     if to_prune:
         hw = max(max(to_prune), _pruned_through(spark, feed_dir))
-        _write_small_file(spark, f"{feed_dir}/{_PRUNED_MARKER}", str(hw))
+        _write_pruned_through(spark, feed_dir, hw)
     for v in to_prune:
         d = f"{feed_dir}/v{v:08d}"
         fs, jmark = _hadoop_fs(spark, f"{d}/{_FEED_MARKER}")
@@ -416,7 +472,18 @@ def read_changes_feed(
     schema_names = [f.name for f in mt.schema().fields]
     _reject_column_collisions(schema_names, change_col)
     schema = mt.schema().add(change_col, "string")
+    dirs = [
+        f"{feed_dir}/v{v:08d}"
+        for v in _committed_feed_versions(spark, feed_dir)
+        if since_version is None or v > since_version
+    ]
     if since_version is not None:
+        # checked AFTER the listing: a prune racing this read could
+        # delete versions the listing missed and advance the
+        # high-water; the post-listing check guarantees that every
+        # version in (since_version, oldest-listed] still existed —
+        # no silent gap between the cursor and the returned dirs
+        # (external review r10, pass 2)
         pruned_hw = _pruned_through(spark, feed_dir)
         if since_version < pruned_hw:
             raise ValueError(
@@ -426,20 +493,6 @@ def read_changes_feed(
                 " rebuild downstream state from a fresh read, and size"
                 " keep_versions above the maximum expected consumer lag"
             )
-    fs, jdir = _hadoop_fs(spark, feed_dir)
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-    dirs = []
-    if fs.exists(jdir):
-        for status in fs.listStatus(jdir):
-            name = status.getPath().getName()
-            m = _FEED_DIR_RE.match(name)
-            if not m:
-                continue
-            if since_version is not None and int(m.group(1)) <= since_version:
-                continue
-            # reuse the listed path + fs: one RPC per dir, not three
-            if fs.exists(jvm_path(status.getPath(), _FEED_MARKER)):
-                dirs.append(f"{feed_dir}/{name}")
     if not dirs:
         return (
             spark.createDataFrame([], schema)

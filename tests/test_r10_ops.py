@@ -103,6 +103,21 @@ class TestFeedRetention:
         with pytest.raises(ValueError, match=">= 1"):
             prune_changes_feed(spark, str(tmp_path / "f"), 0)
 
+    def test_corrupt_pruned_marker_fails_loudly(self, spark, tmp_path):
+        """A truncated/garbage _PRUNED_THROUGH must raise, not parse
+        as 'no pruning ever happened' — failing open would silently
+        disable the lag guard (review pass 2)."""
+        path = self._three_commits(spark, tmp_path)
+        feed = str(tmp_path / "feed")
+        _drain(start_table_changes_tail(
+            spark, path, feed, str(tmp_path / "ckpt"),
+        ))
+        _write_small_file(spark, f"{feed}/{_PRUNED_MARKER}", "garbage")
+        with pytest.raises(ValueError, match="corrupt"):
+            prune_changes_feed(spark, feed, keep_versions=1)
+        with pytest.raises(ValueError, match="corrupt"):
+            read_changes_feed(spark, path, feed, since_version=2)
+
     def test_since_version_cursor(self, spark, tmp_path):
         path = self._three_commits(spark, tmp_path)
         feed = str(tmp_path / "feed")
@@ -678,3 +693,72 @@ class TestMultiProcessLease:
         )
         assert got == [(1, "X1"), (2, "x2"), (3, "x3"), (4, "x4")]
         assert not os.path.exists(f"{path}/_lock")
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# partition values a filesystem-escaping layer is most likely to garble:
+# printable unicode plus the escape-relevant ASCII characters, and
+# strings that LOOK pre-escaped ('a%2Fb' must roundtrip as itself)
+_pval = st.text(
+    alphabet=st.one_of(
+        st.characters(codec="utf-8", exclude_categories=("Cs", "Cc")),
+        st.sampled_from(list("=/ #%.\\:*?'\"[]{}週语")),
+    ),
+    min_size=1,
+    max_size=12,
+).filter(lambda s: s.strip() != "" and s != "__HIVE_DEFAULT_PARTITION__")
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_pval, min_size=1, max_size=4, unique=True))
+def test_fuzz_partition_value_roundtrip(spark, tmp_path_factory, vals):
+    """Any nonempty string partition value must survive the manifest
+    encode → Spark dir-escape → single-walk match → read cycle, and a
+    merge that deletes one of the partitions must remove exactly it —
+    a garbled escape either loses a partition (missing manifest
+    entry) or resurrects one (missed delete)."""
+    tmp = tmp_path_factory.mktemp("fuzzpt")
+    df = spark.createDataFrame(
+        [(i, v, f"x{i}") for i, v in enumerate(vals)],
+        "id int, pt string, v string",
+    )
+    path = str(tmp / "t")
+    mt = ManifestTable(spark, path)
+    assert mt.create(df, ["pt"]) == len(vals)
+    got = sorted((r.id, r.pt, r.v) for r in mt.read().collect())
+    assert got == sorted((i, v, f"x{i}") for i, v in enumerate(vals))
+    # delete the first partition entirely; the rest must survive
+    dele = spark.createDataFrame(
+        [(0, vals[0], "x0", "D")], "id int, pt string, v string, op string"
+    )
+    merge_into_partitioned(spark, path, dele, ["id"], ["pt"], op_col="op")
+    got2 = sorted((r.id, r.pt) for r in mt.read().collect())
+    assert got2 == sorted((i, v) for i, v in enumerate(vals) if i != 0)
+
+
+def test_history_commit_log(spark, tmp_path):
+    """history() lists every retained commit oldest-first with uuid,
+    timestamp, and live-partition count — O(retain window) small-file
+    reads, the DESCRIBE HISTORY analog."""
+    path = str(tmp_path / "t")
+    mt = ManifestTable(spark, path)
+    mt.create(_base(spark), ["pt"])
+    merge_into_partitioned(
+        spark, path, _upd(spark, [(3, "b", "x3", "D")]),
+        ["id"], ["pt"], op_col="op", retain_versions=10,
+    )
+    h = mt.history()
+    assert [r["version"] for r in h] == [1, 2]
+    assert h[0]["n_partitions"] == 3  # a, b, c
+    assert h[1]["n_partitions"] == 2  # b emptied
+    assert all(r["partition_cols"] == ["pt"] for r in h)
+    assert len({r["commit_uuid"] for r in h}) == 2
+    assert all(r["committed_utc"] is not None for r in h)
+    # survives GC: only retained versions appear
+    merge_into_partitioned(
+        spark, path, _upd(spark, [(9, "c", "x9", "U")]),
+        ["id"], ["pt"], op_col="op", retain_versions=2,
+    )
+    assert [r["version"] for r in mt.history()] == [2, 3]
