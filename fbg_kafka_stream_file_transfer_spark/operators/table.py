@@ -361,9 +361,24 @@ class ManifestTable:
     versions (``versions()``).
     """
 
-    def __init__(self, spark: SparkSession, path: str) -> None:
+    def __init__(
+        self, spark: SparkSession, path: str, shard_target: int = 8192
+    ) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
+        #: live-partition count above which a commit writes the
+        #: manifest as a manifest LIST + content-addressed entry
+        #: shards (Iceberg-style) instead of one monolithic JSON —
+        #: past ~10⁴ partitions the single file is the metadata
+        #: bottleneck the r9 verdict named: every commit rewrites
+        #: O(live partitions) bytes. Sharded, a commit rewrites only
+        #: the buckets its touched partitions hash into, ~O(touched)
+        #: + one small list file. Readers are format-agnostic
+        #: (`manifest()` expands either form).
+        self.shard_target = shard_target
+        # expansion memo: (version, commit_uuid) -> entries list;
+        # bounded, instance-local (see manifest())
+        self._man_cache: dict[tuple, list] = {}
 
     # ---- metadata -------------------------------------------------
 
@@ -413,10 +428,11 @@ class ManifestTable:
                 return int(m.group(1))
         return vs[-1] if vs else None
 
-    def manifest(self, version: int | None = None) -> dict:
-        version = self.current_version() if version is None else version
-        if version is None:
-            raise ValueError(f"manifest table does not exist: {self.path}")
+    def _manifest_raw(self, version: int) -> dict:
+        """The version's manifest file AS WRITTEN — a sharded list
+        keeps its ``entry_shards`` references unexpanded. Internal:
+        the shard-reuse diff in `_shard_entries` and the GC's
+        referenced-shard sweep need the raw form."""
         text = _read_small_file(
             self.spark,
             f"{self.path}/{_MANIFEST_DIR}/v{version:08d}.json",
@@ -427,6 +443,65 @@ class ManifestTable:
                 f"(available: {self.versions()})"
             )
         return json.loads(text)
+
+    def manifest(self, version: int | None = None) -> dict:
+        version = self.current_version() if version is None else version
+        if version is None:
+            raise ValueError(f"manifest table does not exist: {self.path}")
+        man = self._manifest_raw(version)
+        shards = man.pop("entry_shards", None)
+        if shards is None:
+            return man
+        # sharded list (format v2, written past shard_target live
+        # partitions): expand to the same shape callers of the
+        # single-file format see — read/changes/merge stay format-
+        # agnostic. Expansions memoize per (version, commit_uuid) on
+        # this instance — one merge/tail calls manifest() for the same
+        # version several times (pcols, prev entries, GC) and must not
+        # pay the shard reads repeatedly; the uuid key makes a
+        # post-crash re-publish invalidate naturally.
+        ck = (version, man.get("commit_uuid"))
+        cached = self._man_cache.get(ck)
+        if cached is not None:
+            return {**man, "entries": cached}
+        if len(shards) >= 8:
+            # ONE Spark job reads every shard (each a single JSON
+            # line); driver-side json.loads keeps the tagged-value
+            # fidelity a schema'd json read would coerce away. Beats
+            # per-file py4j reads ~linearly in shard count.
+            try:
+                lines = [
+                    r.value
+                    for r in self.spark.read.text(
+                        [f"{self.path}/{rel}" for rel in shards]
+                    ).collect()
+                ]
+            except Exception as exc:  # noqa: BLE001 — classify
+                raise ValueError(
+                    f"entry shard(s) of {self.path} v{version} are"
+                    " missing — the version was GC'd mid-read"
+                    f" (available: {self.versions()})"
+                ) from exc
+            parts = [json.loads(t) for t in lines if t.strip()]
+        else:
+            parts = []
+            for rel in shards:
+                text = _read_small_file(self.spark, f"{self.path}/{rel}")
+                if text is None:
+                    raise ValueError(
+                        f"entry shard {rel} of {self.path} v{version} is"
+                        " missing — the version was GC'd mid-read"
+                        f" (available: {self.versions()})"
+                    )
+                parts.append(json.loads(text))
+        entries = sorted(
+            (e for p in parts for e in p["entries"]),
+            key=lambda e: e["key"],
+        )
+        if len(self._man_cache) >= 8:
+            self._man_cache.pop(next(iter(self._man_cache)))
+        self._man_cache[ck] = entries
+        return {**man, "entries": entries}
 
     def schema(self, version: int | None = None) -> T.StructType:
         return T.StructType.fromJson(self.manifest(version)["schema"])
@@ -757,10 +832,19 @@ class ManifestTable:
         # map each touched partition to its freshly written directory
         # by VALUE (the escaped-dir-name walk shared with the plain
         # merge path); no directory name is ever parsed back to a value
+        prev_man = self.manifest(version - 1) if version > 1 else None
         prev_entries = (
-            {e["key"]: e for e in self.manifest(version - 1)["entries"]}
-            if version > 1
+            {e["key"]: e for e in prev_man["entries"]}
+            if prev_man is not None
             else {}
+        )
+        # the shard threshold is a PERSISTED table property: later
+        # commits (including merges routed through a default-constructed
+        # ManifestTable) honor what create() configured
+        shard_target = (
+            prev_man.get("shard_target", self.shard_target)
+            if prev_man is not None
+            else self.shard_target
         )
         dirs_by_key = self._map_partition_dirs(gen_rel, dup, touched)
         for t in touched:
@@ -791,11 +875,76 @@ class ManifestTable:
             ).isoformat(),
             "partition_cols": pcols,
             "schema": json.loads(df.schema.json()),
-            "entries": sorted(prev_entries.values(), key=lambda e: e["key"]),
+            "shard_target": shard_target,
         }
+        entries = sorted(prev_entries.values(), key=lambda e: e["key"])
+        if len(entries) > shard_target:
+            man["entry_shards"] = self._shard_entries(
+                version, entries, shard_target
+            )
+        else:
+            man["entries"] = entries
         self._publish(version, man)
         self._gc(version, retain_versions)
         return len(touched)
+
+    def _shard_entries(
+        self, version: int, entries: list[dict], shard_target: int
+    ) -> list[str]:
+        """Write ``entries`` as content-addressed shard files and
+        return their manifest-relative paths (the manifest LIST).
+
+        Entries hash into a power-of-two bucket count sized to
+        ``shard_target``; a shard's filename embeds (bucket count,
+        bucket index, content sha1), so an UNCHANGED bucket resolves
+        to the exact filename the previous commit's list already
+        references — nothing is rewritten for it. A commit touching T
+        partitions therefore writes ~ceil(T × buckets / live) shards
+        (≈ O(touched) for T ≪ live) plus one small list file, instead
+        of the O(live partitions) monolith. Crash safety: shards land
+        BEFORE the list publishes; a crash leaves content-addressed
+        orphans no list references (invisible; swept by a later GC).
+        When the table grows past a power-of-two boundary the bucket
+        count doubles and every shard rewrites ONCE — amortized O(1)
+        per commit, the classic resize bargain."""
+        import hashlib
+        import math
+
+        nb = 1 << max(0, math.ceil(math.log2(
+            max(1, math.ceil(len(entries) / shard_target))
+        )))
+        prev_by_bucket: dict[int, str] = {}
+        if version > 1:
+            try:
+                for rel in self._manifest_raw(version - 1).get(
+                    "entry_shards", []
+                ):
+                    m = re.match(
+                        r"^.*/s(\d{5})_(\d{5})_[0-9a-f]{16}\.json$", rel
+                    )
+                    if m and int(m.group(1)) == nb:
+                        prev_by_bucket[int(m.group(2))] = rel
+            except ValueError:
+                pass  # previous manifest GC'd: write every shard
+        buckets: dict[int, list[dict]] = {}
+        for e in entries:
+            b = int(
+                hashlib.sha1(e["key"].encode("utf-8")).hexdigest()[:8], 16
+            ) % nb
+            buckets.setdefault(b, []).append(e)
+        rels = []
+        for b in sorted(buckets):
+            body = json.dumps({"entries": buckets[b]}, sort_keys=True)
+            h = hashlib.sha1(body.encode("utf-8")).hexdigest()[:16]
+            rel = f"{_MANIFEST_DIR}/s{nb:05d}_{b:05d}_{h}.json"
+            if prev_by_bucket.get(b) != rel:
+                # content differs from what the previous list used for
+                # this bucket (or the bucket count changed): write it.
+                # Content-addressed name → an identical concurrent
+                # rewrite is byte-identical, overwrite is harmless.
+                _write_small_file(self.spark, f"{self.path}/{rel}", body)
+            rels.append(rel)
+        return rels
 
     def _map_partition_dirs(
         self, gen_rel: str, dup_cols: list[str], touched: list[tuple]
@@ -942,6 +1091,26 @@ class ManifestTable:
                         f"{self.path}/{_MANIFEST_DIR}/v{v:08d}.json",
                     )
                     fs_m.delete(jm, False)
+            # sweep entry shards no RETAINED list references (expired
+            # versions' exclusive shards, crash orphans, pre-resize
+            # bucket layouts) — lists were deleted above, so the
+            # referenced set here is the surviving one
+            live_shards: set[str] = set()
+            for v in self.versions():
+                try:
+                    for rel in self._manifest_raw(v).get(
+                        "entry_shards", []
+                    ):
+                        live_shards.add(rel.split("/")[-1])
+                except ValueError:
+                    return  # racing another GC; retry next commit
+            for status in fs_m.listStatus(jman_dir):
+                name = status.getPath().getName()
+                if (
+                    re.match(r"^s\d{5}_\d{5}_[0-9a-f]{16}\.json$", name)
+                    and name not in live_shards
+                ):
+                    fs_m.delete(status.getPath(), False)
             fs, jdata = _hadoop_fs(self.spark, f"{self.path}/{_DATA_DIR}")
             if fs.exists(jdata):
                 for status in fs.listStatus(jdata):

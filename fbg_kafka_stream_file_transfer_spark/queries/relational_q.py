@@ -2509,3 +2509,97 @@ FROM fin GROUP BY 1
 """,
     doc="manifest-level pruned read: exactly the named partitions' merged state, untouched partitions never scanned",
 )
+
+
+def _q_table_sharded_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded manifest list end-to-end (round 10): persist events
+    across 300 hash partitions with ``shard_target=64`` — past the
+    threshold the manifest becomes a LIST of content-addressed entry
+    shards (300/64 → 8 hash buckets), and a merge rewrites only the
+    buckets its touched partitions hash into plus one small list
+    file, never the O(live partitions) monolith. The query merges an
+    update/delete delta, then aggregates the final state; the shard
+    count (deterministic: next power of two ≥ 300/64) and the table
+    version ride along as literals so a format regression (fell back
+    to a monolith, wrong bucket fan-out) breaks the hash alongside
+    any data divergence.
+
+    Scale shape: commit metadata cost drops from O(live partitions)
+    bytes to ~O(touched) — the r10 answer to the r9 verdict's
+    manifest-size ceiling; measured in SCALE.md at 10k partitions."""
+    import shutil
+    import tempfile
+
+    from ..operators.sampling import rate_bucket
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 300).cast("int").alias("pt"),
+        "event_type",
+    )
+    b = rate_bucket(F.col("event_id"))
+    work = tempfile.mkdtemp(prefix="table_shard_")
+    path = f"{work}/events_by_hash"
+    try:
+        mt = ManifestTable(spark, path, shard_target=64)
+        mt.create(ev, ["pt"])
+        upd = ev.filter(b < 1000).withColumn(
+            "event_type", F.concat(F.col("event_type"), F.lit("-v2"))
+        ).withColumn("op", F.lit("U"))
+        dele = ev.filter((b >= 1000) & (b < 1500)).withColumn(
+            "op", F.lit("D")
+        )
+        merge_into_partitioned(
+            spark, path, upd.unionByName(dele), ["event_id"], ["pt"],
+            op_col="op",
+        )
+        n_shards = len(mt._manifest_raw(2)["entry_shards"])
+        rows = (
+            mt.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+                F.countDistinct("pt").cast("bigint").alias("n_partitions"),
+            )
+            .withColumn("n_shards", F.lit(n_shards).cast("int"))
+            .withColumn(
+                "table_version",
+                F.lit(mt.current_version()).cast("int"),
+            )
+            .collect()  # materialize before the temp table is removed
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, id_checksum bigint,"
+            " n_partitions bigint, n_shards int, table_version int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_sharded_manifest"] = Q(
+    _q_table_sharded_manifest,
+    f"""
+WITH ev AS (SELECT event_id, CAST(event_id % 300 AS INTEGER) AS pt,
+                   event_type, {_EBUCKET} AS bk
+            FROM events),
+upd AS (SELECT event_id, pt, event_type || '-v2' AS event_type
+        FROM ev WHERE bk < 1000),
+del AS (SELECT event_id FROM ev WHERE bk >= 1000 AND bk < 1500),
+keys AS (SELECT event_id FROM upd UNION ALL SELECT event_id FROM del),
+surv AS (SELECT e.event_id, e.pt, e.event_type
+         FROM ev e LEFT JOIN keys k ON e.event_id = k.event_id
+         WHERE k.event_id IS NULL),
+fin AS (SELECT * FROM surv UNION ALL SELECT * FROM upd)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_checksum,
+       CAST(count(DISTINCT pt) AS BIGINT) AS n_partitions,
+       CAST(8 AS INT) AS n_shards,
+       CAST(2 AS INT) AS table_version
+FROM fin GROUP BY 1
+""",
+    doc="sharded manifest list: 300 partitions across 8 content-addressed shards; merged state equals the relational oracle",
+)

@@ -762,3 +762,143 @@ def test_history_commit_log(spark, tmp_path):
         ["id"], ["pt"], op_col="op", retain_versions=2,
     )
     assert [r["version"] for r in mt.history()] == [2, 3]
+
+
+class TestShardedManifest:
+    """Manifest list + content-addressed entry shards past the
+    shard_target threshold (the r9 verdict's 'known next wall',
+    measured then bounded in r10)."""
+
+    def _mk(self, spark, tmp_path, n_parts=12, target=4):
+        df = spark.createDataFrame(
+            [(i, i % n_parts, f"x{i}") for i in range(3 * n_parts)],
+            "id int, pt int, v string",
+        )
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path, shard_target=target)
+        mt.create(df, ["pt"])
+        return mt, path
+
+    def test_sharded_write_and_format_agnostic_read(self, spark, tmp_path):
+        mt, path = self._mk(spark, tmp_path)
+        raw = mt._manifest_raw(1)
+        assert "entries" not in raw and len(raw["entry_shards"]) > 1
+        assert raw["shard_target"] == 4
+        man = mt.manifest(1)
+        assert len(man["entries"]) == 12
+        assert mt.read().count() == 36
+
+    def test_merge_reuses_unchanged_shards_and_persisted_target(
+        self, spark, tmp_path
+    ):
+        mt, path = self._mk(spark, tmp_path)
+        v1_shards = set(mt._manifest_raw(1)["entry_shards"])
+        # route through merge_into_partitioned with its own DEFAULT
+        # ManifestTable: the persisted shard_target must be honored
+        upd = spark.createDataFrame(
+            [(0, 0, "X0", "U")], "id int, pt int, v string, op string"
+        )
+        merge_into_partitioned(
+            spark, path, upd, ["id"], ["pt"], op_col="op",
+            retain_versions=10,
+        )
+        raw2 = mt._manifest_raw(2)
+        assert "entry_shards" in raw2  # still sharded, not the 8192 default
+        v2_shards = set(raw2["entry_shards"])
+        assert len(v2_shards) == len(v1_shards)
+        changed = v2_shards - v1_shards
+        assert len(changed) == 1  # ONE partition touched -> ONE bucket
+        assert len(v1_shards & v2_shards) == len(v1_shards) - 1
+        got = sorted(
+            (r.id, r.v) for r in mt.read().filter("pt = 0").collect()
+        )
+        assert (0, "X0") in got
+
+    def test_changes_and_time_travel_across_sharded_versions(
+        self, spark, tmp_path
+    ):
+        mt, path = self._mk(spark, tmp_path)
+        upd = spark.createDataFrame(
+            [(0, 0, "X0", "U"), (1, 1, "x1", "D")],
+            "id int, pt int, v string, op string",
+        )
+        merge_into_partitioned(
+            spark, path, upd, ["id"], ["pt"], op_col="op",
+            retain_versions=10,
+        )
+        assert mt.read(version=1).count() == 36
+        assert mt.read(version=2).count() == 35
+        diff = sorted(
+            (r.id, r._change_type) for r in mt.changes(1, 2).collect()
+        )
+        assert diff == [(0, "delete"), (0, "insert"), (1, "delete")]
+
+    def test_gc_sweeps_unreferenced_shards(self, spark, tmp_path):
+        mt, path = self._mk(spark, tmp_path)
+        for k in range(3):
+            upd = spark.createDataFrame(
+                [(k, k, f"Y{k}", "U")], "id int, pt int, v string, op string"
+            )
+            merge_into_partitioned(
+                spark, path, upd, ["id"], ["pt"], op_col="op",
+                retain_versions=1,
+            )
+        live = {
+            rel.split("/")[-1]
+            for v in mt.versions()
+            for rel in mt._manifest_raw(v)["entry_shards"]
+        }
+        on_disk = {
+            n
+            for n in os.listdir(f"{path}/_manifests")
+            if n.startswith("s") and n.endswith(".json")
+        }
+        assert on_disk == live  # every orphan swept, every live kept
+        assert mt.read().count() == 36  # and the table still reads
+
+    def test_threshold_crossing_flips_formats(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, i % 3, f"x{i}") for i in range(9)],
+            "id int, pt int, v string",
+        )
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path, shard_target=4)
+        mt.create(df, ["pt"])
+        assert "entries" in mt._manifest_raw(1)  # 3 <= 4: single file
+        grow = spark.createDataFrame(
+            [(100 + p, p, f"g{p}", "U") for p in range(3, 12)],
+            "id int, pt int, v string, op string",
+        )
+        merge_into_partitioned(
+            spark, path, grow, ["id"], ["pt"], op_col="op",
+            retain_versions=10,
+        )
+        assert "entry_shards" in mt._manifest_raw(2)  # 12 > 4: sharded
+        assert mt.read().count() == 18
+        assert mt.changes(1, 2).count() == 9  # the 9 inserts
+
+    def test_tail_on_sharded_table(self, spark, tmp_path):
+        mt, path = self._mk(spark, tmp_path)
+        feed = str(tmp_path / "feed")
+        q = start_table_changes_tail(
+            spark, path, feed, str(tmp_path / "ckpt")
+        )
+        try:
+            q.processAllAvailable()
+            upd = spark.createDataFrame(
+                [(0, 0, "X0", "U")], "id int, pt int, v string, op string"
+            )
+            merge_into_partitioned(
+                spark, path, upd, ["id"], ["pt"], op_col="op",
+                retain_versions=10,
+            )
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        feed_df = read_changes_feed(spark, path, feed)
+        assert feed_df.filter("_commit_version = 1").count() == 36
+        v2 = sorted(
+            (r.id, r._change_type)
+            for r in feed_df.filter("_commit_version = 2").collect()
+        )
+        assert v2 == [(0, "delete"), (0, "insert")]

@@ -57,11 +57,18 @@ def _df(spark, n_parts: int, rows_per_part: int = 4):
 def main() -> None:
     work = sys.argv[1] if len(sys.argv) > 1 else ".localdata/manifest_stress"
     steps = [int(x) for x in sys.argv[2:]] or [1000, 5000, 10000]
+    # MANIFEST_STRESS_SHARD_TARGET opts the run into the sharded
+    # manifest-list format (persisted at create; merges honor it)
+    shard_target = int(os.environ.get("MANIFEST_STRESS_SHARD_TARGET", "0"))
     spark = get_spark("manifest-stress", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     for n in steps:
         path = os.path.join(work, f"t{n}")
         shutil.rmtree(path, ignore_errors=True)
-        mt = ManifestTable(spark, path)
+        mt = (
+            ManifestTable(spark, path, shard_target=shard_target)
+            if shard_target
+            else ManifestTable(spark, path)
+        )
 
         t0 = time.perf_counter()
         mt.create(_df(spark, n), ["pt"])
@@ -81,6 +88,18 @@ def main() -> None:
 
         man_path = os.path.join(path, "_manifests", "v00000002.json")
         manifest_bytes = os.path.getsize(man_path)
+        # sharded runs: bytes the v2 commit actually WROTE = list file
+        # + shards absent from v1's list (reused shards cost nothing)
+        commit_write_bytes = manifest_bytes
+        raw1, raw2 = mt._manifest_raw(1), mt._manifest_raw(2)
+        if "entry_shards" in raw2:
+            new_shards = set(raw2["entry_shards"]) - set(
+                raw1.get("entry_shards", [])
+            )
+            commit_write_bytes += sum(
+                os.path.getsize(os.path.join(path, rel))
+                for rel in new_shards
+            )
 
         t0 = time.perf_counter()
         df = mt.read()  # planning: manifest parse + N-dir scan setup
@@ -95,9 +114,11 @@ def main() -> None:
 
         print(json.dumps({
             "partitions": n,
+            "shard_target": shard_target or None,
             "create_sec": round(create_sec, 2),
             "merge_sec": round(merge_sec, 2),
             "manifest_bytes": manifest_bytes,
+            "commit_write_bytes": commit_write_bytes,
             "read_plan_sec": round(plan_sec, 3),
             "read_exec_sec": round(read_sec, 2),
             "changes_sec": round(changes_sec, 2),
