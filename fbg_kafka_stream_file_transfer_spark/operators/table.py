@@ -375,6 +375,8 @@ class ManifestTable:
         #: the buckets its touched partitions hash into, ~O(touched)
         #: + one small list file. Readers are format-agnostic
         #: (`manifest()` expands either form).
+        if shard_target < 1:
+            raise ValueError("shard_target must be >= 1")
         self.shard_target = shard_target
         # expansion memo: (version, commit_uuid) -> entries list;
         # bounded, instance-local (see manifest())
@@ -396,13 +398,15 @@ class ManifestTable:
     def history(self) -> list[dict]:
         """Commit log of every RETAINED version, oldest first — the
         `DESCRIBE HISTORY` analog. One small-file read per retained
-        manifest (O(retain window), never O(data)); each row carries
-        version, commit_uuid, committed_utc (absent on pre-r10
-        manifests), partition_cols, and the live-partition count."""
+        manifest (O(retain window), never O(data) and never a shard
+        expansion — the raw list carries everything this needs); each
+        row carries version, commit_uuid, committed_utc (absent on
+        pre-r10 manifests), partition_cols, and the live-partition
+        count."""
         out = []
         for v in self.versions():
             try:
-                m = self.manifest(v)
+                m = self._manifest_raw(v)
             except ValueError:
                 continue  # GC'd between the listing and the read
             out.append(
@@ -411,7 +415,9 @@ class ManifestTable:
                     "commit_uuid": m.get("commit_uuid"),
                     "committed_utc": m.get("committed_utc"),
                     "partition_cols": list(m["partition_cols"]),
-                    "n_partitions": len(m["entries"]),
+                    "n_partitions": m.get(
+                        "entry_count", len(m.get("entries", []))
+                    ),
                 }
             )
         return out
@@ -483,6 +489,16 @@ class ManifestTable:
                     f" (available: {self.versions()})"
                 ) from exc
             parts = [json.loads(t) for t in lines if t.strip()]
+            if len(parts) != len(shards):
+                # a zero-byte/truncated shard filters out silently
+                # above; an incomplete expansion must be LOUD — a
+                # missing bucket is ~live/num_buckets partitions of
+                # silently vanished data (external review r10, pass 3)
+                raise ValueError(
+                    f"expanded {len(parts)} of {len(shards)} entry"
+                    f" shards for {self.path} v{version} — a shard is"
+                    " empty or truncated; the version is unreadable"
+                )
         else:
             parts = []
             for rel in shards:
@@ -878,10 +894,23 @@ class ManifestTable:
             "shard_target": shard_target,
         }
         entries = sorted(prev_entries.values(), key=lambda e: e["key"])
+        # GC + history() metadata that must not require shard
+        # expansion: the generations this version references and the
+        # live-partition count live in the list file itself
+        man["generations"] = sorted(
+            {e["dir"].split("/")[1] for e in entries}
+        )
+        man["entry_count"] = len(entries)
         if len(entries) > shard_target:
-            man["entry_shards"] = self._shard_entries(
+            man["entry_shards"], man["num_buckets"] = self._shard_entries(
                 version, entries, shard_target
             )
+            # seed the expansion memo: the GC below (and any reader on
+            # this instance) must not re-read the shards this commit
+            # just wrote (external review r10, pass 3)
+            if len(self._man_cache) >= 8:
+                self._man_cache.pop(next(iter(self._man_cache)))
+            self._man_cache[(version, man["commit_uuid"])] = entries
         else:
             man["entries"] = entries
         self._publish(version, man)
@@ -906,7 +935,10 @@ class ManifestTable:
         orphans no list references (invisible; swept by a later GC).
         When the table grows past a power-of-two boundary the bucket
         count doubles and every shard rewrites ONCE — amortized O(1)
-        per commit, the classic resize bargain."""
+        per commit, the classic resize bargain. The count is persisted
+        in the list and never shrinks (growth-only hysteresis): a
+        live-partition count oscillating across the boundary must not
+        re-layout every commit."""
         import hashlib
         import math
 
@@ -916,11 +948,16 @@ class ManifestTable:
         prev_by_bucket: dict[int, str] = {}
         if version > 1:
             try:
-                for rel in self._manifest_raw(version - 1).get(
-                    "entry_shards", []
-                ):
+                raw_prev = self._manifest_raw(version - 1)
+                # hysteresis: the bucket count only GROWS (persisted in
+                # the list) — a live-partition count oscillating across
+                # a power-of-two boundary must not flip the layout and
+                # rewrite every shard each commit (external review r10,
+                # pass 3)
+                nb = max(nb, int(raw_prev.get("num_buckets", 0)))
+                for rel in raw_prev.get("entry_shards", []):
                     m = re.match(
-                        r"^.*/s(\d{5})_(\d{5})_[0-9a-f]{16}\.json$", rel
+                        r"^.*/s(\d+)_(\d+)_[0-9a-f]{16}\.json$", rel
                     )
                     if m and int(m.group(1)) == nb:
                         prev_by_bucket[int(m.group(2))] = rel
@@ -932,19 +969,27 @@ class ManifestTable:
                 hashlib.sha1(e["key"].encode("utf-8")).hexdigest()[:8], 16
             ) % nb
             buckets.setdefault(b, []).append(e)
+        fs, _ = _hadoop_fs(self.spark, self.path)
+        jvm_path = self.spark._jvm.org.apache.hadoop.fs.Path
         rels = []
         for b in sorted(buckets):
             body = json.dumps({"entries": buckets[b]}, sort_keys=True)
             h = hashlib.sha1(body.encode("utf-8")).hexdigest()[:16]
             rel = f"{_MANIFEST_DIR}/s{nb:05d}_{b:05d}_{h}.json"
-            if prev_by_bucket.get(b) != rel:
+            if prev_by_bucket.get(b) != rel and not fs.exists(
+                jvm_path(f"{self.path}/{rel}")
+            ):
                 # content differs from what the previous list used for
-                # this bucket (or the bucket count changed): write it.
-                # Content-addressed name → an identical concurrent
-                # rewrite is byte-identical, overwrite is harmless.
+                # this bucket (or the bucket count changed) AND no file
+                # of this content-address exists. The exists check is
+                # load-bearing, not an optimization: an OLDER retained
+                # list may reference this exact name (bucket content
+                # reverted to a prior state), and _write_small_file's
+                # create(overwrite) would truncate a live file under a
+                # concurrent reader (external review r10, pass 3).
                 _write_small_file(self.spark, f"{self.path}/{rel}", body)
             rels.append(rel)
-        return rels
+        return rels, nb
 
     def _map_partition_dirs(
         self, gen_rel: str, dup_cols: list[str], touched: list[tuple]
@@ -1074,10 +1119,20 @@ class ManifestTable:
         never invalidated; that is the snapshot-isolation window."""
         keep = [v for v in self.versions() if v > version - retain_versions]
         referenced: set[str] = set()
+        live_shards: set[str] = set()
         for v in keep:
             try:
-                for e in self.manifest(v)["entries"]:
-                    referenced.add(e["dir"].split("/")[1])  # gNNNNNNNN
+                raw = self._manifest_raw(v)
+                for rel in raw.get("entry_shards", []):
+                    live_shards.add(rel.split("/")[-1])
+                if "generations" in raw:
+                    # r10+ manifests carry the referenced-generation
+                    # summary in the list file: GC costs O(keep) small
+                    # reads, zero shard expansion
+                    referenced.update(raw["generations"])
+                else:
+                    for e in self.manifest(v)["entries"]:
+                        referenced.add(e["dir"].split("/")[1])
             except Exception:  # noqa: BLE001 — GC never fails a commit
                 return
         try:
@@ -1093,21 +1148,13 @@ class ManifestTable:
                     fs_m.delete(jm, False)
             # sweep entry shards no RETAINED list references (expired
             # versions' exclusive shards, crash orphans, pre-resize
-            # bucket layouts) — lists were deleted above, so the
-            # referenced set here is the surviving one
-            live_shards: set[str] = set()
-            for v in self.versions():
-                try:
-                    for rel in self._manifest_raw(v).get(
-                        "entry_shards", []
-                    ):
-                        live_shards.add(rel.split("/")[-1])
-                except ValueError:
-                    return  # racing another GC; retry next commit
+            # bucket layouts) — live_shards was collected from the
+            # keep set above, which equals the surviving versions now
+            # that expired lists are deleted
             for status in fs_m.listStatus(jman_dir):
                 name = status.getPath().getName()
                 if (
-                    re.match(r"^s\d{5}_\d{5}_[0-9a-f]{16}\.json$", name)
+                    re.match(r"^s\d+_\d+_[0-9a-f]{16}\.json$", name)
                     and name not in live_shards
                 ):
                     fs_m.delete(status.getPath(), False)

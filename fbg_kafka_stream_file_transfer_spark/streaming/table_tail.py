@@ -239,7 +239,10 @@ def start_table_changes_tail(
                 spark, f"{feed_dir}/v{rv:08d}/{_FEED_MARKER}"
             )
             try:
-                rv_uuid = mt.manifest(rv).get("commit_uuid")
+                # raw list read: the uuid lives in the list file — a
+                # sharded table must not pay a full shard expansion per
+                # retained version per batch just for identity checks
+                rv_uuid = mt._manifest_raw(rv).get("commit_uuid")
             except ValueError:
                 continue  # GC'd between the listing and now
             if (
@@ -252,7 +255,7 @@ def start_table_changes_tail(
         emitted_prev: set[int] = set()
         for v in versions:
             try:
-                man_uuid = mt.manifest(v).get("commit_uuid")
+                man_uuid = mt._manifest_raw(v).get("commit_uuid")
             except ValueError:
                 man_uuid = None  # manifest GC'd in flight: nothing to
                 # verify against; the committed-skip below still holds
