@@ -782,6 +782,74 @@ class ManifestTable:
             ver2 = self.current_version()
             return self._checked_commit(df, touched, ver2, ver, retain_versions)
 
+    def restore(
+        self,
+        version: int,
+        retain_versions: int = 2,
+        assume_locked: bool = False,
+    ) -> int:
+        """Roll the table back to retained ``version`` as a NEW commit
+        (the `RESTORE TABLE ... TO VERSION` analog) — METADATA-ONLY:
+        the new manifest re-references the target version's entries,
+        so no data file is read, written, or moved; the referenced
+        generations stay live because the new manifest references
+        them. Cost: O(live partitions) manifest metadata, zero data
+        I/O — a 100 TB rollback is a small-file write.
+
+        The restored commit keeps the CURRENT schema (add-only
+        evolution: the current schema is a superset; old files
+        NULL-backfill later-added columns on read), so the change
+        feed stays consistent — `changes(cur, cur+1)` emits exactly
+        the rollback diff and a running tail publishes it like any
+        commit. Returns the new version number."""
+
+        def _do() -> int:
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(
+                    f"manifest table does not exist: {self.path}"
+                )
+            target = self.manifest(version)  # raises if not retained
+            cur_man = self.manifest(cur)
+            if target["partition_cols"] != cur_man["partition_cols"]:
+                raise ValueError(
+                    "cannot restore across a partition-column change"
+                )
+            self._publish_entries(
+                cur + 1,
+                list(cur_man["partition_cols"]),
+                cur_man["schema"],  # current (superset) schema
+                target["entries"],
+                retain_versions,
+                cur_man.get("shard_target", self.shard_target),
+            )
+            return cur + 1
+
+        if assume_locked:
+            return _do()
+        with table_write_lock(self.spark, self.path, holder="restore"):
+            return _do()
+
+    def vacuum(
+        self,
+        retain_versions: int = 2,
+        assume_locked: bool = False,
+    ) -> None:
+        """Sweep metadata and generations no RETAINED manifest
+        references — the same sweep every commit's GC runs, exposed
+        for cleaning crash husks (a generation written by a failed
+        commit that never published) without having to write a
+        commit. Takes the write lease: the sweep must not race a live
+        writer's in-flight generation."""
+        ver = self.current_version()
+        if ver is None:
+            raise ValueError(f"manifest table does not exist: {self.path}")
+        if assume_locked:
+            self._gc(ver, retain_versions)
+            return
+        with table_write_lock(self.spark, self.path, holder="vacuum"):
+            self._gc(self.current_version(), retain_versions)
+
     def _checked_commit(
         self, df, touched, ver, expected_version, retain_versions
     ) -> int:
@@ -874,6 +942,29 @@ class ManifestTable:
                     "values": [_encode_value(v) for v in t],
                     "dir": rel,
                 }
+        entries = sorted(prev_entries.values(), key=lambda e: e["key"])
+        self._publish_entries(
+            version,
+            pcols,
+            json.loads(df.schema.json()),
+            entries,
+            retain_versions,
+            shard_target,
+        )
+        return len(touched)
+
+    def _publish_entries(
+        self,
+        version: int,
+        pcols: list[str],
+        schema_json: dict,
+        entries: list[dict],
+        retain_versions: int,
+        shard_target: int,
+    ) -> None:
+        """Build the manifest for ``entries``, publish it, GC — the
+        shared tail of every commit (data commits via `_commit`,
+        metadata-only commits via `restore`)."""
         import datetime
 
         man = {
@@ -890,10 +981,9 @@ class ManifestTable:
                 datetime.timezone.utc
             ).isoformat(),
             "partition_cols": pcols,
-            "schema": json.loads(df.schema.json()),
+            "schema": schema_json,
             "shard_target": shard_target,
         }
-        entries = sorted(prev_entries.values(), key=lambda e: e["key"])
         # GC + history() metadata that must not require shard
         # expansion: the generations this version references and the
         # live-partition count live in the list file itself
@@ -915,7 +1005,6 @@ class ManifestTable:
             man["entries"] = entries
         self._publish(version, man)
         self._gc(version, retain_versions)
-        return len(touched)
 
     def _shard_entries(
         self, version: int, entries: list[dict], shard_target: int

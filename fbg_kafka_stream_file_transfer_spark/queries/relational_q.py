@@ -2603,3 +2603,91 @@ FROM fin GROUP BY 1
 """,
     doc="sharded manifest list: 300 partitions across 8 content-addressed shards; merged state equals the relational oracle",
 )
+
+
+def _q_table_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only rollback (round 10): persist events as a manifest
+    table, merge the standard update/delete/insert delta, then
+    ``restore(1)`` — the RESTORE TABLE analog. The new commit
+    re-references version 1's entries without reading, writing, or
+    moving any data file (a 100 TB rollback costs one small-file
+    write), so the final state must equal the ORIGINAL table exactly:
+    any surviving [v2] marker, missing deleted row, or leaked insert
+    breaks count or checksum. The table version rides along as a
+    literal (create + merge + restore = 3).
+
+    Scale shape: O(live partitions) manifest metadata for the restore
+    commit, zero data I/O; the final read is one manifest-pruned scan
+    of the re-referenced generation-1 directories."""
+    import shutil
+    import tempfile
+
+    from ..operators.sampling import rate_bucket
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "props"
+    )
+    b = rate_bucket(F.col("event_id"))
+    touched = F.col("event_type").isin("click", "error")
+    work = tempfile.mkdtemp(prefix="table_restore_")
+    path = f"{work}/events_by_type"
+    try:
+        mt = ManifestTable(spark, path)
+        mt.create(ev, ["event_type"])
+        upd = ev.filter(touched & (b < 1000)).withColumn(
+            "props", F.concat(F.col("props"), F.lit(" [v2]"))
+        ).withColumn("op", F.lit("U"))
+        dele = ev.filter(touched & (b >= 1000) & (b < 1500)).withColumn(
+            "op", F.lit("D")
+        )
+        ins = (
+            ev.filter(touched & (b < 300))
+            .withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+            .withColumn("props", F.concat(F.col("props"), F.lit(" [new]")))
+            .withColumn("op", F.lit("U"))
+        )
+        merge_into_partitioned(
+            spark, path, upd.unionByName(dele).unionByName(ins),
+            ["event_id"], ["event_type"], op_col="op",
+            retain_versions=10,
+        )
+        version = mt.restore(1, retain_versions=10)
+        rows = (
+            mt.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+                F.sum(
+                    F.when(
+                        F.col("props").contains("[v2]")
+                        | F.col("props").contains("[new]"),
+                        1,
+                    ).otherwise(0)
+                ).cast("bigint").alias("n_leaked"),
+            )
+            .withColumn("table_version", F.lit(version).cast("int"))
+            .collect()  # materialize before the temp table is removed
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, id_checksum bigint,"
+            " n_leaked bigint, table_version int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_restore_rollback"] = Q(
+    _q_table_restore_rollback,
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_checksum,
+       CAST(0 AS BIGINT) AS n_leaked,
+       CAST(3 AS INT) AS table_version
+FROM events GROUP BY 1
+""",
+    doc="metadata-only restore(1) after a merge: state equals the original table exactly, zero data I/O",
+)

@@ -1004,3 +1004,91 @@ class TestShardedManifestPass3:
         assert raw["generations"] == ["g00000001"]
         h = mt.history()
         assert h[0]["n_partitions"] == 12  # no expansion needed
+
+
+class TestRestoreAndVacuum:
+    """Metadata-only rollback (RESTORE analog) + standalone husk
+    sweep."""
+
+    def test_restore_is_metadata_only_and_exact(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        merge_into_partitioned(
+            spark, path,
+            _upd(spark, [(1, "a", "X1", "U"), (3, "b", "x3", "D"),
+                         (9, "c", "x9", "U")]),
+            ["id"], ["pt"], op_col="op", retain_versions=10,
+        )
+        assert mt.restore(1, retain_versions=10) == 3
+        got = sorted((r.id, r.pt, r.v) for r in mt.read().collect())
+        assert got == [(1, "a", "x1"), (2, "a", "x2"), (3, "b", "x3"),
+                       (4, "c", "x4")]
+        # METADATA-only: no third generation was written
+        gens = sorted(
+            n for n in os.listdir(f"{path}/_data") if n.startswith("g")
+        )
+        assert gens == ["g00000001", "g00000002"]
+        # the change feed sees the rollback as a normal diff: the
+        # exact inverse of the v1->v2 delta
+        fwd = sorted(
+            (r.id, r.v, r._change_type) for r in mt.changes(1, 2).collect()
+        )
+        back = sorted(
+            (r.id, r.v, r._change_type) for r in mt.changes(2, 3).collect()
+        )
+        flip = {"insert": "delete", "delete": "insert"}
+        assert back == sorted((i, v, flip[c]) for i, v, c in fwd)
+        assert mt.history()[-1]["version"] == 3
+
+    def test_restore_guards(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        for k in range(3):
+            merge_into_partitioned(
+                spark, path, _upd(spark, [(10 + k, "a", f"z{k}", "U")]),
+                ["id"], ["pt"], op_col="op",  # retain_versions=2
+            )
+        with pytest.raises(ValueError, match="not retained"):
+            mt.restore(1)
+
+    def test_restore_sharded_reuses_shards(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, i % 12, f"x{i}") for i in range(12)],
+            "id int, pt int, v string",
+        )
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path, shard_target=4)
+        mt.create(df, ["pt"])
+        merge_into_partitioned(
+            spark, path,
+            spark.createDataFrame(
+                [(0, 0, "X0", "U")], "id int, pt int, v string, op string"
+            ),
+            ["id"], ["pt"], op_col="op", retain_versions=10,
+        )
+        assert mt.restore(1, retain_versions=10) == 3
+        v1 = set(mt._manifest_raw(1)["entry_shards"])
+        v3 = set(mt._manifest_raw(3)["entry_shards"])
+        assert v3 == v1  # identical entries -> identical shard names
+        assert mt.read().count() == 12
+        assert sorted(
+            r.v for r in mt.read().filter("pt = 0").collect()
+        ) == ["x0"]
+
+    def test_vacuum_sweeps_crash_husk_generation(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        husk = tmp_path / "t" / "_data" / "g00000099" / "_p_pt=z"
+        husk.mkdir(parents=True)
+        (husk / "part-0.parquet").write_bytes(b"junk")
+        mt.vacuum(retain_versions=10)
+        gens = sorted(
+            n
+            for n in os.listdir(f"{path}/_data")
+            if n.startswith("g")
+        )
+        assert gens == ["g00000001"]  # husk swept, live gen kept
+        assert mt.read().count() == 4
