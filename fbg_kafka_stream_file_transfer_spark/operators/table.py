@@ -785,7 +785,7 @@ class ManifestTable:
     def restore(
         self,
         version: int,
-        retain_versions: int = 2,
+        retain_versions: int | None = None,
         assume_locked: bool = False,
     ) -> int:
         """Roll the table back to retained ``version`` as a NEW commit
@@ -793,8 +793,18 @@ class ManifestTable:
         the new manifest re-references the target version's entries,
         so no data file is read, written, or moved; the referenced
         generations stay live because the new manifest references
-        them. Cost: O(live partitions) manifest metadata, zero data
-        I/O — a 100 TB rollback is a small-file write.
+        them. Cost: one raw-list read of the current version + the
+        target's entry expansion + a small-file write, zero data I/O —
+        a 100 TB rollback is a metadata operation.
+
+        ``retain_versions`` defaults to PRESERVING every currently
+        retained version (a rollback is the recovery scenario where
+        history matters most — it must not truncate it as a side
+        effect); pass an explicit window to also GC. Refuses to
+        restore across a partition-column change or a non-add-only
+        schema change (a dropped/retyped column would silently lose or
+        misread the target's data — the same loud contract as
+        ``changes()``).
 
         The restored commit keeps the CURRENT schema (add-only
         evolution: the current schema is a superset; old files
@@ -810,18 +820,47 @@ class ManifestTable:
                     f"manifest table does not exist: {self.path}"
                 )
             target = self.manifest(version)  # raises if not retained
-            cur_man = self.manifest(cur)
-            if target["partition_cols"] != cur_man["partition_cols"]:
+            cur_raw = self._manifest_raw(cur)  # scalars only: no
+            # shard expansion of the current version (pass-3 rule)
+            if target["partition_cols"] != cur_raw["partition_cols"]:
                 raise ValueError(
                     "cannot restore across a partition-column change"
                 )
+            cur_types = {
+                f["name"]: f["type"] for f in cur_raw["schema"]["fields"]
+            }
+            dropped = sorted(
+                f["name"]
+                for f in target["schema"]["fields"]
+                if f["name"] not in cur_types
+            )
+            retyped = sorted(
+                f["name"]
+                for f in target["schema"]["fields"]
+                if f["name"] in cur_types
+                and cur_types[f["name"]] != f["type"]
+            )
+            if dropped or retyped:
+                raise ValueError(
+                    f"cannot restore v{version}: column(s)"
+                    f" {dropped + retyped} were dropped or retyped"
+                    " since — the current schema would silently lose"
+                    " or misread the target's data; the evolution"
+                    " contract is add-only with stable types"
+                )
+            retain = (
+                retain_versions
+                if retain_versions is not None
+                # keep everything currently retained, plus the new one
+                else (cur + 1) - min(self.versions()) + 1
+            )
             self._publish_entries(
                 cur + 1,
-                list(cur_man["partition_cols"]),
-                cur_man["schema"],  # current (superset) schema
+                list(cur_raw["partition_cols"]),
+                cur_raw["schema"],  # current (superset) schema
                 target["entries"],
-                retain_versions,
-                cur_man.get("shard_target", self.shard_target),
+                retain,
+                cur_raw.get("shard_target", self.shard_target),
             )
             return cur + 1
 
@@ -832,23 +871,36 @@ class ManifestTable:
 
     def vacuum(
         self,
-        retain_versions: int = 2,
+        retain_versions: int | None = None,
         assume_locked: bool = False,
     ) -> None:
         """Sweep metadata and generations no RETAINED manifest
-        references — the same sweep every commit's GC runs, exposed
-        for cleaning crash husks (a generation written by a failed
-        commit that never published) without having to write a
-        commit. Takes the write lease: the sweep must not race a live
-        writer's in-flight generation."""
+        references — crash husks (a generation written by a failed
+        commit that never published), orphan entry shards, and, when
+        an explicit ``retain_versions`` is given, versions older than
+        that window. The DEFAULT preserves every currently retained
+        version and sweeps only the unreferenced debris — a cleanup
+        op must not silently truncate history (external review r10,
+        pass 4). Takes the write lease: the sweep must not race a
+        live writer's in-flight generation."""
         ver = self.current_version()
         if ver is None:
             raise ValueError(f"manifest table does not exist: {self.path}")
+
+        def _do() -> None:
+            v = self.current_version()
+            retain = (
+                retain_versions
+                if retain_versions is not None
+                else v - min(self.versions()) + 1
+            )
+            self._gc(v, retain)
+
         if assume_locked:
-            self._gc(ver, retain_versions)
+            _do()
             return
         with table_write_lock(self.spark, self.path, holder="vacuum"):
-            self._gc(self.current_version(), retain_versions)
+            _do()
 
     def _checked_commit(
         self, df, touched, ver, expected_version, retain_versions

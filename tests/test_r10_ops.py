@@ -1092,3 +1092,59 @@ class TestRestoreAndVacuum:
         )
         assert gens == ["g00000001"]  # husk swept, live gen kept
         assert mt.read().count() == 4
+
+
+class TestRestoreVacuumPass4:
+    """Fourth-pass review regressions: defaults must not truncate
+    history; restore refuses non-add-only schema gaps."""
+
+    def _three_versions(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        for k in range(2):
+            merge_into_partitioned(
+                spark, path, _upd(spark, [(10 + k, "a", f"z{k}", "U")]),
+                ["id"], ["pt"], op_col="op", retain_versions=10,
+            )
+        return mt, path
+
+    def test_vacuum_default_preserves_all_retained(self, spark, tmp_path):
+        mt, path = self._three_versions(spark, tmp_path)
+        husk = tmp_path / "t" / "_data" / "g00000099"
+        husk.mkdir()
+        (husk / "junk").write_bytes(b"junk")
+        mt.vacuum()  # DEFAULT: debris only, history intact
+        assert mt.versions() == [1, 2, 3]
+        assert not (tmp_path / "t" / "_data" / "g00000099").exists()
+        assert mt.read(version=1).count() == 4  # time travel survives
+
+    def test_restore_default_preserves_all_retained(self, spark, tmp_path):
+        mt, path = self._three_versions(spark, tmp_path)
+        assert mt.restore(1) == 4
+        assert mt.versions() == [1, 2, 3, 4]  # rollback kept history
+        got = sorted((r.id) for r in mt.read().collect())
+        assert got == [1, 2, 3, 4]
+
+    def test_restore_refuses_retyped_column(self, spark, tmp_path):
+        """The add-only/stable-types contract: a retype between the
+        target and current schema must refuse loudly (the current
+        schema would misread the target's files)."""
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(_base(spark), ["pt"])
+        # simulate a (contract-violating) retype having slipped into
+        # the current manifest: rewrite v2's schema with v int
+        merge_into_partitioned(
+            spark, path, _upd(spark, [(1, "a", "X1", "U")]),
+            ["id"], ["pt"], op_col="op", retain_versions=10,
+        )
+        raw = mt._manifest_raw(2)
+        for f in raw["schema"]["fields"]:
+            if f["name"] == "v":
+                f["type"] = "integer"
+        _write_small_file(
+            spark, f"{path}/_manifests/v00000002.json", json.dumps(raw)
+        )
+        with pytest.raises(ValueError, match="dropped or retyped"):
+            mt.restore(1)
