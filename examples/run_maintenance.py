@@ -197,6 +197,16 @@ def main(sf_dir: str, work_dir: str) -> None:
     pruned = prune_changes_feed(spark, f"{work_dir}/feed", keep_versions=2)
     print(f"feed pruned through v{max(pruned, default=0)}; "
           "a consumer whose cursor fell behind now gets a loud error")
+    # metadata-only rollback (r10): restore re-references v1's entries
+    # — zero data I/O at any table size — and the commit log shows it
+    n_before = mt.read().count()
+    v = mt.restore(1)
+    print(f"restored to v1 as v{v}: {mt.read().count()} rows "
+          f"(was {n_before} after the delete)")
+    for h in mt.history():
+        print(f"  v{h['version']}  {h['n_partitions']} partitions  "
+              f"uuid={str(h['commit_uuid'])[:8]}…  {h['committed_utc']}")
+    mt.vacuum()  # sweeps debris, preserves all retained history
     spark.stop()
 
 
