@@ -1148,3 +1148,42 @@ class TestRestoreVacuumPass4:
         )
         with pytest.raises(ValueError, match="dropped or retyped"):
             mt.restore(1)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=6),
+)
+def test_fuzz_sharded_roundtrip(spark, tmp_path_factory, n_parts, target):
+    """Any (partition count, shard target) combination — including
+    nb=1 single-bucket lists, target=1 one-entry shards, and counts
+    straddling power-of-two boundaries — must roundtrip create →
+    merge → read → changes with exact results in whichever format the
+    threshold picks."""
+    tmp = tmp_path_factory.mktemp("fuzzshard")
+    df = spark.createDataFrame(
+        [(i, i % n_parts, f"x{i}") for i in range(2 * n_parts)],
+        "id int, pt int, v string",
+    )
+    path = str(tmp / "t")
+    mt = ManifestTable(spark, path, shard_target=target)
+    assert mt.create(df, ["pt"]) == n_parts
+    assert mt.read().count() == 2 * n_parts
+    upd = spark.createDataFrame(
+        [(0, 0, "X0", "U"), (n_parts, 0, f"x{n_parts}", "D")],
+        "id int, pt int, v string, op string",
+    )
+    merge_into_partitioned(
+        spark, path, upd, ["id"], ["pt"], op_col="op", retain_versions=10,
+    )
+    assert mt.read().count() == 2 * n_parts - 1
+    diff = sorted(
+        (r.id, r._change_type) for r in mt.changes(1, 2).collect()
+    )
+    assert diff == [(0, "delete"), (0, "insert"), (n_parts, "delete")]
+    raw = mt._manifest_raw(2)
+    if n_parts > target:
+        assert "entry_shards" in raw and raw["entry_count"] == n_parts
+    else:
+        assert "entries" in raw
