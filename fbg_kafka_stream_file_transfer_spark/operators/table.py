@@ -1060,9 +1060,12 @@ class ManifestTable:
 
     def _shard_entries(
         self, version: int, entries: list[dict], shard_target: int
-    ) -> list[str]:
+    ) -> tuple[list[str], int]:
         """Write ``entries`` as content-addressed shard files and
-        return their manifest-relative paths (the manifest LIST).
+        return ``(shard_paths, num_buckets)`` — the manifest-relative
+        paths forming the manifest LIST, plus the bucket count the
+        layout used (persisted in the list for the next commit's
+        hysteresis).
 
         Entries hash into a power-of-two bucket count sized to
         ``shard_target``; a shard's filename embeds (bucket count,
@@ -1115,20 +1118,40 @@ class ManifestTable:
         rels = []
         for b in sorted(buckets):
             body = json.dumps({"entries": buckets[b]}, sort_keys=True)
-            h = hashlib.sha1(body.encode("utf-8")).hexdigest()[:16]
+            raw = body.encode("utf-8")
+            h = hashlib.sha1(raw).hexdigest()[:16]
             rel = f"{_MANIFEST_DIR}/s{nb:05d}_{b:05d}_{h}.json"
-            if prev_by_bucket.get(b) != rel and not fs.exists(
-                jvm_path(f"{self.path}/{rel}")
-            ):
+            if prev_by_bucket.get(b) != rel:
                 # content differs from what the previous list used for
-                # this bucket (or the bucket count changed) AND no file
-                # of this content-address exists. The exists check is
-                # load-bearing, not an optimization: an OLDER retained
-                # list may reference this exact name (bucket content
-                # reverted to a prior state), and _write_small_file's
-                # create(overwrite) would truncate a live file under a
-                # concurrent reader (external review r10, pass 3).
-                _write_small_file(self.spark, f"{self.path}/{rel}", body)
+                # this bucket (or the bucket count changed). An OLDER
+                # retained list may still reference this exact name
+                # (bucket content reverted to a prior state), so an
+                # INTACT existing file is reused — but only after a
+                # length check: trusting bare fs.exists would let a
+                # truncated husk from a crashed writer satisfy the
+                # content-address and publish a permanently unreadable
+                # version (external review r11). The write itself is
+                # tmp + rename so a crash can never leave a partial
+                # file AT the content-addressed name; the rename
+                # replaces a corrupt husk atomically (same content —
+                # safe under a concurrent reader).
+                jdst = jvm_path(f"{self.path}/{rel}")
+                intact = (
+                    fs.exists(jdst)
+                    and fs.getFileStatus(jdst).getLen() == len(raw)
+                )
+                if not intact:
+                    tmp = (
+                        f"{self.path}/{_MANIFEST_DIR}/"
+                        f".s{nb:05d}_{b:05d}_{h}.json.tmp"
+                    )
+                    _write_small_file(self.spark, tmp, body)
+                    _, jtmp = _hadoop_fs(self.spark, tmp)
+                    fs.delete(jdst, False)  # truncated husk, if any
+                    if not fs.rename(jtmp, jdst):
+                        raise IOError(
+                            f"could not publish entry shard {rel}"
+                        )
             rels.append(rel)
         return rels, nb
 
@@ -1186,12 +1209,20 @@ class ManifestTable:
             # literally `raw == str(val)` (strings, ints, decimals…)
             # a set lookup replaces the linear scan — without it,
             # create() on N partitions does O(N²) value comparisons
-            # (external review r10). Floats/bools/dates/datetimes/None
-            # match by PARSED value, so they keep the by-value scan
-            # (their count per level is tiny in practice).
+            # (external review r10). DATES qualify too: Spark writes
+            # date partition dirs as zero-padded ISO yyyy-MM-dd,
+            # identical to str(date) — and date-partitioned tables
+            # are the archetypal many-partition scheme, exactly where
+            # the linear scan would reintroduce the O(N²) (external
+            # review r11). Floats/bools/datetimes/None match by
+            # PARSED value, so they keep the by-value scan (their
+            # count per level is tiny in practice; datetime is
+            # excluded because Spark trims trailing zeros in
+            # timestamp dir names — note the isinstance order: a
+            # datetime IS a date, so the datetime check must win).
             if not isinstance(
                 val,
-                (bool, float, datetime.date, datetime.datetime, type(None)),
+                (bool, float, datetime.datetime, type(None)),
             ):
                 s = str(val)
                 return s if s in level_raw_sets[i] else None

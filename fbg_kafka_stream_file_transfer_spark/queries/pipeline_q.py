@@ -1644,7 +1644,9 @@ def _q_stream_feed_prune_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         pruned_hw = _pruned_through(spark, feed)
         rows = (
-            read_changes_feed(spark, path, feed)
+            read_changes_feed(
+                spark, path, feed, allow_pruned_feed=True
+            )
             .groupBy(
                 F.col("_commit_version").alias("commit_version"),
                 "event_type",

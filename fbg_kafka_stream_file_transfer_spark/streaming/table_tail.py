@@ -216,6 +216,12 @@ def start_table_changes_tail(
             for r in batch_df.select("version").collect()
             if r.version is not None
         )
+        if versions:
+            # a crash between the stale-swap's two renames leaves the
+            # displaced dir as a .stale husk; sweep before this
+            # batch's work so an append-only feed (never pruned)
+            # cannot leak it forever (external review r11)
+            _sweep_stale_husks(spark, feed_dir)
         # one manifest-dir listing + one high-water read per BATCH
         # (not per version): both are stable within a batch — a
         # concurrent GC mid-batch still fails loudly downstream
@@ -414,6 +420,22 @@ def start_table_changes_tail(
     )
 
 
+def _sweep_stale_husks(spark: SparkSession, feed_dir: str) -> None:
+    """Delete ``.vNNNNNNNN.stale`` displacement husks left by a crash
+    between the two renames of the tail's stale-replay swap. Husks
+    are dot-prefixed (invisible to every reader) and each holds a
+    full diff's worth of parquet, yet nothing else ever matches them
+    — the swap only clears a husk of its OWN version, and the feed
+    prune skips dot-dirs — so without this sweep a crashed swap
+    leaks the displaced dir indefinitely (external review r11)."""
+    fs, jdir = _hadoop_fs(spark, feed_dir)
+    if not fs.exists(jdir):
+        return
+    for status in fs.listStatus(jdir):
+        if re.match(r"^\.v\d{8}\.stale$", status.getPath().getName()):
+            fs.delete(status.getPath(), True)
+
+
 def prune_changes_feed(
     spark: SparkSession, feed_dir: str, keep_versions: int
 ) -> list[int]:
@@ -447,6 +469,7 @@ def prune_changes_feed(
         fs.delete(jmark, False)
         _, jdir = _hadoop_fs(spark, d)
         fs.delete(jdir, True)
+    _sweep_stale_husks(spark, feed_dir)
     return to_prune
 
 
@@ -456,6 +479,7 @@ def read_changes_feed(
     feed_dir: str,
     change_col: str = "_change_type",
     since_version: int | None = None,
+    allow_pruned_feed: bool = False,
 ) -> DataFrame:
     """Read every COMPLETE feed directory as one DataFrame with a
     ``_commit_version`` column. Only directories whose
@@ -470,7 +494,17 @@ def read_changes_feed(
     the highest ``_commit_version`` it has applied pays O(new
     commits), never O(retained feed). A cursor that has fallen behind
     a pruned feed raises the explicit retention error (there would be
-    a silent gap between the cursor and the oldest surviving dir)."""
+    a silent gap between the cursor and the oldest surviving dir).
+
+    A WHOLE-feed read (``since_version=None``) of a feed that has
+    been pruned raises the same error unless ``allow_pruned_feed``:
+    the bootstrap snapshot and the pruned versions' diffs are gone,
+    so the full changelog CANNOT be reconstructed — a fresh consumer
+    rebuilding state from it would silently miss them (the module's
+    never-silently-skip contract, external review r11). Pass
+    ``allow_pruned_feed=True`` only when the consumer knowingly wants
+    rolling-window semantics (the surviving suffix of the feed, e.g.
+    a monitoring tap), never to rebuild state."""
     mt = ManifestTable(spark, table_path)
     schema_names = [f.name for f in mt.schema().fields]
     _reject_column_collisions(schema_names, change_col)
@@ -480,14 +514,14 @@ def read_changes_feed(
         for v in _committed_feed_versions(spark, feed_dir)
         if since_version is None or v > since_version
     ]
+    # checked AFTER the listing: a prune racing this read could
+    # delete versions the listing missed and advance the
+    # high-water; the post-listing check guarantees that every
+    # version past the cursor (or the whole changelog) still
+    # existed — no silent gap inside the returned frame
+    # (external review r10, pass 2)
+    pruned_hw = _pruned_through(spark, feed_dir)
     if since_version is not None:
-        # checked AFTER the listing: a prune racing this read could
-        # delete versions the listing missed and advance the
-        # high-water; the post-listing check guarantees that every
-        # version in (since_version, oldest-listed] still existed —
-        # no silent gap between the cursor and the returned dirs
-        # (external review r10, pass 2)
-        pruned_hw = _pruned_through(spark, feed_dir)
         if since_version < pruned_hw:
             raise ValueError(
                 f"changes feed {feed_dir} was pruned through version"
@@ -496,6 +530,18 @@ def read_changes_feed(
                 " rebuild downstream state from a fresh read, and size"
                 " keep_versions above the maximum expected consumer lag"
             )
+    elif pruned_hw > 0 and not allow_pruned_feed:
+        # a whole-feed read of a pruned feed is NOT the full
+        # changelog: the bootstrap snapshot and the pruned diffs are
+        # gone, so a consumer rebuilding state from it would
+        # silently miss them (external review r11)
+        raise ValueError(
+            f"changes feed {feed_dir} was pruned through version"
+            f" {pruned_hw}; a whole-feed read cannot reconstruct the"
+            " full changelog. Pass allow_pruned_feed=True to read the"
+            " surviving rolling window, or a since_version cursor"
+            f" >= {pruned_hw} for an incremental read"
+        )
     if not dirs:
         return (
             spark.createDataFrame([], schema)

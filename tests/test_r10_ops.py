@@ -92,8 +92,13 @@ class TestFeedRetention:
         )
         assert names == [_PRUNED_MARKER, "v00000003", "v00000099"]
         assert _read_small_file(spark, f"{feed}/{_PRUNED_MARKER}") == "2"
-        # whole-feed reader sees only the retained complete dir
-        got = read_changes_feed(spark, path, feed)
+        # a bare whole-feed read of a pruned feed is NOT the full
+        # changelog — it must fail loudly (external review r11) …
+        with pytest.raises(ValueError, match="whole-feed"):
+            read_changes_feed(spark, path, feed)
+        # … and the acknowledged rolling-window read sees only the
+        # retained complete dir
+        got = read_changes_feed(spark, path, feed, allow_pruned_feed=True)
         assert got.select("_commit_version").distinct().collect()[0][0] == 3
         # idempotent: nothing left to prune, high-water unchanged
         assert prune_changes_feed(spark, feed, keep_versions=1) == []
@@ -178,7 +183,9 @@ class TestFeedRetention:
         ) == ["v00000003"]
         got = sorted(
             (r.id, r._change_type)
-            for r in read_changes_feed(spark, path, feed).collect()
+            for r in read_changes_feed(
+                spark, path, feed, allow_pruned_feed=True
+            ).collect()
         )
         assert got == [(9, "insert")]  # exactly the v3 diff, once
 
