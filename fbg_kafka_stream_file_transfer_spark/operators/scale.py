@@ -287,6 +287,8 @@ def merge_into_partitioned(
     tiebreak_cols: tuple[str, ...] = (),
     lock_stale_after_seconds: float | None = None,
     retain_versions: int = 2,
+    lock_wait_seconds: float = 0.0,
+    optimistic: bool = False,
 ) -> int:
     """MERGE a keyed delta into a persisted partitioned parquet table,
     rewriting ONLY the partitions the delta touches — the batch upsert/
@@ -403,6 +405,25 @@ def merge_into_partitioned(
         )
     from .table import is_manifest_table, table_write_lock
 
+    if optimistic:
+        # OPTIMISTIC mode (manifest tables only): stage the whole
+        # compute outside the lease, publish under it with a
+        # disjoint-partition rebase — two pipelines merging disjoint
+        # date ranges both make progress, overlapping their heavy
+        # work; an overlapping pair still fails the loser loudly.
+        # ``lock_wait_seconds`` bounds how long the publish waits for
+        # the lease (publishes are metadata-sized, so short waits
+        # suffice).
+        if not is_manifest_table(spark, path):
+            raise ValueError(
+                f"optimistic merge needs a manifest-committed table: "
+                f"{path} (create it via ManifestTable.create)"
+            )
+        return _merge_into_manifest_optimistic(
+            spark, path, updates, key_cols, partition_cols,
+            op_col, delete_op, ts_col, tiebreak_cols,
+            retain_versions, lock_wait_seconds,
+        )
     fs, jroot = _hadoop_fs(spark, path)
     root_existed = bool(fs.exists(jroot))
     try:
@@ -411,6 +432,7 @@ def merge_into_partitioned(
             path,
             holder="merge",
             stale_after_seconds=lock_stale_after_seconds,
+            wait_seconds=lock_wait_seconds,
         ):
             if is_manifest_table(spark, path):
                 return _merge_into_manifest(
@@ -672,51 +694,136 @@ def _merge_into_manifest(
     from .table import ManifestTable
 
     mt = ManifestTable(spark, path)
-    ver = mt.current_version()
-    # delta snapshot: exactly-once evaluation, same rationale as the
-    # plain path (nondeterministic deltas must not disagree between
-    # the touched-partitions collect and the generation write)
     delta_staging = f"{path}/_merge_delta"
-    updates.write.mode("overwrite").parquet(delta_staging)
     try:
-        delta = spark.read.schema(updates.schema).parquet(delta_staging)
-        if delta.isEmpty():
+        plan = _manifest_merge_plan(
+            spark, mt, updates, key_cols, partition_cols, op_col,
+            delete_op, ts_col, tiebreak_cols, delta_staging,
+        )
+        if plan is None:
             return 0
-        if ver is None:
-            raise ValueError(f"merge target table does not exist: {path}")
-        man = mt.manifest(ver)
-        if list(man["partition_cols"]) != list(partition_cols):
-            raise ValueError(
-                f"table {path} is partitioned by "
-                f"{man['partition_cols']}; merge called with "
-                f"{partition_cols}"
-            )
-        from pyspark.sql import types as T
-
-        # reuse the manifest already in hand — mt.schema(ver) would
-        # re-read the same small file (extra metadata RPC per commit)
-        stored = T.StructType.fromJson(man["schema"])
-        cur_types = {f.name: f.dataType for f in stored.fields}
-        aligned = delta.select(
-            *[
-                F.col(c).cast(cur_types[c]).alias(c) if c in cur_types else F.col(c)
-                for c in delta.columns
-            ]
-        )
-        touched = [
-            tuple(r)
-            for r in aligned.select(*partition_cols).distinct().collect()
-        ]
-        _reject_empty_string_partitions(touched, partition_cols)
-        current = mt.read(partitions=touched, manifest_dict=man)
-        merged = _compute_merged(
-            current, aligned, key_cols, op_col, delete_op, ts_col,
-            tiebreak_cols,
-        )
+        merged, touched, ver = plan
         mt.overwrite_partitions(
             merged, touched, expected_version=ver, assume_locked=True,
             retain_versions=retain_versions,
         )
+        return len(touched)
+    finally:
+        _best_effort_delete(spark, delta_staging)
+
+
+def _manifest_merge_plan(
+    spark: SparkSession,
+    mt,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+    op_col: str | None,
+    delete_op: str,
+    ts_col: str | None,
+    tiebreak_cols: tuple[str, ...],
+    delta_staging: str,
+):
+    """The compute phase shared by the locked and optimistic manifest
+    merge paths: snapshot the delta (exactly-once evaluation, same
+    rationale as the plain path — a nondeterministic delta must not
+    disagree between the touched-partitions collect and the
+    generation write), align it to the manifest schema, and build the
+    lazy merged plan over the manifest-pruned current state. Returns
+    ``(merged, touched, version_read)`` or None for an empty delta;
+    the caller owns ``delta_staging`` cleanup (the merged plan reads
+    from it, so it must outlive the commit)."""
+    ver = mt.current_version()
+    updates.write.mode("overwrite").parquet(delta_staging)
+    delta = spark.read.schema(updates.schema).parquet(delta_staging)
+    if delta.isEmpty():
+        return None
+    if ver is None:
+        raise ValueError(f"merge target table does not exist: {mt.path}")
+    man = mt.manifest(ver)
+    if list(man["partition_cols"]) != list(partition_cols):
+        raise ValueError(
+            f"table {mt.path} is partitioned by "
+            f"{man['partition_cols']}; merge called with "
+            f"{partition_cols}"
+        )
+    from pyspark.sql import types as T
+
+    # reuse the manifest already in hand — mt.schema(ver) would
+    # re-read the same small file (extra metadata RPC per commit)
+    stored = T.StructType.fromJson(man["schema"])
+    cur_types = {f.name: f.dataType for f in stored.fields}
+    aligned = delta.select(
+        *[
+            F.col(c).cast(cur_types[c]).alias(c) if c in cur_types else F.col(c)
+            for c in delta.columns
+        ]
+    )
+    touched = [
+        tuple(r)
+        for r in aligned.select(*partition_cols).distinct().collect()
+    ]
+    _reject_empty_string_partitions(touched, partition_cols)
+    current = mt.read(partitions=touched, manifest_dict=man)
+    merged = _compute_merged(
+        current, aligned, key_cols, op_col, delete_op, ts_col,
+        tiebreak_cols,
+    )
+    return merged, touched, ver
+
+
+def _merge_into_manifest_optimistic(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+    op_col: str | None,
+    delete_op: str,
+    ts_col: str | None,
+    tiebreak_cols: tuple[str, ...],
+    retain_versions: int,
+    lock_wait_seconds: float,
+) -> int:
+    """Optimistic-concurrency merge: the ENTIRE compute — delta
+    snapshot, current-state read, merge shuffle, generation write,
+    stats aggregation — runs WITHOUT the write lease (staged into a
+    GC-invisible dot-dir); only the rename + metadata walk + manifest
+    publish serialize under it. Two pipelines merging disjoint
+    partition sets therefore overlap their heavy work fully, and the
+    rebase check covers every commit since this merge READ the table
+    (``base_version=ver``), so an overlapping winner still fails this
+    writer loudly instead of losing its update. The rebased merge is
+    correct precisely because disjointness means the winner did not
+    change any partition this merge's output depends on."""
+    import uuid as _uuid
+
+    from .table import ManifestTable
+
+    mt = ManifestTable(spark, path)
+    # UNIQUE delta dir: concurrent optimistic merges must not
+    # overwrite each other's snapshot (the locked path can share a
+    # name because the lease serializes it)
+    delta_staging = f"{path}/_merge_delta-{_uuid.uuid4().hex}"
+    try:
+        plan = _manifest_merge_plan(
+            spark, mt, updates, key_cols, partition_cols, op_col,
+            delete_op, ts_col, tiebreak_cols, delta_staging,
+        )
+        if plan is None:
+            return 0
+        merged, touched, ver = plan
+        staged = mt.stage_commit(merged, touched, base_version=ver)
+        try:
+            mt.commit_staged(
+                staged,
+                retain_versions=retain_versions,
+                on_conflict="rebase_disjoint",
+                lock_wait_seconds=lock_wait_seconds,
+            )
+        except BaseException:
+            mt.abort_staged(staged)
+            raise
         return len(touched)
     finally:
         _best_effort_delete(spark, delta_staging)

@@ -100,8 +100,18 @@ def table_write_lock(
     path: str,
     holder: str = "writer",
     stale_after_seconds: float | None = None,
+    wait_seconds: float = 0.0,
+    poll_seconds: float = 0.25,
 ):
     """Exclusive write lease on a table directory.
+
+    ``wait_seconds`` > 0 turns contention from fail-fast into
+    bounded blocking: the acquire polls every ``poll_seconds`` until
+    the lease frees or the deadline passes (then the same loud
+    :class:`ConcurrentWriterError`). This is what lets two
+    independent pipelines committing into one table BOTH make
+    progress — the loser waits out the winner's commit instead of
+    failing — without weakening the exclusivity guarantee one bit.
 
     Acquire = atomic ``create(<path>/_lock, overwrite=false)``; a held
     lock raises :class:`ConcurrentWriterError` naming the holder — the
@@ -151,7 +161,14 @@ def table_write_lock(
             out.close()
         return True
 
-    acquired = _try_acquire()
+    import time as _time
+
+    deadline = _time.monotonic() + max(0.0, wait_seconds)
+    while True:
+        acquired = _try_acquire()
+        if acquired or _time.monotonic() >= deadline:
+            break
+        _time.sleep(poll_seconds)
     if not acquired and stale_after_seconds is not None:
         # stale-break with two race guards (r9 review):
         # 1. only a FileNotFound during the stat means "retry create";
@@ -333,6 +350,204 @@ def _partition_key(values: tuple) -> str:
     return json.dumps([_encode_value(v) for v in values])
 
 
+# ---- per-entry column statistics (Iceberg-style data skipping) ----
+
+#: string bounds longer than this are truncated in the manifest —
+#: stats are pruning hints, not data; an unbounded document column
+#: must not bloat a metadata file read on every commit
+_STATS_MAX_STR = 64
+
+#: "auto" stats cover at most this many columns — a 500-column table
+#: must not pay 1500 aggregates per commit unless it asks to
+_STATS_AUTO_CAP = 32
+
+
+def _stats_eligible(schema: T.StructType, pcols: list[str]) -> list[str]:
+    """Columns whose min/max are meaningful for range pruning:
+    atomic, totally ordered types. Partition columns are excluded
+    (constant per entry — the manifest key already prunes them);
+    binary/array/map/struct are excluded (no useful ordering)."""
+    atomic = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType, T.StringType,
+        T.BooleanType, T.DateType, T.TimestampType, T.TimestampNTZType,
+    )
+    skip = set(pcols) | {f"_p_{c}" for c in pcols}
+    return [
+        f.name
+        for f in schema.fields
+        if f.name not in skip and isinstance(f.dataType, atomic)
+    ]
+
+
+def _stats_upper_string(s: str) -> str | None:
+    """A VALID upper bound for ``s`` at most ``_STATS_MAX_STR`` chars:
+    a plain prefix truncation sorts BELOW the original (it would
+    silently prune partitions that match), so the last kept character
+    is incremented instead — the Iceberg bound-truncation rule. Both
+    Python and Spark compare strings in code-point order, so the
+    incremented prefix upper-bounds every string it prefixes. Returns
+    None (unbounded) when no position can be incremented safely."""
+    if len(s) <= _STATS_MAX_STR:
+        return s
+    t = s[:_STATS_MAX_STR]
+    for i in range(len(t) - 1, -1, -1):
+        cp = ord(t[i])
+        if cp < 0xD7FF:  # stay clear of the surrogate range
+            return t[:i] + chr(cp + 1)
+    return None
+
+
+def _stats_lower_string(s: str) -> str:
+    """A valid lower bound: a prefix sorts <= the original, so plain
+    truncation is safe on the lower side."""
+    return s if len(s) <= _STATS_MAX_STR else s[:_STATS_MAX_STR]
+
+
+def _is_nan(v) -> bool:
+    import math
+
+    return isinstance(v, float) and math.isnan(v)
+
+
+def _encode_bound(v, upper: bool):
+    """Encode a min/max bound for the manifest. Returns the tagged
+    pair, or None for "unbounded on this side" (NaN — Spark sorts it
+    above every float, so a NaN max says nothing useful and a NaN
+    bound would break Python comparisons; or an untruncatable string
+    upper bound)."""
+    if v is None or _is_nan(v):
+        return None
+    if isinstance(v, str):
+        v = _stats_upper_string(v) if upper else _stats_lower_string(v)
+        if v is None:
+            return None
+    return _encode_value(v)
+
+
+def _where_clause_may_match(stats: dict, col: str, op: str, value) -> bool:
+    """Conservative per-entry evaluation of one predicate clause
+    against the entry's stats: False ONLY when NO row in the entry
+    can match. Missing stats, missing bounds, or a cross-type
+    comparison all return True (never prune on uncertainty)."""
+    cs = stats.get("cols", {}).get(col)
+    if cs is None:
+        return True
+    rows = stats.get("rows")
+    nulls = cs.get("nulls")
+    if op == "is_null":
+        return nulls is None or nulls > 0
+    if op == "not_null":
+        return rows is None or nulls is None or nulls < rows
+    # comparison ops match no NULL row; an all-null column (bounds
+    # absent AND every row null) can be pruned outright
+    mn = _decode_value(cs["mn"]) if cs.get("mn") is not None else None
+    mx = _decode_value(cs["mx"]) if cs.get("mx") is not None else None
+    if (
+        mn is None
+        and mx is None
+        and rows is not None
+        and nulls == rows
+    ):
+        return False
+    try:
+        if op in ("=", "=="):
+            return (mn is None or mn <= value) and (
+                mx is None or value <= mx
+            )
+        if op == "<":
+            return mn is None or mn < value
+        if op == "<=":
+            return mn is None or mn <= value
+        if op == ">":
+            return mx is None or mx > value
+        if op == ">=":
+            return mx is None or mx >= value
+        if op == "between":
+            lo, hi = value
+            return (mx is None or mx >= lo) and (mn is None or mn <= hi)
+        if op == "in":
+            return any(
+                (mn is None or mn <= v) and (mx is None or v <= mx)
+                for v in value
+            )
+    except TypeError:
+        return True  # cross-type comparison: never prune on doubt
+    raise ValueError(
+        f"unknown stats predicate op {op!r}; supported: = < <= > >= "
+        "between in is_null not_null"
+    )
+
+
+def _normalize_where(where: list[tuple]) -> list[tuple]:
+    """Accept 2-tuples for the null ops and 3-tuples elsewhere;
+    reject malformed clauses loudly (a silently dropped clause would
+    widen the result set)."""
+    out = []
+    for clause in where:
+        if len(clause) == 2:
+            col, op = clause
+            value = None
+        elif len(clause) == 3:
+            col, op, value = clause
+        else:
+            raise ValueError(f"malformed where clause {clause!r}")
+        if op in ("is_null", "not_null"):
+            value = None
+        elif value is None:
+            raise ValueError(
+                f"where clause {clause!r} compares against None; use "
+                "('col', 'is_null') / ('col', 'not_null') for null tests"
+            )
+        out.append((col, op, value))
+    return out
+
+
+def _entry_may_match(entry: dict, where: list[tuple]) -> bool:
+    stats = entry.get("stats")
+    if stats is None:
+        return True  # pre-stats entry: cannot prune
+    return all(
+        _where_clause_may_match(stats, col, op, value)
+        for col, op, value in where
+    )
+
+
+def _where_to_filter(where: list[tuple]):
+    """The EXACT residual filter for a ``where`` conjunction — stats
+    pruning is an optimization, never the correctness story: every
+    surviving entry is still filtered row-by-row with the same
+    predicate Catalyst pushes into the parquet scan."""
+    import functools
+    import operator
+
+    def one(col, op, value):
+        c = F.col(col)
+        if op in ("=", "=="):
+            return c == F.lit(value)
+        if op == "<":
+            return c < F.lit(value)
+        if op == "<=":
+            return c <= F.lit(value)
+        if op == ">":
+            return c > F.lit(value)
+        if op == ">=":
+            return c >= F.lit(value)
+        if op == "between":
+            return (c >= F.lit(value[0])) & (c <= F.lit(value[1]))
+        if op == "in":
+            return c.isin(list(value))
+        if op == "is_null":
+            return c.isNull()
+        if op == "not_null":
+            return c.isNotNull()
+        raise ValueError(f"unknown stats predicate op {op!r}")
+
+    return functools.reduce(
+        operator.and_, [one(col, op, v) for col, op, v in where]
+    )
+
+
 class ManifestTable:
     """A partitioned parquet table with atomic, versioned commits.
 
@@ -362,10 +577,27 @@ class ManifestTable:
     """
 
     def __init__(
-        self, spark: SparkSession, path: str, shard_target: int = 8192
+        self,
+        spark: SparkSession,
+        path: str,
+        shard_target: int = 8192,
+        stats_cols: list[str] | str | None = "auto",
     ) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
+        #: per-entry column min/max/null statistics (Iceberg-style
+        #: data skipping): "auto" records stats for every eligible
+        #: atomic column (capped at _STATS_AUTO_CAP), an explicit
+        #: list records exactly those, [] / None disables. Persisted
+        #: in the manifest at create() like shard_target, so merges
+        #: through a default-constructed instance honor the table's
+        #: configuration. Each commit pays ONE column-pruned
+        #: aggregation over the freshly written generation (O(delta),
+        #: map-side combine); reads with a ``where`` conjunction then
+        #: skip entries whose bounds exclude the predicate — at 100 TB
+        #: the difference between scanning every live file of the
+        #: matching partitions and only the files that can match.
+        self.stats_cols = [] if stats_cols is None else stats_cols
         #: live-partition count above which a commit writes the
         #: manifest as a manifest LIST + content-addressed entry
         #: shards (Iceberg-style) instead of one monolithic JSON —
@@ -532,25 +764,59 @@ class ManifestTable:
         version: int | None = None,
         partitions: list[tuple] | None = None,
         manifest_dict: dict | None = None,
+        where: list[tuple] | None = None,
     ) -> DataFrame:
         """One scan over the manifest's live directories. ``partitions``
         (value tuples) prunes at the manifest level — only the named
         partitions' directories are ever listed or read.
         ``manifest_dict`` lets a caller that already holds the manifest
         skip the re-read (one metadata RPC per commit on object
-        stores)."""
+        stores).
+
+        ``where`` is a conjunction of simple clauses
+        ``[("col", op, value), ...]`` (op ∈ ``= < <= > >= between in``
+        plus 2-tuple ``is_null`` / ``not_null``) evaluated TWICE:
+        once driver-side against each entry's recorded column bounds
+        (entries whose min/max exclude the predicate are skipped
+        before any file is listed — Iceberg-style data skipping on
+        NON-partition columns, the pruning the partition key cannot
+        give), and once exactly, as a row filter Catalyst pushes into
+        the parquet scan. Entries without stats (pre-stats commits,
+        non-stats columns) are always scanned, so the result is
+        correct regardless of stats coverage."""
         m = manifest_dict if manifest_dict is not None else self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
         entries = m["entries"]
         if partitions is not None:
             wanted = {_partition_key(tuple(t)) for t in partitions}
             entries = [e for e in entries if e["key"] in wanted]
+        norm = _normalize_where(where) if where else None
+        if norm:
+            entries = [e for e in entries if _entry_may_match(e, norm)]
         # sorted-set: entries map 1:1 to dirs by construction, but a
         # duplicate path must never be scanned twice
         dirs = sorted({f"{self.path}/{e['dir']}" for e in entries})
         if not dirs:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*dirs)
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(*dirs)
+        if norm:
+            df = df.filter(_where_to_filter(norm))
+        return df
+
+    def prune_stats(
+        self, where: list[tuple], version: int | None = None
+    ) -> tuple[int, int]:
+        """(entries that would be scanned, total live entries) for a
+        ``where`` conjunction — the observability hook for data
+        skipping (and the thing tests pin so pruning can never
+        silently stop working)."""
+        m = self.manifest(version)
+        norm = _normalize_where(where)
+        kept = sum(
+            1 for e in m["entries"] if _entry_may_match(e, norm)
+        )
+        return kept, len(m["entries"])
 
     def changes(
         self,
@@ -782,6 +1048,231 @@ class ManifestTable:
             ver2 = self.current_version()
             return self._checked_commit(df, touched, ver2, ver, retain_versions)
 
+    # ---- optimistic (staged) commits ------------------------------
+
+    def stage_commit(
+        self,
+        df: DataFrame,
+        touched: list[tuple] | None = None,
+        base_version: int | None = None,
+    ) -> dict:
+        """Phase 1 of an optimistic commit: evaluate and write ``df``
+        into a GC-invisible staging generation WITHOUT holding the
+        write lease — the expensive part (the shuffle, the parquet
+        write, the stats aggregation) runs fully concurrent with any
+        other writer, the Delta/Iceberg optimistic-concurrency model.
+        Returns a staging token for :meth:`commit_staged` /
+        :meth:`abort_staged`.
+
+        The staging directory is dot-prefixed under ``_data/`` —
+        invisible to readers (reads only follow manifest-named dirs)
+        and to the GC (which sweeps only ``gNNNNNNNN`` generation
+        names) — so a concurrent winner's commit+GC can never delete
+        an in-flight staging. A CRASHED stager leaves a husk that
+        ``vacuum(staging_ttl_seconds=...)`` sweeps by age.
+
+        ``df`` must carry the base version's schema (a concurrent
+        rebase refuses schema divergence — evolution and optimistic
+        concurrency don't compose; use the locked path to evolve).
+        Like every commit, ``touched=None`` derives the partition set
+        from what actually landed (exactly-once df evaluation).
+        ``base_version`` pins the version ``df`` was COMPUTED against
+        when that read happened earlier than the staging (the
+        optimistic merge does this) — the rebase check must cover
+        every commit since the data was read, not since it was
+        staged."""
+        base = (
+            self.current_version() if base_version is None else base_version
+        )
+        if base is None:
+            raise ValueError(f"manifest table does not exist: {self.path}")
+        man = self.manifest(base)
+        pcols = list(man["partition_cols"])
+        missing = [c for c in pcols if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition column(s) {missing} not in df")
+        dup = [f"_p_{c}" for c in pcols]
+        clash = set(dup) & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"column name(s) {sorted(clash)} are reserved by the "
+                "manifest layout; rename them"
+            )
+        from .scale import _reject_empty_string_partitions
+
+        if touched is not None:
+            _reject_empty_string_partitions(touched, pcols)
+        rel = f"{_DATA_DIR}/.stage-{uuid.uuid4().hex}"
+        staged = df
+        for c, d in zip(pcols, dup):
+            staged = staged.withColumn(d, F.col(c))
+        staged.write.partitionBy(*dup).parquet(
+            f"{self.path}/{rel}", mode="overwrite"
+        )
+        back = self.spark.read.schema(staged.schema).parquet(
+            f"{self.path}/{rel}"
+        )
+        if touched is None:
+            touched = [
+                tuple(r) for r in back.select(*pcols).distinct().collect()
+            ]
+            _reject_empty_string_partitions(touched, pcols)
+        # stats run here, against the STAGING dir, outside the lease
+        # (values are keyed by partition VALUE, so the later rename
+        # does not invalidate them); only the metadata walk + publish
+        # remain for the locked phase
+        scols, _ = self._resolve_stats_cols(
+            man, {f.name: f.dataType for f in staged.schema.fields}, pcols
+        )
+        stats_by_key = self._collect_entry_stats(back, dup, scols)
+        return {
+            "rel": rel,
+            "base_version": base,
+            "touched": touched,
+            "pcols": pcols,
+            "dup": dup,
+            "staged_schema": staged.schema,
+            "schema_json": json.loads(df.schema.json()),
+            "stats": stats_by_key,
+        }
+
+    def commit_staged(
+        self,
+        staged: dict,
+        retain_versions: int = 2,
+        on_conflict: str = "rebase_disjoint",
+        lock_wait_seconds: float = 60.0,
+        assume_locked: bool = False,
+    ) -> int:
+        """Phase 2: publish a :meth:`stage_commit` token as the next
+        version. Only the cheap part runs under the lease — one
+        directory rename (staging → generation), the O(written dirs)
+        metadata walk, and the manifest publish; lease hold time is
+        metadata-sized regardless of data size.
+
+        If the table moved past the staged base version,
+        ``on_conflict="rebase_disjoint"`` re-reads the pointer and
+        REBASES: the staged partitions are checked against every
+        partition the intervening commits touched (the manifest diff
+        names them exactly), and a disjoint write commits on top of
+        the winner — both writers make progress, the lost-update
+        guarantee intact because an overlap (or a concurrent schema /
+        partition-column change, or a base version already GC'd so
+        disjointness can't be proven) still raises
+        :class:`ConcurrentWriterError`. ``on_conflict="fail"``
+        restores the strict lost-update check. Returns the NEW
+        VERSION number.
+
+        An optimistic writer needs the base version still retained at
+        publish time — run with ``retain_versions >= 2`` (the
+        default) so a winner's GC cannot evict it mid-flight."""
+        if on_conflict not in ("rebase_disjoint", "fail"):
+            raise ValueError(
+                "on_conflict must be 'rebase_disjoint' or 'fail'"
+            )
+
+        def _do() -> int:
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(
+                    f"manifest table does not exist: {self.path}"
+                )
+            if cur != staged["base_version"]:
+                if on_conflict == "fail":
+                    raise ConcurrentWriterError(
+                        f"table {self.path} moved from "
+                        f"v{staged['base_version']} to v{cur} since the "
+                        "commit was staged; recompute against the "
+                        "current version"
+                    )
+                self._assert_rebase_safe(
+                    staged["base_version"],
+                    cur,
+                    {_partition_key(t) for t in staged["touched"]},
+                )
+            version = cur + 1
+            gen_rel = f"{_DATA_DIR}/g{version:08d}"
+            fs, jgen = _hadoop_fs(self.spark, f"{self.path}/{gen_rel}")
+            _, jstage = _hadoop_fs(
+                self.spark, f"{self.path}/{staged['rel']}"
+            )
+            fs.delete(jgen, True)  # husk of a crashed prior commit
+            if not fs.rename(jstage, jgen):
+                raise IOError(
+                    f"could not promote staging {staged['rel']} to "
+                    f"{gen_rel}"
+                )
+            self._finalize_generation(
+                gen_rel,
+                staged["staged_schema"],
+                staged["schema_json"],
+                staged["touched"],
+                version,
+                retain_versions,
+                staged["pcols"],
+                staged["dup"],
+                stats_by_key=staged["stats"],
+            )
+            return version
+
+        if assume_locked:
+            return _do()
+        with table_write_lock(
+            self.spark,
+            self.path,
+            holder="optimistic-commit",
+            wait_seconds=lock_wait_seconds,
+        ):
+            return _do()
+
+    def abort_staged(self, staged: dict) -> None:
+        """Drop an un-committed staging generation (the loser's
+        cleanup after a conflict)."""
+        fs, jstage = _hadoop_fs(self.spark, f"{self.path}/{staged['rel']}")
+        fs.delete(jstage, True)
+
+    def _assert_rebase_safe(
+        self, base: int, cur: int, our_keys: set[str]
+    ) -> None:
+        """Raise unless every commit in ``(base, cur]`` is provably
+        disjoint from ``our_keys`` and changed neither schema nor
+        partitioning. Conservative by construction: an unprovable
+        rebase (base GC'd) fails loudly rather than guessing."""
+        try:
+            man_base = self.manifest(base)
+            man_cur = self.manifest(cur)
+        except ValueError as exc:
+            raise ConcurrentWriterError(
+                f"cannot rebase staged commit on {self.path}: version "
+                f"{base} is no longer retained, so disjointness against "
+                f"the commits up to v{cur} cannot be verified; size "
+                "retain_versions >= 2 for optimistic writers"
+            ) from exc
+        if man_base["partition_cols"] != man_cur["partition_cols"]:
+            raise ConcurrentWriterError(
+                f"partition columns of {self.path} changed between "
+                f"v{base} and v{cur}; recompute the staged commit"
+            )
+        if man_base["schema"] != man_cur["schema"]:
+            raise ConcurrentWriterError(
+                f"schema of {self.path} changed between v{base} and "
+                f"v{cur}; schema evolution does not compose with an "
+                "optimistic rebase — recompute the staged commit"
+            )
+        be = {e["key"]: e["dir"] for e in man_base["entries"]}
+        ce = {e["key"]: e["dir"] for e in man_cur["entries"]}
+        conflicted = {
+            k for k in be.keys() | ce.keys() if be.get(k) != ce.get(k)
+        }
+        overlap = sorted(conflicted & our_keys)
+        if overlap:
+            raise ConcurrentWriterError(
+                f"staged commit on {self.path} overlaps partition(s) "
+                f"{overlap[:5]}{'…' if len(overlap) > 5 else ''} touched "
+                f"by commit(s) v{base + 1}..v{cur}; recompute the merge "
+                "against the current version"
+            )
+
     def restore(
         self,
         version: int,
@@ -861,6 +1352,7 @@ class ManifestTable:
                 target["entries"],
                 retain,
                 cur_raw.get("shard_target", self.shard_target),
+                cur_raw.get("stats_cols", "auto"),
             )
             return cur + 1
 
@@ -873,6 +1365,7 @@ class ManifestTable:
         self,
         retain_versions: int | None = None,
         assume_locked: bool = False,
+        staging_ttl_seconds: float = 86400.0,
     ) -> None:
         """Sweep metadata and generations no RETAINED manifest
         references — crash husks (a generation written by a failed
@@ -882,7 +1375,14 @@ class ManifestTable:
         version and sweeps only the unreferenced debris — a cleanup
         op must not silently truncate history (external review r10,
         pass 4). Takes the write lease: the sweep must not race a
-        live writer's in-flight generation."""
+        live writer's in-flight generation.
+
+        ``.stage-*`` dirs (optimistic commits staged OUTSIDE the
+        lease) are swept only past ``staging_ttl_seconds`` of age:
+        a live stager by definition does not hold the lease vacuum
+        holds, so age is the only safe evidence of death — size the
+        TTL far above the longest stage-to-commit gap (None disables
+        the sweep)."""
         ver = self.current_version()
         if ver is None:
             raise ValueError(f"manifest table does not exist: {self.path}")
@@ -895,6 +1395,17 @@ class ManifestTable:
                 else v - min(self.versions()) + 1
             )
             self._gc(v, retain)
+            if staging_ttl_seconds is None:
+                return
+            fs, jdata = _hadoop_fs(self.spark, f"{self.path}/{_DATA_DIR}")
+            if not fs.exists(jdata):
+                return
+            now_ms = self.spark._jvm.java.lang.System.currentTimeMillis()
+            for status in fs.listStatus(jdata):
+                name = status.getPath().getName()
+                age_s = (now_ms - status.getModificationTime()) / 1000.0
+                if name.startswith(".stage-") and age_s > staging_ttl_seconds:
+                    fs.delete(status.getPath(), True)
 
         if assume_locked:
             _do()
@@ -946,6 +1457,108 @@ class ManifestTable:
         staged.write.partitionBy(*dup).parquet(
             f"{self.path}/{gen_rel}", mode="overwrite"
         )
+        return self._finalize_generation(
+            gen_rel,
+            staged.schema,
+            json.loads(df.schema.json()),
+            touched,
+            version,
+            retain_versions,
+            pcols,
+            dup,
+        )
+
+    def _resolve_stats_cols(
+        self,
+        prev_man: dict | None,
+        columns: dict[str, T.DataType],
+        pcols: list[str],
+    ) -> tuple[list[str], list | str]:
+        """(concrete stats columns for THIS commit, persisted config).
+        The config is a table property like shard_target: v1 takes the
+        instance's ``stats_cols``, later commits the previous
+        manifest's (missing key = "auto", so pre-stats tables grow
+        stats progressively as partitions are rewritten)."""
+        cfg = (
+            prev_man.get("stats_cols", "auto")
+            if prev_man is not None
+            else self.stats_cols
+        )
+        schema = T.StructType(
+            [T.StructField(n, t) for n, t in columns.items()]
+        )
+        eligible = set(_stats_eligible(schema, pcols))
+        if cfg == "auto":
+            return (
+                [n for n in columns if n in eligible][:_STATS_AUTO_CAP],
+                "auto",
+            )
+        if prev_man is None:
+            bad = [c for c in cfg if c not in eligible]
+            if bad:
+                raise ValueError(
+                    f"stats_cols {bad} are missing, partition columns,"
+                    " or of a non-orderable type; stats need atomic"
+                    " orderable non-partition columns"
+                )
+        # later commits: schema evolution is add-only, so configured
+        # columns exist; tolerate a stale config defensively
+        return [c for c in cfg if c in eligible], list(cfg)
+
+    def _collect_entry_stats(
+        self, back: DataFrame, dup: list[str], scols: list[str]
+    ) -> dict[str, dict]:
+        """Per-partition min/max/null-count for ``scols`` over the
+        freshly written generation — ONE column-pruned aggregation
+        (map-side combine, one shuffle of O(touched partitions)
+        rows), collected driver-side as O(touched) small rows."""
+        if not scols:
+            return {}
+        aggs = [F.count(F.lit(1)).alias("_s_rows")]
+        for i, c in enumerate(scols):
+            aggs.append(F.min(F.col(c)).alias(f"_s_mn_{i}"))
+            aggs.append(F.max(F.col(c)).alias(f"_s_mx_{i}"))
+            aggs.append(F.count(F.col(c)).alias(f"_s_nn_{i}"))
+        rows = back.groupBy(*[F.col(d) for d in dup]).agg(*aggs).collect()
+        nd = len(dup)
+        out: dict[str, dict] = {}
+        for r in rows:
+            key = _partition_key(tuple(r[j] for j in range(nd)))
+            total = r[nd]
+            cols = {}
+            for i, c in enumerate(scols):
+                mn = r[nd + 1 + 3 * i]
+                mx = r[nd + 2 + 3 * i]
+                nn = r[nd + 3 + 3 * i]
+                cols[c] = {
+                    "mn": _encode_bound(mn, upper=False),
+                    "mx": _encode_bound(mx, upper=True),
+                    "nulls": total - nn,
+                }
+            out[key] = {"rows": total, "cols": cols}
+        return out
+
+    def _finalize_generation(
+        self,
+        gen_rel: str,
+        staged_schema: T.StructType,
+        schema_json: dict,
+        touched: list[tuple] | None,
+        version: int,
+        retain_versions: int,
+        pcols: list[str],
+        dup: list[str],
+        stats_by_key: dict[str, dict] | None = None,
+    ) -> int:
+        """Turn a fully written generation directory into a published
+        manifest version — the shared back half of `_commit` and the
+        optimistic `commit_staged` path (which stages the generation
+        OUTSIDE the write lease and only runs this part under it)."""
+        from .scale import _reject_empty_string_partitions
+
+        back = self.spark.read.schema(staged_schema).parquet(
+            f"{self.path}/{gen_rel}"
+        )
         if touched is None:
             # derive touched from the WRITTEN generation, never from a
             # second evaluation of df: a nondeterministic df (sampling,
@@ -958,9 +1571,6 @@ class ManifestTable:
             # is parsed back to a value. Empty-string rejection moves
             # after the write but before manifest publish, so a refusal
             # leaves only an unreferenced (invisible, GC-able) husk.
-            back = self.spark.read.schema(staged.schema).parquet(
-                f"{self.path}/{gen_rel}"
-            )
             touched = [
                 tuple(r) for r in back.select(*pcols).distinct().collect()
             ]
@@ -982,6 +1592,13 @@ class ManifestTable:
             if prev_man is not None
             else self.shard_target
         )
+        scols, stats_cfg = self._resolve_stats_cols(
+            prev_man,
+            {f.name: f.dataType for f in staged_schema.fields},
+            pcols,
+        )
+        if stats_by_key is None:
+            stats_by_key = self._collect_entry_stats(back, dup, scols)
         dirs_by_key = self._map_partition_dirs(gen_rel, dup, touched)
         for t in touched:
             key = _partition_key(t)
@@ -989,19 +1606,24 @@ class ManifestTable:
             if rel is None:
                 prev_entries.pop(key, None)  # emptied: entry removed
             else:
-                prev_entries[key] = {
+                entry = {
                     "key": key,
                     "values": [_encode_value(v) for v in t],
                     "dir": rel,
                 }
+                st = stats_by_key.get(key)
+                if st is not None:
+                    entry["stats"] = st
+                prev_entries[key] = entry
         entries = sorted(prev_entries.values(), key=lambda e: e["key"])
         self._publish_entries(
             version,
             pcols,
-            json.loads(df.schema.json()),
+            schema_json,
             entries,
             retain_versions,
             shard_target,
+            stats_cfg,
         )
         return len(touched)
 
@@ -1013,6 +1635,7 @@ class ManifestTable:
         entries: list[dict],
         retain_versions: int,
         shard_target: int,
+        stats_cols: list | str = "auto",
     ) -> None:
         """Build the manifest for ``entries``, publish it, GC — the
         shared tail of every commit (data commits via `_commit`,
@@ -1035,6 +1658,7 @@ class ManifestTable:
             "partition_cols": pcols,
             "schema": schema_json,
             "shard_target": shard_target,
+            "stats_cols": stats_cols,
         }
         # GC + history() metadata that must not require shard
         # expansion: the generations this version references and the

@@ -7,6 +7,7 @@ review)."""
 from __future__ import annotations
 
 import datetime
+import json
 import os
 
 import pytest
@@ -247,3 +248,585 @@ class TestDatePartitionFastPath:
         mt.create(df, ["t"])
         assert len(mt.manifest(1)["entries"]) == 2
         assert mt.read(partitions=[(ts[0],)]).count() == 4
+
+
+class TestStringBounds:
+    """_stats_upper_string must return a VALID upper bound or None —
+    a plain truncation sorts below the original and would prune
+    matching partitions."""
+
+    def test_short_strings_pass_through(self):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _stats_lower_string,
+            _stats_upper_string,
+        )
+        assert _stats_upper_string("abc") == "abc"
+        assert _stats_lower_string("abc") == "abc"
+
+    def test_long_upper_bound_is_ge_original(self):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _STATS_MAX_STR,
+            _stats_lower_string,
+            _stats_upper_string,
+        )
+        s = "z" * 10 + "a" * 100
+        up = _stats_upper_string(s)
+        assert up is not None and len(up) <= _STATS_MAX_STR
+        assert up > s  # valid upper bound
+        lo = _stats_lower_string(s)
+        assert lo <= s and len(lo) == _STATS_MAX_STR
+
+    def test_unincrementable_returns_none(self):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _stats_upper_string,
+        )
+        s = "\udbff" * 100  # every position in/above the guard range
+        assert _stats_upper_string(s) is None
+
+
+class TestColumnStats:
+    """Per-entry min/max/null stats + stats-pruned reads (the r10
+    verdict's top missing scale feature)."""
+
+    def _mk(self, spark, tmp_path, **kw):
+        df = spark.createDataFrame(
+            [
+                (i, i % 3, float(i), f"n{i:04d}",
+                 None if i % 5 == 0 else i * 10)
+                for i in range(30)
+            ],
+            "id int, pt int, x double, nm string, opt int",
+        )
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path, **kw)
+        mt.create(df, ["pt"])
+        return mt, path
+
+    def test_auto_stats_recorded_with_nulls(self, spark, tmp_path):
+        mt, _ = self._mk(spark, tmp_path)
+        man = mt.manifest(1)
+        assert man["stats_cols"] == "auto"
+        for e in man["entries"]:
+            st = e["stats"]
+            assert st["rows"] == 10
+            assert set(st["cols"]) == {"id", "x", "nm", "opt"}
+            assert st["cols"]["opt"]["nulls"] == 2
+            assert st["cols"]["id"]["nulls"] == 0
+
+    def test_pruning_each_operator(self, spark, tmp_path):
+        mt, _ = self._mk(spark, tmp_path)
+        # ids 0..29; per-partition ranges interleave, so only value
+        # ranges OUTSIDE 0..29 prune fully
+        assert mt.prune_stats([("id", ">", 100)]) == (0, 3)
+        assert mt.prune_stats([("id", "<", 0)]) == (0, 3)
+        assert mt.prune_stats([("id", ">=", 0)]) == (3, 3)
+        assert mt.prune_stats([("id", "between", (200, 300))]) == (0, 3)
+        assert mt.prune_stats([("id", "in", [500, 700])]) == (0, 3)
+        assert mt.prune_stats([("id", "=", 999)]) == (0, 3)
+        assert mt.prune_stats([("opt", "is_null")]) == (3, 3)
+        assert mt.prune_stats([("id", "is_null")]) == (0, 3)
+        assert mt.prune_stats([("id", "not_null")]) == (3, 3)
+
+    def test_where_read_matches_plain_filter(self, spark, tmp_path):
+        mt, _ = self._mk(spark, tmp_path)
+        got = sorted(
+            r.id for r in mt.read(where=[("x", "<=", 7.0)]).collect()
+        )
+        want = sorted(
+            r.id for r in mt.read().filter("x <= 7.0").collect()
+        )
+        assert got == want and len(got) == 8
+
+    def test_where_rejects_none_comparison(self, spark, tmp_path):
+        mt, _ = self._mk(spark, tmp_path)
+        with pytest.raises(ValueError, match="is_null"):
+            mt.read(where=[("id", "=", None)])
+
+    def test_pre_stats_entries_never_pruned(self, spark, tmp_path):
+        mt, path = self._mk(spark, tmp_path)
+        # simulate a pre-r11 manifest: strip stats from every entry
+        man = mt._manifest_raw(1)
+        for e in man["entries"]:
+            e.pop("stats", None)
+        _write_small_file(
+            spark, f"{path}/_manifests/v00000001.json", json.dumps(man)
+        )
+        mt._man_cache.clear()
+        assert mt.prune_stats([("id", ">", 100)]) == (3, 3)
+        assert mt.read(where=[("id", ">", 100)]).count() == 0
+
+    def test_explicit_stats_cols_persisted_and_validated(
+        self, spark, tmp_path
+    ):
+        mt, path = self._mk(spark, tmp_path, stats_cols=["x"])
+        man = mt.manifest(1)
+        assert man["stats_cols"] == ["x"]
+        assert set(man["entries"][0]["stats"]["cols"]) == {"x"}
+        # merges through a DEFAULT-constructed instance honor it
+        upd = spark.createDataFrame(
+            [(0, 0, 99.0, "zz", 1, "U")],
+            "id int, pt int, x double, nm string, opt int, op string",
+        )
+        merge_into_partitioned(
+            spark, path, upd, ["id"], ["pt"], op_col="op",
+            retain_versions=10,
+        )
+        man2 = ManifestTable(spark, path).manifest(2)
+        assert man2["stats_cols"] == ["x"]
+        touched = [
+            e for e in man2["entries"] if e["dir"].startswith("_data/g00000002")
+        ]
+        assert len(touched) == 1
+        assert set(touched[0]["stats"]["cols"]) == {"x"}
+
+    def test_bad_stats_cols_raise_at_create(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, 1)], "id int, pt int")
+        with pytest.raises(ValueError, match="stats_cols"):
+            ManifestTable(
+                spark, str(tmp_path / "t"), stats_cols=["nope"]
+            ).create(df, ["pt"])
+        with pytest.raises(ValueError, match="stats_cols"):
+            ManifestTable(
+                spark, str(tmp_path / "t2"), stats_cols=["pt"]
+            ).create(df, ["pt"])
+
+    def test_stats_disabled(self, spark, tmp_path):
+        mt, _ = self._mk(spark, tmp_path, stats_cols=None)
+        man = mt.manifest(1)
+        assert man["stats_cols"] == []
+        assert "stats" not in man["entries"][0]
+        assert mt.prune_stats([("id", ">", 100)]) == (3, 3)
+
+    def test_all_null_column_prunes_comparisons(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, 0, None) for i in range(4)], "id int, pt int, v string"
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pt"])
+        assert mt.prune_stats([("v", "=", "x")]) == (0, 1)
+        assert mt.prune_stats([("v", "is_null")]) == (1, 1)
+        assert mt.prune_stats([("v", "not_null")]) == (0, 1)
+
+    def test_nan_bounds_never_prune(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, 0, float("nan")), (2, 0, float("nan"))],
+            "id int, pt int, x double",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pt"])
+        st = mt.manifest(1)["entries"][0]["stats"]["cols"]["x"]
+        # NaN bounds are stored as unbounded, so no comparison prunes
+        assert st["mx"] is None
+        assert mt.prune_stats([("x", ">", 1e12)]) == (1, 1)
+
+    def test_long_string_bounds_still_match(self, spark, tmp_path):
+        long_a = "a" * 200
+        long_z = "z" * 200
+        df = spark.createDataFrame(
+            [(1, 0, long_a), (2, 0, long_z)], "id int, pt int, s string"
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pt"])
+        # both real values must survive their own truncated bounds
+        assert mt.prune_stats([("s", "=", long_a)]) == (1, 1)
+        assert mt.prune_stats([("s", "=", long_z)]) == (1, 1)
+        assert mt.read(where=[("s", "=", long_z)]).count() == 1
+        # and a value clearly outside still prunes
+        assert mt.prune_stats([("s", "<", "a")]) == (0, 1)
+
+    def test_restore_carries_stats(self, spark, tmp_path):
+        mt, path = self._mk(spark, tmp_path)
+        upd = spark.createDataFrame(
+            [(0, 0, 1e6, "zz", 1, "U")],
+            "id int, pt int, x double, nm string, opt int, op string",
+        )
+        merge_into_partitioned(
+            spark, path, upd, ["id"], ["pt"], op_col="op",
+            retain_versions=10,
+        )
+        mt.restore(1)
+        assert mt.prune_stats([("x", ">=", 1e6)]) == (0, 3)
+
+
+class TestLockWait:
+    """wait_seconds turns lease contention into bounded blocking."""
+
+    def test_waiter_acquires_after_release(self, spark, tmp_path):
+        import threading
+        import time
+
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            table_write_lock,
+        )
+
+        path = str(tmp_path / "t")
+        order = []
+
+        def holder():
+            with table_write_lock(spark, path, holder="first"):
+                order.append("held")
+                time.sleep(1.0)
+            order.append("released")
+
+        t = threading.Thread(target=holder)
+        t.start()
+        time.sleep(0.3)  # let the holder acquire
+        with table_write_lock(
+            spark, path, holder="second", wait_seconds=10.0
+        ):
+            order.append("second")
+        t.join()
+        assert order == ["held", "released", "second"]
+
+    def test_no_wait_still_fails_fast(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            ConcurrentWriterError,
+            table_write_lock,
+        )
+
+        path = str(tmp_path / "t")
+        with table_write_lock(spark, path, holder="first"):
+            with pytest.raises(ConcurrentWriterError):
+                with table_write_lock(spark, path, holder="second"):
+                    pass
+
+
+class TestOptimisticCommit:
+    """stage_commit/commit_staged: the Delta-style optimistic
+    concurrency path — heavy work outside the lease, rebase over
+    disjoint winners, loud on overlap (the r10 verdict's #2 gap)."""
+
+    def _mk(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, i % 4, f"x{i}") for i in range(16)],
+            "id int, pt int, v string",
+        )
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(df, ["pt"])
+        return mt, path
+
+    def _pt_df(self, spark, mt, pt, extra_id, tag):
+        add = spark.createDataFrame(
+            [(extra_id, pt, tag)], "id int, pt int, v string"
+        )
+        return mt.read(partitions=[(pt,)]).unionByName(add)
+
+    def test_staged_commit_equals_locked_commit(self, spark, tmp_path):
+        mt, path = self._mk(spark, tmp_path)
+        s = mt.stage_commit(self._pt_df(spark, mt, 0, 100, "S"), [(0,)])
+        v = mt.commit_staged(s, retain_versions=10)
+        assert v == 2
+        assert mt.read(partitions=[(0,)]).count() == 5
+        # stats attached, staging promoted (no .stage dirs left)
+        touched = [
+            e for e in mt.manifest(2)["entries"]
+            if e["dir"].startswith("_data/g00000002")
+        ]
+        assert len(touched) == 1 and touched[0]["stats"]["rows"] == 5
+        assert [
+            n for n in os.listdir(f"{path}/_data")
+            if n.startswith(".stage")
+        ] == []
+
+    def test_rebase_over_disjoint_winner(self, spark, tmp_path):
+        mt, path = self._mk(spark, tmp_path)
+        s = mt.stage_commit(self._pt_df(spark, mt, 1, 101, "A"), [(1,)])
+        # winner commits a DISJOINT partition while A is staged
+        upd = spark.createDataFrame(
+            [(2, 2, "B", "U")], "id int, pt int, v string, op string"
+        )
+        merge_into_partitioned(
+            spark, path, upd, ["id"], ["pt"], op_col="op",
+            retain_versions=10,
+        )
+        v = mt.commit_staged(s, retain_versions=10)
+        assert v == 3
+        got = mt.read()
+        assert got.filter("id = 101").count() == 1  # ours
+        assert got.filter("v = 'B'").count() == 1   # winner's
+        # the change feed over the rebase is a clean per-version diff
+        d = mt.changes(1, 3)
+        assert d.filter("_change_type = 'insert'").count() == 2
+
+    def test_overlap_fails_loudly_and_abort_cleans(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            ConcurrentWriterError,
+        )
+
+        mt, path = self._mk(spark, tmp_path)
+        s = mt.stage_commit(self._pt_df(spark, mt, 3, 103, "A"), [(3,)])
+        upd = spark.createDataFrame(
+            [(3, 3, "W", "U")], "id int, pt int, v string, op string"
+        )
+        merge_into_partitioned(
+            spark, path, upd, ["id"], ["pt"], op_col="op",
+            retain_versions=10,
+        )
+        with pytest.raises(ConcurrentWriterError, match="overlaps"):
+            mt.commit_staged(s, retain_versions=10)
+        mt.abort_staged(s)
+        assert [
+            n for n in os.listdir(f"{path}/_data")
+            if n.startswith(".stage")
+        ] == []
+        # winner's update intact, loser's never visible
+        assert mt.read().filter("v = 'W'").count() == 1
+        assert mt.read().filter("id = 103").count() == 0
+
+    def test_on_conflict_fail_mode(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            ConcurrentWriterError,
+        )
+
+        mt, path = self._mk(spark, tmp_path)
+        s = mt.stage_commit(self._pt_df(spark, mt, 1, 101, "A"), [(1,)])
+        upd = spark.createDataFrame(
+            [(2, 2, "B", "U")], "id int, pt int, v string, op string"
+        )
+        merge_into_partitioned(
+            spark, path, upd, ["id"], ["pt"], op_col="op",
+            retain_versions=10,
+        )
+        with pytest.raises(ConcurrentWriterError, match="moved"):
+            mt.commit_staged(s, on_conflict="fail")
+        mt.abort_staged(s)
+
+    def test_unprovable_rebase_base_gcd(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            ConcurrentWriterError,
+        )
+
+        mt, path = self._mk(spark, tmp_path)
+        s = mt.stage_commit(self._pt_df(spark, mt, 1, 101, "A"), [(1,)])
+        # winner advances THREE versions with retain_versions=2 — the
+        # staged base (v1) falls out of retention
+        for i in range(3):
+            upd = spark.createDataFrame(
+                [(2, 2, f"B{i}", "U")],
+                "id int, pt int, v string, op string",
+            )
+            merge_into_partitioned(
+                spark, path, upd, ["id"], ["pt"], op_col="op",
+                retain_versions=2,
+            )
+        with pytest.raises(ConcurrentWriterError, match="no longer retained"):
+            mt.commit_staged(s, retain_versions=10)
+        mt.abort_staged(s)
+
+    def test_schema_change_blocks_rebase(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            ConcurrentWriterError,
+        )
+
+        mt, path = self._mk(spark, tmp_path)
+        s = mt.stage_commit(self._pt_df(spark, mt, 1, 101, "A"), [(1,)])
+        # winner evolves the schema (add-only) through a locked
+        # overwrite of a DISJOINT partition — disjoint data, but the
+        # rebase must still refuse: evolution and optimistic
+        # concurrency don't compose
+        evolved = mt.read(partitions=[(2,)]).withColumn(
+            "extra", F.lit(7)
+        )
+        mt.overwrite_partitions(evolved, [(2,)], retain_versions=10)
+        with pytest.raises(ConcurrentWriterError, match="schema"):
+            mt.commit_staged(s, retain_versions=10)
+        mt.abort_staged(s)
+
+    def test_vacuum_sweeps_aged_staging_husks(self, spark, tmp_path):
+        import time
+
+        mt, path = self._mk(spark, tmp_path)
+        s = mt.stage_commit(self._pt_df(spark, mt, 0, 100, "A"), [(0,)])
+        husk = f"{path}/_data/{s['rel'].split('/')[-1]}"
+        assert os.path.isdir(husk)
+        # a YOUNG staging survives vacuum (a live stager may own it)
+        mt.vacuum(staging_ttl_seconds=3600)
+        assert os.path.isdir(husk)
+        # age it past the TTL: swept
+        old = time.time() - 7200
+        os.utime(husk, (old, old))
+        mt.vacuum(staging_ttl_seconds=3600)
+        assert not os.path.isdir(husk)
+
+    def test_staging_survives_winner_gc(self, spark, tmp_path):
+        mt, path = self._mk(spark, tmp_path)
+        s = mt.stage_commit(self._pt_df(spark, mt, 1, 101, "A"), [(1,)])
+        # winner churns several commits with a tight retain window —
+        # its per-commit GC must never delete the dot-staging
+        for i in range(3):
+            upd = spark.createDataFrame(
+                [(2, 2, f"B{i}", "U")],
+                "id int, pt int, v string, op string",
+            )
+            merge_into_partitioned(
+                spark, path, upd, ["id"], ["pt"], op_col="op",
+                retain_versions=2,
+            )
+        assert os.path.isdir(f"{path}/_data/{s['rel'].split('/')[-1]}")
+        mt.abort_staged(s)
+
+
+class TestOptimisticMerge:
+    """merge_into_partitioned(optimistic=True): compute + write fully
+    outside the lease, publish with disjoint rebase."""
+
+    def _mk(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, i % 4, f"x{i}") for i in range(16)],
+            "id int, pt int, v string",
+        )
+        path = str(tmp_path / "t")
+        ManifestTable(spark, path).create(df, ["pt"])
+        return path
+
+    def test_optimistic_merge_e2e(self, spark, tmp_path):
+        path = self._mk(spark, tmp_path)
+        upd = spark.createDataFrame(
+            [(1, 1, "OPT", "U"), (5, 1, "x5", "D")],
+            "id int, pt int, v string, op string",
+        )
+        n = merge_into_partitioned(
+            spark, path, upd, ["id"], ["pt"], op_col="op",
+            retain_versions=10, optimistic=True,
+        )
+        assert n == 1
+        mt = ManifestTable(spark, path)
+        assert mt.current_version() == 2
+        got = sorted(
+            (r.id, r.v)
+            for r in mt.read(partitions=[(1,)]).collect()
+        )
+        assert got == [(1, "OPT"), (9, "x9"), (13, "x13")]
+        leftovers = [
+            d for d in os.listdir(f"{path}/_data")
+            if d.startswith(".stage")
+        ] + [
+            d for d in os.listdir(path) if d.startswith("_merge_delta")
+        ]
+        assert leftovers == []
+
+    def test_optimistic_requires_manifest_table(self, spark, tmp_path):
+        plain = str(tmp_path / "plain")
+        spark.createDataFrame(
+            [(1, 0, "a")], "id int, pt int, v string"
+        ).write.partitionBy("pt").parquet(plain)
+        upd = spark.createDataFrame(
+            [(1, 0, "b", "U")], "id int, pt int, v string, op string"
+        )
+        with pytest.raises(ValueError, match="manifest-committed"):
+            merge_into_partitioned(
+                spark, plain, upd, ["id"], ["pt"], op_col="op",
+                optimistic=True,
+            )
+
+    def test_concurrent_disjoint_optimistic_merges(self, spark, tmp_path):
+        import threading
+
+        path = self._mk(spark, tmp_path)
+        out = {}
+
+        def run(pt, tag):
+            try:
+                upd = spark.createDataFrame(
+                    [(100 + pt, pt, tag, "U")],
+                    "id int, pt int, v string, op string",
+                )
+                out[tag] = merge_into_partitioned(
+                    spark, path, upd, ["id"], ["pt"], op_col="op",
+                    retain_versions=10, optimistic=True,
+                    lock_wait_seconds=30,
+                )
+            except Exception as exc:  # noqa: BLE001 — assert below
+                out[tag] = repr(exc)
+
+        ts = [
+            threading.Thread(target=run, args=(0, "T0")),
+            threading.Thread(target=run, args=(3, "T3")),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert out == {"T0": 1, "T3": 1}
+        mt = ManifestTable(spark, path)
+        assert mt.current_version() == 3  # both committed
+        vals = sorted(
+            r.v for r in mt.read().filter("id >= 100").collect()
+        )
+        assert vals == ["T0", "T3"]
+        assert [
+            d for d in os.listdir(f"{path}/_data")
+            if d.startswith(".stage")
+        ] == []
+
+
+class TestFeedPruneReaderRace:
+    """r10 verdict item 7: a prune landing between a feed reader's
+    listing and its scan must yield either a complete frame from the
+    old listing or the explicit retention error — never a partial
+    frame."""
+
+    def _feed(self, spark, tmp_path, commits=3):
+        df = spark.createDataFrame(
+            [(1, "a", "x1"), (2, "b", "x2")], "id int, pt string, v string"
+        )
+        path = str(tmp_path / "t")
+        ManifestTable(spark, path).create(df, ["pt"])
+        for i in range(commits - 1):
+            upd = spark.createDataFrame(
+                [(10 + i, "a", f"z{i}", "U")],
+                "id int, pt string, v string, op string",
+            )
+            merge_into_partitioned(
+                spark, path, upd, ["id"], ["pt"], op_col="op",
+                retain_versions=10,
+            )
+        feed = str(tmp_path / "feed")
+        _drain(start_table_changes_tail(
+            spark, path, feed, str(tmp_path / "ckpt")
+        ))
+        return path, feed
+
+    def test_prune_between_listing_and_scan_raises(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import fbg_kafka_stream_file_transfer_spark.streaming.table_tail as tt
+
+        path, feed = self._feed(spark, tmp_path)
+        real = tt._committed_feed_versions
+        fired = []
+
+        def listed_then_pruned(s, d):
+            vs = real(s, d)
+            if not fired:  # prune exactly once (prune itself lists)
+                fired.append(True)
+                prune_changes_feed(s, d, keep_versions=1)
+            return vs
+
+        monkeypatch.setattr(
+            tt, "_committed_feed_versions", listed_then_pruned
+        )
+        # cursor read: the post-listing high-water check must catch
+        # the race and raise the explicit retention error
+        with pytest.raises(ValueError, match="pruned through"):
+            tt.read_changes_feed(spark, path, feed, since_version=1)
+        # whole-feed read: same race, same explicit error
+        with pytest.raises(ValueError, match="whole-feed"):
+            tt.read_changes_feed(spark, path, feed)
+
+    def test_prune_after_df_build_is_loud_not_partial(
+        self, spark, tmp_path
+    ):
+        """A prune AFTER the DataFrame is built (reader mid-scan):
+        the lazy scan over the deleted dirs must error, not return a
+        partial frame (ignoreMissingFiles stays false)."""
+        path, feed = self._feed(spark, tmp_path)
+        df = read_changes_feed(spark, path, feed, since_version=1)
+        prune_changes_feed(spark, feed, keep_versions=1)
+        with pytest.raises(Exception, match="(?i)exist|found"):
+            df.collect()
+        # repeat 3x-stability of the raced cursor read
+        for _ in range(3):
+            with pytest.raises(ValueError, match="pruned through"):
+                read_changes_feed(spark, path, feed, since_version=1)
