@@ -287,7 +287,7 @@ def merge_into_partitioned(
     tiebreak_cols: tuple[str, ...] = (),
     lock_stale_after_seconds: float | None = None,
     retain_versions: int = 2,
-    lock_wait_seconds: float = 0.0,
+    lock_wait_seconds: float | None = None,
     optimistic: bool = False,
 ) -> int:
     """MERGE a keyed delta into a persisted partitioned parquet table,
@@ -412,8 +412,10 @@ def merge_into_partitioned(
         # date ranges both make progress, overlapping their heavy
         # work; an overlapping pair still fails the loser loudly.
         # ``lock_wait_seconds`` bounds how long the publish waits for
-        # the lease (publishes are metadata-sized, so short waits
-        # suffice).
+        # the lease; its DEFAULT here is 60 s, not the locked path's
+        # fail-fast 0 — a momentary publish-vs-publish collision must
+        # wait out the winner's metadata-sized lease hold, not throw
+        # away the whole staged compute (external review r11).
         if not is_manifest_table(spark, path):
             raise ValueError(
                 f"optimistic merge needs a manifest-committed table: "
@@ -422,7 +424,9 @@ def merge_into_partitioned(
         return _merge_into_manifest_optimistic(
             spark, path, updates, key_cols, partition_cols,
             op_col, delete_op, ts_col, tiebreak_cols,
-            retain_versions, lock_wait_seconds,
+            retain_versions,
+            60.0 if lock_wait_seconds is None else lock_wait_seconds,
+            lock_stale_after_seconds,
         )
     fs, jroot = _hadoop_fs(spark, path)
     root_existed = bool(fs.exists(jroot))
@@ -432,7 +436,7 @@ def merge_into_partitioned(
             path,
             holder="merge",
             stale_after_seconds=lock_stale_after_seconds,
-            wait_seconds=lock_wait_seconds,
+            wait_seconds=lock_wait_seconds or 0.0,
         ):
             if is_manifest_table(spark, path):
                 return _merge_into_manifest(
@@ -784,6 +788,7 @@ def _merge_into_manifest_optimistic(
     tiebreak_cols: tuple[str, ...],
     retain_versions: int,
     lock_wait_seconds: float,
+    lock_stale_after_seconds: float | None = None,
 ) -> int:
     """Optimistic-concurrency merge: the ENTIRE compute — delta
     snapshot, current-state read, merge shuffle, generation write,
@@ -820,6 +825,7 @@ def _merge_into_manifest_optimistic(
                 retain_versions=retain_versions,
                 on_conflict="rebase_disjoint",
                 lock_wait_seconds=lock_wait_seconds,
+                lock_stale_after_seconds=lock_stale_after_seconds,
             )
         except BaseException:
             mt.abort_staged(staged)

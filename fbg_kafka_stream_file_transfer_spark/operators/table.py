@@ -439,6 +439,19 @@ def _where_clause_may_match(stats: dict, col: str, op: str, value) -> bool:
         return nulls is None or nulls > 0
     if op == "not_null":
         return rows is None or nulls is None or nulls < rows
+    # a NaN PREDICATE value must never prune: every Python comparison
+    # against NaN is False (so every stats-bearing entry would be
+    # skipped), while Spark's residual filter orders NaN greatest and
+    # NaN = NaN true — pruning here would silently drop the rows the
+    # scan would match (external review r11). Fall through to the
+    # exact row filter instead.
+    probe = (
+        list(value)
+        if op in ("between", "in") and value is not None
+        else [value]
+    )
+    if any(_is_nan(v) for v in probe):
+        return True
     # comparison ops match no NULL row; an all-null column (bounds
     # absent AND every row null) can be pruned outright
     mn = _decode_value(cs["mn"]) if cs.get("mn") is not None else None
@@ -1055,6 +1068,7 @@ class ManifestTable:
         df: DataFrame,
         touched: list[tuple] | None = None,
         base_version: int | None = None,
+        read_partitions: list[tuple] | str = "touched",
     ) -> dict:
         """Phase 1 of an optimistic commit: evaluate and write ``df``
         into a GC-invisible staging generation WITHOUT holding the
@@ -1080,7 +1094,19 @@ class ManifestTable:
         when that read happened earlier than the staging (the
         optimistic merge does this) — the rebase check must cover
         every commit since the data was read, not since it was
-        staged."""
+        staged.
+
+        ``read_partitions`` declares df's READ set — the partitions
+        whose contents the staged rows were derived from — because
+        the rebase must conflict-check what you READ, not just what
+        you write: a summary staged from the whole table must not
+        rebase over a winner that changed any source partition (that
+        would publish stale derived data as the newest version;
+        external review r11). ``"touched"`` (default) = the write
+        set, correct when the output is derived only from the
+        partitions being replaced (the merge path); an explicit list
+        of value tuples widens the check; ``"all"`` = the whole
+        table, which makes ANY intervening commit a conflict."""
         base = (
             self.current_version() if base_version is None else base_version
         )
@@ -1125,6 +1151,18 @@ class ManifestTable:
             man, {f.name: f.dataType for f in staged.schema.fields}, pcols
         )
         stats_by_key = self._collect_entry_stats(back, dup, scols)
+        if read_partitions == "touched":
+            read_scope, read_keys = "keys", []
+        elif read_partitions == "all":
+            read_scope, read_keys = "all", []
+        elif isinstance(read_partitions, list):
+            read_scope = "keys"
+            read_keys = [_partition_key(tuple(t)) for t in read_partitions]
+        else:
+            raise ValueError(
+                "read_partitions must be 'touched', 'all', or a list "
+                "of partition value tuples"
+            )
         return {
             "rel": rel,
             "base_version": base,
@@ -1134,6 +1172,8 @@ class ManifestTable:
             "staged_schema": staged.schema,
             "schema_json": json.loads(df.schema.json()),
             "stats": stats_by_key,
+            "read_scope": read_scope,
+            "read_keys": read_keys,
         }
 
     def commit_staged(
@@ -1143,6 +1183,7 @@ class ManifestTable:
         on_conflict: str = "rebase_disjoint",
         lock_wait_seconds: float = 60.0,
         assume_locked: bool = False,
+        lock_stale_after_seconds: float | None = None,
     ) -> int:
         """Phase 2: publish a :meth:`stage_commit` token as the next
         version. Only the cheap part runs under the lease — one
@@ -1178,17 +1219,28 @@ class ManifestTable:
                     f"manifest table does not exist: {self.path}"
                 )
             if cur != staged["base_version"]:
-                if on_conflict == "fail":
+                if on_conflict == "fail" or staged.get("read_scope") == "all":
                     raise ConcurrentWriterError(
                         f"table {self.path} moved from "
                         f"v{staged['base_version']} to v{cur} since the "
-                        "commit was staged; recompute against the "
-                        "current version"
+                        "commit was staged"
+                        + (
+                            " and the staged df was derived from the "
+                            "WHOLE table (read_partitions='all'), so "
+                            "any intervening commit invalidates it"
+                            if staged.get("read_scope") == "all"
+                            else ""
+                        )
+                        + "; recompute against the current version"
                     )
+                # conflict-check the READ set as well as the write
+                # set: rebasing must not publish data derived from
+                # partitions a winner changed (external review r11)
                 self._assert_rebase_safe(
                     staged["base_version"],
                     cur,
-                    {_partition_key(t) for t in staged["touched"]},
+                    {_partition_key(t) for t in staged["touched"]}
+                    | set(staged.get("read_keys", [])),
                 )
             version = cur + 1
             gen_rel = f"{_DATA_DIR}/g{version:08d}"
@@ -1222,6 +1274,7 @@ class ManifestTable:
             self.path,
             holder="optimistic-commit",
             wait_seconds=lock_wait_seconds,
+            stale_after_seconds=lock_stale_after_seconds,
         ):
             return _do()
 
@@ -1365,7 +1418,7 @@ class ManifestTable:
         self,
         retain_versions: int | None = None,
         assume_locked: bool = False,
-        staging_ttl_seconds: float = 86400.0,
+        staging_ttl_seconds: float | None = 86400.0,
     ) -> None:
         """Sweep metadata and generations no RETAINED manifest
         references — crash husks (a generation written by a failed
@@ -1378,11 +1431,14 @@ class ManifestTable:
         live writer's in-flight generation.
 
         ``.stage-*`` dirs (optimistic commits staged OUTSIDE the
-        lease) are swept only past ``staging_ttl_seconds`` of age:
-        a live stager by definition does not hold the lease vacuum
-        holds, so age is the only safe evidence of death — size the
-        TTL far above the longest stage-to-commit gap (None disables
-        the sweep)."""
+        lease) and uuid-named ``_merge_delta-*`` snapshot dirs (an
+        optimistic merge that crashed before its cleanup — the
+        unique name means no later merge ever overwrites it, unlike
+        the locked path's fixed name; external review r11) are swept
+        only past ``staging_ttl_seconds`` of age: a live stager by
+        definition does not hold the lease vacuum holds, so age is
+        the only safe evidence of death — size the TTL far above the
+        longest stage-to-commit gap (None disables the sweep)."""
         ver = self.current_version()
         if ver is None:
             raise ValueError(f"manifest table does not exist: {self.path}")
@@ -1397,15 +1453,22 @@ class ManifestTable:
             self._gc(v, retain)
             if staging_ttl_seconds is None:
                 return
-            fs, jdata = _hadoop_fs(self.spark, f"{self.path}/{_DATA_DIR}")
-            if not fs.exists(jdata):
-                return
             now_ms = self.spark._jvm.java.lang.System.currentTimeMillis()
-            for status in fs.listStatus(jdata):
-                name = status.getPath().getName()
-                age_s = (now_ms - status.getModificationTime()) / 1000.0
-                if name.startswith(".stage-") and age_s > staging_ttl_seconds:
-                    fs.delete(status.getPath(), True)
+
+            def _sweep_aged(dir_path: str, prefix: str) -> None:
+                fs, jdir = _hadoop_fs(self.spark, dir_path)
+                if not fs.exists(jdir):
+                    return
+                for status in fs.listStatus(jdir):
+                    name = status.getPath().getName()
+                    age_s = (
+                        now_ms - status.getModificationTime()
+                    ) / 1000.0
+                    if name.startswith(prefix) and age_s > staging_ttl_seconds:
+                        fs.delete(status.getPath(), True)
+
+            _sweep_aged(f"{self.path}/{_DATA_DIR}", ".stage-")
+            _sweep_aged(self.path, "_merge_delta-")
 
         if assume_locked:
             _do()
@@ -1556,9 +1619,15 @@ class ManifestTable:
         OUTSIDE the write lease and only runs this part under it)."""
         from .scale import _reject_empty_string_partitions
 
-        back = self.spark.read.schema(staged_schema).parquet(
-            f"{self.path}/{gen_rel}"
-        )
+        # the back-read builds a file index of the whole generation —
+        # only pay it when something below actually scans it (the
+        # commit_staged path passes both touched and stats, and must
+        # stay metadata-sized under the lease; external review r11)
+        back = None
+        if touched is None or stats_by_key is None:
+            back = self.spark.read.schema(staged_schema).parquet(
+                f"{self.path}/{gen_rel}"
+            )
         if touched is None:
             # derive touched from the WRITTEN generation, never from a
             # second evaluation of df: a nondeterministic df (sampling,

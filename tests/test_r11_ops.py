@@ -830,3 +830,134 @@ class TestFeedPruneReaderRace:
         for _ in range(3):
             with pytest.raises(ValueError, match="pruned through"):
                 read_changes_feed(spark, path, feed, since_version=1)
+
+
+class TestReviewFixesR11:
+    """Regressions from the round-11 code review of the new stats +
+    optimistic machinery."""
+
+    def test_nan_predicate_value_never_prunes(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, 0, float("nan")), (2, 0, 5.0), (3, 1, 1.0)],
+            "id int, pt int, x double",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pt"])
+        nan = float("nan")
+        # no clause with a NaN probe may prune anything…
+        assert mt.prune_stats([("x", "=", nan)]) == (2, 2)
+        assert mt.prune_stats([("x", "<", nan)]) == (2, 2)
+        assert mt.prune_stats([("x", "between", (0.0, nan))]) == (2, 2)
+        assert mt.prune_stats([("x", "in", [nan, 99.0])]) == (2, 2)
+        # …and the residual filter decides: Spark orders NaN greatest
+        # and NaN = NaN true, so the NaN row survives an equality read
+        assert [
+            r.id for r in mt.read(where=[("x", "=", nan)]).collect()
+        ] == [1]
+
+    def test_read_scope_all_refuses_any_rebase(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            ConcurrentWriterError,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i % 4, f"x{i}") for i in range(16)],
+            "id int, pt int, v string",
+        )
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(df, ["pt"])
+        # a whole-table summary staged into partition 0
+        summary = spark.createDataFrame(
+            [(999, 0, "summary")], "id int, pt int, v string"
+        ).unionByName(mt.read(partitions=[(0,)]))
+        s = mt.stage_commit(summary, [(0,)], read_partitions="all")
+        # winner touches a DISJOINT partition — still a conflict,
+        # because the summary was derived from the whole table
+        upd = spark.createDataFrame(
+            [(2, 2, "W", "U")], "id int, pt int, v string, op string"
+        )
+        merge_into_partitioned(
+            spark, path, upd, ["id"], ["pt"], op_col="op",
+            retain_versions=10,
+        )
+        with pytest.raises(ConcurrentWriterError, match="WHOLE table"):
+            mt.commit_staged(s, retain_versions=10)
+        mt.abort_staged(s)
+
+    def test_read_partitions_list_widens_conflict_check(
+        self, spark, tmp_path
+    ):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            ConcurrentWriterError,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i % 4, f"x{i}") for i in range(16)],
+            "id int, pt int, v string",
+        )
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(df, ["pt"])
+        # writes pt=0, but declares it READ pt=2
+        derived = mt.read(partitions=[(0,)])
+        s = mt.stage_commit(
+            derived, [(0,)], read_partitions=[(2,)]
+        )
+        upd = spark.createDataFrame(
+            [(2, 2, "W", "U")], "id int, pt int, v string, op string"
+        )
+        merge_into_partitioned(
+            spark, path, upd, ["id"], ["pt"], op_col="op",
+            retain_versions=10,
+        )
+        with pytest.raises(ConcurrentWriterError, match="overlaps"):
+            mt.commit_staged(s, retain_versions=10)
+        mt.abort_staged(s)
+
+    def test_vacuum_sweeps_aged_merge_delta_husks(self, spark, tmp_path):
+        import time
+
+        df = spark.createDataFrame(
+            [(1, 0, "a")], "id int, pt int, v string"
+        )
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(df, ["pt"])
+        husk = tmp_path / "t" / "_merge_delta-deadbeef"
+        husk.mkdir()
+        (husk / "part-0.parquet").write_bytes(b"orphan delta")
+        mt.vacuum(staging_ttl_seconds=3600)
+        assert husk.exists()  # young: a live merge may own it
+        old = time.time() - 7200
+        os.utime(husk, (old, old))
+        mt.vacuum(staging_ttl_seconds=3600)
+        assert not husk.exists()
+
+    def test_optimistic_merge_breaks_stale_lock(self, spark, tmp_path):
+        import time
+
+        df = spark.createDataFrame(
+            [(i, i % 2, f"x{i}") for i in range(4)],
+            "id int, pt int, v string",
+        )
+        path = str(tmp_path / "t")
+        ManifestTable(spark, path).create(df, ["pt"])
+        # a dead writer's leftover lease
+        _write_small_file(
+            spark, f"{path}/_lock",
+            json.dumps({"holder": "dead", "token": "t0"}),
+        )
+        old = time.time() - 600
+        os.utime(f"{path}/_lock", (old, old))
+        upd = spark.createDataFrame(
+            [(0, 0, "NEW", "U")], "id int, pt int, v string, op string"
+        )
+        n = merge_into_partitioned(
+            spark, path, upd, ["id"], ["pt"], op_col="op",
+            retain_versions=10, optimistic=True,
+            lock_wait_seconds=1, lock_stale_after_seconds=60,
+        )
+        assert n == 1
+        mt = ManifestTable(spark, path)
+        assert mt.read().filter("v = 'NEW'").count() == 1
