@@ -173,12 +173,26 @@ def main() -> int:
         )
 
     total = round(sum(timings.values()), 3)
+    # Host-speed normalization (r11): the per-query control runs are
+    # too noisy individually (0.1-0.3 s jobs), but their MEDIAN across
+    # all headlines is a stable proxy for how fast this host is right
+    # now. `value_per_control` = total / median(control) is therefore
+    # (approximately) host-independent: compare IT across rounds
+    # instead of raw seconds, so a 20% host-speed swing between boots
+    # stops reading as a code regression. Individual-query
+    # adjudication still goes through bench_summary.json's controls.
+    ctl = sorted(c["control_sec"] for c in controls.values())
+    control_median = ctl[len(ctl) // 2] if ctl else None
     compact = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "control_median_sec": control_median,
+        "value_per_control": (
+            round(total / control_median, 2) if control_median else None
+        ),
     }
     # The driver records only a 2000-char TAIL of stdout; the per-query
     # contention records ("controls") pushed the first six headlines —

@@ -1809,43 +1809,62 @@ class ManifestTable:
         fs, _ = _hadoop_fs(self.spark, self.path)
         jvm_path = self.spark._jvm.org.apache.hadoop.fs.Path
         rels = []
+        work: list[tuple[int, str, str, bytes]] = []
         for b in sorted(buckets):
             body = json.dumps({"entries": buckets[b]}, sort_keys=True)
             raw = body.encode("utf-8")
             h = hashlib.sha1(raw).hexdigest()[:16]
             rel = f"{_MANIFEST_DIR}/s{nb:05d}_{b:05d}_{h}.json"
             if prev_by_bucket.get(b) != rel:
-                # content differs from what the previous list used for
-                # this bucket (or the bucket count changed). An OLDER
-                # retained list may still reference this exact name
-                # (bucket content reverted to a prior state), so an
-                # INTACT existing file is reused — but only after a
-                # length check: trusting bare fs.exists would let a
-                # truncated husk from a crashed writer satisfy the
-                # content-address and publish a permanently unreadable
-                # version (external review r11). The write itself is
-                # tmp + rename so a crash can never leave a partial
-                # file AT the content-addressed name; the rename
-                # replaces a corrupt husk atomically (same content —
-                # safe under a concurrent reader).
-                jdst = jvm_path(f"{self.path}/{rel}")
-                intact = (
-                    fs.exists(jdst)
-                    and fs.getFileStatus(jdst).getLen() == len(raw)
-                )
-                if not intact:
-                    tmp = (
-                        f"{self.path}/{_MANIFEST_DIR}/"
-                        f".s{nb:05d}_{b:05d}_{h}.json.tmp"
-                    )
-                    _write_small_file(self.spark, tmp, body)
-                    _, jtmp = _hadoop_fs(self.spark, tmp)
-                    fs.delete(jdst, False)  # truncated husk, if any
-                    if not fs.rename(jtmp, jdst):
-                        raise IOError(
-                            f"could not publish entry shard {rel}"
-                        )
+                work.append((b, rel, body, raw))
             rels.append(rel)
+
+        def _publish_shard(item: tuple) -> None:
+            # content differs from what the previous list used for
+            # this bucket (or the bucket count changed). An OLDER
+            # retained list may still reference this exact name
+            # (bucket content reverted to a prior state), so an
+            # INTACT existing file is reused — but only after a
+            # length check: trusting bare fs.exists would let a
+            # truncated husk from a crashed writer satisfy the
+            # content-address and publish a permanently unreadable
+            # version (external review r11). The write itself is
+            # tmp + rename so a crash can never leave a partial
+            # file AT the content-addressed name; the rename
+            # replaces a corrupt husk atomically (same content —
+            # safe under a concurrent reader).
+            b, rel, body, raw = item
+            jdst = jvm_path(f"{self.path}/{rel}")
+            intact = (
+                fs.exists(jdst)
+                and fs.getFileStatus(jdst).getLen() == len(raw)
+            )
+            if not intact:
+                tmp = f"{self.path}/{_MANIFEST_DIR}/.{rel.split('/')[-1]}.tmp"
+                _write_small_file(self.spark, tmp, body)
+                _, jtmp = _hadoop_fs(self.spark, tmp)
+                fs.delete(jdst, False)  # truncated husk, if any
+                if not fs.rename(jtmp, jdst):
+                    raise IOError(f"could not publish entry shard {rel}")
+
+        if len(work) <= 2:
+            for item in work:
+                _publish_shard(item)
+        else:
+            # the per-shard cost is py4j/FS round-trip latency, not
+            # bandwidth (r10 measured the sharded format losing local
+            # WALL to exactly this); the writes are independent
+            # content-addressed files, Hadoop FileSystem is
+            # thread-safe, and py4j gives each thread its own gateway
+            # connection — so overlap them. Bounded pool: metadata
+            # files, not data.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(8, len(work))) as pool:
+                # list() forces completion and re-raises the first
+                # worker exception — a failed shard must fail the
+                # commit, never publish a list with a missing bucket
+                list(pool.map(_publish_shard, work))
         return rels, nb
 
     def _map_partition_dirs(
