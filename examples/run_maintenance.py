@@ -207,6 +207,29 @@ def main(sf_dir: str, work_dir: str) -> None:
         print(f"  v{h['version']}  {h['n_partitions']} partitions  "
               f"uuid={str(h['commit_uuid'])[:8]}…  {h['committed_utc']}")
     mt.vacuum()  # sweeps debris, preserves all retained history
+    # stats-pruned read (r11): every commit recorded per-partition
+    # min/max/null bounds; a where-conjunction skips partitions whose
+    # bounds exclude it BEFORE any file is listed, then the same
+    # predicate runs as the exact row filter
+    lo = mt.read().agg(F.min("event_id")).collect()[0][0]
+    scanned, total = mt.prune_stats([("event_id", "<", lo)])
+    print(f"stats skip: event_id < {lo} admits {scanned}/{total} "
+          "partitions — excluded from the manifest alone, no file "
+          "listed")
+    where = [("event_id", "<=", lo + 100)]
+    print(f"{mt.read(where=where).count()} rows for event_id <= "
+          f"{lo + 100} (bounds prune first, the exact filter decides)")
+    # optimistic commit (r11): stage a partition rewrite WITHOUT the
+    # lease, publish under a metadata-sized hold; had another writer
+    # committed a disjoint partition meanwhile, the publish rebases
+    pt0 = mt.read().select("pt").distinct().limit(1).collect()[0][0]
+    rewrite = mt.read(partitions=[(pt0,)]).withColumn(
+        "event_type", F.upper(F.col("event_type"))
+    )
+    staged = mt.stage_commit(rewrite, [(pt0,)])
+    v = mt.commit_staged(staged, retain_versions=10)
+    print(f"optimistic rewrite of pt={pt0} published as v{v} "
+          "(lease held only for the metadata publish)")
     spark.stop()
 
 
