@@ -492,6 +492,154 @@ def _where_clause_may_match(stats: dict, col: str, op: str, value) -> bool:
     )
 
 
+def _clauses_from_column(col) -> list[tuple]:
+    """Best-effort extraction of prunable ``(col, op, value)`` clauses
+    from a pyspark Column's (unresolved) Catalyst expression tree —
+    the Spark-first spelling of a stats predicate:
+    ``read(where=(F.col("ts") >= t0) & (F.col("ts") < t1))``.
+
+    STRICTLY an optimization extractor: only top-level conjunctions of
+    ``attr op literal`` shapes (=, <, <=, >, >=, IN, isNull,
+    isNotNull, with either operand order) become pruning clauses; any
+    unrecognized subtree — Or, Not, arithmetic, UDFs, a Connect-backed
+    Column without ``_jc`` — contributes NOTHING (conservative), and
+    the caller always applies the ORIGINAL Column as the exact row
+    filter, so extraction can only skip work, never change results.
+    Walks the Spark 4 ColumnNode tree (``Column.node()`` —
+    ``UnresolvedFunction``/``UnresolvedAttribute``/``Literal``; the
+    Spark 3 ``Column.expr()`` Catalyst accessor no longer exists);
+    literal values arrive as their ORIGINAL JVM objects, so
+    java.time dates/instants and BigDecimals are converted to the
+    Python types the manifest's tagged bounds decode to."""
+    import datetime
+    import decimal
+
+    out: list[tuple] = []
+
+    def _py_value(v):
+        if v is None or isinstance(v, bool):
+            # bools: comparisons on booleans prune poorly and a py4j
+            # bool is also an int — keep it, it compares fine
+            return v, v is not None
+        if isinstance(v, (int, float, str, decimal.Decimal)):
+            # py4j auto-converts java BigDecimal to Decimal
+            return v, True
+        if isinstance(v, datetime.datetime):
+            return v, True
+        if isinstance(v, datetime.date):
+            return v, True
+        try:
+            cls = v.getClass().getName()
+        except Exception:  # noqa: BLE001 — not a JVM object
+            return None, False
+        if cls == "java.time.LocalDate":
+            return (
+                datetime.date(
+                    v.getYear(), v.getMonthValue(), v.getDayOfMonth()
+                ),
+                True,
+            )
+        if cls == "java.sql.Date":
+            d = v.toLocalDate()
+            return (
+                datetime.date(
+                    d.getYear(), d.getMonthValue(), d.getDayOfMonth()
+                ),
+                True,
+            )
+        if cls == "java.time.Instant":
+            # collect() returns naive LOCAL datetimes for timestamps,
+            # and the stats bounds were built from collect() — convert
+            # the instant the same way so comparisons line up
+            return (
+                datetime.datetime.fromtimestamp(
+                    v.getEpochSecond() + v.getNano() / 1e9
+                ),
+                True,
+            )
+        if cls == "java.sql.Timestamp":
+            v = v.toLocalDateTime()
+            cls = "java.time.LocalDateTime"
+        if cls == "java.time.LocalDateTime":
+            return (
+                datetime.datetime(
+                    v.getYear(), v.getMonthValue(), v.getDayOfMonth(),
+                    v.getHour(), v.getMinute(), v.getSecond(),
+                    v.getNano() // 1000,
+                ),
+                True,
+            )
+        if cls == "java.math.BigDecimal":
+            return decimal.Decimal(v.toString()), True
+        return None, False  # binary/interval/unknown: not prunable
+
+    _SWAP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "=": "=", "==": "="}
+    _CMP = {"<", "<=", ">", ">=", "=", "=="}
+
+    def _attr_name(node):
+        if node.getClass().getSimpleName() != "UnresolvedAttribute":
+            return None
+        parts = node.nameParts()
+        return ".".join(
+            str(parts.apply(i)) for i in range(parts.size())
+        )
+
+    def _literal_value(node):
+        if node.getClass().getSimpleName() != "Literal":
+            return None, False
+        return _py_value(node.value())
+
+    def _walk(node) -> None:
+        if node.getClass().getSimpleName() != "UnresolvedFunction":
+            return
+        fn = str(node.functionName())
+        args = node.arguments()
+        if fn == "and":
+            _walk(args.apply(0))
+            _walk(args.apply(1))
+            return
+        if fn in _CMP and args.size() == 2:
+            left, right = args.apply(0), args.apply(1)
+            name, lit, op = _attr_name(left), right, fn
+            if name is None:
+                name, lit, op = _attr_name(right), left, _SWAP[fn]
+            if name is None:
+                return
+            v, ok = _literal_value(lit)
+            if ok:
+                out.append((name, "=" if op == "==" else op, v))
+            return
+        if fn == "in" and args.size() >= 2:
+            name = _attr_name(args.apply(0))
+            if name is None:
+                return
+            vals = []
+            for i in range(1, args.size()):
+                v, ok = _literal_value(args.apply(i))
+                if not ok:
+                    return
+                vals.append(v)
+            out.append((name, "in", vals))
+            return
+        if fn in ("isNull", "isnull") and args.size() == 1:
+            name = _attr_name(args.apply(0))
+            if name is not None:
+                out.append((name, "is_null", None))
+            return
+        if fn in ("isNotNull", "isnotnull") and args.size() == 1:
+            name = _attr_name(args.apply(0))
+            if name is not None:
+                out.append((name, "not_null", None))
+            return
+        # anything else (or, not, cast, arithmetic, UDF...): no clause
+
+    try:
+        _walk(col._jc.node())
+    except Exception:  # noqa: BLE001 — Connect Columns / API drift:
+        return []  # no pruning, exact filter still runs
+    return out
+
+
 def _normalize_where(where: list[tuple]) -> list[tuple]:
     """Accept 2-tuples for the null ops and 3-tuples elsewhere;
     reject malformed clauses loudly (a silently dropped clause would
@@ -786,24 +934,35 @@ class ManifestTable:
         skip the re-read (one metadata RPC per commit on object
         stores).
 
-        ``where`` is a conjunction of simple clauses
+        ``where`` is either a conjunction of simple clauses
         ``[("col", op, value), ...]`` (op ∈ ``= < <= > >= between in``
-        plus 2-tuple ``is_null`` / ``not_null``) evaluated TWICE:
-        once driver-side against each entry's recorded column bounds
-        (entries whose min/max exclude the predicate are skipped
-        before any file is listed — Iceberg-style data skipping on
-        NON-partition columns, the pruning the partition key cannot
-        give), and once exactly, as a row filter Catalyst pushes into
-        the parquet scan. Entries without stats (pre-stats commits,
-        non-stats columns) are always scanned, so the result is
-        correct regardless of stats coverage."""
+        plus 2-tuple ``is_null`` / ``not_null``) or a pyspark
+        ``Column`` (``(F.col("ts") >= t0) & (F.col("ts") < t1)`` —
+        prunable ``attr op literal`` conjuncts are extracted from its
+        expression tree, anything else conservatively contributes no
+        pruning). Evaluated TWICE: once driver-side against each
+        entry's recorded column bounds (entries whose min/max exclude
+        the predicate are skipped before any file is listed —
+        Iceberg-style data skipping on NON-partition columns, the
+        pruning the partition key cannot give), and once exactly, as
+        a row filter Catalyst pushes into the parquet scan (a Column
+        is applied verbatim). Entries without stats (pre-stats
+        commits, non-stats columns) are always scanned, so the result
+        is correct regardless of stats coverage."""
+        from pyspark.sql import Column
+
         m = manifest_dict if manifest_dict is not None else self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
         entries = m["entries"]
         if partitions is not None:
             wanted = {_partition_key(tuple(t)) for t in partitions}
             entries = [e for e in entries if e["key"] in wanted]
-        norm = _normalize_where(where) if where else None
+        residual = None
+        if isinstance(where, Column):
+            residual = where
+            norm = _normalize_where(_clauses_from_column(where))
+        else:
+            norm = _normalize_where(where) if where else None
         if norm:
             entries = [e for e in entries if _entry_may_match(e, norm)]
         # sorted-set: entries map 1:1 to dirs by construction, but a
@@ -813,19 +972,26 @@ class ManifestTable:
             df = self.spark.createDataFrame([], schema)
         else:
             df = self.spark.read.schema(schema).parquet(*dirs)
-        if norm:
+        if residual is not None:
+            df = df.filter(residual)
+        elif norm:
             df = df.filter(_where_to_filter(norm))
         return df
 
     def prune_stats(
-        self, where: list[tuple], version: int | None = None
+        self, where, version: int | None = None
     ) -> tuple[int, int]:
         """(entries that would be scanned, total live entries) for a
-        ``where`` conjunction — the observability hook for data
-        skipping (and the thing tests pin so pruning can never
-        silently stop working)."""
+        ``where`` conjunction (tuple list or pyspark Column) — the
+        observability hook for data skipping (and the thing tests pin
+        so pruning can never silently stop working)."""
+        from pyspark.sql import Column
+
         m = self.manifest(version)
-        norm = _normalize_where(where)
+        if isinstance(where, Column):
+            norm = _normalize_where(_clauses_from_column(where))
+        else:
+            norm = _normalize_where(where)
         kept = sum(
             1 for e in m["entries"] if _entry_may_match(e, norm)
         )

@@ -961,3 +961,115 @@ class TestReviewFixesR11:
         assert n == 1
         mt = ManifestTable(spark, path)
         assert mt.read().filter("v = 'NEW'").count() == 1
+
+
+class TestColumnWhereExtraction:
+    """read(where=<pyspark Column>): prunable conjuncts are extracted
+    from the Catalyst expression tree; everything else falls back to
+    the exact filter with zero pruning (never-wrong by design)."""
+
+    def _mk(self, spark, tmp_path):
+        import datetime as dt
+
+        days = [dt.date(2026, 1, d) for d in (1, 15)]
+        df = spark.createDataFrame(
+            [
+                (i, i % 4, float(i), f"n{i:03d}", days[i % 2],
+                 None if i % 5 == 0 else i)
+                for i in range(40)
+            ],
+            "id int, pt int, x double, nm string, d date, opt int",
+        )
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        # RANGE partitioning so id bounds are disjoint per entry
+        df2 = df.withColumn("pt", (F.col("id") / 10).cast("int"))
+        mt.create(df2, ["pt"])
+        return mt
+
+    def test_extraction_each_shape(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _clauses_from_column,
+        )
+        import datetime as dt
+
+        c = (
+            (F.col("id") >= 10)
+            & (F.lit(35) > F.col("id"))          # swapped operand order
+            & F.col("nm").isin("a", "b")
+            & F.col("opt").isNull()
+            & F.col("d").isNotNull()
+            & (F.col("d") == dt.date(2026, 1, 15))
+            & (F.col("x") < 2.5)
+        )
+        got = _clauses_from_column(c)
+        assert ("id", ">=", 10) in got
+        assert ("id", "<", 35) in got
+        assert ("nm", "in", ["a", "b"]) in got
+        assert ("opt", "is_null", None) in got
+        assert ("d", "not_null", None) in got
+        assert ("d", "=", dt.date(2026, 1, 15)) in got
+        assert ("x", "<", 2.5) in got
+
+    def test_unrecognized_shapes_extract_nothing(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _clauses_from_column,
+        )
+
+        assert _clauses_from_column(
+            (F.col("a") > 1) | (F.col("b") > 2)
+        ) == []
+        assert _clauses_from_column(~(F.col("a") > 1)) == []
+        assert _clauses_from_column(F.col("a") + 1 > 2) == []
+        # an AND with one opaque side still yields the clean side
+        got = _clauses_from_column(
+            (F.col("a") > 1) & (F.col("b") % 2 == 0)
+        )
+        assert got == [("a", ">", 1)]
+
+    def test_column_where_prunes_and_matches_filter(self, spark, tmp_path):
+        mt = self._mk(spark, tmp_path)
+        c = (F.col("id") >= 10) & (F.col("id") < 20)
+        assert mt.prune_stats(c) == (1, 4)
+        got = sorted(r.id for r in mt.read(where=c).collect())
+        assert got == list(range(10, 20))
+
+    def test_opaque_column_where_is_exact_unpruned(self, spark, tmp_path):
+        mt = self._mk(spark, tmp_path)
+        c = (F.col("id") % 7 == 0) | (F.col("x") > 38.0)
+        assert mt.prune_stats(c) == (4, 4)  # nothing extractable
+        got = sorted(r.id for r in mt.read(where=c).collect())
+        want = sorted(
+            r.id for r in mt.read().filter(c).collect()
+        )
+        assert got == want and len(got) > 0
+
+    def test_timestamp_and_decimal_literals_extract(self, spark, tmp_path):
+        import decimal
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _clauses_from_column,
+        )
+
+        ts = datetime.datetime(2026, 3, 1, 12, 30, 45, 123456)
+        got = _clauses_from_column(
+            (F.col("t") >= ts) & (F.col("p") == decimal.Decimal("12.50"))
+        )
+        assert ("t", ">=", ts) in got
+        assert ("p", "=", decimal.Decimal("12.50")) in got
+
+    def test_timestamp_column_where_prunes(self, spark, tmp_path):
+        base = datetime.datetime(2026, 3, 1)
+        df = spark.createDataFrame(
+            [
+                (i, i // 10, base + datetime.timedelta(hours=i))
+                for i in range(40)
+            ],
+            "id int, pt int, t timestamp",
+        )
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(df, ["pt"])
+        cut = base + datetime.timedelta(hours=30)
+        c = F.col("t") >= cut
+        assert mt.prune_stats(c) == (1, 4)
+        assert mt.read(where=c).count() == 10
