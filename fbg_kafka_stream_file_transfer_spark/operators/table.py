@@ -55,7 +55,7 @@ import re
 import uuid
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -367,10 +367,17 @@ def _stats_eligible(schema: T.StructType, pcols: list[str]) -> list[str]:
     atomic, totally ordered types. Partition columns are excluded
     (constant per entry — the manifest key already prunes them);
     binary/array/map/struct are excluded (no useful ordering)."""
+    # TimestampNTZ is deliberately ABSENT: Spark compares an NTZ
+    # column against a timestamp literal by coercing through the
+    # SESSION timezone, which the driver-side bounds comparison
+    # cannot see — pruning on NTZ bounds silently dropped matching
+    # rows whenever session tz != OS tz (external review r11, pass
+    # 2, probe-confirmed). NTZ predicates still work, they just
+    # always go through the exact row filter.
     atomic = (
         T.ByteType, T.ShortType, T.IntegerType, T.LongType,
         T.FloatType, T.DoubleType, T.DecimalType, T.StringType,
-        T.BooleanType, T.DateType, T.TimestampType, T.TimestampNTZType,
+        T.BooleanType, T.DateType, T.TimestampType,
     )
     skip = set(pcols) | {f"_p_{c}" for c in pcols}
     return [
@@ -463,25 +470,66 @@ def _where_clause_may_match(stats: dict, col: str, op: str, value) -> bool:
         and nulls == rows
     ):
         return False
+    # Two places where the driver-side comparison must mimic SPARK's
+    # comparison, not Python's (external review r11 pass 2 — both
+    # probe-confirmed wrong-result bugs):
+    # 1. mixed numeric: Spark compares long-vs-double by casting the
+    #    long (or decimal) to double, LOSSILY past 2^53; Python
+    #    compares exactly. Compare in double space whenever either
+    #    side is a float, exactly as Catalyst would.
+    # 2. timestamps: the bounds came from collect() and the predicate
+    #    from the user/literal conversion — frames that can differ by
+    #    a session-vs-OS timezone offset. Widen the bounds by one day
+    #    (> the max ±14 h zone offset) before comparing: pruning
+    #    blurs by a day at partition boundaries but can never drop a
+    #    matching row, and time-partitioned predicates span ≫ 1 day.
+    import datetime as _dt
+
+    def _widen(b, delta_days):
+        if isinstance(b, _dt.datetime):
+            return b + _dt.timedelta(days=delta_days)
+        return b
+
+    def _le(a, b):
+        if isinstance(a, float) or isinstance(b, float):
+            try:
+                return float(a) <= float(b)
+            except (OverflowError, ValueError):
+                raise TypeError("unorderable")  # → keep
+        return a <= b
+
+    def _lt(a, b):
+        if isinstance(a, float) or isinstance(b, float):
+            try:
+                return float(a) < float(b)
+            except (OverflowError, ValueError):
+                raise TypeError("unorderable")
+        return a < b
+
     try:
+        lo_b = _widen(mn, -1) if mn is not None else None
+        hi_b = _widen(mx, +1) if mx is not None else None
         if op in ("=", "=="):
-            return (mn is None or mn <= value) and (
-                mx is None or value <= mx
+            return (lo_b is None or _le(lo_b, value)) and (
+                hi_b is None or _le(value, hi_b)
             )
         if op == "<":
-            return mn is None or mn < value
+            return lo_b is None or _lt(lo_b, value)
         if op == "<=":
-            return mn is None or mn <= value
+            return lo_b is None or _le(lo_b, value)
         if op == ">":
-            return mx is None or mx > value
+            return hi_b is None or _lt(value, hi_b)
         if op == ">=":
-            return mx is None or mx >= value
+            return hi_b is None or _le(value, hi_b)
         if op == "between":
             lo, hi = value
-            return (mx is None or mx >= lo) and (mn is None or mn <= hi)
+            return (hi_b is None or _le(lo, hi_b)) and (
+                lo_b is None or _le(lo_b, hi)
+            )
         if op == "in":
             return any(
-                (mn is None or mn <= v) and (mx is None or v <= mx)
+                (lo_b is None or _le(lo_b, v))
+                and (hi_b is None or _le(v, hi_b))
                 for v in value
             )
     except TypeError:
@@ -925,7 +973,7 @@ class ManifestTable:
         version: int | None = None,
         partitions: list[tuple] | None = None,
         manifest_dict: dict | None = None,
-        where: list[tuple] | None = None,
+        where: list[tuple] | Column | None = None,
     ) -> DataFrame:
         """One scan over the manifest's live directories. ``partitions``
         (value tuples) prunes at the manifest level — only the named
@@ -949,8 +997,6 @@ class ManifestTable:
         is applied verbatim). Entries without stats (pre-stats
         commits, non-stats columns) are always scanned, so the result
         is correct regardless of stats coverage."""
-        from pyspark.sql import Column
-
         m = manifest_dict if manifest_dict is not None else self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
         entries = m["entries"]
@@ -979,14 +1025,12 @@ class ManifestTable:
         return df
 
     def prune_stats(
-        self, where, version: int | None = None
+        self, where: list[tuple] | Column, version: int | None = None
     ) -> tuple[int, int]:
         """(entries that would be scanned, total live entries) for a
         ``where`` conjunction (tuple list or pyspark Column) — the
         observability hook for data skipping (and the thing tests pin
         so pruning can never silently stop working)."""
-        from pyspark.sql import Column
-
         m = self.manifest(version)
         if isinstance(where, Column):
             norm = _normalize_where(_clauses_from_column(where))

@@ -1058,10 +1058,12 @@ class TestColumnWhereExtraction:
         assert ("p", "=", decimal.Decimal("12.50")) in got
 
     def test_timestamp_column_where_prunes(self, spark, tmp_path):
+        # day-granularity spans: timestamp bounds carry a ±1 day
+        # timezone slack, so pruning bites on ranges ≫ a day
         base = datetime.datetime(2026, 3, 1)
         df = spark.createDataFrame(
             [
-                (i, i // 10, base + datetime.timedelta(hours=i))
+                (i, i // 10, base + datetime.timedelta(days=i))
                 for i in range(40)
             ],
             "id int, pt int, t timestamp",
@@ -1069,7 +1071,72 @@ class TestColumnWhereExtraction:
         path = str(tmp_path / "t")
         mt = ManifestTable(spark, path)
         mt.create(df, ["pt"])
-        cut = base + datetime.timedelta(hours=30)
+        cut = base + datetime.timedelta(days=30)
         c = F.col("t") >= cut
-        assert mt.prune_stats(c) == (1, 4)
+        # partition 2 ends at day 29; the 1-day slack keeps it
+        assert mt.prune_stats(c) == (2, 4)
         assert mt.read(where=c).count() == 10
+
+
+class TestStatsSparkComparisonSemantics:
+    """Pass-2 review: the driver-side bounds comparison must mimic
+    SPARK's comparison semantics, never Python's exact ones."""
+
+    def test_float_literal_vs_long_bounds_past_2_53(self, spark, tmp_path):
+        """Spark compares long-vs-double by casting the long lossily;
+        exact Python comparison pruned a partition whose rows the
+        exact filter matches (probe-confirmed wrong result)."""
+        big = 2**63 - 2
+        df = spark.createDataFrame([(1, 0, big)], "id int, pt int, c long")
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pt"])
+        lit = 9.223372036854776e18  # == float(2**63) == float(big)
+        assert mt.prune_stats([("c", "=", lit)]) == (1, 1)
+        assert mt.read(where=[("c", "=", lit)]).count() == 1
+        assert mt.read(where=(F.col("c") == lit)).count() == 1
+
+    def test_timestamp_bounds_widened_by_tz_slack(self, spark, tmp_path):
+        """Timestamp bounds carry a ±1 day slack (wider than any
+        session-vs-OS zone offset) so frame mismatches can never
+        drop matching rows; pruning still works past the slack."""
+        base = datetime.datetime(2026, 6, 1, 12, 0, 0)
+        df = spark.createDataFrame(
+            [(i, 0, base + datetime.timedelta(minutes=i)) for i in range(10)],
+            "id int, pt int, t timestamp",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pt"])
+        # within the slack past the max bound: kept
+        probe = base + datetime.timedelta(hours=23)
+        assert mt.prune_stats([("t", ">=", probe)]) == (1, 1)
+        # beyond the slack: pruned
+        probe2 = base + datetime.timedelta(hours=26)
+        assert mt.prune_stats([("t", ">=", probe2)]) == (0, 1)
+        # and exactness is untouched (the filter decides)
+        assert mt.read(where=[("t", ">=", probe)]).count() == 0
+
+    def test_ntz_columns_not_stats_eligible(self, spark, tmp_path):
+        """NTZ comparisons coerce through the session timezone, which
+        the driver cannot see — NTZ columns record no stats and are
+        never pruned (probe-confirmed silent row drop otherwise)."""
+        df = spark.createDataFrame(
+            [(1, 0, datetime.datetime(2026, 1, 1, 0, 0))],
+            "id int, pt int, t timestamp_ntz",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pt"])
+        assert "t" not in mt.manifest(1)["entries"][0]["stats"]["cols"]
+        old_tz = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set(
+                "spark.sql.session.timeZone", "America/Los_Angeles"
+            )
+            probe = datetime.datetime(2026, 1, 1, 4, 0)
+            c = F.col("t") >= probe
+            assert mt.prune_stats(c) == (1, 1)  # never pruned
+            assert (
+                mt.read(where=c).count()
+                == mt.read().filter(c).count()
+            )
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old_tz)
