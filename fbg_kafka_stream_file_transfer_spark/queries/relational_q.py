@@ -2875,3 +2875,81 @@ FROM ev GROUP BY 1
 """,
     doc="optimistic staged commit rebases over a disjoint locked winner: both writers' effects land at v3, no lost update",
 )
+
+
+def _q_table_column_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data skipping driven by a pyspark Column predicate (round 11):
+    same range-partitioned events table as ``table_stats_pruned_read``
+    but the predicate is written the Spark-first way —
+    ``(F.col(...) >= lo) & (F.col(...) < hi) & isin & isNotNull`` —
+    and the prunable conjuncts are extracted from the Column's
+    expression tree (Spark 4 ColumnNode walk). The in-function
+    assertion pins that extraction actually pruned (scanned < total);
+    the oracle pins exact values (the ORIGINAL Column runs as the row
+    filter, so extraction can only skip work, never change results).
+
+    Scale shape: identical to the tuple-clause path — O(matching
+    entries) metadata + scan; the extraction itself is a driver-side
+    tree walk, O(predicate size)."""
+    import math
+    import shutil
+    import tempfile
+
+    from ..operators.table import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "props"
+    )
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    k = math.ceil((max_id + 1) / 8)
+    evp = ev.withColumn(
+        "pt", F.floor(F.col("event_id") / F.lit(k)).cast("int")
+    )
+    work = tempfile.mkdtemp(prefix="table_colwhere_")
+    path = f"{work}/events_by_range"
+    try:
+        mt = ManifestTable(spark, path)
+        mt.create(evp, ["pt"])
+        lo, hi = 5 * k + 3, 7 * k - 3
+        pred = (
+            (F.col("event_id") >= lo)
+            & (F.col("event_id") < hi)
+            & F.col("event_type").isin("view", "click")
+            & F.col("props").isNotNull()
+        )
+        scanned, total = mt.prune_stats(pred)
+        assert scanned < total, (scanned, total)
+        rows = (
+            mt.read(where=pred)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+            )
+            .withColumn("entries_scanned", F.lit(scanned).cast("int"))
+            .collect()  # materialize before the temp table is removed
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, id_checksum bigint,"
+            " entries_scanned int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_column_where_read"] = Q(
+    _q_table_column_where_read,
+    """
+WITH k AS (SELECT CAST(ceil((MAX(event_id) + 1) / 8.0) AS BIGINT) AS k
+           FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_checksum,
+       CAST(2 AS INT) AS entries_scanned
+FROM events, k
+WHERE event_id >= 5 * k.k + 3 AND event_id < 7 * k.k - 3
+  AND event_type IN ('view', 'click') AND props IS NOT NULL
+GROUP BY 1
+""",
+    doc="Column-predicate data skipping: conjuncts extracted from the ColumnNode tree prune 6 of 8 range partitions, values equal the plain filtered aggregate",
+)

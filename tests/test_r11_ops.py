@@ -1140,3 +1140,73 @@ class TestStatsSparkComparisonSemantics:
             )
         finally:
             spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+_CHILD_OPTIMISTIC_MERGE = """
+import sys
+sys.path.insert(0, {repo!r})
+from fbg_kafka_stream_file_transfer_spark import get_spark
+from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+    merge_into_partitioned,
+)
+path = sys.argv[1]
+spark = get_spark("child-optimistic", cpus=2)
+upd = spark.createDataFrame(
+    [(2, "b", "CHILD", "U")], "id int, pt string, v string, op string"
+)
+n = merge_into_partitioned(
+    spark, path, upd, ["id"], ["pt"], op_col="op",
+    retain_versions=10, optimistic=True,
+)
+print("CHILD_DONE", n, flush=True)
+spark.stop()
+"""
+
+
+class TestCrossProcessOptimistic:
+    """The optimistic rebase across REAL OS processes, each with its
+    own SparkSession/JVM: the parent stages against v1, a child
+    process commits a disjoint optimistic merge (v2), and the
+    parent's publish rebases over it — the two-independent-pipelines
+    shape the feature exists for."""
+
+    def test_parent_rebases_over_child_process_commit(
+        self, spark, tmp_path
+    ):
+        import subprocess
+        import sys as _sys
+
+        repo = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, "a", "x1"), (2, "b", "x2"), (3, "c", "x3"),
+             (4, "d", "x4")],
+            "id int, pt string, v string",
+        )
+        mt = ManifestTable(spark, path)
+        mt.create(df, ["pt"])
+        # parent stages a rewrite of partition 'c' against v1
+        rewritten = mt.read(partitions=[("c",)]).withColumn(
+            "v", F.lit("PARENT")
+        )
+        staged = mt.stage_commit(rewritten, [("c",)], base_version=1)
+        # child process (own JVM) lands a disjoint optimistic merge
+        out = subprocess.run(
+            [_sys.executable, "-c",
+             _CHILD_OPTIMISTIC_MERGE.format(repo=repo), path],
+            capture_output=True, timeout=300,
+            env={**os.environ, "SPARK_GRAFT_DRIVER_MEM": "2g"},
+        )
+        assert b"CHILD_DONE 1" in out.stdout, (
+            out.stdout.decode()[-1000:] + out.stderr.decode()[-1000:]
+        )
+        assert mt.current_version() == 2
+        # parent's publish detects the move and rebases to v3
+        v = mt.commit_staged(staged, retain_versions=10)
+        assert v == 3
+        got = sorted((r.id, r.v) for r in mt.read().collect())
+        assert got == [
+            (1, "x1"), (2, "CHILD"), (3, "PARENT"), (4, "x4"),
+        ]
