@@ -278,22 +278,37 @@ def read_table(
     path: str,
     version: int | None = None,
     partitions: list[tuple] | None = None,
+    where=None,
+    as_of=None,
 ) -> DataFrame:
     """Read a table regardless of layout: manifest-committed tables
     resolve the pointer and read exactly the manifest's files (a
     consistent snapshot — old-or-new, never mid-commit); plain
     Hive-partitioned tables fall back to ``spark.read.parquet``.
-    ``version``/``partitions`` only apply to manifest tables."""
+    ``version``/``partitions``/``as_of`` only apply to manifest
+    tables. ``where`` (tuple clauses or a pyspark Column — see
+    :meth:`ManifestTable.read`) stats-prunes manifest tables and
+    degrades to a plain pushed-down filter on Hive layouts, so
+    callers can pass it unconditionally."""
     if is_manifest_table(spark, path):
         return ManifestTable(spark, path).read(
-            version=version, partitions=partitions
+            version=version,
+            partitions=partitions,
+            where=where,
+            as_of=as_of,
         )
-    if version is not None or partitions is not None:
+    if version is not None or partitions is not None or as_of is not None:
         raise ValueError(
             f"{path} is a plain table: time travel / manifest-level "
             "partition selection need a manifest-committed table"
         )
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    if where is not None:
+        df = df.filter(
+            where if isinstance(where, Column)
+            else _where_to_filter(_normalize_where(where))
+        )
+    return df
 
 
 def _encode_value(v) -> list:
@@ -863,6 +878,33 @@ class ManifestTable:
             )
         return out
 
+    def version_at(self, ts) -> int:
+        """The ``TIMESTAMP AS OF`` resolver: newest RETAINED version
+        whose ``committed_utc`` is <= ``ts`` (a datetime; naive is
+        taken as UTC, matching how commits stamp themselves). Raises
+        when every retained commit is newer — the asked-for state has
+        been GC'd (or never existed), and silently returning the
+        oldest surviving version would misrepresent history. Cost:
+        O(retain window) small-file reads via :meth:`history`."""
+        import datetime
+
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        best = None
+        for h in self.history():
+            c = h.get("committed_utc")
+            if c is None:
+                continue  # pre-r10 manifest: no timestamp recorded
+            if datetime.datetime.fromisoformat(c) <= ts:
+                best = h["version"]
+        if best is None:
+            raise ValueError(
+                f"no retained version of {self.path} is as old as "
+                f"{ts.isoformat()} (available: {self.versions()}); the "
+                "asked-for state is outside the retain window"
+            )
+        return best
+
     def current_version(self) -> int | None:
         """Pointer read, with highest-manifest fallback covering the
         pointer-swap crash window (delete happened, rename did not:
@@ -974,6 +1016,7 @@ class ManifestTable:
         partitions: list[tuple] | None = None,
         manifest_dict: dict | None = None,
         where: list[tuple] | Column | None = None,
+        as_of=None,
     ) -> DataFrame:
         """One scan over the manifest's live directories. ``partitions``
         (value tuples) prunes at the manifest level — only the named
@@ -996,7 +1039,16 @@ class ManifestTable:
         a row filter Catalyst pushes into the parquet scan (a Column
         is applied verbatim). Entries without stats (pre-stats
         commits, non-stats columns) are always scanned, so the result
-        is correct regardless of stats coverage."""
+        is correct regardless of stats coverage.
+
+        ``as_of`` (a datetime) is the ``TIMESTAMP AS OF`` spelling of
+        time travel — resolved to the newest retained version
+        committed at or before it (:meth:`version_at`); mutually
+        exclusive with ``version``."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of, not both")
+            version = self.version_at(as_of)
         m = manifest_dict if manifest_dict is not None else self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
         entries = m["entries"]

@@ -1210,3 +1210,86 @@ class TestCrossProcessOptimistic:
         assert got == [
             (1, "x1"), (2, "CHILD"), (3, "PARENT"), (4, "x4"),
         ]
+
+
+class TestTimestampAsOf:
+    """version_at / read(as_of=...): TIMESTAMP AS OF time travel
+    resolved from the commit log's committed_utc stamps."""
+
+    def test_as_of_resolves_between_commits(self, spark, tmp_path):
+        import time as _time
+
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(
+            spark.createDataFrame(
+                [(1, "a", "x1")], "id int, pt string, v string"
+            ),
+            ["pt"],
+        )
+        t_after_v1 = datetime.datetime.now(datetime.timezone.utc)
+        _time.sleep(0.05)
+        merge_into_partitioned(
+            spark, path,
+            spark.createDataFrame(
+                [(1, "a", "X1", "U")],
+                "id int, pt string, v string, op string",
+            ),
+            ["id"], ["pt"], op_col="op", retain_versions=10,
+        )
+        assert mt.version_at(t_after_v1) == 1
+        now = datetime.datetime.now(datetime.timezone.utc)
+        assert mt.version_at(now) == 2
+        assert [
+            r.v for r in mt.read(as_of=t_after_v1).collect()
+        ] == ["x1"]
+        assert [r.v for r in mt.read(as_of=now).collect()] == ["X1"]
+        # naive datetimes are taken as UTC
+        assert mt.version_at(t_after_v1.replace(tzinfo=None)) == 1
+        with pytest.raises(ValueError, match="not both"):
+            mt.read(version=1, as_of=now)
+
+    def test_as_of_before_retention_raises(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        mt.create(
+            spark.createDataFrame(
+                [(1, "a", "x1")], "id int, pt string, v string"
+            ),
+            ["pt"],
+        )
+        ancient = datetime.datetime(
+            2000, 1, 1, tzinfo=datetime.timezone.utc
+        )
+        with pytest.raises(ValueError, match="retain window"):
+            mt.version_at(ancient)
+
+    def test_read_table_passthrough(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            read_table,
+        )
+
+        path = str(tmp_path / "t")
+        ManifestTable(spark, path).create(
+            spark.createDataFrame(
+                [(i, "a", f"x{i}") for i in range(6)],
+                "id int, pt string, v string",
+            ),
+            ["pt"],
+        )
+        assert read_table(
+            spark, path, where=(F.col("id") < 3)
+        ).count() == 3
+        # plain layout: where degrades to a pushed-down filter
+        plain = str(tmp_path / "plain")
+        spark.createDataFrame(
+            [(i, f"x{i}") for i in range(6)], "id int, v string"
+        ).write.parquet(plain)
+        assert read_table(
+            spark, plain, where=[("id", "<", 3)]
+        ).count() == 3
+        with pytest.raises(ValueError, match="plain table"):
+            read_table(
+                spark, plain,
+                as_of=datetime.datetime.now(datetime.timezone.utc),
+            )
