@@ -163,13 +163,7 @@ def table_write_lock(
 
     import time as _time
 
-    deadline = _time.monotonic() + max(0.0, wait_seconds)
-    while True:
-        acquired = _try_acquire()
-        if acquired or _time.monotonic() >= deadline:
-            break
-        _time.sleep(poll_seconds)
-    if not acquired and stale_after_seconds is not None:
+    def _try_stale_break() -> bool:
         # stale-break with two race guards (r9 review):
         # 1. only a FileNotFound during the stat means "retry create";
         #    any OTHER stat error (S3A throttle, transient IO) must NOT
@@ -187,6 +181,7 @@ def table_write_lock(
         vanished = False
         age_s = None
         stale_body = None
+        got = False
         try:
             stale_body = _read_small_file(spark, lock_path)
             age_s = (
@@ -205,13 +200,13 @@ def table_write_lock(
                     if _try_acquire():
                         try:
                             body_now = _read_small_file(spark, lock_path)
-                            acquired = (
+                            got = (
                                 body_now is not None
                                 and json.loads(body_now).get("token") == token
                             )
                         except Exception:  # noqa: BLE001
-                            acquired = False
-                        if not acquired:
+                            got = False
+                        if not got:
                             # verification failed AFTER our create may
                             # have landed: clean up our own lock or it
                             # strands every writer for another TTL
@@ -219,6 +214,21 @@ def table_write_lock(
                             _delete_lock_if_token(spark, fs, lock_path, jlock, token)
             except Exception:  # noqa: BLE001 — fall through to loud fail
                 pass
+        return got
+
+    # acquisition loop: a fresh create attempt each poll, with the
+    # stale-break attempted INSIDE the loop (r11) — a dead writer's
+    # leftover lease is broken as soon as its TTL allows instead of
+    # only after the whole wait window has been burned waiting on a
+    # lock that will never release
+    deadline = _time.monotonic() + max(0.0, wait_seconds)
+    while True:
+        acquired = _try_acquire()
+        if not acquired and stale_after_seconds is not None:
+            acquired = _try_stale_break()
+        if acquired or _time.monotonic() >= deadline:
+            break
+        _time.sleep(poll_seconds)
     if not acquired:
         held_by = _read_small_file(spark, lock_path) or "<unreadable>"
         raise ConcurrentWriterError(

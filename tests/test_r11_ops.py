@@ -1293,3 +1293,33 @@ class TestTimestampAsOf:
                 spark, plain,
                 as_of=datetime.datetime.now(datetime.timezone.utc),
             )
+
+
+class TestStaleBreakInsideWaitLoop:
+    """r11: the stale-break runs inside the wait loop — a dead
+    writer's leftover lease is broken as soon as its TTL allows, not
+    after the whole wait window burns on a lock that never frees."""
+
+    def test_dead_lock_broken_well_before_deadline(self, spark, tmp_path):
+        import time
+
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            table_write_lock,
+        )
+
+        path = str(tmp_path / "t")
+        os.makedirs(path)
+        _write_small_file(
+            spark, f"{path}/_lock",
+            json.dumps({"holder": "dead", "token": "t0"}),
+        )
+        old = time.time() - 600
+        os.utime(f"{path}/_lock", (old, old))
+        t0 = time.monotonic()
+        with table_write_lock(
+            spark, path, holder="w",
+            wait_seconds=60.0, stale_after_seconds=30.0,
+        ):
+            elapsed = time.monotonic() - t0
+        # broken on the FIRST poll, nowhere near the 60 s window
+        assert elapsed < 10.0, elapsed
