@@ -1323,3 +1323,133 @@ class TestStaleBreakInsideWaitLoop:
             elapsed = time.monotonic() - t0
         # broken on the FIRST poll, nowhere near the 60 s window
         assert elapsed < 10.0, elapsed
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_fuzz_table = {}
+
+
+def _fuzz_mt(spark, tmp_path_factory):
+    """One shared stats table for the soundness fuzz (per-example
+    table creation would dwarf the property being tested). Values
+    deliberately include negatives, huge ints, NaN/±inf, NULLs, and
+    unicode strings."""
+    if "mt" not in _fuzz_table:
+        root = tmp_path_factory.mktemp("stats_fuzz")
+        rows = [
+            (0, 0, -(2**62), float("nan"), None),
+            (1, 0, -1, float("-inf"), ""),
+            (2, 0, 0, -0.0, "a"),
+            (3, 1, 7, 1.5, "Z" * 100),
+            (4, 1, 2**53 + 1, float("inf"), "héllo"),
+            (5, 2, 2**63 - 2, 9.9e17, "é中"),
+            (6, 2, None, None, None),
+        ]
+        df = spark.createDataFrame(
+            rows, "id int, pt int, i long, f double, s string"
+        )
+        mt = ManifestTable(spark, str(root / "t"))
+        mt.create(df, ["pt"])
+        _fuzz_table["mt"] = mt
+    return _fuzz_table["mt"]
+
+
+_val_by_col = {
+    # long range only: F.lit raises NumberFormatException beyond it
+    # on BOTH the pruned and plain paths (same loud error, verified)
+    "i": st.one_of(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.sampled_from([-(2**62), -1, 0, 7, 2**53 + 1, 2**63 - 2]),
+    ),
+    "f": st.one_of(
+        st.floats(allow_nan=True, allow_infinity=True),
+        st.sampled_from([-0.0, 1.5, 9.9e17, 9.223372036854776e18]),
+    ),
+    "s": st.one_of(
+        st.text(max_size=120),
+        st.sampled_from(["", "a", "Z" * 100, "héllo", "中"]),
+    ),
+}
+
+
+@st.composite
+def _clause(draw):
+    col = draw(st.sampled_from(["i", "f", "s"]))
+    op = draw(st.sampled_from(
+        ["=", "<", "<=", ">", ">=", "between", "in",
+         "is_null", "not_null"]
+    ))
+    if op in ("is_null", "not_null"):
+        return (col, op)
+    if op == "between":
+        return (col, op, (draw(_val_by_col[col]), draw(_val_by_col[col])))
+    if op == "in":
+        return (col, op, draw(
+            st.lists(_val_by_col[col], min_size=1, max_size=3)
+        ))
+    return (col, op, draw(_val_by_col[col]))
+
+
+class TestStatsPruningSoundnessFuzz:
+    """Property: for ANY where-conjunction, the stats-pruned read
+    returns exactly the rows the equivalent plain filter returns —
+    pruning may only skip work, never change results (the invariant
+    both pass-1 and pass-2 review bugs violated)."""
+
+    @given(where=st.lists(_clause(), min_size=1, max_size=3))
+    @settings(
+        max_examples=25, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    def test_pruned_read_equals_plain_filter(
+        self, spark, tmp_path_factory, where
+    ):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _normalize_where,
+            _where_to_filter,
+        )
+
+        mt = _fuzz_mt(spark, tmp_path_factory)
+        norm = _normalize_where(where)
+        got = sorted(
+            r.id for r in mt.read(where=where).select("id").collect()
+        )
+        want = sorted(
+            r.id
+            for r in mt.read()
+            .filter(_where_to_filter(norm))
+            .select("id")
+            .collect()
+        )
+        assert got == want, (where, got, want)
+
+    @given(where=st.lists(_clause(), min_size=1, max_size=3))
+    @settings(
+        max_examples=15, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    def test_column_spelling_equals_tuple_spelling(
+        self, spark, tmp_path_factory, where
+    ):
+        """The SAME conjunction spelled as a pyspark Column (built by
+        _where_to_filter itself) must return identical rows through
+        the extraction path — every op round-trips through the
+        ColumnNode walk or degrades to no-pruning, never to a
+        different result."""
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _normalize_where,
+            _where_to_filter,
+        )
+
+        mt = _fuzz_mt(spark, tmp_path_factory)
+        norm = _normalize_where(where)
+        col = _where_to_filter(norm)
+        got = sorted(
+            r.id for r in mt.read(where=col).select("id").collect()
+        )
+        want = sorted(
+            r.id for r in mt.read(where=where).select("id").collect()
+        )
+        assert got == want, (where, got, want)
