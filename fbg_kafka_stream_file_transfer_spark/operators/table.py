@@ -228,7 +228,10 @@ def table_write_lock(
             acquired = _try_stale_break()
         if acquired or _time.monotonic() >= deadline:
             break
-        _time.sleep(poll_seconds)
+        # floor the sleep: poll_seconds=0 (or negative) with a wait
+        # window would otherwise busy-spin create() RPCs against the
+        # filesystem for the whole window (external review r12)
+        _time.sleep(max(0.05, poll_seconds))
     if not acquired:
         held_by = _read_small_file(spark, lock_path) or "<unreadable>"
         raise ConcurrentWriterError(
@@ -504,36 +507,50 @@ def _where_clause_may_match(stats: dict, col: str, op: str, value) -> bool:
     #    side is a float, exactly as Catalyst would.
     # 2. timestamps: the bounds came from collect() and the predicate
     #    from the user/literal conversion — frames that can differ by
-    #    a session-vs-OS timezone offset. Widen the bounds by one day
-    #    (> the max ±14 h zone offset) before comparing: pruning
-    #    blurs by a day at partition boundaries but can never drop a
-    #    matching row, and time-partitioned predicates span ≫ 1 day.
+    #    the GAP between two zone offsets, up to 26 h (UTC+14 session
+    #    vs UTC−12 OS). Widen the bounds by TWO days (> 26 h) before
+    #    comparing: pruning blurs by two days at partition boundaries
+    #    but can never drop a matching row, and time-partitioned
+    #    predicates span ≫ 2 days (external review r12).
     import datetime as _dt
+    import decimal as _decimal
 
     def _widen(b, delta_days):
         if isinstance(b, _dt.datetime):
             return b + _dt.timedelta(days=delta_days)
         return b
 
+    # double-space coercion applies ONLY when both operands are
+    # numeric: float('9') succeeds, so a float predicate against a
+    # STRING stats column would compare lexicographic string bounds
+    # numerically and prune entries whose rows match through Spark's
+    # string→double cast in the residual filter (external review r12,
+    # probe-confirmed: entry {"9","10"} has mx="9", pruned for
+    # ('s','>',9.5) yet "10" matches). Non-numeric operand → TypeError
+    # → the caller keeps the entry and the exact row filter decides.
+    _NUMERIC = (int, float, _decimal.Decimal)  # bool is an int
+
+    def _as_double(a, b):
+        if not (isinstance(a, _NUMERIC) and isinstance(b, _NUMERIC)):
+            raise TypeError("unorderable")  # → keep
+        try:
+            return float(a), float(b)
+        except (OverflowError, ValueError):
+            raise TypeError("unorderable")
+
     def _le(a, b):
         if isinstance(a, float) or isinstance(b, float):
-            try:
-                return float(a) <= float(b)
-            except (OverflowError, ValueError):
-                raise TypeError("unorderable")  # → keep
+            a, b = _as_double(a, b)
         return a <= b
 
     def _lt(a, b):
         if isinstance(a, float) or isinstance(b, float):
-            try:
-                return float(a) < float(b)
-            except (OverflowError, ValueError):
-                raise TypeError("unorderable")
+            a, b = _as_double(a, b)
         return a < b
 
     try:
-        lo_b = _widen(mn, -1) if mn is not None else None
-        hi_b = _widen(mx, +1) if mx is not None else None
+        lo_b = _widen(mn, -2) if mn is not None else None
+        hi_b = _widen(mx, +2) if mx is not None else None
         if op in ("=", "=="):
             return (lo_b is None or _le(lo_b, value)) and (
                 hi_b is None or _le(value, hi_b)

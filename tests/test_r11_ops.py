@@ -1058,8 +1058,8 @@ class TestColumnWhereExtraction:
         assert ("p", "=", decimal.Decimal("12.50")) in got
 
     def test_timestamp_column_where_prunes(self, spark, tmp_path):
-        # day-granularity spans: timestamp bounds carry a ±1 day
-        # timezone slack, so pruning bites on ranges ≫ a day
+        # day-granularity spans: timestamp bounds carry a ±2 day
+        # timezone slack, so pruning bites on ranges ≫ two days
         base = datetime.datetime(2026, 3, 1)
         df = spark.createDataFrame(
             [
@@ -1073,7 +1073,7 @@ class TestColumnWhereExtraction:
         mt.create(df, ["pt"])
         cut = base + datetime.timedelta(days=30)
         c = F.col("t") >= cut
-        # partition 2 ends at day 29; the 1-day slack keeps it
+        # partition 2 ends at day 29; the 2-day slack keeps it
         assert mt.prune_stats(c) == (2, 4)
         assert mt.read(where=c).count() == 10
 
@@ -1096,9 +1096,10 @@ class TestStatsSparkComparisonSemantics:
         assert mt.read(where=(F.col("c") == lit)).count() == 1
 
     def test_timestamp_bounds_widened_by_tz_slack(self, spark, tmp_path):
-        """Timestamp bounds carry a ±1 day slack (wider than any
-        session-vs-OS zone offset) so frame mismatches can never
-        drop matching rows; pruning still works past the slack."""
+        """Timestamp bounds carry a ±2 day slack (wider than the 26 h
+        gap between the extreme zone offsets, UTC+14 session vs
+        UTC−12 OS — external review r12) so frame mismatches can
+        never drop matching rows; pruning still works past it."""
         base = datetime.datetime(2026, 6, 1, 12, 0, 0)
         df = spark.createDataFrame(
             [(i, 0, base + datetime.timedelta(minutes=i)) for i in range(10)],
@@ -1106,11 +1107,12 @@ class TestStatsSparkComparisonSemantics:
         )
         mt = ManifestTable(spark, str(tmp_path / "t"))
         mt.create(df, ["pt"])
-        # within the slack past the max bound: kept
-        probe = base + datetime.timedelta(hours=23)
+        # within the slack past the max bound (26 h — the worst real
+        # conversion-frame gap): kept
+        probe = base + datetime.timedelta(hours=26)
         assert mt.prune_stats([("t", ">=", probe)]) == (1, 1)
         # beyond the slack: pruned
-        probe2 = base + datetime.timedelta(hours=26)
+        probe2 = base + datetime.timedelta(hours=50)
         assert mt.prune_stats([("t", ">=", probe2)]) == (0, 1)
         # and exactness is untouched (the filter decides)
         assert mt.read(where=[("t", ">=", probe)]).count() == 0
@@ -1377,6 +1379,13 @@ _val_by_col = {
 @st.composite
 def _clause(draw):
     col = draw(st.sampled_from(["i", "f", "s"]))
+    # CROSS-TYPE values too (external review r12): the float-vs-string
+    # hole survived the original fuzz precisely because values were
+    # always drawn same-typed as the column. ANSI is off, so the
+    # residual filter's implicit casts NULL out rather than raise —
+    # both paths stay comparable.
+    vcol = draw(st.sampled_from([col, col, "i", "f", "s"]))
+    vals = _val_by_col[vcol]
     op = draw(st.sampled_from(
         ["=", "<", "<=", ">", ">=", "between", "in",
          "is_null", "not_null"]
@@ -1384,12 +1393,12 @@ def _clause(draw):
     if op in ("is_null", "not_null"):
         return (col, op)
     if op == "between":
-        return (col, op, (draw(_val_by_col[col]), draw(_val_by_col[col])))
+        return (col, op, (draw(vals), draw(vals)))
     if op == "in":
         return (col, op, draw(
-            st.lists(_val_by_col[col], min_size=1, max_size=3)
+            st.lists(vals, min_size=1, max_size=3)
         ))
-    return (col, op, draw(_val_by_col[col]))
+    return (col, op, draw(vals))
 
 
 class TestStatsPruningSoundnessFuzz:
