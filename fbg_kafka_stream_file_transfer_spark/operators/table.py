@@ -754,14 +754,69 @@ def _normalize_where(where: list[tuple]) -> list[tuple]:
     return out
 
 
-def _entry_may_match(entry: dict, where: list[tuple]) -> bool:
+def _virtual_pcol_stats(
+    entry: dict, pcols: list[str], skip: frozenset
+) -> dict | None:
+    """Synthesize a stats dict for the entry's PARTITION columns from
+    its exact key values (min == max == the value), so a ``where``
+    clause naming a partition column prunes through the same
+    comparison machinery as data-column stats — with every Spark-
+    coercion rule (double-space mixed numerics, ±2 day timestamp
+    slack, cross-type → keep) applied for free. Before r12, the
+    natural user spelling ``read(where=[("pt", "=", 3)])`` answered
+    correctly (the residual filter) but silently FULL-SCANNED:
+    stats deliberately exclude partition columns and nothing
+    consulted ``entry["values"]`` (r11 verdict item 2).
+
+    ``skip`` carries NTZ-typed partition columns: an NTZ comparison
+    coerces through the session timezone the driver cannot see —
+    same exclusion (and same probe-confirmed bug class) as
+    ``_stats_eligible``. NaN float values get no bounds (Spark
+    orders NaN above everything; a NaN bound would wrongly prune
+    ``pt > x``), mirroring ``_encode_bound``."""
+    vals = entry.get("values")
+    if vals is None or len(vals) != len(pcols):
+        return None  # pre-values manifest shape: cannot prune
+    cols = {}
+    for c, pair in zip(pcols, vals):
+        if c in skip:
+            continue
+        pv = _decode_value(pair)
+        cs: dict = {"nulls": 1 if pv is None else 0}
+        if pv is not None:
+            mn = _encode_bound(pv, upper=False)
+            mx = _encode_bound(pv, upper=True)
+            if mn is not None:
+                cs["mn"] = mn
+            if mx is not None:
+                cs["mx"] = mx
+        cols[c] = cs
+    return {"rows": 1, "cols": cols}
+
+
+def _entry_may_match(
+    entry: dict,
+    where: list[tuple],
+    pcols: list[str] | None = None,
+    pcol_skip: frozenset = frozenset(),
+) -> bool:
     stats = entry.get("stats")
-    if stats is None:
-        return True  # pre-stats entry: cannot prune
-    return all(
-        _where_clause_may_match(stats, col, op, value)
-        for col, op, value in where
+    virt = (
+        _virtual_pcol_stats(entry, pcols, pcol_skip) if pcols else None
     )
+    for col, op, value in where:
+        if virt is not None and col in virt["cols"]:
+            # partition column: evaluate against the entry's exact
+            # key value (a clause the key can answer must not fall
+            # through to stats — stats never cover pcols)
+            if not _where_clause_may_match(virt, col, op, value):
+                return False
+            continue
+        if stats is not None and not _where_clause_may_match(
+            stats, col, op, value
+        ):
+            return False
+    return True
 
 
 def _where_to_filter(where: list[tuple]):
@@ -1089,7 +1144,12 @@ class ManifestTable:
         else:
             norm = _normalize_where(where) if where else None
         if norm:
-            entries = [e for e in entries if _entry_may_match(e, norm)]
+            pcols, skip = self._pcols_for_pruning(m, schema)
+            entries = [
+                e
+                for e in entries
+                if _entry_may_match(e, norm, pcols, skip)
+            ]
         # sorted-set: entries map 1:1 to dirs by construction, but a
         # duplicate path must never be scanned twice
         dirs = sorted({f"{self.path}/{e['dir']}" for e in entries})
@@ -1103,6 +1163,23 @@ class ManifestTable:
             df = df.filter(_where_to_filter(norm))
         return df
 
+    @staticmethod
+    def _pcols_for_pruning(
+        m: dict, schema: T.StructType
+    ) -> tuple[list[str], frozenset]:
+        """(partition columns, the NTZ-typed subset to skip) for
+        entry-value pruning — NTZ comparisons coerce through the
+        session timezone the driver cannot see (same exclusion as
+        ``_stats_eligible``)."""
+        pcols = list(m.get("partition_cols") or [])
+        types = {f.name: f.dataType for f in schema.fields}
+        skip = frozenset(
+            c
+            for c in pcols
+            if isinstance(types.get(c), T.TimestampNTZType)
+        )
+        return pcols, skip
+
     def prune_stats(
         self, where: list[tuple] | Column, version: int | None = None
     ) -> tuple[int, int]:
@@ -1115,8 +1192,13 @@ class ManifestTable:
             norm = _normalize_where(_clauses_from_column(where))
         else:
             norm = _normalize_where(where)
+        pcols, skip = self._pcols_for_pruning(
+            m, T.StructType.fromJson(m["schema"])
+        )
         kept = sum(
-            1 for e in m["entries"] if _entry_may_match(e, norm)
+            1
+            for e in m["entries"]
+            if _entry_may_match(e, norm, pcols, skip)
         )
         return kept, len(m["entries"])
 

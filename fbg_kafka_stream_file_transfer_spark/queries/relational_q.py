@@ -2953,3 +2953,83 @@ GROUP BY 1
 """,
     doc="Column-predicate data skipping: conjuncts extracted from the ColumnNode tree prune 6 of 8 range partitions, values equal the plain filtered aggregate",
 )
+
+def _q_table_partition_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-column predicates prune from the entry KEY values
+    (round 12): events persisted as a manifest table partitioned by
+    ``event_type``; the natural user spelling
+    ``read(where=F.col("event_type").isin(...) & ...)`` — naming the
+    PARTITION column, not a stats column — must skip the other
+    partitions' entries before any file is listed. Before r12 this
+    answered correctly but silently full-scanned: stats deliberately
+    exclude partition columns and nothing consulted the entry's key
+    values (r11 verdict item 2). The clause is evaluated against the
+    entry's exact value (min == max == the key) through the same
+    Spark-coercion-faithful comparison machinery as data-column
+    stats. The in-function assertion pins the pruning; the oracle
+    pins exact row values AND the pruned-entry count in the hash.
+
+    Scale shape: O(live entries) driver-side key comparisons — the
+    same cost class as the manifest read itself; at 10⁵ partitions a
+    one-partition predicate lists one directory, not 10⁵."""
+    import shutil
+    import tempfile
+
+    from ..operators.table import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "props"
+    )
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    lo = (max_id + 1) // 2
+    work = tempfile.mkdtemp(prefix="table_pwhere_")
+    path = f"{work}/events_by_type"
+    try:
+        mt = ManifestTable(spark, path)
+        mt.create(ev, ["event_type"])
+        pred = F.col("event_type").isin("click", "view") & (
+            F.col("event_id") >= lo
+        )
+        scanned, total = mt.prune_stats(pred)
+        # the pcol clause alone decides: every partition spans the
+        # full event_id range, so only key pruning can cut entries —
+        # a regression to full scan fails loudly here
+        assert (scanned, total) == (2, 5), (scanned, total)
+        # the tuple spelling must prune identically
+        assert mt.prune_stats(
+            [("event_type", "in", ["click", "view"]), ("event_id", ">=", lo)]
+        ) == (2, 5)
+        rows = (
+            mt.read(where=pred)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+                F.sum(F.length("props")).cast("bigint").alias("props_len"),
+            )
+            .withColumn("entries_scanned", F.lit(scanned).cast("int"))
+            .collect()  # materialize before the temp table is removed
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, id_checksum bigint,"
+            " props_len bigint, entries_scanned int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_partition_where_read"] = Q(
+    _q_table_partition_where_read,
+    """
+WITH lo AS (SELECT (MAX(event_id) + 1) // 2 AS lo FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_checksum,
+       CAST(sum(length(props)) AS BIGINT) AS props_len,
+       CAST(2 AS INT) AS entries_scanned
+FROM events, lo
+WHERE event_type IN ('click', 'view') AND event_id >= lo.lo
+GROUP BY 1
+""",
+    doc="partition-column where-clause pruning: entry key values skip 3 of 5 partitions for the natural read(where=F.col('event_type').isin(...)) spelling",
+)

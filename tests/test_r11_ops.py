@@ -1376,9 +1376,17 @@ _val_by_col = {
 }
 
 
+_val_by_col["pt"] = st.one_of(
+    st.integers(min_value=-5, max_value=5),
+    st.sampled_from([0, 1, 2]),
+)
+
+
 @st.composite
 def _clause(draw):
-    col = draw(st.sampled_from(["i", "f", "s"]))
+    # "pt" is the PARTITION column: r12 prunes on it via the entry's
+    # exact key values — same soundness property must hold
+    col = draw(st.sampled_from(["i", "f", "s", "pt"]))
     # CROSS-TYPE values too (external review r12): the float-vs-string
     # hole survived the original fuzz precisely because values were
     # always drawn same-typed as the column. ANSI is off, so the

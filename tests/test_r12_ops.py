@@ -108,3 +108,120 @@ class TestPollSecondsClamp:
                 pass
         assert slept, "wait window must actually poll"
         assert all(s >= 0.05 for s in slept), slept
+
+
+class TestPartitionColumnWherePruning:
+    """r12 verdict item 2: where-clauses naming PARTITION columns
+    prune from the entry's exact key values — before this, the
+    natural ``read(where=[("pt", "=", 3)])`` answered correctly but
+    silently full-scanned."""
+
+    @pytest.fixture()
+    def mt(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, i % 4, float(i)) for i in range(40)],
+            "id int, pt int, v double",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pt"])
+        return mt
+
+    def test_where_on_pcol_equals_partitions(self, mt):
+        a = sorted(r.id for r in mt.read(where=[("pt", "=", 3)]).collect())
+        b = sorted(r.id for r in mt.read(partitions=[(3,)]).collect())
+        assert a == b and len(a) == 10
+
+    def test_tuple_and_column_spellings_prune(self, mt):
+        assert mt.prune_stats([("pt", "=", 3)]) == (1, 4)
+        assert mt.prune_stats(F.col("pt") == 3) == (1, 4)
+        assert mt.prune_stats([("pt", ">=", 2)]) == (2, 4)
+        assert mt.prune_stats([("pt", "in", [0, 9])]) == (1, 4)
+        assert mt.prune_stats([("pt", "between", (1, 2))]) == (2, 4)
+        assert mt.prune_stats([("pt", "is_null")]) == (0, 4)
+        assert mt.prune_stats([("pt", "not_null")]) == (4, 4)
+
+    def test_mixed_pcol_and_stats_clauses(self, mt):
+        # pt=1 keeps one entry; v > 100 excludes it via stats
+        assert mt.prune_stats([("pt", "=", 1), ("v", ">", 100.0)]) == (0, 4)
+        assert mt.read(
+            where=[("pt", "=", 1), ("v", ">", 100.0)]
+        ).count() == 0
+
+    def test_float_predicate_on_int_pcol_prunes_exactly(self, mt):
+        # both numeric → double-space comparison, pruning allowed
+        assert mt.prune_stats([("pt", "=", 3.0)]) == (1, 4)
+        assert mt.read(where=[("pt", "=", 3.0)]).count() == 10
+
+    def test_float_predicate_on_string_pcol_kept(self, spark, tmp_path):
+        # the r12 cross-type rule applies to key values too: "9"/"10"
+        # sort lexicographically but Spark's residual casts to double
+        df = spark.createDataFrame(
+            [(1, "9"), (2, "10")], "id int, ps string"
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["ps"])
+        assert mt.prune_stats([("ps", ">", 9.5)]) == (2, 2)
+        assert [r.ps for r in mt.read(where=[("ps", ">", 9.5)]).collect()] == ["10"]
+        # same-type string predicate prunes exactly
+        assert mt.prune_stats([("ps", "=", "9")]) == (1, 2)
+
+    def test_null_partition_value(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None)], "id int, ps string"
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["ps"])
+        assert mt.prune_stats([("ps", "is_null")]) == (1, 2)
+        assert mt.prune_stats([("ps", "not_null")]) == (1, 2)
+        assert mt.prune_stats([("ps", "=", "a")]) == (1, 2)
+        assert mt.read(where=[("ps", "is_null")]).count() == 1
+        assert mt.read(where=[("ps", "=", "a")]).count() == 1
+
+    def test_date_pcol_prunes_exactly(self, spark, tmp_path):
+        d0 = datetime.date(2026, 1, 1)
+        df = spark.createDataFrame(
+            [(i, d0 + datetime.timedelta(days=i % 3)) for i in range(9)],
+            "id int, pd date",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pd"])
+        # dates carry no conversion-frame slack: exact pruning
+        assert mt.prune_stats([("pd", "=", d0)]) == (1, 3)
+        assert mt.prune_stats([("pd", ">", d0)]) == (2, 3)
+        assert mt.read(where=[("pd", "=", d0)]).count() == 3
+
+    def test_timestamp_pcol_gets_tz_slack(self, spark, tmp_path):
+        t0 = datetime.datetime(2026, 1, 10, 12, 0)
+        df = spark.createDataFrame(
+            [(i, t0 + datetime.timedelta(days=7 * (i % 2))) for i in range(4)],
+            "id int, pts timestamp",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pts"])
+        # within the ±2 day slack of the other partition's value: kept
+        assert mt.prune_stats([("pts", "=", t0 + datetime.timedelta(days=6))]) == (1, 2)
+        # far from both: pruned
+        assert mt.prune_stats([("pts", "=", t0 + datetime.timedelta(days=70))]) == (0, 2)
+        # correctness unaffected either way
+        assert mt.read(where=[("pts", "=", t0)]).count() == 2
+
+    def test_ntz_pcol_never_prunes(self, spark, tmp_path):
+        t0 = datetime.datetime(2026, 1, 10, 12, 0)
+        df = spark.createDataFrame(
+            [(1, t0), (2, t0 + datetime.timedelta(days=30))],
+            "id int, pn timestamp_ntz",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pn"])
+        # session-tz coercion is invisible driver-side: no pruning
+        assert mt.prune_stats([("pn", "=", t0)]) == (2, 2)
+        assert mt.read(where=[("pn", "=", t0)]).count() == 1
+
+    def test_pre_values_entry_kept(self, mt):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _entry_may_match,
+        )
+
+        # a manifest shape without key values cannot prune on pcols
+        entry = {"key": "x", "dir": "d"}
+        assert _entry_may_match(entry, [("pt", "=", 3)], ["pt"])
