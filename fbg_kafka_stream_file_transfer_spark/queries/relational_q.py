@@ -3033,3 +3033,109 @@ GROUP BY 1
 """,
     doc="partition-column where-clause pruning: entry key values skip 3 of 5 partitions for the natural read(where=F.col('event_type').isin(...)) spelling",
 )
+
+
+def _q_table_file_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FILE data skipping end-to-end (round 12): events persisted
+    as a manifest table partitioned into 4 buckets, written as one
+    sorted task rolled every 125 records, so each directory holds a
+    sequence of event_id-blocked files. Every commit records min/max
+    bounds PER FILE (same single aggregation as entry stats, keyed by
+    ``input_file_name()``); ``read(where=event_id >= cut)`` selects
+    the surviving FILES within surviving partitions — the
+    file-granularity skipping Iceberg/Delta get from their manifests,
+    one level below r11's per-entry pruning. The in-function
+    assertions pin that file pruning actually happened AND that
+    ``inputFiles()`` agrees with ``prune_file_stats``; the oracle
+    recomputes files_scanned/files_total from first principles
+    (row-number blocks over the same sort), so a capture or selection
+    regression breaks the hash, not just an assert.
+
+    Scale shape: bounds capture shuffles O(files) stat rows, not
+    O(rows); the pruned read lists only surviving files — at 10³
+    files per partition a selective predicate reads the handful of
+    blocks whose bounds admit it instead of the whole directory."""
+    import shutil
+    import tempfile
+
+    from ..operators.table import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "props"
+    )
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    cut = 3 * (max_id + 1) // 4
+    evp = (
+        ev.withColumn("pt", (F.col("event_id") % 4).cast("int"))
+        .repartition(1)
+        .sortWithinPartitions("pt", "event_id")
+    )
+    work = tempfile.mkdtemp(prefix="table_fstats_")
+    path = f"{work}/events_blocked"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "125")
+    try:
+        mt = ManifestTable(spark, path)
+        mt.create(evp, ["pt"])
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        where = [("event_id", ">=", cut)]
+        ps = mt.prune_file_stats(where)
+        # file pruning must bite, and nothing may fall back to a
+        # whole-dir scan (every entry carries file bounds here)
+        assert ps["entries_without_file_stats"] == 0, ps
+        assert 0 < ps["files_scanned"] < ps["files_total"], ps
+        pruned = mt.read(where=where)
+        assert len(pruned.inputFiles()) == ps["files_scanned"], ps
+        rows = (
+            pruned.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+            )
+            .withColumn(
+                "files_scanned", F.lit(ps["files_scanned"]).cast("int")
+            )
+            .withColumn(
+                "files_total", F.lit(ps["files_total"]).cast("int")
+            )
+            .collect()  # materialize before the temp table is removed
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, id_checksum bigint,"
+            " files_scanned int, files_total int",
+        )
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_file_pruned_read"] = Q(
+    _q_table_file_pruned_read,
+    """
+WITH cut AS (SELECT 3 * (MAX(event_id) + 1) // 4 AS cut FROM events),
+blk AS (
+    SELECT event_id, event_type,
+           event_id % 4 AS pt,
+           (ROW_NUMBER() OVER (PARTITION BY event_id % 4
+                               ORDER BY event_id) - 1) // 125 AS b
+    FROM events
+),
+fs AS (
+    SELECT CAST(COUNT(*) AS INT) AS files_scanned FROM (
+        SELECT DISTINCT pt, b FROM blk, cut WHERE event_id >= cut.cut
+    )
+),
+ft AS (
+    SELECT CAST(COUNT(*) AS INT) AS files_total FROM (
+        SELECT DISTINCT pt, b FROM blk
+    )
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_checksum,
+       fs.files_scanned, ft.files_total
+FROM blk, cut, fs, ft
+WHERE event_id >= cut.cut
+GROUP BY event_type, fs.files_scanned, ft.files_total
+""",
+    doc="per-file data skipping: file-level min/max bounds select event_id blocks within partitions; the oracle recomputes files scanned/total from row-number blocks",
+)

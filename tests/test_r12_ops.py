@@ -225,3 +225,272 @@ class TestPartitionColumnWherePruning:
         # a manifest shape without key values cannot prune on pcols
         entry = {"key": "x", "dir": "d"}
         assert _entry_may_match(entry, [("pt", "=", 3)], ["pt"])
+
+
+def _mk_multifile_table(spark, path, rows=400, per_file=25):
+    """A 4-partition table with v-blocked files per dir: one writer
+    task, sorted by (pt, v, id), rolled every ``per_file`` records —
+    the alias-aware output ordering means partitionBy(_p_pt) adds no
+    re-sort, so file j of a dir covers the j-th v-block exactly."""
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", str(per_file))
+    try:
+        df = (
+            spark.range(rows)
+            .select(
+                F.col("id").cast("int").alias("id"),
+                (F.col("id") % 4).cast("int").alias("pt"),
+                F.col("id").cast("double").alias("v"),
+            )
+            .repartition(1)
+            .sortWithinPartitions("pt", "v", "id")
+        )
+        mt = ManifestTable(spark, path)
+        mt.create(df, ["pt"])
+        return mt
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+
+
+class TestPerFileStats:
+    """r12 verdict item 3: per-file min/max bounds captured at commit
+    (same single aggregation, keyed by input_file_name) let
+    read(where=) select FILES within surviving partitions."""
+
+    def test_file_bounds_recorded_and_fold_to_entry(self, spark, tmp_path):
+        mt = _mk_multifile_table(spark, str(tmp_path / "t"))
+        e0 = mt.manifest()["entries"][0]
+        files = e0["files"]
+        assert len(files) == 4
+        assert sum(st["rows"] for st in files.values()) == e0["stats"]["rows"]
+        mns = sorted(float(st["cols"]["v"]["mn"][1]) for st in files.values())
+        mxs = sorted(float(st["cols"]["v"]["mx"][1]) for st in files.values())
+        assert float(e0["stats"]["cols"]["v"]["mn"][1]) == mns[0]
+        assert float(e0["stats"]["cols"]["v"]["mx"][1]) == mxs[-1]
+
+    def test_file_pruned_read_equals_plain(self, spark, tmp_path):
+        mt = _mk_multifile_table(spark, str(tmp_path / "t"))
+        w = [("v", ">=", 300.0)]
+        ps = mt.prune_file_stats(w)
+        assert ps["files_total"] == 16
+        assert ps["files_scanned"] == 4  # last v-block of each dir
+        assert ps["entries_without_file_stats"] == 0
+        pruned = mt.read(where=w)
+        assert len(pruned.inputFiles()) == 4
+        got = sorted(r.id for r in pruned.collect())
+        want = sorted(
+            r.id for r in mt.read().filter(F.col("v") >= 300.0).collect()
+        )
+        assert got == want and len(got) == 100
+
+    def test_column_spelling_prunes_files(self, spark, tmp_path):
+        mt = _mk_multifile_table(spark, str(tmp_path / "t"))
+        pred = (F.col("v") >= 300.0) & (F.col("pt") == 2)
+        pruned = mt.read(where=pred)
+        assert len(pruned.inputFiles()) == 1
+        assert pruned.count() == 25
+
+    def test_single_file_partition_has_no_files_key(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, i % 2, float(i)) for i in range(10)],
+            "id int, pt int, v double",
+        ).repartition(1)
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pt"])
+        for e in mt.manifest()["entries"]:
+            assert "files" not in e  # zero information: not stored
+        # and reads still work (whole-dir scan)
+        assert mt.read(where=[("v", ">=", 4.0)]).count() == 6
+
+    def test_file_cap_skips_per_file_stats(self, spark, tmp_path, monkeypatch):
+        from fbg_kafka_stream_file_transfer_spark.operators import (
+            table as table_mod,
+        )
+
+        monkeypatch.setattr(table_mod, "_FILE_STATS_MAX", 2)
+        mt = _mk_multifile_table(spark, str(tmp_path / "t"))  # 4 files/dir
+        for e in mt.manifest()["entries"]:
+            assert "files" not in e
+        # degrades to dir scans, never to missing rows
+        assert mt.read(where=[("v", ">=", 300.0)]).count() == 100
+
+    def test_nulls_and_nan_in_file_bounds(self, spark, tmp_path):
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "2")
+        try:
+            rows = [
+                (0, 0, None),
+                (1, 0, None),
+                (2, 0, float("nan")),
+                (3, 0, 5.0),
+                (4, 0, -1.0),
+                (5, 0, 2.0),
+            ]
+            df = (
+                spark.createDataFrame(rows, "id int, pt int, v double")
+                .repartition(1)
+                .sortWithinPartitions("pt", "id")
+            )
+            mt = ManifestTable(spark, str(tmp_path / "t"))
+            mt.create(df, ["pt"])
+        finally:
+            spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        e0 = mt.manifest()["entries"][0]
+        st = e0["stats"]["cols"]["v"]
+        # folded entry bounds: min ignores NaN, max is NaN → unbounded
+        assert st["mn"] == ["float", "-1.0"], st
+        assert st["mx"] is None, st
+        assert st["nulls"] == 2
+        # NaN file's max bound is unbounded → every range keeps it;
+        # pruned read still equals the plain filter
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _normalize_where,
+            _where_to_filter,
+        )
+
+        for w in ([("v", ">", 100.0)], [("v", "<", 0.0)], [("v", "is_null")]):
+            got = sorted(r.id for r in mt.read(where=w).collect())
+            want = sorted(
+                r.id
+                for r in mt.read()
+                .filter(_where_to_filter(_normalize_where(w)))
+                .collect()
+            )
+            assert got == want, (w, got, want)
+
+    def test_merge_preserves_and_refreshes_file_stats(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+            merge_into_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        mt = _mk_multifile_table(spark, path)
+        v1_files = {
+            e["key"]: e.get("files", {}) for e in mt.manifest()["entries"]
+        }
+        # merge touches only pt=1: its entry is rewritten, others keep
+        # their v1 file stats verbatim
+        delta = spark.createDataFrame(
+            [(1001, 1, 9999.0)], "id int, pt int, v double"
+        )
+        merge_into_partitioned(
+            spark, path, delta, ["id"], ["pt"], retain_versions=5
+        )
+        m2 = mt.manifest()
+        for e in m2["entries"]:
+            pt = e["values"][0][1]
+            if pt != 1:
+                assert e.get("files", {}) == v1_files[e["key"]]
+        # and the read still prunes correctly across old + new entries
+        got = mt.read(where=[("v", ">=", 9000.0)])
+        assert [r.id for r in got.collect()] == [1001]
+
+    def test_sharded_manifest_carries_file_stats(self, spark, tmp_path):
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "25")
+        try:
+            df = (
+                spark.range(200)
+                .select(
+                    F.col("id").cast("int").alias("id"),
+                    (F.col("id") % 2).cast("int").alias("pt"),
+                    F.col("id").cast("double").alias("v"),
+                )
+                .repartition(1)
+                .sortWithinPartitions("pt", "v", "id")
+            )
+            mt = ManifestTable(spark, str(tmp_path / "t"), shard_target=1)
+            mt.create(df, ["pt"])
+        finally:
+            spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        man = mt.manifest()
+        assert "entry_shards" not in man or True  # expanded view
+        assert all(len(e.get("files", {})) == 4 for e in man["entries"])
+        pruned = mt.read(where=[("v", ">=", 150.0)])
+        assert len(pruned.inputFiles()) == 2
+        assert pruned.count() == 50
+
+    def test_prune_file_stats_reports_unknown_entries(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, i % 2, float(i)) for i in range(10)],
+            "id int, pt int, v double",
+        ).repartition(1)
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pt"])
+        ps = mt.prune_file_stats([("v", ">=", 0.0)])
+        assert ps["entries_without_file_stats"] == 2
+        assert ps["files_total"] == 0
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from tests.test_r11_ops import _clause  # noqa: E402
+
+_mf_fuzz = {}
+
+
+def _mf_fuzz_mt(spark, tmp_path_factory):
+    """Multi-file twin of the r11 stats-fuzz table: same adversarial
+    values, 2 rows per file, so every soundness property also covers
+    the per-FILE pruning path."""
+    if "mt" not in _mf_fuzz:
+        root = tmp_path_factory.mktemp("fstats_fuzz")
+        rows = [
+            (0, 0, -(2**62), float("nan"), None),
+            (1, 0, -1, float("-inf"), ""),
+            (2, 0, 0, -0.0, "a"),
+            (3, 1, 7, 1.5, "Z" * 100),
+            (4, 1, 2**53 + 1, float("inf"), "héllo"),
+            (5, 2, 2**63 - 2, 9.9e17, "é中"),
+            (6, 2, None, None, None),
+            (7, 0, 3, 2.5, "m"),
+            (8, 1, -(2**40), -3.5, "0"),
+            (9, 2, 41, 0.25, "zz"),
+        ]
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "2")
+        try:
+            df = (
+                spark.createDataFrame(
+                    rows, "id int, pt int, i long, f double, s string"
+                )
+                .repartition(1)
+                .sortWithinPartitions("pt", "id")
+            )
+            mt = ManifestTable(spark, str(root / "t"))
+            mt.create(df, ["pt"])
+        finally:
+            spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        assert any("files" in e for e in mt.manifest()["entries"])
+        _mf_fuzz["mt"] = mt
+    return _mf_fuzz["mt"]
+
+
+class TestFilePruningSoundnessFuzz:
+    """Property: per-file pruning may only skip work, never change
+    results — for ANY where-conjunction (cross-type values included),
+    the file-pruned read equals the plain filter."""
+
+    @given(where=st.lists(_clause(), min_size=1, max_size=3))
+    @settings(
+        max_examples=25, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    def test_file_pruned_read_equals_plain_filter(
+        self, spark, tmp_path_factory, where
+    ):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _normalize_where,
+            _where_to_filter,
+        )
+
+        mt = _mf_fuzz_mt(spark, tmp_path_factory)
+        norm = _normalize_where(where)
+        got = sorted(
+            r.id for r in mt.read(where=where).select("id").collect()
+        )
+        want = sorted(
+            r.id
+            for r in mt.read()
+            .filter(_where_to_filter(norm))
+            .select("id")
+            .collect()
+        )
+        assert got == want, (where, got, want)
