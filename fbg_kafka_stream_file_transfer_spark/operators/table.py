@@ -1308,6 +1308,8 @@ class ManifestTable:
         from_version: int,
         to_version: int | None = None,
         change_col: str = "_change_type",
+        where: list[tuple] | Column | None = None,
+        prune_info: dict | None = None,
     ) -> DataFrame:
         """Row-level incremental scan between two RETAINED versions —
         the CDC-feed read a Delta CDF / Iceberg incremental scan gives
@@ -1335,7 +1337,22 @@ class ManifestTable:
         does a column whose TYPE changed (set-op coercion would
         silently mask the change otherwise). Versions
         outside the retain window raise via :meth:`manifest` (listing
-        what is still available)."""
+        what is still available).
+
+        ``where`` (r12) is the same predicate :meth:`read` accepts —
+        a clause conjunction or a pyspark Column. Semantically
+        ``changes(...).filter(where)`` (a per-row filter commutes
+        with the signed-weight multiset diff, which groups on whole
+        rows); operationally the prunable conjuncts skip entries and
+        FILES on EACH side via that side's version-scoped stats and
+        key values BEFORE anything is listed — a CDF consumer
+        filtering for one key range pays O(its range ∩ the delta),
+        not O(touched partitions). Clauses naming columns absent
+        from the ``from`` schema prune nothing there (the aligned
+        side is all-NULL for them; the exact post-alignment filter
+        decides). ``prune_info``, if a dict is passed, is filled
+        with per-side scanned/total entry counts — the
+        ``prune_stats``-style observability hook."""
         man_to = self.manifest(to_version)
         man_from = self.manifest(from_version)
         if man_from["version"] > man_to["version"]:
@@ -1396,19 +1413,47 @@ class ManifestTable:
         changed = {
             k for k in fe.keys() | te.keys() if fe.get(k) != te.get(k)
         }
+        residual = None
+        if isinstance(where, Column):
+            residual = where
+            norm = _normalize_where(_clauses_from_column(where))
+        else:
+            norm = _normalize_where(where) if where else None
 
-        def _side(man: dict) -> DataFrame:
-            return self.read(
-                manifest_dict={
-                    **man,
-                    "entries": [
-                        e for e in man["entries"] if e["key"] in changed
-                    ],
+        def _side(man: dict, side: str) -> DataFrame:
+            ents = [e for e in man["entries"] if e["key"] in changed]
+            if prune_info is not None:
+                prune_info[f"{side}_entries_total"] = len(ents)
+            # only clauses whose column EXISTS at this version can
+            # prune or pre-filter here; a conjunct subset is sound
+            # (the exact post-alignment filter decides), and read()
+            # applies the subset's entry + FILE pruning + residual
+            sub = None
+            if norm:
+                here = {
+                    f["name"] for f in man["schema"].get("fields", [])
                 }
+                sub = [cl for cl in norm if cl[0] in here] or None
+            df = self.read(
+                manifest_dict={**man, "entries": ents}, where=sub
             )
+            if prune_info is not None:
+                pc, sk = self._pcols_for_pruning(
+                    man, T.StructType.fromJson(man["schema"])
+                )
+                prune_info[f"{side}_entries_scanned"] = (
+                    sum(
+                        1
+                        for e in ents
+                        if _entry_may_match(e, sub, pc, sk)
+                    )
+                    if sub
+                    else len(ents)
+                )
+            return df
 
-        old = _side(man_from)
-        new = _side(man_to).select(*to_names)
+        old = _side(man_from, "from")
+        new = _side(man_to, "to").select(*to_names)
         old = old.select(
             *[
                 F.col(f.name)
@@ -1424,6 +1469,13 @@ class ManifestTable:
         w = new.withColumn("_w", F.lit(1)).unionByName(
             old.withColumn("_w", F.lit(-1))
         )
+        # the EXACT predicate runs once, post-alignment, where every
+        # to-schema column exists on both sides — per-side filters
+        # above are pruning subsets, never the correctness story
+        if residual is not None:
+            w = w.filter(residual)
+        elif norm:
+            w = w.filter(_where_to_filter(norm))
         net = (
             w.groupBy(*to_names)
             .agg(F.sum("_w").alias("_net"))

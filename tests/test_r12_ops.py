@@ -494,3 +494,109 @@ class TestFilePruningSoundnessFuzz:
             .collect()
         )
         assert got == want, (where, got, want)
+
+
+class TestChangesWherePassthrough:
+    """r12 verdict item 7: changes() accepts the same where predicate
+    as read(), pruning entries and files on EACH side before listing;
+    semantically identical to changes().filter(where)."""
+
+    @pytest.fixture()
+    def mt(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+            merge_into_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, i % 4, float(i)) for i in range(40)],
+            "id int, pt int, v double",
+        )
+        mt = ManifestTable(spark, path)
+        mt.create(df, ["pt"])
+        # v2 touches pt=1 (update id=5's v) and pt=2 (insert id=100)
+        delta = spark.createDataFrame(
+            [(5, 1, 500.0), (100, 2, 100.0)], "id int, pt int, v double"
+        )
+        merge_into_partitioned(
+            spark, path, delta, ["id"], ["pt"], retain_versions=5
+        )
+        return mt
+
+    def test_pruned_changes_equals_filtered_full(self, mt):
+        full = mt.changes(1).filter(F.col("pt") == 1)
+        pruned = mt.changes(1, where=[("pt", "=", 1)])
+        key = lambda r: (r.id, r.pt, r.v, r._change_type)  # noqa: E731
+        assert sorted(map(key, pruned.collect())) == sorted(
+            map(key, full.collect())
+        )
+        # the update shows as delete(old)+insert(new)
+        assert pruned.count() == 2
+
+    def test_column_spelling_and_prune_info(self, mt):
+        info = {}
+        got = mt.changes(1, where=F.col("pt") == 1, prune_info=info)
+        assert got.count() == 2
+        # both versions' changed-entry sets pruned from 2 to 1
+        assert info == {
+            "from_entries_total": 2,
+            "from_entries_scanned": 1,
+            "to_entries_total": 2,
+            "to_entries_scanned": 1,
+        }
+
+    def test_where_on_stats_column(self, mt):
+        # v >= 400 matches only the new side of the update
+        rows = mt.changes(1, where=[("v", ">=", 400.0)]).collect()
+        assert [(r.id, r._change_type) for r in rows] == [(5, "insert")]
+
+    def test_where_on_column_added_in_to_version(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, 0, 1.0), (2, 1, 2.0)], "id int, pt int, v double"
+        )
+        mt = ManifestTable(spark, path)
+        mt.create(df, ["pt"])
+        evolved = spark.createDataFrame(
+            [(1, 0, 1.0, None), (3, 0, 3.0, "x")],
+            "id int, pt int, v double, tag string",
+        )
+        mt.overwrite_partitions(evolved, [(0,)])
+        # tag doesn't exist at v1: from-side prunes nothing on it, the
+        # exact post-alignment filter decides (old rows align to NULL)
+        rows = mt.changes(1, where=[("tag", "=", "x")]).collect()
+        assert [(r.id, r._change_type) for r in rows] == [(3, "insert")]
+        # is_null on tag keeps the old-side rows of the touched entry
+        got = mt.changes(1, where=[("tag", "is_null")])
+        full = mt.changes(1).filter(F.col("tag").isNull())
+        key = lambda r: (r.id, r._change_type)  # noqa: E731
+        assert sorted(map(key, got.collect())) == sorted(
+            map(key, full.collect())
+        )
+
+    def test_file_pruning_inside_changes(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+            merge_into_partitioned,
+        )
+
+        path = str(tmp_path / "t")
+        mt = _mk_multifile_table(spark, path)  # 4 dirs x 4 v-blocks
+        delta = spark.createDataFrame(
+            [(1001, 1, 50.0)], "id int, pt int, v double"
+        )
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "25")
+        try:
+            merge_into_partitioned(
+                spark, path, delta, ["id"], ["pt"], retain_versions=5
+            )
+        finally:
+            spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        # only pt=1 changed; v < 60 selects the first v-block files of
+        # each side, not each side's whole directory
+        got = mt.changes(1, where=[("v", "=", 50.0)])
+        assert [(r.id, r._change_type) for r in got.collect()] == [
+            (1001, "insert")
+        ]
+        # both sides' scans list a strict subset of the changed dirs'
+        # files (4 v1 files + >=4 v2 files exist for pt=1)
+        assert len(got.inputFiles()) < 8
