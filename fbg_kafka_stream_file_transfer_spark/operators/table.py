@@ -50,6 +50,8 @@ MERGE would give, neither of which ships in this container.
 
 from __future__ import annotations
 
+import datetime as _pydatetime
+import decimal as _pydecimal
 import json
 import re
 import uuid
@@ -230,8 +232,15 @@ def table_write_lock(
             break
         # floor the sleep: poll_seconds=0 (or negative) with a wait
         # window would otherwise busy-spin create() RPCs against the
-        # filesystem for the whole window (external review r12)
-        _time.sleep(max(0.05, poll_seconds))
+        # filesystem for the whole window; cap it at the remaining
+        # window so poll_seconds > wait_seconds cannot overshoot the
+        # caller's deadline by a full poll interval (code review r12)
+        _time.sleep(
+            min(
+                max(0.05, poll_seconds),
+                max(0.0, deadline - _time.monotonic()),
+            )
+        )
     if not acquired:
         held_by = _read_small_file(spark, lock_path) or "<unreadable>"
         raise ConcurrentWriterError(
@@ -466,9 +475,17 @@ def _stats_lower_string(s: str) -> str:
 
 
 def _is_nan(v) -> bool:
+    """NaN in either numeric representation: float nan AND
+    Decimal('NaN') — a Decimal NaN predicate must hit the same
+    never-prune guard (it previously crashed pruning against int/str
+    bounds with decimal.InvalidOperation and silently PRUNED against
+    float bounds via the double-space cast — code review r12)."""
+    import decimal
     import math
 
-    return isinstance(v, float) and math.isnan(v)
+    if isinstance(v, float):
+        return math.isnan(v)
+    return isinstance(v, decimal.Decimal) and v.is_nan()
 
 
 def _encode_bound(v, upper: bool):
@@ -484,6 +501,59 @@ def _encode_bound(v, upper: bool):
         if v is None:
             return None
     return _encode_value(v)
+
+
+# ---- the driver-side comparison must mimic SPARK's comparison, not
+# Python's (external review r11 pass 2 — both probe-confirmed
+# wrong-result bugs). Module-level because read(where=) evaluates
+# these once per FILE per clause since r12 (code review r12):
+# 1. mixed numeric: Spark compares long-vs-double by casting the long
+#    (or decimal) to double, LOSSILY past 2^53; Python compares
+#    exactly. Compare in double space whenever either side is a
+#    float, exactly as Catalyst would.
+# 2. timestamps: the bounds came from collect() and the predicate
+#    from the user/literal conversion — frames that can differ by the
+#    GAP between two zone offsets, up to 26 h (UTC+14 session vs
+#    UTC−12 OS). Widen the bounds by TWO days (> 26 h) before
+#    comparing: pruning blurs by two days at partition boundaries but
+#    can never drop a matching row, and time-partitioned predicates
+#    span ≫ 2 days (external review r12).
+# 3. double-space coercion applies ONLY when both operands are
+#    numeric: float('9') succeeds, so a float predicate against a
+#    STRING stats column would compare lexicographic string bounds
+#    numerically and prune entries whose rows match through Spark's
+#    string→double cast in the residual filter (external review r12,
+#    probe-confirmed: entry {"9","10"} has mx="9", pruned for
+#    ('s','>',9.5) yet "10" matches). Non-numeric operand → TypeError
+#    → the caller keeps the entry and the exact row filter decides.
+_NUMERIC = (int, float, _pydecimal.Decimal)  # bool is an int
+
+
+def _widen(b, delta_days):
+    if isinstance(b, _pydatetime.datetime):
+        return b + _pydatetime.timedelta(days=delta_days)
+    return b
+
+
+def _as_double(a, b):
+    if not (isinstance(a, _NUMERIC) and isinstance(b, _NUMERIC)):
+        raise TypeError("unorderable")  # → keep
+    try:
+        return float(a), float(b)
+    except (OverflowError, ValueError):
+        raise TypeError("unorderable")
+
+
+def _le(a, b):
+    if isinstance(a, float) or isinstance(b, float):
+        a, b = _as_double(a, b)
+    return a <= b
+
+
+def _lt(a, b):
+    if isinstance(a, float) or isinstance(b, float):
+        a, b = _as_double(a, b)
+    return a < b
 
 
 def _where_clause_may_match(stats: dict, col: str, op: str, value) -> bool:
@@ -524,56 +594,6 @@ def _where_clause_may_match(stats: dict, col: str, op: str, value) -> bool:
         and nulls == rows
     ):
         return False
-    # Two places where the driver-side comparison must mimic SPARK's
-    # comparison, not Python's (external review r11 pass 2 — both
-    # probe-confirmed wrong-result bugs):
-    # 1. mixed numeric: Spark compares long-vs-double by casting the
-    #    long (or decimal) to double, LOSSILY past 2^53; Python
-    #    compares exactly. Compare in double space whenever either
-    #    side is a float, exactly as Catalyst would.
-    # 2. timestamps: the bounds came from collect() and the predicate
-    #    from the user/literal conversion — frames that can differ by
-    #    the GAP between two zone offsets, up to 26 h (UTC+14 session
-    #    vs UTC−12 OS). Widen the bounds by TWO days (> 26 h) before
-    #    comparing: pruning blurs by two days at partition boundaries
-    #    but can never drop a matching row, and time-partitioned
-    #    predicates span ≫ 2 days (external review r12).
-    import datetime as _dt
-    import decimal as _decimal
-
-    def _widen(b, delta_days):
-        if isinstance(b, _dt.datetime):
-            return b + _dt.timedelta(days=delta_days)
-        return b
-
-    # double-space coercion applies ONLY when both operands are
-    # numeric: float('9') succeeds, so a float predicate against a
-    # STRING stats column would compare lexicographic string bounds
-    # numerically and prune entries whose rows match through Spark's
-    # string→double cast in the residual filter (external review r12,
-    # probe-confirmed: entry {"9","10"} has mx="9", pruned for
-    # ('s','>',9.5) yet "10" matches). Non-numeric operand → TypeError
-    # → the caller keeps the entry and the exact row filter decides.
-    _NUMERIC = (int, float, _decimal.Decimal)  # bool is an int
-
-    def _as_double(a, b):
-        if not (isinstance(a, _NUMERIC) and isinstance(b, _NUMERIC)):
-            raise TypeError("unorderable")  # → keep
-        try:
-            return float(a), float(b)
-        except (OverflowError, ValueError):
-            raise TypeError("unorderable")
-
-    def _le(a, b):
-        if isinstance(a, float) or isinstance(b, float):
-            a, b = _as_double(a, b)
-        return a <= b
-
-    def _lt(a, b):
-        if isinstance(a, float) or isinstance(b, float):
-            a, b = _as_double(a, b)
-        return a < b
-
     try:
         lo_b = _widen(mn, -2) if mn is not None else None
         hi_b = _widen(mx, +2) if mx is not None else None
@@ -602,6 +622,11 @@ def _where_clause_may_match(stats: dict, col: str, op: str, value) -> bool:
             )
     except TypeError:
         return True  # cross-type comparison: never prune on doubt
+    except _pydecimal.InvalidOperation:
+        # Decimal NaN/signaling comparisons: same never-prune contract
+        # (the NaN probe above catches the known case; this is the
+        # defense-in-depth for any Decimal special the probe misses)
+        return True
     raise ValueError(
         f"unknown stats predicate op {op!r}; supported: = < <= > >= "
         "between in is_null not_null"
@@ -843,6 +868,41 @@ def _entry_may_match(
         ):
             return False
     return True
+
+
+def _entry_scan_selection(
+    entry: dict,
+    norm: list[tuple] | None,
+    pcols: list[str] | None = None,
+    pcol_skip: frozenset = frozenset(),
+) -> tuple[bool, list[str] | None]:
+    """THE single implementation of per-entry scan selection for a
+    normalized ``where`` conjunction — ``read()``,
+    ``prune_file_stats()``, and ``changes()`` all consume this one
+    function, so the observability counts tests pin can never
+    desynchronize from the actual scan (code review r12). Returns
+    ``(keep_entry, files)``: ``files`` is None for a whole-directory
+    scan (no per-file stats, or nothing pruned), else the basenames
+    whose bounds admit the predicate (possibly empty — a kept entry
+    none of whose files can match)."""
+    if not norm:
+        return True, None
+    if not _entry_may_match(entry, norm, pcols, pcol_skip):
+        return False, None
+    fstats = entry.get("files")
+    if not fstats:
+        return True, None
+    keep = [
+        n
+        for n, st in fstats.items()
+        if all(
+            _where_clause_may_match(st, col, op, value)
+            for col, op, value in norm
+        )
+    ]
+    if len(keep) == len(fstats):
+        return True, None
+    return True, keep
 
 
 def _where_to_filter(where: list[tuple]):
@@ -1169,13 +1229,10 @@ class ManifestTable:
             norm = _normalize_where(_clauses_from_column(where))
         else:
             norm = _normalize_where(where) if where else None
+        pcols: list[str] | None = None
+        skip: frozenset = frozenset()
         if norm:
             pcols, skip = self._pcols_for_pruning(m, schema)
-            entries = [
-                e
-                for e in entries
-                if _entry_may_match(e, norm, pcols, skip)
-            ]
         # sorted-set: entries map 1:1 to dirs by construction, but a
         # duplicate path must never be scanned twice. Within a
         # surviving entry, per-FILE bounds (r12) select individual
@@ -1189,23 +1246,14 @@ class ManifestTable:
         dirs: set[str] = set()
         fpaths: set[str] = set()
         for e in entries:
-            base = f"{self.path}/{e['dir']}"
-            fstats = e.get("files") if norm else None
-            if not fstats:
-                dirs.add(base)
+            kept, files = _entry_scan_selection(e, norm, pcols, skip)
+            if not kept:
                 continue
-            keep = [
-                n
-                for n, st in fstats.items()
-                if all(
-                    _where_clause_may_match(st, col, op, value)
-                    for col, op, value in norm
-                )
-            ]
-            if len(keep) == len(fstats):
-                dirs.add(base)  # nothing pruned: plain dir scan
+            base = f"{self.path}/{e['dir']}"
+            if files is None:
+                dirs.add(base)
             else:
-                fpaths.update(f"{base}/{n}" for n in keep)
+                fpaths.update(f"{base}/{n}" for n in files)
         paths = sorted(dirs) + sorted(fpaths)
         if not paths:
             df = self.spark.createDataFrame([], schema)
@@ -1287,20 +1335,16 @@ class ManifestTable:
             fstats = e.get("files")
             if fstats:
                 out["files_total"] += len(fstats)
-            if not _entry_may_match(e, norm, pcols, skip):
+            kept, files = _entry_scan_selection(e, norm, pcols, skip)
+            if not kept:
                 continue
             out["entries_scanned"] += 1
             if not fstats:
                 out["entries_without_file_stats"] += 1
-                continue
-            out["files_scanned"] += sum(
-                1
-                for st in fstats.values()
-                if all(
-                    _where_clause_may_match(st, col, op, value)
-                    for col, op, value in norm
+            else:
+                out["files_scanned"] += (
+                    len(fstats) if files is None else len(files)
                 )
-            )
         return out
 
     def changes(
@@ -1434,23 +1478,22 @@ class ManifestTable:
                     f["name"] for f in man["schema"].get("fields", [])
                 }
                 sub = [cl for cl in norm if cl[0] in here] or None
-            df = self.read(
-                manifest_dict={**man, "entries": ents}, where=sub
-            )
-            if prune_info is not None:
+            if sub:
+                # one shared-selection pass fills the observability
+                # counts AND shrinks the entry list read() re-checks
                 pc, sk = self._pcols_for_pruning(
                     man, T.StructType.fromJson(man["schema"])
                 )
-                prune_info[f"{side}_entries_scanned"] = (
-                    sum(
-                        1
-                        for e in ents
-                        if _entry_may_match(e, sub, pc, sk)
-                    )
-                    if sub
-                    else len(ents)
-                )
-            return df
+                ents = [
+                    e
+                    for e in ents
+                    if _entry_scan_selection(e, sub, pc, sk)[0]
+                ]
+            if prune_info is not None:
+                prune_info[f"{side}_entries_scanned"] = len(ents)
+            return self.read(
+                manifest_dict={**man, "entries": ents}, where=sub
+            )
 
         old = _side(man_from, "from")
         new = _side(man_to, "to").select(*to_names)

@@ -107,7 +107,11 @@ class TestPollSecondsClamp:
             ):
                 pass
         assert slept, "wait window must actually poll"
-        assert all(s >= 0.05 for s in slept), slept
+        # every sleep is floored at 50 ms except the last, which the
+        # r12 deadline cap may truncate to the remaining window
+        assert all(s >= 0.05 for s in slept[:-1]), slept
+        # no busy spin: a 0.3 s window fits ~6 floored polls, not 100s
+        assert len(slept) <= 10, len(slept)
 
 
 class TestPartitionColumnWherePruning:
@@ -401,7 +405,10 @@ class TestPerFileStats:
         finally:
             spark.conf.unset("spark.sql.files.maxRecordsPerFile")
         man = mt.manifest()
-        assert "entry_shards" not in man or True  # expanded view
+        # the table really is sharded (shard_target=1 forces it) and
+        # manifest() returned the EXPANDED view
+        assert man.get("num_buckets"), man.keys()
+        assert man["entry_count"] == len(man["entries"]) == 2
         assert all(len(e.get("files", {})) == 4 for e in man["entries"])
         pruned = mt.read(where=[("v", ">=", 150.0)])
         assert len(pruned.inputFiles()) == 2
@@ -600,3 +607,81 @@ class TestChangesWherePassthrough:
         # both sides' scans list a strict subset of the changed dirs'
         # files (4 v1 files + >=4 v2 files exist for pt=1)
         assert len(got.inputFiles()) < 8
+
+
+class TestCodeReviewR12Findings:
+    """Regression pins for the r12 code-review pass on the round's
+    new machinery."""
+
+    def test_decimal_nan_predicate_never_prunes_or_crashes(
+        self, spark, tmp_path
+    ):
+        """Decimal('NaN') must hit the same never-prune guard as float
+        NaN: it previously CRASHED pruning against int/str bounds
+        (decimal.InvalidOperation) and silently PRUNED against float
+        bounds via the double-space cast."""
+        import decimal
+
+        df = spark.createDataFrame(
+            [(1, 0, 5, 1.5, "a")], "id int, pt int, i long, f double, s string"
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pt"])
+        dnan = decimal.Decimal("NaN")
+        for col in ("i", "f", "s"):
+            assert mt.prune_stats([(col, ">", dnan)]) == (1, 1), col
+            assert mt.prune_stats([(col, "in", [dnan])]) == (1, 1), col
+        # the residual filter is the correctness story: both the
+        # pruned and plain paths fail the SAME loud way (F.lit cannot
+        # encode Decimal NaN), never a silent empty result
+        for fn in (
+            lambda: mt.read(where=[("f", ">", dnan)]).count(),
+            lambda: mt.read()
+            .filter(F.col("f") > F.lit(dnan))
+            .count(),
+        ):
+            with pytest.raises(Exception):  # noqa: B017 — parity pin
+                fn()
+
+    def test_poll_larger_than_wait_respects_deadline(
+        self, spark, tmp_path
+    ):
+        """poll_seconds > wait_seconds must not overshoot the caller's
+        wait budget by a full poll interval."""
+        import time
+
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            ConcurrentWriterError,
+            table_write_lock,
+        )
+
+        path = str(tmp_path / "t")
+        os.makedirs(path)
+        with open(f"{path}/_lock", "w") as f:
+            json.dump({"holder": "other", "token": "tX"}, f)
+        t0 = time.monotonic()
+        with pytest.raises(ConcurrentWriterError):
+            with table_write_lock(
+                spark, path, holder="me",
+                wait_seconds=0.5, poll_seconds=60.0,
+            ):
+                pass
+        assert time.monotonic() - t0 < 5.0
+
+    def test_prune_file_stats_mirrors_read_selection(self, spark, tmp_path):
+        """The observability counts and the actual scan come from ONE
+        shared selection implementation — pin they agree on a mixed
+        workload (entry-pruned + file-pruned + whole-dir entries)."""
+        mt = _mk_multifile_table(spark, str(tmp_path / "t"))
+        for w in (
+            [("v", ">=", 300.0)],
+            [("v", "between", (110.0, 130.0)), ("pt", "in", [1, 2])],
+            [("pt", "=", 0)],
+        ):
+            ps = mt.prune_file_stats(w)
+            df = mt.read(where=w)
+            n_files = len(df.inputFiles())
+            # whole-dir entries contribute their real file count via
+            # the filesystem listing; here every entry carries stats
+            assert ps["entries_without_file_stats"] == 0
+            assert n_files == ps["files_scanned"], (w, ps, n_files)
