@@ -90,10 +90,20 @@ class TestPollSecondsClamp:
         with open(f"{path}/_lock", "w") as f:
             json.dump({"holder": "other", "token": "tX"}, f)
 
+        import threading
+
         slept: list[float] = []
         real_sleep = time_mod.sleep
+        me = threading.get_ident()
 
         def spy_sleep(s):
+            # the patch is process-global: Spark/py4j daemon threads
+            # also call time.sleep during the window — record (and
+            # shorten) only THIS thread's polls or the assertion
+            # flakes under a full-suite run
+            if threading.get_ident() != me:
+                real_sleep(s)
+                return
             slept.append(s)
             real_sleep(min(s, 0.05))
 
