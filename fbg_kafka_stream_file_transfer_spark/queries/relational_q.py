@@ -3063,8 +3063,14 @@ def _q_table_file_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "props"
     )
-    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    max_id, n = ev.agg(F.max("event_id"), F.count(F.lit(1))).collect()[0]
     cut = 3 * (max_id + 1) // 4
+    # roll size scales with the corpus so files-per-partition stays in
+    # the 2.._FILE_STATS_MAX band at EVERY sf (125 records at sf1's
+    # 250k rows/partition would mean 2000 files — past the cap, stats
+    # rightly decline and the pruning assert would fire); the oracle
+    # recomputes the identical ceil
+    m = max(125, (n + 799) // 800)
     evp = (
         ev.withColumn("pt", (F.col("event_id") % 4).cast("int"))
         .repartition(1)
@@ -3072,7 +3078,7 @@ def _q_table_file_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="table_fstats_")
     path = f"{work}/events_blocked"
-    spark.conf.set("spark.sql.files.maxRecordsPerFile", "125")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", str(m))
     try:
         mt = ManifestTable(spark, path)
         mt.create(evp, ["pt"])
@@ -3113,12 +3119,13 @@ QUERIES["table_file_pruned_read"] = Q(
     _q_table_file_pruned_read,
     """
 WITH cut AS (SELECT 3 * (MAX(event_id) + 1) // 4 AS cut FROM events),
+m AS (SELECT GREATEST(125, (COUNT(*) + 799) // 800) AS m FROM events),
 blk AS (
     SELECT event_id, event_type,
            event_id % 4 AS pt,
            (ROW_NUMBER() OVER (PARTITION BY event_id % 4
-                               ORDER BY event_id) - 1) // 125 AS b
-    FROM events
+                               ORDER BY event_id) - 1) // m.m AS b
+    FROM events, m
 ),
 fs AS (
     SELECT CAST(COUNT(*) AS INT) AS files_scanned FROM (
