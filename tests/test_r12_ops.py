@@ -695,3 +695,113 @@ class TestCodeReviewR12Findings:
             # the filesystem listing; here every entry carries stats
             assert ps["entries_without_file_stats"] == 0
             assert n_files == ps["files_scanned"], (w, ps, n_files)
+
+
+_chg_fuzz = {}
+
+
+def _chg_fuzz_mt(spark, tmp_path_factory):
+    """changes(where=) fuzz fixture: the multi-file adversarial table
+    plus one merge (v2) that updates, inserts, and leaves rows alone
+    across partitions — so the diff has both sides populated."""
+    if "mt" not in _chg_fuzz:
+        from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+            merge_into_partitioned,
+        )
+
+        root = tmp_path_factory.mktemp("chg_fuzz")
+        rows = [
+            (0, 0, -(2**62), float("nan"), None),
+            (1, 0, -1, float("-inf"), ""),
+            (2, 0, 0, -0.0, "a"),
+            (3, 1, 7, 1.5, "Z" * 100),
+            (4, 1, 2**53 + 1, float("inf"), "héllo"),
+            (5, 2, 2**63 - 2, 9.9e17, "é中"),
+            (6, 2, None, None, None),
+            (7, 0, 3, 2.5, "m"),
+            (8, 1, -(2**40), -3.5, "0"),
+            (9, 2, 41, 0.25, "zz"),
+        ]
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "2")
+        try:
+            df = (
+                spark.createDataFrame(
+                    rows, "id int, pt int, i long, f double, s string"
+                )
+                .repartition(1)
+                .sortWithinPartitions("pt", "id")
+            )
+            mt = ManifestTable(spark, str(root / "t"))
+            mt.create(df, ["pt"])
+            delta = spark.createDataFrame(
+                [
+                    (2, 0, 17, 0.5, "updated"),   # update in pt=0
+                    (20, 1, 99, 1.25, "new"),     # insert in pt=1
+                ],
+                "id int, pt int, i long, f double, s string",
+            )
+            merge_into_partitioned(
+                spark, str(root / "t"), delta, ["id"], ["pt"],
+                retain_versions=5,
+            )
+        finally:
+            spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        _chg_fuzz["mt"] = mt
+    return _chg_fuzz["mt"]
+
+
+class TestChangesWhereSoundnessFuzz:
+    """Property: for ANY where-conjunction (cross-type and pcol
+    clauses included), changes(1, where=w) returns exactly
+    changes(1).filter(w) — per-side pruning and pre-filters may only
+    skip work, never change the diff."""
+
+    @given(where=st.lists(_clause(), min_size=1, max_size=3))
+    @settings(
+        max_examples=20, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    def test_pruned_changes_equals_filtered_full(
+        self, spark, tmp_path_factory, where
+    ):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _normalize_where,
+            _where_to_filter,
+        )
+
+        mt = _chg_fuzz_mt(spark, tmp_path_factory)
+        norm = _normalize_where(where)
+        key = lambda r: (r.id, str(r.i), str(r.f), str(r.s), r._change_type)  # noqa: E731
+        got = sorted(
+            map(key, mt.changes(1, where=where).collect())
+        )
+        want = sorted(
+            map(
+                key,
+                mt.changes(1)
+                .filter(_where_to_filter(norm))
+                .collect(),
+            )
+        )
+        assert got == want, (where, got, want)
+
+    @given(where=st.lists(_clause(), min_size=1, max_size=2))
+    @settings(
+        max_examples=10, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    def test_column_spelling_matches_tuple_spelling(
+        self, spark, tmp_path_factory, where
+    ):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _normalize_where,
+            _where_to_filter,
+        )
+
+        mt = _chg_fuzz_mt(spark, tmp_path_factory)
+        norm = _normalize_where(where)
+        col = _where_to_filter(norm)
+        key = lambda r: (r.id, str(r.i), str(r.f), str(r.s), r._change_type)  # noqa: E731
+        got = sorted(map(key, mt.changes(1, where=col).collect()))
+        want = sorted(map(key, mt.changes(1, where=where).collect()))
+        assert got == want, (where, got, want)
