@@ -53,6 +53,7 @@ from __future__ import annotations
 import datetime as _pydatetime
 import decimal as _pydecimal
 import json
+import math as _pymath
 import re
 import uuid
 from contextlib import contextmanager
@@ -479,13 +480,12 @@ def _is_nan(v) -> bool:
     Decimal('NaN') — a Decimal NaN predicate must hit the same
     never-prune guard (it previously crashed pruning against int/str
     bounds with decimal.InvalidOperation and silently PRUNED against
-    float bounds via the double-space cast — code review r12)."""
-    import decimal
-    import math
-
+    float bounds via the double-space cast — code review r12).
+    Module-level imports only: this sits on the per-file-per-clause
+    hot path."""
     if isinstance(v, float):
-        return math.isnan(v)
-    return isinstance(v, decimal.Decimal) and v.is_nan()
+        return _pymath.isnan(v)
+    return isinstance(v, _pydecimal.Decimal) and v.is_nan()
 
 
 def _encode_bound(v, upper: bool):
@@ -1479,15 +1479,18 @@ class ManifestTable:
                 }
                 sub = [cl for cl in norm if cl[0] in here] or None
             if sub:
-                # one shared-selection pass fills the observability
-                # counts AND shrinks the entry list read() re-checks
+                # entry-level keep only (the SAME decision
+                # _entry_scan_selection delegates to, so the counts
+                # cannot desync) — building per-file keep lists here
+                # just to discard them would double the file-stats
+                # evaluation read() performs (code review r12 pass 2)
                 pc, sk = self._pcols_for_pruning(
                     man, T.StructType.fromJson(man["schema"])
                 )
                 ents = [
                     e
                     for e in ents
-                    if _entry_scan_selection(e, sub, pc, sk)[0]
+                    if _entry_may_match(e, sub, pc, sk)
                 ]
             if prune_info is not None:
                 prune_info[f"{side}_entries_scanned"] = len(ents)
