@@ -1602,6 +1602,8 @@ class ManifestTable:
         self,
         retain_versions: int = 2,
         assume_locked: bool = False,
+        cluster_by: list[str] | None = None,
+        target_records_per_file: int | None = None,
     ) -> int:
         """Rewrite every live partition into ONE fresh generation —
         the manifest table's full-compaction maintenance op. Two
@@ -1613,7 +1615,25 @@ class ManifestTable:
         test). Cost: one full-table read + write — schedule it like
         any compaction, and hold the same write lease as the merges
         (taken here unless ``assume_locked``). Returns the number of
-        partitions rewritten."""
+        partitions rewritten.
+
+        ``cluster_by`` (r12) is the Delta ``OPTIMIZE ZORDER``-lite:
+        rows are range-partitioned and sorted by the named columns
+        inside each partition before the rewrite, so the per-file
+        min/max bounds the commit records become SELECTIVE for
+        predicates on those columns — merge-order file layouts give
+        every file near-full-range bounds that prune nothing; a
+        clustered rewrite is how file skipping earns its keep. The
+        sort rides the write (the alias-aware output ordering means
+        ``partitionBy`` adds no re-sort), one shuffle total, no
+        per-partition single-task skew (range split spreads a big
+        partition over many tasks, each emitting a bounds-disjoint
+        file run). For multi-column locality beyond hierarchical
+        sort order, Z-curve keys from ``operators.layout`` can be
+        materialized as a column and named here.
+        ``target_records_per_file`` bounds file size via
+        ``spark.sql.files.maxRecordsPerFile`` for the rewrite only
+        (saved and restored)."""
         ver = self.current_version()
         if ver is None:
             raise ValueError(f"manifest table does not exist: {self.path}")
@@ -1625,11 +1645,43 @@ class ManifestTable:
         if not touched:
             return 0  # empty table: nothing to rewrite
         df = self.read(manifest_dict=man)  # manifest already in hand
+        if cluster_by:
+            missing = [c for c in cluster_by if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"cluster_by column(s) {missing} not in table"
+                    f" schema {df.columns}"
+                )
+            pcols = list(man["partition_cols"])
+            keys = [F.col(c) for c in pcols] + [
+                F.col(c) for c in cluster_by
+            ]
+            df = df.repartitionByRange(*keys).sortWithinPartitions(
+                *pcols, *cluster_by
+            )
+
+        def _run(ver_now: int) -> int:
+            conf = self.spark.conf
+            key = "spark.sql.files.maxRecordsPerFile"
+            # conf.get returns the engine default "0" when unset
+            prev = conf.get(key) if target_records_per_file else None
+            if target_records_per_file:
+                conf.set(key, str(target_records_per_file))
+            try:
+                return self._checked_commit(
+                    df, touched, ver_now, ver, retain_versions
+                )
+            finally:
+                if target_records_per_file:
+                    if prev in (None, "0"):
+                        conf.unset(key)
+                    else:
+                        conf.set(key, prev)
+
         if assume_locked:
-            return self._checked_commit(df, touched, ver, ver, retain_versions)
+            return _run(ver)
         with table_write_lock(self.spark, self.path, holder="compact"):
-            ver2 = self.current_version()
-            return self._checked_commit(df, touched, ver2, ver, retain_versions)
+            return _run(self.current_version())
 
     # ---- optimistic (staged) commits ------------------------------
 

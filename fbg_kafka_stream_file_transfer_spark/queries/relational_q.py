@@ -3146,3 +3146,101 @@ GROUP BY event_type, fs.files_scanned, ft.files_total
 """,
     doc="per-file data skipping: file-level min/max bounds select event_id blocks within partitions; the oracle recomputes files scanned/total from row-number blocks",
 )
+
+
+def _q_table_clustered_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered compaction makes file skipping earn its keep (round
+    12): events land in a DELIBERATELY bad layout (round-robin files —
+    every file spans the full event_id range, so the per-file bounds
+    the commit records prune nothing), then
+    ``compact(cluster_by=["event_id"])`` rewrites each partition
+    range-split and sorted, after which the same
+    ``read(where=event_id >= cut)`` selects a strict subset of files.
+    The in-function asserts pin the before (no file pruned) and after
+    (files pruned) states plus the compaction-is-a-data-no-op diff;
+    the oracle pins exact row values. This is the Delta ``OPTIMIZE
+    ZORDER``-lite leg of the r12 skipping story: bounds exist at
+    commit, LAYOUT is what makes them selective.
+
+    Scale shape: one shuffle (range partitioner over pt + cluster
+    key) + one partitioned write — the same cost class as the plain
+    compaction it extends; no per-partition single-task skew (a big
+    partition spreads over many range tasks, each emitting a
+    bounds-disjoint file run)."""
+    import shutil
+    import tempfile
+
+    from ..operators.table import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "props"
+    )
+    max_id, n = ev.agg(F.max("event_id"), F.count(F.lit(1))).collect()[0]
+    cut = 3 * (max_id + 1) // 4
+    m = max(125, (n + 799) // 800)
+    evp = ev.withColumn(
+        "pt", (F.col("event_id") % 4).cast("int")
+    ).repartition(8)  # round-robin: every file spans the full range
+    work = tempfile.mkdtemp(prefix="table_ccomp_")
+    path = f"{work}/events_clustered"
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", str(m))
+    try:
+        mt = ManifestTable(spark, path)
+        mt.create(evp, ["pt"])
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        where = [("event_id", ">=", cut)]
+        before = mt.prune_file_stats(where)
+        # merge-order layout: bounds admit (almost) everything — a
+        # stray boundary file may prune, the layout as a whole must
+        # not (≥90% of files scanned)
+        assert before["files_total"] > 4, before
+        assert (
+            before["files_scanned"] >= 0.9 * before["files_total"]
+        ), before
+        mt.compact(
+            cluster_by=["event_id"],
+            target_records_per_file=m,
+            retain_versions=3,
+        )
+        assert mt.changes(1, 2).count() == 0  # data no-op
+        after = mt.prune_file_stats(where)
+        # clustering must strictly improve the scan fraction and
+        # leave a strict subset
+        assert 0 < after["files_scanned"] < after["files_total"], after
+        assert (
+            after["files_scanned"] / after["files_total"]
+            < before["files_scanned"] / before["files_total"]
+        ), (before, after)
+        rows = (
+            mt.read(where=where)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+                F.sum(F.length("props")).cast("bigint").alias("props_len"),
+            )
+            .collect()  # materialize before the temp table is removed
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, id_checksum bigint,"
+            " props_len bigint",
+        )
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_clustered_compaction"] = Q(
+    _q_table_clustered_compaction,
+    """
+WITH cut AS (SELECT 3 * (MAX(event_id) + 1) // 4 AS cut FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_checksum,
+       CAST(sum(length(props)) AS BIGINT) AS props_len
+FROM events, cut
+WHERE event_id >= cut.cut
+GROUP BY 1
+""",
+    doc="clustered compaction (OPTIMIZE ZORDER-lite): a sort-by-key rewrite turns prune-nothing round-robin file bounds into a strict-subset file scan, values unchanged",
+)

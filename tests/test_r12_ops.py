@@ -805,3 +805,69 @@ class TestChangesWhereSoundnessFuzz:
         got = sorted(map(key, mt.changes(1, where=col).collect()))
         want = sorted(map(key, mt.changes(1, where=where).collect()))
         assert got == want, (where, got, want)
+
+
+class TestClusteredCompaction:
+    """r12: compact(cluster_by=) — the OPTIMIZE ZORDER-lite rewrite
+    that makes per-file bounds selective."""
+
+    @pytest.fixture()
+    def mt(self, spark, tmp_path):
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "25")
+        try:
+            df = spark.createDataFrame(
+                [(i, i % 4, float(i)) for i in range(400)],
+                "id int, pt int, v double",
+            ).repartition(4)  # round-robin: every file spans everything
+            mt = ManifestTable(spark, str(tmp_path / "t"))
+            mt.create(df, ["pt"])
+        finally:
+            spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        return mt
+
+    def test_clustered_rewrite_makes_bounds_selective(self, spark, mt):
+        w = [("v", ">=", 300.0)]
+        before = mt.prune_file_stats(w)
+        # round-robin layout: (nearly) nothing prunes — a stray
+        # boundary file may, the layout as a whole must not
+        assert before["files_total"] >= 8
+        assert before["files_scanned"] >= 0.9 * before["files_total"]
+        n = mt.compact(
+            cluster_by=["v"], target_records_per_file=25, retain_versions=3
+        )
+        assert n == 4
+        after = mt.prune_file_stats(w)
+        assert 0 < after["files_scanned"] < after["files_total"]
+        assert (
+            after["files_scanned"] / after["files_total"]
+            < 0.9 * before["files_scanned"] / before["files_total"]
+        )
+        # data unchanged: the diff across the compaction is empty and
+        # the pruned read equals the plain filter
+        assert mt.changes(1, 2).count() == 0
+        got = sorted(r.id for r in mt.read(where=w).collect())
+        want = sorted(
+            r.id for r in mt.read().filter(F.col("v") >= 300.0).collect()
+        )
+        assert got == want and len(got) == 100
+        # the maxRecordsPerFile override is restored afterwards
+        assert spark.conf.get("spark.sql.files.maxRecordsPerFile") == "0"
+
+    def test_unknown_cluster_column_raises(self, mt):
+        with pytest.raises(ValueError, match="cluster_by"):
+            mt.compact(cluster_by=["nope"])
+
+    def test_conf_override_restored_to_prior_value(self, spark, mt):
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "777")
+        try:
+            mt.compact(cluster_by=["v"], target_records_per_file=25)
+            assert (
+                spark.conf.get("spark.sql.files.maxRecordsPerFile") == "777"
+            )
+        finally:
+            spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+
+    def test_plain_compact_unchanged(self, mt):
+        # no cluster_by: the r12 params default off, same behavior
+        assert mt.compact(retain_versions=3) == 4
+        assert mt.changes(1, 2).count() == 0
