@@ -181,6 +181,7 @@ def start_table_changes_tail(
     change_col: str = "_change_type",
     max_versions_per_trigger: int | None = None,
     feed_retain_versions: int | None = None,
+    where=None,
 ):
     """Start tailing ``table_path``'s commits into ``feed_dir``;
     returns the :class:`StreamingQuery`.
@@ -195,7 +196,19 @@ def start_table_changes_tail(
     complete directories (:func:`prune_changes_feed`) so a long-lived
     tail's disk footprint stays O(N) instead of O(all commits ever);
     leave ``None`` for an append-only feed the consumer prunes
-    itself."""
+    itself.
+
+    ``where`` (r12) makes this a FILTERED subscription: the same
+    predicate :meth:`ManifestTable.read` accepts (clause conjunction
+    or pyspark Column) applied to BOTH the snapshot bootstrap and
+    every per-version diff — a per-row filter commutes with each
+    diff, so a consumer folding the feed holds exactly the filtered
+    table state. Operationally the prunable conjuncts skip entries
+    and files version-scoped on each side (:meth:`changes`), so a
+    one-key-range subscriber pays O(its range ∩ each delta), not
+    O(touched partitions). The feed is then PARTIAL by construction:
+    point other consumers at their own feed_dir/checkpoint rather
+    than sharing a filtered feed."""
     mt = ManifestTable(spark, table_path)
     _reject_column_collisions(
         [f.name for f in mt.schema().fields], change_col
@@ -332,19 +345,23 @@ def start_table_changes_tail(
                     )
                 # fresh consumer on a pre-existing table: the oldest
                 # discoverable version bootstraps as a full snapshot
-                diff = mt.read(version=v).withColumn(
+                # (filtered the same way as every diff, so folded
+                # state stays consistent with the predicate)
+                diff = mt.read(version=v, where=where).withColumn(
                     change_col, F.lit("insert")
                 )
                 needed = (v,)  # the snapshot scans only v's manifest
             elif v == 1:
-                diff = mt.read(version=1).withColumn(
+                diff = mt.read(version=1, where=where).withColumn(
                     change_col, F.lit("insert")
                 )
                 needed = (1,)
             else:
                 # raises the explicit retention error if v-1's
                 # manifest is gone but the consumer HAS prior state
-                diff = mt.changes(v - 1, v, change_col=change_col)
+                diff = mt.changes(
+                    v - 1, v, change_col=change_col, where=where
+                )
                 needed = (v - 1, v)
             final = f"{feed_dir}/v{v:08d}"
             tmp = f"{feed_dir}/.v{v:08d}.tmp"

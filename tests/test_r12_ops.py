@@ -871,3 +871,82 @@ class TestClusteredCompaction:
         # no cluster_by: the r12 params default off, same behavior
         assert mt.compact(retain_versions=3) == 4
         assert mt.changes(1, 2).count() == 0
+
+
+class TestFilteredChangesTail:
+    """r12: start_table_changes_tail(where=) is a FILTERED
+    subscription — the folded feed equals the filtered table state,
+    with the predicate applied to the snapshot bootstrap AND every
+    per-version diff."""
+
+    def _run(self, spark, tmp_path, where):
+        from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+            merge_into_partitioned,
+        )
+        from fbg_kafka_stream_file_transfer_spark.streaming.table_tail import (
+            start_table_changes_tail,
+        )
+
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        base = spark.createDataFrame(
+            [(1, "a", "x1"), (2, "a", "x2"), (3, "b", "x3"), (4, "c", "x4")],
+            "id int, pt string, v string",
+        )
+        mt.create(base, ["pt"])
+        q = start_table_changes_tail(
+            spark, path, str(tmp_path / "feed"), str(tmp_path / "ckpt"),
+            where=where,
+        )
+        try:
+            q.processAllAvailable()  # v1 snapshot (filtered)
+            upd = spark.createDataFrame(
+                [(1, "a", "X1", "U"), (3, "b", "x3", "D"), (9, "c", "x9", "U")],
+                "id int, pt string, v string, op string",
+            )
+            merge_into_partitioned(
+                spark, path, upd, ["id"], ["pt"], op_col="op"
+            )
+            q.processAllAvailable()  # v2 diff (filtered)
+        finally:
+            q.stop()
+        return mt
+
+    def _feed(self, spark, tmp_path, path):
+        from fbg_kafka_stream_file_transfer_spark.streaming.table_tail import (
+            read_changes_feed,
+        )
+
+        feed = read_changes_feed(spark, path, str(tmp_path / "feed"))
+        return sorted(
+            (r._commit_version, r.id, r.pt, r.v, r._change_type)
+            for r in feed.collect()
+        )
+
+    def test_pcol_filtered_feed(self, spark, tmp_path):
+        mt = self._run(spark, tmp_path, [("pt", "=", "a")])
+        rows = self._feed(spark, tmp_path, mt.path)
+        # only partition 'a' ever appears; the v2 update shows as
+        # delete(old)+insert(new); pt=b's delete and pt=c's insert
+        # are outside the subscription
+        assert rows == [
+            (1, 1, "a", "x1", "insert"),
+            (1, 2, "a", "x2", "insert"),
+            (2, 1, "a", "X1", "insert"),
+            (2, 1, "a", "x1", "delete"),
+        ]
+
+    def test_folded_feed_equals_filtered_table(self, spark, tmp_path):
+        mt = self._run(spark, tmp_path, F.col("id") >= 2)
+        rows = self._feed(spark, tmp_path, mt.path)
+        # fold the feed: apply inserts minus deletes in version order
+        state: dict = {}
+        for _ver, rid, pt, v, kind in rows:
+            k = (rid, pt, v)
+            state[k] = state.get(k, 0) + (1 if kind == "insert" else -1)
+        folded = sorted(k for k, n in state.items() if n > 0)
+        want = sorted(
+            (r.id, r.pt, r.v)
+            for r in mt.read().filter(F.col("id") >= 2).collect()
+        )
+        assert folded == want
