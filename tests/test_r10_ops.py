@@ -431,8 +431,8 @@ class TestGcRaceClassification:
         )
         orig = ManifestTable.changes
 
-        def hijacked(self, v_from, v_to, change_col="_change_type"):
-            diff = orig(self, v_from, v_to, change_col=change_col)
+        def hijacked(self, v_from, v_to, change_col="_change_type", **kw):
+            diff = orig(self, v_from, v_to, change_col=change_col, **kw)
             # a concurrent writer commits + GCs AFTER the manifests
             # were read but BEFORE the lazy data scan executes
             merge_into_partitioned(
