@@ -230,6 +230,29 @@ def main(sf_dir: str, work_dir: str) -> None:
     v = mt.commit_staged(staged, retain_versions=10)
     print(f"optimistic rewrite of pt={pt0} published as v{v} "
           "(lease held only for the metadata publish)")
+    # file-granular skipping (r12): a clustered compaction sorts each
+    # partition by the predicate column so the per-FILE bounds the
+    # commit records become selective — a range read then lists only
+    # the surviving files, one level below the partition pruning above
+    n_rows = mt.read().count()
+    per_file = max(25, n_rows // 32)  # ≥2 files/partition at any sf
+    mt.compact(
+        cluster_by=["event_id"],
+        target_records_per_file=per_file,
+        retain_versions=3,
+    )
+    hi = mt.read().agg(F.max("event_id")).collect()[0][0]
+    w = [("event_id", ">=", (lo + hi) * 3 // 4)]
+    ps = mt.prune_file_stats(w)
+    print(
+        f"clustered file skip: {ps['files_scanned']}/{ps['files_total']}"
+        f" files scanned for the top event_id quartile"
+        f" ({ps['entries_scanned']}/{ps['entries_total']} partitions)"
+    )
+    # the natural partition-column predicate prunes too (r12): this
+    # lists ONE directory, not every live partition
+    s2, t2 = mt.prune_stats([("pt", "=", pt0)])
+    print(f"partition-key where-clause: {s2}/{t2} partitions scanned")
     spark.stop()
 
 
