@@ -950,3 +950,48 @@ class TestFilteredChangesTail:
             for r in mt.read().filter(F.col("id") >= 2).collect()
         )
         assert folded == want
+
+
+class TestPcolPruningCompletes:
+    """pcol where-pruning over the r10 hard cases: multi-level keys
+    and filesystem-hostile partition values."""
+
+    def test_second_level_pcol_clause_prunes(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [
+                (i, ["A", "B"][i % 2], ["x", "y", "z"][i % 3], float(i))
+                for i in range(30)
+            ],
+            "id int, p1 string, p2 string, v double",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["p1", "p2"])  # 6 entries
+        assert mt.prune_stats([("p2", "=", "y")]) == (2, 6)
+        assert mt.prune_stats([("p1", "=", "A"), ("p2", "=", "y")]) == (1, 6)
+        a = sorted(
+            r.id
+            for r in mt.read(
+                where=[("p1", "=", "A"), ("p2", "=", "y")]
+            ).collect()
+        )
+        b = sorted(r.id for r in mt.read(partitions=[("A", "y")]).collect())
+        assert a == b and a
+
+    def test_tricky_partition_values_prune_exactly(self, spark, tmp_path):
+        vals = ["plain", "has space", "a#b", "a/b", "=eq", "dot.."]
+        df = spark.createDataFrame(
+            [(i, vals[i % len(vals)]) for i in range(18)],
+            "id int, ps string",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["ps"])
+        for v in vals:
+            assert mt.prune_stats([("ps", "=", v)]) == (1, 6), v
+            got = sorted(
+                r.id for r in mt.read(where=[("ps", "=", v)]).collect()
+            )
+            want = sorted(
+                r.id for r in mt.read(partitions=[(v,)]).collect()
+            )
+            assert got == want and len(got) == 3, v
+        assert mt.prune_stats([("ps", "in", ["has space", "a/b"])]) == (2, 6)
