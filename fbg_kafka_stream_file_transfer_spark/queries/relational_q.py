@@ -2083,7 +2083,7 @@ def _q_table_compaction_equivalence(spark: SparkSession, sf_dir: str) -> DataFra
             spark, path, dele.unionByName(ins), ["doc_id"], ["lang"],
             op_col="op",
         )
-        mt.compact()  # v3; retain window now [2, 3]
+        mt.compact()  # v3; keep-current default retains [1, 2, 3]
         maintenance_rows = mt.changes(2, 3).count()
         gens = {
             e["dir"].split("/")[1] for e in mt.manifest()["entries"]
@@ -3078,11 +3078,20 @@ def _q_table_file_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="table_fstats_")
     path = f"{work}/events_blocked"
-    spark.conf.set("spark.sql.files.maxRecordsPerFile", str(m))
+    _mrpf = "spark.sql.files.maxRecordsPerFile"
+    prior_m = spark.conf.get(_mrpf)  # engine default "0" when unset
+
+    def _restore_mrpf():
+        if prior_m in (None, "0"):
+            spark.conf.unset(_mrpf)
+        else:
+            spark.conf.set(_mrpf, prior_m)
+
+    spark.conf.set(_mrpf, str(m))
     try:
         mt = ManifestTable(spark, path)
         mt.create(evp, ["pt"])
-        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        _restore_mrpf()
         where = [("event_id", ">=", cut)]
         ps = mt.prune_file_stats(where)
         # file pruning must bite, and nothing may fall back to a
@@ -3111,7 +3120,7 @@ def _q_table_file_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             " files_scanned int, files_total int",
         )
     finally:
-        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        _restore_mrpf()
         shutil.rmtree(work, ignore_errors=True)
 
 
@@ -3183,11 +3192,20 @@ def _q_table_clustered_compaction(spark: SparkSession, sf_dir: str) -> DataFrame
     ).repartition(8)  # round-robin: every file spans the full range
     work = tempfile.mkdtemp(prefix="table_ccomp_")
     path = f"{work}/events_clustered"
-    spark.conf.set("spark.sql.files.maxRecordsPerFile", str(m))
+    _mrpf = "spark.sql.files.maxRecordsPerFile"
+    prior_m = spark.conf.get(_mrpf)  # engine default "0" when unset
+
+    def _restore_mrpf():
+        if prior_m in (None, "0"):
+            spark.conf.unset(_mrpf)
+        else:
+            spark.conf.set(_mrpf, prior_m)
+
+    spark.conf.set(_mrpf, str(m))
     try:
         mt = ManifestTable(spark, path)
         mt.create(evp, ["pt"])
-        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        _restore_mrpf()
         where = [("event_id", ">=", cut)]
         before = mt.prune_file_stats(where)
         # merge-order layout: bounds admit (almost) everything — a
@@ -3227,7 +3245,7 @@ def _q_table_clustered_compaction(spark: SparkSession, sf_dir: str) -> DataFrame
             " props_len bigint",
         )
     finally:
-        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        _restore_mrpf()
         shutil.rmtree(work, ignore_errors=True)
 
 
