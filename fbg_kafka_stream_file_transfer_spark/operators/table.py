@@ -892,12 +892,21 @@ def _entry_scan_selection(
     fstats = entry.get("files")
     if not fstats:
         return True, None
+    # partition-column clauses are decided once at entry level above;
+    # per-file stats never cover pcols, so evaluating them per file
+    # would be a guaranteed dict-miss no-op repeated up to
+    # _FILE_STATS_MAX times (external review r12) — run only the
+    # data-column clauses over the file loop
+    pset = set(pcols or ())
+    data_norm = [cl for cl in norm if cl[0] not in pset]
+    if not data_norm:
+        return True, None
     keep = [
         n
         for n, st in fstats.items()
         if all(
             _where_clause_may_match(st, col, op, value)
-            for col, op, value in norm
+            for col, op, value in data_norm
         )
     ]
     if len(keep) == len(fstats):
@@ -1598,24 +1607,107 @@ class ManifestTable:
                 df, touched, ver, expected_version, retain_versions
             )
 
+    def small_file_report(
+        self,
+        version: int | None = None,
+        manifest_dict: dict | None = None,
+    ) -> list[dict]:
+        """Per live partition: ``{"key", "values", "files", "rows"}``
+        — the observability hook that drives
+        ``compact(min_files=...)``. File counts come from the
+        MANIFEST alone wherever it knows them (the per-file bounds
+        map, or the ``nfiles`` count every stats-bearing commit
+        records since r13 — including 1-file and past-the-cap
+        entries the bounds map omits); only entries the manifest
+        cannot answer (pre-r13 commits outside the 2..cap window,
+        stats-disabled tables) fall back to one directory listing
+        each — O(unknown entries) metadata calls, zero data I/O."""
+        m = (
+            manifest_dict
+            if manifest_dict is not None
+            else self.manifest(version)
+        )
+        out: list[dict] = []
+        pending: list[tuple[int, str]] = []
+        for e in m["entries"]:
+            st = e.get("stats") or {}
+            fmap = e.get("files")
+            n = len(fmap) if fmap else st.get("nfiles")
+            out.append(
+                {
+                    "key": e["key"],
+                    "values": tuple(
+                        _decode_value(p) for p in e["values"]
+                    ),
+                    "files": n,
+                    "rows": st.get("rows"),
+                }
+            )
+            if n is None:
+                pending.append((len(out) - 1, e["dir"]))
+        if pending:
+            fs, _ = _hadoop_fs(self.spark, self.path)
+            jvm_path = self.spark._jvm.org.apache.hadoop.fs.Path
+            for i, rel in pending:
+                n = 0
+                for status in fs.listStatus(
+                    jvm_path(f"{self.path}/{rel}")
+                ):
+                    name = status.getPath().getName()
+                    if not name.startswith(("_", ".")):
+                        n += 1
+                out[i]["files"] = n
+        return out
+
     def compact(
         self,
-        retain_versions: int = 2,
+        retain_versions: int | None = None,
         assume_locked: bool = False,
         cluster_by: list[str] | None = None,
         target_records_per_file: int | None = None,
+        partitions: list[tuple] | None = None,
+        min_files: int | None = None,
+        optimistic: bool = False,
     ) -> int:
-        """Rewrite every live partition into ONE fresh generation —
-        the manifest table's full-compaction maintenance op. Two
-        effects: the next GC can drop every older generation (the
-        multi-merge read fans out over one scan of one generation
-        again), and each partition's many small delta files coalesce.
-        Atomic like any commit: readers see the pre- or post-compaction
-        version, and the rewrite is semantically a no-op (pinned by
-        test). Cost: one full-table read + write — schedule it like
-        any compaction, and hold the same write lease as the merges
-        (taken here unless ``assume_locked``). Returns the number of
-        partitions rewritten.
+        """Rewrite live partitions into ONE fresh generation — the
+        manifest table's compaction maintenance op. Two effects: GC
+        can drop generations nothing references anymore (the
+        multi-merge read fans out over one scan again), and each
+        rewritten partition's many small delta files coalesce.
+        Atomic like any commit: readers see the pre- or
+        post-compaction version, and the rewrite is semantically a
+        no-op (pinned by test). Returns the number of partitions
+        rewritten.
+
+        SELECTIVE compaction (r13) is what a 100 TB operator actually
+        runs — a streaming CDC sink accretes small files in HOT
+        partitions while cold ones never need touching, and a
+        full-table rewrite is O(table) I/O:
+
+        - ``partitions=[...]`` (value tuples) rewrites ONLY those
+          partitions; every untouched entry is re-referenced in the
+          new manifest verbatim — its data files are never read,
+          written, or moved (the same mixed-generation mechanics
+          every merge commit uses).
+        - ``min_files=N`` selects the partitions whose entries hold
+          ≥ N files, per :meth:`small_file_report` — the Delta
+          ``OPTIMIZE``-style small-file sweep. Combinable with
+          ``partitions`` (union). Selecting nothing returns 0
+          WITHOUT publishing a version (a no-op sweep must not
+          burn a commit).
+        - ``optimistic=True`` routes the rewrite through the staged
+          path: the read + shuffle + parquet write + stats all run
+          OUTSIDE the write lease (concurrent with live writers),
+          and only the manifest publish takes the lock, rebasing
+          over disjoint-partition winners like any optimistic merge
+          — compaction's read set IS its write set, so the rebase
+          conflict check is exact.
+
+        ``retain_versions=None`` (default, r13) KEEPS every currently
+        retained version — a bare maintenance call must not truncate
+        a 5-version-retention table's history to 2 as a side effect
+        (the r10 defaults-that-truncate class); pass an explicit
+        window to also GC.
 
         ``cluster_by`` (r12) is the Delta ``OPTIMIZE ZORDER``-lite:
         rows are range-partitioned and sorted by the named columns
@@ -1638,13 +1730,38 @@ class ManifestTable:
         if ver is None:
             raise ValueError(f"manifest table does not exist: {self.path}")
         man = self.manifest(ver)
+        live = {e["key"]: e for e in man["entries"]}
+        if partitions is None and min_files is None:
+            sel_keys = list(live)
+        else:
+            sel = set()
+            if partitions is not None:
+                for t in partitions:
+                    k = _partition_key(tuple(t))
+                    if k not in live:
+                        raise ValueError(
+                            f"partition {tuple(t)!r} is not a live"
+                            f" partition of {self.path}"
+                        )
+                    sel.add(k)
+            if min_files is not None:
+                sel.update(
+                    r["key"]
+                    for r in self.small_file_report(manifest_dict=man)
+                    if r["files"] >= min_files
+                )
+            sel_keys = [k for k in live if k in sel]  # manifest order
+        if not sel_keys:
+            return 0  # nothing selected: no version published
         touched = [
-            tuple(_decode_value(p) for p in e["values"])
-            for e in man["entries"]
+            tuple(_decode_value(p) for p in live[k]["values"])
+            for k in sel_keys
         ]
-        if not touched:
-            return 0  # empty table: nothing to rewrite
-        df = self.read(manifest_dict=man)  # manifest already in hand
+        df = self.read(
+            manifest_dict=man,
+            partitions=touched if len(sel_keys) < len(live) else None,
+        )
+        pcols = list(man["partition_cols"])
         if cluster_by:
             missing = [c for c in cluster_by if c not in df.columns]
             if missing:
@@ -1652,15 +1769,33 @@ class ManifestTable:
                     f"cluster_by column(s) {missing} not in table"
                     f" schema {df.columns}"
                 )
-            pcols = list(man["partition_cols"])
             keys = [F.col(c) for c in pcols] + [
                 F.col(c) for c in cluster_by
             ]
             df = df.repartitionByRange(*keys).sortWithinPartitions(
                 *pcols, *cluster_by
             )
+        else:
+            # hash-repartition on the partition columns so each
+            # directory's rows land in ONE task: without this the
+            # scan's bin-packed tasks each span many partitions and
+            # each writes a file into EVERY dir it touches — a
+            # "compaction" that can MULTIPLY small files (task count
+            # × dirs; found r13 on the selective path, applies to
+            # full rewrites identically). One shuffle, the
+            # coalescing Delta's OPTIMIZE bin-packs for. Trade: a
+            # giant partition rewrites in a single task —
+            # ``cluster_by`` is the parallel (range-split) rewrite
+            # for skewed tables.
+            df = df.repartition(*[F.col(c) for c in pcols])
 
-        def _run(ver_now: int) -> int:
+        def _retain(ver_now: int) -> int:
+            if retain_versions is not None:
+                return retain_versions
+            # keep everything currently retained, plus the new one
+            return (ver_now + 1) - min(self.versions()) + 1
+
+        def _with_mrpf(fn):
             conf = self.spark.conf
             key = "spark.sql.files.maxRecordsPerFile"
             # conf.get returns the engine default "0" when unset
@@ -1668,15 +1803,37 @@ class ManifestTable:
             if target_records_per_file:
                 conf.set(key, str(target_records_per_file))
             try:
-                return self._checked_commit(
-                    df, touched, ver_now, ver, retain_versions
-                )
+                return fn()
             finally:
                 if target_records_per_file:
                     if prev in (None, "0"):
                         conf.unset(key)
                     else:
                         conf.set(key, prev)
+
+        if optimistic:
+            # stage (read + shuffle + write + stats) outside the
+            # lease; only the publish contends with live writers —
+            # retain_versions=None resolves keep-current at publish
+            # time inside commit_staged, under the lock
+            staged = _with_mrpf(
+                lambda: self.stage_commit(
+                    df, touched=touched, base_version=ver
+                )
+            )
+            self.commit_staged(
+                staged,
+                retain_versions=retain_versions,
+                assume_locked=assume_locked,
+            )
+            return len(touched)
+
+        def _run(ver_now: int) -> int:
+            return _with_mrpf(
+                lambda: self._checked_commit(
+                    df, touched, ver_now, ver, _retain(ver_now)
+                )
+            )
 
         if assume_locked:
             return _run(ver)
@@ -1801,7 +1958,7 @@ class ManifestTable:
     def commit_staged(
         self,
         staged: dict,
-        retain_versions: int = 2,
+        retain_versions: int | None = 2,
         on_conflict: str = "rebase_disjoint",
         lock_wait_seconds: float = 60.0,
         assume_locked: bool = False,
@@ -1828,7 +1985,12 @@ class ManifestTable:
 
         An optimistic writer needs the base version still retained at
         publish time — run with ``retain_versions >= 2`` (the
-        default) so a winner's GC cannot evict it mid-flight."""
+        default) so a winner's GC cannot evict it mid-flight.
+        ``retain_versions=None`` keeps every currently retained
+        version, resolved at publish time under the lock so a rebase
+        over intervening winners still truncates nothing (the
+        maintenance-op default ``compact(optimistic=True)``
+        passes)."""
         if on_conflict not in ("rebase_disjoint", "fail"):
             raise ValueError(
                 "on_conflict must be 'rebase_disjoint' or 'fail'"
@@ -1865,6 +2027,14 @@ class ManifestTable:
                     | set(staged.get("read_keys", [])),
                 )
             version = cur + 1
+            retain = (
+                retain_versions
+                if retain_versions is not None
+                # keep everything currently retained, plus the new
+                # one — resolved HERE, under the lock, so the window
+                # is right even after a rebase over winners
+                else version - min(self.versions()) + 1
+            )
             gen_rel = f"{_DATA_DIR}/g{version:08d}"
             fs, jgen = _hadoop_fs(self.spark, f"{self.path}/{gen_rel}")
             _, jstage = _hadoop_fs(
@@ -1882,7 +2052,7 @@ class ManifestTable:
                 staged["schema_json"],
                 staged["touched"],
                 version,
-                retain_versions,
+                retain,
                 staged["pcols"],
                 staged["dup"],
                 stats_by_key=staged["stats"],
@@ -2255,27 +2425,37 @@ class ManifestTable:
                     if mx is not None:
                         fold_mx[i].append(mx)
                     fold_nulls[i] += frowcount - nn
-                    fcols[c] = {
-                        "mn": _encode_bound(mn, upper=False),
-                        "mx": _encode_bound(mx, upper=True),
-                        "nulls": frowcount - nn,
-                    }
+                    # unbounded sides OMIT the key (readers .get) —
+                    # matching the entry-stats / _virtual_pcol_stats
+                    # shape and saving bytes across up to
+                    # _FILE_STATS_MAX files/entry (external review
+                    # r12)
+                    fcs: dict = {"nulls": frowcount - nn}
+                    b = _encode_bound(mn, upper=False)
+                    if b is not None:
+                        fcs["mn"] = b
+                    b = _encode_bound(mx, upper=True)
+                    if b is not None:
+                        fcs["mx"] = b
+                    fcols[c] = fcs
                 files[fname] = {"rows": frowcount, "cols": fcols}
             cols = {}
             for i, c in enumerate(scols):
-                cols[c] = {
-                    "mn": _encode_bound(
-                        _fold_spark_min(fold_mn[i]), upper=False
-                    ),
-                    "mx": _encode_bound(
-                        _fold_spark_max(fold_mx[i]), upper=True
-                    ),
-                    "nulls": fold_nulls[i],
-                }
-            st = {"rows": total, "cols": cols}
-            # a single-file partition's file bounds ARE the entry
-            # bounds (zero information); past the cap the manifest
-            # bytes beat the listing saved (compact instead)
+                ecs: dict = {"nulls": fold_nulls[i]}
+                b = _encode_bound(_fold_spark_min(fold_mn[i]), upper=False)
+                if b is not None:
+                    ecs["mn"] = b
+                b = _encode_bound(_fold_spark_max(fold_mx[i]), upper=True)
+                if b is not None:
+                    ecs["mx"] = b
+                cols[c] = ecs
+            # the exact file COUNT is recorded unconditionally (one
+            # int — it drives small_file_report/compact(min_files=)
+            # without a listing), while the per-file BOUNDS map has a
+            # value window: a single-file partition's file bounds ARE
+            # the entry bounds (zero information); past the cap the
+            # manifest bytes beat the listing saved (compact instead)
+            st = {"rows": total, "nfiles": len(files), "cols": cols}
             if 2 <= len(files) <= _FILE_STATS_MAX:
                 st["files"] = files
             out[key] = st

@@ -350,9 +350,15 @@ class TestPerFileStats:
         e0 = mt.manifest()["entries"][0]
         st = e0["stats"]["cols"]["v"]
         # folded entry bounds: min ignores NaN, max is NaN → unbounded
+        # — and an unbounded side OMITS its key entirely (r13 external
+        # review: one shape across entry, file, and virtual pcol
+        # stats; readers use .get)
         assert st["mn"] == ["float", "-1.0"], st
-        assert st["mx"] is None, st
+        assert "mx" not in st, st
         assert st["nulls"] == 2
+        for fst in (e0.get("files") or {}).values():
+            vcs = fst["cols"]["v"]
+            assert None not in vcs.values(), vcs
         # NaN file's max bound is unbounded → every range keeps it;
         # pruned read still equals the plain filter
         from fbg_kafka_stream_file_transfer_spark.operators.table import (
