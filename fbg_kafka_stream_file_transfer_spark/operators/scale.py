@@ -289,6 +289,11 @@ def merge_into_partitioned(
     retain_versions: int = 2,
     lock_wait_seconds: float | None = None,
     optimistic: bool = False,
+    when_matched_update: dict | None = None,
+    when_matched_condition: str | Column | None = None,
+    when_matched_delete: str | Column | None = None,
+    when_not_matched_insert: bool | str | Column = True,
+    when_not_matched_by_source_delete: bool | str | Column = False,
 ) -> int:
     """MERGE a keyed delta into a persisted partitioned parquet table,
     rewriting ONLY the partitions the delta touches — the batch upsert/
@@ -304,6 +309,45 @@ def merge_into_partitioned(
     - keys not in ``updates`` survive byte-identically — including
       every row of every untouched partition, whose files are never
       rewritten (dynamic partition overwrite).
+
+    CONDITIONAL mode (r13 — any ``when_*`` argument set): the
+    Delta-shaped ``MERGE`` clause surface, replacing the whole-row
+    semantics above. Mutually exclusive with ``op_col``/``ts_col``
+    (deletes come from clauses, not ops). Conditions and update
+    expressions are SQL strings (or ``Column`` s) over two aliases:
+    ``t`` = the current row, ``s`` = the delta row — ``"t.v + s.v"``,
+    ``"s.ts > t.ts"``. A NULL condition is false (SQL ``WHERE``
+    semantics). Per key, within touched partitions:
+
+    - MATCHED (key in both): ``when_matched_delete`` true → row
+      dropped; else ``when_matched_condition`` (default true) true →
+      the current row with ONLY the ``when_matched_update`` columns
+      ``{col: expr}`` replaced (partial-column update — every other
+      column keeps the stored value; key/partition columns refuse,
+      a moved key is the same constraint as ever); else the current
+      row survives unchanged.
+    - NOT MATCHED (delta-only key): inserted when
+      ``when_not_matched_insert`` (true / condition over ``s``);
+      table columns the delta lacks NULL-fill. Pass ``False`` for an
+      update-only merge.
+    - NOT MATCHED BY SOURCE (current-only key):
+      ``when_not_matched_by_source_delete`` (false / true / condition
+      over ``t``) true → dropped, else survives. SCOPE: candidates
+      are the TOUCHED partitions' rows — untouched partitions are
+      never read or rewritten (at 100 TB a table-wide
+      not-matched-by-source sweep is a full rewrite; scope it by
+      putting every partition you mean to sweep into the delta, the
+      same discipline Delta users apply via an ON partition
+      predicate).
+
+    The delta may carry a SUBSET of table columns (keys + partition
+    columns mandatory) plus EXTRA columns referenced only by
+    expressions (e.g. ``s.amount_delta``) — extras are never stored.
+    One full-outer join on the key — the same single-shuffle,
+    delta-sized plan (Delta's own phase-2 shape); the blind path's
+    broadcast-anti-join is not available because every clause needs
+    the matched/not-matched distinction per row. The at-most-one-
+    row-per-key delta contract applies as in blind mode.
 
     ORDERED mode (``ts_col`` set — requires a single key column): the
     merge becomes conditional on event time instead of blind — per
@@ -403,6 +447,37 @@ def merge_into_partitioned(
         raise ValueError(
             "ordered merge needs exactly one key column and an op_col"
         )
+    clauses = None
+    if (
+        when_matched_update is not None
+        or when_matched_condition is not None
+        or when_matched_delete is not None
+        or when_not_matched_insert is not True
+        or when_not_matched_by_source_delete is not False
+    ):
+        if op_col is not None or ts_col is not None:
+            raise ValueError(
+                "conditional merge clauses are mutually exclusive with"
+                " op_col/ts_col — in clause mode deletes come from"
+                " when_matched_delete / when_not_matched_by_source_delete"
+            )
+        bad = sorted(
+            set(when_matched_update or ())
+            & (set(key_cols) | set(partition_cols))
+        )
+        if bad:
+            raise ValueError(
+                f"when_matched_update may not set key or partition"
+                f" column(s) {bad} — a moved key would leave its stale"
+                " row behind (the standard partition-merge constraint)"
+            )
+        clauses = _MergeClauses(
+            matched_update=dict(when_matched_update or {}),
+            matched_condition=when_matched_condition,
+            matched_delete=when_matched_delete,
+            insert=when_not_matched_insert,
+            not_matched_by_source_delete=when_not_matched_by_source_delete,
+        )
     from .table import is_manifest_table, table_write_lock
 
     if optimistic:
@@ -427,6 +502,7 @@ def merge_into_partitioned(
             retain_versions,
             60.0 if lock_wait_seconds is None else lock_wait_seconds,
             lock_stale_after_seconds,
+            clauses=clauses,
         )
     fs, jroot = _hadoop_fs(spark, path)
     root_existed = bool(fs.exists(jroot))
@@ -443,11 +519,13 @@ def merge_into_partitioned(
                     spark, path, updates, key_cols, partition_cols,
                     op_col, delete_op, ts_col, tiebreak_cols,
                     retain_versions,
+                    clauses=clauses,
                 )
             return _merge_into_plain(
                 spark, path, updates, key_cols, partition_cols,
                 op_col, delete_op, ts_col, tiebreak_cols,
                 fs, jroot, root_existed,
+                clauses=clauses,
             )
     finally:
         if _dir_is_empty(spark, path):
@@ -463,6 +541,34 @@ def merge_into_partitioned(
             _best_effort_delete(spark, path)
 
 
+class _MergeClauses:
+    """Carrier for the conditional-MERGE clause set (r13) — built by
+    ``merge_into_partitioned`` from its ``when_*`` kwargs and threaded
+    through every commit path to ``_compute_merged``."""
+
+    __slots__ = (
+        "matched_update",
+        "matched_condition",
+        "matched_delete",
+        "insert",
+        "not_matched_by_source_delete",
+    )
+
+    def __init__(
+        self,
+        matched_update,
+        matched_condition,
+        matched_delete,
+        insert,
+        not_matched_by_source_delete,
+    ):
+        self.matched_update = matched_update
+        self.matched_condition = matched_condition
+        self.matched_delete = matched_delete
+        self.insert = insert
+        self.not_matched_by_source_delete = not_matched_by_source_delete
+
+
 def _merge_into_plain(
     spark: SparkSession,
     path: str,
@@ -476,6 +582,7 @@ def _merge_into_plain(
     fs,
     jroot,
     root_existed: bool,
+    clauses: _MergeClauses | None = None,
 ) -> int:
     """Dynamic-partition-overwrite commit path (plain Hive layout).
     Caller holds the table write lock."""
@@ -540,7 +647,7 @@ def _merge_into_plain(
         current = current_all.filter(pred)
         merged = _compute_merged(
             current, aligned, key_cols, op_col, delete_op, ts_col,
-            tiebreak_cols,
+            tiebreak_cols, clauses=clauses,
         )
 
         staging = f"{path}/_merge_staging"
@@ -608,11 +715,18 @@ def _compute_merged(
     delete_op: str,
     ts_col: str | None,
     tiebreak_cols: tuple[str, ...],
+    clauses: _MergeClauses | None = None,
 ) -> DataFrame:
     """The merge's relational core, shared by the plain and manifest
     commit paths: survivors (current rows whose key is uncontested) ∪
     winners (blind mode: the update rows minus deletes; ordered mode:
-    the changelog fold over contested current + update rows)."""
+    the changelog fold over contested current + update rows;
+    conditional mode: CASE projections over one full-outer join —
+    ``_compute_merged_conditional``)."""
+    if clauses is not None:
+        return _compute_merged_conditional(
+            current, aligned, key_cols, clauses
+        )
     upd_keys = aligned.select(*key_cols).distinct()
     survivors = current.join(upd_keys, key_cols, "left_anti")
     if ts_col is not None:
@@ -673,6 +787,92 @@ def _compute_merged(
     return survivors.unionByName(incoming.select(*current.columns))
 
 
+def _compute_merged_conditional(
+    current: DataFrame,
+    aligned: DataFrame,
+    key_cols: list[str],
+    clauses: _MergeClauses,
+) -> DataFrame:
+    """Conditional-clause merge core (r13): ONE full-outer join on the
+    key (Delta's own phase-2 shape — every clause needs the row's
+    matched / not-matched / not-matched-by-source class, so the blind
+    path's broadcast anti-join cannot express it), then pure CASE
+    projections — no second shuffle, no window. Clause order is
+    fixed: a matched delete wins over a matched update (the
+    deterministic subset of Delta's ordered-clause evaluation).
+    Conditions evaluate under SQL ``WHERE`` semantics: NULL is false.
+
+    Scale shape: both sides shuffle once on the key, sized by the
+    TOUCHED partitions and the delta — never the table; projections
+    are Catalyst CASE expressions inside whole-stage codegen."""
+    reserved = {"_mrg_t", "_mrg_s"} & (
+        set(current.columns) | set(aligned.columns)
+    )
+    if reserved:
+        raise ValueError(
+            f"conditional merge reserves column name(s)"
+            f" {sorted(reserved)}; the target table / delta may not"
+            " contain them"
+        )
+    missing = [c for c in key_cols if c not in aligned.columns]
+    if missing:
+        raise ValueError(f"delta lacks key column(s) {missing}")
+    tfields = {f.name: f.dataType for f in current.schema.fields}
+    s_has = set(aligned.columns)
+
+    def as_cond(c, default: bool) -> Column:
+        if c is None:
+            return F.lit(default)
+        if isinstance(c, bool):
+            return F.lit(c)
+        col = F.expr(c) if isinstance(c, str) else c
+        # NULL condition is FALSE — SQL WHERE semantics (pinned)
+        return F.coalesce(col.cast("boolean"), F.lit(False))
+
+    upd: dict[str, Column] = {}
+    for c, e in clauses.matched_update.items():
+        if c not in tfields:
+            raise ValueError(
+                f"when_matched_update column {c!r} is not in the table"
+                f" schema {sorted(tfields)}"
+            )
+        expr = F.expr(e) if isinstance(e, str) else e
+        # implicit cast to the stored column type, as Delta does
+        upd[c] = expr.cast(tfields[c])
+
+    t = current.withColumn("_mrg_t", F.lit(1)).alias("t")
+    s = aligned.withColumn("_mrg_s", F.lit(1)).alias("s")
+    # USING-column join: the key columns come out coalesced, correct
+    # for all three row classes
+    j = t.join(s, key_cols, "full_outer")
+    matched = F.col("_mrg_t").isNotNull() & F.col("_mrg_s").isNotNull()
+    t_only = F.col("_mrg_s").isNull()
+    mcond = as_cond(clauses.matched_condition, True)
+    mdel = as_cond(clauses.matched_delete, False)
+    ins = as_cond(clauses.insert, True)
+    nmbs = as_cond(clauses.not_matched_by_source_delete, False)
+    keep = F.when(matched, ~mdel).when(t_only, ~nmbs).otherwise(ins)
+    proj = []
+    for c in current.columns:
+        if c in key_cols:
+            proj.append(F.col(f"`{c}`"))
+            continue
+        tcol = F.col(f"t.`{c}`")
+        scol = (
+            F.col(f"s.`{c}`")
+            if c in s_has
+            else F.lit(None).cast(tfields[c])
+        )
+        mval = F.when(mcond, upd[c]).otherwise(tcol) if c in upd else tcol
+        proj.append(
+            F.when(matched, mval)
+            .when(t_only, tcol)
+            .otherwise(scol)
+            .alias(c)
+        )
+    return j.filter(keep).select(*proj)
+
+
 def _merge_into_manifest(
     spark: SparkSession,
     path: str,
@@ -684,6 +884,7 @@ def _merge_into_manifest(
     ts_col: str | None,
     tiebreak_cols: tuple[str, ...],
     retain_versions: int = 2,
+    clauses: _MergeClauses | None = None,
 ) -> int:
     """Atomic-commit merge path for manifest tables (caller holds the
     table write lock). Same semantics as the plain path; the publish
@@ -703,6 +904,7 @@ def _merge_into_manifest(
         plan = _manifest_merge_plan(
             spark, mt, updates, key_cols, partition_cols, op_col,
             delete_op, ts_col, tiebreak_cols, delta_staging,
+            clauses=clauses,
         )
         if plan is None:
             return 0
@@ -727,6 +929,7 @@ def _manifest_merge_plan(
     ts_col: str | None,
     tiebreak_cols: tuple[str, ...],
     delta_staging: str,
+    clauses: _MergeClauses | None = None,
 ):
     """The compute phase shared by the locked and optimistic manifest
     merge paths: snapshot the delta (exactly-once evaluation, same
@@ -771,7 +974,7 @@ def _manifest_merge_plan(
     current = mt.read(partitions=touched, manifest_dict=man)
     merged = _compute_merged(
         current, aligned, key_cols, op_col, delete_op, ts_col,
-        tiebreak_cols,
+        tiebreak_cols, clauses=clauses,
     )
     return merged, touched, ver
 
@@ -789,6 +992,7 @@ def _merge_into_manifest_optimistic(
     retain_versions: int,
     lock_wait_seconds: float,
     lock_stale_after_seconds: float | None = None,
+    clauses: _MergeClauses | None = None,
 ) -> int:
     """Optimistic-concurrency merge: the ENTIRE compute — delta
     snapshot, current-state read, merge shuffle, generation write,
@@ -814,6 +1018,7 @@ def _merge_into_manifest_optimistic(
         plan = _manifest_merge_plan(
             spark, mt, updates, key_cols, partition_cols, op_col,
             delete_op, ts_col, tiebreak_cols, delta_staging,
+            clauses=clauses,
         )
         if plan is None:
             return 0

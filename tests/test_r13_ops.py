@@ -1,0 +1,495 @@
+"""Round-13 feature and regression tests.
+
+Pins the three r12 external-review advice items (maxRecordsPerFile
+save/restore in the bench queries, pcol-clause pre-split in
+_entry_scan_selection, omitted-None stats bounds — the last asserted
+in test_r12_ops/test_r11_ops shape pins), then the r13 features:
+selective compaction (partitions= / min_files= / optimistic=),
+small_file_report, keep-current retention defaults on maintenance
+ops, the plain-compact coalescing repartition, and conditional MERGE
+clauses on merge_into_partitioned.
+"""
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+    merge_into_partitioned,
+)
+from fbg_kafka_stream_file_transfer_spark.operators.table import (
+    ManifestTable,
+    _entry_scan_selection,
+    _normalize_where,
+    _partition_key,
+)
+
+
+def _mk_table(spark, path, retain=5):
+    """pt ∈ {a,b,c}, two delta merges into pt=a only — pt=a accretes
+    generations/files while b/c stay single-generation."""
+    base = spark.createDataFrame(
+        [(i, "abc"[i % 3], float(i)) for i in range(30)],
+        "id int, pt string, v double",
+    )
+    mt = ManifestTable(spark, path)
+    mt.create(base, ["pt"])
+    for k in range(2):
+        d = spark.createDataFrame(
+            [(100 + k, "a", 1.0)], "id int, pt string, v double"
+        )
+        merge_into_partitioned(
+            spark, path, d, ["id"], ["pt"], retain_versions=retain
+        )
+    return mt
+
+
+def _state(mt):
+    return sorted((r.id, r.pt, r.v) for r in mt.read().collect())
+
+
+def _file_mtimes(mt, entry):
+    d = f"{mt.path}/{entry['dir']}"
+    return sorted(
+        (os.path.basename(p), os.path.getmtime(p))
+        for p in glob.glob(f"{d}/*.parquet")
+    )
+
+
+class TestSelectiveCompaction:
+    """compact(partitions=[...]) rewrites ONLY the named partitions;
+    untouched entries are re-referenced verbatim and their data files
+    are never read or written (mtime-pinned, like r8's merge test)."""
+
+    def test_partitions_subset_rewrites_only_selected(
+        self, spark, tmp_path
+    ):
+        mt = _mk_table(spark, str(tmp_path / "t"))
+        ver0 = mt.current_version()
+        before = _state(mt)
+        ent0 = {e["key"]: e for e in mt.manifest()["entries"]}
+        kb, kc = _partition_key(("b",)), _partition_key(("c",))
+        mtimes0 = {k: _file_mtimes(mt, ent0[k]) for k in (kb, kc)}
+        assert mt.compact(partitions=[("a",)]) == 1
+        ent1 = {e["key"]: e for e in mt.manifest()["entries"]}
+        # untouched entries carry forward BYTE-IDENTICAL: same dict
+        # (dir, stats, files map), same on-disk files untouched
+        assert ent1[kb] == ent0[kb] and ent1[kc] == ent0[kc]
+        for k in (kb, kc):
+            assert _file_mtimes(mt, ent1[k]) == mtimes0[k]
+        # the selected partition moved to the fresh generation
+        ka = _partition_key(("a",))
+        assert ent1[ka]["dir"] != ent0[ka]["dir"]
+        # maintenance is data-invisible
+        assert mt.changes(ver0, ver0 + 1).count() == 0
+        assert _state(mt) == before
+
+    def test_unknown_partition_raises(self, spark, tmp_path):
+        mt = _mk_table(spark, str(tmp_path / "t"))
+        with pytest.raises(ValueError, match="not a live partition"):
+            mt.compact(partitions=[("zzz",)])
+
+    def test_min_files_selects_and_noop_publishes_nothing(
+        self, spark, tmp_path
+    ):
+        mt = _mk_table(spark, str(tmp_path / "t"))
+        ver0 = mt.current_version()
+        rep = {tuple(r["values"]): r["files"] for r in mt.small_file_report()}
+        assert all(n >= 2 for n in rep.values())
+        # threshold above every partition: nothing selected, and NO
+        # version is published for the no-op sweep
+        assert mt.compact(min_files=max(rep.values()) + 1) == 0
+        assert mt.current_version() == ver0
+        # threshold that catches only the delta-accreting partition
+        only_a = min_f = None
+        a_files = rep[("a",)]
+        if a_files > rep[("b",)] and a_files > rep[("c",)]:
+            only_a = mt.compact(min_files=max(rep[("b",)], rep[("c",)]) + 1)
+            assert only_a == 1
+        else:
+            # shuffle-layout dependent: fall back to selecting all
+            assert mt.compact(min_files=2) == 3
+
+    def test_plain_compact_coalesces_files(self, spark, tmp_path):
+        # the r13 repartition fix: without it the bin-packed scan
+        # tasks each write a file into EVERY dir they touch and
+        # "compaction" can multiply small files
+        mt = _mk_table(spark, str(tmp_path / "t"))
+        before = _state(mt)
+        rep0 = {tuple(r["values"]): r["files"] for r in mt.small_file_report()}
+        assert mt.compact(min_files=2) == 3
+        rep1 = {tuple(r["values"]): r["files"] for r in mt.small_file_report()}
+        assert all(n == 1 for n in rep1.values()), (rep0, rep1)
+        assert _state(mt) == before
+
+    def test_small_file_report_matches_disk(self, spark, tmp_path):
+        mt = _mk_table(spark, str(tmp_path / "t"))
+        for r in mt.small_file_report():
+            key = _partition_key(r["values"])
+            ent = next(
+                e for e in mt.manifest()["entries"] if e["key"] == key
+            )
+            on_disk = len(
+                glob.glob(f"{mt.path}/{ent['dir']}/*.parquet")
+            )
+            assert r["files"] == on_disk, (r, on_disk)
+            assert r["rows"] is not None
+
+    def test_report_listing_fallback_without_stats(self, spark, tmp_path):
+        # stats-disabled table: no nfiles in the manifest, the report
+        # falls back to one directory listing per unknown entry
+        base = spark.createDataFrame(
+            [(i, i % 2, float(i)) for i in range(20)],
+            "id int, pt int, v double",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"), stats_cols=None)
+        mt.create(base, ["pt"])
+        for e in mt.manifest()["entries"]:
+            assert "stats" not in e
+        for r in mt.small_file_report():
+            key = _partition_key(r["values"])
+            ent = next(
+                e for e in mt.manifest()["entries"] if e["key"] == key
+            )
+            on_disk = len(glob.glob(f"{mt.path}/{ent['dir']}/*.parquet"))
+            assert r["files"] == on_disk
+            assert r["rows"] is None
+
+    def test_selective_cluster_by_composes(self, spark, tmp_path):
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "3")
+        try:
+            mt = _mk_table(spark, str(tmp_path / "t"))
+        finally:
+            spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        before = _state(mt)
+        n = mt.compact(
+            partitions=[("a",)],
+            cluster_by=["v"],
+            target_records_per_file=3,
+        )
+        assert n == 1
+        assert _state(mt) == before
+        # the compacted partition's files are v-clustered: bounds
+        # disjoint enough that a top-range predicate skips files
+        ka = _partition_key(("a",))
+        ent = next(
+            e for e in mt.manifest()["entries"] if e["key"] == ka
+        )
+        fmap = ent.get("files")
+        assert fmap and len(fmap) >= 2
+
+    def test_optimistic_compact(self, spark, tmp_path):
+        mt = _mk_table(spark, str(tmp_path / "t"))
+        before = _state(mt)
+        ver0 = mt.current_version()
+        assert mt.compact(partitions=[("a",)], optimistic=True) == 1
+        assert mt.current_version() == ver0 + 1
+        assert mt.changes(ver0, ver0 + 1).count() == 0
+        assert _state(mt) == before
+        # no staging husk left behind
+        assert not glob.glob(f"{mt.path}/_data/.stage-*")
+
+
+class TestKeepCurrentRetention:
+    """r13: a bare maintenance call must not truncate history — the
+    r10 defaults-that-truncate class, now closed for compact() (and
+    commit_staged(retain_versions=None) resolves keep-current at
+    publish time)."""
+
+    def test_bare_compact_keeps_all_versions(self, spark, tmp_path):
+        mt = _mk_table(spark, str(tmp_path / "t"), retain=5)
+        assert mt.versions() == [1, 2, 3]
+        mt.compact()
+        assert mt.versions() == [1, 2, 3, 4]
+        # time travel to every prior version still works
+        assert mt.read(version=1).count() == 30
+
+    def test_explicit_retain_still_truncates(self, spark, tmp_path):
+        mt = _mk_table(spark, str(tmp_path / "t"), retain=5)
+        mt.compact(retain_versions=2)
+        assert mt.versions() == [3, 4]
+
+    def test_commit_staged_none_keeps_current(self, spark, tmp_path):
+        mt = _mk_table(spark, str(tmp_path / "t"), retain=5)
+        d = spark.createDataFrame(
+            [(500, "b", 2.0)], "id int, pt string, v double"
+        )
+        cur = mt.read(partitions=[("b",)]).unionByName(d)
+        staged = mt.stage_commit(cur, [("b",)])
+        v = mt.commit_staged(staged, retain_versions=None)
+        assert mt.versions() == list(range(1, v + 1))
+
+
+class TestPcolClausePreSplit:
+    """r12 external review (low): partition-column clauses are decided
+    once at entry level — the per-file loop must not re-evaluate them
+    (guaranteed dict-miss) and a pcol-only predicate must not restrict
+    the file list at all."""
+
+    def _entry(self):
+        return {
+            "key": "pt=3",
+            "values": [["int", 3]],
+            "dir": "_data/g00000001/_p_pt=3",
+            "stats": {
+                "rows": 10,
+                "cols": {"v": {"mn": ["int", 0], "mx": ["int", 9], "nulls": 0}},
+            },
+            "files": {
+                "f1": {"rows": 5, "cols": {"v": {"mn": ["int", 0], "mx": ["int", 4], "nulls": 0}}},
+                "f2": {"rows": 5, "cols": {"v": {"mn": ["int", 5], "mx": ["int", 9], "nulls": 0}}},
+            },
+        }
+
+    def test_pcol_only_clause_scans_whole_dir(self):
+        norm = _normalize_where([("pt", "=", 3)])
+        keep, files = _entry_scan_selection(
+            self._entry(), norm, pcols=["pt"]
+        )
+        assert keep is True and files is None
+
+    def test_mixed_clause_still_selects_files(self):
+        norm = _normalize_where([("pt", "=", 3), ("v", ">=", 7)])
+        keep, files = _entry_scan_selection(
+            self._entry(), norm, pcols=["pt"]
+        )
+        assert keep is True and files == ["f2"]
+
+    def test_pcol_mismatch_still_prunes_entry(self):
+        norm = _normalize_where([("pt", "=", 4)])
+        keep, files = _entry_scan_selection(
+            self._entry(), norm, pcols=["pt"]
+        )
+        assert keep is False
+
+
+class TestConditionalMerge:
+    """r13: the Delta-shaped clause surface on merge_into_partitioned
+    — partial-column updates, per-clause conditions, scoped
+    not-matched-by-source deletes — same partition-pruned plan."""
+
+    BASE = [
+        (1, "a", 10.0, "keep"),
+        (2, "a", 20.0, "x"),
+        (3, "b", 30.0, "y"),
+        (4, "c", 40.0, "z"),
+    ]
+
+    def _mk(self, spark, tmp_path, manifest=True):
+        path = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            self.BASE, "id int, pt string, v double, note string"
+        )
+        if manifest:
+            mt = ManifestTable(spark, path)
+            mt.create(base, ["pt"])
+            return path, mt
+        base.withColumn("_p", F.col("pt")).write.partitionBy(
+            "pt"
+        ).parquet(path)
+        return path, None
+
+    def _read(self, spark, path, mt):
+        df = mt.read() if mt is not None else spark.read.parquet(path)
+        return sorted(
+            (r.id, r.pt, r.v, r.note)
+            for r in df.select("id", "pt", "v", "note").collect()
+        )
+
+    @pytest.mark.parametrize("manifest", [True, False])
+    def test_partial_update_condition_insert_and_nmbs(
+        self, spark, tmp_path, manifest
+    ):
+        path, mt = self._mk(spark, tmp_path, manifest)
+        delta = spark.createDataFrame(
+            [(1, "a", 5.0), (2, "a", -1.0), (9, "b", 99.0)],
+            "id int, pt string, amount double",
+        )
+        n = merge_into_partitioned(
+            spark, path, delta, ["id"], ["pt"],
+            when_matched_update={"v": "t.v + s.amount"},
+            when_matched_condition="s.amount > 0",
+            when_not_matched_by_source_delete="t.note = 'y'",
+        )
+        assert n == 2  # pt=a, pt=b
+        assert self._read(spark, path, mt) == [
+            (1, "a", 15.0, "keep"),   # updated; note survives (partial)
+            (2, "a", 20.0, "x"),      # condition false → unchanged
+            # (3, 'b', ...) deleted: not matched by source, note='y'
+            (4, "c", 40.0, "z"),      # untouched partition: out of scope
+            (9, "b", None, None),     # inserted; missing cols NULL-fill
+        ]
+
+    def test_update_only_merge_drops_unmatched_source(
+        self, spark, tmp_path
+    ):
+        path, mt = self._mk(spark, tmp_path)
+        delta = spark.createDataFrame(
+            [(1, "a", 1.0), (9, "a", 9.0)], "id int, pt string, v double"
+        )
+        merge_into_partitioned(
+            spark, path, delta, ["id"], ["pt"],
+            when_matched_update={"v": "s.v"},
+            when_not_matched_insert=False,
+        )
+        got = self._read(spark, path, mt)
+        assert (1, "a", 1.0, "keep") in got
+        assert not any(r[0] == 9 for r in got)
+
+    def test_insert_condition_filters_inserts(self, spark, tmp_path):
+        path, mt = self._mk(spark, tmp_path)
+        delta = spark.createDataFrame(
+            [(8, "a", 1.0, "in"), (9, "a", 2.0, "out")],
+            "id int, pt string, v double, note string",
+        )
+        merge_into_partitioned(
+            spark, path, delta, ["id"], ["pt"],
+            when_not_matched_insert="s.note = 'in'",
+        )
+        got = self._read(spark, path, mt)
+        assert (8, "a", 1.0, "in") in got
+        assert not any(r[0] == 9 for r in got)
+
+    def test_matched_delete_beats_update(self, spark, tmp_path):
+        path, mt = self._mk(spark, tmp_path)
+        delta = spark.createDataFrame(
+            [(1, "a", 0.0), (2, "a", 7.0)], "id int, pt string, v double"
+        )
+        merge_into_partitioned(
+            spark, path, delta, ["id"], ["pt"],
+            when_matched_update={"v": "s.v"},
+            when_matched_delete="s.v <= 0",
+        )
+        got = self._read(spark, path, mt)
+        assert not any(r[0] == 1 for r in got)  # deleted
+        assert (2, "a", 7.0, "x") in got        # updated
+
+    def test_null_condition_is_false(self, spark, tmp_path):
+        # SQL WHERE semantics: NULL gates nothing through — the
+        # matched row survives UNCHANGED, the nmbs delete does not
+        # fire, the conditional insert drops the row
+        path, mt = self._mk(spark, tmp_path)
+        delta = spark.createDataFrame(
+            [(1, "a", None), (9, "a", None)],
+            "id int, pt string, flag double",
+        )
+        merge_into_partitioned(
+            spark, path, delta, ["id"], ["pt"],
+            when_matched_update={"v": "t.v * 2"},
+            when_matched_condition="s.flag > 0",
+            when_not_matched_insert="s.flag > 0",
+            when_not_matched_by_source_delete="t.v IS NULL",
+        )
+        got = self._read(spark, path, mt)
+        assert (1, "a", 10.0, "keep") in got  # unchanged
+        assert not any(r[0] == 9 for r in got)  # insert gated off
+        assert (2, "a", 20.0, "x") in got  # nmbs condition false
+
+    def test_nmbs_true_deletes_all_unmatched_in_touched(
+        self, spark, tmp_path
+    ):
+        path, mt = self._mk(spark, tmp_path)
+        delta = spark.createDataFrame(
+            [(1, "a", 10.0)], "id int, pt string, v double"
+        )
+        merge_into_partitioned(
+            spark, path, delta, ["id"], ["pt"],
+            when_matched_update={"v": "s.v"},
+            when_not_matched_by_source_delete=True,
+        )
+        assert self._read(spark, path, mt) == [
+            (1, "a", 10.0, "keep"),
+            (3, "b", 30.0, "y"),  # untouched partitions survive
+            (4, "c", 40.0, "z"),
+        ]
+
+    def test_extra_delta_column_usable_but_not_stored(
+        self, spark, tmp_path
+    ):
+        path, mt = self._mk(spark, tmp_path)
+        delta = spark.createDataFrame(
+            [(1, "a", 2.5)], "id int, pt string, bump double"
+        )
+        merge_into_partitioned(
+            spark, path, delta, ["id"], ["pt"],
+            when_matched_update={"v": "t.v + s.bump"},
+        )
+        df = mt.read()
+        assert "bump" not in df.columns
+        assert self._read(spark, path, mt)[0] == (1, "a", 12.5, "keep")
+
+    def test_update_expr_cast_to_stored_type(self, spark, tmp_path):
+        # Delta-style implicit cast: an integer-typed expression lands
+        # in the double column as double
+        path, mt = self._mk(spark, tmp_path)
+        delta = spark.createDataFrame(
+            [(1, "a", 3)], "id int, pt string, k int"
+        )
+        merge_into_partitioned(
+            spark, path, delta, ["id"], ["pt"],
+            when_matched_update={"v": "s.k"},
+        )
+        row = next(r for r in mt.read().collect() if r.id == 1)
+        assert row.v == 3.0 and isinstance(row.v, float)
+
+    def test_column_objects_accepted(self, spark, tmp_path):
+        path, mt = self._mk(spark, tmp_path)
+        delta = spark.createDataFrame(
+            [(1, "a", 4.0)], "id int, pt string, v double"
+        )
+        merge_into_partitioned(
+            spark, path, delta, ["id"], ["pt"],
+            when_matched_update={"v": F.col("t.v") + F.col("s.v")},
+            when_matched_condition=F.col("s.v") > F.lit(0.0),
+        )
+        assert self._read(spark, path, mt)[0] == (1, "a", 14.0, "keep")
+
+    def test_clause_mode_rejects_op_and_ts(self, spark, tmp_path):
+        path, mt = self._mk(spark, tmp_path)
+        delta = spark.createDataFrame(
+            [(1, "a", 1.0)], "id int, pt string, v double"
+        )
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            merge_into_partitioned(
+                spark, path, delta, ["id"], ["pt"], op_col="op",
+                when_matched_update={"v": "s.v"},
+            )
+
+    def test_update_of_key_or_partition_col_rejected(
+        self, spark, tmp_path
+    ):
+        path, mt = self._mk(spark, tmp_path)
+        delta = spark.createDataFrame(
+            [(1, "a", 1.0)], "id int, pt string, v double"
+        )
+        with pytest.raises(ValueError, match="key or partition"):
+            merge_into_partitioned(
+                spark, path, delta, ["id"], ["pt"],
+                when_matched_update={"pt": "'b'"},
+            )
+
+    def test_unknown_update_column_rejected(self, spark, tmp_path):
+        path, mt = self._mk(spark, tmp_path)
+        delta = spark.createDataFrame(
+            [(1, "a", 1.0)], "id int, pt string, v double"
+        )
+        with pytest.raises(ValueError, match="not in the table"):
+            merge_into_partitioned(
+                spark, path, delta, ["id"], ["pt"],
+                when_matched_update={"nope": "s.v"},
+            )
+
+    def test_optimistic_conditional_merge(self, spark, tmp_path):
+        path, mt = self._mk(spark, tmp_path)
+        delta = spark.createDataFrame(
+            [(1, "a", 2.0), (9, "a", 9.0)], "id int, pt string, v double"
+        )
+        merge_into_partitioned(
+            spark, path, delta, ["id"], ["pt"],
+            when_matched_update={"v": "t.v + s.v"},
+            optimistic=True,
+        )
+        got = self._read(spark, path, mt)
+        assert (1, "a", 12.0, "keep") in got
+        assert (9, "a", 9.0, None) in got
