@@ -3262,3 +3262,250 @@ GROUP BY 1
 """,
     doc="clustered compaction (OPTIMIZE ZORDER-lite): a sort-by-key rewrite turns prune-nothing round-robin file bounds into a strict-subset file scan, values unchanged",
 )
+
+
+def _q_table_selective_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective compaction certification (round 13):
+    ``compact(partitions=[...])`` rewrites ONLY the named partitions
+    into the fresh generation and re-references every untouched entry
+    verbatim — at 100 TB nobody full-rewrites a table because one hot
+    partition accreted small files. Build an events table partitioned
+    by ``pt = event_id % 4``, merge a delta into pt=0 only (value
+    bumped by 1000 for the upper half), then selectively compact
+    pt=0. In-function pins: the untouched entries carry forward
+    DICT-IDENTICAL with their data files' mtimes untouched (never
+    read, never rewritten), the selected entry moves to the new
+    generation, and the compaction commit diffs to ZERO rows
+    (maintenance is invisible to the change feed). The oracle
+    recomputes the merged state arithmetically and pins the metadata
+    constants.
+
+    Scale shape: the rewrite reads and writes ONE partition —
+    O(selected), not O(table); the untouched-entry carry-forward is
+    the same mixed-generation mechanics every merge commit uses."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable, _partition_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    cut = (max_id + 1) // 2
+    evp = ev.withColumn("pt", (F.col("event_id") % 4).cast("int"))
+    work = tempfile.mkdtemp(prefix="table_selcomp_")
+    path = f"{work}/events_by_pt"
+    try:
+        mt = ManifestTable(spark, path)
+        mt.create(evp, ["pt"])
+        delta = evp.filter(
+            (F.col("pt") == 0) & (F.col("event_id") >= cut)
+        ).withColumn("value", F.col("value") + F.lit(1000.0))
+        merge_into_partitioned(
+            spark, path, delta, ["event_id"], ["pt"], retain_versions=5
+        )
+        ver0 = mt.current_version()
+        ent0 = {e["key"]: e for e in mt.manifest()["entries"]}
+        untouched = [_partition_key((p,)) for p in (1, 2, 3)]
+
+        def _mtimes(ent, key):
+            d = f"{path}/{ent[key]['dir']}"
+            return sorted(
+                (_os.path.basename(p), _os.path.getmtime(p))
+                for p in _glob.glob(f"{d}/*.parquet")
+            )
+
+        mt0 = {k: _mtimes(ent0, k) for k in untouched}
+        n_rewritten = mt.compact(partitions=[(0,)])
+        assert n_rewritten == 1, n_rewritten
+        ent1 = {e["key"]: e for e in mt.manifest()["entries"]}
+        intact = all(
+            ent1[k] == ent0[k] and _mtimes(ent1, k) == mt0[k]
+            for k in untouched
+        )
+        assert intact, "untouched entries changed across selective compact"
+        ka = _partition_key((0,))
+        assert ent1[ka]["dir"] != ent0[ka]["dir"]
+        diff_rows = mt.changes(ver0, ver0 + 1).count()
+        assert diff_rows == 0, diff_rows
+        rows = (
+            mt.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.round(F.col("value") * 100, 0).cast("bigint")
+                ).alias("val_cents"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+            )
+            .withColumn("rewritten", F.lit(n_rewritten).cast("int"))
+            .withColumn(
+                "untouched_intact", F.lit(int(intact)).cast("int")
+            )
+            .withColumn(
+                "compact_diff_rows", F.lit(diff_rows).cast("int")
+            )
+            .collect()  # materialize before the temp table is removed
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, val_cents bigint,"
+            " id_checksum bigint, rewritten int, untouched_intact int,"
+            " compact_diff_rows int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_selective_compaction"] = Q(
+    _q_table_selective_compaction,
+    """
+WITH cut AS (SELECT (MAX(event_id) + 1) // 2 AS cut FROM events),
+m AS (
+    SELECT event_id, event_type,
+           CASE WHEN event_id % 4 = 0 AND event_id >= cut.cut
+                THEN value + 1000.0 ELSE value END AS value
+    FROM events, cut
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS val_cents,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       CAST(1 AS INT) AS rewritten,
+       CAST(1 AS INT) AS untouched_intact,
+       CAST(0 AS INT) AS compact_diff_rows
+FROM m GROUP BY event_type
+""",
+    doc="selective compaction: compact(partitions=[(0,)]) rewrites one partition, untouched entries dict- and mtime-identical, zero-row maintenance diff",
+)
+
+
+def _q_merge_conditional_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional MERGE certification (round 13): the Delta-shaped
+    clause surface on ``merge_into_partitioned`` — partial-column
+    ``WHEN MATCHED AND cond THEN UPDATE SET``, conditional inserts,
+    and a ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` scoped to the
+    touched partitions. The delta is derived deterministically from
+    the events table: matched rows (``event_id % 10 = 3``) carry
+    ``amount = value - 500`` (mixed signs, so the update condition
+    ``s.amount > 0`` genuinely gates), insert rows are fresh keys
+    (``event_id + 100000`` for ``event_id % 997 = 0``), and every
+    current ``error`` row with ``value < 100`` in a TOUCHED partition
+    is swept by the not-matched-by-source clause. The oracle
+    recomputes all three clause classes relationally, INCLUDING the
+    touched-partition scope (``pt IN (SELECT DISTINCT pt FROM
+    delta)``) — at small scale factors the delta may not touch every
+    partition, and the scope is part of the contract.
+
+    Scale shape: one full-outer join on the key sized by touched
+    partitions + delta (Delta's phase-2 plan); untouched partitions
+    never read."""
+    import shutil
+    import tempfile
+
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 4).cast("int").alias("pt"),
+        "event_type",
+        "value",
+    )
+    work = tempfile.mkdtemp(prefix="merge_cond_")
+    path = f"{work}/events_by_pt"
+    try:
+        mt = ManifestTable(spark, path)
+        mt.create(ev, ["pt"])
+        dm = ev.filter(F.col("event_id") % 10 == 3).select(
+            "event_id", "pt", "event_type", "value",
+            (F.col("value") - 500.0).alias("amount"),
+        )
+        di = ev.filter(F.col("event_id") % 997 == 0).select(
+            (F.col("event_id") + 100000).alias("event_id"),
+            ((F.col("event_id") + 100000) % 4).cast("int").alias("pt"),
+            F.lit("inserted").alias("event_type"),
+            F.lit(42.0).alias("value"),
+            F.lit(7.0).alias("amount"),
+        )
+        merge_into_partitioned(
+            spark, path, dm.unionByName(di), ["event_id"], ["pt"],
+            when_matched_update={"value": "t.value + s.amount"},
+            when_matched_condition="s.amount > 0",
+            when_not_matched_by_source_delete=(
+                "t.event_type = 'error' AND t.value < 100"
+            ),
+        )
+        rows = (
+            mt.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.round(F.col("value") * 100, 0).cast("bigint")
+                ).alias("val_cents"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+            )
+            .collect()  # materialize before the temp table is removed
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, val_cents bigint,"
+            " id_checksum bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["merge_conditional_clauses"] = Q(
+    _q_merge_conditional_clauses,
+    """
+WITH ev AS (
+    SELECT event_id, CAST(event_id % 4 AS INT) AS pt, event_type, value
+    FROM events
+),
+dm AS (
+    SELECT event_id, pt, event_type, value, value - 500 AS amount
+    FROM ev WHERE event_id % 10 = 3
+),
+di AS (
+    SELECT event_id + 100000 AS event_id,
+           CAST((event_id + 100000) % 4 AS INT) AS pt,
+           'inserted' AS event_type, 42.0 AS value, 7.0 AS amount
+    FROM ev WHERE event_id % 997 = 0
+),
+delta AS (SELECT * FROM dm UNION ALL SELECT * FROM di),
+tch AS (SELECT DISTINCT pt FROM delta),
+matched AS (
+    SELECT e.event_id, e.event_type,
+           CASE WHEN d.amount > 0 THEN e.value + d.amount
+                ELSE e.value END AS value
+    FROM ev e JOIN delta d ON e.event_id = d.event_id
+),
+tonly AS (
+    SELECT e.event_id, e.event_type, e.value FROM ev e
+    WHERE e.event_id NOT IN (SELECT event_id FROM delta)
+      AND NOT (e.pt IN (SELECT pt FROM tch)
+               AND e.event_type = 'error' AND e.value < 100)
+),
+sonly AS (
+    SELECT d.event_id, d.event_type, d.value FROM delta d
+    WHERE d.event_id NOT IN (SELECT event_id FROM ev)
+),
+final AS (
+    SELECT * FROM matched
+    UNION ALL SELECT * FROM tonly
+    UNION ALL SELECT * FROM sonly
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS val_cents,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum
+FROM final GROUP BY event_type
+""",
+    doc="conditional MERGE: partial-column WHEN MATCHED AND cond UPDATE SET, fresh-key inserts, and a touched-partition-scoped NOT MATCHED BY SOURCE delete == relational recomputation",
+)
