@@ -1419,11 +1419,21 @@ class ManifestTable:
         to_names = [f.name for f in to_schema.fields]
         dropped = sorted(set(from_types) - set(to_names))
         if dropped:
-            raise ValueError(
-                f"column(s) {dropped} exist at v{man_from['version']} "
-                f"but not at v{man_to['version']}; the diff cannot be "
-                "expressed in the target schema"
-            )
+            # a TOMBSTONED drop (r13 drop_columns — recorded in the
+            # to-manifest) is expressible: the diff projects both
+            # sides to the to-schema, and rows differing only in
+            # dropped columns collapse — exactly the metadata-only
+            # drop's contract (its own commit diffs to ZERO rows,
+            # pinned). An out-of-band disappearance still raises.
+            tomb = set(man_to.get("dropped_cols", []))
+            not_tomb = [c for c in dropped if c not in tomb]
+            if not_tomb:
+                raise ValueError(
+                    f"column(s) {not_tomb} exist at "
+                    f"v{man_from['version']} but not at "
+                    f"v{man_to['version']}; the diff cannot be "
+                    "expressed in the target schema"
+                )
         retyped = sorted(
             f.name
             for f in to_schema.fields
@@ -2198,12 +2208,229 @@ class ManifestTable:
                 retain,
                 cur_raw.get("shard_target", self.shard_target),
                 cur_raw.get("stats_cols", "auto"),
+                dropped_cols=cur_raw.get("dropped_cols"),
             )
             return cur + 1
 
         if assume_locked:
             return _do()
         with table_write_lock(self.spark, self.path, holder="restore"):
+            return _do()
+
+    def drop_columns(
+        self,
+        cols: list[str],
+        retain_versions: int | None = None,
+        assume_locked: bool = False,
+    ) -> int:
+        """Drop non-partition column(s) as a METADATA-ONLY commit
+        (r13) — the `ALTER TABLE DROP COLUMN` analog: the new
+        manifest re-references every entry unchanged with the columns
+        removed from the schema, so no data file is read, written, or
+        moved — a 100 TB drop is a small-file write. Readers of the
+        new version never see the columns (reads use the manifest
+        schema; parquet ignores unselected fields); time travel to
+        retained pre-drop versions still sees them (each version
+        reads with its own schema); the drop commit itself diffs to
+        ZERO rows in ``changes()`` (rows differing only in dropped
+        columns collapse under the to-schema projection — pinned).
+
+        The dropped NAMES are TOMBSTONED forever (a persisted
+        ``dropped_cols`` table property): retained pre-drop data
+        files still carry values under those names, and vanilla
+        parquet resolves columns BY NAME — re-adding a dropped name
+        would silently resurrect old values in every pre-drop file
+        instead of the NULLs an added column promises. This is the
+        field-ID problem Iceberg solves in its manifest and plain
+        parquet cannot; every later commit refuses a tombstoned name
+        (loud, tested). To reclaim a name (or the dead bytes), do
+        the full rewrite: ``create`` a fresh table from ``read()``.
+
+        RENAME is deliberately NOT supported — the reasoned no
+        (SCALE.md r13): a metadata rename needs per-generation
+        physical→logical name maps applied inside ``read``,
+        ``changes`` (two versions, each side its own map), stats
+        pruning, and filtered tails — one scan per name-epoch
+        unioned, a new comparison frame through every driver-side
+        bounds path, and every cross-frame comparison so far has
+        been a probe-confirmed wrong-result bug (r11/r12). Spell a
+        rename as add-new + backfill rewrite + drop-old, or rewrite
+        the table; both keep the single-frame invariant.
+
+        ``retain_versions=None`` keeps every currently retained
+        version (maintenance-op default). Returns the new version."""
+
+        def _do() -> int:
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(
+                    f"manifest table does not exist: {self.path}"
+                )
+            if not cols:
+                raise ValueError("drop_columns needs at least one column")
+            man = self.manifest(cur)
+            pcols = list(man["partition_cols"])
+            in_p = sorted(set(cols) & set(pcols))
+            if in_p:
+                raise ValueError(
+                    f"cannot drop partition column(s) {in_p};"
+                    " repartition_table() first"
+                )
+            names = [f["name"] for f in man["schema"]["fields"]]
+            missing = sorted(set(cols) - set(names))
+            if missing:
+                raise ValueError(
+                    f"column(s) {missing} not in table schema {names}"
+                )
+            remaining = [
+                n for n in names if n not in set(cols) and n not in pcols
+            ]
+            if not remaining:
+                raise ValueError(
+                    "cannot drop every non-partition column"
+                )
+            new_schema = {
+                **man["schema"],
+                "fields": [
+                    f
+                    for f in man["schema"]["fields"]
+                    if f["name"] not in set(cols)
+                ],
+            }
+            stats_cfg = man.get("stats_cols", "auto")
+            if isinstance(stats_cfg, list):
+                stats_cfg = [c for c in stats_cfg if c not in set(cols)]
+            retain = (
+                retain_versions
+                if retain_versions is not None
+                else (cur + 1) - min(self.versions()) + 1
+            )
+            self._publish_entries(
+                cur + 1,
+                pcols,
+                new_schema,
+                man["entries"],
+                retain,
+                man.get("shard_target", self.shard_target),
+                stats_cfg,
+                dropped_cols=sorted(
+                    set(man.get("dropped_cols", [])) | set(cols)
+                ),
+            )
+            return cur + 1
+
+        if assume_locked:
+            return _do()
+        with table_write_lock(self.spark, self.path, holder="drop-columns"):
+            return _do()
+
+    def repartition_table(
+        self,
+        new_partition_cols: list[str],
+        retain_versions: int | None = None,
+        assume_locked: bool = False,
+        target_records_per_file: int | None = None,
+    ) -> int:
+        """Partition evolution (r13) — change the table's partition
+        columns as ONE lease-held full rewrite commit (daily→hourly
+        being the canonical grown-table migration). Unlike Iceberg's
+        metadata-only partition-spec evolution (which needs
+        split-planning across mixed specs in every reader), this is
+        an explicit O(table) rewrite: the new generation IS the whole
+        table, every previous entry is dropped (their keyspace is the
+        OLD columns'), and the old generations stay readable for
+        retained versions then age out through normal GC.
+
+        The CHANGE FEED stays continuous across the boundary: the
+        old partition columns remain ordinary data columns (manifest
+        layout keeps them physical), so ``changes(v, v+1)`` across
+        the rewrite compares identical rows and emits ZERO — a
+        repartition is maintenance, invisible to a tailing consumer
+        (pinned). ``restore()`` across it refuses (existing guard)
+        and an optimistic writer staged against the old layout fails
+        its rebase loudly (``_assert_rebase_safe`` checks
+        partition_cols).
+
+        Rows are hash-repartitioned on the new columns before the
+        write (the same per-dir-one-task coalescing as ``compact``);
+        ``target_records_per_file`` bounds file size for the rewrite.
+        ``retain_versions=None`` keeps every currently retained
+        version. Returns the new version number."""
+        if not new_partition_cols:
+            raise ValueError("need at least one partition column")
+
+        def _do() -> int:
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(
+                    f"manifest table does not exist: {self.path}"
+                )
+            man = self.manifest(cur)
+            if list(new_partition_cols) == list(man["partition_cols"]):
+                raise ValueError(
+                    f"table is already partitioned by"
+                    f" {new_partition_cols}; nothing to do"
+                )
+            names = [f["name"] for f in man["schema"]["fields"]]
+            missing = sorted(set(new_partition_cols) - set(names))
+            if missing:
+                raise ValueError(
+                    f"partition column(s) {missing} not in table"
+                    f" schema {names}"
+                )
+            df = self.read(manifest_dict=man).repartition(
+                *[F.col(c) for c in new_partition_cols]
+            )
+            retain = (
+                retain_versions
+                if retain_versions is not None
+                else (cur + 1) - min(self.versions()) + 1
+            )
+            conf = self.spark.conf
+            key = "spark.sql.files.maxRecordsPerFile"
+            prev = conf.get(key) if target_records_per_file else None
+            if target_records_per_file:
+                conf.set(key, str(target_records_per_file))
+            try:
+                pcols = list(new_partition_cols)
+                dup = [f"_p_{c}" for c in pcols]
+                clash = set(dup) & set(df.columns)
+                if clash:
+                    raise ValueError(
+                        f"column name(s) {sorted(clash)} are reserved"
+                        " by the manifest layout; rename them"
+                    )
+                gen_rel = f"{_DATA_DIR}/g{cur + 1:08d}"
+                staged = df
+                for c, d in zip(pcols, dup):
+                    staged = staged.withColumn(d, F.col(c))
+                staged.write.partitionBy(*dup).parquet(
+                    f"{self.path}/{gen_rel}", mode="overwrite"
+                )
+                self._finalize_generation(
+                    gen_rel,
+                    staged.schema,
+                    json.loads(df.schema.json()),
+                    None,  # touched derived from what landed
+                    cur + 1,
+                    retain,
+                    pcols,
+                    dup,
+                    full_replace=True,
+                )
+                return cur + 1
+            finally:
+                if target_records_per_file:
+                    if prev in (None, "0"):
+                        conf.unset(key)
+                    else:
+                        conf.set(key, prev)
+
+        if assume_locked:
+            return _do()
+        with table_write_lock(
+            self.spark, self.path, holder="repartition"
+        ):
             return _do()
 
     def vacuum(
@@ -2472,11 +2699,16 @@ class ManifestTable:
         pcols: list[str],
         dup: list[str],
         stats_by_key: dict[str, dict] | None = None,
+        full_replace: bool = False,
     ) -> int:
         """Turn a fully written generation directory into a published
         manifest version — the shared back half of `_commit` and the
         optimistic `commit_staged` path (which stages the generation
-        OUTSIDE the write lease and only runs this part under it)."""
+        OUTSIDE the write lease and only runs this part under it).
+        ``full_replace`` (r13, the ``repartition_table`` path) drops
+        every previous entry instead of carrying untouched ones
+        forward — the new generation IS the whole table, and the old
+        entries live in a different partition-column keyspace."""
         from .scale import _reject_empty_string_partitions
 
         # the back-read builds a file index of the whole generation —
@@ -2510,7 +2742,7 @@ class ManifestTable:
         prev_man = self.manifest(version - 1) if version > 1 else None
         prev_entries = (
             {e["key"]: e for e in prev_man["entries"]}
-            if prev_man is not None
+            if prev_man is not None and not full_replace
             else {}
         )
         # the shard threshold is a PERSISTED table property: later
@@ -2521,6 +2753,29 @@ class ManifestTable:
             if prev_man is not None
             else self.shard_target
         )
+        # tombstoned names (r13 drop_columns): data files from before
+        # the drop still carry values under these names, so a later
+        # commit re-ADDING one would silently resurrect old values in
+        # every pre-drop generation the reader NULL-backfills today —
+        # the field-ID problem vanilla parquet cannot solve; refuse
+        dropped_cols = (
+            list(prev_man.get("dropped_cols", []))
+            if prev_man is not None
+            else []
+        )
+        readd = sorted(
+            {f["name"] for f in schema_json.get("fields", [])}
+            & set(dropped_cols)
+        )
+        if readd:
+            raise ValueError(
+                f"column name(s) {readd} were dropped from this table"
+                " and may not be re-added: retained pre-drop data"
+                " files still carry values under these names and a"
+                " name-resolved parquet read would resurrect them."
+                " Pick a fresh name, or rewrite the table"
+                " (create from read()) to clear the tombstones"
+            )
         scols, stats_cfg = self._resolve_stats_cols(
             prev_man,
             {f.name: f.dataType for f in staged_schema.fields},
@@ -2561,6 +2816,7 @@ class ManifestTable:
             retain_versions,
             shard_target,
             stats_cfg,
+            dropped_cols=dropped_cols,
         )
         return len(touched)
 
@@ -2573,10 +2829,11 @@ class ManifestTable:
         retain_versions: int,
         shard_target: int,
         stats_cols: list | str = "auto",
+        dropped_cols: list | None = None,
     ) -> None:
         """Build the manifest for ``entries``, publish it, GC — the
         shared tail of every commit (data commits via `_commit`,
-        metadata-only commits via `restore`)."""
+        metadata-only commits via `restore`/`drop_columns`)."""
         import datetime
 
         man = {
@@ -2597,6 +2854,11 @@ class ManifestTable:
             "shard_target": shard_target,
             "stats_cols": stats_cols,
         }
+        if dropped_cols:
+            # tombstoned column names (r13): a persisted table
+            # property like shard_target — every later commit refuses
+            # to re-add one (_finalize_generation)
+            man["dropped_cols"] = sorted(dropped_cols)
         # GC + history() metadata that must not require shard
         # expansion: the generations this version references and the
         # live-partition count live in the list file itself

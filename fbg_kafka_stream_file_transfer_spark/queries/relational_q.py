@@ -3509,3 +3509,221 @@ FROM final GROUP BY event_type
 """,
     doc="conditional MERGE: partial-column WHEN MATCHED AND cond UPDATE SET, fresh-key inserts, and a touched-partition-scoped NOT MATCHED BY SOURCE delete == relational recomputation",
 )
+
+
+def _q_table_drop_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution drop certification (round 13):
+    ``drop_columns()`` removes a column as a METADATA-ONLY commit —
+    entries re-referenced verbatim, zero data I/O, the drop commit
+    diffs to ZERO rows, and a diff ACROSS the boundary is expressed
+    in the to-schema (rows differing only in the dropped column
+    collapse). The dropped name is tombstoned: pre-drop data files
+    still carry values under it, and a name-resolved parquet re-add
+    would resurrect them (the field-ID problem — rename is the
+    documented NO, SCALE.md r13). In-function pins: entry dicts and
+    data-file mtimes identical across the drop, re-add refused. The
+    oracle recomputes the merged state without the column and pins
+    the CDC row count across the boundary (2 rows per updated key)
+    plus the metadata constants."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 4).cast("int").alias("pt"),
+        "event_type",
+        "value",
+        "props",
+    )
+    work = tempfile.mkdtemp(prefix="table_dropcol_")
+    path = f"{work}/events_by_pt"
+    try:
+        mt = ManifestTable(spark, path)
+        mt.create(ev, ["pt"])
+        delta = ev.filter(F.col("event_id") % 7 == 0).withColumn(
+            "value", F.col("value") + F.lit(500.0)
+        )
+        merge_into_partitioned(
+            spark, path, delta, ["event_id"], ["pt"], retain_versions=9
+        )
+        ver0 = mt.current_version()
+        ent0 = {e["key"]: e for e in mt.manifest()["entries"]}
+
+        def _mtimes(ent):
+            return {
+                k: sorted(
+                    (_os.path.basename(p), _os.path.getmtime(p))
+                    for p in _glob.glob(f"{path}/{e['dir']}/*.parquet")
+                )
+                for k, e in ent.items()
+            }
+
+        mt0 = _mtimes(ent0)
+        v = mt.drop_columns(["props"])
+        ent1 = {e["key"]: e for e in mt.manifest()["entries"]}
+        assert ent1 == ent0, "drop touched an entry"
+        assert _mtimes(ent1) == mt0, "drop touched a data file"
+        drop_diff = mt.changes(ver0, v).count()
+        assert drop_diff == 0, drop_diff
+        assert "props" not in mt.read().columns
+        # tombstone: re-adding the name refuses loudly
+        try:
+            mt.overwrite_partitions(
+                mt.read()
+                .filter(F.col("pt") == 0)
+                .withColumn("props", F.lit("zz")),
+                [(0,)],
+            )
+            raise AssertionError("tombstoned re-add did not refuse")
+        except ValueError:
+            pass
+        # the cross-boundary diff is expressed in the to-schema:
+        # 2 rows (delete+insert) per key the merge updated
+        cdc_rows = mt.changes(1, v).count()
+        rows = (
+            mt.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.round(F.col("value") * 100, 0).cast("bigint")
+                ).alias("val_cents"),
+            )
+            .withColumn("cdc_rows", F.lit(cdc_rows).cast("bigint"))
+            .withColumn("drop_diff_rows", F.lit(drop_diff).cast("int"))
+            .collect()  # materialize before the temp table is removed
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, val_cents bigint,"
+            " cdc_rows bigint, drop_diff_rows int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_drop_column_evolution"] = Q(
+    _q_table_drop_column_evolution,
+    """
+WITH m AS (
+    SELECT event_id, event_type,
+           CASE WHEN event_id % 7 = 0 THEN value + 500.0
+                ELSE value END AS value
+    FROM events
+),
+cdc AS (
+    SELECT 2 * COUNT(*) AS cdc_rows FROM events WHERE event_id % 7 = 0
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS val_cents,
+       CAST(cdc.cdc_rows AS BIGINT) AS cdc_rows,
+       CAST(0 AS INT) AS drop_diff_rows
+FROM m, cdc GROUP BY event_type, cdc.cdc_rows
+""",
+    doc="metadata-only column drop: zero-byte zero-diff commit, tombstoned re-add refused, cross-boundary CDC expressed in the to-schema (2 rows per updated key)",
+)
+
+
+def _q_table_repartition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-evolution certification (round 13):
+    ``repartition_table()`` changes the partition columns as one
+    lease-held full rewrite — data identical, the boundary commit
+    diffs to ZERO rows (a tailing CDC consumer sees maintenance, not
+    data), the old version stays readable under its own layout, and
+    the NEW key prunes immediately. In-function pins: the
+    post-rewrite manifest holds exactly the new keyspace and
+    ``prune_stats`` on the new key skips all-but-one entry. The
+    oracle recomputes the state (identical rows under any
+    partitioning) and pins the pruning and diff constants."""
+    import shutil
+    import tempfile
+
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 4).cast("int").alias("pt"),
+        (F.col("event_id") % 5).cast("int").alias("hr"),
+        "event_type",
+        "value",
+    )
+    work = tempfile.mkdtemp(prefix="table_repart_")
+    path = f"{work}/events_by_pt"
+    try:
+        mt = ManifestTable(spark, path)
+        mt.create(ev, ["pt"])
+        delta = ev.filter(F.col("event_id") % 11 == 0).withColumn(
+            "value", F.col("value") + F.lit(250.0)
+        )
+        merge_into_partitioned(
+            spark, path, delta, ["event_id"], ["pt"], retain_versions=9
+        )
+        ver0 = mt.current_version()
+        v = mt.repartition_table(["hr"])
+        assert mt.partition_cols() == ["hr"]
+        repart_diff = mt.changes(ver0, v).count()
+        assert repart_diff == 0, repart_diff
+        assert mt.read(version=ver0).count() == mt.read().count()
+        entries_after = len(mt.manifest()["entries"])
+        assert entries_after == 5, entries_after
+        pruned, total = mt.prune_stats([("hr", "=", 2)])
+        assert (pruned, total) == (1, 5), (pruned, total)
+        rows = (
+            mt.read(where=[("hr", "=", 2)])
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.round(F.col("value") * 100, 0).cast("bigint")
+                ).alias("val_cents"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+            )
+            .withColumn(
+                "repart_diff_rows", F.lit(repart_diff).cast("int")
+            )
+            .withColumn(
+                "entries_scanned", F.lit(pruned).cast("int")
+            )
+            .withColumn(
+                "entries_total", F.lit(total).cast("int")
+            )
+            .collect()  # materialize before the temp table is removed
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, val_cents bigint,"
+            " id_checksum bigint, repart_diff_rows int,"
+            " entries_scanned int, entries_total int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_repartition_evolution"] = Q(
+    _q_table_repartition_evolution,
+    """
+WITH m AS (
+    SELECT event_id, event_type,
+           CASE WHEN event_id % 11 = 0 THEN value + 250.0
+                ELSE value END AS value
+    FROM events
+    WHERE event_id % 5 = 2
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS val_cents,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       CAST(0 AS INT) AS repart_diff_rows,
+       CAST(1 AS INT) AS entries_scanned,
+       CAST(5 AS INT) AS entries_total
+FROM m GROUP BY event_type
+""",
+    doc="partition evolution: daily->hourly-style rewrite with zero-diff feed continuity, old version readable, new key pruning immediately (1/5 entries pinned)",
+)

@@ -493,3 +493,198 @@ class TestConditionalMerge:
         got = self._read(spark, path, mt)
         assert (1, "a", 12.0, "keep") in got
         assert (9, "a", 9.0, None) in got
+
+
+class TestDropColumns:
+    """r13: metadata-only column drop with tombstoned names — the
+    sound half of schema evolution without parquet field IDs (rename
+    is the documented NO, SCALE.md r13)."""
+
+    def _mk(self, spark, tmp_path, **kw):
+        base = spark.createDataFrame(
+            [(i, "ab"[i % 2], float(i), f"n{i}") for i in range(20)],
+            "id int, pt string, v double, note string",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"), **kw)
+        mt.create(base, ["pt"])
+        d = spark.createDataFrame(
+            [(100, "a", 1.0, "x")], "id int, pt string, v double, note string"
+        )
+        merge_into_partitioned(
+            spark, mt.path, d, ["id"], ["pt"], retain_versions=9
+        )
+        return mt
+
+    def test_drop_is_metadata_only_and_diffs_to_zero(
+        self, spark, tmp_path
+    ):
+        mt = self._mk(spark, tmp_path)
+        ver0 = mt.current_version()
+        ent0 = {e["key"]: e for e in mt.manifest()["entries"]}
+        mtimes0 = {k: _file_mtimes(mt, e) for k, e in ent0.items()}
+        v = mt.drop_columns(["note"])
+        # entries re-referenced verbatim, no data file touched
+        ent1 = {e["key"]: e for e in mt.manifest()["entries"]}
+        assert ent1 == ent0
+        for k, e in ent1.items():
+            assert _file_mtimes(mt, e) == mtimes0[k]
+        assert mt.read().columns == ["id", "pt", "v"]
+        assert mt.changes(ver0, v).count() == 0
+        # time travel to a retained pre-drop version still sees it
+        assert "note" in mt.read(version=ver0).columns
+        # a diff ACROSS the drop is expressed in the to-schema
+        d = mt.changes(1, v)
+        assert "note" not in d.columns
+        assert d.count() == 1  # the merge's insert, projected
+
+    def test_tombstoned_name_refuses_readd(self, spark, tmp_path):
+        mt = self._mk(spark, tmp_path)
+        mt.drop_columns(["note"])
+        bad = mt.read().withColumn("note", F.lit("zz"))
+        with pytest.raises(ValueError, match="were dropped"):
+            mt.overwrite_partitions(
+                bad.filter(F.col("pt") == "a"), [("a",)]
+            )
+        # the tombstone survives further commits
+        d = spark.createDataFrame(
+            [(101, "a", 2.0)], "id int, pt string, v double"
+        )
+        merge_into_partitioned(spark, mt.path, d, ["id"], ["pt"])
+        assert mt.manifest().get("dropped_cols") == ["note"]
+
+    def test_guards(self, spark, tmp_path):
+        mt = self._mk(spark, tmp_path)
+        with pytest.raises(ValueError, match="partition column"):
+            mt.drop_columns(["pt"])
+        with pytest.raises(ValueError, match="not in table schema"):
+            mt.drop_columns(["nope"])
+        with pytest.raises(ValueError, match="every non-partition"):
+            mt.drop_columns(["id", "v", "note"])
+        with pytest.raises(ValueError, match="at least one"):
+            mt.drop_columns([])
+
+    def test_stats_config_drops_the_column(self, spark, tmp_path):
+        mt = self._mk(spark, tmp_path, stats_cols=["v", "note"])
+        mt.drop_columns(["note"])
+        assert mt.manifest().get("stats_cols") == ["v"]
+        # the next data commit records stats for v only
+        d = spark.createDataFrame(
+            [(102, "b", 3.0)], "id int, pt string, v double"
+        )
+        merge_into_partitioned(spark, mt.path, d, ["id"], ["pt"])
+        kb = _partition_key(("b",))
+        ent = next(
+            e for e in mt.manifest()["entries"] if e["key"] == kb
+        )
+        assert set(ent["stats"]["cols"]) == {"v"}
+
+    def test_keep_current_retention_default(self, spark, tmp_path):
+        mt = self._mk(spark, tmp_path)
+        assert mt.versions() == [1, 2]
+        mt.drop_columns(["note"])
+        assert mt.versions() == [1, 2, 3]
+
+    def test_restore_across_drop_refuses(self, spark, tmp_path):
+        mt = self._mk(spark, tmp_path)
+        ver0 = mt.current_version()
+        mt.drop_columns(["note"])
+        with pytest.raises(ValueError, match="dropped or retyped"):
+            mt.restore(ver0)
+
+    def test_where_read_after_drop(self, spark, tmp_path):
+        mt = self._mk(spark, tmp_path)
+        mt.drop_columns(["note"])
+        got = sorted(
+            r.id for r in mt.read(where=[("v", ">=", 10.0)]).collect()
+        )
+        assert got == list(range(10, 20))
+
+
+class TestRepartitionTable:
+    """r13: partition evolution as an explicit lease-held full
+    rewrite — zero-diff feed continuity, old versions readable, stale
+    writers fail loudly."""
+
+    def _mk(self, spark, tmp_path):
+        base = spark.createDataFrame(
+            [(i, "ab"[i % 2], i % 3, float(i)) for i in range(30)],
+            "id int, pt string, hr int, v double",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(base, ["pt"])
+        return mt
+
+    def test_rewrite_preserves_data_and_feed(self, spark, tmp_path):
+        mt = self._mk(spark, tmp_path)
+        before = sorted(
+            (r.id, r.pt, r.hr, r.v) for r in mt.read().collect()
+        )
+        ver0 = mt.current_version()
+        v = mt.repartition_table(["hr"], retain_versions=5)
+        assert mt.partition_cols() == ["hr"]
+        assert (
+            sorted((r.id, r.pt, r.hr, r.v) for r in mt.read().collect())
+            == before
+        )
+        assert mt.changes(ver0, v).count() == 0  # maintenance
+        # old version reads under its OWN layout
+        assert mt.read(version=ver0).count() == 30
+        # the new manifest's keyspace is purely the new columns: one
+        # hr value per entry, no stale pt-keyed entries survive
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _decode_value,
+        )
+
+        ents = mt.manifest()["entries"]
+        assert len(ents) == 3
+        for e in ents:
+            vals = [_decode_value(p) for p in e["values"]]
+            assert len(vals) == 1 and vals[0] in (0, 1, 2), vals
+        # new-layout merge works; stale-layout merge refuses
+        d = spark.createDataFrame(
+            [(200, "a", 1, 2.0)], "id int, pt string, hr int, v double"
+        )
+        merge_into_partitioned(spark, mt.path, d, ["id"], ["hr"])
+        assert mt.read().count() == 31
+        with pytest.raises(ValueError, match="partitioned by"):
+            merge_into_partitioned(spark, mt.path, d, ["id"], ["pt"])
+        # pruning works against the new key
+        assert mt.prune_stats([("hr", "=", 0)]) == (1, 3)
+
+    def test_guards_and_retention(self, spark, tmp_path):
+        mt = self._mk(spark, tmp_path)
+        with pytest.raises(ValueError, match="already partitioned"):
+            mt.repartition_table(["pt"])
+        with pytest.raises(ValueError, match="not in table"):
+            mt.repartition_table(["nope"])
+        with pytest.raises(ValueError, match="at least one"):
+            mt.repartition_table([])
+        # keep-current default
+        mt.repartition_table(["hr"])
+        assert mt.versions() == [1, 2]
+
+    def test_coalesced_output(self, spark, tmp_path):
+        mt = self._mk(spark, tmp_path)
+        mt.repartition_table(["hr"])
+        rep = {
+            tuple(r["values"]): r["files"]
+            for r in mt.small_file_report()
+        }
+        assert all(n == 1 for n in rep.values()), rep
+
+    def test_staged_commit_across_repartition_fails_rebase(
+        self, spark, tmp_path
+    ):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            ConcurrentWriterError,
+        )
+
+        mt = self._mk(spark, tmp_path)
+        rewrite = mt.read(partitions=[("a",)]).withColumn(
+            "v", F.col("v") + 1
+        )
+        staged = mt.stage_commit(rewrite, [("a",)])
+        mt.repartition_table(["hr"], retain_versions=5)
+        with pytest.raises(ConcurrentWriterError):
+            mt.commit_staged(staged)
+        mt.abort_staged(staged)
