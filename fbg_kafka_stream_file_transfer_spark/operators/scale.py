@@ -447,6 +447,29 @@ def merge_into_partitioned(
         raise ValueError(
             "ordered merge needs exactly one key column and an op_col"
         )
+    for nm, val, allow_bool in (
+        ("when_matched_condition", when_matched_condition, False),
+        ("when_matched_delete", when_matched_delete, False),
+        ("when_not_matched_insert", when_not_matched_insert, True),
+        (
+            "when_not_matched_by_source_delete",
+            when_not_matched_by_source_delete,
+            True,
+        ),
+    ):
+        # strict types up front: a truthy non-bool (1, numpy.bool_)
+        # must not slip into clause mode and die as an obscure
+        # AttributeError deep inside the plan (external review r13)
+        ok = val is None or isinstance(val, (str, Column))
+        if allow_bool:
+            ok = ok or isinstance(val, bool)
+        if not ok:
+            raise TypeError(
+                f"{nm} must be "
+                + ("a bool, " if allow_bool else "")
+                + "a SQL condition string, or a pyspark Column; got "
+                + type(val).__name__
+            )
     clauses = None
     if (
         when_matched_update is not None

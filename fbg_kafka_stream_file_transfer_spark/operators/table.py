@@ -914,6 +914,34 @@ def _entry_scan_selection(
     return True, keep
 
 
+def _max_records_per_file(spark, n: int | None):
+    """Scoped ``spark.sql.files.maxRecordsPerFile`` override as a
+    context manager — set for the wrapped write only, restored to the
+    PRIOR value afterwards (the engine default reads back as "0" =
+    unset). One implementation shared by ``compact`` and
+    ``repartition_table`` (external review r13)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        if not n:
+            yield
+            return
+        conf = spark.conf
+        key = "spark.sql.files.maxRecordsPerFile"
+        prev = conf.get(key)
+        conf.set(key, str(n))
+        try:
+            yield
+        finally:
+            if prev in (None, "0"):
+                conf.unset(key)
+            else:
+                conf.set(key, prev)
+
+    return _cm()
+
+
 def _where_to_filter(where: list[tuple]):
     """The EXACT residual filter for a ``where`` conjunction — stats
     pruning is an optimization, never the correctness story: every
@@ -1027,6 +1055,16 @@ class ManifestTable:
             if m:
                 out.append(int(m.group(1)))
         return sorted(out)
+
+    def _keep_current_retain(self, new_version: int) -> int:
+        """The ``retain_versions=None`` resolution shared by every
+        maintenance op (compact / commit_staged / restore /
+        drop_columns / repartition_table): the window that keeps
+        every currently retained version PLUS the commit about to
+        publish at ``new_version`` — a bare maintenance call must
+        never truncate history (the r10 class; single implementation
+        per external review r13)."""
+        return new_version - min(self.versions()) + 1
 
     def history(self) -> list[dict]:
         """Commit log of every RETAINED version, oldest first — the
@@ -1482,6 +1520,20 @@ class ManifestTable:
             norm = _normalize_where(_clauses_from_column(where))
         else:
             norm = _normalize_where(where) if where else None
+        if norm:
+            # the exact filter runs post-alignment where only
+            # TO-schema columns exist; a clause naming a column the
+            # to-version lacks (e.g. dropped between the versions)
+            # must fail HERE, before the from side pays its scan,
+            # not as an unresolved-column error at the end
+            # (external review r13)
+            gone = sorted({cl[0] for cl in norm} - set(to_names))
+            if gone:
+                raise ValueError(
+                    f"where clause column(s) {gone} do not exist at "
+                    f"v{man_to['version']}; a changes() predicate "
+                    "must be expressible in the to-version's schema"
+                )
 
         def _side(man: dict, side: str) -> DataFrame:
             ents = [e for e in man["entries"] if e["key"] in changed]
@@ -1656,17 +1708,38 @@ class ManifestTable:
             if n is None:
                 pending.append((len(out) - 1, e["dir"]))
         if pending:
-            fs, _ = _hadoop_fs(self.spark, self.path)
-            jvm_path = self.spark._jvm.org.apache.hadoop.fs.Path
+            # ONE Spark file-index build over every unknown dir (the
+            # parallel JVM-side walk, results back as a single string
+            # list) instead of one py4j listStatus round trip per
+            # entry — at 10k pre-r13 partitions the per-item walk is
+            # minutes of driver stalls (external review r13; the
+            # py4j small-file wall)
+            import urllib.parse
+
+            schema = T.StructType.fromJson(m["schema"])
+            files = (
+                self.spark.read.schema(schema)
+                .parquet(*[f"{self.path}/{rel}" for _, rel in pending])
+                .inputFiles()
+            )
+            counts: dict[str, int] = {}
+            for fp in files:
+                # inputFiles returns URIs: strip the scheme and UNDO
+                # the URI encoding exactly once, recovering the
+                # on-disk name (Hive's own %-escaping survives — the
+                # URI form double-encodes it). Key by the
+                # manifest-relative dir: everything from the LAST
+                # "/_data/" on — escaped dir names never contain a
+                # literal '/', so the anchor is unambiguous even when
+                # the table root itself contains "_data".
+                parent = urllib.parse.unquote(
+                    urllib.parse.urlparse(fp).path
+                ).rsplit("/", 1)[0]
+                idx = parent.rfind(f"/{_DATA_DIR}/")
+                rel = parent[idx + 1 :] if idx >= 0 else parent
+                counts[rel] = counts.get(rel, 0) + 1
             for i, rel in pending:
-                n = 0
-                for status in fs.listStatus(
-                    jvm_path(f"{self.path}/{rel}")
-                ):
-                    name = status.getPath().getName()
-                    if not name.startswith(("_", ".")):
-                        n += 1
-                out[i]["files"] = n
+                out[i]["files"] = counts.get(rel, 0)
         return out
 
     def compact(
@@ -1802,48 +1875,41 @@ class ManifestTable:
         def _retain(ver_now: int) -> int:
             if retain_versions is not None:
                 return retain_versions
-            # keep everything currently retained, plus the new one
-            return (ver_now + 1) - min(self.versions()) + 1
-
-        def _with_mrpf(fn):
-            conf = self.spark.conf
-            key = "spark.sql.files.maxRecordsPerFile"
-            # conf.get returns the engine default "0" when unset
-            prev = conf.get(key) if target_records_per_file else None
-            if target_records_per_file:
-                conf.set(key, str(target_records_per_file))
-            try:
-                return fn()
-            finally:
-                if target_records_per_file:
-                    if prev in (None, "0"):
-                        conf.unset(key)
-                    else:
-                        conf.set(key, prev)
+            return self._keep_current_retain(ver_now + 1)
 
         if optimistic:
             # stage (read + shuffle + write + stats) outside the
             # lease; only the publish contends with live writers —
             # retain_versions=None resolves keep-current at publish
             # time inside commit_staged, under the lock
-            staged = _with_mrpf(
-                lambda: self.stage_commit(
+            with _max_records_per_file(
+                self.spark, target_records_per_file
+            ):
+                staged = self.stage_commit(
                     df, touched=touched, base_version=ver
                 )
-            )
-            self.commit_staged(
-                staged,
-                retain_versions=retain_versions,
-                assume_locked=assume_locked,
-            )
+            try:
+                self.commit_staged(
+                    staged,
+                    retain_versions=retain_versions,
+                    assume_locked=assume_locked,
+                )
+            except BaseException:
+                # the loser must not leak a full parquet copy of the
+                # selected partitions until a TTL vacuum — same
+                # cleanup contract as the optimistic merge
+                # (external review r13)
+                self.abort_staged(staged)
+                raise
             return len(touched)
 
         def _run(ver_now: int) -> int:
-            return _with_mrpf(
-                lambda: self._checked_commit(
+            with _max_records_per_file(
+                self.spark, target_records_per_file
+            ):
+                return self._checked_commit(
                     df, touched, ver_now, ver, _retain(ver_now)
                 )
-            )
 
         if assume_locked:
             return _run(ver)
@@ -2040,10 +2106,9 @@ class ManifestTable:
             retain = (
                 retain_versions
                 if retain_versions is not None
-                # keep everything currently retained, plus the new
-                # one — resolved HERE, under the lock, so the window
-                # is right even after a rebase over winners
-                else version - min(self.versions()) + 1
+                # resolved HERE, under the lock, so the window is
+                # right even after a rebase over winners
+                else self._keep_current_retain(version)
             )
             gen_rel = f"{_DATA_DIR}/g{version:08d}"
             fs, jgen = _hadoop_fs(self.spark, f"{self.path}/{gen_rel}")
@@ -2197,8 +2262,7 @@ class ManifestTable:
             retain = (
                 retain_versions
                 if retain_versions is not None
-                # keep everything currently retained, plus the new one
-                else (cur + 1) - min(self.versions()) + 1
+                else self._keep_current_retain(cur + 1)
             )
             self._publish_entries(
                 cur + 1,
@@ -2303,13 +2367,54 @@ class ManifestTable:
             retain = (
                 retain_versions
                 if retain_versions is not None
-                else (cur + 1) - min(self.versions()) + 1
+                else self._keep_current_retain(cur + 1)
             )
+            drop = set(cols)
+
+            def _strip_entry(e: dict) -> dict:
+                # the manifest is being re-serialized anyway: shed
+                # the dropped columns' entry- and file-level bounds
+                # now instead of carrying dead bytes until each
+                # partition happens to be rewritten (~70 B/col/
+                # partition, × up to 1024 files in the files maps;
+                # external review r13). Data files stay untouched.
+                st = e.get("stats")
+                fmap = e.get("files")
+                st_hit = bool(st) and bool(drop & set(st.get("cols", {})))
+                f_hit = bool(fmap) and any(
+                    drop & set(f.get("cols", {})) for f in fmap.values()
+                )
+                if not st_hit and not f_hit:
+                    return e
+                e2 = dict(e)
+                if st_hit:
+                    e2["stats"] = {
+                        **st,
+                        "cols": {
+                            k: v
+                            for k, v in st["cols"].items()
+                            if k not in drop
+                        },
+                    }
+                if f_hit:
+                    e2["files"] = {
+                        n: {
+                            **f,
+                            "cols": {
+                                k: v
+                                for k, v in f["cols"].items()
+                                if k not in drop
+                            },
+                        }
+                        for n, f in fmap.items()
+                    }
+                return e2
+
             self._publish_entries(
                 cur + 1,
                 pcols,
                 new_schema,
-                man["entries"],
+                [_strip_entry(e) for e in man["entries"]],
                 retain,
                 man.get("shard_target", self.shard_target),
                 stats_cfg,
@@ -2384,47 +2489,23 @@ class ManifestTable:
             retain = (
                 retain_versions
                 if retain_versions is not None
-                else (cur + 1) - min(self.versions()) + 1
+                else self._keep_current_retain(cur + 1)
             )
-            conf = self.spark.conf
-            key = "spark.sql.files.maxRecordsPerFile"
-            prev = conf.get(key) if target_records_per_file else None
-            if target_records_per_file:
-                conf.set(key, str(target_records_per_file))
-            try:
-                pcols = list(new_partition_cols)
-                dup = [f"_p_{c}" for c in pcols]
-                clash = set(dup) & set(df.columns)
-                if clash:
-                    raise ValueError(
-                        f"column name(s) {sorted(clash)} are reserved"
-                        " by the manifest layout; rename them"
-                    )
-                gen_rel = f"{_DATA_DIR}/g{cur + 1:08d}"
-                staged = df
-                for c, d in zip(pcols, dup):
-                    staged = staged.withColumn(d, F.col(c))
-                staged.write.partitionBy(*dup).parquet(
-                    f"{self.path}/{gen_rel}", mode="overwrite"
-                )
-                self._finalize_generation(
-                    gen_rel,
-                    staged.schema,
-                    json.loads(df.schema.json()),
-                    None,  # touched derived from what landed
-                    cur + 1,
-                    retain,
-                    pcols,
-                    dup,
+            with _max_records_per_file(
+                self.spark, target_records_per_file
+            ):
+                # the shared commit recipe (touched=None derives the
+                # new keyspace from what landed; full_replace drops
+                # every old-keyspace entry)
+                self._commit(
+                    df,
+                    None,
+                    version=cur + 1,
+                    retain_versions=retain,
+                    pcols=list(new_partition_cols),
                     full_replace=True,
                 )
-                return cur + 1
-            finally:
-                if target_records_per_file:
-                    if prev in (None, "0"):
-                        conf.unset(key)
-                    else:
-                        conf.set(key, prev)
+            return cur + 1
 
         if assume_locked:
             return _do()
@@ -2467,7 +2548,7 @@ class ManifestTable:
             retain = (
                 retain_versions
                 if retain_versions is not None
-                else v - min(self.versions()) + 1
+                else self._keep_current_retain(v)
             )
             self._gc(v, retain)
             if staging_ttl_seconds is None:
@@ -2515,10 +2596,12 @@ class ManifestTable:
         version: int,
         retain_versions: int = 2,
         pcols: list[str] | None = None,
+        full_replace: bool = False,
     ) -> int:
         """Write generation ``version``, publish its manifest, GC.
-        ``pcols`` comes from the caller at create (version 1) and from
-        the previous manifest afterwards."""
+        ``pcols`` comes from the caller at create (version 1), from
+        the previous manifest afterwards, and from the caller again
+        on a ``repartition_table`` full replace."""
         if pcols is None:
             pcols = list(self.manifest(version - 1)["partition_cols"])
         dup = [f"_p_{c}" for c in pcols]
@@ -2548,6 +2631,7 @@ class ManifestTable:
             retain_versions,
             pcols,
             dup,
+            full_replace=full_replace,
         )
 
     def _resolve_stats_cols(

@@ -3566,7 +3566,13 @@ def _q_table_drop_column_evolution(spark: SparkSession, sf_dir: str) -> DataFram
         mt0 = _mtimes(ent0)
         v = mt.drop_columns(["props"])
         ent1 = {e["key"]: e for e in mt.manifest()["entries"]}
-        assert ent1 == ent0, "drop touched an entry"
+        # entries re-referenced in place (same dirs) with ONLY the
+        # dropped column's dead stats bounds shed; data untouched
+        assert {k: e["dir"] for k, e in ent1.items()} == {
+            k: e["dir"] for k, e in ent0.items()
+        }, "drop moved an entry"
+        for e in ent1.values():
+            assert "props" not in e.get("stats", {}).get("cols", {})
         assert _mtimes(ent1) == mt0, "drop touched a data file"
         drop_diff = mt.changes(ver0, v).count()
         assert drop_diff == 0, drop_diff

@@ -102,7 +102,6 @@ class TestSelectiveCompaction:
         assert mt.compact(min_files=max(rep.values()) + 1) == 0
         assert mt.current_version() == ver0
         # threshold that catches only the delta-accreting partition
-        only_a = min_f = None
         a_files = rep[("a",)]
         if a_files > rep[("b",)] and a_files > rep[("c",)]:
             only_a = mt.compact(min_files=max(rep[("b",)], rep[("c",)]) + 1)
@@ -518,14 +517,29 @@ class TestDropColumns:
     def test_drop_is_metadata_only_and_diffs_to_zero(
         self, spark, tmp_path
     ):
+        import json
+
         mt = self._mk(spark, tmp_path)
         ver0 = mt.current_version()
         ent0 = {e["key"]: e for e in mt.manifest()["entries"]}
         mtimes0 = {k: _file_mtimes(mt, e) for k, e in ent0.items()}
         v = mt.drop_columns(["note"])
-        # entries re-referenced verbatim, no data file touched
+        # entries re-referenced with ONLY the dropped column's dead
+        # stats bounds shed (external review r13); no data file
+        # touched
+
+        def _shed(e):
+            e = json.loads(json.dumps(e))
+            if "stats" in e:
+                e["stats"]["cols"].pop("note", None)
+            for f in e.get("files", {}).values():
+                f["cols"].pop("note", None)
+            return e
+
         ent1 = {e["key"]: e for e in mt.manifest()["entries"]}
-        assert ent1 == ent0
+        assert ent1 == {k: _shed(e) for k, e in ent0.items()}
+        for e in ent1.values():
+            assert "note" not in e.get("stats", {}).get("cols", {})
         for k, e in ent1.items():
             assert _file_mtimes(mt, e) == mtimes0[k]
         assert mt.read().columns == ["id", "pt", "v"]
@@ -688,3 +702,102 @@ class TestRepartitionTable:
         with pytest.raises(ConcurrentWriterError):
             mt.commit_staged(staged)
         mt.abort_staged(staged)
+
+
+class TestR13ReviewFindings:
+    """Pins for the r13 code-review findings (one test per finding
+    with runtime behavior)."""
+
+    def test_optimistic_compact_aborts_staging_on_conflict(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import glob as _glob
+
+        mt = _mk_table(spark, str(tmp_path / "t"))
+
+        def _boom(self, *a, **k):
+            raise RuntimeError("simulated publish conflict")
+
+        monkeypatch.setattr(ManifestTable, "commit_staged", _boom)
+        with pytest.raises(RuntimeError, match="simulated"):
+            mt.compact(partitions=[("a",)], optimistic=True)
+        # the loser's staging generation must not leak until a TTL
+        # vacuum — abort_staged runs on ANY publish failure
+        assert not _glob.glob(f"{mt.path}/_data/.stage-*")
+
+    def test_clause_kwargs_reject_non_bool_truthy(self, spark, tmp_path):
+        base = spark.createDataFrame(
+            [(1, "a", 1.0)], "id int, pt string, v double"
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(base, ["pt"])
+        d = spark.createDataFrame(
+            [(2, "a", 2.0)], "id int, pt string, v double"
+        )
+        with pytest.raises(TypeError, match="when_not_matched_insert"):
+            merge_into_partitioned(
+                spark, mt.path, d, ["id"], ["pt"],
+                when_not_matched_insert=1,
+            )
+        with pytest.raises(
+            TypeError, match="when_not_matched_by_source_delete"
+        ):
+            merge_into_partitioned(
+                spark, mt.path, d, ["id"], ["pt"],
+                when_not_matched_by_source_delete=0,
+            )
+        with pytest.raises(TypeError, match="when_matched_condition"):
+            merge_into_partitioned(
+                spark, mt.path, d, ["id"], ["pt"],
+                when_matched_update={"v": "s.v"},
+                when_matched_condition=True,
+            )
+
+    def test_changes_where_dropped_column_fails_upfront(
+        self, spark, tmp_path
+    ):
+        base = spark.createDataFrame(
+            [(i, "ab"[i % 2], float(i), f"n{i}") for i in range(10)],
+            "id int, pt string, v double, note string",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(base, ["pt"])
+        merge_into_partitioned(
+            spark,
+            mt.path,
+            spark.createDataFrame(
+                [(50, "a", 1.0, "x")],
+                "id int, pt string, v double, note string",
+            ),
+            ["id"],
+            ["pt"],
+            retain_versions=9,
+        )
+        v = mt.drop_columns(["note"])
+        with pytest.raises(ValueError, match="do not exist at"):
+            mt.changes(1, v, where=[("note", "=", "x")])
+        # surviving-column predicates still work across the boundary
+        assert mt.changes(1, v, where=[("id", ">=", 50)]).count() == 1
+
+    def test_small_file_report_batched_fallback_counts(
+        self, spark, tmp_path
+    ):
+        import glob as _glob
+
+        # stats-disabled (no nfiles anywhere) forces the batched
+        # listing for EVERY entry; counts must match disk exactly
+        base = spark.createDataFrame(
+            [(i, i % 4, float(i)) for i in range(40)],
+            "id int, pt int, v double",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"), stats_cols=None)
+        mt.create(base, ["pt"])
+        for r in mt.small_file_report():
+            key = _partition_key(r["values"])
+            ent = next(
+                e for e in mt.manifest()["entries"] if e["key"] == key
+            )
+            on_disk = len(
+                _glob.glob(f"{mt.path}/{ent['dir']}/*.parquet")
+            )
+            assert r["files"] == on_disk and on_disk > 0
