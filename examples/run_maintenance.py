@@ -253,6 +253,51 @@ def main(sf_dir: str, work_dir: str) -> None:
     # lists ONE directory, not every live partition
     s2, t2 = mt.prune_stats([("pt", "=", pt0)])
     print(f"partition-key where-clause: {s2}/{t2} partitions scanned")
+    # selective compaction (r13): the small-file report names the hot
+    # partitions a CDC sink fragmented; only THOSE are rewritten —
+    # untouched entries are re-referenced verbatim, O(selected) I/O
+    rep = mt.small_file_report()
+    worst = max(rep, key=lambda r: r["files"])
+    print(f"small-file report: worst partition {worst['values']} holds "
+          f"{worst['files']} files")
+    n = mt.compact(min_files=max(2, worst["files"]))  # keep-current retention
+    print(f"selective compact rewrote {n} partition(s); bare compact "
+          "no longer truncates history (retain defaults to keep-current)")
+    # conditional MERGE (r13): partial-column WHEN MATCHED AND cond
+    # UPDATE SET — the delta carries only the key, partition, and the
+    # expression inputs; every other column keeps its stored value
+    bump = (
+        mt.read(partitions=[(pt0,)])
+        .select("event_id", "pt")
+        .limit(20)
+        .withColumn("amount", F.lit(5.0))
+    )
+    merge_into_partitioned(
+        spark, mpath, bump, ["event_id"], ["pt"],
+        when_matched_update={"value": "t.value + s.amount"},
+        when_matched_condition="s.amount > 0",
+        when_not_matched_insert=False,
+    )
+    print("conditional merge: 20 rows partially updated "
+          f"(table still {mt.read().count()} rows — update-only)")
+    # schema evolution (r13): drop is metadata-only and tombstoned;
+    # the drop commit is invisible to the change feed
+    vb = mt.current_version()
+    droppable = next(
+        c for c in ("props", "value") if c in mt.read().columns
+    )
+    vd = mt.drop_columns([droppable])
+    print(f"dropped {droppable!r} as v{vd}: zero data I/O, "
+          f"{mt.changes(vb, vd).count()} feed rows (metadata-only), "
+          "name tombstoned against resurrection")
+    # partition evolution (r13): one lease-held rewrite; the boundary
+    # diffs to ZERO rows so a tailing consumer never blips
+    vb = mt.current_version()
+    mt.read().select("event_type").distinct().count()  # warm
+    ve = mt.repartition_table(["event_type"])
+    print(f"repartitioned pt->event_type as v{ve}: boundary diff = "
+          f"{mt.changes(vb, ve).count()} rows; new-key pruning: "
+          f"{mt.prune_stats([('event_type', '=', 'click')])}")
     spark.stop()
 
 
