@@ -801,3 +801,37 @@ class TestR13ReviewFindings:
                 _glob.glob(f"{mt.path}/{ent['dir']}/*.parquet")
             )
             assert r["files"] == on_disk and on_disk > 0
+
+    @pytest.mark.parametrize("manifest", [True, False])
+    def test_nmbs_emptying_whole_partition(
+        self, spark, tmp_path, manifest
+    ):
+        # the conditional path must ride the same emptied-partition
+        # machinery as blind deletes: entry dropped from the manifest
+        # / dir deleted on hive, no silently surviving files
+        path = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)],
+            "id int, pt string, v double",
+        )
+        if manifest:
+            mt = ManifestTable(spark, path)
+            mt.create(base, ["pt"])
+        else:
+            base.write.partitionBy("pt").parquet(path)
+            mt = None
+        # delta touches BOTH partitions; matches nothing in pt=a
+        delta = spark.createDataFrame(
+            [(9, "a", 9.0), (3, "b", 3.5)], "id int, pt string, v double"
+        )
+        merge_into_partitioned(
+            spark, path, delta, ["id"], ["pt"],
+            when_matched_update={"v": "s.v"},
+            when_not_matched_insert=False,
+            when_not_matched_by_source_delete=True,
+        )
+        df = mt.read() if mt else spark.read.parquet(path)
+        got = sorted((r.id, r.pt, r.v) for r in df.collect())
+        assert got == [(3, "b", 3.5)]
+        if mt:
+            assert len(mt.manifest()["entries"]) == 1
