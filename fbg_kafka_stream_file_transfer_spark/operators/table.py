@@ -75,6 +75,13 @@ class ConcurrentWriterError(RuntimeError):
     """A second writer holds (or raced us to) the table's write lease."""
 
 
+class CheckConstraintViolation(ValueError):
+    """A commit's rows violate a table CHECK constraint (r13). The
+    generation the commit wrote stays an unreferenced, GC-able husk —
+    readers never see it (same refusal surface as the empty-string
+    partition guard)."""
+
+
 def _write_small_file(spark: SparkSession, path: str, text: str) -> None:
     fs, jpath = _hadoop_fs(spark, path)
     out = fs.create(jpath, True)
@@ -912,6 +919,45 @@ def _entry_scan_selection(
     if len(keep) == len(fstats):
         return True, None
     return True, keep
+
+
+def _check_violation_filter(sql: str) -> Column:
+    """CHECK semantics match Delta/ANSI: a row VIOLATES only when the
+    expression evaluates to FALSE — TRUE and NULL both pass."""
+    return F.coalesce(F.expr(sql).cast("boolean"), F.lit(True)) == F.lit(
+        False
+    )
+
+
+def _enforce_check_constraints(
+    df: DataFrame, constraints: dict, context: str
+) -> None:
+    """One combined O(delta) violation probe (all constraints OR-ed,
+    LIMIT 1); only a FAILURE pays the per-constraint counts for the
+    error message. Raises :class:`CheckConstraintViolation`."""
+    if not constraints:
+        return
+    import functools
+    import operator
+
+    combined = functools.reduce(
+        operator.or_,
+        [_check_violation_filter(s) for s in constraints.values()],
+    )
+    if df.filter(combined).limit(1).count() == 0:
+        return
+    detail = []
+    for name, sql in sorted(constraints.items()):
+        n = df.filter(_check_violation_filter(sql)).count()
+        if n:
+            detail.append(f"{name!r} (CHECK {sql}): {n} row(s)")
+    raise CheckConstraintViolation(
+        f"{context} violates table CHECK constraint(s): "
+        + "; ".join(detail)
+        + " — the commit was refused; the table is unchanged (the "
+        "written generation is an unreferenced husk the next GC "
+        "sweeps)"
+    )
 
 
 def _max_records_per_file(spark, n: int | None):
@@ -1998,6 +2044,20 @@ class ManifestTable:
                 tuple(r) for r in back.select(*pcols).distinct().collect()
             ]
             _reject_empty_string_partitions(touched, pcols)
+        # CHECK constraints validate HERE, outside the lease — the
+        # locked publish phase must stay metadata-sized, so it skips
+        # the back-read this probe needs. A violation deletes the
+        # staging before raising (no TTL-vacuum husk for a refusal).
+        constraints = man.get("check_constraints") or {}
+        if constraints:
+            try:
+                _enforce_check_constraints(
+                    back, constraints, f"staged commit for {self.path}"
+                )
+            except CheckConstraintViolation:
+                fs, jstage = _hadoop_fs(self.spark, f"{self.path}/{rel}")
+                fs.delete(jstage, True)
+                raise
         # stats run here, against the STAGING dir, outside the lease
         # (values are keyed by partition VALUE, so the later rename
         # does not invalidate them); only the metadata walk + publish
@@ -2273,6 +2333,7 @@ class ManifestTable:
                 cur_raw.get("shard_target", self.shard_target),
                 cur_raw.get("stats_cols", "auto"),
                 dropped_cols=cur_raw.get("dropped_cols"),
+                check_constraints=cur_raw.get("check_constraints"),
             )
             return cur + 1
 
@@ -2361,6 +2422,25 @@ class ManifestTable:
                     if f["name"] not in set(cols)
                 ],
             }
+            # a CHECK constraint referencing a dropped column would
+            # make every later commit's validation unresolvable —
+            # probe each against the post-drop schema and refuse
+            # (drop the constraint first)
+            constraints = man.get("check_constraints") or {}
+            if constraints:
+                probe = self.spark.createDataFrame(
+                    [], T.StructType.fromJson(new_schema)
+                )
+                for cname, sql in sorted(constraints.items()):
+                    try:
+                        probe.filter(_check_violation_filter(sql)).schema
+                    except Exception as exc:  # noqa: BLE001 — classify
+                        raise ValueError(
+                            f"cannot drop column(s) {sorted(cols)}:"
+                            f" CHECK constraint {cname!r} ({sql})"
+                            " references them; drop_check_constraint"
+                            f"({cname!r}) first"
+                        ) from exc
             stats_cfg = man.get("stats_cols", "auto")
             if isinstance(stats_cfg, list):
                 stats_cfg = [c for c in stats_cfg if c not in set(cols)]
@@ -2421,12 +2501,142 @@ class ManifestTable:
                 dropped_cols=sorted(
                     set(man.get("dropped_cols", [])) | set(cols)
                 ),
+                check_constraints=constraints,
             )
             return cur + 1
 
         if assume_locked:
             return _do()
         with table_write_lock(self.spark, self.path, holder="drop-columns"):
+            return _do()
+
+    def check_constraints(self, version: int | None = None) -> dict:
+        """The table's CHECK constraints, ``{name: sql}`` — a
+        persisted property every generation-writing commit validates
+        against."""
+        return dict(self.manifest(version).get("check_constraints") or {})
+
+    def add_check_constraint(
+        self,
+        name: str,
+        expr_sql: str,
+        retain_versions: int | None = None,
+        assume_locked: bool = False,
+    ) -> int:
+        """`ALTER TABLE ADD CONSTRAINT ... CHECK (...)` (r13): persist
+        a row-level invariant the table enforces from now on. Delta
+        semantics throughout: the EXISTING data must satisfy it (one
+        full scan, here, once — refused otherwise with the violation
+        count), and every later generation-writing commit validates
+        its written rows, O(written data), refusing with
+        :class:`CheckConstraintViolation` and leaving the table
+        unchanged. A row violates only when the expression evaluates
+        FALSE — TRUE and NULL both pass (ANSI CHECK). Metadata-only
+        publishes (``restore``/``drop_columns``/constraint edits) are
+        not re-validated: their rows were validated when first
+        written. Returns the new version."""
+
+        def _do() -> int:
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(
+                    f"manifest table does not exist: {self.path}"
+                )
+            if not name or not isinstance(name, str):
+                raise ValueError("constraint name must be a non-empty string")
+            man = self.manifest(cur)
+            constraints = dict(man.get("check_constraints") or {})
+            if name in constraints:
+                raise ValueError(
+                    f"CHECK constraint {name!r} already exists"
+                    f" ({constraints[name]}); drop it first to replace"
+                )
+            # the invariant must hold for the data already here —
+            # otherwise every later commit would be born in violation
+            current = self.read(manifest_dict=man)
+            viol = current.filter(_check_violation_filter(expr_sql))
+            n = viol.limit(1).count()
+            if n:
+                total = viol.count()
+                raise CheckConstraintViolation(
+                    f"cannot add CHECK constraint {name!r}"
+                    f" ({expr_sql}): {total} existing row(s) violate"
+                    " it; clean the data first"
+                )
+            constraints[name] = expr_sql
+            raw = self._manifest_raw(cur)
+            retain = (
+                retain_versions
+                if retain_versions is not None
+                else self._keep_current_retain(cur + 1)
+            )
+            self._publish_entries(
+                cur + 1,
+                list(raw["partition_cols"]),
+                raw["schema"],
+                man["entries"],
+                retain,
+                raw.get("shard_target", self.shard_target),
+                raw.get("stats_cols", "auto"),
+                dropped_cols=raw.get("dropped_cols"),
+                check_constraints=constraints,
+            )
+            return cur + 1
+
+        if assume_locked:
+            return _do()
+        with table_write_lock(
+            self.spark, self.path, holder="add-constraint"
+        ):
+            return _do()
+
+    def drop_check_constraint(
+        self,
+        name: str,
+        retain_versions: int | None = None,
+        assume_locked: bool = False,
+    ) -> int:
+        """Remove a CHECK constraint — metadata-only. Returns the new
+        version."""
+
+        def _do() -> int:
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(
+                    f"manifest table does not exist: {self.path}"
+                )
+            man = self.manifest(cur)
+            constraints = dict(man.get("check_constraints") or {})
+            if name not in constraints:
+                raise ValueError(
+                    f"no CHECK constraint named {name!r}"
+                    f" (have: {sorted(constraints)})"
+                )
+            constraints.pop(name)
+            raw = self._manifest_raw(cur)
+            retain = (
+                retain_versions
+                if retain_versions is not None
+                else self._keep_current_retain(cur + 1)
+            )
+            self._publish_entries(
+                cur + 1,
+                list(raw["partition_cols"]),
+                raw["schema"],
+                man["entries"],
+                retain,
+                raw.get("shard_target", self.shard_target),
+                raw.get("stats_cols", "auto"),
+                dropped_cols=raw.get("dropped_cols"),
+                check_constraints=constraints,
+            )
+            return cur + 1
+
+        if assume_locked:
+            return _do()
+        with table_write_lock(
+            self.spark, self.path, holder="drop-constraint"
+        ):
             return _do()
 
     def repartition_table(
@@ -2860,6 +3070,20 @@ class ManifestTable:
                 " Pick a fresh name, or rewrite the table"
                 " (create from read()) to clear the tombstones"
             )
+        # CHECK constraints (r13): every generation-writing commit
+        # validates the rows it back-reads here, O(written data) —
+        # the optimistic path validates at stage_commit time instead
+        # (back is None under the lease by design). A refusal leaves
+        # the written generation as an unreferenced, GC-able husk.
+        constraints = (
+            prev_man.get("check_constraints") or {}
+            if prev_man is not None
+            else {}
+        )
+        if constraints and back is not None:
+            _enforce_check_constraints(
+                back, constraints, f"commit v{version} of {self.path}"
+            )
         scols, stats_cfg = self._resolve_stats_cols(
             prev_man,
             {f.name: f.dataType for f in staged_schema.fields},
@@ -2901,6 +3125,7 @@ class ManifestTable:
             shard_target,
             stats_cfg,
             dropped_cols=dropped_cols,
+            check_constraints=constraints,
         )
         return len(touched)
 
@@ -2914,6 +3139,7 @@ class ManifestTable:
         shard_target: int,
         stats_cols: list | str = "auto",
         dropped_cols: list | None = None,
+        check_constraints: dict | None = None,
     ) -> None:
         """Build the manifest for ``entries``, publish it, GC — the
         shared tail of every commit (data commits via `_commit`,
@@ -2943,6 +3169,12 @@ class ManifestTable:
             # property like shard_target — every later commit refuses
             # to re-add one (_finalize_generation)
             man["dropped_cols"] = sorted(dropped_cols)
+        if check_constraints:
+            # CHECK constraints (r13): persisted property; every
+            # generation-writing commit validates against them
+            man["check_constraints"] = dict(
+                sorted(check_constraints.items())
+            )
         # GC + history() metadata that must not require shard
         # expansion: the generations this version references and the
         # live-partition count live in the list file itself

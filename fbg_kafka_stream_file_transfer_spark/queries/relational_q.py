@@ -3733,3 +3733,100 @@ FROM m GROUP BY event_type
 """,
     doc="partition evolution: daily->hourly-style rewrite with zero-diff feed continuity, old version readable, new key pruning immediately (1/5 entries pinned)",
 )
+
+
+def _q_table_check_constraint_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint certification (round 13): the
+    ``ALTER TABLE ADD CONSTRAINT ... CHECK`` analog — a persisted
+    row-level invariant every generation-writing commit validates,
+    O(written data). The scenario: constrain ``value >= 0``, apply a
+    GOOD delta (lands), then attempt a VIOLATING delta — refused with
+    :class:`CheckConstraintViolation`, the table bit-for-bit
+    unchanged (version AND state pinned in-function), the refused
+    generation an invisible husk the next vacuum sweeps. The oracle
+    recomputes the good-delta-only state: the hash itself proves the
+    violating merge left nothing behind.
+
+    Scale shape: enforcement is ONE combined violation probe
+    (all constraints OR-ed, LIMIT 1) over the freshly written
+    generation — the same delta-sized cost class as the stats
+    aggregation riding the same commit."""
+    import shutil
+    import tempfile
+
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import (
+        CheckConstraintViolation,
+        ManifestTable,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 4).cast("int").alias("pt"),
+        "event_type",
+        "value",
+    )
+    work = tempfile.mkdtemp(prefix="table_check_")
+    path = f"{work}/events_by_pt"
+    try:
+        mt = ManifestTable(spark, path)
+        mt.create(ev, ["pt"])
+        mt.add_check_constraint("value_nonneg", "value >= 0")
+        good = ev.filter(F.col("event_id") % 13 == 0).withColumn(
+            "value", F.col("value") + F.lit(100.0)
+        )
+        merge_into_partitioned(
+            spark, path, good, ["event_id"], ["pt"], retain_versions=9
+        )
+        ver = mt.current_version()
+        bad = ev.filter(F.col("event_id") % 17 == 0).withColumn(
+            "value", F.lit(-1.0)
+        )
+        refused = 0
+        try:
+            merge_into_partitioned(
+                spark, path, bad, ["event_id"], ["pt"]
+            )
+        except CheckConstraintViolation:
+            refused = 1
+        assert refused == 1, "violating merge was not refused"
+        assert mt.current_version() == ver, "refusal published a version"
+        mt.vacuum()  # sweeps the refused generation husk
+        rows = (
+            mt.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.round(F.col("value") * 100, 0).cast("bigint")
+                ).alias("val_cents"),
+            )
+            .withColumn("merge_refused", F.lit(refused).cast("int"))
+            .collect()  # materialize before the temp table is removed
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, val_cents bigint,"
+            " merge_refused int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_check_constraint_merge"] = Q(
+    _q_table_check_constraint_merge,
+    """
+WITH m AS (
+    SELECT event_id, event_type,
+           CASE WHEN event_id % 13 = 0 THEN value + 100.0
+                ELSE value END AS value
+    FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS val_cents,
+       CAST(1 AS INT) AS merge_refused
+FROM m GROUP BY event_type
+""",
+    doc="CHECK constraint: good merge lands, violating merge refused with the table bit-for-bit unchanged (the hash proves it) and the husk vacuumed",
+)

@@ -835,3 +835,139 @@ class TestR13ReviewFindings:
         assert got == [(3, "b", 3.5)]
         if mt:
             assert len(mt.manifest()["entries"]) == 1
+
+
+class TestCheckConstraints:
+    """r13: table-level CHECK constraints — persisted property,
+    O(written data) enforcement on every generation-writing commit,
+    ANSI semantics (TRUE and NULL pass, only FALSE violates)."""
+
+    def _mk(self, spark, tmp_path):
+        base = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "a", None)],
+            "id int, pt string, v double",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(base, ["pt"])
+        return mt
+
+    def test_add_validates_existing_and_null_passes(
+        self, spark, tmp_path
+    ):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            CheckConstraintViolation,
+        )
+
+        mt = self._mk(spark, tmp_path)
+        # row 3 has NULL v: ANSI CHECK passes it
+        v = mt.add_check_constraint("v_nonneg", "v >= 0")
+        assert mt.check_constraints() == {"v_nonneg": "v >= 0"}
+        assert mt.versions() == [1, 2]  # keep-current retention
+        with pytest.raises(CheckConstraintViolation, match="existing"):
+            mt.add_check_constraint("v_big", "v > 15")
+
+    def test_locked_merge_refused_and_table_unchanged(
+        self, spark, tmp_path
+    ):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            CheckConstraintViolation,
+        )
+
+        mt = self._mk(spark, tmp_path)
+        mt.add_check_constraint("v_nonneg", "v >= 0")
+        ver = mt.current_version()
+        state = sorted((r.id, r.v) for r in mt.read().collect())
+        bad = spark.createDataFrame(
+            [(9, "a", -1.0)], "id int, pt string, v double"
+        )
+        with pytest.raises(CheckConstraintViolation, match="v_nonneg"):
+            merge_into_partitioned(
+                spark, mt.path, bad, ["id"], ["pt"]
+            )
+        assert mt.current_version() == ver
+        assert sorted((r.id, r.v) for r in mt.read().collect()) == state
+        # the refused generation is an invisible husk; vacuum sweeps it
+        mt.vacuum()
+        good = spark.createDataFrame(
+            [(9, "a", 1.0)], "id int, pt string, v double"
+        )
+        merge_into_partitioned(spark, mt.path, good, ["id"], ["pt"])
+        assert mt.read().count() == 4
+
+    def test_optimistic_merge_refused_no_husk(self, spark, tmp_path):
+        import glob as _glob
+
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            CheckConstraintViolation,
+        )
+
+        mt = self._mk(spark, tmp_path)
+        mt.add_check_constraint("v_nonneg", "v >= 0")
+        bad = spark.createDataFrame(
+            [(9, "a", -1.0)], "id int, pt string, v double"
+        )
+        with pytest.raises(CheckConstraintViolation, match="staged"):
+            merge_into_partitioned(
+                spark, mt.path, bad, ["id"], ["pt"], optimistic=True
+            )
+        # the staging is deleted AT refusal, not left for TTL vacuum
+        assert not _glob.glob(f"{mt.path}/_data/.stage-*")
+
+    def test_conditional_merge_update_violating_refused(
+        self, spark, tmp_path
+    ):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            CheckConstraintViolation,
+        )
+
+        mt = self._mk(spark, tmp_path)
+        mt.add_check_constraint("v_nonneg", "v >= 0")
+        delta = spark.createDataFrame(
+            [(1, "a", -100.0)], "id int, pt string, bump double"
+        )
+        with pytest.raises(CheckConstraintViolation):
+            merge_into_partitioned(
+                spark, mt.path, delta, ["id"], ["pt"],
+                when_matched_update={"v": "t.v + s.bump"},
+            )
+
+    def test_drop_constraint_and_lifecycle_guards(self, spark, tmp_path):
+        mt = self._mk(spark, tmp_path)
+        mt.add_check_constraint("v_nonneg", "v >= 0")
+        with pytest.raises(ValueError, match="already exists"):
+            mt.add_check_constraint("v_nonneg", "v >= 0")
+        with pytest.raises(ValueError, match="no CHECK constraint"):
+            mt.drop_check_constraint("nope")
+        mt.drop_check_constraint("v_nonneg")
+        assert mt.check_constraints() == {}
+        bad = spark.createDataFrame(
+            [(9, "a", -1.0)], "id int, pt string, v double"
+        )
+        merge_into_partitioned(spark, mt.path, bad, ["id"], ["pt"])
+        assert mt.read().count() == 4
+
+    def test_drop_columns_refuses_referenced_column(
+        self, spark, tmp_path
+    ):
+        mt = self._mk(spark, tmp_path)
+        mt.add_check_constraint("v_nonneg", "v >= 0")
+        with pytest.raises(ValueError, match="drop_check_constraint"):
+            mt.drop_columns(["v"])
+        mt.drop_check_constraint("v_nonneg")
+        mt.drop_columns(["v"])
+        assert "v" not in mt.read().columns
+
+    def test_constraint_survives_restore_and_maintenance(
+        self, spark, tmp_path
+    ):
+        mt = self._mk(spark, tmp_path)
+        mt.add_check_constraint("v_nonneg", "v >= 0")
+        good = spark.createDataFrame(
+            [(9, "a", 1.0)], "id int, pt string, v double"
+        )
+        merge_into_partitioned(
+            spark, mt.path, good, ["id"], ["pt"], retain_versions=9
+        )
+        mt.compact()  # table-sourced rewrite revalidates, passes
+        mt.restore(mt.current_version() - 1)
+        assert mt.check_constraints() == {"v_nonneg": "v >= 0"}
