@@ -2729,6 +2729,7 @@ class ManifestTable:
         retain_versions: int | None = None,
         assume_locked: bool = False,
         staging_ttl_seconds: float | None = 86400.0,
+        retain_hours: float | None = None,
     ) -> None:
         """Sweep metadata and generations no RETAINED manifest
         references — crash husks (a generation written by a failed
@@ -2748,18 +2749,55 @@ class ManifestTable:
         only past ``staging_ttl_seconds`` of age: a live stager by
         definition does not hold the lease vacuum holds, so age is
         the only safe evidence of death — size the TTL far above the
-        longest stage-to-commit gap (None disables the sweep)."""
+        longest stage-to-commit gap (None disables the sweep).
+
+        ``retain_hours`` (r13) is the TIME-based retention spelling
+        (Delta's ``VACUUM ... RETAIN n HOURS``): versions whose
+        ``committed_utc`` is older than the window expire; the
+        current version always survives, and a manifest without a
+        timestamp (pre-r10 shape) is conservatively kept. Mutually
+        exclusive with ``retain_versions`` — the operational policy
+        is usually written in hours, not commit counts."""
         ver = self.current_version()
         if ver is None:
             raise ValueError(f"manifest table does not exist: {self.path}")
+        if retain_hours is not None and retain_versions is not None:
+            raise ValueError(
+                "pass retain_versions OR retain_hours, not both"
+            )
+
+        def _resolve_time_retain(v: int) -> int:
+            import datetime
+
+            cutoff = datetime.datetime.now(
+                datetime.timezone.utc
+            ) - datetime.timedelta(hours=retain_hours)
+            keep_oldest = v
+            for h in self.history():
+                ts = h.get("committed_utc")
+                if ts is None:
+                    # pre-timestamp manifest: age unknown — keep
+                    keep_oldest = min(keep_oldest, h["version"])
+                    continue
+                try:
+                    committed = datetime.datetime.fromisoformat(ts)
+                except ValueError:
+                    keep_oldest = min(keep_oldest, h["version"])
+                    continue
+                if committed >= cutoff:
+                    keep_oldest = min(keep_oldest, h["version"])
+            return v - keep_oldest + 1
 
         def _do() -> None:
             v = self.current_version()
-            retain = (
-                retain_versions
-                if retain_versions is not None
-                else self._keep_current_retain(v)
-            )
+            if retain_hours is not None:
+                retain = _resolve_time_retain(v)
+            else:
+                retain = (
+                    retain_versions
+                    if retain_versions is not None
+                    else self._keep_current_retain(v)
+                )
             self._gc(v, retain)
             if staging_ttl_seconds is None:
                 return

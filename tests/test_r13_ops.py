@@ -971,3 +971,84 @@ class TestCheckConstraints:
         mt.compact()  # table-sourced rewrite revalidates, passes
         mt.restore(mt.current_version() - 1)
         assert mt.check_constraints() == {"v_nonneg": "v >= 0"}
+
+
+class TestTimeBasedVacuum:
+    """r13: vacuum(retain_hours=) — Delta's RETAIN n HOURS spelling;
+    versions older than the window expire, the current version always
+    survives, timestamp-less manifests are conservatively kept."""
+
+    def _mk(self, spark, tmp_path):
+        mt = _mk_table(spark, str(tmp_path / "t"), retain=9)
+        d = spark.createDataFrame(
+            [(200, "b", 2.0)], "id int, pt string, v double"
+        )
+        merge_into_partitioned(
+            spark, mt.path, d, ["id"], ["pt"], retain_versions=9
+        )
+        assert mt.versions() == [1, 2, 3, 4]
+        return mt
+
+    @staticmethod
+    def _rewrite_manifest(mt, version, mutate):
+        import json as _json
+
+        p = f"{mt.path}/_manifests/v{version:08d}.json"
+        man = _json.load(open(p))
+        mutate(man)
+        _json.dump(man, open(p, "w"))
+        # Hadoop's LocalFileSystem left a .crc sidecar for the
+        # original bytes — stale after the rewrite, and the next
+        # checksummed read would fail
+        crc = f"{mt.path}/_manifests/.v{version:08d}.json.crc"
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    @classmethod
+    def _age_manifest(cls, mt, version, days):
+        import datetime
+
+        old = datetime.datetime.now(
+            datetime.timezone.utc
+        ) - datetime.timedelta(days=days)
+
+        cls._rewrite_manifest(
+            mt, version, lambda m: m.update(committed_utc=old.isoformat())
+        )
+
+    def test_expires_only_aged_versions(self, spark, tmp_path):
+        mt = self._mk(spark, tmp_path)
+        self._age_manifest(mt, 1, 10)
+        self._age_manifest(mt, 2, 10)
+        mt.vacuum(retain_hours=24.0)
+        assert mt.versions() == [3, 4]
+        assert mt.read().count() == 33
+
+    def test_everything_recent_keeps_all(self, spark, tmp_path):
+        mt = self._mk(spark, tmp_path)
+        mt.vacuum(retain_hours=24.0)
+        assert mt.versions() == [1, 2, 3, 4]
+
+    def test_current_survives_even_when_aged(self, spark, tmp_path):
+        mt = self._mk(spark, tmp_path)
+        for v in (1, 2, 3, 4):
+            self._age_manifest(mt, v, 10)
+        mt.vacuum(retain_hours=1.0)
+        assert mt.versions() == [4]
+        assert mt.read().count() == 33
+
+    def test_timestampless_manifest_kept(self, spark, tmp_path):
+        mt = self._mk(spark, tmp_path)
+        self._rewrite_manifest(
+            mt, 1, lambda m: m.pop("committed_utc", None)
+        )
+        self._age_manifest(mt, 2, 10)
+        mt.vacuum(retain_hours=24.0)
+        # v1 has no timestamp -> kept; keeping v1 keeps the window
+        # contiguous through v2 as well (retention is a count window)
+        assert 1 in mt.versions()
+
+    def test_both_args_rejected(self, spark, tmp_path):
+        mt = self._mk(spark, tmp_path)
+        with pytest.raises(ValueError, match="not both"):
+            mt.vacuum(retain_versions=2, retain_hours=1.0)
