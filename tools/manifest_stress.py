@@ -112,6 +112,18 @@ def main() -> None:
         mt.changes(1, 2).groupBy().count().collect()
         changes_sec = time.perf_counter() - t0
 
+        # r13: selective compaction of the SAME fixed 64 partitions —
+        # must stay flat in live-partition count (O(selected) data
+        # work + the O(live) manifest rewrite every commit pays)
+        t0 = time.perf_counter()
+        nsel = mt.compact(partitions=[(p,) for p in range(TOUCHED)])
+        selective_compact_sec = time.perf_counter() - t0
+        assert nsel == TOUCHED, nsel
+        t0 = time.perf_counter()
+        rep = mt.small_file_report()
+        report_sec = time.perf_counter() - t0
+        assert len(rep) == n, len(rep)
+
         print(json.dumps({
             "partitions": n,
             "shard_target": shard_target or None,
@@ -122,6 +134,8 @@ def main() -> None:
             "read_plan_sec": round(plan_sec, 3),
             "read_exec_sec": round(read_sec, 2),
             "changes_sec": round(changes_sec, 2),
+            "selective_compact_sec": round(selective_compact_sec, 2),
+            "small_file_report_sec": round(report_sec, 3),
         }), flush=True)
         shutil.rmtree(path, ignore_errors=True)
     spark.stop()
