@@ -280,6 +280,19 @@ def main(sf_dir: str, work_dir: str) -> None:
     )
     print("conditional merge: 20 rows partially updated "
           f"(table still {mt.read().count()} rows — update-only)")
+    # metadata-only COUNT (r13): the manifest answers; no scan runs
+    d = mt.count(where=[("pt", "in", [0, 1])], detail=True)
+    print(f"metadata count(pt in (0,1)) = {d['rows']} rows from "
+          f"{d['entries_metadata']} entries, {d['entries_scanned']} scanned")
+    # Z-ordered compaction (r13): multi-dim locality INSIDE the
+    # manifest table — predicates on either dim skip files
+    zrows = mt.count()
+    mt.compact(zorder_by=["event_id", "user_id"],
+               target_records_per_file=max(1, zrows // 64))
+    ucut = mt.read().agg(F.max("user_id")).collect()[0][0] * 3 // 4
+    zi = mt.prune_file_stats([("user_id", ">=", ucut)])
+    print(f"zorder: user_id>={ucut} scans {zi['files_scanned']}/"
+          f"{zi['files_total']} files")
     # schema evolution (r13): drop is metadata-only and tombstoned;
     # the drop commit is invisible to the change feed
     vb = mt.current_version()

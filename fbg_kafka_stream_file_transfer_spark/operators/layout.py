@@ -24,25 +24,50 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def morton_key_n(cols: list[Column], bits: int) -> Column:
+    """Interleave the low ``bits`` bits of ``k`` non-negative bucketed
+    ints: column ``j``'s bit ``i`` lands at position ``i·k + j`` (for
+    ``k = 2`` this is exactly the classic 2-D Morton order
+    :func:`morton_key` has always produced). Inputs must already be
+    bucketed into [0, 2^bits); values are masked to ``bits`` so an
+    out-of-range input degrades to wraparound rather than corrupting
+    high bits. Returns a BIGINT (``k·bits`` ≤ 62).
+
+    The expression is pure shifts/AND/multiply — map-side whole-stage
+    codegen, no UDF — which is what lets ``ManifestTable.compact(
+    zorder_by=[...])`` sort by it without ever materializing a key
+    column."""
+    k = len(cols)
+    if k < 1:
+        raise ValueError("morton_key_n needs at least one column")
+    if bits < 1 or k * bits > 62:
+        raise ValueError(
+            f"k*bits must be in [1, 62], got k={k} bits={bits}"
+        )
+    masked = [c.cast("long").bitwiseAND((1 << bits) - 1) for c in cols]
+    parts = []
+    for i in range(bits):
+        for j, c in enumerate(masked):
+            parts.append(
+                F.shiftright(c, i).bitwiseAND(1) * F.lit(1 << (i * k + j))
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out.cast("long")
+
+
 def morton_key(a: Column, b: Column, bits: int = 16) -> Column:
     """Interleave the low ``bits`` bits of two non-negative bucketed
     ints: ``a``'s bit i lands at position 2i, ``b``'s at 2i+1. Inputs
     must already be bucketed into [0, 2^bits) — see
     :func:`minmax_bucket`; values are masked to ``bits`` so an
     out-of-range input degrades to wraparound rather than corrupting
-    high bits. Returns a BIGINT (2·bits ≤ 62)."""
+    high bits. Returns a BIGINT (2·bits ≤ 62). Thin wrapper over the
+    k-ary :func:`morton_key_n` (bit placement identical for k = 2)."""
     if not 1 <= bits <= 31:
         raise ValueError(f"bits must be in [1, 31], got {bits}")
-    a = a.cast("long").bitwiseAND((1 << bits) - 1)
-    b = b.cast("long").bitwiseAND((1 << bits) - 1)
-    parts = []
-    for i in range(bits):
-        parts.append(F.shiftright(a, i).bitwiseAND(1) * F.lit(1 << (2 * i)))
-        parts.append(F.shiftright(b, i).bitwiseAND(1) * F.lit(1 << (2 * i + 1)))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out + p
-    return out.cast("long")
+    return morton_key_n([a, b], bits)
 
 
 def morton_sql(a: str, b: str, bits: int = 16) -> str:

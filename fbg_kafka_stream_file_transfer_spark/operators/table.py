@@ -640,6 +640,101 @@ def _where_clause_may_match(stats: dict, col: str, op: str, value) -> bool:
     )
 
 
+def _pcol_clause_exact(v, op, value) -> bool | None:
+    """EXACT truth of one where-clause against a decoded partition-key
+    value — unlike :func:`_where_clause_may_match` (conservative
+    may-match over bounds), this returns True/False ONLY when the
+    decision provably matches what Spark's residual filter would say
+    for every row of the entry (a partition key is constant across
+    its rows), and None whenever the comparison crosses a coercion
+    frame where Spark and Python could disagree: timestamps (session
+    zone), Decimal-vs-float (double rounding), int-vs-float past 2^53
+    (bigint→double rounding), any cross-kind pair, NaN on either
+    side. None sends the entry to the exact scan path — metadata
+    ``count()`` must never be approximately right."""
+    import datetime as _dt
+
+    if op == "is_null":
+        return v is None
+    if op == "not_null":
+        return v is not None
+    probe = (
+        list(value)
+        if op in ("between", "in") and value is not None
+        else [value]
+    )
+    if _is_nan(v) or any(_is_nan(p) for p in probe):
+        return None
+    if v is None:
+        return False  # comparison ops match no NULL key
+    if op not in ("in",) and any(p is None for p in probe):
+        return False  # x <cmp> NULL is NULL -> row filtered out
+
+    def _kind(x):
+        if isinstance(x, bool):
+            return "bool"
+        if isinstance(x, _dt.datetime):
+            return "ts"
+        if isinstance(x, _dt.date):
+            return "date"
+        if isinstance(x, _pydecimal.Decimal):
+            return "dec"
+        if isinstance(x, int):
+            return "int"
+        if isinstance(x, float):
+            return "float"
+        if isinstance(x, str):
+            return "str"
+        return "other"
+
+    def _comparable(a, b) -> bool:
+        ka, kb = _kind(a), _kind(b)
+        if "ts" in (ka, kb) or "other" in (ka, kb):
+            return False  # zone-dependent / unknown: scan decides
+        if ka == kb:
+            return True
+        pair = {ka, kb}
+        if pair == {"int", "float"}:
+            i = a if ka == "int" else b
+            return abs(i) <= 2**53  # past this double coercion rounds
+        if pair == {"int", "dec"}:
+            return True  # both engines compare exactly
+        return False
+
+    try:
+        if op in ("=", "=="):
+            return v == value if _comparable(v, value) else None
+        if op == "<":
+            return v < value if _comparable(v, value) else None
+        if op == "<=":
+            return v <= value if _comparable(v, value) else None
+        if op == ">":
+            return v > value if _comparable(v, value) else None
+        if op == ">=":
+            return v >= value if _comparable(v, value) else None
+        if op == "between":
+            lo, hi = value
+            if not (_comparable(v, lo) and _comparable(v, hi)):
+                return None
+            return lo <= v <= hi
+        if op == "in":
+            nn = [p for p in value if p is not None]
+            if any(not _comparable(v, p) for p in nn):
+                return None
+            # a NULL element makes a non-matching IN return NULL
+            # (row filtered out), so membership in the non-null
+            # elements IS the filter's truth either way
+            return any(v == p for p in nn)
+    except TypeError:
+        return None
+    except _pydecimal.InvalidOperation:
+        return None
+    raise ValueError(
+        f"unknown where op {op!r}; supported: = < <= > >= "
+        "between in is_null not_null"
+    )
+
+
 def _clauses_from_column(col) -> list[tuple]:
     """Best-effort extraction of prunable ``(col, op, value)`` clauses
     from a pyspark Column's (unresolved) Catalyst expression tree —
@@ -986,6 +1081,87 @@ def _max_records_per_file(spark, n: int | None):
                 conf.set(key, prev)
 
     return _cm()
+
+
+#: Spark types ``compact(zorder_by=...)`` can min/max-quantize into
+#: Z-curve buckets. Strings have no meaningful linear quantization and
+#: dates/timestamps should be zordered via an epoch-cast column or
+#: clustered hierarchically — ``cluster_by`` sorts ANY orderable type.
+_ZORDER_NUMERIC = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+
+def _zorder_bounds_from_entries(
+    entries: list[dict], cols: list[str]
+) -> dict[str, tuple[float, float]] | None:
+    """Fold the selected entries' manifest column stats into global
+    ``(lo, hi)`` floats per zorder column — the quantization bounds,
+    for ZERO extra I/O. Returns None when any entry lacks a bound for
+    any column (pre-stats manifests, stats-disabled tables, all-NULL
+    or all-NaN partitions): the caller falls back to one aggregate
+    over the rows it is about to rewrite anyway."""
+    out: dict[str, tuple[float, float]] = {}
+    for c in cols:
+        los: list[float] = []
+        his: list[float] = []
+        for e in entries:
+            cs = ((e.get("stats") or {}).get("cols") or {}).get(c)
+            if not cs or cs.get("mn") is None or cs.get("mx") is None:
+                return None
+            try:
+                los.append(float(_decode_value(cs["mn"])))
+                his.append(float(_decode_value(cs["mx"])))
+            except (TypeError, ValueError):
+                return None
+        out[c] = (min(los), max(his))
+    return out
+
+
+def _zorder_sort_key(
+    zorder_by: list[str],
+    bounds: dict[str, tuple[float, float]],
+    schema: T.StructType,
+) -> Column:
+    """The ephemeral Z-curve sort key for ``compact(zorder_by=...)``:
+    min/max-quantize each column into ``bits``-wide buckets with
+    LITERAL bounds (no crossJoin, no added column — the expression
+    references only table columns, so ``sortWithinPartitions`` can
+    order by it without the key ever entering the written schema),
+    then bit-interleave via :func:`operators.layout.morton_key_n`.
+    Pure shifts/AND — map-side codegen.
+
+    Semantics at the edges: NULL quantizes to bucket 0 (``greatest``
+    skips the NULL division result), NaN to the TOP bucket (matching
+    Spark's NaN-sorts-greatest ordering), a constant or unbounded
+    column collapses to bucket 0 (contributing nothing to the curve,
+    exactly right for a column with no spread)."""
+    from .layout import morton_key_n
+
+    k = len(zorder_by)
+    bits = max(1, min(16, 62 // k))
+    n = 1 << bits
+    buckets: list[Column] = []
+    for c in zorder_by:
+        lo, hi = bounds.get(c, (None, None))
+        if lo is None or hi is None or not (hi > lo):
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        col = F.col(c).cast("double")
+        raw = F.floor((col - F.lit(float(lo))) / F.lit(float(hi - lo)) * n)
+        b = F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1)).cast("long")
+        if isinstance(schema[c].dataType, (T.FloatType, T.DoubleType)):
+            b = F.when(
+                F.isnan(F.col(c)), F.lit(n - 1).cast("long")
+            ).otherwise(b)
+        buckets.append(b)
+    return morton_key_n(buckets, bits)
 
 
 def _where_to_filter(where: list[tuple]):
@@ -1357,6 +1533,99 @@ class ManifestTable:
         elif norm:
             df = df.filter(_where_to_filter(norm))
         return df
+
+    def count(
+        self,
+        where: list[tuple] | Column | None = None,
+        partitions: list[tuple] | None = None,
+        version: int | None = None,
+        as_of=None,
+        detail: bool = False,
+    ) -> int | dict:
+        """EXACT row count, answered from the MANIFEST wherever
+        possible — ``COUNT(*)`` over 100 TB must not be a 100 TB scan
+        (Delta answers it from the log, Catalyst from parquet
+        footers; this is the manifest-native equivalent, r13):
+
+        - no predicate / ``partitions=[...]`` → the sum of the row
+          counts every stats-bearing commit records per entry: ZERO
+          data I/O, O(live entries) driver work;
+        - ``where`` tuples naming only PARTITION columns → each
+          entry's key value is decided EXACTLY in
+          :func:`_pcol_clause_exact`; decided-true entries answer
+          from metadata, decided-false are skipped, and any clause
+          crossing a coercion frame (timestamps, Decimal-vs-float,
+          int-vs-float past 2^53) demotes JUST that entry to the
+          exact scan path — never approximately right;
+        - ``where`` touching DATA columns, or a ``Column`` predicate
+          (whose clause extraction is best-effort, so the normalized
+          conjunction may under-represent it) → delegates to
+          :meth:`read`'s pruned exact scan and counts that.
+
+        Entries predating stats (or stats-disabled tables) scan too.
+        ``detail=True`` returns ``{"rows", "entries_metadata",
+        "entries_scanned", "entries_total"}`` so tests can pin that
+        the metadata path stayed metadata (the zero-I/O pin deletes
+        the data files outright and counts again)."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of, not both")
+            version = self.version_at(as_of)
+        m = self.manifest(version)
+        entries = m["entries"]
+        if partitions is not None:
+            wanted = {_partition_key(tuple(t)) for t in partitions}
+            entries = [e for e in entries if e["key"] in wanted]
+        pcols = list(m.get("partition_cols") or [])
+        pset = set(pcols)
+        if isinstance(where, Column):
+            norm = None
+            data_clauses = True  # full predicate only known to Spark
+        else:
+            norm = _normalize_where(where) if where else None
+            data_clauses = any(
+                cl[0] not in pset for cl in (norm or [])
+            )
+        meta_rows = 0
+        meta_entries = 0
+        scan_parts: list[tuple] = []
+        if data_clauses:
+            scan_parts = [
+                tuple(_decode_value(p) for p in e["values"])
+                for e in entries
+            ]
+        else:
+            for e in entries:
+                vals = tuple(_decode_value(p) for p in e["values"])
+                byname = dict(zip(pcols, vals))
+                verdicts = [
+                    _pcol_clause_exact(byname[c], op, val)
+                    for (c, op, val) in (norm or [])
+                ]
+                if any(vd is False for vd in verdicts):
+                    continue  # a definite miss prunes the entry
+                rows = (e.get("stats") or {}).get("rows")
+                if rows is not None and all(
+                    vd is True for vd in verdicts
+                ):
+                    meta_rows += rows
+                    meta_entries += 1
+                else:
+                    scan_parts.append(vals)
+        scanned = 0
+        if scan_parts:
+            scanned = self.read(
+                where=where, partitions=scan_parts, version=version
+            ).count()
+        out = meta_rows + scanned
+        if detail:
+            return {
+                "rows": out,
+                "entries_metadata": meta_entries,
+                "entries_scanned": len(scan_parts),
+                "entries_total": len(entries),
+            }
+        return out
 
     @staticmethod
     def _pcols_for_pruning(
@@ -1797,6 +2066,7 @@ class ManifestTable:
         partitions: list[tuple] | None = None,
         min_files: int | None = None,
         optimistic: bool = False,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Rewrite live partitions into ONE fresh generation — the
         manifest table's compaction maintenance op. Two effects: GC
@@ -1850,8 +2120,26 @@ class ManifestTable:
         per-partition single-task skew (range split spreads a big
         partition over many tasks, each emitting a bounds-disjoint
         file run). For multi-column locality beyond hierarchical
-        sort order, Z-curve keys from ``operators.layout`` can be
-        materialized as a column and named here.
+        sort order, use ``zorder_by``.
+
+        ``zorder_by`` (r13) is the full Delta ``OPTIMIZE ZORDER``
+        analog for MULTI-column locality — a hierarchical
+        ``cluster_by=[a, b]`` sort makes file bounds selective on
+        ``a`` but leaves every file near-full-range on ``b``;
+        Z-ordering interleaves the bucketed bits of every named
+        column so each file stays narrow in ALL of them, and
+        predicates on ANY zorder column skip files. The sort key is
+        EPHEMERAL — quantization bounds come from the selected
+        entries' manifest stats (zero extra I/O; one fallback
+        aggregate over the rows being rewritten when a bound is
+        missing) and are baked in as literals, so the key is a pure
+        shifts/AND expression over table columns that never enters
+        the written schema. Same cost class as ``cluster_by``: ONE
+        range shuffle, sort rides the write. Numeric columns only
+        (see ``_ZORDER_NUMERIC``) — zorder a date/timestamp via an
+        epoch-cast materialized column, or fall back to
+        ``cluster_by`` which sorts any orderable type.
+
         ``target_records_per_file`` bounds file size via
         ``spark.sql.files.maxRecordsPerFile`` for the rewrite only
         (saved and restored)."""
@@ -1891,6 +2179,11 @@ class ManifestTable:
             partitions=touched if len(sel_keys) < len(live) else None,
         )
         pcols = list(man["partition_cols"])
+        if cluster_by and zorder_by:
+            raise ValueError(
+                "pass cluster_by (hierarchical sort) OR zorder_by"
+                " (bit-interleaved multi-column locality), not both"
+            )
         if cluster_by:
             missing = [c for c in cluster_by if c not in df.columns]
             if missing:
@@ -1903,6 +2196,63 @@ class ManifestTable:
             ]
             df = df.repartitionByRange(*keys).sortWithinPartitions(
                 *pcols, *cluster_by
+            )
+        elif zorder_by:
+            missing = [c for c in zorder_by if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"zorder_by column(s) {missing} not in table"
+                    f" schema {df.columns}"
+                )
+            in_pcols = [c for c in zorder_by if c in pcols]
+            if in_pcols:
+                raise ValueError(
+                    f"zorder_by column(s) {in_pcols} are partition"
+                    " columns — constant within every partition, they"
+                    " contribute no locality; drop them from zorder_by"
+                )
+            bad = [
+                c
+                for c in zorder_by
+                if not isinstance(df.schema[c].dataType, _ZORDER_NUMERIC)
+            ]
+            if bad:
+                raise ValueError(
+                    f"zorder_by column(s) {bad} are not numeric —"
+                    " Z-order quantization needs a linear numeric"
+                    " domain; cast dates/timestamps to epoch in a"
+                    " materialized column, or use cluster_by (sorts"
+                    " any orderable type)"
+                )
+            bounds = _zorder_bounds_from_entries(
+                [live[k] for k in sel_keys], zorder_by
+            )
+            if bounds is None:
+                # one bounds aggregate over the rows being rewritten
+                # (NaN-blind for float columns — NaN rows are pinned
+                # to the top bucket by the key expression instead)
+                aggs = []
+                for c in zorder_by:
+                    col = F.col(c)
+                    if isinstance(
+                        df.schema[c].dataType, (T.FloatType, T.DoubleType)
+                    ):
+                        col = F.when(~F.isnan(col), col)
+                    aggs.append(
+                        F.min(col).cast("double").alias(f"_lo_{c}")
+                    )
+                    aggs.append(
+                        F.max(col).cast("double").alias(f"_hi_{c}")
+                    )
+                row = df.agg(*aggs).collect()[0]
+                bounds = {
+                    c: (row[f"_lo_{c}"], row[f"_hi_{c}"])
+                    for c in zorder_by
+                }
+            zkey = _zorder_sort_key(zorder_by, bounds, df.schema)
+            keys = [F.col(c) for c in pcols]
+            df = df.repartitionByRange(*keys, zkey).sortWithinPartitions(
+                *keys, zkey
             )
         else:
             # hash-repartition on the partition columns so each

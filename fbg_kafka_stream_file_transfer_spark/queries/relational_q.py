@@ -3264,6 +3264,240 @@ GROUP BY 1
 )
 
 
+def _q_table_zorder_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ordered compaction certification (round 13):
+    ``compact(zorder_by=["event_id", "user_id"])`` is the full Delta
+    ``OPTIMIZE ZORDER`` analog — where a hierarchical
+    ``cluster_by=[a, b]`` sort leaves every file near-full-range on
+    ``b``, bit-interleaving the min/max-bucketed dims keeps each file
+    narrow in BOTH, so predicates on EITHER column skip files. Events
+    land round-robin (every file spans both full ranges — in-function
+    asserts pin ≥90% scanned on each dim), then one Z-ordered rewrite
+    makes BOTH single-dim top-quarter predicates scan ≤75% and
+    strictly fewer files, with the maintenance commit diffing to zero
+    rows. The oracle recomputes the two-dim filtered state
+    arithmetically — integer cuts, bigint checksums, no float
+    summation in the hash.
+
+    Scale shape: identical to ``cluster_by`` — ONE range shuffle over
+    (pt, zkey), sort rides the write; the Z-key is an ephemeral
+    shifts/AND expression (map-side codegen, never enters the written
+    schema) with quantization bounds folded from the manifest's own
+    entry stats (zero extra I/O; reference Delta OPTIMIZE ZORDER
+    semantics, docs/delta-io — no reference-engine counterpart, the
+    reference stores raw S3 objects per README.md:45-52)."""
+    import shutil
+    import tempfile
+
+    from ..operators.table import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    max_id, max_u, n = ev.agg(
+        F.max("event_id"), F.max("user_id"), F.count(F.lit(1))
+    ).collect()[0]
+    cut = 3 * (max_id + 1) // 4
+    ucut = 3 * (max_u + 1) // 4
+    # fixed ~16 files per partition at EVERY sf: enough z-cells that a
+    # top-quarter predicate on either dim skips most files, few enough
+    # that sf0.001's 1k rows still roll multiple files
+    m = max(1, (n + 63) // 64)
+    evp = ev.withColumn(
+        "pt", (F.col("event_id") % 4).cast("int")
+    ).repartition(8)  # round-robin: files span BOTH full ranges
+    work = tempfile.mkdtemp(prefix="table_zcomp_")
+    path = f"{work}/events_zordered"
+    _mrpf = "spark.sql.files.maxRecordsPerFile"
+    prior_m = spark.conf.get(_mrpf)  # engine default "0" when unset
+
+    def _restore_mrpf():
+        if prior_m in (None, "0"):
+            spark.conf.unset(_mrpf)
+        else:
+            spark.conf.set(_mrpf, prior_m)
+
+    spark.conf.set(_mrpf, str(m))
+    try:
+        mt = ManifestTable(spark, path)
+        mt.create(evp, ["pt"])
+        _restore_mrpf()
+        w_id = [("event_id", ">=", cut)]
+        w_user = [("user_id", ">=", ucut)]
+        for w in (w_id, w_user):
+            b = mt.prune_file_stats(w)
+            assert b["files_total"] > 4, b
+            assert b["files_scanned"] >= 0.9 * b["files_total"], b
+        mt.compact(
+            zorder_by=["event_id", "user_id"],
+            target_records_per_file=m,
+            retain_versions=3,
+        )
+        assert mt.changes(1, 2).count() == 0  # data no-op
+        for w in (w_id, w_user):
+            a = mt.prune_file_stats(w)
+            # BOTH dims must skip: strict subset, ≤75% scanned
+            assert 0 < a["files_scanned"] < a["files_total"], a
+            assert a["files_scanned"] <= 0.75 * a["files_total"], a
+        rows = (
+            mt.read(where=w_id + w_user)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+                F.sum("user_id").cast("bigint").alias("user_checksum"),
+            )
+            .collect()  # materialize before the temp table is removed
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, id_checksum bigint,"
+            " user_checksum bigint",
+        )
+    finally:
+        _restore_mrpf()
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_zorder_compaction"] = Q(
+    _q_table_zorder_compaction,
+    """
+WITH c AS (
+    SELECT 3 * (MAX(event_id) + 1) // 4 AS idcut,
+           3 * (MAX(user_id) + 1) // 4 AS ucut
+    FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS id_checksum,
+       CAST(sum(user_id) AS BIGINT) AS user_checksum
+FROM events, c
+WHERE event_id >= c.idcut AND user_id >= c.ucut
+GROUP BY 1
+""",
+    doc="Z-ordered compaction (OPTIMIZE ZORDER): bit-interleaved two-dim rewrite makes BOTH single-column predicates skip files (<=75% scanned, pinned in-function), values unchanged",
+)
+
+
+def _q_table_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT certification (round 13):
+    ``ManifestTable.count()`` answers bare, ``partitions=``, and
+    exactly-decidable partition-column ``where`` counts from the
+    MANIFEST's per-entry row counts — zero data I/O, O(live entries)
+    driver work (Delta answers COUNT(*) from the log; at 100 TB a
+    count must not be a scan). Build an events table partitioned by
+    ``pt = event_id % 4``, merge in a 10% tail of NEW rows (so the
+    counted state is a MERGED multi-generation table, not the raw
+    parquet), then take every count through the metadata path — each
+    pinned ``entries_scanned == 0`` — and prove the zero-I/O claim
+    by DELETING the table's entire ``_data`` tree and counting
+    again: identical numbers from a table whose data no longer
+    exists. The oracle recomputes all five numbers over the
+    equivalent UNION in SQL.
+
+    Scale shape: O(entries) dict walks on the driver; the only Spark
+    jobs in the metadata path are none at all."""
+    import shutil
+    import tempfile
+
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type"
+    )
+    max_id, n = ev.agg(F.max("event_id"), F.count(F.lit(1))).collect()[0]
+    extra = (n + 9) // 10
+    evp = ev.withColumn("pt", (F.col("event_id") % 4).cast("int"))
+    work = tempfile.mkdtemp(prefix="table_mcount_")
+    path = f"{work}/events_counted"
+    try:
+        mt = ManifestTable(spark, path)
+        mt.create(evp, ["pt"])
+        delta = (
+            spark.range(max_id + 1, max_id + 1 + extra)
+            .select(
+                F.col("id").alias("event_id"),
+                F.lit("synthetic").alias("event_type"),
+                (F.col("id") % 4).cast("int").alias("pt"),
+            )
+        )
+        merge_into_partitioned(
+            spark, path, delta, ["event_id"], ["pt"], retain_versions=3
+        )
+
+        def _meta(**kw) -> int:
+            d = mt.count(detail=True, **kw)
+            assert d["entries_scanned"] == 0, (kw, d)
+            return d["rows"]
+
+        def _all_counts():
+            return {
+                "per_pt": {
+                    p: _meta(partitions=[(p,)]) for p in range(4)
+                },
+                "total": _meta(),
+                "n_pt13": _meta(where=[("pt", "in", [1, 3])]),
+                "n_ptlt2": _meta(where=[("pt", "<", 2)]),
+            }
+
+        counts = _all_counts()
+        # the zero-I/O pin: no data files on disk, same answers
+        shutil.rmtree(f"{path}/_data")
+        assert _all_counts() == counts
+        return spark.createDataFrame(
+            [
+                (
+                    p,
+                    counts["per_pt"][p],
+                    counts["total"],
+                    counts["n_pt13"],
+                    counts["n_ptlt2"],
+                )
+                for p in range(4)
+            ],
+            "pt int, n_rows bigint, total bigint, n_pt13 bigint,"
+            " n_ptlt2 bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_metadata_count"] = Q(
+    _q_table_metadata_count,
+    """
+WITH params AS (
+    SELECT MAX(event_id) AS mx, (COUNT(*) + 9) // 10 AS extra
+    FROM events
+),
+gen AS (
+    SELECT p.mx + rn AS event_id
+    FROM (SELECT ROW_NUMBER() OVER () AS rn FROM events) r, params p
+    WHERE r.rn <= p.extra
+),
+u AS (
+    SELECT event_id FROM events
+    UNION ALL
+    SELECT event_id FROM gen
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM u),
+p13 AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pt13
+    FROM u WHERE event_id % 4 IN (1, 3)
+),
+plt AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ptlt2
+    FROM u WHERE event_id % 4 < 2
+)
+SELECT CAST(event_id % 4 AS INT) AS pt,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       tot.total, p13.n_pt13, plt.n_ptlt2
+FROM u, tot, p13, plt
+GROUP BY 1, tot.total, p13.n_pt13, plt.n_ptlt2
+""",
+    doc="metadata-only COUNT: bare/partition/pcol-where counts answered from manifest row counts with entries_scanned==0 pinned, proven zero-I/O by deleting _data and re-counting",
+)
+
+
 def _q_table_selective_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selective compaction certification (round 13):
     ``compact(partitions=[...])`` rewrites ONLY the named partitions

@@ -1052,3 +1052,320 @@ class TestTimeBasedVacuum:
         mt = self._mk(spark, tmp_path)
         with pytest.raises(ValueError, match="not both"):
             mt.vacuum(retain_versions=2, retain_hours=1.0)
+
+
+class TestZorderCompaction:
+    """compact(zorder_by=[a, b]) — the full OPTIMIZE ZORDER analog:
+    bit-interleaved multi-column locality. Hierarchical cluster_by
+    [a, b] leaves every file near-full-range on b; Z-order keeps
+    files narrow in BOTH dims, so per-file bounds prune on either."""
+
+    def _grid(self, spark):
+        # x = i // 64 (0..63), y = i % 64 — independent grid dims;
+        # pt = i % 2 partitions without correlating to x
+        return spark.createDataFrame(
+            [(i, i // 64, float(i % 64), i % 2) for i in range(4096)],
+            "id int, x int, y double, pt int",
+        )
+
+    def _mk(self, spark, path, **compact_kw):
+        mt = ManifestTable(spark, path)
+        key = "spark.sql.files.maxRecordsPerFile"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "128")  # 16 files per pt partition
+        try:
+            mt.create(self._grid(spark), ["pt"])
+            if compact_kw:
+                mt.compact(target_records_per_file=128, **compact_kw)
+        finally:
+            if prev in (None, "0"):
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+        return mt
+
+    def test_zorder_prunes_both_dims_hierarchical_only_first(
+        self, spark, tmp_path
+    ):
+        hier = self._mk(
+            spark, str(tmp_path / "h"), cluster_by=["x", "y"]
+        )
+        zord = self._mk(
+            spark, str(tmp_path / "z"), zorder_by=["x", "y"]
+        )
+        wy = [("y", ">=", 48.0)]  # top quarter of the SECOND dim
+        hy, zy = hier.prune_file_stats(wy), zord.prune_file_stats(wy)
+        # hierarchical: y bounds are near-full-range in every file
+        assert hy["files_scanned"] >= 0.9 * hy["files_total"], hy
+        # z-order: strict subset on the second dim, and strictly
+        # better than hierarchical's scan fraction
+        assert 0 < zy["files_scanned"] < zy["files_total"], zy
+        assert (
+            zy["files_scanned"] / zy["files_total"]
+            < hy["files_scanned"] / hy["files_total"]
+        ), (hy, zy)
+        # the FIRST dim still prunes under z-order too
+        wx = [("x", ">=", 48)]
+        zx = zord.prune_file_stats(wx)
+        assert 0 < zx["files_scanned"] < zx["files_total"], zx
+        # both rewrites are data no-ops
+        for mt in (hier, zord):
+            assert mt.changes(1, 2).count() == 0
+
+    def test_zorder_where_read_exact(self, spark, tmp_path):
+        mt = self._mk(
+            spark, str(tmp_path / "t"), zorder_by=["x", "y"]
+        )
+        got = sorted(
+            r.id
+            for r in mt.read(
+                where=[("y", ">=", 48.0), ("x", "<", 16)]
+            ).collect()
+        )
+        want = sorted(
+            i for i in range(4096) if i % 64 >= 48 and i // 64 < 16
+        )
+        assert got == want
+
+    def test_zorder_guards(self, spark, tmp_path):
+        mt = self._mk(spark, str(tmp_path / "t"))
+        with pytest.raises(ValueError, match="not both"):
+            mt.compact(cluster_by=["x"], zorder_by=["y"])
+        with pytest.raises(ValueError, match="not in table"):
+            mt.compact(zorder_by=["nope"])
+        with pytest.raises(ValueError, match="partition column"):
+            mt.compact(zorder_by=["x", "pt"])
+        str_tab = ManifestTable(spark, str(tmp_path / "s"))
+        str_tab.create(
+            spark.createDataFrame(
+                [(1, "a", 0)], "id int, s string, pt int"
+            ),
+            ["pt"],
+        )
+        with pytest.raises(ValueError, match="not numeric"):
+            str_tab.compact(zorder_by=["s"])
+
+    def test_zorder_null_nan_preserved(self, spark, tmp_path):
+        rows = [(i, i % 7, float(i % 5), 0) for i in range(40)]
+        rows += [(100, None, float("nan"), 0), (101, None, 2.0, 0)]
+        df = spark.createDataFrame(
+            rows, "id int, x int, y double, pt int"
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pt"])
+        mt.compact(zorder_by=["x", "y"])
+
+        def canon(frame):
+            return sorted(
+                (r.id, r.x, "NaN" if r.y != r.y else r.y, r.pt)
+                for r in frame.collect()
+            )
+
+        assert canon(mt.read()) == canon(df)
+        # exact residual filtering still holds over the new layout
+        got = sorted(
+            r.id for r in mt.read(where=[("y", ">=", 3.0)]).collect()
+        )
+        want = sorted(
+            r[0] for r in rows if r[2] == r[2] and r[2] >= 3.0
+        ) + [100]  # NaN >= 3.0 is TRUE under Spark's NaN-greatest order
+        assert got == sorted(want)
+
+    def test_zorder_stats_disabled_fallback_agg(self, spark, tmp_path):
+        df = self._grid(spark)
+        mt = ManifestTable(spark, str(tmp_path / "t"), stats_cols=None)
+        mt.create(df, ["pt"])
+        ent = mt.manifest()["entries"][0]
+        assert not (ent.get("stats") or {}).get("cols")
+        mt.compact(zorder_by=["x", "y"])  # bounds via the fallback agg
+        assert mt.read().count() == 4096
+        assert mt.changes(1, 2).count() == 0
+
+    def test_zorder_composes_with_selective(self, spark, tmp_path):
+        mt = self._mk(spark, str(tmp_path / "t"))
+        ent0 = {e["key"]: e for e in mt.manifest()["entries"]}
+        k1 = _partition_key((1,))
+        mtimes0 = _file_mtimes(mt, ent0[k1])
+        assert (
+            mt.compact(
+                partitions=[(0,)],
+                zorder_by=["x", "y"],
+                target_records_per_file=128,
+            )
+            == 1
+        )
+        ent1 = {e["key"]: e for e in mt.manifest()["entries"]}
+        assert ent1[k1] == ent0[k1]
+        assert _file_mtimes(mt, ent1[k1]) == mtimes0
+        # the rewritten partition prunes on the second dim now
+        ps = mt.prune_file_stats([("y", ">=", 48.0)])
+        assert ps["entries_without_file_stats"] == 0, ps
+        assert ps["files_scanned"] < ps["files_total"], ps
+
+    def test_morton_key_n_matches_python_k3(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.layout import (
+            morton_key_n,
+        )
+
+        def py_morton(vals, bits):
+            out = 0
+            k = len(vals)
+            for i in range(bits):
+                for j, v in enumerate(vals):
+                    out |= ((v >> i) & 1) << (i * k + j)
+            return out
+
+        triples = [(0, 0, 0), (1, 2, 3), (7, 0, 5), (6, 6, 6), (7, 7, 7)]
+        df = spark.createDataFrame(triples, "a int, b int, c int")
+        got = [
+            r.z
+            for r in df.select(
+                morton_key_n(
+                    [F.col("a"), F.col("b"), F.col("c")], 3
+                ).alias("z")
+            ).collect()
+        ]
+        assert got == [py_morton(t, 3) for t in triples]
+        with pytest.raises(ValueError, match="62"):
+            morton_key_n([F.col("a")] * 4, 16)
+
+
+class TestMetadataCount:
+    """count() — COUNT(*) answered from the manifest: zero data I/O
+    for bare / partitions= / exactly-decidable pcol-where counts
+    (pinned by DELETING the data files and counting again), exact
+    scan fallback for everything else."""
+
+    def _mk(self, spark, tmp_path, name="t"):
+        return _mk_table(spark, str(tmp_path / name))
+
+    def test_bare_count_is_metadata_only(self, spark, tmp_path):
+        mt = self._mk(spark, tmp_path)
+        want = mt.read().count()
+        d = mt.count(detail=True)
+        assert d == {
+            "rows": want,
+            "entries_metadata": 3,
+            "entries_scanned": 0,
+            "entries_total": 3,
+        }
+        # the zero-I/O pin: no data files, count still answers
+        import shutil
+
+        shutil.rmtree(f"{mt.path}/_data")
+        assert mt.count() == want
+
+    def test_partitions_and_pcol_where(self, spark, tmp_path):
+        mt = self._mk(spark, tmp_path)
+        base = {r[1] for r in _state(mt)}
+        assert base == {"a", "b", "c"}
+        per = {
+            p: mt.read(partitions=[(p,)]).count() for p in ("a", "b", "c")
+        }
+        assert mt.count(partitions=[("a",), ("c",)]) == per["a"] + per["c"]
+        d = mt.count(where=[("pt", "in", ["a", "b"])], detail=True)
+        assert d["rows"] == per["a"] + per["b"]
+        assert d["entries_scanned"] == 0
+        assert mt.count(where=[("pt", ">=", "b")]) == per["b"] + per["c"]
+        assert mt.count(where=[("pt", "=", "zzz")]) == 0
+        import shutil
+
+        shutil.rmtree(f"{mt.path}/_data")  # all of the above were I/O-free
+        assert mt.count(where=[("pt", "in", ["a", "b"])]) == (
+            per["a"] + per["b"]
+        )
+
+    def test_data_clause_scans_exactly(self, spark, tmp_path):
+        mt = self._mk(spark, tmp_path)
+        want = mt.read().filter("v >= 10.0").count()
+        d = mt.count(where=[("v", ">=", 10.0)], detail=True)
+        assert d["rows"] == want
+        assert d["entries_scanned"] == d["entries_total"] == 3
+
+    def test_cross_type_pcol_clause_demotes_to_scan(
+        self, spark, tmp_path
+    ):
+        mt = self._mk(spark, tmp_path)  # pt is a STRING column
+        # int probe against string keys: Spark coerces, Python must
+        # not guess — the entry scans and Spark decides
+        d = mt.count(where=[("pt", "=", 7)], detail=True)
+        assert d["entries_scanned"] == 3
+        assert d["rows"] == mt.read().filter(F.col("pt") == 7).count()
+
+    def test_column_predicate_delegates_to_scan(self, spark, tmp_path):
+        mt = self._mk(spark, tmp_path)
+        want = mt.read().filter(
+            (F.col("pt") == "a") | (F.col("v") > 25.0)
+        ).count()
+        got = mt.count(
+            where=(F.col("pt") == "a") | (F.col("v") > 25.0)
+        )
+        assert got == want
+
+    def test_null_partition_key(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, None, 1.0), (2, None, 2.0), (3, "x", 3.0)],
+            "id int, pt string, v double",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "n"))
+        mt.create(df, ["pt"])
+        assert mt.count(where=[("pt", "is_null", None)], detail=True) == {
+            "rows": 2,
+            "entries_metadata": 1,
+            "entries_scanned": 0,
+            "entries_total": 2,
+        }
+        assert mt.count(where=[("pt", "not_null", None)]) == 1
+        # comparisons match no NULL key — decided False, not scanned
+        d = mt.count(where=[("pt", "=", "x")], detail=True)
+        assert d == {
+            "rows": 1,
+            "entries_metadata": 1,
+            "entries_scanned": 0,
+            "entries_total": 2,
+        }
+
+    def test_stats_disabled_falls_back_to_scan(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, "ab"[i % 2], float(i)) for i in range(10)],
+            "id int, pt string, v double",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "s"), stats_cols=None)
+        mt.create(df, ["pt"])
+        d = mt.count(detail=True)
+        assert d["rows"] == 10
+        assert d["entries_scanned"] == 2  # no stats: honest scan
+
+    def test_time_travel_count(self, spark, tmp_path):
+        mt = self._mk(spark, tmp_path)  # v1 = 30 rows, then 2 merges
+        assert mt.count(version=1) == 30
+        assert mt.count() == 32
+        with pytest.raises(ValueError, match="not both"):
+            mt.count(version=1, as_of="2026-01-01")
+
+    def test_pcol_exact_evaluator_edges(self):
+        import datetime as dt
+        from decimal import Decimal
+
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _pcol_clause_exact as pce,
+        )
+
+        assert pce(5, "=", 5) is True
+        assert pce(5, "=", 5.0) is True  # small int vs float: exact
+        assert pce(2**53 + 1, "=", float(2**53)) is None  # rounds
+        assert pce(Decimal("0.1"), "=", 0.1) is None  # double frame
+        assert pce(Decimal("2"), "=", 2) is True
+        assert pce("b", "between", ("a", "c")) is True
+        assert pce("b", "in", ["a", None]) is False  # NULL elem: no hit
+        assert pce("a", "in", ["a", None]) is True
+        assert pce(None, "=", None) is False
+        assert pce(3, "<", None) is False
+        assert pce(float("nan"), "=", float("nan")) is None
+        assert (
+            pce(dt.datetime(2026, 1, 1), "=", dt.datetime(2026, 1, 1))
+            is None
+        )  # ts: zone frame, scan decides
+        assert pce(dt.date(2026, 1, 1), "<=", dt.date(2026, 1, 2)) is True
+        assert pce(True, "=", True) is True
+        assert pce(True, "=", 1) is None  # bool-vs-int: scan
