@@ -3303,9 +3303,18 @@ def _q_table_zorder_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-quarter predicate on either dim skips most files, few enough
     # that sf0.001's 1k rows still roll multiple files
     m = max(1, (n + 63) // 64)
-    evp = ev.withColumn(
-        "pt", (F.col("event_id") % 4).cast("int")
-    ).repartition(8)  # round-robin: files span BOTH full ranges
+    # DETERMINISTIC scatter layout: one task, rows ordered by pt then
+    # a hash of the id — every rolled file spans BOTH full ranges at
+    # every sf (a bare round-robin repartition inherits contiguous
+    # id runs from multi-split inputs at larger fixtures and starts
+    # pruning on its own, found in the sf1 stress run)
+    evp = (
+        ev.withColumn("pt", (F.col("event_id") % 4).cast("int"))
+        .repartition(1)
+        .sortWithinPartitions(
+            "pt", F.pmod(F.xxhash64("event_id"), F.lit(997))
+        )
+    )
     work = tempfile.mkdtemp(prefix="table_zcomp_")
     path = f"{work}/events_zordered"
     _mrpf = "spark.sql.files.maxRecordsPerFile"
