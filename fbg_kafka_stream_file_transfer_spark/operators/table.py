@@ -395,6 +395,21 @@ def _partition_key(values: tuple) -> str:
     return json.dumps([_encode_value(v) for v in values])
 
 
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+
+
+def _is_abs_dir(d: str) -> bool:
+    """True when an entry's ``dir`` is an ABSOLUTE location (posix
+    path or scheme URI) instead of the usual table-relative
+    ``_data/g<ver>/...`` — the marker a SHALLOW CLONE leaves: its
+    entries point into the source table's data, are read verbatim,
+    carried forward verbatim by merges/selective compaction, and
+    never treated as local generations by GC (they are not under
+    this table's ``_data``, so the sweep cannot touch them by
+    construction)."""
+    return d.startswith("/") or bool(_SCHEME_RE.match(d))
+
+
 # ---- per-entry column statistics (Iceberg-style data skipping) ----
 
 #: string bounds longer than this are truncated in the manifest —
@@ -1055,6 +1070,219 @@ def _enforce_check_constraints(
     )
 
 
+#: partition transforms for Iceberg-style HIDDEN partitioning: the
+#: table remembers HOW a partition column derives from a data column,
+#: enforces the derivation on every commit, and projects data-column
+#: predicates onto the partition key at scan time — `where ts >= X`
+#: prunes day partitions without the user ever spelling the day
+#: clause (Iceberg's transform.project; Delta generated-column
+#: partition filters).
+_DERIVED_TRANSFORMS = ("day", "month", "bucket")
+
+
+def partition_transform_column(
+    transform: str, source: str, n: int | None = None
+) -> Column:
+    """The CANONICAL write-side derivation expression for a derived
+    partition column — use this to materialize the column before
+    ``create()``/merge (commits verify rows against the SAME
+    expression, so a hand-rolled variant that disagrees is refused
+    rather than silently mispruning):
+
+    - ``day``: ``to_date(source)`` (DATE; session-tz calendar day for
+      TIMESTAMP sources, zone-free for DATE/TIMESTAMP_NTZ),
+    - ``month``: ``trunc(to_date(source), 'month')`` (first of month),
+    - ``bucket``: ``pmod(xxhash64(source), n)`` (INT hash bucket).
+    """
+    src = F.col(source)
+    if transform == "day":
+        return F.to_date(src)
+    if transform == "month":
+        return F.trunc(F.to_date(src), "month")
+    if transform == "bucket":
+        if not n or n < 1:
+            raise ValueError("bucket transform needs n >= 1")
+        return F.pmod(F.xxhash64(src), F.lit(int(n))).cast("int")
+    raise ValueError(
+        f"unknown partition transform {transform!r}; supported:"
+        f" {_DERIVED_TRANSFORMS}"
+    )
+
+
+def _validate_derived_partitions(
+    derived: dict, pcols: list[str], schema_json: dict
+) -> dict:
+    """Normalize + validate a ``derived_partitions`` spec at create:
+    ``{pcol: {"transform": t, "source": col[, "n": N]}}``."""
+    fields = {f["name"]: f.get("type") for f in schema_json["fields"]}
+    out: dict[str, dict] = {}
+    for pcol, spec in derived.items():
+        if pcol not in pcols:
+            raise ValueError(
+                f"derived partition {pcol!r} is not a partition"
+                f" column {pcols}"
+            )
+        t = spec.get("transform")
+        src = spec.get("source")
+        if t not in _DERIVED_TRANSFORMS:
+            raise ValueError(
+                f"unknown transform {t!r} for {pcol!r}; supported:"
+                f" {_DERIVED_TRANSFORMS}"
+            )
+        if src not in fields:
+            raise ValueError(
+                f"derived partition {pcol!r}: source column {src!r}"
+                " not in table schema"
+            )
+        if src in pcols:
+            raise ValueError(
+                f"derived partition {pcol!r}: source {src!r} is"
+                " itself a partition column"
+            )
+        norm = {"transform": t, "source": src}
+        if t == "bucket":
+            nb = spec.get("n")
+            if not isinstance(nb, int) or nb < 1:
+                raise ValueError(
+                    f"bucket transform for {pcol!r} needs integer"
+                    " n >= 1"
+                )
+            if fields[src] not in (
+                "byte", "short", "integer", "long", "string",
+            ):
+                raise ValueError(
+                    f"bucket transform for {pcol!r}: source must be"
+                    f" int-family or string, got {fields[src]!r}"
+                )
+            norm["n"] = nb
+        else:
+            if fields[src] not in (
+                "date", "timestamp", "timestamp_ntz",
+            ):
+                raise ValueError(
+                    f"{t} transform for {pcol!r}: source must be"
+                    f" date/timestamp, got {fields[src]!r}"
+                )
+        out[pcol] = norm
+    return out
+
+
+def _enforce_derived_partitions(
+    df: DataFrame, derived: dict, context: str
+) -> None:
+    """Refuse a commit whose rows disagree with their derivation —
+    wrong derived values would make the scan-time projection prune
+    LIVE rows (silent wrong results, the one unforgivable class).
+    Same O(written data) combined LIMIT-1 probe + refusal surface as
+    CHECK constraints; null-safe so a NULL source must carry a NULL
+    key."""
+    if not derived:
+        return
+    import functools
+    import operator
+
+    def viol(pcol: str, spec: dict) -> Column:
+        expr = partition_transform_column(
+            spec["transform"], spec["source"], spec.get("n")
+        )
+        return ~F.col(pcol).eqNullSafe(expr)
+
+    combined = functools.reduce(
+        operator.or_, [viol(p, s) for p, s in sorted(derived.items())]
+    )
+    if df.filter(combined).limit(1).count() == 0:
+        return
+    detail = []
+    for pcol, spec in sorted(derived.items()):
+        c = df.filter(viol(pcol, spec)).count()
+        if c:
+            detail.append(
+                f"{pcol!r} != {spec['transform']}({spec['source']}):"
+                f" {c} row(s)"
+            )
+    raise CheckConstraintViolation(
+        f"{context} violates derived-partition contract(s): "
+        + "; ".join(detail)
+        + " — derive the column with partition_transform_column();"
+        " the commit was refused and the table is unchanged"
+    )
+
+
+def _month_add(d: "_pydatetime.date", k: int) -> "_pydatetime.date":
+    y = d.year + (d.month - 1 + k) // 12
+    m = (d.month - 1 + k) % 12 + 1
+    return _pydatetime.date(y, m, 1)
+
+
+def _project_derived(
+    spec: dict, src_type: str, op: str, value, bucket_eval
+) -> list[tuple[str, object]] | None:
+    """Project ONE data-column clause onto its derived partition
+    column (Iceberg's transform.project): returns ``[(op, value)]``
+    pcol clauses a matching ROW's key provably satisfies — pruning
+    on them is sound because every commit enforced pcol ==
+    transform(source). TIMESTAMP (zoned) sources widen day bounds by
+    ±2 days / month by ±1 month (the 26 h session-zone spread, the
+    r11/r12 stats-slack contract); DATE / TIMESTAMP_NTZ are
+    zone-free and project exactly. None = clause contributes no
+    projection (unknown literal type, unsupported op for the
+    transform) — never an error, just no extra pruning."""
+    t = spec["transform"]
+    if op in ("is_null", "not_null"):
+        # day/month: to_date is NULL-preserving both ways, so the
+        # null predicate maps through. bucket does NOT: Spark's
+        # xxhash64 hashes a NULL input to the SEED (42), so a
+        # NULL-source row carries a NON-null bucket key — projecting
+        # is_null would prune entries holding exactly the rows the
+        # predicate wants (found in r13 self-review; pinned)
+        if t == "bucket":
+            return None
+        return [(op, None)]
+    probe = (
+        list(value)
+        if op in ("between", "in") and value is not None
+        else [value]
+    )
+    if any(v is None or _is_nan(v) for v in probe):
+        return None  # null/NaN literals: the exact row filter decides
+    if t == "bucket":
+        if op in ("=", "=="):
+            b = bucket_eval(spec, value)
+            return None if b is None else [("=", b)]
+        if op == "in":
+            bs = [bucket_eval(spec, v) for v in value]
+            if any(b is None for b in bs):
+                return None
+            return [("in", sorted(set(bs)))]
+        return None  # ranges do not project through a hash
+    # day/month: calendar truncations, monotonic
+    def d_of(v):
+        if isinstance(v, _pydatetime.datetime):
+            return v.date()
+        if isinstance(v, _pydatetime.date):
+            return v
+        return None
+    ds = [d_of(v) for v in probe]
+    if any(d is None for d in ds):
+        return None
+    one = _pydatetime.timedelta(days=1)
+    if t == "day":
+        w = 2 if src_type == "timestamp" else 0
+        lo = min(ds) - w * one
+        hi = max(ds) + w * one
+    else:  # month
+        w = 1 if src_type == "timestamp" else 0
+        lo = _month_add(min(ds).replace(day=1), -w)
+        hi = _month_add(max(ds).replace(day=1), +w)
+    if op in ("=", "==", "between", "in"):
+        return [("between", (lo, hi))]
+    if op in (">=", ">"):
+        return [(">=", lo)]
+    if op in ("<=", "<"):
+        return [("<=", hi)]
+    return None
+
+
 def _max_records_per_file(spark, n: int | None):
     """Scoped ``spark.sql.files.maxRecordsPerFile`` override as a
     context manager — set for the wrapped write only, restored to the
@@ -1233,9 +1461,20 @@ class ManifestTable:
         path: str,
         shard_target: int = 8192,
         stats_cols: list[str] | str | None = "auto",
+        derived_partitions: dict | None = None,
     ) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
+        #: Iceberg-style hidden partitioning (r13): ``{pcol:
+        #: {"transform": "day"|"month"|"bucket", "source": col[,
+        #: "n": N]}}``. Persisted in the manifest at create() like
+        #: stats_cols; every commit ENFORCES pcol ==
+        #: transform(source) row-wise (null-safe, O(written data)),
+        #: and reads/changes PROJECT data-column predicates onto the
+        #: partition key — `where ts >= X` prunes day partitions with
+        #: no day clause spelled. Derive the column at write time
+        #: with :func:`partition_transform_column`.
+        self.derived_partitions = derived_partitions
         #: per-entry column min/max/null statistics (Iceberg-style
         #: data skipping): "auto" records stats for every eligible
         #: atomic column (capped at _STATS_AUTO_CAP), an explicit
@@ -1498,9 +1737,17 @@ class ManifestTable:
             norm = _normalize_where(_clauses_from_column(where))
         else:
             norm = _normalize_where(where) if where else None
+        # hidden partitioning (r13): data-column clauses project onto
+        # derived partition keys for PRUNING only — the residual
+        # filter below stays the caller's exact predicate
+        prune_norm = norm
+        if norm:
+            ext = self._derived_prune_clauses(m, norm)
+            if ext:
+                prune_norm = norm + ext
         pcols: list[str] | None = None
         skip: frozenset = frozenset()
-        if norm:
+        if prune_norm:
             pcols, skip = self._pcols_for_pruning(m, schema)
         # sorted-set: entries map 1:1 to dirs by construction, but a
         # duplicate path must never be scanned twice. Within a
@@ -1515,10 +1762,16 @@ class ManifestTable:
         dirs: set[str] = set()
         fpaths: set[str] = set()
         for e in entries:
-            kept, files = _entry_scan_selection(e, norm, pcols, skip)
+            kept, files = _entry_scan_selection(
+                e, prune_norm, pcols, skip
+            )
             if not kept:
                 continue
-            base = f"{self.path}/{e['dir']}"
+            base = (
+                e["dir"]
+                if _is_abs_dir(e["dir"])
+                else f"{self.path}/{e['dir']}"
+            )
             if files is None:
                 dirs.add(base)
             else:
@@ -1627,6 +1880,71 @@ class ManifestTable:
             }
         return out
 
+    def _bucket_eval(self, spec: dict, src_type: str, v):
+        """Spark-evaluate ``pmod(xxhash64(v::src_type), n)`` for ONE
+        literal — the only sound way to project an equality through
+        the hash is to run the exact hash Spark ran at write time
+        (the literal is CAST to the declared source type first:
+        xxhash64 of an int32 and an int64 differ). One tiny local
+        job per distinct literal, memoized per instance; None on any
+        failure = no projection, never a wrong one."""
+        key = (src_type, spec["n"], type(v).__name__, repr(v))
+        cache = self.__dict__.setdefault("_bucket_memo", {})
+        if key in cache:
+            return cache[key]
+        try:
+            b = (
+                self.spark.range(1)
+                .select(
+                    F.pmod(
+                        F.xxhash64(F.lit(v).cast(src_type)),
+                        F.lit(spec["n"]),
+                    )
+                    .cast("int")
+                    .alias("b")
+                )
+                .collect()[0]["b"]
+            )
+        except Exception:  # noqa: BLE001 — no projection, never wrong
+            b = None
+        cache[key] = b
+        return b
+
+    def _derived_prune_clauses(
+        self, m: dict, norm: list[tuple] | None
+    ) -> list[tuple]:
+        """The hidden-partitioning payoff (r13): project data-column
+        clauses onto derived partition keys — ``where ts >= X``
+        grows an implied ``ts_day >= day(X) - w`` clause that the
+        SAME entry-pruning machinery consumes. PRUNING hints only:
+        the exact residual filter stays the caller's original
+        predicate, so an unprojectable clause costs selectivity,
+        never correctness."""
+        der = m.get("derived_partitions") or {}
+        if not der or not norm:
+            return []
+        types = {
+            f["name"]: f.get("type")
+            for f in m["schema"].get("fields", [])
+        }
+        by_src: dict[str, list] = {}
+        for pcol, spec in der.items():
+            by_src.setdefault(spec["source"], []).append((pcol, spec))
+        out: list[tuple] = []
+        for col, op, value in norm:
+            for pcol, spec in by_src.get(col, ()):
+                st = types.get(col)
+                proj = _project_derived(
+                    spec,
+                    st,
+                    op,
+                    value,
+                    lambda sp, v, _st=st: self._bucket_eval(sp, _st, v),
+                )
+                for pop, pval in proj or []:
+                    out.append((pcol, pop, pval))
+        return out
+
     @staticmethod
     def _pcols_for_pruning(
         m: dict, schema: T.StructType
@@ -1656,6 +1974,9 @@ class ManifestTable:
             norm = _normalize_where(_clauses_from_column(where))
         else:
             norm = _normalize_where(where)
+        ext = self._derived_prune_clauses(m, norm)
+        if ext:
+            norm = norm + ext  # mirrors read()'s pruning exactly
         pcols, skip = self._pcols_for_pruning(
             m, T.StructType.fromJson(m["schema"])
         )
@@ -1683,6 +2004,9 @@ class ManifestTable:
             norm = _normalize_where(_clauses_from_column(where))
         else:
             norm = _normalize_where(where)
+        ext = self._derived_prune_clauses(m, norm)
+        if ext:
+            norm = norm + ext  # mirrors read()'s pruning exactly
         pcols, skip = self._pcols_for_pruning(
             m, T.StructType.fromJson(m["schema"])
         )
@@ -1863,7 +2187,10 @@ class ManifestTable:
                 here = {
                     f["name"] for f in man["schema"].get("fields", [])
                 }
-                sub = [cl for cl in norm if cl[0] in here] or None
+                # per-side projection: this VERSION's own derived
+                # specs (they can differ across the diff boundary)
+                cand = norm + self._derived_prune_clauses(man, norm)
+                sub = [cl for cl in cand if cl[0] in here] or None
             if sub:
                 # entry-level keep only (the SAME decision
                 # _entry_scan_selection delegates to, so the counts
@@ -2034,7 +2361,12 @@ class ManifestTable:
             schema = T.StructType.fromJson(m["schema"])
             files = (
                 self.spark.read.schema(schema)
-                .parquet(*[f"{self.path}/{rel}" for _, rel in pending])
+                .parquet(
+                    *[
+                        rel if _is_abs_dir(rel) else f"{self.path}/{rel}"
+                        for _, rel in pending
+                    ]
+                )
                 .inputFiles()
             )
             counts: dict[str, int] = {}
@@ -2046,15 +2378,32 @@ class ManifestTable:
                 # manifest-relative dir: everything from the LAST
                 # "/_data/" on — escaped dir names never contain a
                 # literal '/', so the anchor is unambiguous even when
-                # the table root itself contains "_data".
+                # the table root itself contains "_data". The full
+                # parent path is ALSO keyed so a shallow clone's
+                # absolute entries resolve exactly (keys are
+                # disjoint: parents start '/', rels '_data/').
                 parent = urllib.parse.unquote(
                     urllib.parse.urlparse(fp).path
                 ).rsplit("/", 1)[0]
+                counts[parent] = counts.get(parent, 0) + 1
                 idx = parent.rfind(f"/{_DATA_DIR}/")
-                rel = parent[idx + 1 :] if idx >= 0 else parent
-                counts[rel] = counts.get(rel, 0) + 1
+                if idx >= 0:
+                    rel = parent[idx + 1 :]
+                    counts[rel] = counts.get(rel, 0) + 1
             for i, rel in pending:
-                out[i]["files"] = counts.get(rel, 0)
+                if _is_abs_dir(rel):
+                    # exact-path hit first, the _data-anchored tail
+                    # as the scheme-normalized fallback
+                    key = urllib.parse.unquote(
+                        urllib.parse.urlparse(rel).path
+                    )
+                    idx = rel.rfind(f"/{_DATA_DIR}/")
+                    tail = rel[idx + 1 :] if idx >= 0 else rel
+                    out[i]["files"] = counts.get(
+                        key, counts.get(tail, 0)
+                    )
+                else:
+                    out[i]["files"] = counts.get(rel, 0)
         return out
 
     def compact(
@@ -2399,10 +2748,14 @@ class ManifestTable:
         # the back-read this probe needs. A violation deletes the
         # staging before raising (no TTL-vacuum husk for a refusal).
         constraints = man.get("check_constraints") or {}
-        if constraints:
+        derived = man.get("derived_partitions") or {}
+        if constraints or derived:
             try:
                 _enforce_check_constraints(
                     back, constraints, f"staged commit for {self.path}"
+                )
+                _enforce_derived_partitions(
+                    back, derived, f"staged commit for {self.path}"
                 )
             except CheckConstraintViolation:
                 fs, jstage = _hadoop_fs(self.spark, f"{self.path}/{rel}")
@@ -2684,6 +3037,7 @@ class ManifestTable:
                 cur_raw.get("stats_cols", "auto"),
                 dropped_cols=cur_raw.get("dropped_cols"),
                 check_constraints=cur_raw.get("check_constraints"),
+                derived_partitions=cur_raw.get("derived_partitions"),
             )
             return cur + 1
 
@@ -2791,6 +3145,22 @@ class ManifestTable:
                             " references them; drop_check_constraint"
                             f"({cname!r}) first"
                         ) from exc
+            # a derived partition whose SOURCE column drops would
+            # leave the key unverifiable and the projection pruning
+            # on a contract nothing enforces anymore — refuse
+            # (repartition_table off the derived key first)
+            for dp, spec in sorted(
+                (man.get("derived_partitions") or {}).items()
+            ):
+                if spec["source"] in set(cols):
+                    raise ValueError(
+                        f"cannot drop column(s) {sorted(cols)}:"
+                        f" partition column {dp!r} derives from"
+                        f" {spec['source']!r}"
+                        f" ({spec['transform']});"
+                        " repartition_table() off the derived key"
+                        " first"
+                    )
             stats_cfg = man.get("stats_cols", "auto")
             if isinstance(stats_cfg, list):
                 stats_cfg = [c for c in stats_cfg if c not in set(cols)]
@@ -2852,6 +3222,7 @@ class ManifestTable:
                     set(man.get("dropped_cols", [])) | set(cols)
                 ),
                 check_constraints=constraints,
+                derived_partitions=man.get("derived_partitions"),
             )
             return cur + 1
 
@@ -2930,6 +3301,7 @@ class ManifestTable:
                 raw.get("stats_cols", "auto"),
                 dropped_cols=raw.get("dropped_cols"),
                 check_constraints=constraints,
+                derived_partitions=raw.get("derived_partitions"),
             )
             return cur + 1
 
@@ -2979,6 +3351,7 @@ class ManifestTable:
                 raw.get("stats_cols", "auto"),
                 dropped_cols=raw.get("dropped_cols"),
                 check_constraints=constraints,
+                derived_partitions=raw.get("derived_partitions"),
             )
             return cur + 1
 
@@ -3074,13 +3447,121 @@ class ManifestTable:
         ):
             return _do()
 
+    def clone_to(
+        self,
+        dest_path: str,
+        version: int | None = None,
+        deep: bool = False,
+    ) -> "ManifestTable":
+        """Clone the table at ``version`` (default current) to
+        ``dest_path`` — the Delta ``CREATE TABLE ... CLONE`` analog
+        (r13).
+
+        SHALLOW (default): a METADATA-ONLY v1 commit whose entries
+        point at the SOURCE's data files by ABSOLUTE location — zero
+        data I/O, O(entries) driver work, instant even at 100 TB.
+        The clone is immediately writable: merges and selective
+        compaction carry absolute entries forward verbatim and land
+        their own local generations beside them (the same
+        mixed-generation mechanics every commit uses), GC never
+        touches foreign locations (``_is_abs_dir`` entries are
+        excluded from the referenced-generation summary and the
+        sweep only lists the clone's own ``_data``), and compacting
+        a cloned partition LOCALIZES it. Caveat — the same one Delta
+        documents: the clone BORROWS the source's files, so a source
+        ``vacuum``/``compact`` that GCs the referenced generations
+        breaks it. Shallow clones are dev/test forks; deep-clone (or
+        selectively compact hot partitions local) before relying on
+        one long-term.
+
+        DEEP: every referenced entry directory is byte-copied into
+        the clone's own ``_data/g00000001/`` via Hadoop
+        ``FileUtil.copy`` (filesystem-streamed, never decoded/
+        re-encoded — per-entry stats and per-file bounds stay valid
+        verbatim), making the clone fully self-contained. O(table
+        bytes) by nature, driver-looped per entry dir.
+
+        Either way the clone starts at version 1 carrying the
+        source's schema, partition columns, stats config,
+        dropped-column tombstones, and CHECK constraints."""
+        import copy as _copy
+        import os as _os
+
+        man = self.manifest(version)
+        dest = ManifestTable(
+            self.spark,
+            dest_path,
+            shard_target=man.get("shard_target", self.shard_target),
+        )
+        if dest.current_version() is not None:
+            raise ValueError(
+                f"manifest table already exists: {dest.path}"
+            )
+        src_base = (
+            self.path
+            if _is_abs_dir(self.path)
+            else _os.path.abspath(self.path)
+        )
+        entries = _copy.deepcopy(man["entries"])
+        if deep:
+            jvm = self.spark._jvm
+            conf = self.spark._jsc.hadoopConfiguration()
+            gen_rel = f"{_DATA_DIR}/g{1:08d}"
+            for e in entries:
+                d = e["dir"]
+                src_abs = d if _is_abs_dir(d) else f"{src_base}/{d}"
+                idx = src_abs.rfind(f"/{_DATA_DIR}/")
+                # live entries are unique per partition key, so the
+                # post-generation subpath is collision-free inside
+                # the clone's single g1 generation
+                sub = src_abs[idx + 1 :].split("/", 2)[2]
+                new_rel = f"{gen_rel}/{sub}"
+                sfs, sj = _hadoop_fs(self.spark, src_abs)
+                dfs, dj = _hadoop_fs(
+                    self.spark, f"{dest.path}/{new_rel}"
+                )
+                dfs.mkdirs(dj.getParent())
+                ok = jvm.org.apache.hadoop.fs.FileUtil.copy(
+                    sfs, sj, dfs, dj, False, conf
+                )
+                if not ok:
+                    raise IOError(
+                        f"deep clone copy failed for {src_abs}"
+                    )
+                e["dir"] = new_rel
+        else:
+            for e in entries:
+                if not _is_abs_dir(e["dir"]):
+                    e["dir"] = f"{src_base}/{e['dir']}"
+        with table_write_lock(self.spark, dest.path, holder="clone"):
+            if dest.current_version() is not None:
+                raise ValueError(
+                    f"manifest table already exists: {dest.path}"
+                )
+            dest._publish_entries(
+                1,
+                list(man["partition_cols"]),
+                man["schema"],
+                entries,
+                retain_versions=2,
+                shard_target=man.get(
+                    "shard_target", self.shard_target
+                ),
+                stats_cols=man.get("stats_cols", "auto"),
+                dropped_cols=man.get("dropped_cols"),
+                check_constraints=man.get("check_constraints"),
+                derived_partitions=man.get("derived_partitions"),
+            )
+        return dest
+
     def vacuum(
         self,
         retain_versions: int | None = None,
         assume_locked: bool = False,
         staging_ttl_seconds: float | None = 86400.0,
         retain_hours: float | None = None,
-    ) -> None:
+        dry_run: bool = False,
+    ) -> dict | None:
         """Sweep metadata and generations no RETAINED manifest
         references — crash husks (a generation written by a failed
         commit that never published), orphan entry shards, and, when
@@ -3107,7 +3588,17 @@ class ManifestTable:
         current version always survives, and a manifest without a
         timestamp (pre-r10 shape) is conservatively kept. Mutually
         exclusive with ``retain_versions`` — the operational policy
-        is usually written in hours, not commit counts."""
+        is usually written in hours, not commit counts.
+
+        ``dry_run=True`` (r13, Delta's ``VACUUM ... DRY RUN``)
+        deletes NOTHING and returns the report an operator reads
+        before pointing a sweep at production: ``expired_versions``,
+        ``orphan_shards``, ``unreferenced_generations`` (computed by
+        the SAME :meth:`_gc_plan` the real sweep executes, so the
+        report cannot desync from the deletion) plus ``aged_staging``
+        (the ``.stage-*`` / ``_merge_delta-*`` husks past the TTL).
+        Lock-free: a dry run is read-only and must not stall a live
+        writer; the numbers are a snapshot, not a reservation."""
         ver = self.current_version()
         if ver is None:
             raise ValueError(f"manifest table does not exist: {self.path}")
@@ -3138,41 +3629,59 @@ class ManifestTable:
                     keep_oldest = min(keep_oldest, h["version"])
             return v - keep_oldest + 1
 
-        def _do() -> None:
-            v = self.current_version()
-            if retain_hours is not None:
-                retain = _resolve_time_retain(v)
-            else:
-                retain = (
-                    retain_versions
-                    if retain_versions is not None
-                    else self._keep_current_retain(v)
-                )
-            self._gc(v, retain)
+        def _aged_staging() -> list[str]:
             if staging_ttl_seconds is None:
-                return
+                return []
             now_ms = self.spark._jvm.java.lang.System.currentTimeMillis()
-
-            def _sweep_aged(dir_path: str, prefix: str) -> None:
+            aged: list[str] = []
+            for dir_path, prefix in (
+                (f"{self.path}/{_DATA_DIR}", ".stage-"),
+                (self.path, "_merge_delta-"),
+            ):
                 fs, jdir = _hadoop_fs(self.spark, dir_path)
                 if not fs.exists(jdir):
-                    return
+                    continue
                 for status in fs.listStatus(jdir):
                     name = status.getPath().getName()
                     age_s = (
                         now_ms - status.getModificationTime()
                     ) / 1000.0
                     if name.startswith(prefix) and age_s > staging_ttl_seconds:
-                        fs.delete(status.getPath(), True)
+                        aged.append(f"{dir_path}/{name}")
+            return aged
 
-            _sweep_aged(f"{self.path}/{_DATA_DIR}", ".stage-")
-            _sweep_aged(self.path, "_merge_delta-")
+        def _retain_now(v: int) -> int:
+            if retain_hours is not None:
+                return _resolve_time_retain(v)
+            return (
+                retain_versions
+                if retain_versions is not None
+                else self._keep_current_retain(v)
+            )
+
+        if dry_run:
+            v = self.current_version()
+            plan = self._gc_plan(v, _retain_now(v)) or {
+                "expired_versions": [],
+                "orphan_shards": [],
+                "unreferenced_generations": [],
+            }
+            plan["aged_staging"] = sorted(_aged_staging())
+            return plan
+
+        def _do() -> None:
+            v = self.current_version()
+            self._gc(v, _retain_now(v))
+            for p in _aged_staging():
+                fs, jp = _hadoop_fs(self.spark, p)
+                fs.delete(jp, True)
 
         if assume_locked:
             _do()
-            return
+            return None
         with table_write_lock(self.spark, self.path, holder="vacuum"):
             _do()
+        return None
 
     def _checked_commit(
         self, df, touched, ver, expected_version, retain_versions
@@ -3472,6 +3981,33 @@ class ManifestTable:
             _enforce_check_constraints(
                 back, constraints, f"commit v{version} of {self.path}"
             )
+        # derived partitions (r13 hidden partitioning): the spec
+        # persists from create like stats_cols; every later commit
+        # re-reads the table's own and enforces pcol ==
+        # transform(source) on what it wrote — scan-time projection
+        # pruning is only sound if no committed row ever disagrees
+        if prev_man is not None:
+            derived = prev_man.get("derived_partitions") or {}
+        elif self.derived_partitions:
+            derived = _validate_derived_partitions(
+                self.derived_partitions, pcols, schema_json
+            )
+        else:
+            derived = {}
+        if derived:
+            # a repartition_table full replace may retire the derived
+            # key (spec dropped with it, documented); the source
+            # column is protected by the drop_columns guard
+            names = {f["name"] for f in schema_json.get("fields", [])}
+            derived = {
+                p: s
+                for p, s in derived.items()
+                if p in pcols and s["source"] in names
+            }
+        if derived and back is not None:
+            _enforce_derived_partitions(
+                back, derived, f"commit v{version} of {self.path}"
+            )
         scols, stats_cfg = self._resolve_stats_cols(
             prev_man,
             {f.name: f.dataType for f in staged_schema.fields},
@@ -3514,6 +4050,7 @@ class ManifestTable:
             stats_cfg,
             dropped_cols=dropped_cols,
             check_constraints=constraints,
+            derived_partitions=derived,
         )
         return len(touched)
 
@@ -3528,6 +4065,7 @@ class ManifestTable:
         stats_cols: list | str = "auto",
         dropped_cols: list | None = None,
         check_constraints: dict | None = None,
+        derived_partitions: dict | None = None,
     ) -> None:
         """Build the manifest for ``entries``, publish it, GC — the
         shared tail of every commit (data commits via `_commit`,
@@ -3563,11 +4101,24 @@ class ManifestTable:
             man["check_constraints"] = dict(
                 sorted(check_constraints.items())
             )
+        if derived_partitions:
+            # hidden-partitioning spec (r13): persisted property;
+            # commits enforce it, scans project predicates through it
+            man["derived_partitions"] = dict(
+                sorted(derived_partitions.items())
+            )
         # GC + history() metadata that must not require shard
         # expansion: the generations this version references and the
-        # live-partition count live in the list file itself
+        # live-partition count live in the list file itself. A
+        # shallow clone's ABSOLUTE entries reference no local
+        # generation and are excluded (their data lives under the
+        # source table; this table's sweep can never reach it).
         man["generations"] = sorted(
-            {e["dir"].split("/")[1] for e in entries}
+            {
+                e["dir"].split("/")[1]
+                for e in entries
+                if not _is_abs_dir(e["dir"])
+            }
         )
         man["entry_count"] = len(entries)
         if len(entries) > shard_target:
@@ -3821,20 +4372,13 @@ class ManifestTable:
         if not fs.rename(jptr_tmp, jptr):
             raise IOError(f"could not swap pointer for {self.path}")
 
-    def _gc(self, version: int, retain_versions: int) -> None:
-        """Best-effort: delete manifests older than the retain window
-        FIRST, then generation dirs no surviving manifest references.
-        Manifest-first ordering matters for racing readers (external
-        review r10): a version EXPIRES (vanishes from ``versions()``,
-        ``read(version=)`` raises the explicit "not retained" error)
-        before its data disappears, so a tail/consumer racing the GC
-        classifies the failure as retention instead of hitting a raw
-        FileNotFound on data whose manifest still looked alive. A
-        generation stays alive as long as ANY retained manifest still
-        references one of its partition dirs (untouched partitions
-        keep old generations live — correct and intended); fully
-        superseded generations go. Readers of retained versions are
-        never invalidated; that is the snapshot-isolation window."""
+    def _gc_plan(self, version: int, retain_versions: int) -> dict | None:
+        """What :meth:`_gc` WOULD delete for this retain window — THE
+        single computation behind both the real sweep and
+        ``vacuum(dry_run=True)``, so the report can never desync from
+        the deletion (the r12 single-selection principle). Returns
+        None when a retained manifest is unreadable: GC declines
+        rather than guessing at liveness."""
         keep = [v for v in self.versions() if v > version - retain_versions]
         referenced: set[str] = set()
         live_shards: set[str] = set()
@@ -3850,38 +4394,86 @@ class ManifestTable:
                     referenced.update(raw["generations"])
                 else:
                     for e in self.manifest(v)["entries"]:
-                        referenced.add(e["dir"].split("/")[1])
+                        if not _is_abs_dir(e["dir"]):
+                            referenced.add(e["dir"].split("/")[1])
             except Exception:  # noqa: BLE001 — GC never fails a commit
-                return
+                return None
+        plan = {
+            "expired_versions": [
+                v
+                for v in self.versions()
+                if v <= version - retain_versions
+            ],
+            "orphan_shards": [],
+            "unreferenced_generations": [],
+        }
         try:
             fs_m, jman_dir = _hadoop_fs(
                 self.spark, f"{self.path}/{_MANIFEST_DIR}"
             )
-            for v in self.versions():
-                if v <= version - retain_versions:
-                    _, jm = _hadoop_fs(
-                        self.spark,
-                        f"{self.path}/{_MANIFEST_DIR}/v{v:08d}.json",
-                    )
-                    fs_m.delete(jm, False)
-            # sweep entry shards no RETAINED list references (expired
-            # versions' exclusive shards, crash orphans, pre-resize
-            # bucket layouts) — live_shards was collected from the
-            # keep set above, which equals the surviving versions now
-            # that expired lists are deleted
+            # shards no RETAINED list references (expired versions'
+            # exclusive shards, crash orphans, pre-resize layouts) —
+            # live_shards comes from the keep set, so a shard a
+            # to-be-expired manifest references is already orphaned
+            # in the plan
             for status in fs_m.listStatus(jman_dir):
                 name = status.getPath().getName()
                 if (
                     re.match(r"^s\d+_\d+_[0-9a-f]{16}\.json$", name)
                     and name not in live_shards
                 ):
-                    fs_m.delete(status.getPath(), False)
+                    plan["orphan_shards"].append(name)
             fs, jdata = _hadoop_fs(self.spark, f"{self.path}/{_DATA_DIR}")
             if fs.exists(jdata):
                 for status in fs.listStatus(jdata):
                     name = status.getPath().getName()
                     if re.match(r"^g\d{8}$", name) and name not in referenced:
-                        fs.delete(status.getPath(), True)
+                        plan["unreferenced_generations"].append(name)
+        except Exception:  # noqa: BLE001 — same decline contract
+            return None
+        plan["orphan_shards"].sort()
+        plan["unreferenced_generations"].sort()
+        return plan
+
+    def _gc(self, version: int, retain_versions: int) -> None:
+        """Best-effort: delete manifests older than the retain window
+        FIRST, then generation dirs no surviving manifest references.
+        Manifest-first ordering matters for racing readers (external
+        review r10): a version EXPIRES (vanishes from ``versions()``,
+        ``read(version=)`` raises the explicit "not retained" error)
+        before its data disappears, so a tail/consumer racing the GC
+        classifies the failure as retention instead of hitting a raw
+        FileNotFound on data whose manifest still looked alive. A
+        generation stays alive as long as ANY retained manifest still
+        references one of its partition dirs (untouched partitions
+        keep old generations live — correct and intended); fully
+        superseded generations go. Readers of retained versions are
+        never invalidated; that is the snapshot-isolation window.
+        Executes exactly :meth:`_gc_plan`."""
+        plan = self._gc_plan(version, retain_versions)
+        if plan is None:
+            return
+        try:
+            fs_m, _ = _hadoop_fs(
+                self.spark, f"{self.path}/{_MANIFEST_DIR}"
+            )
+            for v in plan["expired_versions"]:
+                _, jm = _hadoop_fs(
+                    self.spark,
+                    f"{self.path}/{_MANIFEST_DIR}/v{v:08d}.json",
+                )
+                fs_m.delete(jm, False)
+            for name in plan["orphan_shards"]:
+                _, js = _hadoop_fs(
+                    self.spark, f"{self.path}/{_MANIFEST_DIR}/{name}"
+                )
+                fs_m.delete(js, False)
+            fs, _ = _hadoop_fs(self.spark, f"{self.path}/{_DATA_DIR}")
+            for name in plan["unreferenced_generations"]:
+                _, jg = _hadoop_fs(
+                    self.spark, f"{self.path}/{_DATA_DIR}/{name}"
+                )
+                fs.delete(jg, True)
         except Exception:  # noqa: BLE001 — orphans are invisible via
             # the manifest; the next commit's GC retries
             pass

@@ -3507,6 +3507,219 @@ GROUP BY 1, tot.total, p13.n_pt13, plt.n_ptlt2
 )
 
 
+def _q_table_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone certification (round 13): ``clone_to()`` is the
+    Delta ``CREATE TABLE ... CLONE`` analog — a METADATA-ONLY v1
+    commit at the destination whose entries point at the source's
+    data by absolute location (zero data I/O, O(entries) driver
+    work, instant at 100 TB), immediately writable and fully
+    isolated both ways. Build an events table, clone it, then let
+    the two histories DIVERGE: the source bumps ``value`` by 1000
+    for the top id quarter, the clone bumps by 500 for the bottom
+    quarter within pt=0 only. In-function pins: the clone has NO
+    ``_data`` before its own merge (the zero-copy proof), its
+    metadata count answers with ``entries_scanned == 0``, and after
+    the divergent merges the clone still BORROWS the three
+    partitions it never wrote (absolute dirs) while pt=0 went
+    local. The oracle recomputes both divergent states
+    arithmetically from the raw events — clone and source checksums
+    in one frame prove neither table saw the other's write.
+
+    Scale shape: the clone itself runs no Spark job at all; the
+    merges after it are ordinary delta-sized partition-pruned
+    commits."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable, _is_abs_dir
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    max_id, n = ev.agg(F.max("event_id"), F.count(F.lit(1))).collect()[0]
+    cut1 = (max_id + 1) // 4
+    cut3 = 3 * (max_id + 1) // 4
+    evp = ev.withColumn("pt", (F.col("event_id") % 4).cast("int"))
+    work = tempfile.mkdtemp(prefix="table_clone_")
+    try:
+        src = ManifestTable(spark, f"{work}/src")
+        src.create(evp, ["pt"])
+        clone = src.clone_to(f"{work}/clone")
+        # zero-copy proof: the clone owns no data at all yet
+        assert not _os.path.exists(f"{clone.path}/_data")
+        d = clone.count(detail=True)
+        assert d["entries_scanned"] == 0 and d["rows"] == n, d
+        # source moves on (invisible to the clone)
+        d3 = evp.filter(F.col("event_id") >= cut3).withColumn(
+            "value", F.col("value") + F.lit(1000.0)
+        )
+        merge_into_partitioned(
+            spark, src.path, d3, ["event_id"], ["pt"], retain_versions=5
+        )
+        # clone diverges in pt=0 only (invisible to the source)
+        d2 = evp.filter(
+            (F.col("event_id") < cut1) & (F.col("pt") == 0)
+        ).withColumn("value", F.col("value") + F.lit(500.0))
+        merge_into_partitioned(
+            spark, clone.path, d2, ["event_id"], ["pt"],
+            retain_versions=5,
+        )
+        dirs = {
+            e["key"]: e["dir"] for e in clone.manifest()["entries"]
+        }
+        borrowed = sum(1 for v in dirs.values() if _is_abs_dir(v))
+        assert borrowed == 3, dirs  # pt 1..3 still borrow, pt0 local
+        ck = F.sum(
+            F.round(F.col("value") * 100).cast("bigint")
+        ).cast("bigint")
+        cl = clone.read().groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            ck.alias("clone_cksum"),
+        )
+        sr = src.read().groupBy("event_type").agg(
+            ck.alias("src_cksum")
+        )
+        rows = cl.join(sr, "event_type").collect()
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, clone_cksum bigint,"
+            " src_cksum bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_shallow_clone"] = Q(
+    _q_table_shallow_clone,
+    """
+WITH c AS (
+    SELECT (MAX(event_id) + 1) // 4 AS cut1,
+           3 * (MAX(event_id) + 1) // 4 AS cut3
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND((value + CASE
+            WHEN event_id < c.cut1 AND event_id % 4 = 0 THEN 500
+            ELSE 0 END) * 100) AS BIGINT)) AS BIGINT) AS clone_cksum,
+       CAST(SUM(CAST(ROUND((value + CASE
+            WHEN event_id >= c.cut3 THEN 1000
+            ELSE 0 END) * 100) AS BIGINT)) AS BIGINT) AS src_cksum
+FROM events, c
+GROUP BY 1
+""",
+    doc="shallow clone: metadata-only zero-copy fork (no _data, entries_scanned==0 pinned), divergent merges isolated both ways, 3 of 4 partitions still borrowed after the clone-side merge",
+)
+
+
+def _q_table_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning certification (round 13): Iceberg-style
+    derived partitions — the table persists ``ts_day = day(ts)`` at
+    create (reference semantics: Iceberg partition transforms /
+    Delta generated-column partition filters; the reference engine
+    itself keys S3 objects by a derived ``processingDate``,
+    file-pipeline.yaml:66), every commit ENFORCES the derivation
+    row-wise, and the scan PROJECTS the raw ``ts`` predicate onto
+    the day key: ``read(where=[("ts", ">=", cut)])`` prunes day
+    partitions with no day clause ever spelled. The events ``ts`` is
+    TIMESTAMP_NTZ, so projection is zone-free and EXACT — the
+    entries-scanned count is pinned IN THE HASH and the oracle
+    recomputes it as the distinct days at-or-after the cut's day
+    (the widening contract w=0; the zoned ±2-day variant is pinned
+    in units). Values prove the residual filter stayed the exact
+    raw-``ts`` predicate, not the coarser day clause.
+
+    Scale shape: projection is O(clauses × derivations) driver work;
+    the scan reads only surviving day directories — at 100 TB this
+    is the difference between a calendar-range query touching 3% of
+    the table and touching all of it because nobody spelled the
+    partition-key clause Iceberg would have derived."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from ..operators.table import (
+        ManifestTable,
+        partition_transform_column,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    lo_d, hi_d = lo.date(), hi.date()
+    span = (hi_d - lo_d).days
+    cut_d = lo_d + dt.timedelta(days=3 * span // 4)
+    cut = dt.datetime.combine(cut_d, dt.time())
+    evp = ev.withColumn(
+        "ts_day", partition_transform_column("day", "ts")
+    )
+    work = tempfile.mkdtemp(prefix="table_hidden_")
+    try:
+        mt = ManifestTable(
+            spark,
+            f"{work}/events_by_day",
+            derived_partitions={
+                "ts_day": {"transform": "day", "source": "ts"}
+            },
+        )
+        mt.create(evp, ["ts_day"])
+        w = [("ts", ">=", cut)]
+        kept, total = mt.prune_stats(w)
+        # the raw-ts predicate must have pruned through the derived
+        # day key — no day clause was spelled anywhere above
+        assert 0 < kept < total, (kept, total)
+        rows = (
+            mt.read(where=w)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+            )
+            .withColumn("days_scanned", F.lit(kept).cast("int"))
+            .withColumn("days_total", F.lit(total).cast("int"))
+            .collect()  # materialize before the temp table is removed
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, id_checksum bigint,"
+            " days_scanned int, days_total int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_hidden_partitioning"] = Q(
+    _q_table_hidden_partitioning,
+    """
+WITH c AS (
+    SELECT CAST(MIN(ts) AS DATE)
+           + (3 * DATEDIFF('day', CAST(MIN(ts) AS DATE),
+                           CAST(MAX(ts) AS DATE)) // 4)
+             * INTERVAL 1 DAY AS cut_d
+    FROM events
+),
+ds AS (
+    SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS INT) AS days_scanned
+    FROM events, c WHERE CAST(ts AS DATE) >= c.cut_d
+),
+dtot AS (
+    SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS INT) AS days_total
+    FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       ds.days_scanned, dtot.days_total
+FROM events, c, ds, dtot
+WHERE ts >= CAST(c.cut_d AS TIMESTAMP)
+GROUP BY 1, ds.days_scanned, dtot.days_total
+""",
+    doc="hidden partitioning: day(ts) derived key enforced per commit; a raw-ts predicate prunes day partitions via transform projection, scanned/total day counts pinned in the hash, values prove the exact residual filter",
+)
+
+
 def _q_table_selective_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selective compaction certification (round 13):
     ``compact(partitions=[...])`` rewrites ONLY the named partitions

@@ -49,8 +49,26 @@ def start_changelog_merge_sink(
     lock_stale_after_seconds: float | None = 900.0,
     layout: str = "hive",
     retain_versions: int = 2,
+    compact_min_files: int | None = None,
+    compact_every: int = 20,
+    compact_target_records_per_file: int | None = None,
 ):
     """Start the changelog→table merge stream; returns the query.
+
+    ``compact_min_files`` (manifest layout only, r13) arms AUTO
+    COMPACTION: after every ``compact_every``-th micro-batch the sink
+    runs ``compact(min_files=compact_min_files)`` on its own table —
+    the small-file sweep a streaming CDC sink otherwise leaves to an
+    operator, fused into the one writer that already owns the lease
+    cadence. Delta calls this auto/post-commit optimize. The sweep is
+    SELECTIVE (only partitions holding ≥ min_files files rewrite —
+    hot partitions by construction of the accretion) and publishes NO
+    version when nothing qualifies, so quiet streams don't burn
+    commits; retention stays keep-current so the sweep never shrinks
+    a tail consumer's window, though each sweep that does fire is one
+    more version of lag budget — size ``retain_versions``
+    accordingly. Runs AFTER the batch's merge commit, inside the same
+    serial foreachBatch slot, so it can never race the next batch.
 
     ``retain_versions`` (manifest layout only) sizes the snapshot
     window each micro-batch commit keeps. The default (2) is right for
@@ -97,6 +115,16 @@ def start_changelog_merge_sink(
         # validate at start-time: a typo'd layout must fail the stream
         # setup, not the first real batch
         raise ValueError(f"layout must be 'hive' or 'manifest', got {layout!r}")
+    if compact_min_files is not None:
+        if layout != "manifest":
+            raise ValueError(
+                "compact_min_files requires layout='manifest' — the"
+                " hive layout has no selective-compaction commit"
+            )
+        if compact_min_files < 2:
+            raise ValueError("compact_min_files must be >= 2")
+        if compact_every < 1:
+            raise ValueError("compact_every must be >= 1")
 
     def _table_state() -> str:
         """'absent' (bootstrap), 'table' (merge), or 'foreign'. A dir
@@ -211,6 +239,24 @@ def start_changelog_merge_sink(
             lock_stale_after_seconds=lock_stale_after_seconds,
             retain_versions=retain_versions,
         )
+        if (
+            compact_min_files is not None
+            and (batch_id + 1) % compact_every == 0
+        ):
+            from ..operators.table import ManifestTable, is_manifest_table
+
+            if not is_manifest_table(spark, path):
+                # an existing hive table keeps its layout regardless
+                # of the `layout` arg — auto-compaction must fail
+                # LOUDLY, not silently never sweep
+                raise ValueError(
+                    f"auto-compaction requires a manifest table, but"
+                    f" {path} is hive-layout"
+                )
+            ManifestTable(spark, path).compact(
+                min_files=compact_min_files,
+                target_records_per_file=compact_target_records_per_file,
+            )
 
     return (
         stream.writeStream.foreachBatch(apply)

@@ -1369,3 +1369,626 @@ class TestMetadataCount:
         assert pce(dt.date(2026, 1, 1), "<=", dt.date(2026, 1, 2)) is True
         assert pce(True, "=", True) is True
         assert pce(True, "=", 1) is None  # bool-vs-int: scan
+
+
+class TestCloneTable:
+    """clone_to() — Delta CLONE analog: shallow = metadata-only v1
+    borrowing the source's files by absolute location; deep =
+    self-contained byte copy. The clone is writable (local
+    generations land beside absolute entries), GC can never reach
+    foreign locations, and compaction localizes borrowed partitions."""
+
+    def test_shallow_is_metadata_only_and_equal(self, spark, tmp_path):
+        src = _mk_table(spark, str(tmp_path / "src"))
+        ent0 = {e["key"]: e for e in src.manifest()["entries"]}
+        mt0 = {k: _file_mtimes(src, e) for k, e in ent0.items()}
+        cl = src.clone_to(str(tmp_path / "cl"))
+        assert not os.path.exists(f"{cl.path}/_data")  # zero data I/O
+        assert sorted(map(tuple, cl.read().collect())) == _state(src)
+        for e in cl.manifest()["entries"]:
+            assert e["dir"].startswith("/")
+        # source files untouched byte-for-byte
+        for k, e in ent0.items():
+            assert _file_mtimes(src, e) == mt0[k]
+        # stats carried verbatim: metadata count works immediately
+        d = cl.count(detail=True)
+        assert d["entries_scanned"] == 0 and d["rows"] == 32
+
+    def test_clone_is_writable_and_isolated(self, spark, tmp_path):
+        src = _mk_table(spark, str(tmp_path / "src"))
+        cl = src.clone_to(str(tmp_path / "cl"))
+        d = spark.createDataFrame(
+            [(500, "b", 9.0)], "id int, pt string, v double"
+        )
+        merge_into_partitioned(
+            spark, cl.path, d, ["id"], ["pt"], retain_versions=5
+        )
+        assert cl.read().count() == 33
+        assert src.read().count() == 32  # source never sees it
+        assert cl.changes(1, 2).count() == 1
+        # untouched partitions still borrow; the merged one is local
+        dirs = {e["key"]: e["dir"] for e in cl.manifest()["entries"]}
+        assert dirs[_partition_key(("a",))].startswith("/")
+        assert dirs[_partition_key(("b",))].startswith("_data/")
+
+    def test_clone_gc_never_touches_source(self, spark, tmp_path):
+        src = _mk_table(spark, str(tmp_path / "src"))
+        ent0 = {e["key"]: e for e in src.manifest()["entries"]}
+        mt0 = {k: _file_mtimes(src, e) for k, e in ent0.items()}
+        cl = src.clone_to(str(tmp_path / "cl"))
+        # full local rewrite then aggressive vacuum on the CLONE
+        cl.compact(retain_versions=1)
+        cl.vacuum(retain_versions=1)
+        assert sorted(map(tuple, cl.read().collect())) == _state(src)
+        for k, e in ent0.items():  # source data intact
+            assert _file_mtimes(src, e) == mt0[k]
+
+    def test_compact_localizes_borrowed_partition(self, spark, tmp_path):
+        src = _mk_table(spark, str(tmp_path / "src"))
+        cl = src.clone_to(str(tmp_path / "cl"))
+        before = sorted(map(tuple, cl.read().collect()))
+        assert cl.compact(partitions=[("a",)]) == 1
+        dirs = {e["key"]: e["dir"] for e in cl.manifest()["entries"]}
+        assert dirs[_partition_key(("a",))].startswith("_data/")
+        assert dirs[_partition_key(("b",))].startswith("/")
+        assert sorted(map(tuple, cl.read().collect())) == before
+        # report resolves both borrowed and local entries
+        rep = {tuple(r["values"]): r["files"] for r in cl.small_file_report()}
+        assert all(n and n >= 1 for n in rep.values()), rep
+
+    def test_deep_clone_survives_source_delete(self, spark, tmp_path):
+        import shutil
+
+        src = _mk_table(spark, str(tmp_path / "src"))
+        want = _state(src)
+        dp = src.clone_to(str(tmp_path / "dp"), deep=True)
+        for e in dp.manifest()["entries"]:
+            assert e["dir"].startswith("_data/g00000001/")
+            # per-file bounds carried verbatim still name real files
+            for fname in (e.get("files") or {}):
+                assert os.path.exists(f"{dp.path}/{e['dir']}/{fname}")
+        shutil.rmtree(src.path)
+        assert sorted(map(tuple, dp.read().collect())) == want
+
+    def test_clone_at_version_and_guards(self, spark, tmp_path):
+        src = _mk_table(spark, str(tmp_path / "src"))  # v1=30 rows
+        cl1 = src.clone_to(str(tmp_path / "v1"), version=1)
+        assert cl1.read().count() == 30
+        with pytest.raises(ValueError, match="already exists"):
+            src.clone_to(str(tmp_path / "v1"))
+
+    def test_clone_carries_constraints_and_tombstones(
+        self, spark, tmp_path
+    ):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            CheckConstraintViolation,
+        )
+
+        base = spark.createDataFrame(
+            [(i, "ab"[i % 2], float(i), i) for i in range(10)],
+            "id int, pt string, v double, extra int",
+        )
+        src = ManifestTable(spark, str(tmp_path / "src"))
+        src.create(base, ["pt"])
+        src.add_check_constraint("v_nonneg", "v >= 0")
+        src.drop_columns(["extra"])  # tombstones 'extra'
+        cl = src.clone_to(str(tmp_path / "cl"))
+        assert "v_nonneg" in cl.check_constraints()
+        bad = spark.createDataFrame(
+            [(600, "a", -1.0)], "id int, pt string, v double"
+        )
+        with pytest.raises(CheckConstraintViolation):
+            merge_into_partitioned(
+                spark, cl.path, bad, ["id"], ["pt"], retain_versions=5
+            )
+        # the tombstone traveled too (merge itself PROJECTS extra
+        # delta columns away by documented design, so the refusal is
+        # pinned at the property level here and behaviorally in
+        # TestDropColumns)
+        assert cl.manifest().get("dropped_cols") == ["extra"]
+
+    def test_shallow_clone_of_shallow_clone(self, spark, tmp_path):
+        src = _mk_table(spark, str(tmp_path / "src"))
+        c1 = src.clone_to(str(tmp_path / "c1"))
+        c2 = c1.clone_to(str(tmp_path / "c2"))
+        assert sorted(map(tuple, c2.read().collect())) == _state(src)
+        for e in c2.manifest()["entries"]:
+            assert e["dir"].startswith("/")
+
+
+class TestAutoCompactSink:
+    """start_changelog_merge_sink(compact_min_files=N, compact_every=K)
+    — Delta-style auto compaction fused into the CDC sink: every K-th
+    batch runs the selective small-file sweep on the sink's own table,
+    inside the same serial foreachBatch slot."""
+
+    def _drive(self, spark, tmp_path, nbatches=4, **sink_kw):
+        import os as _os
+
+        from fbg_kafka_stream_file_transfer_spark.streaming.merge_sink import (
+            start_changelog_merge_sink,
+        )
+
+        src = str(tmp_path / "src")
+        _os.makedirs(src)
+        schema = "id long, pt int, ts long, v double, op string"
+        for i in range(nbatches):
+            rows = [
+                (100 * i + j, j % 2, 100 * i, float(i), "U")
+                for j in range(6)
+            ]
+            b = spark.createDataFrame(rows, schema)
+            tmp = str(tmp_path / f"w{i}")
+            b.coalesce(1).write.parquet(tmp)
+            pf = [f for f in _os.listdir(tmp) if f.endswith(".parquet")][0]
+            _os.rename(f"{tmp}/{pf}", f"{src}/{i:03d}.parquet")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        table = str(tmp_path / "table")
+        q = start_changelog_merge_sink(
+            spark, stream, table, "id", ["pt"], "ts", "op",
+            str(tmp_path / "ckpt"), layout="manifest",
+            retain_versions=10, **sink_kw,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return table
+
+    def test_sweep_compacts_and_preserves_state(self, spark, tmp_path):
+        table = self._drive(
+            spark, tmp_path, compact_min_files=2, compact_every=2
+        )
+        mt = ManifestTable(spark, table)
+        # every ingested row survives the sweeps
+        assert mt.read().count() == 24
+        rep = {tuple(r["values"]): r["files"] for r in mt.small_file_report()}
+        # batches 2..4 land after the last full sweep at batch 4 —
+        # no partition may hold more than compact_every merge files
+        # plus the sweep's single output
+        assert all(n <= 3 for n in rep.values()), rep
+        # at least one maintenance commit exists: some version diff
+        # is zero rows while ingestion batches always add 6
+        vs = mt.versions()
+        diffs = [
+            mt.changes(a, b).count()
+            for a, b in zip(vs, vs[1:])
+        ]
+        assert 0 in diffs, diffs
+
+    def test_quiet_sweep_burns_no_version(self, spark, tmp_path):
+        # min_files above anything the stream accretes: the sweep
+        # selects nothing and publishes nothing — version count is
+        # exactly bootstrap + merges
+        table = self._drive(
+            spark, tmp_path, compact_min_files=99, compact_every=1
+        )
+        mt = ManifestTable(spark, table)
+        assert len(mt.versions()) == 4
+        assert mt.read().count() == 24
+
+    def test_start_time_guards(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.streaming.merge_sink import (
+            start_changelog_merge_sink,
+        )
+
+        src = tmp_path / "empty_src"
+        src.mkdir()
+        stream = (
+            spark.readStream.schema("id long, pt int, ts long, op string")
+            .parquet(str(src))
+        )
+        for kw, msg in (
+            (dict(compact_min_files=2), "layout='manifest'"),
+            (dict(compact_min_files=1, layout="manifest"), ">= 2"),
+            (
+                dict(compact_min_files=2, layout="manifest", compact_every=0),
+                ">= 1",
+            ),
+        ):
+            with pytest.raises(ValueError, match=msg):
+                start_changelog_merge_sink(
+                    spark, stream, str(tmp_path / "t"), "id", ["pt"],
+                    "ts", "op", str(tmp_path / "c"), **kw,
+                )
+
+
+class TestVacuumDryRun:
+    """vacuum(dry_run=True) — the report of what the sweep WOULD
+    delete, computed by the same _gc_plan the real sweep executes."""
+
+    def test_default_retention_plans_nothing(self, spark, tmp_path):
+        mt = _mk_table(spark, str(tmp_path / "t"))
+        vs0 = mt.versions()
+        plan = mt.vacuum(dry_run=True)
+        assert plan["expired_versions"] == []
+        assert plan["unreferenced_generations"] == []
+        assert plan["aged_staging"] == []
+        assert mt.versions() == vs0  # nothing happened
+
+    def test_dry_run_matches_real_sweep(self, spark, tmp_path):
+        import glob as _glob
+        import os as _os
+
+        mt = _mk_table(spark, str(tmp_path / "t"))  # v1..v3 retained
+        # age a fake staging husk and an orphan merge-delta dir
+        stage = f"{mt.path}/_data/.stage-deadbeef"
+        delta = f"{mt.path}/_merge_delta-deadbeef"
+        for d in (stage, delta):
+            _os.makedirs(d)
+            _os.utime(d, (1600000000, 1600000000))
+        plan = mt.vacuum(dry_run=True, retain_versions=1)
+        assert plan["expired_versions"] == [1, 2]
+        assert plan["unreferenced_generations"]  # old gens qualify
+        assert sorted(plan["aged_staging"]) == sorted([stage, delta])
+        # dry run deleted NOTHING
+        assert mt.versions() == [1, 2, 3]
+        assert _os.path.exists(stage) and _os.path.exists(delta)
+        gens0 = set(
+            _os.path.basename(p)
+            for p in _glob.glob(f"{mt.path}/_data/g*")
+        )
+        assert set(plan["unreferenced_generations"]) <= gens0
+        # the real sweep removes exactly the planned items
+        mt.vacuum(retain_versions=1)
+        assert mt.versions() == [3]
+        assert not _os.path.exists(stage) and not _os.path.exists(delta)
+        gens1 = set(
+            _os.path.basename(p)
+            for p in _glob.glob(f"{mt.path}/_data/g*")
+        )
+        assert gens1 == gens0 - set(plan["unreferenced_generations"])
+
+    def test_dry_run_honors_retain_hours(self, spark, tmp_path):
+        mt = _mk_table(spark, str(tmp_path / "t"))
+        # all manifests recent: hours-based dry run keeps everything
+        plan = mt.vacuum(dry_run=True, retain_hours=24.0)
+        assert plan["expired_versions"] == []
+
+
+class TestHiddenPartitioning:
+    """Derived partitions (Iceberg hidden partitioning): the manifest
+    remembers pcol == transform(source), every commit enforces it
+    row-wise, and scans project data-column predicates onto the
+    partition key — `where ts >= X` prunes day partitions with no
+    day clause spelled. Projection is pruning-only: the exact
+    residual filter stays the caller's predicate."""
+
+    def _mk_day(self, spark, path, ntz=True, days=20, per_day=8):
+        import datetime as dt
+
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            partition_transform_column,
+        )
+
+        rows = [
+            (
+                d * per_day + i,
+                dt.datetime(2026, 1, 1 + d, 6 + (i % 12), 30),
+                float(i),
+            )
+            for d in range(days)
+            for i in range(per_day)
+        ]
+        t = "timestamp_ntz" if ntz else "timestamp"
+        df = spark.createDataFrame(
+            rows, f"id int, ts {t}, v double"
+        ).withColumn("ts_day", partition_transform_column("day", "ts"))
+        mt = ManifestTable(
+            spark,
+            path,
+            derived_partitions={
+                "ts_day": {"transform": "day", "source": "ts"}
+            },
+        )
+        mt.create(df, ["ts_day"])
+        return mt, df
+
+    def test_day_projection_prunes_and_stays_exact(self, spark, tmp_path):
+        import datetime as dt
+
+        mt, df = self._mk_day(spark, str(tmp_path / "t"))
+        for cut in (
+            dt.datetime(2026, 1, 5),
+            dt.datetime(2026, 1, 5, 13, 45, 1),
+            dt.datetime(2026, 1, 19, 23, 59, 59),
+        ):
+            w = [("ts", ">=", cut)]
+            kept, total = mt.prune_stats(w)
+            assert kept < total, (cut, kept, total)
+            got = sorted(r.id for r in mt.read(where=w).collect())
+            want = sorted(
+                r.id for r in df.filter(F.col("ts") >= F.lit(cut)).collect()
+            )
+            assert got == want, cut
+        # equality projects to a single day (NTZ: zero widening)
+        kept, total = mt.prune_stats(
+            [("ts", "=", dt.datetime(2026, 1, 7, 6, 30))]
+        )
+        assert kept == 1, (kept, total)
+        # between projects through both bounds
+        w = [("ts", "between", (dt.datetime(2026, 1, 3), dt.datetime(2026, 1, 5)))]
+        kept, total = mt.prune_stats(w)
+        assert kept == 3, (kept, total)
+
+    def test_zoned_timestamp_widens_but_stays_exact(self, spark, tmp_path):
+        import datetime as dt
+
+        mt, df = self._mk_day(spark, str(tmp_path / "t"), ntz=False)
+        cut = dt.datetime(2026, 1, 10)
+        w = [("ts", ">=", cut)]
+        kept, total = mt.prune_stats(w)
+        # widened by ±2 days, still prunes the far tail
+        assert kept < total
+        exact_days = 11  # Jan 10..20
+        assert exact_days <= kept <= exact_days + 2
+        got = sorted(r.id for r in mt.read(where=w).collect())
+        want = sorted(
+            r.id for r in df.filter(F.col("ts") >= F.lit(cut)).collect()
+        )
+        assert got == want
+
+    def test_month_transform_on_date_source(self, spark, tmp_path):
+        import datetime as dt
+
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            partition_transform_column,
+        )
+
+        rows = [
+            (m * 31 + d, dt.date(2026, 1 + m, 1 + d), float(d))
+            for m in range(6)
+            for d in range(10)
+        ]
+        df = spark.createDataFrame(
+            rows, "id int, d date, v double"
+        ).withColumn("d_month", partition_transform_column("month", "d"))
+        mt = ManifestTable(
+            spark,
+            str(tmp_path / "t"),
+            derived_partitions={
+                "d_month": {"transform": "month", "source": "d"}
+            },
+        )
+        mt.create(df, ["d_month"])
+        # date source: zero widening — equality prunes to ONE month
+        kept, total = mt.prune_stats([("d", "=", dt.date(2026, 3, 4))])
+        assert (kept, total) == (1, 6)
+        w = [("d", ">=", dt.date(2026, 4, 2))]
+        assert mt.prune_stats(w)[0] == 3  # Apr, May, Jun
+        got = sorted(r.id for r in mt.read(where=w).collect())
+        want = sorted(
+            r.id
+            for r in df.filter(F.col("d") >= F.lit(dt.date(2026, 4, 2))).collect()
+        )
+        assert got == want
+
+    def test_bucket_transform_equality_and_in(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            partition_transform_column,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"user-{i % 50}", float(i)) for i in range(400)],
+            "id int, user string, v double",
+        ).withColumn(
+            "ub", partition_transform_column("bucket", "user", 8)
+        )
+        mt = ManifestTable(
+            spark,
+            str(tmp_path / "t"),
+            derived_partitions={
+                "ub": {"transform": "bucket", "source": "user", "n": 8}
+            },
+        )
+        mt.create(df, ["ub"])
+        kept, total = mt.prune_stats([("user", "=", "user-7")])
+        assert kept == 1 and total == 8
+        got = sorted(
+            r.id for r in mt.read(where=[("user", "=", "user-7")]).collect()
+        )
+        want = sorted(
+            r.id for r in df.filter(F.col("user") == "user-7").collect()
+        )
+        assert got == want
+        k2, _ = mt.prune_stats([("user", "in", ["user-3", "user-11"])])
+        assert 1 <= k2 <= 2
+        # ranges do not project through a hash (ordinary column
+        # STATS may still prune the odd bucket) — exactness holds
+        got3 = mt.read(where=[("user", ">=", "user-4")]).count()
+        assert got3 == df.filter(F.col("user") >= "user-4").count()
+
+    def test_bucket_null_source_rows_never_lost(self, spark, tmp_path):
+        # the r13 self-review bug class: xxhash64(NULL) = 42 (seed),
+        # so NULL-source rows live in a NON-null bucket — an is_null
+        # projection through the hash would prune them silently
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            partition_transform_column,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, None, 2.0), (3, None, 3.0), (4, "b", 4.0)],
+            "id int, user string, v double",
+        ).withColumn(
+            "ub", partition_transform_column("bucket", "user", 4)
+        )
+        mt = ManifestTable(
+            spark,
+            str(tmp_path / "t"),
+            derived_partitions={
+                "ub": {"transform": "bucket", "source": "user", "n": 4}
+            },
+        )
+        mt.create(df, ["ub"])
+        assert sorted(
+            r.id for r in mt.read(where=[("user", "is_null", None)]).collect()
+        ) == [2, 3]
+        assert sorted(
+            r.id
+            for r in mt.read(where=[("user", "not_null", None)]).collect()
+        ) == [1, 4]
+
+    def test_null_source_projects_is_null(self, spark, tmp_path):
+        import datetime as dt
+
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            partition_transform_column,
+        )
+
+        rows = [(1, dt.datetime(2026, 1, 1), 1.0), (2, None, 2.0), (3, None, 3.0)]
+        df = spark.createDataFrame(
+            rows, "id int, ts timestamp_ntz, v double"
+        ).withColumn("ts_day", partition_transform_column("day", "ts"))
+        mt = ManifestTable(
+            spark,
+            str(tmp_path / "t"),
+            derived_partitions={
+                "ts_day": {"transform": "day", "source": "ts"}
+            },
+        )
+        mt.create(df, ["ts_day"])
+        kept, total = mt.prune_stats([("ts", "is_null", None)])
+        assert (kept, total) == (1, 2)
+        assert sorted(
+            r.id for r in mt.read(where=[("ts", "is_null", None)]).collect()
+        ) == [2, 3]
+        kept, _ = mt.prune_stats([("ts", "not_null", None)])
+        assert kept == 1
+
+    def test_corrupt_derivation_refused_all_paths(self, spark, tmp_path):
+        import datetime as dt
+
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            CheckConstraintViolation,
+            partition_transform_column,
+        )
+
+        mt, df = self._mk_day(spark, str(tmp_path / "t"), days=4)
+        bad = (
+            df.limit(3)
+            .withColumn("ts_day", F.date_add(F.col("ts_day"), 1))
+        )
+        with pytest.raises(CheckConstraintViolation, match="derived"):
+            merge_into_partitioned(
+                spark, mt.path, bad, ["id"], ["ts_day"], retain_versions=3
+            )
+        with pytest.raises(CheckConstraintViolation, match="derived"):
+            merge_into_partitioned(
+                spark, mt.path, bad, ["id"], ["ts_day"],
+                retain_versions=3, optimistic=True,
+            )
+        # refusals left no staging husk and no new version
+        assert mt.current_version() == 1
+        import glob as _glob
+
+        assert not _glob.glob(f"{mt.path}/_data/.stage-*")
+        # create itself also enforces
+        bad_seed = (
+            spark.createDataFrame(
+                [(1, dt.datetime(2026, 2, 1), 1.0)],
+                "id int, ts timestamp_ntz, v double",
+            )
+            .withColumn("ts_day", F.lit(dt.date(2000, 1, 1)))
+        )
+        mt2 = ManifestTable(
+            spark,
+            str(tmp_path / "t2"),
+            derived_partitions={
+                "ts_day": {"transform": "day", "source": "ts"}
+            },
+        )
+        with pytest.raises(CheckConstraintViolation, match="derived"):
+            mt2.create(bad_seed, ["ts_day"])
+
+    def test_spec_guards(self, spark, tmp_path):
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2026, 1, 1), "x", 0)],
+            "id int, ts timestamp_ntz, s string, pt int",
+        )
+
+        def mk(spec):
+            mt = ManifestTable(
+                spark, str(tmp_path / "g"), derived_partitions=spec
+            )
+            mt.create(df, ["pt"])
+
+        with pytest.raises(ValueError, match="not a partition column"):
+            mk({"nope": {"transform": "day", "source": "ts"}})
+        with pytest.raises(ValueError, match="unknown transform"):
+            mk({"pt": {"transform": "year", "source": "ts"}})
+        with pytest.raises(ValueError, match="not in table schema"):
+            mk({"pt": {"transform": "day", "source": "zz"}})
+        with pytest.raises(ValueError, match="n >= 1"):
+            mk({"pt": {"transform": "bucket", "source": "id"}})
+        with pytest.raises(ValueError, match="int-family or string"):
+            mk({"pt": {"transform": "bucket", "source": "ts", "n": 4}})
+        with pytest.raises(ValueError, match="date/timestamp"):
+            mk({"pt": {"transform": "day", "source": "s"}})
+
+    def test_drop_source_refused_repartition_retires(self, spark, tmp_path):
+        mt, df = self._mk_day(spark, str(tmp_path / "t"), days=3)
+        with pytest.raises(ValueError, match="derives from"):
+            mt.drop_columns(["ts"])
+        mt.repartition_table(["id"])
+        assert "derived_partitions" not in mt.manifest()
+        assert mt.read().count() == 24
+
+    def test_clone_carries_derivation(self, spark, tmp_path):
+        import datetime as dt
+
+        mt, df = self._mk_day(spark, str(tmp_path / "t"), days=6)
+        cl = mt.clone_to(str(tmp_path / "cl"))
+        assert cl.manifest()["derived_partitions"] == {
+            "ts_day": {"transform": "day", "source": "ts"}
+        }
+        kept, total = cl.prune_stats(
+            [("ts", ">=", dt.datetime(2026, 1, 5))]
+        )
+        assert kept < total
+
+    def test_projection_evaluator_table(self):
+        import datetime as dt
+
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _project_derived,
+        )
+
+        day = {"transform": "day", "source": "ts"}
+        # NTZ: exact
+        assert _project_derived(
+            day, "timestamp_ntz", ">=", dt.datetime(2026, 1, 5, 9), None
+        ) == [(">=", dt.date(2026, 1, 5))]
+        # zoned: ±2 days
+        assert _project_derived(
+            day, "timestamp", ">=", dt.datetime(2026, 1, 5, 9), None
+        ) == [(">=", dt.date(2026, 1, 3))]
+        assert _project_derived(
+            day, "timestamp", "=", dt.datetime(2026, 1, 5), None
+        ) == [("between", (dt.date(2026, 1, 3), dt.date(2026, 1, 7)))]
+        month = {"transform": "month", "source": "d"}
+        assert _project_derived(
+            month, "date", "<", dt.date(2026, 3, 15), None
+        ) == [("<=", dt.date(2026, 3, 1))]
+        assert _project_derived(
+            month, "timestamp", "<", dt.datetime(2026, 3, 1), None
+        ) == [("<=", dt.date(2026, 4, 1))]
+        # null literal: no projection, the row filter decides
+        assert _project_derived(day, "timestamp_ntz", "=", None, None) is None
+        # bucket ranges don't project
+        b = {"transform": "bucket", "source": "u", "n": 4}
+        assert _project_derived(b, "string", ">=", "x", None) is None
+        # is_null maps through day/month (to_date is NULL-preserving)
+        assert _project_derived(day, "timestamp", "is_null", None, None) == [
+            ("is_null", None)
+        ]
+        # ...but NOT through bucket: xxhash64(NULL) is the SEED (42),
+        # a NULL-source row carries a NON-null key — projecting would
+        # prune the exact rows the predicate wants (r13 self-review)
+        assert _project_derived(b, "string", "is_null", None, None) is None
+        assert _project_derived(b, "string", "not_null", None, None) is None
