@@ -280,6 +280,13 @@ def main(sf_dir: str, work_dir: str) -> None:
     )
     print("conditional merge: 20 rows partially updated "
           f"(table still {mt.read().count()} rows — update-only)")
+    # DML (r13): DELETE/UPDATE as atomic statements — a whole-
+    # partition delete drops the entry metadata-only
+    dr = mt.delete_where([("pt", "=", 7)])
+    print(f"DELETE pt=7: {dr['rows_deleted']} rows, "
+          f"{dr['entries_dropped']} entry dropped metadata-only")
+    ur = mt.update_where([("value", "<", 1.0)], set={"value": "value + 1"})
+    print(f"UPDATE value<1: {ur['rows_updated']} rows case-projected")
     # metadata-only COUNT (r13): the manifest answers; no scan runs
     d = mt.count(where=[("pt", "in", [0, 1])], detail=True)
     print(f"metadata count(pt in (0,1)) = {d['rows']} rows from "

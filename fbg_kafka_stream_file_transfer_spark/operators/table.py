@@ -3447,6 +3447,206 @@ class ManifestTable:
         ):
             return _do()
 
+    def delete_where(
+        self,
+        where: list[tuple] | Column,
+        retain_versions: int | None = None,
+        assume_locked: bool = False,
+    ) -> dict:
+        """Delta-shaped ``DELETE FROM table WHERE ...`` (r13): remove
+        the rows matching ``where`` in ONE atomic commit, touching as
+        little data as the predicate allows:
+
+        - entries the predicate provably CANNOT match (stats, pcol
+          values, hidden-partitioning projection) carry forward
+          verbatim — never read, never written;
+        - entries a tuple-``where`` of ONLY partition-column clauses
+          matches ENTIRELY (every clause exactly true for the key,
+          :func:`_pcol_clause_exact`) are DROPPED metadata-only —
+          deleting a whole partition is O(1) data I/O, the Delta
+          partition-delete fast path;
+        - everything else rewrites: the partition's KEPT rows (``NOT
+          coalesce(pred, false)`` — SQL DELETE keeps NULL-predicate
+          rows) land in the fresh generation; a partition whose rows
+          are all deleted drops out (the emptied-partition mechanics
+          every merge uses).
+
+        Returns ``{"rows_deleted", "entries_dropped",
+        "entries_rewritten", "entries_untouched"}``. The change feed
+        sees real deletes (this is DML, not maintenance); CHECK
+        constraints and derived-partition contracts revalidate the
+        rewritten rows like any commit. ``retain_versions=None``
+        keeps current retention."""
+        return self._dml_rewrite(
+            where, None, retain_versions, assume_locked
+        )
+
+    def update_where(
+        self,
+        where: list[tuple] | Column,
+        set: dict[str, "Column | str"],
+        retain_versions: int | None = None,
+        assume_locked: bool = False,
+    ) -> dict:
+        """Delta-shaped ``UPDATE table SET col = expr WHERE ...``
+        (r13): rewrite matching rows' named columns in ONE atomic
+        commit. Non-matching entries (stats / pcol / projection
+        pruned) carry forward verbatim; matching partitions rewrite
+        with ``CASE WHEN pred THEN expr ELSE col END`` projections
+        (expression strings see the table's own columns; results are
+        cast back to the column's declared type). Partition columns
+        and derived-partition SOURCE columns are refused — an update
+        that moves rows across partitions is a MERGE
+        (``merge_into_partitioned``), and a source update would
+        break the enforced derivation. NULL-predicate rows update
+        nothing (SQL semantics). Returns ``{"rows_updated",
+        "entries_rewritten", "entries_untouched"}``."""
+        if not set:
+            raise ValueError("update_where needs a non-empty set=")
+        return self._dml_rewrite(
+            where, dict(set), retain_versions, assume_locked
+        )
+
+    def _dml_rewrite(
+        self,
+        where,
+        set_cols: dict | None,
+        retain_versions: int | None,
+        assume_locked: bool,
+    ) -> dict:
+        def _do(ver: int) -> dict:
+            man = self.manifest(ver)
+            schema = T.StructType.fromJson(man["schema"])
+            pcols = list(man["partition_cols"])
+            pset = set(pcols)
+            if set_cols is not None:
+                bad = sorted(set(set_cols) - {f.name for f in schema.fields})
+                if bad:
+                    raise ValueError(
+                        f"update_where set column(s) {bad} not in"
+                        f" table schema"
+                    )
+                in_p = sorted(set(set_cols) & pset)
+                if in_p:
+                    raise ValueError(
+                        f"update_where cannot set partition column(s)"
+                        f" {in_p} — rows would move across partitions;"
+                        " use merge_into_partitioned"
+                    )
+                srcs = {
+                    s["source"]: p
+                    for p, s in (
+                        man.get("derived_partitions") or {}
+                    ).items()
+                }
+                hit = sorted(set(set_cols) & set(srcs))
+                if hit:
+                    raise ValueError(
+                        f"update_where cannot set {hit}: partition"
+                        f" column(s) {[srcs[c] for c in hit]} derive"
+                        " from them; use merge_into_partitioned"
+                    )
+            if isinstance(where, Column):
+                residual = where
+                norm = _normalize_where(_clauses_from_column(where))
+                exact_pcol_only = False  # full predicate unknown here
+            else:
+                residual = None
+                norm = _normalize_where(where)
+                if not norm:
+                    raise ValueError("DML needs a non-empty where")
+                exact_pcol_only = all(cl[0] in pset for cl in norm)
+            prune = (norm or []) + self._derived_prune_clauses(
+                m=man, norm=norm
+            )
+            pc, sk = self._pcols_for_pruning(man, schema)
+            untouched = 0
+            dropped: list[tuple] = []
+            rewrite: list[tuple] = []
+            dropped_rows = 0
+            dropped_rows_known = True
+            for e in man["entries"]:
+                if not _entry_may_match(e, prune, pc, sk):
+                    untouched += 1
+                    continue
+                vals = tuple(_decode_value(p) for p in e["values"])
+                if set_cols is None and exact_pcol_only:
+                    byname = dict(zip(pcols, vals))
+                    if all(
+                        _pcol_clause_exact(byname[c], op, v) is True
+                        for c, op, v in norm
+                    ):
+                        # whole-partition delete: metadata-only drop
+                        dropped.append(vals)
+                        rows = (e.get("stats") or {}).get("rows")
+                        if rows is None:
+                            dropped_rows_known = False
+                        else:
+                            dropped_rows += rows
+                        continue
+                rewrite.append(vals)
+            counts = {
+                "entries_dropped": len(dropped),
+                "entries_rewritten": len(rewrite),
+                "entries_untouched": untouched,
+            }
+            if not dropped and not rewrite:
+                # predicate matches nothing: no version published
+                key = "rows_deleted" if set_cols is None else "rows_updated"
+                return {key: 0, **counts}
+            pred = (
+                residual
+                if residual is not None
+                else _where_to_filter(norm)
+            )
+            df = None
+            matched = 0
+            if rewrite:
+                base = self.read(manifest_dict=man, partitions=rewrite)
+                matched = base.filter(pred).count()  # O(touched) scan
+                if set_cols is None:
+                    df = base.filter(~F.coalesce(pred, F.lit(False)))
+                else:
+                    types = {f.name: f.dataType for f in schema.fields}
+                    df = base
+                    for c, expr in set_cols.items():
+                        val = (
+                            F.expr(expr)
+                            if isinstance(expr, str)
+                            else expr
+                        ).cast(types[c])
+                        df = df.withColumn(
+                            c,
+                            F.when(
+                                F.coalesce(pred, F.lit(False)), val
+                            ).otherwise(F.col(c)),
+                        )
+            if df is None:
+                df = self.spark.createDataFrame([], schema)
+            touched = rewrite + dropped
+            retain = (
+                retain_versions
+                if retain_versions is not None
+                else self._keep_current_retain(ver + 1)
+            )
+            self._checked_commit(df, touched, ver, ver, retain)
+            if set_cols is None:
+                counts["rows_deleted"] = (
+                    matched + dropped_rows
+                    if dropped_rows_known
+                    else None
+                )
+            else:
+                counts["rows_updated"] = matched
+            return counts
+
+        if assume_locked:
+            return _do(self.current_version())
+        with table_write_lock(
+            self.spark, self.path, holder="dml"
+        ):
+            return _do(self.current_version())
+
     def clone_to(
         self,
         dest_path: str,

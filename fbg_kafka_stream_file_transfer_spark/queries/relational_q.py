@@ -3720,6 +3720,123 @@ GROUP BY 1, ds.days_scanned, dtot.days_total
 )
 
 
+def _q_table_dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DML certification (round 13): ``delete_where`` /
+    ``update_where`` — the Delta ``DELETE FROM`` / ``UPDATE`` surface
+    over the manifest table. Three sequential statements, each ONE
+    atomic commit: (1) ``DELETE WHERE pt = 3`` takes the
+    whole-partition fast path — the entry DROPS metadata-only, the
+    surviving entries carry forward dict-identical with their data
+    files' mtimes untouched (pinned in-function); (2) ``DELETE WHERE
+    event_id >= cut3`` rewrites exactly the three surviving
+    partitions' kept rows; (3) ``UPDATE SET value = value + 500
+    WHERE event_id < cut1`` rewrites with CASE projections. All
+    three matched-row counts are PINNED IN THE HASH; the oracle
+    recomputes the final state and every count arithmetically. The
+    change feed sees real delete/insert rows (DML, not
+    maintenance).
+
+    Scale shape: each statement touches O(matching partitions) — the
+    partition-delete is O(1) data I/O regardless of partition size,
+    the row statements scan only may-match entries (stats + pcol +
+    hidden-partitioning projection all prune first)."""
+    import shutil
+    import tempfile
+
+    from ..operators.table import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    cut1 = (max_id + 1) // 4
+    cut3 = 3 * (max_id + 1) // 4
+    evp = ev.withColumn("pt", (F.col("event_id") % 4).cast("int"))
+    work = tempfile.mkdtemp(prefix="table_dml_")
+    try:
+        mt = ManifestTable(spark, f"{work}/events_dml")
+        mt.create(evp, ["pt"])
+        ent0 = {e["key"]: e for e in mt.manifest()["entries"]}
+        r1 = mt.delete_where([("pt", "=", 3)], retain_versions=5)
+        assert r1["entries_dropped"] == 1 and r1["entries_rewritten"] == 0, r1
+        ent1 = {e["key"]: e for e in mt.manifest()["entries"]}
+        # survivors carried forward verbatim: metadata-only delete
+        assert all(ent1[k] == ent0[k] for k in ent1), "rewrote survivors"
+        r2 = mt.delete_where(
+            [("event_id", ">=", cut3)], retain_versions=5
+        )
+        assert r2["entries_rewritten"] == 3, r2
+        r3 = mt.update_where(
+            [("event_id", "<", cut1)],
+            set={"value": "value + 500"},
+            retain_versions=5,
+        )
+        rows = (
+            mt.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("v_checksum"),
+            )
+            .withColumn(
+                "del_partition", F.lit(r1["rows_deleted"]).cast("bigint")
+            )
+            .withColumn(
+                "del_rows", F.lit(r2["rows_deleted"]).cast("bigint")
+            )
+            .withColumn(
+                "upd_rows", F.lit(r3["rows_updated"]).cast("bigint")
+            )
+            .collect()  # materialize before the temp table is removed
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, id_checksum bigint,"
+            " v_checksum bigint, del_partition bigint,"
+            " del_rows bigint, upd_rows bigint",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_dml_delete_update"] = Q(
+    _q_table_dml_delete_update,
+    """
+WITH c AS (
+    SELECT (MAX(event_id) + 1) // 4 AS cut1,
+           3 * (MAX(event_id) + 1) // 4 AS cut3
+    FROM events
+),
+d1 AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events
+    WHERE event_id % 4 = 3
+),
+d2 AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events, c
+    WHERE event_id % 4 <> 3 AND event_id >= c.cut3
+),
+u AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events, c
+    WHERE event_id % 4 <> 3 AND event_id < c.cut3
+      AND event_id < c.cut1
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(CAST(ROUND((value + CASE
+            WHEN event_id < c.cut1 THEN 500 ELSE 0
+            END) * 100) AS BIGINT)) AS BIGINT) AS v_checksum,
+       d1.n AS del_partition, d2.n AS del_rows, u.n AS upd_rows
+FROM events, c, d1, d2, u
+WHERE event_id % 4 <> 3 AND event_id < c.cut3
+GROUP BY 1, d1.n, d2.n, u.n
+""",
+    doc="DML: whole-partition DELETE drops the entry metadata-only (survivors mtime-pinned), row DELETE rewrites only matching partitions, UPDATE applies CASE projections - all matched counts pinned in the hash",
+)
+
+
 def _q_table_selective_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selective compaction certification (round 13):
     ``compact(partitions=[...])`` rewrites ONLY the named partitions

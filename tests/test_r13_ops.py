@@ -1992,3 +1992,171 @@ class TestHiddenPartitioning:
         # prune the exact rows the predicate wants (r13 self-review)
         assert _project_derived(b, "string", "is_null", None, None) is None
         assert _project_derived(b, "string", "not_null", None, None) is None
+
+
+class TestDmlDeleteUpdate:
+    """delete_where / update_where — the Delta DML surface: one
+    atomic commit, metadata-only whole-partition deletes, pruned
+    rewrites elsewhere, SQL NULL semantics, real change-feed rows."""
+
+    def _mk(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, i % 4, float(i)) for i in range(100)],
+            "id int, pt int, v double",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pt"])
+        return mt
+
+    def test_whole_partition_delete_is_metadata_only(
+        self, spark, tmp_path
+    ):
+        mt = self._mk(spark, tmp_path)
+        ent0 = {e["key"]: e for e in mt.manifest()["entries"]}
+        keep_keys = [k for k in ent0 if k != _partition_key((3,))]
+        mt0 = {k: _file_mtimes(mt, ent0[k]) for k in keep_keys}
+        r = mt.delete_where([("pt", "=", 3)])
+        assert r == {
+            "rows_deleted": 25,
+            "entries_dropped": 1,
+            "entries_rewritten": 0,
+            "entries_untouched": 3,
+        }
+        ent1 = {e["key"]: e for e in mt.manifest()["entries"]}
+        assert set(ent1) == set(keep_keys)
+        for k in keep_keys:  # untouched entries verbatim, files cold
+            assert ent1[k] == ent0[k]
+            assert _file_mtimes(mt, ent1[k]) == mt0[k]
+        # the feed sees real deletes — DML, not maintenance
+        d = mt.changes(1, 2)
+        assert d.count() == 25
+        assert {
+            r[0] for r in d.select("_change_type").distinct().collect()
+        } == {"delete"}
+
+    def test_row_delete_rewrites_only_matching_partitions(
+        self, spark, tmp_path
+    ):
+        mt = self._mk(spark, tmp_path)
+        # ids 96..99 live one per partition; stats prune nothing here,
+        # but a pt-scoped conjunction keeps untouched partitions cold
+        r = mt.delete_where([("pt", "=", 0), ("id", ">=", 50)])
+        assert r["entries_rewritten"] == 1
+        assert r["entries_untouched"] == 3
+        assert r["rows_deleted"] == len(
+            [i for i in range(100) if i % 4 == 0 and i >= 50]
+        )
+        got = sorted(r.id for r in mt.read().collect())
+        want = sorted(
+            i for i in range(100) if not (i % 4 == 0 and i >= 50)
+        )
+        assert got == want
+
+    def test_null_predicate_rows_kept_on_delete(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, 0, 5.0), (2, 0, None), (3, 0, 50.0)],
+            "id int, pt int, v double",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "n"))
+        mt.create(df, ["pt"])
+        r = mt.delete_where([("v", ">", 10.0)])
+        assert r["rows_deleted"] == 1
+        # SQL DELETE keeps NULL-predicate rows
+        assert sorted(x.id for x in mt.read().collect()) == [1, 2]
+
+    def test_update_where_case_semantics(self, spark, tmp_path):
+        mt = self._mk(spark, tmp_path)
+        r = mt.update_where(
+            [("id", "<", 8)], set={"v": "v + 1000"}
+        )
+        assert r["rows_updated"] == 8
+        rows = {x.id: x.v for x in mt.read().filter("id < 10").collect()}
+        assert rows[0] == 1000.0 and rows[7] == 1007.0
+        assert rows[8] == 8.0 and rows[9] == 9.0
+        # result casts back to the column's type
+        assert dict(mt.read().dtypes)["v"] == "double"
+        # updates surface as delete+insert pairs in the feed
+        d = mt.changes(1, 2)
+        assert d.count() == 16
+
+    def test_update_with_column_objects_and_condition(
+        self, spark, tmp_path
+    ):
+        mt = self._mk(spark, tmp_path)
+        r = mt.update_where(
+            (F.col("v") >= 90.0) & (F.col("pt") == 2),
+            set={"v": F.col("v") * 2},
+        )
+        want = [i for i in range(100) if i >= 90 and i % 4 == 2]
+        assert r["rows_updated"] == len(want)
+        got = {x.id: x.v for x in mt.read().filter("id >= 90").collect()}
+        for i in range(90, 100):
+            assert got[i] == (i * 2.0 if i % 4 == 2 else float(i))
+
+    def test_guards_and_no_match(self, spark, tmp_path):
+        mt = self._mk(spark, tmp_path)
+        v0 = mt.current_version()
+        r = mt.delete_where([("pt", "=", 42)])
+        assert r["rows_deleted"] == 0
+        assert mt.current_version() == v0  # no version burned
+        with pytest.raises(ValueError, match="non-empty where"):
+            mt.delete_where([])
+        with pytest.raises(ValueError, match="non-empty set"):
+            mt.update_where([("id", "<", 5)], set={})
+        with pytest.raises(ValueError, match="partition column"):
+            mt.update_where([("id", "<", 5)], set={"pt": "0"})
+        with pytest.raises(ValueError, match="not in"):
+            mt.update_where([("id", "<", 5)], set={"zz": "1"})
+
+    def test_update_derived_source_refused(self, spark, tmp_path):
+        import datetime as dt
+
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            partition_transform_column,
+        )
+
+        df = spark.createDataFrame(
+            [(i, dt.datetime(2026, 1, 1 + i % 5), float(i)) for i in range(20)],
+            "id int, ts timestamp_ntz, v double",
+        ).withColumn("ts_day", partition_transform_column("day", "ts"))
+        mt = ManifestTable(
+            spark,
+            str(tmp_path / "d"),
+            derived_partitions={
+                "ts_day": {"transform": "day", "source": "ts"}
+            },
+        )
+        mt.create(df, ["ts_day"])
+        with pytest.raises(ValueError, match="derive"):
+            mt.update_where(
+                [("id", "<", 5)],
+                set={"ts": "ts + INTERVAL 1 DAY"},
+            )
+        # and DML prunes through the hidden projection
+        r = mt.delete_where([("ts", ">=", dt.datetime(2026, 1, 4))])
+        assert r["entries_untouched"] == 3
+        assert r["entries_rewritten"] == 2
+
+    def test_delete_everything_in_partition_via_rows(
+        self, spark, tmp_path
+    ):
+        mt = self._mk(spark, tmp_path)
+        # a row-level predicate that happens to empty a partition:
+        # the emptied entry must drop out entirely
+        r = mt.delete_where([("pt", "in", [1]), ("id", ">=", 0)])
+        assert r["rows_deleted"] == 25
+        keys = {e["key"] for e in mt.manifest()["entries"]}
+        assert _partition_key((1,)) not in keys
+        assert mt.read().count() == 75
+
+    def test_constraints_enforced_on_update(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            CheckConstraintViolation,
+        )
+
+        mt = self._mk(spark, tmp_path)
+        mt.add_check_constraint("v_small", "v < 10000")
+        with pytest.raises(CheckConstraintViolation):
+            mt.update_where([("id", "<", 3)], set={"v": "v + 99999"})
+        # refused atomically: state unchanged
+        assert mt.read().filter("v >= 10000").count() == 0
