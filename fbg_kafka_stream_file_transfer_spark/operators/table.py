@@ -1208,6 +1208,44 @@ def _enforce_derived_partitions(
     )
 
 
+
+def _enforce_write_contracts(
+    df: DataFrame, constraints: dict, derived: dict, context: str
+) -> None:
+    """ONE combined LIMIT-1 probe over the written rows for BOTH
+    write-time contracts — CHECK constraints and derived-partition
+    derivations (r13 review: running them as two jobs reads the same
+    generation twice). Only a failure pays the per-item counting,
+    delegated to the per-contract enforcers for their messages."""
+    import functools
+    import operator
+
+    probes = [
+        _check_violation_filter(sql)
+        for sql in (constraints or {}).values()
+    ]
+    probes += [
+        ~F.col(pcol).eqNullSafe(
+            partition_transform_column(
+                spec["transform"], spec["source"], spec.get("n")
+            )
+        )
+        for pcol, spec in sorted((derived or {}).items())
+    ]
+    if not probes:
+        return
+    combined = functools.reduce(operator.or_, probes)
+    if df.filter(combined).limit(1).count() == 0:
+        return
+    _enforce_check_constraints(df, constraints or {}, context)
+    _enforce_derived_partitions(df, derived or {}, context)
+    raise CheckConstraintViolation(
+        f"{context} violates a write contract the detailed probes"
+        " could not attribute (concurrent data change under the"
+        " probe?) — the commit was refused"
+    )
+
+
 def _month_add(d: "_pydatetime.date", k: int) -> "_pydatetime.date":
     y = d.year + (d.month - 1 + k) // 12
     m = (d.month - 1 + k) % 12 + 1
@@ -1243,6 +1281,10 @@ def _project_derived(
         if op in ("between", "in") and value is not None
         else [value]
     )
+    if not probe:
+        # empty IN list matches nothing; the residual filter returns
+        # the empty result — min()/max() below must not crash
+        return None
     if any(v is None or _is_nan(v) for v in probe):
         return None  # null/NaN literals: the exact row filter decides
     if t == "bucket":
@@ -1831,6 +1873,22 @@ class ManifestTable:
             entries = [e for e in entries if e["key"] in wanted]
         pcols = list(m.get("partition_cols") or [])
         pset = set(pcols)
+        if any("values" not in e for e in entries):
+            # pre-values manifest shape (the same one
+            # _virtual_pcol_stats defends against): no exact key
+            # decisions possible — the pruned scan answers (r13
+            # review: read() handles these entries, count() must too)
+            n = self.read(
+                where=where, partitions=partitions, version=version
+            ).count()
+            if detail:
+                return {
+                    "rows": n,
+                    "entries_metadata": 0,
+                    "entries_scanned": len(entries),
+                    "entries_total": len(entries),
+                }
+            return n
         if isinstance(where, Column):
             norm = None
             data_clauses = True  # full predicate only known to Spark
@@ -1888,6 +1946,32 @@ class ManifestTable:
         xxhash64 of an int32 and an int64 differ). One tiny local
         job per distinct literal, memoized per instance; None on any
         failure = no projection, never a wrong one."""
+        # kind guard (r13 code review): the projection hashes the
+        # LITERAL cast to the declared source type, but Spark's
+        # residual filter may coerce the COLUMN instead (string col
+        # vs int literal matches s="05" for 5 — a different bucket
+        # than bucket("5")). Only project when the literal already
+        # lives in the source's kind, the same coercion-frame rule
+        # _pcol_clause_exact applies; anything else returns None and
+        # the ordinary scan decides.
+        _RANGES = {
+            "byte": 7,
+            "short": 15,
+            "integer": 31,
+            "long": 63,
+        }
+        if src_type == "string":
+            if not isinstance(v, str):
+                return None
+        elif src_type in _RANGES:
+            if isinstance(v, bool) or not isinstance(v, int):
+                return None
+            if not -(1 << _RANGES[src_type]) <= v < (
+                1 << _RANGES[src_type]
+            ):
+                return None  # cast would overflow, not hash
+        else:
+            return None
         key = (src_type, spec["n"], type(v).__name__, repr(v))
         cache = self.__dict__.setdefault("_bucket_memo", {})
         if key in cache:
@@ -2751,11 +2835,11 @@ class ManifestTable:
         derived = man.get("derived_partitions") or {}
         if constraints or derived:
             try:
-                _enforce_check_constraints(
-                    back, constraints, f"staged commit for {self.path}"
-                )
-                _enforce_derived_partitions(
-                    back, derived, f"staged commit for {self.path}"
+                _enforce_write_contracts(
+                    back,
+                    constraints,
+                    derived,
+                    f"staged commit for {self.path}",
                 )
             except CheckConstraintViolation:
                 fs, jstage = _hadoop_fs(self.spark, f"{self.path}/{rel}")
@@ -3452,6 +3536,7 @@ class ManifestTable:
         where: list[tuple] | Column,
         retain_versions: int | None = None,
         assume_locked: bool = False,
+        count_matched: bool = True,
     ) -> dict:
         """Delta-shaped ``DELETE FROM table WHERE ...`` (r13): remove
         the rows matching ``where`` in ONE atomic commit, touching as
@@ -3478,7 +3563,7 @@ class ManifestTable:
         rewritten rows like any commit. ``retain_versions=None``
         keeps current retention."""
         return self._dml_rewrite(
-            where, None, retain_versions, assume_locked
+            where, None, retain_versions, assume_locked, count_matched
         )
 
     def update_where(
@@ -3487,6 +3572,7 @@ class ManifestTable:
         set: dict[str, "Column | str"],
         retain_versions: int | None = None,
         assume_locked: bool = False,
+        count_matched: bool = True,
     ) -> dict:
         """Delta-shaped ``UPDATE table SET col = expr WHERE ...``
         (r13): rewrite matching rows' named columns in ONE atomic
@@ -3504,7 +3590,8 @@ class ManifestTable:
         if not set:
             raise ValueError("update_where needs a non-empty set=")
         return self._dml_rewrite(
-            where, dict(set), retain_versions, assume_locked
+            where, dict(set), retain_versions, assume_locked,
+            count_matched,
         )
 
     def _dml_rewrite(
@@ -3513,6 +3600,7 @@ class ManifestTable:
         set_cols: dict | None,
         retain_versions: int | None,
         assume_locked: bool,
+        count_matched: bool = True,
     ) -> dict:
         def _do(ver: int) -> dict:
             man = self.manifest(ver)
@@ -3565,10 +3653,21 @@ class ManifestTable:
             rewrite: list[tuple] = []
             dropped_rows = 0
             dropped_rows_known = True
+            rw_rows = 0
+            rw_rows_known = True
             for e in man["entries"]:
                 if not _entry_may_match(e, prune, pc, sk):
                     untouched += 1
                     continue
+                if "values" not in e:
+                    # pre-values manifest shape: a rewrite needs the
+                    # key to address the partition — refuse loudly
+                    # rather than mis-target (r13 review)
+                    raise ValueError(
+                        f"entry {e.get('key')!r} carries no partition"
+                        " values (pre-values manifest shape); run"
+                        " compact() via a modern commit first"
+                    )
                 vals = tuple(_decode_value(p) for p in e["values"])
                 if set_cols is None and exact_pcol_only:
                     byname = dict(zip(pcols, vals))
@@ -3585,6 +3684,11 @@ class ManifestTable:
                             dropped_rows += rows
                         continue
                 rewrite.append(vals)
+                r = (e.get("stats") or {}).get("rows")
+                if r is None:
+                    rw_rows_known = False
+                else:
+                    rw_rows += r
             counts = {
                 "entries_dropped": len(dropped),
                 "entries_rewritten": len(rewrite),
@@ -3600,27 +3704,50 @@ class ManifestTable:
                 else _where_to_filter(norm)
             )
             df = None
-            matched = 0
+            matched = None
+            # DELETE's matched count derives from METADATA when the
+            # rewrite entries carry row counts: old rows - rows
+            # written (read post-commit) - no extra scan. UPDATE's
+            # count (rows unchanged) genuinely needs one predicate
+            # pass; count_matched=False skips it for the
+            # 100 TB-frugal caller (r13 code review: the old code
+            # always paid a full second scan of the rewrite set)
+            meta_delete = (
+                set_cols is None and rw_rows_known and dropped_rows_known
+            )
             if rewrite:
                 base = self.read(manifest_dict=man, partitions=rewrite)
-                matched = base.filter(pred).count()  # O(touched) scan
+                if count_matched and not meta_delete:
+                    matched = base.filter(pred).count()
                 if set_cols is None:
                     df = base.filter(~F.coalesce(pred, F.lit(False)))
                 else:
+                    # ONE select: every SET right-hand side AND the
+                    # predicate evaluate against the PRE-update row —
+                    # SQL UPDATE semantics. Sequential withColumn
+                    # would feed already-updated values into later
+                    # expressions and re-evaluate the predicate on
+                    # them (set={"a": "b", "b": "a"} must swap;
+                    # r13 code review)
                     types = {f.name: f.dataType for f in schema.fields}
-                    df = base
-                    for c, expr in set_cols.items():
-                        val = (
-                            F.expr(expr)
-                            if isinstance(expr, str)
-                            else expr
-                        ).cast(types[c])
-                        df = df.withColumn(
-                            c,
-                            F.when(
-                                F.coalesce(pred, F.lit(False)), val
-                            ).otherwise(F.col(c)),
-                        )
+                    hit = F.coalesce(pred, F.lit(False))
+                    projs = []
+                    for f in schema.fields:
+                        if f.name in set_cols:
+                            expr = set_cols[f.name]
+                            val = (
+                                F.expr(expr)
+                                if isinstance(expr, str)
+                                else expr
+                            ).cast(types[f.name])
+                            projs.append(
+                                F.when(hit, val)
+                                .otherwise(F.col(f.name))
+                                .alias(f.name)
+                            )
+                        else:
+                            projs.append(F.col(f.name))
+                    df = base.select(*projs)
             if df is None:
                 df = self.spark.createDataFrame([], schema)
             touched = rewrite + dropped
@@ -3631,11 +3758,25 @@ class ManifestTable:
             )
             self._checked_commit(df, touched, ver, ver, retain)
             if set_cols is None:
-                counts["rows_deleted"] = (
-                    matched + dropped_rows
-                    if dropped_rows_known
-                    else None
-                )
+                if meta_delete:
+                    tkeys = {_partition_key(t) for t in touched}
+                    new_rows = 0
+                    for e in self.manifest(ver + 1)["entries"]:
+                        if e["key"] in tkeys:
+                            r = (e.get("stats") or {}).get("rows")
+                            if r is None:
+                                new_rows = None
+                                break
+                            new_rows += r
+                    counts["rows_deleted"] = (
+                        rw_rows + dropped_rows - new_rows
+                        if new_rows is not None
+                        else None
+                    )
+                elif matched is not None and dropped_rows_known:
+                    counts["rows_deleted"] = matched + dropped_rows
+                else:
+                    counts["rows_deleted"] = None
             else:
                 counts["rows_updated"] = matched
             return counts
@@ -3646,6 +3787,126 @@ class ManifestTable:
             self.spark, self.path, holder="dml"
         ):
             return _do(self.current_version())
+
+    def verify_table(
+        self, version: int | None = None, deep: bool = False
+    ) -> dict:
+        """Integrity audit of one version against the store — the ops
+        tool an operator runs before trusting a restore, after an
+        object-store incident, or on a shallow clone whose source may
+        have been vacuumed (r13). Checks, cheapest first:
+
+        - every entry directory EXISTS (O(entries) metadata calls —
+          an audit, not a hot path);
+        - every name in an entry's per-file bounds map exists on disk
+          (same listing);
+        - ``deep=True`` additionally READS the version once: per-entry
+          actual row counts vs the manifest's recorded counts, and
+          the write contracts (CHECK constraints + derived-partition
+          derivations) re-probed over current data — O(table), the
+          honest cost of distrust.
+
+        Returns ``{"ok", "problems": [...], "entries_checked",
+        "files_checked"}``; each problem is a dict with a ``kind``
+        (``missing_dir`` / ``missing_file`` / ``row_count_mismatch``
+        / ``contract_violation``) and locators. Never raises on a
+        finding — an audit reports."""
+        import urllib.parse
+
+        m = self.manifest(version)
+        problems: list[dict] = []
+        files_checked = 0
+        for e in m["entries"]:
+            base = (
+                e["dir"]
+                if _is_abs_dir(e["dir"])
+                else f"{self.path}/{e['dir']}"
+            )
+            fs, jdir = _hadoop_fs(self.spark, base)
+            if not fs.exists(jdir):
+                problems.append(
+                    {"kind": "missing_dir", "key": e["key"], "dir": base}
+                )
+                continue
+            names = {
+                st.getPath().getName() for st in fs.listStatus(jdir)
+            }
+            for fname in e.get("files") or {}:
+                files_checked += 1
+                if fname not in names:
+                    problems.append(
+                        {
+                            "kind": "missing_file",
+                            "key": e["key"],
+                            "dir": base,
+                            "file": fname,
+                        }
+                    )
+        if deep and not any(
+            p["kind"] == "missing_dir" for p in problems
+        ):
+            df = self.read(manifest_dict=m)
+            per_file = (
+                df.groupBy(F.input_file_name().alias("_f"))
+                .count()
+                .collect()
+            )
+            per_dir: dict[str, int] = {}
+            for r in per_file:
+                parent = urllib.parse.unquote(
+                    urllib.parse.urlparse(r["_f"]).path
+                ).rsplit("/", 1)[0]
+                per_dir[parent] = per_dir.get(parent, 0) + r["count"]
+                idx = parent.rfind(f"/{_DATA_DIR}/")
+                if idx >= 0:
+                    rel = parent[idx + 1 :]
+                    per_dir[rel] = per_dir.get(rel, 0) + r["count"]
+            for e in m["entries"]:
+                want = (e.get("stats") or {}).get("rows")
+                if want is None:
+                    continue
+                d = e["dir"]
+                if _is_abs_dir(d):
+                    key = urllib.parse.unquote(
+                        urllib.parse.urlparse(d).path
+                    )
+                    idx = d.rfind(f"/{_DATA_DIR}/")
+                    tail = d[idx + 1 :] if idx >= 0 else d
+                    got = per_dir.get(key, per_dir.get(tail, 0))
+                else:
+                    got = per_dir.get(d, 0)
+                if got != want:
+                    problems.append(
+                        {
+                            "kind": "row_count_mismatch",
+                            "key": e["key"],
+                            "recorded": want,
+                            "actual": got,
+                        }
+                    )
+            constraints = m.get("check_constraints") or {}
+            derived = m.get("derived_partitions") or {}
+            if constraints or derived:
+                try:
+                    _enforce_write_contracts(
+                        df,
+                        constraints,
+                        derived,
+                        f"verify_table of {self.path}",
+                    )
+                except CheckConstraintViolation as exc:
+                    problems.append(
+                        {
+                            "kind": "contract_violation",
+                            "detail": str(exc),
+                        }
+                    )
+        return {
+            "ok": not problems,
+            "problems": problems,
+            "entries_checked": len(m["entries"]),
+            "files_checked": files_checked,
+        }
 
     def clone_to(
         self,
@@ -4177,10 +4438,6 @@ class ManifestTable:
             if prev_man is not None
             else {}
         )
-        if constraints and back is not None:
-            _enforce_check_constraints(
-                back, constraints, f"commit v{version} of {self.path}"
-            )
         # derived partitions (r13 hidden partitioning): the spec
         # persists from create like stats_cols; every later commit
         # re-reads the table's own and enforces pcol ==
@@ -4188,6 +4445,18 @@ class ManifestTable:
         # pruning is only sound if no committed row ever disagrees
         if prev_man is not None:
             derived = prev_man.get("derived_partitions") or {}
+            if (
+                self.derived_partitions
+                and dict(self.derived_partitions) != derived
+            ):
+                # the spec is a CREATE-time property (like
+                # stats_cols); silently ignoring a different spec on
+                # an existing table would leave the user believing
+                # enforcement + projection are active (r13 review)
+                raise ValueError(
+                    "derived_partitions is set at create() and"
+                    f" cannot change; table has {derived!r}"
+                )
         elif self.derived_partitions:
             derived = _validate_derived_partitions(
                 self.derived_partitions, pcols, schema_json
@@ -4204,9 +4473,13 @@ class ManifestTable:
                 for p, s in derived.items()
                 if p in pcols and s["source"] in names
             }
-        if derived and back is not None:
-            _enforce_derived_partitions(
-                back, derived, f"commit v{version} of {self.path}"
+        if back is not None and (constraints or derived):
+            # one combined probe for both write contracts (r13 review)
+            _enforce_write_contracts(
+                back,
+                constraints,
+                derived,
+                f"commit v{version} of {self.path}",
             )
         scols, stats_cfg = self._resolve_stats_cols(
             prev_man,

@@ -2160,3 +2160,207 @@ class TestDmlDeleteUpdate:
             mt.update_where([("id", "<", 3)], set={"v": "v + 99999"})
         # refused atomically: state unchanged
         assert mt.read().filter("v >= 10000").count() == 0
+
+
+class TestR13ReviewFindings2:
+    """Pins for the second r13 code-review pass (post-DML)."""
+
+    def test_update_set_swaps_against_pre_update_row(
+        self, spark, tmp_path
+    ):
+        # sequential withColumn would evaluate b's expression against
+        # the already-updated a; one-select semantics must swap
+        df = spark.createDataFrame(
+            [(1, 0, 10.0, 20.0), (2, 0, 30.0, 40.0)],
+            "id int, pt int, a double, b double",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pt"])
+        mt.update_where([("id", "=", 1)], set={"a": "b", "b": "a"})
+        row = {r.id: (r.a, r.b) for r in mt.read().collect()}
+        assert row[1] == (20.0, 10.0)  # swapped
+        assert row[2] == (30.0, 40.0)
+
+    def test_update_predicate_on_updated_column(self, spark, tmp_path):
+        # the predicate must see the PRE-update v for EVERY set col
+        df = spark.createDataFrame(
+            [(i, 0, float(i), 0.0) for i in range(100)],
+            "id int, pt int, v double, flag double",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pt"])
+        r = mt.update_where(
+            [("v", ">=", 90.0)], set={"v": "v - 100", "flag": "1"}
+        )
+        assert r["rows_updated"] == 10
+        rows = {x.id: (x.v, x.flag) for x in mt.read().collect()}
+        for i in range(90, 100):
+            assert rows[i] == (i - 100.0, 1.0), i
+        assert rows[89] == (89.0, 0.0)
+
+    def test_bucket_projection_cross_kind_literal_no_prune(
+        self, spark, tmp_path
+    ):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            partition_transform_column,
+        )
+
+        # "5" and "05" denote the same NUMBER but different strings —
+        # they hash to whatever buckets they hash to; an int literal
+        # must NOT project through the string hash (Spark's residual
+        # coerces the COLUMN, matching both rows)
+        df = spark.createDataFrame(
+            [(1, "5"), (2, "05"), (3, "7")], "id int, s string"
+        ).withColumn("sb", partition_transform_column("bucket", "s", 16))
+        mt = ManifestTable(
+            spark,
+            str(tmp_path / "t"),
+            derived_partitions={
+                "sb": {"transform": "bucket", "source": "s", "n": 16}
+            },
+        )
+        mt.create(df, ["sb"])
+        got = sorted(r.id for r in mt.read(where=[("s", "=", 5)]).collect())
+        want = sorted(
+            r.id for r in df.filter(F.col("s") == 5).collect()
+        )
+        assert got == want and len(want) == 2
+        # same-kind literal still projects (prunes to one bucket)
+        kept, total = mt.prune_stats([("s", "=", "7")])
+        assert kept == 1
+
+    def test_empty_in_list_no_crash(self, spark, tmp_path):
+        mt, df = TestHiddenPartitioning()._mk_day(
+            spark, str(tmp_path / "t"), days=4
+        )
+        assert mt.read(where=[("ts", "in", [])]).count() == 0
+        assert mt.count(where=[("ts", "in", [])]) == 0
+
+    def test_derived_partitions_on_existing_table_refused(
+        self, spark, tmp_path
+    ):
+        mt, df = TestHiddenPartitioning()._mk_day(
+            spark, str(tmp_path / "t"), days=3
+        )
+        alien = ManifestTable(
+            spark,
+            mt.path,
+            derived_partitions={
+                "ts_day": {"transform": "month", "source": "ts"}
+            },
+        )
+        delta = df.limit(2).withColumn("v", F.lit(9.0))
+        with pytest.raises(ValueError, match="cannot change"):
+            alien._commit(delta, [], version=2)
+        # a MATCHING spec on a fresh instance is fine (harmless)
+        ok = ManifestTable(
+            spark,
+            mt.path,
+            derived_partitions={
+                "ts_day": {"transform": "day", "source": "ts"}
+            },
+        )
+        assert ok.read().count() == 24
+
+    def test_delete_count_is_metadata_derived(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, i % 2, float(i)) for i in range(40)],
+            "id int, pt int, v double",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pt"])
+        # stats-backed table: the count comes from manifest row
+        # deltas, no predicate scan — count_matched=False must give
+        # the SAME exact number
+        r = mt.delete_where([("id", ">=", 30)], count_matched=False)
+        assert r["rows_deleted"] == 10
+        # update without the count pass returns None
+        r2 = mt.update_where(
+            [("id", "<", 5)], set={"v": "v + 1"}, count_matched=False
+        )
+        assert r2["rows_updated"] is None
+        assert mt.read().filter("v = 1").count() == 1  # id 0 updated
+
+
+class TestVerifyTable:
+    """verify_table() — the integrity audit: missing dirs/files, deep
+    row-count and contract re-probes. Reports, never raises."""
+
+    def test_clean_table_verifies(self, spark, tmp_path):
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "7")
+        try:
+            mt = _mk_table(spark, str(tmp_path / "t"))
+        finally:
+            spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        rep = mt.verify_table()
+        assert rep["ok"] and rep["problems"] == []
+        assert rep["entries_checked"] == 3
+        assert rep["files_checked"] > 0  # bounds maps audited
+        deep = mt.verify_table(deep=True)
+        assert deep["ok"], deep
+
+    def test_missing_file_and_dir_reported(self, spark, tmp_path):
+        import glob as _glob
+        import os as _os
+        import shutil as _shutil
+
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "7")
+        try:
+            mt = _mk_table(spark, str(tmp_path / "t"))
+        finally:
+            spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+        ent = {e["key"]: e for e in mt.manifest()["entries"]}
+        ka, kb = _partition_key(("a",)), _partition_key(("b",))
+        victim = sorted((ent[ka].get("files") or {}).keys())[0]
+        _os.remove(f"{mt.path}/{ent[ka]['dir']}/{victim}")
+        _shutil.rmtree(f"{mt.path}/{ent[kb]['dir']}")
+        rep = mt.verify_table()
+        kinds = sorted(p["kind"] for p in rep["problems"])
+        assert not rep["ok"]
+        assert "missing_file" in kinds and "missing_dir" in kinds
+
+    def test_deep_row_count_mismatch(self, spark, tmp_path):
+        mt = _mk_table(spark, str(tmp_path / "t"))
+        v = mt.current_version()
+
+        def bump(man):
+            for e in man["entries"]:
+                if "stats" in e:
+                    e["stats"]["rows"] = e["stats"]["rows"] + 5
+                    return
+
+        TestTimeBasedVacuum._rewrite_manifest(mt, v, bump)
+        mt._man_cache.clear()
+        rep = mt.verify_table(deep=True)
+        assert any(
+            p["kind"] == "row_count_mismatch" for p in rep["problems"]
+        )
+        assert mt.verify_table()["ok"]  # shallow audit can't see it
+
+    def test_deep_contract_violation(self, spark, tmp_path):
+        mt = _mk_table(spark, str(tmp_path / "t"))  # v holds v>=0 data
+        v = mt.current_version()
+        # inject a constraint current data violates (bypassing
+        # add_check_constraint's validation) — deep verify must flag
+        TestTimeBasedVacuum._rewrite_manifest(
+            mt, v,
+            lambda m: m.update(check_constraints={"impossible": "v < 0"}),
+        )
+        mt._man_cache.clear()
+        rep = mt.verify_table(deep=True)
+        assert any(
+            p["kind"] == "contract_violation" for p in rep["problems"]
+        )
+
+    def test_shallow_clone_audit_detects_vacuumed_source(
+        self, spark, tmp_path
+    ):
+        import shutil as _shutil
+
+        src = _mk_table(spark, str(tmp_path / "src"))
+        cl = src.clone_to(str(tmp_path / "cl"))
+        assert cl.verify_table()["ok"]
+        _shutil.rmtree(src.path)  # the documented shallow-clone hazard
+        rep = cl.verify_table()
+        assert not rep["ok"]
+        assert all(p["kind"] == "missing_dir" for p in rep["problems"])
