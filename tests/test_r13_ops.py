@@ -2364,3 +2364,132 @@ class TestVerifyTable:
         rep = cl.verify_table()
         assert not rep["ok"]
         assert all(p["kind"] == "missing_dir" for p in rep["problems"])
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_hp_fuzz = {}
+
+
+def _hp_fuzz_mt(spark, tmp_path_factory):
+    """Shared hidden-partitioning fuzz table: day(ts) AND bucket(u, 4)
+    derivations in one table, adversarial values — day boundaries,
+    NULL sources, numeric-looking strings in different buckets."""
+    import datetime as dt
+
+    from fbg_kafka_stream_file_transfer_spark.operators.table import (
+        partition_transform_column,
+    )
+
+    if "mt" not in _hp_fuzz:
+        root = tmp_path_factory.mktemp("hp_fuzz")
+        rows = [
+            (0, dt.datetime(2026, 1, 1, 0, 0, 0), "5", 0.0),
+            (1, dt.datetime(2026, 1, 1, 23, 59, 59, 999999), "05", -1.5),
+            (2, dt.datetime(2026, 1, 2, 12, 0), "a", 2.5),
+            (3, dt.datetime(2026, 1, 5, 0, 0, 1), "", 9.9e17),
+            (4, dt.datetime(2026, 1, 8, 6, 30), "é中", float("nan")),
+            (5, None, "5", 1.0),
+            (6, dt.datetime(2026, 1, 8, 6, 30), None, None),
+            (7, dt.datetime(2025, 12, 31, 23, 59, 59), "m", -0.0),
+            (8, dt.datetime(2026, 1, 5, 23, 0), "05", 0.25),
+            (9, dt.datetime(2026, 1, 2, 0, 0), None, 3.5),
+        ]
+        df = (
+            spark.createDataFrame(
+                rows, "id int, ts timestamp_ntz, u string, v double"
+            )
+            .withColumn("ts_day", partition_transform_column("day", "ts"))
+            .withColumn("ub", partition_transform_column("bucket", "u", 4))
+        )
+        mt = ManifestTable(
+            spark,
+            str(root / "t"),
+            derived_partitions={
+                "ts_day": {"transform": "day", "source": "ts"},
+                "ub": {"transform": "bucket", "source": "u", "n": 4},
+            },
+        )
+        mt.create(df, ["ts_day", "ub"])
+        _hp_fuzz["mt"] = mt
+    return _hp_fuzz["mt"]
+
+
+def _hp_clause():
+    import datetime as dt
+
+    pools = {
+        "ts": [
+            dt.datetime(2026, 1, 1),
+            dt.datetime(2026, 1, 1, 23, 59, 59),
+            dt.datetime(2026, 1, 2),
+            dt.datetime(2026, 1, 5, 12),
+            dt.datetime(2025, 12, 31, 23, 59),
+            dt.date(2026, 1, 2),
+            "2026-01-02",
+            None,
+        ],
+        "u": ["5", "05", "a", "", "m", 5, 0, None],
+        "v": [0.0, -0.0, -1.5, 0.25, 9.9e17, float("nan"), 1, None],
+        "id": [0, 5, 9, -1, 2**40, 0.5, None],
+    }
+    ops = ["=", "<", "<=", ">", ">=", "between", "in", "is_null", "not_null"]
+
+    def per_col(col):
+        pool = st.sampled_from(pools[col])
+        # bare None comparisons are rejected by _normalize_where's UX
+        # guard (use is_null); None stays in the between/in pools
+        # where NULL-element semantics are real behavior to fuzz
+        scalar = st.sampled_from([v for v in pools[col] if v is not None])
+
+        def per_op(op):
+            if op in ("is_null", "not_null"):
+                return st.just((col, op, None))
+            if op == "between":
+                return st.tuples(pool, pool).map(
+                    lambda t: (col, "between", t)
+                )
+            if op == "in":
+                return st.lists(pool, min_size=0, max_size=3).map(
+                    lambda xs: (col, "in", xs)
+                )
+            return scalar.map(lambda v: (col, op, v))
+
+        return st.sampled_from(ops).flatmap(per_op)
+
+    return st.sampled_from(list(pools)).flatmap(per_col)
+
+
+class TestHiddenPartitioningSoundnessFuzz:
+    """Property: transform projection may only SKIP work, never change
+    results — for ANY where-conjunction (day boundaries, NULL sources,
+    cross-kind literals, empty IN lists), the projected pruned read
+    equals the plain filter over the full table."""
+
+    @given(where=st.lists(_hp_clause(), min_size=1, max_size=3))
+    @settings(
+        max_examples=30, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    def test_projected_read_equals_plain_filter(
+        self, spark, tmp_path_factory, where
+    ):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _normalize_where,
+            _where_to_filter,
+        )
+
+        mt = _hp_fuzz_mt(spark, tmp_path_factory)
+        norm = _normalize_where(where)
+        got = sorted(
+            r.id for r in mt.read(where=where).select("id").collect()
+        )
+        want = sorted(
+            r.id
+            for r in mt.read()
+            .filter(_where_to_filter(norm))
+            .select("id")
+            .collect()
+        )
+        assert got == want, (where, got, want)
