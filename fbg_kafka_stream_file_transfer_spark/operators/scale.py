@@ -935,6 +935,7 @@ def _merge_into_manifest(
         mt.overwrite_partitions(
             merged, touched, expected_version=ver, assume_locked=True,
             retain_versions=retain_versions,
+            op_info={"name": "merge", "n_partitions": len(touched)},
         )
         return len(touched)
     finally:

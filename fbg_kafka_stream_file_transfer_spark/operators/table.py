@@ -1592,6 +1592,7 @@ class ManifestTable:
                     "n_partitions": m.get(
                         "entry_count", len(m.get("entries", []))
                     ),
+                    "op": m.get("op"),
                 }
             )
         return out
@@ -2358,10 +2359,15 @@ class ManifestTable:
             raise ValueError(f"partition column(s) {missing} not in df")
         if self.current_version() is not None:
             raise ValueError(f"manifest table already exists: {self.path}")
+        op = {"name": "create", "partition_cols": list(partition_cols)}
         if assume_locked:
-            return self._commit(df, None, version=1, pcols=partition_cols)
+            return self._commit(
+                df, None, version=1, pcols=partition_cols, op_info=op
+            )
         with table_write_lock(self.spark, self.path, holder="create"):
-            return self._commit(df, None, version=1, pcols=partition_cols)
+            return self._commit(
+                df, None, version=1, pcols=partition_cols, op_info=op
+            )
 
     def overwrite_partitions(
         self,
@@ -2370,6 +2376,7 @@ class ManifestTable:
         expected_version: int | None = None,
         retain_versions: int = 2,
         assume_locked: bool = False,
+        op_info: dict | None = None,
     ) -> int:
         """Atomically replace the content of the ``touched`` partitions
         with ``df``'s rows. ``df`` must contain only rows belonging to
@@ -2384,15 +2391,18 @@ class ManifestTable:
         ver = self.current_version()
         if ver is None:
             raise ValueError(f"manifest table does not exist: {self.path}")
+        op = op_info or {"name": "overwrite_partitions"}
         if assume_locked:
             return self._checked_commit(
-                df, touched, ver, expected_version, retain_versions
+                df, touched, ver, expected_version, retain_versions,
+                op_info=op,
             )
         with table_write_lock(self.spark, self.path, holder="overwrite"):
             # re-read under the lock: the pre-lock read could be stale
             ver = self.current_version()
             return self._checked_commit(
-                df, touched, ver, expected_version, retain_versions
+                df, touched, ver, expected_version, retain_versions,
+                op_info=op,
             )
 
     def small_file_report(
@@ -2732,12 +2742,23 @@ class ManifestTable:
                 raise
             return len(touched)
 
+        op = {
+            "name": "compact",
+            "selective": len(sel_keys) < len(live),
+            "n_partitions": len(sel_keys),
+        }
+        if cluster_by:
+            op["cluster_by"] = list(cluster_by)
+        if zorder_by:
+            op["zorder_by"] = list(zorder_by)
+
         def _run(ver_now: int) -> int:
             with _max_records_per_file(
                 self.spark, target_records_per_file
             ):
                 return self._checked_commit(
-                    df, touched, ver_now, ver, _retain(ver_now)
+                    df, touched, ver_now, ver, _retain(ver_now),
+                    op_info=op,
                 )
 
         if assume_locked:
@@ -2978,6 +2999,11 @@ class ManifestTable:
                 staged["pcols"],
                 staged["dup"],
                 stats_by_key=staged["stats"],
+                op_info={
+                    "name": "staged_commit",
+                    "base_version": staged["base_version"],
+                    "n_partitions": len(staged["touched"]),
+                },
             )
             return version
 
@@ -3122,6 +3148,7 @@ class ManifestTable:
                 dropped_cols=cur_raw.get("dropped_cols"),
                 check_constraints=cur_raw.get("check_constraints"),
                 derived_partitions=cur_raw.get("derived_partitions"),
+                op_info={"name": "restore", "to_version": version},
             )
             return cur + 1
 
@@ -3307,6 +3334,7 @@ class ManifestTable:
                 ),
                 check_constraints=constraints,
                 derived_partitions=man.get("derived_partitions"),
+                op_info={"name": "drop_columns", "cols": sorted(cols)},
             )
             return cur + 1
 
@@ -3386,6 +3414,7 @@ class ManifestTable:
                 dropped_cols=raw.get("dropped_cols"),
                 check_constraints=constraints,
                 derived_partitions=raw.get("derived_partitions"),
+                op_info={"name": "add_check_constraint", "constraint": name},
             )
             return cur + 1
 
@@ -3436,6 +3465,7 @@ class ManifestTable:
                 dropped_cols=raw.get("dropped_cols"),
                 check_constraints=constraints,
                 derived_partitions=raw.get("derived_partitions"),
+                op_info={"name": "drop_check_constraint", "constraint": name},
             )
             return cur + 1
 
@@ -3521,6 +3551,10 @@ class ManifestTable:
                     retain_versions=retain,
                     pcols=list(new_partition_cols),
                     full_replace=True,
+                    op_info={
+                        "name": "repartition_table",
+                        "new_partition_cols": list(new_partition_cols),
+                    },
                 )
             return cur + 1
 
@@ -3756,7 +3790,13 @@ class ManifestTable:
                 if retain_versions is not None
                 else self._keep_current_retain(ver + 1)
             )
-            self._checked_commit(df, touched, ver, ver, retain)
+            self._checked_commit(
+                df, touched, ver, ver, retain,
+                op_info={
+                    "name": "delete" if set_cols is None else "update",
+                    "n_partitions": len(touched),
+                },
+            )
             if set_cols is None:
                 if meta_delete:
                     tkeys = {_partition_key(t) for t in touched}
@@ -4012,6 +4052,12 @@ class ManifestTable:
                 dropped_cols=man.get("dropped_cols"),
                 check_constraints=man.get("check_constraints"),
                 derived_partitions=man.get("derived_partitions"),
+                op_info={
+                    "name": "clone",
+                    "source": self.path,
+                    "source_version": man["version"],
+                    "deep": deep,
+                },
             )
         return dest
 
@@ -4145,7 +4191,13 @@ class ManifestTable:
         return None
 
     def _checked_commit(
-        self, df, touched, ver, expected_version, retain_versions
+        self,
+        df,
+        touched,
+        ver,
+        expected_version,
+        retain_versions,
+        op_info: dict | None = None,
     ) -> int:
         if expected_version is not None and ver != expected_version:
             raise ConcurrentWriterError(
@@ -4154,7 +4206,11 @@ class ManifestTable:
                 "against the current version"
             )
         return self._commit(
-            df, touched, version=(ver or 0) + 1, retain_versions=retain_versions
+            df,
+            touched,
+            version=(ver or 0) + 1,
+            retain_versions=retain_versions,
+            op_info=op_info,
         )
 
     def _commit(
@@ -4165,6 +4221,7 @@ class ManifestTable:
         retain_versions: int = 2,
         pcols: list[str] | None = None,
         full_replace: bool = False,
+        op_info: dict | None = None,
     ) -> int:
         """Write generation ``version``, publish its manifest, GC.
         ``pcols`` comes from the caller at create (version 1), from
@@ -4200,6 +4257,7 @@ class ManifestTable:
             pcols,
             dup,
             full_replace=full_replace,
+            op_info=op_info,
         )
 
     def _resolve_stats_cols(
@@ -4352,6 +4410,7 @@ class ManifestTable:
         dup: list[str],
         stats_by_key: dict[str, dict] | None = None,
         full_replace: bool = False,
+        op_info: dict | None = None,
     ) -> int:
         """Turn a fully written generation directory into a published
         manifest version — the shared back half of `_commit` and the
@@ -4524,6 +4583,7 @@ class ManifestTable:
             dropped_cols=dropped_cols,
             check_constraints=constraints,
             derived_partitions=derived,
+            op_info=op_info,
         )
         return len(touched)
 
@@ -4539,6 +4599,7 @@ class ManifestTable:
         dropped_cols: list | None = None,
         check_constraints: dict | None = None,
         derived_partitions: dict | None = None,
+        op_info: dict | None = None,
     ) -> None:
         """Build the manifest for ``entries``, publish it, GC — the
         shared tail of every commit (data commits via `_commit`,
@@ -4580,6 +4641,11 @@ class ManifestTable:
             man["derived_partitions"] = dict(
                 sorted(derived_partitions.items())
             )
+        if op_info:
+            # operation metadata (r13): what produced this version —
+            # surfaced by history(), the DESCRIBE HISTORY operation
+            # column; audit metadata only, no read path depends on it
+            man["op"] = op_info
         # GC + history() metadata that must not require shard
         # expansion: the generations this version references and the
         # live-partition count live in the list file itself. A

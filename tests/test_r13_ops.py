@@ -2493,3 +2493,64 @@ class TestHiddenPartitioningSoundnessFuzz:
             .collect()
         )
         assert got == want, (where, got, want)
+
+
+class TestOperationHistory:
+    """history() op metadata (DESCRIBE HISTORY's operation column):
+    every commit path stamps what produced the version."""
+
+    def test_lifecycle_ops_recorded(self, spark, tmp_path):
+        mt = _mk_table(spark, str(tmp_path / "t"))  # create + 2 merges
+        mt.delete_where([("pt", "=", "c")], retain_versions=9)
+        mt.update_where(
+            [("id", "<", 3)], set={"v": "v + 1"}, retain_versions=9
+        )
+        mt.compact(partitions=[("a",)], retain_versions=9)
+        mt.add_check_constraint("v_num", "v IS NOT NULL OR v IS NULL")
+        mt.drop_check_constraint("v_num")
+        mt.drop_columns(["v"])
+        ops = [
+            (h["version"], (h["op"] or {}).get("name"))
+            for h in mt.history()
+        ]
+        names = [n for _, n in ops]
+        assert names == [
+            "create", "merge", "merge", "delete", "update",
+            "compact", "add_check_constraint", "drop_check_constraint",
+            "drop_columns",
+        ], ops
+        comp = next(
+            h["op"] for h in mt.history() if h["op"]["name"] == "compact"
+        )
+        assert comp["selective"] is True and comp["n_partitions"] == 1
+
+    def test_restore_repartition_clone_staged_ops(self, spark, tmp_path):
+        mt = _mk_table(spark, str(tmp_path / "t"))
+        mt.restore(1, retain_versions=9)
+        assert mt.history()[-1]["op"] == {
+            "name": "restore",
+            "to_version": 1,
+        }
+        d = spark.createDataFrame(
+            [(900, "a", 2.0)], "id int, pt string, v double"
+        )
+        staged = mt.stage_commit(d, base_version=mt.current_version())
+        mt.commit_staged(staged, retain_versions=9)
+        assert mt.history()[-1]["op"]["name"] == "staged_commit"
+        mt.repartition_table(["id"], retain_versions=9)
+        assert mt.history()[-1]["op"] == {
+            "name": "repartition_table",
+            "new_partition_cols": ["id"],
+        }
+        cl = mt.clone_to(str(tmp_path / "cl"))
+        cop = cl.history()[-1]["op"]
+        assert cop["name"] == "clone" and cop["deep"] is False
+        assert cop["source"] == mt.path
+
+    def test_pre_op_manifests_read_as_none(self, spark, tmp_path):
+        mt = _mk_table(spark, str(tmp_path / "t"))
+        TestTimeBasedVacuum._rewrite_manifest(
+            mt, 1, lambda m: m.pop("op", None)
+        )
+        mt._man_cache.clear()
+        assert mt.history()[0]["op"] is None  # pre-r13 shape tolerated
