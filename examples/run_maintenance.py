@@ -300,6 +300,15 @@ def main(sf_dir: str, work_dir: str) -> None:
     zi = mt.prune_file_stats([("user_id", ">=", ucut)])
     print(f"zorder: user_id>={ucut} scans {zi['files_scanned']}/"
           f"{zi['files_total']} files")
+    # shallow clone + integrity audit (r13): a zero-copy writable
+    # fork, and the check to run before trusting it
+    cl = mt.clone_to(f"{work_dir}/events_clone")
+    print(f"shallow clone: {cl.count()} rows, zero bytes copied, "
+          f"audit ok={cl.verify_table()['ok']}")
+    print("history tail:", [
+        (h['version'], (h['op'] or {}).get('name'))
+        for h in mt.history()[-3:]
+    ])
     # schema evolution (r13): drop is metadata-only and tombstoned;
     # the drop commit is invisible to the change feed
     vb = mt.current_version()
