@@ -2711,6 +2711,16 @@ class ManifestTable:
             # for skewed tables.
             df = df.repartition(*[F.col(c) for c in pcols])
 
+        op = {
+            "name": "compact",
+            "selective": len(sel_keys) < len(live),
+            "n_partitions": len(sel_keys),
+        }
+        if cluster_by:
+            op["cluster_by"] = list(cluster_by)
+        if zorder_by:
+            op["zorder_by"] = list(zorder_by)
+
         def _retain(ver_now: int) -> int:
             if retain_versions is not None:
                 return retain_versions
@@ -2732,6 +2742,7 @@ class ManifestTable:
                     staged,
                     retain_versions=retain_versions,
                     assume_locked=assume_locked,
+                    op_info={**op, "optimistic": True},
                 )
             except BaseException:
                 # the loser must not leak a full parquet copy of the
@@ -2741,16 +2752,6 @@ class ManifestTable:
                 self.abort_staged(staged)
                 raise
             return len(touched)
-
-        op = {
-            "name": "compact",
-            "selective": len(sel_keys) < len(live),
-            "n_partitions": len(sel_keys),
-        }
-        if cluster_by:
-            op["cluster_by"] = list(cluster_by)
-        if zorder_by:
-            op["zorder_by"] = list(zorder_by)
 
         def _run(ver_now: int) -> int:
             with _max_records_per_file(
@@ -2907,6 +2908,7 @@ class ManifestTable:
         lock_wait_seconds: float = 60.0,
         assume_locked: bool = False,
         lock_stale_after_seconds: float | None = None,
+        op_info: dict | None = None,
     ) -> int:
         """Phase 2: publish a :meth:`stage_commit` token as the next
         version. Only the cheap part runs under the lease — one
@@ -2999,7 +3001,8 @@ class ManifestTable:
                 staged["pcols"],
                 staged["dup"],
                 stats_by_key=staged["stats"],
-                op_info={
+                op_info=op_info
+                or {
                     "name": "staged_commit",
                     "base_version": staged["base_version"],
                     "n_partitions": len(staged["touched"]),
@@ -3571,6 +3574,7 @@ class ManifestTable:
         retain_versions: int | None = None,
         assume_locked: bool = False,
         count_matched: bool = True,
+        optimistic: bool = False,
     ) -> dict:
         """Delta-shaped ``DELETE FROM table WHERE ...`` (r13): remove
         the rows matching ``where`` in ONE atomic commit, touching as
@@ -3597,7 +3601,8 @@ class ManifestTable:
         rewritten rows like any commit. ``retain_versions=None``
         keeps current retention."""
         return self._dml_rewrite(
-            where, None, retain_versions, assume_locked, count_matched
+            where, None, retain_versions, assume_locked, count_matched,
+            optimistic,
         )
 
     def update_where(
@@ -3607,6 +3612,7 @@ class ManifestTable:
         retain_versions: int | None = None,
         assume_locked: bool = False,
         count_matched: bool = True,
+        optimistic: bool = False,
     ) -> dict:
         """Delta-shaped ``UPDATE table SET col = expr WHERE ...``
         (r13): rewrite matching rows' named columns in ONE atomic
@@ -3625,7 +3631,7 @@ class ManifestTable:
             raise ValueError("update_where needs a non-empty set=")
         return self._dml_rewrite(
             where, dict(set), retain_versions, assume_locked,
-            count_matched,
+            count_matched, optimistic,
         )
 
     def _dml_rewrite(
@@ -3635,6 +3641,7 @@ class ManifestTable:
         retain_versions: int | None,
         assume_locked: bool,
         count_matched: bool = True,
+        optimistic: bool = False,
     ) -> dict:
         def _do(ver: int) -> dict:
             man = self.manifest(ver)
@@ -3785,23 +3792,47 @@ class ManifestTable:
             if df is None:
                 df = self.spark.createDataFrame([], schema)
             touched = rewrite + dropped
-            retain = (
-                retain_versions
-                if retain_versions is not None
-                else self._keep_current_retain(ver + 1)
-            )
-            self._checked_commit(
-                df, touched, ver, ver, retain,
-                op_info={
-                    "name": "delete" if set_cols is None else "update",
-                    "n_partitions": len(touched),
-                },
-            )
+            op = {
+                "name": "delete" if set_cols is None else "update",
+                "n_partitions": len(touched),
+            }
+            if optimistic:
+                # stage the rewrite OUTSIDE the lease; the publish
+                # rebases over partition-disjoint winners exactly like
+                # an optimistic merge/compact. Serialization is at
+                # PARTITION granularity: rows a disjoint concurrent
+                # writer lands are untouched by this statement even
+                # when they match the predicate — run the locked path
+                # for predicate-serializable DML.
+                op["optimistic"] = True
+                staged = self.stage_commit(
+                    df, touched=touched, base_version=ver
+                )
+                try:
+                    newv = self.commit_staged(
+                        staged,
+                        retain_versions=retain_versions,
+                        assume_locked=assume_locked,
+                        op_info=op,
+                    )
+                except BaseException:
+                    self.abort_staged(staged)
+                    raise
+            else:
+                retain = (
+                    retain_versions
+                    if retain_versions is not None
+                    else self._keep_current_retain(ver + 1)
+                )
+                self._checked_commit(
+                    df, touched, ver, ver, retain, op_info=op
+                )
+                newv = ver + 1
             if set_cols is None:
                 if meta_delete:
                     tkeys = {_partition_key(t) for t in touched}
                     new_rows = 0
-                    for e in self.manifest(ver + 1)["entries"]:
+                    for e in self.manifest(newv)["entries"]:
                         if e["key"] in tkeys:
                             r = (e.get("stats") or {}).get("rows")
                             if r is None:
@@ -3821,7 +3852,10 @@ class ManifestTable:
                 counts["rows_updated"] = matched
             return counts
 
-        if assume_locked:
+        if optimistic or assume_locked:
+            # optimistic: the whole evaluation runs lock-free; only
+            # commit_staged's publish contends (and may itself be
+            # called assume_locked by a caller holding the lease)
             return _do(self.current_version())
         with table_write_lock(
             self.spark, self.path, holder="dml"

@@ -2554,3 +2554,121 @@ class TestOperationHistory:
         )
         mt._man_cache.clear()
         assert mt.history()[0]["op"] is None  # pre-r13 shape tolerated
+
+
+class TestOptimisticDml:
+    """delete_where/update_where(optimistic=True): evaluation stages
+    outside the lease (the optimistic merge/compact contract), the
+    publish rebases over disjoint winners; refusal aborts staging."""
+
+    def test_optimistic_equals_locked(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, i % 4, float(i)) for i in range(80)],
+            "id int, pt int, v double",
+        )
+        a = ManifestTable(spark, str(tmp_path / "a"))
+        a.create(df, ["pt"])
+        b = ManifestTable(spark, str(tmp_path / "b"))
+        b.create(df, ["pt"])
+        ra = a.delete_where([("id", ">=", 60)])
+        rb = b.delete_where([("id", ">=", 60)], optimistic=True)
+        assert ra["rows_deleted"] == rb["rows_deleted"] == 20
+        assert sorted(map(tuple, a.read().collect())) == sorted(
+            map(tuple, b.read().collect())
+        )
+        op = b.history()[-1]["op"]
+        assert op["name"] == "delete" and op["optimistic"] is True
+        import glob as _glob
+
+        assert not _glob.glob(f"{b.path}/_data/.stage-*")
+        r2 = b.update_where(
+            [("id", "<", 5)], set={"v": "v + 7"}, optimistic=True
+        )
+        assert r2["rows_updated"] == 5
+        assert b.read().filter("id = 0 AND v = 7").count() == 1
+
+    def test_optimistic_refusal_aborts_staging(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            CheckConstraintViolation,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i % 2, float(i)) for i in range(20)],
+            "id int, pt int, v double",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pt"])
+        mt.add_check_constraint("v_cap", "v < 1000")
+        with pytest.raises(CheckConstraintViolation):
+            mt.update_where(
+                [("id", "<", 3)], set={"v": "v + 99999"}, optimistic=True
+            )
+        import glob as _glob
+
+        assert not _glob.glob(f"{mt.path}/_data/.stage-*")
+        assert mt.read().filter("v >= 1000").count() == 0
+
+
+def _dml_clause():
+    pools = {
+        "id": [0, 10, 25, 39, -1, 2**40],
+        "v": [0.0, 5.5, 20.0, float("nan"), 38.0],
+        "pt": [0, 1, 2, 3, "1"],
+    }
+    ops = ["=", "<", "<=", ">", ">=", "between", "in", "is_null", "not_null"]
+
+    def per_col(col):
+        pool = st.sampled_from(pools[col])
+
+        def per_op(op):
+            if op in ("is_null", "not_null"):
+                return st.just((col, op, None))
+            if op == "between":
+                return st.tuples(pool, pool).map(
+                    lambda t: (col, "between", t)
+                )
+            if op == "in":
+                return st.lists(pool, min_size=0, max_size=3).map(
+                    lambda xs: (col, "in", xs)
+                )
+            return pool.map(lambda x: (col, op, x))
+
+        return st.sampled_from(ops).flatmap(per_op)
+
+    return st.sampled_from(list(pools)).flatmap(per_col)
+
+
+class TestDmlSoundnessFuzz:
+    """Property: delete_where removes EXACTLY the rows the predicate
+    matches (SQL semantics: NULL-predicate rows survive) — for any
+    where-conjunction, including the pcol clauses that take the
+    metadata-only drop path and cross-type literals."""
+
+    @given(where=st.lists(_dml_clause(), min_size=1, max_size=2))
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    def test_delete_equals_filtered_recomputation(
+        self, spark, tmp_path_factory, where
+    ):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _normalize_where,
+            _where_to_filter,
+        )
+
+        root = tmp_path_factory.mktemp("dml_fuzz")
+        rows = [(i, i % 4, float(i)) for i in range(36)]
+        rows += [(100, 0, float("nan")), (101, 1, None)]
+        df = spark.createDataFrame(rows, "id int, pt int, v double")
+        mt = ManifestTable(spark, str(root / "t"))
+        mt.create(df, ["pt"])
+        norm = _normalize_where(where)
+        pred = _where_to_filter(norm)
+        mt.delete_where(where)
+        got = sorted(r.id for r in mt.read().collect())
+        want = sorted(
+            r.id
+            for r in df.filter(~F.coalesce(pred, F.lit(False))).collect()
+        )
+        assert got == want, (where, got, want)
