@@ -1047,18 +1047,20 @@ def _merge_into_manifest_optimistic(
         if plan is None:
             return 0
         merged, touched, ver = plan
-        staged = mt.stage_commit(merged, touched, base_version=ver)
-        try:
-            mt.commit_staged(
-                staged,
-                retain_versions=retain_versions,
-                on_conflict="rebase_disjoint",
-                lock_wait_seconds=lock_wait_seconds,
-                lock_stale_after_seconds=lock_stale_after_seconds,
-            )
-        except BaseException:
-            mt.abort_staged(staged)
-            raise
+        mt._stage_and_publish(
+            merged,
+            touched,
+            ver,
+            op_info={
+                "name": "merge",
+                "n_partitions": len(touched),
+                "optimistic": True,
+            },
+            retain_versions=retain_versions,
+            on_conflict="rebase_disjoint",
+            lock_wait_seconds=lock_wait_seconds,
+            lock_stale_after_seconds=lock_stale_after_seconds,
+        )
         return len(touched)
     finally:
         _best_effort_delete(spark, delta_staging)

@@ -2391,6 +2391,16 @@ class ManifestTable:
         ver = self.current_version()
         if ver is None:
             raise ValueError(f"manifest table does not exist: {self.path}")
+        if op_info is not None:
+            try:
+                json.dumps(op_info)
+            except TypeError as exc:
+                # fail BEFORE any data I/O: a bad op dict must not
+                # surface as a husk-leaking publish failure (r13
+                # review; same loud-up-front rule as _normalize_where)
+                raise ValueError(
+                    "op_info must be JSON-serializable"
+                ) from exc
         op = op_info or {"name": "overwrite_partitions"}
         if assume_locked:
             return self._checked_commit(
@@ -2734,23 +2744,14 @@ class ManifestTable:
             with _max_records_per_file(
                 self.spark, target_records_per_file
             ):
-                staged = self.stage_commit(
-                    df, touched=touched, base_version=ver
-                )
-            try:
-                self.commit_staged(
-                    staged,
+                self._stage_and_publish(
+                    df,
+                    touched,
+                    ver,
+                    op_info={**op, "optimistic": True},
                     retain_versions=retain_versions,
                     assume_locked=assume_locked,
-                    op_info={**op, "optimistic": True},
                 )
-            except BaseException:
-                # the loser must not leak a full parquet copy of the
-                # selected partitions until a TTL vacuum — same
-                # cleanup contract as the optimistic merge
-                # (external review r13)
-                self.abort_staged(staged)
-                raise
             return len(touched)
 
         def _run(ver_now: int) -> int:
@@ -2768,6 +2769,30 @@ class ManifestTable:
             return _run(self.current_version())
 
     # ---- optimistic (staged) commits ------------------------------
+
+    def _stage_and_publish(
+        self,
+        df: DataFrame,
+        touched: list[tuple],
+        base_version: int,
+        op_info: dict | None = None,
+        **publish_kw,
+    ) -> int:
+        """THE single optimistic-commit recipe — stage outside the
+        lease, publish with rebase, and abort the staging on ANY
+        publish failure so a loser never leaks a parquet copy until
+        the TTL vacuum. Merge, compact, and DML all route here (r13
+        review: the try/abort contract lived in three copies)."""
+        staged = self.stage_commit(
+            df, touched=touched, base_version=base_version
+        )
+        try:
+            return self.commit_staged(
+                staged, op_info=op_info, **publish_kw
+            )
+        except BaseException:
+            self.abort_staged(staged)
+            raise
 
     def stage_commit(
         self,
@@ -2941,6 +2966,13 @@ class ManifestTable:
             raise ValueError(
                 "on_conflict must be 'rebase_disjoint' or 'fail'"
             )
+        if op_info is not None:
+            try:
+                json.dumps(op_info)
+            except TypeError as exc:
+                raise ValueError(
+                    "op_info must be JSON-serializable"
+                ) from exc
 
         def _do() -> int:
             cur = self.current_version()
@@ -3055,6 +3087,22 @@ class ManifestTable:
                 f"v{cur}; schema evolution does not compose with an "
                 "optimistic rebase — recompute the staged commit"
             )
+        # a concurrent WRITE-CONTRACT change (CHECK constraint or
+        # derived-partition spec) is as rebase-hostile as a schema
+        # change: the staged rows were validated against the BASE's
+        # contracts at stage time, and the publish path deliberately
+        # skips the probe (back is None under the lease) — rebasing
+        # would publish rows the new contract never saw (r13 review;
+        # the window pre-existed for merge/compact and became
+        # acute with arbitrary-value optimistic UPDATEs)
+        for prop in ("check_constraints", "derived_partitions"):
+            if (man_base.get(prop) or {}) != (man_cur.get(prop) or {}):
+                raise ConcurrentWriterError(
+                    f"{prop} of {self.path} changed between v{base} "
+                    f"and v{cur}; the staged rows were validated "
+                    "against the old contract — recompute the staged "
+                    "commit against the current version"
+                )
         be = {e["key"]: e["dir"] for e in man_base["entries"]}
         ce = {e["key"]: e["dir"] for e in man_cur["entries"]}
         conflicted = {
@@ -3599,7 +3647,19 @@ class ManifestTable:
         sees real deletes (this is DML, not maintenance); CHECK
         constraints and derived-partition contracts revalidate the
         rewritten rows like any commit. ``retain_versions=None``
-        keeps current retention."""
+        keeps current retention.
+
+        ``rows_deleted`` derives from manifest row-count deltas when
+        stats allow (zero extra I/O) — ``count_matched=False`` skips
+        the fallback predicate pass and may return None.
+
+        ``optimistic=True`` stages the rewrite OUTSIDE the write
+        lease and publishes via the rebase-over-disjoint-winners
+        path. The serialization trade is PARTITION-granular: rows a
+        concurrent disjoint writer lands are untouched by this
+        statement even when they match the predicate, and a
+        concurrent contract change refuses the rebase. Run the
+        locked default for predicate-serializable DML."""
         return self._dml_rewrite(
             where, None, retain_versions, assume_locked, count_matched,
             optimistic,
@@ -3626,7 +3686,11 @@ class ManifestTable:
         (``merge_into_partitioned``), and a source update would
         break the enforced derivation. NULL-predicate rows update
         nothing (SQL semantics). Returns ``{"rows_updated",
-        "entries_rewritten", "entries_untouched"}``."""
+        "entries_rewritten", "entries_untouched"}`` —
+        ``rows_updated`` costs one predicate pass over the rewrite
+        set; ``count_matched=False`` skips it (returns None).
+        ``optimistic=True`` has the same partition-granular
+        serialization contract documented on :meth:`delete_where`."""
         if not set:
             raise ValueError("update_where needs a non-empty set=")
         return self._dml_rewrite(
@@ -3805,19 +3869,14 @@ class ManifestTable:
                 # when they match the predicate — run the locked path
                 # for predicate-serializable DML.
                 op["optimistic"] = True
-                staged = self.stage_commit(
-                    df, touched=touched, base_version=ver
+                newv = self._stage_and_publish(
+                    df,
+                    touched,
+                    ver,
+                    op_info=op,
+                    retain_versions=retain_versions,
+                    assume_locked=assume_locked,
                 )
-                try:
-                    newv = self.commit_staged(
-                        staged,
-                        retain_versions=retain_versions,
-                        assume_locked=assume_locked,
-                        op_info=op,
-                    )
-                except BaseException:
-                    self.abort_staged(staged)
-                    raise
             else:
                 retain = (
                     retain_versions

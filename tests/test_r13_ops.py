@@ -2672,3 +2672,69 @@ class TestDmlSoundnessFuzz:
             for r in df.filter(~F.coalesce(pred, F.lit(False))).collect()
         )
         assert got == want, (where, got, want)
+
+
+class TestRebaseContractGuard:
+    """A concurrent write-contract change (CHECK constraint or derived
+    spec) refuses an optimistic rebase: the staged rows were validated
+    against the BASE's contracts and the publish path deliberately
+    skips the probe (r13 review — acute with optimistic UPDATE)."""
+
+    def test_concurrent_constraint_add_refuses_rebase(
+        self, spark, tmp_path
+    ):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            ConcurrentWriterError,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i % 2, float(i)) for i in range(20)],
+            "id int, pt int, v double",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pt"])
+        ver = mt.current_version()
+        d = spark.createDataFrame(
+            [(100, 0, 99999.0)], "id int, pt int, v double"
+        )
+        staged = mt.stage_commit(d, base_version=ver)
+        # metadata-only commit: same entry dirs, NEW contract the
+        # staged rows were never validated against
+        mt.add_check_constraint("v_cap", "v < 1000")
+        with pytest.raises(ConcurrentWriterError, match="check_constraints"):
+            mt.commit_staged(staged)
+        mt.abort_staged(staged)
+        assert mt.read().filter("v >= 1000").count() == 0
+
+    def test_optimistic_merge_stamps_merge_op(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, i % 2, float(i)) for i in range(20)],
+            "id int, pt int, v double",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pt"])
+        d = spark.createDataFrame(
+            [(100, 0, 1.0)], "id int, pt int, v double"
+        )
+        merge_into_partitioned(
+            spark, mt.path, d, ["id"], ["pt"],
+            retain_versions=5, optimistic=True,
+        )
+        op = mt.history()[-1]["op"]
+        assert op["name"] == "merge" and op["optimistic"] is True
+
+    def test_op_info_must_be_json(self, spark, tmp_path):
+        import datetime as dt
+
+        mt = _mk_table(spark, str(tmp_path / "t"))
+        d = spark.createDataFrame(
+            [(7, "a", 1.0)], "id int, pt string, v double"
+        )
+        with pytest.raises(ValueError, match="JSON-serializable"):
+            mt.overwrite_partitions(
+                d, [("a",)], op_info={"ts": dt.datetime.now()}
+            )
+        # refused BEFORE any data I/O: version unchanged, no husk
+        import glob as _glob
+
+        assert not _glob.glob(f"{mt.path}/_data/g00000004*")
