@@ -2673,6 +2673,46 @@ class TestDmlSoundnessFuzz:
         )
         assert got == want, (where, got, want)
 
+    @given(
+        where=st.lists(_dml_clause(), min_size=1, max_size=2),
+        bump=st.sampled_from([1.0, -2.5, 100.0]),
+    )
+    @settings(
+        max_examples=10, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    def test_update_equals_case_recomputation(
+        self, spark, tmp_path_factory, where, bump
+    ):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _normalize_where,
+            _where_to_filter,
+        )
+
+        root = tmp_path_factory.mktemp("dml_fuzz_u")
+        rows = [(i, i % 4, float(i)) for i in range(36)]
+        rows += [(100, 0, float("nan")), (101, 1, None)]
+        df = spark.createDataFrame(rows, "id int, pt int, v double")
+        mt = ManifestTable(spark, str(root / "t"))
+        mt.create(df, ["pt"])
+        pred = _where_to_filter(_normalize_where(where))
+        mt.update_where(where, set={"v": f"v + {bump}"})
+
+        def canon(frame):
+            return sorted(
+                (r.id, "NaN" if (r.v is not None and r.v != r.v) else r.v)
+                for r in frame.collect()
+            )
+
+        want = df.withColumn(
+            "v",
+            F.when(
+                F.coalesce(pred, F.lit(False)), F.col("v") + F.lit(bump)
+            ).otherwise(F.col("v")),
+        )
+        assert canon(mt.read().select("id", "v")) == canon(
+            want.select("id", "v")
+        ), where
 
 class TestRebaseContractGuard:
     """A concurrent write-contract change (CHECK constraint or derived
@@ -2738,3 +2778,4 @@ class TestRebaseContractGuard:
         import glob as _glob
 
         assert not _glob.glob(f"{mt.path}/_data/g00000004*")
+
