@@ -395,7 +395,12 @@ def _partition_key(values: tuple) -> str:
     return json.dumps([_encode_value(v) for v in values])
 
 
-_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+# accepts both authority URIs (hdfs://nn/, s3a://bucket/) and the
+# single-slash rendering Hadoop's Path.toString()/makeQualified emit
+# for authority-less filesystems (file:/root/...) — clone_to's
+# qualified borrowed entries arrive in the latter form (r14); a
+# table-relative dir always starts with "_data/" so no collision
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:/")
 
 
 def _is_abs_dir(d: str) -> bool:
@@ -1174,8 +1179,14 @@ def _enforce_derived_partitions(
     wrong derived values would make the scan-time projection prune
     LIVE rows (silent wrong results, the one unforgivable class).
     Same O(written data) combined LIMIT-1 probe + refusal surface as
-    CHECK constraints; null-safe so a NULL source must carry a NULL
-    key."""
+    CHECK constraints; the null-safe comparison holds each row to
+    the CANONICAL derivation, whatever it maps NULL to: for day/
+    month a NULL source must carry a NULL key, while for bucket the
+    canonical expression is ``pmod(xxhash64(source), n)`` — and
+    ``xxhash64(NULL)`` is the seed, so a NULL source must carry
+    that (non-NULL) seed bucket, matching what ``_project_derived``
+    prunes against (external review r13: this doc previously
+    claimed NULL→NULL for every transform)."""
     if not derived:
         return
     import functools
@@ -2520,6 +2531,7 @@ class ManifestTable:
         min_files: int | None = None,
         optimistic: bool = False,
         zorder_by: list[str] | None = None,
+        lock_stale_after_seconds: float | None = None,
     ) -> int:
         """Rewrite live partitions into ONE fresh generation — the
         manifest table's compaction maintenance op. Two effects: GC
@@ -2595,7 +2607,14 @@ class ManifestTable:
 
         ``target_records_per_file`` bounds file size via
         ``spark.sql.files.maxRecordsPerFile`` for the rewrite only
-        (saved and restored)."""
+        (saved and restored).
+
+        ``lock_stale_after_seconds`` threads into
+        :func:`table_write_lock` exactly as on the merge path — a
+        caller that runs every write under a stale-break lease (the
+        streaming sink) must not have its maintenance sweep hang
+        forever on a crashed holder's lock while merges break it
+        (external review r13)."""
         ver = self.current_version()
         if ver is None:
             raise ValueError(f"manifest table does not exist: {self.path}")
@@ -2751,6 +2770,7 @@ class ManifestTable:
                     op_info={**op, "optimistic": True},
                     retain_versions=retain_versions,
                     assume_locked=assume_locked,
+                    lock_stale_after_seconds=lock_stale_after_seconds,
                 )
             return len(touched)
 
@@ -2765,7 +2785,12 @@ class ManifestTable:
 
         if assume_locked:
             return _run(ver)
-        with table_write_lock(self.spark, self.path, holder="compact"):
+        with table_write_lock(
+            self.spark,
+            self.path,
+            holder="compact",
+            stale_after_seconds=lock_stale_after_seconds,
+        ):
             return _run(self.current_version())
 
     # ---- optimistic (staged) commits ------------------------------
@@ -3616,6 +3641,60 @@ class ManifestTable:
         ):
             return _do()
 
+    def _probe_update_casts(
+        self, base: DataFrame, raws: dict, types: dict, hit: Column
+    ) -> None:
+        """ANSI-UPDATE cast soundness (external review r13): the SET
+        projection casts each expression back to the column's
+        declared type with a plain (non-ANSI) cast, which maps
+        un-castable values to NULL — ``set={"value": "'oops'"}`` on
+        a double column would silently NULL every matched row where
+        Delta/ANSI UPDATE fails the statement. Probe (one OR-ed
+        LIMIT-1 pass over the rewrite set, the write-contract
+        pattern) for any MATCHED row whose expression is non-NULL
+        but whose cast result is NULL, and refuse. Columns whose
+        expression already analyzes to the declared type skip the
+        probe entirely (identity cast — decided driver-side, no
+        job), so a same-type UPDATE pays nothing."""
+        probe_schema = base.select(
+            *[raws[n].alias(n) for n in sorted(raws)]
+        ).schema
+        suspects = [
+            n
+            for n in sorted(raws)
+            if probe_schema[n].dataType != types[n]
+        ]
+        if not suspects:
+            return
+        import functools
+        import operator
+
+        def _viol(n: str) -> Column:
+            return raws[n].isNotNull() & raws[n].cast(types[n]).isNull()
+
+        combined = functools.reduce(
+            operator.or_, [_viol(n) for n in suspects]
+        )
+        if base.filter(hit & combined).limit(1).count() == 0:
+            return
+        detail = []
+        for n in suspects:
+            c = base.filter(hit & _viol(n)).count()
+            if c:
+                detail.append(
+                    f"{n!r} (declared"
+                    f" {types[n].simpleString()}): {c} row(s)"
+                )
+        raise ValueError(
+            "update_where SET expression(s) do not cast cleanly to"
+            " the declared column type(s): " + "; ".join(detail)
+            + " — the statement was refused and the table is"
+            " unchanged (ANSI UPDATE fails on un-castable values; a"
+            " plain cast would have silently written NULLs). Cast"
+            " explicitly inside the expression if NULLing is"
+            " intended."
+        )
+
     def delete_where(
         self,
         where: list[tuple] | Column,
@@ -3836,15 +3915,15 @@ class ManifestTable:
                     # r13 code review)
                     types = {f.name: f.dataType for f in schema.fields}
                     hit = F.coalesce(pred, F.lit(False))
+                    raws = {
+                        n: (F.expr(x) if isinstance(x, str) else x)
+                        for n, x in set_cols.items()
+                    }
+                    self._probe_update_casts(base, raws, types, hit)
                     projs = []
                     for f in schema.fields:
                         if f.name in set_cols:
-                            expr = set_cols[f.name]
-                            val = (
-                                F.expr(expr)
-                                if isinstance(expr, str)
-                                else expr
-                            ).cast(types[f.name])
+                            val = raws[f.name].cast(types[f.name])
                             projs.append(
                                 F.when(hit, val)
                                 .otherwise(F.col(f.name))
@@ -4079,8 +4158,6 @@ class ManifestTable:
         source's schema, partition columns, stats config,
         dropped-column tombstones, and CHECK constraints."""
         import copy as _copy
-        import os as _os
-
         man = self.manifest(version)
         dest = ManifestTable(
             self.spark,
@@ -4091,11 +4168,18 @@ class ManifestTable:
             raise ValueError(
                 f"manifest table already exists: {dest.path}"
             )
-        src_base = (
-            self.path
-            if _is_abs_dir(self.path)
-            else _os.path.abspath(self.path)
-        )
+        if _is_abs_dir(self.path):
+            src_base = self.path
+        else:
+            # a RELATIVE table path resolves through the Hadoop
+            # FileSystem (fs.makeQualified) — the same resolution
+            # Spark's writers use — NOT driver-local
+            # os.path.abspath: when the default FS is HDFS/S3A, a
+            # driver-local absolute path would make every borrowed
+            # entry point at a nonexistent local file (external
+            # review r13)
+            sfs, sjp = _hadoop_fs(self.spark, self.path)
+            src_base = sfs.makeQualified(sjp).toString()
         entries = _copy.deepcopy(man["entries"])
         if deep:
             jvm = self.spark._jvm

@@ -253,10 +253,34 @@ def start_changelog_merge_sink(
                     f"auto-compaction requires a manifest table, but"
                     f" {path} is hive-layout"
                 )
-            ManifestTable(spark, path).compact(
-                min_files=compact_min_files,
-                target_records_per_file=compact_target_records_per_file,
-            )
+            # best-effort, like Delta's post-commit auto optimize: the
+            # batch's MERGE already committed, so a transient sweep
+            # failure (lock contention with an external maintenance
+            # op, a mid-sweep GC race) must not kill the streaming
+            # query — log and let a later batch's sweep retry. Only
+            # the misconfiguration above stays loud. The sink's lease
+            # config threads through so a crashed external holder's
+            # stale lock cannot wedge the sweep while merges break it
+            # (external review r13).
+            try:
+                ManifestTable(spark, path).compact(
+                    min_files=compact_min_files,
+                    target_records_per_file=(
+                        compact_target_records_per_file
+                    ),
+                    lock_stale_after_seconds=lock_stale_after_seconds,
+                )
+            except Exception:  # noqa: BLE001 — best-effort contract
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "auto-compaction sweep failed after batch %s of"
+                    " %s (merge already committed; next armed batch"
+                    " retries)",
+                    batch_id,
+                    path,
+                    exc_info=True,
+                )
 
     return (
         stream.writeStream.foreachBatch(apply)
