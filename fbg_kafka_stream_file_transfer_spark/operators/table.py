@@ -453,6 +453,102 @@ def _fold_spark_max(vals: list):
     return max(vals)
 
 
+# ---- carried files (file-granular DML, r14) -----------------------
+#
+# A files-map KEY is normally a basename relative to the entry's
+# ``dir``. File-granular DML introduces CARRIED keys — paths holding
+# a "/" — naming files the statement provably could not touch and
+# therefore never read or rewrote: table-root-relative
+# ("_data/gNNNNNNNN/<partition>/part-x.parquet") or absolute (a file
+# borrowed through a shallow clone). This is the deletion-vector-lite
+# representation: a point DELETE in a clustered 10 GB partition
+# rewrites ONE file and re-references the other files byte-identically
+# inside the SAME entry, without Delta's read-side merge tax (cf.
+# Delta deletion vectors; Iceberg's per-file manifests get this for
+# free by never having directory-entries at all).
+
+
+def _has_carried_files(entry: dict) -> bool:
+    """True when the entry's files map contains carried keys — then
+    the map is the EXACT file membership and the directory listing is
+    NOT: it misses the carried files and still physically holds the
+    superseded originals (generations are immutable). Every reader
+    must enumerate the map instead of scanning ``dir``. An entry
+    without carried keys keeps today's contract: the map is a pruning
+    hint and the dir scan is always a sound fallback."""
+    fmap = entry.get("files")
+    return bool(fmap) and any("/" in n for n in fmap)
+
+
+def _resolve_entry_file(root: str, base: str, name: str) -> str:
+    """Concrete scan path for one files-map key: absolute keys are
+    verbatim, carried keys resolve against the TABLE root, plain
+    basenames against the entry's own dir (``base``)."""
+    if _is_abs_dir(name):
+        return name
+    if "/" in name:
+        return f"{root}/{name}"
+    return f"{base}/{name}"
+
+
+def _fold_file_stats(files: dict[str, dict]) -> dict:
+    """Refold ENTRY-level stats from a merged per-file stats map —
+    the driver-side aggregation behind file-granular DML: the new
+    entry's bounds must cover BOTH the freshly written files and the
+    carried (never-read) ones, with zero data I/O. Bounds fold in
+    the DECODED domain with the same Spark NULL/NaN semantics the
+    write-side fold uses (:meth:`_collect_entry_stats`).
+    Conservative omissions keep pruning sound:
+
+    - a column absent from ANY file's stats is dropped from the
+      entry entirely (unknown bounds must never prune);
+    - a file with non-null rows but an OMITTED bound (its fold hit
+      NaN, or an untruncatable string upper) makes the entry
+      unbounded on that side — treating the other files' bound as
+      the entry bound would prune rows living in the unbounded file."""
+    rows = 0
+    cols_union: set[str] = set()
+    for st in files.values():
+        rows += st["rows"]
+        cols_union.update((st.get("cols") or {}).keys())
+    cols: dict = {}
+    for c in sorted(cols_union):
+        mns: list = []
+        mxs: list = []
+        nulls = 0
+        covered = True
+        unb_mn = False
+        unb_mx = False
+        for st in files.values():
+            fc = (st.get("cols") or {}).get(c)
+            if fc is None:
+                covered = False
+                break
+            nulls += fc["nulls"]
+            nonnull = st["rows"] - fc["nulls"]
+            if "mn" in fc:
+                mns.append(_decode_value(fc["mn"]))
+            elif nonnull:
+                unb_mn = True
+            if "mx" in fc:
+                mxs.append(_decode_value(fc["mx"]))
+            elif nonnull:
+                unb_mx = True
+        if not covered:
+            continue
+        ecs: dict = {"nulls": nulls}
+        if not unb_mn:
+            b = _encode_bound(_fold_spark_min(mns), upper=False)
+            if b is not None:
+                ecs["mn"] = b
+        if not unb_mx:
+            b = _encode_bound(_fold_spark_max(mxs), upper=True)
+            if b is not None:
+                ecs["mx"] = b
+        cols[c] = ecs
+    return {"rows": rows, "nfiles": len(files), "cols": cols}
+
+
 def _stats_eligible(schema: T.StructType, pcols: list[str]) -> list[str]:
     """Columns whose min/max are meaningful for range pruning:
     atomic, totally ordered types. Partition columns are excluded
@@ -1826,10 +1922,19 @@ class ManifestTable:
                 if _is_abs_dir(e["dir"])
                 else f"{self.path}/{e['dir']}"
             )
+            if files is None and _has_carried_files(e):
+                # file-granular DML entry (r14): the files map IS the
+                # membership — the dir misses the carried files and
+                # still holds the superseded originals, so a whole-dir
+                # scan would be wrong in both directions
+                files = list(e["files"])
             if files is None:
                 dirs.add(base)
             else:
-                fpaths.update(f"{base}/{n}" for n in files)
+                fpaths.update(
+                    _resolve_entry_file(self.path, base, n)
+                    for n in files
+                )
         paths = sorted(dirs) + sorted(fpaths)
         if not paths:
             df = self.spark.createDataFrame([], schema)
@@ -2244,8 +2349,12 @@ class ManifestTable:
                 "scan's internal names ('_w', '_net', '_copy'); "
                 "rename them"
             )
-        fe = {e["key"]: e["dir"] for e in man_from["entries"]}
-        te = {e["key"]: e["dir"] for e in man_to["entries"]}
+        # WHOLE-entry comparison, not dir-only: a file-granular DML
+        # whose rewrite output was empty (every row in the matching
+        # files deleted) keeps the old dir and changes only the files
+        # map — a dir-only diff would silently MISS the change (r14)
+        fe = {e["key"]: e for e in man_from["entries"]}
+        te = {e["key"]: e for e in man_to["entries"]}
         changed = {
             k for k in fe.keys() | te.keys() if fe.get(k) != te.get(k)
         }
@@ -3702,6 +3811,7 @@ class ManifestTable:
         assume_locked: bool = False,
         count_matched: bool = True,
         optimistic: bool = False,
+        file_granular: bool = True,
     ) -> dict:
         """Delta-shaped ``DELETE FROM table WHERE ...`` (r13): remove
         the rows matching ``where`` in ONE atomic commit, touching as
@@ -3715,6 +3825,17 @@ class ManifestTable:
           :func:`_pcol_clause_exact`) are DROPPED metadata-only —
           deleting a whole partition is O(1) data I/O, the Delta
           partition-delete fast path;
+        - entries whose per-FILE bounds prove a strict subset of
+          their files can match rewrite ONLY those files
+          (``file_granular``, r14 — deletion-vector-lite): the
+          other files carry forward byte-identically as carried
+          references inside the same entry, so a point delete in a
+          clustered 10 GB partition touches one file, not the
+          partition. Run ``compact()`` on the partition to fold
+          carried references back into a clean local generation
+          (until then the referenced old generations stay alive —
+          the same reclaim-on-OPTIMIZE contract as Delta deletion
+          vectors, without their read-side merge tax);
         - everything else rewrites: the partition's KEPT rows (``NOT
           coalesce(pred, false)`` — SQL DELETE keeps NULL-predicate
           rows) land in the fresh generation; a partition whose rows
@@ -3722,7 +3843,10 @@ class ManifestTable:
           every merge uses).
 
         Returns ``{"rows_deleted", "entries_dropped",
-        "entries_rewritten", "entries_untouched"}``. The change feed
+        "entries_rewritten", "entries_file_scoped",
+        "files_rewritten", "files_carried", "entries_untouched"}``
+        (``entries_rewritten`` counts file-scoped entries too — it
+        is the touched-partition count). The change feed
         sees real deletes (this is DML, not maintenance); CHECK
         constraints and derived-partition contracts revalidate the
         rewritten rows like any commit. ``retain_versions=None``
@@ -3738,10 +3862,13 @@ class ManifestTable:
         concurrent disjoint writer lands are untouched by this
         statement even when they match the predicate, and a
         concurrent contract change refuses the rebase. Run the
-        locked default for predicate-serializable DML."""
+        locked default for predicate-serializable DML. Optimistic
+        statements also stay partition-granular
+        (``file_granular`` applies only to the locked path — the
+        rebase contract serializes whole partitions)."""
         return self._dml_rewrite(
             where, None, retain_versions, assume_locked, count_matched,
-            optimistic,
+            optimistic, file_granular,
         )
 
     def update_where(
@@ -3752,20 +3879,27 @@ class ManifestTable:
         assume_locked: bool = False,
         count_matched: bool = True,
         optimistic: bool = False,
+        file_granular: bool = True,
     ) -> dict:
         """Delta-shaped ``UPDATE table SET col = expr WHERE ...``
         (r13): rewrite matching rows' named columns in ONE atomic
         commit. Non-matching entries (stats / pcol / projection
-        pruned) carry forward verbatim; matching partitions rewrite
+        pruned) carry forward verbatim; when per-FILE bounds prove a
+        strict subset of an entry's files can match, only those
+        files rewrite and the rest carry forward byte-identically
+        (``file_granular``, r14 — same contract as on
+        :meth:`delete_where`); matching scopes rewrite
         with ``CASE WHEN pred THEN expr ELSE col END`` projections
         (expression strings see the table's own columns; results are
-        cast back to the column's declared type). Partition columns
+        cast back to the column's declared type, refused when the
+        cast would NULL a non-NULL value). Partition columns
         and derived-partition SOURCE columns are refused — an update
         that moves rows across partitions is a MERGE
         (``merge_into_partitioned``), and a source update would
         break the enforced derivation. NULL-predicate rows update
         nothing (SQL semantics). Returns ``{"rows_updated",
-        "entries_rewritten", "entries_untouched"}`` —
+        "entries_rewritten", "entries_file_scoped",
+        "files_rewritten", "files_carried", "entries_untouched"}`` —
         ``rows_updated`` costs one predicate pass over the rewrite
         set; ``count_matched=False`` skips it (returns None).
         ``optimistic=True`` has the same partition-granular
@@ -3774,7 +3908,7 @@ class ManifestTable:
             raise ValueError("update_where needs a non-empty set=")
         return self._dml_rewrite(
             where, dict(set), retain_versions, assume_locked,
-            count_matched, optimistic,
+            count_matched, optimistic, file_granular,
         )
 
     def _dml_rewrite(
@@ -3785,6 +3919,7 @@ class ManifestTable:
         assume_locked: bool,
         count_matched: bool = True,
         optimistic: bool = False,
+        file_granular: bool = True,
     ) -> dict:
         def _do(ver: int) -> dict:
             man = self.manifest(ver)
@@ -3835,6 +3970,11 @@ class ManifestTable:
             untouched = 0
             dropped: list[tuple] = []
             rewrite: list[tuple] = []
+            fg_touched: list[tuple] = []
+            fg_carry: dict[str, dict] = {}
+            fg_paths: list[str] = []
+            files_rewritten = 0
+            files_carried = 0
             dropped_rows = 0
             dropped_rows_known = True
             rw_rows = 0
@@ -3867,6 +4007,62 @@ class ManifestTable:
                         else:
                             dropped_rows += rows
                         continue
+                # FILE-granular rewrite (r14, deletion-vector-lite):
+                # when the entry's per-file bounds prove a STRICT
+                # subset of its files can match, rewrite only those
+                # files and carry the rest forward byte-identically
+                # inside the same entry — a point DELETE in a hot
+                # clustered partition touches one file, not the
+                # partition. A carried file's bounds exclude at least
+                # one CONJUNCT of the predicate, so none of its rows
+                # can satisfy the full conjunction (the same
+                # guarantee read() already banks on). The optimistic
+                # path stays partition-granular: its rebase contract
+                # serializes on whole partitions.
+                fmap = e.get("files")
+                if file_granular and not optimistic and fmap:
+                    _, sel = _entry_scan_selection(e, prune, pc, sk)
+                    if sel is not None and len(sel) < len(fmap):
+                        r = (e.get("stats") or {}).get("rows")
+                        if not sel:
+                            # entry-level bounds admitted the
+                            # predicate but no FILE's do — provably
+                            # untouched, zero I/O
+                            untouched += 1
+                            continue
+                        base_dir = e["dir"]
+                        survivors = {
+                            (
+                                n
+                                if "/" in n or _is_abs_dir(n)
+                                else f"{base_dir}/{n}"
+                            ): stv
+                            for n, stv in fmap.items()
+                            if n not in sel
+                        }
+                        resolved_base = (
+                            base_dir
+                            if _is_abs_dir(base_dir)
+                            else f"{self.path}/{base_dir}"
+                        )
+                        fg_paths.extend(
+                            _resolve_entry_file(
+                                self.path, resolved_base, n
+                            )
+                            for n in sel
+                        )
+                        fg_carry[_partition_key(vals)] = {
+                            "files": survivors,
+                            "dir": base_dir,
+                        }
+                        fg_touched.append(vals)
+                        files_rewritten += len(sel)
+                        files_carried += len(survivors)
+                        if r is None:
+                            rw_rows_known = False
+                        else:
+                            rw_rows += r
+                        continue
                 rewrite.append(vals)
                 r = (e.get("stats") or {}).get("rows")
                 if r is None:
@@ -3875,10 +4071,13 @@ class ManifestTable:
                     rw_rows += r
             counts = {
                 "entries_dropped": len(dropped),
-                "entries_rewritten": len(rewrite),
+                "entries_rewritten": len(rewrite) + len(fg_touched),
+                "entries_file_scoped": len(fg_touched),
+                "files_rewritten": files_rewritten,
+                "files_carried": files_carried,
                 "entries_untouched": untouched,
             }
-            if not dropped and not rewrite:
+            if not dropped and not rewrite and not fg_touched:
                 # predicate matches nothing: no version published
                 key = "rows_deleted" if set_cols is None else "rows_updated"
                 return {key: 0, **counts}
@@ -3899,8 +4098,26 @@ class ManifestTable:
             meta_delete = (
                 set_cols is None and rw_rows_known and dropped_rows_known
             )
-            if rewrite:
-                base = self.read(manifest_dict=man, partitions=rewrite)
+            if rewrite or fg_paths:
+                parts = []
+                if rewrite:
+                    parts.append(
+                        self.read(manifest_dict=man, partitions=rewrite)
+                    )
+                if fg_paths:
+                    # the file-scoped scan reads ONLY the may-match
+                    # files; pcols are physical in the data files so
+                    # the rows come back complete
+                    parts.append(
+                        self.spark.read.schema(schema).parquet(
+                            *sorted(set(fg_paths))
+                        )
+                    )
+                base = (
+                    parts[0]
+                    if len(parts) == 1
+                    else parts[0].unionByName(parts[1])
+                )
                 if count_matched and not meta_delete:
                     matched = base.filter(pred).count()
                 if set_cols is None:
@@ -3934,11 +4151,13 @@ class ManifestTable:
                     df = base.select(*projs)
             if df is None:
                 df = self.spark.createDataFrame([], schema)
-            touched = rewrite + dropped
+            touched = rewrite + fg_touched + dropped
             op = {
                 "name": "delete" if set_cols is None else "update",
                 "n_partitions": len(touched),
             }
+            if fg_touched:
+                op["file_scoped"] = len(fg_touched)
             if optimistic:
                 # stage the rewrite OUTSIDE the lease; the publish
                 # rebases over partition-disjoint winners exactly like
@@ -3963,7 +4182,8 @@ class ManifestTable:
                     else self._keep_current_retain(ver + 1)
                 )
                 self._checked_commit(
-                    df, touched, ver, ver, retain, op_info=op
+                    df, touched, ver, ver, retain, op_info=op,
+                    carry_files=fg_carry or None,
                 )
                 newv = ver + 1
             if set_cols is None:
@@ -4045,7 +4265,24 @@ class ManifestTable:
             }
             for fname in e.get("files") or {}:
                 files_checked += 1
-                if fname not in names:
+                if "/" in fname:
+                    # carried key (file-granular DML, r14): lives
+                    # outside the entry's dir — one existence check
+                    # at its resolved location
+                    target = _resolve_entry_file(
+                        self.path, base, fname
+                    )
+                    cfs, cj = _hadoop_fs(self.spark, target)
+                    if not cfs.exists(cj):
+                        problems.append(
+                            {
+                                "kind": "missing_file",
+                                "key": e["key"],
+                                "dir": base,
+                                "file": fname,
+                            }
+                        )
+                elif fname not in names:
                     problems.append(
                         {
                             "kind": "missing_file",
@@ -4064,21 +4301,51 @@ class ManifestTable:
                 .collect()
             )
             per_dir: dict[str, int] = {}
+            per_path: dict[str, int] = {}
             for r in per_file:
-                parent = urllib.parse.unquote(
+                p = urllib.parse.unquote(
                     urllib.parse.urlparse(r["_f"]).path
-                ).rsplit("/", 1)[0]
+                )
+                per_path[p] = per_path.get(p, 0) + r["count"]
+                fidx = p.rfind(f"/{_DATA_DIR}/")
+                if fidx >= 0:
+                    per_path[p[fidx + 1 :]] = (
+                        per_path.get(p[fidx + 1 :], 0) + r["count"]
+                    )
+                parent = p.rsplit("/", 1)[0]
                 per_dir[parent] = per_dir.get(parent, 0) + r["count"]
                 idx = parent.rfind(f"/{_DATA_DIR}/")
                 if idx >= 0:
                     rel = parent[idx + 1 :]
                     per_dir[rel] = per_dir.get(rel, 0) + r["count"]
+
+            def _lookup(pmap: dict, raw: str) -> int:
+                if _is_abs_dir(raw):
+                    p = urllib.parse.unquote(
+                        urllib.parse.urlparse(raw).path
+                    )
+                else:
+                    p = raw
+                idx2 = p.rfind(f"/{_DATA_DIR}/")
+                tail = p[idx2 + 1 :] if idx2 >= 0 else p
+                return pmap.get(p, pmap.get(tail, 0))
+
             for e in m["entries"]:
                 want = (e.get("stats") or {}).get("rows")
                 if want is None:
                     continue
                 d = e["dir"]
-                if _is_abs_dir(d):
+                if _has_carried_files(e):
+                    # a file-granular entry's rows span SEVERAL dirs
+                    # — sum per-FILE over its exact membership (r14)
+                    got = sum(
+                        _lookup(
+                            per_path,
+                            _resolve_entry_file(self.path, d, n),
+                        )
+                        for n in e["files"]
+                    )
+                elif _is_abs_dir(d):
                     key = urllib.parse.unquote(
                         urllib.parse.urlparse(d).path
                     )
@@ -4206,11 +4473,61 @@ class ManifestTable:
                     raise IOError(
                         f"deep clone copy failed for {src_abs}"
                     )
+                if _has_carried_files(e):
+                    # file-granular entry (r14): the dir copy above
+                    # got only the LOCALLY-written files — also copy
+                    # each carried file into the clone's partition
+                    # dir and re-key it to a plain basename. The dir
+                    # copy may have brought along SUPERSEDED files
+                    # the membership excludes; the exact files map
+                    # keeps them invisible (and they are small — a
+                    # compact() sheds them).
+                    newmap: dict = {}
+                    for n, stv in e["files"].items():
+                        if "/" not in n:
+                            newmap[n] = stv
+                            continue
+                        cf_abs = _resolve_entry_file(
+                            src_base, src_abs, n
+                        )
+                        bn = n.rsplit("/", 1)[-1]
+                        if bn in newmap or bn in e["files"]:
+                            raise IOError(
+                                f"deep clone basename collision for"
+                                f" {cf_abs} in {new_rel}"
+                            )
+                        cfs, cj = _hadoop_fs(self.spark, cf_abs)
+                        ok = jvm.org.apache.hadoop.fs.FileUtil.copy(
+                            cfs, cj, dfs,
+                            jvm.org.apache.hadoop.fs.Path(
+                                f"{dest.path}/{new_rel}/{bn}"
+                            ),
+                            False, conf,
+                        )
+                        if not ok:
+                            raise IOError(
+                                f"deep clone copy failed for {cf_abs}"
+                            )
+                        newmap[bn] = stv
+                    e["files"] = newmap
                 e["dir"] = new_rel
         else:
             for e in entries:
                 if not _is_abs_dir(e["dir"]):
                     e["dir"] = f"{src_base}/{e['dir']}"
+                if _has_carried_files(e):
+                    # table-root-relative carried keys must follow
+                    # the dir out: absolutize them against the SOURCE
+                    # root so the borrowed membership stays resolvable
+                    # from the clone (r14)
+                    e["files"] = {
+                        (
+                            n
+                            if _is_abs_dir(n) or "/" not in n
+                            else f"{src_base}/{n}"
+                        ): v
+                        for n, v in e["files"].items()
+                    }
         with table_write_lock(self.spark, dest.path, holder="clone"):
             if dest.current_version() is not None:
                 raise ValueError(
@@ -4375,6 +4692,7 @@ class ManifestTable:
         expected_version,
         retain_versions,
         op_info: dict | None = None,
+        carry_files: dict[str, dict] | None = None,
     ) -> int:
         if expected_version is not None and ver != expected_version:
             raise ConcurrentWriterError(
@@ -4388,6 +4706,7 @@ class ManifestTable:
             version=(ver or 0) + 1,
             retain_versions=retain_versions,
             op_info=op_info,
+            carry_files=carry_files,
         )
 
     def _commit(
@@ -4399,6 +4718,7 @@ class ManifestTable:
         pcols: list[str] | None = None,
         full_replace: bool = False,
         op_info: dict | None = None,
+        carry_files: dict[str, dict] | None = None,
     ) -> int:
         """Write generation ``version``, publish its manifest, GC.
         ``pcols`` comes from the caller at create (version 1), from
@@ -4435,6 +4755,7 @@ class ManifestTable:
             dup,
             full_replace=full_replace,
             op_info=op_info,
+            carry_files=carry_files,
         )
 
     def _resolve_stats_cols(
@@ -4565,13 +4886,16 @@ class ManifestTable:
                 cols[c] = ecs
             # the exact file COUNT is recorded unconditionally (one
             # int — it drives small_file_report/compact(min_files=)
-            # without a listing), while the per-file BOUNDS map has a
-            # value window: a single-file partition's file bounds ARE
-            # the entry bounds (zero information); past the cap the
-            # manifest bytes beat the listing saved (compact instead)
+            # without a listing). The per-file BOUNDS map is always
+            # RETURNED (file-granular DML needs the exact written
+            # membership even for a 1-file partition); the 2..cap
+            # PUBLISH window for plain entries is applied where the
+            # entry is built (_finalize_generation) — a single-file
+            # partition's bounds ARE the entry bounds (zero
+            # information) and past the cap the manifest bytes beat
+            # the listing saved (compact instead)
             st = {"rows": total, "nfiles": len(files), "cols": cols}
-            if 2 <= len(files) <= _FILE_STATS_MAX:
-                st["files"] = files
+            st["files"] = files
             out[key] = st
         return out
 
@@ -4588,6 +4912,7 @@ class ManifestTable:
         stats_by_key: dict[str, dict] | None = None,
         full_replace: bool = False,
         op_info: dict | None = None,
+        carry_files: dict[str, dict] | None = None,
     ) -> int:
         """Turn a fully written generation directory into a published
         manifest version — the shared back half of `_commit` and the
@@ -4728,8 +5053,44 @@ class ManifestTable:
         for t in touched:
             key = _partition_key(t)
             rel = dirs_by_key.get(key)
-            if rel is None:
+            carry = (carry_files or {}).get(key)
+            if rel is None and carry is None:
                 prev_entries.pop(key, None)  # emptied: entry removed
+            elif carry is not None:
+                # file-granular DML (r14): ONE entry referencing the
+                # freshly written files (basenames under the new
+                # generation's partition dir) AND the carried,
+                # never-read files (table-root-relative / absolute
+                # keys). Entry bounds refold driver-side from the
+                # merged per-file stats — zero extra I/O. When the
+                # rewrite output is EMPTY (every row of the matching
+                # files deleted), the entry keeps the old dir and
+                # only the carried membership; changes() compares
+                # whole entries so the diff still fires. A merged map
+                # may exceed the plain-entry publish window — for an
+                # exact-membership entry the map is correctness, not
+                # a hint, so the bytes are the price.
+                st = stats_by_key.get(key) or {}
+                written = dict(st.get("files") or {})
+                if rel is not None and not written:
+                    # membership is REQUIRED: with no per-file stats
+                    # for what just landed, the entry cannot name its
+                    # files exactly — refuse (the generation is an
+                    # unreferenced husk; the table is unchanged)
+                    raise ValueError(
+                        f"file-granular rewrite of {key!r} produced"
+                        " no per-file stats for the written"
+                        " generation; rerun without file granularity"
+                    )
+                merged = {**carry["files"], **written}
+                entry = {
+                    "key": key,
+                    "values": [_encode_value(v) for v in t],
+                    "dir": rel if rel is not None else carry["dir"],
+                    "stats": _fold_file_stats(merged),
+                    "files": merged,
+                }
+                prev_entries[key] = entry
             else:
                 entry = {
                     "key": key,
@@ -4745,7 +5106,7 @@ class ManifestTable:
                     entry["stats"] = {
                         k: v for k, v in st.items() if k != "files"
                     }
-                    if files:
+                    if files and 2 <= len(files) <= _FILE_STATS_MAX:
                         entry["files"] = files
                 prev_entries[key] = entry
         entries = sorted(prev_entries.values(), key=lambda e: e["key"])
@@ -4829,13 +5190,17 @@ class ManifestTable:
         # shallow clone's ABSOLUTE entries reference no local
         # generation and are excluded (their data lives under the
         # source table; this table's sweep can never reach it).
-        man["generations"] = sorted(
-            {
-                e["dir"].split("/")[1]
-                for e in entries
-                if not _is_abs_dir(e["dir"])
-            }
-        )
+        gens: set[str] = set()
+        for e in entries:
+            if not _is_abs_dir(e["dir"]):
+                gens.add(e["dir"].split("/")[1])
+            for n in e.get("files") or ():
+                # carried keys (file-granular DML, r14) keep the
+                # generation holding the never-rewritten files ALIVE:
+                # a table-root-relative key is "_data/g.../..."
+                if "/" in n and not _is_abs_dir(n):
+                    gens.add(n.split("/")[1])
+        man["generations"] = sorted(gens)
         man["entry_count"] = len(entries)
         if len(entries) > shard_target:
             man["entry_shards"], man["num_buckets"] = self._shard_entries(
@@ -5112,6 +5477,10 @@ class ManifestTable:
                     for e in self.manifest(v)["entries"]:
                         if not _is_abs_dir(e["dir"]):
                             referenced.add(e["dir"].split("/")[1])
+                        for n in e.get("files") or ():
+                            # carried keys reference older gens (r14)
+                            if "/" in n and not _is_abs_dir(n):
+                                referenced.add(n.split("/")[1])
             except Exception:  # noqa: BLE001 — GC never fails a commit
                 return None
         plan = {

@@ -4403,3 +4403,151 @@ FROM m GROUP BY event_type
 """,
     doc="CHECK constraint: good merge lands, violating merge refused with the table bit-for-bit unchanged (the hash proves it) and the husk vacuumed",
 )
+
+
+def _q_table_file_granular_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-granular DML certification (round 14,
+    deletion-vector-lite): on an id-clustered table, ``delete_where``
+    / ``update_where`` rewrite only the FILES whose per-file bounds
+    admit the predicate and carry every other file of the touched
+    entry forward byte-identically as a carried reference inside the
+    same entry — a point statement in a hot partition touches one
+    file, not the partition (the cost class Delta needs deletion
+    vectors for, here without the read-side merge tax).
+
+    Build events partitioned by ``pt = event_id % 4``, range-
+    clustered into several id-disjoint files per partition. Then:
+    (1) DELETE a narrow id band, (2) UPDATE a different narrow band.
+    In-function pins: both statements took the file-scoped path,
+    ``files_rewritten < files_rewritten + files_carried`` (a strict
+    file subset), EVERY pre-statement data file is mtime-untouched
+    (generations are immutable; survivors are re-referenced, never
+    copied), the new entries carry out-of-dir references, and the
+    change feed sees exactly the deleted band. The oracle recomputes
+    the final state and both matched counts arithmetically and pins
+    the two file-scoped statements as constants.
+
+    Scale shape: each statement's data I/O is O(matching FILES) —
+    stats prune entries, per-file bounds prune files, and carried
+    survivors cost zero bytes; rewriting 1-of-N files per touched
+    partition is the weekly GDPR-delete cost class at 100 TB."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..operators.table import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    # two narrow, non-overlapping bands well inside [0, max_id]
+    d_lo, d_hi = (max_id + 1) // 10, (max_id + 1) // 10 + (max_id + 1) // 50
+    u_lo, u_hi = (max_id + 1) // 2, (max_id + 1) // 2 + (max_id + 1) // 50
+    evp = (
+        ev.withColumn("pt", (F.col("event_id") % 4).cast("int"))
+        .repartitionByRange(16, F.col("pt"), F.col("event_id"))
+        .sortWithinPartitions("pt", "event_id")
+    )
+    work = tempfile.mkdtemp(prefix="table_fg_dml_")
+    try:
+        mt = ManifestTable(spark, f"{work}/events_fg")
+        mt.create(evp, ["pt"])
+        mtimes0 = {
+            p: _os.path.getmtime(p)
+            for p in _glob.glob(
+                f"{mt.path}/_data/**/*.parquet", recursive=True
+            )
+        }
+        r1 = mt.delete_where(
+            [("event_id", ">=", d_lo), ("event_id", "<", d_hi)],
+            retain_versions=5,
+        )
+        assert r1["entries_file_scoped"] >= 1, r1
+        assert r1["files_carried"] >= 1, r1
+        r2 = mt.update_where(
+            [("event_id", ">=", u_lo), ("event_id", "<", u_hi)],
+            set={"value": "value + 250"},
+            retain_versions=5,
+        )
+        assert r2["entries_file_scoped"] >= 1, r2
+        assert r2["files_carried"] >= 1, r2
+        # survivors are REFERENCED, never copied: every pre-statement
+        # file is byte-untouched
+        assert all(
+            _os.path.getmtime(p) == t for p, t in mtimes0.items()
+        ), "a pre-statement data file was modified"
+        # the touched entries really carry out-of-dir references
+        assert any(
+            any("/" in n for n in e.get("files") or ())
+            for e in mt.manifest()["entries"]
+        ), "no carried references in the manifest"
+        # CDC sees exactly the deleted band
+        assert (
+            mt.changes(1, 2).count()
+            == r1["rows_deleted"]
+        ), "change feed disagrees with the delete"
+        fg_stmts = int(r1["entries_file_scoped"] >= 1) + int(
+            r2["entries_file_scoped"] >= 1
+        )
+        rows = (
+            mt.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("v_checksum"),
+            )
+            .withColumn(
+                "del_rows", F.lit(r1["rows_deleted"]).cast("bigint")
+            )
+            .withColumn(
+                "upd_rows", F.lit(r2["rows_updated"]).cast("bigint")
+            )
+            .withColumn("fg_stmts", F.lit(fg_stmts).cast("int"))
+            .collect()  # materialize before the temp table is removed
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, id_checksum bigint,"
+            " v_checksum bigint, del_rows bigint, upd_rows bigint,"
+            " fg_stmts int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_file_granular_dml"] = Q(
+    _q_table_file_granular_dml,
+    """
+WITH c AS (
+    SELECT (MAX(event_id) + 1) // 10 AS d_lo,
+           (MAX(event_id) + 1) // 10 + (MAX(event_id) + 1) // 50 AS d_hi,
+           (MAX(event_id) + 1) // 2 AS u_lo,
+           (MAX(event_id) + 1) // 2 + (MAX(event_id) + 1) // 50 AS u_hi
+    FROM events
+),
+d AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events, c
+    WHERE event_id >= c.d_lo AND event_id < c.d_hi
+),
+u AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events, c
+    WHERE event_id NOT BETWEEN c.d_lo AND c.d_hi - 1
+      AND event_id >= c.u_lo AND event_id < c.u_hi
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(CAST(ROUND((value + CASE
+            WHEN event_id >= c.u_lo AND event_id < c.u_hi THEN 250
+            ELSE 0 END) * 100) AS BIGINT)) AS BIGINT) AS v_checksum,
+       d.n AS del_rows, u.n AS upd_rows, CAST(2 AS INT) AS fg_stmts
+FROM events, c, d, u
+WHERE event_id < c.d_lo OR event_id >= c.d_hi
+GROUP BY 1, d.n, u.n
+""",
+    doc="File-granular DML (deletion-vector-lite): point DELETE/UPDATE rewrite only the files whose bounds admit the predicate, survivors re-referenced byte-identically (mtime-pinned), matched counts and state in the hash",
+)

@@ -2020,6 +2020,11 @@ class TestDmlDeleteUpdate:
             "rows_deleted": 25,
             "entries_dropped": 1,
             "entries_rewritten": 0,
+            # r14 file-granular DML keys (all zero here: the drop is
+            # metadata-only, no file-scoped rewrite happens)
+            "entries_file_scoped": 0,
+            "files_rewritten": 0,
+            "files_carried": 0,
             "entries_untouched": 3,
         }
         ent1 = {e["key"]: e for e in mt.manifest()["entries"]}

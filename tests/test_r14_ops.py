@@ -239,3 +239,391 @@ class TestCloneRelativePath:
             assert _state(cl) == before
         finally:
             shutil.rmtree(rel, ignore_errors=True)
+
+
+def _mtimes(root):
+    import glob as _glob
+
+    return {
+        p: os.path.getmtime(p)
+        for p in _glob.glob(f"{root}/_data/**/*.parquet", recursive=True)
+    }
+
+
+def _mk_clustered(spark, path, n=1000, npart=2, files_per=4):
+    """id-clustered manifest table: ``files_per`` files per partition
+    with DISJOINT id ranges, so per-file bounds are selective on id."""
+    from pyspark.sql import functions as F2
+
+    df = spark.range(0, n).select(
+        F2.col("id").cast("int").alias("id"),
+        (F2.col("id") % npart).cast("int").alias("pt"),
+        (F2.col("id") * 1.0).alias("v"),
+    )
+    df = df.repartitionByRange(
+        npart * files_per, "pt", "id"
+    ).sortWithinPartitions("pt", "id")
+    mt = ManifestTable(spark, path)
+    mt.create(df, ["pt"])
+    return mt
+
+
+class TestFileGranularDML:
+    """delete_where/update_where at FILE granularity (r14,
+    deletion-vector-lite): per-file bounds select the files a
+    predicate can touch; the rest carry forward byte-identically as
+    carried references inside the same entry."""
+
+    def test_point_delete_touches_subset_of_files(self, spark, tmp_path):
+        mt = _mk_clustered(spark, str(tmp_path / "t"))
+        mt0 = _mtimes(mt.path)
+        r = mt.delete_where(
+            [("id", ">=", 10), ("id", "<", 20)], retain_versions=5
+        )
+        assert r["entries_file_scoped"] == 2, r
+        assert r["files_rewritten"] == 2 and r["files_carried"] == 6, r
+        assert r["rows_deleted"] == 10, r
+        # every pre-existing file is byte-untouched (immutable gens)
+        assert all(
+            os.path.getmtime(p) == t for p, t in mt0.items()
+        )
+        assert mt.read().count() == 990
+        assert mt.read().filter("10 <= id and id < 20").count() == 0
+        # CDC sees exactly the deleted rows
+        assert mt.changes(1, 2).count() == 10
+
+    def test_update_file_scoped_state_and_carry(self, spark, tmp_path):
+        mt = _mk_clustered(spark, str(tmp_path / "t"))
+        r = mt.update_where(
+            [("id", "=", 500)], set={"v": "v + 1000"},
+            retain_versions=5,
+        )
+        assert r["entries_file_scoped"] == 1, r
+        assert r["files_rewritten"] == 1 and r["files_carried"] == 3, r
+        assert r["rows_updated"] == 1
+        assert mt.read().filter("id = 500").collect()[0].v == 1500.0
+        # full state equals the relational recomputation
+        got = sorted(
+            (row.id, row.pt, row.v) for row in mt.read().collect()
+        )
+        want = sorted(
+            (i, i % 2, float(i) + (1000.0 if i == 500 else 0.0))
+            for i in range(1000)
+        )
+        assert got == want
+
+    def test_emptied_file_keeps_old_dir_and_cdc_fires(
+        self, spark, tmp_path
+    ):
+        # ONE partition, 4 id-disjoint files; the predicate swallows
+        # the first file ENTIRELY → the rewrite output is empty, the
+        # entry keeps the old dir with only carried references — and
+        # the change feed must still see the delete (whole-entry
+        # comparison, not dir-only)
+        mt = _mk_clustered(
+            spark, str(tmp_path / "t"), n=1000, npart=1, files_per=4
+        )
+        e0 = mt.manifest()["entries"][0]
+        fmap0 = e0["files"]
+        # bounds of the first file
+        import operator
+
+        first = min(
+            fmap0.items(),
+            key=lambda kv: kv[1]["cols"]["id"]["mn"][1],
+        )
+        lo = first[1]["cols"]["id"]["mn"][1]
+        hi = first[1]["cols"]["id"]["mx"][1]
+        nrows = first[1]["rows"]
+        r = mt.delete_where(
+            [("id", ">=", lo), ("id", "<=", hi)], retain_versions=5
+        )
+        assert r["rows_deleted"] == nrows, (r, nrows)
+        e1 = mt.manifest()["entries"][0]
+        assert e1["dir"] == e0["dir"]  # no new generation dir needed
+        assert all("/" in n for n in e1["files"]), e1["files"]
+        assert len(e1["files"]) == 3
+        assert mt.changes(1, 2).count() == nrows
+        assert mt.read().count() == 1000 - nrows
+
+    def test_entry_admits_but_no_file_does_publishes_nothing(
+        self, spark, tmp_path
+    ):
+        # bimodal ids: entry bounds [0,99]∪[900,999] admit id≈500 but
+        # no FILE's bounds do — the statement provably matches
+        # nothing and must not publish a version
+        from pyspark.sql import functions as F2
+
+        df = (
+            spark.range(0, 200)
+            .select(
+                F2.when(F2.col("id") < 100, F2.col("id"))
+                .otherwise(F2.col("id") + 700)
+                .cast("int")
+                .alias("id"),
+                F2.lit(0).cast("int").alias("pt"),
+                F2.lit(1.0).alias("v"),
+            )
+            .repartitionByRange(2, "id")
+            .sortWithinPartitions("id")
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pt"])
+        ver = mt.current_version()
+        r = mt.delete_where(
+            [("id", ">=", 400), ("id", "<", 600)], retain_versions=5
+        )
+        assert r["rows_deleted"] == 0, r
+        assert mt.current_version() == ver
+        assert mt.read().count() == 200
+
+    def test_chained_fg_dml_and_gc_keeps_carried_generations(
+        self, spark, tmp_path
+    ):
+        mt = _mk_clustered(
+            spark, str(tmp_path / "t"), n=1000, npart=1, files_per=4
+        )
+        mt.delete_where([("id", "=", 10)], retain_versions=1)
+        mt.delete_where([("id", "=", 700)], retain_versions=1)
+        # retention 1: only the newest manifest survives, but BOTH
+        # prior generations hold carried files and must survive GC
+        mt.vacuum(retain_versions=1)
+        assert mt.read().count() == 998
+        got = sorted(row.id for row in mt.read().collect())
+        assert got == [i for i in range(1000) if i not in (10, 700)]
+        # compact localizes; a fresh vacuum can then drop old gens
+        mt.compact(retain_versions=1)
+        mt.vacuum(retain_versions=1)
+        assert mt.read().count() == 998
+        import glob as _glob
+
+        gens = {
+            os.path.basename(p)
+            for p in _glob.glob(f"{mt.path}/_data/g*")
+        }
+        assert len(gens) == 1, gens  # everything folded into one gen
+
+    def test_restore_across_fg_dml(self, spark, tmp_path):
+        mt = _mk_clustered(spark, str(tmp_path / "t"))
+        before = sorted(map(tuple, mt.read().collect()))
+        mt.delete_where(
+            [("id", ">=", 100), ("id", "<", 200)], retain_versions=5
+        )
+        assert mt.read().count() == 900
+        mt.restore(1)
+        assert sorted(map(tuple, mt.read().collect())) == before
+
+    def test_clone_of_mixed_entries_both_ways(self, spark, tmp_path):
+        mt = _mk_clustered(spark, str(tmp_path / "t"))
+        mt.delete_where([("id", "=", 42)], retain_versions=5)
+        state = sorted(map(tuple, mt.read().collect()))
+        sh = mt.clone_to(str(tmp_path / "sh"))
+        assert sorted(map(tuple, sh.read().collect())) == state
+        # every key in the shallow clone resolves without the dest
+        # table's root: absolute dirs AND absolutized carried keys
+        for e in sh.manifest()["entries"]:
+            for n in e.get("files") or ():
+                assert "/" not in n or _is_abs_dir(n), n
+        dp = mt.clone_to(str(tmp_path / "dp"), deep=True)
+        assert sorted(map(tuple, dp.read().collect())) == state
+        # deep clone owns its bytes: source removal cannot break it
+        import shutil as _shutil
+
+        _shutil.rmtree(mt.path)
+        assert sorted(map(tuple, dp.read().collect())) == state
+        assert dp.verify_table()["ok"]
+
+    def test_fg_optout_and_optimistic_stay_partition_granular(
+        self, spark, tmp_path
+    ):
+        mt = _mk_clustered(spark, str(tmp_path / "t"))
+        r = mt.delete_where(
+            [("id", "=", 3)], retain_versions=5, file_granular=False
+        )
+        assert r["entries_file_scoped"] == 0, r
+        assert r["rows_deleted"] == 1
+        r2 = mt.delete_where(
+            [("id", "=", 5)], retain_versions=5, optimistic=True
+        )
+        assert r2["entries_file_scoped"] == 0, r2
+        assert r2["rows_deleted"] == 1
+        assert mt.read().count() == 998
+
+    def test_fg_delete_randomized_soundness(self, spark, tmp_path):
+        # randomized range deletes vs relational recomputation —
+        # every statement's post-state must equal filter-recompute,
+        # whatever mix of dropped/file-scoped/full entries it takes
+        import random
+
+        rng = random.Random(1411)
+        mt = _mk_clustered(
+            spark, str(tmp_path / "t"), n=800, npart=2, files_per=4
+        )
+        alive = set(range(800))
+        for _ in range(5):
+            lo = rng.randrange(0, 800)
+            hi = lo + rng.randrange(1, 120)
+            r = mt.delete_where(
+                [("id", ">=", lo), ("id", "<", hi)], retain_versions=2
+            )
+            expect_del = len([i for i in alive if lo <= i < hi])
+            alive -= set(range(lo, hi))
+            assert r["rows_deleted"] == expect_del, (lo, hi, r)
+            got = sorted(row.id for row in mt.read().collect())
+            assert got == sorted(alive), (lo, hi)
+            # metadata count agrees without touching data
+            assert mt.count() == len(alive)
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _fg_clause():
+    """Clause strategy biased toward NARROW id ranges (the shapes
+    that engage the file-scoped path on a clustered layout), plus v
+    clauses with NaN and pcol clauses for the mixed paths."""
+    id_lo = st.sampled_from([0, 37, 150, 288, 399, 512])
+    return st.one_of(
+        st.tuples(id_lo, st.sampled_from([1, 13, 60])).map(
+            lambda t: [
+                ("id", ">=", t[0]),
+                ("id", "<", t[0] + t[1]),
+            ]
+        ),
+        st.sampled_from(
+            [
+                [("v", ">", 390.0)],
+                [("v", "<=", 5.0)],
+                [("v", "=", float("nan"))],
+                [("v", "is_null")],
+                [("pt", "=", 1), ("id", "<", 50)],
+                [("id", "between", (100, 140))],
+                [("id", "in", [3, 77, 401, 9999])],
+            ]
+        ),
+    )
+
+
+class TestFgDmlSoundnessFuzz:
+    """Property (r14): with file-granular rewriting ON (the default)
+    and a clustered multi-file layout, DELETE still removes EXACTLY
+    the predicate's rows and UPDATE still equals the CASE
+    recomputation — whatever mix of untouched / file-scoped / full
+    entries each statement lands on — and no pre-existing data file
+    is ever modified in place."""
+
+    def _mk(self, spark, root):
+        rows = [(i, i % 3, float(i)) for i in range(400)]
+        rows += [(500, 0, float("nan")), (501, 1, None), (502, 2, None)]
+        df = (
+            spark.createDataFrame(rows, "id int, pt int, v double")
+            .repartitionByRange(12, "pt", "id")
+            .sortWithinPartitions("pt", "id")
+        )
+        mt = ManifestTable(spark, str(root / "t"))
+        mt.create(df, ["pt"])
+        return mt, df
+
+    @given(where=_fg_clause())
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    def test_fg_delete_equals_filtered_recomputation(
+        self, spark, tmp_path_factory, where
+    ):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _normalize_where,
+            _where_to_filter,
+        )
+
+        root = tmp_path_factory.mktemp("fg_fuzz")
+        mt, df = self._mk(spark, root)
+        import glob as _glob
+
+        mt0 = {
+            p: os.path.getmtime(p)
+            for p in _glob.glob(
+                f"{mt.path}/_data/**/*.parquet", recursive=True
+            )
+        }
+        pred = _where_to_filter(_normalize_where(where))
+        r = mt.delete_where(where, retain_versions=2)
+        got = sorted(row.id for row in mt.read().collect())
+        want = sorted(
+            row.id
+            for row in df.filter(
+                ~F.coalesce(pred, F.lit(False))
+            ).collect()
+        )
+        assert got == want, (where, r)
+        assert all(os.path.getmtime(p) == t for p, t in mt0.items()), (
+            where,
+            "a pre-existing file was modified in place",
+        )
+        # metadata count stays exact over mixed entries
+        assert mt.count() == len(want), where
+
+    @given(where=_fg_clause(), bump=st.sampled_from([1.0, -3.5]))
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    def test_fg_update_equals_case_recomputation(
+        self, spark, tmp_path_factory, where, bump
+    ):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _normalize_where,
+            _where_to_filter,
+        )
+
+        root = tmp_path_factory.mktemp("fg_fuzz_u")
+        mt, df = self._mk(spark, root)
+        pred = _where_to_filter(_normalize_where(where))
+        mt.update_where(where, set={"v": f"v + {bump}"})
+
+        def canon(frame):
+            return sorted(
+                (r.id, "NaN" if (r.v is not None and r.v != r.v) else r.v)
+                for r in frame.collect()
+            )
+
+        want = df.withColumn(
+            "v",
+            F.when(
+                F.coalesce(pred, F.lit(False)), F.col("v") + F.lit(bump)
+            ).otherwise(F.col("v")),
+        )
+        assert canon(mt.read().select("id", "v")) == canon(
+            want.select("id", "v")
+        ), where
+
+    @given(
+        seq=st.lists(_fg_clause(), min_size=2, max_size=3),
+    )
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    def test_fg_chained_deletes_stay_sound(
+        self, spark, tmp_path_factory, seq
+    ):
+        # successive statements over already-MIXED entries: carried
+        # references carry again; state equals the chained recompute
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _normalize_where,
+            _where_to_filter,
+        )
+
+        root = tmp_path_factory.mktemp("fg_fuzz_c")
+        mt, df = self._mk(spark, root)
+        cur = df
+        for where in seq:
+            pred = _where_to_filter(_normalize_where(where))
+            mt.delete_where(where, retain_versions=2)
+            cur = cur.filter(~F.coalesce(pred, F.lit(False)))
+        got = sorted(row.id for row in mt.read().collect())
+        want = sorted(row.id for row in cur.collect())
+        assert got == want, seq
+        assert mt.verify_table()["ok"], seq
