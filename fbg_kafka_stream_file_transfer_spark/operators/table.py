@@ -1474,6 +1474,48 @@ _ZORDER_NUMERIC = (
     T.DecimalType,
 )
 
+#: zorder also accepts temporal columns (r14): each is projected onto
+#: a MONOTONE numeric axis before quantization — dates as epoch days,
+#: timestamps as epoch seconds, NTZ through a session-zone instant.
+#: Monotone is ALL the key needs: the Z-key is ephemeral (never
+#: written, never read back), pruning correctness always comes from
+#: the real column stats the commit records, so a frame blur of up to
+#: one zone offset costs edge-bucket locality, never a wrong result.
+_ZORDER_TEMPORAL = (T.DateType, T.TimestampType, T.TimestampNTZType)
+
+
+def _zorder_numeric_col(c: str, dt: T.DataType) -> Column:
+    """The monotone double projection of one zorder column."""
+    if isinstance(dt, T.DateType):
+        return F.datediff(
+            F.col(c), F.to_date(F.lit("1970-01-01"))
+        ).cast("double")
+    if isinstance(dt, T.TimestampType):
+        return F.col(c).cast("double")  # epoch seconds, session frame
+    if isinstance(dt, T.TimestampNTZType):
+        # session-zone instant: non-strict around a DST fold, which
+        # for a CLUSTERING key is a one-hour locality blur, not an
+        # error (cf. _ZORDER_TEMPORAL note)
+        return F.col(c).cast("timestamp").cast("double")
+    return F.col(c).cast("double")
+
+
+def _zorder_bound_float(v) -> float:
+    """Decoded manifest bound → the SAME numeric axis as
+    :func:`_zorder_numeric_col`, driver-side. Naive timestamps are
+    taken as UTC — at worst one zone offset from the session frame
+    the column projection uses, which only blurs the outermost
+    quantization buckets (key-only; see _ZORDER_TEMPORAL)."""
+    import calendar
+
+    if isinstance(v, _pydatetime.datetime):
+        return (
+            calendar.timegm(v.utctimetuple()) + v.microsecond / 1e6
+        )
+    if isinstance(v, _pydatetime.date):
+        return float((v - _pydatetime.date(1970, 1, 1)).days)
+    return float(v)
+
 
 def _zorder_bounds_from_entries(
     entries: list[dict], cols: list[str]
@@ -1493,8 +1535,8 @@ def _zorder_bounds_from_entries(
             if not cs or cs.get("mn") is None or cs.get("mx") is None:
                 return None
             try:
-                los.append(float(_decode_value(cs["mn"])))
-                his.append(float(_decode_value(cs["mx"])))
+                los.append(_zorder_bound_float(_decode_value(cs["mn"])))
+                his.append(_zorder_bound_float(_decode_value(cs["mx"])))
             except (TypeError, ValueError):
                 return None
         out[c] = (min(los), max(his))
@@ -1530,7 +1572,7 @@ def _zorder_sort_key(
         if lo is None or hi is None or not (hi > lo):
             buckets.append(F.lit(0).cast("long"))
             continue
-        col = F.col(c).cast("double")
+        col = _zorder_numeric_col(c, schema[c].dataType)
         raw = F.floor((col - F.lit(float(lo))) / F.lit(float(hi - lo)) * n)
         b = F.least(F.greatest(raw, F.lit(0)), F.lit(n - 1)).cast("long")
         if isinstance(schema[c].dataType, (T.FloatType, T.DoubleType)):
@@ -2709,10 +2751,14 @@ class ManifestTable:
         missing) and are baked in as literals, so the key is a pure
         shifts/AND expression over table columns that never enters
         the written schema. Same cost class as ``cluster_by``: ONE
-        range shuffle, sort rides the write. Numeric columns only
-        (see ``_ZORDER_NUMERIC``) — zorder a date/timestamp via an
-        epoch-cast materialized column, or fall back to
-        ``cluster_by`` which sorts any orderable type.
+        range shuffle, sort rides the write. Numeric AND temporal
+        columns (r14): date/timestamp/timestamp_ntz project onto a
+        monotone epoch axis inside the ephemeral key (days /
+        seconds), so ``zorder_by=["ts", "value"]`` works directly —
+        the projection frame can blur edge buckets by one zone
+        offset, which costs a little locality and never correctness
+        (pruning always comes from the recorded column stats, not
+        the key). Other orderable types → ``cluster_by``.
 
         ``target_records_per_file`` bounds file size via
         ``spark.sql.files.maxRecordsPerFile`` for the rewrite only
@@ -2795,15 +2841,17 @@ class ManifestTable:
             bad = [
                 c
                 for c in zorder_by
-                if not isinstance(df.schema[c].dataType, _ZORDER_NUMERIC)
+                if not isinstance(
+                    df.schema[c].dataType,
+                    _ZORDER_NUMERIC + _ZORDER_TEMPORAL,
+                )
             ]
             if bad:
                 raise ValueError(
-                    f"zorder_by column(s) {bad} are not numeric —"
-                    " Z-order quantization needs a linear numeric"
-                    " domain; cast dates/timestamps to epoch in a"
-                    " materialized column, or use cluster_by (sorts"
-                    " any orderable type)"
+                    f"zorder_by column(s) {bad} are not numeric or"
+                    " temporal — Z-order quantization needs a linear"
+                    " (monotone-projectable) domain; use cluster_by"
+                    " for other orderable types"
                 )
             bounds = _zorder_bounds_from_entries(
                 [live[k] for k in sel_keys], zorder_by
@@ -2811,14 +2859,16 @@ class ManifestTable:
             if bounds is None:
                 # one bounds aggregate over the rows being rewritten
                 # (NaN-blind for float columns — NaN rows are pinned
-                # to the top bucket by the key expression instead)
+                # to the top bucket by the key expression instead);
+                # temporal columns aggregate on their monotone
+                # numeric projection (r14)
                 aggs = []
                 for c in zorder_by:
-                    col = F.col(c)
+                    col = _zorder_numeric_col(c, df.schema[c].dataType)
                     if isinstance(
                         df.schema[c].dataType, (T.FloatType, T.DoubleType)
                     ):
-                        col = F.when(~F.isnan(col), col)
+                        col = F.when(~F.isnan(F.col(c)), col)
                     aggs.append(
                         F.min(col).cast("double").alias(f"_lo_{c}")
                     )

@@ -4551,3 +4551,139 @@ GROUP BY 1, d.n, u.n
 """,
     doc="File-granular DML (deletion-vector-lite): point DELETE/UPDATE rewrite only the files whose bounds admit the predicate, survivors re-referenced byte-identically (mtime-pinned), matched counts and state in the hash",
 )
+
+
+def _q_table_zorder_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal Z-order certification (round 14): ``compact(
+    zorder_by=["ts", "value"])`` — date/timestamp columns now project
+    onto a monotone epoch axis inside the ephemeral Z-key, so the
+    time dimension every real table clusters on works directly (the
+    r13 numeric-only guard relaxed). Events land in a deterministic
+    scatter (every file spans the full ts AND value ranges —
+    in-function asserts pin ≥90% scanned on each dim), then one
+    Z-ordered rewrite makes BOTH single-dim predicates scan ≤75% and
+    strictly fewer files, with the maintenance commit diffing to zero
+    rows. The time cut is integer-DAY arithmetic (min + 3/4 of the
+    day span) so Spark and DuckDB compute the identical boundary; the
+    oracle recomputes the filtered state arithmetically.
+
+    Scale shape: identical to numeric zorder — ONE range shuffle,
+    sort rides the write, the epoch projection is a map-side cast
+    (zero extra I/O; the projection frame can blur edge buckets by
+    one zone offset, which costs locality only — pruning correctness
+    comes from the recorded column stats, never the key)."""
+    import datetime as _dt
+    import shutil
+    import tempfile
+
+    from ..operators.table import ManifestTable
+
+    # the fixture's ts arrives TIMESTAMP_NTZ, which is deliberately
+    # stats-INELIGIBLE (r11: driver-side NTZ bound comparison is
+    # unsound against session-tz literal coercion) — so file bounds
+    # could never prune it. Ingest as zoned TIMESTAMP (the session
+    # frame), the type a real time-clustered table carries
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+        "event_type",
+    )
+    mn_d, mx_d, n = ev.agg(
+        F.min(F.to_date("ts")), F.max(F.to_date("ts")), F.count(F.lit(1))
+    ).collect()[0]
+    cut_date = mn_d + _dt.timedelta(days=3 * (mx_d - mn_d).days // 4)
+    cut_ts = _dt.datetime(cut_date.year, cut_date.month, cut_date.day)
+    # value dim cut at the 75th PERCENTILE, not 0.75*max — a skewed
+    # value tail would park the max-derived cut above almost every
+    # row and the pre-zorder "nothing prunes" pin would fail for the
+    # wrong reason (this cut feeds in-function asserts only, never
+    # the hash, so approxQuantile determinism is not load-bearing)
+    vcut = ev.approxQuantile("value", [0.75], 0.001)[0]
+    m = max(1, (n + 63) // 64)
+    evp = (
+        ev.withColumn("pt", (F.col("event_id") % 4).cast("int"))
+        .repartition(1)
+        .sortWithinPartitions(
+            "pt", F.pmod(F.xxhash64("event_id"), F.lit(997))
+        )
+    )
+    work = tempfile.mkdtemp(prefix="table_zts_")
+    _mrpf = "spark.sql.files.maxRecordsPerFile"
+    prior_m = spark.conf.get(_mrpf)
+
+    def _restore_mrpf():
+        if prior_m in (None, "0"):
+            spark.conf.unset(_mrpf)
+        else:
+            spark.conf.set(_mrpf, prior_m)
+
+    spark.conf.set(_mrpf, str(m))
+    try:
+        mt = ManifestTable(spark, f"{work}/events_zts")
+        mt.create(evp, ["pt"])
+        _restore_mrpf()
+        w_ts = [("ts", ">=", cut_ts)]
+        w_val = [("value", ">=", vcut)]
+        for w in (w_ts, w_val):
+            b = mt.prune_file_stats(w)
+            assert b["files_total"] > 4, b
+            assert b["files_scanned"] >= 0.9 * b["files_total"], b
+        mt.compact(
+            zorder_by=["ts", "value"],
+            target_records_per_file=m,
+            retain_versions=3,
+        )
+        assert mt.changes(1, 2).count() == 0  # data no-op
+        a = mt.prune_file_stats(w_ts)
+        # the TEMPORAL dim must skip: strict subset, ≤75% scanned
+        # (ts bounds are widened ±2 days for zone safety, so the cut
+        # sits ≫ 2 days inside the span by construction)
+        assert 0 < a["files_scanned"] < a["files_total"], a
+        assert a["files_scanned"] <= 0.75 * a["files_total"], a
+        av = mt.prune_file_stats(w_val)
+        # the numeric second dim skips too (the z-order property)
+        assert 0 < av["files_scanned"] < av["files_total"], av
+        rows = (
+            mt.read(where=w_ts)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("v_cents"),
+            )
+            .collect()  # materialize before the temp table is removed
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, id_checksum bigint,"
+            " v_cents bigint",
+        )
+    finally:
+        _restore_mrpf()
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_zorder_timestamp"] = Q(
+    _q_table_zorder_timestamp,
+    """
+WITH c AS (
+    SELECT MIN(CAST(ts AS DATE))
+           + CAST(
+               ((MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE))) * 3)
+               // 4 AS INTEGER
+             ) AS cut
+    FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           AS v_cents
+FROM events, c
+WHERE ts >= CAST(c.cut AS TIMESTAMP)
+GROUP BY 1
+""",
+    doc="Temporal Z-order: zorder_by=[ts, value] projects timestamps onto an epoch axis in the ephemeral key; both dims scan strict file subsets (pinned in-function), filtered state in the hash",
+)

@@ -627,3 +627,107 @@ class TestFgDmlSoundnessFuzz:
         want = sorted(row.id for row in cur.collect())
         assert got == want, seq
         assert mt.verify_table()["ok"], seq
+
+
+class TestZorderTemporal:
+    """compact(zorder_by=) accepts date/timestamp columns (r14): the
+    ephemeral key projects them onto a monotone epoch axis; file
+    bounds become selective on the temporal dim AND the numeric dim."""
+
+    def _grid(self, spark):
+        # ts = day grid (0..63 days), y = independent value grid
+        return spark.createDataFrame(
+            [
+                (
+                    i,
+                    __import__("datetime").datetime(2024, 1, 1)
+                    + __import__("datetime").timedelta(
+                        days=i // 64, minutes=i % 7
+                    ),
+                    float(i % 64),
+                    i % 2,
+                )
+                for i in range(4096)
+            ],
+            "id int, ts timestamp, y double, pt int",
+        )
+
+    def _mk(self, spark, path, **compact_kw):
+        mt = ManifestTable(spark, path)
+        key = "spark.sql.files.maxRecordsPerFile"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "128")
+        try:
+            mt.create(self._grid(spark), ["pt"])
+            if compact_kw:
+                mt.compact(target_records_per_file=128, **compact_kw)
+        finally:
+            if prev in (None, "0"):
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+        return mt
+
+    def test_zorder_timestamp_prunes_both_dims(self, spark, tmp_path):
+        import datetime as _dt
+
+        mt = self._mk(
+            spark, str(tmp_path / "z"), zorder_by=["ts", "y"]
+        )
+        # temporal dim: last quarter of the day range
+        wt = [("ts", ">=", _dt.datetime(2024, 2, 18))]
+        zt = mt.prune_file_stats(wt)
+        assert 0 < zt["files_scanned"] < zt["files_total"], zt
+        # numeric second dim prunes too (the z-order property)
+        wy = [("y", ">=", 48.0)]
+        zy = mt.prune_file_stats(wy)
+        assert 0 < zy["files_scanned"] < zy["files_total"], zy
+        # the rewrite is a data no-op and reads stay exact
+        assert mt.changes(1, 2).count() == 0
+        n = mt.read(where=wt).count()
+        assert n == 16 * 64, n  # days 48..63 inclusive, 64 rows each
+
+    def test_zorder_date_column(self, spark, tmp_path):
+        import datetime as _dt
+
+        df = spark.createDataFrame(
+            [
+                (
+                    i,
+                    _dt.date(2024, 1, 1) + _dt.timedelta(days=i // 64),
+                    float(i % 64),
+                    0,
+                )
+                for i in range(4096)
+            ],
+            "id int, d date, y double, pt int",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        key = "spark.sql.files.maxRecordsPerFile"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "128")
+        try:
+            mt.create(df, ["pt"])
+            mt.compact(
+                zorder_by=["d", "y"], target_records_per_file=128
+            )
+        finally:
+            if prev in (None, "0"):
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+        zd = mt.prune_file_stats([("d", ">=", _dt.date(2024, 2, 18))])
+        assert 0 < zd["files_scanned"] < zd["files_total"], zd
+        zy = mt.prune_file_stats([("y", "<", 8.0)])
+        assert 0 < zy["files_scanned"] < zy["files_total"], zy
+        assert mt.read().count() == 4096
+
+    def test_other_types_still_refused(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(i, "s" * (i % 3), 0) for i in range(10)],
+            "id int, s string, pt int",
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pt"])
+        with pytest.raises(ValueError, match="cluster_by"):
+            mt.compact(zorder_by=["s"])
