@@ -1988,6 +1988,42 @@ class ManifestTable:
             df = df.filter(_where_to_filter(norm))
         return df
 
+    def stats_extent(
+        self, col: str, version: int | None = None
+    ) -> tuple | None:
+        """``(min, max)`` of ``col`` over the live table, answered
+        from the MANIFEST's entry bounds alone — zero data I/O
+        (r14; the metadata twin of ``count()``). Returns None when
+        any live entry lacks a bound for the column (pre-stats
+        commits, stats-ineligible types, all-NULL partitions) — the
+        caller decides whether an exact aggregate scan is worth it.
+        Bounds fold with Spark's NULL/NaN fold semantics; note the
+        recorded max of a LONG STRING column is a truncation-
+        incremented UPPER BOUND, not an attained value."""
+        m = self.manifest(version)
+        if not m["entries"]:
+            return None
+        los: list = []
+        his: list = []
+        for e in m["entries"]:
+            cs = ((e.get("stats") or {}).get("cols") or {}).get(col)
+            if not cs:
+                return None
+            st = e.get("stats") or {}
+            nonnull = (st.get("rows") or 0) - cs.get("nulls", 0)
+            if "mn" in cs:
+                los.append(_decode_value(cs["mn"]))
+            elif nonnull:
+                return None  # unbounded side with live values
+            if "mx" in cs:
+                his.append(_decode_value(cs["mx"]))
+            elif nonnull:
+                return None
+        return (
+            _fold_spark_min(los) if los else None,
+            _fold_spark_max(his) if his else None,
+        )
+
     def count(
         self,
         where: list[tuple] | Column | None = None,
@@ -3862,6 +3898,7 @@ class ManifestTable:
         count_matched: bool = True,
         optimistic: bool = False,
         file_granular: bool = True,
+        lock_stale_after_seconds: float | None = None,
     ) -> dict:
         """Delta-shaped ``DELETE FROM table WHERE ...`` (r13): remove
         the rows matching ``where`` in ONE atomic commit, touching as
@@ -3915,10 +3952,15 @@ class ManifestTable:
         locked default for predicate-serializable DML. Optimistic
         statements also stay partition-granular
         (``file_granular`` applies only to the locked path — the
-        rebase contract serializes whole partitions)."""
+        rebase contract serializes whole partitions).
+
+        ``lock_stale_after_seconds`` threads into the write lease
+        exactly as on compact/merge — for callers running every
+        write under a stale-break lease (the streaming sink's TTL
+        sweep)."""
         return self._dml_rewrite(
             where, None, retain_versions, assume_locked, count_matched,
-            optimistic, file_granular,
+            optimistic, file_granular, lock_stale_after_seconds,
         )
 
     def update_where(
@@ -3930,6 +3972,7 @@ class ManifestTable:
         count_matched: bool = True,
         optimistic: bool = False,
         file_granular: bool = True,
+        lock_stale_after_seconds: float | None = None,
     ) -> dict:
         """Delta-shaped ``UPDATE table SET col = expr WHERE ...``
         (r13): rewrite matching rows' named columns in ONE atomic
@@ -3959,6 +4002,7 @@ class ManifestTable:
         return self._dml_rewrite(
             where, dict(set), retain_versions, assume_locked,
             count_matched, optimistic, file_granular,
+            lock_stale_after_seconds,
         )
 
     def _dml_rewrite(
@@ -3970,6 +4014,7 @@ class ManifestTable:
         count_matched: bool = True,
         optimistic: bool = False,
         file_granular: bool = True,
+        lock_stale_after_seconds: float | None = None,
     ) -> dict:
         def _do(ver: int) -> dict:
             man = self.manifest(ver)
@@ -4224,6 +4269,7 @@ class ManifestTable:
                     op_info=op,
                     retain_versions=retain_versions,
                     assume_locked=assume_locked,
+                    lock_stale_after_seconds=lock_stale_after_seconds,
                 )
             else:
                 retain = (
@@ -4266,7 +4312,10 @@ class ManifestTable:
             # called assume_locked by a caller holding the lease)
             return _do(self.current_version())
         with table_write_lock(
-            self.spark, self.path, holder="dml"
+            self.spark,
+            self.path,
+            holder="dml",
+            stale_after_seconds=lock_stale_after_seconds,
         ):
             return _do(self.current_version())
 

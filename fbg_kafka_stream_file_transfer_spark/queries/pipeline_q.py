@@ -1689,3 +1689,108 @@ GROUP BY 2
 """,
     doc="tail with feed_retain_versions=1: feed holds only the newest diff, high-water records the pruned boundary",
 )
+
+
+def _q_stream_ttl_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC sink with EVENT-TIME RETENTION (round 14): the
+    same time-ordered 4-batch changelog as stream_cdc_merge_manifest_
+    e2e, with ``ttl_keep=864000`` (10 days, in the epoch-seconds
+    units of the ordering column) and a sweep after every batch. The
+    sink expires rows whose ``ets`` falls more than 10 days behind
+    the table's own high watermark — the watermark comes from the
+    manifest's entry bounds (``stats_extent``, zero data I/O), the
+    expiry is ONE atomic ``delete_where`` commit (stats-pruned,
+    file-granular where bounds allow), and a quiet sweep publishes no
+    version.
+
+    Determinism across batch boundaries: batches are time-ordered, so
+    the watermark is monotone — any row an INTERMEDIATE sweep expires
+    is also expired by the FINAL cutoff, and a later batch can only
+    re-insert newer rows. The final table therefore equals the batch
+    oracle: per-user latest non-tombstone event, kept iff its epoch
+    lies within 10 days of the max epoch over that same final state
+    (the newest surviving event IS the watermark: tombstoned or
+    expired rows cannot carry it, by the same monotonicity).
+
+    Scale shape: per batch one delta-sized merge + one O(metadata)
+    watermark fold; the sweep itself touches only the entries/files
+    whose bounds admit the cutoff — on a time-clustered table that is
+    the oldest files only (the retention cost class every CDC table
+    pays weekly at 100 TB)."""
+    import shutil
+    import tempfile
+
+    from ..functions.derivations import epoch_seconds
+    from ..operators.table import ManifestTable
+    from ..streaming.merge_sink import start_changelog_merge_sink
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withColumn("ets", epoch_seconds(F.col("ts")))
+        .withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        )
+        .withColumn("pt", (F.col("user_id") % 8).cast("int"))
+        .drop("ts", "props")
+    )
+    work = tempfile.mkdtemp(prefix="cdc_ttl_")
+    table = f"{work}/state"
+    try:
+        stream = _time_ordered_stream(spark, ev, F.col("ets"), work)
+        q = start_changelog_merge_sink(
+            spark,
+            stream,
+            table,
+            "user_id",
+            ["pt"],
+            "ets",
+            "op",
+            f"{work}/ckpt",
+            tiebreak_cols=("event_id",),
+            layout="manifest",
+            retain_versions=10,
+            ttl_keep=864000.0,
+            ttl_delete_every=1,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        mt = ManifestTable(spark, table)
+        final = mt.read()
+        rows = final.select(
+            "user_id", "pt", "event_id", "event_type"
+        ).collect()
+        return spark.createDataFrame(
+            rows,
+            "user_id long, pt int, event_id long, event_type string",
+        ).withColumnRenamed("event_id", "last_event_id")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["stream_ttl_retention_e2e"] = Q(
+    _q_stream_ttl_retention,
+    """
+WITH ranked AS (
+  SELECT user_id, CAST(user_id % 8 AS INTEGER) AS pt, event_id,
+         event_type, epoch(ts) AS ets,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+final AS (
+  SELECT * FROM ranked WHERE rn = 1 AND event_type <> 'error'
+),
+wm AS (SELECT MAX(ets) AS hi FROM final)
+SELECT user_id, pt, event_id AS last_event_id, event_type
+FROM final, wm
+WHERE ets >= wm.hi - 864000.0
+""",
+    doc="streaming CDC sink with event-time TTL: per-user latest state minus rows older than 10 days behind the manifest-stats watermark, expired as atomic DML the feed observes",
+)

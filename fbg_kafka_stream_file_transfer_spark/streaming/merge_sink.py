@@ -52,6 +52,8 @@ def start_changelog_merge_sink(
     compact_min_files: int | None = None,
     compact_every: int = 20,
     compact_target_records_per_file: int | None = None,
+    ttl_keep: float | None = None,
+    ttl_delete_every: int = 20,
 ):
     """Start the changelog→table merge stream; returns the query.
 
@@ -69,6 +71,26 @@ def start_changelog_merge_sink(
     more version of lag budget — size ``retain_versions``
     accordingly. Runs AFTER the batch's merge commit, inside the same
     serial foreachBatch slot, so it can never race the next batch.
+
+    ``ttl_keep`` (manifest layout only, r14) arms EVENT-TIME
+    RETENTION — the "table expires old rows" shape every CDC table
+    needs (the table-side analog of the pipeline's ST4 TTL expiry;
+    reference camel-integration file-pipeline.yaml error-handling
+    retention): after every ``ttl_delete_every``-th micro-batch the
+    sink runs ``delete_where(ts_col < high_watermark - ttl_keep)``
+    on its own table. The watermark is the MAX of ``ts_col`` folded
+    from the manifest's own entry bounds (``stats_extent`` — zero
+    data I/O; a stats gap skips the sweep rather than scanning).
+    ``ttl_keep`` is in ``ts_col``'s own units: seconds for a
+    timestamp column, raw difference for a numeric epoch column.
+    The delete is ONE atomic DML commit — stats-pruned, file-
+    granular where file bounds allow, whole-partition metadata-only
+    drops when the table is time-partitioned — and the change feed
+    sees real deletes, so a downstream tail observes the expiry.
+    Like auto-compaction it is best-effort (a transient failure
+    logs and a later armed batch retries — retention is eventual)
+    and runs inside the serial foreachBatch slot. A sweep that
+    matches nothing publishes no version.
 
     ``retain_versions`` (manifest layout only) sizes the snapshot
     window each micro-batch commit keeps. The default (2) is right for
@@ -125,6 +147,16 @@ def start_changelog_merge_sink(
             raise ValueError("compact_min_files must be >= 2")
         if compact_every < 1:
             raise ValueError("compact_every must be >= 1")
+    if ttl_keep is not None:
+        if layout != "manifest":
+            raise ValueError(
+                "ttl_keep requires layout='manifest' — the hive"
+                " layout has no atomic DML commit"
+            )
+        if not ttl_keep > 0:
+            raise ValueError("ttl_keep must be > 0")
+        if ttl_delete_every < 1:
+            raise ValueError("ttl_delete_every must be >= 1")
 
     def _table_state() -> str:
         """'absent' (bootstrap), 'table' (merge), or 'foreign'. A dir
@@ -239,6 +271,46 @@ def start_changelog_merge_sink(
             lock_stale_after_seconds=lock_stale_after_seconds,
             retain_versions=retain_versions,
         )
+        if ttl_keep is not None and (batch_id + 1) % ttl_delete_every == 0:
+            from ..operators.table import ManifestTable, is_manifest_table
+
+            if not is_manifest_table(spark, path):
+                # same loud-misconfiguration contract as auto-compaction
+                raise ValueError(
+                    f"ttl_keep requires a manifest table, but"
+                    f" {path} is hive-layout"
+                )
+            # best-effort like auto-compaction: the merge already
+            # committed; a transient sweep failure logs and a later
+            # armed batch retries (retention is eventual)
+            try:
+                mt = ManifestTable(spark, path)
+                ext = mt.stats_extent(ts_col)
+                if ext is not None and ext[1] is not None:
+                    import datetime as _dt
+
+                    hi = ext[1]
+                    if isinstance(hi, _dt.datetime):
+                        cutoff = hi - _dt.timedelta(seconds=ttl_keep)
+                    else:
+                        cutoff = hi - ttl_keep
+                    mt.delete_where(
+                        [(ts_col, "<", cutoff)],
+                        lock_stale_after_seconds=(
+                            lock_stale_after_seconds
+                        ),
+                    )
+            except Exception:  # noqa: BLE001 — best-effort contract
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "TTL delete sweep failed after batch %s of %s"
+                    " (merge already committed; next armed batch"
+                    " retries)",
+                    batch_id,
+                    path,
+                    exc_info=True,
+                )
         if (
             compact_min_files is not None
             and (batch_id + 1) % compact_every == 0

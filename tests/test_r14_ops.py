@@ -731,3 +731,136 @@ class TestZorderTemporal:
         mt.create(df, ["pt"])
         with pytest.raises(ValueError, match="cluster_by"):
             mt.compact(zorder_by=["s"])
+
+
+class TestStatsExtent:
+    """stats_extent(col): (min, max) from the manifest's entry bounds
+    alone — the metadata twin of count() (r14)."""
+
+    def test_extent_matches_data_and_is_zero_io(self, spark, tmp_path):
+        mt = _mk_clustered(spark, str(tmp_path / "t"), n=500)
+        assert mt.stats_extent("id") == (0, 499)
+        assert mt.stats_extent("v") == (0.0, 499.0)
+        # zero-I/O proof: delete the data, extent still answers
+        shutil.rmtree(f"{mt.path}/_data")
+        assert mt.stats_extent("id") == (0, 499)
+
+    def test_unknown_column_or_gap_returns_none(self, spark, tmp_path):
+        mt = _mk_clustered(spark, str(tmp_path / "t"), n=100)
+        assert mt.stats_extent("nope") is None
+
+    def test_extent_tracks_dml(self, spark, tmp_path):
+        mt = _mk_clustered(spark, str(tmp_path / "t"), n=500, npart=1)
+        mt.delete_where([("id", "<", 100)], retain_versions=2)
+        lo, hi = mt.stats_extent("id")
+        # folded over carried + rewritten file bounds: the new low
+        # end can be no lower than the surviving minimum's FILE bound
+        assert hi == 499 and lo <= mt.read().agg(F.min("id")).collect()[0][0]
+
+
+class TestSinkTtlDelete:
+    """start_changelog_merge_sink(ttl_keep=...) — event-time retention
+    fused into the CDC sink (r14): every K-th batch expires rows older
+    than the manifest-stats high watermark minus ttl_keep, as ONE
+    atomic DML commit the change feed observes."""
+
+    def _drive(self, spark, tmp_path, nbatches=3, **sink_kw):
+        from fbg_kafka_stream_file_transfer_spark.streaming.merge_sink import (
+            start_changelog_merge_sink,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        schema = "id long, pt int, ts long, v double, op string"
+        for i in range(nbatches):
+            rows = [
+                (100 * i + j, j % 2, 100 * i, float(i), "U")
+                for j in range(6)
+            ]
+            b = spark.createDataFrame(rows, schema)
+            tmp = str(tmp_path / f"w{i}")
+            b.coalesce(1).write.parquet(tmp)
+            pf = [
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            ][0]
+            os.rename(f"{tmp}/{pf}", f"{src}/{i:03d}.parquet")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        table = str(tmp_path / "table")
+        q = start_changelog_merge_sink(
+            spark, stream, table, "id", ["pt"], "ts", "op",
+            str(tmp_path / "ckpt"), layout="manifest",
+            retain_versions=10, **sink_kw,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return table
+
+    def test_ttl_expires_old_rows_feed_continuous(self, spark, tmp_path):
+        # batches carry ts = 0, 100, 200; ttl_keep=150 with sweeps
+        # after every batch: after the ts=200 batch the watermark is
+        # 200, cutoff 50 → the 6 ts=0 rows expire
+        table = self._drive(
+            spark, tmp_path, ttl_keep=150, ttl_delete_every=1,
+        )
+        mt = ManifestTable(spark, table)
+        assert mt.read().count() == 12
+        assert mt.read().agg(F.min("ts")).collect()[0][0] == 100
+        # the expiry is a real DML version the feed observes: some
+        # version diff is exactly 6 deletes
+        vs = mt.versions()
+        diffs = [
+            {
+                r[0]: r[1]
+                for r in mt.changes(a, b)
+                .groupBy("_change_type")
+                .count()
+                .collect()
+            }
+            for a, b in zip(vs, vs[1:])
+        ]
+        assert {"delete": 6} in diffs, diffs
+        # history names the delete op
+        ops = [h.get("op", {}).get("name") for h in mt.history()]
+        assert "delete" in ops, ops
+
+    def test_quiet_sweep_burns_no_version(self, spark, tmp_path):
+        # ttl_keep far above the ts span: every sweep matches nothing
+        # and publishes nothing — versions = bootstrap + merges
+        table = self._drive(
+            spark, tmp_path, ttl_keep=10_000, ttl_delete_every=1,
+        )
+        mt = ManifestTable(spark, table)
+        # bootstrap + 2 merges, NO ttl versions
+        assert len(mt.versions()) == 3
+        assert mt.read().count() == 18
+
+    def test_start_time_guards(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.streaming.merge_sink import (
+            start_changelog_merge_sink,
+        )
+
+        src = tmp_path / "empty_src"
+        src.mkdir()
+        stream = (
+            spark.readStream.schema("id long, pt int, ts long, op string")
+            .parquet(str(src))
+        )
+        for kw, msg in (
+            (dict(ttl_keep=100), "layout='manifest'"),
+            (dict(ttl_keep=0, layout="manifest"), "> 0"),
+            (
+                dict(ttl_keep=10, layout="manifest", ttl_delete_every=0),
+                ">= 1",
+            ),
+        ):
+            with pytest.raises(ValueError, match=msg):
+                start_changelog_merge_sink(
+                    spark, stream, str(tmp_path / "t"), "id", ["pt"],
+                    "ts", "op", str(tmp_path / "c"), **kw,
+                )
