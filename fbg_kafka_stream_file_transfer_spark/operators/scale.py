@@ -294,6 +294,7 @@ def merge_into_partitioned(
     when_matched_delete: str | Column | None = None,
     when_not_matched_insert: bool | str | Column = True,
     when_not_matched_by_source_delete: bool | str | Column = False,
+    file_granular: bool = True,
 ) -> int:
     """MERGE a keyed delta into a persisted partitioned parquet table,
     rewriting ONLY the partitions the delta touches — the batch upsert/
@@ -407,6 +408,21 @@ def merge_into_partitioned(
     ``lock_stale_after_seconds`` to auto-break locks older than the
     TTL (sized far above any legitimate commit — the streaming merge
     sink's choice).
+
+    FILE-GRANULAR current side (r14, manifest tables, locked path;
+    ``file_granular=True`` default): within each touched partition,
+    only the files whose per-file KEY bounds intersect the delta's
+    per-partition key range are read, merged, and rewritten — the
+    other files provably contain no contested key and carry forward
+    byte-identically inside the same entry (the deletion-vector-lite
+    machinery DML uses; see ManifestTable.delete_where). A streaming
+    CDC batch upserting one key into a hot 10 GB key-clustered
+    partition rewrites one file. Disabled automatically when
+    ``when_not_matched_by_source_delete`` is truthy (its candidates
+    are ALL current rows), for non-rangeable key types, on the
+    optimistic path (partition-granular rebase contract), and on
+    hive-layout tables. ``compact()`` folds carried references back
+    into a clean generation.
 
     Crash surface — two commit protocols, auto-detected:
 
@@ -543,6 +559,7 @@ def merge_into_partitioned(
                     op_col, delete_op, ts_col, tiebreak_cols,
                     retain_versions,
                     clauses=clauses,
+                    file_granular=file_granular,
                 )
             return _merge_into_plain(
                 spark, path, updates, key_cols, partition_cols,
@@ -908,6 +925,7 @@ def _merge_into_manifest(
     tiebreak_cols: tuple[str, ...],
     retain_versions: int = 2,
     clauses: _MergeClauses | None = None,
+    file_granular: bool = True,
 ) -> int:
     """Atomic-commit merge path for manifest tables (caller holds the
     table write lock). Same semantics as the plain path; the publish
@@ -927,15 +945,19 @@ def _merge_into_manifest(
         plan = _manifest_merge_plan(
             spark, mt, updates, key_cols, partition_cols, op_col,
             delete_op, ts_col, tiebreak_cols, delta_staging,
-            clauses=clauses,
+            clauses=clauses, file_granular=file_granular,
         )
         if plan is None:
             return 0
-        merged, touched, ver = plan
+        merged, touched, ver, carry = plan
+        op = {"name": "merge", "n_partitions": len(touched)}
+        if carry:
+            op["file_scoped"] = len(carry)
         mt.overwrite_partitions(
             merged, touched, expected_version=ver, assume_locked=True,
             retain_versions=retain_versions,
-            op_info={"name": "merge", "n_partitions": len(touched)},
+            op_info=op,
+            carry_files=carry,
         )
         return len(touched)
     finally:
@@ -954,6 +976,7 @@ def _manifest_merge_plan(
     tiebreak_cols: tuple[str, ...],
     delta_staging: str,
     clauses: _MergeClauses | None = None,
+    file_granular: bool = True,
 ):
     """The compute phase shared by the locked and optimistic manifest
     merge paths: snapshot the delta (exactly-once evaluation, same
@@ -961,9 +984,27 @@ def _manifest_merge_plan(
     disagree between the touched-partitions collect and the
     generation write), align it to the manifest schema, and build the
     lazy merged plan over the manifest-pruned current state. Returns
-    ``(merged, touched, version_read)`` or None for an empty delta;
-    the caller owns ``delta_staging`` cleanup (the merged plan reads
-    from it, so it must outlive the commit)."""
+    ``(merged, touched, version_read, carry)`` or None for an empty
+    delta; the caller owns ``delta_staging`` cleanup (the merged plan
+    reads from it, so it must outlive the commit).
+
+    FILE-GRANULAR current side (r14, ``file_granular``): within each
+    touched partition, only the files whose per-file KEY bounds
+    intersect the delta's per-partition key range enter the merge;
+    the other files provably contain no contested key, so every mode
+    passes their rows through verbatim (blind's left-anti survivors,
+    ordered's uncontested rows, conditional's not-matched-keep with
+    ``nmbs=False``) — they carry forward byte-identically via the
+    commit's ``carry_files`` hook instead of being read, folded, and
+    rewritten. A streaming CDC batch touching one key in a hot
+    10 GB partition then rewrites one file. Soundness: a file is
+    excluded only when its bounds exclude the WHOLE delta key range
+    (the same conservative `_entry_scan_selection` read() trusts);
+    a contested key's rows can therefore never hide in a carried
+    file, and carried rows interact with no merge clause — except
+    ``when_not_matched_by_source_delete``, whose candidates are ALL
+    current rows, so any truthy nmbs disables the file-granular path
+    for the statement."""
     ver = mt.current_version()
     updates.write.mode("overwrite").parquet(delta_staging)
     delta = spark.read.schema(updates.schema).parquet(delta_staging)
@@ -990,17 +1031,120 @@ def _manifest_merge_plan(
             for c in delta.columns
         ]
     )
-    touched = [
-        tuple(r)
-        for r in aligned.select(*partition_cols).distinct().collect()
-    ]
-    _reject_empty_string_partitions(touched, partition_cols)
-    current = mt.read(partitions=touched, manifest_dict=man)
+    from .table import (
+        _entry_scan_selection,
+        _is_abs_dir,
+        _partition_key,
+        _resolve_entry_file,
+    )
+
+    _RANGEABLE = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType, T.StringType,
+        T.BooleanType, T.DateType, T.TimestampType,
+    )
+    fg_ok = (
+        file_granular
+        and (
+            clauses is None
+            or clauses.not_matched_by_source_delete is False
+        )
+        and all(k in aligned.columns for k in key_cols)
+        and all(
+            k in cur_types and isinstance(cur_types[k], _RANGEABLE)
+            for k in key_cols
+        )
+    )
+    carry: dict[str, dict] = {}
+    if fg_ok:
+        # ONE job: the touched-partition list AND each partition's
+        # delta key range (deletes included — a tombstone contests
+        # its key like any write)
+        aggs = []
+        for i, k in enumerate(key_cols):
+            aggs.append(F.min(F.col(k)).alias(f"_lo_{i}"))
+            aggs.append(F.max(F.col(k)).alias(f"_hi_{i}"))
+        rows = aligned.groupBy(*partition_cols).agg(*aggs).collect()
+        np_ = len(partition_cols)
+        touched = [tuple(r[:np_]) for r in rows]
+        _reject_empty_string_partitions(touched, partition_cols)
+        live = {e["key"]: e for e in man["entries"]}
+        pc, sk = mt._pcols_for_pruning(man, stored)
+        full_parts: list[tuple] = []
+        fg_paths: list[str] = []
+        for r, t in zip(rows, touched):
+            e = live.get(_partition_key(t))
+            fmap = e.get("files") if e is not None else None
+            kb: list | None = []
+            for i in range(len(key_cols)):
+                lo, hi = r[f"_lo_{i}"], r[f"_hi_{i}"]
+                if lo is None or hi is None:
+                    # all-NULL delta keys here: NULL contests nothing
+                    # (no join/window match), but a bound cannot be
+                    # built — fall back to the full partition
+                    kb = None
+                    break
+                kb.append((key_cols[i], "between", (lo, hi)))
+            if e is None or not fmap or kb is None:
+                full_parts.append(t)
+                continue
+            kept, sel = _entry_scan_selection(e, kb, pc, sk)
+            if not kept:
+                sel = []  # entry bounds exclude every delta key
+            if sel is None or len(sel) >= len(fmap):
+                full_parts.append(t)
+                continue
+            base_dir = e["dir"]
+            resolved = (
+                base_dir
+                if _is_abs_dir(base_dir)
+                else f"{mt.path}/{base_dir}"
+            )
+            survivors = {
+                (
+                    n
+                    if "/" in n or _is_abs_dir(n)
+                    else f"{base_dir}/{n}"
+                ): stv
+                for n, stv in fmap.items()
+                if n not in sel
+            }
+            fg_paths.extend(
+                _resolve_entry_file(mt.path, resolved, n) for n in sel
+            )
+            carry[_partition_key(t)] = {
+                "files": survivors,
+                "dir": base_dir,
+            }
+        parts = []
+        if full_parts:
+            parts.append(
+                mt.read(partitions=full_parts, manifest_dict=man)
+            )
+        if fg_paths:
+            parts.append(
+                spark.read.schema(stored).parquet(
+                    *sorted(set(fg_paths))
+                )
+            )
+        if not parts:
+            current = spark.createDataFrame([], stored)
+        elif len(parts) == 1:
+            current = parts[0]
+        else:
+            current = parts[0].unionByName(parts[1])
+    else:
+        touched = [
+            tuple(r)
+            for r in aligned.select(*partition_cols).distinct().collect()
+        ]
+        _reject_empty_string_partitions(touched, partition_cols)
+        current = mt.read(partitions=touched, manifest_dict=man)
     merged = _compute_merged(
         current, aligned, key_cols, op_col, delete_op, ts_col,
         tiebreak_cols, clauses=clauses,
     )
-    return merged, touched, ver
+    return merged, touched, ver, carry or None
 
 
 def _merge_into_manifest_optimistic(
@@ -1043,10 +1187,14 @@ def _merge_into_manifest_optimistic(
             spark, mt, updates, key_cols, partition_cols, op_col,
             delete_op, ts_col, tiebreak_cols, delta_staging,
             clauses=clauses,
+            # the staged/rebase path serializes on WHOLE partitions
+            # and carries no per-file hook — partition-granular, like
+            # optimistic DML (documented on delete_where)
+            file_granular=False,
         )
         if plan is None:
             return 0
-        merged, touched, ver = plan
+        merged, touched, ver, _carry = plan
         mt._stage_and_publish(
             merged,
             touched,

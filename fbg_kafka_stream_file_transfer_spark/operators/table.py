@@ -2575,6 +2575,7 @@ class ManifestTable:
         retain_versions: int = 2,
         assume_locked: bool = False,
         op_info: dict | None = None,
+        carry_files: dict[str, dict] | None = None,
     ) -> int:
         """Atomically replace the content of the ``touched`` partitions
         with ``df``'s rows. ``df`` must contain only rows belonging to
@@ -2585,7 +2586,15 @@ class ManifestTable:
         optimistic lost-update check: commit refuses if the table
         moved since the caller read it. ``assume_locked`` skips lock
         acquisition when the caller already holds the table lease
-        (merge does)."""
+        (merge does).
+
+        ``carry_files`` (r14, the file-granular merge/DML hook):
+        ``{partition_key: {"files": {carried_key: stats}, "dir":
+        old_dir}}`` — for those partitions the new entry references
+        the carried files (never read, never rewritten) ALONGSIDE
+        whatever ``df`` landed there, entry bounds refolded from the
+        merged per-file stats; a carried partition with no ``df``
+        rows keeps its carried membership instead of being removed."""
         ver = self.current_version()
         if ver is None:
             raise ValueError(f"manifest table does not exist: {self.path}")
@@ -2603,14 +2612,14 @@ class ManifestTable:
         if assume_locked:
             return self._checked_commit(
                 df, touched, ver, expected_version, retain_versions,
-                op_info=op,
+                op_info=op, carry_files=carry_files,
             )
         with table_write_lock(self.spark, self.path, holder="overwrite"):
             # re-read under the lock: the pre-lock read could be stale
             ver = self.current_version()
             return self._checked_commit(
                 df, touched, ver, expected_version, retain_versions,
-                op_info=op,
+                op_info=op, carry_files=carry_files,
             )
 
     def small_file_report(

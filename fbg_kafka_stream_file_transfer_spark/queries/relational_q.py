@@ -4687,3 +4687,160 @@ GROUP BY 1
 """,
     doc="Temporal Z-order: zorder_by=[ts, value] projects timestamps onto an epoch axis in the ephemeral key; both dims scan strict file subsets (pinned in-function), filtered state in the hash",
 )
+
+
+def _q_merge_file_granular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-granular MERGE certification (round 14): on a
+    key-clustered manifest table, a blind upsert+tombstone delta
+    whose keys live in a narrow band rewrites ONLY the files whose
+    key bounds intersect the band — every other file of the touched
+    partitions carries forward byte-identically (the same
+    deletion-vector-lite machinery as DML, applied to the merge's
+    current-state side). This is the streaming CDC batch cost class:
+    per batch, O(delta + matching files), never O(touched
+    partitions').
+
+    Build events partitioned by ``pt = event_id % 4``,
+    range-clustered into id-disjoint files; merge ONE delta carrying
+    value+1000 upserts for band A and tombstones for the adjacent
+    band B. In-function pins: the merge took the file-scoped path in
+    every touched partition, carried references exist, every
+    pre-merge data file is mtime-untouched, and the change feed
+    between the versions carries exactly |A| updates (delete+insert
+    pairs) plus |B| deletes. The oracle recomputes the merged state
+    and both band counts arithmetically; fg engagement is pinned as
+    a hashed constant.
+
+    Scale shape: one delta-sized shuffle (the blind anti-join), a
+    file-subset scan on the current side, carried survivors cost
+    zero bytes — at 100 TB the per-batch rewrite is the hot FILES,
+    not the hot partitions."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    band = max(1, (max_id + 1) // 50)
+    a_lo = (max_id + 1) // 10
+    a_hi = a_lo + band
+    b_hi = a_hi + band  # band B adjacent: combined key range stays narrow
+    evp = (
+        ev.withColumn("pt", (F.col("event_id") % 4).cast("int"))
+        .repartitionByRange(16, F.col("pt"), F.col("event_id"))
+        .sortWithinPartitions("pt", "event_id")
+    )
+    work = tempfile.mkdtemp(prefix="merge_fg_")
+    try:
+        mt = ManifestTable(spark, f"{work}/events_fgm")
+        mt.create(evp, ["pt"])
+        mtimes0 = {
+            p: _os.path.getmtime(p)
+            for p in _glob.glob(
+                f"{mt.path}/_data/**/*.parquet", recursive=True
+            )
+        }
+        upd = evp.filter(
+            (F.col("event_id") >= a_lo) & (F.col("event_id") < a_hi)
+        ).select(
+            "event_id",
+            "event_type",
+            (F.col("value") + 1000).alias("value"),
+            "pt",
+            F.lit("U").alias("op"),
+        )
+        dele = evp.filter(
+            (F.col("event_id") >= a_hi) & (F.col("event_id") < b_hi)
+        ).select(
+            "event_id", "event_type", "value", "pt",
+            F.lit("D").alias("op"),
+        )
+        n_upd, n_del = upd.count(), dele.count()
+        merge_into_partitioned(
+            spark,
+            mt.path,
+            upd.unionByName(dele),
+            ["event_id"],
+            ["pt"],
+            op_col="op",
+            retain_versions=5,
+        )
+        op = [
+            h.get("op") or {}
+            for h in mt.history()
+            if (h.get("op") or {}).get("name") == "merge"
+        ][-1]
+        assert op.get("file_scoped") == op["n_partitions"], op
+        assert any(
+            any("/" in n for n in e.get("files") or ())
+            for e in mt.manifest()["entries"]
+        ), "no carried references after the merge"
+        assert all(
+            _os.path.getmtime(p) == t for p, t in mtimes0.items()
+        ), "a pre-merge data file was modified"
+        # feed: |A| updated keys appear as delete+insert pairs, |B|
+        # keys as deletes — 2|A| + |B| rows
+        assert mt.changes(1, 2).count() == 2 * n_upd + n_del
+        fg = int(op.get("file_scoped") == op["n_partitions"])
+        rows = (
+            mt.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("v_cents"),
+            )
+            .withColumn("upd_rows", F.lit(n_upd).cast("bigint"))
+            .withColumn("del_rows", F.lit(n_del).cast("bigint"))
+            .withColumn("fg_merge", F.lit(fg).cast("int"))
+            .collect()  # materialize before the temp table is removed
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, id_checksum bigint,"
+            " v_cents bigint, upd_rows bigint, del_rows bigint,"
+            " fg_merge int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["merge_file_granular"] = Q(
+    _q_merge_file_granular,
+    """
+WITH c AS (
+    SELECT (MAX(event_id) + 1) // 10 AS a_lo,
+           (MAX(event_id) + 1) // 10
+             + GREATEST(1, (MAX(event_id) + 1) // 50) AS a_hi,
+           (MAX(event_id) + 1) // 10
+             + 2 * GREATEST(1, (MAX(event_id) + 1) // 50) AS b_hi
+    FROM events
+),
+u AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events, c
+    WHERE event_id >= c.a_lo AND event_id < c.a_hi
+),
+d AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events, c
+    WHERE event_id >= c.a_hi AND event_id < c.b_hi
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(CAST(ROUND((value + CASE
+            WHEN event_id >= c.a_lo AND event_id < c.a_hi THEN 1000
+            ELSE 0 END) * 100) AS BIGINT)) AS BIGINT) AS v_cents,
+       u.n AS upd_rows, d.n AS del_rows, CAST(1 AS INT) AS fg_merge
+FROM events, c, u, d
+WHERE event_id < c.a_hi OR event_id >= c.b_hi
+GROUP BY 1, u.n, d.n
+""",
+    doc="File-granular MERGE: a narrow-band upsert+tombstone delta rewrites only the key-intersecting files per touched partition, survivors mtime-pinned, feed and state in the hash",
+)

@@ -434,10 +434,15 @@ class TestGcRaceClassification:
         def hijacked(self, v_from, v_to, change_col="_change_type", **kw):
             diff = orig(self, v_from, v_to, change_col=change_col, **kw)
             # a concurrent writer commits + GCs AFTER the manifests
-            # were read but BEFORE the lazy data scan executes
+            # were read but BEFORE the lazy data scan executes.
+            # file_granular=False so the rewrite RELEASES the old
+            # generation (an r14 file-granular merge would carry its
+            # files forward and nothing would be GC'd — the race
+            # under test needs a generation to actually vanish)
             merge_into_partitioned(
                 spark, path, _upd(spark, [(7, "a", "x7", "U")]),
                 ["id"], ["pt"], op_col="op", retain_versions=1,
+                file_granular=False,
             )
             return diff
 

@@ -28,7 +28,11 @@ from fbg_kafka_stream_file_transfer_spark.operators.table import (
 
 def _mk_table(spark, path, retain=5):
     """pt ∈ {a,b,c}, two delta merges into pt=a only — pt=a accretes
-    generations/files while b/c stay single-generation."""
+    generations/files while b/c stay single-generation. Merges pin
+    ``file_granular=False``: this module's r13 shape tests predate
+    carried file references and assert basename-only files maps /
+    generation release on GC; the r14 file-granular default is
+    pinned in test_r14_ops."""
     base = spark.createDataFrame(
         [(i, "abc"[i % 3], float(i)) for i in range(30)],
         "id int, pt string, v double",
@@ -40,7 +44,8 @@ def _mk_table(spark, path, retain=5):
             [(100 + k, "a", 1.0)], "id int, pt string, v double"
         )
         merge_into_partitioned(
-            spark, path, d, ["id"], ["pt"], retain_versions=retain
+            spark, path, d, ["id"], ["pt"], retain_versions=retain,
+            file_granular=False,
         )
     return mt
 

@@ -864,3 +864,255 @@ class TestSinkTtlDelete:
                     spark, stream, str(tmp_path / "t"), "id", ["pt"],
                     "ts", "op", str(tmp_path / "c"), **kw,
                 )
+
+
+class TestFileGranularMerge:
+    """merge_into_partitioned at FILE granularity (r14): within each
+    touched partition only the files whose key bounds intersect the
+    delta's key range are merged and rewritten; every other file
+    carries forward byte-identically — the streaming CDC batch cost
+    class at 100 TB."""
+
+    def _mk(self, spark, path, n=1000, npart=2, files_per=4):
+        mt = _mk_clustered(spark, path, n=n, npart=npart,
+                           files_per=files_per)
+        return mt
+
+    def _last_merge_op(self, mt):
+        ops = [h.get("op") or {} for h in mt.history()]
+        merges = [o for o in ops if o.get("name") == "merge"]
+        return merges[-1] if merges else {}
+
+    def test_blind_point_upsert_carries_files(self, spark, tmp_path):
+        mt = self._mk(spark, str(tmp_path / "t"))
+        mt0 = _mtimes(mt.path)
+        d = spark.createDataFrame(
+            [(500, 0, 999.0)], "id int, pt int, v double"
+        )
+        assert merge_into_partitioned(
+            spark, mt.path, d, ["id"], ["pt"], retain_versions=5
+        ) == 1
+        assert all(os.path.getmtime(p) == t for p, t in mt0.items())
+        assert self._last_merge_op(mt).get("file_scoped") == 1
+        e = {
+            x["key"]: x for x in mt.manifest()["entries"]
+        }[_partition_key((0,))]  # pt=0 entry
+        assert any("/" in k for k in e["files"])
+        got = sorted((r.id, r.pt, r.v) for r in mt.read().collect())
+        want = sorted(
+            (i, i % 2, 999.0 if i == 500 else float(i))
+            for i in range(1000)
+        )
+        assert got == want
+
+    def test_tombstone_only_batch_file_scoped(self, spark, tmp_path):
+        mt = self._mk(spark, str(tmp_path / "t"), npart=1)
+        d = spark.createDataFrame(
+            [(10, 0, None, "D"), (11, 0, None, "D")],
+            "id int, pt int, v double, op string",
+        )
+        merge_into_partitioned(
+            spark, mt.path, d, ["id"], ["pt"], op_col="op",
+            retain_versions=5,
+        )
+        assert mt.read().count() == 998
+        assert sorted(r.id for r in mt.read().collect()) == [
+            i for i in range(1000) if i not in (10, 11)
+        ]
+        assert self._last_merge_op(mt).get("file_scoped") == 1
+
+    def test_insert_outside_all_file_bounds_carries_everything(
+        self, spark, tmp_path
+    ):
+        mt = self._mk(spark, str(tmp_path / "t"), npart=1)
+        e0 = mt.manifest()["entries"][0]
+        d = spark.createDataFrame(
+            [(5000, 0, 1.0)], "id int, pt int, v double"
+        )
+        merge_into_partitioned(
+            spark, mt.path, d, ["id"], ["pt"], retain_versions=5
+        )
+        e1 = mt.manifest()["entries"][0]
+        # every original file carried; only the insert was written
+        carried = [k for k in e1["files"] if "/" in k]
+        assert len(carried) == len(e0["files"])
+        assert mt.read().count() == 1001
+        assert mt.count() == 1001  # metadata count over the fold
+
+    def test_ordered_sink_semantics_over_clustered_table(
+        self, spark, tmp_path
+    ):
+        # ordered merge: older upsert for a key in a sel file LOSES
+        # to the stored row; newer wins; tombstone lands only if
+        # newest — with the current rows living in bounded files
+        from pyspark.sql import functions as F2
+
+        df = (
+            spark.createDataFrame(
+                [(i, 0, float(i), 1000) for i in range(400)],
+                "id int, pt int, v double, ts long",
+            )
+            .repartitionByRange(4, "pt", "id")
+            .sortWithinPartitions("pt", "id")
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pt"])
+        d = spark.createDataFrame(
+            [
+                (10, 0, -1.0, 500, "U"),   # older: loses
+                (11, 0, -2.0, 2000, "U"),  # newer: wins
+                (12, 0, None, 2000, "D"),  # newest tombstone: deletes
+                (13, 0, None, 500, "D"),   # older tombstone: no-op
+            ],
+            "id int, pt int, v double, ts long, op string",
+        )
+        merge_into_partitioned(
+            spark, mt.path, d, ["id"], ["pt"], op_col="op",
+            ts_col="ts", retain_versions=5,
+        )
+        assert self._last_merge_op(mt).get("file_scoped") == 1
+        got = {r.id: r.v for r in mt.read().collect()}
+        assert got[10] == 10.0 and got[11] == -2.0
+        assert 12 not in got and got[13] == 13.0
+        assert len(got) == 399
+
+    def test_conditional_clauses_file_scoped(self, spark, tmp_path):
+        mt = self._mk(spark, str(tmp_path / "t"), npart=1)
+        # keys in a NARROW band — a min-max range mechanism is only
+        # selective when the delta's keys are; one outlier key (e.g.
+        # a far-off insert) legitimately widens the range to the
+        # whole partition, same as Delta/Iceberg min-max skipping
+        d = spark.createDataFrame(
+            [(100, 0, 5.0), (101, 0, 5.0), (103, 0, 7.0)],
+            "id int, pt int, v double",
+        )
+        merge_into_partitioned(
+            spark, mt.path, d, ["id"], ["pt"], retain_versions=5,
+            when_matched_update={"v": "t.v + s.v"},
+            when_matched_delete="s.id = 101",
+        )
+        assert self._last_merge_op(mt).get("file_scoped") == 1
+        got = {r.id: r.v for r in mt.read().collect()}
+        assert got[100] == 105.0 and 101 not in got
+        assert got[103] == 110.0  # matched update: 103 + 7
+        assert len(got) == 999  # 1000 - the deleted key
+
+    def test_nmbs_disables_file_granularity(self, spark, tmp_path):
+        mt = self._mk(spark, str(tmp_path / "t"), npart=1)
+        d = spark.createDataFrame(
+            [(100, 0, 5.0)], "id int, pt int, v double"
+        )
+        merge_into_partitioned(
+            spark, mt.path, d, ["id"], ["pt"], retain_versions=5,
+            when_not_matched_by_source_delete="t.id >= 990",
+        )
+        op = self._last_merge_op(mt)
+        assert "file_scoped" not in op, op
+        e = mt.manifest()["entries"][0]
+        assert not any("/" in k for k in e.get("files") or ())
+        got = sorted(r.id for r in mt.read().collect())
+        assert got == list(range(990))
+
+    def test_optout_and_optimistic_stay_partition_granular(
+        self, spark, tmp_path
+    ):
+        mt = self._mk(spark, str(tmp_path / "t"), npart=1)
+        d = spark.createDataFrame(
+            [(3, 0, 0.5)], "id int, pt int, v double"
+        )
+        merge_into_partitioned(
+            spark, mt.path, d, ["id"], ["pt"], retain_versions=5,
+            file_granular=False,
+        )
+        assert "file_scoped" not in self._last_merge_op(mt)
+        d2 = spark.createDataFrame(
+            [(4, 0, 0.5)], "id int, pt int, v double"
+        )
+        merge_into_partitioned(
+            spark, mt.path, d2, ["id"], ["pt"], retain_versions=5,
+            optimistic=True,
+        )
+        got = {r.id: r.v for r in mt.read().collect()}
+        assert got[3] == 0.5 and got[4] == 0.5
+
+    def test_chained_merges_then_compact_localizes(
+        self, spark, tmp_path
+    ):
+        mt = self._mk(spark, str(tmp_path / "t"))
+        for i, key in enumerate((100, 700, 333)):
+            d = spark.createDataFrame(
+                [(key, key % 2, -float(i))], "id int, pt int, v double"
+            )
+            merge_into_partitioned(
+                spark, mt.path, d, ["id"], ["pt"], retain_versions=2
+            )
+        mt.vacuum(retain_versions=1)  # carried gens must survive
+        got = {r.id: r.v for r in mt.read().collect()}
+        assert got[100] == -0.0 and got[700] == -1.0 and got[333] == -2.0
+        assert len(got) == 1000
+        before = sorted(map(tuple, mt.read().collect()))
+        mt.compact(retain_versions=1)
+        mt.vacuum(retain_versions=1)
+        assert sorted(map(tuple, mt.read().collect())) == before
+
+    def test_fg_merge_randomized_vs_changelog_fold(
+        self, spark, tmp_path
+    ):
+        # randomized ordered-CDC batches vs a driver-side dict fold —
+        # the effectively-once sink semantics over mixed entries
+        import random
+
+        rng = random.Random(14014)
+        from pyspark.sql import functions as F2
+
+        df = (
+            spark.createDataFrame(
+                [(i, i % 2, float(i), 0) for i in range(600)],
+                "id int, pt int, v double, ts long",
+            )
+            .repartitionByRange(8, "pt", "id")
+            .sortWithinPartitions("pt", "id")
+        )
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pt"])
+        state = {i: (float(i), 0) for i in range(600)}
+        for b in range(4):
+            rows = []
+            for _ in range(8):
+                k = rng.randrange(0, 650)
+                ts = (b + 1) * 100 + rng.randrange(0, 50)
+                if rng.random() < 0.3:
+                    rows.append((k, k % 2, None, ts, "D"))
+                else:
+                    rows.append((k, k % 2, float(b), ts, "U"))
+            d = spark.createDataFrame(
+                rows, "id int, pt int, v double, ts long, op string"
+            )
+            merge_into_partitioned(
+                spark, mt.path, d, ["id"], ["pt"], op_col="op",
+                ts_col="ts", tiebreak_cols=(), retain_versions=2,
+            )
+            # driver fold: per key, (ts, src)-max wins, delete only
+            # if newest; batch rows beat current on ties via _mrg_src
+            per_key = {}
+            for k, _, v, ts, op in rows:
+                cur = per_key.get(k)
+                if cur is None or ts >= cur[1]:
+                    # within one batch apply_changelog breaks ts ties
+                    # by later-is-bigger on the fold's tiebreaks; our
+                    # generator never reuses (k, ts) so >= is safe
+                    if cur is None or ts > cur[1] or op == cur[2]:
+                        per_key[k] = (v, ts, op)
+            for k, (v, ts, op) in per_key.items():
+                old = state.get(k)
+                old_ts = old[1] if old else None
+                if old is None or old_ts is None or ts >= old_ts:
+                    if op == "D":
+                        state.pop(k, None)
+                    else:
+                        state[k] = (v, ts)
+            got = sorted(
+                (r.id, r.v, r.ts) for r in mt.read().collect()
+            )
+            want = sorted((k, v, ts) for k, (v, ts) in state.items())
+            assert got == want, f"batch {b}"
