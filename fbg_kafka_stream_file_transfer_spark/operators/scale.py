@@ -1058,25 +1058,86 @@ def _manifest_merge_plan(
     carry: dict[str, dict] = {}
     if fg_ok:
         # ONE job: the touched-partition list AND each partition's
-        # delta key range (deletes included — a tombstone contests
-        # its key like any write)
+        # delta key range + distinct-key count (deletes included — a
+        # tombstone contests its key like any write)
         aggs = []
         for i, k in enumerate(key_cols):
             aggs.append(F.min(F.col(k)).alias(f"_lo_{i}"))
             aggs.append(F.max(F.col(k)).alias(f"_hi_{i}"))
+            aggs.append(
+                F.count_distinct(F.col(k)).alias(f"_cd_{i}")
+            )
         rows = aligned.groupBy(*partition_cols).agg(*aggs).collect()
         np_ = len(partition_cols)
         touched = [tuple(r[:np_]) for r in rows]
         _reject_empty_string_partitions(touched, partition_cols)
         live = {e["key"]: e for e in man["entries"]}
         pc, sk = mt._pcols_for_pruning(man, stored)
+        # EXACT key sets where the delta is key-sparse (r14): a
+        # min-max range collapses for SCATTERED point keys — the
+        # real CDC shape is random keys across the keyspace, whose
+        # range spans every file. For partitions with ≤ cap distinct
+        # keys (and a files map to prune), one extra delta-sized job
+        # collects the exact sets and the per-file test becomes an
+        # IN clause (any key within the file's bounds) — selecting
+        # ~|keys| files instead of all of them. The sets are
+        # planning-ephemeral, never persisted; the collect is
+        # bounded by cap × touched partitions.
+        _KEYSET_CAP = 256
+        want_sets = [
+            t
+            for r, t in zip(rows, touched)
+            if (live.get(_partition_key(t)) or {}).get("files")
+            and all(
+                r[f"_cd_{i}"] is not None
+                and 1 <= r[f"_cd_{i}"] <= _KEYSET_CAP
+                and r[f"_lo_{i}"] is not None
+                for i in range(len(key_cols))
+            )
+        ]
+        keysets: dict[tuple, list] = {}
+        if want_sets:
+            import functools as _ft
+            import operator as _op
+
+            cond = _ft.reduce(
+                _op.or_,
+                [
+                    _ft.reduce(
+                        _op.and_,
+                        [
+                            F.col(c).eqNullSafe(F.lit(v))
+                            for c, v in zip(partition_cols, t)
+                        ],
+                    )
+                    for t in want_sets
+                ],
+            )
+            kaggs = [
+                F.collect_set(F.col(k)).alias(f"_ks_{i}")
+                for i, k in enumerate(key_cols)
+            ]
+            for kr in (
+                aligned.filter(cond)
+                .groupBy(*partition_cols)
+                .agg(*kaggs)
+                .collect()
+            ):
+                keysets[tuple(kr[:np_])] = [
+                    list(kr[f"_ks_{i}"])
+                    for i in range(len(key_cols))
+                ]
         full_parts: list[tuple] = []
         fg_paths: list[str] = []
         for r, t in zip(rows, touched):
             e = live.get(_partition_key(t))
             fmap = e.get("files") if e is not None else None
+            ks = keysets.get(t)
             kb: list | None = []
             for i in range(len(key_cols)):
+                if ks is not None and ks[i]:
+                    kb.append((key_cols[i], "in", ks[i]))
+                    continue
                 lo, hi = r[f"_lo_{i}"], r[f"_hi_{i}"]
                 if lo is None or hi is None:
                     # all-NULL delta keys here: NULL contests nothing

@@ -1116,3 +1116,55 @@ class TestFileGranularMerge:
             )
             want = sorted((k, v, ts) for k, (v, ts) in state.items())
             assert got == want, f"batch {b}"
+
+    def test_scattered_keys_use_exact_keyset(self, spark, tmp_path):
+        # keys scattered across the whole id space: the min-max range
+        # spans every file, but the exact key-set (IN) selection still
+        # rewrites only the files actually holding a contested key
+        mt = self._mk(spark, str(tmp_path / "t"), npart=1, files_per=8)
+        # keys at BOTH ENDS of the id space: the min-max range
+        # [3, 990] admits every file, so only the exact key-set (IN)
+        # selection can carry the middle files
+        upserts, deletes = [3, 55, 930], [990]
+        d = spark.createDataFrame(
+            [(k, 0, -1.0) for k in upserts]
+            + [(k, 0, None) for k in deletes],
+            "id int, pt int, v double",
+        ).withColumn(
+            "op",
+            F.when(F.col("v").isNull(), F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        )
+        merge_into_partitioned(
+            spark, mt.path, d, ["id"], ["pt"], op_col="op",
+            retain_versions=5,
+        )
+        assert self._last_merge_op(mt).get("file_scoped") == 1, (
+            self._last_merge_op(mt)
+        )
+        e = mt.manifest()["entries"][0]
+        carried = sum(1 for k in e["files"] if "/" in k)
+        assert carried >= 4, e["files"]  # the middle files survive
+        got = {r.id: r.v for r in mt.read().collect()}
+        assert all(got[k] == -1.0 for k in upserts)
+        assert all(k not in got for k in deletes)
+        assert len(got) == 999
+
+    def test_keyset_with_null_keys_in_delta(self, spark, tmp_path):
+        # NULL keys contest nothing (SQL join semantics) but must not
+        # break the key-set collection — they land as new rows while
+        # the non-null keys still file-scope the merge
+        mt = self._mk(spark, str(tmp_path / "t"), npart=1, files_per=4)
+        d = spark.createDataFrame(
+            [(500, 0, -1.0), (None, 0, -7.0)],
+            "id int, pt int, v double",
+        )
+        merge_into_partitioned(
+            spark, mt.path, d, ["id"], ["pt"], retain_versions=5
+        )
+        assert self._last_merge_op(mt).get("file_scoped") == 1
+        got = mt.read()
+        assert got.filter("id = 500").collect()[0].v == -1.0
+        assert got.filter("id IS NULL").collect()[0].v == -7.0
+        assert got.count() == 1001
