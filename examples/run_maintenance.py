@@ -309,6 +309,44 @@ def main(sf_dir: str, work_dir: str) -> None:
         (h['version'], (h['op'] or {}).get('name'))
         for h in mt.history()[-3:]
     ])
+# file-granular DML (r14): after the Z-ordered rewrite above the
+    # per-file bounds are selective, so a point statement rewrites
+    # only the files whose bounds admit it — the rest carry forward
+    # byte-identically as carried references inside the same entry
+    victim = mt.read().agg(F.max("event_id")).collect()[0][0] // 2
+    dr2 = mt.delete_where([("event_id", "=", victim)])
+    print(
+        f"file-granular DELETE event_id={victim}: "
+        f"{dr2['files_rewritten']} file(s) rewritten, "
+        f"{dr2['files_carried']} carried untouched "
+        f"({dr2['entries_file_scoped']} entries file-scoped)"
+    )
+    # file-granular MERGE (r14): a scattered point-key CDC batch —
+    # the exact key-set selection rewrites only the files that hold
+    # a contested key, even though the keys span the whole id range
+    some = [r.event_id for r in mt.read()
+            .select("event_id").orderBy("event_id").limit(1).collect()]
+    some += [r.event_id for r in mt.read()
+             .select("event_id").orderBy(F.desc("event_id"))
+             .limit(1).collect()]
+    batch = (
+        mt.read()
+        .filter(F.col("event_id").isin(some))
+        .select("event_id", "pt")
+        .withColumn("value", F.lit(-1.0))
+    )
+    merge_into_partitioned(
+        spark, mpath, batch, ["event_id"], ["pt"],
+        when_matched_update={"value": "s.value"},
+        when_not_matched_insert=False,
+    )
+    mop = [h["op"] for h in mt.history()
+           if (h.get("op") or {}).get("name") == "merge"][-1]
+    print(f"scattered-key merge: {mop.get('file_scoped', 0)} of "
+          f"{mop['n_partitions']} touched partitions file-scoped")
+    # metadata bounds (r14): the manifest answers MIN/MAX too
+    print(f"stats_extent(event_id) = {mt.stats_extent('event_id')} "
+          "(zero data I/O — the TTL sink's watermark source)")
     # schema evolution (r13): drop is metadata-only and tombstoned;
     # the drop commit is invisible to the change feed
     vb = mt.current_version()
