@@ -1168,3 +1168,84 @@ class TestFileGranularMerge:
         assert got.filter("id = 500").collect()[0].v == -1.0
         assert got.filter("id IS NULL").collect()[0].v == -7.0
         assert got.count() == 1001
+
+
+class TestFgInteractions:
+    """File-granular mutation composed with the write contracts: a
+    CHECK-violating fg merge refuses atomically, and fg DML rides
+    hidden-partitioning projection pruning."""
+
+    def test_fg_merge_check_violation_refused_atomically(
+        self, spark, tmp_path
+    ):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            CheckConstraintViolation,
+        )
+
+        mt = _mk_clustered(spark, str(tmp_path / "t"), npart=1)
+        mt.add_check_constraint("v_cap", "v < 10000")
+        before = sorted(map(tuple, mt.read().collect()))
+        ver = mt.current_version()
+        bad = spark.createDataFrame(
+            [(500, 0, 99999.0)], "id int, pt int, v double"
+        )
+        with pytest.raises(CheckConstraintViolation):
+            merge_into_partitioned(
+                spark, mt.path, bad, ["id"], ["pt"], retain_versions=5
+            )
+        assert mt.current_version() == ver
+        assert sorted(map(tuple, mt.read().collect())) == before
+        # a good fg merge still lands under the constraint
+        ok = spark.createDataFrame(
+            [(500, 0, 5000.0)], "id int, pt int, v double"
+        )
+        merge_into_partitioned(
+            spark, mt.path, ok, ["id"], ["pt"], retain_versions=5
+        )
+        assert mt.read().filter("id = 500").collect()[0].v == 5000.0
+
+    def test_fg_dml_on_hidden_partitioned_table(self, spark, tmp_path):
+        import datetime as _dt
+
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            partition_transform_column,
+        )
+
+        rows = [
+            (
+                i,
+                _dt.datetime(2024, 1, 1 + i // 100, 6, i % 60),
+                float(i),
+            )
+            for i in range(800)
+        ]
+        df = (
+            spark.createDataFrame(rows, "id int, ts timestamp, v double")
+            .withColumn("day", partition_transform_column("day", "ts"))
+            .repartitionByRange(16, "day", "id")
+            .sortWithinPartitions("day", "id")
+        )
+        mt = ManifestTable(
+            spark,
+            str(tmp_path / "t"),
+            derived_partitions={
+                "day": {"transform": "day", "source": "ts"}
+            },
+        )
+        mt.create(df, ["day"])
+        # raw-ts predicate + id band: the projection prunes days, the
+        # per-file id bounds scope the files within the hit day
+        r = mt.delete_where(
+            [
+                ("ts", ">=", _dt.datetime(2024, 1, 3)),
+                ("ts", "<", _dt.datetime(2024, 1, 4)),
+                ("id", ">=", 210),
+                ("id", "<", 220),
+            ],
+            retain_versions=5,
+        )
+        assert r["rows_deleted"] == 10, r
+        assert r["entries_file_scoped"] >= 1, r
+        assert mt.read().count() == 790
+        # derivation enforcement still passes on the rewritten rows
+        assert mt.verify_table(deep=True)["ok"]
