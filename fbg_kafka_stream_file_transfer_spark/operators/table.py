@@ -2627,8 +2627,8 @@ class ManifestTable:
         version: int | None = None,
         manifest_dict: dict | None = None,
     ) -> list[dict]:
-        """Per live partition: ``{"key", "values", "files", "rows"}``
-        — the observability hook that drives
+        """Per live partition: ``{"key", "values", "files",
+        "carried", "rows"}`` — the observability hook that drives
         ``compact(min_files=...)``. File counts come from the
         MANIFEST alone wherever it knows them (the per-file bounds
         map, or the ``nfiles`` count every stats-bearing commit
@@ -2636,7 +2636,12 @@ class ManifestTable:
         entries the bounds map omits); only entries the manifest
         cannot answer (pre-r13 commits outside the 2..cap window,
         stats-disabled tables) fall back to one directory listing
-        each — O(unknown entries) metadata calls, zero data I/O."""
+        each — O(unknown entries) metadata calls, zero data I/O.
+        ``carried`` (r14) counts file-granular DML/merge references
+        into older generations: they pin those generations against
+        GC until a compaction folds them, so a carried-heavy
+        partition is a compaction candidate even at a low file
+        count."""
         m = (
             manifest_dict
             if manifest_dict is not None
@@ -2655,6 +2660,16 @@ class ManifestTable:
                         _decode_value(p) for p in e["values"]
                     ),
                     "files": n,
+                    # carried references (file-granular DML/merge,
+                    # r14): these pin OLD generations alive until a
+                    # compaction folds them — a high count makes the
+                    # partition a compaction candidate even at a low
+                    # file count (the reclaim-on-OPTIMIZE signal)
+                    "carried": (
+                        sum(1 for k in fmap if "/" in k)
+                        if fmap
+                        else 0
+                    ),
                     "rows": st.get("rows"),
                 }
             )
@@ -4776,6 +4791,33 @@ class ManifestTable:
                 "unreferenced_generations": [],
             }
             plan["aged_staging"] = sorted(_aged_staging())
+            # r14 reclaim hint: generations alive ONLY because
+            # carried file references (file-granular DML/merge)
+            # point into them — a compact() of the carrying
+            # partitions makes them sweepable. Audit-only cost
+            # (O(retained × entries) driver work); the REAL sweep
+            # never pays it.
+            keep = [
+                x
+                for x in self.versions()
+                if x > v - _retain_now(v)
+            ]
+            dir_gens: set[str] = set()
+            file_gens: set[str] = set()
+            for vv in keep:
+                try:
+                    m = self.manifest(vv)
+                except ValueError:
+                    continue
+                for e in m["entries"]:
+                    if not _is_abs_dir(e["dir"]):
+                        dir_gens.add(e["dir"].split("/")[1])
+                    for n in e.get("files") or ():
+                        if "/" in n and not _is_abs_dir(n):
+                            file_gens.add(n.split("/")[1])
+            plan["generations_pinned_by_carried_refs"] = sorted(
+                file_gens - dir_gens
+            )
             return plan
 
         def _do() -> None:

@@ -1249,3 +1249,32 @@ class TestFgInteractions:
         assert mt.read().count() == 790
         # derivation enforcement still passes on the rewritten rows
         assert mt.verify_table(deep=True)["ok"]
+
+
+class TestCarriedObservability:
+    """The reclaim-on-OPTIMIZE signals (r14): small_file_report counts
+    carried references per partition, and vacuum(dry_run=True) names
+    the generations alive ONLY through them."""
+
+    def test_report_counts_carried_and_dry_run_names_pinned_gens(
+        self, spark, tmp_path
+    ):
+        mt = _mk_clustered(spark, str(tmp_path / "t"), npart=1)
+        rep0 = mt.small_file_report()[0]
+        assert rep0["carried"] == 0
+        mt.delete_where([("id", "=", 500)], retain_versions=1)
+        rep1 = mt.small_file_report()[0]
+        assert rep1["carried"] == 3, rep1
+        assert rep1["files"] == rep1["carried"] + 1
+        plan = mt.vacuum(dry_run=True)
+        # g1 holds the three carried files and nothing else live
+        assert plan["generations_pinned_by_carried_refs"] == [
+            "g00000001"
+        ], plan
+        # compaction folds the refs: the pin clears, and the commit's
+        # own GC sweeps the now-unreferenced g1 outright
+        mt.compact(retain_versions=1)
+        plan2 = mt.vacuum(dry_run=True)
+        assert plan2["generations_pinned_by_carried_refs"] == []
+        assert not os.path.exists(f"{mt.path}/_data/g00000001")
+        assert mt.read().count() == 999
