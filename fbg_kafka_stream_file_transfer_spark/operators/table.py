@@ -3347,8 +3347,20 @@ class ManifestTable:
                     "against the old contract — recompute the staged "
                     "commit against the current version"
                 )
-        be = {e["key"]: e["dir"] for e in man_base["entries"]}
-        ce = {e["key"]: e["dir"] for e in man_cur["entries"]}
+        # identity = (dir, files map), not dir alone: a file-granular
+        # DML whose rewrite output is empty keeps the OLD dir and only
+        # shrinks the files map (r14, _finalize_generation) — a
+        # dir-only comparison would rebase a staged commit over that
+        # delete and resurrect the deleted rows (r15 fix; same
+        # whole-entry rule changes() always used)
+        be = {
+            e["key"]: (e["dir"], e.get("files"))
+            for e in man_base["entries"]
+        }
+        ce = {
+            e["key"]: (e["dir"], e.get("files"))
+            for e in man_cur["entries"]
+        }
         conflicted = {
             k for k in be.keys() | ce.keys() if be.get(k) != ce.get(k)
         }
