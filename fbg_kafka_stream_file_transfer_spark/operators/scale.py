@@ -295,6 +295,7 @@ def merge_into_partitioned(
     when_not_matched_insert: bool | str | Column = True,
     when_not_matched_by_source_delete: bool | str | Column = False,
     file_granular: bool = True,
+    schema_evolution: bool = False,
 ) -> int:
     """MERGE a keyed delta into a persisted partitioned parquet table,
     rewriting ONLY the partitions the delta touches — the batch upsert/
@@ -419,10 +420,48 @@ def merge_into_partitioned(
     CDC batch upserting one key into a hot 10 GB key-clustered
     partition rewrites one file. Disabled automatically when
     ``when_not_matched_by_source_delete`` is truthy (its candidates
-    are ALL current rows), for non-rangeable key types, on the
-    optimistic path (partition-granular rebase contract), and on
-    hive-layout tables. ``compact()`` folds carried references back
-    into a clean generation.
+    are ALL current rows), for non-rangeable key types, and on
+    hive-layout tables. The OPTIMISTIC path carries too (r15):
+    ``stage_commit(carry_files=)`` is rebase-sound because the
+    conflict check compares whole entry identities (dir + files
+    map) — a rebase succeeds only when the carrying entries are
+    bit-identical between base and winner, exactly when the carried
+    references are still valid. ``compact()`` (or the sink's
+    ``compact_min_carried``) folds carried references back into a
+    clean generation.
+
+    SCHEMA EVOLUTION (r15): the contract for a delta column absent
+    from the stored table schema is now DEFINED, not path-dependent.
+    In blind/ordered mode (the updateAll/insertAll analog — the delta
+    row replaces the whole stored row):
+
+    - ``schema_evolution=False`` (default): the merge REFUSES loudly,
+      naming the new column(s) — silently dropping them (the old
+      behavior) loses data the caller clearly meant to write, and
+      silently evolving changes the table shape behind every reader.
+      Either drop the columns from the delta or opt in.
+    - ``schema_evolution=True`` (manifest tables, locked path): the
+      new columns are APPENDED to the table schema, nullable; rows
+      the delta does not replace — survivors in touched partitions,
+      every untouched partition, all retained history — read back as
+      NULL (the manifest's explicit-schema scan NULL-backfills files
+      written before the evolution; same add-only rule ``changes()``
+      documents for the feed, so a CDC tail keeps working across the
+      boundary — Delta's ``withSchemaEvolution()``). Re-adding a
+      ``drop_columns`` tombstoned name still refuses (resurrection
+      guard). Composes with the file-granular path: carried files
+      simply predate the column.
+
+    Evolution refuses up front when it cannot be atomic or defined:
+    conditional-clause mode (clauses name their target columns
+    explicitly; extra delta columns there are expression inputs by
+    contract, never stored — run a blind-mode evolution merge or an
+    explicit backfill to add columns), ``optimistic=True`` (the
+    rebase contract refuses concurrent schema change — documented at
+    ``stage_commit``), and plain hive-layout tables (untouched
+    partitions cannot be NULL-backfilled atomically; schema-less
+    parquet readers would see a column that exists in some files —
+    use a manifest table).
 
     Crash surface — two commit protocols, auto-detected:
 
@@ -517,6 +556,21 @@ def merge_into_partitioned(
             insert=when_not_matched_insert,
             not_matched_by_source_delete=when_not_matched_by_source_delete,
         )
+    if schema_evolution and clauses is not None:
+        raise ValueError(
+            "schema_evolution applies to blind/ordered mode only —"
+            " conditional clauses name their target columns explicitly"
+            " and extra delta columns are expression inputs, never"
+            " stored; add the column with a blind-mode evolution merge"
+            " (or an explicit backfill) first"
+        )
+    if schema_evolution and optimistic:
+        raise ValueError(
+            "schema evolution does not compose with an optimistic"
+            " rebase (a concurrent writer's staged rows carry the old"
+            " schema) — use the locked path (optimistic=False) to"
+            " evolve"
+        )
     from .table import is_manifest_table, table_write_lock
 
     if optimistic:
@@ -542,6 +596,7 @@ def merge_into_partitioned(
             60.0 if lock_wait_seconds is None else lock_wait_seconds,
             lock_stale_after_seconds,
             clauses=clauses,
+            file_granular=file_granular,
         )
     fs, jroot = _hadoop_fs(spark, path)
     root_existed = bool(fs.exists(jroot))
@@ -560,6 +615,16 @@ def merge_into_partitioned(
                     retain_versions,
                     clauses=clauses,
                     file_granular=file_granular,
+                    schema_evolution=schema_evolution,
+                )
+            if schema_evolution:
+                raise ValueError(
+                    f"schema_evolution requires a manifest table, but"
+                    f" {path} is plain hive layout — untouched"
+                    " partitions cannot be NULL-backfilled atomically"
+                    " and schema-less parquet readers would see the"
+                    " new column in only some files; create the table"
+                    " via ManifestTable.create"
                 )
             return _merge_into_plain(
                 spark, path, updates, key_cols, partition_cols,
@@ -666,6 +731,24 @@ def _merge_into_plain(
                 for c in delta.columns
             ]
         )
+        if clauses is None:
+            # same loud contract as the manifest path (r15): a delta
+            # column the table lacks is never silently discarded. The
+            # plain layout cannot evolve at all (see
+            # merge_into_partitioned's refusal), so the only recipe
+            # here is dropping the column or migrating the table.
+            extra = [
+                c
+                for c in aligned.columns
+                if c not in cur_types and c != op_col
+            ]
+            if extra:
+                raise ValueError(
+                    f"delta column(s) {extra} are not in the table"
+                    f" schema of {path}; drop them from the delta —"
+                    " schema evolution needs a manifest table"
+                    " (ManifestTable.create) and schema_evolution=True"
+                )
         touched = [
             tuple(r)
             for r in aligned.select(*partition_cols).distinct().collect()
@@ -926,6 +1009,7 @@ def _merge_into_manifest(
     retain_versions: int = 2,
     clauses: _MergeClauses | None = None,
     file_granular: bool = True,
+    schema_evolution: bool = False,
 ) -> int:
     """Atomic-commit merge path for manifest tables (caller holds the
     table write lock). Same semantics as the plain path; the publish
@@ -946,6 +1030,7 @@ def _merge_into_manifest(
             spark, mt, updates, key_cols, partition_cols, op_col,
             delete_op, ts_col, tiebreak_cols, delta_staging,
             clauses=clauses, file_granular=file_granular,
+            schema_evolution=schema_evolution,
         )
         if plan is None:
             return 0
@@ -977,6 +1062,7 @@ def _manifest_merge_plan(
     delta_staging: str,
     clauses: _MergeClauses | None = None,
     file_granular: bool = True,
+    schema_evolution: bool = False,
 ):
     """The compute phase shared by the locked and optimistic manifest
     merge paths: snapshot the delta (exactly-once evaluation, same
@@ -1031,6 +1117,42 @@ def _manifest_merge_plan(
             for c in delta.columns
         ]
     )
+    # MERGE schema evolution (r15) — the defined contract for delta
+    # columns the stored schema lacks. Conditional-clause mode keeps
+    # its documented extras-as-expression-inputs semantics (clauses
+    # name what they store); blind/ordered mode either refuses loudly
+    # or (opt-in) appends the new columns, NULL-backfilled everywhere
+    # the delta didn't write. op_col is consumed by the merge, never
+    # stored, so it is not an extra.
+    new_cols: list[str] = []
+    if clauses is None:
+        new_cols = [
+            c
+            for c in aligned.columns
+            if c not in cur_types and c != op_col
+        ]
+        if new_cols and not schema_evolution:
+            raise ValueError(
+                f"delta column(s) {new_cols} are not in the stored"
+                f" schema of {mt.path} — pass schema_evolution=True"
+                " to append them (NULL-backfilled for existing rows),"
+                " or drop them from the delta. (Silently discarding"
+                " them was never a contract.)"
+            )
+        if new_cols:
+            tomb = sorted(
+                set(new_cols) & set(man.get("dropped_cols") or [])
+            )
+            if tomb:
+                # same resurrection guard _finalize_generation
+                # enforces — refuse BEFORE any data I/O
+                raise ValueError(
+                    f"column name(s) {tomb} were dropped from this"
+                    " table and may not be re-added by schema"
+                    " evolution: retained pre-drop data files still"
+                    " carry values under these names; pick a fresh"
+                    " name"
+                )
     from .table import (
         _entry_scan_selection,
         _is_abs_dir,
@@ -1201,6 +1323,19 @@ def _manifest_merge_plan(
         ]
         _reject_empty_string_partitions(touched, partition_cols)
         current = mt.read(partitions=touched, manifest_dict=man)
+    if new_cols:
+        # evolution: the current side gains the new columns as typed
+        # NULLs (nullable by construction), so survivors keep shape
+        # with the delta's winners and the committed df's schema —
+        # which _finalize_generation publishes — is the evolved one.
+        # Untouched partitions and carried files simply predate the
+        # column; the manifest's explicit-schema scan NULL-backfills
+        # them on every read (operators/table.py read()).
+        atypes = {f.name: f.dataType for f in aligned.schema.fields}
+        current = current.select(
+            "*",
+            *[F.lit(None).cast(atypes[c]).alias(c) for c in new_cols],
+        )
     merged = _compute_merged(
         current, aligned, key_cols, op_col, delete_op, ts_col,
         tiebreak_cols, clauses=clauses,
@@ -1222,6 +1357,7 @@ def _merge_into_manifest_optimistic(
     lock_wait_seconds: float,
     lock_stale_after_seconds: float | None = None,
     clauses: _MergeClauses | None = None,
+    file_granular: bool = True,
 ) -> int:
     """Optimistic-concurrency merge: the ENTIRE compute — delta
     snapshot, current-state read, merge shuffle, generation write,
@@ -1248,23 +1384,29 @@ def _merge_into_manifest_optimistic(
             spark, mt, updates, key_cols, partition_cols, op_col,
             delete_op, ts_col, tiebreak_cols, delta_staging,
             clauses=clauses,
-            # the staged/rebase path serializes on WHOLE partitions
-            # and carries no per-file hook — partition-granular, like
-            # optimistic DML (documented on delete_where)
-            file_granular=False,
+            # r15: the staged path carries survivor references too —
+            # stage_commit(carry_files=) is rebase-sound because the
+            # conflict check compares whole entry identities (dir +
+            # files map): a rebase succeeds only when the carrying
+            # entries are bit-identical between base and winner
+            file_granular=file_granular,
         )
         if plan is None:
             return 0
-        merged, touched, ver, _carry = plan
+        merged, touched, ver, carry = plan
+        op = {
+            "name": "merge",
+            "n_partitions": len(touched),
+            "optimistic": True,
+        }
+        if carry:
+            op["file_scoped"] = len(carry)
         mt._stage_and_publish(
             merged,
             touched,
             ver,
-            op_info={
-                "name": "merge",
-                "n_partitions": len(touched),
-                "optimistic": True,
-            },
+            op_info=op,
+            carry_files=carry,
             retain_versions=retain_versions,
             on_conflict="rebase_disjoint",
             lock_wait_seconds=lock_wait_seconds,

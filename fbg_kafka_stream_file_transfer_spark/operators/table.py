@@ -2740,6 +2740,7 @@ class ManifestTable:
         target_records_per_file: int | None = None,
         partitions: list[tuple] | None = None,
         min_files: int | None = None,
+        min_carried: int | None = None,
         optimistic: bool = False,
         zorder_by: list[str] | None = None,
         lock_stale_after_seconds: float | None = None,
@@ -2770,6 +2771,19 @@ class ManifestTable:
           ``partitions`` (union). Selecting nothing returns 0
           WITHOUT publishing a version (a no-op sweep must not
           burn a commit).
+        - ``min_carried=N`` (r15) selects the partitions whose
+          entries hold ≥ N CARRIED references into older generations
+          (file-granular DML/merge survivors,
+          :meth:`small_file_report`'s ``carried`` column) — the
+          reclaim sweep that closes the deletion-vector-lite loop:
+          carried refs pin their source generations against GC
+          until a compaction localizes them, so a long-running CDC
+          sink accretes pinned history exactly where its point
+          writes land. Union semantics with ``partitions`` /
+          ``min_files``; after the sweep the selected partitions
+          hold no carried refs and the formerly pinned generations
+          become vacuum-sweepable. Zero extra I/O to evaluate (the
+          carried count comes from the manifest's files maps).
         - ``optimistic=True`` routes the rewrite through the staged
           path: the read + shuffle + parquet write + stats all run
           OUTSIDE the write lease (concurrent with live writers),
@@ -2835,7 +2849,9 @@ class ManifestTable:
             raise ValueError(f"manifest table does not exist: {self.path}")
         man = self.manifest(ver)
         live = {e["key"]: e for e in man["entries"]}
-        if partitions is None and min_files is None:
+        if min_carried is not None and min_carried < 1:
+            raise ValueError("min_carried must be >= 1")
+        if partitions is None and min_files is None and min_carried is None:
             sel_keys = list(live)
         else:
             sel = set()
@@ -2848,12 +2864,15 @@ class ManifestTable:
                             f" partition of {self.path}"
                         )
                     sel.add(k)
-            if min_files is not None:
-                sel.update(
-                    r["key"]
-                    for r in self.small_file_report(manifest_dict=man)
-                    if r["files"] >= min_files
-                )
+            if min_files is not None or min_carried is not None:
+                for r in self.small_file_report(manifest_dict=man):
+                    if min_files is not None and r["files"] >= min_files:
+                        sel.add(r["key"])
+                    elif (
+                        min_carried is not None
+                        and r["carried"] >= min_carried
+                    ):
+                        sel.add(r["key"])
             sel_keys = [k for k in live if k in sel]  # manifest order
         if not sel_keys:
             return 0  # nothing selected: no version published
@@ -3020,6 +3039,7 @@ class ManifestTable:
         touched: list[tuple],
         base_version: int,
         op_info: dict | None = None,
+        carry_files: dict[str, dict] | None = None,
         **publish_kw,
     ) -> int:
         """THE single optimistic-commit recipe — stage outside the
@@ -3028,7 +3048,8 @@ class ManifestTable:
         the TTL vacuum. Merge, compact, and DML all route here (r13
         review: the try/abort contract lived in three copies)."""
         staged = self.stage_commit(
-            df, touched=touched, base_version=base_version
+            df, touched=touched, base_version=base_version,
+            carry_files=carry_files,
         )
         try:
             return self.commit_staged(
@@ -3044,6 +3065,7 @@ class ManifestTable:
         touched: list[tuple] | None = None,
         base_version: int | None = None,
         read_partitions: list[tuple] | str = "touched",
+        carry_files: dict[str, dict] | None = None,
     ) -> dict:
         """Phase 1 of an optimistic commit: evaluate and write ``df``
         into a GC-invisible staging generation WITHOUT holding the
@@ -3081,7 +3103,20 @@ class ManifestTable:
         set, correct when the output is derived only from the
         partitions being replaced (the merge path); an explicit list
         of value tuples widens the check; ``"all"`` = the whole
-        table, which makes ANY intervening commit a conflict."""
+        table, which makes ANY intervening commit a conflict.
+
+        ``carry_files`` (r15 — optimistic file granularity): the same
+        per-partition carried-reference map every locked fg commit
+        passes (:meth:`overwrite_partitions`). SOUND under the rebase
+        because the carried names were taken from the BASE version's
+        entries, every carrying partition is in ``touched``, and the
+        rebase conflict check compares whole entry identities (dir +
+        files map) — so a rebase only succeeds when those entries are
+        bit-identical between base and winner, i.e. exactly when the
+        carried references are still valid. The base version staying
+        retained (the existing optimistic-writer requirement) keeps
+        the carried generations alive until publish re-references
+        them."""
         base = (
             self.current_version() if base_version is None else base_version
         )
@@ -3167,6 +3202,7 @@ class ManifestTable:
             "stats": stats_by_key,
             "read_scope": read_scope,
             "read_keys": read_keys,
+            "carry_files": carry_files,
         }
 
     def commit_staged(
@@ -3277,6 +3313,7 @@ class ManifestTable:
                 staged["pcols"],
                 staged["dup"],
                 stats_by_key=staged["stats"],
+                carry_files=staged.get("carry_files"),
                 op_info=op_info
                 or {
                     "name": "staged_commit",
@@ -3985,10 +4022,15 @@ class ManifestTable:
         concurrent disjoint writer lands are untouched by this
         statement even when they match the predicate, and a
         concurrent contract change refuses the rebase. Run the
-        locked default for predicate-serializable DML. Optimistic
-        statements also stay partition-granular
-        (``file_granular`` applies only to the locked path — the
-        rebase contract serializes whole partitions).
+        locked default for predicate-serializable DML. File
+        granularity applies on BOTH paths (r15): the optimistic
+        publish carries survivor references through
+        ``stage_commit(carry_files=)``, sound because the rebase
+        compares whole entry identities (dir + files map) — it
+        succeeds only when the carrying entries are bit-identical
+        between base and winner, exactly when the carried references
+        are still valid; an fg-vs-fg race on the same partition
+        conflicts and the loser recomputes.
 
         ``lock_stale_after_seconds`` threads into the write lease
         exactly as on compact/merge — for callers running every
@@ -4147,11 +4189,15 @@ class ManifestTable:
                 # partition. A carried file's bounds exclude at least
                 # one CONJUNCT of the predicate, so none of its rows
                 # can satisfy the full conjunction (the same
-                # guarantee read() already banks on). The optimistic
-                # path stays partition-granular: its rebase contract
-                # serializes on whole partitions.
+                # guarantee read() already banks on). The OPTIMISTIC
+                # path carries too (r15): the rebase compares whole
+                # entry identities (dir + files map), so a rebase
+                # succeeds only when the carrying entries are
+                # bit-identical between base and winner — exactly
+                # when the carried references are still valid
+                # (stage_commit's carry_files contract).
                 fmap = e.get("files")
-                if file_granular and not optimistic and fmap:
+                if file_granular and fmap:
                     _, sel = _entry_scan_selection(e, prune, pc, sk)
                     if sel is not None and len(sel) < len(fmap):
                         r = (e.get("stats") or {}).get("rows")
@@ -4303,6 +4349,7 @@ class ManifestTable:
                     touched,
                     ver,
                     op_info=op,
+                    carry_files=fg_carry or None,
                     retain_versions=retain_versions,
                     assume_locked=assume_locked,
                     lock_stale_after_seconds=lock_stale_after_seconds,

@@ -4844,3 +4844,446 @@ GROUP BY 1, u.n, d.n
 """,
     doc="File-granular MERGE: a narrow-band upsert+tombstone delta rewrites only the key-intersecting files per touched partition, survivors mtime-pinned, feed and state in the hash",
 )
+
+
+def _q_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE schema-evolution certification (round 15): the defined
+    contract for delta columns the stored schema lacks. On a
+    partitioned manifest table built from ``events``, a blind delta
+    carrying a NEW ``tier`` column (band-A upserts at value+1000,
+    band-B tombstones) first REFUSES without the opt-in — pinned
+    in-function as a raised ValueError with the version unchanged —
+    then, with ``schema_evolution=True``, appends ``tier`` nullable:
+    winners carry their tier, every survivor and untouched partition
+    NULL-backfills (the manifest's explicit-schema scan), time travel
+    to v1 keeps the old shape, and the change feed crosses the
+    boundary under the add-only contract (from-side deletes read
+    tier as NULL). The oracle recomputes the evolved final state —
+    band membership, checksums, per-type non-NULL/gold tier counts —
+    arithmetically from ``events``; the refusal and boundary pins are
+    hashed constants a regression breaks.
+
+    Scale shape: evolution adds ZERO data I/O beyond the merge itself
+    — history is never rewritten (NULL backfill happens at scan time
+    from the manifest schema), which is the only affordable add-column
+    on a 100 TB table."""
+    import shutil
+    import tempfile
+
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    band = max(1, (max_id + 1) // 50)
+    a_lo = (max_id + 1) // 10
+    a_hi = a_lo + band
+    b_hi = a_hi + band
+    evp = (
+        ev.withColumn("pt", (F.col("event_id") % 4).cast("int"))
+        .repartitionByRange(16, F.col("pt"), F.col("event_id"))
+        .sortWithinPartitions("pt", "event_id")
+    )
+    work = tempfile.mkdtemp(prefix="merge_evo_")
+    try:
+        mt = ManifestTable(spark, f"{work}/events_evo")
+        mt.create(evp, ["pt"])
+        tier = F.when(
+            F.col("event_id") % 3 == 0, F.lit("gold")
+        ).otherwise(F.lit("std"))
+        upd = evp.filter(
+            (F.col("event_id") >= a_lo) & (F.col("event_id") < a_hi)
+        ).select(
+            "event_id",
+            "event_type",
+            (F.col("value") + 1000).alias("value"),
+            "pt",
+            tier.alias("tier"),
+            F.lit("U").alias("op"),
+        )
+        dele = evp.filter(
+            (F.col("event_id") >= a_hi) & (F.col("event_id") < b_hi)
+        ).select(
+            "event_id", "event_type", "value", "pt",
+            F.lit(None).cast("string").alias("tier"),
+            F.lit("D").alias("op"),
+        )
+        n_upd, n_del = upd.count(), dele.count()
+        # pin 1: the default REFUSES loudly and commits nothing
+        refused = 0
+        try:
+            merge_into_partitioned(
+                spark, mt.path, upd.limit(1), ["event_id"], ["pt"],
+                op_col="op", retain_versions=5,
+            )
+        except ValueError as exc:
+            refused = int(
+                "schema_evolution" in str(exc)
+                and mt.current_version() == 1
+            )
+        assert refused, "extras without opt-in must refuse pre-commit"
+        merge_into_partitioned(
+            spark, mt.path, upd.unionByName(dele), ["event_id"],
+            ["pt"], op_col="op", schema_evolution=True,
+            retain_versions=5,
+        )
+        last = mt.schema().fields[-1]
+        assert last.name == "tier" and last.nullable, last
+        assert "tier" not in mt.read(version=1).columns
+        # feed across the boundary: 2|A| update pairs + |B| deletes,
+        # from-side rows NULL-backfilled in tier
+        d = mt.changes(1, 2)
+        assert d.count() == 2 * n_upd + n_del
+        assert (
+            d.filter("_change_type = 'delete' and tier is not null")
+            .count()
+            == 0
+        )
+        rows = (
+            mt.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("v_cents"),
+                F.count("tier").cast("bigint").alias("tier_nonnull"),
+                F.count(F.when(F.col("tier") == "gold", 1))
+                .cast("bigint")
+                .alias("tier_gold"),
+            )
+            .withColumn("refused_default", F.lit(refused).cast("int"))
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, id_checksum bigint,"
+            " v_cents bigint, tier_nonnull bigint, tier_gold bigint,"
+            " refused_default int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["merge_schema_evolution"] = Q(
+    _q_merge_schema_evolution,
+    """
+WITH c AS (
+    SELECT (MAX(event_id) + 1) // 10 AS a_lo,
+           (MAX(event_id) + 1) // 10
+             + GREATEST(1, (MAX(event_id) + 1) // 50) AS a_hi,
+           (MAX(event_id) + 1) // 10
+             + 2 * GREATEST(1, (MAX(event_id) + 1) // 50) AS b_hi
+    FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(CAST(ROUND((value + CASE
+            WHEN event_id >= c.a_lo AND event_id < c.a_hi THEN 1000
+            ELSE 0 END) * 100) AS BIGINT)) AS BIGINT) AS v_cents,
+       CAST(SUM(CASE WHEN event_id >= c.a_lo AND event_id < c.a_hi
+            THEN 1 ELSE 0 END) AS BIGINT) AS tier_nonnull,
+       CAST(SUM(CASE WHEN event_id >= c.a_lo AND event_id < c.a_hi
+            AND event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS tier_gold,
+       CAST(1 AS INT) AS refused_default
+FROM events, c
+WHERE event_id < c.a_hi OR event_id >= c.b_hi
+GROUP BY 1
+""",
+    doc="MERGE schema evolution: extras refuse by default (pinned pre-commit), opt-in appends the column nullable with NULL backfill for survivors/history and an add-only CDC boundary",
+)
+
+
+def _q_table_compact_reclaim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carried-ref reclaim loop certification (round 15): after a
+    file-granular DELETE leaves carried references pinning the create
+    generation against GC, ``compact(min_carried=1)`` — the knob the
+    sink's ``compact_min_carried`` arms — selects exactly the
+    carrying partition, localizes it, and the formerly pinned
+    generation becomes sweepable. In-function pins: the delete was
+    file-scoped (fewer files rewritten than exist, carried refs
+    present), the vacuum dry-run names the pinned generation, the
+    reclaim compaction publishes an EMPTY change-feed diff
+    (maintenance, not data), and after it the pinned list is empty
+    and the old generation directory is actually gone. The oracle
+    recomputes the surviving state arithmetically; every reclaim pin
+    is a hashed constant.
+
+    Scale shape: trigger evaluation is zero data I/O (carried counts
+    live in the manifest); the sweep rewrites only carrying
+    partitions — the reclaim cost a long-running CDC sink pays is
+    O(its own hot partitions), never O(table)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..operators.table import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    band = max(1, (max_id + 1) // 50)
+    a_lo = (max_id + 1) // 10
+    a_hi = a_lo + band
+    evp = (
+        ev.withColumn("pt", F.lit(0).cast("int"))
+        .repartitionByRange(8, F.col("event_id"))
+        .sortWithinPartitions("event_id")
+    )
+    work = tempfile.mkdtemp(prefix="reclaim_")
+    try:
+        mt = ManifestTable(spark, f"{work}/events_rc")
+        mt.create(evp, ["pt"])
+        r = mt.delete_where(
+            [("event_id", ">=", a_lo), ("event_id", "<", a_hi)],
+            retain_versions=1,
+        )
+        assert r["files_carried"] >= 1, r
+        rep = {x["key"]: x for x in mt.small_file_report()}
+        carried_before = sum(x["carried"] for x in rep.values())
+        assert carried_before == r["files_carried"], (rep, r)
+        pinned = mt.vacuum(dry_run=True, retain_versions=1)[
+            "generations_pinned_by_carried_refs"
+        ]
+        assert pinned == ["g00000001"], pinned
+        vbefore = mt.current_version()
+        # retain 2 here so the pre-compaction version stays readable
+        # for the empty-diff pin; the vacuum below then narrows to 1
+        n = mt.compact(min_carried=1, retain_versions=2)
+        assert n == 1, n
+        assert mt.changes(vbefore, vbefore + 1).count() == 0
+        carried_after = sum(
+            x["carried"] for x in mt.small_file_report()
+        )
+        assert carried_after == 0
+        plan = mt.vacuum(dry_run=True, retain_versions=1)
+        assert plan["generations_pinned_by_carried_refs"] == []
+        mt.vacuum(retain_versions=1)
+        reclaimed = int(
+            not _os.path.isdir(f"{mt.path}/_data/g00000001")
+        )
+        assert reclaimed, "vacuum did not drop the unpinned gen"
+        rows = (
+            mt.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("v_cents"),
+            )
+            .withColumn(
+                "rows_deleted",
+                F.lit(r["rows_deleted"]).cast("bigint"),
+            )
+            .withColumn(
+                "had_carried",
+                F.lit(int(carried_before >= 1)).cast("int"),
+            )
+            .withColumn(
+                "carried_after", F.lit(carried_after).cast("bigint")
+            )
+            .withColumn("reclaimed", F.lit(reclaimed).cast("int"))
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, id_checksum bigint,"
+            " v_cents bigint, rows_deleted bigint, had_carried int,"
+            " carried_after bigint, reclaimed int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_compact_reclaim"] = Q(
+    _q_table_compact_reclaim,
+    """
+WITH c AS (
+    SELECT (MAX(event_id) + 1) // 10 AS a_lo,
+           (MAX(event_id) + 1) // 10
+             + GREATEST(1, (MAX(event_id) + 1) // 50) AS a_hi
+    FROM events
+),
+d AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events, c
+    WHERE event_id >= c.a_lo AND event_id < c.a_hi
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS v_cents,
+       d.n AS rows_deleted, CAST(1 AS INT) AS had_carried,
+       CAST(0 AS BIGINT) AS carried_after, CAST(1 AS INT) AS reclaimed
+FROM events, c, d
+WHERE event_id < c.a_lo OR event_id >= c.a_hi
+GROUP BY 1, d.n
+""",
+    doc="Reclaim loop: compact(min_carried=) localizes carried refs after fg DELETE, pinned generation swept, empty maintenance diff — the sink's compact_min_carried trigger",
+)
+
+
+def _q_merge_optimistic_file_granular(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Optimistic file-granular MERGE certification (round 15): the
+    same narrow-band upsert+tombstone delta as ``merge_file_granular``
+    but committed through the OPTIMISTIC path — the whole compute
+    (delta snapshot, file-scoped current read, merge shuffle, parquet
+    write, stats) runs outside the write lease and the publish rebases
+    under it, now carrying survivor references through
+    ``stage_commit(carry_files=)``. Sound because the rebase compares
+    whole entry identities (dir + files map): it succeeds exactly when
+    the carrying entries are unchanged between base and winner.
+    In-function pins: the op record says optimistic AND file-scoped in
+    every touched partition, carried references exist, every pre-merge
+    file is mtime-untouched, and the feed carries exactly 2|A| + |B|
+    rows. The oracle recomputes the merged state and band counts
+    arithmetically — identical final state to the locked path, which
+    IS the contract (commit protocol must not change semantics).
+
+    Scale shape: two pipelines merging disjoint key bands overlap
+    their heavy work fully, each rewriting only its matching files —
+    the concurrent-writer CDC cost class at 100 TB."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    band = max(1, (max_id + 1) // 50)
+    a_lo = (max_id + 1) // 10
+    a_hi = a_lo + band
+    b_hi = a_hi + band
+    evp = (
+        ev.withColumn("pt", (F.col("event_id") % 4).cast("int"))
+        .repartitionByRange(16, F.col("pt"), F.col("event_id"))
+        .sortWithinPartitions("pt", "event_id")
+    )
+    work = tempfile.mkdtemp(prefix="merge_ofg_")
+    try:
+        mt = ManifestTable(spark, f"{work}/events_ofg")
+        # parquet-roundtripped create df (evp reads from the source
+        # parquet, all-nullable) — the optimistic rebase refuses
+        # nullability drift, so the schema must be stable up front
+        mt.create(evp, ["pt"])
+        mtimes0 = {
+            p: _os.path.getmtime(p)
+            for p in _glob.glob(
+                f"{mt.path}/_data/**/*.parquet", recursive=True
+            )
+        }
+        upd = evp.filter(
+            (F.col("event_id") >= a_lo) & (F.col("event_id") < a_hi)
+        ).select(
+            "event_id",
+            "event_type",
+            (F.col("value") + 1000).alias("value"),
+            "pt",
+            F.lit("U").alias("op"),
+        )
+        dele = evp.filter(
+            (F.col("event_id") >= a_hi) & (F.col("event_id") < b_hi)
+        ).select(
+            "event_id", "event_type", "value", "pt",
+            F.lit("D").alias("op"),
+        )
+        n_upd, n_del = upd.count(), dele.count()
+        merge_into_partitioned(
+            spark,
+            mt.path,
+            upd.unionByName(dele),
+            ["event_id"],
+            ["pt"],
+            op_col="op",
+            optimistic=True,
+            retain_versions=5,
+        )
+        op = [
+            h.get("op") or {}
+            for h in mt.history()
+            if (h.get("op") or {}).get("name") == "merge"
+        ][-1]
+        assert op.get("optimistic") is True, op
+        assert op.get("file_scoped") == op["n_partitions"], op
+        assert any(
+            any("/" in n for n in e.get("files") or ())
+            for e in mt.manifest()["entries"]
+        ), "no carried references after the optimistic merge"
+        assert all(
+            _os.path.getmtime(p) == t for p, t in mtimes0.items()
+        ), "a pre-merge data file was modified"
+        assert mt.changes(1, 2).count() == 2 * n_upd + n_del
+        fg = int(
+            op.get("optimistic") is True
+            and op.get("file_scoped") == op["n_partitions"]
+        )
+        rows = (
+            mt.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("v_cents"),
+            )
+            .withColumn("upd_rows", F.lit(n_upd).cast("bigint"))
+            .withColumn("del_rows", F.lit(n_del).cast("bigint"))
+            .withColumn("fg_optimistic", F.lit(fg).cast("int"))
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, id_checksum bigint,"
+            " v_cents bigint, upd_rows bigint, del_rows bigint,"
+            " fg_optimistic int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["merge_optimistic_file_granular"] = Q(
+    _q_merge_optimistic_file_granular,
+    """
+WITH c AS (
+    SELECT (MAX(event_id) + 1) // 10 AS a_lo,
+           (MAX(event_id) + 1) // 10
+             + GREATEST(1, (MAX(event_id) + 1) // 50) AS a_hi,
+           (MAX(event_id) + 1) // 10
+             + 2 * GREATEST(1, (MAX(event_id) + 1) // 50) AS b_hi
+    FROM events
+),
+u AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events, c
+    WHERE event_id >= c.a_lo AND event_id < c.a_hi
+),
+d AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events, c
+    WHERE event_id >= c.a_hi AND event_id < c.b_hi
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(CAST(ROUND((value + CASE
+            WHEN event_id >= c.a_lo AND event_id < c.a_hi THEN 1000
+            ELSE 0 END) * 100) AS BIGINT)) AS BIGINT) AS v_cents,
+       u.n AS upd_rows, d.n AS del_rows,
+       CAST(1 AS INT) AS fg_optimistic
+FROM events, c, u, d
+WHERE event_id < c.a_hi OR event_id >= c.b_hi
+GROUP BY 1, u.n, d.n
+""",
+    doc="Optimistic file-granular MERGE: lease-free compute + rebase publish now carries survivor refs (stage_commit carry_files), identical final state to the locked path, mtimes/feed/fg pinned",
+)

@@ -50,6 +50,7 @@ def start_changelog_merge_sink(
     layout: str = "hive",
     retain_versions: int = 2,
     compact_min_files: int | None = None,
+    compact_min_carried: int | None = None,
     compact_every: int = 20,
     compact_target_records_per_file: int | None = None,
     ttl_keep: float | None = None,
@@ -71,6 +72,18 @@ def start_changelog_merge_sink(
     more version of lag budget — size ``retain_versions``
     accordingly. Runs AFTER the batch's merge commit, inside the same
     serial foreachBatch slot, so it can never race the next batch.
+
+    ``compact_min_carried`` (manifest layout only, r15) arms the
+    RECLAIM sweep on the same ``compact_every`` cadence: partitions
+    whose entries hold ≥ N carried references into older generations
+    (the file-granular merge/DML survivors this sink's own point
+    writes accrete) are compacted, localizing the refs so the pinned
+    generations become vacuum-sweepable — without it a long-running
+    CDC sink pins history forever unless an operator reads
+    ``small_file_report`` by hand. Evaluating the trigger is zero
+    data I/O (the carried counts live in the manifest); combinable
+    with ``compact_min_files`` (one sweep, union selection). Same
+    best-effort contract as auto-compaction.
 
     ``ttl_keep`` (manifest layout only, r14) arms EVENT-TIME
     RETENTION — the "table expires old rows" shape every CDC table
@@ -137,14 +150,17 @@ def start_changelog_merge_sink(
         # validate at start-time: a typo'd layout must fail the stream
         # setup, not the first real batch
         raise ValueError(f"layout must be 'hive' or 'manifest', got {layout!r}")
-    if compact_min_files is not None:
+    if compact_min_files is not None or compact_min_carried is not None:
         if layout != "manifest":
             raise ValueError(
-                "compact_min_files requires layout='manifest' — the"
-                " hive layout has no selective-compaction commit"
+                "compact_min_files/compact_min_carried require"
+                " layout='manifest' — the hive layout has no"
+                " selective-compaction commit"
             )
-        if compact_min_files < 2:
+        if compact_min_files is not None and compact_min_files < 2:
             raise ValueError("compact_min_files must be >= 2")
+        if compact_min_carried is not None and compact_min_carried < 1:
+            raise ValueError("compact_min_carried must be >= 1")
         if compact_every < 1:
             raise ValueError("compact_every must be >= 1")
     if ttl_keep is not None:
@@ -313,8 +329,8 @@ def start_changelog_merge_sink(
                 )
         if (
             compact_min_files is not None
-            and (batch_id + 1) % compact_every == 0
-        ):
+            or compact_min_carried is not None
+        ) and (batch_id + 1) % compact_every == 0:
             from ..operators.table import ManifestTable, is_manifest_table
 
             if not is_manifest_table(spark, path):
@@ -337,6 +353,7 @@ def start_changelog_merge_sink(
             try:
                 ManifestTable(spark, path).compact(
                     min_files=compact_min_files,
+                    min_carried=compact_min_carried,
                     target_records_per_file=(
                         compact_target_records_per_file
                     ),

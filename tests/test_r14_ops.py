@@ -433,7 +433,7 @@ class TestFileGranularDML:
         assert sorted(map(tuple, dp.read().collect())) == state
         assert dp.verify_table()["ok"]
 
-    def test_fg_optout_and_optimistic_stay_partition_granular(
+    def test_fg_optout_and_optimistic_file_granular(
         self, spark, tmp_path
     ):
         mt = _mk_clustered(spark, str(tmp_path / "t"))
@@ -442,10 +442,16 @@ class TestFileGranularDML:
         )
         assert r["entries_file_scoped"] == 0, r
         assert r["rows_deleted"] == 1
+        # r15: the optimistic path carries too (the staged publish
+        # threads carry_files; the whole-entry rebase identity keeps
+        # it sound) — a point delete is file-scoped on EITHER path
         r2 = mt.delete_where(
             [("id", "=", 5)], retain_versions=5, optimistic=True
         )
-        assert r2["entries_file_scoped"] == 0, r2
+        # a bare id predicate admits one file in EACH mod-2 partition
+        assert r2["entries_file_scoped"] == 2, r2
+        assert r2["files_rewritten"] == 2, r2
+        assert r2["files_carried"] >= 1, r2
         assert r2["rows_deleted"] == 1
         assert mt.read().count() == 998
 
@@ -1013,7 +1019,7 @@ class TestFileGranularMerge:
         got = sorted(r.id for r in mt.read().collect())
         assert got == list(range(990))
 
-    def test_optout_and_optimistic_stay_partition_granular(
+    def test_optout_and_optimistic_file_granular(
         self, spark, tmp_path
     ):
         mt = self._mk(spark, str(tmp_path / "t"), npart=1)
@@ -1025,6 +1031,8 @@ class TestFileGranularMerge:
             file_granular=False,
         )
         assert "file_scoped" not in self._last_merge_op(mt)
+        # r15: the optimistic merge carries too — the staged publish
+        # threads carry_files, rebase-sound via whole-entry identity
         d2 = spark.createDataFrame(
             [(4, 0, 0.5)], "id int, pt int, v double"
         )
@@ -1032,6 +1040,8 @@ class TestFileGranularMerge:
             spark, mt.path, d2, ["id"], ["pt"], retain_versions=5,
             optimistic=True,
         )
+        op = self._last_merge_op(mt)
+        assert op.get("optimistic") and op.get("file_scoped") == 1, op
         got = {r.id: r.v for r in mt.read().collect()}
         assert got[3] == 0.5 and got[4] == 0.5
 
