@@ -3687,6 +3687,115 @@ class ManifestTable:
         with table_write_lock(self.spark, self.path, holder="drop-columns"):
             return _do()
 
+    def add_columns(
+        self,
+        cols: dict[str, "str | T.DataType"],
+        retain_versions: int | None = None,
+        assume_locked: bool = False,
+    ) -> int:
+        """``ALTER TABLE ADD COLUMNS`` (r15): append NULLABLE columns
+        to the table schema as a ZERO-data-I/O metadata commit — the
+        twin of :meth:`drop_columns`. Every entry is re-referenced
+        verbatim (empty change-feed diff, like a compaction); every
+        existing row — all partitions, all retained history — reads
+        back NULL in the new columns because the manifest's
+        explicit-schema scan NULL-backfills files that predate them.
+        Time travel to pre-add versions keeps the old shape;
+        ``changes()`` across the boundary follows its add-only
+        contract. This is the only affordable add-column at 100 TB
+        (Delta's metadata-only ADD COLUMNS), and the first step of
+        the documented rename recipe: ``add_columns`` → backfill via
+        ``update_where(set=...)`` → ``drop_columns`` (SCALE.md r13).
+
+        ``cols`` maps name → DDL type string (``"decimal(10,2)"``) or
+        a ``pyspark.sql.types.DataType``. Nullability is forced TRUE
+        (history cannot satisfy anything else). Refusals, all
+        pre-commit: existing names (including partition columns),
+        reserved ``_p_*`` names, and ``drop_columns``-tombstoned
+        names (retained pre-drop files still carry values under
+        those names — the resurrection guard every commit path
+        enforces). A merge with ``schema_evolution=True`` is the
+        write-side alternative when the new column arrives WITH data.
+
+        ``retain_versions=None`` keeps every currently retained
+        version (maintenance-op default). Returns the new version."""
+
+        def _do() -> int:
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(
+                    f"manifest table does not exist: {self.path}"
+                )
+            if not cols:
+                raise ValueError("add_columns needs at least one column")
+            man = self.manifest(cur)
+            names = {f["name"] for f in man["schema"]["fields"]}
+            dup = sorted(set(cols) & names)
+            if dup:
+                raise ValueError(
+                    f"column(s) {dup} already exist in the table schema"
+                )
+            reserved = sorted(
+                c for c in cols if c.startswith("_p_")
+            )
+            if reserved:
+                raise ValueError(
+                    f"column name(s) {reserved} are reserved by the"
+                    " manifest layout; rename them"
+                )
+            tomb = sorted(set(cols) & set(man.get("dropped_cols") or []))
+            if tomb:
+                raise ValueError(
+                    f"column name(s) {tomb} were dropped from this"
+                    " table and may not be re-added: retained"
+                    " pre-drop data files still carry values under"
+                    " these names and a name-resolved parquet read"
+                    " would resurrect them; pick a fresh name"
+                )
+            new_fields = []
+            for c, t in cols.items():
+                if isinstance(t, T.DataType):
+                    dt = t
+                else:
+                    # plan-only parse, no job: CAST(NULL AS <ddl>)
+                    dt = self.spark.sql(
+                        f"SELECT CAST(NULL AS {t})"
+                    ).schema[0].dataType
+                new_fields.append(
+                    T.StructField(c, dt, True).jsonValue()
+                )
+            new_schema = {
+                **man["schema"],
+                "fields": list(man["schema"]["fields"]) + new_fields,
+            }
+            retain = (
+                retain_versions
+                if retain_versions is not None
+                else self._keep_current_retain(cur + 1)
+            )
+            self._publish_entries(
+                cur + 1,
+                list(man["partition_cols"]),
+                new_schema,
+                list(man["entries"]),
+                retain,
+                man.get("shard_target", self.shard_target),
+                man.get("stats_cols", "auto"),
+                dropped_cols=man.get("dropped_cols"),
+                check_constraints=man.get("check_constraints"),
+                derived_partitions=man.get("derived_partitions"),
+                op_info={
+                    "name": "add_columns",
+                    "cols": sorted(cols),
+                },
+            )
+            return cur + 1
+
+        if assume_locked:
+            return _do()
+        with table_write_lock(self.spark, self.path, holder="add-columns"):
+            return _do()
+
     def check_constraints(self, version: int | None = None) -> dict:
         """The table's CHECK constraints, ``{name: sql}`` — a
         persisted property every generation-writing commit validates

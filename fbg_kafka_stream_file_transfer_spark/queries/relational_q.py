@@ -5287,3 +5287,100 @@ GROUP BY 1, u.n, d.n
 """,
     doc="Optimistic file-granular MERGE: lease-free compute + rebase publish now carries survivor refs (stage_commit carry_files), identical final state to the locked path, mtimes/feed/fg pinned",
 )
+
+
+def _q_table_add_columns_backfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Metadata-only ADD COLUMNS + the full rename recipe (round 15):
+    ``add_columns`` appends a nullable column as a zero-data-I/O
+    commit (entries verbatim, empty change-feed diff, every file
+    mtime-untouched — pinned in-function), ``update_where`` backfills
+    it from the old column (the one honest O(table) step), and
+    ``drop_columns`` retires the old name — the add-new → backfill →
+    drop-old recipe SCALE.md documents instead of an in-place RENAME.
+    The oracle recomputes the end state (value re-typed into integer
+    cents under a new name) arithmetically from ``events``; the
+    metadata-only pins are hashed constants.
+
+    Scale shape: the add is O(manifest) regardless of table size —
+    the only affordable add-column at 100 TB; the backfill cost is
+    explicit and skippable when the column starts life NULL."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..operators.table import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    evp = (
+        ev.withColumn("pt", (F.col("event_id") % 4).cast("int"))
+        .repartitionByRange(16, F.col("pt"), F.col("event_id"))
+        .sortWithinPartitions("pt", "event_id")
+    )
+    work = tempfile.mkdtemp(prefix="addcols_")
+    try:
+        mt = ManifestTable(spark, f"{work}/events_ac")
+        mt.create(evp, ["pt"])
+        mtimes0 = {
+            p: _os.path.getmtime(p)
+            for p in _glob.glob(
+                f"{mt.path}/_data/**/*.parquet", recursive=True
+            )
+        }
+        mt.add_columns({"value_cents": "bigint"}, retain_versions=5)
+        # metadata-only pins: zero diff, zero data I/O, old shape
+        # retained at v1
+        assert mt.changes(1, 2).count() == 0
+        assert all(
+            _os.path.getmtime(p) == t for p, t in mtimes0.items()
+        ), "the metadata-only add touched a data file"
+        assert "value_cents" not in mt.read(version=1).columns
+        meta_only = 1
+        r = mt.update_where(
+            [("event_id", ">=", 0)],
+            set={"value_cents": "CAST(ROUND(value * 100) AS BIGINT)"},
+            retain_versions=5,
+        )
+        n_backfilled = r["rows_updated"]
+        mt.drop_columns(["value"], retain_versions=5)
+        rows = (
+            mt.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+                F.sum("value_cents").cast("bigint").alias("v_cents"),
+            )
+            .withColumn(
+                "backfilled", F.lit(n_backfilled).cast("bigint")
+            )
+            .withColumn("meta_only_add", F.lit(meta_only).cast("int"))
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, id_checksum bigint,"
+            " v_cents bigint, backfilled bigint, meta_only_add int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_add_columns_backfill"] = Q(
+    _q_table_add_columns_backfill,
+    """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS v_cents,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS backfilled,
+       CAST(1 AS INT) AS meta_only_add
+FROM events
+GROUP BY 1
+""",
+    doc="Metadata-only ADD COLUMNS + backfill + drop (the rename recipe): zero-diff zero-I/O add pinned, value re-typed to integer cents under a new name",
+)

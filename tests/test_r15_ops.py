@@ -567,3 +567,70 @@ class TestOptimisticFileGranular:
         mt.vacuum(retain_versions=1)
         got = sorted(row.id for row in mt.read().collect())
         assert got == [i for i in range(1000) if i not in (10, 700)]
+
+
+class TestAddColumns:
+    """r15 metadata-only ALTER TABLE ADD COLUMNS — the twin of
+    drop_columns and the first step of the documented rename recipe
+    (add → backfill via update_where → drop)."""
+
+    def test_metadata_only_add_and_null_backfill(self, spark, tmp_path):
+        mt = _mk_status_table(spark, str(tmp_path / "t"))
+        mt0 = _mtimes(mt.path)
+        v = mt.add_columns(
+            {"region": "string", "score": "decimal(10,2)"},
+            retain_versions=5,
+        )
+        assert v == 2
+        # zero data I/O: every file byte-untouched, entries verbatim
+        assert _mtimes(mt.path) == mt0
+        assert mt.changes(1, 2).count() == 0
+        got = mt.read()
+        assert got.columns == ["id", "pt", "v", "region", "score"]
+        assert got.filter("region is null and score is null").count() == 8
+        assert mt.read(version=1).columns == ["id", "pt", "v"]
+        flds = {f.name: f for f in mt.schema().fields}
+        assert flds["region"].nullable and flds["score"].nullable
+        assert flds["score"].dataType.simpleString() == "decimal(10,2)"
+
+    def test_rename_recipe_end_to_end(self, spark, tmp_path):
+        # add-new → backfill → drop-old: the SCALE.md r13 recipe,
+        # now fully first-class
+        mt = _mk_status_table(spark, str(tmp_path / "t"))
+        mt.add_columns({"v2": "string"}, retain_versions=5)
+        mt.update_where(
+            [("id", ">=", 0)], set={"v2": "v"}, retain_versions=5
+        )
+        mt.drop_columns(["v"], retain_versions=5)
+        got = {r.id: r.v2 for r in mt.read().collect()}
+        assert got == {i: f"v{i}" for i in range(8)}
+        assert mt.read().columns == ["id", "pt", "v2"]
+
+    def test_refusals(self, spark, tmp_path):
+        mt = _mk_status_table(spark, str(tmp_path / "t"))
+        with pytest.raises(ValueError, match="already exist"):
+            mt.add_columns({"v": "string"})
+        with pytest.raises(ValueError, match="reserved"):
+            mt.add_columns({"_p_x": "int"})
+        with pytest.raises(ValueError, match="at least one"):
+            mt.add_columns({})
+        mt.drop_columns(["v"], retain_versions=5)
+        with pytest.raises(ValueError, match="dropped"):
+            mt.add_columns({"v": "string"})
+        # all refusals pre-commit
+        assert mt.current_version() == 2  # only the drop committed
+
+    def test_merge_after_add_fills_values(self, spark, tmp_path):
+        # an added column participates in later merges like any other
+        mt = _mk_status_table(spark, str(tmp_path / "t"))
+        mt.add_columns({"region": "string"}, retain_versions=5)
+        upd = spark.createDataFrame(
+            [(1, 1, "nv", "eu")],
+            "id int, pt int, v string, region string",
+        )
+        merge_into_partitioned(
+            spark, mt.path, upd, ["id"], ["pt"], retain_versions=5
+        )
+        rows = {r.id: r.region for r in mt.read().collect()}
+        assert rows[1] == "eu"
+        assert all(v is None for k, v in rows.items() if k != 1)
