@@ -55,6 +55,7 @@ def start_changelog_merge_sink(
     compact_target_records_per_file: int | None = None,
     ttl_keep: float | None = None,
     ttl_delete_every: int = 20,
+    schema_evolution: bool = False,
 ):
     """Start the changelog→table merge stream; returns the query.
 
@@ -72,6 +73,20 @@ def start_changelog_merge_sink(
     more version of lag budget — size ``retain_versions``
     accordingly. Runs AFTER the batch's merge commit, inside the same
     serial foreachBatch slot, so it can never race the next batch.
+
+    ``schema_evolution`` (manifest layout only, r15) threads into
+    every batch's ordered merge: a changelog that gains a column
+    mid-stream (the upstream producer deployed a new field) evolves
+    the table add-only — new columns append nullable, history
+    NULL-backfills at scan time, the feed crosses the boundary under
+    ``changes()``'s add-only contract. With the default False the
+    batch REFUSES loudly and the stream stops (the safe default: a
+    surprise column is a contract change someone should approve), the
+    same choice Delta's sinks make. Note the stream's own reader
+    schema is fixed at start — evolution here covers columns already
+    in the stream schema but missing from the TABLE (e.g. a sink
+    started against an older table), which is exactly the restart
+    shape after a producer upgrade.
 
     ``compact_min_carried`` (manifest layout only, r15) arms the
     RECLAIM sweep on the same ``compact_every`` cadence: partitions
@@ -163,6 +178,12 @@ def start_changelog_merge_sink(
             raise ValueError("compact_min_carried must be >= 1")
         if compact_every < 1:
             raise ValueError("compact_every must be >= 1")
+    if schema_evolution and layout != "manifest":
+        raise ValueError(
+            "schema_evolution requires layout='manifest' — the hive"
+            " layout cannot NULL-backfill untouched partitions"
+            " atomically (merge_into_partitioned's own refusal)"
+        )
     if ttl_keep is not None:
         if layout != "manifest":
             raise ValueError(
@@ -286,6 +307,7 @@ def start_changelog_merge_sink(
             tiebreak_cols=tiebreak_cols,
             lock_stale_after_seconds=lock_stale_after_seconds,
             retain_versions=retain_versions,
+            schema_evolution=schema_evolution,
         )
         if ttl_keep is not None and (batch_id + 1) % ttl_delete_every == 0:
             from ..operators.table import ManifestTable, is_manifest_table

@@ -634,3 +634,84 @@ class TestAddColumns:
         rows = {r.id: r.region for r in mt.read().collect()}
         assert rows[1] == "eu"
         assert all(v is None for k, v in rows.items() if k != 1)
+
+
+class TestSinkSchemaEvolution:
+    """r15: the sink threads schema_evolution into its per-batch
+    ordered merge — the restart-after-producer-upgrade shape (stream
+    schema has a column the TABLE predates)."""
+
+    def _drive(self, spark, tmp_path, **sink_kw):
+        from fbg_kafka_stream_file_transfer_spark.streaming.merge_sink import (
+            start_changelog_merge_sink,
+        )
+
+        table = str(tmp_path / "table")
+        # the table predates the producer's new `region` column
+        df = spark.createDataFrame(
+            [(i, i % 2, float(i), 0) for i in range(8)],
+            "id int, pt int, v double, ts long",
+        )
+        stage = str(tmp_path / "seed")
+        df.write.parquet(stage)
+        ManifestTable(spark, table).create(
+            spark.read.parquet(stage), ["pt"]
+        )
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        schema = "id int, pt int, v double, ts long, region string, op string"
+        b = spark.createDataFrame(
+            [(1, 1, 101.0, 5, "eu", "U")], schema
+        )
+        tmp = str(tmp_path / "w0")
+        b.coalesce(1).write.parquet(tmp)
+        pf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(f"{tmp}/{pf}", f"{src}/000.parquet")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_changelog_merge_sink(
+            spark, stream, table, "id", ["pt"], "ts", "op",
+            str(tmp_path / "ckpt"), layout="manifest",
+            retain_versions=10, **sink_kw,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return ManifestTable(spark, table)
+
+    def test_evolving_sink_appends_column(self, spark, tmp_path):
+        mt = self._drive(spark, tmp_path, schema_evolution=True)
+        got = {r.id: (r.v, r.region) for r in mt.read().collect()}
+        assert got[1] == (101.0, "eu")
+        assert got[0] == (0.0, None)  # survivor NULL-backfills
+        assert len(got) == 8
+
+    def test_default_stays_loud(self, spark, tmp_path):
+        from pyspark.errors.exceptions.captured import (
+            StreamingQueryException,
+        )
+
+        with pytest.raises(StreamingQueryException, match="schema_evolution"):
+            self._drive(spark, tmp_path)
+
+    def test_hive_layout_refuses_at_start(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.streaming.merge_sink import (
+            start_changelog_merge_sink,
+        )
+
+        src = str(tmp_path / "src_empty")
+        os.makedirs(src)
+        with pytest.raises(ValueError, match="manifest"):
+            start_changelog_merge_sink(
+                spark,
+                spark.readStream.schema("id int, pt int, ts long, op string")
+                .parquet(src),
+                str(tmp_path / "t"),
+                "id", ["pt"], "ts", "op",
+                str(tmp_path / "ckpt"),
+                schema_evolution=True,
+            )
