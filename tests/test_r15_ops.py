@@ -715,3 +715,148 @@ class TestSinkSchemaEvolution:
                 str(tmp_path / "ckpt"),
                 schema_evolution=True,
             )
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _mixed_table(spark, root):
+    """All-nullable clustered fixture with NaN/NULL landmines (the
+    r14 fuzz shape) — nullable throughout so the OPTIMISTIC path's
+    schema-drift guard never fires incidentally."""
+    rows = [(i, i % 3, float(i)) for i in range(400)]
+    rows += [(500, 0, float("nan")), (501, 1, None), (502, 2, None)]
+    df = (
+        spark.createDataFrame(rows, "id int, pt int, v double")
+        .repartitionByRange(12, "pt", "id")
+        .sortWithinPartitions("pt", "id")
+    )
+    mt = ManifestTable(spark, str(root / "t"))
+    mt.create(df, ["pt"])
+    return mt, df
+
+
+def _r15_clause():
+    id_lo = st.sampled_from([0, 37, 150, 288, 399])
+    return st.one_of(
+        st.tuples(id_lo, st.sampled_from([1, 13, 60])).map(
+            lambda t: [("id", ">=", t[0]), ("id", "<", t[0] + t[1])]
+        ),
+        st.sampled_from(
+            [
+                [("v", ">", 390.0)],
+                [("pt", "=", 1), ("id", "<", 50)],
+                [("id", "between", (100, 140))],
+            ]
+        ),
+    )
+
+
+class TestOptimisticFgChainFuzz:
+    """Property (r15): a CHAIN of deletes alternating freely between
+    the locked and optimistic commit paths — both now file-granular —
+    still equals the chained filter recomputation, and the table
+    verifies (carried refs resolve, no orphan membership)."""
+
+    @given(
+        seq=st.lists(
+            st.tuples(_r15_clause(), st.booleans()),
+            min_size=2,
+            max_size=3,
+        ),
+    )
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    def test_mixed_path_chain_equals_recompute(
+        self, spark, tmp_path_factory, seq
+    ):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _normalize_where,
+            _where_to_filter,
+        )
+
+        root = tmp_path_factory.mktemp("ofg_fuzz")
+        mt, df = _mixed_table(spark, root)
+        cur = df
+        for where, opt in seq:
+            pred = _where_to_filter(_normalize_where(where))
+            mt.delete_where(where, retain_versions=2, optimistic=opt)
+            cur = cur.filter(~F.coalesce(pred, F.lit(False)))
+        got = sorted(row.id for row in mt.read().collect())
+        want = sorted(row.id for row in cur.collect())
+        assert got == want, seq
+        assert mt.verify_table()["ok"], seq
+
+
+class TestEvolutionMergeFuzz:
+    """Property (r15): a blind evolution merge (random band, random
+    tombstone mix, one new column) equals the relational
+    recomputation — winners carry the new value, survivors and
+    non-band rows NULL."""
+
+    @given(
+        lo=st.sampled_from([0, 50, 150, 300]),
+        width=st.sampled_from([5, 40, 90]),
+        with_deletes=st.booleans(),
+    )
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    def test_blind_evolution_equals_recompute(
+        self, spark, tmp_path_factory, lo, width, with_deletes
+    ):
+        root = tmp_path_factory.mktemp("evo_fuzz")
+        mt, df = _mixed_table(spark, root)
+        hi = lo + width
+        del_lo, del_hi = hi, hi + (20 if with_deletes else 0)
+        upd = df.filter(
+            (F.col("id") >= lo) & (F.col("id") < hi)
+        ).select(
+            "id", "pt", (F.col("v") + 1000).alias("v"),
+            F.concat(F.lit("t"), F.col("id")).alias("tag"),
+            F.lit("U").alias("op"),
+        )
+        dele = df.filter(
+            (F.col("id") >= del_lo) & (F.col("id") < del_hi)
+        ).select(
+            "id", "pt", "v",
+            F.lit(None).cast("string").alias("tag"),
+            F.lit("D").alias("op"),
+        )
+        merge_into_partitioned(
+            spark, mt.path, upd.unionByName(dele), ["id"], ["pt"],
+            op_col="op", schema_evolution=True, retain_versions=2,
+        )
+        def canon(rows):
+            return sorted(
+                (
+                    r.id,
+                    "NaN" if (r.v is not None and r.v != r.v) else r.v,
+                    r.tag,
+                )
+                for r in rows
+            )
+        want = (
+            df.filter(
+                (F.col("id") < del_lo) | (F.col("id") >= del_hi)
+            )
+            .select(
+                "id",
+                "pt",
+                F.when(
+                    (F.col("id") >= lo) & (F.col("id") < hi),
+                    F.col("v") + 1000,
+                ).otherwise(F.col("v")).alias("v"),
+                F.when(
+                    (F.col("id") >= lo) & (F.col("id") < hi),
+                    F.concat(F.lit("t"), F.col("id")),
+                ).alias("tag"),
+            )
+        )
+        assert canon(mt.read().collect()) == canon(want.collect()), (
+            lo, width, with_deletes,
+        )
