@@ -860,3 +860,48 @@ class TestEvolutionMergeFuzz:
         assert canon(mt.read().collect()) == canon(want.collect()), (
             lo, width, with_deletes,
         )
+
+
+class TestEvolutionInteractions:
+    """r15 cross-feature pins: restore across an evolution boundary
+    keeps the superset schema (documented contract), and evolution
+    composes with the stats fold conservatively."""
+
+    def test_restore_across_evolution_boundary(self, spark, tmp_path):
+        mt = _mk_status_table(spark, str(tmp_path / "t"))
+        upd = spark.createDataFrame(
+            [(1, 1, "nv", "eu")],
+            "id int, pt int, v string, region string",
+        )
+        merge_into_partitioned(
+            spark, mt.path, upd, ["id"], ["pt"],
+            schema_evolution=True, retain_versions=5,
+        )
+        v = mt.restore(1, retain_versions=5)
+        got = mt.read()
+        # superset schema survives the rollback; v1 files NULL-backfill
+        assert got.columns == ["id", "pt", "v", "region"]
+        rows = {r.id: (r.v, r.region) for r in got.collect()}
+        assert rows[1] == ("v1", None)  # pre-evolution value restored
+        assert len(rows) == 8
+        # the rollback diff feeds like any commit
+        d = mt.changes(2, v)
+        assert d.filter("_change_type = 'delete' and id = 1").count() == 1
+
+    def test_add_columns_then_evolution_merge(self, spark, tmp_path):
+        # both add paths compose: metadata add, then a merge that
+        # evolves a SECOND column while writing the first
+        mt = _mk_status_table(spark, str(tmp_path / "t"))
+        mt.add_columns({"region": "string"}, retain_versions=5)
+        upd = spark.createDataFrame(
+            [(1, 1, "nv", "eu", 9)],
+            "id int, pt int, v string, region string, score int",
+        )
+        merge_into_partitioned(
+            spark, mt.path, upd, ["id"], ["pt"],
+            schema_evolution=True, retain_versions=5,
+        )
+        got = {r.id: (r.region, r.score) for r in mt.read().collect()}
+        assert got[1] == ("eu", 9)
+        assert all(v == (None, None) for k, v in got.items() if k != 1)
+        assert mt.read().columns == ["id", "pt", "v", "region", "score"]
