@@ -1794,3 +1794,131 @@ WHERE ets >= wm.hi - 864000.0
 """,
     doc="streaming CDC sink with event-time TTL: per-user latest state minus rows older than 10 days behind the manifest-stats watermark, expired as atomic DML the feed observes",
 )
+
+
+def _q_stream_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming CDC sink across a SCHEMA-EVOLUTION boundary (round
+    15): the state table is pre-created WITHOUT the ``plen`` column
+    (the legacy deployment), then the time-ordered 4-batch changelog
+    streams WITH it — the producer-upgrade shape. With
+    ``schema_evolution=True`` the first merged batch appends ``plen``
+    nullable and every later batch writes it; rows the stream never
+    touches (users ≡ 0 mod 3 here, withheld from the stream) keep
+    their legacy state and read back NULL — the manifest's
+    explicit-schema scan backfills files that predate the column.
+    In-function pins: v1 lacks the column, the final schema has it
+    nullable, and the feed crosses the boundary (add-only contract).
+
+    Determinism: the legacy table is the changelog fold of the WHOLE
+    corpus (per-user latest non-tombstone), so a streamed user's
+    final row is their latest event — the legacy row ties on (ets,
+    event_id) and loses to the update by the update-beats-current
+    tiebreak — and a withheld user keeps the legacy row verbatim.
+    The oracle recomputes both classes from ``events``.
+
+    Scale shape: evolution costs zero data I/O mid-stream — no pause,
+    no rewrite, the history NULL-backfills at scan time; this is how
+    a 100 TB CDC state table survives a producer deploy."""
+    import shutil
+    import tempfile
+
+    from ..functions.derivations import epoch_seconds
+    from ..operators.cdc import apply_changelog
+    from ..operators.table import ManifestTable
+    from ..streaming.merge_sink import start_changelog_merge_sink
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withColumn("ets", epoch_seconds(F.col("ts")))
+        .withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        )
+        .withColumn("pt", (F.col("user_id") % 8).cast("int"))
+    )
+    work = tempfile.mkdtemp(prefix="cdc_evo_")
+    table = f"{work}/state"
+    try:
+        legacy = apply_changelog(
+            ev.select(
+                "user_id", "pt", "event_id", "event_type", "ets", "op"
+            ),
+            "user_id",
+            "ets",
+            "op",
+            tiebreak_cols=("event_id",),
+            delete_op="D",
+        ).drop("op")
+        mt = ManifestTable(spark, table)
+        mt.create(legacy, ["pt"])
+        assert "plen" not in mt.read().columns
+        streamed = ev.filter(F.col("user_id") % 3 != 0).select(
+            "user_id",
+            "pt",
+            "event_id",
+            "event_type",
+            "ets",
+            F.length("props").cast("int").alias("plen"),
+            "op",
+        )
+        stream = _time_ordered_stream(
+            spark, streamed, F.col("ets"), work
+        )
+        q = start_changelog_merge_sink(
+            spark,
+            stream,
+            table,
+            "user_id",
+            ["pt"],
+            "ets",
+            "op",
+            f"{work}/ckpt",
+            tiebreak_cols=("event_id",),
+            layout="manifest",
+            retain_versions=10,
+            schema_evolution=True,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        last = mt.schema().fields[-1]
+        assert last.name == "plen" and last.nullable, last
+        assert "plen" not in mt.read(version=1).columns
+        # the feed crosses the evolution boundary add-only
+        assert "plen" in mt.changes(1, mt.current_version()).columns
+        rows = mt.read().select(
+            "user_id", "pt", "event_id", "event_type", "plen"
+        ).collect()
+        return spark.createDataFrame(
+            rows,
+            "user_id long, pt int, event_id long, event_type string,"
+            " plen int",
+        ).withColumnRenamed("event_id", "last_event_id")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["stream_schema_evolution_e2e"] = Q(
+    _q_stream_schema_evolution,
+    """
+WITH ranked AS (
+  SELECT user_id, CAST(user_id % 8 AS INTEGER) AS pt, event_id,
+         event_type, props,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch(ts) DESC, event_id DESC) AS rn
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT user_id, pt, event_id AS last_event_id, event_type,
+       CASE WHEN user_id % 3 <> 0
+            THEN CAST(LENGTH(props) AS INTEGER) END AS plen
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+""",
+    doc="streaming CDC sink across a schema-evolution boundary: mid-stream add-only column append, streamed users carry values, withheld users NULL-backfill",
+)
