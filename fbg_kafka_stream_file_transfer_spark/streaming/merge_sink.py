@@ -53,6 +53,7 @@ def start_changelog_merge_sink(
     compact_min_carried: int | None = None,
     compact_every: int = 20,
     compact_target_records_per_file: int | None = None,
+    compact_cluster_by: list[str] | None = None,
     ttl_keep: float | None = None,
     ttl_delete_every: int = 20,
     schema_evolution: bool = False,
@@ -99,6 +100,19 @@ def start_changelog_merge_sink(
     data I/O (the carried counts live in the manifest); combinable
     with ``compact_min_files`` (one sweep, union selection). Same
     best-effort contract as auto-compaction.
+
+    ``compact_cluster_by`` (r15) threads into every armed sweep as
+    ``compact(cluster_by=...)`` — and a sink whose merges are
+    file-granular should ALWAYS set it to its key column: the fg
+    merge's whole cost class rests on key-disjoint per-file bounds,
+    and an unclustered compaction rewrite makes NO ordering promise —
+    at scale (many read tasks recombining overlapping micro-batch
+    files) the rewritten files go near-full-range on the key and
+    every later point merge silently degrades back to
+    whole-partition rewrites. DML never pays this (fg DELETE/UPDATE
+    preserve surviving files byte-identically, so their bounds
+    survive by construction); the compaction rewrite is the one
+    place clustering can be lost, so it is the place to restore it.
 
     ``ttl_keep`` (manifest layout only, r14) arms EVENT-TIME
     RETENTION — the "table expires old rows" shape every CDC table
@@ -379,6 +393,7 @@ def start_changelog_merge_sink(
                     target_records_per_file=(
                         compact_target_records_per_file
                     ),
+                    cluster_by=compact_cluster_by,
                     lock_stale_after_seconds=lock_stale_after_seconds,
                 )
             except Exception:  # noqa: BLE001 — best-effort contract

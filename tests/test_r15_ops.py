@@ -905,3 +905,84 @@ class TestEvolutionInteractions:
         assert got[1] == ("eu", 9)
         assert all(v == (None, None) for k, v in got.items() if k != 1)
         assert mt.read().columns == ["id", "pt", "v", "region", "score"]
+
+
+class TestCompactClusteringLoop:
+    """r15: an UNCLUSTERED compaction rewrite silently destroys the
+    key-disjoint per-file bounds the fg merges/DML depend on — the
+    sink must be able to restore clustering in its armed sweeps
+    (compact_cluster_by)."""
+
+    def test_clustered_compact_restores_fg_selectivity(
+        self, spark, tmp_path
+    ):
+        # the CDC accretion shape: files whose key bounds all span the
+        # whole keyspace (hash-distributed writes), so a point delete
+        # can prove nothing at the file level — then ONE clustered
+        # compaction restores key-disjoint bounds and fg selectivity
+        df = spark.createDataFrame(
+            [(i, 0, float(i)) for i in range(1000)],
+            "id int, pt int, v double",
+        ).repartition(4)  # 4 files, each near-full-range on id
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(df, ["pt"])
+        e = mt.manifest()["entries"][0]
+        assert len(e["files"]) == 4
+        r1 = mt.delete_where([("id", "=", 20)], retain_versions=5)
+        # overlapping bounds: no file can be excluded — the statement
+        # degrades to the whole partition (fg proves nothing)
+        assert r1["entries_file_scoped"] == 0, r1
+        mt.compact(
+            retain_versions=5, cluster_by=["id"],
+            target_records_per_file=250,
+        )
+        r2 = mt.delete_where([("id", "=", 30)], retain_versions=5)
+        assert r2["entries_file_scoped"] == 1, r2
+        assert r2["files_carried"] >= 1, r2
+        got = sorted(row.id for row in mt.read().collect())
+        assert got == [
+            i for i in range(1000) if i not in (20, 30)
+        ]
+
+    def test_sink_threads_cluster_by(self, spark, tmp_path, monkeypatch):
+        from fbg_kafka_stream_file_transfer_spark.streaming.merge_sink import (
+            start_changelog_merge_sink,
+        )
+
+        seen = []
+        real = ManifestTable.compact
+
+        def spy(self, **kw):
+            seen.append(kw.get("cluster_by"))
+            return real(self, **kw)
+
+        monkeypatch.setattr(ManifestTable, "compact", spy)
+        table = str(tmp_path / "table")
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        schema = "id int, pt int, v double, ts long, op string"
+        for i in range(2):
+            b = spark.createDataFrame(
+                [(100 * i + j, j % 2, float(i), 100 + i, "U") for j in range(6)],
+                schema,
+            )
+            tmp = str(tmp_path / f"w{i}")
+            b.coalesce(1).write.parquet(tmp)
+            pf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            os.rename(f"{tmp}/{pf}", f"{src}/{i:03d}.parquet")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_changelog_merge_sink(
+            spark, stream, table, "id", ["pt"], "ts", "op",
+            str(tmp_path / "ckpt"), layout="manifest",
+            retain_versions=10, compact_min_files=2, compact_every=1,
+            compact_cluster_by=["id"],
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert seen and all(cb == ["id"] for cb in seen), seen
