@@ -986,3 +986,67 @@ class TestCompactClusteringLoop:
         finally:
             q.stop()
         assert seen and all(cb == ["id"] for cb in seen), seen
+
+
+class TestTailAcrossEvolution:
+    """r15: a table_tail feed crossing a schema-evolution boundary —
+    pre-evolution feed dirs lack the new column; read_changes_feed's
+    current-superset explicit schema NULL-backfills them, and the
+    folded feed equals the evolved table state."""
+
+    def test_feed_crosses_evolution_boundary(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.streaming.table_tail import (
+            read_changes_feed,
+            start_table_changes_tail,
+        )
+
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        base = spark.createDataFrame(
+            [(1, "a", "x1"), (2, "a", "x2"), (3, "b", "x3")],
+            "id int, pt string, v string",
+        )
+        mt.create(base, ["pt"])
+        q = start_table_changes_tail(
+            spark, path, str(tmp_path / "feed"), str(tmp_path / "ckpt"),
+        )
+        try:
+            q.processAllAvailable()  # v1 snapshot, OLD schema
+            upd = spark.createDataFrame(
+                [(1, "a", "X1", "eu", "U"), (9, "c", "x9", "us", "U")],
+                "id int, pt string, v string, region string, op string",
+            )
+            merge_into_partitioned(
+                spark, path, upd, ["id"], ["pt"], op_col="op",
+                schema_evolution=True, retain_versions=5,
+            )
+            q.processAllAvailable()  # v2 diff, NEW schema
+        finally:
+            q.stop()
+        feed = read_changes_feed(spark, path, str(tmp_path / "feed"))
+        assert "region" in feed.columns
+        rows = {
+            (r._commit_version, r.id, r.region, r._change_type)
+            for r in feed.collect()
+        }
+        # v1 snapshot rows NULL-backfill region; v2 carries values
+        assert (1, 1, None, "insert") in rows
+        assert (2, 1, None, "delete") in rows
+        assert (2, 1, "eu", "insert") in rows
+        assert (2, 9, "us", "insert") in rows
+        # folding the feed reproduces the evolved table state
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("id").orderBy(
+            F.col("_commit_version").desc(),
+            F.col("_change_type").desc(),  # same-version update:
+            # the insert IS the post-state; a bare delete means gone
+        )
+        latest = (
+            feed.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1 and _change_type = 'insert'")
+            .select("id", "pt", "v", "region")
+        )
+        got = sorted((tuple(r) for r in latest.collect()), key=repr)
+        want = sorted((tuple(r) for r in mt.read().collect()), key=repr)
+        assert got == want
