@@ -275,6 +275,174 @@ def salted_join(
     return b.join(s, on + ["_salt"]).drop("_salt")
 
 
+# ---- cast safety (r16) -------------------------------------------------
+# This session runs with spark.sql.ansi.enabled=false (session.py —
+# the documented oracle-parity choice), so Catalyst casts never THROW:
+# a narrowing numeric cast WRAPS (bigint 2^40+7 → int 7), a
+# float→integral cast truncates, and a cross-family cast NULLs. Any
+# implicit cast the DML/MERGE family applies to user data must
+# therefore be proven lossless DRIVER-SIDE, before any job runs — the
+# r15 verdict's confirmed-corruption repro (a wider-typed delta column
+# silently wrapped by the merge alignment projection) is exactly the
+# class these helpers refuse.
+
+_INT_RANK = {"byte": 1, "short": 2, "integer": 3, "long": 4}
+_FLOAT_RANK = {"float": 1, "double": 2}
+# decimal digits needed to hold each integral type exactly
+_INT_DECIMAL_DIGITS = {1: 3, 2: 5, 3: 10, 4: 19}
+
+
+def _cast_class(src, dst) -> str:
+    """Classify casting a value of type ``src`` into a slot declared
+    ``dst`` under ANSI-off semantics:
+
+    - ``'identical'`` — no cast needed;
+    - ``'widen'`` — lossless: every ``src`` value is exactly
+      representable in ``dst`` (integral up-chain, float→double,
+      byte/short/int→double or →float where the mantissa covers the
+      range, decimal growth, integral→decimal with room,
+      date→timestamp);
+    - ``'wrap'`` — same-family NARROWING: the cast silently wraps,
+      truncates, or rounds (bigint→int, double→float, double→int,
+      decimal scale loss, timestamp→date) — the data-corruption class;
+    - ``'cross'`` — cross-family: value-dependent, NULL on failure
+      (string↔numeric, bool↔numeric, …).
+    """
+    from pyspark.sql import types as T
+
+    if src == dst:
+        return "identical"
+    s, d = src.typeName(), dst.typeName()
+    si, di = _INT_RANK.get(s), _INT_RANK.get(d)
+    sf, df_ = _FLOAT_RANK.get(s), _FLOAT_RANK.get(d)
+    if si and di:
+        return "widen" if si < di else "wrap"
+    if sf and df_:
+        return "widen" if sf < df_ else "wrap"
+    if si and d == "double":
+        # double's 53-bit mantissa holds byte/short/int exactly;
+        # long→double ROUNDS past 2^53
+        return "widen" if si <= 3 else "wrap"
+    if si and d == "float":
+        # float's 24-bit mantissa holds byte/short exactly
+        return "widen" if si <= 2 else "wrap"
+    if sf and di:
+        return "wrap"  # truncates the fraction, wraps past the range
+    if isinstance(src, T.DecimalType) and isinstance(dst, T.DecimalType):
+        ok = (
+            dst.scale >= src.scale
+            and dst.precision - dst.scale >= src.precision - src.scale
+        )
+        return "widen" if ok else "wrap"
+    if si and isinstance(dst, T.DecimalType):
+        need = _INT_DECIMAL_DIGITS[si]
+        return "widen" if dst.precision - dst.scale >= need else "wrap"
+    if isinstance(src, T.DecimalType) and (di or d in _FLOAT_RANK):
+        return "wrap"  # rounds
+    if sf and isinstance(dst, T.DecimalType):
+        return "wrap"  # rounds
+    if s == "date" and d in ("timestamp", "timestamp_ntz"):
+        return "widen"  # midnight-of conversion, invertible
+    if s in ("timestamp", "timestamp_ntz") and d == "date":
+        return "wrap"  # truncates the time component
+    return "cross"
+
+
+def _parquet_widen_ok(old, new) -> bool:
+    """Stored-type WIDENING pairs this build supports: the Spark 4
+    parquet readers must be able to read the OLD (narrow-written)
+    files through the NEW manifest schema with zero rewrite
+    (SPARK-40876 widening conversions — every pair here
+    probe-verified on this runtime, vectorized and non-vectorized),
+    and the manifest's driver-side stats frame must compare old and
+    new bounds compatibly (Python int/float/Decimal interoperate;
+    date-vs-datetime would raise, so date→timestamp_ntz is reader-
+    supported but deliberately NOT offered as an evolution — the
+    pruning frame for pre-widen bounds would break)."""
+    from pyspark.sql import types as T
+
+    if _cast_class(old, new) != "widen":
+        return False
+    o, n = old.typeName(), new.typeName()
+    oi, ni = _INT_RANK.get(o), _INT_RANK.get(n)
+    if oi and ni:
+        return True  # integral up-chain
+    if o == "float" and n == "double":
+        return True
+    if oi and n == "double":
+        return True  # byte/short/int → double (widen class proves ≤ int)
+    if isinstance(new, T.DecimalType) and (
+        oi or isinstance(old, T.DecimalType)
+    ):
+        return True  # integral→decimal-with-room / decimal growth
+    return False
+
+
+def _assert_safe_delta_casts(
+    delta_schema,
+    cur_types: dict,
+    partition_cols: list[str],
+    op_col: str | None,
+    context: str,
+    widenable: bool = False,
+    exempt: set | None = None,
+) -> dict:
+    """Guard the merge alignment projection: every delta column the
+    stored schema shares must cast LOSSLESSLY to the stored type
+    (identical or widen — the existing up-cast alignment). Returns
+    ``{col: delta_type}`` for columns where the STORED side should
+    widen instead (only when ``widenable`` — the locked manifest
+    blind/ordered path with ``schema_evolution=True``); refuses
+    loudly (before any data I/O — the table is untouched) for
+    every wrap/cross cast, naming the recipe. ``exempt`` columns
+    (the plain layout's directory-inferred partition columns) skip
+    the check entirely."""
+    widen_to: dict = {}
+    for f in delta_schema.fields:
+        c = f.name
+        if c == op_col or c not in cur_types or (exempt and c in exempt):
+            continue
+        cls = _cast_class(f.dataType, cur_types[c])
+        if cls in ("identical", "widen"):
+            continue
+        dt, st = f.dataType.simpleString(), cur_types[c].simpleString()
+        can_widen = _parquet_widen_ok(cur_types[c], f.dataType)
+        if can_widen and widenable:
+            if c in partition_cols:
+                raise ValueError(
+                    f"{context}: partition column {c!r} is {st} but the"
+                    f" delta carries {dt} — a partition column's type"
+                    " is fixed at create (its values are the manifest"
+                    " entry keys); cast the delta explicitly, or"
+                    " repartition_table into a wider-typed layout"
+                )
+            widen_to[c] = f.dataType
+            continue
+        effect = (
+            "silently wraps/truncates values that do not fit"
+            if cls == "wrap"
+            else "silently NULLs unconvertible values"
+        )
+        recipe = (
+            "cast the delta column explicitly if lossy alignment is"
+            " intended"
+        )
+        if can_widen:
+            recipe += (
+                ", or pass schema_evolution=True on the locked"
+                " manifest-table path to WIDEN the stored type"
+                " instead (zero rewrite: old files read through the"
+                " wider schema)"
+            )
+        raise ValueError(
+            f"{context}: delta column {c!r} is {dt} but the stored"
+            f" column is {st}; with ANSI off this cast {effect} —"
+            f" refused before any write (the table is unchanged)."
+            f" {recipe}"
+        )
+    return widen_to
+
+
 def merge_into_partitioned(
     spark: SparkSession,
     path: str,
@@ -451,6 +619,33 @@ def merge_into_partitioned(
       ``drop_columns`` tombstoned name still refuses (resurrection
       guard). Composes with the file-granular path: carried files
       simply predate the column.
+
+    TYPE WIDENING (r16): a delta column WIDER than the stored column
+    (bigint delta → int stored, double → float, wider decimal) never
+    aligns silently — with ANSI off the old down-cast WRAPPED
+    (confirmed corruption: bigint 2^40+7 stored as 7). The contract:
+
+    - ``schema_evolution=False``: REFUSE loudly before any I/O,
+      naming the column and both types; cast the delta explicitly if
+      lossy alignment is truly intended.
+    - ``schema_evolution=True`` (locked manifest blind/ordered path):
+      the STORED type widens to the delta's — a zero-rewrite schema
+      change (Delta/Iceberg type widening): only touched partitions
+      rewrite (wide); untouched partitions and carried files keep
+      their narrow bytes and every read applies the wide manifest
+      schema (the Spark 4 parquet widening read, probe-verified
+      pairs only — ``_parquet_widen_ok``: integral up-chain,
+      float→double, byte/short/int→double, decimal growth,
+      integral→decimal-with-room). Time travel to a pre-widen
+      version reads the narrow schema; ``changes()`` across the
+      boundary emits the wide type (from side up-cast losslessly).
+      Partition columns never widen (their values are the manifest
+      entry keys). A cast that is not a supported widening —
+      cross-family, or a lossy direction — refuses in BOTH modes.
+      ``update_where`` SET expressions and conditional-merge
+      ``when_matched_update`` expressions are guarded by the same
+      classifier (wrapping casts refuse driver-side; cast explicitly
+      inside the expression to opt in).
 
     Evolution refuses up front when it cannot be atomic or defined:
     conditional-clause mode (clauses name their target columns
@@ -725,6 +920,23 @@ def _merge_into_plain(
         # sides can never disagree about a partition's identity.
         current_all = spark.read.parquet(path)
         cur_types = {f.name: f.dataType for f in current_all.schema.fields}
+        # cast safety (r16): DATA columns may only up-cast (same
+        # refusal contract as the manifest path; the plain layout
+        # cannot widen at all — no manifest to carry the evolved
+        # schema, and schema-less readers would coerce per file).
+        # PARTITION columns are exempt: their read-back types come
+        # from directory-name inference (the documented reason this
+        # alignment exists), so delta-vs-inferred mismatches there are
+        # representational, not lossy.
+        _assert_safe_delta_casts(
+            delta.schema,
+            cur_types,
+            partition_cols,
+            op_col,
+            f"merge into {path} (hive layout)",
+            widenable=False,
+            exempt=set(partition_cols),
+        )
         aligned = delta.select(
             *[
                 F.col(c).cast(cur_types[c]).alias(c) if c in cur_types else F.col(c)
@@ -952,22 +1164,45 @@ def _compute_merged_conditional(
         # NULL condition is FALSE — SQL WHERE semantics (pinned)
         return F.coalesce(col.cast("boolean"), F.lit(False))
 
-    upd: dict[str, Column] = {}
+    raw_upd: dict[str, Column] = {}
     for c, e in clauses.matched_update.items():
         if c not in tfields:
             raise ValueError(
                 f"when_matched_update column {c!r} is not in the table"
                 f" schema {sorted(tfields)}"
             )
-        expr = F.expr(e) if isinstance(e, str) else e
-        # implicit cast to the stored column type, as Delta does
-        upd[c] = expr.cast(tfields[c])
+        raw_upd[c] = F.expr(e) if isinstance(e, str) else e
 
     t = current.withColumn("_mrg_t", F.lit(1)).alias("t")
     s = aligned.withColumn("_mrg_s", F.lit(1)).alias("s")
     # USING-column join: the key columns come out coalesced, correct
     # for all three row classes
     j = t.join(s, key_cols, "full_outer")
+    # cast safety (r16): each SET expression implicitly casts to the
+    # stored column type, as Delta does — but with ANSI off a
+    # same-family NARROWING cast silently wraps/truncates instead of
+    # failing. Resolve every expression's type against the joined
+    # frame (analysis only, no job) and refuse the wrapping class
+    # up front; widening/identical casts are lossless, cross-family
+    # casts keep Delta's value-dependent implicit-cast semantics.
+    if raw_upd:
+        names = sorted(raw_upd)
+        probe = j.select(
+            *[raw_upd[n].alias(f"_t_{i}") for i, n in enumerate(names)]
+        ).schema
+        for i, n in enumerate(names):
+            et = probe[f"_t_{i}"].dataType
+            if _cast_class(et, tfields[n]) == "wrap":
+                raise ValueError(
+                    f"when_matched_update expression for {n!r}"
+                    f" analyzes to {et.simpleString()} but the stored"
+                    f" column is {tfields[n].simpleString()}; with"
+                    " ANSI off this cast silently wraps/truncates"
+                    " values that do not fit — refused before any"
+                    " write. Cast explicitly inside the expression if"
+                    " the narrowing is intended"
+                )
+    upd = {c: e.cast(tfields[c]) for c, e in raw_upd.items()}
     matched = F.col("_mrg_t").isNotNull() & F.col("_mrg_s").isNotNull()
     t_only = F.col("_mrg_s").isNull()
     mcond = as_cond(clauses.matched_condition, True)
@@ -1111,9 +1346,28 @@ def _manifest_merge_plan(
     # re-read the same small file (extra metadata RPC per commit)
     stored = T.StructType.fromJson(man["schema"])
     cur_types = {f.name: f.dataType for f in stored.fields}
+    # cast safety (r16): the alignment projection below may only
+    # up-cast. A delta column WIDER than the stored column either
+    # widens the stored type (locked blind/ordered path with
+    # schema_evolution=True — zero rewrite, parquet readers read the
+    # old narrow files through the new schema) or refuses loudly; a
+    # wrap/cross cast always refuses (the r15-verdict corruption
+    # class: ANSI-off bigint→int alignment silently wrapped 2^40+7
+    # to 7).
+    widen_to = _assert_safe_delta_casts(
+        delta.schema,
+        cur_types,
+        partition_cols,
+        op_col,
+        f"merge into {mt.path}",
+        widenable=schema_evolution and clauses is None,
+    )
+    target_types = {**cur_types, **widen_to}
     aligned = delta.select(
         *[
-            F.col(c).cast(cur_types[c]).alias(c) if c in cur_types else F.col(c)
+            F.col(c).cast(target_types[c]).alias(c)
+            if c in target_types
+            else F.col(c)
             for c in delta.columns
         ]
     )
@@ -1323,6 +1577,23 @@ def _manifest_merge_plan(
         ]
         _reject_empty_string_partitions(touched, partition_cols)
         current = mt.read(partitions=touched, manifest_dict=man)
+    if widen_to:
+        # stored-type widening (r16): cast the current side UP to the
+        # delta's wider types, so the merged plan — whose schema
+        # _finalize_generation publishes — is uniformly wide. Only the
+        # touched partitions rewrite (wide); untouched partitions and
+        # carried files keep their narrow bytes, and every later read
+        # applies the wide manifest schema (the parquet widening read
+        # _parquet_widen_ok restricts the pairs to). Lossless by
+        # construction: widen_to only holds 'widen'-class pairs.
+        current = current.select(
+            *[
+                F.col(c).cast(widen_to[c]).alias(c)
+                if c in widen_to
+                else F.col(c)
+                for c in current.columns
+            ]
+        )
     if new_cols:
         # evolution: the current side gains the new columns as typed
         # NULLs (nullable by construction), so survivors keep shape

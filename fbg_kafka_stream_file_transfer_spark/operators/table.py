@@ -2342,9 +2342,15 @@ class ManifestTable:
         Schema evolution: columns added between the versions are NULL
         on the ``from`` side (the mergeSchema add-only contract);
         a column PRESENT in ``from`` but missing in ``to`` raises —
-        the diff cannot be represented in the target schema — and so
-        does a column whose TYPE changed (set-op coercion would
-        silently mask the change otherwise). Versions
+        the diff cannot be represented in the target schema. A column
+        whose TYPE changed raises too, with one carve-out (r16): a
+        supported lossless WIDENING (the merge
+        ``schema_evolution=True`` type-widening pairs —
+        int-chain/float→double/decimal growth) keeps the feed alive:
+        the diff is emitted in the ``to`` (wide) schema, the from
+        side up-casts losslessly, and rows unchanged except for the
+        re-type collapse to zero. Any other change still refuses
+        (set-op coercion would silently mask it). Versions
         outside the retain window raise via :meth:`manifest` (listing
         what is still available).
 
@@ -2395,13 +2401,32 @@ class ManifestTable:
             for f in to_schema.fields
             if f.name in from_types and from_types[f.name] != f.dataType
         )
+        widened: set = set()
         if retyped:
-            # silent set-op coercion would mask (or garble) the change
-            raise ValueError(
-                f"column(s) {retyped} changed type between "
-                f"v{man_from['version']} and v{man_to['version']}; the "
-                "evolution contract is add-only with stable types"
-            )
+            # a SUPPORTED widening (r16 — the merge schema_evolution
+            # type-widening contract, scale._parquet_widen_ok pairs)
+            # keeps the feed alive across the boundary: the diff is
+            # expressed in the TO (wide) schema and the from side
+            # casts up losslessly, so a CDC tail sees one stable wide
+            # type from the widening commit onward. Any OTHER type
+            # change still refuses — silent set-op coercion would
+            # mask (or garble) the change.
+            from .scale import _parquet_widen_ok
+
+            tt = {f.name: f.dataType for f in to_schema.fields}
+            not_widened = [
+                c
+                for c in retyped
+                if not _parquet_widen_ok(from_types[c], tt[c])
+            ]
+            if not_widened:
+                raise ValueError(
+                    f"column(s) {not_widened} changed type between "
+                    f"v{man_from['version']} and v{man_to['version']};"
+                    " the evolution contract is add-only with stable"
+                    " or losslessly-widened types"
+                )
+            widened = set(retyped)
         if change_col in to_names:
             raise ValueError(
                 f"change_col {change_col!r} collides with a table "
@@ -2498,7 +2523,16 @@ class ManifestTable:
         new = _side(man_to, "to").select(*to_names)
         old = old.select(
             *[
-                F.col(f.name)
+                (
+                    # widened boundary: lossless up-cast to the wide
+                    # to-type (restricted to _parquet_widen_ok pairs
+                    # above); a row unchanged except for the re-type
+                    # collapses in the multiset diff, so a pure
+                    # widening commit's untouched rows diff to zero
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    if f.name in widened
+                    else F.col(f.name)
+                )
                 if f.name in old.columns
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in to_schema.fields
@@ -2598,6 +2632,21 @@ class ManifestTable:
         ver = self.current_version()
         if ver is None:
             raise ValueError(f"manifest table does not exist: {self.path}")
+        if carry_files:
+            # same subset rule stage_commit enforces (advisor r16):
+            # _finalize_generation only consults carry for TOUCHED
+            # partitions, so a stray key's survivors would be
+            # silently unpublished — row loss
+            stray = sorted(
+                set(carry_files) - {_partition_key(t) for t in touched}
+            )
+            if stray:
+                raise ValueError(
+                    f"carry_files key(s) {stray} are not in the"
+                    " touched partition set — every carrying"
+                    " partition must be touched; include it in"
+                    " touched or drop the carry entry"
+                )
         if op_info is not None:
             try:
                 json.dumps(op_info)
@@ -3153,6 +3202,26 @@ class ManifestTable:
                 tuple(r) for r in back.select(*pcols).distinct().collect()
             ]
             _reject_empty_string_partitions(touched, pcols)
+        if carry_files:
+            # the documented soundness argument REQUIRES every
+            # carrying partition to be in touched — _finalize_
+            # generation only consults carry for touched partitions,
+            # so an outside entry would be silently dropped (its
+            # survivors unpublished: row loss). Loud up front, while
+            # the table is unchanged (advisor r16).
+            stray = sorted(
+                set(carry_files) - {_partition_key(t) for t in touched}
+            )
+            if stray:
+                fs, jstage = _hadoop_fs(self.spark, f"{self.path}/{rel}")
+                fs.delete(jstage, True)
+                raise ValueError(
+                    f"carry_files key(s) {stray} are not in the"
+                    " touched partition set — every carrying"
+                    " partition must be touched (its entry is"
+                    " rebuilt from carry + written files); include"
+                    " it in touched or drop the carry entry"
+                )
         # CHECK constraints validate HERE, outside the lease — the
         # locked publish phase must stay metadata-sized, so it skips
         # the back-read this probe needs. A violation deletes the
@@ -3757,10 +3826,18 @@ class ManifestTable:
                 if isinstance(t, T.DataType):
                     dt = t
                 else:
-                    # plan-only parse, no job: CAST(NULL AS <ddl>)
-                    dt = self.spark.sql(
-                        f"SELECT CAST(NULL AS {t})"
-                    ).schema[0].dataType
+                    # parse the DDL string through the TYPE parser,
+                    # never by interpolating it into SQL text — a
+                    # malformed (or crafted) string must fail as
+                    # "bad type", not parse as arbitrary expression
+                    # SQL (advisor r16)
+                    try:
+                        dt = T._parse_datatype_string(t)
+                    except Exception as exc:  # noqa: BLE001
+                        raise ValueError(
+                            f"add_columns: {t!r} is not a valid DDL"
+                            f" type string for column {c!r}"
+                        ) from exc
                 new_fields.append(
                     T.StructField(c, dt, True).jsonValue()
                 )
@@ -4032,15 +4109,37 @@ class ManifestTable:
         but whose cast result is NULL, and refuse. Columns whose
         expression already analyzes to the declared type skip the
         probe entirely (identity cast — decided driver-side, no
-        job), so a same-type UPDATE pays nothing."""
+        job), so a same-type UPDATE pays nothing.
+
+        Wrap safety (r16): the runtime probe only catches casts that
+        NULL — with ANSI off a same-family NARROWING cast (bigint
+        expr → int column, double → float, decimal scale loss)
+        silently wraps/truncates INSTEAD of NULLing, so it would slip
+        through. Those are refused DRIVER-SIDE from the resolved
+        expression type (``scale._cast_class``), before any job;
+        lossless widening casts skip the probe (they cannot NULL)."""
+        from .scale import _cast_class
+
         probe_schema = base.select(
             *[raws[n].alias(n) for n in sorted(raws)]
         ).schema
-        suspects = [
-            n
-            for n in sorted(raws)
-            if probe_schema[n].dataType != types[n]
-        ]
+        suspects = []
+        for n in sorted(raws):
+            et = probe_schema[n].dataType
+            cls = _cast_class(et, types[n])
+            if cls in ("identical", "widen"):
+                continue  # lossless — no probe needed
+            if cls == "wrap":
+                raise ValueError(
+                    f"update_where SET expression for {n!r} analyzes"
+                    f" to {et.simpleString()} but the declared column"
+                    f" type is {types[n].simpleString()}; with ANSI"
+                    " off this cast silently wraps/truncates values"
+                    " that do not fit — the statement was refused and"
+                    " the table is unchanged. Cast explicitly inside"
+                    " the expression if the narrowing is intended"
+                )
+            suspects.append(n)  # cross-family: runtime NULL-probe
         if not suspects:
             return
         import functools

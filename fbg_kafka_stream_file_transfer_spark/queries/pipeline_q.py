@@ -1922,3 +1922,152 @@ FROM ranked WHERE rn = 1 AND event_type <> 'error'
 """,
     doc="streaming CDC sink across a schema-evolution boundary: mid-stream add-only column append, streamed users carry values, withheld users NULL-backfill",
 )
+
+
+def _q_stream_type_widening(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming CDC sink across a TYPE-WIDENING boundary (round 16):
+    the state table is pre-created with ``vcents`` as INT (integer
+    cents — the legacy deployment), then the time-ordered changelog
+    streams it as BIGINT offset by 2^40 — out of int range, the shape
+    that silently WRAPPED before the r16 cast guard. With
+    ``schema_evolution=True`` the first merged batch WIDENS the
+    stored type zero-rewrite (manifest schema update; narrow history
+    reads through the wide schema via the Spark 4 parquet widening
+    read) and every later batch writes wide; users the stream never
+    touches (≡ 0 mod 3, withheld) keep their narrow bytes and read
+    back exact. In-function pins: v1 is int, the final schema is
+    bigint, the feed crosses the boundary wide.
+
+    Determinism: the legacy table is the changelog fold of the whole
+    corpus, so a streamed user's final row is their latest event (the
+    legacy row ties on (ets, event_id) and loses by the
+    update-beats-current tiebreak) and a withheld user keeps the
+    legacy row verbatim. The oracle recomputes both classes from
+    ``events``.
+
+    Scale shape: a type widening that rewrote a 100 TB state table
+    mid-stream would stall the pipeline for hours; this one is
+    O(first touched batch) — the bytes stay, the schema moves."""
+    import shutil
+    import tempfile
+
+    from ..functions.derivations import epoch_seconds
+    from ..operators.cdc import apply_changelog
+    from ..operators.table import ManifestTable
+    from ..streaming.merge_sink import start_changelog_merge_sink
+
+    OFFSET = 2**40
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withColumn("ets", epoch_seconds(F.col("ts")))
+        .withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        )
+        .withColumn("pt", (F.col("user_id") % 8).cast("int"))
+    )
+    work = tempfile.mkdtemp(prefix="cdc_widen_")
+    table = f"{work}/state"
+    try:
+        legacy = apply_changelog(
+            ev.select(
+                "user_id", "pt", "event_id", "ets",
+                F.round(F.col("value") * 100)
+                .cast("int")
+                .alias("vcents"),
+                "op",
+            ),
+            "user_id",
+            "ets",
+            "op",
+            tiebreak_cols=("event_id",),
+            delete_op="D",
+        ).drop("op")
+        mt = ManifestTable(spark, table)
+        mt.create(legacy, ["pt"])
+        assert (
+            mt.schema()["vcents"].dataType.simpleString() == "int"
+        )
+        streamed = ev.filter(F.col("user_id") % 3 != 0).select(
+            "user_id",
+            "pt",
+            "event_id",
+            "ets",
+            (
+                F.round(F.col("value") * 100).cast("bigint")
+                + F.lit(OFFSET).cast("bigint")
+            ).alias("vcents"),
+            "op",
+        )
+        stream = _time_ordered_stream(
+            spark, streamed, F.col("ets"), work
+        )
+        q = start_changelog_merge_sink(
+            spark,
+            stream,
+            table,
+            "user_id",
+            ["pt"],
+            "ets",
+            "op",
+            f"{work}/ckpt",
+            tiebreak_cols=("event_id",),
+            layout="manifest",
+            retain_versions=10,
+            schema_evolution=True,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # pins: widened in place, narrow history shape preserved
+        assert (
+            mt.schema()["vcents"].dataType.simpleString() == "bigint"
+        )
+        assert (
+            mt.read(version=1)
+            .schema["vcents"]
+            .dataType.simpleString()
+            == "int"
+        )
+        assert (
+            mt.changes(1, mt.current_version())
+            .schema["vcents"]
+            .dataType.simpleString()
+            == "bigint"
+        )
+        rows = mt.read().select(
+            "user_id", "pt", "event_id", "vcents"
+        ).collect()
+        return spark.createDataFrame(
+            rows,
+            "user_id long, pt int, event_id long, vcents bigint",
+        ).withColumnRenamed("event_id", "last_event_id")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["stream_type_widening_e2e"] = Q(
+    _q_stream_type_widening,
+    """
+WITH ranked AS (
+  SELECT user_id, CAST(user_id % 8 AS INTEGER) AS pt, event_id,
+         value, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch(ts) DESC, event_id DESC) AS rn
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT user_id, pt, event_id AS last_event_id,
+       CAST(CAST(ROUND(value * 100) AS BIGINT) + CASE
+            WHEN user_id % 3 <> 0 THEN 1099511627776 ELSE 0 END
+            AS BIGINT) AS vcents
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+""",
+    doc="streaming CDC sink across a type-widening boundary: mid-stream int→bigint stored-type widening (zero rewrite), streamed users carry wide values, withheld users' narrow bytes read exact through the wide schema",
+)

@@ -5384,3 +5384,299 @@ GROUP BY 1
 """,
     doc="Metadata-only ADD COLUMNS + backfill + drop (the rename recipe): zero-diff zero-I/O add pinned, value re-typed to integer cents under a new name",
 )
+
+
+def _q_merge_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE stored-type WIDENING certification (round 16): the
+    contract for a delta column WIDER than the stored column. On a
+    partitioned manifest table holding ``vc`` as INT (integer cents),
+    a band-A delta carries ``vc`` as BIGINT with values offset by
+    2^40 — out of int range, the r15-verdict corruption repro shape
+    (with ANSI off the old alignment cast silently WRAPPED 2^40+7 to
+    7). Pinned in-function: the default REFUSES loudly pre-commit
+    (version unchanged — never a silent wrap), then
+    ``schema_evolution=True`` widens the stored type to bigint as a
+    ZERO-REWRITE evolution: only the touched partitions rewrite;
+    untouched partitions keep their narrow bytes and read back exact
+    through the wide manifest schema (the Spark 4 parquet widening
+    read); time travel to v1 keeps INT; the change feed crosses the
+    boundary emitting the wide type with the delete side holding the
+    narrow original values. Band B tombstones ride the same merge.
+    The oracle recomputes the widened final state arithmetically from
+    ``events``.
+
+    Scale shape: at 100 TB a type widening that rewrote history would
+    be an O(table) job; this one is O(delta) — the manifest schema
+    changes, the bytes don't (Delta/Iceberg type widening)."""
+    import shutil
+    import tempfile
+
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable
+
+    OFFSET = 2**40
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    band = max(1, (max_id + 1) // 50)
+    a_lo = (max_id + 1) // 10
+    a_hi = a_lo + band
+    b_hi = a_hi + band
+    evp = (
+        ev.withColumn("pt", (F.col("event_id") % 4).cast("int"))
+        .withColumn(
+            "vc", F.round(F.col("value") * 100).cast("int")
+        )
+        .drop("value")
+        .repartitionByRange(16, F.col("pt"), F.col("event_id"))
+        .sortWithinPartitions("pt", "event_id")
+    )
+    work = tempfile.mkdtemp(prefix="merge_widen_")
+    try:
+        mt = ManifestTable(spark, f"{work}/events_widen")
+        mt.create(evp, ["pt"])
+        wide_vc = (
+            F.round(F.col("value") * 100).cast("bigint")
+            + F.lit(OFFSET).cast("bigint")
+        )
+        upd = (
+            ev.filter(
+                (F.col("event_id") >= a_lo) & (F.col("event_id") < a_hi)
+            )
+            .withColumn("pt", (F.col("event_id") % 4).cast("int"))
+            .select(
+                "event_id", "event_type",
+                wide_vc.alias("vc"), "pt",
+                F.lit("U").alias("op"),
+            )
+        )
+        dele = (
+            ev.filter(
+                (F.col("event_id") >= a_hi) & (F.col("event_id") < b_hi)
+            )
+            .withColumn("pt", (F.col("event_id") % 4).cast("int"))
+            .select(
+                "event_id", "event_type",
+                F.lit(None).cast("bigint").alias("vc"), "pt",
+                F.lit("D").alias("op"),
+            )
+        )
+        n_upd = upd.count()
+        # pin 1: the default refuses the narrowing LOUDLY, pre-commit
+        refused = 0
+        try:
+            merge_into_partitioned(
+                spark, mt.path, upd.limit(1), ["event_id"], ["pt"],
+                op_col="op", retain_versions=5,
+            )
+        except ValueError as exc:
+            refused = int(
+                "schema_evolution=True" in str(exc)
+                and mt.current_version() == 1
+            )
+        assert refused, "a wider delta must refuse pre-commit"
+        merge_into_partitioned(
+            spark, mt.path, upd.unionByName(dele), ["event_id"],
+            ["pt"], op_col="op", schema_evolution=True,
+            retain_versions=5,
+        )
+        # pin 2: stored type widened; time travel keeps the old one
+        wide_now = mt.schema()["vc"].dataType.simpleString()
+        old_type = mt.read(version=1).schema["vc"].dataType.simpleString()
+        assert (wide_now, old_type) == ("bigint", "int"), (
+            wide_now, old_type,
+        )
+        # pin 3: the feed crosses the boundary wide, delete side
+        # carrying the NARROW originals read up-cast
+        d = mt.changes(1, 2)
+        assert d.schema["vc"].dataType.simpleString() == "bigint"
+        assert (
+            d.filter(
+                (F.col("_change_type") == "delete")
+                & (F.col("vc") >= OFFSET)
+            ).count()
+            == 0
+        )
+        widened_ok = int(
+            d.filter(
+                (F.col("_change_type") == "insert")
+                & (F.col("vc") >= OFFSET)
+            ).count()
+            == n_upd
+        )
+        rows = (
+            mt.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+                F.sum("vc").cast("bigint").alias("vc_sum"),
+                F.count(F.when(F.col("vc") >= OFFSET, 1))
+                .cast("bigint")
+                .alias("n_wide"),
+            )
+            .withColumn("refused_narrowing", F.lit(refused).cast("int"))
+            .withColumn("feed_widened", F.lit(widened_ok).cast("int"))
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, id_checksum bigint,"
+            " vc_sum bigint, n_wide bigint, refused_narrowing int,"
+            " feed_widened int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["merge_type_widening"] = Q(
+    _q_merge_type_widening,
+    """
+WITH c AS (
+    SELECT (MAX(event_id) + 1) // 10 AS a_lo,
+           (MAX(event_id) + 1) // 10
+             + GREATEST(1, (MAX(event_id) + 1) // 50) AS a_hi,
+           (MAX(event_id) + 1) // 10
+             + 2 * GREATEST(1, (MAX(event_id) + 1) // 50) AS b_hi
+    FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) + CASE
+            WHEN event_id >= c.a_lo AND event_id < c.a_hi
+            THEN 1099511627776 ELSE 0 END) AS BIGINT) AS vc_sum,
+       CAST(SUM(CASE WHEN event_id >= c.a_lo AND event_id < c.a_hi
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_wide,
+       CAST(1 AS INT) AS refused_narrowing,
+       CAST(1 AS INT) AS feed_widened
+FROM events, c
+WHERE event_id < c.a_hi OR event_id >= c.b_hi
+GROUP BY 1
+""",
+    doc="MERGE type widening: a wider-typed delta refuses by default (the ANSI-off wrap corruption class, pinned pre-commit); schema_evolution=True widens the stored type zero-rewrite, time travel keeps the narrow shape, the feed crosses the boundary wide",
+)
+
+
+def _q_dml_cast_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DML cast-guard certification (round 16): the silently-wrapping
+    cast class is refused on EVERY expression surface, not just merge
+    alignment. On a manifest table holding ``vc`` as INT: (1) an
+    ``update_where`` whose SET expression analyzes to BIGINT refuses
+    driver-side BEFORE any job (version unchanged — the old behavior
+    wrapped the value); (2) a conditional-merge
+    ``when_matched_update`` with a BIGINT expression refuses the same
+    way; (3) the documented opt-in — an EXPLICIT cast inside the
+    expression — still works, two's-complement wrap and all (pinned
+    arithmetically: +2^40+7 wraps to +7 in int32). The oracle
+    recomputes the final state from ``events``; the refusal pins are
+    hashed constants a regression breaks.
+
+    Scale shape: both refusals are driver-side schema analysis — zero
+    jobs, zero data I/O; the opt-in update pays the normal
+    entry-pruned rewrite."""
+    import shutil
+    import tempfile
+
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable
+
+    WRAP = 2**40 + 7  # int32-wraps to +7
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    band = max(1, (max_id + 1) // 50)
+    a_lo = (max_id + 1) // 10
+    a_hi = a_lo + band
+    evp = (
+        ev.withColumn("pt", (F.col("event_id") % 4).cast("int"))
+        .withColumn("vc", F.round(F.col("value") * 100).cast("int"))
+        .drop("value")
+        .repartitionByRange(16, F.col("pt"), F.col("event_id"))
+        .sortWithinPartitions("pt", "event_id")
+    )
+    work = tempfile.mkdtemp(prefix="dml_guard_")
+    try:
+        mt = ManifestTable(spark, f"{work}/events_guard")
+        mt.create(evp, ["pt"])
+        where = [
+            ("event_id", ">=", a_lo),
+            ("event_id", "<", a_hi),
+        ]
+        refused_update = 0
+        try:
+            mt.update_where(where, {"vc": f"vc + {WRAP}"})
+        except ValueError as exc:
+            refused_update = int(
+                "wraps/truncates" in str(exc)
+                and mt.current_version() == 1
+            )
+        assert refused_update, "bigint SET into int must refuse"
+        refused_merge = 0
+        try:
+            merge_into_partitioned(
+                spark, mt.path,
+                evp.filter(
+                    (F.col("event_id") >= a_lo)
+                    & (F.col("event_id") < a_hi)
+                ).select("event_id", "pt"),
+                ["event_id"], ["pt"],
+                when_matched_update={"vc": f"t.vc + {WRAP}"},
+            )
+        except ValueError as exc:
+            refused_merge = int(
+                "wraps/truncates" in str(exc)
+                and mt.current_version() == 1
+            )
+        assert refused_merge, "bigint clause SET into int must refuse"
+        # the documented opt-in: explicit cast = chosen wrap (+7)
+        mt.update_where(
+            where, {"vc": f"cast(vc + {WRAP} as int)"}
+        )
+        rows = (
+            mt.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+                F.sum("vc").cast("bigint").alias("vc_sum"),
+            )
+            .withColumn(
+                "refused_update", F.lit(refused_update).cast("int")
+            )
+            .withColumn(
+                "refused_merge", F.lit(refused_merge).cast("int")
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, id_checksum bigint,"
+            " vc_sum bigint, refused_update int, refused_merge int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["dml_cast_guard"] = Q(
+    _q_dml_cast_guard,
+    """
+WITH c AS (
+    SELECT (MAX(event_id) + 1) // 10 AS a_lo,
+           (MAX(event_id) + 1) // 10
+             + GREATEST(1, (MAX(event_id) + 1) // 50) AS a_hi
+    FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) + CASE
+            WHEN event_id >= c.a_lo AND event_id < c.a_hi
+            THEN 7 ELSE 0 END) AS BIGINT) AS vc_sum,
+       CAST(1 AS INT) AS refused_update,
+       CAST(1 AS INT) AS refused_merge
+FROM events, c
+GROUP BY 1
+""",
+    doc="DML cast guard: silently-wrapping SET expressions refuse driver-side on update_where and conditional merge (version unchanged, zero jobs); an explicit in-expression cast remains the documented lossy opt-in",
+)

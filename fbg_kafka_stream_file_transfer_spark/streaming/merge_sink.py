@@ -192,6 +192,16 @@ def start_changelog_merge_sink(
             raise ValueError("compact_min_carried must be >= 1")
         if compact_every < 1:
             raise ValueError("compact_every must be >= 1")
+    elif compact_cluster_by is not None:
+        # compact_cluster_by only shapes a sweep that something else
+        # ARMS — configured alone it would be silently inert: the
+        # sink would never compact and never error (advisor r15).
+        # Same start-time-loud rule as every sibling knob.
+        raise ValueError(
+            "compact_cluster_by shapes the armed compaction sweep but"
+            " arms nothing by itself — also set compact_min_files"
+            " and/or compact_min_carried (layout='manifest')"
+        )
     if schema_evolution and layout != "manifest":
         raise ValueError(
             "schema_evolution requires layout='manifest' — the hive"

@@ -1,0 +1,784 @@
+"""Round 16: cast safety for the DML/MERGE family (the r15 verdict's
+confirmed silent-corruption bug — with ANSI off the merge alignment
+cast WRAPPED a wider-typed delta column), stored-type WIDENING via
+``schema_evolution=True`` (zero-rewrite, Spark 4 parquet widening
+reads), the widened change-feed contract, the reclaim-vs-optimistic
+race, and the r16 advisor items (inert ``compact_cluster_by``,
+``carry_files`` ⊆ touched, ``add_columns`` DDL parsing).
+
+Reference parity notes: extends the batch side of the reference's
+effectively-once sink contract (SURVEY §2.f ST1,
+camel-integration file-pipeline.yaml) — the reference never narrows a
+payload field silently; neither may the merge.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fbg_kafka_stream_file_transfer_spark.operators.scale import (
+    _cast_class,
+    _parquet_widen_ok,
+    merge_into_partitioned,
+)
+from fbg_kafka_stream_file_transfer_spark.operators.table import (
+    ConcurrentWriterError,
+    ManifestTable,
+)
+
+from test_r15_ops import _mk_clustered_stable  # shared fixture
+
+BIG = 2**40 + 7  # out of int range: the r15-verdict repro value
+
+
+def _mk_int_table(spark, path, n=200, npart=2):
+    """Manifest table whose ``v`` column is INT (the narrowing
+    target), parquet-roundtripped so the schema is stable-nullable."""
+    df = spark.range(0, n).select(
+        F.col("id").alias("id"),  # bigint, like every delta below
+        (F.col("id") % npart).cast("int").alias("pt"),
+        (F.col("id") * 10).cast("int").alias("v"),
+    )
+    stage = f"{path}__seed"
+    df.write.mode("overwrite").parquet(stage)
+    mt = ManifestTable(spark, path)
+    mt.create(spark.read.parquet(stage), ["pt"])
+    return mt
+
+
+class TestCastClass:
+    def _t(self, ddl):
+        return T._parse_datatype_string(ddl)
+
+    @pytest.mark.parametrize(
+        "src,dst,cls",
+        [
+            ("int", "int", "identical"),
+            ("int", "bigint", "widen"),
+            ("byte", "bigint", "widen"),
+            ("smallint", "int", "widen"),
+            ("bigint", "int", "wrap"),
+            ("int", "smallint", "wrap"),
+            ("float", "double", "widen"),
+            ("double", "float", "wrap"),
+            ("int", "double", "widen"),
+            ("bigint", "double", "wrap"),  # rounds past 2^53
+            ("smallint", "float", "widen"),
+            ("int", "float", "wrap"),  # 24-bit mantissa
+            ("double", "int", "wrap"),  # truncates + wraps
+            ("float", "bigint", "wrap"),
+            ("decimal(5,2)", "decimal(10,2)", "widen"),
+            ("decimal(5,2)", "decimal(12,4)", "widen"),
+            ("decimal(10,2)", "decimal(5,2)", "wrap"),
+            ("decimal(10,2)", "decimal(10,4)", "wrap"),  # int digits shrink
+            ("int", "decimal(12,2)", "widen"),
+            ("int", "decimal(9,2)", "wrap"),  # needs 10 int digits
+            ("bigint", "decimal(38,0)", "widen"),
+            ("decimal(5,2)", "double", "wrap"),
+            ("double", "decimal(20,5)", "wrap"),
+            ("date", "timestamp", "widen"),
+            ("date", "timestamp_ntz", "widen"),
+            ("timestamp", "date", "wrap"),
+            ("string", "int", "cross"),
+            ("int", "string", "cross"),
+            ("boolean", "int", "cross"),
+            ("timestamp", "timestamp_ntz", "cross"),
+        ],
+    )
+    def test_matrix(self, src, dst, cls, spark):
+        assert _cast_class(self._t(src), self._t(dst)) == cls
+
+    def test_parquet_widen_pairs(self, spark):
+        ok = [
+            ("int", "bigint"),
+            ("byte", "int"),
+            ("smallint", "bigint"),
+            ("float", "double"),
+            ("int", "double"),
+            ("int", "decimal(12,2)"),
+            ("decimal(5,2)", "decimal(12,4)"),
+            ("bigint", "decimal(38,0)"),
+        ]
+        no = [
+            ("bigint", "int"),  # not widen at all
+            ("smallint", "float"),  # widen-class but reader-unoffered
+            ("date", "timestamp_ntz"),  # stats-frame exclusion
+            ("string", "bigint"),
+            ("int", "float"),
+        ]
+        for s, d in ok:
+            assert _parquet_widen_ok(self._t(s), self._t(d)), (s, d)
+        for s, d in no:
+            assert not _parquet_widen_ok(self._t(s), self._t(d)), (s, d)
+
+    def test_widen_pairs_actually_read(self, spark, tmp_path):
+        """Every pair _parquet_widen_ok claims must be readable by
+        THIS runtime's parquet readers (vectorized on) — the
+        zero-rewrite widening contract's load-bearing fact."""
+        p = str(tmp_path / "wp")
+        spark.sql(
+            "select cast(3 as byte) b, cast(7 as int) i,"
+            " cast(2.5 as float) f, cast(12.34 as decimal(5,2)) d"
+        ).write.parquet(p)
+        wide = (
+            "b bigint, i decimal(12,2), f double, d decimal(12,4)"
+        )
+        row = spark.read.schema(wide).parquet(p).collect()[0]
+        assert (row["b"], row["f"]) == (3, 2.5)
+        assert str(row["i"]) == "7.00" and str(row["d"]) == "12.3400"
+
+
+class TestMergeNarrowingRefusal:
+    """The headline r16 fix: a delta column WIDER than the stored
+    column must never align via a silent ANSI-off down-cast."""
+
+    def _delta(self, spark, v=BIG):
+        return spark.createDataFrame(
+            [(3, 1, v)], "id bigint, pt int, v bigint"
+        )
+
+    def test_locked_manifest_refuses_pre_commit(self, spark, tmp_path):
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        with pytest.raises(ValueError, match="wraps/truncates"):
+            merge_into_partitioned(
+                spark, mt.path, self._delta(spark), ["id"], ["pt"]
+            )
+        assert mt.current_version() == 1
+        assert mt.read().filter("id = 3").collect()[0]["v"] == 30
+
+    def test_refusal_names_the_widen_recipe(self, spark, tmp_path):
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        with pytest.raises(ValueError, match="schema_evolution=True"):
+            merge_into_partitioned(
+                spark, mt.path, self._delta(spark), ["id"], ["pt"]
+            )
+
+    def test_cross_family_refuses_without_widen_recipe(
+        self, spark, tmp_path
+    ):
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        delta = spark.createDataFrame(
+            [(3, 1, "oops")], "id bigint, pt int, v string"
+        )
+        with pytest.raises(ValueError, match="NULLs unconvertible"):
+            merge_into_partitioned(spark, mt.path, delta, ["id"], ["pt"])
+        assert mt.current_version() == 1
+
+    def test_optimistic_refuses(self, spark, tmp_path):
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        with pytest.raises(ValueError, match="wraps/truncates"):
+            merge_into_partitioned(
+                spark, mt.path, self._delta(spark), ["id"], ["pt"],
+                optimistic=True,
+            )
+        assert mt.current_version() == 1
+
+    def test_plain_hive_refuses(self, spark, tmp_path):
+        p = str(tmp_path / "plain")
+        spark.range(0, 20).select(
+            F.col("id").alias("id"),
+            (F.col("id") % 2).cast("int").alias("pt"),
+            (F.col("id") * 10).cast("int").alias("v"),
+        ).write.partitionBy("pt").parquet(p)
+        with pytest.raises(ValueError, match="hive layout"):
+            merge_into_partitioned(
+                spark, p, self._delta(spark), ["id"], ["pt"]
+            )
+        assert (
+            spark.read.parquet(p).filter("id = 3").collect()[0]["v"]
+            == 30
+        )
+
+    def test_plain_partition_col_stays_exempt(self, spark, tmp_path):
+        """The plain path's documented reason for aligning at all:
+        directory-name inference retypes partition columns. A delta
+        whose pt is BIGINT (vs inferred int) must still merge."""
+        p = str(tmp_path / "plain")
+        spark.range(0, 20).select(
+            F.col("id").alias("id"),
+            (F.col("id") % 2).cast("int").alias("pt"),
+            (F.col("id") * 10).cast("int").alias("v"),
+        ).write.partitionBy("pt").parquet(p)
+        delta = spark.createDataFrame(
+            [(3, 1, 999)], "id bigint, pt bigint, v int"
+        )
+        merge_into_partitioned(spark, p, delta, ["id"], ["pt"])
+        assert (
+            spark.read.parquet(p).filter("id = 3").collect()[0]["v"]
+            == 999
+        )
+
+    def test_conditional_mode_alignment_refuses(self, spark, tmp_path):
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        with pytest.raises(ValueError, match="wraps/truncates"):
+            merge_into_partitioned(
+                spark, mt.path, self._delta(spark), ["id"], ["pt"],
+                when_matched_update={"v": "s.v"},
+            )
+        assert mt.current_version() == 1
+
+    def test_explicit_cast_opts_in(self, spark, tmp_path):
+        """Casting the delta explicitly makes the alignment an
+        identity — the documented lossy-intent recipe."""
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        delta = self._delta(spark).withColumn(
+            "v", F.col("v").cast("int")
+        )
+        merge_into_partitioned(spark, mt.path, delta, ["id"], ["pt"])
+        got = mt.read().filter("id = 3").collect()[0]["v"]
+        assert got == 7  # the wrap, now explicit and chosen
+
+    def test_widen_class_delta_still_merges(self, spark, tmp_path):
+        """An int delta column into an int stored column (identical)
+        and a smallint delta into int stored (widen) keep working —
+        only wrap/cross refuse."""
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        delta = spark.createDataFrame(
+            [(3, 1, 777)], "id bigint, pt int, v smallint"
+        )
+        merge_into_partitioned(spark, mt.path, delta, ["id"], ["pt"])
+        assert mt.read().filter("id = 3").collect()[0]["v"] == 777
+
+
+class TestMergeTypeWidening:
+    def test_blind_widen_end_to_end(self, spark, tmp_path):
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        delta = spark.createDataFrame(
+            [(3, 1, BIG), (201, 1, BIG + 1)],
+            "id bigint, pt int, v bigint",
+        )
+        merge_into_partitioned(
+            spark, mt.path, delta, ["id"], ["pt"],
+            schema_evolution=True, retain_versions=5,
+        )
+        assert mt.current_version() == 2
+        cur = mt.read()
+        assert cur.schema["v"].dataType.simpleString() == "bigint"
+        byid = {r["id"]: r["v"] for r in cur.collect()}
+        assert byid[3] == BIG and byid[201] == BIG + 1
+        # survivors in the touched partition and every untouched
+        # partition read back exact through the wide schema
+        assert byid[5] == 50 and byid[4] == 40
+        assert len(byid) == 201
+        # time travel keeps the narrow shape
+        old = mt.read(version=1)
+        assert old.schema["v"].dataType.simpleString() == "int"
+        assert old.count() == 200
+        # stats-pruned point read through pre-widen (narrow) bounds
+        got = mt.read(where=[("v", ">=", BIG)]).collect()
+        assert sorted(r["id"] for r in got) == [3, 201]
+
+    def test_ordered_mode_widens(self, spark, tmp_path):
+        delta = spark.createDataFrame(
+            [(3, 1, BIG, 99.0, "U"), (7, 1, 0, 99.0, "D")],
+            "id bigint, pt int, v bigint, ts double, op string",
+        )
+        # ordered merge needs a ts col in the table: add one narrow
+        mt2 = ManifestTable(spark, str(tmp_path / "t2"))
+        df = spark.range(0, 50).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 2).cast("int").alias("pt"),
+            (F.col("id") * 10).cast("int").alias("v"),
+            F.lit(1.0).alias("ts"),
+        )
+        stage = str(tmp_path / "seed2")
+        df.write.parquet(stage)
+        mt2.create(spark.read.parquet(stage), ["pt"])
+        merge_into_partitioned(
+            spark, mt2.path, delta, ["id"], ["pt"],
+            op_col="op", ts_col="ts", schema_evolution=True,
+        )
+        cur = {r["id"]: r["v"] for r in mt2.read().collect()}
+        assert cur[3] == BIG and 7 not in cur and cur[5] == 50
+        assert (
+            mt2.read().schema["v"].dataType.simpleString() == "bigint"
+        )
+
+    def test_float_to_double_and_decimal_growth(self, spark, tmp_path):
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        df = spark.sql(
+            "select cast(id as int) id, cast(id % 2 as int) pt,"
+            " cast(id * 0.5 as float) f,"
+            " cast(id as decimal(5,2)) d from range(40)"
+        )
+        stage = str(tmp_path / "seed")
+        df.write.parquet(stage)
+        mt.create(spark.read.parquet(stage), ["pt"])
+        delta = spark.sql(
+            "select cast(3 as int) id, cast(1 as int) pt,"
+            " cast(1e300 as double) f,"
+            " cast(123456789.1234 as decimal(13,4)) d"
+        )
+        merge_into_partitioned(
+            spark, mt.path, delta, ["id"], ["pt"],
+            schema_evolution=True,
+        )
+        sch = {
+            f.name: f.dataType.simpleString()
+            for f in mt.read().schema.fields
+        }
+        assert sch["f"] == "double" and sch["d"] == "decimal(13,4)"
+        row = mt.read().filter("id = 3").collect()[0]
+        assert row["f"] == 1e300
+        assert str(row["d"]) == "123456789.1234"
+        # survivors exact through the widened read
+        other = mt.read().filter("id = 5").collect()[0]
+        assert other["f"] == 2.5 and str(other["d"]) == "5.0000"
+
+    def test_widen_composes_with_file_granular_carry(
+        self, spark, tmp_path
+    ):
+        """A point-key wide upsert into a clustered partition still
+        carries the untouched files — they keep narrow bytes and read
+        back exact through the wide manifest schema."""
+        mt2 = ManifestTable(spark, str(tmp_path / "t2"))
+        df = spark.range(0, 1000).select(
+            F.col("id").cast("int").alias("id"),
+            (F.col("id") % 2).cast("int").alias("pt"),
+            (F.col("id") * 10).cast("int").alias("v"),
+        )
+        stage = str(tmp_path / "seed")
+        df.write.parquet(stage)
+        back = (
+            spark.read.parquet(stage)
+            .repartitionByRange(8, "pt", "id")
+            .sortWithinPartitions("pt", "id")
+        )
+        mt2.create(back, ["pt"])
+        e1 = next(
+            e
+            for e in mt2.manifest()["entries"]
+            if e["values"] == [["int", 1]]
+        )
+        nfiles = len(e1["files"])
+        assert nfiles >= 2
+        delta = spark.createDataFrame(
+            [(3, 1, BIG)], "id bigint, pt int, v bigint"
+        )
+        merge_into_partitioned(
+            spark, mt2.path, delta, ["id"], ["pt"],
+            schema_evolution=True,
+        )
+        e1b = next(
+            e
+            for e in mt2.manifest()["entries"]
+            if e["values"] == [["int", 1]]
+        )
+        carried = [k for k in e1b["files"] if "/" in k]
+        assert carried, "expected carried (never-rewritten) files"
+        cur = mt2.read().filter("pt = 1")
+        byid = {r["id"]: r["v"] for r in cur.collect()}
+        assert byid[3] == BIG and byid[5] == 50 and byid[999] == 9990
+        assert cur.schema["v"].dataType.simpleString() == "bigint"
+
+    def test_partition_column_never_widens(self, spark, tmp_path):
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        delta = spark.createDataFrame(
+            [(3, BIG, 999)], "id bigint, pt bigint, v int"
+        )
+        with pytest.raises(ValueError, match="partition column"):
+            merge_into_partitioned(
+                spark, mt.path, delta, ["id"], ["pt"],
+                schema_evolution=True,
+            )
+        assert mt.current_version() == 1
+
+    def test_widen_plus_new_column_in_one_merge(self, spark, tmp_path):
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        delta = spark.createDataFrame(
+            [(3, 1, BIG, "gold")],
+            "id bigint, pt int, v bigint, tier string",
+        )
+        merge_into_partitioned(
+            spark, mt.path, delta, ["id"], ["pt"],
+            schema_evolution=True,
+        )
+        cur = mt.read()
+        assert cur.schema["v"].dataType.simpleString() == "bigint"
+        assert cur.schema["tier"].dataType.simpleString() == "string"
+        assert cur.filter("id = 3").collect()[0]["tier"] == "gold"
+        assert cur.filter("tier is not null").count() == 1
+
+    def test_compact_after_widen_folds_clean(self, spark, tmp_path):
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        delta = spark.createDataFrame(
+            [(3, 1, BIG)], "id bigint, pt int, v bigint"
+        )
+        merge_into_partitioned(
+            spark, mt.path, delta, ["id"], ["pt"],
+            schema_evolution=True,
+        )
+        before = mt.read().orderBy("id").collect()
+        mt.compact(partitions=[(0,), (1,)])
+        after = mt.read().orderBy("id").collect()
+        assert before == after
+        assert (
+            mt.read().schema["v"].dataType.simpleString() == "bigint"
+        )
+
+
+class TestChangesAcrossWiden:
+    def test_feed_emits_wide_schema(self, spark, tmp_path):
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        delta = spark.createDataFrame(
+            [(3, 1, BIG)], "id bigint, pt int, v bigint"
+        )
+        merge_into_partitioned(
+            spark, mt.path, delta, ["id"], ["pt"],
+            schema_evolution=True, retain_versions=5,
+        )
+        d = mt.changes(1, 2)
+        assert d.schema["v"].dataType.simpleString() == "bigint"
+        rows = {
+            (r["id"], r["_change_type"]): r["v"] for r in d.collect()
+        }
+        # the upserted key: one delete of the narrow old row (read
+        # up-cast), one insert of the wide new row
+        assert rows[(3, "delete")] == 30
+        assert rows[(3, "insert")] == BIG
+        assert len(rows) == 2
+
+    def test_feed_spans_widen_plus_later_dml(self, spark, tmp_path):
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        merge_into_partitioned(
+            spark, mt.path,
+            spark.createDataFrame(
+                [(3, 1, BIG)], "id bigint, pt int, v bigint"
+            ),
+            ["id"], ["pt"], schema_evolution=True, retain_versions=6,
+        )
+        mt.delete_where([("id", "=", 8)], retain_versions=6)
+        d = mt.changes(1, 3)
+        rows = {
+            (r["id"], r["_change_type"]): r["v"] for r in d.collect()
+        }
+        assert rows[(8, "delete")] == 80
+        assert rows[(3, "insert")] == BIG
+        assert len(rows) == 3
+
+    def test_non_widening_retype_still_refuses(self, spark, tmp_path):
+        """Only supported widenings cross the boundary; any other
+        type change (here: a manifest whose stored type moved in a
+        non-widening direction) still raises."""
+        import json
+        import os
+
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        merge_into_partitioned(
+            spark, mt.path,
+            spark.createDataFrame(
+                [(3, 1, BIG)], "id bigint, pt int, v bigint"
+            ),
+            ["id"], ["pt"], schema_evolution=True, retain_versions=5,
+        )
+        # simulate an out-of-band narrow change: rewrite v2's manifest
+        # so v reads 'string' — a cross-family retype
+        mdir = os.path.join(mt.path, "_manifests")
+        [mfile] = [
+            f for f in os.listdir(mdir) if f == "v00000002.json"
+        ]
+        p = os.path.join(mdir, mfile)
+        with open(p) as fh:
+            man = json.load(fh)
+        for f in man["schema"]["fields"]:
+            if f["name"] == "v":
+                f["type"] = "string"
+        with open(p, "w") as fh:
+            json.dump(man, fh)
+        crc = os.path.join(mdir, ".v00000002.json.crc")
+        if os.path.exists(crc):  # hadoop local-FS checksum sidecar
+            os.remove(crc)
+        with pytest.raises(ValueError, match="changed type"):
+            mt.changes(1, 2)
+
+
+class TestUpdateWhereWrapGuard:
+    def test_wide_set_expression_refuses(self, spark, tmp_path):
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        with pytest.raises(ValueError, match="wraps/truncates"):
+            mt.update_where(
+                [("id", "=", 3)], {"v": F.lit(BIG).cast("bigint")}
+            )
+        assert mt.current_version() == 1
+        assert mt.read().filter("id = 3").collect()[0]["v"] == 30
+
+    def test_double_into_int_refuses(self, spark, tmp_path):
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        with pytest.raises(ValueError, match="wraps/truncates"):
+            mt.update_where([("id", "=", 3)], {"v": "v * 1.5"})
+        assert mt.current_version() == 1
+
+    def test_explicit_cast_opts_in(self, spark, tmp_path):
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        mt.update_where(
+            [("id", "=", 3)],
+            {"v": f"cast({BIG} as int)"},
+        )
+        assert mt.read().filter("id = 3").collect()[0]["v"] == 7
+
+    def test_widen_class_set_still_works(self, spark, tmp_path):
+        """int expression into a double column is lossless — no
+        probe, no refusal (the pre-r16 behavior for safe casts)."""
+        mt = _mk_clustered_stable(spark, str(tmp_path / "t"))
+        r = mt.update_where([("id", "=", 3)], {"v": "7"})
+        assert r["rows_updated"] == 1
+        assert mt.read().filter("id = 3").collect()[0]["v"] == 7.0
+
+    def test_cross_family_keeps_runtime_probe(self, spark, tmp_path):
+        """String expressions: castable values pass (probe finds no
+        NULLing row), garbage refuses — the r13 contract, intact."""
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        mt.update_where([("id", "=", 3)], {"v": "'41'"})
+        assert mt.read().filter("id = 3").collect()[0]["v"] == 41
+        with pytest.raises(ValueError, match="do not cast cleanly"):
+            mt.update_where([("id", "=", 4)], {"v": "'oops'"})
+
+    def test_conditional_merge_set_wrap_refuses(self, spark, tmp_path):
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        delta = spark.createDataFrame([(3, 1)], "id bigint, pt int")
+        with pytest.raises(ValueError, match="wraps/truncates"):
+            merge_into_partitioned(
+                spark, mt.path, delta, ["id"], ["pt"],
+                when_matched_update={
+                    "v": f"cast({BIG} as bigint)"
+                },
+            )
+        assert mt.current_version() == 1
+
+    def test_conditional_merge_explicit_cast_opts_in(
+        self, spark, tmp_path
+    ):
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        delta = spark.createDataFrame([(3, 1)], "id bigint, pt int")
+        merge_into_partitioned(
+            spark, mt.path, delta, ["id"], ["pt"],
+            when_matched_update={"v": f"cast({BIG} as int)"},
+        )
+        assert mt.read().filter("id = 3").collect()[0]["v"] == 7
+
+
+class TestReclaimOptimisticRace:
+    """r15 verdict #6: an ARMED reclaim compact racing an optimistic
+    staged publish on the same carrying partition. The lease
+    serializes the publishes; the rebase's whole-entry identity check
+    must turn the loser into a loud conflict, never a lost carried
+    ref or a resurrected generation."""
+
+    def _carrying_table(self, spark, path):
+        mt = _mk_clustered_stable(spark, path, n=1000, npart=2)
+        # a pt-scoped point fg delete plants carried refs in
+        # partition 1 ONLY (without the pt clause the id-bounds of
+        # one file per partition admit id=3 and BOTH carry)
+        mt.delete_where([("pt", "=", 1), ("id", "=", 3)])
+        rep = {
+            r["values"]: r["carried"]
+            for r in mt.small_file_report()
+        }
+        assert rep[(1,)] >= 1 and rep[(0,)] == 0
+        return mt
+
+    def test_compact_between_stage_and_publish_conflicts(
+        self, spark, tmp_path
+    ):
+        mt = self._carrying_table(spark, str(tmp_path / "t"))
+        base = mt.current_version()
+        # stage an optimistic fg-style rewrite of partition 1
+        df = mt.read(partitions=[(1,)]).withColumn(
+            "v", F.col("v") + 1
+        )
+        token = mt.stage_commit(df, touched=[(1,)], base_version=base)
+        # the armed reclaim sweeps the SAME carrying partition and
+        # wins the lease first
+        assert mt.compact(min_carried=1) >= 1
+        folded = mt.read().orderBy("id").collect()
+        with pytest.raises(ConcurrentWriterError):
+            mt.commit_staged(token)
+        # loser aborted: the fold survives untouched, refs clean
+        assert mt.read().orderBy("id").collect() == folded
+        assert all(
+            r["carried"] == 0 for r in mt.small_file_report()
+        )
+        mt.abort_staged(token)
+
+    def test_compact_first_then_stage_succeeds(self, spark, tmp_path):
+        mt = self._carrying_table(spark, str(tmp_path / "t"))
+        assert mt.compact(min_carried=1) >= 1
+        base = mt.current_version()
+        df = mt.read(partitions=[(1,)]).withColumn(
+            "v", F.col("v") + 1
+        )
+        token = mt.stage_commit(df, touched=[(1,)], base_version=base)
+        mt.commit_staged(token)
+        got = mt.read().filter("id = 5").collect()[0]["v"]
+        assert got == 6.0
+        assert all(
+            r["carried"] == 0 for r in mt.small_file_report()
+        )
+
+    def test_disjoint_partition_rebase_still_proceeds(
+        self, spark, tmp_path
+    ):
+        """The reclaim sweeping ONLY partition 1 must not fail a
+        staged commit touching only partition 0."""
+        mt = self._carrying_table(spark, str(tmp_path / "t"))
+        base = mt.current_version()
+        df = mt.read(partitions=[(0,)]).withColumn(
+            "v", F.col("v") + 1
+        )
+        token = mt.stage_commit(df, touched=[(0,)], base_version=base)
+        assert mt.compact(min_carried=1) >= 1  # sweeps partition 1
+        mt.commit_staged(token)  # disjoint → rebases cleanly
+        assert mt.read().filter("id = 4").collect()[0]["v"] == 5.0
+        assert mt.read().filter("id = 3").count() == 0  # delete kept
+
+
+class TestAdvisorItems:
+    def test_cluster_by_alone_refuses_at_start(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.streaming.merge_sink import (
+            start_changelog_merge_sink,
+        )
+
+        src = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", 1)
+            .load()
+            .selectExpr(
+                "value as k", "cast(0 as int) pt",
+                "cast(timestamp as double) ts", "'U' as op",
+            )
+        )
+        with pytest.raises(ValueError, match="arms nothing"):
+            start_changelog_merge_sink(
+                spark, src, str(tmp_path / "t"), "k", ["pt"], "ts",
+                "op", str(tmp_path / "cp"),
+                layout="manifest",
+                compact_cluster_by=["k"],
+            )
+
+    def test_stage_commit_stray_carry_refuses(self, spark, tmp_path):
+        mt = _mk_clustered_stable(spark, str(tmp_path / "t"))
+        e0 = next(
+            e
+            for e in mt.manifest()["entries"]
+            if e["values"] == [["int", 0]]
+        )
+        df = mt.read(partitions=[(1,)])
+        with pytest.raises(ValueError, match="not in the touched"):
+            mt.stage_commit(
+                df,
+                touched=[(1,)],
+                carry_files={
+                    e0["key"]: {"files": dict(e0["files"]), "dir": e0["dir"]}
+                },
+            )
+        # no staging husk left behind
+        import glob
+        import os
+
+        husks = glob.glob(
+            os.path.join(mt.path, "_data", ".stage-*")
+        )
+        assert husks == []
+
+    def test_overwrite_partitions_stray_carry_refuses(
+        self, spark, tmp_path
+    ):
+        mt = _mk_clustered_stable(spark, str(tmp_path / "t"))
+        e0 = next(
+            e
+            for e in mt.manifest()["entries"]
+            if e["values"] == [["int", 0]]
+        )
+        df = mt.read(partitions=[(1,)])
+        with pytest.raises(ValueError, match="not in the touched"):
+            mt.overwrite_partitions(
+                df,
+                [(1,)],
+                carry_files={
+                    e0["key"]: {"files": dict(e0["files"]), "dir": e0["dir"]}
+                },
+            )
+        assert mt.current_version() == 1
+
+    def test_add_columns_rejects_malformed_ddl(self, spark, tmp_path):
+        mt = _mk_clustered_stable(spark, str(tmp_path / "t"))
+        with pytest.raises(ValueError, match="not a valid DDL type"):
+            mt.add_columns({"x": "int); drop table y; --"})
+        with pytest.raises(ValueError, match="not a valid DDL type"):
+            mt.add_columns({"x": "notatype"})
+        assert mt.current_version() == 1
+        mt.add_columns({"x": "decimal(10,2)", "y": "array<string>"})
+        sch = {
+            f.name: f.dataType.simpleString()
+            for f in mt.schema().fields
+        }
+        assert sch["x"] == "decimal(10,2)"
+        assert sch["y"] == "array<string>"
+
+
+class TestMergeValuePreservationFuzz:
+    """The r15 verdict's closing ask: no blind/ordered merge may
+    change a stored column's value except through its own matched
+    key. Randomized delta types and values; every outcome is either
+    a loud refusal (table unchanged) or an exact-value merge."""
+
+    def test_fuzz_alignment_never_corrupts(self, spark, tmp_path):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        mt = _mk_int_table(spark, str(tmp_path / "t"), n=40)
+        baseline = {
+            r["id"]: r["v"] for r in mt.read().collect()
+        }
+        ver = mt.current_version()
+
+        @settings(
+            max_examples=12,
+            deadline=None,
+            suppress_health_check=list(HealthCheck),
+        )
+        @given(
+            dtype=st.sampled_from(
+                ["int", "bigint", "smallint", "double", "string"]
+            ),
+            val=st.sampled_from(
+                [7, 30000, 2**20, 2**40 + 7, -(2**40)]
+            ),
+            evolve=st.booleans(),
+        )
+        def check(dtype, val, evolve):
+            nonlocal ver
+            if dtype == "string":
+                delta = spark.createDataFrame(
+                    [(3, 1, str(val))], "id bigint, pt int, v string"
+                )
+            else:
+                if dtype == "smallint" and abs(val) >= 2**15:
+                    return  # unrepresentable in the delta itself
+                if dtype == "int" and abs(val) >= 2**31:
+                    return
+                pyval = float(val) if dtype == "double" else val
+                delta = spark.createDataFrame(
+                    [(3, 1, pyval)], f"id bigint, pt int, v {dtype}"
+                )
+            try:
+                merge_into_partitioned(
+                    spark, mt.path, delta, ["id"], ["pt"],
+                    schema_evolution=evolve,
+                )
+            except ValueError:
+                assert mt.current_version() == ver  # refusal = no-op
+                return
+            ver = mt.current_version()
+            now = {r["id"]: r["v"] for r in mt.read().collect()}
+            # the merged key holds EXACTLY the delta value…
+            assert now[3] == val, (dtype, val, evolve)
+            # …and no other key moved
+            for k, v in now.items():
+                if k != 3:
+                    assert v == baseline[k], (k, dtype, val)
+            baseline[3] = val
+
+        check()
