@@ -431,6 +431,90 @@ _STATS_AUTO_CAP = 32
 #: and the partition needs compaction anyway
 _FILE_STATS_MAX = 1024
 
+# ---- per-file Bloom membership (r16) -----------------------------------
+# min/max bounds degrade to partition-granular exactly where point DML
+# hurts most: an UNCLUSTERED key (uuid-keyed CDC before any
+# compact(cluster_by=)) gives every file near-full-range bounds, so a
+# point DELETE/MERGE selects every file. For tables that opt in
+# (``bloom_cols``), each stats-bearing commit also records a small
+# per-file Bloom filter over the key column — the Delta bloom-index /
+# Iceberg puffin analogue, inlined into the manifest because the
+# filters are only recorded for files whose DISTINCT key count is ≤
+# _BLOOM_MAX_KEYS (the small delta files a streaming sink writes, the
+# exact cold-start shape). Conservative contract throughout: an absent
+# filter admits the file (old manifests, big files, unsupported
+# types); a present filter can only FALSE-POSITIVE (admit a file with
+# no match), never false-negative — same promise the bounds make.
+# Positions come from the portable salted-md5 family
+# (operators/decontam.bloom_positions), so the Python probe below and
+# the Spark-side recorder compute identical bits.
+
+#: Bloom filters are recorded only for files with at most this many
+#: distinct keys — past it the filter saturates (m is fixed) and the
+#: bytes buy nothing; compact(cluster_by=) is the recipe for big files
+_BLOOM_MAX_KEYS = 1024
+#: filter width in BITS (2 KiB packed, ~2.7 KiB base64 per file/col);
+#: at the key cap the false-positive rate is (1-e^(-4096/16384))^4 ≈
+#: 0.24%
+_BLOOM_M = 16384
+#: bits set per key (matches decontam._BLOOM_K)
+_BLOOM_K = 4
+#: Bloom maps are attached only for partitions with at most this many
+#: files — past it the manifest bytes outgrow the scan they save
+_BLOOM_FILES_MAX = 256
+#: column types whose Spark cast-to-string rendering the Python probe
+#: mirrors exactly (int-family renders as str(int); strings are
+#: identity) — bloom_cols is restricted to these at create()
+_BLOOM_TYPES = ("byte", "short", "integer", "long", "string")
+
+
+def _bloom_pack(positions, m: int) -> str:
+    """Pack set bit positions into a base64 bitarray (LSB-first
+    within each byte)."""
+    import base64
+
+    buf = bytearray((m + 7) // 8)
+    for p in positions:
+        p = int(p)
+        buf[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(buf)).decode("ascii")
+
+
+def _bloom_may_contain(bl: dict, value) -> bool:
+    """Python-side probe of a recorded per-file Bloom filter —
+    mirrors ``decontam.bloom_positions`` (salted md5, first 15 hex
+    chars, mod m) bit for bit. Conservative: any uncertainty (NULL
+    probe value, malformed blob, unsupported value type) admits the
+    file."""
+    import base64
+    import hashlib
+
+    if value is None:
+        return True
+    m = bl.get("m")
+    k = bl.get("k", _BLOOM_K)
+    raw = bl.get("b")
+    if not m or not raw:
+        return True
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        # only int-family / string renderings are mirrored exactly
+        return True
+    s = str(value)
+    try:
+        bits = base64.b64decode(raw)
+    except Exception:  # noqa: BLE001 — corrupt blob must not prune
+        return True
+    for i in range(k):
+        p = (
+            int(
+                hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16
+            )
+            % m
+        )
+        if not (bits[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
 
 def _fold_spark_min(vals: list):
     """min over per-file mins with SPARK's NULL/NaN semantics: NULLs
@@ -1119,14 +1203,31 @@ def _entry_scan_selection(
     data_norm = [cl for cl in norm if cl[0] not in pset]
     if not data_norm:
         return True, None
-    keep = [
-        n
-        for n, st in fstats.items()
-        if all(
-            _where_clause_may_match(st, col, op, value)
-            for col, op, value in data_norm
-        )
-    ]
+
+    def _file_admits(st: dict) -> bool:
+        for col, op, value in data_norm:
+            if not _where_clause_may_match(st, col, op, value):
+                return False
+            # per-file Bloom membership (r16): after bounds admit,
+            # an equality/IN clause on a bloom-bearing column probes
+            # the packed filter — the lever that keeps point DML
+            # file-granular on UNCLUSTERED keys, where every file's
+            # min/max spans the keyspace. Absent filter ⇒ admitted
+            # (old manifests, over-cap files); false positives only.
+            bl = (st.get("bloom") or {}).get(col)
+            if bl is None:
+                continue
+            if op in ("=", "=="):
+                if not _bloom_may_contain(bl, value):
+                    return False
+            elif op == "in" and value is not None:
+                if not any(
+                    _bloom_may_contain(bl, v) for v in value
+                ):
+                    return False
+        return True
+
+    keep = [n for n, st in fstats.items() if _file_admits(st)]
     if len(keep) == len(fstats):
         return True, None
     return True, keep
@@ -1653,9 +1754,23 @@ class ManifestTable:
         shard_target: int = 8192,
         stats_cols: list[str] | str | None = "auto",
         derived_partitions: dict | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
+        #: per-file Bloom membership columns (r16): for each named
+        #: column, every stats-bearing commit records a small packed
+        #: Bloom filter per written file whose distinct count is ≤
+        #: _BLOOM_MAX_KEYS — point-predicate reads and file-granular
+        #: DML/merge then skip files whose filter excludes the key,
+        #: even when the key is UNCLUSTERED and min/max bounds span
+        #: every file (uuid-keyed CDC pre-compaction). Persisted in
+        #: the manifest at create() like stats_cols; opt-in because
+        #: each commit pays one extra column-pruned scan of the
+        #: qualifying files it just wrote. Absent filters always
+        #: admit (old manifests / big files), so the contract stays
+        #: false-positive-only.
+        self.bloom_cols = list(bloom_cols or [])
         #: Iceberg-style hidden partitioning (r13): ``{pcol:
         #: {"transform": "day"|"month"|"bucket", "source": col[,
         #: "n": N]}}``. Persisted in the manifest at create() like
@@ -3244,10 +3359,12 @@ class ManifestTable:
         # (values are keyed by partition VALUE, so the later rename
         # does not invalidate them); only the metadata walk + publish
         # remain for the locked phase
-        scols, _ = self._resolve_stats_cols(
-            man, {f.name: f.dataType for f in staged.schema.fields}, pcols
+        stypes = {f.name: f.dataType for f in staged.schema.fields}
+        scols, _ = self._resolve_stats_cols(man, stypes, pcols)
+        bcols = self._resolve_bloom_cols(man, stypes, pcols)
+        stats_by_key = self._collect_entry_stats(
+            back, dup, scols, bcols
         )
-        stats_by_key = self._collect_entry_stats(back, dup, scols)
         if read_partitions == "touched":
             read_scope, read_keys = "keys", []
         elif read_partitions == "all":
@@ -3562,6 +3679,7 @@ class ManifestTable:
                 check_constraints=cur_raw.get("check_constraints"),
                 derived_partitions=cur_raw.get("derived_partitions"),
                 op_info={"name": "restore", "to_version": version},
+                bloom_cols=cur_raw.get("bloom_cols"),
             )
             return cur + 1
 
@@ -3706,7 +3824,9 @@ class ManifestTable:
                 fmap = e.get("files")
                 st_hit = bool(st) and bool(drop & set(st.get("cols", {})))
                 f_hit = bool(fmap) and any(
-                    drop & set(f.get("cols", {})) for f in fmap.values()
+                    drop & set(f.get("cols", {}))
+                    or drop & set(f.get("bloom") or {})
+                    for f in fmap.values()
                 )
                 if not st_hit and not f_hit:
                     return e
@@ -3721,8 +3841,8 @@ class ManifestTable:
                         },
                     }
                 if f_hit:
-                    e2["files"] = {
-                        n: {
+                    def _strip_file(f: dict) -> dict:
+                        f2 = {
                             **f,
                             "cols": {
                                 k: v
@@ -3730,7 +3850,19 @@ class ManifestTable:
                                 if k not in drop
                             },
                         }
-                        for n, f in fmap.items()
+                        bl = {
+                            k: v
+                            for k, v in (f.get("bloom") or {}).items()
+                            if k not in drop
+                        }
+                        if bl:
+                            f2["bloom"] = bl
+                        else:
+                            f2.pop("bloom", None)
+                        return f2
+
+                    e2["files"] = {
+                        n: _strip_file(f) for n, f in fmap.items()
                     }
                 return e2
 
@@ -3748,6 +3880,11 @@ class ManifestTable:
                 check_constraints=constraints,
                 derived_partitions=man.get("derived_partitions"),
                 op_info={"name": "drop_columns", "cols": sorted(cols)},
+                bloom_cols=[
+                    c
+                    for c in man.get("bloom_cols", [])
+                    if c not in cols
+                ],
             )
             return cur + 1
 
@@ -3865,6 +4002,7 @@ class ManifestTable:
                     "name": "add_columns",
                     "cols": sorted(cols),
                 },
+                bloom_cols=man.get("bloom_cols"),
             )
             return cur + 1
 
@@ -3945,6 +4083,7 @@ class ManifestTable:
                 check_constraints=constraints,
                 derived_partitions=raw.get("derived_partitions"),
                 op_info={"name": "add_check_constraint", "constraint": name},
+                bloom_cols=raw.get("bloom_cols"),
             )
             return cur + 1
 
@@ -3996,6 +4135,7 @@ class ManifestTable:
                 check_constraints=constraints,
                 derived_partitions=raw.get("derived_partitions"),
                 op_info={"name": "drop_check_constraint", "constraint": name},
+                bloom_cols=raw.get("bloom_cols"),
             )
             return cur + 1
 
@@ -4942,6 +5082,7 @@ class ManifestTable:
                     "source_version": man["version"],
                     "deep": deep,
                 },
+                bloom_cols=man.get("bloom_cols"),
             )
         return dest
 
@@ -5212,8 +5353,53 @@ class ManifestTable:
         # columns exist; tolerate a stale config defensively
         return [c for c in cfg if c in eligible], list(cfg)
 
+    def _resolve_bloom_cols(
+        self,
+        prev_man: dict | None,
+        columns: dict[str, T.DataType],
+        pcols: list[str],
+    ) -> list[str]:
+        """(concrete Bloom columns for THIS commit) — a persisted
+        table property like stats_cols: v1 takes the instance's
+        ``bloom_cols`` (validated loudly), later commits the previous
+        manifest's (missing key = disabled, so pre-r16 tables are
+        untouched)."""
+        cfg = (
+            prev_man.get("bloom_cols", [])
+            if prev_man is not None
+            else self.bloom_cols
+        )
+        if not cfg:
+            return []
+        if prev_man is None:
+            pset = set(pcols)
+            for c in cfg:
+                t = columns.get(c)
+                if t is None:
+                    raise ValueError(
+                        f"bloom_cols column {c!r} not in table schema"
+                    )
+                if c in pset:
+                    raise ValueError(
+                        f"bloom_cols column {c!r} is a partition"
+                        " column — partition pruning already answers"
+                        " it exactly"
+                    )
+                if t.typeName() not in _BLOOM_TYPES:
+                    raise ValueError(
+                        f"bloom_cols column {c!r} is"
+                        f" {t.simpleString()}; per-file Bloom filters"
+                        f" support {_BLOOM_TYPES} (the probe must"
+                        " mirror Spark's string rendering exactly)"
+                    )
+        return [c for c in cfg if c in columns]
+
     def _collect_entry_stats(
-        self, back: DataFrame, dup: list[str], scols: list[str]
+        self,
+        back: DataFrame,
+        dup: list[str],
+        scols: list[str],
+        bloom_cols: list[str] | None = None,
     ) -> dict[str, dict]:
         """Per-partition AND per-file min/max/null-count for ``scols``
         over the freshly written generation — still ONE column-pruned
@@ -5238,11 +5424,27 @@ class ManifestTable:
         not O(rows)."""
         if not scols:
             return {}
+        bloom_cols = [
+            c for c in (bloom_cols or []) if c in back.columns
+        ]
         aggs = [F.count(F.lit(1)).alias("_s_rows")]
         for i, c in enumerate(scols):
             aggs.append(F.min(F.col(c)).alias(f"_s_mn_{i}"))
             aggs.append(F.max(F.col(c)).alias(f"_s_mx_{i}"))
             aggs.append(F.count(F.col(c)).alias(f"_s_nn_{i}"))
+        for j, c in enumerate(bloom_cols):
+            # rides the SAME shuffle: the distinct count decides which
+            # files qualify for a Bloom filter (≤ _BLOOM_MAX_KEYS).
+            # APPROX on purpose: exact count_distinct of a high-card
+            # string column nearly doubles the stats pass (measured
+            # 8M-row create: +11 s), while qualification only needs a
+            # threshold — an over-estimate skips a borderline file
+            # (conservative: absent filter admits), an under-estimate
+            # records a slightly-saturated filter (false-positive
+            # rate rises, correctness unchanged)
+            aggs.append(
+                F.approx_count_distinct(F.col(c)).alias(f"_s_bd_{j}")
+            )
         rows = (
             back.groupBy(
                 *[F.col(d) for d in dup],
@@ -5252,6 +5454,7 @@ class ManifestTable:
             .collect()
         )
         nd = len(dup)
+        blooms = self._collect_file_blooms(back, bloom_cols, rows, nd)
         by_key: dict[str, list] = {}
         for r in rows:
             key = _partition_key(tuple(r[j] for j in range(nd)))
@@ -5290,7 +5493,15 @@ class ManifestTable:
                     if b is not None:
                         fcs["mx"] = b
                     fcols[c] = fcs
-                files[fname] = {"rows": frowcount, "cols": fcols}
+                fst = {"rows": frowcount, "cols": fcols}
+                # blooms key by FULL URI: one task writes the same
+                # part-NNNNN-<uuid> basename into EVERY partition dir
+                # it lands rows in, so basenames collide across
+                # partitions within a generation
+                bl = blooms.get(r[nd])
+                if bl and len(frows) <= _BLOOM_FILES_MAX:
+                    fst["bloom"] = bl
+                files[fname] = fst
             cols = {}
             for i, c in enumerate(scols):
                 ecs: dict = {"nulls": fold_nulls[i]}
@@ -5314,6 +5525,77 @@ class ManifestTable:
             st = {"rows": total, "nfiles": len(files), "cols": cols}
             st["files"] = files
             out[key] = st
+        return out
+
+    def _collect_file_blooms(
+        self,
+        back: DataFrame,
+        bloom_cols: list[str],
+        rows: list,
+        nd: int,
+    ) -> dict[str, dict]:
+        """Per-file packed Bloom filters for the qualifying files of a
+        freshly written generation: ``{basename: {col: {"m", "k",
+        "b"}}}``. A file qualifies when EVERY bloom column's distinct
+        count (from the main stats pass, riding the same shuffle) is
+        ≤ _BLOOM_MAX_KEYS — the small scattered-key delta files a
+        streaming CDC sink writes, exactly where min/max bounds prune
+        nothing. One extra COLUMN-PRUNED scan of ONLY the qualifying
+        files (their URIs come from the stats pass); positions are
+        the portable salted-md5 family (decontam.bloom_positions), so
+        the driver-side probe (_bloom_may_contain) computes identical
+        bits. NULL keys set no bits (collect_set drops the NULL
+        positions) — consistent with comparison ops matching no NULL
+        row."""
+        if not bloom_cols:
+            return {}
+        # 15% headroom over the cap: the qualifying count is APPROX
+        # (rsd ~5%), and an overshoot that disqualifies a borderline
+        # file costs far more (the file is admitted by EVERY later
+        # point probe) than the mild saturation of letting ~1.15×cap
+        # keys into a filter (fp ≈ 0.4% vs 0.24% at the cap)
+        lim = int(_BLOOM_MAX_KEYS * 1.15)
+        qual_uris = [
+            r[nd]
+            for r in rows
+            if all(
+                r[f"_s_bd_{j}"] is not None
+                and r[f"_s_bd_{j}"] <= lim
+                for j in range(len(bloom_cols))
+            )
+        ]
+        if not qual_uris:
+            return {}
+        from .decontam import bloom_positions
+
+        # original pcols are PHYSICAL in the data files, so a direct
+        # file read with just the bloom columns resolves (the _p_*
+        # directory columns are not needed here)
+        sub = T.StructType(
+            [f for f in back.schema.fields if f.name in bloom_cols]
+        )
+        df = self.spark.read.schema(sub).parquet(*sorted(qual_uris))
+        out: dict[str, dict] = {}
+        for c in bloom_cols:
+            got = (
+                df.select(
+                    F.input_file_name().alias("_f"),
+                    F.explode(
+                        bloom_positions(F.col(c), _BLOOM_M, _BLOOM_K)
+                    ).alias("_p"),
+                )
+                .groupBy("_f")
+                .agg(F.collect_set("_p").alias("_ps"))
+                .collect()
+            )
+            for r in got:
+                # keyed by FULL URI — basenames repeat across the
+                # partition dirs one task writes
+                out.setdefault(r["_f"], {})[c] = {
+                    "m": _BLOOM_M,
+                    "k": _BLOOM_K,
+                    "b": _bloom_pack(r["_ps"], _BLOOM_M),
+                }
         return out
 
     def _finalize_generation(
@@ -5459,13 +5741,15 @@ class ManifestTable:
                 derived,
                 f"commit v{version} of {self.path}",
             )
+        coltypes = {f.name: f.dataType for f in staged_schema.fields}
         scols, stats_cfg = self._resolve_stats_cols(
-            prev_man,
-            {f.name: f.dataType for f in staged_schema.fields},
-            pcols,
+            prev_man, coltypes, pcols
         )
+        bcols = self._resolve_bloom_cols(prev_man, coltypes, pcols)
         if stats_by_key is None:
-            stats_by_key = self._collect_entry_stats(back, dup, scols)
+            stats_by_key = self._collect_entry_stats(
+                back, dup, scols, bcols
+            )
         dirs_by_key = self._map_partition_dirs(gen_rel, dup, touched)
         for t in touched:
             key = _partition_key(t)
@@ -5539,6 +5823,7 @@ class ManifestTable:
             check_constraints=constraints,
             derived_partitions=derived,
             op_info=op_info,
+            bloom_cols=bcols,
         )
         return len(touched)
 
@@ -5555,6 +5840,7 @@ class ManifestTable:
         check_constraints: dict | None = None,
         derived_partitions: dict | None = None,
         op_info: dict | None = None,
+        bloom_cols: list | None = None,
     ) -> None:
         """Build the manifest for ``entries``, publish it, GC — the
         shared tail of every commit (data commits via `_commit`,
@@ -5579,6 +5865,10 @@ class ManifestTable:
             "shard_target": shard_target,
             "stats_cols": stats_cols,
         }
+        if bloom_cols:
+            # per-file Bloom membership columns (r16): a persisted
+            # table property like stats_cols
+            man["bloom_cols"] = list(bloom_cols)
         if dropped_cols:
             # tombstoned column names (r13): a persisted table
             # property like shard_target — every later commit refuses

@@ -5680,3 +5680,130 @@ GROUP BY 1
 """,
     doc="DML cast guard: silently-wrapping SET expressions refuse driver-side on update_where and conditional merge (version unchanged, zero jobs); an explicit in-expression cast remains the documented lossy opt-in",
 )
+
+
+def _q_table_bloom_point_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom membership certification (round 16): point DML
+    stays FILE-granular on an UNCLUSTERED key. The table is built
+    from ``events`` with an md5-string key scattered across ~32 files
+    per partition (every file's key bounds span the whole keyspace —
+    the uuid-keyed CDC cold-start shape where min/max bounds prune
+    NOTHING and r15's fg selection degraded to partition-granular).
+    With ``bloom_cols=["k"]`` each commit records a small packed
+    Bloom filter per file; a single-key DELETE then rewrites a strict
+    tiny subset of the partition's files (pinned), a probe for an
+    absent key scans ZERO files (pinned — false-positive-only
+    semantics: a filter can admit a file without a match, never
+    exclude one with it, enforced by the rows_deleted==1 pin), and
+    untouched files carry forward byte-identically. The oracle
+    recomputes the final state arithmetically from ``events``.
+
+    Scale shape: the filter bytes are bounded (recorded only for
+    files with ≤1024 distinct keys — the small delta files a
+    streaming sink writes); a point DELETE in a hot 10 GB scattered
+    partition reads and rewrites ~one file instead of all of them —
+    the Delta bloom-index / Iceberg puffin analogue, inlined into the
+    manifest (operators/table.py _collect_file_blooms)."""
+    import shutil
+    import tempfile
+
+    from ..operators.table import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    target_id = (max_id + 1) // 10
+    evp = (
+        ev.withColumn("pt", (F.col("event_id") % 4).cast("int"))
+        .withColumn("k", F.md5(F.col("event_id").cast("string")))
+        .withColumn("vc", F.round(F.col("value") * 100).cast("bigint"))
+        .drop("value")
+        .repartition(32)  # SCATTERED: no key clustering anywhere
+    )
+    work = tempfile.mkdtemp(prefix="bloom_dml_")
+    try:
+        mt = ManifestTable(
+            spark, f"{work}/events_bloom", bloom_cols=["k"]
+        )
+        mt.create(evp, ["pt"])
+        man = mt.manifest()
+        files_by_pt = {
+            e["values"][0][1]: len(e["files"])
+            for e in man["entries"]
+        }
+        blooms_everywhere = int(
+            all(
+                "bloom" in st
+                for e in man["entries"]
+                for st in e["files"].values()
+            )
+        )
+        # pin 1: an ABSENT key scans zero files (pure bloom win —
+        # bounds admit everything here)
+        rep = mt.prune_file_stats(
+            [("k", "=", "no-such-key-in-any-file")]
+        )
+        absent_prunes = int(rep["files_scanned"] == 0)
+        # pin 2: the point DELETE rewrites a strict tiny subset
+        target_k = (
+            spark.createDataFrame([(int(target_id),)], "i bigint")
+            .select(F.md5(F.col("i").cast("string")).alias("k"))
+            .collect()[0]["k"]
+        )
+        r = mt.delete_where([("k", "=", target_k)])
+        tpt = int(target_id % 4)
+        file_granular = int(
+            r["rows_deleted"] == 1
+            and 1 <= r["files_rewritten"] <= 3
+            and r["files_rewritten"] < files_by_pt[tpt]
+        )
+        rows = (
+            mt.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+                F.sum("vc").cast("bigint").alias("vc_sum"),
+            )
+            .withColumn(
+                "blooms_recorded",
+                F.lit(blooms_everywhere).cast("int"),
+            )
+            .withColumn(
+                "absent_prunes", F.lit(absent_prunes).cast("int")
+            )
+            .withColumn(
+                "file_granular", F.lit(file_granular).cast("int")
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, id_checksum bigint,"
+            " vc_sum bigint, blooms_recorded int, absent_prunes int,"
+            " file_granular int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_bloom_point_dml"] = Q(
+    _q_table_bloom_point_dml,
+    """
+WITH c AS (
+    SELECT (MAX(event_id) + 1) // 10 AS target_id FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS vc_sum,
+       CAST(1 AS INT) AS blooms_recorded,
+       CAST(1 AS INT) AS absent_prunes,
+       CAST(1 AS INT) AS file_granular
+FROM events, c
+WHERE event_id <> c.target_id
+GROUP BY 1
+""",
+    doc="per-file Bloom membership: point DELETE on an UNCLUSTERED md5 key rewrites ~1 of ~32 scattered files per partition (bounds prune nothing), absent keys scan zero files, false-positive-only semantics",
+)

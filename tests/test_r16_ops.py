@@ -782,3 +782,210 @@ class TestMergeValuePreservationFuzz:
             baseline[3] = val
 
         check()
+
+
+def _mk_unclustered_bloom(spark, path, n=4000, files=16, bloom=True):
+    """UNCLUSTERED manifest table: scattered md5-string keys, many
+    files per partition, every file's key bounds spanning the whole
+    keyspace — the uuid-keyed CDC cold-start shape where min/max
+    bounds prune nothing."""
+    from fbg_kafka_stream_file_transfer_spark.operators.table import (
+        ManifestTable,
+    )
+
+    df = spark.range(0, n).select(
+        F.md5(F.col("id").cast("string")).alias("k"),
+        (F.col("id") % 2).cast("int").alias("pt"),
+        (F.col("id") * 10).alias("v"),
+    )
+    stage = f"{path}__seed"
+    df.write.mode("overwrite").parquet(stage)
+    back = spark.read.parquet(stage).repartition(files)
+    mt = ManifestTable(
+        spark, path, bloom_cols=["k"] if bloom else None
+    )
+    mt.create(back, ["pt"])
+    return mt
+
+
+class TestBloomSkipping:
+    """Per-file Bloom membership (r16): point DML/reads stay
+    file-granular on UNCLUSTERED keys, where bounds degrade to
+    partition-granular (r15 verdict's What's-missing #3)."""
+
+    def test_blooms_recorded_per_file(self, spark, tmp_path):
+        mt = _mk_unclustered_bloom(spark, str(tmp_path / "t"))
+        man = mt.manifest()
+        assert man.get("bloom_cols") == ["k"]
+        for e in man["entries"]:
+            assert all(
+                "bloom" in st and "k" in st["bloom"]
+                for st in e["files"].values()
+            )
+
+    def test_point_delete_is_file_granular(self, spark, tmp_path):
+        mt = _mk_unclustered_bloom(spark, str(tmp_path / "t"))
+        man = mt.manifest()
+        total = sum(len(e["files"]) for e in man["entries"])
+        target = mt.read().limit(1).collect()[0]["k"]
+        r = mt.delete_where([("k", "=", target)])
+        assert r["rows_deleted"] == 1
+        # bounds alone admit EVERY file (scattered keys); the bloom
+        # must cut the rewrite to a strict (tiny) subset
+        assert 1 <= r["files_rewritten"] <= 2, r
+        assert r["files_rewritten"] + r["files_carried"] < total + 1
+        assert mt.read().filter(F.col("k") == target).count() == 0
+        assert mt.read().count() == 3999
+
+    def test_no_false_negatives(self, spark, tmp_path):
+        """Every PRESENT key's file must admit it — sample broadly."""
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            _bloom_may_contain,
+        )
+
+        mt = _mk_unclustered_bloom(spark, str(tmp_path / "t"), n=1000)
+        man = mt.manifest()
+        by_dir = {
+            e["values"][0][1]: e for e in man["entries"]
+        }
+        rows = (
+            mt.read()
+            .withColumn("_f", F.input_file_name())
+            .select("k", "pt", "_f")
+            .collect()
+        )
+        for r in rows[::17]:  # every 17th row
+            e = by_dir[r["pt"]]
+            fn = r["_f"].rsplit("/", 1)[-1]
+            st = e["files"][fn]
+            assert _bloom_may_contain(st["bloom"]["k"], r["k"]), r
+
+    def test_absent_key_scans_zero_files(self, spark, tmp_path):
+        mt = _mk_unclustered_bloom(spark, str(tmp_path / "t"))
+        rep = mt.prune_file_stats([("k", "=", "no-such-key-anywhere")])
+        assert rep["files_scanned"] == 0
+        assert (
+            mt.read(where=[("k", "=", "no-such-key-anywhere")]).count()
+            == 0
+        )
+
+    def test_property_persists_across_commits(self, spark, tmp_path):
+        mt = _mk_unclustered_bloom(spark, str(tmp_path / "t"))
+        target = mt.read().limit(1).collect()[0]["k"]
+        mt.delete_where([("k", "=", target)])
+        man = mt.manifest()
+        assert man.get("bloom_cols") == ["k"]
+        # the rewritten file in the touched entry carries a FRESH
+        # bloom; carried files keep their old ones
+        for e in man["entries"]:
+            for st in e["files"].values():
+                assert "bloom" in st
+
+    def test_over_cap_files_skip_blooms(self, spark, tmp_path):
+        """A file with more distinct keys than the cap records no
+        filter (it would saturate) — reads stay correct, just
+        bounds-granular."""
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            ManifestTable,
+        )
+
+        df = spark.range(0, 6000).select(
+            F.md5(F.col("id").cast("string")).alias("k"),
+            (F.col("id") % 2).cast("int").alias("pt"),
+            F.col("id").alias("v"),
+        )
+        stage = str(tmp_path / "seed")
+        df.write.parquet(stage)
+        back = spark.read.parquet(stage).repartition(2)  # ~3000/file
+        mt = ManifestTable(
+            spark, str(tmp_path / "t"), bloom_cols=["k"]
+        )
+        mt.create(back, ["pt"])
+        man = mt.manifest()
+        for e in man["entries"]:
+            assert all(
+                "bloom" not in st for st in e["files"].values()
+            )
+        k0 = mt.read().limit(1).collect()[0]["k"]
+        assert mt.read(where=[("k", "=", k0)]).count() == 1
+
+    def test_merge_point_keys_prune_via_bloom(self, spark, tmp_path):
+        """fg MERGE keyset selection ('in' clauses) consults the
+        blooms: a 2-key upsert into a 16-file scattered partition
+        rewrites ≤ a few files and carries the rest."""
+        mt = _mk_unclustered_bloom(spark, str(tmp_path / "t"))
+        two = [
+            r["k"]
+            for r in mt.read()
+            .filter("pt = 1")
+            .limit(2)
+            .collect()
+        ]
+        delta = spark.createDataFrame(
+            [(k, 1, 777) for k in two], "k string, pt int, v bigint"
+        )
+        merge_into_partitioned(spark, mt.path, delta, ["k"], ["pt"])
+        e1 = next(
+            e
+            for e in mt.manifest()["entries"]
+            if e["values"] == [["int", 1]]
+        )
+        carried = sum(1 for n in e1["files"] if "/" in n)
+        assert carried >= 12, (carried, len(e1["files"]))
+        got = {
+            r["k"]: r["v"]
+            for r in mt.read().filter(F.col("k").isin(two)).collect()
+        }
+        assert got == {k: 777 for k in two}
+
+    def test_drop_columns_sheds_blooms(self, spark, tmp_path):
+        mt = _mk_unclustered_bloom(spark, str(tmp_path / "t"))
+        mt.drop_columns(["k"])
+        man = mt.manifest()
+        assert man.get("bloom_cols", []) == []
+        for e in man["entries"]:
+            for st in (e.get("files") or {}).values():
+                assert "bloom" not in st
+
+    def test_compact_refreshes_blooms(self, spark, tmp_path):
+        mt = _mk_unclustered_bloom(
+            spark, str(tmp_path / "t"), n=1000, files=8
+        )
+        before = mt.read().orderBy("k").collect()
+        mt.compact(partitions=[(0,), (1,)])
+        assert mt.read().orderBy("k").collect() == before
+        man = mt.manifest()
+        # compacted files hold ≤ ~500 distinct each → still under the
+        # cap → blooms re-recorded for the fresh generation
+        for e in man["entries"]:
+            fmap = e.get("files") or {}
+            assert all("bloom" in st for st in fmap.values())
+        k0 = before[0]["k"]
+        rep = mt.prune_file_stats([("k", "=", k0)])
+        assert rep["files_scanned"] <= 2
+
+    def test_create_time_validation(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            ManifestTable,
+        )
+
+        df = spark.range(0, 10).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 2).cast("int").alias("pt"),
+            (F.col("id") * 1.0).alias("d"),
+        )
+        stage = str(tmp_path / "seed")
+        df.write.parquet(stage)
+        back = spark.read.parquet(stage)
+        with pytest.raises(ValueError, match="partition column"):
+            ManifestTable(
+                spark, str(tmp_path / "t1"), bloom_cols=["pt"]
+            ).create(back, ["pt"])
+        with pytest.raises(ValueError, match="support"):
+            ManifestTable(
+                spark, str(tmp_path / "t2"), bloom_cols=["d"]
+            ).create(back, ["pt"])
+        with pytest.raises(ValueError, match="not in table schema"):
+            ManifestTable(
+                spark, str(tmp_path / "t3"), bloom_cols=["zz"]
+            ).create(back, ["pt"])
