@@ -345,7 +345,42 @@ def _cast_class(src, dst) -> str:
         return "widen"  # midnight-of conversion, invertible
     if s in ("timestamp", "timestamp_ntz") and d == "date":
         return "wrap"  # truncates the time component
+    # nested types recurse: an array<int> delta into an array<bigint>
+    # stored column is a lossless element-wise up-cast, not a
+    # cross-family refusal. Nullability narrows conservatively: a
+    # nullable source into a non-null container is value-dependent.
+    if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
+        if src.containsNull and not dst.containsNull:
+            return "cross"
+        return _cast_class(src.elementType, dst.elementType)
+    if isinstance(src, T.MapType) and isinstance(dst, T.MapType):
+        if src.valueContainsNull and not dst.valueContainsNull:
+            return "cross"
+        return _worst_cast_class(
+            _cast_class(src.keyType, dst.keyType),
+            _cast_class(src.valueType, dst.valueType),
+        )
+    if isinstance(src, T.StructType) and isinstance(dst, T.StructType):
+        if [f.name for f in src.fields] != [f.name for f in dst.fields]:
+            return "cross"
+        cls = "identical"
+        for a, b in zip(src.fields, dst.fields):
+            if a.nullable and not b.nullable:
+                return "cross"
+            cls = _worst_cast_class(
+                cls, _cast_class(a.dataType, b.dataType)
+            )
+        return cls
     return "cross"
+
+
+_CAST_CLASS_RANK = {"identical": 0, "widen": 1, "cross": 2, "wrap": 3}
+
+
+def _worst_cast_class(a: str, b: str) -> str:
+    """Combine nested cast classes pessimistically (wrap dominates —
+    it is the silent-corruption class; cross beats widen)."""
+    return a if _CAST_CLASS_RANK[a] >= _CAST_CLASS_RANK[b] else b
 
 
 def _parquet_widen_ok(old, new) -> bool:

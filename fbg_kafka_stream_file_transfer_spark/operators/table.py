@@ -4011,6 +4011,139 @@ class ManifestTable:
         with table_write_lock(self.spark, self.path, holder="add-columns"):
             return _do()
 
+    def alter_column_type(
+        self,
+        col: str,
+        new_type: "str | T.DataType",
+        retain_versions: int | None = None,
+        assume_locked: bool = False,
+    ) -> int:
+        """``ALTER TABLE ALTER COLUMN TYPE`` — WIDENING only (r16): a
+        pure metadata commit, zero data I/O. Every entry re-references
+        verbatim (empty change-feed diff — both diff sides up-cast to
+        the wide type and unchanged rows collapse); existing narrow
+        files read through the new manifest schema via the Spark 4
+        parquet widening read, so the supported pairs are exactly
+        ``scale._parquet_widen_ok``'s probe-verified set (integral
+        up-chain, float→double, byte/short/int→double, decimal
+        growth, integral→decimal-with-room). Time travel to pre-alter
+        versions keeps the narrow shape. This is the explicit-ALTER
+        twin of the write-side path (``merge_into_partitioned(...,
+        schema_evolution=True)`` widens when the delta arrives wide);
+        use it to widen AHEAD of the data, e.g. before an int column
+        approaches 2^31.
+
+        Refusals, all pre-commit: unknown column, partition column
+        (its values are the manifest entry keys), derived-partition
+        SOURCE column (``bucket`` hashes the column's binary
+        representation — xxhash64(int 3) ≠ xxhash64(bigint 3), so a
+        widened source would break the enforced derivation), identical
+        type (no-op must be loud, not a burned version), and any
+        non-widening direction. Returns the new version."""
+
+        def _do() -> int:
+            cur = self.current_version()
+            if cur is None:
+                raise ValueError(
+                    f"manifest table does not exist: {self.path}"
+                )
+            man = self.manifest(cur)
+            raw = self._manifest_raw(cur)
+            if isinstance(new_type, T.DataType):
+                dt = new_type
+            else:
+                try:
+                    dt = T._parse_datatype_string(new_type)
+                except Exception as exc:  # noqa: BLE001
+                    raise ValueError(
+                        f"alter_column_type: {new_type!r} is not a"
+                        " valid DDL type string"
+                    ) from exc
+            schema = T.StructType.fromJson(man["schema"])
+            names = {f.name for f in schema.fields}
+            if col not in names:
+                raise ValueError(
+                    f"column {col!r} not in table schema"
+                )
+            if col in man["partition_cols"]:
+                raise ValueError(
+                    f"cannot alter partition column {col!r} — its"
+                    " values are the manifest entry keys; use"
+                    " repartition_table"
+                )
+            srcs = {
+                s["source"]
+                for s in (man.get("derived_partitions") or {}).values()
+            }
+            if col in srcs:
+                raise ValueError(
+                    f"cannot alter {col!r}: a partition column"
+                    " derives from it and the bucket transform hashes"
+                    " the column's binary representation — a widened"
+                    " source would break the enforced derivation"
+                )
+            old = schema[col].dataType
+            if old == dt:
+                raise ValueError(
+                    f"column {col!r} is already"
+                    f" {old.simpleString()}"
+                )
+            from .scale import _parquet_widen_ok
+
+            if not _parquet_widen_ok(old, dt):
+                raise ValueError(
+                    f"alter_column_type only WIDENS: {col!r} is"
+                    f" {old.simpleString()} and"
+                    f" {dt.simpleString()} is not a supported"
+                    " lossless widening readable over the existing"
+                    " parquet files (integral up-chain,"
+                    " float→double, int→double, decimal growth,"
+                    " integral→decimal-with-room)"
+                )
+            new_schema = {
+                **raw["schema"],
+                "fields": [
+                    (
+                        {**f, "type": dt.jsonValue()}
+                        if f["name"] == col
+                        else f
+                    )
+                    for f in raw["schema"]["fields"]
+                ],
+            }
+            retain = (
+                retain_versions
+                if retain_versions is not None
+                else self._keep_current_retain(cur + 1)
+            )
+            self._publish_entries(
+                cur + 1,
+                list(raw["partition_cols"]),
+                new_schema,
+                man["entries"],
+                retain,
+                raw.get("shard_target", self.shard_target),
+                raw.get("stats_cols", "auto"),
+                dropped_cols=raw.get("dropped_cols"),
+                check_constraints=raw.get("check_constraints"),
+                derived_partitions=raw.get("derived_partitions"),
+                op_info={
+                    "name": "alter_column_type",
+                    "col": col,
+                    "from": old.simpleString(),
+                    "to": dt.simpleString(),
+                },
+                bloom_cols=raw.get("bloom_cols"),
+            )
+            return cur + 1
+
+        if assume_locked:
+            return _do()
+        with table_write_lock(
+            self.spark, self.path, holder="alter-column"
+        ):
+            return _do()
+
     def check_constraints(self, version: int | None = None) -> dict:
         """The table's CHECK constraints, ``{name: sql}`` — a
         persisted property every generation-writing commit validates
@@ -5392,7 +5525,17 @@ class ManifestTable:
                         f" support {_BLOOM_TYPES} (the probe must"
                         " mirror Spark's string rendering exactly)"
                     )
-        return [c for c in cfg if c in columns]
+        # later commits filter by TYPE as well as presence: a column
+        # widened out of the supported family (int→double changes the
+        # string rendering "3"→"3.0") must stop recording filters —
+        # the probe already bails on float values, so stale blobs
+        # would be dead bytes, never a wrong prune
+        return [
+            c
+            for c in cfg
+            if c in columns
+            and columns[c].typeName() in _BLOOM_TYPES
+        ]
 
     def _collect_entry_stats(
         self,

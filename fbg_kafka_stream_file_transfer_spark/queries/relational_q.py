@@ -5807,3 +5807,127 @@ GROUP BY 1
 """,
     doc="per-file Bloom membership: point DELETE on an UNCLUSTERED md5 key rewrites ~1 of ~32 scattered files per partition (bounds prune nothing), absent keys scan zero files, false-positive-only semantics",
 )
+
+
+def _q_table_alter_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only widening ALTER certification (round 16):
+    ``alter_column_type`` widens a stored INT column to BIGINT ahead
+    of the data — zero data I/O (every entry re-referenced verbatim,
+    pinned by an empty change-feed diff and untouched file mtimes
+    in-function), narrow history reading through the wide manifest
+    schema, time travel keeping the old shape — then a PLAIN blind
+    merge lands out-of-int-range values with no evolution flag (the
+    delta's bigint now matches the stored type exactly). The
+    explicit-ALTER twin of ``merge_type_widening``'s write-side path:
+    widen BEFORE an int column approaches 2^31 instead of when the
+    first wide delta arrives. The oracle recomputes the final state
+    arithmetically from ``events``.
+
+    Scale shape: the ALTER is O(manifest) — at 100 TB the alternative
+    (rewrite every file wider) is an O(table) job; here the bytes
+    never move (Spark 4 parquet widening read, probe-verified
+    pairs)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable
+
+    OFFSET = 2**40
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    band = max(1, (max_id + 1) // 50)
+    a_lo = (max_id + 1) // 10
+    a_hi = a_lo + band
+    evp = (
+        ev.withColumn("pt", (F.col("event_id") % 4).cast("int"))
+        .withColumn("vc", F.round(F.col("value") * 100).cast("int"))
+        .drop("value")
+        .repartitionByRange(16, F.col("pt"), F.col("event_id"))
+        .sortWithinPartitions("pt", "event_id")
+    )
+    work = tempfile.mkdtemp(prefix="alter_widen_")
+    try:
+        mt = ManifestTable(spark, f"{work}/events_alter")
+        mt.create(evp, ["pt"])
+        files = glob.glob(
+            os.path.join(mt.path, "_data", "**", "*.parquet"),
+            recursive=True,
+        )
+        mtimes = {f: os.path.getmtime(f) for f in files}
+        mt.alter_column_type("vc", "bigint", retain_versions=5)
+        meta_only = int(
+            {f: os.path.getmtime(f) for f in files} == mtimes
+            and mt.changes(1, 2).count() == 0
+            and mt.read(version=1)
+            .schema["vc"]
+            .dataType.simpleString()
+            == "int"
+            and mt.read().schema["vc"].dataType.simpleString()
+            == "bigint"
+        )
+        assert meta_only, "the ALTER must be a zero-I/O empty diff"
+        upd = (
+            ev.filter(
+                (F.col("event_id") >= a_lo) & (F.col("event_id") < a_hi)
+            )
+            .withColumn("pt", (F.col("event_id") % 4).cast("int"))
+            .select(
+                "event_id",
+                "event_type",
+                (
+                    F.round(F.col("value") * 100).cast("bigint")
+                    + F.lit(OFFSET).cast("bigint")
+                ).alias("vc"),
+                "pt",
+            )
+        )
+        # no schema_evolution flag: the types already match
+        merge_into_partitioned(
+            spark, mt.path, upd, ["event_id"], ["pt"],
+            retain_versions=5,
+        )
+        rows = (
+            mt.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+                F.sum("vc").cast("bigint").alias("vc_sum"),
+            )
+            .withColumn("meta_only_alter", F.lit(meta_only).cast("int"))
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, id_checksum bigint,"
+            " vc_sum bigint, meta_only_alter int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_alter_widen"] = Q(
+    _q_table_alter_widen,
+    """
+WITH c AS (
+    SELECT (MAX(event_id) + 1) // 10 AS a_lo,
+           (MAX(event_id) + 1) // 10
+             + GREATEST(1, (MAX(event_id) + 1) // 50) AS a_hi
+    FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) + CASE
+            WHEN event_id >= c.a_lo AND event_id < c.a_hi
+            THEN 1099511627776 ELSE 0 END) AS BIGINT) AS vc_sum,
+       CAST(1 AS INT) AS meta_only_alter
+FROM events, c
+GROUP BY 1
+""",
+    doc="metadata-only widening ALTER COLUMN TYPE: zero data I/O (mtimes + empty diff pinned), narrow history reads wide, a later plain merge lands out-of-int-range values with no evolution flag",
+)

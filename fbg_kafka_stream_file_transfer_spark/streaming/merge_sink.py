@@ -54,6 +54,7 @@ def start_changelog_merge_sink(
     compact_every: int = 20,
     compact_target_records_per_file: int | None = None,
     compact_cluster_by: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
     ttl_keep: float | None = None,
     ttl_delete_every: int = 20,
     schema_evolution: bool = False,
@@ -113,6 +114,17 @@ def start_changelog_merge_sink(
     preserve surviving files byte-identically, so their bounds
     survive by construction); the compaction rewrite is the one
     place clustering can be lost, so it is the place to restore it.
+
+    ``bloom_cols`` (manifest layout only, r16) threads into the
+    first-batch bootstrap ``create()`` as the table's per-file Bloom
+    membership property — set it to ``[key_col]`` for a sink whose
+    key is UNCLUSTERED (uuid-shaped): every micro-batch commit then
+    records a small packed filter per written file, so the fg merge's
+    point-key selection stays file-granular BEFORE the first
+    ``compact(cluster_by=)`` sweep restores key-disjoint bounds (the
+    cold-start window where bounds span every file and fg selection
+    degrades to partition-granular). Ignored when the table already
+    exists (the persisted property wins, like stats_cols).
 
     ``ttl_keep`` (manifest layout only, r14) arms EVENT-TIME
     RETENTION — the "table expires old rows" shape every CDC table
@@ -208,6 +220,11 @@ def start_changelog_merge_sink(
             " layout cannot NULL-backfill untouched partitions"
             " atomically (merge_into_partitioned's own refusal)"
         )
+    if bloom_cols and layout != "manifest":
+        raise ValueError(
+            "bloom_cols requires layout='manifest' — per-file Bloom"
+            " membership lives in the manifest's file stats"
+        )
     if ttl_keep is not None:
         if layout != "manifest":
             raise ValueError(
@@ -291,7 +308,9 @@ def start_changelog_merge_sink(
                         if layout == "manifest":
                             from ..operators.table import ManifestTable
 
-                            ManifestTable(spark, path).create(
+                            ManifestTable(
+                                spark, path, bloom_cols=bloom_cols
+                            ).create(
                                 folded, partition_cols, assume_locked=True
                             )
                         else:

@@ -989,3 +989,286 @@ class TestBloomSkipping:
             ManifestTable(
                 spark, str(tmp_path / "t3"), bloom_cols=["zz"]
             ).create(back, ["pt"])
+
+
+class TestBloomSinkAndWiden:
+    """Cross-feature pins: the CDC sink bootstraps bloom_cols (the
+    uuid-keyed cold-start shape the feature targets), and Bloom bits
+    stay VALID across an int-family type widening (str(int) renders
+    identically at every width, so the salted-md5 positions are
+    width-stable)."""
+
+    def test_sink_bootstraps_bloom_property(self, spark, tmp_path):
+        import os
+
+        from fbg_kafka_stream_file_transfer_spark.streaming.merge_sink import (
+            start_changelog_merge_sink,
+        )
+
+        table = str(tmp_path / "table")
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        schema = "k string, pt int, v double, ts long, op string"
+        b = spark.createDataFrame(
+            [(f"key-{i:04d}", i % 2, float(i), 1, "U") for i in range(40)],
+            schema,
+        )
+        tmp = str(tmp_path / "w0")
+        b.coalesce(1).write.parquet(tmp)
+        pf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(f"{tmp}/{pf}", f"{src}/000.parquet")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_changelog_merge_sink(
+            spark, stream, table, "k", ["pt"], "ts", "op",
+            str(tmp_path / "ckpt"), layout="manifest",
+            retain_versions=10, bloom_cols=["k"],
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        mt = ManifestTable(spark, table)
+        man = mt.manifest()
+        assert man.get("bloom_cols") == ["k"]
+        assert all(
+            "bloom" in st
+            for e in man["entries"]
+            for st in e["files"].values()
+        )
+        rep = mt.prune_file_stats([("k", "=", "absent-key")])
+        assert rep["files_scanned"] == 0
+
+    def test_sink_bloom_requires_manifest(self, spark, tmp_path):
+        import os
+
+        from fbg_kafka_stream_file_transfer_spark.streaming.merge_sink import (
+            start_changelog_merge_sink,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        stream = (
+            spark.readStream.schema("k string, pt int, ts long, op string")
+            .parquet(src)
+        )
+        with pytest.raises(ValueError, match="bloom_cols requires"):
+            start_changelog_merge_sink(
+                spark, stream, str(tmp_path / "t"), "k", ["pt"],
+                "ts", "op", str(tmp_path / "ckpt"),
+                bloom_cols=["k"],
+            )
+
+    def test_bloom_positions_stable_across_widening(
+        self, spark, tmp_path
+    ):
+        """Widen an int bloom column to bigint: old files' filters
+        (computed from str(int)) must still answer probes for the
+        same keys arriving as Python ints of any width."""
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            ManifestTable,
+        )
+
+        df = spark.range(0, 400).select(
+            F.col("id").alias("rowid"),
+            (F.col("id") % 2).cast("int").alias("pt"),
+            (F.col("id") * 3).cast("int").alias("code"),
+        )
+        stage = str(tmp_path / "seed")
+        df.write.parquet(stage)
+        back = spark.read.parquet(stage).repartition(8)
+        mt = ManifestTable(
+            spark, str(tmp_path / "t"), bloom_cols=["code"]
+        )
+        mt.create(back, ["pt"])
+        # widen code int→bigint via an evolution merge
+        merge_into_partitioned(
+            spark, mt.path,
+            spark.createDataFrame(
+                [(9999, 1, BIG)], "rowid bigint, pt int, code bigint"
+            ),
+            ["rowid"], ["pt"], schema_evolution=True,
+        )
+        assert (
+            mt.schema()["code"].dataType.simpleString() == "bigint"
+        )
+        assert man_bloom_cols(mt) == ["code"]
+        # a pre-widen key probed post-widen: found, file-granular
+        assert mt.read(where=[("code", "=", 33)]).count() == 1
+        rep = mt.prune_file_stats([("code", "=", 33)])
+        assert 0 < rep["files_scanned"] < rep["files_total"]
+        # an absent in-range key scans only Bloom false positives
+        rep2 = mt.prune_file_stats([("code", "=", 34)])
+        assert rep2["files_scanned"] <= 2
+
+
+def man_bloom_cols(mt):
+    return mt.manifest().get("bloom_cols")
+
+
+class TestAlterColumnType:
+    """r16: the explicit metadata-only widening ALTER — zero data
+    I/O, empty diff, narrow history reads through the wide schema."""
+
+    def test_widen_metadata_only(self, spark, tmp_path):
+        import glob
+        import os
+
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        data_files = glob.glob(
+            os.path.join(mt.path, "_data", "**", "*.parquet"),
+            recursive=True,
+        )
+        mtimes = {f: os.path.getmtime(f) for f in data_files}
+        v2 = mt.alter_column_type("v", "bigint")
+        assert v2 == 2
+        assert {
+            f: os.path.getmtime(f) for f in data_files
+        } == mtimes  # zero data I/O
+        assert (
+            mt.read().schema["v"].dataType.simpleString() == "bigint"
+        )
+        assert (
+            mt.read(version=1).schema["v"].dataType.simpleString()
+            == "int"
+        )
+        # all values intact through the widening read
+        assert mt.read().filter("id = 3").collect()[0]["v"] == 30
+        assert mt.read().count() == 200
+        # the alter itself diffs to ZERO rows
+        assert mt.changes(1, 2).count() == 0
+
+    def test_wide_write_after_alter_needs_no_evolution(
+        self, spark, tmp_path
+    ):
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        mt.alter_column_type("v", "bigint")
+        delta = spark.createDataFrame(
+            [(3, 1, BIG)], "id bigint, pt int, v bigint"
+        )
+        merge_into_partitioned(spark, mt.path, delta, ["id"], ["pt"])
+        assert mt.read().filter("id = 3").collect()[0]["v"] == BIG
+
+    def test_refusals(self, spark, tmp_path):
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        with pytest.raises(ValueError, match="partition column"):
+            mt.alter_column_type("pt", "bigint")
+        with pytest.raises(ValueError, match="not in table schema"):
+            mt.alter_column_type("zz", "bigint")
+        with pytest.raises(ValueError, match="already"):
+            mt.alter_column_type("v", "int")
+        with pytest.raises(ValueError, match="only WIDENS"):
+            mt.alter_column_type("id", "int")  # bigint → int
+        with pytest.raises(ValueError, match="only WIDENS"):
+            mt.alter_column_type("v", "string")  # cross-family
+        with pytest.raises(ValueError, match="not a valid DDL"):
+            mt.alter_column_type("v", "bigint); drop table x")
+        assert mt.current_version() == 1
+
+    def test_derived_source_refuses(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            ManifestTable,
+            partition_transform_column,
+        )
+
+        df = spark.range(0, 40).select(
+            F.col("id").alias("id"),
+            F.col("id").cast("int").alias("code"),
+        )
+        df = df.withColumn(
+            "b", partition_transform_column("bucket", "code", 4)
+        )
+        stage = str(tmp_path / "seed")
+        df.write.parquet(stage)
+        mt = ManifestTable(
+            spark,
+            str(tmp_path / "t"),
+            derived_partitions={
+                "b": {"transform": "bucket", "source": "code", "n": 4}
+            },
+        )
+        mt.create(spark.read.parquet(stage), ["b"])
+        with pytest.raises(ValueError, match="derives from it"):
+            mt.alter_column_type("code", "bigint")
+
+
+class TestNestedCastClass:
+    """Nested types recurse: element-wise lossless up-casts align,
+    element-wise narrowing refuses — never a blanket cross."""
+
+    def _t(self, ddl):
+        return T._parse_datatype_string(ddl)
+
+    @pytest.mark.parametrize(
+        "src,dst,cls",
+        [
+            ("array<int>", "array<bigint>", "widen"),
+            ("array<bigint>", "array<int>", "wrap"),
+            ("array<string>", "array<int>", "cross"),
+            ("array<int>", "array<int>", "identical"),
+            ("map<int,float>", "map<bigint,double>", "widen"),
+            ("map<int,bigint>", "map<int,int>", "wrap"),
+            (
+                "struct<a:int,b:float>",
+                "struct<a:bigint,b:double>",
+                "widen",
+            ),
+            (
+                "struct<a:bigint,b:float>",
+                "struct<a:int,b:double>",
+                "wrap",  # wrap dominates the widen
+            ),
+            ("struct<a:int>", "struct<x:int>", "cross"),
+            ("array<array<int>>", "array<array<bigint>>", "widen"),
+        ],
+    )
+    def test_nested_matrix(self, src, dst, cls, spark):
+        assert _cast_class(self._t(src), self._t(dst)) == cls
+
+    def test_array_delta_aligns_upward(self, spark, tmp_path):
+        """An array<int> delta merges into an array<bigint> stored
+        column (lossless element up-cast) — no refusal."""
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            ManifestTable,
+        )
+
+        df = spark.range(0, 20).select(
+            F.col("id").alias("id"),
+            (F.col("id") % 2).cast("int").alias("pt"),
+            F.array(F.col("id"), F.col("id") + 1).alias("arr"),
+        )
+        stage = str(tmp_path / "seed")
+        df.write.parquet(stage)
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(spark.read.parquet(stage), ["pt"])
+        delta = spark.createDataFrame(
+            [(3, 1, [7, 8])], "id bigint, pt int, arr array<int>"
+        )
+        merge_into_partitioned(spark, mt.path, delta, ["id"], ["pt"])
+        assert mt.read().filter("id = 3").collect()[0]["arr"] == [7, 8]
+
+    def test_array_element_narrowing_refuses(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.operators.table import (
+            ManifestTable,
+        )
+
+        df = spark.range(0, 20).select(
+            F.col("id").alias("id"),
+            (F.col("id") % 2).cast("int").alias("pt"),
+            F.array(F.col("id").cast("int")).alias("arr"),
+        )
+        stage = str(tmp_path / "seed")
+        df.write.parquet(stage)
+        mt = ManifestTable(spark, str(tmp_path / "t"))
+        mt.create(spark.read.parquet(stage), ["pt"])
+        delta = spark.createDataFrame(
+            [(3, 1, [BIG])], "id bigint, pt int, arr array<bigint>"
+        )
+        with pytest.raises(ValueError, match="wraps/truncates"):
+            merge_into_partitioned(
+                spark, mt.path, delta, ["id"], ["pt"]
+            )
+        assert mt.current_version() == 1
