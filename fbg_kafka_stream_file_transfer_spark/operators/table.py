@@ -4954,6 +4954,30 @@ class ManifestTable:
                             "file": fname,
                         }
                     )
+            # per-file Bloom blobs (r16): structurally valid base64
+            # of exactly m/8 bytes — a truncated or corrupt blob
+            # would silently ADMIT every probe (the conservative
+            # decode path), so the audit is where it gets caught
+            import base64 as _b64
+
+            for fname, st in (e.get("files") or {}).items():
+                for c, bl in (st.get("bloom") or {}).items():
+                    try:
+                        raw = _b64.b64decode(
+                            bl["b"], validate=True
+                        )
+                        ok_blob = len(raw) == (bl["m"] + 7) // 8
+                    except Exception:  # noqa: BLE001
+                        ok_blob = False
+                    if not ok_blob:
+                        problems.append(
+                            {
+                                "kind": "corrupt_bloom",
+                                "key": e["key"],
+                                "file": fname,
+                                "col": c,
+                            }
+                        )
         if deep and not any(
             p["kind"] == "missing_dir" for p in problems
         ):

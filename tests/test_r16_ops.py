@@ -1272,3 +1272,66 @@ class TestNestedCastClass:
                 spark, mt.path, delta, ["id"], ["pt"]
             )
         assert mt.current_version() == 1
+
+
+class TestBloomSoundnessFuzz:
+    """Randomized point-DML sequences over a bloom table must equal
+    the plain-dataframe recompute — the membership filter may only
+    change WHICH files rewrite, never the result."""
+
+    def test_fuzz_random_point_dml(self, spark, tmp_path):
+        import random
+
+        rng = random.Random(1631)
+        mt = _mk_unclustered_bloom(
+            spark, str(tmp_path / "t"), n=600, files=8
+        )
+        expected = {
+            r["k"]: (r["pt"], r["v"])
+            for r in mt.read().collect()
+        }
+        keys = sorted(expected)
+        for step in range(6):
+            k = rng.choice(keys)
+            if rng.random() < 0.5:
+                r = mt.delete_where([("k", "=", k)])
+                assert r["rows_deleted"] == (1 if k in expected else 0)
+                expected.pop(k, None)
+            else:
+                r = mt.update_where(
+                    [("k", "=", k)], {"v": f"cast({step} as bigint)"}
+                )
+                if k in expected:
+                    assert r["rows_updated"] == 1
+                    expected[k] = (expected[k][0], step)
+                else:
+                    assert r["rows_updated"] == 0
+            got = {
+                r["k"]: (r["pt"], r["v"])
+                for r in mt.read().collect()
+            }
+            assert got == expected, f"diverged at step {step}"
+
+    def test_verify_table_flags_corrupt_bloom(self, spark, tmp_path):
+        import json
+        import os
+
+        mt = _mk_unclustered_bloom(
+            spark, str(tmp_path / "t"), n=400, files=4
+        )
+        assert mt.verify_table()["ok"]
+        mdir = os.path.join(mt.path, "_manifests")
+        p = os.path.join(mdir, "v00000001.json")
+        with open(p) as fh:
+            man = json.load(fh)
+        e = man["entries"][0]
+        fn = next(iter(e["files"]))
+        e["files"][fn]["bloom"]["k"]["b"] = "dG9vc2hvcnQ="  # 8 bytes
+        with open(p, "w") as fh:
+            json.dump(man, fh)
+        crc = os.path.join(mdir, ".v00000001.json.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        rep = mt.verify_table()
+        kinds = {pr["kind"] for pr in rep["problems"]}
+        assert "corrupt_bloom" in kinds and not rep["ok"]
