@@ -1335,3 +1335,60 @@ class TestBloomSoundnessFuzz:
         rep = mt.verify_table()
         kinds = {pr["kind"] for pr in rep["problems"]}
         assert "corrupt_bloom" in kinds and not rep["ok"]
+
+
+class TestWideningChain:
+    """Two widening boundaries stacked (merge int→bigint, then ALTER
+    bigint→decimal(38,0)) with DML in between: every version reads
+    its own shape, the feed crosses BOTH boundaries, and the final
+    state is exact."""
+
+    def test_chained_widenings(self, spark, tmp_path):
+        from decimal import Decimal
+
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        merge_into_partitioned(
+            spark, mt.path,
+            spark.createDataFrame(
+                [(3, 1, BIG)], "id bigint, pt int, v bigint"
+            ),
+            ["id"], ["pt"], schema_evolution=True, retain_versions=8,
+        )
+        mt.delete_where([("id", "=", 8)], retain_versions=8)
+        mt.alter_column_type("v", "decimal(38,0)", retain_versions=8)
+        merge_into_partitioned(
+            spark, mt.path,
+            spark.createDataFrame(
+                [(5, 1, Decimal(10) ** 25)],
+                "id bigint, pt int, v decimal(38,0)",
+            ),
+            ["id"], ["pt"], retain_versions=8,
+        )
+        # per-version shapes
+        shapes = [
+            mt.read(version=i).schema["v"].dataType.simpleString()
+            for i in (1, 2, 3, 4, 5)
+        ]
+        assert shapes == [
+            "int", "bigint", "bigint", "decimal(38,0)",
+            "decimal(38,0)",
+        ]
+        # final state exact through two widening reads
+        byid = {r["id"]: r["v"] for r in mt.read().collect()}
+        assert byid[3] == BIG
+        assert byid[5] == Decimal(10) ** 25
+        assert byid[4] == 40 and 8 not in byid
+        assert len(byid) == 199
+        # the feed crosses BOTH boundaries in the to-schema
+        d = mt.changes(1, 5)
+        assert (
+            d.schema["v"].dataType.simpleString() == "decimal(38,0)"
+        )
+        rows = {
+            (r["id"], r["_change_type"]): r["v"] for r in d.collect()
+        }
+        assert rows[(8, "delete")] == 80
+        assert rows[(3, "insert")] == BIG
+        assert rows[(5, "insert")] == Decimal(10) ** 25
+        # the ALTER contributed zero rows to the diff
+        assert mt.changes(3, 4).count() == 0
