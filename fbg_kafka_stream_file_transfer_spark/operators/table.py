@@ -1177,6 +1177,7 @@ def _entry_scan_selection(
     norm: list[tuple] | None,
     pcols: list[str] | None = None,
     pcol_skip: frozenset = frozenset(),
+    use_bloom: bool = True,
 ) -> tuple[bool, list[str] | None]:
     """THE single implementation of per-entry scan selection for a
     normalized ``where`` conjunction — ``read()``,
@@ -1214,6 +1215,11 @@ def _entry_scan_selection(
             # file-granular on UNCLUSTERED keys, where every file's
             # min/max spans the keyspace. Absent filter ⇒ admitted
             # (old manifests, over-cap files); false positives only.
+            # ``use_bloom=False`` is the observability hook only
+            # (prune_file_stats splits bounds- from bloom-pruning);
+            # every real scan path probes.
+            if not use_bloom:
+                continue
             bl = (st.get("bloom") or {}).get(col)
             if bl is None:
                 continue
@@ -2410,6 +2416,11 @@ class ManifestTable:
             "files_scanned": 0,
             "files_total": 0,
             "entries_without_file_stats": 0,
+            # how many of the pruned files the per-file Bloom
+            # membership (r16) excluded BEYOND what bounds alone
+            # would — "bounds did the work" vs "the filter did" in
+            # one number (0 on tables without bloom_cols)
+            "files_bloom_pruned": 0,
         }
         for e in m["entries"]:
             fstats = e.get("files")
@@ -2422,9 +2433,18 @@ class ManifestTable:
             if not fstats:
                 out["entries_without_file_stats"] += 1
             else:
-                out["files_scanned"] += (
-                    len(fstats) if files is None else len(files)
-                )
+                n_sel = len(fstats) if files is None else len(files)
+                out["files_scanned"] += n_sel
+                if any(
+                    st.get("bloom") for st in fstats.values()
+                ):
+                    _, bonly = _entry_scan_selection(
+                        e, norm, pcols, skip, use_bloom=False
+                    )
+                    n_bounds = (
+                        len(fstats) if bonly is None else len(bonly)
+                    )
+                    out["files_bloom_pruned"] += n_bounds - n_sel
         return out
 
     def changes(

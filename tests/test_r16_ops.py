@@ -1392,3 +1392,22 @@ class TestWideningChain:
         assert rows[(5, "insert")] == Decimal(10) ** 25
         # the ALTER contributed zero rows to the diff
         assert mt.changes(3, 4).count() == 0
+
+
+class TestBloomObservability:
+    def test_files_bloom_pruned_counter(self, spark, tmp_path):
+        """The observability hook splits bounds-pruning from
+        membership-pruning: on a scattered table, bounds prune ~0 and
+        the filter prunes ~everything."""
+        mt = _mk_unclustered_bloom(
+            spark, str(tmp_path / "t"), n=800, files=8
+        )
+        rep = mt.prune_file_stats([("k", "=", "absent-key")])
+        assert rep["files_scanned"] == 0
+        assert rep["files_bloom_pruned"] == rep["files_total"]
+        # without bloom_cols the counter stays zero
+        mt2 = _mk_unclustered_bloom(
+            spark, str(tmp_path / "t2"), n=400, files=4, bloom=False
+        )
+        rep2 = mt2.prune_file_stats([("k", "=", "absent-key")])
+        assert rep2["files_bloom_pruned"] == 0
