@@ -1411,3 +1411,102 @@ class TestBloomObservability:
         )
         rep2 = mt2.prune_file_stats([("k", "=", "absent-key")])
         assert rep2["files_bloom_pruned"] == 0
+
+
+class TestTailAcrossWiden:
+    """r16: a table_tail feed crossing a TYPE-WIDENING boundary —
+    pre-widen feed dirs hold the narrow parquet; read_changes_feed's
+    current-schema explicit read widens them (the same parquet
+    widening read the table itself relies on), and the folded feed
+    equals the widened table state."""
+
+    def test_feed_crosses_widen_boundary(self, spark, tmp_path):
+        from fbg_kafka_stream_file_transfer_spark.streaming.table_tail import (
+            read_changes_feed,
+            start_table_changes_tail,
+        )
+
+        path = str(tmp_path / "t")
+        mt = ManifestTable(spark, path)
+        base = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+            "id bigint, pt string, v int",
+        )
+        mt.create(base, ["pt"])
+        q = start_table_changes_tail(
+            spark, path, str(tmp_path / "feed"), str(tmp_path / "ckpt"),
+        )
+        try:
+            q.processAllAvailable()  # v1 snapshot, NARROW v
+            upd = spark.createDataFrame(
+                [(1, "a", BIG, "U"), (9, "c", BIG + 2, "U")],
+                "id bigint, pt string, v bigint, op string",
+            )
+            merge_into_partitioned(
+                spark, path, upd, ["id"], ["pt"], op_col="op",
+                schema_evolution=True, retain_versions=5,
+            )
+            q.processAllAvailable()  # v2 diff, WIDE v
+        finally:
+            q.stop()
+        feed = read_changes_feed(spark, path, str(tmp_path / "feed"))
+        assert feed.schema["v"].dataType.simpleString() == "bigint"
+        rows = {
+            (r._commit_version, r.id, r.v, r._change_type)
+            for r in feed.collect()
+        }
+        # v1 snapshot rows read narrow values through the wide schema
+        assert (1, 1, 10, "insert") in rows
+        assert (2, 1, 10, "delete") in rows
+        assert (2, 1, BIG, "insert") in rows
+        assert (2, 9, BIG + 2, "insert") in rows
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("id").orderBy(
+            F.col("_commit_version").desc(),
+            F.col("_change_type").desc(),
+        )
+        latest = (
+            feed.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1 and _change_type = 'insert'")
+            .select("id", "pt", "v")
+        )
+        got = sorted((tuple(r) for r in latest.collect()), key=repr)
+        want = sorted((tuple(r) for r in mt.read().collect()), key=repr)
+        assert got == want
+
+
+class TestWidenVsOptimisticRace:
+    """A widening ALTER racing a staged optimistic commit: the rebase
+    refuses schema divergence (the staged df carries the narrow
+    schema), never publishes narrow data as the newest wide version."""
+
+    def test_alter_between_stage_and_publish_conflicts(
+        self, spark, tmp_path
+    ):
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        df = mt.read(partitions=[(1,)]).withColumn(
+            "v", F.col("v") + 1
+        )
+        token = mt.stage_commit(df, touched=[(1,)])
+        mt.alter_column_type("v", "bigint")
+        with pytest.raises(ConcurrentWriterError):
+            mt.commit_staged(token)
+        mt.abort_staged(token)
+        # the widened table is intact, values unchanged
+        assert (
+            mt.read().schema["v"].dataType.simpleString() == "bigint"
+        )
+        assert mt.read().filter("id = 3").collect()[0]["v"] == 30
+
+    def test_alter_first_then_stage_succeeds(self, spark, tmp_path):
+        mt = _mk_int_table(spark, str(tmp_path / "t"))
+        mt.alter_column_type("v", "bigint")
+        df = mt.read(partitions=[(1,)]).withColumn(
+            "v", F.col("v") + F.lit(BIG).cast("bigint")
+        )
+        token = mt.stage_commit(df, touched=[(1,)])
+        mt.commit_staged(token)
+        assert (
+            mt.read().filter("id = 3").collect()[0]["v"] == 30 + BIG
+        )
