@@ -1495,13 +1495,29 @@ def _manifest_merge_plan(
         # planning-ephemeral, never persisted; the collect is
         # bounded by cap × touched partitions.
         _KEYSET_CAP = 256
+
+        def _cap_for(t: tuple) -> int:
+            # entries carrying per-file Bloom filters (r16) earn a
+            # 4× larger keyset window: the IN-clause test there is a
+            # membership probe (memoized salted-md5 positions), not
+            # just a bounds check — on an unclustered table a bigger
+            # point-delta still selects ~|keys| files instead of
+            # falling back to the min-max range, which spans every
+            # file. The planning collect stays bounded
+            # (cap × touched partitions).
+            e = live.get(_partition_key(t)) or {}
+            fmap = e.get("files") or {}
+            if any(st.get("bloom") for st in fmap.values()):
+                return 4 * _KEYSET_CAP
+            return _KEYSET_CAP
+
         want_sets = [
             t
             for r, t in zip(rows, touched)
             if (live.get(_partition_key(t)) or {}).get("files")
             and all(
                 r[f"_cd_{i}"] is not None
-                and 1 <= r[f"_cd_{i}"] <= _KEYSET_CAP
+                and 1 <= r[f"_cd_{i}"] <= _cap_for(t)
                 and r[f"_lo_{i}"] is not None
                 for i in range(len(key_cols))
             )

@@ -480,6 +480,22 @@ def _bloom_pack(positions, m: int) -> str:
     return base64.b64encode(bytes(buf)).decode("ascii")
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=65536)
+def _bloom_probe_positions(s: str, m: int, k: int) -> tuple:
+    """Memoized salted-md5 positions for one rendered probe value —
+    a planning pass testing one key against hundreds of files (the
+    merge IN-clause loop) hashes each key once, not once per file."""
+    import hashlib
+
+    return tuple(
+        int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16) % m
+        for i in range(k)
+    )
+
+
 def _bloom_may_contain(bl: dict, value) -> bool:
     """Python-side probe of a recorded per-file Bloom filter —
     mirrors ``decontam.bloom_positions`` (salted md5, first 15 hex
@@ -487,7 +503,6 @@ def _bloom_may_contain(bl: dict, value) -> bool:
     probe value, malformed blob, unsupported value type) admits the
     file."""
     import base64
-    import hashlib
 
     if value is None:
         return True
@@ -499,18 +514,11 @@ def _bloom_may_contain(bl: dict, value) -> bool:
     if isinstance(value, bool) or not isinstance(value, (int, str)):
         # only int-family / string renderings are mirrored exactly
         return True
-    s = str(value)
     try:
         bits = base64.b64decode(raw)
     except Exception:  # noqa: BLE001 — corrupt blob must not prune
         return True
-    for i in range(k):
-        p = (
-            int(
-                hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:15], 16
-            )
-            % m
-        )
+    for p in _bloom_probe_positions(str(value), m, k):
         if not (bits[p >> 3] >> (p & 7)) & 1:
             return False
     return True

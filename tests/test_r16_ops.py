@@ -1510,3 +1510,46 @@ class TestWidenVsOptimisticRace:
         assert (
             mt.read().filter("id = 3").collect()[0]["v"] == 30 + BIG
         )
+
+
+class TestBloomKeysetWindow:
+    """Bloom-bearing entries earn a 4× keyset window (r16): a
+    500-key scattered merge still plans as an IN-clause membership
+    probe and selects ~|keys| files instead of falling back to the
+    min-max range (which spans every file on an unclustered key)."""
+
+    def test_large_point_delta_stays_file_granular(
+        self, spark, tmp_path
+    ):
+        mt = _mk_unclustered_bloom(
+            spark, str(tmp_path / "t"), n=8000, files=16
+        )
+        man = mt.manifest()
+        total = sum(len(e["files"]) for e in man["entries"])
+        # 400 scattered keys in one partition — over the base 256
+        # cap, under the bloom-earned 1024
+        keys = [
+            r["k"]
+            for r in mt.read()
+            .filter("pt = 1")
+            .limit(400)
+            .collect()
+        ]
+        delta = spark.createDataFrame(
+            [(k, 1, -1) for k in keys], "k string, pt int, v bigint"
+        )
+        merge_into_partitioned(spark, mt.path, delta, ["k"], ["pt"])
+        e1 = next(
+            e
+            for e in mt.manifest()["entries"]
+            if e["values"] == [["int", 1]]
+        )
+        carried = sum(1 for n in e1["files"] if "/" in n)
+        # every file holds ~500 scattered keys, so a 400-key delta
+        # plausibly touches many files — the pin is that SOME files
+        # were proven key-free and carried (the range fallback
+        # carries none: bounds span everything)
+        assert carried >= 1, (carried, len(e1["files"]))
+        got = mt.read().filter(F.col("v") == -1).count()
+        assert got == 400
+        assert mt.read().count() == 8000
