@@ -478,6 +478,57 @@ def _assert_safe_delta_casts(
     return widen_to
 
 
+def _assert_delta_key_unique(
+    aligned: DataFrame, key_cols: list[str], context: str
+) -> None:
+    """Enforce the at-most-one-row-per-key delta contract that blind
+    and conditional merges DEPEND on but (until r16) only documented:
+    a dup-keyed delta silently lands BOTH rows in blind mode (the
+    survivors ∪ incoming union keeps every delta row) and fans the
+    matched target row out once per source row in conditional mode
+    (the full-outer join) — the table ends up with duplicate keys and
+    no error, the same silent-violation class as the r15 narrowing
+    cast (Delta raises DELTA_MULTIPLE_SOURCE_ROW_MATCHING here).
+
+    Rows with a NULL in ANY key column are exempt: key joins use
+    plain equality, so NULL-keyed rows never contest a stored row or
+    each other — they are independent inserts, deterministic however
+    many there are. Ordered mode (``ts_col``) is not checked at all:
+    folding a multi-row-per-key changelog is its documented job.
+
+    Cost: one O(|delta|) aggregation over the already-snapshotted
+    delta parquet, short-circuited to a single surviving group —
+    delta-sized, never table-sized (the merge itself full-outer-joins
+    that same delta). Runs BEFORE any table read or write."""
+    import functools
+    import operator
+
+    nn = functools.reduce(
+        operator.and_, [F.col(k).isNotNull() for k in key_cols]
+    )
+    dup = (
+        aligned.where(nn)
+        .groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_mrg_n"))
+        .where(F.col("_mrg_n") > F.lit(1))
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        r = dup[0]
+        kv = {k: r[k] for k in key_cols}
+        raise ValueError(
+            f"{context}: the delta carries {r['_mrg_n']} rows for key"
+            f" {kv} — blind/conditional MERGE requires at most one"
+            " row per key (which of the rows should win is undefined;"
+            " applying both would duplicate the key in the table)."
+            " Fold the delta first — cdc.apply_changelog for a"
+            " timestamped changelog, or pass ts_col= to run the"
+            " ordered merge, which folds multi-row keys itself."
+            " Refused before any write (the table is unchanged)."
+        )
+
+
 def merge_into_partitioned(
     spark: SparkSession,
     path: str,
@@ -552,7 +603,8 @@ def merge_into_partitioned(
     delta-sized plan (Delta's own phase-2 shape); the blind path's
     broadcast-anti-join is not available because every clause needs
     the matched/not-matched distinction per row. The at-most-one-
-    row-per-key delta contract applies as in blind mode.
+    row-per-key delta contract applies as in blind mode (and is
+    enforced the same way — see Contracts).
 
     ORDERED mode (``ts_col`` set — requires a single key column): the
     merge becomes conditional on event time instead of blind — per
@@ -581,8 +633,16 @@ def merge_into_partitioned(
     corrupt stored data).
 
     Contracts:
-    - BLIND mode: ``updates`` has at most one row per key (pre-apply
-      cdc.apply_changelog to fold a multi-event changelog first);
+    - BLIND and CONDITIONAL modes: ``updates`` has at most one row
+      per key — ENFORCED since r16 (``_assert_delta_key_unique``):
+      a dup-keyed delta refuses loudly before any table I/O instead
+      of silently landing both rows (blind) or fanning the matched
+      row out per source row (conditional) — Delta's
+      DELTA_MULTIPLE_SOURCE_ROW_MATCHING analogue. Pre-apply
+      cdc.apply_changelog to fold a multi-event changelog first, or
+      use ordered mode, which folds multi-row keys itself. Rows with
+      a NULL key column are exempt (equality joins never match them
+      — they are independent, deterministic inserts);
     - partition assignment is functionally dependent on the key (an
       update may not MOVE a key between partitions — the standard
       Hive-style partition-merge constraint; a moved key would leave
@@ -996,6 +1056,12 @@ def _merge_into_plain(
                     " schema evolution needs a manifest table"
                     " (ManifestTable.create) and schema_evolution=True"
                 )
+        if ts_col is None:
+            # blind/conditional contract enforcement (r16); ordered
+            # mode folds multi-row keys by design
+            _assert_delta_key_unique(
+                aligned, key_cols, f"merge into {path}"
+            )
         touched = [
             tuple(r)
             for r in aligned.select(*partition_cols).distinct().collect()
@@ -1442,6 +1508,14 @@ def _manifest_merge_plan(
                     " carry values under these names; pick a fresh"
                     " name"
                 )
+    if ts_col is None:
+        # blind/conditional contract enforcement (r16): refuse a
+        # dup-keyed delta before any table read — ordered mode folds
+        # multi-row keys by design and is exempt (the streaming merge
+        # sink therefore pays nothing per batch)
+        _assert_delta_key_unique(
+            aligned, key_cols, f"merge into {mt.path}"
+        )
     from .table import (
         _entry_scan_selection,
         _is_abs_dir,

@@ -5931,3 +5931,154 @@ GROUP BY 1
 """,
     doc="metadata-only widening ALTER COLUMN TYPE: zero data I/O (mtimes + empty diff pinned), narrow history reads wide, a later plain merge lands out-of-int-range values with no evolution flag",
 )
+
+
+def _q_merge_dup_key_refusal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE at-most-one-row-per-key ENFORCEMENT certification
+    (round 16, second pass): the contract blind and conditional
+    merges always documented is now checked — a delta carrying TWO
+    rows for the same key refuses loudly BEFORE any table I/O
+    (Delta's DELTA_MULTIPLE_SOURCE_ROW_MATCHING analogue; the old
+    behavior silently landed both rows in blind mode and fanned the
+    matched row out per source row in conditional mode — duplicate
+    keys, no error). Pinned in-function: (1) the blind merge of a
+    dup-keyed delta refuses pre-commit, version unchanged; (2) the
+    conditional-clause merge of the same delta refuses too; (3) the
+    SAME dup delta merges fine through ORDERED mode (``ts_col``),
+    whose documented job is folding multi-row-per-key changelogs —
+    the (ts)-max write wins per key. The oracle recomputes the folded
+    final state arithmetically from ``events``.
+
+    Scale shape: the guard is one O(|delta|) short-circuited
+    aggregation over the already-snapshotted delta parquet — never
+    table-sized; ordered mode (the streaming sink's path) is exempt
+    and pays nothing."""
+    import shutil
+    import tempfile
+
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable
+
+    OFFSET = 2**40
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    band = max(1, (max_id + 1) // 50)
+    a_lo = (max_id + 1) // 10
+    a_hi = a_lo + band
+    evp = (
+        ev.withColumn("pt", (F.col("event_id") % 4).cast("int"))
+        .withColumn("vc", F.round(F.col("value") * 100).cast("bigint"))
+        .withColumn("ts", F.lit(0).cast("bigint"))
+        .drop("value")
+        .repartitionByRange(16, F.col("pt"), F.col("event_id"))
+        .sortWithinPartitions("pt", "event_id")
+    )
+    work = tempfile.mkdtemp(prefix="merge_dupkey_")
+    try:
+        mt = ManifestTable(spark, f"{work}/events_dup")
+        mt.create(evp, ["pt"])
+        in_band = ev.filter(
+            (F.col("event_id") >= a_lo) & (F.col("event_id") < a_hi)
+        ).withColumn("pt", (F.col("event_id") % 4).cast("int"))
+        loser = in_band.select(
+            "event_id", "event_type",
+            F.lit(-1).cast("bigint").alias("vc"), "pt",
+            F.lit(1).cast("bigint").alias("ts"),
+        )
+        winner = in_band.select(
+            "event_id", "event_type",
+            (
+                F.round(F.col("value") * 100).cast("bigint")
+                + F.lit(OFFSET).cast("bigint")
+            ).alias("vc"),
+            "pt",
+            F.lit(2).cast("bigint").alias("ts"),
+        )
+        dup = loser.unionByName(winner)
+        n_band = in_band.count()
+        # pin 1: blind mode refuses the dup-keyed delta pre-commit
+        refused_blind = 0
+        try:
+            merge_into_partitioned(
+                spark, mt.path, dup.drop("ts"), ["event_id"], ["pt"],
+                retain_versions=5,
+            )
+        except ValueError as exc:
+            refused_blind = int(
+                "at most one" in str(exc) and mt.current_version() == 1
+            )
+        assert refused_blind, "blind dup-key merge must refuse"
+        # pin 2: conditional mode refuses the same shape
+        refused_cond = 0
+        try:
+            merge_into_partitioned(
+                spark, mt.path, dup.drop("ts"), ["event_id"], ["pt"],
+                when_matched_update={"vc": "s.vc"},
+                retain_versions=5,
+            )
+        except ValueError as exc:
+            refused_cond = int(
+                "at most one" in str(exc) and mt.current_version() == 1
+            )
+        assert refused_cond, "conditional dup-key merge must refuse"
+        # pin 3: ordered mode FOLDS the same delta — (ts)-max wins
+        merge_into_partitioned(
+            spark, mt.path,
+            dup.withColumn("op", F.lit("U")),
+            ["event_id"], ["pt"],
+            op_col="op", ts_col="ts", retain_versions=5,
+        )
+        folded = mt.read()
+        assert folded.filter(F.col("vc") == -1).count() == 0
+        assert (
+            folded.filter(F.col("vc") >= OFFSET).count() == n_band
+        )
+        rows = (
+            folded.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+                F.sum("vc").cast("bigint").alias("vc_sum"),
+                F.count(F.when(F.col("vc") >= OFFSET, 1))
+                .cast("bigint")
+                .alias("n_folded"),
+            )
+            .withColumn("refused_blind", F.lit(refused_blind).cast("int"))
+            .withColumn("refused_cond", F.lit(refused_cond).cast("int"))
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows bigint, id_checksum bigint,"
+            " vc_sum bigint, n_folded bigint, refused_blind int,"
+            " refused_cond int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["merge_dup_key_refusal"] = Q(
+    _q_merge_dup_key_refusal,
+    """
+WITH c AS (
+    SELECT (MAX(event_id) + 1) // 10 AS a_lo,
+           (MAX(event_id) + 1) // 10
+             + GREATEST(1, (MAX(event_id) + 1) // 50) AS a_hi
+    FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) + CASE
+            WHEN event_id >= c.a_lo AND event_id < c.a_hi
+            THEN 1099511627776 ELSE 0 END) AS BIGINT) AS vc_sum,
+       CAST(SUM(CASE WHEN event_id >= c.a_lo AND event_id < c.a_hi
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_folded,
+       CAST(1 AS INT) AS refused_blind,
+       CAST(1 AS INT) AS refused_cond
+FROM events, c
+GROUP BY 1
+""",
+    doc="MERGE dup-key enforcement: a delta with two rows per key refuses loudly pre-commit in blind AND conditional modes (Delta's multiple-source-rows-matched analogue; previously landed duplicate keys silently); ordered mode folds the same delta, (ts)-max wins",
+)

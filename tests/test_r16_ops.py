@@ -1553,3 +1553,156 @@ class TestBloomKeysetWindow:
         got = mt.read().filter(F.col("v") == -1).count()
         assert got == 400
         assert mt.read().count() == 8000
+
+
+class TestDupKeyRefusal:
+    """r16 (second pass): the at-most-one-row-per-key contract blind
+    and conditional merges always DOCUMENTED is now ENFORCED — a
+    dup-keyed delta used to silently land both rows (blind) or fan
+    the matched row out per source row (conditional), leaving the
+    table with duplicate keys and no error (Delta raises
+    DELTA_MULTIPLE_SOURCE_ROW_MATCHING on this shape)."""
+
+    def _dup_delta(self, spark):
+        # two competing upserts for id=3 — which wins is undefined
+        return spark.createDataFrame(
+            [(3, 1, 111), (3, 1, 222), (4, 0, 444)],
+            "id bigint, pt int, v bigint",
+        )
+
+    def _mk_big_table(self, spark, path, n=200, npart=2):
+        df = spark.range(0, n).select(
+            F.col("id"),
+            (F.col("id") % npart).cast("int").alias("pt"),
+            (F.col("id") * 10).alias("v"),
+        )
+        stage = f"{path}__seed"
+        df.write.mode("overwrite").parquet(stage)
+        mt = ManifestTable(spark, path)
+        mt.create(spark.read.parquet(stage), ["pt"])
+        return mt
+
+    def test_blind_manifest_refuses_pre_commit(self, spark, tmp_path):
+        mt = self._mk_big_table(spark, str(tmp_path / "t"))
+        with pytest.raises(ValueError, match="at most one"):
+            merge_into_partitioned(
+                spark, mt.path, self._dup_delta(spark), ["id"], ["pt"]
+            )
+        assert mt.current_version() == 1
+        assert mt.read().filter("id = 3").collect()[0]["v"] == 30
+        # the non-dup key in the same delta must not have landed either
+        assert mt.read().filter("id = 4").collect()[0]["v"] == 40
+
+    def test_refusal_names_the_fold_recipes(self, spark, tmp_path):
+        mt = self._mk_big_table(spark, str(tmp_path / "t"))
+        with pytest.raises(
+            ValueError, match="apply_changelog|ts_col"
+        ):
+            merge_into_partitioned(
+                spark, mt.path, self._dup_delta(spark), ["id"], ["pt"]
+            )
+
+    def test_conditional_refuses(self, spark, tmp_path):
+        mt = self._mk_big_table(spark, str(tmp_path / "t"))
+        with pytest.raises(ValueError, match="at most one"):
+            merge_into_partitioned(
+                spark, mt.path, self._dup_delta(spark), ["id"], ["pt"],
+                when_matched_update={"v": "s.v"},
+            )
+        assert mt.current_version() == 1
+
+    def test_optimistic_refuses(self, spark, tmp_path):
+        mt = self._mk_big_table(spark, str(tmp_path / "t"))
+        with pytest.raises(ValueError, match="at most one"):
+            merge_into_partitioned(
+                spark, mt.path, self._dup_delta(spark), ["id"], ["pt"],
+                optimistic=True,
+            )
+        assert mt.current_version() == 1
+
+    def test_plain_hive_refuses(self, spark, tmp_path):
+        p = str(tmp_path / "plain")
+        spark.range(0, 20).select(
+            F.col("id"),
+            (F.col("id") % 2).cast("int").alias("pt"),
+            (F.col("id") * 10).alias("v"),
+        ).write.partitionBy("pt").parquet(p)
+        with pytest.raises(ValueError, match="at most one"):
+            merge_into_partitioned(
+                spark, p, self._dup_delta(spark), ["id"], ["pt"]
+            )
+        got = spark.read.parquet(p).filter("id = 3").collect()
+        assert len(got) == 1 and got[0]["v"] == 30
+
+    def test_ordered_mode_still_folds(self, spark, tmp_path):
+        """ts_col set = the documented multi-row-per-key path; the
+        guard must not fire and the (ts)-max write must win."""
+        p = str(tmp_path / "t")
+        df = spark.range(0, 20).select(
+            F.col("id"),
+            (F.col("id") % 2).cast("int").alias("pt"),
+            (F.col("id") * 10).alias("v"),
+            F.lit(100).cast("bigint").alias("ts"),
+        )
+        stage = f"{p}__seed"
+        df.write.mode("overwrite").parquet(stage)
+        mt = ManifestTable(spark, p)
+        mt.create(spark.read.parquet(stage), ["pt"])
+        delta = spark.createDataFrame(
+            [
+                (3, 1, 111, 200, "U"),
+                (3, 1, 222, 300, "U"),
+                (3, 1, 999, 250, "U"),
+            ],
+            "id bigint, pt int, v bigint, ts bigint, op string",
+        )
+        merge_into_partitioned(
+            spark, mt.path, delta, ["id"], ["pt"],
+            op_col="op", ts_col="ts",
+        )
+        got = mt.read().filter("id = 3").collect()
+        assert len(got) == 1 and got[0]["v"] == 222
+
+    def test_null_keyed_rows_exempt(self, spark, tmp_path):
+        """NULL keys never match anything under equality joins —
+        multiple NULL-keyed rows are independent deterministic
+        inserts, not an ambiguity; the guard must let them through."""
+        mt = self._mk_big_table(spark, str(tmp_path / "t"))
+        delta = spark.createDataFrame(
+            [(None, 1, 111), (None, 1, 222)],
+            "id bigint, pt int, v bigint",
+        )
+        merge_into_partitioned(
+            spark, mt.path, delta, ["id"], ["pt"]
+        )
+        assert mt.read().filter("id is null").count() == 2
+        assert mt.read().count() == 202
+
+    def test_composite_key_dup_detected(self, spark, tmp_path):
+        """Duplicate = the WHOLE composite key repeats; rows sharing
+        only a key prefix are distinct keys and must pass."""
+        p = str(tmp_path / "t")
+        df = spark.range(0, 40).select(
+            (F.col("id") % 10).alias("a"),
+            (F.col("id") / 10).cast("bigint").alias("b"),
+            (F.col("id") % 2).cast("int").alias("pt"),
+            F.lit(0).cast("bigint").alias("v"),
+        )
+        stage = f"{p}__seed"
+        df.write.mode("overwrite").parquet(stage)
+        mt = ManifestTable(spark, p)
+        mt.create(spark.read.parquet(stage), ["pt"])
+        ok = spark.createDataFrame(
+            [(1, 0, 1, 7), (1, 1, 1, 8)],
+            "a bigint, b bigint, pt int, v bigint",
+        )
+        merge_into_partitioned(spark, mt.path, ok, ["a", "b"], ["pt"])
+        assert mt.read().filter("a=1 and b=0").collect()[0]["v"] == 7
+        bad = spark.createDataFrame(
+            [(1, 0, 1, 7), (1, 0, 1, 8)],
+            "a bigint, b bigint, pt int, v bigint",
+        )
+        with pytest.raises(ValueError, match="at most one"):
+            merge_into_partitioned(
+                spark, mt.path, bad, ["a", "b"], ["pt"]
+            )
