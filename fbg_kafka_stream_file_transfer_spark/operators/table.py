@@ -2262,6 +2262,265 @@ class ManifestTable:
             }
         return out
 
+    def metadata_agg(
+        self,
+        aggs: list[tuple],
+        where: list[tuple] | None = None,
+        partitions: list[tuple] | None = None,
+        version: int | None = None,
+        as_of=None,
+        detail: bool = False,
+    ) -> dict:
+        """EXACT multi-aggregate answered from the MANIFEST wherever
+        possible — :meth:`count`'s r13 architecture generalized to
+        the full stats surface (r16). ``SELECT count(*), count(c),
+        min(c), max(c) FROM t WHERE pt = ...`` over 100 TB should be
+        an O(live entries) driver fold over recorded stats, not a
+        scan (Delta answers these from the log / parquet footers;
+        this is the manifest-native equivalent).
+
+        ``aggs``: list of ``(fn, col)`` with fn in ``count`` (col or
+        ``"*"``), ``null_count``, ``min``, ``max``. Returns
+        ``{"fn(col)": value}``; min/max over zero rows is None (SQL
+        NULL). ``detail=True`` adds ``"_detail"`` with
+        ``entries_metadata / entries_scanned / entries_total`` so
+        tests can pin that the metadata path stayed metadata.
+
+        EXACTNESS contract — the result is always the scan's answer,
+        never approximately right. Per entry, the metadata path is
+        taken only when every requested aggregate is PROVABLY
+        attained from that entry's stats; otherwise the entry joins
+        the exact-scan pool (the same per-entry demotion count()
+        does). Demotions:
+
+        - ``where`` touching a DATA column (or any clause a
+          :func:`_pcol_clause_exact` coercion frame can't decide) —
+          the row filter needs real rows;
+        - an entry predating stats, or whose stats lack a requested
+          column;
+        - a requested min/max side recorded as UNBOUNDED (NaN fold,
+          untruncatable string upper) — the bound is not attained;
+        - a STRING bound at the truncation length
+          (:data:`_STATS_MAX_STR`): the recorded mn is a prefix and
+          the recorded mx is truncation-incremented — valid bounds
+          for pruning, NOT attained values (Iceberg's
+          lower_bound/upper_bound caveat);
+        - min/max on a TIMESTAMP column: recorded bounds crossed the
+          session-zone collect frame at write time and a reader in a
+          different zone would fold a different instant — the same
+          frame :func:`_pcol_clause_exact` refuses to decide
+          (count/null_count on timestamps stay metadata: row counts
+          have no zone).
+
+        count(*) / count(col) / null_count need only ``rows`` and the
+        column's ``nulls`` — truncation and unbounded sides don't
+        demote them."""
+        _FNS = ("count", "null_count", "min", "max")
+        for fn, col in aggs:
+            if fn not in _FNS:
+                raise ValueError(
+                    f"metadata_agg supports {_FNS}, got {fn!r}"
+                )
+            if fn != "count" and col == "*":
+                raise ValueError(f"{fn}(*) is not an aggregate")
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of, not both")
+            version = self.version_at(as_of)
+        m = self.manifest(version)
+        entries = m["entries"]
+        if partitions is not None:
+            wanted = {_partition_key(tuple(t)) for t in partitions}
+            entries = [e for e in entries if e["key"] in wanted]
+        pcols = list(m.get("partition_cols") or [])
+        pset = set(pcols)
+        schema = T.StructType.fromJson(m["schema"])
+        ts_cols = {
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, T.TimestampType)
+        }
+        stat_cols = sorted(
+            {c for _, c in aggs if c != "*" and c not in pset}
+        )
+        # a partition column is CONSTANT per entry: its min/max/nulls
+        # derive from the entry key + row count, no stats needed
+        norm = _normalize_where(where) if where else None
+        pre_values = any("values" not in e for e in entries)
+        # min/max of a TIMESTAMP partition column: the decoded key
+        # crossed the same session-zone frame as data-column ts
+        # bounds — scan instead of folding keys
+        ts_pcol_minmax = any(
+            fn in ("min", "max") and c in ts_cols and c in pset
+            for fn, c in aggs
+        )
+        data_clauses = (
+            pre_values
+            or ts_pcol_minmax
+            or any(cl[0] not in pset for cl in (norm or []))
+        )
+
+        def _entry_stats_ok(e) -> tuple | None:
+            """(rows, {col: cs}) when every requested aggregate is
+            attainable from this entry's stats, else None."""
+            st = e.get("stats") or {}
+            rows = st.get("rows")
+            if rows is None:
+                return None
+            out: dict = {}
+            for c in stat_cols:
+                cs = (st.get("cols") or {}).get(c)
+                if cs is None:
+                    return None
+                out[c] = cs
+            for fn, c in aggs:
+                if fn not in ("min", "max") or c == "*" or c in pset:
+                    continue
+                if c in ts_cols:
+                    return None
+                cs = out[c]
+                nonnull = rows - cs.get("nulls", 0)
+                if not nonnull:
+                    continue  # all-NULL: contributes nothing
+                key = "mn" if fn == "min" else "mx"
+                if key not in cs:
+                    return None  # unbounded side with live values
+                tag, raw = cs[key]
+                if tag == "str" and len(raw) >= _STATS_MAX_STR:
+                    return None  # possibly truncated: not attained
+            return rows, out
+
+        meta_rows = 0
+        meta_entries = 0
+        mins: dict = {c: [] for c in stat_cols}
+        maxs: dict = {c: [] for c in stat_cols}
+        nonnulls: dict = {c: 0 for c in stat_cols}
+        nulls: dict = {c: 0 for c in stat_cols}
+        pc_mins: dict = {}
+        pc_maxs: dict = {}
+        pc_nonnull: dict = {}
+        pc_null: dict = {}
+        scan_parts: list[tuple] = []
+        if data_clauses:
+            scan_parts = None  # whole selection scans
+        else:
+            for e in entries:
+                vals = tuple(_decode_value(p) for p in e["values"])
+                byname = dict(zip(pcols, vals))
+                verdicts = [
+                    _pcol_clause_exact(byname[c], op, val)
+                    for (c, op, val) in (norm or [])
+                ]
+                if any(vd is False for vd in verdicts):
+                    continue
+                ok = (
+                    _entry_stats_ok(e)
+                    if all(vd is True for vd in verdicts)
+                    else None
+                )
+                if ok is None:
+                    scan_parts.append(vals)
+                    continue
+                rows, cstats = ok
+                meta_rows += rows
+                meta_entries += 1
+                for c in stat_cols:
+                    cs = cstats[c]
+                    n_null = cs.get("nulls", 0)
+                    nulls[c] += n_null
+                    nonnulls[c] += rows - n_null
+                    if rows - n_null:
+                        if "mn" in cs:
+                            mins[c].append(_decode_value(cs["mn"]))
+                        if "mx" in cs:
+                            maxs[c].append(_decode_value(cs["mx"]))
+                for c in pcols:
+                    v = byname[c]
+                    if v is None:
+                        pc_null[c] = pc_null.get(c, 0) + rows
+                        continue
+                    pc_nonnull[c] = pc_nonnull.get(c, 0) + rows
+                    if rows:
+                        pc_mins.setdefault(c, []).append(v)
+                        pc_maxs.setdefault(c, []).append(v)
+
+        # ---- exact-scan remainder (shape-identical to the metadata
+        # answer; the two fold together below)
+        s_rows = 0
+        s_aggs: dict = {}
+        if scan_parts is None or scan_parts:
+            df = self.read(
+                where=where,
+                # a whole-selection scan (data clauses) must keep the
+                # caller's partitions filter, not widen to the table
+                partitions=(
+                    partitions if scan_parts is None else scan_parts
+                ),
+                version=version,
+            )
+            from pyspark.sql import functions as F
+
+            exprs = [F.count(F.lit(1)).alias("_rows")]
+            for i, (fn, c) in enumerate(aggs):
+                if c == "*":
+                    continue
+                if fn == "count":
+                    exprs.append(F.count(F.col(c)).alias(f"_a{i}"))
+                elif fn == "null_count":
+                    exprs.append(
+                        F.count(F.when(F.col(c).isNull(), 1)).alias(
+                            f"_a{i}"
+                        )
+                    )
+                elif fn == "min":
+                    exprs.append(F.min(F.col(c)).alias(f"_a{i}"))
+                else:
+                    exprs.append(F.max(F.col(c)).alias(f"_a{i}"))
+            row = df.agg(*exprs).collect()[0]
+            s_rows = row["_rows"]
+            s_aggs = {
+                i: row[f"_a{i}"]
+                for i, (fn, c) in enumerate(aggs)
+                if c != "*"
+            }
+
+        out: dict = {}
+        for i, (fn, c) in enumerate(aggs):
+            label = f"{fn}({c})"
+            if c == "*":
+                out[label] = meta_rows + s_rows
+                continue
+            sv = s_aggs.get(i)
+            if c in pset:
+                m_nn = pc_nonnull.get(c, 0)
+                m_nl = pc_null.get(c, 0)
+                m_mins = pc_mins.get(c, [])
+                m_maxs = pc_maxs.get(c, [])
+            else:
+                m_nn, m_nl = nonnulls[c], nulls[c]
+                m_mins, m_maxs = mins[c], maxs[c]
+            if fn == "count":
+                out[label] = m_nn + (sv or 0)
+            elif fn == "null_count":
+                out[label] = m_nl + (sv or 0)
+            elif fn == "min":
+                pool = list(m_mins) + ([sv] if sv is not None else [])
+                out[label] = _fold_spark_min(pool)
+            else:
+                pool = list(m_maxs) + ([sv] if sv is not None else [])
+                out[label] = _fold_spark_max(pool)
+        if detail:
+            out["_detail"] = {
+                "entries_metadata": meta_entries,
+                "entries_scanned": (
+                    len(entries) - meta_entries
+                    if scan_parts is None
+                    else len(scan_parts)
+                ),
+                "entries_total": len(entries),
+            }
+        return out
+
     def _bucket_eval(self, spec: dict, src_type: str, v):
         """Spark-evaluate ``pmod(xxhash64(v::src_type), n)`` for ONE
         literal — the only sound way to project an equality through

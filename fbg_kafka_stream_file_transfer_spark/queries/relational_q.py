@@ -6082,3 +6082,108 @@ GROUP BY 1
 """,
     doc="MERGE dup-key enforcement: a delta with two rows per key refuses loudly pre-commit in blind AND conditional modes (Delta's multiple-source-rows-matched analogue; previously landed duplicate keys silently); ordered mode folds the same delta, (ts)-max wins",
 )
+
+
+def _q_table_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregates (round 16, second pass):
+    ``metadata_agg`` answers ``count(*) / count(col) / null_count /
+    min / max`` under a partition predicate from the MANIFEST's
+    recorded per-entry stats — ``count()``'s r13 architecture
+    generalized to the full stats surface. Pinned in-function: the
+    whole aggregate set over ``pt IN (1, 2)`` resolves with ZERO
+    entries scanned (``_detail``), and the answer is BYTE-IDENTICAL
+    after every data file is deleted outright — the zero-data-I/O
+    proof. The oracle recomputes the same aggregates by scanning
+    ``events`` in DuckDB.
+
+    Scale shape: at 100 TB this is the difference between an
+    O(live entries) driver fold over the manifest and a full scan —
+    the Delta-log / parquet-footer answer, manifest-native. Exactness
+    is contractual, never approximate: any entry whose stats cannot
+    PROVE the aggregate (truncated string bounds, NaN-unbounded
+    sides, timestamp zone frames, missing stats) is demoted to an
+    exact scan of just that entry."""
+    import shutil
+    import tempfile
+
+    from ..operators.table import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    evp = (
+        ev.withColumn("pt", (F.col("event_id") % 4).cast("int"))
+        .withColumn(
+            "vc",
+            F.when(F.col("event_id") % 7 == 0, None).otherwise(
+                F.round(F.col("value") * 100).cast("bigint")
+            ),
+        )
+        .drop("value")
+        .repartitionByRange(16, F.col("pt"), F.col("event_id"))
+        .sortWithinPartitions("pt", "event_id")
+    )
+    work = tempfile.mkdtemp(prefix="meta_agg_")
+    try:
+        mt = ManifestTable(spark, f"{work}/events_meta")
+        mt.create(evp, ["pt"])
+        aggs = [
+            ("count", "*"), ("count", "vc"), ("null_count", "vc"),
+            ("min", "event_id"), ("max", "event_id"),
+            ("min", "vc"), ("max", "vc"),
+        ]
+        sel = [("pt", "in", [1, 2])]
+        r = mt.metadata_agg(aggs, where=sel, detail=True)
+        meta_only = int(
+            r["_detail"]["entries_scanned"] == 0
+            and r["_detail"]["entries_metadata"] == 2
+        )
+        assert meta_only, r["_detail"]
+        # the zero-I/O proof: with every data file gone, the manifest
+        # still answers — identically
+        shutil.rmtree(f"{mt.path}/_data")
+        r2 = mt.metadata_agg(aggs, where=sel, detail=True)
+        zero_io = int(
+            all(r2[f"{fn}({c})"] == r[f"{fn}({c})"] for fn, c in aggs)
+        )
+        assert zero_io, (r, r2)
+        return spark.createDataFrame(
+            [
+                (
+                    r["count(*)"], r["count(vc)"], r["null_count(vc)"],
+                    r["min(event_id)"], r["max(event_id)"],
+                    r["min(vc)"], r["max(vc)"],
+                    meta_only, zero_io,
+                )
+            ],
+            "n_rows bigint, n_vc bigint, n_vc_null bigint,"
+            " min_id bigint, max_id bigint, min_vc bigint,"
+            " max_vc bigint, meta_only int, zero_io int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_metadata_agg"] = Q(
+    _q_table_metadata_agg,
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(CASE WHEN event_id % 7 <> 0 THEN 1 END) AS BIGINT)
+         AS n_vc,
+       CAST(COUNT(CASE WHEN event_id % 7 = 0 THEN 1 END) AS BIGINT)
+         AS n_vc_null,
+       CAST(MIN(event_id) AS BIGINT) AS min_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_id,
+       CAST(MIN(CASE WHEN event_id % 7 <> 0
+            THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT)
+         AS min_vc,
+       CAST(MAX(CASE WHEN event_id % 7 <> 0
+            THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT)
+         AS max_vc,
+       CAST(1 AS INT) AS meta_only,
+       CAST(1 AS INT) AS zero_io
+FROM events
+WHERE event_id % 4 IN (1, 2)
+""",
+    doc="metadata-only aggregates: count/count(col)/null_count/min/max under a partition predicate answered from manifest stats with zero entries scanned, byte-identical after deleting every data file; per-entry exactness demotion to scan (truncated strings, NaN, ts zone frames)",
+)

@@ -1706,3 +1706,227 @@ class TestDupKeyRefusal:
             merge_into_partitioned(
                 spark, mt.path, bad, ["a", "b"], ["pt"]
             )
+
+
+class TestMetadataAgg:
+    """r16 (second pass): metadata_agg — count()'s r13 metadata-first
+    architecture generalized to count(col)/null_count/min/max with
+    the same per-entry exactness demotions. At 100 TB these
+    aggregates must be an O(live entries) driver fold, not a scan."""
+
+    AGGS = [
+        ("count", "*"), ("count", "v"), ("null_count", "v"),
+        ("min", "v"), ("max", "v"), ("min", "pt"), ("max", "pt"),
+    ]
+
+    def _mk(self, spark, path, n=400):
+        df = spark.range(0, n).select(
+            F.col("id"),
+            (F.col("id") % 4).cast("int").alias("pt"),
+            F.when(F.col("id") % 7 == 0, None)
+            .otherwise(F.col("id") * 3)
+            .alias("v"),
+            F.concat(F.lit("k"), F.col("id")).alias("s"),
+        )
+        stage = f"{path}__seed"
+        df.write.mode("overwrite").parquet(stage)
+        mt = ManifestTable(spark, path)
+        mt.create(spark.read.parquet(stage), ["pt"])
+        return mt
+
+    def test_matches_exact_scan(self, spark, tmp_path):
+        mt = self._mk(spark, str(tmp_path / "t"))
+        r = mt.metadata_agg(self.AGGS, detail=True)
+        exp = mt.read().agg(
+            F.count(F.lit(1)), F.count("v"),
+            F.count(F.when(F.col("v").isNull(), 1)),
+            F.min("v"), F.max("v"), F.min("pt"), F.max("pt"),
+        ).collect()[0]
+        got = [r[f"{fn}({c})"] for fn, c in self.AGGS]
+        assert got == list(exp)
+        assert r["_detail"]["entries_scanned"] == 0
+        assert r["_detail"]["entries_metadata"] == 4
+
+    def test_zero_data_io(self, spark, tmp_path):
+        """The pin that the metadata path IS metadata: delete every
+        data file; the fold still answers."""
+        import shutil
+
+        p = str(tmp_path / "t")
+        mt = self._mk(spark, p)
+        exp = mt.metadata_agg(self.AGGS)
+        shutil.rmtree(f"{p}/_data")
+        assert mt.metadata_agg(self.AGGS) == exp
+
+    def test_partition_where_exact(self, spark, tmp_path):
+        mt = self._mk(spark, str(tmp_path / "t"))
+        r = mt.metadata_agg(
+            self.AGGS, where=[("pt", "in", [1, 2])], detail=True
+        )
+        exp = mt.read().filter("pt in (1,2)").agg(
+            F.count(F.lit(1)), F.count("v"),
+            F.count(F.when(F.col("v").isNull(), 1)),
+            F.min("v"), F.max("v"), F.min("pt"), F.max("pt"),
+        ).collect()[0]
+        assert [r[f"{fn}({c})"] for fn, c in self.AGGS] == list(exp)
+        assert r["_detail"]["entries_scanned"] == 0
+
+    def test_data_where_scans_and_keeps_partitions_filter(
+        self, spark, tmp_path
+    ):
+        """A data-column clause demotes to the exact scan — which
+        must keep the caller's partitions selection, not widen."""
+        mt = self._mk(spark, str(tmp_path / "t"))
+        r = mt.metadata_agg(
+            [("count", "*"), ("min", "v")],
+            where=[("v", ">", 300)],
+            partitions=[(1,), (2,)],
+            detail=True,
+        )
+        exp = (
+            mt.read()
+            .filter("pt in (1,2) and v > 300")
+            .agg(F.count(F.lit(1)), F.min("v"))
+            .collect()[0]
+        )
+        assert (r["count(*)"], r["min(v)"]) == tuple(exp)
+        assert r["_detail"]["entries_metadata"] == 0
+
+    def test_long_string_bounds_demote(self, spark, tmp_path):
+        """String bounds at the truncation length are pruning hints,
+        not attained values — min/max on them must scan, and still
+        be exact."""
+        p = str(tmp_path / "t")
+        df = spark.range(0, 100).select(
+            F.col("id"),
+            (F.col("id") % 2).cast("int").alias("pt"),
+            F.concat(
+                F.lpad(F.col("id").cast("string"), 5, "0"),
+                F.lit("x" * 80),
+            ).alias("s"),
+        )
+        stage = f"{p}__seed"
+        df.write.mode("overwrite").parquet(stage)
+        mt = ManifestTable(spark, p)
+        mt.create(spark.read.parquet(stage), ["pt"])
+        r = mt.metadata_agg(
+            [("min", "s"), ("max", "s"), ("count", "s")], detail=True
+        )
+        exp = mt.read().agg(
+            F.min("s"), F.max("s"), F.count("s")
+        ).collect()[0]
+        assert (r["min(s)"], r["max(s)"], r["count(s)"]) == tuple(exp)
+        # min/max forced the scan (bounds not attained)...
+        assert r["_detail"]["entries_metadata"] == 0
+        # ...but counts alone stay metadata (truncation is harmless)
+        r2 = mt.metadata_agg(
+            [("count", "*"), ("count", "s")], detail=True
+        )
+        assert r2["_detail"]["entries_scanned"] == 0
+
+    def test_timestamp_minmax_demotes_counts_stay(
+        self, spark, tmp_path
+    ):
+        p = str(tmp_path / "t")
+        df = spark.range(0, 50).select(
+            F.col("id"),
+            (F.col("id") % 2).cast("int").alias("pt"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + F.col("id") * 60
+            ).alias("ts"),
+        )
+        stage = f"{p}__seed"
+        df.write.mode("overwrite").parquet(stage)
+        mt = ManifestTable(spark, p)
+        mt.create(spark.read.parquet(stage), ["pt"])
+        r = mt.metadata_agg(
+            [("min", "ts"), ("max", "ts")], detail=True
+        )
+        exp = mt.read().agg(F.min("ts"), F.max("ts")).collect()[0]
+        assert (r["min(ts)"], r["max(ts)"]) == tuple(exp)
+        assert r["_detail"]["entries_metadata"] == 0
+        r2 = mt.metadata_agg(
+            [("count", "ts"), ("null_count", "ts")], detail=True
+        )
+        assert r2["_detail"]["entries_scanned"] == 0
+
+    def test_nan_unbounded_side_demotes(self, spark, tmp_path):
+        """A float partition whose fold hit NaN records no bound —
+        min/max must scan that entry (and Spark's NaN-wins max must
+        survive the fold)."""
+        import math
+
+        p = str(tmp_path / "t")
+        df = spark.range(0, 40).select(
+            F.col("id"),
+            (F.col("id") % 2).cast("int").alias("pt"),
+            F.when(
+                (F.col("id") == 7), F.lit(float("nan"))
+            )
+            .otherwise(F.col("id").cast("double"))
+            .alias("f"),
+        )
+        stage = f"{p}__seed"
+        df.write.mode("overwrite").parquet(stage)
+        mt = ManifestTable(spark, p)
+        mt.create(spark.read.parquet(stage), ["pt"])
+        r = mt.metadata_agg([("min", "f"), ("max", "f")], detail=True)
+        assert r["min(f)"] == 0.0
+        assert math.isnan(r["max(f)"])
+        # the NaN-carrying entry (pt=1) scanned; the clean one didn't
+        assert r["_detail"]["entries_metadata"] == 1
+
+    def test_all_null_column(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = spark.range(0, 30).select(
+            F.col("id"),
+            (F.col("id") % 2).cast("int").alias("pt"),
+            F.lit(None).cast("bigint").alias("v"),
+        )
+        stage = f"{p}__seed"
+        df.write.mode("overwrite").parquet(stage)
+        mt = ManifestTable(spark, p)
+        mt.create(spark.read.parquet(stage), ["pt"])
+        r = mt.metadata_agg(
+            [("count", "*"), ("count", "v"), ("min", "v"),
+             ("max", "v"), ("null_count", "v")],
+            detail=True,
+        )
+        assert r["count(*)"] == 30
+        assert r["count(v)"] == 0
+        assert r["null_count(v)"] == 30
+        assert r["min(v)"] is None and r["max(v)"] is None
+        assert r["_detail"]["entries_scanned"] == 0
+
+    def test_empty_selection(self, spark, tmp_path):
+        mt = self._mk(spark, str(tmp_path / "t"))
+        r = mt.metadata_agg(
+            self.AGGS, where=[("pt", "=", 99)]
+        )
+        assert r["count(*)"] == 0
+        assert r["min(v)"] is None and r["max(v)"] is None
+
+    def test_stays_exact_after_dml_and_time_travel(
+        self, spark, tmp_path
+    ):
+        """Row counts / bounds refold through file-granular DML; the
+        versioned manifest answers historical aggregates."""
+        mt = self._mk(spark, str(tmp_path / "t"))
+        before = mt.metadata_agg([("count", "*"), ("max", "id")])
+        mt.delete_where([("id", ">=", 350)])
+        r = mt.metadata_agg([("count", "*"), ("max", "id")])
+        exp = mt.read().agg(
+            F.count(F.lit(1)), F.max("id")
+        ).collect()[0]
+        assert (r["count(*)"], r["max(id)"]) == tuple(exp)
+        old = mt.metadata_agg(
+            [("count", "*"), ("max", "id")], version=1
+        )
+        assert old == before
+
+    def test_rejects_bad_fn(self, spark, tmp_path):
+        mt = self._mk(spark, str(tmp_path / "t"), n=20)
+        with pytest.raises(ValueError, match="supports"):
+            mt.metadata_agg([("sum", "v")])
+        with pytest.raises(ValueError, match="not an aggregate"):
+            mt.metadata_agg([("min", "*")])
