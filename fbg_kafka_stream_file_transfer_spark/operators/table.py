@@ -422,6 +422,15 @@ def _is_abs_dir(d: str) -> bool:
 #: must not bloat a metadata file read on every commit
 _STATS_MAX_STR = 64
 
+#: types whose SUM folds exactly in any order — per-file ``sm``
+#: stats (r16) are recorded only for these: integral sums are exact
+#: integers (Python fold is arbitrary-precision), decimal sums are
+#: exact decimal arithmetic; FLOAT sums are order-dependent, so a
+#: metadata fold and a scan could disagree — floats always scan
+_SUM_EXACT_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType,
+)
+
 #: "auto" stats cover at most this many columns — a 500-column table
 #: must not pay 1500 aggregates per commit unless it asks to
 _STATS_AUTO_CAP = 32
@@ -611,6 +620,8 @@ def _fold_file_stats(files: dict[str, dict]) -> dict:
         covered = True
         unb_mn = False
         unb_mx = False
+        sm = None  # exact-sum fold (r16): None = no contribution yet
+        sm_ok = True  # a non-null file lacking "sm" (pre-r16 stats)
         for st in files.values():
             fc = (st.get("cols") or {}).get(c)
             if fc is None:
@@ -626,6 +637,11 @@ def _fold_file_stats(files: dict[str, dict]) -> dict:
                 mxs.append(_decode_value(fc["mx"]))
             elif nonnull:
                 unb_mx = True
+            if "sm" in fc:
+                v = _decode_value(fc["sm"])
+                sm = v if sm is None else sm + v
+            elif nonnull:
+                sm_ok = False  # unknown contribution: omit, never guess
         if not covered:
             continue
         ecs: dict = {"nulls": nulls}
@@ -637,6 +653,8 @@ def _fold_file_stats(files: dict[str, dict]) -> dict:
             b = _encode_bound(_fold_spark_max(mxs), upper=True)
             if b is not None:
                 ecs["mx"] = b
+        if sm_ok and sm is not None:
+            ecs["sm"] = _encode_value(sm)
         cols[c] = ecs
     return {"rows": rows, "nfiles": len(files), "cols": cols}
 
@@ -2280,9 +2298,9 @@ class ManifestTable:
         this is the manifest-native equivalent).
 
         ``aggs``: list of ``(fn, col)`` with fn in ``count`` (col or
-        ``"*"``), ``null_count``, ``min``, ``max``. Returns
-        ``{"fn(col)": value}``; min/max over zero rows is None (SQL
-        NULL). ``detail=True`` adds ``"_detail"`` with
+        ``"*"``), ``null_count``, ``min``, ``max``, ``sum``. Returns
+        ``{"fn(col)": value}``; min/max/sum over zero rows is None
+        (SQL NULL). ``detail=True`` adds ``"_detail"`` with
         ``entries_metadata / entries_scanned / entries_total`` so
         tests can pin that the metadata path stayed metadata.
 
@@ -2314,8 +2332,16 @@ class ManifestTable:
 
         count(*) / count(col) / null_count need only ``rows`` and the
         column's ``nulls`` — truncation and unbounded sides don't
-        demote them."""
-        _FNS = ("count", "null_count", "min", "max")
+        demote them.
+
+        ``sum`` (r16) answers from the per-entry ``sm`` fold for
+        EXACT-sum types only (:data:`_SUM_EXACT_TYPES` — integral /
+        decimal; a float sum is order-dependent, so metadata and scan
+        could disagree in the last ulp → floats always scan, still
+        exact by definition). Entries whose stats predate ``sm``
+        demote to the scan. A partition column's sum is
+        ``key_value × rows`` — no stats needed."""
+        _FNS = ("count", "null_count", "min", "max", "sum")
         for fn, col in aggs:
             if fn not in _FNS:
                 raise ValueError(
@@ -2354,9 +2380,20 @@ class ManifestTable:
             fn in ("min", "max") and c in ts_cols and c in pset
             for fn, c in aggs
         )
+        # sum of a float/other non-exact-sum column: no entry can
+        # ever answer (sm is never recorded) — scan the selection
+        sum_ok = {
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, _SUM_EXACT_TYPES)
+        }
+        sum_inexact = any(
+            fn == "sum" and c not in sum_ok for fn, c in aggs
+        )
         data_clauses = (
             pre_values
             or ts_pcol_minmax
+            or sum_inexact
             or any(cl[0] not in pset for cl in (norm or []))
         )
 
@@ -2374,14 +2411,20 @@ class ManifestTable:
                     return None
                 out[c] = cs
             for fn, c in aggs:
-                if fn not in ("min", "max") or c == "*" or c in pset:
+                if fn not in ("min", "max", "sum") or c == "*" or (
+                    c in pset
+                ):
                     continue
-                if c in ts_cols:
-                    return None
                 cs = out[c]
                 nonnull = rows - cs.get("nulls", 0)
                 if not nonnull:
                     continue  # all-NULL: contributes nothing
+                if fn == "sum":
+                    if "sm" not in cs:
+                        return None  # pre-r16 stats: scan instead
+                    continue
+                if c in ts_cols:
+                    return None
                 key = "mn" if fn == "min" else "mx"
                 if key not in cs:
                     return None  # unbounded side with live values
@@ -2396,10 +2439,12 @@ class ManifestTable:
         maxs: dict = {c: [] for c in stat_cols}
         nonnulls: dict = {c: 0 for c in stat_cols}
         nulls: dict = {c: 0 for c in stat_cols}
+        sums: dict = {c: None for c in stat_cols}
         pc_mins: dict = {}
         pc_maxs: dict = {}
         pc_nonnull: dict = {}
         pc_null: dict = {}
+        pc_sums: dict = {}
         scan_parts: list[tuple] = []
         if data_clauses:
             scan_parts = None  # whole selection scans
@@ -2434,6 +2479,11 @@ class ManifestTable:
                             mins[c].append(_decode_value(cs["mn"]))
                         if "mx" in cs:
                             maxs[c].append(_decode_value(cs["mx"]))
+                        if "sm" in cs:
+                            v = _decode_value(cs["sm"])
+                            sums[c] = (
+                                v if sums[c] is None else sums[c] + v
+                            )
                 for c in pcols:
                     v = byname[c]
                     if v is None:
@@ -2443,6 +2493,11 @@ class ManifestTable:
                     if rows:
                         pc_mins.setdefault(c, []).append(v)
                         pc_maxs.setdefault(c, []).append(v)
+                        if c in sum_ok:
+                            # constant per entry: sum = value × rows
+                            pc_sums[c] = (
+                                pc_sums.get(c) or 0
+                            ) + v * rows
 
         # ---- exact-scan remainder (shape-identical to the metadata
         # answer; the two fold together below)
@@ -2474,6 +2529,8 @@ class ManifestTable:
                     )
                 elif fn == "min":
                     exprs.append(F.min(F.col(c)).alias(f"_a{i}"))
+                elif fn == "sum":
+                    exprs.append(F.sum(F.col(c)).alias(f"_a{i}"))
                 else:
                     exprs.append(F.max(F.col(c)).alias(f"_a{i}"))
             row = df.agg(*exprs).collect()[0]
@@ -2496,13 +2553,21 @@ class ManifestTable:
                 m_nl = pc_null.get(c, 0)
                 m_mins = pc_mins.get(c, [])
                 m_maxs = pc_maxs.get(c, [])
+                m_sum = pc_sums.get(c)
             else:
                 m_nn, m_nl = nonnulls[c], nulls[c]
                 m_mins, m_maxs = mins[c], maxs[c]
+                m_sum = sums[c]
             if fn == "count":
                 out[label] = m_nn + (sv or 0)
             elif fn == "null_count":
                 out[label] = m_nl + (sv or 0)
+            elif fn == "sum":
+                out[label] = (
+                    None
+                    if m_sum is None and sv is None
+                    else (m_sum or 0) + (sv or 0)
+                )
             elif fn == "min":
                 pool = list(m_mins) + ([sv] if sv is not None else [])
                 out[label] = _fold_spark_min(pool)
@@ -5886,6 +5951,21 @@ class ManifestTable:
             aggs.append(F.min(F.col(c)).alias(f"_s_mn_{i}"))
             aggs.append(F.max(F.col(c)).alias(f"_s_mx_{i}"))
             aggs.append(F.count(F.col(c)).alias(f"_s_nn_{i}"))
+        # per-file SUM (r16) rides the same shuffle for EXACT-sum
+        # types only: integral sums are exact in any order, decimal
+        # sums are exact decimal arithmetic; float sums are
+        # order-dependent (a metadata fold and a scan could disagree
+        # in the last ulp — metadata_agg scans floats instead), and
+        # nothing else has a sum. Appended AFTER the bound triples so
+        # the positional row parsing below is untouched; read by name.
+        sum_ok = {
+            f.name
+            for f in back.schema.fields
+            if isinstance(f.dataType, _SUM_EXACT_TYPES)
+        }
+        for i, c in enumerate(scols):
+            if c in sum_ok:
+                aggs.append(F.sum(F.col(c)).alias(f"_s_sm_{i}"))
         for j, c in enumerate(bloom_cols):
             # rides the SAME shuffle: the distinct count decides which
             # files qualify for a Bloom filter (≤ _BLOOM_MAX_KEYS).
@@ -5920,6 +6000,9 @@ class ManifestTable:
             fold_mn: list[list] = [[] for _ in scols]
             fold_mx: list[list] = [[] for _ in scols]
             fold_nulls = [0] * len(scols)
+            # None = no non-null contribution yet (SUM over zero
+            # rows is SQL NULL, so the entry key is omitted)
+            fold_sm: list = [None] * len(scols)
             for r in frows:
                 fname = r[nd].rsplit("/", 1)[-1]
                 frowcount = r[nd + 1]
@@ -5946,6 +6029,15 @@ class ManifestTable:
                     b = _encode_bound(mx, upper=True)
                     if b is not None:
                         fcs["mx"] = b
+                    if c in sum_ok:
+                        sm = r[f"_s_sm_{i}"]
+                        if sm is not None:
+                            fcs["sm"] = _encode_value(sm)
+                            fold_sm[i] = (
+                                sm
+                                if fold_sm[i] is None
+                                else fold_sm[i] + sm
+                            )
                     fcols[c] = fcs
                 fst = {"rows": frowcount, "cols": fcols}
                 # blooms key by FULL URI: one task writes the same
@@ -5965,6 +6057,8 @@ class ManifestTable:
                 b = _encode_bound(_fold_spark_max(fold_mx[i]), upper=True)
                 if b is not None:
                     ecs["mx"] = b
+                if fold_sm[i] is not None:
+                    ecs["sm"] = _encode_value(fold_sm[i])
                 cols[c] = ecs
             # the exact file COUNT is recorded unconditionally (one
             # int — it drives small_file_report/compact(min_files=)

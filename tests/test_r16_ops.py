@@ -1927,6 +1927,195 @@ class TestMetadataAgg:
     def test_rejects_bad_fn(self, spark, tmp_path):
         mt = self._mk(spark, str(tmp_path / "t"), n=20)
         with pytest.raises(ValueError, match="supports"):
-            mt.metadata_agg([("sum", "v")])
+            mt.metadata_agg([("avg", "v")])
         with pytest.raises(ValueError, match="not an aggregate"):
             mt.metadata_agg([("min", "*")])
+
+
+class TestMetadataSum:
+    """r16 (second pass): per-file exact-sum stats (``sm``) make
+    metadata_agg answer SUM from the manifest for integral/decimal
+    columns; floats always scan (order-dependent addition)."""
+
+    def _mk(self, spark, path, n=500):
+        df = spark.range(0, n).select(
+            F.col("id"),
+            (F.col("id") % 4).cast("int").alias("pt"),
+            F.when(F.col("id") % 7 == 0, None)
+            .otherwise(F.col("id") * 3)
+            .alias("v"),
+            (F.col("id").cast("decimal(12,2)") / 4).alias("d"),
+            (F.col("id").cast("double") * 1.5).alias("f"),
+        )
+        stage = f"{path}__seed"
+        df.write.mode("overwrite").parquet(stage)
+        mt = ManifestTable(spark, path)
+        mt.create(spark.read.parquet(stage), ["pt"])
+        return mt
+
+    def test_sum_matches_scan_zero_entries_scanned(
+        self, spark, tmp_path
+    ):
+        mt = self._mk(spark, str(tmp_path / "t"))
+        r = mt.metadata_agg(
+            [("sum", "v"), ("sum", "d"), ("sum", "id"), ("sum", "pt")],
+            detail=True,
+        )
+        exp = mt.read().agg(
+            F.sum("v"), F.sum("d"), F.sum("id"), F.sum("pt")
+        ).collect()[0]
+        assert [
+            r["sum(v)"], r["sum(d)"], r["sum(id)"], r["sum(pt)"]
+        ] == list(exp)
+        assert r["_detail"]["entries_scanned"] == 0
+
+    def test_float_sum_always_scans_still_exact(self, spark, tmp_path):
+        mt = self._mk(spark, str(tmp_path / "t"))
+        r = mt.metadata_agg([("sum", "f")], detail=True)
+        exp = mt.read().agg(F.sum("f")).collect()[0][0]
+        assert r["sum(f)"] == exp
+        assert r["_detail"]["entries_metadata"] == 0
+
+    def test_sum_survives_fg_dml_metadata_only(self, spark, tmp_path):
+        """File-granular DML refolds ``sm`` through carried files —
+        the sum must stay manifest-answered AND exact afterwards."""
+        import shutil
+
+        mt = self._mk(spark, str(tmp_path / "t"))
+        mt.delete_where([("id", "between", (100, 149))])
+        r = mt.metadata_agg(
+            [("sum", "v"), ("sum", "d"), ("count", "*")], detail=True
+        )
+        exp = mt.read().agg(
+            F.sum("v"), F.sum("d"), F.count(F.lit(1))
+        ).collect()[0]
+        assert [r["sum(v)"], r["sum(d)"], r["count(*)"]] == list(exp)
+        assert r["_detail"]["entries_scanned"] == 0
+        shutil.rmtree(f"{mt.path}/_data")
+        r2 = mt.metadata_agg(
+            [("sum", "v"), ("sum", "d"), ("count", "*")]
+        )
+        assert r2 == {k: v for k, v in r.items() if k != "_detail"}
+
+    def test_all_null_sum_is_none(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = spark.range(0, 30).select(
+            F.col("id"),
+            (F.col("id") % 2).cast("int").alias("pt"),
+            F.lit(None).cast("bigint").alias("v"),
+        )
+        stage = f"{p}__seed"
+        df.write.mode("overwrite").parquet(stage)
+        mt = ManifestTable(spark, p)
+        mt.create(spark.read.parquet(stage), ["pt"])
+        r = mt.metadata_agg([("sum", "v")], detail=True)
+        assert r["sum(v)"] is None
+        assert r["_detail"]["entries_scanned"] == 0
+
+    def test_pre_sm_manifest_demotes_to_scan(self, spark, tmp_path):
+        """A manifest written before ``sm`` existed (simulated by
+        stripping the keys) must scan for sums — exact, never a
+        guess — while counts stay metadata."""
+        import glob as _glob
+        import json as _json
+        import os
+
+        p = str(tmp_path / "t")
+        mt = self._mk(spark, p)
+        mfile = sorted(_glob.glob(f"{p}/_manifests/v*.json"))[-1]
+        man = _json.load(open(mfile))
+        for e in man["entries"]:
+            for cs in (e.get("stats") or {}).get("cols", {}).values():
+                cs.pop("sm", None)
+            for fst in (e.get("stats") or {}).get("files", {}).values():
+                for cs in (fst.get("cols") or {}).values():
+                    cs.pop("sm", None)
+        with open(mfile, "w") as fh:
+            _json.dump(man, fh)
+        crc = os.path.join(
+            os.path.dirname(mfile), f".{os.path.basename(mfile)}.crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
+        r = mt.metadata_agg(
+            [("sum", "v"), ("count", "*")], detail=True
+        )
+        exp = mt.read().agg(F.sum("v")).collect()[0][0]
+        assert r["sum(v)"] == exp
+        assert r["_detail"]["entries_metadata"] == 0
+        r2 = mt.metadata_agg([("count", "*"), ("count", "v")], detail=True)
+        assert r2["_detail"]["entries_scanned"] == 0
+
+
+class TestMetadataAggFuzz:
+    """Property pin for metadata_agg's exactness contract: whatever
+    the null pattern, value range (incl. int extremes), predicate,
+    or post-DML state, the metadata-first answer EQUALS the exact
+    scan's — demotion may change the path taken, never the answer."""
+
+    def test_fuzz_metadata_equals_scan(self, spark, tmp_path):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        p = str(tmp_path / "t")
+        df = spark.range(0, 600).select(
+            F.col("id"),
+            (F.col("id") % 5).cast("int").alias("pt"),
+            F.when(F.col("id") % 9 == 0, None)
+            .otherwise(
+                F.when(
+                    F.col("id") == 13, F.lit(2**62)
+                ).otherwise(F.col("id") * 7 - 2000)
+            )
+            .alias("v"),
+            (F.col("id").cast("decimal(10,3)") / 8).alias("d"),
+        )
+        stage = f"{p}__seed"
+        df.write.mode("overwrite").parquet(stage)
+        mt = ManifestTable(spark, p)
+        mt.create(spark.read.parquet(stage), ["pt"])
+        mt.delete_where([("id", "between", (200, 260))])
+        AGGS = [
+            ("count", "*"), ("count", "v"), ("null_count", "v"),
+            ("min", "v"), ("max", "v"), ("sum", "v"),
+            ("sum", "d"), ("sum", "pt"), ("min", "pt"),
+        ]
+
+        @settings(
+            max_examples=15,
+            deadline=None,
+            suppress_health_check=list(HealthCheck),
+        )
+        @given(
+            where=st.sampled_from(
+                [
+                    None,
+                    [("pt", "=", 2)],
+                    [("pt", "in", [0, 3, 4])],
+                    [("pt", ">", 1)],
+                    [("pt", "=", 99)],
+                    [("v", ">", 0)],
+                    [("v", "<=", -500), ("pt", "<", 3)],
+                    [("id", "between", (50, 400))],
+                ]
+            ),
+        )
+        def check(where):
+            got = mt.metadata_agg(AGGS, where=where)
+            exp_row = (
+                mt.read(where=where)
+                .agg(
+                    F.count(F.lit(1)), F.count("v"),
+                    F.count(F.when(F.col("v").isNull(), 1)),
+                    F.min("v"), F.max("v"), F.sum("v"),
+                    F.sum("d"), F.sum("pt"), F.min("pt"),
+                )
+                .collect()[0]
+            )
+            exp = {
+                f"{fn}({c})": exp_row[i]
+                for i, (fn, c) in enumerate(AGGS)
+            }
+            assert got == exp, (where, got, exp)
+
+        check()
