@@ -431,6 +431,48 @@ _SUM_EXACT_TYPES = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType,
 )
 
+
+def _entry_agg_stats(
+    e: dict, aggs: list[tuple], stat_cols: list[str], pset: set,
+    ts_cols: set,
+) -> tuple | None:
+    """``(rows, {col: cs})`` when EVERY requested aggregate is
+    PROVABLY attainable from this entry's recorded stats, else None
+    (the caller demotes the entry to the exact scan). Shared by
+    :meth:`ManifestTable.metadata_agg` (global fold) and
+    :meth:`ManifestTable.partition_profile` (per-entry emission);
+    the demotion rules are documented on metadata_agg."""
+    st = e.get("stats") or {}
+    rows = st.get("rows")
+    if rows is None:
+        return None
+    out: dict = {}
+    for c in stat_cols:
+        cs = (st.get("cols") or {}).get(c)
+        if cs is None:
+            return None
+        out[c] = cs
+    for fn, c in aggs:
+        if fn not in ("min", "max", "sum") or c == "*" or c in pset:
+            continue
+        cs = out[c]
+        nonnull = rows - cs.get("nulls", 0)
+        if not nonnull:
+            continue  # all-NULL: contributes nothing
+        if fn == "sum":
+            if "sm" not in cs:
+                return None  # pre-r16 stats: scan instead
+            continue
+        if c in ts_cols:
+            return None
+        key = "mn" if fn == "min" else "mx"
+        if key not in cs:
+            return None  # unbounded side with live values
+        tag, raw = cs[key]
+        if tag == "str" and len(raw) >= _STATS_MAX_STR:
+            return None  # possibly truncated: not attained
+    return rows, out
+
 #: "auto" stats cover at most this many columns — a 500-column table
 #: must not pay 1500 aggregates per commit unless it asks to
 _STATS_AUTO_CAP = 32
@@ -2398,40 +2440,7 @@ class ManifestTable:
         )
 
         def _entry_stats_ok(e) -> tuple | None:
-            """(rows, {col: cs}) when every requested aggregate is
-            attainable from this entry's stats, else None."""
-            st = e.get("stats") or {}
-            rows = st.get("rows")
-            if rows is None:
-                return None
-            out: dict = {}
-            for c in stat_cols:
-                cs = (st.get("cols") or {}).get(c)
-                if cs is None:
-                    return None
-                out[c] = cs
-            for fn, c in aggs:
-                if fn not in ("min", "max", "sum") or c == "*" or (
-                    c in pset
-                ):
-                    continue
-                cs = out[c]
-                nonnull = rows - cs.get("nulls", 0)
-                if not nonnull:
-                    continue  # all-NULL: contributes nothing
-                if fn == "sum":
-                    if "sm" not in cs:
-                        return None  # pre-r16 stats: scan instead
-                    continue
-                if c in ts_cols:
-                    return None
-                key = "mn" if fn == "min" else "mx"
-                if key not in cs:
-                    return None  # unbounded side with live values
-                tag, raw = cs[key]
-                if tag == "str" and len(raw) >= _STATS_MAX_STR:
-                    return None  # possibly truncated: not attained
-            return rows, out
+            return _entry_agg_stats(e, aggs, stat_cols, pset, ts_cols)
 
         meta_rows = 0
         meta_entries = 0
@@ -2585,6 +2594,217 @@ class ManifestTable:
                 "entries_total": len(entries),
             }
         return out
+
+    def partition_profile(
+        self,
+        aggs: list[tuple] | None = None,
+        where: list[tuple] | None = None,
+        partitions: list[tuple] | None = None,
+        version: int | None = None,
+        as_of=None,
+        detail: bool = False,
+    ) -> list[dict]:
+        """PER-PARTITION exact aggregates — :meth:`metadata_agg`
+        grouped by the partition columns (r16). One output dict per
+        live partition (``{pcol: value, "fn(col)": value, ...}``,
+        sorted by partition key), answered from the manifest wherever
+        stats can prove the aggregates: with one live entry per
+        partition, the grouped answer IS the per-entry stats — no
+        fold at all. The O(live entries) profile of a 100 TB table:
+        row-count skew, per-partition value ranges, null densities —
+        the first question a pipeline operator asks before picking a
+        repartition/salt strategy, answered without touching data.
+
+        ``aggs`` defaults to ``[("count", "*")]``; same functions and
+        EXACTNESS contract as metadata_agg — an entry whose stats
+        cannot prove an aggregate is demoted to one exact scan
+        (grouped by the partition columns) together with the other
+        demoted entries, and partitions emptied by a data-column
+        ``where`` drop out of the output exactly as SQL GROUP BY
+        drops empty groups. ``detail=True`` returns ``(rows,
+        detail_dict)`` instead.
+
+        Scale shape: metadata partitions cost zero jobs; demoted
+        partitions cost ONE grouped scan job over just those
+        partitions."""
+        aggs = aggs or [("count", "*")]
+        _FNS = ("count", "null_count", "min", "max", "sum")
+        for fn, col in aggs:
+            if fn not in _FNS:
+                raise ValueError(
+                    f"partition_profile supports {_FNS}, got {fn!r}"
+                )
+            if fn != "count" and col == "*":
+                raise ValueError(f"{fn}(*) is not an aggregate")
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of, not both")
+            version = self.version_at(as_of)
+        m = self.manifest(version)
+        entries = m["entries"]
+        if partitions is not None:
+            wanted = {_partition_key(tuple(t)) for t in partitions}
+            entries = [e for e in entries if e["key"] in wanted]
+        # every manifest table is partitioned (create() refuses an
+        # empty partition_cols), so pcols is always non-empty here
+        pcols = list(m.get("partition_cols") or [])
+        pset = set(pcols)
+        schema = T.StructType.fromJson(m["schema"])
+        ts_cols = {
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, T.TimestampType)
+        }
+        stat_cols = sorted(
+            {c for _, c in aggs if c != "*" and c not in pset}
+        )
+        sum_ok = {
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, _SUM_EXACT_TYPES)
+        }
+        norm = _normalize_where(where) if where else None
+        pre_values = any("values" not in e for e in entries)
+        ts_pcol_minmax = any(
+            fn in ("min", "max") and c in ts_cols and c in pset
+            for fn, c in aggs
+        )
+        sum_inexact = any(
+            fn == "sum" and c not in sum_ok for fn, c in aggs
+        )
+        data_clauses = (
+            pre_values
+            or ts_pcol_minmax
+            or sum_inexact
+            or any(cl[0] not in pset for cl in (norm or []))
+        )
+
+        def _emit(vals: tuple, rows: int, cstats: dict) -> dict:
+            byname = dict(zip(pcols, vals))
+            row: dict = dict(byname)
+            for fn, c in aggs:
+                label = f"{fn}({c})"
+                if c == "*":
+                    row[label] = rows
+                    continue
+                if c in pset:
+                    v = byname[c]
+                    nn = rows if v is not None else 0
+                    if fn == "count":
+                        row[label] = nn
+                    elif fn == "null_count":
+                        row[label] = rows - nn
+                    elif fn == "sum":
+                        row[label] = (
+                            v * rows if v is not None else None
+                        )
+                    else:  # min / max: constant per partition
+                        row[label] = v
+                    continue
+                cs = cstats[c]
+                nn = rows - cs.get("nulls", 0)
+                if fn == "count":
+                    row[label] = nn
+                elif fn == "null_count":
+                    row[label] = cs.get("nulls", 0)
+                elif fn == "sum":
+                    row[label] = (
+                        _decode_value(cs["sm"]) if nn else None
+                    )
+                elif fn == "min":
+                    row[label] = (
+                        _decode_value(cs["mn"]) if nn else None
+                    )
+                else:
+                    row[label] = (
+                        _decode_value(cs["mx"]) if nn else None
+                    )
+            return row
+
+        out_rows: list[tuple] = []  # (sort_key, dict)
+        meta_entries = 0
+        scan_parts: list[tuple] = []
+        if data_clauses:
+            scan_parts = None
+        else:
+            for e in entries:
+                vals = tuple(_decode_value(p) for p in e["values"])
+                byname = dict(zip(pcols, vals))
+                verdicts = [
+                    _pcol_clause_exact(byname[c], op, val)
+                    for (c, op, val) in (norm or [])
+                ]
+                if any(vd is False for vd in verdicts):
+                    continue
+                ok = (
+                    _entry_agg_stats(e, aggs, stat_cols, pset, ts_cols)
+                    if all(vd is True for vd in verdicts)
+                    else None
+                )
+                if ok is None:
+                    scan_parts.append(vals)
+                    continue
+                rows, cstats = ok
+                meta_entries += 1
+                out_rows.append(
+                    (e["key"], _emit(vals, rows, cstats))
+                )
+
+        n_scanned = 0
+        if scan_parts is None or scan_parts:
+            df = self.read(
+                where=where,
+                partitions=(
+                    partitions if scan_parts is None else scan_parts
+                ),
+                version=version,
+            )
+            from pyspark.sql import functions as F
+
+            exprs = [F.count(F.lit(1)).alias("_rows")]
+            for i, (fn, c) in enumerate(aggs):
+                if c == "*":
+                    continue
+                if fn == "count":
+                    exprs.append(F.count(F.col(c)).alias(f"_a{i}"))
+                elif fn == "null_count":
+                    exprs.append(
+                        F.count(F.when(F.col(c).isNull(), 1)).alias(
+                            f"_a{i}"
+                        )
+                    )
+                elif fn == "min":
+                    exprs.append(F.min(F.col(c)).alias(f"_a{i}"))
+                elif fn == "sum":
+                    exprs.append(F.sum(F.col(c)).alias(f"_a{i}"))
+                else:
+                    exprs.append(F.max(F.col(c)).alias(f"_a{i}"))
+            got = df.groupBy(*pcols).agg(*exprs).collect()
+            n_scanned = (
+                len(entries) - meta_entries
+                if scan_parts is None
+                else len(scan_parts)
+            )
+            for r in got:
+                vals = tuple(r[c] for c in pcols)
+                row: dict = dict(zip(pcols, vals))
+                for i, (fn, c) in enumerate(aggs):
+                    label = f"{fn}({c})"
+                    if c == "*":
+                        row[label] = r["_rows"]
+                    else:
+                        row[label] = r[f"_a{i}"]
+                out_rows.append((_partition_key(vals), row))
+
+        out_rows.sort(key=lambda kv: kv[0])
+        rows_out = [r for _, r in out_rows]
+        if detail:
+            return rows_out, {
+                "entries_metadata": meta_entries,
+                "entries_scanned": n_scanned,
+                "entries_total": len(entries),
+            }
+        return rows_out
 
     def _bucket_eval(self, spec: dict, src_type: str, v):
         """Spark-evaluate ``pmod(xxhash64(v::src_type), n)`` for ONE

@@ -6210,3 +6210,94 @@ WHERE event_id % 4 IN (1, 2)
 """,
     doc="metadata-only aggregates: count/count(col)/null_count/min/max/sum under a partition predicate answered from manifest stats with zero entries scanned, byte-identical after deleting every data file; per-entry exactness demotion to scan (truncated strings, NaN, ts zone frames, float sums, pre-sum manifests)",
 )
+
+
+def _q_table_partition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition metadata profile (round 16, second pass):
+    ``partition_profile`` — :meth:`metadata_agg` grouped by the
+    partition columns. One live manifest entry per partition means
+    the grouped answer IS the per-entry stats: row-count skew,
+    per-partition value ranges, null densities and exact sums — the
+    O(live entries) profile an operator reads before choosing a
+    repartition/salt strategy on a 100 TB table. Pinned in-function:
+    every partition answers with ZERO entries scanned, and the
+    profile is byte-identical after deleting every data file. The
+    oracle recomputes the same per-partition aggregates with a
+    GROUP BY in DuckDB."""
+    import shutil
+    import tempfile
+
+    from ..operators.table import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    evp = (
+        ev.withColumn("pt", (F.col("event_id") % 4).cast("int"))
+        .withColumn(
+            "vc",
+            F.when(F.col("event_id") % 7 == 0, None).otherwise(
+                F.round(F.col("value") * 100).cast("bigint")
+            ),
+        )
+        .drop("value")
+        .repartitionByRange(16, F.col("pt"), F.col("event_id"))
+        .sortWithinPartitions("pt", "event_id")
+    )
+    work = tempfile.mkdtemp(prefix="part_profile_")
+    try:
+        mt = ManifestTable(spark, f"{work}/events_profile")
+        mt.create(evp, ["pt"])
+        aggs = [
+            ("count", "*"), ("count", "vc"), ("null_count", "vc"),
+            ("min", "event_id"), ("max", "event_id"), ("sum", "vc"),
+        ]
+        rows, d = mt.partition_profile(aggs, detail=True)
+        meta_only = int(
+            d["entries_scanned"] == 0
+            and d["entries_metadata"] == d["entries_total"] == 4
+        )
+        assert meta_only, d
+        shutil.rmtree(f"{mt.path}/_data")
+        rows2 = mt.partition_profile(aggs)
+        zero_io = int(rows2 == rows)
+        assert zero_io
+        return spark.createDataFrame(
+            [
+                (
+                    r["pt"], r["count(*)"], r["count(vc)"],
+                    r["null_count(vc)"], r["min(event_id)"],
+                    r["max(event_id)"], r["sum(vc)"],
+                    meta_only, zero_io,
+                )
+                for r in rows
+            ],
+            "pt int, n_rows bigint, n_vc bigint, n_vc_null bigint,"
+            " min_id bigint, max_id bigint, sum_vc bigint,"
+            " meta_only int, zero_io int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["table_partition_profile"] = Q(
+    _q_table_partition_profile,
+    """
+SELECT CAST(event_id % 4 AS INT) AS pt,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(CASE WHEN event_id % 7 <> 0 THEN 1 END) AS BIGINT)
+         AS n_vc,
+       CAST(COUNT(CASE WHEN event_id % 7 = 0 THEN 1 END) AS BIGINT)
+         AS n_vc_null,
+       CAST(MIN(event_id) AS BIGINT) AS min_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_id,
+       CAST(SUM(CASE WHEN event_id % 7 <> 0
+            THEN CAST(ROUND(value * 100) AS BIGINT) END) AS BIGINT)
+         AS sum_vc,
+       CAST(1 AS INT) AS meta_only,
+       CAST(1 AS INT) AS zero_io
+FROM events
+GROUP BY 1
+""",
+    doc="per-partition metadata profile: grouped count/nulls/min/max/sum answered from per-entry manifest stats with zero entries scanned (skew + range + null-density in O(live entries)), byte-identical after deleting every data file",
+)

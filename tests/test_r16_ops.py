@@ -2119,3 +2119,103 @@ class TestMetadataAggFuzz:
             assert got == exp, (where, got, exp)
 
         check()
+
+
+class TestPartitionProfile:
+    """r16 (second pass): partition_profile — metadata_agg grouped by
+    the partition columns. One live entry per partition means the
+    grouped answer IS the per-entry stats: the O(live entries) skew /
+    range / null-density profile of a 100 TB table, zero data jobs."""
+
+    AGGS = [
+        ("count", "*"), ("count", "v"), ("null_count", "v"),
+        ("min", "v"), ("max", "v"), ("sum", "v"), ("sum", "pt"),
+    ]
+
+    def _mk(self, spark, path, n=800):
+        df = spark.range(0, n).select(
+            F.col("id"),
+            (F.col("id") % 4).cast("int").alias("pt"),
+            F.when(F.col("id") % 7 == 0, None)
+            .otherwise(F.col("id") * 3)
+            .alias("v"),
+        )
+        stage = f"{path}__seed"
+        df.write.mode("overwrite").parquet(stage)
+        mt = ManifestTable(spark, path)
+        mt.create(spark.read.parquet(stage), ["pt"])
+        return mt
+
+    def _exp(self, mt, flt=None):
+        df = mt.read()
+        if flt:
+            df = df.filter(flt)
+        return (
+            df.groupBy("pt")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count("v").alias("cv"),
+                F.count(F.when(F.col("v").isNull(), 1)).alias("nv"),
+                F.min("v").alias("mn"), F.max("v").alias("mx"),
+                F.sum("v").alias("sv"), F.sum("pt").alias("sp"),
+            )
+            .orderBy("pt")
+            .collect()
+        )
+
+    def _cmp(self, rows, exp):
+        assert len(rows) == len(exp)
+        for r, e in zip(rows, exp):
+            assert (
+                r["pt"], r["count(*)"], r["count(v)"],
+                r["null_count(v)"], r["min(v)"], r["max(v)"],
+                r["sum(v)"], r["sum(pt)"],
+            ) == (
+                e["pt"], e["n"], e["cv"], e["nv"], e["mn"], e["mx"],
+                e["sv"], e["sp"],
+            )
+
+    def test_metadata_only_matches_grouped_scan(self, spark, tmp_path):
+        mt = self._mk(spark, str(tmp_path / "t"))
+        rows, d = mt.partition_profile(self.AGGS, detail=True)
+        self._cmp(rows, self._exp(mt))
+        assert d["entries_scanned"] == 0
+
+    def test_zero_data_io(self, spark, tmp_path):
+        import shutil
+
+        p = str(tmp_path / "t")
+        mt = self._mk(spark, p)
+        before = mt.partition_profile(self.AGGS)
+        shutil.rmtree(f"{p}/_data")
+        assert mt.partition_profile(self.AGGS) == before
+
+    def test_data_where_scans_grouped(self, spark, tmp_path):
+        mt = self._mk(spark, str(tmp_path / "t"))
+        rows, d = mt.partition_profile(
+            self.AGGS, where=[("v", ">", 900)], detail=True
+        )
+        self._cmp(rows, self._exp(mt, "v > 900"))
+        assert d["entries_metadata"] == 0
+
+    def test_pcol_where_prunes(self, spark, tmp_path):
+        mt = self._mk(spark, str(tmp_path / "t"))
+        rows, d = mt.partition_profile(
+            self.AGGS, where=[("pt", "in", [1, 3])], detail=True
+        )
+        assert [r["pt"] for r in rows] == [1, 3]
+        assert d["entries_scanned"] == 0
+
+    def test_survives_fg_dml(self, spark, tmp_path):
+        mt = self._mk(spark, str(tmp_path / "t"))
+        mt.delete_where([("id", "between", (100, 299))])
+        rows, d = mt.partition_profile(self.AGGS, detail=True)
+        self._cmp(rows, self._exp(mt))
+        assert d["entries_scanned"] == 0
+
+    def test_default_aggs_rowcounts(self, spark, tmp_path):
+        mt = self._mk(spark, str(tmp_path / "t"))
+        rows = mt.partition_profile()
+        assert [(r["pt"], r["count(*)"]) for r in rows] == [
+            (0, 200), (1, 200), (2, 200), (3, 200)
+        ]
