@@ -529,6 +529,53 @@ def _assert_delta_key_unique(
         )
 
 
+def _assert_no_key_moves(
+    stored_others: DataFrame,
+    aligned: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+    context: str,
+) -> None:
+    """The opt-in (``check_key_moves=True``) probe behind the
+    partition-function contract: a delta row claiming partition B for
+    a key whose stored row lives in an UNTOUCHED partition A would
+    leave the A row in place and land a second row in B — a SILENT
+    cross-partition duplicate key (the touched-partition case is
+    safe: the stored row is contested and dropped/folded normally).
+    ``stored_others`` is the untouched partitions' key+partition
+    columns (manifest-pruned and bounds-filtered where possible);
+    the delta's distinct keys broadcast into one inner join,
+    short-circuited to the first offender."""
+    import functools
+    import operator
+
+    nn = functools.reduce(
+        operator.and_, [F.col(k).isNotNull() for k in key_cols]
+    )
+    probe = aligned.select(*key_cols).where(nn).distinct()
+    hit = (
+        stored_others.select(*key_cols, *partition_cols)
+        .join(F.broadcast(probe), key_cols, "inner")
+        .limit(1)
+        .collect()
+    )
+    if hit:
+        r = hit[0]
+        kv = {k: r[k] for k in key_cols}
+        pv = {c: r[c] for c in partition_cols}
+        raise ValueError(
+            f"{context}: delta key {kv} already lives in UNTOUCHED"
+            f" partition {pv} — the delta assigns it a different"
+            " partition, which would leave the stored row in place"
+            " and land a duplicate (partition assignment must be"
+            " functionally dependent on the key). Either fix the"
+            " delta's partition values, or include the key's current"
+            " partition in the delta (a touched partition folds the"
+            " key normally). Refused before any write (the table is"
+            " unchanged)."
+        )
+
+
 def merge_into_partitioned(
     spark: SparkSession,
     path: str,
@@ -550,6 +597,7 @@ def merge_into_partitioned(
     when_not_matched_by_source_delete: bool | str | Column = False,
     file_granular: bool = True,
     schema_evolution: bool = False,
+    check_key_moves: bool = False,
 ) -> int:
     """MERGE a keyed delta into a persisted partitioned parquet table,
     rewriting ONLY the partitions the delta touches — the batch upsert/
@@ -645,9 +693,19 @@ def merge_into_partitioned(
       — they are independent, deterministic inserts);
     - partition assignment is functionally dependent on the key (an
       update may not MOVE a key between partitions — the standard
-      Hive-style partition-merge constraint; a moved key would leave
-      its stale row in the old partition). Delete rows must carry the
-      key's partition values for the same reason;
+      Hive-style partition-merge constraint; a moved key whose stored
+      row lives in an UNTOUCHED partition leaves that row in place
+      and lands a silent duplicate). Delete rows must carry the
+      key's partition values for the same reason. CHECKABLE opt-in
+      (r16): ``check_key_moves=True`` probes the untouched
+      partitions' key columns pre-commit and refuses the first
+      offender loudly — manifest-pruned by the delta's key range for
+      single rangeable keys (a clustered table reads almost
+      nothing); the worst case (scattered keys, plain layout) is a
+      column-pruned key scan of the untouched data, which is why it
+      is opt-in rather than default. A key whose stored partition IS
+      touched folds normally in every mode — moving a key by
+      including its old partition in the delta is legal;
     - STRING partition values must round-trip directory-name type
       inference: a value like ``'01'`` is written as ``version=01``
       but read back as integer ``1``, splitting the partition into
@@ -887,6 +945,7 @@ def merge_into_partitioned(
             lock_stale_after_seconds,
             clauses=clauses,
             file_granular=file_granular,
+            check_key_moves=check_key_moves,
         )
     fs, jroot = _hadoop_fs(spark, path)
     root_existed = bool(fs.exists(jroot))
@@ -906,6 +965,7 @@ def merge_into_partitioned(
                     clauses=clauses,
                     file_granular=file_granular,
                     schema_evolution=schema_evolution,
+                    check_key_moves=check_key_moves,
                 )
             if schema_evolution:
                 raise ValueError(
@@ -921,6 +981,7 @@ def merge_into_partitioned(
                 op_col, delete_op, ts_col, tiebreak_cols,
                 fs, jroot, root_existed,
                 clauses=clauses,
+                check_key_moves=check_key_moves,
             )
     finally:
         if _dir_is_empty(spark, path):
@@ -978,6 +1039,7 @@ def _merge_into_plain(
     jroot,
     root_existed: bool,
     clauses: _MergeClauses | None = None,
+    check_key_moves: bool = False,
 ) -> int:
     """Dynamic-partition-overwrite commit path (plain Hive layout).
     Caller holds the table write lock."""
@@ -1081,6 +1143,14 @@ def _merge_into_plain(
             ],
         )
         current = current_all.filter(pred)
+        if check_key_moves:
+            # plain layout has no manifest to prune with: the
+            # untouched side is a full (column-pruned) key scan —
+            # the documented opt-in cost
+            _assert_no_key_moves(
+                current_all.filter(~pred), aligned, key_cols,
+                partition_cols, f"merge into {path}",
+            )
         merged = _compute_merged(
             current, aligned, key_cols, op_col, delete_op, ts_col,
             tiebreak_cols, clauses=clauses,
@@ -1346,6 +1416,7 @@ def _merge_into_manifest(
     clauses: _MergeClauses | None = None,
     file_granular: bool = True,
     schema_evolution: bool = False,
+    check_key_moves: bool = False,
 ) -> int:
     """Atomic-commit merge path for manifest tables (caller holds the
     table write lock). Same semantics as the plain path; the publish
@@ -1367,6 +1438,7 @@ def _merge_into_manifest(
             delete_op, ts_col, tiebreak_cols, delta_staging,
             clauses=clauses, file_granular=file_granular,
             schema_evolution=schema_evolution,
+            check_key_moves=check_key_moves,
         )
         if plan is None:
             return 0
@@ -1399,6 +1471,7 @@ def _manifest_merge_plan(
     clauses: _MergeClauses | None = None,
     file_granular: bool = True,
     schema_evolution: bool = False,
+    check_key_moves: bool = False,
 ):
     """The compute phase shared by the locked and optimistic manifest
     merge paths: snapshot the delta (exactly-once evaluation, same
@@ -1732,6 +1805,39 @@ def _manifest_merge_plan(
             "*",
             *[F.lit(None).cast(atypes[c]).alias(c) for c in new_cols],
         )
+    if check_key_moves:
+        from .table import _decode_value
+
+        touched_set = {_partition_key(tuple(t)) for t in touched}
+        others = [
+            tuple(_decode_value(pv) for pv in e["values"])
+            for e in man["entries"]
+            if e["key"] not in touched_set and "values" in e
+        ]
+        if others:
+            # single rangeable key: bound the untouched scan by the
+            # delta's key range so entry/file stats prune it — the
+            # clustered-table case reads almost nothing. Multi-column
+            # or unbounded keys fall back to the column-pruned key
+            # scan of the untouched partitions (the documented
+            # opt-in cost).
+            where_rng = None
+            if len(key_cols) == 1:
+                k = key_cols[0]
+                ext = aligned.agg(
+                    F.min(F.col(k)).alias("_lo"),
+                    F.max(F.col(k)).alias("_hi"),
+                ).collect()[0]
+                if ext["_lo"] is not None:
+                    where_rng = [(k, "between", (ext["_lo"], ext["_hi"]))]
+            _assert_no_key_moves(
+                mt.read(
+                    partitions=others, manifest_dict=man,
+                    where=where_rng,
+                ),
+                aligned, key_cols, partition_cols,
+                f"merge into {mt.path}",
+            )
     merged = _compute_merged(
         current, aligned, key_cols, op_col, delete_op, ts_col,
         tiebreak_cols, clauses=clauses,
@@ -1754,6 +1860,7 @@ def _merge_into_manifest_optimistic(
     lock_stale_after_seconds: float | None = None,
     clauses: _MergeClauses | None = None,
     file_granular: bool = True,
+    check_key_moves: bool = False,
 ) -> int:
     """Optimistic-concurrency merge: the ENTIRE compute — delta
     snapshot, current-state read, merge shuffle, generation write,
@@ -1786,6 +1893,7 @@ def _merge_into_manifest_optimistic(
             # files map): a rebase succeeds only when the carrying
             # entries are bit-identical between base and winner
             file_granular=file_granular,
+            check_key_moves=check_key_moves,
         )
         if plan is None:
             return 0

@@ -6301,3 +6301,145 @@ GROUP BY 1
 """,
     doc="per-partition metadata profile: grouped count/nulls/min/max/sum answered from per-entry manifest stats with zero entries scanned (skew + range + null-density in O(live entries)), byte-identical after deleting every data file",
 )
+
+
+def _q_merge_key_move_refusal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-function contract certification (round 16, second
+    pass): ``check_key_moves=True`` makes the last documented-only
+    merge contract CHECKABLE. A delta that assigns a key a partition
+    different from where its stored row lives, while that stored
+    partition is UNTOUCHED by the delta, would leave the old row in
+    place and land a second one — a silent cross-partition duplicate
+    key. Pinned in-function: (1) such a delta REFUSES pre-commit
+    (version unchanged); (2) the LEGAL move — the delta touches the
+    key's old partition too, so the stored row is contested and
+    folds normally — relocates a whole band of keys to
+    ``(event_id % 4 + 1) % 4`` in one merge. The oracle recomputes
+    the relocated layout arithmetically from ``events``.
+
+    Scale shape: the probe is manifest-pruned by the delta's key
+    range for single rangeable keys (a clustered table reads almost
+    nothing); worst case is a column-pruned key scan of untouched
+    partitions — the reason it is opt-in."""
+    import shutil
+    import tempfile
+
+    from ..operators.scale import merge_into_partitioned
+    from ..operators.table import ManifestTable
+
+    OFFSET = 2**40
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    band = max(1, (max_id + 1) // 50)
+    a_lo = (max_id + 1) // 10
+    a_hi = a_lo + band
+    evp = (
+        ev.withColumn("pt", (F.col("event_id") % 4).cast("int"))
+        .withColumn("vc", F.round(F.col("value") * 100).cast("bigint"))
+        .drop("value")
+        .repartitionByRange(16, F.col("pt"), F.col("event_id"))
+        .sortWithinPartitions("pt", "event_id")
+    )
+    work = tempfile.mkdtemp(prefix="merge_keymove_")
+    try:
+        mt = ManifestTable(spark, f"{work}/events_move")
+        mt.create(evp, ["pt"])
+        # pin 1: a probe key re-homed while its stored partition is
+        # untouched refuses loudly pre-commit
+        probe_id = a_lo  # lives in pt = a_lo % 4
+        wrong_pt = (probe_id % 4 + 1) % 4
+        probe = spark.createDataFrame(
+            [(probe_id, "t", 0, wrong_pt)],
+            "event_id bigint, event_type string, vc bigint, pt int",
+        )
+        refused = 0
+        try:
+            merge_into_partitioned(
+                spark, mt.path, probe, ["event_id"], ["pt"],
+                check_key_moves=True, retain_versions=5,
+            )
+        except ValueError as exc:
+            refused = int(
+                "UNTOUCHED" in str(exc) and mt.current_version() == 1
+            )
+        assert refused, "an untouched-partition key move must refuse"
+        # pin 2: the LEGAL move — the band spans all four partitions,
+        # so every key's old partition is touched and folds normally;
+        # the whole band relocates one partition over in one merge
+        mover = (
+            ev.filter(
+                (F.col("event_id") >= a_lo) & (F.col("event_id") < a_hi)
+            )
+            .select(
+                "event_id", "event_type",
+                (
+                    F.round(F.col("value") * 100).cast("bigint")
+                    + F.lit(OFFSET).cast("bigint")
+                ).alias("vc"),
+                ((F.col("event_id") % 4 + 1) % 4)
+                .cast("int")
+                .alias("pt"),
+            )
+        )
+        merge_into_partitioned(
+            spark, mt.path, mover, ["event_id"], ["pt"],
+            check_key_moves=True, retain_versions=5,
+        )
+        rows = (
+            mt.read()
+            .groupBy("pt")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+                F.sum("vc").cast("bigint").alias("vc_sum"),
+                F.count(F.when(F.col("vc") >= OFFSET, 1))
+                .cast("bigint")
+                .alias("n_moved"),
+            )
+            .withColumn("refused_untouched", F.lit(refused).cast("int"))
+            .collect()
+        )
+        # no key may have duplicated through the move
+        assert sum(r["n_rows"] for r in rows) == mt.read().select(
+            "event_id"
+        ).distinct().count()
+        return spark.createDataFrame(
+            rows,
+            "pt int, n_rows bigint, id_checksum bigint,"
+            " vc_sum bigint, n_moved bigint, refused_untouched int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+QUERIES["merge_key_move_refusal"] = Q(
+    _q_merge_key_move_refusal,
+    """
+WITH c AS (
+    SELECT (MAX(event_id) + 1) // 10 AS a_lo,
+           (MAX(event_id) + 1) // 10
+             + GREATEST(1, (MAX(event_id) + 1) // 50) AS a_hi
+    FROM events
+), m AS (
+    SELECT event_id,
+           CASE WHEN event_id >= c.a_lo AND event_id < c.a_hi
+                THEN CAST((event_id % 4 + 1) % 4 AS INT)
+                ELSE CAST(event_id % 4 AS INT) END AS pt,
+           CAST(ROUND(value * 100) AS BIGINT) + CASE
+                WHEN event_id >= c.a_lo AND event_id < c.a_hi
+                THEN 1099511627776 ELSE 0 END AS vc
+    FROM events, c
+)
+SELECT pt, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(vc) AS BIGINT) AS vc_sum,
+       CAST(SUM(CASE WHEN vc >= 1099511627776 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved,
+       CAST(1 AS INT) AS refused_untouched
+FROM m
+GROUP BY 1
+""",
+    doc="partition-function contract made checkable: check_key_moves=True refuses pre-commit a key re-homed while its stored partition is untouched (the silent cross-partition duplicate); a move whose old partition IS touched folds normally — a whole band relocates one partition over, no key duplicated",
+)

@@ -2219,3 +2219,143 @@ class TestPartitionProfile:
         assert [(r["pt"], r["count(*)"]) for r in rows] == [
             (0, 200), (1, 200), (2, 200), (3, 200)
         ]
+
+
+class TestKeyMoveCheck:
+    """r16 (second pass): the partition-function contract becomes
+    CHECKABLE — ``check_key_moves=True`` refuses, pre-commit, a delta
+    that assigns a key a different partition while its stored row
+    lives in an UNTOUCHED partition (silently duplicating the key was
+    the old behavior; a touched stored partition folds normally and
+    stays legal)."""
+
+    def _mk(self, spark, path, n=200):
+        df = spark.range(0, n).select(
+            F.col("id"),
+            (F.col("id") % 4).cast("int").alias("pt"),
+            (F.col("id") * 10).alias("v"),
+        )
+        stage = f"{path}__seed"
+        df.write.mode("overwrite").parquet(stage)
+        mt = ManifestTable(spark, path)
+        mt.create(spark.read.parquet(stage), ["pt"])
+        return mt
+
+    def test_silent_duplicate_without_check(self, spark, tmp_path):
+        """The hazard, pinned: id=5 lives in pt=1; a delta claiming
+        pt=2 lands a SECOND id=5 row with no error."""
+        mt = self._mk(spark, str(tmp_path / "t"))
+        delta = spark.createDataFrame(
+            [(5, 2, 555)], "id bigint, pt int, v bigint"
+        )
+        merge_into_partitioned(spark, mt.path, delta, ["id"], ["pt"])
+        assert mt.read().filter("id = 5").count() == 2
+
+    def test_check_refuses_untouched_move(self, spark, tmp_path):
+        mt = self._mk(spark, str(tmp_path / "t"))
+        delta = spark.createDataFrame(
+            [(5, 2, 555)], "id bigint, pt int, v bigint"
+        )
+        with pytest.raises(ValueError, match="UNTOUCHED"):
+            merge_into_partitioned(
+                spark, mt.path, delta, ["id"], ["pt"],
+                check_key_moves=True,
+            )
+        assert mt.current_version() == 1
+        assert mt.read().filter("id = 5").count() == 1
+
+    def test_touched_old_partition_stays_legal(self, spark, tmp_path):
+        """Including the key's CURRENT partition in the delta makes
+        the move a normal fold: old row contested + dropped, new row
+        lands — one row, moved, no refusal."""
+        mt = self._mk(spark, str(tmp_path / "t"))
+        delta = spark.createDataFrame(
+            [(5, 2, 555), (9, 1, 999)],
+            "id bigint, pt int, v bigint",
+        )
+        merge_into_partitioned(
+            spark, mt.path, delta, ["id"], ["pt"],
+            check_key_moves=True,
+        )
+        got = mt.read().filter("id = 5").collect()
+        assert len(got) == 1 and (got[0]["pt"], got[0]["v"]) == (2, 555)
+
+    def test_in_place_updates_pass(self, spark, tmp_path):
+        mt = self._mk(spark, str(tmp_path / "t"))
+        delta = spark.createDataFrame(
+            [(5, 1, 555), (8, 0, 888)],
+            "id bigint, pt int, v bigint",
+        )
+        merge_into_partitioned(
+            spark, mt.path, delta, ["id"], ["pt"],
+            check_key_moves=True,
+        )
+        assert mt.read().filter("id = 5").collect()[0]["v"] == 555
+
+    def test_optimistic_and_conditional_paths(self, spark, tmp_path):
+        mt = self._mk(spark, str(tmp_path / "t"))
+        delta = spark.createDataFrame(
+            [(5, 2, 555)], "id bigint, pt int, v bigint"
+        )
+        with pytest.raises(ValueError, match="UNTOUCHED"):
+            merge_into_partitioned(
+                spark, mt.path, delta, ["id"], ["pt"],
+                optimistic=True, check_key_moves=True,
+            )
+        with pytest.raises(ValueError, match="UNTOUCHED"):
+            merge_into_partitioned(
+                spark, mt.path, delta, ["id"], ["pt"],
+                when_matched_update={"v": "s.v"},
+                check_key_moves=True,
+            )
+        assert mt.current_version() == 1
+
+    def test_ordered_mode_checked_too(self, spark, tmp_path):
+        p = str(tmp_path / "t")
+        df = spark.range(0, 40).select(
+            F.col("id"),
+            (F.col("id") % 4).cast("int").alias("pt"),
+            (F.col("id") * 10).alias("v"),
+            F.lit(100).cast("bigint").alias("ts"),
+        )
+        stage = f"{p}__seed"
+        df.write.mode("overwrite").parquet(stage)
+        mt = ManifestTable(spark, p)
+        mt.create(spark.read.parquet(stage), ["pt"])
+        delta = spark.createDataFrame(
+            [(5, 2, 555, 200, "U")],
+            "id bigint, pt int, v bigint, ts bigint, op string",
+        )
+        with pytest.raises(ValueError, match="UNTOUCHED"):
+            merge_into_partitioned(
+                spark, mt.path, delta, ["id"], ["pt"],
+                op_col="op", ts_col="ts", check_key_moves=True,
+            )
+
+    def test_plain_layout_checked(self, spark, tmp_path):
+        p = str(tmp_path / "plain")
+        spark.range(0, 40).select(
+            F.col("id"),
+            (F.col("id") % 4).cast("int").alias("pt"),
+            (F.col("id") * 10).alias("v"),
+        ).write.partitionBy("pt").parquet(p)
+        delta = spark.createDataFrame(
+            [(5, 2, 555)], "id bigint, pt int, v bigint"
+        )
+        with pytest.raises(ValueError, match="UNTOUCHED"):
+            merge_into_partitioned(
+                spark, p, delta, ["id"], ["pt"],
+                check_key_moves=True,
+            )
+        assert spark.read.parquet(p).filter("id = 5").count() == 1
+
+    def test_null_keys_ignored(self, spark, tmp_path):
+        mt = self._mk(spark, str(tmp_path / "t"))
+        delta = spark.createDataFrame(
+            [(None, 2, 555)], "id bigint, pt int, v bigint"
+        )
+        merge_into_partitioned(
+            spark, mt.path, delta, ["id"], ["pt"],
+            check_key_moves=True,
+        )
+        assert mt.read().filter("id is null").count() == 1
