@@ -1827,8 +1827,25 @@ def _manifest_merge_plan(
                 ext = aligned.agg(
                     F.min(F.col(k)).alias("_lo"),
                     F.max(F.col(k)).alias("_hi"),
+                    F.count_distinct(F.col(k)).alias("_cd"),
                 ).collect()[0]
-                if ext["_lo"] is not None:
+                if ext["_lo"] is not None and ext["_cd"] <= 256:
+                    # key-sparse delta (the CDC point shape): an IN
+                    # clause instead of the range lets the per-file
+                    # BLOOM probes prune the untouched side too —
+                    # exactly the unclustered cold start where the
+                    # range spans every file (same 256-key window as
+                    # the fg merge keyset path)
+                    keys = [
+                        r[0]
+                        for r in aligned.select(k)
+                        .where(F.col(k).isNotNull())
+                        .distinct()
+                        .collect()
+                    ]
+                    if keys:
+                        where_rng = [(k, "in", keys)]
+                elif ext["_lo"] is not None:
                     where_rng = [(k, "between", (ext["_lo"], ext["_hi"]))]
             _assert_no_key_moves(
                 mt.read(

@@ -2359,3 +2359,54 @@ class TestKeyMoveCheck:
             check_key_moves=True,
         )
         assert mt.read().filter("id is null").count() == 1
+
+
+class TestKeyMoveCheckKeysetBloom:
+    """r16 (second pass): a key-sparse delta (≤256 distinct keys)
+    probes the untouched side with an IN clause instead of the key
+    range, so the per-file BLOOM machinery prunes it — the
+    unclustered CDC cold start where a range spans every file."""
+
+    def test_unclustered_bloom_refuses_and_passes(
+        self, spark, tmp_path
+    ):
+        mt = _mk_unclustered_bloom(spark, str(tmp_path / "t"), n=2000)
+        # an existing key from pt=0, re-homed to pt=1, pt=0 untouched
+        key0 = (
+            mt.read()
+            .filter("pt = 0")
+            .select("k")
+            .limit(1)
+            .collect()[0][0]
+        )
+        bad = spark.createDataFrame(
+            [(key0, 1, -1)], "k string, pt int, v bigint"
+        )
+        with pytest.raises(ValueError, match="UNTOUCHED"):
+            merge_into_partitioned(
+                spark, mt.path, bad, ["k"], ["pt"],
+                check_key_moves=True,
+            )
+        assert mt.current_version() == 1
+        # same key kept in its own partition: passes the check
+        ok = spark.createDataFrame(
+            [(key0, 0, -1)], "k string, pt int, v bigint"
+        )
+        merge_into_partitioned(
+            spark, mt.path, ok, ["k"], ["pt"], check_key_moves=True
+        )
+        got = mt.read().filter(F.col("v") == -1).collect()
+        assert len(got) == 1 and got[0]["k"] == key0
+
+    def test_fresh_keys_pass_fast(self, spark, tmp_path):
+        """Brand-new keys exist in no untouched partition — the
+        checked merge inserts them normally."""
+        mt = _mk_unclustered_bloom(spark, str(tmp_path / "t"), n=1000)
+        delta = spark.createDataFrame(
+            [(f"newkey-{i}", i % 2, -2) for i in range(20)],
+            "k string, pt int, v bigint",
+        )
+        merge_into_partitioned(
+            spark, mt.path, delta, ["k"], ["pt"], check_key_moves=True
+        )
+        assert mt.read().filter(F.col("v") == -2).count() == 20
