@@ -39,8 +39,11 @@ from ..sources.tables import ensure_parallelism
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Content-hash groups: (content_hash, n_docs, canonical_id)."""
+    # sha2 over the full text is CPU-bound map work above the one
+    # exchange — spread it even when the source has few splits
     return (
-        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
+        ensure_parallelism(df)
+        .groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("canonical_id"))
     )
 
@@ -48,7 +51,8 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def fingerprint_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Normalized-token-set fingerprint groups."""
     return (
-        df.groupBy(fingerprint(F.col(text_col)).alias("fingerprint"))
+        ensure_parallelism(df)
+        .groupBy(fingerprint(F.col(text_col)).alias("fingerprint"))
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("canonical_id"))
     )
 
@@ -69,7 +73,8 @@ def prefix_dedup_groups(
     toks = F.split(normalized_text(F.col(text_col)), " ")
     h = F.md5(F.concat_ws(" ", F.slice(toks, 1, k)))
     return (
-        df.groupBy(h.alias("prefix_hash"))
+        ensure_parallelism(df)
+        .groupBy(h.alias("prefix_hash"))
         .agg(
             F.count("*").alias("n_docs"),
             F.concat_ws(
@@ -109,7 +114,9 @@ def dedup_group_representatives(
     from pyspark.sql.window import Window
 
     fp = fingerprint(F.col(text_col)).alias("fingerprint")
-    scored = df.select(F.col(id_col), fp, score_col.alias("_score"))
+    scored = ensure_parallelism(df).select(
+        F.col(id_col), fp, score_col.alias("_score")
+    )
     w_rank = Window.partitionBy("fingerprint").orderBy(
         F.col("_score").desc(), F.col(id_col).asc()
     )
@@ -602,6 +609,9 @@ def semantic_near_dup_pairs(
     """
     from .similarity import lsh_bucket
 
+    # bucket hashing + in-bucket pair scoring are CPU-bound vector math;
+    # spread the scan before fanning out per table
+    df = ensure_parallelism(df)
     pair_fn = embedding_near_dup_pairs_arrow if use_arrow else embedding_near_dup_pairs
     tables = []
     for t in range(n_tables):
@@ -784,7 +794,9 @@ def paragraph_dedup_stats(
         paras = F.transform(
             F.split(F.col(text_col), split_regex), lambda p: normalized_text(p)
         )
-    ex = df.select(
+    # the normalize+split+explode is CPU-bound map work above the fp
+    # exchange — spread it even when the source has few splits
+    ex = ensure_parallelism(df).select(
         F.col(id_col).alias("_doc"), F.explode(paras).alias("_para")
     ).select("_doc", F.md5(F.col("_para")).alias("_fp"))
     ndocs = F.size(F.collect_set("_doc").over(Window.partitionBy("_fp")))
@@ -855,6 +867,11 @@ def remove_boilerplate_windows(
         raise ValueError(f"window_tokens must be positive, got {window_tokens}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    # window construction (normalize/split/slice/md5) dominates and is
+    # pure map work — and the `ex` subtree below is evaluated twice
+    # (frequent-set agg + mark join), so a few-split source would pin
+    # BOTH passes to one core; no-op when the scan is already parallel
+    df = ensure_parallelism(df)
     toks = F.split(normalized_text(F.col(text_col)), " ")
     k = window_tokens
     n_win = F.greatest(F.ceil(F.size(toks) / F.lit(k)), F.lit(1)).cast("int")

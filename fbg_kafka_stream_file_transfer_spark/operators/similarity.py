@@ -174,8 +174,12 @@ def ann_lsh_topk(
     bucket — shuffle on a low-cardinality key; raise ``planes`` to keep
     buckets balanced as the corpus grows (expected bucket size n/2^planes).
     """
+    from ..sources.tables import ensure_parallelism
+
+    # bucket hashing, norms and the per-candidate dot products are
+    # CPU-bound map work; spread a few-split scan (no-op at scale)
     vecs = (
-        df.select(
+        ensure_parallelism(df).select(
             F.col(id_col).alias("vid"),
             as_double_array(F.col(vec_col)).alias("v"),
         )
@@ -212,8 +216,10 @@ def ann_hard_negative_topk(
     trade is ANN recall: a hard negative hashing to another bucket is
     missed, amplifiable with multi-table `plane_offset` families exactly
     like the dedup path."""
+    from ..sources.tables import ensure_parallelism
+
     vecs = (
-        df.select(
+        ensure_parallelism(df).select(
             F.col(id_col).alias("vid"),
             F.col(label_col).alias("lbl"),
             as_double_array(F.col(vec_col)).alias("v"),
@@ -848,8 +854,12 @@ def group_diversity(
     Output: (label, n_vectors, mean_pairwise_cosine round 6, ±0.0
     canonicalized).
     """
+    from ..sources.tables import ensure_parallelism
+
+    # the dim explode + unit-component math is map-side CPU work above
+    # the (label, dim) exchange; spread a few-split scan (no-op at scale)
     v = as_double_array(F.col(vec_col))
-    base = df.filter(
+    base = ensure_parallelism(df).filter(
         F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
     ).select(F.col(label_col).alias("_lab"), v.alias("_v"), norm(v).alias("_nrm"))
     base = base.filter(F.col("_nrm") > 0)

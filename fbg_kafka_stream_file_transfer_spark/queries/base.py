@@ -49,13 +49,33 @@ class Q:
     doc: str = ""
 
 
-def shared_sql(sql: str, tables: tuple[str, ...]) -> Q:
+def shared_sql(
+    sql: str, tables: tuple[str, ...], parallel: tuple[str, ...] = ()
+) -> Q:
     """A query whose SQL parses and means the same in Spark SQL and DuckDB:
-    run the identical string on both engines."""
+    run the identical string on both engines.
+
+    ``parallel`` names the fact tables to route through
+    ``ensure_parallelism`` before registering the view: the driver's
+    testdata files are single-row-group parquet, so their scans are
+    ONE task and every map-side cost above them (decimal money
+    aggregation, join probes) runs on one core. The guard repartitions
+    to cluster parallelism only when the scan is coarser than that —
+    at 100 TB the inputs have thousands of splits and it is a no-op
+    (sources/tables.ensure_parallelism). Only list tables that stream
+    (probe/aggregate); broadcast-bound dimensions must NOT be listed —
+    repartitioning a table that is about to be broadcast is pure
+    overhead. Results are unaffected: every aggregate in the suite is
+    order-independent by the module conventions above (exact decimal
+    money sums, explicit tie-breaks)."""
+    from ..sources.tables import ensure_parallelism
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in tables:
-            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+            df = load_table(spark, sf_dir, t)
+            if t in parallel:
+                df = ensure_parallelism(df)
+            df.createOrReplaceTempView(t)
         return spark.sql(sql)
 
     return Q(spark=run, oracle=sql)

@@ -129,6 +129,7 @@ WHERE l_shipdate <= DATE '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """,
         ("lineitem",),
+        parallel=("lineitem",),
     ),
     "tpch_q3_shipping_priority": shared_sql(
         """
@@ -144,6 +145,7 @@ ORDER BY revenue DESC, o_orderkey
 LIMIT 10
 """,
         ("customer", "orders", "lineitem"),
+        parallel=("lineitem",),
     ),
     "tpch_q5_local_supplier_volume": shared_sql(
         """
@@ -159,6 +161,7 @@ WHERE r_name IN ('AMERICA', 'ASIA')
 GROUP BY n_name
 """,
         ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+        parallel=("lineitem",),
     ),
     "agg_rollup": shared_sql(
         """
@@ -297,8 +300,13 @@ GROUP BY r_name, n_name
 # --- extended relational coverage (shared-SQL: identical string on both
 # engines; rounding per base.py conventions) ---
 
-def _shared(sql: str, tables: tuple[str, ...], doc: str) -> Q:
-    base = shared_sql(sql, tables)
+def _shared(
+    sql: str,
+    tables: tuple[str, ...],
+    doc: str,
+    parallel: tuple[str, ...] = (),
+) -> Q:
+    base = shared_sql(sql, tables, parallel=parallel)
     return Q(base.spark, base.oracle, doc=doc)
 
 
@@ -608,6 +616,7 @@ GROUP BY nation, o_year
 """,
     ("part", "lineitem", "supplier", "orders", "nation"),
     doc="TPC-H q9 shape: 5-way join, per-line profit expression, nation×year rollup",
+    parallel=("lineitem",),
 )
 
 # fraction-of-total threshold compared as round(v/total, 9): both
@@ -1541,8 +1550,11 @@ def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.sampling import rate_bucket
     from ..operators.scale import merge_into_partitioned
+    from ..sources.tables import ensure_parallelism
 
-    ev = load_table(spark, sf_dir, "events")
+    # the fixture build + the three delta scans are md5-bucket map work
+    # over a few-split source; spread them (no-op at scale)
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
     work = tempfile.mkdtemp(prefix="merge_target_")
     path = f"{work}/events_by_type"
     try:

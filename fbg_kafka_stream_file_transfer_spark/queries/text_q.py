@@ -15,7 +15,12 @@ from .dedup_q import NORM_CTE
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # every text query is regex/tokenize-heavy map work over the doc
+    # scan; the testdata files are single-row-group parquet (one task),
+    # so spread the scan — a no-op at scale (sources/tables docstring)
+    from ..sources.tables import ensure_parallelism
+
+    return ensure_parallelism(load_table(spark, sf_dir, "documents"))
 
 
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
