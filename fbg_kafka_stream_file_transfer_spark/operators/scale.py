@@ -1059,10 +1059,18 @@ def _merge_into_plain(
     # (a previous merge tombstoned the last partition) returns 0
     # instead of PATH_NOT_FOUND.
     delta_staging = f"{path}/_merge_delta"
-    updates.write.mode("overwrite").parquet(delta_staging)
+    # the row count rides the snapshot write as an observed metric —
+    # the empty-delta check costs no extra job (it used to be a
+    # separate isEmpty() pass over the staged parquet)
+    from pyspark.sql import Observation
+
+    _snap_obs = Observation()
+    updates.observe(_snap_obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(delta_staging)
     try:
         delta = spark.read.schema(updates.schema).parquet(delta_staging)
-        if delta.isEmpty():
+        if _snap_obs.get["n"] == 0:
             return 0
         if not root_existed:
             raise ValueError(f"merge target table does not exist: {path}")
@@ -1118,15 +1126,30 @@ def _merge_into_plain(
                     " schema evolution needs a manifest table"
                     " (ManifestTable.create) and schema_evolution=True"
                 )
-        if ts_col is None:
-            # blind/conditional contract enforcement (r16); ordered
-            # mode folds multi-row keys by design
+        # ONE delta-sized job for the whole planning read: the touched
+        # partition set AND the dup-key test (blind/conditional contract
+        # enforcement, r16 — keyed-row count vs distinct-key count; the
+        # loud per-key probe runs only on the failure path). Folding the
+        # two collects (plus the old isEmpty) removes two planning
+        # passes over the delta per merge.
+        import functools as _ft
+        import operator as _op
+
+        _nn = _ft.reduce(
+            _op.and_, [F.col(k).isNotNull() for k in key_cols]
+        )
+        _plan = aligned.agg(
+            F.count(F.when(_nn, 1)).alias("_nk"),
+            F.countDistinct(*key_cols).alias("_nd"),
+            F.collect_set(F.struct(*partition_cols)).alias("_parts"),
+        ).collect()[0]
+        if ts_col is None and _plan["_nk"] != _plan["_nd"]:
+            # ordered mode folds multi-row keys by design and is exempt
             _assert_delta_key_unique(
                 aligned, key_cols, f"merge into {path}"
             )
         touched = [
-            tuple(r)
-            for r in aligned.select(*partition_cols).distinct().collect()
+            tuple(p[c] for c in partition_cols) for p in _plan["_parts"]
         ]
         _reject_empty_string_partitions(touched, partition_cols)
         pred = functools.reduce(
@@ -1159,13 +1182,20 @@ def _merge_into_plain(
         staging = f"{path}/_merge_staging"
         # explicit schema on the read back: a merge that empties EVERY
         # touched partition stages zero rows, and a bare read of the
-        # empty dir would fail UNABLE_TO_INFER_SCHEMA
-        merged.write.mode("overwrite").parquet(staging)
+        # empty dir would fail UNABLE_TO_INFER_SCHEMA. The written
+        # partition set rides the staging write as an observed metric —
+        # it used to be a separate distinct().collect() pass over the
+        # staged parquet.
+        _stage_obs = Observation()
+        merged.observe(
+            _stage_obs,
+            F.collect_set(F.struct(*partition_cols)).alias("_parts"),
+        ).write.mode("overwrite").parquet(staging)
         try:
             staged = spark.read.schema(merged.schema).parquet(staging)
             written = {
-                tuple(r)
-                for r in staged.select(*partition_cols).distinct().collect()
+                tuple(p[c] for c in partition_cols)
+                for p in _stage_obs.get["_parts"]
             }
             (
                 staged.write.mode("overwrite")
@@ -1501,9 +1531,17 @@ def _manifest_merge_plan(
     current rows, so any truthy nmbs disables the file-granular path
     for the statement."""
     ver = mt.current_version()
-    updates.write.mode("overwrite").parquet(delta_staging)
+    # the row count rides the snapshot write as an observed metric —
+    # the empty-delta check costs no extra job (it used to be a
+    # separate isEmpty() pass over the staged parquet)
+    from pyspark.sql import Observation
+
+    _snap_obs = Observation()
+    updates.observe(_snap_obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(delta_staging)
     delta = spark.read.schema(updates.schema).parquet(delta_staging)
-    if delta.isEmpty():
+    if _snap_obs.get["n"] == 0:
         return None
     if ver is None:
         raise ValueError(f"merge target table does not exist: {mt.path}")
@@ -1581,14 +1619,21 @@ def _manifest_merge_plan(
                     " carry values under these names; pick a fresh"
                     " name"
                 )
-    if ts_col is None:
-        # blind/conditional contract enforcement (r16): refuse a
-        # dup-keyed delta before any table read — ordered mode folds
-        # multi-row keys by design and is exempt (the streaming merge
-        # sink therefore pays nothing per batch)
-        _assert_delta_key_unique(
-            aligned, key_cols, f"merge into {mt.path}"
-        )
+    # blind/conditional contract enforcement (r16): refuse a dup-keyed
+    # delta before any table read — ordered mode folds multi-row keys
+    # by design and is exempt (the streaming merge sink therefore pays
+    # nothing per batch). Since r16-opt the TEST (keyed-row count vs
+    # distinct-key count) is folded into the planning aggregation
+    # below instead of running as its own delta pass; the loud per-key
+    # probe runs only on the failure path. Both branches still refuse
+    # before any table data I/O.
+    import functools as _ft
+    import operator as _op
+
+    _dup_check = ts_col is None
+    _nn_keys = _ft.reduce(
+        _op.and_, [F.col(k).isNotNull() for k in key_cols]
+    )
     from .table import (
         _entry_scan_selection,
         _is_abs_dir,
@@ -1615,9 +1660,15 @@ def _manifest_merge_plan(
     )
     carry: dict[str, dict] = {}
     if fg_ok:
-        # ONE job: the touched-partition list AND each partition's
-        # delta key range + distinct-key count (deletes included — a
-        # tombstone contests its key like any write)
+        # ONE job: the touched-partition list, each partition's delta
+        # key range + distinct-key count (deletes included — a
+        # tombstone contests its key like any write), AND the global
+        # dup-key test. GROUPING SETS ((partition_cols), ()) gives the
+        # per-partition stats rows plus one global row whose
+        # keyed-count / distinct-key-count mismatch detects a
+        # dup-keyed delta (including a key illegally split across two
+        # partitions) without the separate delta pass the probe used
+        # to cost.
         aggs = []
         for i, k in enumerate(key_cols):
             aggs.append(F.min(F.col(k)).alias(f"_lo_{i}"))
@@ -1625,7 +1676,23 @@ def _manifest_merge_plan(
             aggs.append(
                 F.count_distinct(F.col(k)).alias(f"_cd_{i}")
             )
-        rows = aligned.groupBy(*partition_cols).agg(*aggs).collect()
+        gcols = [F.col(c) for c in partition_cols]
+        all_rows = (
+            aligned.groupingSets([gcols, []], *gcols)
+            .agg(
+                *aggs,
+                F.count(F.when(_nn_keys, 1)).alias("_nkr"),
+                F.count_distinct(*key_cols).alias("_ndk"),
+                F.grouping_id().alias("_gid"),
+            )
+            .collect()
+        )
+        rows = [r for r in all_rows if r["_gid"] == 0]
+        total = next(r for r in all_rows if r["_gid"] != 0)
+        if _dup_check and total["_nkr"] != total["_ndk"]:
+            _assert_delta_key_unique(
+                aligned, key_cols, f"merge into {mt.path}"
+            )
         np_ = len(partition_cols)
         touched = [tuple(r[:np_]) for r in rows]
         _reject_empty_string_partitions(touched, partition_cols)
@@ -1769,9 +1836,19 @@ def _manifest_merge_plan(
         else:
             current = parts[0].unionByName(parts[1])
     else:
+        # same single-job planning read as the fg branch: touched set
+        # + dup-key test in one delta-sized aggregation
+        _plan = aligned.agg(
+            F.count(F.when(_nn_keys, 1)).alias("_nkr"),
+            F.count_distinct(*key_cols).alias("_ndk"),
+            F.collect_set(F.struct(*partition_cols)).alias("_parts"),
+        ).collect()[0]
+        if _dup_check and _plan["_nkr"] != _plan["_ndk"]:
+            _assert_delta_key_unique(
+                aligned, key_cols, f"merge into {mt.path}"
+            )
         touched = [
-            tuple(r)
-            for r in aligned.select(*partition_cols).distinct().collect()
+            tuple(p[c] for c in partition_cols) for p in _plan["_parts"]
         ]
         _reject_empty_string_partitions(touched, partition_cols)
         current = mt.read(partitions=touched, manifest_dict=man)
