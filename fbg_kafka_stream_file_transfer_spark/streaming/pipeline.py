@@ -69,7 +69,13 @@ def process_envelope_batch(
     several sinks (a batch is bounded by maxFilesPerTrigger /
     maxOffsetsPerTrigger, so the cache is bounded too); without it the
     extraction pass re-runs once per leg."""
-    env = with_derived(env).dropDuplicates(["correlation_id"])
+    # dedup BEFORE the derivations: the ST7 shuffle then moves only the
+    # source envelope, not the three derived object-key strings +
+    # processing_date it would otherwise carry per row (project-before-
+    # the-exchange; the derivations are deterministic per-row
+    # projections, so dedup-then-derive ≡ derive-then-dedup), and the
+    # derivation work itself runs on the post-shuffle partitions
+    env = with_derived(env.dropDuplicates(["correlation_id"]))
     v = with_validation(env).persist()
     accepted = v.filter(F.col("valid")).drop("valid", "reject_reason")
     rejected = v.filter(~F.col("valid")).drop("valid")
