@@ -38,12 +38,14 @@ from ..sources.tables import ensure_parallelism
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Content-hash groups: (content_hash, n_docs, canonical_id)."""
-    # sha2 over the full text is CPU-bound map work above the one
-    # exchange — spread it even when the source has few splits
+    """Content-hash groups: (content_hash, n_docs, canonical_id).
+
+    No scan-spreading repartition here: the groupBy partial-aggregates
+    map-side, so only (hash, count, min) rows cross the exchange — a
+    repartition first would ship the full text (measured +0.37 s at
+    sf0.1, guide §2.3 aggregate-before-you-shuffle)."""
     return (
-        ensure_parallelism(df)
-        .groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_hash"))
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("canonical_id"))
     )
 
@@ -51,8 +53,7 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def fingerprint_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Normalized-token-set fingerprint groups."""
     return (
-        ensure_parallelism(df)
-        .groupBy(fingerprint(F.col(text_col)).alias("fingerprint"))
+        df.groupBy(fingerprint(F.col(text_col)).alias("fingerprint"))
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("canonical_id"))
     )
 
@@ -73,8 +74,7 @@ def prefix_dedup_groups(
     toks = F.split(normalized_text(F.col(text_col)), " ")
     h = F.md5(F.concat_ws(" ", F.slice(toks, 1, k)))
     return (
-        ensure_parallelism(df)
-        .groupBy(h.alias("prefix_hash"))
+        df.groupBy(h.alias("prefix_hash"))
         .agg(
             F.count("*").alias("n_docs"),
             F.concat_ws(
@@ -114,9 +114,7 @@ def dedup_group_representatives(
     from pyspark.sql.window import Window
 
     fp = fingerprint(F.col(text_col)).alias("fingerprint")
-    scored = ensure_parallelism(df).select(
-        F.col(id_col), fp, score_col.alias("_score")
-    )
+    scored = df.select(F.col(id_col), fp, score_col.alias("_score"))
     w_rank = Window.partitionBy("fingerprint").orderBy(
         F.col("_score").desc(), F.col(id_col).asc()
     )
@@ -794,9 +792,7 @@ def paragraph_dedup_stats(
         paras = F.transform(
             F.split(F.col(text_col), split_regex), lambda p: normalized_text(p)
         )
-    # the normalize+split+explode is CPU-bound map work above the fp
-    # exchange — spread it even when the source has few splits
-    ex = ensure_parallelism(df).select(
+    ex = df.select(
         F.col(id_col).alias("_doc"), F.explode(paras).alias("_para")
     ).select("_doc", F.md5(F.col("_para")).alias("_fp"))
     ndocs = F.size(F.collect_set("_doc").over(Window.partitionBy("_fp")))

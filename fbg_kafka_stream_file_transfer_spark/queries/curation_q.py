@@ -217,9 +217,8 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs (operators/packing.py)."""
     from ..functions import text as TX2
     from ..operators.packing import packed_sequence_stats
-    from ..sources.tables import ensure_parallelism
 
-    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", TX2.token_count(F.col("text")).alias("n_toks"))
     return packed_sequence_stats(toks, "doc_id", "n_toks", budget=512, n_shards=8)
 
@@ -1265,11 +1264,8 @@ def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.sampling import rate_bucket
     from ..sources.csv import read_csv_corpus, write_csv_shards
-    from ..sources.tables import ensure_parallelism
 
-    # the adversarial-text mangle + RFC 4180 quoting is CPU-bound map
-    # work above the shard shuffle; spread a few-split scan
-    d = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    d = load_table(spark, sf_dir, "documents")
     b = rate_bucket(F.col("doc_id"))
     adv = d.withColumn(
         "text",

@@ -145,7 +145,6 @@ ORDER BY revenue DESC, o_orderkey
 LIMIT 10
 """,
         ("customer", "orders", "lineitem"),
-        parallel=("lineitem",),
     ),
     "tpch_q5_local_supplier_volume": shared_sql(
         """
@@ -161,7 +160,6 @@ WHERE r_name IN ('AMERICA', 'ASIA')
 GROUP BY n_name
 """,
         ("customer", "orders", "lineitem", "supplier", "nation", "region"),
-        parallel=("lineitem",),
     ),
     "agg_rollup": shared_sql(
         """
@@ -616,7 +614,6 @@ GROUP BY nation, o_year
 """,
     ("part", "lineitem", "supplier", "orders", "nation"),
     doc="TPC-H q9 shape: 5-way join, per-line profit expression, nation×year rollup",
-    parallel=("lineitem",),
 )
 
 # fraction-of-total threshold compared as round(v/total, 9): both
@@ -1550,11 +1547,8 @@ def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.sampling import rate_bucket
     from ..operators.scale import merge_into_partitioned
-    from ..sources.tables import ensure_parallelism
 
-    # the fixture build + the three delta scans are md5-bucket map work
-    # over a few-split source; spread them (no-op at scale)
-    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
+    ev = load_table(spark, sf_dir, "events")
     work = tempfile.mkdtemp(prefix="merge_target_")
     path = f"{work}/events_by_type"
     try:
