@@ -40,6 +40,18 @@ from pyspark.sql import DataFrame, SparkSession
 from ..sources.tables import load_table
 
 
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """``createDataFrame`` for an already-collected local summary.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the list into
+    ``defaultParallelism`` slices, so every later action on the tiny
+    frame schedules one task — and one Python-worker round-trip — per
+    core (measured 0.31 s vs 0.17 s for a 3-row frame on local[32]).
+    A single slice keeps the exact pickled-row conversion path with one
+    task. Use for driver-side summaries only, never for real data."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 @dataclass(frozen=True)
 class Q:
     """One oracle-checked query: Spark impl + optional DuckDB oracle SQL."""

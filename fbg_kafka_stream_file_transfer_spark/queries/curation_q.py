@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 from ..operators import dedup
 from ..sources.tables import load_table
-from .base import Q
+from .base import Q, local_df
 from .similarity_q import COS_SQL, bucket_sql
 
 QUERIES: dict[str, Q] = {}
@@ -1215,7 +1215,8 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()  # materialize before the temp export is removed
         )
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             manifest,
             "shard int, n_docs bigint, total_text_chars bigint,"
             " min_doc_id bigint, max_doc_id bigint",
@@ -1294,7 +1295,8 @@ def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()  # materialize before the temp export is removed
         )
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             manifest,
             "shard int, n_docs bigint, total_text_chars bigint,"
             " n_multiline bigint, min_doc_id bigint, max_doc_id bigint",

@@ -19,7 +19,7 @@ from ..operators import multimodal, retry
 from ..operators.extract import extract_documents, stub_extractor
 from ..operators.validate import with_validation
 from ..sources.tables import load_table
-from .base import Q
+from .base import Q, local_df
 from .envelope_q import ENV_CTE, REJECT_CASE
 
 
@@ -459,7 +459,7 @@ def _q_route_all_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intermediates (PipelineResult contract) before returning
     rows = out.collect()
     r.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 QUERIES["pipe_route_all_legs"] = Q(

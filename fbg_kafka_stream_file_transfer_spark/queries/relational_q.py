@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
-from .base import Q, shared_sql
+from .base import Q, local_df, shared_sql
 
 
 def _semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1588,7 +1588,8 @@ def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             manifest,
             "event_type string, n_rows bigint, n_updated bigint,"
             " n_inserted bigint, id_checksum bigint",

@@ -325,11 +325,20 @@ def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(TX.quality_score(t), 6).alias("quality"),
         TX.token_count(t).alias("n_tokens"),
     )
-    surv = Window.partitionBy("fp").orderBy("doc_id")
+    # survivor = min doc_id per fingerprint, as a min_by partial agg:
+    # map-side aggregation ships one candidate row per (fp, map task)
+    # across the exchange instead of every row + a full per-fp sort
+    # (guide §2.3 aggregate-before-you-shuffle; results identical —
+    # doc_id is unique)
     dedup = (
-        scored.withColumn("_rn", F.row_number().over(surv))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "fp")
+        scored.groupBy("fp")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang", "quality", "n_tokens"),
+                F.col("doc_id"),
+            ).alias("_s")
+        )
+        .select("_s.doc_id", "_s.lang", "_s.quality", "_s.n_tokens")
     )
     rank_w = Window.partitionBy("lang").orderBy(
         F.col("quality").desc(), F.col("doc_id")
