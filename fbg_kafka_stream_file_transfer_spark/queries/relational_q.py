@@ -942,8 +942,12 @@ def _q_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decimal-exact Pearson matrix over lineitem numerics — one scan,
     order-independent moments (vs engine-varying running-double corr)."""
     from ..operators.profile import profile_correlations
+    from ..sources.tables import ensure_parallelism
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # 90 decimal-exact conditional sums over a 1-row-group (1-task) scan
+    # pin the whole matrix to one core; spreading the scan is a pure-agg
+    # win (measured 10.9 s -> 2.0 s; same rule as tpch_q1)
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
     return profile_correlations(li, _CORR_COLS)
 
 
@@ -995,8 +999,11 @@ def _q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth price histogram — broadcast exact-quantile boundaries,
     map-side bucketing; no single-partition ntile window."""
     from ..operators.profile import equidepth_histogram
+    from ..sources.tables import ensure_parallelism
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # exact-percentile partial agg + bucket pass over a 1-task scan:
+    # spread it (pure-agg win, same rule as tpch_q1)
+    li = ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
     return equidepth_histogram(li, "l_extendedprice", buckets=10)
 
 
