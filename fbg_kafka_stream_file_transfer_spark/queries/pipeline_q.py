@@ -368,7 +368,7 @@ def _q_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             n = 0
         legs.append((leg, n))
     shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(legs, "leg string, n_rows long")
+    return local_df(spark, legs, "leg string, n_rows long")
 
 
 # the input set (doc_id < 40) and dispositions are deterministic, so even
@@ -501,7 +501,7 @@ def _q_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()
     r.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return local_df(spark, rows, out.schema)
 
 
 QUERIES["pipe_reconciliation_anti"] = Q(
