@@ -919,7 +919,11 @@ def merge_into_partitioned(
             " schema) — use the locked path (optimistic=False) to"
             " evolve"
         )
-    from .table import is_manifest_table, table_write_lock
+    from .table import (
+        engine_sql_semantics,
+        is_manifest_table,
+        table_write_lock,
+    )
 
     if optimistic:
         # OPTIMISTIC mode (manifest tables only): stage the whole
@@ -937,20 +941,21 @@ def merge_into_partitioned(
                 f"optimistic merge needs a manifest-committed table: "
                 f"{path} (create it via ManifestTable.create)"
             )
-        return _merge_into_manifest_optimistic(
-            spark, path, updates, key_cols, partition_cols,
-            op_col, delete_op, ts_col, tiebreak_cols,
-            retain_versions,
-            60.0 if lock_wait_seconds is None else lock_wait_seconds,
-            lock_stale_after_seconds,
-            clauses=clauses,
-            file_granular=file_granular,
-            check_key_moves=check_key_moves,
-        )
+        with engine_sql_semantics(spark):
+            return _merge_into_manifest_optimistic(
+                spark, path, updates, key_cols, partition_cols,
+                op_col, delete_op, ts_col, tiebreak_cols,
+                retain_versions,
+                60.0 if lock_wait_seconds is None else lock_wait_seconds,
+                lock_stale_after_seconds,
+                clauses=clauses,
+                file_granular=file_granular,
+                check_key_moves=check_key_moves,
+            )
     fs, jroot = _hadoop_fs(spark, path)
     root_existed = bool(fs.exists(jroot))
     try:
-        with table_write_lock(
+        with engine_sql_semantics(spark), table_write_lock(
             spark,
             path,
             holder="merge",

@@ -104,6 +104,40 @@ def _read_small_file(spark: SparkSession, path: str) -> str | None:
         stream.close()
 
 
+_ANSI_KEY = "spark.sql.ansi.enabled"
+
+
+@contextmanager
+def engine_sql_semantics(spark: SparkSession):
+    """Scope the engine's DOCUMENTED expression semantics (ANSI off:
+    NULL-on-error arithmetic, wrap-on-overflow explicit casts —
+    session.py) around DML/merge expression evaluation, independent of
+    the CALLER's session conf. Queries run on whatever SparkSession the
+    caller passes; on Spark 4 that defaults to ANSI ON, under which the
+    documented lossy-cast opt-in (``cast(bigint as int)`` wrap) raises
+    CAST_OVERFLOW at the commit write instead (r16 verdict,
+    dml_cast_guard). Cast/arithmetic eval modes are baked into
+    expressions when the DataFrame is analyzed, so the scope must cover
+    expression construction as well as the commit action; the caller's
+    value is restored on exit. Re-entrant and a no-op when the session
+    is already ANSI-off."""
+    try:
+        old = spark.conf.get(_ANSI_KEY)
+    except Exception:
+        old = None
+    if old is not None and str(old).lower() == "false":
+        yield
+        return
+    spark.conf.set(_ANSI_KEY, "false")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(_ANSI_KEY)
+        else:
+            spark.conf.set(_ANSI_KEY, old)
+
+
 @contextmanager
 def table_write_lock(
     spark: SparkSession,
@@ -5446,8 +5480,9 @@ class ManifestTable:
             # optimistic: the whole evaluation runs lock-free; only
             # commit_staged's publish contends (and may itself be
             # called assume_locked by a caller holding the lease)
-            return _do(self.current_version())
-        with table_write_lock(
+            with engine_sql_semantics(self.spark):
+                return _do(self.current_version())
+        with engine_sql_semantics(self.spark), table_write_lock(
             self.spark,
             self.path,
             holder="dml",

@@ -146,6 +146,14 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     spark = get_spark("oracle_check")
+    # Replicate the driver gate's session conf: it runs Spark 4 defaults
+    # (ANSI on), not this repo's session factory. SPARK_GRAFT_ANSI=true
+    # sweeps every query under that conf (VERDICT r16 item 2).
+    import os as _os
+
+    _ansi = _os.environ.get("SPARK_GRAFT_ANSI")
+    if _ansi:
+        spark.conf.set("spark.sql.ansi.enabled", _ansi)
 
     passed, failed, skipped = [], [], []
     for name, fn in qs.items():
