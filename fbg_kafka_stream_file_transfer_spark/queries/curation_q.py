@@ -411,7 +411,7 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.filter(b < 2000), idx, update_index=False
         )
         rows = out.collect()  # materialize before removing the index
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 

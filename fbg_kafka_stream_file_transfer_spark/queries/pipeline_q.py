@@ -567,7 +567,7 @@ def _q_stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("user_id", F.col("user_id").cast("string"))
         )  # LATEST_SCHEMA keys are strings
         out = streaming_latest_state(stream, "user_id", "ts", "event_id", "event_type")
-        emitted = spark.createDataFrame(
+        emitted = local_df(spark, 
             _drain_stream(out, "latest"),
             "key string, last_ts timestamp, last_tiebreak long, last_state string",
         )
@@ -580,7 +580,7 @@ def _q_stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.last_state").alias("last_event_type"),
             F.date_format("m.last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
         ).collect()
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows, "user_id long, last_event_id long, last_event_type string, last_ts string"
         )
     finally:
@@ -634,7 +634,7 @@ def _q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_gap_seconds=259200, tiebreak_col="event_id",
         )
         final = (
-            spark.createDataFrame(
+            local_df(spark, 
                 _drain_stream(out, "funnel"),
                 "key string, steps_completed int, step_times array<double>",
             )
@@ -654,7 +654,7 @@ def _q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = [(int(r.steps), int(r.n_keys)) for r in final]
         if total_users > emitted:
             rows.append((0, total_users - emitted))
-        return spark.createDataFrame(rows, "steps_completed int, n_keys long")
+        return local_df(spark, rows, "steps_completed int, n_keys long")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -760,7 +760,7 @@ def _q_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..streaming.state import SPIKE_SCHEMA
 
         rows = (
-            spark.createDataFrame(_drain_stream(out, "zs"), SPIKE_SCHEMA)
+            local_df(spark, _drain_stream(out, "zs"), SPIKE_SCHEMA)
             .select(
                 F.col("group_key").alias("event_type"),
                 F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias(
@@ -774,7 +774,7 @@ def _q_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, bucket_start string, n_events long, "
             "mean_prev double, std_prev double, zscore double, spike int",
@@ -855,7 +855,7 @@ def _q_stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             threshold=0.1, consecutive=5,
         )
         rows = (
-            spark.createDataFrame(_drain_stream(out, "db"), ALERT_SCHEMA)
+            local_df(spark, _drain_stream(out, "db"), ALERT_SCHEMA)
             .select(
                 "alert_key",
                 F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
@@ -867,7 +867,7 @@ def _q_stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "alert_key string, window_start string, value double, "
             "breach_run int, alert boolean",
@@ -939,7 +939,7 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = suppress_redeliveries(
             stream, time_col="ts", key_col="event_id", watermark="1 hour"
         )
-        rows = spark.createDataFrame(
+        rows = local_df(spark, 
             _drain_stream(out, "dedup"), "event_id long, ts timestamp, event_type string"
         )
         summary = (
@@ -947,7 +947,7 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_unique"))
             .collect()
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             [(r.event_type, r.n_unique) for r in summary],
             "event_type string, n_unique long",
         )
@@ -987,7 +987,7 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = stream.groupBy(
             F.session_window(F.col("ts"), "5 minutes").alias("sw"), "user_id"
         ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
-        emitted = spark.createDataFrame(
+        emitted = local_df(spark, 
             _drain_stream(out, "sess", output_mode="complete"),
             "sw struct<start: timestamp, end: timestamp>, user_id long, n_events bigint",
         )
@@ -998,7 +998,7 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "n_events",
         ).collect()
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows, "session_start string, user_id long, n_events bigint"
         )
     finally:
@@ -1087,7 +1087,7 @@ def _q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
         )
-        rows = spark.createDataFrame(
+        rows = local_df(spark, 
             _drain_stream(out, "wm"),
             "w struct<start: timestamp, end: timestamp>, event_type string, n_events bigint",
         )
@@ -1096,7 +1096,7 @@ def _q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_events",
         ).collect()
-        return spark.createDataFrame(
+        return local_df(spark, 
             final, "day string, event_type string, n_events bigint"
         )
     finally:
@@ -1188,7 +1188,7 @@ def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).select("s_user", "signup_id", "purchase_id")
         rows = _drain_stream(joined, "ssj")
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows, "s_user long, signup_id long, purchase_id long"
         ).withColumnRenamed("s_user", "user_id")
     finally:
@@ -1411,7 +1411,7 @@ def _stream_cdc_merge(
             final.select("user_id", "pt", "event_id", "event_type")
             .collect()
         )
-        out = spark.createDataFrame(
+        out = local_df(spark, 
             rows, "user_id long, pt int, event_id long, event_type string"
         ).withColumnRenamed("event_id", "last_event_id")
         if layout == "manifest":
@@ -1538,7 +1538,7 @@ def _q_stream_table_changes_tail(
             )
             .collect()  # materialize before the temp dirs are removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "commit_version int, event_type string, change_type string,"
             " n_rows bigint, id_checksum bigint",
@@ -1661,7 +1661,7 @@ def _q_stream_feed_prune_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()  # materialize before the temp dirs are removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "commit_version int, event_type string, change_type string,"
             " n_rows bigint, id_checksum bigint, pruned_through int",
@@ -1765,7 +1765,7 @@ def _q_stream_ttl_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = final.select(
             "user_id", "pt", "event_id", "event_type"
         ).collect()
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "user_id long, pt int, event_id long, event_type string",
         ).withColumnRenamed("event_id", "last_event_id")
@@ -1895,7 +1895,7 @@ def _q_stream_schema_evolution(
         rows = mt.read().select(
             "user_id", "pt", "event_id", "event_type", "plen"
         ).collect()
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "user_id long, pt int, event_id long, event_type string,"
             " plen int",
@@ -2044,7 +2044,7 @@ def _q_stream_type_widening(
         rows = mt.read().select(
             "user_id", "pt", "event_id", "vcents"
         ).collect()
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "user_id long, pt int, event_id long, vcents bigint",
         ).withColumnRenamed("event_id", "last_event_id")

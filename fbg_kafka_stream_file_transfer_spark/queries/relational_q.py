@@ -1708,7 +1708,7 @@ def _q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             manifest,
             "generation string, quality_tier string, n_docs bigint,"
             " total_chars bigint, total_text_chars bigint",
@@ -1817,7 +1817,7 @@ def _q_merge_atomic_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("table_version", F.lit(version).cast("int"))
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             manifest,
             "event_type string, n_rows bigint, n_updated bigint,"
             " n_inserted bigint, id_checksum bigint, table_version int",
@@ -1912,7 +1912,7 @@ def _q_merge_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .collect()[0]
             )
             rows.append((v, s["n_docs"], s["total_chars"], s["id_checksum"]))
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "version int, n_docs bigint, total_chars bigint,"
             " id_checksum bigint",
@@ -2011,7 +2011,7 @@ def _q_table_incremental_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, change_type string, n_rows bigint,"
             " id_checksum bigint, n_marked bigint",
@@ -2117,7 +2117,7 @@ def _q_table_compaction_equivalence(spark: SparkSession, sf_dir: str) -> DataFra
             .withColumn("live_generations", F.lit(len(gens)).cast("int"))
             .collect()
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "lang string, n_docs bigint, total_chars bigint,"
             " id_checksum bigint, compaction_row_changes bigint,"
@@ -2215,7 +2215,7 @@ def _q_table_multilevel_partitions(spark: SparkSession, sf_dir: str) -> DataFram
             )
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "l_returnflag string, l_linestatus string, n_rows bigint,"
             " id_checksum bigint, qty_sum bigint",
@@ -2339,7 +2339,7 @@ def _q_table_escaped_partition_values(
             )
             .collect()
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "pv string, n_rows bigint, id_checksum bigint,"
             " price_cents bigint",
@@ -2404,7 +2404,7 @@ def _q_table_changes_escaped_partitions(
             )
             .collect()
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "change_type string, n_rows bigint, id_checksum bigint,"
             " price_cents bigint, n_partitions bigint",
@@ -2491,7 +2491,7 @@ def _q_table_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, id_checksum bigint,"
             " n_updated bigint",
@@ -2585,7 +2585,7 @@ def _q_table_sharded_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, id_checksum bigint,"
             " n_partitions bigint, n_shards int, table_version int",
@@ -2685,7 +2685,7 @@ def _q_table_restore_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("table_version", F.lit(version).cast("int"))
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, id_checksum bigint,"
             " n_leaked bigint, table_version int",
@@ -2767,7 +2767,7 @@ def _q_table_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, id_checksum bigint,"
             " props_len bigint, entries_scanned int",
@@ -2865,7 +2865,7 @@ def _q_table_optimistic_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, id_checksum bigint,"
             " n_a bigint, n_w bigint",
@@ -2943,7 +2943,7 @@ def _q_table_column_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("entries_scanned", F.lit(scanned).cast("int"))
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, id_checksum bigint,"
             " entries_scanned int",
@@ -3024,7 +3024,7 @@ def _q_table_partition_where_read(spark: SparkSession, sf_dir: str) -> DataFrame
             .withColumn("entries_scanned", F.lit(scanned).cast("int"))
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, id_checksum bigint,"
             " props_len bigint, entries_scanned int",
@@ -3128,7 +3128,7 @@ def _q_table_file_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, id_checksum bigint,"
             " files_scanned int, files_total int",
@@ -3253,7 +3253,7 @@ def _q_table_clustered_compaction(spark: SparkSession, sf_dir: str) -> DataFrame
             )
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, id_checksum bigint,"
             " props_len bigint",
@@ -3372,7 +3372,7 @@ def _q_table_zorder_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, id_checksum bigint,"
             " user_checksum bigint",
@@ -3467,7 +3467,7 @@ def _q_table_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the zero-I/O pin: no data files on disk, same answers
         shutil.rmtree(f"{path}/_data")
         assert _all_counts() == counts
-        return spark.createDataFrame(
+        return local_df(spark, 
             [
                 (
                     p,
@@ -3596,7 +3596,7 @@ def _q_table_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
             ck.alias("src_cksum")
         )
         rows = cl.join(sr, "event_type").collect()
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, clone_cksum bigint,"
             " src_cksum bigint",
@@ -3696,7 +3696,7 @@ def _q_table_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("days_total", F.lit(total).cast("int"))
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, id_checksum bigint,"
             " days_scanned int, days_total int",
@@ -3806,7 +3806,7 @@ def _q_table_dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, id_checksum bigint,"
             " v_checksum bigint, del_partition bigint,"
@@ -3938,7 +3938,7 @@ def _q_table_selective_compaction(spark: SparkSession, sf_dir: str) -> DataFrame
             )
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, val_cents bigint,"
             " id_checksum bigint, rewritten int, untouched_intact int,"
@@ -4039,7 +4039,7 @@ def _q_merge_conditional_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, val_cents bigint,"
             " id_checksum bigint",
@@ -4191,7 +4191,7 @@ def _q_table_drop_column_evolution(spark: SparkSession, sf_dir: str) -> DataFram
             .withColumn("drop_diff_rows", F.lit(drop_diff).cast("int"))
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, val_cents bigint,"
             " cdc_rows bigint, drop_diff_rows int",
@@ -4289,7 +4289,7 @@ def _q_table_repartition_evolution(spark: SparkSession, sf_dir: str) -> DataFram
             )
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, val_cents bigint,"
             " id_checksum bigint, repart_diff_rows int,"
@@ -4391,7 +4391,7 @@ def _q_table_check_constraint_merge(spark: SparkSession, sf_dir: str) -> DataFra
             .withColumn("merge_refused", F.lit(refused).cast("int"))
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, val_cents bigint,"
             " merge_refused int",
@@ -4524,7 +4524,7 @@ def _q_table_file_granular_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("fg_stmts", F.lit(fg_stmts).cast("int"))
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, id_checksum bigint,"
             " v_checksum bigint, del_rows bigint, upd_rows bigint,"
@@ -4670,7 +4670,7 @@ def _q_table_zorder_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, id_checksum bigint,"
             " v_cents bigint",
@@ -4817,7 +4817,7 @@ def _q_merge_file_granular(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("fg_merge", F.lit(fg).cast("int"))
             .collect()  # materialize before the temp table is removed
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, id_checksum bigint,"
             " v_cents bigint, upd_rows bigint, del_rows bigint,"
@@ -4972,7 +4972,7 @@ def _q_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("refused_default", F.lit(refused).cast("int"))
             .collect()
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, id_checksum bigint,"
             " v_cents bigint, tier_nonnull bigint, tier_gold bigint,"
@@ -5106,7 +5106,7 @@ def _q_table_compact_reclaim(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("reclaimed", F.lit(reclaimed).cast("int"))
             .collect()
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, id_checksum bigint,"
             " v_cents bigint, rows_deleted bigint, had_carried int,"
@@ -5259,7 +5259,7 @@ def _q_merge_optimistic_file_granular(
             .withColumn("fg_optimistic", F.lit(fg).cast("int"))
             .collect()
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, id_checksum bigint,"
             " v_cents bigint, upd_rows bigint, del_rows bigint,"
@@ -5375,7 +5375,7 @@ def _q_table_add_columns_backfill(
             .withColumn("meta_only_add", F.lit(meta_only).cast("int"))
             .collect()
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, id_checksum bigint,"
             " v_cents bigint, backfilled bigint, meta_only_add int",
@@ -5534,7 +5534,7 @@ def _q_merge_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("feed_widened", F.lit(widened_ok).cast("int"))
             .collect()
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, id_checksum bigint,"
             " vc_sum bigint, n_wide bigint, refused_narrowing int,"
@@ -5664,7 +5664,7 @@ def _q_dml_cast_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, id_checksum bigint,"
             " vc_sum bigint, refused_update int, refused_merge int",
@@ -5761,7 +5761,7 @@ def _q_table_bloom_point_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         absent_prunes = int(rep["files_scanned"] == 0)
         # pin 2: the point DELETE rewrites a strict tiny subset
         target_k = (
-            spark.createDataFrame([(int(target_id),)], "i bigint")
+            local_df(spark, [(int(target_id),)], "i bigint")
             .select(F.md5(F.col("i").cast("string")).alias("k"))
             .collect()[0]["k"]
         )
@@ -5792,7 +5792,7 @@ def _q_table_bloom_point_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, id_checksum bigint,"
             " vc_sum bigint, blooms_recorded int, absent_prunes int,"
@@ -5916,7 +5916,7 @@ def _q_table_alter_widen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("meta_only_alter", F.lit(meta_only).cast("int"))
             .collect()
         )
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, id_checksum bigint,"
             " vc_sum bigint, meta_only_alter int",
@@ -6015,7 +6015,7 @@ def _q_merge_dup_key_refusal(spark: SparkSession, sf_dir: str) -> DataFrame:
         # refusal pins use a TINY literal dup delta: the guard fires
         # before any table I/O, so a 2-row probe pins the identical
         # contract without writing the full band to staging twice
-        probe = spark.createDataFrame(
+        probe = local_df(spark, 
             [(0, "t", 1, 0, 1), (0, "t", 2, 0, 2)],
             "event_id bigint, event_type string, vc bigint,"
             " pt int, ts bigint",
@@ -6079,7 +6079,7 @@ def _q_merge_dup_key_refusal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for r in rows
         ]
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "event_type string, n_rows bigint, id_checksum bigint,"
             " vc_sum bigint, n_folded bigint, refused_blind int,"
@@ -6178,7 +6178,7 @@ def _q_table_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             all(r2[f"{fn}({c})"] == r[f"{fn}({c})"] for fn, c in aggs)
         )
         assert zero_io, (r, r2)
-        return spark.createDataFrame(
+        return local_df(spark, 
             [
                 (
                     r["count(*)"], r["count(vc)"], r["null_count(vc)"],
@@ -6276,7 +6276,7 @@ def _q_table_partition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows2 = mt.partition_profile(aggs)
         zero_io = int(rows2 == rows)
         assert zero_io
-        return spark.createDataFrame(
+        return local_df(spark, 
             [
                 (
                     r["pt"], r["count(*)"], r["count(vc)"],
@@ -6364,7 +6364,7 @@ def _q_merge_key_move_refusal(spark: SparkSession, sf_dir: str) -> DataFrame:
         # untouched refuses loudly pre-commit
         probe_id = a_lo  # lives in pt = a_lo % 4
         wrong_pt = (probe_id % 4 + 1) % 4
-        probe = spark.createDataFrame(
+        probe = local_df(spark, 
             [(probe_id, "t", 0, wrong_pt)],
             "event_id bigint, event_type string, vc bigint, pt int",
         )
@@ -6419,7 +6419,7 @@ def _q_merge_key_move_refusal(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert sum(r["n_rows"] for r in rows) == mt.read().select(
             "event_id"
         ).distinct().count()
-        return spark.createDataFrame(
+        return local_df(spark, 
             rows,
             "pt int, n_rows bigint, id_checksum bigint,"
             " vc_sum bigint, n_moved bigint, refused_untouched int",

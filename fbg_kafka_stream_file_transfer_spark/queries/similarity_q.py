@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..operators import similarity
 from ..sources.tables import load_table
-from .base import Q
+from .base import Q, local_df
 
 _PLANES = 4
 
@@ -173,7 +173,7 @@ def _q_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=3, n_probe=2,
         )
         rows = out.collect()  # materialize before removing the index dir
-        return spark.createDataFrame(rows, out.schema)
+        return local_df(spark, rows, out.schema)
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
