@@ -814,14 +814,19 @@ def merge_into_partitioned(
     Crash surface — two commit protocols, auto-detected:
 
     - PLAIN Hive-layout table (default): the merged rows are staged
-      under ``_merge_staging`` inside the table root — an
-      underscore-prefixed directory parquet readers ignore, so a crash
-      before the final overwrite leaves the table untouched. A crash
-      DURING the overwrite is torn at partition granularity (the
-      dynamic-overwrite guarantee class); recovery = re-run, the merge
-      is idempotent. Partition-directory deletion goes through the
-      Hadoop FileSystem API, so it works on any Spark-supported store
-      (local, HDFS, S3A), not just the local FS.
+      — already partitioned — under ``_merge_staging`` inside the
+      table root, an underscore-prefixed directory parquet readers
+      ignore, so a crash before the publish leaves the table
+      untouched. The publish RENAMES each staged partition directory
+      into place (one data write per merge, r17; the old path
+      re-read staging and dynamic-overwrote, writing every merged
+      byte twice). A crash DURING the publish is torn at partition
+      granularity — the same guarantee class dynamic overwrite gave;
+      recovery = re-run, the merge is idempotent. Renames and
+      partition-directory deletion go through the Hadoop FileSystem
+      API, so they work on any Spark-supported store (local, HDFS,
+      S3A — where rename is a copy, the per-partition window equals
+      the old overwrite's), not just the local FS.
     - MANIFEST table (created via ``table.ManifestTable.create``;
       detected by ``_manifests/``): the publish is an atomic
       manifest/pointer swap — a reader sees the whole previous version
@@ -1185,35 +1190,49 @@ def _merge_into_plain(
         )
 
         staging = f"{path}/_merge_staging"
-        # explicit schema on the read back: a merge that empties EVERY
-        # touched partition stages zero rows, and a bare read of the
-        # empty dir would fail UNABLE_TO_INFER_SCHEMA. The written
-        # partition set rides the staging write as an observed metric —
-        # it used to be a separate distinct().collect() pass over the
-        # staged parquet.
+        # ONE data write (r17): the merged rows are staged already
+        # PARTITIONED (hive layout mirrored under _merge_staging), and
+        # the publish MOVES each staged partition directory into place
+        # instead of re-reading staging and dynamic-overwriting — the
+        # old staged-write-then-overwrite path wrote every merged byte
+        # twice. The crash contract is unchanged in class: a crash
+        # before the first rename leaves the table untouched (readers
+        # skip underscore dirs); a crash mid-publish is torn at
+        # PARTITION granularity, exactly the dynamic-overwrite
+        # guarantee this path always documented — each partition flips
+        # atomically on rename-capable stores (local/HDFS), and on
+        # rename-as-copy stores (S3A) the window equals the old
+        # per-partition overwrite window. Recovery = re-run (the merge
+        # is idempotent). The written partition set rides the staging
+        # write as an observed metric.
         _stage_obs = Observation()
         merged.observe(
             _stage_obs,
             F.collect_set(F.struct(*partition_cols)).alias("_parts"),
-        ).write.mode("overwrite").parquet(staging)
+        ).write.mode("overwrite").partitionBy(*partition_cols).parquet(
+            staging
+        )
         try:
-            staged = spark.read.schema(merged.schema).parquet(staging)
             written = {
                 tuple(p[c] for c in partition_cols)
                 for p in _stage_obs.get["_parts"]
             }
-            (
-                staged.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(*partition_cols)
-                .parquet(path)
+            n_moved = _publish_staged_partitions(
+                spark, staging, path, len(partition_cols)
             )
-            # dynamic overwrite never rewrites a partition with no
-            # staged rows — an EMPTIED partition must be deleted
-            # explicitly or its old files silently survive. Failures
-            # here raise WITH the partition list: the batch must fail
-            # loudly (re-running the merge is idempotent; swallowing
-            # would silently resurrect deleted rows).
+            if n_moved != len(written):
+                raise RuntimeError(
+                    f"merge publish moved {n_moved} staged partition"
+                    f" dirs but the staging write observed"
+                    f" {len(written)} written partitions — staging is"
+                    f" inconsistent; re-run the merge (idempotent)"
+                )
+            # the publish never touches a partition with no staged
+            # rows — an EMPTIED partition must be deleted explicitly
+            # or its old files silently survive. Failures here raise
+            # WITH the partition list: the batch must fail loudly
+            # (re-running the merge is idempotent; swallowing would
+            # silently resurrect deleted rows).
             failed = []
             for t in touched:
                 if t in written:
@@ -2131,6 +2150,57 @@ def _table_has_no_partitions(spark: SparkSession, path: str) -> bool:
         if "=" in status.getPath().getName():
             return False
     return True
+
+
+def _publish_staged_partitions(
+    spark: SparkSession, staging: str, dest: str, depth: int
+) -> int:
+    """Move every staged leaf partition directory (``col=value``
+    nesting, ``depth`` levels) from ``staging`` into the matching
+    relative path under ``dest``, replacing any existing directory.
+    Returns the number of leaf directories moved.
+
+    Directory names are mirrored VERBATIM (no unescape/re-escape round
+    trip — the staged names came out of the same Spark writer that
+    produced the table's, so `%XX` escapes and
+    ``__HIVE_DEFAULT_PARTITION__`` match byte-for-byte). Renames go
+    through the Hadoop FileSystem API, so the publish works on any
+    Spark-supported store; each leaf flips atomically where the store's
+    rename is atomic (local/HDFS)."""
+    fs, jstag = _hadoop_fs(spark, staging)
+    _, jdest = _hadoop_fs(spark, dest)
+    jpath_cls = spark._jvm.org.apache.hadoop.fs.Path
+
+    def _leaves(jdir, level: int, rel: str) -> list[tuple]:
+        out = []
+        for status in fs.listStatus(jdir):
+            name = status.getPath().getName()
+            if not status.isDirectory() or "=" not in name:
+                continue  # _SUCCESS and committer leftovers
+            r = f"{rel}/{name}" if rel else name
+            if level == 1:
+                out.append((status.getPath(), r))
+            else:
+                out.extend(_leaves(status.getPath(), level - 1, r))
+        return out
+
+    moved = 0
+    for src, rel in _leaves(jstag, depth, ""):
+        dst = jpath_cls(jdest, rel)
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        parent = dst.getParent()
+        if not fs.exists(parent):
+            fs.mkdirs(parent)
+        if not fs.rename(src, dst):
+            raise RuntimeError(
+                f"merge publish could not rename staged partition"
+                f" {src} into {dst}; the table is torn at partition"
+                " granularity — fix store permissions and re-run the"
+                " merge (idempotent)"
+            )
+        moved += 1
+    return moved
 
 
 def _delete_partition_dir(

@@ -113,6 +113,80 @@ class TestDmlAnsiIndependence:
         assert spark.conf.get(key) == base
 
 
+class TestPlainMergeRenamePublish:
+    """r17: the plain-layout merge publishes by renaming staged
+    partition dirs into place (one data write) instead of re-reading
+    staging and dynamic-overwriting. Pin the publish on the shapes the
+    rename mirror must get right: %-escaped partition values,
+    multi-level partitions, emptied partitions."""
+
+    def test_escaped_partition_values(self, spark, workdir):
+        import os
+
+        path = f"{workdir}/esc"
+        vals = ["plain", "with space", "a:b", "p%20q"]
+        rows = [(i, vals[i % 4], f"v{i}") for i in range(16)]
+        spark.createDataFrame(
+            rows, "id long, pt string, props string"
+        ).write.partitionBy("pt").parquet(path)
+        upd = spark.createDataFrame(
+            [(1, "with space", "UPDATED", "U"), (2, "a:b", None, "D")],
+            "id long, pt string, props string, op string",
+        )
+        n = merge_into_partitioned(
+            spark, path, upd, ["id"], ["pt"], op_col="op"
+        )
+        assert n == 2
+        got = {r.id: (r.pt, r.props) for r in spark.read.parquet(path).collect()}
+        assert got[1] == ("with space", "UPDATED")
+        assert 2 not in got
+        assert len(got) == 15
+        assert not os.path.exists(f"{path}/_merge_staging")
+        # each touched value still lives under ONE directory (no
+        # escape/unescape drift creating a twin dir)
+        dirs = [d for d in os.listdir(path) if d.startswith("pt=")]
+        assert len(dirs) == 4, dirs
+
+    def test_multilevel_partitions(self, spark, workdir):
+        import os
+
+        path = f"{workdir}/ml"
+        rows = [(i, i % 2, f"d{i % 3}", f"v{i}") for i in range(18)]
+        spark.createDataFrame(
+            rows, "id long, a int, b string, props string"
+        ).write.partitionBy("a", "b").parquet(path)
+        upd = spark.createDataFrame(
+            [(0, 0, "d0", "UPDATED", "U"), (7, 1, "d1", None, "D")],
+            "id long, a int, b string, props string, op string",
+        )
+        n = merge_into_partitioned(
+            spark, path, upd, ["id"], ["a", "b"], op_col="op"
+        )
+        assert n == 2
+        got = {r.id: r.props for r in spark.read.parquet(path).collect()}
+        assert got[0] == "UPDATED"
+        assert 7 not in got
+        assert len(got) == 17
+        assert not os.path.exists(f"{path}/_merge_staging")
+
+    def test_emptied_partition_dir_removed(self, spark, workdir):
+        import os
+
+        path = f"{workdir}/empt"
+        rows = [(i, "p0" if i < 3 else "p1", f"v{i}") for i in range(6)]
+        spark.createDataFrame(
+            rows, "id long, pt string, props string"
+        ).write.partitionBy("pt").parquet(path)
+        upd = spark.createDataFrame(
+            [(0, "p0", None, "D"), (1, "p0", None, "D"), (2, "p0", None, "D")],
+            "id long, pt string, props string, op string",
+        )
+        merge_into_partitioned(spark, path, upd, ["id"], ["pt"], op_col="op")
+        assert not os.path.exists(f"{path}/pt=p0")
+        got = sorted(r.id for r in spark.read.parquet(path).collect())
+        assert got == [3, 4, 5]
+
+
 class TestQueryAnsiIndependence:
     """The registry queries flagged by the r17 ANSI sweep must return
     identical results under an ANSI-on session (driver conf)."""
