@@ -187,6 +187,108 @@ class TestPlainMergeRenamePublish:
         assert got == [3, 4, 5]
 
 
+class TestExactQuantileValues:
+    """r17: `_quantile_bounds`/`clip_outliers` compute exact quantiles
+    via bounded histogram refinement instead of the percentile UDAF's
+    single-reduce value-counts map. The contract is BIT-IDENTITY with
+    Spark's `percentile` — pinned here over adversarial value sets."""
+
+    PROBS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+    def _check(self, spark, values, probs=None):
+        import math
+
+        from fbg_kafka_stream_file_transfer_spark.operators import profile
+
+        probs = probs or self.PROBS
+        df = spark.createDataFrame([(v,) for v in values], "v double")
+        arr = ", ".join(repr(p) for p in probs)
+        expected = df.agg(
+            F.expr(f"percentile(v, array({arr}))").alias("q")
+        ).collect()[0]["q"]
+        got = profile._exact_quantile_values(df, "v", probs)
+        assert len(got) == len(expected)
+        for g, e in zip(got, expected):
+            if e is None:
+                assert g is None
+            elif isinstance(e, float) and math.isnan(e):
+                assert math.isnan(g)
+            else:
+                assert g == e, (g, e)  # bit-identical, no tolerance
+
+    def test_random_with_duplicates(self, spark):
+        import random
+
+        rng = random.Random(17)
+        vals = [round(rng.uniform(-1e6, 1e6), 3) for _ in range(5000)]
+        vals += vals[:500]  # heavy duplicates
+        self._check(spark, vals)
+
+    def test_tiny_n(self, spark):
+        self._check(spark, [42.0])
+        self._check(spark, [2.0, 1.0])
+        self._check(spark, [3.0, 3.0, 3.0])
+
+    def test_empty_and_nulls(self, spark):
+        from fbg_kafka_stream_file_transfer_spark.operators.profile import (
+            _exact_quantile_values,
+        )
+
+        df = spark.createDataFrame([(None,), (None,)], "v double")
+        got = _exact_quantile_values(df, "v", [0.5, 0.9])
+        assert got == [None, None]
+
+    def test_integer_column(self, spark):
+        import math
+
+        from fbg_kafka_stream_file_transfer_spark.operators.profile import (
+            _exact_quantile_values,
+        )
+
+        df = spark.createDataFrame([(i % 97,) for i in range(2000)], "v long")
+        expected = df.agg(
+            F.expr("percentile(v, array(0.1, 0.5, 0.9))").alias("q")
+        ).collect()[0]["q"]
+        got = _exact_quantile_values(df, "v", [0.1, 0.5, 0.9])
+        assert got == list(expected)
+
+    def test_matches_on_lineitem_prices(self, spark, sf_dir):
+        from fbg_kafka_stream_file_transfer_spark.operators.profile import (
+            _exact_quantile_values,
+        )
+        from fbg_kafka_stream_file_transfer_spark.sources.tables import (
+            load_table,
+        )
+
+        li = load_table(spark, sf_dir, "lineitem")
+        probs = [i / 10 for i in range(1, 10)]
+        arr = ", ".join(repr(p) for p in probs)
+        expected = li.agg(
+            F.expr(f"percentile(l_extendedprice, array({arr}))").alias("q")
+        ).collect()[0]["q"]
+        got = _exact_quantile_values(li, "l_extendedprice", probs)
+        assert got == list(expected)
+
+    def test_refinement_path_exercised(self, spark):
+        """Force row counts past the collect threshold so the histogram
+        refinement loop (not just the small-interval collect) runs."""
+        import math
+
+        from fbg_kafka_stream_file_transfer_spark.operators import profile
+
+        n = (1 << 17) + 5000  # just past _THRESH
+        df = spark.range(n).select(
+            (F.col("id").cast("double") * 0.7 - 31.0).alias("v")
+        )
+        probs = [0.05, 0.5, 0.95]
+        arr = ", ".join(repr(p) for p in probs)
+        expected = df.agg(
+            F.expr(f"percentile(v, array({arr}))").alias("q")
+        ).collect()[0]["q"]
+        got = profile._exact_quantile_values(df, "v", probs)
+        assert got == list(expected)
+
+
 class TestQueryAnsiIndependence:
     """The registry queries flagged by the r17 ANSI sweep must return
     identical results under an ANSI-on session (driver conf)."""
