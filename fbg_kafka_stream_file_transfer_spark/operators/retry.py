@@ -74,12 +74,17 @@ def with_retry_schedule(
     attempt = F.col(attempt_col)
     delay = policy.delay_for_attempt(attempt)
     next_ts = F.timestamp_seconds(F.unix_timestamp(F.col(time_col)) + delay)
-    return (
-        df.withColumn("retry_status", classify_attempt(attempt, policy))
-        .withColumn("backoff_seconds", F.when(F.col("retry_status") == RETRY, delay))
-        .withColumn(
-            "next_attempt_time", F.when(F.col("retry_status") == RETRY, next_ts)
-        )
+    status = classify_attempt(attempt, policy)
+    # one analysis pass, not three (r17): the downstream columns
+    # reference the status EXPRESSION instead of the intermediate
+    # column — same values (classify_attempt is a deterministic CASE,
+    # and codegen subexpression elimination folds the repeats)
+    return df.withColumns(
+        {
+            "retry_status": status,
+            "backoff_seconds": F.when(status == RETRY, delay),
+            "next_attempt_time": F.when(status == RETRY, next_ts),
+        }
     )
 
 

@@ -45,8 +45,10 @@ def reject_reason(
 
 def with_validation(df: DataFrame, max_size: int = MAX_FILE_SIZE_BYTES) -> DataFrame:
     reason = reject_reason(max_size=max_size)
-    return df.withColumn("reject_reason", reason).withColumn(
-        "valid", reason.isNull()
+    # one analysis pass, not two (r17 — withColumn chains re-analyze
+    # the whole plan per call); both expressions see the input columns
+    return df.withColumns(
+        {"reject_reason": reason, "valid": reason.isNull()}
     )
 
 

@@ -19,7 +19,7 @@ from ..operators import multimodal, retry
 from ..operators.extract import extract_documents, stub_extractor
 from ..operators.validate import with_validation
 from ..sources.tables import load_table
-from .base import Q, local_df
+from .base import Q, local_df, stream_shuffle
 from .envelope_q import ENV_CTE, REJECT_CASE
 
 
@@ -354,11 +354,12 @@ def _q_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ext = "pdf" if r.doc_id % 4 else "exe"  # every 4th file hits the reject leg
         with open(f"{src}/doc-{r.doc_id}.{ext}", "w") as f:
             f.write(r.text)
-    q = start_file_pipeline(spark, src, out, ckpt)
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_shuffle(spark):
+        q = start_file_pipeline(spark, src, out, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     legs = []
     for leg in ("incoming", "processed", "retry", "failed"):
         path = f"{out}/{leg}"
@@ -527,16 +528,19 @@ def _drain_stream(out: DataFrame, prefix: str, output_mode: str = "append"):
 
     spark = out.sparkSession
     sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory").queryName(sink)
-        .outputMode(output_mode).start()
-    )
-    try:
-        q.processAllAvailable()
-        return spark.table(sink).collect()
-    finally:
-        q.stop()
-        spark.catalog.dropTempView(sink)
+    # state partitioning is pinned at .start() — scope it to the
+    # fixture-sized value for every drained e2e stream (base.py)
+    with stream_shuffle(spark):
+        q = (
+            out.writeStream.format("memory").queryName(sink)
+            .outputMode(output_mode).start()
+        )
+        try:
+            q.processAllAvailable()
+            return spark.table(sink).collect()
+        finally:
+            q.stop()
+            spark.catalog.dropTempView(sink)
 
 
 def _q_stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1388,22 +1392,23 @@ def _stream_cdc_merge(
         stream = _time_ordered_stream(
             spark, ev, epoch_seconds(F.col("ts")), work
         )
-        q = start_changelog_merge_sink(
-            spark,
-            stream,
-            table,
-            "user_id",
-            ["pt"],
-            "ts",
-            "op",
-            f"{work}/ckpt",
-            tiebreak_cols=("event_id",),
-            layout=layout,
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with stream_shuffle(spark):
+            q = start_changelog_merge_sink(
+                spark,
+                stream,
+                table,
+                "user_id",
+                ["pt"],
+                "ts",
+                "op",
+                f"{work}/ckpt",
+                tiebreak_cols=("event_id",),
+                layout=layout,
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         from ..operators.table import ManifestTable, read_table
 
         final = read_table(spark, table)  # layout-agnostic reader
@@ -1499,7 +1504,8 @@ def _q_stream_table_changes_tail(
     feed = f"{work}/feed"
     try:
         ManifestTable(spark, path).create(ev, ["event_type"])
-        q = start_table_changes_tail(spark, path, feed, f"{work}/ckpt")
+        with stream_shuffle(spark):
+            q = start_table_changes_tail(spark, path, feed, f"{work}/ckpt")
         try:
             q.processAllAvailable()  # commit 1: initial snapshot
             upd = ev.filter(touched & (b < 1000)).withColumn(
@@ -1634,10 +1640,11 @@ def _q_stream_feed_prune_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, path, dele, ["event_id"], ["event_type"], op_col="op",
             retain_versions=10,
         )
-        q = start_table_changes_tail(
-            spark, path, feed, f"{work}/ckpt",
-            max_versions_per_trigger=1, feed_retain_versions=1,
-        )
+        with stream_shuffle(spark):
+            q = start_table_changes_tail(
+                spark, path, feed, f"{work}/ckpt",
+                max_versions_per_trigger=1, feed_retain_versions=1,
+            )
         try:
             q.processAllAvailable()  # 3 batches, pruned after each
         finally:
@@ -1741,21 +1748,22 @@ def _q_stream_ttl_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = f"{work}/state"
     try:
         stream = _time_ordered_stream(spark, ev, F.col("ets"), work)
-        q = start_changelog_merge_sink(
-            spark,
-            stream,
-            table,
-            "user_id",
-            ["pt"],
-            "ets",
-            "op",
-            f"{work}/ckpt",
-            tiebreak_cols=("event_id",),
-            layout="manifest",
-            retain_versions=10,
-            ttl_keep=864000.0,
-            ttl_delete_every=1,
-        )
+        with stream_shuffle(spark):
+            q = start_changelog_merge_sink(
+                spark,
+                stream,
+                table,
+                "user_id",
+                ["pt"],
+                "ets",
+                "op",
+                f"{work}/ckpt",
+                tiebreak_cols=("event_id",),
+                layout="manifest",
+                retain_versions=10,
+                ttl_keep=864000.0,
+                ttl_delete_every=1,
+            )
         try:
             q.processAllAvailable()
         finally:
@@ -1869,20 +1877,21 @@ def _q_stream_schema_evolution(
         stream = _time_ordered_stream(
             spark, streamed, F.col("ets"), work
         )
-        q = start_changelog_merge_sink(
-            spark,
-            stream,
-            table,
-            "user_id",
-            ["pt"],
-            "ets",
-            "op",
-            f"{work}/ckpt",
-            tiebreak_cols=("event_id",),
-            layout="manifest",
-            retain_versions=10,
-            schema_evolution=True,
-        )
+        with stream_shuffle(spark):
+            q = start_changelog_merge_sink(
+                spark,
+                stream,
+                table,
+                "user_id",
+                ["pt"],
+                "ets",
+                "op",
+                f"{work}/ckpt",
+                tiebreak_cols=("event_id",),
+                layout="manifest",
+                retain_versions=10,
+                schema_evolution=True,
+            )
         try:
             q.processAllAvailable()
         finally:
@@ -2007,20 +2016,21 @@ def _q_stream_type_widening(
         stream = _time_ordered_stream(
             spark, streamed, F.col("ets"), work
         )
-        q = start_changelog_merge_sink(
-            spark,
-            stream,
-            table,
-            "user_id",
-            ["pt"],
-            "ets",
-            "op",
-            f"{work}/ckpt",
-            tiebreak_cols=("event_id",),
-            layout="manifest",
-            retain_versions=10,
-            schema_evolution=True,
-        )
+        with stream_shuffle(spark):
+            q = start_changelog_merge_sink(
+                spark,
+                stream,
+                table,
+                "user_id",
+                ["pt"],
+                "ets",
+                "op",
+                f"{work}/ckpt",
+                tiebreak_cols=("event_id",),
+                layout="manifest",
+                retain_versions=10,
+                schema_evolution=True,
+            )
         try:
             q.processAllAvailable()
         finally:

@@ -36,11 +36,21 @@ def _api(base: str, path: str):
 
 
 def main() -> int:
-    args = sys.argv[1:]
+    argv = sys.argv[1:]
     tag = "before"
-    if args and args[0] == "--tag":
-        tag = args[1]
-        args = args[2:]
+    rnd = "r17"
+    args = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--tag":
+            tag = argv[i + 1]
+            i += 2
+        elif argv[i] == "--round":
+            rnd = argv[i + 1]
+            i += 2
+        else:
+            args.append(argv[i])
+            i += 1
     names = args or HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("profile", extra_conf={"spark.ui.enabled": "true"})
@@ -54,7 +64,7 @@ def main() -> int:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    plans_dir = os.path.join(_REPO, "plans", "r16")
+    plans_dir = os.path.join(_REPO, "plans", rnd)
     os.makedirs(plans_dir, exist_ok=True)
 
     rows = []
@@ -100,7 +110,7 @@ def main() -> int:
             f" planExch={exch} planPy={py}",
             flush=True,
         )
-    out = os.path.join(_REPO, "plans", "r16", f"profile_{tag}.json")
+    out = os.path.join(_REPO, "plans", rnd, f"profile_{tag}.json")
     with open(out, "w") as fh:
         json.dump(rows, fh, indent=1)
     print(f"# -> {out}")

@@ -20,10 +20,19 @@ from fbg_kafka_stream_file_transfer_spark.queries import REGISTRY  # noqa: E402
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = 3
-    if "--n" in sys.argv:
-        n = int(sys.argv[sys.argv.index("--n") + 1])
+    args = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--n":
+            n = int(argv[i + 1])
+            i += 2
+        elif argv[i].startswith("--"):
+            i += 1
+        else:
+            args.append(argv[i])
+            i += 1
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("time_query")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
